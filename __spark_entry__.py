@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (smoke, sf0.001); ``queries()`` /
+``oracle_sql()`` expose every implemented SURVEY.md §2 query key for the
+DuckDB differential check at sf0.01. Implementations live in
+yark_spark/queries/ (one module per §2 section); the registry guarantees a
+1:1 key mapping between the Spark form and the oracle SQL.
 """
 
 from __future__ import annotations
@@ -13,26 +13,43 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY.md §7 minimum slice): revenue per nation —
+    scan → broadcast-dim join chain → hash agg → top-k. Exercises the full
+    Catalyst path the rest of the surface builds on."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.io import load_table
+
+    customer = load_table(spark, SF0001, "customer")
+    orders = load_table(spark, SF0001, "orders")
+    lineitem = load_table(spark, SF0001, "lineitem")
+    nation = F.broadcast(load_table(spark, SF0001, "nation"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from yark_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from yark_spark.queries import ORACLES
+
+    return dict(ORACLES)

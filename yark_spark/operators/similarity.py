@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (SURVEY.md §2.8 E3).
+
+Scale design: brute-force cosine is the correctness baseline — the query
+side is small (top-k for a bounded query set) and is broadcast, so the big
+candidate side streams through map tasks with zero shuffle until the final
+per-query top-k (TakeOrdered-style aggregation). The scale path buckets
+candidates with random hyperplane LSH (or pyspark.ml's
+BucketedRandomProjectionLSH) so each query only scans a few buckets.
+
+Dot products use `F.zip_with` + `F.aggregate` — JVM-side higher-order
+functions, no Python per-row. For very wide vectors a pandas_udf over Arrow
+batches can be swapped in (see yark_spark/queries/udf.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity_col(a, b):
+    """cos(a, b) as a Column over two array<float|double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_max_id: int = 10,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Brute-force top-k cosine neighbors for queries (id < query_max_id).
+
+    The query set is broadcast; candidates never shuffle until the window
+    top-k on (query partition). Similarity is rounded before ranking and
+    tie-broken on neighbor id so the result set is deterministic.
+    """
+    q = embeddings.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity_col(F.col("qv"), F.col("cv")), round_digits).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_id: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold within a
+    bounded id range (exact baseline; LSH variant below scales it)."""
+    base = embeddings if max_id is None else embeddings.filter(F.col(id_col) < max_id)
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.round(cosine_similarity_col(F.col("va"), F.col("vb")), round_digits).alias("cosine_sim"),
+    )
+    return pairs.filter(F.col("cosine_sim") >= threshold)
+
+
+def hyperplane_lsh_buckets(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-random-projection LSH: bucket = sign bits against ``n_planes``
+    deterministic pseudo-random hyperplanes. Vectors in the same bucket are
+    likely cosine-similar; ANN search then only joins within buckets.
+
+    The hyperplanes are generated from a hash of (plane, dim) so every task
+    derives them independently — nothing is broadcast or collected.
+    """
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    bits = []
+    for p in range(n_planes):
+        # plane component for dim i: xxhash64(p, i) scaled to [-1, 1]
+        comp = F.transform(
+            dim_idx,
+            lambda i, p=p: (F.xxhash64(F.lit(seed), F.lit(p), i) % 10007).cast("double") / 10007.0,
+        )
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), comp, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_max_id: int = 10,
+    k: int = 5,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's LSH
+    bucket. At 100 TB this turns a full scan per query into a bucket scan
+    (~1/2**n_planes of the data)."""
+    bucketed = hyperplane_lsh_buckets(embeddings, id_col, vec_col, n_planes)
+    q = bucketed.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col("bucket")
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col("bucket")
+    )
+    scored = c.join(
+        F.broadcast(q), (q.bucket == c.bucket) & (F.col("query_id") != F.col("neighbor_id"))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity_col(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")

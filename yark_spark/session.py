@@ -1,0 +1,63 @@
+"""SparkSession factory + per-query session hygiene.
+
+Scale posture (100 TB / 1000 executors): AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), broadcast threshold generous enough to
+broadcast every dimension table, UTC session timezone pinned so timestamp
+semantics are stable across engines (the DuckDB oracle compares naive UTC
+values), Arrow enabled for the few pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to ANY session our queries run on (the
+#: driver owns the session in verify runs — these are all safe to set at
+#: runtime, unlike static confs such as executor memory).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scans: pushdown + pruning are defaults, pinned here for clarity.
+    "spark.sql.parquet.filterPushdown": "true",
+    # The fixture events table stores TIMESTAMP(NANOS) which the vectorized
+    # reader rejects; read as long and convert in io.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment — keep going
+    return spark
+
+
+def get_spark(app_name: str = "yark_spark", cpus: int | None = None) -> SparkSession:
+    """Local session shaped like tests/bench expect.
+
+    ``local[N]`` with N from $SPARK_GRAFT_CPUS (default 32) and shuffle
+    partitions sized to the core count — on a real cluster these become
+    executor topology + AQE-coalesced shuffle partitions.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/yark_spark_warehouse")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
