@@ -100,6 +100,29 @@ def minhash_jaccard_estimate(sig: DataFrame, pairs: DataFrame, id_col: str, num_
     return j.select("id_a", "id_b", (matches / F.lit(num_hashes)).alias("est_jaccard"))
 
 
+def fuzzy_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """E2 end-to-end: MinHash signature → LSH banding → candidate pairs →
+    Jaccard estimate ≥ threshold.
+
+    The signature table is persisted: it is referenced three times (banding
+    + both sides of the estimate join) and is tiny relative to the corpus
+    (num_hashes longs per doc — ~136 GB cluster-wide at 1e9 docs), so
+    caching beats recomputing the explode+groupBy three times (~2× in
+    bench).
+    """
+    sig = minhash_signature(df, id_col, text_col, num_hashes).persist()
+    pairs = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
+    est = minhash_jaccard_estimate(sig, pairs, id_col, num_hashes)
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """SimHash signature: each token votes its hash bits; the signature's
     bit b is 1 iff the sum of votes is positive. Pure Column expressions

@@ -55,16 +55,26 @@ def cosine_topk(
     top-k on (query partition). Similarity is rounded before ranking and
     tie-broken on neighbor id so the result set is deterministic.
     """
+    # Norms are per-vector, not per-pair: compute once on each side (cuts
+    # ~2/3 of the arithmetic vs. a naive cosine per pair).
     q = embeddings.filter(F.col(id_col) < query_max_id).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity_col(F.col("qv"), F.col("cv")), round_digits).alias("cosine_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -86,12 +96,18 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs above a threshold within a
     bounded id range (exact baseline; LSH variant below scales it)."""
     base = embeddings if max_id is None else embeddings.filter(F.col(id_col) < max_id)
-    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), _norm(F.col(vec_col)).alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), _norm(F.col(vec_col)).alias("nb")
+    )
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
         "id_a",
         "id_b",
-        F.round(cosine_similarity_col(F.col("va"), F.col("vb")), round_digits).alias("cosine_sim"),
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits
+        ).alias("cosine_sim"),
     )
     return pairs.filter(F.col("cosine_sim") >= threshold)
 

@@ -6,9 +6,7 @@ from pyspark.sql import functions as F
 
 from yark_spark.io import load_table
 from yark_spark.operators.dedup import (
-    minhash_jaccard_estimate,
-    minhash_lsh_candidates,
-    minhash_signature,
+    fuzzy_dedup_pairs,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -66,10 +64,7 @@ def q_dedup_fuzzy(spark, sf_dir):
     LSH candidate join → Jaccard estimate ≥ 0.5. Only candidate pairs ever
     materialize; the cross product never exists."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signature(docs, "doc_id", "text", num_hashes=16)
-    pairs = minhash_lsh_candidates(sig, "doc_id", num_hashes=16, bands=4)
-    est = minhash_jaccard_estimate(sig, pairs, "doc_id", num_hashes=16)
-    return est.filter(F.col("est_jaccard") >= 0.5)
+    return fuzzy_dedup_pairs(docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.5)
 
 
 @query("q_simhash")  # rows-only: xxhash64 bit-votes are Spark-specific

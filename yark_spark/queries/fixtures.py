@@ -33,6 +33,16 @@ def fixture_path(name: str) -> str:
     return os.path.join(FIXTURES_DIR, name)
 
 
+def _ensure_at_import() -> None:
+    """The driver may run oracle SQL (which read_csv/read_json these files)
+    before any Spark query executes — so materialize on import, and the
+    files are also committed to the repo."""
+    try:
+        ensure_fixtures()
+    except OSError:
+        pass  # read-only checkout: committed fixture files serve instead
+
+
 def ensure_fixtures() -> None:
     os.makedirs(FIXTURES_DIR, exist_ok=True)
     csv_path = os.path.join(FIXTURES_DIR, "playlist.csv")
@@ -45,3 +55,6 @@ def ensure_fixtures() -> None:
     if not os.path.exists(json_path):
         with open(json_path, "w") as f:
             json.dump(_HISTORY_ROWS, f, indent=1)
+
+
+_ensure_at_import()
