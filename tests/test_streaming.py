@@ -1,0 +1,149 @@
+"""Structured Streaming tests (SURVEY.md §5.4): file-source streams driven
+with availableNow, asserting watermark dedup, windowed aggs, late-data drop,
+and the foreachBatch store upsert."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+from yark_spark.operators.store import ParquetStore
+from yark_spark.streaming.pipelines import (
+    history_sink,
+    read_event_stream,
+    tumbling_counts,
+    watermarked_dedup,
+)
+
+HISTORY_SCHEMA = StructType(
+    [StructField("video", StringType()), StructField("watched", TimestampType())]
+)
+
+
+def _write_batch(d, name, rows):
+    with open(os.path.join(d, name), "w") as f:
+        for video, watched in rows:
+            f.write(json.dumps({"video": video, "watched": watched}) + "\n")
+
+
+def test_stream_dedup_and_late_drop(spark, tmp_path):
+    """F4 streaming (`cmds/archive.py:340`): in-horizon duplicates drop;
+    rows older than the watermark drop as late (documented divergence from
+    the reference's unbounded probe)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            ("v1", "2024-01-01T10:00:00Z"),
+            ("v1", "2024-01-01T10:00:00Z"),  # exact dup → suppressed
+            ("v1", "2024-01-01T10:05:00Z"),  # same video, new time → kept
+            ("v2", "2024-01-01T11:00:00Z"),  # advances watermark to 10:50
+        ],
+    )
+    out = str(tmp_path / "out")
+    stream = read_event_stream(spark, str(src), HISTORY_SCHEMA)
+    deduped = watermarked_dedup(stream, ["video", "watched"], "watched", "10 minutes")
+
+    def drain_to_files():
+        # file sink: the only sink that supports checkpoint *recovery*, which
+        # the cross-run stateful assertions below need
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain_to_files()
+    assert spark.read.parquet(out).count() == 3
+
+    # batch 2: a replay of an already-seen in-horizon row + a very late row
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            ("v2", "2024-01-01T11:00:00Z"),  # dup within state → suppressed
+            ("v0", "2024-01-01T09:00:00Z"),  # older than watermark → dropped late
+            ("v3", "2024-01-01T11:30:00Z"),  # fresh → kept
+        ],
+    )
+    drain_to_files()
+    final = spark.read.parquet(out)
+    vids = [r.video for r in final.collect()]
+    assert final.count() == 4  # only v3 added
+    assert vids.count("v3") == 1
+    assert "v0" not in vids           # late drop
+    assert vids.count("v2") == 1      # stateful dedup across micro-batches
+
+
+def test_stream_tumbling_watermark_finalizes(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            ("a", "2024-01-01T10:05:00Z"),
+            ("b", "2024-01-01T10:20:00Z"),
+            ("c", "2024-01-01T12:00:00Z"),  # watermark → 11:50, closes 10:00 window
+        ],
+    )
+    stream = read_event_stream(spark, str(src), HISTORY_SCHEMA)
+    agg = tumbling_counts(stream, ts_col="watched", width="1 hour", delay="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumb")
+        .outputMode("append")  # append emits only watermark-finalized windows
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {str(r.window_start): r.n_events for r in spark.sql("SELECT * FROM tumb").collect()}
+    assert rows.get("2024-01-01 10:00:00") == 2  # finalized window emitted
+    assert "2024-01-01 12:00:00" not in rows     # still-open window withheld
+
+
+def test_foreachbatch_history_sink_idempotent(spark, tmp_path):
+    """§3.3: per-micro-batch transactional upsert; duplicate rows across
+    batches collapse via the store-side anti-join."""
+    src = tmp_path / "src"
+    src.mkdir()
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    _write_batch(src, "b1.json", [("v1", "2024-01-01T10:00:00Z"), ("v2", "2024-01-01T10:30:00Z")])
+    stream = read_event_stream(spark, str(src), HISTORY_SCHEMA)
+    deduped = watermarked_dedup(stream, ["video", "watched"], "watched", "10 minutes")
+    sink = history_sink(store, deduped, str(tmp_path / "ckpt"))
+    q = sink.trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert store.read("history").count() == 2
+
+    # second run: one overlapping row (store-level dedup) + one new
+    _write_batch(src, "b2.json", [("v2", "2024-01-01T10:30:00Z"), ("v9", "2024-01-01T11:00:00Z")])
+    q = sink.trigger(availableNow=True).start()
+    q.awaitTermination()
+    hist = store.read("history")
+    assert hist.count() == 3
+    assert hist.filter(F.col("video") == "v2").count() == 1
+
+
+def test_parquet_store_versioned_swap(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    df1 = spark.createDataFrame([("a", 1)], "k string, v long")
+    store.write("t", df1)
+    assert store.read("t").count() == 1
+    df2 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    store.write("t", df2)
+    assert store.read("t").count() == 2
+    # archive tables read as empty-with-schema before first write
+    empty = store.read("videos")
+    assert empty.count() == 0 and "video_id" in empty.columns

@@ -1,0 +1,110 @@
+"""Structured Streaming pipelines (north-star; SURVEY.md §2.7 streaming
+rows, §3.3 batching).
+
+The reference's history ingest is a sequential per-row loop with per-row
+commits (`cmds/archive.py:331-348`); here the event log is a stream:
+
+- watermarked exact-dup suppression = F4's (video, watched) probe
+  (`cmds/archive.py:340`) with state bounded by the watermark (the
+  documented divergence: the reference's probe is unbounded — SURVEY §7);
+- tumbling/sliding/session windowed aggregations over event time;
+- foreachBatch upsert into the ParquetStore = per-micro-batch transactional
+  write replacing per-row commits.
+
+All pipelines take any streaming DataFrame so tests can drive them from a
+file source with trigger(availableNow) and production can use Kafka/rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from yark_spark.session import tune
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: StructType, fmt: str = "json"
+) -> DataFrame:
+    """File-based streaming source (one file = one micro-batch unit);
+    maxFilesPerTrigger bounds batch size at scale."""
+    tune(spark)
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def watermarked_dedup(
+    events: DataFrame, keys: list[str], ts_col: str = "watched", delay: str = "10 minutes"
+) -> DataFrame:
+    """F4 streaming: drop exact duplicates on the compound key within the
+    watermark horizon. State is bounded: keys older than max(event time) −
+    delay are evicted; rows arriving later than that are dropped as late."""
+    return events.withWatermark(ts_col, delay).dropDuplicates(keys)
+
+
+def tumbling_counts(
+    events: DataFrame, ts_col: str = "ts", width: str = "1 hour", delay: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (batch twin: q_stream_tumbling)."""
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, width).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Session windows per key (inactivity gap); state merges as sessions
+    extend, closes at watermark."""
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), key, "n_events")
+    )
+
+
+def history_sink(store, deduped: DataFrame, checkpoint: str):
+    """§3.3 write path: per-micro-batch transactional upsert of history rows
+    into the store (replaces the reference's per-row commit, `:343`).
+    Idempotent per batch: the anti-join inside insert_ignore makes a
+    replayed batch a no-op, so restart-after-failure re-converges."""
+    from yark_spark.operators.writes import insert_ignore
+
+    def _upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        current = store.read("history")
+        incoming = batch_df.withColumn(
+            "history_id", F.xxhash64("video", "watched")  # deterministic surrogate
+        ).select("history_id", "video", "watched")
+        store.write("history", insert_ignore(current, incoming, ["video", "watched"]))
+
+    return (
+        deduped.writeStream.foreachBatch(_upsert_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def run_available_now(writer_or_df, checkpoint: str | None = None, query_name: str = "q"):
+    """Drain everything currently available, then stop — the test/backfill
+    trigger. Accepts a DataFrame (memory sink) or a prepared writeStream."""
+    if isinstance(writer_or_df, DataFrame):
+        writer = (
+            writer_or_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append" if not writer_or_df.isStreaming else "append")
+        )
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.trigger(availableNow=True).start()
+    else:
+        q = writer_or_df.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q
