@@ -1,0 +1,88 @@
+"""Plan-shape tests (SURVEY.md §4): the scale-critical physical properties
+must hold, not just the results. These are the '100 TB posture' assertions —
+a correct query with the wrong plan fails here."""
+
+from pyspark.sql import functions as F
+
+from yark_spark.plans.explain import (
+    count_broadcast_joins,
+    count_exchanges,
+    formatted_plan,
+    has_whole_stage_codegen,
+    pushed_filters,
+    read_schemas,
+)
+from yark_spark.queries import QUERIES
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """q_filter_scan's predicate must land in PushedFilters, not a
+    post-scan Filter only."""
+    df = QUERIES["q_filter_scan"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "EqualTo(l_returnflag,R)" in pf, pf
+
+
+def test_point_lookup_pushdown(spark, sf_dir):
+    df = QUERIES["q_point_lookup"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "EqualTo(o_orderkey,7)" in pf, pf
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    """q_projection reads 3 of 6 orders columns — the scan schema must not
+    include the rest."""
+    df = QUERIES["q_projection"](spark, sf_dir)
+    schemas = read_schemas(df)
+    assert schemas and all("o_orderdate" not in s and "o_orderpriority" not in s for s in schemas), schemas
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    """q_join_3way: both dimension joins must be broadcast — zero shuffle of
+    the customer side."""
+    df = QUERIES["q_join_3way"](spark, sf_dir)
+    assert count_broadcast_joins(df) >= 2
+    assert count_exchanges(df) == 0, formatted_plan(df)
+
+
+def test_groupby_agg_partial_aggregation(spark, sf_dir):
+    """q_groupby_agg must do map-side partial aggregation (two HashAggregate
+    levels around one exchange)."""
+    df = QUERIES["q_groupby_agg"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert count_exchanges(df) == 1, plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """q_topk must compile to TakeOrderedAndProject — never a global sort."""
+    df = QUERIES["q_topk"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_scalar_queries_stay_in_codegen(spark, sf_dir):
+    """Scalar transforms are native Column exprs — whole-stage codegen, no
+    Python evaluation nodes."""
+    for key in ("q_coalesce", "q_regexp_replace", "q_math_floor"):
+        df = QUERIES[key](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert has_whole_stage_codegen(df), key
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
+
+
+def test_semi_join_no_row_explosion(spark, sf_dir):
+    """q_semi_join must stay a semi join in the plan (existence, not
+    multiplication)."""
+    df = QUERIES["q_semi_join"](spark, sf_dir)
+    assert "LeftSemi" in formatted_plan(df)
+
+
+def test_entry_flagship_plan(spark):
+    """Flagship: nation join broadcast; single agg shuffle; sort only on the
+    25-row aggregated output."""
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert count_broadcast_joins(df) >= 1
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan or "Sort" in plan
