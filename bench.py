@@ -29,6 +29,8 @@ HEADLINE = [
     "q_cosine_topk",      # brute-force vector top-k
     "q_text_stats",       # text aggregate scan
     "q_stream_tumbling",  # windowed time agg
+    "q_tpch_q3_shape",    # selective dim filter + join chain + topk
+    "q_tpch_q5_shape",    # star join with broadcast dims
 ]
 
 
