@@ -1,0 +1,110 @@
+"""CLI command tests (P7 surface) — driven through main(argv) with the
+shared session (subprocess startup is ~10 s/command; the verify recipe
+covers one real subprocess run)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from yark_spark import cli
+from yark_spark.operators.store import ParquetStore
+
+INFODICTS = [
+    {
+        "id": "abcdefghij1",
+        "fulltitle": "T1",
+        "channel_id": "ch1",
+        "channel": "Chan",
+        "uploader_id": "u1",
+        "uploader": "U",
+        "duration": 5,
+        "filesize_approx": 9,
+        "thumbnail": "https://img/x.jpg?sig=1",
+        "tags": ["x"],
+        "comments": [],
+    },
+    {"id": "bad"},
+]
+
+
+@pytest.fixture()
+def store_dir(tmp_path):
+    return str(tmp_path / "store")
+
+
+def _archive(spark, tmp_path, store_dir):
+    p = tmp_path / "batch.json"
+    p.write_text(json.dumps(INFODICTS))
+    rc = cli.main(["archive-video", str(p), "--store", store_dir], spark=spark)
+    assert rc == 0
+
+
+def test_archive_and_lost_roundtrip(spark, tmp_path, store_dir, capsys):
+    _archive(spark, tmp_path, store_dir)
+    rc = cli.main(["lost", "--store", store_dir], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "bad" in out
+
+
+def test_history_command(spark, tmp_path, store_dir):
+    p = tmp_path / "wh.json"
+    p.write_text(
+        json.dumps(
+            [
+                {"titleUrl": "https://youtube.com/watch?v=abcdefghij1", "time": "2024-01-01T10:00:00Z"},
+                {"titleUrl": "https://youtube.com/watch?v=abcdefghij1", "time": "2024-01-01T10:00:00Z"},
+            ]
+        )
+    )
+    rc = cli.main(["archive-history", str(p), "--store", store_dir], spark=spark)
+    assert rc == 0
+    store = ParquetStore(spark, store_dir)
+    assert store.read("history").count() == 1  # F4 dedup
+    # re-run: idempotent (anti-join vs store)
+    rc = cli.main(["archive-history", str(p), "--store", store_dir], spark=spark)
+    assert rc == 0
+    assert store.read("history").count() == 1
+
+
+def test_playlist_overwrite_gate(spark, tmp_path, store_dir, capsys):
+    p = tmp_path / "My Mix videos.csv"
+    p.write_text("Video ID,Time Added\nabcdefghij1,2024-01-01 10:00:00\n")
+    assert cli.main(["archive-playlist", str(p), "--store", store_dir], spark=spark) == 0
+    # second run without --yes → refused (P6 confirm barrier)
+    assert cli.main(["archive-playlist", str(p), "--store", store_dir], spark=spark) == 1
+    assert "--yes" in capsys.readouterr().err
+    assert (
+        cli.main(["archive-playlist", str(p), "--store", store_dir, "--yes"], spark=spark) == 0
+    )
+    store = ParquetStore(spark, store_dir)
+    assert store.read("playlist_videos").count() == 1  # overwrite, not append
+
+
+def test_delete_video_cascades(spark, tmp_path, store_dir):
+    _archive(spark, tmp_path, store_dir)
+    store = ParquetStore(spark, store_dir)
+    assert store.read("video_tags").count() == 1
+    assert cli.main(["delete-video", "abcdefghij1", "--store", store_dir], spark=spark) == 1  # no --yes
+    assert (
+        cli.main(["delete-video", "abcdefghij1", "--store", store_dir, "--yes"], spark=spark) == 0
+    )
+    assert store.read("videos").filter(F.col("video_id") == "abcdefghij1").count() == 0
+    assert store.read("video_tags").count() == 0  # cascaded
+
+
+def test_delete_channel_restricted(spark, tmp_path, store_dir, capsys):
+    _archive(spark, tmp_path, store_dir)
+    rc = cli.main(["delete-channel", "ch1", "--store", store_dir, "--yes"], spark=spark)
+    assert rc == 1  # RESTRICT: videos still reference ch1
+    assert "refused" in capsys.readouterr().err
+
+
+def test_query_command(spark, tmp_path, store_dir, capsys):
+    _archive(spark, tmp_path, store_dir)
+    rc = cli.main(
+        ["query", "SELECT count(*) AS n FROM videos", "--store", store_dir], spark=spark
+    )
+    assert rc == 0
+    assert "2" in capsys.readouterr().out  # good row + lost stub
