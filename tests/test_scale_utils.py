@@ -1,0 +1,73 @@
+"""Scale-utility tests: salted joins must match plain joins exactly and
+spread hot keys; co-bucketed joins must plan with zero shuffles."""
+
+from pyspark.sql import functions as F
+
+from yark_spark.io import load_table
+from yark_spark.operators.bucketing import cobucket_join, write_bucketed
+from yark_spark.operators.skew import key_skew_profile, salted_join
+from yark_spark.plans.explain import count_exchanges, formatted_plan
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = lineitem.join(orders, "l_orderkey").select("l_orderkey", "l_quantity", "o_totalprice")
+    salted = salted_join(lineitem, orders, "l_orderkey", salt=4).select(
+        "l_orderkey", "l_quantity", "o_totalprice"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "event_id"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    plain = events.join(customer, "k", "left").select("k", "event_id", "c_name")
+    salted = salted_join(events, customer, "k", salt=4, how="left").select(
+        "k", "event_id", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salt_spreads_hot_key(spark):
+    """A single dominating key must land in multiple salt buckets."""
+    hot = spark.range(0, 10000).select(F.lit(1).alias("k"), F.col("id"))
+    salted = hot.withColumn("__salt", (F.rand(42) * 8).cast("int"))
+    n_buckets = salted.select("__salt").distinct().count()
+    assert n_buckets == 8
+
+
+def test_skew_profile_shares(spark, sf_dir):
+    prof = key_skew_profile(load_table(spark, sf_dir, "events"), "user_id", top=5)
+    rows = prof.collect()
+    assert len(rows) == 5
+    assert all(0 < r["share"] <= 1 for r in rows)
+
+
+def test_cobucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the key → sort-merge join with ZERO exchanges."""
+    # (warehouse dir is static per-session — tables land in the session
+    # warehouse and are dropped in the finally block)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        lineitem = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        )
+        write_bucketed(orders, "b_orders", "o_orderkey", 4)
+        write_bucketed(lineitem, "b_lineitem", "o_orderkey", 4)
+        joined = cobucket_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        assert count_exchanges(joined) == 0, formatted_plan(joined)
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
