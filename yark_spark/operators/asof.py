@@ -1,0 +1,101 @@
+"""As-of join operator (SURVEY.md §2.7 range/as-of row).
+
+Two implementations with identical semantics ("latest right row at or
+before each left row's time, per key"):
+
+- ``asof_join``: union + running window — the distributed default. One
+  shuffle on the key, no row multiplication, state is a single running
+  max per partition-ordering. This is what q_asof_join declares to the
+  oracle.
+- ``asof_join_grouped``: applyInPandas with pandas.merge_asof per key
+  group — the escape hatch when per-group logic grows beyond what window
+  algebra expresses (multiple carried columns, tolerance windows,
+  nearest-direction variants). Same shuffle shape (groupBy key), Python
+  in the group path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Union+window as-of: right rows sort before left rows at equal
+    timestamps, so a right row exactly at the left time is visible (<=)."""
+    out_col = out_col or f"asof_{value_col}"
+    lcols = left.columns
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(right.schema[value_col].dataType).alias("__v"),
+        *[F.col(c) for c in lcols],
+    )
+    r_tag = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.col(value_col).alias("__v"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tag.unionByName(r_tag).withColumn(out_col, F.last("__v", ignorenulls=True).over(w))
+    return merged.filter(F.col("__is_left") == 1).select(*lcols, out_col)
+
+
+def asof_join_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """applyInPandas as-of: cogroup both sides by key, pandas.merge_asof
+    within each group (sorted, backward direction = at-or-before)."""
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    out_col = out_col or f"asof_{value_col}"
+    # build a NEW StructType: .add() on df.schema would mutate the
+    # DataFrame's cached schema object in place
+    out_schema = StructType(
+        list(left.schema.fields) + [StructField(out_col, right.schema[value_col].dataType)]
+    )
+    l_sel = left
+    r_sel = right.select(F.col(key), F.col(right_ts), F.col(value_col))
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if l_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        l_sorted = l_pdf.sort_values(left_ts)
+        if r_pdf.empty:
+            l_sorted[out_col] = None
+            return l_sorted
+        r_sorted = (
+            r_pdf.sort_values(right_ts)
+            .rename(columns={value_col: out_col})
+            .drop(columns=[key])
+        )
+        return pd.merge_asof(
+            l_sorted, r_sorted, left_on=left_ts, right_on=right_ts, direction="backward"
+        ).drop(columns=[right_ts] if right_ts not in l_pdf.columns else [])
+
+    return l_sel.groupBy(key).cogroup(r_sel.groupBy(key)).applyInPandas(
+        merge, out_schema
+    )
