@@ -140,34 +140,15 @@ def q_asof_join(spark, sf_dir):
     beyond what the window already implies. This is the standard
     distributed as-of pattern (a merge_asof via union+window).
     """
-    events = load_table(spark, sf_dir, "events").select(
-        F.col("user_id").alias("k"),
-        F.col("ts").alias("t"),
-        F.col("event_id"),
-        F.lit(1).alias("is_event"),
-        F.lit(None).cast("timestamp").alias("o_date"),
-    )
+    from yark_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("t"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(0).alias("is_event"),
-        F.col("o_orderdate").alias("o_date"),
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
     )
-    # Orders sort before events at identical timestamps (is_event ASC) so an
-    # order exactly at the event time is visible — matching the oracle's <=.
-    w = (
-        Window.partitionBy("k")
-        .orderBy("t", "is_event")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = events.unionByName(orders).withColumn("asof_orderdate", F.max("o_date").over(w))
-    return merged.filter(F.col("is_event") == 1).select(
-        F.col("event_id"),
-        F.col("k").alias("user_id"),
-        F.col("t").alias("ts"),
-        "asof_orderdate",
-    )
+    return asof_join(
+        events, orders, "user_id", "ts", "o_orderdate", "o_orderdate", "asof_orderdate"
+    ).select("event_id", "user_id", "ts", "asof_orderdate")
 
 
 @query(
