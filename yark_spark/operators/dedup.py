@@ -41,41 +41,58 @@ def tokens(df: DataFrame, text_col: str = "text") -> "F.Column":
     return F.split(F.lower(F.col(text_col)), "\\s+")
 
 
+_MAX_LONG = (1 << 63) - 1
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """E2: per-document MinHash signature.
+    """E2: per-document MinHash signature — MAP-ONLY, SINGLE-PASS.
 
-    Hash family: xxhash64(token, seed=i) — JVM-native, no Python in the
-    loop. Signature element i = min over tokens of hash_i(token). Documents
-    sharing many tokens share many minima (Jaccard estimator).
-    One explode + one groupBy(doc) shuffle; signature is 16 longs per doc.
+    Returns (id, mhs array<long>) where mhs[i] = min over the document's
+    distinct tokens of xxhash64(token, seed=i). One F.aggregate fold over
+    the tokens array computes all ``num_hashes`` minima in a single pass
+    (tokenize once, hash each token k times, fold with element-wise least):
+    no explode, no groupBy, NO SHUFFLE. Higher-order functions run outside
+    codegen CSE, so per-hash column expressions would re-tokenize k times —
+    the fold avoids that.
     """
-    tok = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(df, text_col))).alias("tok"))
-    aggs = [
-        F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)
-    ]
-    return tok.groupBy(id_col).agg(*aggs)
+    toks = F.array_distinct(tokens(df, text_col))
+
+    def _update(acc, t):
+        hs = F.array(*[F.xxhash64(t, F.lit(i)) for i in range(num_hashes)])
+        return F.zip_with(acc, hs, lambda a, b: F.least(a, b))
+
+    init = F.array(*[F.lit(_MAX_LONG).cast("long") for _ in range(num_hashes)])
+    return df.select(F.col(id_col), F.aggregate(toks, init, _update).alias("mhs"))
 
 
 def minhash_lsh_candidates(
     sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """LSH banding over a minhash signature: split the signature into
-    ``bands`` groups, hash each group, and equi-join on (band_idx, band_key).
+    """LSH banding over a minhash signature array: band key = hash of the
+    signature slice; candidates = equi-join on (band_idx, band_key).
     Returns candidate pairs (id_a < id_b). Only candidate pairs are ever
     materialized — never the full cross product."""
     rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("key")))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(F.slice("mhs", b * rows_per_band + 1, rows_per_band)).alias("key"),
+        )
+        for b in range(bands)
+    ]
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a = buckets.alias("a")
+    # The bucket table is small but the join OUTPUT is huge (every in-bucket
+    # pair). A broadcast join would generate all pairs from the probe side's
+    # 1-2 input partitions — single-task. Round-robin the probe side so pair
+    # generation parallelizes across the cluster.
+    shuffle_n = int(sig.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = buckets.repartition(shuffle_n).alias("a")
     b = buckets.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -85,17 +102,19 @@ def minhash_lsh_candidates(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
-def minhash_jaccard_estimate(sig: DataFrame, pairs: DataFrame, id_col: str, num_hashes: int = 16) -> DataFrame:
+def minhash_jaccard_estimate(
+    sig: DataFrame, pairs: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
     """Estimated Jaccard for candidate pairs = fraction of matching
-    signature components. Two broadcast-able joins against the signature."""
-    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)])
-    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)])
+    signature components (zip_with equality count over the two signature
+    arrays). Two joins against the (small, cached) signature table."""
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("mhs").alias("mha"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("mhs").alias("mhb"))
     j = pairs.join(sa, "id_a").join(sb, "id_b")
-    matches = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    matches = F.size(
+        F.filter(F.zip_with("mha", "mhb", lambda x, y: x == y), lambda v: v)
     )
     return j.select("id_a", "id_b", (matches / F.lit(num_hashes)).alias("est_jaccard"))
 
@@ -124,25 +143,27 @@ def fuzzy_dedup_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """SimHash signature: each token votes its hash bits; the signature's
-    bit b is 1 iff the sum of votes is positive. Pure Column expressions
-    (shiftright/bitwise) — stays in whole-stage codegen."""
-    tok = df.select(F.col(id_col), F.explode(tokens(df, text_col)).alias("tok")).withColumn(
-        "h", F.xxhash64("tok")
-    )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    per_doc = tok.groupBy(id_col).agg(*votes)
+    """SimHash signature — MAP-ONLY: each token votes its hash bits; bit b
+    of the signature is 1 iff the vote sum is positive. Token hashes are
+    computed once per doc into an array, then each bit's votes are an
+    F.aggregate fold over that array — no explode, no groupBy, no shuffle
+    (the explode form would shuffle tokens×1 rows with 64 agg columns)."""
+    hashes = F.transform(tokens(df, text_col), lambda t: F.xxhash64(t))
+    tagged = df.select(F.col(id_col), hashes.alias("__h"))
+
+    def _vote(b):
+        # closure factory (see minhash_signature note on lambda params)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    votes = [F.aggregate(F.col("__h"), F.lit(0), _vote(b)) for b in range(bits)]
     sig = None
     for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(votes[b] > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = bit * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")
         sig = term if sig is None else sig + term
-    return per_doc.select(F.col(id_col), sig.alias("simhash"))
+    return tagged.select(F.col(id_col), sig.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

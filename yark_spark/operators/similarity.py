@@ -127,13 +127,17 @@ def hyperplane_lsh_buckets(
     derives them independently — nothing is broadcast or collected.
     """
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
+    def _plane_comp(p):
+        # closure factory — pyspark lambdas must take only lambda variables
+        return lambda i: (
+            (F.xxhash64(F.lit(seed), F.lit(p), i) % 10007).cast("double") / 10007.0
+        )
+
     bits = []
     for p in range(n_planes):
         # plane component for dim i: xxhash64(p, i) scaled to [-1, 1]
-        comp = F.transform(
-            dim_idx,
-            lambda i, p=p: (F.xxhash64(F.lit(seed), F.lit(p), i) % 10007).cast("double") / 10007.0,
-        )
+        comp = F.transform(dim_idx, _plane_comp(p))
         proj = F.aggregate(
             F.zip_with(F.col(vec_col), comp, lambda x, c: x.cast("double") * c),
             F.lit(0.0),

@@ -48,14 +48,14 @@ def q_minhash_signature(spark, sf_dir):
     JVM-native — which no oracle can mirror, so this key pins the algebra:
     signature_i = min over distinct tokens of hash_i(token)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias("tok"),
-    )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.col("tok")))).alias(f"h{i}") for i in range(4)
-    ]
-    return tok.groupBy("doc_id").agg(*aggs)
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+
+    def _md5_i(i):
+        return lambda t: F.md5(F.concat(F.lit(str(i)), t))
+
+    # map-only: array_min over per-token md5s == SQL min over exploded rows
+    cols = [F.array_min(F.transform(toks, _md5_i(i))).alias(f"h{i}") for i in range(4)]
+    return docs.select("doc_id", *cols)
 
 
 @query("q_dedup_fuzzy")  # rows-only: xxhash64-based LSH is Spark-specific
