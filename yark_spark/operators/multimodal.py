@@ -72,6 +72,85 @@ def with_binary_payload(df: DataFrame, text_col: str = "text", out_col: str = "p
     return df.withColumn(out_col, F.encode(F.col(text_col), "utf-8").cast(BinaryType()))
 
 
+def resize_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target: tuple[int, int] = (224, 224),
+) -> DataFrame:
+    """Image resize over binary payloads (mapInPandas, map-only). The pixel
+    transform is STUBBED deterministically (real deployments plug
+    PIL/cv2 into _resize_payload): output bytes = payload truncated/padded
+    to a size proportional to the target area, so batch shapes and byte
+    budgets behave like a real resize."""
+
+    def _resize_payload(payload: bytes) -> bytes:
+        area = target[0] * target[1]
+        want = max(16, min(len(payload), area // 64))
+        out = (payload * ((want // max(len(payload), 1)) + 1))[:want]
+        return out
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [_resize_payload(bytes(p)) for p in pdf[payload_col]],
+                    "width": target[0],
+                    "height": target[1],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(_resize, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_frames: int = 4,
+) -> DataFrame:
+    """Video frame sampling: one binary payload → n_frames (frame_idx,
+    frame_bytes) rows via mapInPandas (a flat-map: output rows ≠ input
+    rows). Frame extraction is STUBBED as deterministic byte slices; the
+    real decoder drops into _slice. Downstream ops see the true shape:
+    multiple typed frame rows per asset."""
+
+    def _slice(payload: bytes, i: int) -> bytes:
+        if not payload:
+            return b""
+        step = max(1, len(payload) // n_frames)
+        return payload[i * step : i * step + step]
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for _, r in pdf.iterrows():
+                payload = bytes(r[payload_col])
+                for i in range(n_frames):
+                    ids.append(int(r[id_col]))
+                    idxs.append(i)
+                    frames.append(_slice(payload, i))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(_sample, schema)
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """Arrow-batched feature extraction over a binary column via
     mapInPandas: map-only (no shuffle), one pandas batch per Arrow chunk."""
