@@ -56,6 +56,7 @@ def main() -> None:
         timings[key] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    ingest = bench_history_ingest(spark)
     print(
         json.dumps(
             {
@@ -63,11 +64,55 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ingest": ingest,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
     spark.stop()
+
+
+def bench_history_ingest(spark, n_rows: int = 100_000) -> dict:
+    """Watch-history ingest throughput (the reference's core workload —
+    `cmds/archive.py:331-348` does this sequentially with a commit per row;
+    SQLite-bound at roughly hundreds of rows/s). Measures file → parse →
+    compound-key dedup → surrogate ids → parquet write, end to end."""
+    import tempfile
+
+    from yark_spark.operators.writes import insert_ignore
+    from yark_spark.sources.takeout import dedupe_history, read_watch_history
+
+    d = tempfile.mkdtemp(prefix="bench_ingest_")
+    path = os.path.join(d, "watch-history.json")
+    with open(path, "w") as f:
+        f.write("[")
+        for i in range(n_rows):
+            if i:
+                f.write(",")
+            f.write(
+                '{"titleUrl": "https://www.youtube.com/watch?v=vid%07dXXXX",'
+                ' "time": "2024-%02d-%02dT%02d:%02d:%02d Z"}'.replace(" Z", "Z")
+                % (i % 50_000, (i // 10_000) % 12 + 1, i % 28 + 1, i % 24, i % 60, i % 60)
+            )
+        f.write("]")
+
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    raw = read_watch_history(spark, path)
+    deduped = dedupe_history(raw).withColumn(
+        "history_id", F.xxhash64("video", "watched")
+    ).select("history_id", "video", "watched")
+    out = os.path.join(d, "history_out")
+    deduped.write.mode("overwrite").parquet(out)
+    dt = time.perf_counter() - t0
+    n_out = spark.read.parquet(out).count()
+    return {
+        "history_rows_in": n_rows,
+        "history_rows_out": n_out,
+        "sec": round(dt, 4),
+        "rows_per_sec": round(n_rows / dt),
+    }
 
 
 if __name__ == "__main__":
