@@ -1,0 +1,42 @@
+"""Plan-shape assertions for the training-data pipelines — the scale
+properties the bench numbers rest on."""
+
+from pyspark.sql import functions as F
+
+from yark_spark.io import load_table
+from yark_spark.operators.dedup import minhash_signature
+from yark_spark.operators.similarity import cosine_topk
+from yark_spark.plans.explain import count_broadcast_joins, count_exchanges, formatted_plan
+
+
+def test_minhash_signature_is_shuffle_free(spark, sf_dir):
+    """The signature is a pure scan-side computation: zero shuffles."""
+    sig = minhash_signature(load_table(spark, sf_dir, "documents"), "doc_id", "text", 16)
+    assert count_exchanges(sig) == 0, formatted_plan(sig)
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    """Brute-force top-k: the query side must broadcast (candidates never
+    shuffle until the final per-query window)."""
+    df = cosine_topk(load_table(spark, sf_dir, "embeddings"), query_max_id=10, k=5)
+    assert count_broadcast_joins(df) >= 1
+    # exactly one shuffle: the window partitioning on query_id
+    assert count_exchanges(df) == 1, formatted_plan(df)
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    """Exact dedup groups once on the text/hash — one exchange."""
+    from yark_spark.queries import QUERIES
+
+    df = QUERIES["q_dedup_exact"](spark, sf_dir)
+    assert count_exchanges(df) == 1, formatted_plan(df)
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """Union+window as-of: one shuffle on the key, no join node at all."""
+    from yark_spark.queries import QUERIES
+
+    df = QUERIES["q_asof_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 1, plan
+    assert "Join" not in plan.split("== Physical Plan ==")[1].split("\n\n")[0], plan
