@@ -10,6 +10,7 @@ from yark_spark.queries import scans  # noqa: F401,E402
 from yark_spark.queries import relational  # noqa: F401,E402
 from yark_spark.queries import extended  # noqa: F401,E402
 from yark_spark.queries import functions_extra  # noqa: F401,E402
+from yark_spark.queries import pipeline_ops  # noqa: F401,E402
 from yark_spark.queries import scalars  # noqa: F401,E402
 from yark_spark.queries import writes  # noqa: F401,E402
 from yark_spark.queries import dedup  # noqa: F401,E402
