@@ -44,12 +44,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from yark_spark.queries import QUERIES
+    from yark_spark.queries import QUERIES, driver_ordered
 
-    return dict(QUERIES)
+    return driver_ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    from yark_spark.queries import ORACLES
+    from yark_spark.queries import ORACLES, driver_ordered
 
-    return dict(ORACLES)
+    return driver_ordered(ORACLES)

@@ -1,6 +1,15 @@
 """Query-key implementations, grouped by SURVEY.md §2 section.
 
 Importing this package populates ``yark_spark.registry.QUERIES/ORACLES``.
+
+The driver's CORRECTNESS gate checks the first 50 keys of the dict that
+``__spark_entry__.queries()`` returns.  Round 1 verified the 50 keys listed
+in ``DRIVER_VERIFIED`` (CORRECTNESS_r01.json: 48 hash-match + 2
+rows-only-by-design, 0 failures); ``driver_ordered`` rotates every
+not-yet-verified key to the front so each round's window covers new keys
+while the already-green ones keep their local DuckDB-parity regression
+cover (tests/test_oracle_parity.py runs the identical comparison over ALL
+keys every round).
 """
 
 from yark_spark.registry import ORACLES, QUERIES  # noqa: F401
@@ -18,3 +27,33 @@ from yark_spark.queries import similarity  # noqa: F401,E402
 from yark_spark.queries import text  # noqa: F401,E402
 from yark_spark.queries import streaming  # noqa: F401,E402
 from yark_spark.queries import udf  # noqa: F401,E402
+
+# Keys with a green driver CORRECTNESS row from round 1 (the first 50
+# registered keys at the time; see VERDICT.md "Next round" item 1).
+DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "q_full_scan", "q_projection", "q_point_lookup", "q_filter_scan",
+        "q_not_null_filter", "q_semi_join", "q_anti_join", "q_multi_key_dedup",
+        "q_csv_scan", "q_json_scan",
+        "q_join_inner", "q_join_3way", "q_join_left", "q_left_join_enrich",
+        "q_join_range", "q_asof_join", "q_groupby_agg", "q_count_filtered",
+        "q_count_distinct", "q_approx_count_distinct", "q_rollup",
+        "q_window_rank", "q_window_running", "q_window_lag", "q_topk",
+        "q_union", "q_intersect", "q_except", "q_date_trunc", "q_json_extract",
+        "q_collect_explode",
+        "q_cube", "q_grouping_sets", "q_pivot", "q_exists_subquery",
+        "q_scalar_subquery", "q_cross_join", "q_union_all", "q_intersect_all",
+        "q_except_all", "q_stats_agg", "q_minmax_by", "q_percentile",
+        "q_approx_percentile", "q_window_dense", "q_window_sliding_frame",
+        "q_window_lead", "q_date_functions", "q_string_functions",
+        "q_posexplode",
+    }
+)
+
+
+def driver_ordered(mapping: dict) -> dict:
+    """Reorder ``mapping`` so keys without a driver-verified CORRECTNESS row
+    come first (registration order preserved within each group)."""
+    unverified = {k: v for k, v in mapping.items() if k not in DRIVER_VERIFIED}
+    verified = {k: v for k, v in mapping.items() if k in DRIVER_VERIFIED}
+    return {**unverified, **verified}
