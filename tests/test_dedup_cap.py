@@ -1,0 +1,83 @@
+"""max_bucket cap in minhash_lsh_candidates (VERDICT.md round-1 item 2).
+
+A pathological LSH bucket (boilerplate/identical docs) must not go quadratic:
+buckets larger than the cap are dropped before the pair self-join, the drop
+is observable via a pyspark Observation, and small buckets are unaffected.
+"""
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from yark_spark.operators.dedup import (
+    fuzzy_dedup_pairs,
+    minhash_lsh_candidates,
+    minhash_signature,
+)
+
+
+def _corpus(spark):
+    # 30 identical boilerplate docs (one hot bucket per band) + 2 near-dups
+    # + 2 unrelated docs.
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur") for i in range(30)]
+    near = [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "the quick brown fox jumps over the lazy cat"),
+    ]
+    other = [(200, "completely different text about spark plans"), (201, "qqq www eee rrr")]
+    return spark.createDataFrame(boiler + near + other, ["doc_id", "text"])
+
+
+def test_cap_drops_hot_bucket_keeps_small(spark):
+    docs = _corpus(spark)
+    sig = minhash_signature(docs, "doc_id", "text").persist()
+    uncapped = minhash_lsh_candidates(sig, "doc_id", max_bucket=None).toPandas()
+    capped = minhash_lsh_candidates(sig, "doc_id", max_bucket=10).toPandas()
+
+    # Uncapped: the 30 boilerplate docs alone make 30*29/2 = 435 pairs.
+    boiler_unc = uncapped[(uncapped.id_a < 30) & (uncapped.id_b < 30)]
+    assert len(boiler_unc) == 435
+    # Capped at 10: every boilerplate bucket has 30 members -> all dropped.
+    boiler_cap = capped[(capped.id_a < 30) & (capped.id_b < 30)]
+    assert len(boiler_cap) == 0
+    # The small near-dup bucket survives the cap.
+    assert ((capped.id_a == 100) & (capped.id_b == 101)).any()
+    # Pair count is bounded: nothing quadratic in the hot bucket remains.
+    assert len(capped) < len(uncapped)
+    sig.unpersist()
+
+
+def test_cap_noop_when_under_threshold(spark):
+    docs = _corpus(spark)
+    sig = minhash_signature(docs, "doc_id", "text").persist()
+    wide = minhash_lsh_candidates(sig, "doc_id", max_bucket=1000)
+    off = minhash_lsh_candidates(sig, "doc_id", max_bucket=None)
+    a = {tuple(r) for r in wide.collect()}
+    b = {tuple(r) for r in off.collect()}
+    assert a == b
+    sig.unpersist()
+
+
+def test_cap_is_observable(spark):
+    docs = _corpus(spark)
+    obs = Observation("lsh_bucket_cap")
+    pairs = fuzzy_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.0, max_bucket=10, observation=obs
+    )
+    pairs.count()
+    got = obs.get
+    # 30 boilerplate docs x 4 bands = 120 rows in capped buckets, 4 buckets.
+    assert got["rows_in_capped_buckets"] == 120
+    assert abs(got["capped_buckets"] - 4) < 1e-6
+
+
+def test_end_to_end_still_finds_near_dups(spark):
+    docs = _corpus(spark)
+    pairs = fuzzy_dedup_pairs(docs, "doc_id", "text", threshold=0.5, max_bucket=10)
+    rows = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (100, 101) in rows
+
+
+def test_capped_plan_has_no_cartesian(spark):
+    docs = _corpus(spark)
+    plan = fuzzy_dedup_pairs(docs, "doc_id", "text", max_bucket=10)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan

@@ -68,12 +68,26 @@ def minhash_signature(
 
 
 def minhash_lsh_candidates(
-    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = 4096,
+    observation=None,
 ) -> DataFrame:
     """LSH banding over a minhash signature array: band key = hash of the
     signature slice; candidates = equi-join on (band_idx, band_key).
     Returns candidate pairs (id_a < id_b). Only candidate pairs are ever
-    materialized — never the full cross product."""
+    materialized — never the full cross product.
+
+    ``max_bucket`` caps pathological buckets: a single boilerplate bucket
+    (empty docs, license headers) of size n yields n²/2 pairs, turning the
+    band self-join quadratic. Buckets larger than the cap are dropped BEFORE
+    the pair join (a pair sharing a capped band can still surface via its
+    other bands; exact duplicates are exact_dedup's job anyway). Pass a
+    ``pyspark.sql.Observation`` as ``observation`` to record how many rows /
+    distinct buckets the cap removed on the next action — capped work must
+    be visible, not silent. ``max_bucket=None`` disables the cap."""
     rows_per_band = num_hashes // bands
     band_cols = [
         F.struct(
@@ -85,6 +99,30 @@ def minhash_lsh_candidates(
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    if max_bucket is not None:
+        # Window count over the join key — one shuffle, already on the key
+        # the self-join needs. Bucket rows are (id, band, key): a 10M-row hot
+        # bucket is ~240 MB in one task here, vs 5e13 joined pairs without
+        # the cap.
+        sized = buckets.withColumn(
+            "__bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        )
+        if observation is not None:
+            # DISTINCT is not allowed in observed metrics; __bsz is constant
+            # per bucket, so sum(1/__bsz) over capped rows == bucket count.
+            sized = sized.observe(
+                observation,
+                F.sum((F.col("__bsz") > max_bucket).cast("long")).alias(
+                    "rows_in_capped_buckets"
+                ),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__bsz") > max_bucket, F.lit(1.0) / F.col("__bsz"))
+                    ),
+                    F.lit(0.0),
+                ).alias("capped_buckets"),
+            )
+        buckets = sized.filter(F.col("__bsz") <= max_bucket).drop("__bsz")
     # The bucket table is small but the join OUTPUT is huge (every in-bucket
     # pair). A broadcast join would generate all pairs from the probe side's
     # 1-2 input partitions — single-task. Round-robin the probe side so pair
@@ -126,6 +164,8 @@ def fuzzy_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int | None = 4096,
+    observation=None,
 ) -> DataFrame:
     """E2 end-to-end: MinHash signature → LSH banding → candidate pairs →
     Jaccard estimate ≥ threshold.
@@ -137,7 +177,9 @@ def fuzzy_dedup_pairs(
     bench).
     """
     sig = minhash_signature(df, id_col, text_col, num_hashes).persist()
-    pairs = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
+    pairs = minhash_lsh_candidates(
+        sig, id_col, num_hashes, bands, max_bucket=max_bucket, observation=observation
+    )
     est = minhash_jaccard_estimate(sig, pairs, id_col, num_hashes)
     return est.filter(F.col("est_jaccard") >= threshold)
 

@@ -41,6 +41,50 @@ def cosine_similarity_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase per-query top-k over (query_id, neighbor_id, cosine_sim).
+
+    Phase 1 reduces each input partition to its local top-k per query:
+    groupBy (query_id, spark_partition_id()) completes map-side (the
+    partition id makes every group local to one mapper), so only k rows per
+    (query, partition) ever shuffle. Phase 2 is the exact window top-k over
+    at most k x P rows per query. A single-phase
+    ``row_number().over(partitionBy(query_id))`` instead shuffles the entire
+    scored corpus into |queries| tasks — one task holds the whole corpus at
+    scale (VERDICT.md round-1 item 3).
+
+    Ordering is (cosine_sim DESC, neighbor_id ASC); the local sort key uses
+    -neighbor_id inside a descending struct sort so local pruning keeps
+    exactly the rows the global order would.
+    """
+    local_key = F.struct(
+        F.col("cosine_sim").alias("s"),
+        (-F.col("neighbor_id")).alias("negid"),
+        F.col("neighbor_id").alias("neighbor_id"),
+    )
+    local = (
+        scored.groupBy("query_id", F.spark_partition_id().alias("__pid"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(local_key), asc=False), 1, k
+            ).alias("__top")
+        )
+        .select("query_id", F.explode("__top").alias("t"))
+        .select(
+            "query_id",
+            F.col("t.neighbor_id").alias("neighbor_id"),
+            F.col("t.s").alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -51,9 +95,12 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force top-k cosine neighbors for queries (id < query_max_id).
 
-    The query set is broadcast; candidates never shuffle until the window
-    top-k on (query partition). Similarity is rounded before ranking and
-    tie-broken on neighbor id so the result set is deterministic.
+    The query set is broadcast; candidates never shuffle until the
+    two-phase top-k (``topk_per_query``), which reduces each map partition
+    to k rows per query before the exact window — no task ever holds more
+    than k x partitions rows per query. Similarity is rounded before
+    ranking and tie-broken on neighbor id so the result set is
+    deterministic.
     """
     # Norms are per-vector, not per-pair: compute once on each side (cuts
     # ~2/3 of the arithmetic vs. a naive cosine per pair).
@@ -77,12 +124,7 @@ def cosine_topk(
             ).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return topk_per_query(scored, k)
 
 
 def embedding_near_dups(
@@ -160,7 +202,8 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing the query's LSH
     bucket. At 100 TB this turns a full scan per query into a bucket scan
-    (~1/2**n_planes of the data)."""
+    (~1/2**n_planes of the data); the final ranking is the same two-phase
+    ``topk_per_query`` reduction as the exact path."""
     bucketed = hyperplane_lsh_buckets(embeddings, id_col, vec_col, n_planes)
     q = bucketed.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col("bucket")
@@ -175,5 +218,4 @@ def ann_topk_lsh(
         "neighbor_id",
         F.round(cosine_similarity_col(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+    return topk_per_query(scored, k)
