@@ -31,6 +31,23 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     assert "SPARK_PARTITION_ID" in plan.upper(), plan
 
 
+def test_fuzzy_dedup_uncapped_is_one_broadcast_join(spark, sf_dir):
+    """The end-to-end fuzzy pipeline (uncapped) must be scan → map → ONE
+    pair join with the Jaccard estimate projected inline: no distinct over
+    band-duplicated pairs (first-shared-band emission), no re-join against
+    the signature table, zero hash/range shuffles at all."""
+    from yark_spark.operators.dedup import fuzzy_dedup_pairs
+
+    df = fuzzy_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_bucket=None
+    )
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 0, plan
+    phys = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert "Aggregate" not in phys, plan  # no distinct / regroup anywhere
+    assert phys.count("Join") == 1, plan
+
+
 def test_exact_dedup_single_shuffle(spark, sf_dir):
     """Exact dedup groups once on the text/hash — one exchange."""
     from yark_spark.queries import QUERIES

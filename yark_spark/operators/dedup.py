@@ -74,37 +74,54 @@ def minhash_lsh_candidates(
     bands: int = 4,
     max_bucket: int | None = 4096,
     observation=None,
+    with_signatures: bool = False,
 ) -> DataFrame:
     """LSH banding over a minhash signature array: band key = hash of the
     signature slice; candidates = equi-join on (band_idx, band_key).
     Returns candidate pairs (id_a < id_b). Only candidate pairs are ever
     materialized — never the full cross product.
 
+    Each pair is emitted EXACTLY ONCE, at its first shared (uncapped) band:
+    both join sides carry the full band-key array, and the join condition
+    rejects a match when any earlier band already matched. A near-dup pair
+    shares most bands, so the naive equi-join emits it ~``bands`` times and
+    needs a ``distinct()`` — a full extra shuffle of the largest
+    intermediate in the whole pipeline. The first-band rule deletes that
+    shuffle outright.
+
     ``max_bucket`` caps pathological buckets: a single boilerplate bucket
     (empty docs, license headers) of size n yields n²/2 pairs, turning the
-    band self-join quadratic. Buckets larger than the cap are dropped BEFORE
-    the pair join (a pair sharing a capped band can still surface via its
+    band self-join quadratic. Capped band keys are nulled BEFORE the pair
+    join — null keys never explode into bucket rows and never count as an
+    "earlier match" (a pair sharing a capped band still surfaces via its
     other bands; exact duplicates are exact_dedup's job anyway). Pass a
     ``pyspark.sql.Observation`` as ``observation`` to record how many rows /
     distinct buckets the cap removed on the next action — capped work must
-    be visible, not silent. ``max_bucket=None`` disables the cap."""
+    be visible, not silent. ``max_bucket=None`` disables the cap.
+
+    ``with_signatures=True`` additionally returns ``mhs_a``/``mhs_b`` so a
+    downstream similarity estimate needs no re-join against the signature
+    table (fuzzy_dedup_pairs uses this: the whole pipeline becomes
+    scan → [cap] → one pair join, zero post-join shuffles)."""
     rows_per_band = num_hashes // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.hash(F.slice("mhs", b * rows_per_band + 1, rows_per_band)).alias("key"),
-        )
+    kcols = [f"__k{b}" for b in range(bands)]
+    band_key = [
+        F.hash(F.slice("mhs", b * rows_per_band + 1, rows_per_band)).alias(kcols[b])
         for b in range(bands)
     ]
-    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
-    if max_bucket is not None:
-        # Window count over the join key — one shuffle, already on the key
-        # the self-join needs. Bucket rows are (id, band, key): a 10M-row hot
-        # bucket is ~240 MB in one task here, vs 5e13 joined pairs without
-        # the cap.
-        sized = buckets.withColumn(
+    if max_bucket is None:
+        keyed = sig.select(F.col(id_col), F.col("mhs"), *band_key)
+    else:
+        # Size buckets on LIGHTWEIGHT rows (id, band, key) so the signatures
+        # never ride through the sizing shuffles; pivot the effective keys
+        # (capped entries nulled) back to one flat column per band — a plain
+        # max(when) hash aggregate with map-side partial agg, codegen'd,
+        # never an ObjectHashAggregate — and join them to the signature
+        # table by id.
+        lite = sig.select(
+            F.col(id_col), F.posexplode(F.array(*band_key)).alias("band", "key")
+        )
+        sized = lite.withColumn(
             "__bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
         )
         if observation is not None:
@@ -122,7 +139,24 @@ def minhash_lsh_candidates(
                     F.lit(0.0),
                 ).alias("capped_buckets"),
             )
-        buckets = sized.filter(F.col("__bsz") <= max_bucket).drop("__bsz")
+        eff_rows = sized.select(
+            F.col(id_col),
+            "band",
+            F.when(F.col("__bsz") <= max_bucket, F.col("key")).alias("key"),
+        )
+        effs = eff_rows.groupBy(id_col).agg(
+            *[
+                F.max(F.when(F.col("band") == b, F.col("key"))).alias(kcols[b])
+                for b in range(bands)
+            ]
+        )
+        keyed = sig.join(effs, id_col).select(F.col(id_col), F.col("mhs"), *kcols)
+    buckets = keyed.select(
+        F.col(id_col),
+        F.col("mhs"),
+        *kcols,
+        F.posexplode(F.array(*kcols)).alias("band", "key"),
+    ).where(F.col("key").isNotNull())
     # The bucket table is small but the join OUTPUT is huge (every in-bucket
     # pair). A broadcast join would generate all pairs from the probe side's
     # 1-2 input partitions — single-task. Round-robin the probe side so pair
@@ -130,16 +164,26 @@ def minhash_lsh_candidates(
     shuffle_n = int(sig.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     a = buckets.repartition(shuffle_n).alias("a")
     b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # "No earlier band matched" as a flat OR-chain over long columns — fully
+    # codegen-able, no array allocation per candidate row. A capped band's
+    # key is NULL on both sides: `==` yields NULL → `<=>` guards keep it
+    # from counting as a match, so a capped band never suppresses emission.
+    earlier_match = F.lit(False)
+    for i in range(bands - 1):
+        ki_a, ki_b = F.col(f"a.{kcols[i]}"), F.col(f"b.{kcols[i]}")
+        earlier_match = earlier_match | (
+            (F.col("a.band") > i) & ki_a.isNotNull() & ki_a.eqNullSafe(ki_b)
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    out_cols = [F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")]
+    if with_signatures:
+        out_cols += [F.col("a.mhs").alias("mhs_a"), F.col("b.mhs").alias("mhs_b")]
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & ~earlier_match,
+    ).select(*out_cols)
 
 
 def minhash_jaccard_estimate(
@@ -170,18 +214,31 @@ def fuzzy_dedup_pairs(
     """E2 end-to-end: MinHash signature → LSH banding → candidate pairs →
     Jaccard estimate ≥ threshold.
 
-    The signature table is persisted: it is referenced three times (banding
-    + both sides of the estimate join) and is tiny relative to the corpus
-    (num_hashes longs per doc — ~136 GB cluster-wide at 1e9 docs), so
-    caching beats recomputing the explode+groupBy three times (~2× in
-    bench).
-    """
-    sig = minhash_signature(df, id_col, text_col, num_hashes).persist()
+    The candidate join carries both signatures (``with_signatures=True``),
+    so the estimate is an inline projection on the join output: no distinct,
+    no re-join against the signature table, zero post-join shuffles. The
+    whole uncapped pipeline is scan → map (signature+band keys) → one
+    self-join; signatures are map-only so nothing needs persisting."""
+    sig = minhash_signature(df, id_col, text_col, num_hashes)
     pairs = minhash_lsh_candidates(
-        sig, id_col, num_hashes, bands, max_bucket=max_bucket, observation=observation
+        sig,
+        id_col,
+        num_hashes,
+        bands,
+        max_bucket=max_bucket,
+        observation=observation,
+        with_signatures=True,
     )
-    est = minhash_jaccard_estimate(sig, pairs, id_col, num_hashes)
-    return est.filter(F.col("est_jaccard") >= threshold)
+    # Flat indexed comparisons, not zip_with: higher-order functions are
+    # interpreted (outside codegen) and the filter+project pair would
+    # evaluate the fold twice per candidate row.
+    matches = sum(
+        F.when(F.col("mhs_a")[i] == F.col("mhs_b")[i], 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return pairs.select(
+        "id_a", "id_b", (matches / F.lit(num_hashes)).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
