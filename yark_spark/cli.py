@@ -8,6 +8,7 @@ the equivalent of every command here against a ParquetStore directory.
     python -m yark_spark.cli archive-history <watch-history.json> --store DIR
     python -m yark_spark.cli archive-playlist <playlist.csv> --store DIR
     python -m yark_spark.cli lost            --store DIR
+    python -m yark_spark.cli replay          --store DIR --fetcher pkg.mod:fn
     python -m yark_spark.cli delete-video    <video_id> --store DIR
     python -m yark_spark.cli delete-channel  <channel_id> --store DIR
     python -m yark_spark.cli dump-thumbnails --store DIR --out DIR
@@ -103,13 +104,34 @@ def cmd_archive_playlist(spark, args) -> int:
 
 
 def cmd_lost(spark, args) -> int:
-    """F5 work-list (`cmds/archive.py:356`)."""
+    """F5 work-list (`cmds/archive.py:356`). Streamed via toLocalIterator —
+    the replay queue can be large; the driver holds one partition at a
+    time, never the whole id list."""
     from yark_spark.operators.archive import lost_ids
 
     store = _store(spark, args.store)
-    ids = [r["video_id"] for r in lost_ids(_load_store_tables(store)).collect()]
-    for i in ids:
-        print(i)
+    for r in lost_ids(_load_store_tables(store)).toLocalIterator():
+        print(r["video_id"])
+    return 0
+
+
+def cmd_replay(spark, args) -> int:
+    """P4 dead-letter replay (`cmds/archive.py:355-366`): lost ids →
+    partition-parallel refetch → re-archive, end-to-end as DataFrames (the
+    id set is never collected to the driver)."""
+    from yark_spark.operators.archive import lost_ids, replay_lost
+    from yark_spark.sources.fetch import fetch_infodicts, load_fetcher, parse_fetched
+
+    store = _store(spark, args.store)
+    t = _load_store_tables(store)
+    ids = lost_ids(t).withColumnRenamed("video_id", "id")
+    fetched = fetch_infodicts(ids, load_fetcher(args.fetcher))
+    raw, still_lost = parse_fetched(fetched)
+    out, recovered = replay_lost(t, raw)
+    for name, df in out.items():
+        store.write(name, df)
+    print(f"recovered: {recovered.collect()[0]['recovered']}")
+    print(f"still lost: {still_lost.count()}")
     return 0
 
 
@@ -214,6 +236,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp = common(sub.add_parser("archive-playlist"), "path", "Takeout playlist CSV")
     sp.add_argument("--yes", action="store_true")
     common(sub.add_parser("lost"))
+    sp = common(sub.add_parser("replay"))
+    sp.add_argument(
+        "--fetcher",
+        required=True,
+        help="dotted path 'pkg.module:function' of the picklable fetcher",
+    )
     sp = common(sub.add_parser("delete-video"), "id", "video id")
     sp.add_argument("--yes", action="store_true")
     sp = common(sub.add_parser("delete-channel"), "id", "channel id")
@@ -230,6 +258,7 @@ COMMANDS = {
     "archive-history": cmd_archive_history,
     "archive-playlist": cmd_archive_playlist,
     "lost": cmd_lost,
+    "replay": cmd_replay,
     "delete-video": cmd_delete_video,
     "delete-channel": cmd_delete_channel,
     "dump-thumbnails": cmd_dump_thumbnails,

@@ -23,13 +23,20 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side salted into ``salt`` sub-keys.
 
-    Each big row gets one pseudo-random salt bucket (seeded — reruns
-    produce the same assignment given the same partitioning); the small
-    side is replicated across all buckets so every (key, salt) pair finds
-    its match. The shuffle key becomes (on, salt) — a hot key now spreads
-    over ``salt`` reducers instead of one.
+    Each big row's salt bucket is ``pmod(xxhash64(all columns, seed), salt)``
+    — a pure function of the row's content, so the assignment is identical
+    under retries, repartitioning, and speculative re-execution (``F.rand``
+    is seeded per-partition: the same row lands in a different bucket when
+    the partitioning changes). Hashing the whole row, not the join key: a
+    key-only hash would send every row of a hot key to one bucket and
+    defeat the salt. The small side is replicated across all buckets so
+    every (key, salt) pair finds its match. The shuffle key becomes
+    (on, salt) — a hot key now spreads over ``salt`` reducers instead of
+    one.
     """
-    salted_big = big.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*big.columns, F.lit(seed)), F.lit(salt)).cast("int")
+    )
     salted_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

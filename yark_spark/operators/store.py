@@ -25,11 +25,20 @@ from yark_spark.schemas import ALL_TABLES
 
 class ParquetStore:
     """Versioned parquet tables under ``root/<table>/v<N>``, with a
-    ``_current`` pointer file per table."""
+    ``_current`` pointer file per table.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``retain`` controls version GC: the newest ``retain`` versions of each
+    table survive a write (default 2 — current + previous), so a lazy
+    DataFrame obtained from ``read()`` before a write stays readable across
+    ``retain - 1`` subsequent writes to the same table. Multi-table
+    commands that read a whole store, transform, then write each table
+    (archive, replay, cascade delete) rely on exactly that window. Call
+    ``vacuum()`` to reclaim old versions once no readers remain."""
+
+    def __init__(self, spark: SparkSession, root: str, retain: int = 2):
         self.spark = spark
         self.root = root
+        self.retain = max(1, retain)
         os.makedirs(root, exist_ok=True)
 
     def _table_dir(self, name: str) -> str:
@@ -53,10 +62,19 @@ class ParquetStore:
             raise FileNotFoundError(f"table {name} not initialized")
         return self.spark.read.parquet(os.path.join(self._table_dir(name), f"v{v}"))
 
+    def _versions(self, name: str) -> list[int]:
+        tdir = self._table_dir(name)
+        if not os.path.isdir(tdir):
+            return []
+        return sorted(
+            int(d[1:]) for d in os.listdir(tdir) if d.startswith("v") and d[1:].isdigit()
+        )
+
     def write(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
-        """Stage to v<N+1>, then atomically flip the pointer; old version
-        removed after the flip (readers holding the old DataFrame keep a
-        consistent snapshot until they re-resolve)."""
+        """Stage to v<N+1>, then atomically flip the pointer. Versions older
+        than the newest ``retain`` are GC'd after the flip, so DataFrames
+        holding the immediately-previous version stay readable (see class
+        docstring)."""
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
         old = self._current_version(name)
@@ -70,8 +88,19 @@ class ParquetStore:
         with open(tmp_ptr, "w") as f:
             f.write(str(new))
         os.replace(tmp_ptr, os.path.join(tdir, "_current"))  # atomic flip
-        if old is not None:
-            shutil.rmtree(os.path.join(tdir, f"v{old}"), ignore_errors=True)
+        for v in self._versions(name):
+            if v <= new - self.retain:
+                shutil.rmtree(os.path.join(tdir, f"v{v}"), ignore_errors=True)
+
+    def vacuum(self, name: str | None = None) -> None:
+        """Drop every non-current version (all tables, or one). Only safe
+        once no lazy DataFrames from older reads remain un-consumed."""
+        names = [name] if name else [d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))]
+        for n in names:
+            cur = self._current_version(n)
+            for v in self._versions(n):
+                if v != cur:
+                    shutil.rmtree(os.path.join(self._table_dir(n), f"v{v}"), ignore_errors=True)
 
     def upsert(self, name: str, incoming: DataFrame, keys: list[str], guard=None) -> None:
         """Read-merge-swap upsert (W2 dataflow + store atomicity)."""

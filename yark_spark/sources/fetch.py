@@ -45,6 +45,22 @@ MAX_ATTEMPTS = 3
 BACKOFF_SECONDS = 2.0
 
 
+def load_fetcher(spec: str) -> Callable[[str], str]:
+    """Resolve a 'pkg.module:function' spec to the fetcher callable.
+
+    The CLI replay path takes fetchers by dotted path (not closures) so the
+    resolved function is picklable into executor tasks."""
+    module, _, name = spec.partition(":")
+    if not module or not name:
+        raise ValueError(f"fetcher spec must be 'pkg.module:function', got {spec!r}")
+    import importlib
+
+    fn = getattr(importlib.import_module(module), name)
+    if not callable(fn):
+        raise TypeError(f"{spec} is not callable")
+    return fn
+
+
 def fetch_infodicts(
     ids: DataFrame,
     fetcher: Callable[[str], str],
