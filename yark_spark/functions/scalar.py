@@ -47,8 +47,13 @@ def url_extension(col: Column) -> Column:
 
 
 def video_id_from_title_url(col: Column) -> Column:
-    """X2 (`cmds/archive.py:334`): id after '=' in a watch URL."""
-    return F.substring_index(col, "=", -1)
+    """X2 (`cmds/archive.py:334`): the 11-char id after 'v=' in a watch URL.
+
+    Extracted explicitly (not substring_index on '='): a titleUrl with
+    extra params ('watch?v=ID&t=90') must yield the id, not the last
+    param value. No-match yields '' which the downstream 11-char validity
+    filter quarantines — same fate as the reference's malformed rows."""
+    return F.regexp_extract(col, "v=([0-9A-Za-z_-]{11})", 1)
 
 
 def parse_upload_date(col: Column) -> Column:

@@ -30,7 +30,15 @@ def asof_join(
     out_col: str | None = None,
 ) -> DataFrame:
     """Union+window as-of: right rows sort before left rows at equal
-    timestamps, so a right row exactly at the left time is visible (<=)."""
+    timestamps, so a right row exactly at the left time is visible (<=).
+
+    The carried value is the MATCHED ROW's value, including NULL: the
+    running ``last(..., ignorenulls=True)`` skips null *structs* (left
+    rows), never null *values* — a right row whose value is NULL yields
+    NULL, exactly like pandas.merge_asof in asof_join_grouped. Ties
+    (multiple right rows at one (key, ts)) resolve deterministically to the
+    max value, NULL losing — mirrored by the (ts, value) sort in the
+    grouped variant."""
     out_col = out_col or f"asof_{value_col}"
     lcols = left.columns
     l_tag = left.select(
@@ -49,10 +57,13 @@ def asof_join(
     )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__is_left")
+        .orderBy("__t", "__is_left", F.col("__v").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = l_tag.unionByName(r_tag).withColumn(out_col, F.last("__v", ignorenulls=True).over(w))
+    right_row = F.when(F.col("__is_left") == 0, F.struct(F.col("__v").alias("v")))
+    merged = l_tag.unionByName(r_tag).withColumn(
+        out_col, F.last(right_row, ignorenulls=True).over(w)["v"]
+    )
     return merged.filter(F.col("__is_left") == 1).select(*lcols, out_col)
 
 
@@ -87,8 +98,11 @@ def asof_join_grouped(
         if r_pdf.empty:
             l_sorted[out_col] = None
             return l_sorted
+        # (ts, value) sort with NULLs first: merge_asof takes the LAST row
+        # among equal timestamps, so ties resolve to the max value, NULL
+        # losing — same deterministic rule as the window variant.
         r_sorted = (
-            r_pdf.sort_values(right_ts)
+            r_pdf.sort_values([right_ts, value_col], na_position="first")
             .rename(columns={value_col: out_col})
             .drop(columns=[key])
         )

@@ -14,9 +14,13 @@ Batch flow per micro-batch (replaces the reference's per-row commits,
   3. commit — idempotent via INSERT OR IGNORE / guarded UPDATE, so Spark's
      at-least-once foreachBatch replays converge.
 
-On a cluster the same SQL runs per-partition against a real JDBC pool;
-SQLite is single-writer, so the driver-side variant used here is the honest
-local shape.
+Two write shapes:
+- ``write_batch``: driver-side, one transaction across tables in FK order
+  — the honest shape for single-writer targets (SQLite) and for small
+  foreachBatch micro-batches.
+- ``write_partitioned``: foreachPartition + chunked executemany, one
+  connection and commit per partition — the JDBC production shape; the
+  DataFrame is never collected.
 """
 
 from __future__ import annotations
@@ -38,6 +42,14 @@ PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
     "history": ("history_id",),
     "playlists": ("playlist_id",),
     "playlist_videos": ("pl",),
+}
+
+#: Natural-key UNIQUE constraints. history's PK is a 64-bit surrogate hash
+#: of (video, watched); the UNIQUE pins idempotency to the NATURAL compound
+#: key (the reference's duplicate probe, `cmds/archive.py:341`) so a hash
+#: collision between distinct rows can never masquerade as a duplicate.
+UNIQUE_KEYS: dict[str, tuple[str, ...]] = {
+    "history": ("video", "watched"),
 }
 
 #: FKs: table → [(column, ref_table, ref_column, on_delete)].
@@ -80,6 +92,8 @@ def generate_ddl() -> list[str]:
             null = "" if f.nullable else " NOT NULL"
             pk_inline = " PRIMARY KEY" if pk == (f.name,) else ""
             cols.append(f"{f.name} {sql_t}{null}{pk_inline}")
+        if table in UNIQUE_KEYS:
+            cols.append(f"UNIQUE ({', '.join(UNIQUE_KEYS[table])})")
         for col, rt, rc, action in FOREIGN_KEYS.get(table, []):
             cols.append(f"FOREIGN KEY ({col}) REFERENCES {rt}({rc}) ON DELETE {action}")
         stmts.append(f"CREATE TABLE IF NOT EXISTS {table} (\n  " + ",\n  ".join(cols) + "\n)")
@@ -93,25 +107,75 @@ def apply_schema(conn) -> None:
     conn.commit()
 
 
-def _to_rows(df: DataFrame, table: str):
-    """Micro-batch → python rows with epoch/int coercions for the DB."""
+def _coerce_row(field_names, row):
+    """Epoch/int/bytes coercions for one Row, DB-API friendly."""
     import datetime as dt
 
-    schema = ALL_TABLES[table]
     out = []
-    for r in df.select(*[f.name for f in schema.fields]).collect():
-        row = []
-        for f in schema.fields:
-            v = r[f.name]
-            if isinstance(v, dt.datetime):
-                v = int(v.timestamp())
-            elif isinstance(v, bool):
-                v = int(v)
-            elif isinstance(v, bytearray):
-                v = bytes(v)
-            row.append(v)
-        out.append(tuple(row))
-    return out
+    for name in field_names:
+        v = row[name]
+        if isinstance(v, dt.datetime):
+            v = int(v.timestamp())
+        elif isinstance(v, bool):
+            v = int(v)
+        elif isinstance(v, bytearray):
+            v = bytes(v)
+        out.append(v)
+    return tuple(out)
+
+
+def _to_rows(df: DataFrame, table: str):
+    """Micro-batch → python rows (driver-side; see write_partitioned for
+    the executor-side shape)."""
+    names = [f.name for f in ALL_TABLES[table].fields]
+    return [_coerce_row(names, r) for r in df.select(*names).collect()]
+
+
+def _insert_sql(table: str) -> str:
+    schema = ALL_TABLES[table]
+    cols = ", ".join(f.name for f in schema.fields)
+    ph = ", ".join("?" for _ in schema.fields)
+    return f"INSERT OR IGNORE INTO {table} ({cols}) VALUES ({ph})"
+
+
+def write_partitioned(
+    connection_factory: Callable[[], "object"],
+    df: DataFrame,
+    table: str,
+    batch_size: int = 1000,
+) -> None:
+    """Partition-parallel keyed insert — the JDBC production shape
+    (VERDICT r1 item 4): each partition opens its own connection and
+    executemany's its slice in ``batch_size`` chunks, one commit per
+    partition. Nothing is collected to the driver. INSERT OR IGNORE keeps
+    at-least-once task retries convergent (first-writer-wins per key).
+
+    Requires a DB that accepts concurrent writers (any real JDBC target;
+    SQLite serializes writers via its file lock, so give the factory a
+    generous timeout there — write_batch is the honest single-writer
+    shape)."""
+    names = [f.name for f in ALL_TABLES[table].fields]
+    sql = _insert_sql(table)
+
+    def _write(rows):
+        conn = connection_factory()
+        try:
+            buf = []
+            for r in rows:
+                buf.append(_coerce_row(names, r))
+                if len(buf) >= batch_size:
+                    conn.executemany(sql, buf)
+                    buf = []
+            if buf:
+                conn.executemany(sql, buf)
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
+    df.select(*names).foreachPartition(_write)
 
 
 def write_batch(conn, tables: dict[str, DataFrame]) -> None:
@@ -121,13 +185,7 @@ def write_batch(conn, tables: dict[str, DataFrame]) -> None:
         for table in WRITE_ORDER:
             if table not in tables:
                 continue
-            schema = ALL_TABLES[table]
-            cols = ", ".join(f.name for f in schema.fields)
-            ph = ", ".join("?" for _ in schema.fields)
-            conn.executemany(
-                f"INSERT OR IGNORE INTO {table} ({cols}) VALUES ({ph})",
-                _to_rows(tables[table], table),
-            )
+            conn.executemany(_insert_sql(table), _to_rows(tables[table], table))
         conn.commit()
     except Exception:
         conn.rollback()

@@ -79,10 +79,18 @@ def playlist_title_from_filename(path: str) -> str:
     return stem[:-7] if stem.endswith(" videos") else stem
 
 
-def read_playlist_csv(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+def read_playlist_csv(
+    spark: SparkSession, path: str, ingested_at=None
+) -> tuple[DataFrame, DataFrame]:
     """S5 (`cmds/archive.py:229-247`): playlist CSV → (playlists,
     playlist_videos) with the synthetic PK 'PLLOCAL_<title>' (:236), ids
-    space-stripped (X10, :304), surrogate pl ids."""
+    space-stripped (X10, :304), surrogate pl ids.
+
+    visibility='Local' matches the reference's Takeout ingest (:238).
+    ``ingested_at`` (a datetime) fills the reference's Time Updated=now()
+    (:239); the default None keeps 'updated' NULL — a deliberate
+    divergence so reruns are byte-identical (callers wanting reference
+    parity inject the ingest time)."""
     from yark_spark.session import tune
 
     tune(spark)
@@ -94,7 +102,7 @@ def read_playlist_csv(spark: SparkSession, path: str) -> tuple[DataFrame, DataFr
         F.to_timestamp(F.col("Time Added")).alias("added"),
     ).filter(F.col("video").isNotNull() & (F.col("video") != ""))
     playlists = videos.sparkSession.createDataFrame(
-        [(playlist_id, None, None, None, title, None, None)],
+        [(playlist_id, None, None, ingested_at, title, None, "Local")],
         "playlist_id string, channel string, created timestamp, updated timestamp, "
         "title string, description string, visibility string",
     )
