@@ -94,6 +94,28 @@ def test_delete_video_cascades(spark, tmp_path, store_dir):
     assert store.read("video_tags").count() == 0  # cascaded
 
 
+def test_delete_playlist_star_deletes_all(spark, tmp_path, store_dir, capsys):
+    """W6 `delete-playlist '*' --yes` (`cmds/archive.py:421-425`)."""
+    for name in ("A videos.csv", "B videos.csv"):
+        p = tmp_path / name
+        p.write_text("Video ID,Time Added\nabcdefghij1,2024-01-01 10:00:00\n")
+        assert cli.main(["archive-playlist", str(p), "--store", store_dir], spark=spark) == 0
+    store = ParquetStore(spark, store_dir)
+    assert store.read("playlists").count() == 2
+    # confirm gate (P6)
+    assert cli.main(["delete-playlist", "*", "--store", store_dir], spark=spark) == 1
+    assert "--yes" in capsys.readouterr().err
+    # single-id delete cascades only that playlist's rows
+    pid = store.read("playlists").orderBy("playlist_id").collect()[0]["playlist_id"]
+    assert cli.main(["delete-playlist", pid, "--store", store_dir, "--yes"], spark=spark) == 0
+    assert store.read("playlists").count() == 1
+    assert store.read("playlist_videos").count() == 1
+    # star wipes the rest
+    assert cli.main(["delete-playlist", "*", "--store", store_dir, "--yes"], spark=spark) == 0
+    assert store.read("playlists").count() == 0
+    assert store.read("playlist_videos").count() == 0
+
+
 def test_delete_channel_restricted(spark, tmp_path, store_dir, capsys):
     _archive(spark, tmp_path, store_dir)
     rc = cli.main(["delete-channel", "ch1", "--store", store_dir, "--yes"], spark=spark)

@@ -92,6 +92,29 @@ def test_cascade_delete_wipes_children(spark):
     assert rows(kids["video_tags"], "id") == [(2,)]
 
 
+def test_delete_all_empties_parent_and_cascades(spark):
+    """W6 (`cmds/archive.py:421-425`): DELETE FROM playlists; empties the
+    parent; CASCADE children lose referencing rows, danglers survive
+    (the SQLite end-state with `schema.sql:91`)."""
+    from yark_spark.operators.writes import delete_all
+
+    playlists = spark.createDataFrame([("p1",), ("p2",)], "playlist_id string")
+    pv = spark.createDataFrame(
+        [(1, "p1", "v1"), (2, "p2", "v2"), (3, "pX", "v3")],
+        "pl long, playlist string, video string",
+    )
+    surviving, kids = delete_all(
+        playlists, "playlist_id", {"playlist_videos": (pv, "playlist", "playlist_id")}
+    )
+    assert surviving.count() == 0
+    assert rows(kids["playlist_videos"], "pl") == [(3,)]  # dangling FK kept
+    # idempotent: running it on the already-empty state is a no-op
+    surviving2, kids2 = delete_all(
+        surviving, "playlist_id", {"playlist_videos": (kids["playlist_videos"], "playlist", "playlist_id")}
+    )
+    assert surviving2.count() == 0 and kids2["playlist_videos"].count() == 1
+
+
 def test_restrict_guard_blocks_and_allows(spark):
     """`schema.sql:14,67`: channel delete blocked while videos reference it."""
     videos = spark.createDataFrame([("v1", "ch1")], "video_id string, channel string")

@@ -11,6 +11,7 @@ the equivalent of every command here against a ParquetStore directory.
     python -m yark_spark.cli replay          --store DIR --fetcher pkg.mod:fn
     python -m yark_spark.cli delete-video    <video_id> --store DIR
     python -m yark_spark.cli delete-channel  <channel_id> --store DIR
+    python -m yark_spark.cli delete-playlist <playlist_id|*> --store DIR
     python -m yark_spark.cli dump-thumbnails --store DIR --out DIR
     python -m yark_spark.cli query "<sql>"   --store DIR
 
@@ -162,6 +163,30 @@ def cmd_delete_video(spark, args) -> int:
     return 0
 
 
+def cmd_delete_playlist(spark, args) -> int:
+    """W5/W6 (`cmds/archive.py:418-427`): delete one playlist (CASCADE wipes
+    its playlist_videos rows, `schema.sql:91`), or ALL playlists when the id
+    is '*' — the reference's `DELETE FROM playlists;` confirm-gated path."""
+    from yark_spark.operators.writes import cascade_delete, delete_all
+
+    if not args.yes:
+        print("destructive: pass --yes to confirm", file=sys.stderr)
+        return 1
+    store = _store(spark, args.store)
+    playlists = store.read("playlists")
+    children = {"playlist_videos": (store.read("playlist_videos"), "playlist", "playlist_id")}
+    if args.id == "*":
+        surviving, kids = delete_all(playlists, "playlist_id", children)
+    else:
+        doomed = playlists.filter(F.col("playlist_id") == args.id).select("playlist_id")
+        surviving, kids = cascade_delete(playlists, doomed, children)
+    # children before parent: a retry after partial failure re-converges
+    store.write("playlist_videos", kids["playlist_videos"])
+    store.write("playlists", surviving)
+    print(f"deleted playlist(s): {args.id}")
+    return 0
+
+
 def cmd_delete_channel(spark, args) -> int:
     """W5 RESTRICT (`schema.sql:67`): refuse while videos reference it."""
     from yark_spark.operators.writes import RestrictViolation, restrict_guard
@@ -246,6 +271,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--yes", action="store_true")
     sp = common(sub.add_parser("delete-channel"), "id", "channel id")
     sp.add_argument("--yes", action="store_true")
+    sp = common(sub.add_parser("delete-playlist"), "id", "playlist id or '*' for all")
+    sp.add_argument("--yes", action="store_true")
     sp = common(sub.add_parser("dump-thumbnails"))
     sp.add_argument("--out", required=True)
     sp = common(sub.add_parser("query"), "sql", "SQL over the archive tables")
@@ -261,6 +288,7 @@ COMMANDS = {
     "replay": cmd_replay,
     "delete-video": cmd_delete_video,
     "delete-channel": cmd_delete_channel,
+    "delete-playlist": cmd_delete_playlist,
     "dump-thumbnails": cmd_dump_thumbnails,
     "query": cmd_query,
 }

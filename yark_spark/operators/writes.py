@@ -128,6 +128,22 @@ def cascade_delete(
     return surviving_parent, surviving_children
 
 
+def delete_all(
+    parent: DataFrame,
+    key: str,
+    children: dict[str, tuple[DataFrame, str, str]] | None = None,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """W6 delete-all (`cmds/archive.py:421-425`: ``DELETE FROM playlists;``
+    behind a confirm): empty the parent table; CASCADE children
+    (`schema.sql:91`) lose every row that referenced an existing parent key.
+
+    Child rows whose FK dangles (references no parent row) survive — the
+    same observable end-state as SQLite, where the cascade fires only for
+    rows whose parent actually existed. Implemented as cascade_delete over
+    the full (distinct) parent key set, so it inherits its idempotence."""
+    return cascade_delete(parent, parent.select(key).distinct(), children or {})
+
+
 class RestrictViolation(Exception):
     """Raised when an ON DELETE RESTRICT guard finds dependents
     (`schema.sql:14,67`)."""

@@ -10,7 +10,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from yark_spark.io import load_table
-from yark_spark.operators.writes import cascade_delete, delete_insert, insert_ignore, upsert
+from yark_spark.operators.writes import (
+    cascade_delete,
+    delete_all,
+    delete_insert,
+    insert_ignore,
+    upsert,
+)
 from yark_spark.registry import query
 
 
@@ -101,6 +107,37 @@ def q_delete_insert(spark, sf_dir):
         F.lit("REBUILT").alias("c_mktsegment"),
     )
     return delete_insert(target, replacement, F.col("c_mktsegment") == "BUILDING")
+
+
+@query(
+    "q_delete_all",
+    oracle=(
+        "SELECT 'nation' AS tbl, n_nationkey AS id FROM nation WHERE 1 = 0 "
+        "UNION ALL "
+        "SELECT 'customer' AS tbl, c_custkey AS id FROM customer "
+        "WHERE c_nationkey + 20 NOT IN (SELECT n_nationkey FROM nation)"
+    ),
+)
+def q_delete_all(spark, sf_dir):
+    """W6 delete-all (`cmds/archive.py:421-425`): the parent empties; the
+    CASCADE child keeps only rows whose FK referenced no parent (the +20
+    shift makes nationkeys 5..24 dangle past the 0..24 key space, mirroring
+    playlist_videos' keep-dangling-videos-by-design posture)."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer").withColumn(
+        "fk", F.col("c_nationkey") + 20
+    )
+    empty_parent, kids = delete_all(
+        nation, "n_nationkey", {"customer": (customer, "fk", "n_nationkey")}
+    )
+    out = empty_parent.select(
+        F.lit("nation").alias("tbl"), F.col("n_nationkey").cast("long").alias("id")
+    )
+    return out.unionByName(
+        kids["customer"].select(
+            F.lit("customer").alias("tbl"), F.col("c_custkey").cast("long").alias("id")
+        )
+    )
 
 
 @query(
