@@ -77,6 +77,63 @@ def test_end_to_end_still_finds_near_dups(spark):
     assert (100, 101) in rows
 
 
+def test_simhash_candidates_pigeonhole_complete(spark):
+    """bands(4) > max_hamming(3) → every true pair within the Hamming
+    radius shares at least one exact band key (pigeonhole), so banding
+    loses nothing vs brute-force Hamming over the signatures."""
+    import itertools
+
+    from yark_spark.operators.dedup import simhash, simhash_candidates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox leaps over the lazy cat"),
+            (4, "completely unrelated text about query planning"),
+            (5, "another unrelated document mentioning shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    for max_h in (2, 3):
+        truth = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= max_h
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in simhash_candidates(
+                docs, "doc_id", "text", max_hamming=max_h
+            ).collect()
+        }
+        assert got == truth
+
+
+def test_simhash_candidates_each_pair_once(spark):
+    """The first-band rule dedups multi-band matches without a distinct():
+    identical docs share all 4 bands yet emit exactly one pair row."""
+    from yark_spark.operators.dedup import simhash_candidates
+
+    docs = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here")], ["doc_id", "text"]
+    )
+    rows = simhash_candidates(docs, "doc_id", "text", max_hamming=0).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(1, 2, 0)]
+
+
+def test_simhash_candidates_cap(spark):
+    """Hot buckets (identical docs) are capped exactly like MinHash LSH."""
+    from yark_spark.operators.dedup import simhash_candidates
+
+    docs = _corpus(spark)
+    capped = simhash_candidates(docs, "doc_id", "text", max_bucket=10).toPandas()
+    assert len(capped[(capped.id_a < 30) & (capped.id_b < 30)]) == 0
+    uncapped = simhash_candidates(docs, "doc_id", "text", max_bucket=None).toPandas()
+    assert len(uncapped[(uncapped.id_a < 30) & (uncapped.id_b < 30)]) == 435
+
+
 def test_capped_plan_has_no_cartesian(spark):
     docs = _corpus(spark)
     plan = fuzzy_dedup_pairs(docs, "doc_id", "text", max_bucket=10)._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,61 @@
+"""IVF ANN (operators/similarity.ivf_topk): recall vs the exact path,
+probe behavior, and plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yark_spark.io import load_table
+from yark_spark.operators.similarity import cosine_topk, ivf_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").persist()
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ivf_all_cells_probed_equals_exact(spark, emb):
+    """Probing every cell degrades IVF to the exact brute-force ranking —
+    the recall knob's upper end is exactness."""
+    exact = _topk_sets(cosine_topk(emb, query_max_id=5, k=3))
+    ivf = _topk_sets(
+        ivf_topk(emb, query_max_id=5, k=3, n_cells=4, n_probe=4)
+    )
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    """With a quarter of the cells probed, recall@5 stays useful (>= 0.5
+    on the fixture corpus) and every query still returns k rows."""
+    exact = _topk_sets(cosine_topk(emb, query_max_id=10, k=5))
+    ivf = _topk_sets(ivf_topk(emb, query_max_id=10, k=5, n_cells=8, n_probe=2))
+    hits = sum(len(ivf.get(q, set()) & exact[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.5
+    assert all(len(v) == 5 for v in ivf.values())
+
+
+def test_ivf_deterministic(spark, emb):
+    a = sorted(map(tuple, ivf_topk(emb, query_max_id=5, k=3, n_cells=8, n_probe=2).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, query_max_id=5, k=3, n_cells=8, n_probe=2).collect()))
+    assert a == b
+
+
+def test_ivf_scored_side_filtered_by_cell(spark, emb):
+    """The candidate join is an equi-join on cell (inverted-list probe) —
+    the plan must show no cartesian product and a broadcast of the tiny
+    probe side."""
+    plan = (
+        ivf_topk(emb, query_max_id=5, k=3, n_cells=8, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan

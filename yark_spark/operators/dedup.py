@@ -67,27 +67,26 @@ def minhash_signature(
     return df.select(F.col(id_col), F.aggregate(toks, init, _update).alias("mhs"))
 
 
-def minhash_lsh_candidates(
+def banded_pairs(
     sig: DataFrame,
     id_col: str,
-    num_hashes: int = 16,
-    bands: int = 4,
+    band_key: list,
+    carry: list[str],
     max_bucket: int | None = 4096,
     observation=None,
-    with_signatures: bool = False,
 ) -> DataFrame:
-    """LSH banding over a minhash signature array: band key = hash of the
-    signature slice; candidates = equi-join on (band_idx, band_key).
-    Returns candidate pairs (id_a < id_b). Only candidate pairs are ever
-    materialized — never the full cross product.
+    """Shared banding core for MinHash and SimHash LSH: candidates = self
+    equi-join on (band_idx, band_key). ``band_key`` is one key Column per
+    band (aliased); ``carry`` columns of ``sig`` ride along as ``<c>_a`` /
+    ``<c>_b``. Returns candidate pairs (id_a < id_b); only candidate pairs
+    are ever materialized — never the full cross product.
 
     Each pair is emitted EXACTLY ONCE, at its first shared (uncapped) band:
-    both join sides carry the full band-key array, and the join condition
-    rejects a match when any earlier band already matched. A near-dup pair
-    shares most bands, so the naive equi-join emits it ~``bands`` times and
-    needs a ``distinct()`` — a full extra shuffle of the largest
-    intermediate in the whole pipeline. The first-band rule deletes that
-    shuffle outright.
+    both join sides carry every band key, and the join condition rejects a
+    match when any earlier band already matched. A near-dup pair shares
+    most bands, so the naive equi-join emits it ~``bands`` times and needs
+    a ``distinct()`` — a full extra shuffle of the largest intermediate in
+    the whole pipeline. The first-band rule deletes that shuffle outright.
 
     ``max_bucket`` caps pathological buckets: a single boilerplate bucket
     (empty docs, license headers) of size n yields n²/2 pairs, turning the
@@ -97,27 +96,19 @@ def minhash_lsh_candidates(
     other bands; exact duplicates are exact_dedup's job anyway). Pass a
     ``pyspark.sql.Observation`` as ``observation`` to record how many rows /
     distinct buckets the cap removed on the next action — capped work must
-    be visible, not silent. ``max_bucket=None`` disables the cap.
-
-    ``with_signatures=True`` additionally returns ``mhs_a``/``mhs_b`` so a
-    downstream similarity estimate needs no re-join against the signature
-    table (fuzzy_dedup_pairs uses this: the whole pipeline becomes
-    scan → [cap] → one pair join, zero post-join shuffles)."""
-    rows_per_band = num_hashes // bands
+    be visible, not silent. ``max_bucket=None`` disables the cap."""
+    bands = len(band_key)
     kcols = [f"__k{b}" for b in range(bands)]
-    band_key = [
-        F.hash(F.slice("mhs", b * rows_per_band + 1, rows_per_band)).alias(kcols[b])
-        for b in range(bands)
-    ]
+    band_key = [k.alias(kcols[b]) for b, k in enumerate(band_key)]
     if max_bucket is None:
-        keyed = sig.select(F.col(id_col), F.col("mhs"), *band_key)
+        keyed = sig.select(F.col(id_col), *carry, *band_key)
     else:
-        # Size buckets on LIGHTWEIGHT rows (id, band, key) so the signatures
-        # never ride through the sizing shuffles; pivot the effective keys
-        # (capped entries nulled) back to one flat column per band — a plain
-        # max(when) hash aggregate with map-side partial agg, codegen'd,
-        # never an ObjectHashAggregate — and join them to the signature
-        # table by id.
+        # Size buckets on LIGHTWEIGHT rows (id, band, key) so the carried
+        # signatures never ride through the sizing shuffles; pivot the
+        # effective keys (capped entries nulled) back to one flat column per
+        # band — a plain max(when) hash aggregate with map-side partial agg,
+        # codegen'd, never an ObjectHashAggregate — and join them to the
+        # signature table by id.
         lite = sig.select(
             F.col(id_col), F.posexplode(F.array(*band_key)).alias("band", "key")
         )
@@ -150,10 +141,10 @@ def minhash_lsh_candidates(
                 for b in range(bands)
             ]
         )
-        keyed = sig.join(effs, id_col).select(F.col(id_col), F.col("mhs"), *kcols)
+        keyed = sig.join(effs, id_col).select(F.col(id_col), *carry, *kcols)
     buckets = keyed.select(
         F.col(id_col),
-        F.col("mhs"),
+        *carry,
         *kcols,
         F.posexplode(F.array(*kcols)).alias("band", "key"),
     ).where(F.col("key").isNotNull())
@@ -175,8 +166,8 @@ def minhash_lsh_candidates(
             (F.col("a.band") > i) & ki_a.isNotNull() & ki_a.eqNullSafe(ki_b)
         )
     out_cols = [F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")]
-    if with_signatures:
-        out_cols += [F.col("a.mhs").alias("mhs_a"), F.col("b.mhs").alias("mhs_b")]
+    for c in carry:
+        out_cols += [F.col(f"a.{c}").alias(f"{c}_a"), F.col(f"b.{c}").alias(f"{c}_b")]
     return a.join(
         b,
         (F.col("a.band") == F.col("b.band"))
@@ -184,6 +175,38 @@ def minhash_lsh_candidates(
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         & ~earlier_match,
     ).select(*out_cols)
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = 4096,
+    observation=None,
+    with_signatures: bool = False,
+) -> DataFrame:
+    """LSH banding over a minhash signature array: band key = hash of the
+    signature slice (see ``banded_pairs`` for the emission/cap semantics).
+
+    ``with_signatures=True`` additionally returns ``mhs_a``/``mhs_b`` so a
+    downstream similarity estimate needs no re-join against the signature
+    table (fuzzy_dedup_pairs uses this: the whole pipeline becomes
+    scan → [cap] → one pair join, zero post-join shuffles)."""
+    rows_per_band = num_hashes // bands
+    band_key = [
+        F.hash(F.slice("mhs", b * rows_per_band + 1, rows_per_band))
+        for b in range(bands)
+    ]
+    out = banded_pairs(
+        sig,
+        id_col,
+        band_key,
+        carry=["mhs"] if with_signatures else [],
+        max_bucket=max_bucket,
+        observation=observation,
+    )
+    return out
 
 
 def minhash_jaccard_estimate(
@@ -263,6 +286,40 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         term = bit * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")
         sig = term if sig is None else sig + term
     return tagged.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = 4096,
+    observation=None,
+) -> DataFrame:
+    """E2 SimHash near-dup pairs: 64-bit signature → ``bands`` × 16-bit
+    band keys → ``banded_pairs`` equi-join → Hamming filter.
+
+    Two docs within ``max_hamming`` bit flips differ in at most
+    ``max_hamming`` bands, so with bands > max_hamming at least one band
+    key matches exactly (pigeonhole) — banding loses no true pair. The
+    Hamming distance is one codegen'd ``bit_count(xor)`` over the carried
+    signatures; no re-join against the signature table."""
+    sig = simhash(df, id_col, text_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_key = [
+        F.shiftrightunsigned("simhash", b * width).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ]
+    pairs = banded_pairs(
+        sig, id_col, band_key, carry=["simhash"],
+        max_bucket=max_bucket, observation=observation,
+    )
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
 
 
 def ngram_jaccard_pairs(

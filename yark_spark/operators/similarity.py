@@ -192,6 +192,91 @@ def hyperplane_lsh_buckets(
     return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_max_id: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """E3 IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    vector to a cell; each query scores only its ``n_probe`` nearest cells.
+
+    Scale shape: one (sampled) fit of the quantizer, one map-only pass to
+    assign cells (the model broadcasts with the task closure), then each
+    query touches ~n_probe/n_cells of the corpus via an equi-join on
+    ``cell`` — the inverted-list probe is a join, never a per-query scan.
+    The centroid table is the only driver-side state (n_cells × dim
+    doubles — inherent to IVF, tiny) and is broadcast into the probe
+    ranking. Final ranking is the same two-phase ``topk_per_query``
+    reduction as the exact path.
+
+    Recall/latency knobs match FAISS-style IVF: more cells → smaller lists
+    and lower recall per probe; more probes → higher recall, more work.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__vec"),
+    )
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter,
+        featuresCol="__vec", predictionCol="cell",
+    )
+    model = km.fit(base)
+    assigned = model.transform(base).select(F.col(id_col), F.col(vec_col), F.col("cell"))
+
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centers_df = embeddings.sparkSession.createDataFrame(
+        centers, "cell int, center array<double>"
+    )
+
+    q = assigned.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    # Probe ranking: |Q| × n_cells rows — tiny; the per-query window here is
+    # over n_cells rows, not the corpus, so it is not the round-1 bottleneck
+    # shape. Probe by the same metric the final ranking uses (cosine).
+    probe_sim = _dot(F.col("qv"), F.col("center")) / (
+        F.col("qn") * _norm(F.col("center"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__psim"), F.asc("cell"))
+    probes = (
+        q.join(F.broadcast(centers_df))
+        .withColumn("__psim", probe_sim)
+        .withColumn("__pr", F.row_number().over(w))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+        F.col("cell"),
+    )
+    scored = c.join(
+        F.broadcast(probes), on="cell"
+    ).filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cosine_sim"),
+    )
+    return topk_per_query(scored, k)
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     id_col: str = "vec_id",
