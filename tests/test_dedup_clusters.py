@@ -1,0 +1,41 @@
+"""Connected-component cluster resolution (operators/dedup.dedup_clusters)."""
+
+from pyspark.sql import functions as F
+
+from yark_spark.operators.dedup import dedup_clusters, dedup_representatives
+
+
+def _clusters(spark, node_ids, edge_pairs):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id long")
+    pairs = spark.createDataFrame(
+        edge_pairs or [(None, None)], "id_a long, id_b long"
+    ).filter(F.col("id_a").isNotNull())
+    out = dedup_clusters(nodes, pairs, "doc_id")
+    return {r.doc_id: r.cluster_id for r in out.collect()}, nodes, out
+
+
+def test_components_chain_and_singleton(spark):
+    # 1-2-3-4 chain (diameter 3), pair {10,11}, singleton 20
+    got, _, _ = _clusters(
+        spark, [1, 2, 3, 4, 10, 11, 20], [(1, 2), (2, 3), (3, 4), (10, 11)]
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_components_clique_converges_fast(spark):
+    got, _, _ = _clusters(spark, [5, 6, 7], [(5, 6), (5, 7), (6, 7)])
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_long_chain_respects_max_iter_guard(spark):
+    # a 12-node chain needs ~log-d rounds of doubling-free propagation;
+    # max_iter=20 default covers it, and the result is the global min label
+    chain = [(i, i + 1) for i in range(100, 111)]
+    got, _, _ = _clusters(spark, list(range(100, 112)), chain)
+    assert set(got.values()) == {100}
+
+
+def test_representatives_keep_min_per_cluster(spark):
+    got, nodes, clusters = _clusters(spark, [1, 2, 3, 9], [(1, 2), (2, 3)])
+    kept = dedup_representatives(nodes, clusters, "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 9]

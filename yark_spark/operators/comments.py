@@ -46,8 +46,12 @@ def resolve_roots(comments: DataFrame, max_depth: int = 20) -> DataFrame:
         # convergence check — one count per level; levels are tiny after 2
         if step.isEmpty():
             break
-        resolved = resolved.unionByName(step)
-        pending = pending.join(step.select("comment_id"), "comment_id", "left_anti")
+        # localCheckpoint the accumulators: iterative union/anti-join
+        # lineage compounds per level; truncating keeps the plan one level
+        # deep (same driver-OOM guard as dedup_clusters — plans, not data,
+        # are the risk at depth)
+        resolved = resolved.unionByName(step).localCheckpoint()
+        pending = pending.join(step.select("comment_id"), "comment_id", "left_anti").localCheckpoint()
 
     # orphans (parent points at a missing comment — corrupt input) surface
     # with root_id NULL rather than disappearing

@@ -322,6 +322,76 @@ def simhash_candidates(
     )
 
 
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: connected components by
+    iterative min-label propagation. Returns (id, cluster_id) for every
+    node in ``nodes`` (singletons cluster with themselves); cluster_id =
+    min id reachable through the pair graph.
+
+    Per iteration each node takes the min of its own label and its
+    neighbors' labels — one groupBy per round, converging in O(graph
+    diameter) rounds. Near-dup graphs are LSH-bucket cliques plus short
+    chains (diameter ≲ 3 in practice), so plain propagation beats the
+    large-star/small-star machinery here; ``max_iter`` guards degenerate
+    chains. Convergence = zero label changes (one count per round over the
+    changed-set, which shrinks geometrically).
+
+    Each round's frontier is ``localCheckpoint``-ed: an iterative join's
+    LOGICAL PLAN doubles per round (persist caches data, not the plan), so
+    without truncation the driver OOMs building plan trees after ~10
+    rounds. Local checkpointing keeps the plan one round deep; on a
+    long-running production cluster with executor churn, swap in reliable
+    ``checkpoint(dir)`` — same shape, durable storage.
+    """
+    ids = nodes.select(F.col(id_col).alias("id")).distinct()
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).persist()
+    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "id")
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("__chg"),
+            )
+            .localCheckpoint()  # eager: materializes + truncates lineage
+        )
+        changed = updated.filter(F.col("__chg")).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def dedup_representatives(
+    docs: DataFrame, clusters: DataFrame, id_col: str
+) -> DataFrame:
+    """Keep-list: one deterministic representative (min id = the cluster
+    label itself) per near-dup cluster — the final filter a training-data
+    pipeline applies after pair generation + clustering."""
+    return docs.join(
+        clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, max_id: int | None = None
 ) -> DataFrame:

@@ -23,6 +23,72 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_candidates(docs, "doc_id", "text", max_hamming=3)
 
 
+# Shared CTE prefix: exact-Jaccard near-dup edges over a bounded id range
+# (mirrors q_jaccard_pairs' oracle), then min-label connected components via
+# a recursive reachability walk — DuckDB's recursive CTE is the oracle for
+# the Spark-side iterative label propagation.
+_CLUSTER_CTE = (
+    "WITH RECURSIVE "
+    "nodes AS (SELECT doc_id FROM documents WHERE doc_id < 40), "
+    "tok AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok "
+    "FROM documents WHERE doc_id < 40), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n "
+    "FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "pairs AS (SELECT id_a, id_b FROM inter "
+    "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE round(n / (sa.sz + sb.sz - n), 6) >= 0.5), "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "UNION ALL SELECT id_b, id_a FROM pairs), "
+    "reach(id, r) AS (SELECT doc_id, doc_id FROM nodes "
+    "UNION SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r), "
+    "clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id) "
+)
+
+
+def _cluster_inputs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < 40)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", max_id=40).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return docs, bounded, dedup_clusters(bounded, pairs, "doc_id")
+
+
+@query("q_dedup_clusters", oracle=_CLUSTER_CTE + "SELECT doc_id, cluster_id FROM clusters")
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs → clusters: connected components over exact-Jaccard ≥ 0.5
+    edges by iterative min-label propagation; cluster_id = min reachable
+    id; singletons cluster with themselves. The DuckDB recursive CTE walks
+    the same graph."""
+    _, _, clusters = _cluster_inputs(spark, sf_dir)
+    return clusters
+
+
+@query(
+    "q_dedup_keep",
+    oracle=(
+        _CLUSTER_CTE
+        + "SELECT d.doc_id, d.text FROM documents d "
+        "JOIN clusters c ON d.doc_id = c.doc_id WHERE c.doc_id = c.cluster_id"
+    ),
+)
+def q_dedup_keep(spark, sf_dir):
+    """Cluster keep-list: one representative (the min-id cluster label) per
+    near-dup cluster — the filter a training pipeline applies after
+    clustering."""
+    from yark_spark.operators.dedup import dedup_representatives
+
+    docs, bounded, clusters = _cluster_inputs(spark, sf_dir)
+    return dedup_representatives(
+        bounded.select("doc_id", "text"), clusters, "doc_id"
+    )
+
+
 @query("q_ann_ivf")  # rows-only: KMeans cell assignment is engine-specific
 def q_ann_ivf(spark, sf_dir):
     """E3 IVF ANN: KMeans coarse quantizer → inverted cell lists → n_probe
