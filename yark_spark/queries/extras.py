@@ -89,6 +89,75 @@ def q_dedup_keep(spark, sf_dir):
     )
 
 
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "q_pack_sequences",
+    oracle=(
+        "SELECT doc_id, n_tokens, "
+        "CAST(floor((cum - n_tokens) / "
+        f"{PACK_BUDGET}.0) AS BIGINT) AS bin FROM ("
+        "  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+        "  sum(len(string_split(text, ' '))) OVER ("
+        "    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+        "  FROM documents WHERE doc_id < 500) t"
+    ),
+)
+def q_pack_sequences(spark, sf_dir):
+    """Concatenation-style sequence packing (GPT-pretraining layout): lay
+    documents out in id order and assign each to the PACK_BUDGET-token bin
+    its first token falls in (docs may straddle bins — the downstream
+    chunker's concern). One window cumsum, no UDF; at scale the window
+    would partition by a shard key (e.g. source) to keep state bounded."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.floor((F.sum(n_tok).over(w) - n_tok) / F.lit(float(PACK_BUDGET)))
+        .cast("long")
+        .alias("bin"),
+    )
+
+
+@query("q_pack_greedy")  # rows-only: stateful per-group fold (applyInPandas)
+def q_pack_greedy(spark, sf_dir):
+    """Exact greedy bin packing per language stratum: walk docs in id
+    order, close a bin when the next doc would overflow PACK_BUDGET
+    (oversized docs get a bin alone). Inherently a sequential fold →
+    applyInPandas per stratum; strata process in parallel, each holding
+    only its own rows (Arrow-batched, no driver collect)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, current = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if fill and fill + n > PACK_BUDGET:
+                current += 1
+                fill = 0
+            fill += int(n)
+            bins.append(current)
+        pdf["bin"] = bins
+        return pdf
+
+    return docs.groupBy("lang").applyInPandas(
+        pack, "doc_id long, lang string, n_tokens int, bin long"
+    )
+
+
 @query("q_ann_ivf")  # rows-only: KMeans cell assignment is engine-specific
 def q_ann_ivf(spark, sf_dir):
     """E3 IVF ANN: KMeans coarse quantizer → inverted cell lists → n_probe
