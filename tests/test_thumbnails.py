@@ -55,6 +55,38 @@ def test_dump_thumbnails_cli(spark, tmp_path, capsys):
         assert f.read() == b"edited"
 
 
+def test_binary_source_roundtrips_dump(spark, tmp_path):
+    """E4 inverse path: dump → binaryFile re-ingest → restore onto videos.
+    Bytes survive the full cycle; rows without a dumped file keep their
+    stored thumbnail."""
+    from yark_spark.sources.binary import read_binary_dir, restore_thumbnails
+
+    store_dir = str(tmp_path / "store")
+    store = ParquetStore(spark, store_dir)
+    store.write("videos", insert_ignore(store.read("videos"), _videos_with_thumbs(spark), ["video_id"]))
+    out = str(tmp_path / "thumbs")
+    assert cli.main(["dump-thumbnails", "--store", store_dir, "--out", out], spark=spark) == 0
+
+    files = read_binary_dir(spark, out)
+    got = {r.file_id: (r.ext, bytes(r.content), r.length) for r in files.collect()}
+    assert got == {
+        "vidthumb001": ("jpg", b"\xff\xd8fakejpegbytes", 15),
+        "vidthumb002": ("webp", b"RIFFfakewebp", 12),
+    }
+
+    # wipe stored thumbnails, then restore from the dumped files
+    from pyspark.sql import functions as F
+
+    stripped = store.read("videos").withColumn(
+        "thumbnail", F.lit(None).cast("binary")
+    )
+    restored = restore_thumbnails(stripped, files)
+    by_id = {r.video_id: r.thumbnail for r in restored.select("video_id", "thumbnail").collect()}
+    assert bytes(by_id["vidthumb001"]) == b"\xff\xd8fakejpegbytes"
+    assert bytes(by_id["vidthumb002"]) == b"RIFFfakewebp"
+    assert by_id["vidnothumb03"] is None
+
+
 def test_resize_and_frame_sample(spark, sf_dir):
     from yark_spark.operators.multimodal import resize_images, sample_frames, with_binary_payload
     from yark_spark.io import load_table
