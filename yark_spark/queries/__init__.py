@@ -31,7 +31,7 @@ from yark_spark.queries import extras  # noqa: F401,E402  (keep LAST — see its
 
 # Keys with a green driver CORRECTNESS row from round 1 (the first 50
 # registered keys at the time; see VERDICT.md "Next round" item 1).
-DRIVER_VERIFIED: frozenset[str] = frozenset(
+_R1_VERIFIED: frozenset[str] = frozenset(
     {
         "q_full_scan", "q_projection", "q_point_lookup", "q_filter_scan",
         "q_not_null_filter", "q_semi_join", "q_anti_join", "q_multi_key_dedup",
@@ -50,6 +50,37 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q_posexplode",
     }
 )
+
+
+def _load_driver_verified() -> frozenset[str]:
+    """Union the round-1 set with every green row of every
+    ``CORRECTNESS_r*.json`` in the repo root, so the rotation advances
+    automatically each round without editing this file. Green = full
+    hash-match, or a rows-only key (err == "no_oracle") that produced a
+    row count. Failed keys stay unverified and re-enter the window."""
+    import glob
+    import json
+    import os
+
+    verified = set(_R1_VERIFIED)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                report = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for key, row in report.items():
+            if not isinstance(row, dict):
+                continue
+            full_pass = row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
+            rows_only_pass = row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            if full_pass or rows_only_pass:
+                verified.add(key)
+    return frozenset(verified)
+
+
+DRIVER_VERIFIED: frozenset[str] = _load_driver_verified()
 
 
 def driver_ordered(mapping: dict) -> dict:
