@@ -15,6 +15,45 @@ def test_minhash_signature_is_shuffle_free(spark, sf_dir):
     assert count_exchanges(sig) == 0, formatted_plan(sig)
 
 
+def test_simhash_pipeline_shapes(spark, sf_dir):
+    """SimHash signature is map-only; the uncapped candidate pipeline is
+    scan → map → ONE pair join (shared banded_pairs core), no cartesian."""
+    from yark_spark.operators.dedup import simhash, simhash_candidates
+
+    sig = simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    assert count_exchanges(sig) == 0, formatted_plan(sig)
+
+    pairs = simhash_candidates(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_bucket=None
+    )
+    plan = formatted_plan(pairs)
+    assert "Cartesian" not in plan, plan
+    assert count_exchanges(pairs) == 0, plan
+    phys = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert phys.count("Join") == 1, plan
+
+
+def test_pack_sequences_single_window_exchange(spark, sf_dir):
+    """Concatenation packing is one global-window cumsum: a single
+    exchange, everything else map-side."""
+    from yark_spark.queries.extras import q_pack_sequences
+
+    df = q_pack_sequences(spark, sf_dir)
+    assert count_exchanges(df) <= 1, formatted_plan(df)
+
+
+def test_ivf_probe_is_equi_join(spark, sf_dir):
+    """IVF candidate generation joins on cell (inverted-list probe): no
+    cartesian product anywhere in the plan."""
+    from yark_spark.operators.similarity import ivf_topk
+
+    df = ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), query_max_id=5, k=3, n_cells=4, n_probe=2
+    )
+    plan = formatted_plan(df)
+    assert "Cartesian" not in plan, plan
+
+
 def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     """Brute-force top-k: the query side must broadcast, and the per-query
     ranking must be two-phase — a map-side partial top-k reduction
