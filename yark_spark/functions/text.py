@@ -92,6 +92,53 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+#: PII patterns — written in the regex subset Java (Spark) and RE2 (DuckDB)
+#: agree on, so the oracle can mirror the exact chain. Order matters:
+#: emails first (their local part can look phone-like), then IPs, then
+#: phone-like digit runs.
+PII_PATTERNS = [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("\\+?\\d[\\d\\- ]{7,}\\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Chained regexp_replace over PII_PATTERNS — pure codegen'd column
+    work, one scan at any scale."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def token_repetition_ratio(text: Column) -> Column:
+    """1 − distinct/total whitespace tokens: near 1 ⇒ degenerate repetition
+    (a standard gibberish/boilerplate quality filter)."""
+    toks = F.split(F.lower(F.trim(text)), "\\s+")
+    return F.round(
+        1 - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6
+    )
+
+
+def ngrams(text: Column, n: int = 5) -> Column:
+    """Distinct word n-grams as an array — built map-side with
+    transform-over-sequence (no explode), the unit for decontamination
+    overlap checks."""
+    toks = F.split(F.lower(F.trim(text)), "\\s+")
+    # floor the stop at 0: `when` evaluates BOTH branches, so the otherwise
+    # expression must stay well-defined for short docs (sequence(0, 0) →
+    # one truncated gram, discarded by the guard)
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+
+    def _gram(i):
+        return F.array_join(F.slice(toks, i + 1, n), " ")
+
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(starts, _gram))
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text. Same-content docs collide regardless of spacing/case — the

@@ -158,6 +158,106 @@ def q_pack_greedy(spark, sf_dir):
     )
 
 
+@query(
+    "q_redact_pii",
+    oracle=(
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+        "text || ' contact user' || doc_id || '@example.com or 10.0.0.' || (doc_id % 255) "
+        "|| ' tel +1 555-000-' || (1000 + doc_id % 9000), "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+        "'\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS redacted "
+        "FROM documents WHERE doc_id < 200"
+    ),
+)
+def q_redact_pii(spark, sf_dir):
+    """PII redaction (emails → IPs → phone runs, chained regexp_replace).
+    Deterministic synthetic PII is appended per doc so the patterns are
+    actually exercised; the oracle mirrors the exact chain."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0.0."), (F.col("doc_id") % 255).cast("string"),
+        F.lit(" tel +1 555-000-"), (1000 + F.col("doc_id") % 9000).cast("string"),
+    )
+    return docs.select("doc_id", redact_pii(seeded).alias("redacted"))
+
+
+@query(
+    "q_repetition_ratio",
+    oracle=(
+        "SELECT doc_id, round(1 - len(list_distinct(string_split(lower(trim(text)), ' ')))"
+        " / greatest(len(string_split(lower(trim(text)), ' ')), 1), 6) AS rep_ratio "
+        "FROM documents"
+    ),
+)
+def q_repetition_ratio(spark, sf_dir):
+    """Token-repetition quality filter: 1 − distinct/total tokens — near 1
+    flags degenerate boilerplate. Map-only."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.functions.text import token_repetition_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_repetition_ratio(F.col("text")).alias("rep_ratio"))
+
+
+NGRAM = 5  # decontamination shingle width
+
+
+@query(
+    "q_decontaminate",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks "
+        "FROM documents), "
+        "idx AS (SELECT doc_id, toks, "
+        f"unnest(range(0, greatest(len(toks) - {NGRAM}, 0) + 1)) AS s FROM tok "
+        f"WHERE len(toks) >= {NGRAM}), "
+        "grams AS (SELECT doc_id, "
+        f"array_to_string(toks[s + 1 : s + {NGRAM}], ' ') AS ng FROM idx), "
+        "bench AS (SELECT list(DISTINCT ng) AS bset FROM grams WHERE doc_id < 10), "
+        "corpus AS (SELECT doc_id, list(DISTINCT ng) AS gs FROM grams "
+        "WHERE doc_id >= 10 GROUP BY doc_id) "
+        "SELECT doc_id, len(list_intersect(gs, bset)) AS n_contaminated "
+        "FROM corpus, bench WHERE len(list_intersect(gs, bset)) >= 1"
+    ),
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    {NGRAM}-gram with the benchmark set (docs 0–9 stand in). Grams build
+    map-side (transform-over-sequence, no explode of the corpus); the
+    benchmark gram set aggregates once, broadcasts as one row, and overlap
+    is a map-only array_intersect — zero corpus shuffles, the right shape
+    when benchmarks are tiny next to a 100 TB corpus."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.functions.text import ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_grams = docs.select(
+        "doc_id", ngrams(F.col("text"), NGRAM).alias("gs")
+    ).filter(F.size("gs") > 0)
+    bench = (
+        with_grams.filter(F.col("doc_id") < 10)
+        .select(F.explode("gs").alias("ng"))
+        .agg(F.collect_set("ng").alias("bset"))
+    )
+    corpus = with_grams.filter(F.col("doc_id") >= 10)
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("gs", "bset")).alias("n_contaminated"),
+        )
+        .filter(F.col("n_contaminated") >= 1)
+    )
+
+
 @query("q_ann_ivf")  # rows-only: KMeans cell assignment is engine-specific
 def q_ann_ivf(spark, sf_dir):
     """E3 IVF ANN: KMeans coarse quantizer → inverted cell lists → n_probe
