@@ -258,6 +258,45 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+@query(
+    "q_grouped_agg_udf",
+    oracle=(
+        "SELECT label, round(median(sqrt(list_aggregate(list_transform("
+        "CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'))), 6) AS median_norm "
+        "FROM embeddings GROUP BY label"
+    ),
+)
+def q_grouped_agg_udf(spark, sf_dir):
+    """Grouped-AGG pandas UDF (true UDAF form, completing the §2.7 UDF
+    row): per-label median embedding norm inside groupBy().agg() — Arrow
+    ships each group's column once; the median itself has no built-in
+    exact equivalent usable under whole-stage codegen with this grouping
+    shape. Oracle = DuckDB's continuous median over the same arithmetic."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: `from __future__ import annotations` stringifies
+    # type hints, so signature-based inference can't see pd.Series -> float
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_norm(norms: pd.Series) -> float:
+        return float(norms.median())
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        emb.select("label", norm.alias("__n"))
+        .groupBy("label")
+        .agg(F.round(median_norm("__n"), 6).alias("median_norm"))
+    )
+
+
 @query("q_ann_ivf")  # rows-only: KMeans cell assignment is engine-specific
 def q_ann_ivf(spark, sf_dir):
     """E3 IVF ANN: KMeans coarse quantizer → inverted cell lists → n_probe
