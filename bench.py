@@ -118,7 +118,29 @@ def bench_stress(spark, sf_dir) -> dict:
     t0 = time.perf_counter()
     n_rows = cosine_topk(emb, query_max_id=200, k=5).count()
     cosine = {"sec": round(time.perf_counter() - t0, 4), "rows": n_rows, "queries": 200}
-    return {"dedup_skewed": dedup, "cosine_topk_wide": cosine}
+
+    # end-to-end curation (exact+fuzzy dedup -> clusters -> decontaminate
+    # -> quality filters -> redact -> pack) — the composed pipeline a
+    # training-data run would actually execute
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.curate import CurationConfig, curate
+
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    bench_docs = corpus.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    t0 = time.perf_counter()
+    curated, report = curate(
+        corpus.filter(F.col("doc_id") >= 10), benchmark=bench_docs, config=CurationConfig()
+    )
+    n_out = curated.count()
+    dt = time.perf_counter() - t0
+    cur = {
+        "sec": round(dt, 4),
+        "docs_in": report.counts["input"],
+        "docs_out": n_out,
+        "docs_per_sec": round(report.counts["input"] / dt),
+    }
+    return {"dedup_skewed": dedup, "cosine_topk_wide": cosine, "curate_e2e": cur}
 
 
 def bench_history_ingest(spark, n_rows: int = 100_000) -> dict:

@@ -1,0 +1,68 @@
+"""End-to-end corpus curation (operators/curate): stage invariants over
+the fixture corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yark_spark.functions.text import fingerprint
+from yark_spark.io import load_table
+from yark_spark.operators.curate import CurationConfig, curate
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def curated(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    bench = docs.filter(F.col("doc_id") < 5).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    out, report = curate(corpus, benchmark=bench, config=CurationConfig())
+    out = out.persist()
+    out.count()
+    return corpus, out, report
+
+
+def test_stage_counts_monotone(curated):
+    corpus, out, report = curated
+    c = report.counts
+    assert (
+        c["input"]
+        >= c["after_exact_dedup"]
+        >= c["after_fuzzy_dedup"]
+        >= c["after_decontamination"]
+        >= c["after_quality_filters"]
+        == c["output"]
+    )
+    assert c["output"] == out.count()
+    assert c["output"] > 0
+
+
+def test_no_duplicate_fingerprints_survive(curated):
+    _, out, _ = curated
+    fps = out.select(fingerprint(F.col("text")).alias("fp"))
+    assert fps.count() == fps.distinct().count()
+
+
+def test_quality_and_repetition_bounds(curated):
+    _, out, _ = curated
+    cfg = CurationConfig()
+    bad = out.filter(
+        (F.col("quality") < cfg.min_quality) | (F.col("rep_ratio") > cfg.max_repetition)
+    )
+    assert bad.count() == 0
+
+
+def test_pack_bins_start_at_zero_and_are_monotone(curated):
+    _, out, _ = curated
+    bins = out.orderBy("doc_id").select("pack_bin").toPandas()["pack_bin"]
+    assert bins.iloc[0] == 0
+    assert (bins.diff().dropna() >= 0).all()
+
+
+def test_deterministic(spark, curated):
+    corpus, out, _ = curated
+    bench = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 5)
+    again, _ = curate(corpus, benchmark=bench.select("doc_id", "text"), config=CurationConfig())
+    a = sorted(map(tuple, out.select("doc_id", "pack_bin").collect()))
+    b = sorted(map(tuple, again.select("doc_id", "pack_bin").collect()))
+    assert a == b

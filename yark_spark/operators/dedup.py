@@ -333,50 +333,62 @@ def dedup_clusters(
     node in ``nodes`` (singletons cluster with themselves); cluster_id =
     min id reachable through the pair graph.
 
-    Per iteration each node takes the min of its own label and its
-    neighbors' labels — one groupBy per round, converging in O(graph
-    diameter) rounds. Near-dup graphs are LSH-bucket cliques plus short
-    chains (diameter ≲ 3 in practice), so plain propagation beats the
-    large-star/small-star machinery here; ``max_iter`` guards degenerate
-    chains. Convergence = zero label changes (one count per round over the
-    changed-set, which shrinks geometrically).
+    Boruvka-style star contraction, not per-round propagation over the raw
+    edge set: LSH near-dup graphs are dominated by big cliques, where a
+    single min-neighbor pass already collapses every clique to its min id.
+    Each level (1) labels every node with min(self, min direct neighbor) —
+    one aggregation over the edges, no join; (2) contracts the graph to
+    distinct cross-label edges — after level 1 this is tiny (inter-cluster
+    chains only), so the O(|E|) work happens exactly once instead of once
+    per round; (3) recurses on the contracted graph and composes. Levels
+    needed = O(log diameter); ``max_iter`` bounds them.
 
-    Each round's frontier is ``localCheckpoint``-ed: an iterative join's
-    LOGICAL PLAN doubles per round (persist caches data, not the plan), so
-    without truncation the driver OOMs building plan trees after ~10
-    rounds. Local checkpointing keeps the plan one round deep; on a
+    Frontiers are ``localCheckpoint``-ed: an iterative join's LOGICAL PLAN
+    compounds per level (persist caches data, not the plan), so without
+    truncation the driver OOMs building plan trees on deep graphs. On a
     long-running production cluster with executor churn, swap in reliable
     ``checkpoint(dir)`` — same shape, durable storage.
     """
     ids = nodes.select(F.col(id_col).alias("id")).distinct()
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = fwd.unionByName(
+    # persist: the top-level edge set is consumed twice (min-neighbor agg
+    # and the contraction join) — without caching, an expensive upstream
+    # (the LSH pair join) would run once per consumer
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     ).persist()
-    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint()
+    out = _components(ids, edges, max_iter)
+    edges.unpersist()  # out's frontiers are checkpointed; lineage is cut
+    return out.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("src", "id")
-        )
-        updated = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                (F.coalesce("nbr_label", "label") < F.col("label")).alias("__chg"),
-            )
-            .localCheckpoint()  # eager: materializes + truncates lineage
-        )
-        changed = updated.filter(F.col("__chg")).count()
-        labels = updated.drop("__chg")
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+def _components(ids: DataFrame, edges: DataFrame, levels: int) -> DataFrame:
+    """(id, label) connected-component labels; label = min id in component.
+    ``edges`` must be symmetric. See dedup_clusters for the algorithm."""
+    nbr_min = edges.groupBy("src").agg(F.min("dst").alias("m")).withColumnRenamed("src", "id")
+    labels = (
+        ids.join(nbr_min, "id", "left")
+        .select("id", F.least("id", F.coalesce("m", "id")).alias("label"))
+        .localCheckpoint()  # eager: materializes + truncates lineage
+    )
+    if levels <= 1:
+        return labels
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+    contracted = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .where(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
+        .distinct()  # symmetric in, symmetric out — both directions survive
+        .localCheckpoint()
+    )
+    if contracted.isEmpty():
+        return labels
+    sub = _components(
+        labels.select(F.col("label").alias("id")).distinct(), contracted, levels - 1
+    )
+    remap = sub.select(F.col("id").alias("label"), F.col("label").alias("root"))
+    return labels.join(remap, "label").select("id", F.col("root").alias("label"))
 
 
 def dedup_representatives(
