@@ -297,6 +297,25 @@ def q_grouped_agg_udf(spark, sf_dir):
     )
 
 
+@query("q_curate_pipeline")  # rows-only: composes LSH/cluster stages (engine-specific)
+def q_curate_pipeline(spark, sf_dir):
+    """The composed curation pipeline (operators/curate): docs 0–9 as the
+    benchmark, the rest curated — exact+fuzzy dedup, cluster reps,
+    decontamination, quality filters, redaction, packing. Stage invariants
+    are asserted in tests/test_curate.py."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.curate import CurationConfig, curate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out, _ = curate(
+        docs.filter(F.col("doc_id") >= 10),
+        benchmark=docs.filter(F.col("doc_id") < 10).select("doc_id", "text"),
+        config=CurationConfig(),
+    )
+    return out.select("doc_id", "quality", "rep_ratio", "pack_bin")
+
+
 @query("q_ann_ivf")  # rows-only: KMeans cell assignment is engine-specific
 def q_ann_ivf(spark, sf_dir):
     """E3 IVF ANN: KMeans coarse quantizer → inverted cell lists → n_probe
