@@ -155,10 +155,18 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
     """Arrow-batched feature extraction over a binary column via
     mapInPandas: map-only (no shuffle), one pandas batch per Arrow chunk."""
 
+    def _features(payload: bytes) -> tuple[int, int, str]:
+        # local twin of fake_image_features: nested so cloudpickle ships it
+        # BY VALUE — a module-level reference would make every Python
+        # worker import yark_spark, which only works when the driver's
+        # sys.path/cwd happens to reach the repo
+        h = hashlib.sha1(payload).digest()
+        return 64 + h[0] % 192, 64 + h[1] % 192, "RGB" if h[2] % 2 == 0 else "L"
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
-            feats = [fake_image_features(bytes(p)) for p in payloads]
+            feats = [_features(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

@@ -177,7 +177,9 @@ def q_math_floor(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        (F.floor(F.col("o_totalprice") / 1000) * 1000).alias("price_bucket"),
+        # cast: Spark floor() is LONG, DuckDB floor() is DOUBLE — align the
+        # wire type so the driver's value hash sees identical cells
+        (F.floor(F.col("o_totalprice") / 1000) * 1000).cast("double").alias("price_bucket"),
         (F.floor(F.col("o_totalprice") * 10) / 10).alias("price_trunc1"),
     )
 

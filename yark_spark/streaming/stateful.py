@@ -118,6 +118,18 @@ def track_sessions(events: DataFrame, watermark_delay: str = "10 minutes") -> Da
     """events(user_id long, video string, watched timestamp) stream →
     closed-session summaries. The watermark both bounds late data and
     drives session-timeout firing."""
+    # ship this module BY VALUE: the tracker is module-level (testable), so
+    # cloudpickle would otherwise serialize it by reference and every
+    # Python worker would need yark_spark importable (true only when the
+    # driver's cwd/sys.path reaches the repo)
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
     return events.withWatermark("watched", watermark_delay).groupBy(
         "user_id"
     ).applyInPandasWithState(
