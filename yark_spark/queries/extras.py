@@ -297,6 +297,31 @@ def q_grouped_agg_udf(spark, sf_dir):
     )
 
 
+@query(
+    "q_vocabulary",
+    oracle=(
+        "WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok "
+        "FROM documents) "
+        "SELECT tok, count(*) AS n FROM tok GROUP BY tok "
+        "ORDER BY n DESC, tok LIMIT 100"
+    ),
+)
+def q_vocabulary(spark, sf_dir):
+    """Corpus vocabulary stats (tokenizer-training prep): top-100 tokens by
+    frequency, deterministic tie-break. explode → partial-agg count →
+    TakeOrderedAndProject: the heavy explode never leaves the map side."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(100)
+    )
+
+
 @query("q_curate_pipeline")  # rows-only: composes LSH/cluster stages (engine-specific)
 def q_curate_pipeline(spark, sf_dir):
     """The composed curation pipeline (operators/curate): docs 0–9 as the
