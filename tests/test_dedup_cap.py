@@ -134,6 +134,48 @@ def test_simhash_candidates_cap(spark):
     assert len(uncapped[(uncapped.id_a < 30) & (uncapped.id_b < 30)]) == 435
 
 
+def test_banded_pairs_single_emission_matches_naive(spark):
+    """Property: for random corpora, the first-band rule emits exactly the
+    set of pairs the naive band-join + distinct would — each exactly once."""
+    import random
+
+    from yark_spark.operators.dedup import minhash_lsh_candidates, minhash_signature
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(3, 8)))) for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = minhash_signature(docs, "doc_id", "text").persist()
+    got = [(r.id_a, r.id_b) for r in minhash_lsh_candidates(sig, "doc_id", max_bucket=None).collect()]
+    assert len(got) == len(set(got))  # no pair emitted twice
+
+    # naive reference: explode band keys, equi-join, distinct
+    from pyspark.sql import functions as F
+
+    bands, rpb = 4, 4
+    keyed = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.hash(F.slice("mhs", b * rpb + 1, rpb)) for b in range(bands)])
+        ).alias("band", "key"),
+    )
+    naive = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    assert set(got) == {(r.id_a, r.id_b) for r in naive.collect()}
+    sig.unpersist()
+
+
 def test_capped_plan_has_no_cartesian(spark):
     docs = _corpus(spark)
     plan = fuzzy_dedup_pairs(docs, "doc_id", "text", max_bucket=10)._jdf.queryExecution().executedPlan().toString()

@@ -54,6 +54,15 @@ def test_ivf_probe_is_equi_join(spark, sf_dir):
     assert "Cartesian" not in plan, plan
 
 
+def test_global_sort_is_range_partitioned(spark, sf_dir):
+    """q_global_sort must exchange on RANGE partitioning (sampled
+    boundaries, disjoint sorted slices) — never a single-task sort."""
+    from yark_spark.queries.extras import q_global_sort
+
+    plan = formatted_plan(q_global_sort(spark, sf_dir))
+    assert "rangepartitioning" in plan.lower(), plan
+
+
 def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     """Brute-force top-k: the query side must broadcast, and the per-query
     ranking must be two-phase — a map-side partial top-k reduction

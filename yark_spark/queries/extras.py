@@ -298,6 +298,26 @@ def q_grouped_agg_udf(spark, sf_dir):
 
 
 @query(
+    "q_global_sort",
+    oracle=(
+        "SELECT c_custkey, c_name, c_acctbal FROM customer "
+        "ORDER BY c_acctbal DESC, c_custkey"
+    ),
+)
+def q_global_sort(spark, sf_dir):
+    """Global total-order sort (no limit): Spark samples range boundaries
+    and range-partitions, so every task sorts a disjoint slice — the
+    distributed ORDER BY shape (vs q_topk's TakeOrderedAndProject)."""
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    )
+
+
+@query(
     "q_vocabulary",
     oracle=(
         "WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok "
