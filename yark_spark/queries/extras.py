@@ -298,6 +298,71 @@ def q_grouped_agg_udf(spark, sf_dir):
 
 
 @query(
+    "q_asof_grouped",
+    oracle=(
+        "SELECT e.event_id, e.user_id, e.ts, "
+        "(SELECT max(o_orderdate) FROM orders o "
+        " WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof_orderdate "
+        "FROM events e"
+    ),
+)
+def q_asof_grouped(spark, sf_dir):
+    """The cogrouped pandas merge_asof variant of q_asof_join — same
+    semantics (at-or-before, matched row's value, max tie-break), same
+    oracle; driver-verifies the applyInPandas cogroup path specifically."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.asof import asof_join_grouped
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate"),
+        F.col("o_orderdate").alias("o_orderdate_v"),  # value ≠ ts column name
+    )
+    return asof_join_grouped(
+        events, orders, "user_id", "ts", "o_orderdate", "o_orderdate_v", "asof_orderdate"
+    ).select("event_id", "user_id", "ts", "asof_orderdate")
+
+
+@query(
+    "q_comments_tree",
+    oracle=(
+        "WITH RECURSIVE adj AS ("
+        "  SELECT c_custkey AS id, "
+        "  CASE WHEN c_custkey < 8 THEN NULL ELSE c_custkey // 8 END AS parent "
+        "  FROM customer), "
+        "walk(id, root_id, depth) AS ("
+        "  SELECT id, id, 0 FROM adj WHERE parent IS NULL "
+        "  UNION ALL "
+        "  SELECT a.id, w.root_id, w.depth + 1 FROM adj a JOIN walk w ON a.parent = w.id) "
+        "SELECT id, root_id, depth FROM walk"
+    ),
+)
+def q_comments_tree(spark, sf_dir):
+    """The comments adjacency-tree traversal (`schema.sql:37` self-FK)
+    driver-verified on a synthetic forest over customer: parent(k) = k//8,
+    keys < 8 are roots. Exercises operators/comments.resolve_roots — the
+    iterative self-join with per-level convergence — against a DuckDB
+    recursive CTE."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.comments import resolve_roots
+
+    adj = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("comment_id"),
+        F.when(F.col("c_custkey") < 8, F.lit(None))
+        .otherwise(F.floor(F.col("c_custkey") / 8).cast("string"))
+        .alias("parent"),
+    )
+    return resolve_roots(adj).select(
+        F.col("comment_id").cast("long").alias("id"),
+        F.col("root_id").cast("long").alias("root_id"),
+        F.col("depth").cast("int").alias("depth"),
+    )
+
+
+@query(
     "q_global_sort",
     oracle=(
         "SELECT c_custkey, c_name, c_acctbal FROM customer "
