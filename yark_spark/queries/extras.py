@@ -298,6 +298,73 @@ def q_grouped_agg_udf(spark, sf_dir):
 
 
 @query(
+    "q_histogram",
+    oracle=(
+        "SELECT CAST(floor(o_totalprice * 24 / 600000) AS BIGINT) AS bucket, "
+        "count(*) AS n, round(min(o_totalprice), 2) AS lo, "
+        "round(max(o_totalprice), 2) AS hi "
+        "FROM orders GROUP BY bucket"
+    ),
+)
+def q_histogram(spark, sf_dir):
+    """Value-distribution profiling: fixed-width histogram over order
+    totals (explicit floor arithmetic — width_bucket has no DuckDB
+    equivalent) — single scan, map-side partial agg."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(F.floor(F.col("o_totalprice") * 24 / 600000).alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "q_corr_covar",
+    oracle=(
+        "SELECT l_linestatus, round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr, "
+        "round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar "
+        "FROM lineitem GROUP BY l_linestatus"
+    ),
+)
+def q_corr_covar(spark, sf_dir):
+    """Column-relationship profiling: Pearson correlation and sample
+    covariance per group — built-in aggregates, one shuffle."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+    )
+
+
+@query(
+    "q_ntile",
+    oracle=(
+        "SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile "
+        "FROM customer"
+    ),
+)
+def q_ntile(spark, sf_dir):
+    """Quartile assignment (ntile window) — the split-by-quantile op a
+    stratified training/eval partition uses; explicit tie-break keeps the
+    assignment deterministic."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.ntile(4).over(w).alias("balance_quartile")
+    )
+
+
+@query(
     "q_asof_grouped",
     oracle=(
         "SELECT e.event_id, e.user_id, e.ts, "
