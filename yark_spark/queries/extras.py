@@ -365,6 +365,49 @@ def q_ntile(spark, sf_dir):
 
 
 @query(
+    "q_percent_rank",
+    oracle=(
+        "SELECT c_custkey, round(percent_rank() OVER w, 6) AS pr, "
+        "round(cume_dist() OVER w, 6) AS cd FROM customer "
+        "WINDOW w AS (ORDER BY c_acctbal, c_custkey)"
+    ),
+)
+def q_percent_rank(spark, sf_dir):
+    """Relative-rank analytics (percent_rank + cume_dist) — completes the
+    §2.7 window family; tie-broken ordering keeps both engines aligned."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle=(
+        "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations "
+        "FROM nation GROUP BY n_regionkey"
+    ),
+)
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG shape): collect → sort →
+    join — deterministic order makes it hash-comparable across engines."""
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )
+
+
+@query(
     "q_asof_grouped",
     oracle=(
         "SELECT e.event_id, e.user_id, e.ts, "
