@@ -48,12 +48,19 @@ def main() -> None:
     # warm the JVM + file listing so per-query numbers measure the plan
     QUERIES["q_full_scan"](spark, sf_dir).count()
 
+    # min of two executions per query: the first run can pay whole-stage
+    # codegen JIT + shuffle-file warmup (round-1 recorded 4.5-8.9 s for the
+    # same q_dedup_fuzzy plan); the min is the stable plan cost
     timings: dict[str, float] = {}
     for key in HEADLINE:
-        df = QUERIES[key](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.count()
-        timings[key] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(2):
+            df = QUERIES[key](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[key] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     ingest = bench_history_ingest(spark)
