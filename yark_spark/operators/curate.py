@@ -22,16 +22,17 @@ from pyspark.sql import functions as F
 from yark_spark.functions.text import (
     fingerprint,
     lang_id,
-    ngrams,
     quality_score,
     redact_pii,
     token_repetition_ratio,
 )
+from yark_spark.operators.decontaminate import decontaminate
 from yark_spark.operators.dedup import (
     dedup_clusters,
     dedup_representatives,
     fuzzy_dedup_pairs,
 )
+from yark_spark.operators.packing import partitioned_cumsum
 
 
 @dataclass
@@ -44,12 +45,21 @@ class CurationConfig:
     bands: int = 4
     max_bucket: int | None = 4096
     decontaminate_ngram: int = 5
+    decontaminate_mode: str = "auto"         # broadcast | join | auto (by gram count)
     pack_budget: int = 512
 
 
 @dataclass
 class CurationReport:
     counts: dict[str, int] = field(default_factory=dict)
+    cached: list[DataFrame] = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        """Release the frontiers curate() kept cached for the returned lazy
+        graph — call once the curated DataFrame has been consumed."""
+        for df in self.cached:
+            df.unpersist()
+        self.cached.clear()
 
 
 def curate(
@@ -62,12 +72,14 @@ def curate(
     """Run the full curation pipeline; returns (curated_df, report).
 
     ``benchmark`` (optional, id/text-shaped) drives decontamination: any
-    doc sharing a word n-gram with it is dropped. The returned DataFrame
-    has the surviving docs plus quality metadata and a ``pack_bin``
-    assignment; the report holds per-stage surviving-row counts. The heavy
-    frontiers (exact-dedup output, fuzzy representatives) are persisted so
-    stage counts and the returned graph share one computation; the fuzzy
-    frontier stays cached for the caller (unpersist it when done).
+    doc sharing a word n-gram with it is dropped (shape auto-selected by
+    benchmark gram count — see operators/decontaminate). The returned
+    DataFrame has the surviving docs plus quality metadata and a
+    ``pack_bin`` assignment; the report holds per-stage surviving-row
+    counts. The heavy frontiers (exact-dedup output, fuzzy representatives)
+    are persisted so stage counts and the returned graph share one
+    computation; handles still cached on return ride in ``report.cached`` —
+    call ``report.unpersist()`` after consuming the curated DataFrame.
     """
     cfg = config or CurationConfig()
     report = CurationReport()
@@ -102,23 +114,23 @@ def curate(
         max_bucket=cfg.max_bucket,
     )
     clusters = dedup_clusters(exact, pairs, id_col)
-    fuzzy = dedup_representatives(exact, clusters, id_col).persist()
-    report.counts["after_fuzzy_dedup"] = fuzzy.count()
-    exact.unpersist()  # fuzzy is materialized; downstream reads only it
+    fuzzy_frontier = dedup_representatives(exact, clusters, id_col).persist()
+    report.cached.append(fuzzy_frontier)  # caller releases via report.unpersist()
+    report.counts["after_fuzzy_dedup"] = fuzzy_frontier.count()
+    exact.unpersist()  # fuzzy frontier is materialized; downstream reads only it
+    fuzzy = fuzzy_frontier
 
     # 3. decontamination: drop docs overlapping the benchmark gram set
+    # (broadcast array_intersect for small benchmarks, gram anti-join for
+    # large suites — see operators/decontaminate)
     if benchmark is not None:
-        bench_set = (
-            benchmark.select(
-                F.explode(ngrams(F.col(text_col), cfg.decontaminate_ngram)).alias("ng")
-            )
-            .agg(F.collect_set("ng").alias("bset"))
-        )
-        grams = ngrams(F.col(text_col), cfg.decontaminate_ngram)
-        fuzzy = (
-            fuzzy.crossJoin(F.broadcast(bench_set))
-            .filter(F.size(F.array_intersect(grams, F.col("bset"))) == 0)
-            .drop("bset")
+        fuzzy = decontaminate(
+            fuzzy,
+            benchmark,
+            id_col=id_col,
+            text_col=text_col,
+            n=cfg.decontaminate_ngram,
+            mode=cfg.decontaminate_mode,
         )
         report.counts["after_decontamination"] = fuzzy.count()
 
@@ -136,13 +148,21 @@ def curate(
     report.counts["after_quality_filters"] = kept.count()
 
     # 5. redact PII, then pack into training-sequence bins (id-ordered
-    # concatenation layout; window cumsum)
+    # concatenation layout). The running token count is a DISTRIBUTED
+    # prefix sum (range partition → per-partition cumsum → broadcast
+    # offsets), replacing round 2's single-task unpartitioned window.
     redacted = kept.withColumn(text_col, redact_pii(F.col(text_col)))
     n_tok = F.size(F.split(F.col(text_col), "\\s+"))
-    wp = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    curated = redacted.withColumn(
-        "pack_bin",
-        F.floor((F.sum(n_tok).over(wp) - n_tok) / F.lit(float(cfg.pack_budget))).cast("long"),
+    staged = redacted.withColumn("__ntok", n_tok)
+    curated = (
+        partitioned_cumsum(staged, [id_col], "__ntok", "__cum")
+        .withColumn(
+            "pack_bin",
+            F.floor(
+                (F.col("__cum") - F.col("__ntok")) / F.lit(float(cfg.pack_budget))
+            ).cast("long"),
+        )
+        .drop("__ntok", "__cum")
     )
     report.counts["output"] = report.counts["after_quality_filters"]
     return curated, report

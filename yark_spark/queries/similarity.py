@@ -13,18 +13,21 @@ _COSINE_SQL = (
 )
 
 
-@query(
-    "q_cosine_topk",
-    oracle=(
-        "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10), "
-        "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
-        + _COSINE_SQL.format(a="q.qv", b="e.embedding")
-        + " AS cosine_sim FROM q JOIN embeddings e ON e.vec_id <> q.query_id), "
-        "ranked AS (SELECT *, row_number() OVER ("
-        "PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn FROM scored) "
-        "SELECT query_id, neighbor_id, cosine_sim FROM ranked WHERE rn <= 5"
-    ),
+#: brute-force top-5 cosine neighbors for queries vec_id < 10 — the oracle
+#: for the exact path (q_cosine_topk) AND for full-probe IVF (q_ann_ivf in
+#: queries/extras: probing every cell must reproduce the exact result).
+COSINE_TOPK_ORACLE = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10), "
+    "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+    + _COSINE_SQL.format(a="q.qv", b="e.embedding")
+    + " AS cosine_sim FROM q JOIN embeddings e ON e.vec_id <> q.query_id), "
+    "ranked AS (SELECT *, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn FROM scored) "
+    "SELECT query_id, neighbor_id, cosine_sim FROM ranked WHERE rn <= 5"
 )
+
+
+@query("q_cosine_topk", oracle=COSINE_TOPK_ORACLE)
 def q_cosine_topk(spark, sf_dir):
     """E3 brute-force cosine top-k (correctness baseline): query set
     broadcast, candidates stream map-side, final per-query top-k via window.
