@@ -39,3 +39,26 @@ def test_representatives_keep_min_per_cluster(spark):
     got, nodes, clusters = _clusters(spark, [1, 2, 3, 9], [(1, 2), (2, 3)])
     kept = dedup_representatives(nodes, clusters, "doc_id")
     assert sorted(r.doc_id for r in kept.collect()) == [1, 9]
+
+
+def test_path_graph_levels_logarithmic(spark):
+    """Worst case for star contraction: a pure path (diameter n-1, no
+    cliques). Levels used must stay O(log n) — the plan-depth bound that
+    keeps the driver alive on deep graphs (VERDICT r2 item 7)."""
+    import math
+
+    n = 256
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats = {}
+    out = dedup_clusters(nodes, pairs, "doc_id", stats=stats)
+    labels = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert set(labels.values()) == {0}
+    assert len(labels) == n
+    # pointer doubling flattens the whole path inside level 1 (the parent
+    # forest is the chain k -> k-1, depth n-1 -> ceil(log2) rounds); without
+    # it the contraction needs n-1 LEVELS (the round-2 behavior)
+    assert stats["levels"] <= 3, stats
+    assert stats["pointer_rounds"] <= math.ceil(math.log2(n)) + 3, stats

@@ -35,3 +35,50 @@ def test_concat_packing_bins_monotone(spark):
     )
     assert (out.diff().dropna() >= 0).all()
     assert out.iloc[0] == 0
+
+
+def test_partitioned_cumsum_matches_reference(spark):
+    """The two-pass distributed prefix sum equals a driver-side cumsum for
+    every partition count — including P > rows (empty partitions) and P=1."""
+    import pandas as pd
+
+    from yark_spark.operators.packing import partitioned_cumsum
+
+    pdf = pd.DataFrame({"k": range(257), "v": [(i * 37) % 101 for i in range(257)]})
+    expected = pdf.sort_values("k")["v"].cumsum().tolist()
+    df = spark.createDataFrame(pdf)
+    for n in (1, 7, 32, 400):
+        got = (
+            partitioned_cumsum(df, ["k"], "v", "cum", num_partitions=n)
+            .orderBy("k")
+            .select("cum")
+            .toPandas()["cum"]
+            .tolist()
+        )
+        assert got == expected, f"num_partitions={n}"
+
+
+def test_global_row_number_and_ntile_match_window(spark):
+    """global_row_number + ntile_expr reproduce Spark's own row_number() and
+    ntile() for several N (exercising uneven tile sizes)."""
+    from pyspark.sql import Window
+
+    from yark_spark.operators.packing import global_row_number, ntile_expr
+
+    df = spark.range(103).select(
+        F.col("id"), (F.col("id") * 31 % 47).alias("key")
+    )
+    w = Window.orderBy("key", "id")
+    for n in (2, 4, 7):
+        ref = df.select(
+            "id", F.row_number().over(w).alias("rn"), F.ntile(n).over(w).alias("t")
+        )
+        got = global_row_number(df, ["key", "id"], "rn").crossJoin(
+            F.broadcast(df.agg(F.count(F.lit(1)).alias("N")))
+        ).select("id", "rn", ntile_expr(F.col("rn"), F.col("N"), n).alias("t"))
+        mismatches = (
+            ref.join(got, "id")
+            .where((ref["rn"] != got["rn"]) | (ref["t"] != got["t"]))
+            .count()
+        )
+        assert mismatches == 0, f"ntile n={n}"

@@ -294,7 +294,7 @@ def simhash_candidates(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
-    max_bucket: int | None = 4096,
+    max_bucket: int | None = None,
     observation=None,
 ) -> DataFrame:
     """E2 SimHash near-dup pairs: 64-bit signature → ``bands`` × 16-bit
@@ -302,9 +302,15 @@ def simhash_candidates(
 
     Two docs within ``max_hamming`` bit flips differ in at most
     ``max_hamming`` bands, so with bands > max_hamming at least one band
-    key matches exactly (pigeonhole) — banding loses no true pair. The
-    Hamming distance is one codegen'd ``bit_count(xor)`` over the carried
-    signatures; no re-join against the signature table."""
+    key matches exactly (pigeonhole) — banding loses no true pair, BUT ONLY
+    UNCAPPED: ``max_bucket`` nulls oversized band buckets, and a cluster of
+    near-identical docs hot in EVERY band would then yield zero pairs. The
+    default is therefore ``max_bucket=None`` (the guarantee holds); callers
+    with boilerplate-heavy corpora opt into the cap explicitly and accept
+    the documented recall loss on mega-clusters (exact duplicates are
+    exact_dedup's job either way). The Hamming distance is one codegen'd
+    ``bit_count(xor)`` over the carried signatures; no re-join against the
+    signature table."""
     sig = simhash(df, id_col, text_col)
     width = 64 // bands
     mask = (1 << width) - 1
@@ -327,27 +333,37 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str,
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: connected components by
     iterative min-label propagation. Returns (id, cluster_id) for every
     node in ``nodes`` (singletons cluster with themselves); cluster_id =
     min id reachable through the pair graph.
 
-    Boruvka-style star contraction, not per-round propagation over the raw
-    edge set: LSH near-dup graphs are dominated by big cliques, where a
-    single min-neighbor pass already collapses every clique to its min id.
-    Each level (1) labels every node with min(self, min direct neighbor) —
-    one aggregation over the edges, no join; (2) contracts the graph to
-    distinct cross-label edges — after level 1 this is tiny (inter-cluster
-    chains only), so the O(|E|) work happens exactly once instead of once
-    per round; (3) recurses on the contracted graph and composes. Levels
-    needed = O(log diameter); ``max_iter`` bounds them.
+    Boruvka-style star contraction with POINTER DOUBLING, not per-round
+    propagation over the raw edge set: LSH near-dup graphs are dominated by
+    big cliques, where a single min-neighbor pass already collapses every
+    clique to its min id. Each level (1) labels every node with min(self,
+    min direct neighbor) — one aggregation over the edges, no join;
+    (2) pointer-doubles the label table (label ← label(label)) to fixpoint,
+    so decreasing parent CHAINS collapse in O(log depth) self-joins — on a
+    pure path, min-neighbor labeling alone re-creates the path one node
+    shorter (label(k)=k-1) and would need n levels; doubling flattens it
+    inside ONE level; (3) contracts the graph to distinct cross-label
+    edges — tiny after flattening; (4) recurses on the contracted graph and
+    composes. Levels needed = O(log n) on any graph; ``max_iter`` bounds
+    them.
 
     Frontiers are ``localCheckpoint``-ed: an iterative join's LOGICAL PLAN
     compounds per level (persist caches data, not the plan), so without
     truncation the driver OOMs building plan trees on deep graphs. On a
     long-running production cluster with executor churn, swap in reliable
     ``checkpoint(dir)`` — same shape, durable storage.
+
+    Pass a dict as ``stats`` to receive ``{"levels": n, "pointer_rounds":
+    m}`` — contraction depth and total doubling rounds actually used (the
+    path-graph stress in bench.py records both; the log-bound assertion
+    lives in tests/test_dedup_clusters.py).
     """
     ids = nodes.select(F.col(id_col).alias("id")).distinct()
     # persist: the top-level edge set is consumed twice (min-neighbor agg
@@ -356,20 +372,51 @@ def dedup_clusters(
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     ).persist()
-    out = _components(ids, edges, max_iter)
+    if stats is not None:
+        stats["levels"] = 0
+    out = _components(ids, edges, max_iter, stats)
     edges.unpersist()  # out's frontiers are checkpointed; lineage is cut
     return out.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
-def _components(ids: DataFrame, edges: DataFrame, levels: int) -> DataFrame:
+def _pointer_double(
+    labels: DataFrame, max_rounds: int = 40, stats: dict | None = None
+) -> DataFrame:
+    """Flatten a decreasing parent forest: label ← label(label) until
+    fixpoint. Chains of depth d need ⌈log₂ d⌉ rounds; clique-dominated LSH
+    graphs converge in one. Each round is one equi-join of the label table
+    with itself (shuffle on label) + an eager localCheckpoint; the
+    convergence probe reuses the same join output."""
+    for _ in range(max_rounds):
+        if stats is not None:
+            stats["pointer_rounds"] = stats.get("pointer_rounds", 0) + 1
+        parent = labels.select(F.col("id").alias("label"), F.col("label").alias("l2"))
+        j = labels.join(parent, "label").select(
+            "id", F.col("label").alias("__old"), F.col("l2").alias("label")
+        ).localCheckpoint()
+        changed = j.where(F.col("label") != F.col("__old")).limit(1).count()
+        labels = j.drop("__old")
+        if changed == 0:
+            return labels
+    return labels
+
+
+def _components(
+    ids: DataFrame, edges: DataFrame, levels: int, stats: dict | None = None
+) -> DataFrame:
     """(id, label) connected-component labels; label = min id in component.
     ``edges`` must be symmetric. See dedup_clusters for the algorithm."""
+    if stats is not None:
+        stats["levels"] = stats.get("levels", 0) + 1
     nbr_min = edges.groupBy("src").agg(F.min("dst").alias("m")).withColumnRenamed("src", "id")
     labels = (
         ids.join(nbr_min, "id", "left")
         .select("id", F.least("id", F.coalesce("m", "id")).alias("label"))
         .localCheckpoint()  # eager: materializes + truncates lineage
     )
+    # flatten parent chains before contracting — without this a path graph
+    # contracts by ONE node per level (label(k) = k-1) instead of halving
+    labels = _pointer_double(labels, stats=stats)
     if levels <= 1:
         return labels
     la = labels.select(F.col("id").alias("src"), F.col("label").alias("la"))
@@ -385,7 +432,7 @@ def _components(ids: DataFrame, edges: DataFrame, levels: int) -> DataFrame:
     if contracted.isEmpty():
         return labels
     sub = _components(
-        labels.select(F.col("label").alias("id")).distinct(), contracted, levels - 1
+        labels.select(F.col("label").alias("id")).distinct(), contracted, levels - 1, stats
     )
     remap = sub.select(F.col("id").alias("label"), F.col("label").alias("root"))
     return labels.join(remap, "label").select("id", F.col("root").alias("label"))
