@@ -73,7 +73,7 @@ def test_playlist_overwrite_gate(spark, tmp_path, store_dir, capsys):
     p.write_text("Video ID,Time Added\nabcdefghij1,2024-01-01 10:00:00\n")
     assert cli.main(["archive-playlist", str(p), "--store", store_dir], spark=spark) == 0
     # second run without --yes → refused (P6 confirm barrier)
-    assert cli.main(["archive-playlist", str(p), "--store", store_dir], spark=spark) == 1
+    assert cli.main(["archive-playlist", str(p), "--store", store_dir], spark=spark) == cli.RC_PLAYLIST_EXISTS
     assert "--yes" in capsys.readouterr().err
     assert (
         cli.main(["archive-playlist", str(p), "--store", store_dir, "--yes"], spark=spark) == 0

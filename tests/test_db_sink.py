@@ -96,11 +96,54 @@ def test_streaming_foreachbatch_to_db(spark, tmp_path):
     stream = watermarked_dedup(
         read_event_stream(spark, str(src), schema), ["video", "watched"], "watched"
     )
-    sink = db_history_sink(lambda: sqlite3.connect(db_path), stream, str(tmp_path / "ckpt"))
+    # default path must be the partition-parallel writer (VERDICT r2 item
+    # 8): poison the driver-side write_batch to prove it is never called
+    import yark_spark.operators.db_sink as sink_mod
+
+    orig = sink_mod.write_batch
+    sink_mod.write_batch = _boom
+    try:
+        sink = db_history_sink(
+            lambda: sqlite3.connect(db_path, timeout=60), stream, str(tmp_path / "ckpt")
+        )
+        q = sink.trigger(availableNow=True).start()
+        q.awaitTermination()
+    finally:
+        sink_mod.write_batch = orig
+    with sqlite3.connect(db_path) as conn:
+        assert conn.execute("SELECT count(*) FROM history").fetchone()[0] == 2
+
+
+def _boom(*a, **k):
+    raise AssertionError("driver-side write_batch used on the partitioned path")
+
+
+def test_streaming_foreachbatch_driver_shape(spark, tmp_path):
+    """partitioned=False keeps the single-transaction driver-side shape for
+    strictly single-writer targets."""
+    db_path = str(tmp_path / "stream_driver.db")
+    src = tmp_path / "src2"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"video": "v9", "watched": "2024-02-01T10:00:00Z"}) + "\n")
+
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+    from yark_spark.streaming.pipelines import read_event_stream, watermarked_dedup
+
+    schema = StructType(
+        [StructField("video", StringType()), StructField("watched", TimestampType())]
+    )
+    stream = watermarked_dedup(
+        read_event_stream(spark, str(src), schema), ["video", "watched"], "watched"
+    )
+    sink = db_history_sink(
+        lambda: sqlite3.connect(db_path), stream, str(tmp_path / "ckpt2"), partitioned=False
+    )
     q = sink.trigger(availableNow=True).start()
     q.awaitTermination()
     with sqlite3.connect(db_path) as conn:
-        assert conn.execute("SELECT count(*) FROM history").fetchone()[0] == 2
+        assert conn.execute("SELECT count(*) FROM history").fetchone()[0] == 1
 
 
 def test_ddl_mentions_no_reference_specifics():

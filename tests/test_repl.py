@@ -121,3 +121,21 @@ def test_exit_and_loop_error_recovery(repl):
     repl._in.extend(["frobnicate", "exit"])
     repl.run()
     assert any("does not exist" in line for line in repl._out)
+
+
+def test_playlist_failure_does_not_prompt_overwrite(tmp_path, repl):
+    """ADVICE r2 #4: a failure other than already-exists (here: missing
+    file) must NOT trigger the overwrite confirmation / --yes retry."""
+    import pytest
+
+    with pytest.raises(Exception):
+        repl.dispatch(f"archive playlist {tmp_path}/nope.csv")
+    assert not any("confirm" in line for line in repl._out)
+
+
+def test_playlist_exists_prompts_then_overwrites(tmp_path, repl):
+    csv = tmp_path / "Mix2.csv"
+    csv.write_text("Video ID,Time Added\nabcdefghij1,2024-01-01 10:00:00\n")
+    assert repl.dispatch(f"archive playlist {csv}") == 0
+    repl._in.append("yes")
+    assert repl.dispatch(f"archive playlist {csv}") == 0

@@ -75,9 +75,15 @@ def cmd_archive_history(spark, args) -> int:
     return 0
 
 
+#: archive-playlist: distinct return code for "exists, needs --yes" so
+#: callers (the REPL's overwrite confirmation) can tell the guarded case
+#: from real failures (ADVICE r2 #4; generic failures stay rc=1).
+RC_PLAYLIST_EXISTS = 3
+
+
 def cmd_archive_playlist(spark, args) -> int:
     """§3.3 playlist path: CSV → delete-then-insert overwrite (W4) gated on
-    --yes when the playlist already exists (P6)."""
+    --yes when the playlist already exists (P6; rc=RC_PLAYLIST_EXISTS)."""
     from yark_spark.operators.writes import delete_insert, insert_ignore
     from yark_spark.sources.takeout import read_playlist_csv
 
@@ -88,7 +94,7 @@ def cmd_archive_playlist(spark, args) -> int:
     if existing.filter(F.col("playlist_id") == pid).count() > 0:
         if not args.yes:
             print(f"playlist {pid} exists; pass --yes to overwrite", file=sys.stderr)
-            return 1
+            return RC_PLAYLIST_EXISTS
         store.write("playlists", delete_insert(existing, playlists, F.col("playlist_id") == pid))
         store.write(
             "playlist_videos",
@@ -126,13 +132,19 @@ def cmd_replay(spark, args) -> int:
     store = _store(spark, args.store)
     t = _load_store_tables(store)
     ids = lost_ids(t).withColumnRenamed("video_id", "id")
-    fetched = fetch_infodicts(ids, load_fetcher(args.fetcher))
+    # localCheckpoint: eager, materializes ONE fetch and cuts lineage. The
+    # ~9 table writes + the two counts below are separate actions; without
+    # this each would re-run the (non-deterministic, networked) fetcher,
+    # re-fetching every lost id ~10x and risking mutually inconsistent
+    # table writes (ADVICE r2 #1).
+    fetched = fetch_infodicts(ids, load_fetcher(args.fetcher)).localCheckpoint()
     raw, still_lost = parse_fetched(fetched)
     out, recovered = replay_lost(t, raw)
     for name, df in out.items():
         store.write(name, df)
     print(f"recovered: {recovered.collect()[0]['recovered']}")
     print(f"still lost: {still_lost.count()}")
+    fetched.unpersist()
     return 0
 
 

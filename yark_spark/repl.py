@@ -137,7 +137,12 @@ class Repl:
         if sub == "playlist":
             path = _one(args, "Missing path")
             rc = self._cli("archive-playlist", path)
-            if rc != 0 and self.confirm("Overwrite existing playlist ?"):
+            # only the DISTINCT already-exists code triggers the overwrite
+            # prompt — other failures (missing file, store error) must not
+            # be retried with the destructive flag (ADVICE r2 #4)
+            if rc == cli.RC_PLAYLIST_EXISTS and self.confirm(
+                "Overwrite existing playlist ?"
+            ):
                 rc = self._cli("archive-playlist", path, "--yes")
             return rc
         if sub == "dump":
