@@ -86,3 +86,24 @@ def test_entry_flagship_plan(spark):
     assert count_broadcast_joins(df) >= 1
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan or "Sort" in plan
+
+
+def test_tpch_q6_filters_push_to_scan(spark, sf_dir):
+    """Q6 is the pushdown showcase: every conjunct (shipdate range,
+    discount band, quantity cap) must reach the Parquet scan."""
+    from yark_spark.queries import QUERIES
+
+    df = QUERIES["q_tpch_q6_shape"](spark, sf_dir)
+    pf = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, pf
+
+
+def test_salted_agg_no_single_hot_partition(spark, sf_dir):
+    """The salted join's shuffle key includes the salt column — the plan
+    must hash-partition on (key, salt), never on the key alone."""
+    from yark_spark.plans.explain import formatted_plan
+    from yark_spark.queries import QUERIES
+
+    plan = formatted_plan(QUERIES["q_salted_agg"](spark, sf_dir))
+    assert "__salt" in plan, plan

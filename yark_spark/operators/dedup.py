@@ -451,6 +451,47 @@ def dedup_representatives(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_id: int | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Directed token-set CONTAINMENT |A∩B| / |A| for pairs within a
+    bounded id range — the asymmetric near-dup metric (a doc quoted inside
+    a much larger one scores ~1.0 where Jaccard dilutes toward 0). Same
+    join shape as ``ngram_jaccard_pairs``: one size aggregation + a token
+    equi-join, never a cross join; pairs are DIRECTED (id_a ≠ id_b, both
+    orders) because containment is not symmetric."""
+    base = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    tok = base.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(base, text_col))).alias("tok")
+    )
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    return (
+        inter.join(sa, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, max_id: int | None = None
 ) -> DataFrame:

@@ -27,7 +27,8 @@ from yark_spark.queries import similarity  # noqa: F401,E402
 from yark_spark.queries import text  # noqa: F401,E402
 from yark_spark.queries import streaming  # noqa: F401,E402
 from yark_spark.queries import udf  # noqa: F401,E402
-from yark_spark.queries import extras  # noqa: F401,E402  (keep LAST — see its docstring)
+from yark_spark.queries import extras  # noqa: F401,E402  (late — see its docstring)
+from yark_spark.queries import round3  # noqa: F401,E402  (keep LAST)
 
 # Keys with a green driver CORRECTNESS row from round 1 (the first 50
 # registered keys at the time; see VERDICT.md "Next round" item 1).
