@@ -147,3 +147,83 @@ def test_parquet_store_versioned_swap(spark, tmp_path):
     # archive tables read as empty-with-schema before first write
     empty = store.read("videos")
     assert empty.count() == 0 and "video_id" in empty.columns
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (pipelines.interval_join): the streamed
+    result over a drained file source equals the batch join with the same
+    interval predicate — proving the watermark/state bounds don't change
+    the join algebra for in-horizon data."""
+    from yark_spark.streaming.pipelines import interval_join
+
+    src_v = tmp_path / "views"
+    src_p = tmp_path / "purchases"
+    src_v.mkdir()
+    src_p.mkdir()
+    views = [
+        (1, 100, "2024-01-01T10:00:00Z"),
+        (2, 100, "2024-01-01T12:00:00Z"),
+        (3, 200, "2024-01-01T10:00:00Z"),
+    ]
+    purchases = [
+        (10, 100, "2024-01-01T10:30:00Z"),  # joins view 1 (within 1h)
+        (11, 100, "2024-01-01T12:59:00Z"),  # joins view 2
+        (12, 200, "2024-01-01T11:30:00Z"),  # >1h after view 3 → no match
+        (13, 300, "2024-01-01T10:15:00Z"),  # no view for user 300
+    ]
+    with open(src_v / "b1.json", "w") as f:
+        for eid, uid, ts in views:
+            f.write(json.dumps({"view_id": eid, "user_id": uid, "v_ts": ts}) + "\n")
+    with open(src_p / "b1.json", "w") as f:
+        for eid, uid, ts in purchases:
+            f.write(json.dumps({"purchase_id": eid, "user_id": uid, "p_ts": ts}) + "\n")
+
+    from pyspark.sql.types import LongType
+
+    v_schema = StructType(
+        [
+            StructField("view_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("v_ts", TimestampType()),
+        ]
+    )
+    p_schema = StructType(
+        [
+            StructField("purchase_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("p_ts", TimestampType()),
+        ]
+    )
+    sv = read_event_stream(spark, str(src_v), v_schema)
+    sp = read_event_stream(spark, str(src_p), p_schema)
+    joined = interval_join(sv, sp)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in spark.sql("SELECT view_id, purchase_id FROM ivj").collect()
+    }
+
+    bv = spark.createDataFrame([(e, u, ts.replace("Z", "")) for e, u, ts in views],
+                               "view_id long, user_id long, v_ts string").withColumn(
+        "v_ts", F.to_timestamp("v_ts"))
+    bp = spark.createDataFrame([(e, u, ts.replace("Z", "")) for e, u, ts in purchases],
+                               "purchase_id long, p_user long, p_ts string").withColumn(
+        "p_ts", F.to_timestamp("p_ts"))
+    batch = {
+        (r.view_id, r.purchase_id)
+        for r in bv.join(
+            bp,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == batch == {(1, 10), (2, 11)}

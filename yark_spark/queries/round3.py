@@ -641,3 +641,238 @@ def q_salted_agg(spark, sf_dir):
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: deterministic splits, mixture sampling, quality
+# rules, n-gram generation (all content-hash-driven so re-runs, retries and
+# both engines agree bit-for-bit — no rand() anywhere)
+# ---------------------------------------------------------------------------
+
+# Content-hash bucket in [0, 65536): first 4 hex digits of md5(text).
+# Spark: conv(hex, 16, 10); DuckDB: '0x'||hex cast. Same value both sides.
+_BUCKET_SQL = "CAST('0x' || substr(md5(text), 1, 4) AS BIGINT)"
+
+
+def _bucket_col() -> "F.Column":
+    return F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10).cast("long")
+
+
+@query(
+    "q_train_test_split",
+    oracle=(
+        f"WITH b AS (SELECT doc_id, {_BUCKET_SQL} % 10 AS bucket FROM documents) "
+        "SELECT doc_id, CASE WHEN bucket < 8 THEN 'train' "
+        "WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split FROM b"
+    ),
+)
+def q_train_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split keyed on a CONTENT hash
+    (md5 of the text, not the row id) — duplicate texts land in the same
+    split, so near-dup leakage across splits is impossible by construction,
+    and the assignment is stable under re-partitioning, retries, and
+    re-runs. Map-only; no shuffle, no rand()."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket_col() % 10
+    return docs.select(
+        "doc_id",
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "q_mixture_sample",
+    oracle=(
+        "WITH rates AS (SELECT 'src' || i AS source, "
+        "CASE i % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 "
+        "ELSE 0.125 END AS rate FROM range(0, 20) t(i)) "
+        f"SELECT doc_id, d.source FROM documents d JOIN rates USING (source) "
+        f"WHERE {_BUCKET_SQL} < rate * 65536"
+    ),
+)
+def q_mixture_sample(spark, sf_dir):
+    """Source-weighted mixture sampling — the data-mixing step that
+    up/down-weights corpora to a target training blend. Keep a doc iff its
+    content-hash bucket falls under the source's rate: deterministic,
+    exactly reproducible, and executed as a broadcast join + map-side
+    filter (no rand(), no shuffle of the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [(f"src{i}", [1.0, 0.5, 0.25, 0.125][i % 4]) for i in range(20)],
+        "source string, rate double",
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(_bucket_col() < F.col("rate") * 65536)
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "q_gopher_quality",
+    oracle=(
+        "WITH w AS (SELECT doc_id, "
+        "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS words, "
+        "length(text) AS n_chars_raw FROM documents), "
+        "m AS (SELECT doc_id, len(words) AS n_words, "
+        "CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum') AS DOUBLE) "
+        "/ len(words) AS mean_wlen, "
+        "len(list_filter(words, x -> x IN ('the','a','of','to','and','in','is'))) "
+        "AS n_stop FROM w WHERE len(words) > 0) "
+        "SELECT doc_id, n_words, round(mean_wlen, 4) AS mean_word_len, "
+        "CAST(n_words BETWEEN 15 AND 100000 "
+        "AND mean_wlen BETWEEN 2 AND 12 AND n_stop >= 1 AS BOOLEAN) AS keep "
+        "FROM m"
+    ),
+)
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style rule-based quality filter (Rae et al. 2021 heuristics,
+    thresholds adapted to the fixture corpus): word-count band, mean word
+    length band, and a stopword-presence check. Pure Column expressions —
+    one map-only pass, no Python in the row path; the keep flag composes
+    with q_mixture_sample/q_train_test_split into a full curation plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    n_words = F.size(words)
+    mean_wlen = (
+        F.aggregate(
+            F.transform(words, lambda x: F.length(x)), F.lit(0), lambda a, v: a + v
+        ).cast("double")
+        / n_words
+    )
+    n_stop = F.size(
+        F.filter(words, lambda x: x.isin("the", "a", "of", "to", "and", "in", "is"))
+    )
+    return docs.filter(n_words > 0).select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        (
+            n_words.between(15, 100000)
+            & mean_wlen.between(2, 12)
+            & (n_stop >= 1)
+        ).alias("keep"),
+    )
+
+
+NGRAM_N = 3
+NGRAM_MAX_ID = 30
+
+
+@query(
+    "q_ngram_generate",
+    oracle=(
+        "WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS l "
+        f"FROM documents WHERE doc_id < {NGRAM_MAX_ID}) "
+        "SELECT doc_id, unnest(list_transform(range(1, len(l) - 1), "
+        "i -> array_to_string(l[i:i+2], ' '))) AS gram "
+        f"FROM t WHERE len(l) >= {NGRAM_N}"
+    ),
+)
+def q_ngram_generate(spark, sf_dir):
+    """Word n-gram generation (the shingling primitive under MinHash,
+    decontamination, and fingerprinting) as a first-class op: JVM-side
+    sequence+slice+explode, 1-based slice semantics identical in both
+    engines. Map-only until the explode."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < NGRAM_MAX_ID)
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
+    )
+    return (
+        docs.filter(F.size(toks) >= NGRAM_N)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle=(
+        "SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS v "
+        "FROM customer "
+        "UNION ALL "
+        "SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS v "
+        "FROM customer"
+    ),
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt (wide → long) via the native unpivot operator — the
+    inverse of q_pivot; generates rows with a single pass, no join, no
+    shuffle."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+        )
+        .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twins: stream-stream interval join + watermarked dedup.
+# Real readStream versions live in yark_spark/streaming/pipelines.py and
+# are proven batch-equivalent in tests/test_streaming.py; these batch twins
+# carry the DuckDB oracle for the window/join algebra.
+# ---------------------------------------------------------------------------
+
+JOIN_MAX_USER = 400
+
+
+@query(
+    "q_stream_interval_join",
+    oracle=(
+        "SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id "
+        "FROM events v JOIN events p ON v.user_id = p.user_id "
+        "AND v.event_type = 'view' AND p.event_type = 'purchase' "
+        "AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR "
+        f"WHERE v.user_id < {JOIN_MAX_USER} AND p.user_id < {JOIN_MAX_USER}"
+    ),
+)
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join, batch twin: purchases attributed to any
+    view by the same user in the preceding hour. The streaming form
+    (yark_spark.streaming.pipelines.interval_join) watermarks both sides
+    and bounds state by the same 1-hour interval; this twin carries the
+    oracle. Equi-key on user_id → shuffle on user, interval predicate
+    evaluated inside the joined partition — never a cross join."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < JOIN_MAX_USER)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("view_id", "purchase_id", "user_id")
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle=(
+        "SELECT user_id, event_type, date_trunc('minute', ts) AS minute_bucket, "
+        "min(event_id) AS keep_event_id FROM events "
+        "GROUP BY user_id, event_type, date_trunc('minute', ts)"
+    ),
+)
+def q_stream_dedup(spark, sf_dir):
+    """Watermarked streaming dedup, batch twin: one representative per
+    (user, type, minute). The streaming form uses
+    withWatermark + dropDuplicates (pipelines.watermarked_dedup) whose
+    keep-first-arrival is run-order-dependent; the twin pins min(event_id)
+    so the oracle is deterministic. Single partial-agg shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", "event_type", F.date_trunc("minute", F.col("ts")).alias("minute_bucket")
+    ).agg(F.min("event_id").alias("keep_event_id"))

@@ -71,6 +71,32 @@ def session_counts(
     )
 
 
+def interval_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    ts_left: str = "v_ts",
+    ts_right: str = "p_ts",
+    horizon: str = "1 hour",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition (batch twin:
+    q_stream_interval_join): right events attributed to any left event by
+    the same key within `horizon` after it. Both sides are watermarked and
+    the interval bound appears in the join condition, so each side's state
+    store retention is bounded by delay + horizon — without the time bound
+    Spark would rightly refuse the stream-stream join as unbounded."""
+    v = views.withWatermark(ts_left, delay)
+    p = purchases.withColumnRenamed(key, "__rkey").withWatermark(ts_right, delay)
+    return v.join(
+        p,
+        F.expr(
+            f"{key} = __rkey AND {ts_right} > {ts_left} "
+            f"AND {ts_right} <= {ts_left} + INTERVAL {horizon}"
+        ),
+    ).drop("__rkey")
+
+
 def history_sink(store, deduped: DataFrame, checkpoint: str):
     """§3.3 write path: per-micro-batch transactional upsert of history rows
     into the store (replaces the reference's per-row commit, `:343`).
