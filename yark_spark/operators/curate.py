@@ -145,15 +145,20 @@ def curate(
         kept = kept.withColumn("lang_guess", lang_id(F.col(text_col))).filter(
             F.col("lang_guess").isin(*cfg.languages)
         )
-    report.counts["after_quality_filters"] = kept.count()
 
     # 5. redact PII, then pack into training-sequence bins (id-ordered
     # concatenation layout). The running token count is a DISTRIBUTED
     # prefix sum (range partition → per-partition cumsum → broadcast
     # offsets), replacing round 2's single-task unpartitioned window.
+    # The staged frontier is persisted: partitioned_cumsum evaluates its
+    # input twice (offsets pass + probe side), and without the cache that
+    # re-runs the decontaminate→quality→redact subtree; the stage count
+    # doubles as the materialization action.
     redacted = kept.withColumn(text_col, redact_pii(F.col(text_col)))
     n_tok = F.size(F.split(F.col(text_col), "\\s+"))
-    staged = redacted.withColumn("__ntok", n_tok)
+    staged = redacted.withColumn("__ntok", n_tok).persist()
+    report.cached.append(staged)  # caller releases via report.unpersist()
+    report.counts["after_quality_filters"] = staged.count()
     curated = (
         partitioned_cumsum(staged, [id_col], "__ntok", "__cum")
         .withColumn(
