@@ -63,12 +63,16 @@ def dedupe_history(history: DataFrame, existing: DataFrame | None = None) -> Dat
 
 def with_history_ids(history: DataFrame, start_id: int = 0) -> DataFrame:
     """Surrogate history_id (AUTOINCREMENT stand-in, `schema.sql:71`):
-    deterministic dense ids via a global ordering window. At 100 TB scale
-    prefer monotonically_increasing_id (no global sort) when ids only need
-    uniqueness, not density."""
-    w = Window.orderBy("watched", "video")
-    return history.withColumn(
-        "history_id", (F.row_number().over(w) + F.lit(start_id)).cast("long")
+    deterministic dense ids via the DISTRIBUTED global row number (range
+    partition → per-partition cumsum → broadcast offsets) — no single-task
+    global window, so the id assignment scales with the history size. Use
+    monotonically_increasing_id instead when ids only need uniqueness, not
+    density."""
+    from yark_spark.operators.packing import global_row_number
+
+    numbered = global_row_number(history, ["watched", "video"], "history_id")
+    return numbered.withColumn(
+        "history_id", (F.col("history_id") + F.lit(start_id)).cast("long")
     ).select("history_id", "video", "watched")
 
 
@@ -106,6 +110,10 @@ def read_playlist_csv(
         "playlist_id string, channel string, created timestamp, updated timestamp, "
         "title string, description string, visibility string",
     )
+    # bounded-input contract: a single Takeout playlist CSV is at most a few
+    # thousand rows (one user's playlist), so the unpartitioned ordering
+    # window is safe here; bulk id assignment at scale goes through
+    # with_history_ids' distributed row number instead.
     w = Window.orderBy("added", "video")
     playlist_videos = videos.select(
         F.row_number().over(w).cast("long").alias("pl"),
