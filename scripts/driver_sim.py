@@ -25,8 +25,10 @@ TABLES = [
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    check_all = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import duckdb
@@ -43,7 +45,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    window = [k for k in list(qs)[:50] if not only or k in only]
+    pool = list(qs) if check_all else list(qs)[:50]
+    window = [k for k in pool if not only or k in only]
     bad, rows_only = [], []
     for key in window:
         try:

@@ -80,3 +80,29 @@ def test_write_sorted_scan_prunes(spark, tmp_path):
     write_sorted(df, dest, ["key"], num_files=4)
     got = spark.read.parquet(dest).filter(F.col("key") < 1000).count()
     assert got == 1000
+
+
+def test_store_write_sorted_clusters(spark, tmp_path):
+    """ParquetStore.write(sort_by=...) produces disjoint per-file key
+    ranges, same as layout.write_sorted."""
+    from yark_spark.operators.store import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    df = spark.range(10_000).select(
+        (F.col("id") * 31 % 10_000).alias("video_key"), F.col("id").alias("payload")
+    )
+    store.write("facts", df, sort_by=["video_key"])
+    v0 = str(tmp_path / "store" / "facts" / "v0")
+    files = _parquet_files(v0)
+    assert len(files) > 1
+    spans = sorted(
+        tuple(
+            spark.read.parquet(f)
+            .agg(F.min("video_key"), F.max("video_key"))
+            .collect()[0]
+        )
+        for f in files
+    )
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo
+    assert store.read("facts").count() == 10_000

@@ -70,16 +70,35 @@ class ParquetStore:
             int(d[1:]) for d in os.listdir(tdir) if d.startswith("v") and d[1:].isdigit()
         )
 
-    def write(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+    ) -> None:
         """Stage to v<N+1>, then atomically flip the pointer. Versions older
         than the newest ``retain`` are GC'd after the flip, so DataFrames
         holding the immediately-previous version stay readable (see class
-        docstring)."""
+        docstring).
+
+        ``sort_by`` clusters the staged files on those keys
+        (operators/layout.write_sorted shape: range partition + in-file
+        sort) so subsequent range/point predicates on the leading key prune
+        parquet row groups — worth it for big fact tables re-read by key,
+        skip for small dims."""
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
         old = self._current_version(name)
         new = 0 if old is None else old + 1
         target = os.path.join(tdir, f"v{new}")
+        if sort_by:
+            from pyspark.sql import functions as F
+
+            n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+            df = df.repartitionByRange(n, *[F.col(c) for c in sort_by]).sortWithinPartitions(
+                *sort_by
+            )
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
