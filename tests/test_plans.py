@@ -107,3 +107,37 @@ def test_salted_agg_no_single_hot_partition(spark, sf_dir):
 
     plan = formatted_plan(QUERIES["q_salted_agg"](spark, sf_dir))
     assert "__salt" in plan, plan
+
+
+def test_round3_tpch_dims_broadcast(spark, sf_dir):
+    """Q14/Q16/Q19: the part side must broadcast — lineitem never
+    shuffles for these joins."""
+    for key in ("q_tpch_q14_shape", "q_tpch_q16_shape", "q_tpch_q19_shape"):
+        df = QUERIES[key](spark, sf_dir)
+        assert count_broadcast_joins(df) >= 1, key
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" not in plan, key
+
+
+def test_event_analytics_windows_partitioned(spark, sf_dir):
+    """Sessionize/burst-dedup windows partition by user — the plan must
+    hashpartition on user_id, never a single-partition Exchange."""
+    for key in ("q_sessionize", "q_event_dedup_burst"):
+        plan = formatted_plan(QUERIES[key](spark, sf_dir))
+        assert "SinglePartition" not in plan, (key, plan)
+        assert "user_id" in plan, key
+
+
+def test_mixture_sample_broadcasts_rates(spark, sf_dir):
+    """The rates table broadcasts; the corpus is filtered map-side (no
+    corpus shuffle at all)."""
+    df = QUERIES["q_mixture_sample"](spark, sf_dir)
+    assert count_broadcast_joins(df) >= 1
+    assert count_exchanges(df) <= 1  # at most the broadcast exchange
+
+
+def test_interval_join_is_equi_on_user(spark, sf_dir):
+    """The stream-twin interval join must hash-join on user_id with the
+    time bound as a post-join condition — never a cross/nested-loop join."""
+    plan = formatted_plan(QUERIES["q_stream_interval_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
