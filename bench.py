@@ -181,11 +181,36 @@ def bench_stress(spark, sf_dir) -> dict:
         "pointer_rounds": cstats.get("pointer_rounds"),
     }
 
+    # layout maintenance: compact a 64-fragment copy of lineitem back to
+    # target-size files, then verify row preservation — the small-files
+    # pass every incremental sink eventually needs
+    import shutil
+    import tempfile
+
+    from yark_spark.operators.layout import compact
+
+    d = tempfile.mkdtemp(prefix="bench_layout_")
+    frag = os.path.join(d, "frag")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    dest = os.path.join(d, "compacted")
+    t0 = time.perf_counter()
+    n_files = compact(spark, frag, dest, target_file_bytes=32 * 1024 * 1024)
+    n_rows = spark.read.parquet(dest).count()
+    compaction = {
+        "sec": round(time.perf_counter() - t0, 4),
+        "files_in": 64,
+        "files_out": n_files,
+        "rows": n_rows,
+    }
+    shutil.rmtree(d, ignore_errors=True)
+
     return {
         "dedup_skewed": dedup,
         "cosine_topk_wide": cosine,
         "curate_e2e": cur,
         "cluster_path": cluster_path,
+        "compaction": compaction,
     }
 
 

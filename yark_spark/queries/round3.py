@@ -876,3 +876,120 @@ def q_stream_dedup(spark, sf_dir):
     return ev.groupBy(
         "user_id", "event_type", F.date_trunc("minute", F.col("ts")).alias("minute_bucket")
     ).agg(F.min("event_id").alias("keep_event_id"))
+
+
+TOKEN_BUDGET = 2000
+
+
+@query(
+    "q_token_budget_sample",
+    oracle=(
+        "WITH c AS (SELECT doc_id, source, "
+        "CAST(sum(len(string_split(trim(text), ' '))) OVER ("
+        "PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens "
+        "FROM documents) "
+        f"SELECT doc_id, source, cum_tokens FROM c WHERE cum_tokens <= {TOKEN_BUDGET}"
+    ),
+)
+def q_token_budget_sample(spark, sf_dir):
+    """Per-source token-budget sampling: take docs (in stable id order)
+    until each source's running token count hits the budget — how a
+    training run caps any one corpus's contribution. The cumsum window
+    partitions BY SOURCE, so it scales with source cardinality; a global
+    budget would go through the distributed prefix sum instead
+    (operators/packing)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.sum(n_tok).over(w).cast("long").alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+    )
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle=(
+        "WITH ranked AS (SELECT p.event_id AS purchase_id, v.event_id AS view_id, "
+        "row_number() OVER (PARTITION BY p.event_id "
+        "ORDER BY v.ts DESC, v.event_id DESC) AS rn "
+        "FROM events p JOIN events v ON p.user_id = v.user_id "
+        "AND p.event_type = 'purchase' AND v.event_type = 'view' "
+        "AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR "
+        "WHERE p.user_id < 400) "
+        "SELECT purchase_id, view_id FROM ranked WHERE rn = 1"
+    ),
+)
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the MOST RECENT view
+    by the same user within a 24 h lookback — the event-analytics sibling
+    of the as-of join. Equi-join on user + in-partition interval predicate,
+    then a per-purchase window keeps one row; never a cross join, window
+    partitions by purchase (no global ordering)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 400)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOUR")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(F.desc("v_ts"), F.desc("view_id"))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("purchase_id", "view_id")
+    )
+
+
+@query(
+    "q_tpch_q4_shape",
+    oracle=(
+        "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+        "WHERE o_orderdate >= DATE '1996-01-01' "
+        "AND o_orderdate < DATE '1996-04-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_returnflag = 'R') "
+        "GROUP BY o_orderpriority"
+    ),
+)
+def q_tpch_q4_shape(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): EXISTS decorrelates to a
+    LEFT-SEMI join on the order key — the fixture lineitem carries no
+    commit/receipt dates, so 'late lines' becomes 'returned lines'
+    (l_returnflag = 'R'), preserving the spec's plan shape: lineitem is
+    pre-filtered before the semi join so the probe side shrinks map-side;
+    one shuffle for the semi join, partial agg after."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    late = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
