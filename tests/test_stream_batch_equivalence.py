@@ -7,22 +7,22 @@ import os
 
 from pyspark.sql import functions as F
 
-from yark_spark.io import load_table
+from yark_spark.io import load_table, normalize_timestamps
 from yark_spark.queries import QUERIES
 from yark_spark.streaming.pipelines import tumbling_counts
 
 
 def test_stream_tumbling_equals_batch(spark, sf_dir, tmp_path):
-    # stream the actual fixture parquet file. The file stores ts as
-    # TIMESTAMP(NANOS) → read raw (nanosAsLong) and convert like io.load_table
+    # stream the actual fixture parquet file; ts arrives as nanos-long or
+    # TIMESTAMP_NTZ depending on fixture generation — normalize exactly
+    # like io.load_table does for the batch side
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_timestamps(stream, ("ts",))
     agg = tumbling_counts(stream, ts_col="ts", width="1 hour", delay="10 minutes")
     q = (
         agg.writeStream.format("memory")

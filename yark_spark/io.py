@@ -30,22 +30,42 @@ TABLES = (
 )
 
 
-#: Columns stored as Parquet TIMESTAMP(NANOS) — read as nanos-since-epoch
-#: longs (spark.sql.legacy.parquet.nanosAsLong) and restored to timestamps.
+#: Columns that MAY be stored as Parquet TIMESTAMP(NANOS) — read as
+#: nanos-since-epoch longs (spark.sql.legacy.parquet.nanosAsLong) and
+#: restored to timestamps by normalize_timestamps.
 _NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def normalize_timestamps(df: DataFrame, nanos_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Canonicalize event-time columns to TIMESTAMP (with local-tz
+    semantics; the session tz is pinned UTC in session.py so values are
+    stable and match the DuckDB oracle's naive timestamps).
+
+    Two at-rest variants occur across fixture generations:
+    - TIMESTAMP(NANOS): the vectorized reader rejects it; with
+      ``nanosAsLong`` it arrives as a long — restore via integer µs div
+      (ns values exceed double precision, so ``/ 1000`` would drift ±1µs).
+    - timestamp[us] without timezone → Spark reads TIMESTAMP_NTZ, which
+      ``F.unix_micros`` / ``withWatermark`` reject; cast to TIMESTAMP
+      (wall-clock preserved under the UTC session pin).
+    Works on batch and streaming DataFrames alike.
+    """
+    for field in df.schema.fields:
+        t = field.dataType.typeName()
+        if t == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+        elif field.name in nanos_cols and t in ("long", "bigint"):
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+            )
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One fixture table as a DataFrame (Parquet scan; prune/pushdown-able)."""
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANOS_TS_COLS.get(name, ()):
-        field = df.schema[col]
-        if field.dataType.typeName() in ("long", "bigint"):
-            # integer div: ns values exceed double precision, so `/ 1000` would
-            # drift by ±1µs
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return df
+    return normalize_timestamps(df, _NANOS_TS_COLS.get(name, ()))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

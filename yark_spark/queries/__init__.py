@@ -53,19 +53,23 @@ _R1_VERIFIED: frozenset[str] = frozenset(
 )
 
 
-def _load_driver_verified() -> frozenset[str]:
-    """Union the round-1 set with every green row of every
+def _load_verified_rounds() -> dict[str, int]:
+    """Map each key to the ROUND of its newest green row across every
     ``CORRECTNESS_r*.json`` in the repo root, so the rotation advances
     automatically each round without editing this file. Green = full
     hash-match, or a rows-only key (err == "no_oracle") that produced a
-    row count. Failed keys stay unverified and re-enter the window."""
+    row count. Failed keys stay unverified and re-enter the window.
+    The round-1 set seeds keys verified before reports were committed."""
     import glob
     import json
     import os
+    import re
 
-    verified = set(_R1_VERIFIED)
+    rounds: dict[str, int] = {k: 1 for k in _R1_VERIFIED}
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 report = json.load(f)
@@ -77,16 +81,45 @@ def _load_driver_verified() -> frozenset[str]:
             full_pass = row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
             rows_only_pass = row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             if full_pass or rows_only_pass:
-                verified.add(key)
-    return frozenset(verified)
+                rounds[key] = max(rounds.get(key, 0), rnd)
+    return rounds
 
 
-DRIVER_VERIFIED: frozenset[str] = _load_driver_verified()
+_VERIFIED_ROUNDS: dict[str, int] = _load_verified_rounds()
+DRIVER_VERIFIED: frozenset[str] = frozenset(_VERIFIED_ROUNDS)
+
+#: Keys whose newest green driver row predates a known breakage+fix (the
+#: round-5 verdict: both raised AnalysisException on the NTZ fixtures while
+#: carrying green r3 rows). Fronted ahead of the stalest-first rotation so
+#: the fix is re-verified in the very next driver window; remove entries
+#: once a fresh green row lands.
+#: (The rows-only r2-era keys the round-5 verdict names for re-verification
+#: ride along so none of them lands just outside the 50-key window.)
+_PRIORITY_RECHECK: tuple[str, ...] = (
+    "q_sessionize",
+    "q_event_dedup_burst",
+    "q_dedup_fuzzy",
+    "q_simhash_pairs",
+    "q_ann_lsh",
+    "q_stream_session",
+    "q_multimodal_features",
+    "q_grouped_pandas",
+)
 
 
 def driver_ordered(mapping: dict) -> dict:
-    """Reorder ``mapping`` so keys without a driver-verified CORRECTNESS row
-    come first (registration order preserved within each group)."""
-    unverified = {k: v for k, v in mapping.items() if k not in DRIVER_VERIFIED}
-    verified = {k: v for k, v in mapping.items() if k in DRIVER_VERIFIED}
-    return {**unverified, **verified}
+    """Reorder ``mapping`` so the driver's fixed-size window (first N keys)
+    always covers the keys most in need of a fresh row: never-verified keys
+    first (registration order), then verified keys STALEST FIRST — ordered
+    by the round of their newest green CORRECTNESS row, ascending, with
+    registration order as the tie-break. With all keys verified this
+    rotates the window through least-recently-checked keys each round
+    instead of re-checking the same registration-order prefix."""
+    reg_idx = {k: i for i, k in enumerate(mapping)}
+    unverified = [k for k in mapping if k not in DRIVER_VERIFIED]
+    priority = [k for k in _PRIORITY_RECHECK if k in mapping and k not in unverified]
+    rest = sorted(
+        (k for k in mapping if k in DRIVER_VERIFIED and k not in priority),
+        key=lambda k: (_VERIFIED_ROUNDS.get(k, 0), reg_idx[k]),
+    )
+    return {k: mapping[k] for k in (*unverified, *priority, *rest)}
