@@ -35,6 +35,21 @@ def test_long_chain_respects_max_iter_guard(spark):
     assert set(got.values()) == {100}
 
 
+def test_foreign_edge_endpoints_keep_all_nodes(spark):
+    """Pairs may reference ids absent from `nodes` (e.g. pair generation ran
+    on a superset). Every node must still come back labeled — the inner
+    self-join in _pointer_double used to DROP nodes whose label was a
+    foreign id (VERDICT r5 What's-wrong #3) — and the label may be the
+    foreign min id (min reachable through the pair graph).
+    """
+    # nodes 2,3,4; edges pull 2 toward foreign id 0 and chain 3-4; 99 is a
+    # foreign endpoint that labels 4's neighbor set
+    got, _, _ = _clusters(spark, [2, 3, 4], [(0, 2), (3, 4), (4, 99)])
+    assert set(got) == {2, 3, 4}  # no node dropped
+    assert got[2] == 0  # min reachable is the foreign id
+    assert got[3] == got[4] == 3
+
+
 def test_representatives_keep_min_per_cluster(spark):
     got, nodes, clusters = _clusters(spark, [1, 2, 3, 9], [(1, 2), (2, 3)])
     kept = dedup_representatives(nodes, clusters, "doc_id")

@@ -58,6 +58,29 @@ def test_partitioned_cumsum_matches_reference(spark):
         assert got == expected, f"num_partitions={n}"
 
 
+def test_partitioned_cumsum_negative_values(spark):
+    """Partition offsets must be partition SUMS: with negative values the
+    max of the running sum differs from the total, which corrupted every
+    later partition's offset before the fix (VERDICT r5 What's-wrong #2)."""
+    import pandas as pd
+
+    from yark_spark.operators.packing import partitioned_cumsum
+
+    vals = [((i * 53) % 61) - 30 for i in range(257)]  # mixed signs
+    pdf = pd.DataFrame({"k": range(257), "v": vals})
+    expected = pdf.sort_values("k")["v"].cumsum().tolist()
+    df = spark.createDataFrame(pdf)
+    for n in (1, 7, 32):
+        got = (
+            partitioned_cumsum(df, ["k"], "v", "cum", num_partitions=n)
+            .orderBy("k")
+            .select("cum")
+            .toPandas()["cum"]
+            .tolist()
+        )
+        assert got == expected, f"num_partitions={n}"
+
+
 def test_global_row_number_and_ntile_match_window(spark):
     """global_row_number + ntile_expr reproduce Spark's own row_number() and
     ntile() for several N (exercising uneven tile sizes)."""

@@ -391,8 +391,14 @@ def _pointer_double(
         if stats is not None:
             stats["pointer_rounds"] = stats.get("pointer_rounds", 0) + 1
         parent = labels.select(F.col("id").alias("label"), F.col("label").alias("l2"))
-        j = labels.join(parent, "label").select(
-            "id", F.col("label").alias("__old"), F.col("l2").alias("label")
+        # LEFT join: a label need not itself be a row of the label table
+        # (e.g. an edge endpoint outside `nodes`); an inner join would DROP
+        # such rows, violating the "every node labeled" contract — treat a
+        # foreign label as its own root instead
+        j = labels.join(parent, "label", "left").select(
+            "id",
+            F.col("label").alias("__old"),
+            F.coalesce("l2", "label").alias("label"),
         ).localCheckpoint()
         changed = j.where(F.col("label") != F.col("__old")).limit(1).count()
         labels = j.drop("__old")

@@ -72,7 +72,12 @@ def partitioned_cumsum(
 
     local = part.mapInPandas(_cum, schema)
 
-    totals = local.groupBy("__pid").agg(F.max(out_col).alias("__t"))
+    # partition total = SUM of the values, not max of the running sum —
+    # they only coincide for non-negative values; a negative value_col
+    # would otherwise corrupt the offset of every later partition
+    totals = local.groupBy("__pid").agg(
+        F.sum(F.col(value_col).cast("long")).alias("__t")
+    )
     w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     # the offsets window runs over P rows (one per partition), not the data
     offsets = totals.select(
