@@ -37,8 +37,12 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 
 
 def tokens(df: DataFrame, text_col: str = "text") -> "F.Column":
-    """Whitespace tokens, lowercased — the shingle unit for minhash/jaccard."""
-    return F.split(F.lower(F.col(text_col)), "\\s+")
+    """Whitespace tokens, lowercased + trimmed — the shingle unit for
+    minhash/jaccard. Trim first so leading/trailing whitespace can't mint
+    empty tokens; oracles must mirror with
+    ``string_split_regex(lower(trim(text)), '\\s+')`` (same semantics as
+    Java split on trimmed input)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
 
 
 _MAX_LONG = (1 << 63) - 1

@@ -30,7 +30,8 @@ def q_simhash_pairs(spark, sf_dir):
 _CLUSTER_CTE = (
     "WITH RECURSIVE "
     "nodes AS (SELECT doc_id FROM documents WHERE doc_id < 40), "
-    "tok AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok "
+    "tok AS (SELECT doc_id, "
+    "unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok "
     "FROM documents WHERE doc_id < 40), "
     "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), "
     "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n "
@@ -195,8 +196,8 @@ def q_redact_pii(spark, sf_dir):
 @query(
     "q_repetition_ratio",
     oracle=(
-        "SELECT doc_id, round(1 - len(list_distinct(string_split(lower(trim(text)), ' ')))"
-        " / greatest(len(string_split(lower(trim(text)), ' ')), 1), 6) AS rep_ratio "
+        "SELECT doc_id, round(1 - len(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))"
+        " / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 6) AS rep_ratio "
         "FROM documents"
     ),
 )
@@ -215,7 +216,7 @@ NGRAM = 5  # decontamination shingle width
 
 
 _DECON_ORACLE = (
-    "WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks "
+    "WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks "
     "FROM documents), "
     "idx AS (SELECT doc_id, toks, "
     f"unnest(range(0, greatest(len(toks) - {NGRAM}, 0) + 1)) AS s FROM tok "
@@ -514,7 +515,7 @@ def q_global_sort(spark, sf_dir):
 @query(
     "q_vocabulary",
     oracle=(
-        "WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok "
+        "WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
         "FROM documents) "
         "SELECT tok, count(*) AS n FROM tok GROUP BY tok "
         "ORDER BY n DESC, tok LIMIT 100"

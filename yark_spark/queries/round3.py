@@ -461,7 +461,7 @@ TFIDF_K = 5
 @query(
     "q_tfidf",
     oracle=(
-        "WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok "
+        "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
         f"FROM documents WHERE doc_id < {TFIDF_MAX_ID}), "
         "tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok), "
         "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok), "
@@ -509,7 +509,7 @@ def q_tfidf(spark, sf_dir):
     "q_containment_pairs",
     oracle=(
         "WITH tok AS (SELECT doc_id, "
-        "unnest(list_distinct(string_split(lower(text), ' '))) AS tok "
+        "unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok "
         "FROM documents WHERE doc_id < 40), "
         "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n "

@@ -69,7 +69,7 @@ def _marker_sql(markers: list[str]) -> str:
 @query(
     "q_lang_id",
     oracle=(
-        "WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents), "
+        "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
         "h AS (SELECT doc_id, "
         + ", ".join(f"{_marker_sql(m)} AS h_{lang}" for lang, m in LANG_MARKERS.items())
         + " FROM t) "
@@ -92,7 +92,7 @@ _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 @query(
     "q_quality_score",
     oracle=(
-        "WITH t AS (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS toks "
+        "WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks "
         "FROM documents), "
         "feat AS (SELECT doc_id, "
         f"round(len(list_filter(toks, t -> t IN ({_STOP_IN}))) / greatest(len(toks), 1), 6) AS sw, "
