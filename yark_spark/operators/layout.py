@@ -22,13 +22,21 @@ in tests/test_layout.py.
 
 from __future__ import annotations
 
+import logging
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+log = logging.getLogger(__name__)
+
 #: default compaction target ≈ one HDFS/S3 block
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+#: past this input size a 1-file compaction funnels the whole table through
+#: one write task — almost certainly a mis-sized target_file_bytes
+SINGLE_FILE_WARN_BYTES = 1024 * 1024 * 1024
 
 
 def _dir_bytes(path: str) -> int:
@@ -58,13 +66,41 @@ def compact(
     """Rewrite ``src_path`` (parquet dir) into ``dest_path`` with files
     sized near ``target_file_bytes``; returns the file count used. With
     ``partition_by`` the count applies per partition directory (Spark
-    splits the repartition across partition values)."""
-    n = plan_compaction(src_path, target_file_bytes)
+    splits the repartition across partition values).
+
+    In-place compaction (``dest_path`` == ``src_path``) is staged-then-
+    swapped: ``mode("overwrite")`` straight onto the source would DELETE it
+    under the lazy scan at write time and destroy the table. The staged
+    output lands in a sibling dir, the old table is moved aside, the stage
+    renamed in, and the old table removed — the source survives any
+    failure before the final swap."""
+    src_bytes = _dir_bytes(src_path)
+    n = max(1, round(src_bytes / target_file_bytes))
+    if n == 1 and src_bytes > SINGLE_FILE_WARN_BYTES:
+        log.warning(
+            "compact(%s): %d bytes into ONE file — the final write funnels "
+            "through a single task; raise target_file_bytes or pass "
+            "partition_by",
+            src_path,
+            src_bytes,
+        )
     df = spark.read.parquet(src_path)
+    real_src, real_dest = os.path.realpath(src_path), os.path.realpath(dest_path)
+    out_path, stage = dest_path, None
+    if real_src == real_dest:
+        stage = real_dest + ".__compacting__"
+        shutil.rmtree(stage, ignore_errors=True)
+        out_path = stage
     writer = df.repartition(n).write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(dest_path)
+    writer.parquet(out_path)
+    if stage is not None:
+        backup = real_dest + ".__precompact__"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(real_src, backup)
+        os.rename(stage, real_dest)
+        shutil.rmtree(backup)
     return n
 
 
