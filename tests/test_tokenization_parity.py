@@ -41,6 +41,8 @@ TOKENIZATION_KEYS = [
     "q_pack_sequences",
     "q_posexplode",
     "q_dedup_exact",
+    "q_token_entropy",
+    "q_winnow_fingerprint",
 ]
 
 

@@ -572,3 +572,142 @@ def q_ann_ivf(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, query_max_id=10, k=5, n_cells=8, n_probe=8)
+
+
+# --- Round-6 additions: three training-data curation primitives ---------
+
+
+@query(
+    "q_token_entropy",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+        "FROM documents), "
+        "c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok), "
+        "n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id) "
+        "SELECT c.doc_id, round(-sum((c / n) * ln(c / n)), 6) AS entropy "
+        "FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY c.doc_id"
+    ),
+)
+def q_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy (nats) over whitespace tokens — the
+    gibberish/boilerplate quality signal complementary to repetition ratio
+    (low entropy ⇒ degenerate repetition, high ⇒ noise). Two partial
+    aggregations (token counts, then the -Σ p·ln p fold); shuffle keys are
+    (doc_id, tok) then doc_id, so cost scales with corpus vocabulary, not
+    with any single task."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok")
+    )
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )
+
+
+@query(
+    "q_pii_count",
+    oracle=(
+        "WITH s AS (SELECT doc_id, "
+        "text || ' contact user' || doc_id || '@example.com or 10.0.0.' || (doc_id % 255) "
+        "|| ' tel +1 555-000-' || (1000 + doc_id % 9000) AS seeded "
+        "FROM documents WHERE doc_id < 200) "
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(seeded, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
+        "CAST(len(regexp_extract_all(seeded, "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip, "
+        "CAST(len(regexp_extract_all(seeded, "
+        "'\\+?\\d[\\d\\- ]{7,}\\d')) AS BIGINT) AS n_phone "
+        "FROM s"
+    ),
+)
+def q_pii_count(spark, sf_dir):
+    """PII *detection* counts per document (emails / IPs / phone runs) —
+    the audit twin of q_redact_pii: a privacy pass first measures exposure,
+    then redacts. Same deterministic synthetic seeding as q_redact_pii so
+    the patterns are exercised; pure regexp_count column work, map-only,
+    one scan at any scale."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.functions.text import PII_PATTERNS
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0.0."), (F.col("doc_id") % 255).cast("string"),
+        F.lit(" tel +1 555-000-"), (1000 + F.col("doc_id") % 9000).cast("string"),
+    )
+    names = ["n_email", "n_ip", "n_phone"]
+    return docs.select(
+        "doc_id",
+        *[
+            F.regexp_count(seeded, F.lit(pat)).cast("long").alias(name)
+            for (pat, _), name in zip(PII_PATTERNS, names)
+        ],
+    )
+
+
+WINNOW_GRAM = 3   # tokens per shingle
+WINNOW_WINDOW = 4  # shingle hashes per winnowing window
+
+
+@query(
+    "q_winnow_fingerprint",
+    oracle=(
+        "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l "
+        "FROM documents WHERE doc_id < 60), "
+        "g AS (SELECT doc_id, list_transform(range(1, len(l) - 1), "
+        "i -> md5(array_to_string(l[i:i+2], ' '))) AS hs "
+        "FROM t WHERE len(l) >= 3), "
+        "w AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 2), "
+        "i -> list_min(hs[i:i+3]))) AS fps FROM g WHERE len(hs) >= 4) "
+        "SELECT doc_id, unnest(fps) AS fp FROM w"
+    ),
+)
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (the MOSS algorithm: Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003): hash every 3-token shingle, slide a
+    4-hash window, keep each window's minimum — guaranteeing any
+    sufficiently long shared substring between two documents shares a
+    fingerprint, at ~2/(w+1) the density of full shingling. Entirely
+    map-side (tokenize → transform → window-min → distinct-per-doc) until
+    the final explode; hash family is md5 hex compared lexicographically,
+    identical in both engines."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    with_grams = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= WINNOW_GRAM)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (WINNOW_GRAM - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, WINNOW_GRAM))),
+            ).alias("hs"),
+        )
+    )
+    return (
+        with_grams.filter(F.size("hs") >= WINNOW_WINDOW)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("hs") - (WINNOW_WINDOW - 1)),
+                        lambda i: F.array_min(F.slice("hs", i, WINNOW_WINDOW)),
+                    )
+                )
+            ).alias("fp"),
+        )
+    )
