@@ -5,6 +5,7 @@ a correct query with the wrong plan fails here."""
 from pyspark.sql import functions as F
 
 from yark_spark.plans.explain import (
+    assert_scan_pruned,
     count_broadcast_joins,
     count_exchanges,
     formatted_plan,
@@ -141,3 +142,30 @@ def test_interval_join_is_equi_on_user(spark, sf_dir):
     time bound as a post-join condition — never a cross/nested-loop join."""
     plan = formatted_plan(QUERIES["q_stream_interval_join"](spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_winnow_fingerprint_map_side_until_explode(spark, sf_dir):
+    """q_winnow_fingerprint (round 6): tokenize → shingle-hash → window-min
+    → distinct-per-doc are all map-side transforms — ZERO shuffles in the
+    whole plan, and the doc_id bound reaches the parquet scan."""
+    df = QUERIES["q_winnow_fingerprint"](spark, sf_dir)
+    assert count_exchanges(df) == 0, formatted_plan(df)
+    assert "LessThan(doc_id,60)" in pushed_filters(df)
+    assert_scan_pruned(df, ["lang", "source", "n_chars"])
+
+
+def test_token_entropy_partial_aggregation(spark, sf_dir):
+    """q_token_entropy (round 6): both aggregations must be partial
+    (map-side combine before each shuffle) and the scan must prune to
+    (doc_id, text)."""
+    plan = formatted_plan(QUERIES["q_token_entropy"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4, plan  # 2 aggs x partial+final
+    assert_scan_pruned(QUERIES["q_token_entropy"](spark, sf_dir), ["lang", "source", "n_chars"])
+
+
+def test_pii_count_single_map_only_scan(spark, sf_dir):
+    """q_pii_count (round 6): pure column work — no shuffle, no join, bound
+    pushed to the scan."""
+    df = QUERIES["q_pii_count"](spark, sf_dir)
+    assert count_exchanges(df) == 0, formatted_plan(df)
+    assert "LessThan(doc_id,200)" in pushed_filters(df)
