@@ -43,6 +43,8 @@ TOKENIZATION_KEYS = [
     "q_dedup_exact",
     "q_token_entropy",
     "q_winnow_fingerprint",
+    "q_boilerplate_lines",
+    "q_source_overlap",
 ]
 
 

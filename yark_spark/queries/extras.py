@@ -711,3 +711,79 @@ def q_winnow_fingerprint(spark, sf_dir):
             ).alias("fp"),
         )
     )
+
+
+BOILER_MIN_DOCS = 3  # a line in >= this many distinct docs is boilerplate
+
+
+@query(
+    "q_boilerplate_lines",
+    oracle=(
+        "WITH l AS (SELECT DISTINCT doc_id, "
+        "unnest(string_split(lower(trim(text)), '. ')) AS line FROM documents), "
+        "freq AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM l GROUP BY line), "
+        "j AS (SELECT l.doc_id, l.line, freq.n_docs FROM l JOIN freq ON l.line = freq.line) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+        f"CAST(sum(CASE WHEN n_docs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_boilerplate FROM j GROUP BY doc_id"
+    ),
+)
+def q_boilerplate_lines(spark, sf_dir):
+    """C4-style boilerplate-line detection: a sentence occurring in >= 3
+    distinct documents (nav text, license headers, cookie banners) is
+    boilerplate; report per-doc distinct-sentence and boilerplate counts,
+    the measurement pass before line-level removal. Shuffles on the
+    sentence (after a per-doc distinct), so cost scales with corpus
+    sentence cardinality — the exact shape C4 ran at web scale."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\. ")).alias("line"),
+    ).distinct()
+    freq = lines.groupBy("line").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        lines.join(freq, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("n_docs") >= BOILER_MIN_DOCS, 1).otherwise(0)
+            ).alias("n_boilerplate"),
+        )
+    )
+
+
+@query(
+    "q_source_overlap",
+    oracle=(
+        "WITH fp AS (SELECT DISTINCT source, "
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+        "FROM documents) "
+        "SELECT a.source AS source_a, b.source AS source_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source "
+        "GROUP BY a.source, b.source"
+    ),
+)
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix: per source pair, how many distinct
+    document fingerprints appear in BOTH — the audit that tells a data
+    curator which corpus pairs double-count content before mixing weights
+    are assigned. Equi-join on the 32-hex fingerprint (never text), pair
+    count output is |sources|^2 at most — tiny at any corpus scale."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("source", fingerprint(F.col("text")).alias("fp")).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
