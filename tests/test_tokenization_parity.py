@@ -45,6 +45,8 @@ TOKENIZATION_KEYS = [
     "q_winnow_fingerprint",
     "q_boilerplate_lines",
     "q_source_overlap",
+    "q_quality_by_source",
+    "q_source_similarity",
 ]
 
 

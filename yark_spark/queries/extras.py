@@ -787,3 +787,88 @@ def q_source_overlap(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+from yark_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "q_quality_by_source",
+    oracle=(
+        "WITH q AS (" + _ORACLES["q_quality_score"] + ") "
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "round(avg(q.quality), 6) AS avg_quality, "
+        "round(quantile_cont(q.quality, 0.5), 6) AS median_quality "
+        "FROM q JOIN documents d ON q.doc_id = d.doc_id GROUP BY d.source"
+    ),
+)
+def q_quality_by_source(spark, sf_dir):
+    """Per-source quality distribution rollup (mean + exact median of the
+    composite quality score) — the dashboard a curator reads before
+    assigning mixture weights. Quality is a pure Column expr (one scan);
+    the rollup shuffles only (source, per-doc score) pairs. Median is the
+    exact interpolated percentile — identical algorithm in both engines."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("source", quality_score(F.col("text")).alias("quality"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.expr("percentile(quality, 0.5)"), 6).alias("median_quality"),
+    )
+
+
+@query(
+    "q_source_similarity",
+    oracle=(
+        "WITH tok AS (SELECT source, "
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), "
+        "c AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok), "
+        "n AS (SELECT source, sum(c * c) AS n2 FROM c GROUP BY source), "
+        "dot AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "sum(a.c * b.c) AS dot FROM c a "
+        "JOIN c b ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2) "
+        "SELECT source_a, source_b, "
+        "round(dot / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cosine "
+        "FROM dot JOIN n na ON na.source = source_a JOIN n nb ON nb.source = source_b"
+    ),
+)
+def q_source_similarity(spark, sf_dir):
+    """Token-distribution cosine similarity between source pairs — the
+    mixture diagnostic telling a curator which corpora are near-identical
+    (redundant weight) vs complementary. All-integer arithmetic (term-count
+    dot products and squared norms) until one final divide, so the value is
+    bit-stable across engines; the only shuffles are on (source, token) and
+    the token equi-join — never a doc-level cross product."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok")
+    )
+    c = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("source").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    a, b = c.alias("a"), c.alias("b")
+    dot = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n2").alias("n2_a"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n2").alias("n2_b"))
+    return (
+        dot.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("dot")
+                / F.sqrt(F.col("n2_a").cast("double") * F.col("n2_b").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
