@@ -169,3 +169,26 @@ def test_pii_count_single_map_only_scan(spark, sf_dir):
     df = QUERIES["q_pii_count"](spark, sf_dir)
     assert count_exchanges(df) == 0, formatted_plan(df)
     assert "LessThan(doc_id,200)" in pushed_filters(df)
+
+
+def test_source_audit_joins_are_hash_not_cartesian(spark, sf_dir):
+    """q_source_overlap / q_source_similarity (round 6): the pair joins
+    must be equi-joins on fingerprint/token — never a cartesian or
+    broadcast-nested-loop — and scans must prune to the columns used."""
+    for key, pruned in (
+        ("q_source_overlap", ["lang", "n_chars", "doc_id"]),
+        ("q_source_similarity", ["lang", "n_chars", "doc_id"]),
+    ):
+        df = QUERIES[key](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, (key, plan)
+        assert "BroadcastNestedLoop" not in plan, (key, plan)
+        assert_scan_pruned(df, pruned)
+
+
+def test_quality_by_source_partial_agg_and_pruned(spark, sf_dir):
+    """q_quality_by_source (round 6): the rollup must partial-aggregate
+    and the scan must read only (source, text)."""
+    df = QUERIES["q_quality_by_source"](spark, sf_dir)
+    assert formatted_plan(df).count("Aggregate") >= 2, formatted_plan(df)
+    assert_scan_pruned(df, ["lang", "n_chars", "doc_id"])
