@@ -89,12 +89,13 @@ _VERIFIED_ROUNDS: dict[str, int] = _load_verified_rounds()
 DRIVER_VERIFIED: frozenset[str] = frozenset(_VERIFIED_ROUNDS)
 
 #: Keys whose newest green driver row predates a known breakage+fix (the
-#: round-5 verdict: both raised AnalysisException on the NTZ fixtures while
-#: carrying green r3 rows). Fronted ahead of the stalest-first rotation so
-#: the fix is re-verified in the very next driver window; remove entries
-#: once a fresh green row lands.
-#: (The rows-only r2-era keys the round-5 verdict names for re-verification
-#: ride along so none of them lands just outside the 50-key window.)
+#: round-5 verdict: q_sessionize/q_event_dedup_burst raised
+#: AnalysisException on the NTZ fixtures while carrying green r3 rows; the
+#: rows-only r2-era keys the verdict names ride along so none lands just
+#: outside the 50-key window). Fronting AUTO-EXPIRES: a priority key is
+#: only fronted while its newest green row is older than the newest
+#: CORRECTNESS report present, so once the re-verification lands these
+#: revert to the normal stalest-first rotation without an edit here.
 _PRIORITY_RECHECK: tuple[str, ...] = (
     "q_sessionize",
     "q_event_dedup_burst",
@@ -116,8 +117,15 @@ def driver_ordered(mapping: dict) -> dict:
     rotates the window through least-recently-checked keys each round
     instead of re-checking the same registration-order prefix."""
     reg_idx = {k: i for i, k in enumerate(mapping)}
+    latest_round = max(_VERIFIED_ROUNDS.values(), default=0)
     unverified = [k for k in mapping if k not in DRIVER_VERIFIED]
-    priority = [k for k in _PRIORITY_RECHECK if k in mapping and k not in unverified]
+    priority = [
+        k
+        for k in _PRIORITY_RECHECK
+        if k in mapping
+        and k not in unverified
+        and _VERIFIED_ROUNDS.get(k, 0) < latest_round
+    ]
     rest = sorted(
         (k for k in mapping if k in DRIVER_VERIFIED and k not in priority),
         key=lambda k: (_VERIFIED_ROUNDS.get(k, 0), reg_idx[k]),
