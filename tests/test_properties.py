@@ -74,3 +74,42 @@ def test_dedup_stable_under_permutation(spark, rows):
     r1 = sorted(map(tuple, exact_dedup(df1, ["text"], "id").select("id", "text").collect()))
     r2 = sorted(map(tuple, exact_dedup(df2, ["text"], "id").select("id", "text").collect()))
     assert r1 == r2
+
+
+_TOKENS = st.lists(
+    st.sampled_from([f"w{i}" for i in range(20)]), min_size=0, max_size=30
+)
+
+
+@given(prefix_a=_TOKENS, suffix_a=_TOKENS, prefix_b=_TOKENS, suffix_b=_TOKENS, shared=st.lists(st.sampled_from([f"s{i}" for i in range(40)]), min_size=6, max_size=12))
+@_settings
+def test_winnowing_shared_substring_guarantee(spark, prefix_a, suffix_a, prefix_b, suffix_b, shared):
+    """The MOSS guarantee (Schleimer et al., SIGMOD 2003 §2): two texts
+    sharing a run of >= window + gram - 1 = 6 consecutive tokens must share
+    at least one winnowing fingerprint, wherever the run sits in either
+    text."""
+    from yark_spark.functions.text import winnow_fingerprints
+
+    text_a = " ".join(prefix_a + shared + suffix_a)
+    text_b = " ".join(prefix_b + shared + suffix_b)
+    df = spark.createDataFrame([(1, text_a), (2, text_b)], "id int, text string")
+    rows = df.select(
+        "id", winnow_fingerprints(F.col("text"), gram=3, window=4).alias("fps")
+    ).collect()
+    fps = {r.id: set(r.fps) for r in rows}
+    assert fps[1] & fps[2], (text_a, text_b)
+
+
+@given(toks=st.lists(st.sampled_from([f"w{i}" for i in range(10)]), min_size=0, max_size=12))
+@_settings
+def test_winnowing_short_docs_empty(spark, toks):
+    """Docs shorter than window + gram - 1 tokens have no full window and
+    must yield an empty fingerprint set (never a partial-window hash)."""
+    from yark_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, " ".join(toks))], "id int, text string")
+    fps = df.select(winnow_fingerprints(F.col("text")).alias("f")).collect()[0].f
+    if len(toks) < 6:
+        assert fps == []
+    else:
+        assert len(fps) >= 1

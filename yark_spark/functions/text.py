@@ -139,6 +139,34 @@ def ngrams(text: Column, n: int = 5) -> Column:
     )
 
 
+def winnow_fingerprints(text: Column, gram: int = 3, window: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer, Wilkerson & Aiken, SIGMOD
+    2003) as an array column: md5-hash every ``gram``-token shingle, slide
+    a ``window``-hash window, keep each window's minimum, distinct the
+    result. Guarantee: two texts sharing at least ``window + gram - 1``
+    consecutive tokens share at least one fingerprint (property-tested in
+    tests/test_properties.py). Density ≈ 2/(window+1) of full shingling.
+    Docs with fewer than ``window + gram - 1`` tokens yield an empty array
+    (no full window exists). Pure column work — map-side at any scale."""
+    toks = F.split(F.lower(F.trim(text)), "\\s+")
+    # `when` evaluates BOTH branches, so sequence stops are floored to keep
+    # the otherwise-expression well-defined for short docs
+    n_grams = F.greatest(F.size(toks) - (gram - 1), F.lit(1))
+    hs = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, gram))),
+    )
+    n_wins = F.greatest(F.size(hs) - (window - 1), F.lit(1))
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_wins), lambda i: F.array_min(F.slice(hs, i, window))
+        )
+    )
+    return F.when(
+        F.size(toks) < gram + window - 1, F.array().cast("array<string>")
+    ).otherwise(wins)
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text. Same-content docs collide regardless of spacing/case — the

@@ -675,41 +675,23 @@ WINNOW_WINDOW = 4  # shingle hashes per winnowing window
 )
 def q_winnow_fingerprint(spark, sf_dir):
     """Winnowing document fingerprints (the MOSS algorithm: Schleimer,
-    Wilkerson & Aiken, SIGMOD 2003): hash every 3-token shingle, slide a
-    4-hash window, keep each window's minimum — guaranteeing any
-    sufficiently long shared substring between two documents shares a
-    fingerprint, at ~2/(w+1) the density of full shingling. Entirely
-    map-side (tokenize → transform → window-min → distinct-per-doc) until
-    the final explode; hash family is md5 hex compared lexicographically,
+    Wilkerson & Aiken, SIGMOD 2003) via functions.text.winnow_fingerprints:
+    hash every 3-token shingle, slide a 4-hash window, keep each window's
+    minimum — guaranteeing any shared run of >= window+gram-1 tokens shares
+    a fingerprint (property-tested in tests/test_properties.py), at
+    ~2/(w+1) the density of full shingling. Entirely map-side until the
+    final explode; hash family is md5 hex compared lexicographically,
     identical in both engines."""
     from pyspark.sql import functions as F
 
+    from yark_spark.functions.text import winnow_fingerprints
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
-    with_grams = (
-        docs.select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= WINNOW_GRAM)
-        .select(
-            "doc_id",
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (WINNOW_GRAM - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, WINNOW_GRAM))),
-            ).alias("hs"),
-        )
-    )
-    return (
-        with_grams.filter(F.size("hs") >= WINNOW_WINDOW)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("hs") - (WINNOW_WINDOW - 1)),
-                        lambda i: F.array_min(F.slice("hs", i, WINNOW_WINDOW)),
-                    )
-                )
-            ).alias("fp"),
-        )
+    return docs.select(
+        "doc_id",
+        F.explode(
+            winnow_fingerprints(F.col("text"), WINNOW_GRAM, WINNOW_WINDOW)
+        ).alias("fp"),
     )
 
 
