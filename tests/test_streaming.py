@@ -227,3 +227,74 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch == {(1, 10), (2, 11)}
+
+
+def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """leftOuter interval join: matched pairs equal the inner join, and an
+    unmatched view EMITS with a null purchase once the watermark passes its
+    join horizon. A late second batch advances the watermark so the
+    unmatched row from batch 1 can be finalized; views at the stream tail
+    may legitimately stay in state (their horizon never closes) — the
+    assertion covers only watermark-closed rows."""
+    from yark_spark.streaming.pipelines import interval_join
+
+    src_v = tmp_path / "views"
+    src_p = tmp_path / "purchases"
+    src_v.mkdir()
+    src_p.mkdir()
+    # the global watermark is the MIN across both streams, so BOTH sides
+    # need far-future events (unrelated user 90x) to advance it past view
+    # 2's join horizon; the final batch then flushes the unmatched row
+    view_batches = [
+        [(1, 100, "2024-01-01T10:00:00Z"), (2, 200, "2024-01-01T10:00:00Z")],
+        [(3, 901, "2024-01-02T10:00:00Z")],
+        [(4, 901, "2024-01-03T10:00:00Z")],
+    ]
+    purchase_batches = [
+        [(10, 100, "2024-01-01T10:30:00Z")],
+        [(98, 900, "2024-01-02T10:00:00Z")],
+        [(99, 900, "2024-01-03T10:00:00Z")],
+    ]
+    for i, batch in enumerate(view_batches, start=1):
+        with open(src_v / f"b{i}.json", "w") as f:
+            for eid, uid, ts in batch:
+                f.write(json.dumps({"view_id": eid, "user_id": uid, "v_ts": ts}) + "\n")
+    for i, batch in enumerate(purchase_batches, start=1):
+        with open(src_p / f"b{i}.json", "w") as f:
+            for eid, uid, ts in batch:
+                f.write(json.dumps({"purchase_id": eid, "user_id": uid, "p_ts": ts}) + "\n")
+
+    from pyspark.sql.types import LongType
+
+    v_schema = StructType(
+        [
+            StructField("view_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("v_ts", TimestampType()),
+        ]
+    )
+    p_schema = StructType(
+        [
+            StructField("purchase_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("p_ts", TimestampType()),
+        ]
+    )
+    sv = read_event_stream(spark, str(src_v), v_schema, max_files_per_trigger=1)
+    sp = read_event_stream(spark, str(src_p), p_schema, max_files_per_trigger=1)
+    joined = interval_join(sv, sp, how="leftOuter")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivj_left")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in spark.sql("SELECT view_id, purchase_id FROM ivj_left").collect()
+    }
+    assert (1, 10) in got  # the match
+    assert (2, None) in got  # unmatched view finalized as a null row

@@ -859,6 +859,46 @@ def q_stream_interval_join(spark, sf_dir):
 
 
 @query(
+    "q_stream_interval_join_left",
+    oracle=(
+        "SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id "
+        "FROM events v LEFT JOIN events p ON v.user_id = p.user_id "
+        "AND p.event_type = 'purchase' "
+        "AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR "
+        f"WHERE v.event_type = 'view' AND v.user_id < {JOIN_MAX_USER}"
+    ),
+)
+def q_stream_interval_join_left(spark, sf_dir):
+    """LEFT-OUTER stream-stream interval join, batch twin: every view keeps
+    a row — attributed purchases within the following hour, or NULL when
+    the view never converted. The streaming form is
+    pipelines.interval_join(how="leftOuter"): watermarks on both sides +
+    the interval bound let Spark emit unmatched left rows once the
+    watermark passes their horizon, with state still bounded. Same shuffle
+    shape as the inner twin (equi-key on user, interval evaluated inside
+    the joined partition)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < JOIN_MAX_USER)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .select("view_id", "purchase_id", "user_id")
+    )
+
+
+@query(
     "q_stream_dedup",
     oracle=(
         "SELECT user_id, event_type, date_trunc('minute', ts) AS minute_bucket, "

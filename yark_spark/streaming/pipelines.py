@@ -25,12 +25,21 @@ from yark_spark.session import tune
 
 
 def read_event_stream(
-    spark: SparkSession, path: str, schema: StructType, fmt: str = "json"
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-based streaming source (one file = one micro-batch unit);
-    maxFilesPerTrigger bounds batch size at scale."""
+    """File-based streaming source; ``max_files_per_trigger`` bounds batch
+    size at scale AND forces multi-batch progression under
+    trigger(availableNow) — required for outer-join state to flush, since
+    unmatched rows emit only in a batch AFTER the watermark advances."""
     tune(spark)
-    return spark.readStream.format(fmt).schema(schema).load(path)
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
 
 
 def watermarked_dedup(
@@ -79,13 +88,18 @@ def interval_join(
     ts_right: str = "p_ts",
     horizon: str = "1 hour",
     delay: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with a time-interval condition (batch twin:
-    q_stream_interval_join): right events attributed to any left event by
-    the same key within `horizon` after it. Both sides are watermarked and
-    the interval bound appears in the join condition, so each side's state
-    store retention is bounded by delay + horizon — without the time bound
-    Spark would rightly refuse the stream-stream join as unbounded."""
+    """Stream-stream join with a time-interval condition (batch twins:
+    q_stream_interval_join / q_stream_interval_join_left): right events
+    attributed to any left event by the same key within `horizon` after
+    it. Both sides are watermarked and the interval bound appears in the
+    join condition, so each side's state store retention is bounded by
+    delay + horizon — without the time bound Spark would rightly refuse
+    the stream-stream join as unbounded. ``how="leftOuter"`` additionally
+    emits unmatched left rows (right columns null) once the watermark
+    passes their join horizon — the attribution shape that keeps
+    unconverted views."""
     v = views.withWatermark(ts_left, delay)
     p = purchases.withColumnRenamed(key, "__rkey").withWatermark(ts_right, delay)
     return v.join(
@@ -94,6 +108,7 @@ def interval_join(
             f"{key} = __rkey AND {ts_right} > {ts_left} "
             f"AND {ts_right} <= {ts_left} + INTERVAL {horizon}"
         ),
+        how,
     ).drop("__rkey")
 
 
