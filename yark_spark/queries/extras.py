@@ -854,3 +854,54 @@ def q_source_similarity(spark, sf_dir):
             ).alias("cosine"),
         )
     )
+
+
+CDC_WINDOW = 8  # md5-window chars for the oracle-checkable boundary rule
+
+
+@query(
+    "q_cdc_boundaries",
+    oracle=(
+        "WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 30) "
+        "SELECT doc_id, unnest(list_filter("
+        f"range(1, greatest(length(text) - {CDC_WINDOW - 1}, 1) + 1), "
+        f"i -> md5(substr(text, i, {CDC_WINDOW})) LIKE '0%')) AS pos "
+        f"FROM t WHERE length(text) >= {CDC_WINDOW}"
+    ),
+)
+def q_cdc_boundaries(spark, sf_dir):
+    """Content-defined chunk BOUNDARY positions, oracle-checkable variant:
+    1-based positions whose 8-char window md5 starts with '0' (P = 1/16
+    per position). Pins the boundary algebra (window semantics, position
+    arithmetic, hash agreement) against DuckDB on a bounded slice; the
+    production chunker (q_cdc_chunks) runs the O(n) rolling hash instead
+    of an md5 per position. Map-only until the explode."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.chunking import cdc_boundaries_expr
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    return (
+        docs.filter(F.length("text") >= CDC_WINDOW)
+        .select(
+            "doc_id",
+            F.explode(cdc_boundaries_expr(F.col("text"), CDC_WINDOW, "0")).alias("pos"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"))
+    )
+
+
+@query("q_cdc_chunks")  # rows-only: rolling-hash chunker is engine-specific
+def q_cdc_chunks(spark, sf_dir):
+    """Production CDC: polynomial rolling hash over UTF-8 bytes, 64-byte
+    expected chunks with 16/256-byte min/max guards — mapInPandas, one
+    O(n) pass per document, zero shuffle. Tiling and resynchronization
+    invariants are asserted in tests/test_chunking.py."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.chunking import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return cdc_chunks(
+        docs, "doc_id", "text", window=16, mask_bits=6, min_len=16, max_len=256
+    )
