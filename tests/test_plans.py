@@ -192,3 +192,11 @@ def test_quality_by_source_partial_agg_and_pruned(spark, sf_dir):
     df = QUERIES["q_quality_by_source"](spark, sf_dir)
     assert formatted_plan(df).count("Aggregate") >= 2, formatted_plan(df)
     assert_scan_pruned(df, ["lang", "n_chars", "doc_id"])
+
+
+def test_cdc_boundaries_map_only(spark, sf_dir):
+    """q_cdc_boundaries (round 6): pure column work until the explode —
+    zero shuffles, doc_id bound pushed to the scan."""
+    df = QUERIES["q_cdc_boundaries"](spark, sf_dir)
+    assert count_exchanges(df) == 0, formatted_plan(df)
+    assert "LessThan(doc_id,30)" in pushed_filters(df)
