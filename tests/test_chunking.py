@@ -74,3 +74,25 @@ def test_prefix_edit_resynchronizes(spark):
     # all boundaries in the back half of the document must re-align
     back_half = {e for e in ends0 if e < n0 // 2}
     assert back_half and back_half <= shared, (sorted(ends0), sorted(ends1))
+
+
+def test_vectorized_equals_scalar_reference(spark):
+    """The numpy-vectorized sparse-candidate walk must produce EXACTLY the
+    chunks of the per-byte scalar reference loop for varied shapes: empty,
+    shorter than window, guard-dominated, and long high-entropy text."""
+    import pandas as pd
+
+    from yark_spark.operators.chunking import chunk_positions_reference
+
+    texts = ["", "abc", "a" * 200, _corpus_text(7, 5000), _corpus_text(11, 63)]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    out = cdc_chunks(
+        df, "doc_id", "text",
+        window=WINDOW, mask_bits=MASK_BITS, min_len=MIN_LEN, max_len=MAX_LEN,
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_start, r.chunk_len))
+    for doc_id, text in enumerate(texts):
+        ref = chunk_positions_reference(text, WINDOW, MASK_BITS, MIN_LEN, MAX_LEN)
+        assert sorted(got[doc_id]) == ref, (doc_id, sorted(got[doc_id])[:5], ref[:5])

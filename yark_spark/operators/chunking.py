@@ -5,13 +5,18 @@ whole tail. The primitive under storage-level dedup (LBFS/rsync lineage)
 and long-document near-dup at chunk granularity.
 
 Scale design: the chunker is a per-row computation — `mapInPandas` with a
-polynomial rolling hash (one O(n) pass per document, Arrow-batched, zero
-shuffle). The boundary rule is a pure function of a fixed-width character
-window, so chunk boundaries are deterministic under retries,
-repartitioning, and re-execution. A column-expression variant with an md5
-window rule (`cdc_boundaries_expr`) pins the boundary algebra against the
-DuckDB oracle on a bounded slice (`q_cdc_boundaries`); the rolling-hash
-path is the production shape (`q_cdc_chunks`, rows-only).
+polynomial rolling hash (one vectorized O(n) pass per document,
+Arrow-batched, zero shuffle). The boundary rule is a pure function of a
+fixed-width byte window, so chunk boundaries are deterministic under
+retries, repartitioning, and re-execution. A column-expression variant
+with an md5 window rule (`cdc_boundaries_expr`) pins the boundary algebra
+against the DuckDB oracle on a bounded slice (`q_cdc_boundaries`); the
+rolling-hash path is the production shape (`q_cdc_chunks`, rows-only).
+
+The numeric kernels are built by closure FACTORIES (not module-level
+functions referenced from the UDF): cloudpickle ships dynamic closures by
+value, so Python workers never need to import this package — required
+because the driver may run from any cwd (see .claude/skills/verify).
 """
 
 from __future__ import annotations
@@ -20,10 +25,69 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-#: polynomial base for the rolling hash (odd, > alphabet)
+#: polynomial base for the rolling hash (odd, > alphabet; odd → invertible
+#: mod 2^64, which the vectorized form needs)
 _BASE = 257
-#: 61-bit Mersenne prime modulus
-_MOD = (1 << 61) - 1
+#: modulus 2^64 — numpy uint64 arithmetic wraps to exactly this for free,
+#: so the whole hash computation vectorizes with no bigint math
+_WORD = 1 << 64
+
+
+def _make_candidate_fn(window: int, mask_bits: int):
+    """Build the vectorized boundary-candidate kernel as a self-contained
+    closure (safe to ship to Python workers by value)."""
+    base, word = _BASE, _WORD
+    binv = pow(_BASE, -1, _WORD)
+    bw = pow(_BASE, window, _WORD)
+    mask_val = (1 << mask_bits) - 1
+
+    def window_hashes(data):
+        # out[k] = polynomial hash (mod 2^64) of data[k .. k+window-1]'s
+        # trailing window, i.e. the hash of the window ENDING at
+        # k + window - 1. H_i (prefix hash) = Σ_j d_j·B^(i-j)
+        # = B^i · Σ_j d_j·B^(-j): the inner sum is one cumsum, everything
+        # wraps mod 2^64 in uint64. Window hash = H_i − B^window·H_{i-w}.
+        import numpy as np
+
+        n = len(data)
+
+        def geometric(b):
+            # [1, b, b², …, b^(n-1)] mod 2^64 by doubling — O(log n)
+            # vector multiplies (np.multiply.accumulate is scalar-speed)
+            p = np.ones(n, dtype=np.uint64)
+            p[1:2] = np.uint64(b)
+            step = 2
+            while step < n:
+                m = min(step, n - step)
+                p[step : step + m] = p[:m] * p[step - 1] * np.uint64(b)
+                step *= 2
+            return p
+
+        with np.errstate(over="ignore"):
+            pows = geometric(base)           # B^i
+            invp = geometric(binv)           # B^-i
+            scaled = data.astype(np.uint64) * invp  # d_j·B^-j
+            prefix = np.add.accumulate(scaled)      # Σ_{j<=i} d_j·B^-j
+            h = prefix * pows                       # H_i
+            out = h[window - 1 :].copy()
+            out[1:] -= np.uint64(bw) * h[: n - window]
+        return out
+
+    def boundary_candidates(data):
+        """0-based positions i (>= window-1) whose trailing-window hash
+        has its low mask_bits zero."""
+        import numpy as np
+
+        wh = window_hashes(data)
+        mask = np.uint64(mask_val)
+        return (np.nonzero((wh & mask) == 0)[0] + (window - 1)).astype(np.int64)
+
+    return boundary_candidates
+
+
+def _boundary_candidates(data, window: int, mask_bits: int):
+    """Driver-side convenience wrapper over the kernel (tests/bench)."""
+    return _make_candidate_fn(window, mask_bits)(data)
 
 
 def cdc_chunks(
@@ -42,12 +106,14 @@ def cdc_chunks(
     (expected chunk length ≈ 2^mask_bits bytes), subject to ``min_len`` /
     ``max_len`` guards — the standard LBFS construction: min_len
     suppresses degenerate tiny chunks, max_len forces progress through
-    low-entropy runs.
+    low-entropy runs. The window hash rolls ACROSS chunk boundaries (local
+    content only), so chunking resynchronizes after an edit — the
+    content-defined property, asserted in tests/test_chunking.py.
 
     Returns (id, chunk_idx, chunk_start, chunk_len) over the UTF-8 byte
     string, 0-based starts; chunks tile the document exactly
-    (sum(chunk_len) == byte length, starts contiguous — asserted in
-    tests/test_chunking.py). Map-only: no shuffle at any scale.
+    (sum(chunk_len) == byte length, starts contiguous). Map-only: no
+    shuffle at any scale.
     """
     schema = StructType(
         [
@@ -57,39 +123,33 @@ def cdc_chunks(
             StructField("chunk_len", LongType()),
         ]
     )
-    mask = (1 << mask_bits) - 1
+    cand_fn = _make_candidate_fn(window, mask_bits)
 
     def _chunk(batches):
+        import numpy as np
         import pandas as pd
 
-        pow_out = pow(_BASE, window - 1, _MOD)
-
         def chunk_one(text: str) -> list[tuple[int, int, int]]:
-            data = (text or "").encode("utf-8")
+            data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
             n = len(data)
             if n == 0:
                 return [(0, 0, 0)]
+            cand = cand_fn(data) if n >= window else np.empty(0, dtype=np.int64)
+            # sparse walk over candidates (~n / 2^mask_bits of them), with
+            # the min/max guards — identical semantics to the per-byte
+            # reference loop (equivalence-tested in tests/test_chunking.py)
             out = []
             start = idx = 0
-            h = 0
-            # the hash ALWAYS covers the trailing `window` bytes, rolling
-            # across chunk boundaries — the boundary test must depend only
-            # on local content so chunking RESYNCHRONIZES after an edit
-            # (the content-defined property; asserted in tests)
-            for i in range(n):
-                if i >= window:
-                    h = (h - data[i - window] * pow_out) % _MOD
-                h = (h * _BASE + data[i]) % _MOD
-                length = i - start + 1
-                boundary = (
-                    i + 1 >= window and length >= min_len and (h & mask) == 0
-                )
-                if boundary or length >= max_len:
-                    out.append((idx, start, length))
-                    idx += 1
-                    start = i + 1
-            if start < n:
-                out.append((idx, start, n - start))
+            ci = 0
+            while start < n:
+                lo = start + min_len - 1
+                while ci < len(cand) and cand[ci] < lo:
+                    ci += 1
+                end = int(cand[ci]) if ci < len(cand) else n - 1
+                end = min(end, start + max_len - 1, n - 1)
+                out.append((idx, start, end - start + 1))
+                idx += 1
+                start = end + 1
             return out
 
         for pdf in batches:
@@ -102,6 +162,35 @@ def cdc_chunks(
             )
 
     return df.select(id_col, text_col).mapInPandas(_chunk, schema)
+
+
+def chunk_positions_reference(
+    text: str, window: int, mask_bits: int, min_len: int, max_len: int
+) -> list[tuple[int, int, int]]:
+    """Per-byte scalar reference of the chunk walk (same mod-2^64 hash) —
+    kept for the vectorized-equals-scalar equivalence test."""
+    data = (text or "").encode("utf-8")
+    n = len(data)
+    if n == 0:
+        return [(0, 0, 0)]
+    mask = (1 << mask_bits) - 1
+    pow_out = pow(_BASE, window - 1, _WORD)
+    out = []
+    start = idx = 0
+    h = 0
+    for i in range(n):
+        if i >= window:
+            h = (h - data[i - window] * pow_out) % _WORD
+        h = (h * _BASE + data[i]) % _WORD
+        length = i - start + 1
+        boundary = i + 1 >= window and length >= min_len and (h & mask) == 0
+        if boundary or length >= max_len:
+            out.append((idx, start, length))
+            idx += 1
+            start = i + 1
+    if start < n:
+        out.append((idx, start, n - start))
+    return out
 
 
 def cdc_boundaries_expr(text: Column, window: int = 8, prefix: str = "0") -> Column:
