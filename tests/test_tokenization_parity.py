@@ -70,6 +70,8 @@ def messy_sf_dir(tmp_path_factory):
         47: lambda s: s.replace(" ", " \n", 2),         # newlines
         77: lambda s: s.replace(" ", "   ", 7),         # triple spaces
         205: lambda s: "\t" + s.replace(" ", "  ", 4) + " \n",
+        8: lambda s: s.replace(" ", "\x0b", 2),        # vertical tab: Java \s has it, RE2 \s doesn't
+
     }
     ids = docs["doc_id"].to_numpy()
     texts = docs["text"].copy()

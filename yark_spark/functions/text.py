@@ -26,31 +26,31 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 def whitespace_token_count(text: Column) -> Column:
     """Token count by whitespace split (empty text → 0)."""
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(text), "\\s+"))
+        F.size(F.split(F.trim(text), "[ \\t\\n\\x0B\\f\\r]+"))
     )
 
 
 def word_token_count(text: Column) -> Column:
     """BPE-ish token count: alphanumeric runs + single punctuation marks,
     approximating subword tokenizer output cheaply."""
-    return F.size(F.regexp_extract_all(text, F.lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), 0))
+    return F.size(F.regexp_extract_all(text, F.lit("[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), 0))
 
 
 def stopword_ratio(text: Column) -> Column:
     """Fraction of whitespace tokens that are stopwords — a standard
     quality-filter feature (low ratio on English text ⇒ likely non-prose)."""
-    toks = F.split(F.lower(F.trim(text)), "\\s+")
+    toks = F.split(F.lower(F.trim(text)), "[ \\t\\n\\x0B\\f\\r]+")
     sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     return F.round(sw / F.greatest(F.size(toks), F.lit(1)), 6)
 
 
 def punct_ratio(text: Column) -> Column:
-    punct = F.length(text) - F.length(F.regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
+    punct = F.length(text) - F.length(F.regexp_replace(text, "[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]", ""))
     return F.round(punct / F.greatest(F.length(text), F.lit(1)), 6)
 
 
 def mean_word_length(text: Column) -> Column:
-    toks = F.split(F.lower(F.trim(text)), "\\s+")
+    toks = F.split(F.lower(F.trim(text)), "[ \\t\\n\\x0B\\f\\r]+")
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
 
@@ -73,7 +73,7 @@ def lang_id(text: Column) -> Column:
     """Marker-lexicon language guess over whitespace tokens; 'und' when no
     lexicon matches. Deterministic tie-break: first language (dict order)
     with the max marker hits."""
-    toks = F.split(F.lower(F.trim(text)), "\\s+")
+    toks = F.split(F.lower(F.trim(text)), "[ \\t\\n\\x0B\\f\\r]+")
 
     def _in_markers(markers):
         # closure factory: pyspark higher-order lambdas must take exactly the
@@ -115,7 +115,7 @@ def redact_pii(text: Column) -> Column:
 def token_repetition_ratio(text: Column) -> Column:
     """1 − distinct/total whitespace tokens: near 1 ⇒ degenerate repetition
     (a standard gibberish/boilerplate quality filter)."""
-    toks = F.split(F.lower(F.trim(text)), "\\s+")
+    toks = F.split(F.lower(F.trim(text)), "[ \\t\\n\\x0B\\f\\r]+")
     return F.round(
         1 - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6
     )
@@ -125,7 +125,7 @@ def ngrams(text: Column, n: int = 5) -> Column:
     """Distinct word n-grams as an array — built map-side with
     transform-over-sequence (no explode), the unit for decontamination
     overlap checks."""
-    toks = F.split(F.lower(F.trim(text)), "\\s+")
+    toks = F.split(F.lower(F.trim(text)), "[ \\t\\n\\x0B\\f\\r]+")
     # floor the stop at 0: `when` evaluates BOTH branches, so the otherwise
     # expression must stay well-defined for short docs (sequence(0, 0) →
     # one truncated gram, discarded by the guard)
@@ -148,7 +148,7 @@ def winnow_fingerprints(text: Column, gram: int = 3, window: int = 4) -> Column:
     tests/test_properties.py). Density ≈ 2/(window+1) of full shingling.
     Docs with fewer than ``window + gram - 1`` tokens yield an empty array
     (no full window exists). Pure column work — map-side at any scale."""
-    toks = F.split(F.lower(F.trim(text)), "\\s+")
+    toks = F.split(F.lower(F.trim(text)), "[ \\t\\n\\x0B\\f\\r]+")
     # `when` evaluates BOTH branches, so sequence stops are floored to keep
     # the otherwise-expression well-defined for short docs
     n_grams = F.greatest(F.size(toks) - (gram - 1), F.lit(1))
@@ -171,5 +171,5 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text. Same-content docs collide regardless of spacing/case — the
     canonical key for exact dedup across formatting variants."""
-    normalized = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+    normalized = F.regexp_replace(F.lower(F.trim(text)), "[ \\t\\n\\x0B\\f\\r]+", " ")
     return F.md5(normalized)

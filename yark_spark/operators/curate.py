@@ -155,7 +155,7 @@ def curate(
     # re-runs the decontaminate→quality→redact subtree; the stage count
     # doubles as the materialization action.
     redacted = kept.withColumn(text_col, redact_pii(F.col(text_col)))
-    n_tok = F.size(F.split(F.col(text_col), "\\s+"))
+    n_tok = F.size(F.split(F.col(text_col), "[ \\t\\n\\x0B\\f\\r]+"))
     staged = redacted.withColumn("__ntok", n_tok).persist()
     report.cached.append(staged)  # caller releases via report.unpersist()
     report.counts["after_quality_filters"] = staged.count()

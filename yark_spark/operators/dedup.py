@@ -40,9 +40,11 @@ def tokens(df: DataFrame, text_col: str = "text") -> "F.Column":
     """Whitespace tokens, lowercased + trimmed — the shingle unit for
     minhash/jaccard. Trim first so leading/trailing whitespace can't mint
     empty tokens; oracles must mirror with
-    ``string_split_regex(lower(trim(text)), '\\s+')`` (same semantics as
-    Java split on trimmed input)."""
-    return F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    ``string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')``.
+    The EXPLICIT class (not ``\\s``) is deliberate: Java regex ``\\s``
+    includes vertical tab ``\\x0B`` while DuckDB's RE2 ``\\s`` does not,
+    so ``\\s+`` silently diverges on documents containing ``\\x0B``."""
+    return F.split(F.lower(F.trim(F.col(text_col))), "[ \\t\\n\\x0B\\f\\r]+")
 
 
 _MAX_LONG = (1 << 63) - 1

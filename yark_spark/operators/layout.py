@@ -73,7 +73,10 @@ def compact(
     under the lazy scan at write time and destroy the table. The staged
     output lands in a sibling dir, the old table is moved aside, the stage
     renamed in, and the old table removed — the source survives any
-    failure before the final swap."""
+    failure before the final swap, and a failed final rename rolls the
+    original table back into place. The swap itself is two renames, not
+    one atomic op: concurrent readers can observe a brief ENOENT window
+    between them."""
     src_bytes = _dir_bytes(src_path)
     n = max(1, round(src_bytes / target_file_bytes))
     if n == 1 and src_bytes > SINGLE_FILE_WARN_BYTES:
@@ -99,7 +102,16 @@ def compact(
         backup = real_dest + ".__precompact__"
         shutil.rmtree(backup, ignore_errors=True)
         os.rename(real_src, backup)
-        os.rename(stage, real_dest)
+        try:
+            os.rename(stage, real_dest)
+        except OSError:
+            # Roll the original table back into place so a failed swap
+            # never leaves the table path empty with data stranded in
+            # the backup dir. NOTE: the swap is two renames, not atomic
+            # — concurrent readers can see a brief ENOENT window between
+            # them; callers needing atomicity must quiesce readers.
+            os.rename(backup, real_dest)
+            raise
         shutil.rmtree(backup)
     return n
 

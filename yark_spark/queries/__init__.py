@@ -53,36 +53,52 @@ _R1_VERIFIED: frozenset[str] = frozenset(
 )
 
 
-def _load_verified_rounds() -> dict[str, int]:
+def _load_verified_rounds(
+    reports: "list[tuple[int, dict]] | None" = None,
+) -> dict[str, int]:
     """Map each key to the ROUND of its newest green row across every
     ``CORRECTNESS_r*.json`` in the repo root, so the rotation advances
     automatically each round without editing this file. Green = full
     hash-match, or a rows-only key (err == "no_oracle") that produced a
-    row count. Failed keys stay unverified and re-enter the window.
-    The round-1 set seeds keys verified before reports were committed."""
+    row count. A key whose NEWEST report row is red is demoted to
+    unverified (dropped from the map) regardless of older green rows, so
+    regressions re-enter the window immediately instead of waiting out
+    the staleness rotation. The round-1 set seeds keys verified before
+    reports were committed. ``reports`` (a list of (round, report-dict))
+    overrides the on-disk scan — for tests."""
     import glob
     import json
     import os
     import re
 
+    if reports is None:
+        reports = []
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            rnd = int(m.group(1)) if m else 0
+            try:
+                with open(path) as f:
+                    reports.append((rnd, json.load(f)))
+            except (OSError, ValueError):
+                continue
+
     rounds: dict[str, int] = {k: 1 for k in _R1_VERIFIED}
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
-        try:
-            with open(path) as f:
-                report = json.load(f)
-        except (OSError, ValueError):
-            continue
+    newest_round: dict[str, int] = {k: 1 for k in _R1_VERIFIED}
+    newest_green: dict[str, bool] = {k: True for k in _R1_VERIFIED}
+    for rnd, report in sorted(reports, key=lambda t: t[0]):
         for key, row in report.items():
             if not isinstance(row, dict):
                 continue
             full_pass = row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
             rows_only_pass = row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            if full_pass or rows_only_pass:
+            green = bool(full_pass or rows_only_pass)
+            if green:
                 rounds[key] = max(rounds.get(key, 0), rnd)
-    return rounds
+            if rnd >= newest_round.get(key, 0):
+                newest_round[key] = rnd
+                newest_green[key] = green
+    return {k: r for k, r in rounds.items() if newest_green.get(k, True)}
 
 
 _VERIFIED_ROUNDS: dict[str, int] = _load_verified_rounds()

@@ -79,7 +79,7 @@ def q_simhash(spark, sf_dir):
     oracle=(
         "WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 20), "
         "tok AS (SELECT doc_id, "
-        "unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok "
+        "unnest(list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'))) AS tok "
         "FROM base), "
         "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter "

@@ -31,7 +31,7 @@ _CLUSTER_CTE = (
     "WITH RECURSIVE "
     "nodes AS (SELECT doc_id FROM documents WHERE doc_id < 40), "
     "tok AS (SELECT doc_id, "
-    "unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok "
+    "unnest(list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'))) AS tok "
     "FROM documents WHERE doc_id < 40), "
     "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), "
     "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n "
@@ -196,8 +196,8 @@ def q_redact_pii(spark, sf_dir):
 @query(
     "q_repetition_ratio",
     oracle=(
-        "SELECT doc_id, round(1 - len(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))"
-        " / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 6) AS rep_ratio "
+        "SELECT doc_id, round(1 - len(list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')))"
+        " / greatest(len(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')), 1), 6) AS rep_ratio "
         "FROM documents"
     ),
 )
@@ -216,7 +216,7 @@ NGRAM = 5  # decontamination shingle width
 
 
 _DECON_ORACLE = (
-    "WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks "
+    "WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks "
     "FROM documents), "
     "idx AS (SELECT doc_id, toks, "
     f"unnest(range(0, greatest(len(toks) - {NGRAM}, 0) + 1)) AS s FROM tok "
@@ -515,7 +515,7 @@ def q_global_sort(spark, sf_dir):
 @query(
     "q_vocabulary",
     oracle=(
-        "WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+        "WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok "
         "FROM documents) "
         "SELECT tok, count(*) AS n FROM tok GROUP BY tok "
         "ORDER BY n DESC, tok LIMIT 100"
@@ -529,7 +529,7 @@ def q_vocabulary(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok"))
+        docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("tok"))
@@ -581,7 +581,7 @@ def q_ann_ivf(spark, sf_dir):
     "q_token_entropy",
     oracle=(
         "WITH tok AS (SELECT doc_id, "
-        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+        "unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok "
         "FROM documents), "
         "c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok), "
         "n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id) "
@@ -600,7 +600,7 @@ def q_token_entropy(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok")
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).alias("tok")
     )
     cnt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
@@ -663,7 +663,7 @@ WINNOW_WINDOW = 4  # shingle hashes per winnowing window
 @query(
     "q_winnow_fingerprint",
     oracle=(
-        "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l "
+        "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS l "
         "FROM documents WHERE doc_id < 60), "
         "g AS (SELECT doc_id, list_transform(range(1, len(l) - 1), "
         "i -> md5(array_to_string(l[i:i+2], ' '))) AS hs "
@@ -741,7 +741,7 @@ def q_boilerplate_lines(spark, sf_dir):
     "q_source_overlap",
     oracle=(
         "WITH fp AS (SELECT DISTINCT source, "
-        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+        "md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp "
         "FROM documents) "
         "SELECT a.source AS source_a, b.source AS source_b, "
         "CAST(count(*) AS BIGINT) AS n_shared "
@@ -771,6 +771,10 @@ def q_source_overlap(spark, sf_dir):
     )
 
 
+# Importing queries.text here (not relying on the package __init__ having
+# done so) keeps this module import-order independent: the q_quality_score
+# oracle referenced below is registered by that import.
+from yark_spark.queries import text as _text  # noqa: E402,F401
 from yark_spark.registry import ORACLES as _ORACLES  # noqa: E402
 
 
@@ -807,7 +811,7 @@ def q_quality_by_source(spark, sf_dir):
     "q_source_similarity",
     oracle=(
         "WITH tok AS (SELECT source, "
-        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), "
+        "unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok FROM documents), "
         "c AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok), "
         "n AS (SELECT source, sum(c * c) AS n2 FROM c GROUP BY source), "
         "dot AS (SELECT a.source AS source_a, b.source AS source_b, "
@@ -829,7 +833,7 @@ def q_source_similarity(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
-        "source", F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok")
+        "source", F.explode(F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).alias("tok")
     )
     c = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
     n = c.groupBy("source").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))

@@ -461,7 +461,7 @@ TFIDF_K = 5
 @query(
     "q_tfidf",
     oracle=(
-        "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+        "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok "
         f"FROM documents WHERE doc_id < {TFIDF_MAX_ID}), "
         "tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok), "
         "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok), "
@@ -481,7 +481,7 @@ def q_tfidf(spark, sf_dir):
     no global window; rows per partition = the doc's vocabulary)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < TFIDF_MAX_ID)
     tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok")
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).alias("tok")
     )
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
@@ -509,7 +509,7 @@ def q_tfidf(spark, sf_dir):
     "q_containment_pairs",
     oracle=(
         "WITH tok AS (SELECT doc_id, "
-        "unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok "
+        "unnest(list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'))) AS tok "
         "FROM documents WHERE doc_id < 40), "
         "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n "
@@ -712,7 +712,7 @@ def q_mixture_sample(spark, sf_dir):
     "q_gopher_quality",
     oracle=(
         "WITH w AS (SELECT doc_id, "
-        "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS words, "
+        "string_split(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS words, "
         "length(text) AS n_chars_raw FROM documents), "
         "m AS (SELECT doc_id, len(words) AS n_words, "
         "CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum') AS DOUBLE) "

@@ -69,7 +69,7 @@ def _marker_sql(markers: list[str]) -> str:
 @query(
     "q_lang_id",
     oracle=(
-        "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents), "
         "h AS (SELECT doc_id, "
         + ", ".join(f"{_marker_sql(m)} AS h_{lang}" for lang, m in LANG_MARKERS.items())
         + " FROM t) "
@@ -92,11 +92,11 @@ _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 @query(
     "q_quality_score",
     oracle=(
-        "WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks "
+        "WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks "
         "FROM documents), "
         "feat AS (SELECT doc_id, "
         f"round(len(list_filter(toks, t -> t IN ({_STOP_IN}))) / greatest(len(toks), 1), 6) AS sw, "
-        "round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))"
+        "round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')))"
         " / greatest(length(text), 1), 6) AS pr, "
         "round(list_aggregate(list_transform(toks, t -> length(t)), 'sum')"
         " / greatest(len(toks), 1), 6) AS mwl FROM t) "
@@ -116,7 +116,7 @@ def q_quality_score(spark, sf_dir):
 @query(
     "q_fingerprint",
     oracle=(
-        "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+        "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp "
         "FROM documents"
     ),
 )
