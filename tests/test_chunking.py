@@ -96,3 +96,84 @@ def test_vectorized_equals_scalar_reference(spark):
     for doc_id, text in enumerate(texts):
         ref = chunk_positions_reference(text, WINDOW, MASK_BITS, MIN_LEN, MAX_LEN)
         assert sorted(got[doc_id]) == ref, (doc_id, sorted(got[doc_id])[:5], ref[:5])
+
+
+def _hashed_chunks_df(spark, texts):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    return cdc_chunks(
+        df, "doc_id", "text",
+        window=WINDOW, mask_bits=MASK_BITS, min_len=MIN_LEN, max_len=MAX_LEN,
+        with_hash=True,
+    )
+
+
+def test_with_hash_matches_chunk_bytes(spark):
+    import hashlib
+
+    text = _corpus_text(11, 600)
+    rows = _hashed_chunks_df(spark, [text]).collect()
+    data = text.encode("utf-8")
+    for r in rows:
+        expect = hashlib.md5(data[r.chunk_start : r.chunk_start + r.chunk_len]).hexdigest()
+        assert r.chunk_hash == expect
+
+
+def test_shared_block_produces_shared_chunks(spark):
+    """The storage-dedup guarantee chunk_dedup rides on: two documents
+    embedding the SAME long block inside different surrounding content
+    share at least one identical chunk — content-defined boundaries
+    resynchronize inside the block regardless of its byte offset. Block
+    length ≫ max_len so interior content-defined boundaries must occur
+    (max_len forces progress even through boundary deserts)."""
+    from yark_spark.operators.chunking import shared_chunk_pairs
+
+    block = _corpus_text(21, 8 * MAX_LEN)
+    doc_a = _corpus_text(22, 200) + block + _corpus_text(23, 150)
+    doc_b = _corpus_text(24, 517) + block + _corpus_text(25, 90)
+    doc_c = _corpus_text(26, 900)  # no shared content
+    chunks = _hashed_chunks_df(spark, [doc_a, doc_b, doc_c])
+    pairs = {(r.id_a, r.id_b): r for r in shared_chunk_pairs(chunks, "doc_id").collect()}
+    assert (0, 1) in pairs, "docs sharing an 8*max_len block must share a chunk"
+    p = pairs[(0, 1)]
+    assert p.n_shared >= 3  # several interior chunks align, not just one
+    assert p.shared_bytes >= p.n_shared * MIN_LEN
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_shared_chunk_pairs_hot_bucket_cap(spark):
+    """A chunk present in EVERY document (boilerplate) is exactly the
+    hot-bucket hazard: max_bucket drops it before the pair join while a
+    small shared bucket SURVIVES, and the Observation makes the capped
+    work visible. (The corpus keeps the capped output non-empty on
+    purpose: AQE's empty-relation propagation would eliminate the
+    CollectMetrics node of an all-empty plan — see the operator
+    docstring.)"""
+    from pyspark.sql import Observation
+
+    from yark_spark.operators.chunking import shared_chunk_pairs
+
+    boiler = _corpus_text(31, 4 * MAX_LEN)  # shared by ALL docs -> capped
+    pair_block = _corpus_text(32, 4 * MAX_LEN)  # shared by docs 0,1 only
+    texts = [
+        _corpus_text(40 + i, 120 + 37 * i)
+        + boiler
+        + (pair_block if i < 2 else _corpus_text(50 + i, 150))
+        for i in range(6)
+    ]
+    chunks = _hashed_chunks_df(spark, texts)
+    obs = Observation("cap")
+    capped = shared_chunk_pairs(chunks, "doc_id", max_bucket=4, observation=obs)
+    rows = {(r.id_a, r.id_b) for r in capped.collect()}
+    got = obs.get
+    assert got["capped_buckets"] > 0
+    assert got["rows_in_capped_buckets"] >= 6  # the all-doc chunks were dropped
+    # the small (size-2) pair_block bucket survives the cap...
+    assert (0, 1) in rows
+    # ...but every pair that only shared the boilerplate is gone
+    uncapped = {
+        (r.id_a, r.id_b) for r in shared_chunk_pairs(chunks, "doc_id").collect()
+    }
+    assert len(uncapped) == 15
+    assert rows == {(0, 1)}

@@ -200,3 +200,15 @@ def test_cdc_boundaries_map_only(spark, sf_dir):
     df = QUERIES["q_cdc_boundaries"](spark, sf_dir)
     assert count_exchanges(df) == 0, formatted_plan(df)
     assert "LessThan(doc_id,30)" in pushed_filters(df)
+
+
+def test_chunk_dedup_equi_join_not_cartesian(spark, sf_dir):
+    """q_chunk_dedup (round 7): the shared-chunk pair join must be an
+    EQUI-join on the chunk hash — never cartesian/nested-loop — with a
+    partial-agg pair count and the doc_id bound pushed to the scan."""
+    df = QUERIES["q_chunk_dedup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert plan.count("Aggregate") >= 2, plan
+    assert "LessThan(doc_id,120)" in pushed_filters(df)

@@ -98,6 +98,7 @@ def cdc_chunks(
     mask_bits: int = 6,
     min_len: int = 32,
     max_len: int = 1024,
+    with_hash: bool = False,
 ) -> DataFrame:
     """Chunk each document at content-defined boundaries.
 
@@ -114,18 +115,27 @@ def cdc_chunks(
     string, 0-based starts; chunks tile the document exactly
     (sum(chunk_len) == byte length, starts contiguous). Map-only: no
     shuffle at any scale.
+
+    ``with_hash=True`` adds ``chunk_hash`` (md5 hex of the chunk's bytes),
+    computed in the SAME Arrow batch pass — the content key for
+    chunk-level dedup (``shared_chunk_pairs``) without a second scan.
     """
-    schema = StructType(
-        [
-            df.schema[id_col],
-            StructField("chunk_idx", IntegerType()),
-            StructField("chunk_start", LongType()),
-            StructField("chunk_len", LongType()),
-        ]
-    )
+    fields = [
+        df.schema[id_col],
+        StructField("chunk_idx", IntegerType()),
+        StructField("chunk_start", LongType()),
+        StructField("chunk_len", LongType()),
+    ]
+    if with_hash:
+        from pyspark.sql.types import StringType
+
+        fields.append(StructField("chunk_hash", StringType()))
+    schema = StructType(fields)
     cand_fn = _make_candidate_fn(window, mask_bits)
 
     def _chunk(batches):
+        import hashlib
+
         import numpy as np
         import pandas as pd
 
@@ -152,14 +162,17 @@ def cdc_chunks(
                 start = end + 1
             return out
 
+        cols = [f.name for f in fields]
         for pdf in batches:
             rows = []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
                 for idx, start, length in chunk_one(text):
-                    rows.append((rid, idx, start, length))
-            yield pd.DataFrame(
-                rows, columns=[id_col, "chunk_idx", "chunk_start", "chunk_len"]
-            )
+                    row = (rid, idx, start, length)
+                    if with_hash:
+                        row += (hashlib.md5(data[start : start + length]).hexdigest(),)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, text_col).mapInPandas(_chunk, schema)
 
@@ -208,4 +221,115 @@ def cdc_boundaries_expr(text: Column, window: int = 8, prefix: str = "0") -> Col
     )
     return F.when(F.length(text) >= window, bounds).otherwise(
         F.array().cast("array<integer>")
+    )
+
+
+def md5_chunk_hashes(text: Column, window: int = 8, prefix: str = "0") -> Column:
+    """Array of md5 hashes of the CHUNKS cut by the ``cdc_boundaries_expr``
+    rule — the oracle-checkable twin of ``cdc_chunks(with_hash=True)``.
+
+    Cut rule: a boundary at 1-based position i closes a chunk at character
+    i + window - 1 (the end of the hashed window), mirroring the rolling
+    hash's trailing-window trigger; cuts at or beyond the last character are
+    dropped so the tail chunk is never empty; chunks tile the text. No
+    min/max-length guards (those need a sequential walk the SQL oracle
+    can't express) — this pins the cut-and-hash ALGEBRA differentially;
+    the guarded rolling-hash path is the production shape.
+    """
+    cuts = F.filter(
+        F.transform(cdc_boundaries_expr(text, window, prefix), lambda i: i + (window - 1)),
+        lambda e: e < F.length(text),
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(cuts, lambda e: e + 1))
+    ends = F.concat(cuts, F.array(F.length(text)))
+    ks = F.sequence(F.lit(1), F.size(starts))
+    return F.transform(
+        ks,
+        lambda k: F.md5(
+            F.substring(
+                text,
+                F.element_at(starts, k),
+                F.element_at(ends, k) - F.element_at(starts, k) + 1,
+            )
+        ),
+    )
+
+
+def shared_chunk_pairs(
+    chunks: DataFrame,
+    id_col: str,
+    hash_col: str = "chunk_hash",
+    len_col: str | None = "chunk_len",
+    max_bucket: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """Cross-document shared-chunk detection — the LBFS/storage-dedup use
+    case that connects content-defined chunking (E23) to dedup (E1).
+
+    Input: one row per (document, chunk) with a content hash (from
+    ``cdc_chunks(with_hash=True)`` or ``md5_chunk_hashes`` exploded).
+    Output: (id_a, id_b, n_shared, shared_bytes) — one row per UNORDERED
+    document pair sharing at least one identical chunk, with the count of
+    distinct shared chunk contents and their total byte size
+    (``len_col=None`` drops shared_bytes for hash-only inputs).
+
+    Scale shape: distinct (id, hash, len) triples — a repeated chunk
+    within one document counts once — then a self EQUI-join on the chunk
+    hash (never all-pairs) and a pair-keyed aggregate. Output is bounded
+    by Σ_bucket |bucket|²; a chunk shared by thousands of documents
+    (boilerplate headers) is exactly the hot-bucket hazard banded_pairs
+    has, so ``max_bucket`` nulls hashes in oversized buckets BEFORE the
+    pair join, with an optional ``Observation`` recording capped rows /
+    buckets (capped work must be visible, not silent).
+
+    Observation caveat: if the FINAL pair output is empty, AQE's
+    empty-relation propagation can replace the whole subtree — including
+    the CollectMetrics node — with an empty LocalRelation, and the
+    metrics are never delivered (``observation.get`` then fails in the
+    JVM). Read the metrics only when the action produced rows, or run
+    with AQE off for the audit pass.
+    """
+    cols = [F.col(id_col), F.col(hash_col).alias("__ch")]
+    if len_col is not None:
+        cols.append(F.col(len_col).alias("__cl"))
+    u = chunks.select(*cols).distinct()
+    if max_bucket is not None:
+        # Bucket sizes as a hash aggregate on (hash) alone (map-side
+        # partial agg, no window shuffle of the full rows); the observe
+        # hangs off the aggregate exactly like banded_pairs' sizing.
+        sizes = u.groupBy("__ch").agg(F.count(F.lit(1)).alias("__bsz"))
+        if observation is not None:
+            sizes = sizes.observe(
+                observation,
+                F.coalesce(
+                    F.sum(F.when(F.col("__bsz") > max_bucket, F.col("__bsz"))),
+                    F.lit(0).cast("long"),
+                ).alias("rows_in_capped_buckets"),
+                F.coalesce(
+                    F.sum((F.col("__bsz") > max_bucket).cast("double")), F.lit(0.0)
+                ).alias("capped_buckets"),
+            )
+        u = (
+            u.join(sizes, "__ch")
+            .where(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+    a, b = u.alias("a"), u.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__ch") == F.col("b.__ch"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            *(
+                [F.sum("a.__cl").cast("long").alias("shared_bytes")]
+                if len_col is not None
+                else []
+            ),
+        )
     )

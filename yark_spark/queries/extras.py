@@ -895,6 +895,51 @@ def q_cdc_boundaries(spark, sf_dir):
     )
 
 
+_CHUNK_DEDUP_ORACLE = (
+    "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 120), "
+    "b AS (SELECT doc_id, text, CASE WHEN length(text) >= 8 THEN "
+    "list_filter(range(1, greatest(length(text) - 7, 1) + 1), "
+    "i -> md5(substr(text, i, 8)) LIKE '0%') ELSE [] END AS bounds FROM d), "
+    "c AS (SELECT doc_id, text, "
+    "list_filter(list_transform(bounds, i -> i + 7), e -> e < length(text)) AS cuts "
+    "FROM b), "
+    "s AS (SELECT doc_id, text, "
+    "list_prepend(1, list_transform(cuts, e -> e + 1)) AS starts, "
+    "list_append(cuts, length(text)) AS ends FROM c), "
+    "ch AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(starts) + 1), "
+    "k -> md5(substr(text, starts[k], ends[k] - starts[k] + 1)))) AS chash FROM s) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared "
+    "FROM ch a JOIN ch b ON a.chash = b.chash AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id"
+)
+
+
+@query("q_chunk_dedup", oracle=_CHUNK_DEDUP_ORACLE)
+def q_chunk_dedup(spark, sf_dir):
+    """Chunk-level dedup (E23 → E1, the LBFS/storage-dedup use case):
+    document pairs sharing at least one identical content-defined chunk,
+    with the count of distinct shared chunk contents. Oracle-checkable
+    variant — chunks cut by the md5-window boundary rule
+    (``md5_chunk_hashes``), hashed, distinct per doc, then an EQUI-join
+    on the chunk hash (never all-pairs) and a pair-keyed count — the
+    exact plan shape of ``shared_chunk_pairs``, which the production
+    rolling-hash path feeds via ``cdc_chunks(with_hash=True)``
+    (tests/test_chunking.py asserts the shared-block guarantee there).
+    Bounded slice (doc_id < 120): the md5-per-position cut rule is an
+    audit tool, wrong at scale; pair output is bounded by the equi-join
+    buckets either way."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.chunking import md5_chunk_hashes, shared_chunk_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    hashes = docs.select(
+        "doc_id",
+        F.explode(md5_chunk_hashes(F.col("text"), CDC_WINDOW, "0")).alias("chash"),
+    )
+    return shared_chunk_pairs(hashes, "doc_id", hash_col="chash", len_col=None)
+
+
 @query("q_cdc_chunks")  # rows-only: rolling-hash chunker is engine-specific
 def q_cdc_chunks(spark, sf_dir):
     """Production CDC: polynomial rolling hash over UTF-8 bytes, 64-byte
