@@ -186,7 +186,10 @@ def hyperplane_lsh_buckets(
             lambda acc, v: acc + v,
         )
         bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
-    bucket = bits[0]
+    # n_planes=0 degenerates to ONE bucket (no pruning): ann_topk_lsh then
+    # scores every candidate and must reproduce the exact top-k — the
+    # full-probe ≡ exact contract key (q_ann_lsh_full).
+    bucket = bits[0] if bits else F.lit(0)
     for b in bits[1:]:
         bucket = bucket + b
     return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))

@@ -574,6 +574,63 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, query_max_id=10, k=5, n_cells=8, n_probe=8)
 
 
+# --- Round-7 additions ---------------------------------------------------
+
+_SIMHASH_MD5_ORACLE = (
+    "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'))) AS tok FROM documents), h AS (SELECT doc_id, md5(tok) AS h FROM tok), v AS (SELECT doc_id, count(*) AS n, sum(ascii(substr(h, 1, 1)) % 2) AS o1, sum(ascii(substr(h, 2, 1)) % 2) AS o2, sum(ascii(substr(h, 3, 1)) % 2) AS o3, sum(ascii(substr(h, 4, 1)) % 2) AS o4, sum(ascii(substr(h, 5, 1)) % 2) AS o5, sum(ascii(substr(h, 6, 1)) % 2) AS o6, sum(ascii(substr(h, 7, 1)) % 2) AS o7, sum(ascii(substr(h, 8, 1)) % 2) AS o8, sum(ascii(substr(h, 9, 1)) % 2) AS o9, sum(ascii(substr(h, 10, 1)) % 2) AS o10, sum(ascii(substr(h, 11, 1)) % 2) AS o11, sum(ascii(substr(h, 12, 1)) % 2) AS o12, sum(ascii(substr(h, 13, 1)) % 2) AS o13, sum(ascii(substr(h, 14, 1)) % 2) AS o14, sum(ascii(substr(h, 15, 1)) % 2) AS o15, sum(ascii(substr(h, 16, 1)) % 2) AS o16, sum(ascii(substr(h, 17, 1)) % 2) AS o17, sum(ascii(substr(h, 18, 1)) % 2) AS o18, sum(ascii(substr(h, 19, 1)) % 2) AS o19, sum(ascii(substr(h, 20, 1)) % 2) AS o20, sum(ascii(substr(h, 21, 1)) % 2) AS o21, sum(ascii(substr(h, 22, 1)) % 2) AS o22, sum(ascii(substr(h, 23, 1)) % 2) AS o23, sum(ascii(substr(h, 24, 1)) % 2) AS o24, sum(ascii(substr(h, 25, 1)) % 2) AS o25, sum(ascii(substr(h, 26, 1)) % 2) AS o26, sum(ascii(substr(h, 27, 1)) % 2) AS o27, sum(ascii(substr(h, 28, 1)) % 2) AS o28, sum(ascii(substr(h, 29, 1)) % 2) AS o29, sum(ascii(substr(h, 30, 1)) % 2) AS o30, sum(ascii(substr(h, 31, 1)) % 2) AS o31, sum(ascii(substr(h, 32, 1)) % 2) AS o32 FROM h GROUP BY doc_id) SELECT doc_id, CAST(CASE WHEN 2 * o1 > n THEN 1 ELSE 0 END + CASE WHEN 2 * o2 > n THEN 2 ELSE 0 END + CASE WHEN 2 * o3 > n THEN 4 ELSE 0 END + CASE WHEN 2 * o4 > n THEN 8 ELSE 0 END + CASE WHEN 2 * o5 > n THEN 16 ELSE 0 END + CASE WHEN 2 * o6 > n THEN 32 ELSE 0 END + CASE WHEN 2 * o7 > n THEN 64 ELSE 0 END + CASE WHEN 2 * o8 > n THEN 128 ELSE 0 END + CASE WHEN 2 * o9 > n THEN 256 ELSE 0 END + CASE WHEN 2 * o10 > n THEN 512 ELSE 0 END + CASE WHEN 2 * o11 > n THEN 1024 ELSE 0 END + CASE WHEN 2 * o12 > n THEN 2048 ELSE 0 END + CASE WHEN 2 * o13 > n THEN 4096 ELSE 0 END + CASE WHEN 2 * o14 > n THEN 8192 ELSE 0 END + CASE WHEN 2 * o15 > n THEN 16384 ELSE 0 END + CASE WHEN 2 * o16 > n THEN 32768 ELSE 0 END + CASE WHEN 2 * o17 > n THEN 65536 ELSE 0 END + CASE WHEN 2 * o18 > n THEN 131072 ELSE 0 END + CASE WHEN 2 * o19 > n THEN 262144 ELSE 0 END + CASE WHEN 2 * o20 > n THEN 524288 ELSE 0 END + CASE WHEN 2 * o21 > n THEN 1048576 ELSE 0 END + CASE WHEN 2 * o22 > n THEN 2097152 ELSE 0 END + CASE WHEN 2 * o23 > n THEN 4194304 ELSE 0 END + CASE WHEN 2 * o24 > n THEN 8388608 ELSE 0 END + CASE WHEN 2 * o25 > n THEN 16777216 ELSE 0 END + CASE WHEN 2 * o26 > n THEN 33554432 ELSE 0 END + CASE WHEN 2 * o27 > n THEN 67108864 ELSE 0 END + CASE WHEN 2 * o28 > n THEN 134217728 ELSE 0 END + CASE WHEN 2 * o29 > n THEN 268435456 ELSE 0 END + CASE WHEN 2 * o30 > n THEN 536870912 ELSE 0 END + CASE WHEN 2 * o31 > n THEN 1073741824 ELSE 0 END + CASE WHEN 2 * o32 > n THEN 2147483648 ELSE 0 END AS BIGINT) AS simhash FROM v"
+)
+
+
+@query("q_simhash_md5", oracle=_SIMHASH_MD5_ORACLE)
+def q_simhash_md5(spark, sf_dir):
+    """E2b SimHash, oracle-checkable variant (the md5 trick that made
+    q_minhash_signature hash-matchable): per-bit hash = parity of the
+    ascii code of hex digit j of md5(token) — computable identically in
+    both engines — majority bit-vote over each document's DISTINCT
+    tokens, 32 bits assembled into one BIGINT (vote ties break to 0).
+    The production path (q_simhash, operators/dedup.simhash) votes over
+    xxhash64 bits — JVM-native, no oracle can mirror it — so this key
+    pins the bit-vote ALGEBRA: distinct-token voting, majority rule,
+    bit assembly. Map-only in Spark: one md5 per token via transform,
+    32 filtered counts over the md5 array, zero explode/shuffle."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
+    )
+    mds = F.transform(toks, lambda t: F.md5(t))
+    n = F.size(mds)
+
+    def _ones(j):
+        # closure factory: pyspark higher-order lambdas take only lambda vars
+        return F.size(
+            F.filter(mds, lambda m: F.ascii(F.substring(m, j, 1)) % 2 == 1)
+        )
+
+    simhash = F.lit(0).cast("long")
+    for j in range(1, 33):
+        simhash = simhash + F.when(2 * _ones(j) > n, F.lit(2 ** (j - 1))).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return docs.select("doc_id", simhash.alias("simhash"))
+
+
+@query("q_ann_lsh_full", oracle=COSINE_TOPK_ORACLE)  # no pruning == exact top-k
+def q_ann_lsh_full(spark, sf_dir):
+    """E3d LSH ANN at FULL PROBE (n_planes=0 → one bucket, nothing
+    pruned): the candidate equi-join sees every vector, so the LSH
+    pipeline (bucketing, bucket join, two-phase top-k) must reproduce the
+    exact brute-force result — the same contract q_ann_ivf pins for IVF
+    (n_probe == n_cells). The pruning path stays rows-only (q_ann_lsh:
+    xxhash64 hyperplanes are engine-specific); its recall is measured in
+    tests/test_similarity_ivf.py."""
+    from yark_spark.operators.similarity import ann_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(emb, query_max_id=10, k=5, n_planes=0)
+
+
 # --- Round-6 additions: three training-data curation primitives ---------
 
 
