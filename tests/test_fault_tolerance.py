@@ -1,0 +1,224 @@
+"""Streaming fault tolerance (VERDICT r6 next-round item 3): checkpoint
+kill/restart recovery and foreachBatch replay idempotence.
+
+Crash simulation: Structured Streaming's recovery contract is that a batch
+whose offsets are written but whose commit marker is missing gets RE-RUN
+on restart (at-least-once into the sink). Deleting the newest
+``<checkpoint>/commits/N`` file reproduces exactly the crash window
+"sink side effects may have happened, checkpoint commit lost", so the
+replay path runs for real — the sink must converge, not duplicate.
+"""
+
+import glob
+import json
+import os
+import sqlite3
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+from yark_spark.streaming.pipelines import (
+    interval_join,
+    read_event_stream,
+    watermarked_dedup,
+)
+
+HISTORY_SCHEMA = StructType(
+    [StructField("video", StringType()), StructField("watched", TimestampType())]
+)
+
+
+def _write_history(d, name, rows):
+    with open(os.path.join(d, name), "w") as f:
+        for video, watched in rows:
+            f.write(json.dumps({"video": video, "watched": watched}) + "\n")
+
+
+def _drop_last_commits(ckpt: str, n: int = 1) -> int:
+    """Delete the newest ``n`` commit markers (and their Hadoop .crc
+    sidecars — ChecksumFileSystem refuses the re-commit rename over a
+    stale sidecar) — the crash between sink write and checkpoint commit.
+    Offsets stay intact, so restart re-runs those batches with the SAME
+    batch ids. Returns the oldest replayed batch id. n=2 reaches past the
+    trailing no-data watermark-commit batch availableNow appends, so the
+    DATA batch actually replays."""
+    commits = sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+            if os.path.basename(p).isdigit()
+        ),
+        key=lambda p: int(os.path.basename(p)),
+    )
+    assert len(commits) >= n, "not enough committed batches to drop"
+    for p in commits[-n:]:
+        os.remove(p)
+        crc = os.path.join(os.path.dirname(p), f".{os.path.basename(p)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    return int(os.path.basename(commits[-n]))
+
+
+def test_db_sink_replayed_batch_is_noop(spark, tmp_path):
+    """foreachBatch idempotence by batch replay: after dropping the last
+    commit marker, restart re-runs the same micro-batch into the DB sink;
+    INSERT OR IGNORE on the natural key makes the replay a no-op, and
+    subsequent fresh batches still land."""
+    from yark_spark.operators.db_sink import db_history_sink
+
+    db_path = str(tmp_path / "replay.db")
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write_history(
+        src, "b1.json",
+        [("v1", "2024-01-01T10:00:00Z"), ("v2", "2024-01-01T11:00:00Z")],
+    )
+
+    def drain():
+        stream = watermarked_dedup(
+            read_event_stream(spark, str(src), HISTORY_SCHEMA),
+            ["video", "watched"], "watched",
+        )
+        sink = db_history_sink(
+            lambda: sqlite3.connect(db_path, timeout=60), stream, ckpt
+        )
+        q = sink.trigger(availableNow=True).start()
+        q.awaitTermination()
+
+    drain()
+    with sqlite3.connect(db_path) as conn:
+        assert conn.execute("SELECT count(*) FROM history").fetchone()[0] == 2
+
+    # crash window: sink wrote, commit marker lost -> restart replays batch
+    _drop_last_commits(ckpt, n=2)
+    drain()
+    with sqlite3.connect(db_path) as conn:
+        rows = conn.execute(
+            "SELECT video, count(*) FROM history GROUP BY video"
+        ).fetchall()
+    assert dict(rows) == {"v1": 1, "v2": 1}  # replay was a no-op, no dups
+
+    # recovery done: fresh data still flows through the same checkpoint
+    _write_history(src, "b2.json", [("v3", "2024-01-01T11:30:00Z")])
+    drain()
+    with sqlite3.connect(db_path) as conn:
+        vids = sorted(r[0] for r in conn.execute("SELECT video FROM history"))
+    assert vids == ["v1", "v2", "v3"]
+
+
+def test_dedup_state_survives_restart_and_replay(spark, tmp_path):
+    """Kill/restart for the stateful dedup pipeline: dropping the last
+    commit and restarting must re-emit the replayed batch to the FILE sink
+    exactly once (the sink's _spark_metadata log dedups the re-run), and
+    the dedup state restored from the checkpoint still suppresses
+    cross-restart duplicates afterwards."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_history(
+        src, "b1.json",
+        [("v1", "2024-01-01T10:00:00Z"), ("v2", "2024-01-01T11:00:00Z")],
+    )
+
+    def drain():
+        deduped = watermarked_dedup(
+            read_event_stream(spark, str(src), HISTORY_SCHEMA),
+            ["video", "watched"], "watched", "10 minutes",
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 2
+
+    _drop_last_commits(ckpt, n=2)
+    drain()  # replayed batches: file-sink txn log must dedup the re-run
+    assert spark.read.parquet(out).count() == 2
+
+    # state recovered: an in-horizon duplicate from before the crash is
+    # still suppressed; a fresh row passes
+    _write_history(
+        src, "b2.json",
+        [("v2", "2024-01-01T11:00:00Z"), ("v3", "2024-01-01T11:05:00Z")],
+    )
+    drain()
+    vids = sorted(r.video for r in spark.read.parquet(out).collect())
+    assert vids == ["v1", "v2", "v3"]
+
+
+def test_interval_join_state_survives_restart(spark, tmp_path):
+    """Stream-stream join state recovery: a view consumed BEFORE the
+    restart can only match a purchase arriving AFTER the restart if the
+    join state store was restored from the checkpoint."""
+    src_v = tmp_path / "views"
+    src_p = tmp_path / "purchases"
+    src_v.mkdir()
+    src_p.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    v_schema = StructType(
+        [
+            StructField("view_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("v_ts", TimestampType()),
+        ]
+    )
+    p_schema = StructType(
+        [
+            StructField("purchase_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("p_ts", TimestampType()),
+        ]
+    )
+
+    def write_rows(d, name, key, idc, rows):
+        with open(d / name, "w") as f:
+            for eid, uid, ts in rows:
+                f.write(json.dumps({idc: eid, "user_id": uid, key: ts}) + "\n")
+
+    def drain():
+        sv = read_event_stream(spark, str(src_v), v_schema)
+        sp = read_event_stream(spark, str(src_p), p_schema)
+        q = (
+            interval_join(sv, sp)
+            .select("view_id", "purchase_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: view 1 enters join state; unrelated purchase keeps the
+    # watermark low so the state is retained
+    write_rows(src_v, "b1.json", "v_ts", "view_id", [(1, 100, "2024-01-01T10:00:00Z")])
+    write_rows(
+        src_p, "b1.json", "p_ts", "purchase_id", [(99, 999, "2024-01-01T10:01:00Z")]
+    )
+    drain()
+    assert spark.read.parquet(out).count() == 0  # nothing matched yet
+
+    # run 2 (fresh query object, same checkpoint): the matching purchase
+    # arrives — pairing requires view 1's row restored from state
+    write_rows(
+        src_p, "b2.json", "p_ts", "purchase_id", [(10, 100, "2024-01-01T10:30:00Z")]
+    )
+    drain()
+    got = {(r.view_id, r.purchase_id) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 10)}
+
+    # crash+replay on the joined output: no duplicate pairs
+    _drop_last_commits(ckpt, n=1)
+    drain()
+    pairs = [(r.view_id, r.purchase_id) for r in spark.read.parquet(out).collect()]
+    assert pairs == [(1, 10)]
