@@ -1,5 +1,6 @@
 """Multimodal binary-column plumbing tests (SURVEY.md §2.8 E4): real
-Spark-side schema/batching, deterministically stubbed decode."""
+Spark-side schema/batching, real pure-numpy decode for uncompressed
+PGM/PPM/BMP, deterministically stubbed decode for compressed formats."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -12,9 +13,10 @@ from yark_spark.operators.multimodal import (
 )
 
 
-def test_decode_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff")
+def test_decode_compressed_is_explicitly_stubbed():
+    for magic in (b"\xff\xd8\xffJPEG....", b"\x89PNG\r\n\x1a\n...."):
+        with pytest.raises(NotImplementedError):
+            decode_image(magic)
 
 
 def test_fake_features_deterministic():
@@ -57,3 +59,87 @@ def test_extract_features_distributed_partitions(spark, sf_dir):
     one = extract_features(with_binary_payload(docs).coalesce(1))
     many = extract_features(with_binary_payload(docs).repartition(8))
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def _bmp(width, height, pixels_bgr_rows, bpp=24, compression=0):
+    """Hand-build an uncompressed BMP: pixels_bgr_rows is a list of rows,
+    TOP first, each a list of (b, g, r[, a]) tuples; written bottom-up."""
+    import struct
+
+    nch = bpp // 8
+    stride = ((bpp * width + 31) // 32) * 4
+    raw = b""
+    for row in reversed(pixels_bgr_rows):
+        rb = b"".join(bytes(px[:nch]) for px in row)
+        raw += rb + b"\x00" * (stride - len(rb))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(raw), 0, 0, 54)
+    header += struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, compression, len(raw), 0, 0, 0, 0
+    )
+    return header + raw
+
+
+def test_decode_bmp_24bpp_bottom_up():
+    img = _bmp(2, 2, [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (1, 2, 3)]])
+    arr = decode_image(img)
+    assert arr.shape == (2, 2, 3)
+    # BGR in file -> RGB out; top row first
+    assert arr[0, 0].tolist() == [0, 0, 255]
+    assert arr[0, 1].tolist() == [0, 255, 0]
+    assert arr[1, 0].tolist() == [255, 0, 0]
+    assert arr[1, 1].tolist() == [3, 2, 1]
+
+
+def test_decode_bmp_32bpp_drops_alpha():
+    img = _bmp(1, 1, [[(10, 20, 30, 99)]], bpp=32)
+    arr = decode_image(img)
+    assert arr.shape == (1, 1, 3)
+    assert arr[0, 0].tolist() == [30, 20, 10]
+
+
+def test_decode_bmp_top_down_negative_height():
+    import struct
+
+    img = bytearray(_bmp(2, 1, [[(1, 2, 3), (4, 5, 6)]]))
+    struct.pack_into("<i", img, 22, -1)  # top-down variant
+    arr = decode_image(bytes(img))
+    assert arr[0, 0].tolist() == [3, 2, 1]
+
+
+def test_decode_bmp_rle_rejected():
+    img = _bmp(2, 2, [[(0, 0, 0)] * 2] * 2, compression=1)
+    with pytest.raises(NotImplementedError):
+        decode_image(img)
+
+
+def test_decode_pgm_with_comment():
+    arr = decode_image(b"P5\n# a comment\n3 2\n255\n" + bytes([1, 2, 3, 4, 5, 6]))
+    assert arr.shape == (2, 3)
+    assert arr.tolist() == [[1, 2, 3], [4, 5, 6]]
+
+
+def test_decode_ppm_rgb():
+    arr = decode_image(b"P6 2 1 255\n" + bytes([9, 8, 7, 1, 2, 3]))
+    assert arr.shape == (1, 2, 3)
+    assert arr[0, 0].tolist() == [9, 8, 7]  # netpbm is RGB already
+
+
+def test_decode_image_features_distributed(spark):
+    """decode_image_features runs the real decoder inside mapInPandas:
+    mixed PGM + BMP payloads, stats verified against the hand-built
+    pixels. Map-only plan (no exchange)."""
+    from yark_spark.operators.multimodal import decode_image_features
+    from yark_spark.plans.explain import count_exchanges
+
+    pgm = b"P5 4 2 255\n" + bytes(range(8))        # mean 3.5
+    bmp = _bmp(1, 2, [[(6, 6, 6)], [(0, 0, 0)]])   # mean 3.0
+    df = spark.createDataFrame(
+        [(1, bytearray(pgm)), (2, bytearray(bmp))], "doc_id long, payload binary"
+    ).repartition(2)
+    out = decode_image_features(df)
+    assert count_exchanges(out) == 0
+    rows = {r.doc_id: r for r in out.collect()}
+    assert (rows[1].width, rows[1].height, rows[1].channels) == (4, 2, 1)
+    assert rows[1].mean_pixel == 3.5
+    assert (rows[2].width, rows[2].height, rows[2].channels) == (1, 2, 3)
+    assert rows[2].mean_pixel == 3.0

@@ -4,10 +4,13 @@ The reference stores raw image bytes in `videos.thumbnail BLOB`
 (`schema.sql:49`, fetched at `cmds/archive.py:88-91`, dumped back to files
 at `:201-221`). Here binary payloads are first-class `BinaryType` columns
 with typed metadata, processed by Arrow-batched pandas functions via
-``mapInPandas`` — the Spark-side plumbing (schema, batching, partitioning)
-is real; the actual image/audio decode is STUBBED deterministically because
-decode libraries aren't in this container (decode_image raises
-NotImplementedError; fake_image_features derives metadata from the bytes).
+``mapInPandas``. The Spark-side plumbing (schema, batching, partitioning)
+is real, and decode is real for UNCOMPRESSED formats: a pure-numpy
+PGM/PPM/BMP parser (``decode_image`` / ``decode_image_features``, driver
+hash-matched via q_image_decode). Compressed formats (JPEG/PNG) still
+raise NotImplementedError — entropy coding needs an image library this
+container doesn't have; fake_image_features remains the deterministic
+stand-in for those paths.
 
 Scale notes: binary rows are big — keep them out of shuffles. All feature
 extraction here is map-only (mapInPandas, no keys), and downstream joins
@@ -26,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -46,14 +50,143 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes):
-    """Real image decode — NOT IMPLEMENTED in this container (no PIL/cv2).
+def _make_decoder():
+    """Build the pure-numpy image decoder as a self-contained closure
+    (cloudpickle ships it BY VALUE, so Python workers never import this
+    package — same pattern as chunking's kernels).
 
-    The production deployment plugs a decoder in here; everything around it
-    (schemas, batching, partition flow) is already exercised via
-    fake_image_features.
+    Supports the UNCOMPRESSED formats a pure-numpy parser can decode:
+    PGM (P5) / PPM (P6) binary netpbm, and BMP with BI_RGB (compression
+    0) at 8/24/32 bits per pixel. Compressed or unknown formats raise
+    NotImplementedError — a real deployment plugs PIL/cv2 in for those
+    (JPEG/PNG entropy coding is not reasonably reimplementable here).
+    Returns uint8 arrays shaped (H, W) for grayscale or (H, W, C) with
+    RGB channel order for color.
     """
-    raise NotImplementedError("image decode requires an image library not present in this container")
+
+    def _decode_pnm(payload):
+        import re
+
+        import numpy as np
+
+        # header: magic, width, height, maxval — tokens separated by
+        # whitespace, '#' comments run to end of line; pixel data starts
+        # after the single whitespace byte following maxval
+        pos, tokens = 2, []
+        while len(tokens) < 3 and pos < len(payload):
+            m = re.match(rb"(?:\s|#[^\n]*\n)*([0-9]+)", payload[pos:])
+            if not m:
+                raise ValueError("bad netpbm header")
+            tokens.append(int(m.group(1)))
+            pos += m.end()
+        width, height, maxval = tokens
+        if maxval > 255:
+            raise NotImplementedError("16-bit netpbm not supported")
+        pos += 1  # the single whitespace after maxval
+        channels = 3 if payload[:2] == b"P6" else 1
+        need = width * height * channels
+        pix = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+        arr = pix.reshape(height, width, channels)
+        return arr[:, :, 0] if channels == 1 else arr
+
+    def _decode_bmp(payload):
+        import struct
+
+        import numpy as np
+
+        data_off, = struct.unpack_from("<I", payload, 10)
+        hdr_size, = struct.unpack_from("<I", payload, 14)
+        if hdr_size < 40:
+            raise NotImplementedError("BMP core-header variant not supported")
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp, = struct.unpack_from("<H", payload, 28)
+        compression, = struct.unpack_from("<I", payload, 30)
+        if compression != 0:
+            raise NotImplementedError("compressed BMP (BI_RLE/BI_BITFIELDS) not supported")
+        if bpp not in (8, 24, 32):
+            raise NotImplementedError(f"{bpp}-bpp BMP not supported")
+        flipped = height > 0  # positive height = bottom-up row order
+        height = abs(height)
+        stride = ((bpp * width + 31) // 32) * 4
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * height, offset=data_off
+        ).reshape(height, stride)
+        if flipped:
+            rows = rows[::-1]
+        if bpp == 8:
+            return rows[:, :width].copy()
+        nch = bpp // 8
+        px = rows[:, : width * nch].reshape(height, width, nch)
+        return px[:, :, 2::-1].copy()  # BGR(A) -> RGB (alpha dropped)
+
+    def decode(payload: bytes):
+        payload = bytes(payload)
+        if payload[:2] in (b"P5", b"P6"):
+            return _decode_pnm(payload)
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        raise NotImplementedError(
+            "only uncompressed PGM/PPM/BMP are decodable without an image "
+            "library; plug PIL/cv2 in for compressed formats"
+        )
+
+    return decode
+
+
+#: Pure-numpy image decode for uncompressed PGM/PPM/BMP; raises
+#: NotImplementedError for compressed/unknown formats (no PIL/cv2 here).
+decode_image = _make_decoder()
+
+
+DECODED_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_pixel", DoubleType()),
+    ]
+)
+
+
+def decode_image_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL pixel statistics over a binary image column: decode each
+    payload with the pure-numpy decoder (uncompressed PGM/PPM/BMP) and
+    emit (width, height, channels, mean pixel value). Map-only
+    ``mapInPandas``; the decoder closure ships by value so workers never
+    import this package. Payloads the decoder rejects would raise — at
+    scale, route unknown formats to a quarantine first (the
+    archive.quarantine pattern)."""
+    decode = _make_decoder()
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ws, hs, cs, ms = [], [], [], []
+            for p in pdf[payload_col]:
+                arr = decode(bytes(p))
+                h, w = arr.shape[:2]
+                c = 1 if arr.ndim == 2 else arr.shape[2]
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+                ms.append(float(np.mean(arr, dtype=np.float64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": np.array(ws, dtype="int32"),
+                    "height": np.array(hs, dtype="int32"),
+                    "channels": np.array(cs, dtype="int32"),
+                    "mean_pixel": np.round(np.array(ms, dtype="float64"), 6),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, DECODED_FEATURE_SCHEMA
+    )
 
 
 def fake_image_features(payload: bytes) -> tuple[int, int, str]:

@@ -631,6 +631,39 @@ def q_ann_lsh_full(spark, sf_dir):
     return ann_topk_lsh(emb, query_max_id=10, k=5, n_planes=0)
 
 
+_IMAGE_DECODE_ORACLE = (
+    "SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, "
+    "CAST(1 AS INTEGER) AS channels, "
+    "round(list_aggregate(list_transform(generate_series(1, 32), "
+    "i -> ascii(substr(md5(text), i, 1))), 'avg'), 6) AS mean_pixel "
+    "FROM documents WHERE doc_id < 200"
+)
+
+
+@query("q_image_decode", oracle=_IMAGE_DECODE_ORACLE)
+def q_image_decode(spark, sf_dir):
+    """E4 with REAL pixel decode: build a deterministic 16x16 grayscale
+    PGM per document — header + 8 tiles of md5(text)'s 32 hex chars as
+    pixel bytes, a pure column expression — then run the pure-numpy
+    decoder (operators/multimodal.decode_image) through the map-only
+    mapInPandas feature pass. The oracle computes the SAME stats
+    analytically (mean over 256 tiled pixels == mean ascii of the 32 hex
+    chars; sums /32 terminate within 5 decimals so round(,6) is exact),
+    so the driver hash-matches the actual decode arithmetic: header
+    parse, row-major reshape, pixel mean. Compressed formats remain the
+    documented NotImplementedError."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.multimodal import decode_image_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payload = F.encode(
+        F.concat(F.lit("P5 16 16 255\n"), F.repeat(F.md5(F.col("text")), 8)),
+        "utf-8",
+    )
+    return decode_image_features(docs.select("doc_id", payload.alias("payload")))
+
+
 # --- Round-6 additions: three training-data curation primitives ---------
 
 
