@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Scale-up bench lane (VERDICT r6 item 1): run the headline query set at
+sf0.1 AND at the derived 10× directory (scripts/make_scale_data.py) in one
+session, and print per-query sf1/sf0.1 time ratios as ONE JSON line.
+
+Near-linear scaling = ratio ≈ 10 × (parallel-efficiency factor); local[32]
+under-utilizes at sf0.1 (tiny tasks), so healthy ratios land well UNDER
+10. A ratio ≫ 10 flags a super-linear operator (the thing this lane
+exists to catch). Results are recorded in BASELINE.md §scale.
+
+Usage: python scripts/scale_bench.py [sf1_dir] [base_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+EXTRA = [
+    "q_sessionize",        # per-user windows: user cardinality scales x10
+    "q_token_entropy",     # two-level agg over (doc, token)
+    "q_dedup_exact",       # content-hash shuffle
+    "q_minhash_signature", # map-only signature pass
+]
+
+
+def main() -> None:
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    from bench import HEADLINE
+    from yark_spark.queries import QUERIES
+    from yark_spark.session import get_spark
+
+    keys = HEADLINE + [k for k in EXTRA if k not in HEADLINE]
+    spark = get_spark("yark_spark-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    for d in (base, sf1):
+        QUERIES["q_full_scan"](spark, d).count()  # warm listings + JIT
+
+    def run(key: str, d: str) -> tuple[float, float, int]:
+        # min of 3: the sandbox carries background load, and a single
+        # contended run can inflate a ratio 5x (observed r7) — the lane
+        # compares plan cost, so the best observed run is the signal
+        runs, n = [], 0
+        for _ in range(3):
+            df = QUERIES[key](spark, d)
+            t0 = time.perf_counter()
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+        return round(runs[0], 4), round(min(runs), 4), n
+
+    out: dict = {"metric": "scale_ratio_sf1_over_sf0.1", "queries": {}}
+    tot_base = tot_sf1 = 0.0
+    for key in keys:
+        c0, w0, n0 = run(key, base)
+        c1, w1, n1 = run(key, sf1)
+        tot_base += w0
+        tot_sf1 += w1
+        out["queries"][key] = {
+            "sf0.1_warm": w0,
+            "sf1_warm": w1,
+            "ratio": round(w1 / w0, 2) if w0 else None,
+            "rows_sf0.1": n0,
+            "rows_sf1": n1,
+            "rows_ratio": round(n1 / n0, 2) if n0 else None,
+        }
+    out["value"] = round(tot_sf1 / tot_base, 3)
+    out["unit"] = "ratio"
+    out["total_sf0.1_warm"] = round(tot_base, 4)
+    out["total_sf1_warm"] = round(tot_sf1, 4)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
