@@ -12,10 +12,10 @@ sf0.1 itself:
 - events: event_id/user_id shift → user cardinality scales ×N (windows
   and sessionization get N× partitions, not N× rows per partition).
 - documents: each copy applies a BIJECTIVE token renaming (token →
-  token_c for the ~40% of tokens xxhash64 selects — same selection in
+  token_c for the ~50% of tokens xxhash64 selects — same selection in
   every doc of a copy). Renaming preserves every within-copy token-set
   relation exactly (near-dup pairs scale ×N, linearly) while cross-copy
-  Jaccard drops to ≈ (1-r)/(1+r) ≈ 0.43 < the 0.5 dedup threshold, so
+  Jaccard drops to ≈ (1-r)/(1+r) ≈ 0.33 < the 0.5 dedup threshold, so
   duplicating the corpus does NOT quadratically mint new true pairs.
   n_chars is recomputed for the rewritten text.
 - embeddings: vec_id shifts; vectors stay (cosine cost is value-blind).
@@ -44,7 +44,10 @@ KEY_COLS = {
     "embeddings": ["vec_id"],
 }
 FIXED_TABLES = ["region", "nation"]
-SUBST_RATE_BUCKETS = 4  # of 10 -> r = 0.4
+SUBST_RATE_BUCKETS = 5  # of 10 -> r = 0.5 (the fixture vocabulary is small, so the
+# REALIZED rate over ~50 distinct tokens can deviate from the nominal; 0.5 keeps
+# cross-copy Jaccard ≈ (1-r)/(1+r) ≈ 0.33 clear of the 0.5 dedup threshold even
+# on an unlucky vocab draw)
 
 
 def scaled_table(spark, src: str, table: str, copies: int):
