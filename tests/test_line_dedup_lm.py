@@ -1,0 +1,64 @@
+"""Semantics of the round-7 curation transforms: C4-style line dedup
+(operators/dedup.line_dedup) and CCNet-style bigram LM scoring
+(operators/lm.bigram_lm_score)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from yark_spark.operators.dedup import line_dedup
+from yark_spark.operators.lm import bigram_lm_score
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+def test_line_dedup_removes_shared_keeps_order(spark):
+    boiler = " ".join(f"b{i}" for i in range(10))       # one shared 10-token line
+    uniq = [" ".join(f"u{d}_{i}" for i in range(10)) for d in range(4)]
+    # boilerplate line sits at a DIFFERENT position per doc; unique lines
+    # must survive in their original order
+    texts = [
+        boiler + " " + uniq[0] + " " + uniq[1],
+        uniq[2] + " " + boiler + " " + uniq[3],
+        uniq[0].replace("u0", "x0") + " " + boiler,
+    ]
+    out = {r.doc_id: r for r in line_dedup(_docs(spark, texts), min_docs=3).collect()}
+    assert out[0].n_removed == 1 and out[0].clean_text == uniq[0] + ". " + uniq[1]
+    assert out[1].n_removed == 1 and out[1].clean_text == uniq[2] + ". " + uniq[3]
+    assert out[2].n_removed == 1
+    # below threshold: nothing removed
+    out2 = {r.doc_id: r for r in line_dedup(_docs(spark, texts), min_docs=4).collect()}
+    assert all(r.n_removed == 0 for r in out2.values())
+
+
+def test_line_dedup_counts_docs_not_occurrences(spark):
+    line = " ".join(f"w{i}" for i in range(10))
+    # one doc repeats the line 3 times; only 2 DISTINCT docs contain it
+    texts = [line + " " + line + " " + line, line, "different " + " ".join(f"z{i}" for i in range(9))]
+    out = {r.doc_id: r for r in line_dedup(_docs(spark, texts), min_docs=3).collect()}
+    assert all(r.n_removed == 0 for r in out.values())
+
+
+def test_lm_score_ranks_in_domain_above_gibberish(spark):
+    ref = ["the cat sat on the mat", "the dog sat on the rug",
+           "the cat ran to the dog", "a cat and a dog sat"] * 3
+    texts = ref + ["the cat sat on the rug", "zq xv qj wk pf zz"]
+    df = _docs(spark, texts)
+    scores = {
+        r.doc_id: r.lm_score
+        for r in bigram_lm_score(df, ref_condition=F.col("doc_id") < len(ref)).collect()
+    }
+    in_domain = scores[len(ref)]
+    gibberish = scores[len(ref) + 1]
+    assert in_domain > gibberish
+    # smoothing: gibberish still gets a finite score
+    assert gibberish == gibberish and gibberish < 0
+
+
+def test_lm_score_skips_sub_bigram_docs(spark):
+    df = _docs(spark, ["only", "two tokens", ""])
+    got = {r.doc_id for r in bigram_lm_score(df).collect()}
+    assert got == {1}

@@ -47,6 +47,9 @@ TOKENIZATION_KEYS = [
     "q_source_overlap",
     "q_quality_by_source",
     "q_source_similarity",
+    "q_line_dedup",
+    "q_lm_score",
+    "q_length_histogram",
 ]
 
 

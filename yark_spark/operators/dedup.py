@@ -533,3 +533,59 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 10,
+    min_docs: int = 3,
+) -> DataFrame:
+    """C4/RefinedWeb line-level dedup as a TRANSFORM (q_boilerplate_lines
+    is the report; this rewrites the corpus): drop every line that occurs
+    in ≥ ``min_docs`` distinct documents, reassemble each document from
+    its surviving lines IN ORDER, and count what was removed.
+
+    The driver fixtures carry no sentence boundaries, so the line unit is
+    a fixed ``line_tokens``-token window; the algorithm — count distinct
+    docs per line, remove shared lines, ordered reassembly — is exactly
+    the C4 cleaning step and swaps to '\\n'-split lines on a real corpus.
+
+    Scale shape: one explode to (doc, pos, line), a distinct + hash
+    aggregate SHUFFLED ON THE LINE (cost scales with corpus line
+    cardinality, the shape C4 ran at web scale), an equi-join back, and a
+    per-doc ordered reassembly via array_sort over collected (pos, line)
+    structs — no window over the corpus, no driver-side state.
+
+    Returns (id, clean_text, n_removed).
+    """
+    toks = tokens(df, text_col)
+    nchunks = F.ceil(F.size(toks) / F.lit(float(line_tokens))).cast("int")
+    lines = df.select(
+        F.col(id_col), F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("pos"),
+        toks.alias("__t"),
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.array_join(
+            F.slice("__t", F.col("pos") * line_tokens + 1, line_tokens), " "
+        ).alias("line"),
+    )
+    counts = (
+        lines.select("line", id_col)
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("__n_docs"))
+    )
+    marked = lines.join(counts, "line").withColumn(
+        "__is_b", F.col("__n_docs") >= min_docs
+    )
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("pos", "line", "__is_b"))),
+        lambda s: ~s["__is_b"],
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(F.transform(kept, lambda s: s["line"]), ". ").alias("clean_text"),
+        F.sum(F.col("__is_b").cast("long")).alias("n_removed"),
+    )

@@ -1,0 +1,77 @@
+"""Statistical language-model scoring for corpus quality filtering —
+the CCNet recipe (Wenzek et al. 2020): score each document by a cheap
+n-gram LM trained on a trusted reference slice; low log-likelihood ⇒
+out-of-domain or gibberish, the standard companion to rule-based
+(Gopher) filters.
+
+Spark-first shape: the "model" is two aggregates over the reference
+bigram stream (bigram counts, unigram context counts) plus a scalar
+vocabulary size — all DataFrames, joined back to the scored corpus by
+equi-join on the bigram. Nothing is collected; at 100 TB the model
+tables are orders of magnitude smaller than the corpus (vocabulary-
+bounded) and broadcast when they fit, shuffle-join when they don't —
+Catalyst/AQE picks per stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yark_spark.operators.dedup import tokens
+
+
+def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per consecutive token pair; docs with fewer
+    than two tokens contribute nothing."""
+    t = tokens(df, text_col)
+    base = df.select(F.col(id_col), t.alias("__t")).filter(F.size("__t") >= 2)
+    return base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.size("__t") - 1)).alias("__i"),
+        "__t",
+    ).select(
+        F.col(id_col),
+        F.element_at("__t", F.col("__i")).alias("w1"),
+        F.element_at("__t", F.col("__i") + 1).alias("w2"),
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_condition=None,
+) -> DataFrame:
+    """Per-document mean bigram log-likelihood under an add-one-smoothed
+    bigram LM fit on the ``ref_condition`` slice of the SAME corpus
+    (CCNet trains on Wikipedia; the fixture stand-in is an id slice).
+
+    score(d) = mean over d's bigrams of ln((c(w1,w2)+1) / (c(w1·)+V)),
+    with c(·) = reference counts and V = reference vocabulary size —
+    unseen bigrams and unseen contexts degrade smoothly instead of
+    zeroing. Returns (id, lm_score); documents with < 2 tokens have no
+    bigrams and are absent.
+    """
+    if ref_condition is None:
+        ref_condition = F.lit(True)
+    bg = _bigrams(df, id_col, text_col)
+    ref = bg.filter(ref_condition)
+    bigram_counts = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
+    context_counts = ref.groupBy("w1").agg(F.count(F.lit(1)).alias("__cu"))
+    ref_toks = (
+        df.filter(ref_condition)
+        .select(F.explode(tokens(df, text_col)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("__v"))
+    )
+    term = F.log(
+        (F.coalesce(F.col("__cb"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("__cu"), F.lit(0)) + F.col("__v"))
+    )
+    return (
+        bg.join(bigram_counts, ["w1", "w2"], "left")
+        .join(context_counts, ["w1"], "left")
+        .crossJoin(F.broadcast(ref_toks))
+        .groupBy(id_col)
+        .agg(F.round(F.avg(term), 6).alias("lm_score"))
+    )

@@ -664,6 +664,109 @@ def q_image_decode(spark, sf_dir):
     return decode_image_features(docs.select("doc_id", payload.alias("payload")))
 
 
+_LINE_DEDUP_ORACLE = (
+    "WITH tok AS (SELECT doc_id, "
+    "string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents), "
+    "l AS (SELECT doc_id, t, len(t) AS n FROM tok), "
+    "s AS (SELECT doc_id, g.i - 1 AS pos, "
+    "array_to_string(t[(g.i - 1) * 10 + 1 : g.i * 10], ' ') AS line "
+    "FROM l, unnest(generate_series(1, CAST(ceil(n / 10.0) AS BIGINT))) AS g(i)), "
+    "c AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM s GROUP BY line), "
+    "m AS (SELECT s.doc_id, s.pos, s.line, c.n_docs >= 3 AS is_b "
+    "FROM s JOIN c USING (line)) "
+    "SELECT doc_id, "
+    "coalesce(string_agg(CASE WHEN NOT is_b THEN line END, '. ' ORDER BY pos), '') "
+    "AS clean_text, "
+    "CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed "
+    "FROM m GROUP BY doc_id"
+)
+
+
+@query("q_line_dedup", oracle=_LINE_DEDUP_ORACLE)
+def q_line_dedup(spark, sf_dir):
+    """C4/RefinedWeb line-level dedup as a TRANSFORM (q_boilerplate_lines
+    is the report; this rewrites the corpus): every 10-token line
+    occurring in >= 3 distinct documents is removed and each document is
+    reassembled from its surviving lines in order, with a removed-line
+    count. Line-cardinality shuffle + equi-join back + ordered per-doc
+    reassembly via array_sort over collected structs — the exact C4
+    cleaning shape; see operators/dedup.line_dedup for the 100 TB
+    notes. String-only output: hash-matches with no float risk."""
+    from yark_spark.operators.dedup import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup(docs, "doc_id", "text", line_tokens=10, min_docs=3)
+
+
+_LM_SCORE_ORACLE = (
+    "WITH tok AS (SELECT doc_id, "
+    "string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents), "
+    "bg AS (SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2 "
+    "FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i) WHERE len(t) >= 2), "
+    "ref AS (SELECT w1, w2 FROM bg WHERE doc_id < 100), "
+    "bc AS (SELECT w1, w2, count(*) AS cb FROM ref GROUP BY 1, 2), "
+    "uc AS (SELECT w1, count(*) AS cu FROM ref GROUP BY 1), "
+    "v AS (SELECT count(DISTINCT u.tok) AS vsz FROM "
+    "(SELECT unnest(t) AS tok FROM tok WHERE doc_id < 100) u) "
+    "SELECT bg.doc_id, round(avg(ln((coalesce(bc.cb, 0) + 1) "
+    "/ (coalesce(uc.cu, 0) + v.vsz))), 6) AS lm_score "
+    "FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1) CROSS JOIN v "
+    "GROUP BY bg.doc_id"
+)
+
+
+@query("q_lm_score", oracle=_LM_SCORE_ORACLE)
+def q_lm_score(spark, sf_dir):
+    """CCNet-style LM quality scoring: per-document mean bigram
+    log-likelihood under an add-one-smoothed bigram model fit on a
+    trusted reference slice (doc_id < 100 stands in for CCNet's
+    Wikipedia). The model is two reference aggregates + a scalar vocab
+    size joined back by bigram equi-join — vocabulary-bounded tables,
+    broadcast-or-shuffle per stats, nothing collected
+    (operators/lm.bigram_lm_score)."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.lm import bigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, "doc_id", "text", F.col("doc_id") < 100)
+
+
+@query(
+    "q_length_histogram",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, "
+        "len(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS n FROM documents) "
+        "SELECT CAST(n // 16 AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(min(n) AS BIGINT) AS min_tokens, CAST(max(n) AS BIGINT) AS max_tokens "
+        "FROM tok GROUP BY 1"
+    ),
+)
+def q_length_histogram(spark, sf_dir):
+    """Sequence-length distribution in 16-token bins — the histogram a
+    packing/batching config is sized from (how much padding does a 512
+    cap waste, where to cap). Integer-only bucket arithmetic (no
+    floating log buckets: F.log2 computes log(x)/log(2), which is not
+    exact at powers of two and would flip bins between engines).
+    Map-side partial agg, one tiny shuffle."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens(docs))
+    return (
+        docs.select(n.alias("n"))
+        .groupBy(F.floor(F.col("n") / 16).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n").cast("long").alias("min_tokens"),
+            F.max("n").cast("long").alias("max_tokens"),
+        )
+    )
+
+
 # --- Round-6 additions: three training-data curation primitives ---------
 
 
