@@ -107,6 +107,56 @@ def bench_stress(spark, sf_dir) -> dict:
     from yark_spark.operators.dedup import fuzzy_dedup_pairs
     from yark_spark.operators.similarity import cosine_topk
 
+    # skewed fact-fact JOIN (VERDICT r6 item 6) — measured FIRST: the
+    # later stress rows leave persisted/localCheckpoint state behind and
+    # the resulting executor memory pressure inflated this row 5-10x
+    # when it ran last (salted 1.7 s standalone vs 20 s at the tail).: one hot key owns 2/3 of
+    # the fact side. autoBroadcastJoinThreshold is disabled to emulate the
+    # 100 TB condition (neither side broadcastable), so the naive plan is a
+    # sort-merge join whose hot reducer sorts 4M rows while 31 threads
+    # idle; AQE's skew split does NOT trigger here (hot partition under
+    # the 256 MB threshold — pinned in tests/test_aqe.py), which is
+    # exactly when the explicit salt is the tool. Both plans execute once
+    # before timing so the numbers compare shuffle work, not codegen JIT.
+    from yark_spark.operators.skew import salted_join
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_big, n_keys, salt = 6_000_000, 200_000, 16
+        big = spark.range(n_big).select(
+            F.when(F.col("id") % 3 < 2, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys)))
+            .alias("k"),
+            F.col("id").alias("payload"),
+            F.sha2(F.col("id").cast("string"), 256).alias("blob"),
+        )
+        small = spark.range(n_keys).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        naive_df = big.join(small, "k")
+        salted_df = salted_join(big, small, "k", salt=salt)
+        n_naive = naive_df.count()  # warm
+        n_salted = salted_df.count()  # warm
+        t0 = time.perf_counter()
+        naive_df.count()
+        t_naive = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        salted_df.count()
+        t_salted = time.perf_counter() - t0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    assert n_naive == n_salted, (n_naive, n_salted)
+    skew_join = {
+        "naive_sec": round(t_naive, 4),
+        "salted_sec": round(t_salted, 4),
+        "speedup": round(t_naive / t_salted, 3),
+        "rows": n_naive,
+        "hot_share": 0.667,
+        "salt": salt,
+    }
+
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     boiler = spark.range(3000).select(
         (F.col("id") + 10_000_000).alias("doc_id"),
@@ -204,52 +254,6 @@ def bench_stress(spark, sf_dir) -> dict:
         "rows": n_rows,
     }
     shutil.rmtree(d, ignore_errors=True)
-
-    # skewed fact-fact JOIN (VERDICT r6 item 6): one hot key owns 2/3 of
-    # the fact side. autoBroadcastJoinThreshold is disabled to emulate the
-    # 100 TB condition (neither side broadcastable), so the naive plan is a
-    # sort-merge join whose hot reducer sorts 4M rows while 31 threads
-    # idle; AQE's skew split does NOT trigger here (hot partition under
-    # the 256 MB threshold — pinned in tests/test_aqe.py), which is
-    # exactly when the explicit salt is the tool. Both plans execute once
-    # before timing so the numbers compare shuffle work, not codegen JIT.
-    from yark_spark.operators.skew import salted_join
-
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        n_big, n_keys, salt = 6_000_000, 200_000, 16
-        big = spark.range(n_big).select(
-            F.when(F.col("id") % 3 < 2, F.lit(0))
-            .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys)))
-            .alias("k"),
-            F.col("id").alias("payload"),
-            F.sha2(F.col("id").cast("string"), 256).alias("blob"),
-        )
-        small = spark.range(n_keys).select(
-            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
-        )
-        naive_df = big.join(small, "k")
-        salted_df = salted_join(big, small, "k", salt=salt)
-        n_naive = naive_df.count()  # warm
-        n_salted = salted_df.count()  # warm
-        t0 = time.perf_counter()
-        naive_df.count()
-        t_naive = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        salted_df.count()
-        t_salted = time.perf_counter() - t0
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
-    assert n_naive == n_salted, (n_naive, n_salted)
-    skew_join = {
-        "naive_sec": round(t_naive, 4),
-        "salted_sec": round(t_salted, 4),
-        "speedup": round(t_naive / t_salted, 3),
-        "rows": n_naive,
-        "hot_share": 0.667,
-        "salt": salt,
-    }
 
     return {
         "dedup_skewed": dedup,

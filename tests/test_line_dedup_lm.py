@@ -62,3 +62,21 @@ def test_lm_score_skips_sub_bigram_docs(spark):
     df = _docs(spark, ["only", "two tokens", ""])
     got = {r.doc_id for r in bigram_lm_score(df).collect()}
     assert got == {1}
+
+
+def test_line_dedup_reconstruction_identity(spark):
+    """With the threshold unreachable, line_dedup must be a pure
+    re-chunking: clean_text == the '. '-join of the doc's 10-token
+    windows, for every doc — pins the ordered-reassembly machinery."""
+    import re
+
+    texts = [
+        " ".join(f"t{d}_{i}" for i in range(n))
+        for d, n in enumerate([1, 9, 10, 11, 25, 40])
+    ]
+    out = {r.doc_id: r.clean_text
+           for r in line_dedup(_docs(spark, texts), min_docs=10**9).collect()}
+    for d, text in enumerate(texts):
+        toks = re.split(r"\s+", text.strip().lower())
+        want = ". ".join(" ".join(toks[i:i + 10]) for i in range(0, len(toks), 10))
+        assert out[d] == want, (d, out[d], want)

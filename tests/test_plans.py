@@ -212,3 +212,22 @@ def test_chunk_dedup_equi_join_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan, plan
     assert plan.count("Aggregate") >= 2, plan
     assert "LessThan(doc_id,120)" in pushed_filters(df)
+
+
+def test_line_dedup_line_cardinality_shuffle(spark, sf_dir):
+    """q_line_dedup (round 7): line-count aggregate + equi-join back +
+    per-doc reassembly — never cartesian, partial aggs present."""
+    df = QUERIES["q_line_dedup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert plan.count("Aggregate") >= 2, plan
+
+
+def test_lm_score_model_joins_are_equi(spark, sf_dir):
+    """q_lm_score (round 7): the model joins hit (w1, w2)/(w1) equi-keys;
+    only the 1-row vocab scalar may broadcast-nested-loop (explicit
+    crossJoin of a single-row aggregate)."""
+    df = QUERIES["q_lm_score"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Aggregate") >= 4, plan  # bc, uc, vocab, final avg
