@@ -80,3 +80,28 @@ def test_line_dedup_reconstruction_identity(spark):
         toks = re.split(r"\s+", text.strip().lower())
         want = ". ".join(" ".join(toks[i:i + 10]) for i in range(0, len(toks), 10))
         assert out[d] == want, (d, out[d], want)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """q_minhash_estimate vs q_jaccard_pairs on the same id slice: with
+    only 4 hashes the estimator is coarse (quantized to {0,.25,.5,.75,1}),
+    so assert the relationship, not equality: mean |est - exact| bounded,
+    and clearly-similar pairs score above clearly-dissimilar ones."""
+    from yark_spark.queries import QUERIES
+
+    est = {
+        (r.id_a, r.id_b): r.jaccard_est
+        for r in QUERIES["q_minhash_estimate"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in QUERIES["q_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    common = set(est) & set(exact)
+    assert len(common) >= 50
+    mae = sum(abs(est[p] - exact[p]) for p in common) / len(common)
+    assert mae < 0.35, mae  # 4-hash variance bound, not tightness
+    hi = [est[p] for p in common if exact[p] > 0.6]
+    lo = [est[p] for p in common if exact[p] < 0.2]
+    if hi and lo:
+        assert sum(hi) / len(hi) > sum(lo) / len(lo)

@@ -767,6 +767,97 @@ def q_length_histogram(spark, sf_dir):
     )
 
 
+_MINHASH_EST_ORACLE = (
+    "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok "
+    "FROM documents WHERE doc_id < 20), "
+    "sig AS (SELECT doc_id, min(md5('0' || tok)) AS h0, min(md5('1' || tok)) AS h1, "
+    "min(md5('2' || tok)) AS h2, min(md5('3' || tok)) AS h3 FROM tok GROUP BY doc_id) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "round(((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT + (a.h2 = b.h2)::INT "
+    "+ (a.h3 = b.h3)::INT) / 4.0, 6) AS jaccard_est "
+    "FROM sig a JOIN sig b ON a.doc_id < b.doc_id"
+)
+
+
+@query("q_minhash_estimate", oracle=_MINHASH_EST_ORACLE)
+def q_minhash_estimate(spark, sf_dir):
+    """The MinHash ESTIMATOR itself, oracle-checkable: Jaccard estimate =
+    fraction of equal signature components, over the same md5 hash family
+    q_minhash_signature pins (signatures pinned there, the estimator
+    algebra pinned here; q_jaccard_pairs is the exact ground truth on the
+    same id slice — the estimator-vs-exact correlation is asserted in
+    tests/test_oracle_parity-adjacent unit tests). Map-only signatures,
+    bounded-slice pair join."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+
+    def _md5_i(i):
+        return lambda t: F.md5(F.concat(F.lit(str(i)), t))
+
+    sig = docs.select(
+        "doc_id",
+        *[F.array_min(F.transform(toks, _md5_i(i))).alias(f"h{i}") for i in range(4)],
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    eq = sum(
+        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int") for i in range(4)
+    )
+    return a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(eq / 4.0, 6).alias("jaccard_est"),
+    )
+
+
+_CENTROID_BIN_ORACLE = (
+    "WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8), "
+    "scored AS (SELECT e.vec_id, c.cent_id, "
+    "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), 6) AS sim "
+    "FROM embeddings e CROSS JOIN c), "
+    "r AS (SELECT vec_id, cent_id, sim, row_number() OVER ("
+    "PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn FROM scored) "
+    "SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs, "
+    "round(avg(sim), 6) AS avg_sim FROM r WHERE rn = 1 GROUP BY cent_id"
+)
+
+
+@query("q_centroid_bin", oracle=_CENTROID_BIN_ORACLE)
+def q_centroid_bin(spark, sf_dir):
+    """Nearest-centroid semantic binning — the ASSIGNMENT step of IVF and
+    of cluster-balanced mixture sampling, pinned exactly by using FIXED
+    centroids (vec_id < 8) instead of a fitted quantizer (q_ann_ivf
+    covers the KMeans path). Centroids broadcast (8 rows), one map-side
+    cosine per (vector, centroid), per-vector argmax via a window over 8
+    rows, then a tiny per-centroid rollup; similarities rounded to 6dp
+    BEFORE ranking so the argmax is deterministic across engines."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from yark_spark.operators.similarity import cosine_similarity_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        F.round(cosine_similarity_col(F.col("embedding"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("sim"), 6).alias("avg_sim"),
+        )
+    )
+
+
 # --- Round-6 additions: three training-data curation primitives ---------
 
 
