@@ -50,6 +50,7 @@ TOKENIZATION_KEYS = [
     "q_line_dedup",
     "q_lm_score",
     "q_length_histogram",
+    "q_minhash_estimate",
 ]
 
 
