@@ -231,3 +231,16 @@ def test_lm_score_model_joins_are_equi(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Aggregate") >= 4, plan  # bc, uc, vocab, final avg
+
+
+def test_shuffle_rank_no_single_task_window(spark, sf_dir):
+    """q_shuffle_rank (round 7): the global row number must go through the
+    distributed prefix sum (range partition), never a single-partition
+    global window."""
+    df = QUERIES["q_shuffle_rank"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" in plan.lower(), plan
+    # the corpus-side cumsum windows over the partition id, and the
+    # per-partition TOTALS (|partitions| rows, tiny by design) broadcast
+    # back — the broadcast join is the signature of the two-pass shape
+    assert "BroadcastHashJoin" in plan, plan

@@ -858,6 +858,38 @@ def q_centroid_bin(spark, sf_dir):
     )
 
 
+@query(
+    "q_shuffle_rank",
+    oracle=(
+        "SELECT doc_id, CAST(row_number() OVER "
+        "(ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank "
+        "FROM documents"
+    ),
+)
+def q_shuffle_rank(spark, sf_dir):
+    """Deterministic training-data shuffle: each document's 1-based rank
+    in a pseudo-random-but-reproducible global order (sort key =
+    md5(doc_id) — identical hex in both engines; doc_id tie-break).
+    Computed DISTRIBUTED via global_row_number (range partition on the
+    sort key → per-partition cumsum → broadcast partition offsets), so
+    the corpus never funnels through the single task a naive
+    row_number() OVER (ORDER BY ...) window would use — this key pins
+    the distributed prefix-sum row-number machinery (packing.py, also
+    under ingest surrogate ids and q_ntile) against the oracle's exact
+    global window."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.packing import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__k")
+    )
+    return global_row_number(keyed, ["__k", "doc_id"], "shuffle_rank").select(
+        "doc_id", F.col("shuffle_rank").cast("long").alias("shuffle_rank")
+    )
+
+
 # --- Round-6 additions: three training-data curation primitives ---------
 
 
