@@ -244,3 +244,66 @@ def test_shuffle_rank_no_single_task_window(spark, sf_dir):
     # per-partition TOTALS (|partitions| rows, tiny by design) broadcast
     # back — the broadcast join is the signature of the two-pass shape
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bm25_term_filter_before_shuffle(spark, sf_dir):
+    """q_bm25 (round 7): the query-term filter must run map-side before
+    the tf shuffle (shuffle volume = matching postings, not all tokens),
+    df/corpus stats must broadcast, and no join may be cartesian."""
+    df = QUERIES["q_bm25"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert count_broadcast_joins(df) >= 2, plan  # df table + corpus stats
+    # the isin filter appears as a post-scan Filter on the exploded token
+    assert "tok" in plan and "Filter" in plan, plan
+    assert plan.count("Aggregate") >= 2, plan
+
+
+def test_gap_fill_joins_on_same_key_no_cartesian(spark, sf_dir):
+    """q_gap_fill (round 7): the grid is generated distributed (explode of
+    sequence, no driver loop) and joined back on the (user, bucket)
+    equi-key."""
+    df = QUERIES["q_gap_fill"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "Generate" in plan, plan  # explode(sequence(...)) runs on executors
+    assert plan.count("Aggregate") >= 2, plan
+
+
+def test_outlier_trim_bands_broadcast_fact_unshuffled(spark, sf_dir):
+    """q_outlier_trim (round 7): the per-source percentile band table
+    broadcasts; the document side must NOT be exchanged for the join."""
+    df = QUERIES["q_outlier_trim"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_broadcast_joins(df) >= 1, plan
+    # only the band aggregation's own shuffle may appear; the fact scan
+    # feeds the broadcast-hash join directly.
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pseudonymize_single_partial_agg(spark, sf_dir):
+    """q_pseudonymize (round 7): map-only hash then one partial-agg
+    shuffle on the pseudonym."""
+    df = QUERIES["q_pseudonymize"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Aggregate") >= 2, plan
+    assert_scan_pruned(df, ["ts", "value", "props", "event_id"])
+
+
+def test_text_normalize_map_only(spark, sf_dir):
+    """q_text_normalize (round 7): pure column work — zero exchanges,
+    scan pruned to (doc_id, text)."""
+    df = QUERIES["q_text_normalize"](spark, sf_dir)
+    assert count_exchanges(df) == 0, formatted_plan(df)
+    assert_scan_pruned(df, ["lang", "source", "n_chars"])
+
+
+def test_top_bigram_window_partitioned_by_doc(spark, sf_dir):
+    """q_top_bigram (round 7): the argmax window must partition by doc_id
+    (hashpartitioning on doc id), never a single global sort, and bigrams
+    are built map-side (transform over the token array, no self-join)."""
+    df = QUERIES["q_top_bigram"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert plan.count("Aggregate") >= 2, plan

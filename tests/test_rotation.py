@@ -55,3 +55,15 @@ def test_r1_seed_demoted_by_later_red():
     assert "q_full_scan" not in rounds
     # untouched seed keys keep round 1
     assert rounds["q_projection"] == 1
+
+
+def test_rows_only_history_with_new_oracle_demotes():
+    """Round-7: a key verified only rows-only that NOW declares an oracle
+    re-enters the window unverified — the stronger check never ran."""
+    rounds = _load_verified_rounds([(6, {"q_grouped_pandas": ROWS_ONLY})])
+    assert "q_grouped_pandas" not in rounds
+
+
+def test_hash_green_history_with_oracle_stays_verified():
+    rounds = _load_verified_rounds([(6, {"q_grouped_pandas": GREEN})])
+    assert rounds["q_grouped_pandas"] == 6

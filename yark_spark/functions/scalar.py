@@ -76,6 +76,16 @@ def seconds_to_unit(col: Column) -> Column:
     )
 
 
+def pseudonymize(col: Column, salt: str = "yark") -> Column:
+    """Stable pseudonymous key: first 16 hex chars of salted SHA-256 over
+    the stringified value. Deterministic, so referential joins survive
+    (every table hashing the same id with the same salt still joins),
+    while the raw identifier never leaves the pipeline. 64 bits keeps the
+    birthday-collision odds negligible below ~10^8 distinct keys; take
+    more hex chars beyond that."""
+    return F.substring(F.sha2(F.concat(F.lit(salt + ":"), col.cast("string")), 256), 1, 16)
+
+
 def normalize_spaces(col: Column) -> Column:
     """X10 (`cmds/archive.py:304`): strip embedded spaces from ids."""
     return F.replace(col, F.lit(" "), F.lit(""))

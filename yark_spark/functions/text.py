@@ -167,6 +167,15 @@ def winnow_fingerprints(text: Column, gram: int = 3, window: int = 4) -> Column:
     ).otherwise(wins)
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical dedup-key normalization: lowercase, collapse every
+    non-alphanumeric run to a single space, trim. The pre-pass that makes
+    exact/fuzzy dedup robust to punctuation and casing noise. EXPLICIT
+    character class (not ``\\W``/``\\s``) so Java regex and RE2 oracles
+    agree byte-for-byte."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text. Same-content docs collide regardless of spacing/case — the

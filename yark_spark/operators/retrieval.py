@@ -1,0 +1,69 @@
+"""BM25 keyword retrieval over a document corpus.
+
+The training-data angle (BASELINE.json north-star): targeted corpus probes
+("find the documents about X") and quality-weighted retrieval for
+decontamination triage both reduce to BM25 ranking, and the statistics it
+needs (document frequencies, document lengths, corpus averages) are the
+same aggregates a curation pipeline already maintains.
+
+100 TB design: the only full-corpus passes are (a) a map-only token/length
+scan and (b) a tf aggregation that is FILTERED TO THE QUERY TERMS before
+its shuffle, so shuffle volume is O(matching postings), not O(corpus
+tokens). Document frequencies and the corpus stats are vocabulary-bounded
+(|terms| rows and 1 row) and broadcast to the probe side; nothing is
+collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yark_spark.operators.dedup import tokens
+
+
+def bm25(
+    docs: DataFrame,
+    terms: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every document containing ≥1 query term with Okapi BM25
+    (Robertson/Spärck Jones; the Lucene-default ``ln(1 + (N-df+0.5)/
+    (df+0.5))`` idf, which stays positive for high-df terms).
+
+    Returns ``(id_col, bm25)`` rounded to 6 decimals, one row per
+    matching document. Tokenization is the repo-wide parity tokenizer
+    (``operators.dedup.tokens``).
+    """
+    toks = docs.select(F.col(id_col), tokens(docs, text_col).alias("toks"))
+    lengths = toks.select(id_col, F.size("toks").alias("dl"))
+    # One row: corpus size + average document length. Joined via broadcast.
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    tf = (
+        toks.select(F.col(id_col), F.explode("toks").alias("tok"))
+        # The term filter runs map-side, BEFORE the (doc, tok) shuffle:
+        # at 100 TB the aggregated volume is the query terms' postings only.
+        .filter(F.col("tok").isin(list(terms)))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # ≤ |terms| rows after the tf aggregation (tf has one row per (doc, tok)).
+    df_counts = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    norm = F.col("tf") * (k1 + 1.0) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_counts), "tok")
+        .join(lengths, id_col)
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * norm), 6).alias("bm25"))
+    )

@@ -28,6 +28,7 @@ from yark_spark.queries import text  # noqa: F401,E402
 from yark_spark.queries import streaming  # noqa: F401,E402
 from yark_spark.queries import udf  # noqa: F401,E402
 from yark_spark.queries import extras  # noqa: F401,E402  (late — see its docstring)
+from yark_spark.queries import round7  # noqa: F401,E402
 from yark_spark.queries import round3  # noqa: F401,E402  (keep LAST)
 
 # Keys with a green driver CORRECTNESS row from round 1 (the first 50
@@ -86,6 +87,7 @@ def _load_verified_rounds(
     rounds: dict[str, int] = {k: 1 for k in _R1_VERIFIED}
     newest_round: dict[str, int] = {k: 1 for k in _R1_VERIFIED}
     newest_green: dict[str, bool] = {k: True for k in _R1_VERIFIED}
+    hash_verified: set[str] = set(_R1_VERIFIED)
     for rnd, report in sorted(reports, key=lambda t: t[0]):
         for key, row in report.items():
             if not isinstance(row, dict):
@@ -93,12 +95,22 @@ def _load_verified_rounds(
             full_pass = row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
             rows_only_pass = row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             green = bool(full_pass or rows_only_pass)
+            if full_pass:
+                hash_verified.add(key)
             if green:
                 rounds[key] = max(rounds.get(key, 0), rnd)
             if rnd >= newest_round.get(key, 0):
                 newest_round[key] = rnd
                 newest_green[key] = green
-    return {k: r for k, r in rounds.items() if newest_green.get(k, True)}
+    # A key whose green history is rows-only but which NOW declares an
+    # oracle has never been checked at the stronger level — treat it as
+    # unverified so an oracle upgrade auto-fronts the key for a full
+    # hash-match row (round-7: q_grouped_pandas gained an oracle).
+    return {
+        k: r
+        for k, r in rounds.items()
+        if newest_green.get(k, True) and (k in hash_verified or k not in ORACLES)
+    }
 
 
 _VERIFIED_ROUNDS: dict[str, int] = _load_verified_rounds()

@@ -1,0 +1,178 @@
+"""Round-7 session-2 curation/analytics keys: BM25 retrieval, dense
+time-grid gap fill, per-source percentile outlier trim, key
+pseudonymization, dedup-key text normalization, and the Gopher
+top-bigram repetition fraction.
+
+Every key here is oracle-checked (hash-match). The reference has no
+retrieval/time-series surface at all (its only query shapes are PK
+lookups and predicate scans — /root/reference/cmds/archive.py:126,356);
+these extend the training-data-pipeline layer (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from yark_spark.io import load_table
+from yark_spark.registry import query
+
+#: repo-wide tokenizer parity class (see operators/dedup.tokens).
+_TOK = "string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')"
+
+BM25_TERMS = ("spark", "window", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents), "
+    "len AS (SELECT doc_id, len(t) AS dl FROM tok), "
+    "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM len), "
+    "w AS (SELECT doc_id, unnest(t) AS tok FROM tok), "
+    "tf AS (SELECT doc_id, tok, count(*) AS tf FROM w "
+    f"WHERE tok IN ('{BM25_TERMS[0]}', '{BM25_TERMS[1]}', '{BM25_TERMS[2]}') GROUP BY 1, 2), "
+    "dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1) "
+    "SELECT tf.doc_id, "
+    f"round(sum(ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) "
+    f"* tf.tf * ({_BM25_K1} + 1.0) "
+    f"/ (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * len.dl / st.avgdl))), 6) AS bm25 "
+    "FROM tf JOIN dfr USING (tok) JOIN len USING (doc_id) CROSS JOIN st "
+    "GROUP BY tf.doc_id"
+)
+
+
+@query("q_bm25", oracle=_BM25_ORACLE)
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 keyword retrieval over the corpus for a fixed 3-term
+    query. Postings are filtered to the query terms BEFORE any shuffle;
+    document frequencies and corpus stats broadcast
+    (operators/retrieval.bm25)."""
+    from yark_spark.operators.retrieval import bm25
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25(docs, list(BM25_TERMS), k1=_BM25_K1, b=_BM25_B)
+
+
+_GAP_FILL_ORACLE = (
+    "WITH b AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket FROM events), "
+    "c AS (SELECT user_id, bucket, count(*) AS n FROM b GROUP BY 1, 2), "
+    "r AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1), "
+    "g AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bucket FROM r) "
+    "SELECT g.user_id, g.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events "
+    "FROM g LEFT JOIN c USING (user_id, bucket)"
+)
+
+
+@query("q_gap_fill", oracle=_GAP_FILL_ORACLE)
+def q_gap_fill(spark, sf_dir):
+    """Dense hourly event grid per user, zero-filled between each user's
+    first and last event — integer epoch buckets, grid generated
+    distributed via sequence()+explode (operators/timeseries
+    .gap_fill_counts)."""
+    from yark_spark.operators.timeseries import gap_fill_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return gap_fill_counts(events, "user_id", "ts", bucket_seconds=3600)
+
+
+_OUTLIER_TRIM_ORACLE = (
+    f"WITH n AS (SELECT doc_id, source, len({_TOK}) AS n_tokens FROM documents), "
+    "band AS (SELECT source, quantile_cont(n_tokens, 0.05) AS lo, "
+    "quantile_cont(n_tokens, 0.95) AS hi FROM n GROUP BY source) "
+    "SELECT n.doc_id, n.source, CAST(n.n_tokens AS BIGINT) AS n_tokens "
+    "FROM n JOIN band USING (source) "
+    "WHERE n.n_tokens >= band.lo AND n.n_tokens <= band.hi"
+)
+
+
+@query("q_outlier_trim", oracle=_OUTLIER_TRIM_ORACLE)
+def q_outlier_trim(spark, sf_dir):
+    """Per-source length-outlier trim: keep documents inside their
+    source's exact interpolated [P05, P95] token-length band. Percentile
+    table is |sources| rows, broadcast onto the fact scan
+    (operators/timeseries.percentile_trim)."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.dedup import tokens
+    from yark_spark.operators.timeseries import percentile_trim
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.size(tokens(docs)).cast("long").alias("n_tokens")
+    )
+    return percentile_trim(base, "source", "n_tokens", 0.05, 0.95)
+
+
+_PSEUDONYMIZE_ORACLE = (
+    "SELECT substr(sha256('yark:' || CAST(user_id AS VARCHAR)), 1, 16) AS pseudo_id, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(count(DISTINCT event_type) AS BIGINT) AS n_types "
+    "FROM events GROUP BY 1"
+)
+
+
+@query("q_pseudonymize", oracle=_PSEUDONYMIZE_ORACLE)
+def q_pseudonymize(spark, sf_dir):
+    """GDPR-style pseudonymization: user ids replaced by salted-SHA-256
+    pseudonyms (functions/scalar.pseudonymize) while per-user analytics
+    still aggregate correctly — the groupBy on the pseudonym proves
+    referential consistency survives the mapping. Map-only hash + one
+    partial-agg shuffle."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.functions.scalar import pseudonymize
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            pseudonymize(F.col("user_id")).alias("pseudo_id"), "event_type"
+        )
+        .groupBy("pseudo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+_TEXT_NORMALIZE_ORACLE = (
+    "SELECT doc_id, "
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_text "
+    "FROM documents"
+)
+
+
+@query("q_text_normalize", oracle=_TEXT_NORMALIZE_ORACLE)
+def q_text_normalize(spark, sf_dir):
+    """Dedup-key normalization pre-pass: lowercase, collapse
+    non-alphanumeric runs, trim (functions/text.normalize_text).
+    Map-only, string output — zero float risk."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
+
+
+_TOP_BIGRAM_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents), "
+    "bg AS (SELECT doc_id, t[g.i] || ' ' || t[g.i + 1] AS bigram, len(t) - 1 AS n_bigrams "
+    "FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i) WHERE len(t) >= 2), "
+    "c AS (SELECT doc_id, bigram, n_bigrams, count(*) AS cnt FROM bg GROUP BY 1, 2, 3), "
+    "r AS (SELECT doc_id, bigram, n_bigrams, cnt, "
+    "row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram) AS rn FROM c) "
+    "SELECT doc_id, bigram AS top_bigram, "
+    "round(cnt / n_bigrams, 6) AS top_bigram_frac FROM r WHERE rn = 1"
+)
+
+
+@query("q_top_bigram", oracle=_TOP_BIGRAM_ORACLE)
+def q_top_bigram(spark, sf_dir):
+    """Gopher-style repetition signal: the most frequent token bigram per
+    document and the fraction of bigram slots it occupies (near 1 ⇒
+    degenerate loops). Deterministic tie-break (count desc, bigram asc).
+    One (doc, bigram) partial-agg shuffle, then a per-doc window on the
+    same key — partitioned by doc, never global
+    (operators/profiling.top_bigram)."""
+    from yark_spark.operators.profiling import top_bigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_bigram(docs, "doc_id", "text")

@@ -48,20 +48,45 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(with_binary_payload(docs), id_col="doc_id")
 
 
-@query("q_grouped_pandas")  # rows-only: applyInPandas per-group logic
+_GROUPED_PANDAS_ORACLE = (
+    "WITH g AS (SELECT user_id, ts, "
+    "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+    "median(date_diff('microsecond', ts, nxt)) / 1000000.0 AS median_gap_s "
+    "FROM g GROUP BY user_id"
+)
+
+
+@query("q_grouped_pandas", oracle=_GROUPED_PANDAS_ORACLE)
 def q_grouped_pandas(spark, sf_dir):
     """applyInPandas (UDAF/UDTF-like): per-user event gap statistics that
     need imperative per-group logic. Groups shuffle on user_id; each group
-    processed as one pandas frame."""
+    processed as one pandas frame.
+
+    Oracle-checkable (round-7): gaps are computed in INTEGER microseconds
+    on both sides and divided by 1e6 only after the median, so the only
+    float ops are np.median's midpoint average — exact in doubles for
+    µs values ≪ 2^53 and identical to DuckDB's interpolated median —
+    and one shared divide, bit-identical by IEEE. NO round(): a 0.5 µs
+    median lands exactly on a 1e-7 rounding tie, where Python
+    (half-to-even) and DuckDB (half-away) disagree. The consecutive-gap
+    multiset of a sorted column is tie-order invariant, so pandas'
+    (ts, event_id) sort and the oracle's lead() agree even on duplicate
+    timestamps."""
 
     def gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(["ts", "event_id"])
-        gaps = pdf["ts"].diff().dt.total_seconds().dropna()
+        us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        gaps = np.diff(us)
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
-                "median_gap_s": [float(gaps.median()) if len(gaps) else None],
+                "median_gap_s": [
+                    float(np.median(gaps)) / 1000000.0 if len(gaps) else None
+                ],
             }
         )
 
