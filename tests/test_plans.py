@@ -307,3 +307,24 @@ def test_top_bigram_window_partitioned_by_doc(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert "hashpartitioning(doc_id" in plan, plan
     assert plan.count("Aggregate") >= 2, plan
+
+
+def test_substring_dedup_gram_equi_join_partial_agg(spark, sf_dir):
+    """q_substring_dedup (round 7): the repeat filter must be a partial
+    agg on the md5 gram key; the join back is an equi-join (never
+    cartesian); the coverage window partitions by doc_id."""
+    df = QUERIES["q_substring_dedup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert plan.count("Aggregate") >= 2, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_dedup_incremental_semi_join_on_band(spark, sf_dir):
+    """q_dedup_incremental (round 7): batch-vs-index screening must be a
+    (Left)Semi equi-join on the band bucket — no pair materialization,
+    no cartesian."""
+    df = QUERIES["q_dedup_incremental"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "Semi" in plan, plan

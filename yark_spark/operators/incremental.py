@@ -1,0 +1,76 @@
+"""Incremental near-dup screening of a NEW batch against an EXISTING
+corpus index — the shape every continuously-ingesting training pipeline
+runs daily (the full-corpus pair join in operators/dedup.py is the
+backfill shape; this is the steady-state one).
+
+100 TB design: the historical side collapses to its distinct (band,
+value) bucket table — in production precomputed once, stored bucketed by
+band value, and only APPENDED to as batches are admitted — so each new
+batch costs: map-only signatures over the batch, one semi-join of batch
+bands against the index (equi on the band key, no pair materialization),
+and a flag join back. The new batch is typically ≪ the index, so the
+batch side broadcasts when small. md5 hash family keeps the algebra
+oracle-checkable (same contract as q_minhash_signature); swap xxhash64
+in production for JVM-native speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yark_spark.operators.dedup import tokens
+
+
+def _md5_i(i: int):
+    seed = str(i)
+    return lambda t: F.md5(F.concat(F.lit(seed), t))
+
+
+def incremental_minhash_flags(
+    docs: DataFrame,
+    is_index: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Flag each NON-index document whose MinHash signature shares ≥1 LSH
+    band with ANY index document. Returns ``(id_col, is_dup)``, one row
+    per new document.
+
+    ``is_index`` is a boolean Column partitioning ``docs`` into the
+    historical index (True) and the new batch (False).
+    """
+    per_band = num_hashes // bands
+    toks = F.array_distinct(tokens(docs, text_col))
+    sig = docs.select(
+        F.col(id_col),
+        is_index.alias("is_idx"),
+        *[F.array_min(F.transform(toks, _md5_i(i))).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("b"),
+            F.concat(*[F.col(f"h{j * per_band + i}") for i in range(per_band)]).alias("v"),
+        )
+        for j in range(bands)
+    ]
+    band_df = sig.select(
+        id_col, "is_idx", F.explode(F.array(*band_structs)).alias("bv")
+    ).select(id_col, "is_idx", F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
+
+    index_buckets = band_df.filter(F.col("is_idx")).select("b", "v").distinct()
+    hits = (
+        band_df.filter(~F.col("is_idx"))
+        .join(index_buckets, ["b", "v"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        sig.filter(~F.col("is_idx"))
+        .select(id_col)
+        .join(hits, id_col, "left")
+        .select(id_col, F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"))
+    )

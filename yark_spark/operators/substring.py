@@ -1,0 +1,85 @@
+"""Exact-substring duplication analysis (the k-gram-span form of
+"Deduplicating Training Data Makes Language Models Better", Lee et al.
+2022 — public paper).
+
+Suffix arrays don't distribute; the standard scale-out equivalent marks
+every position whose k-token gram occurs ≥2 times ANYWHERE in the corpus
+(same doc or cross-doc) and unions the marked [pos, pos+k) intervals per
+document. Coverage ≈ the fraction a suffix-array dedup would cut; the
+interval union is exactly computable with one per-doc window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from yark_spark.operators.dedup import tokens
+
+
+def duplicated_span_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Per-document duplicated-substring coverage: ``covered_tokens`` =
+    size of the union of [pos, pos+k) over every position whose k-gram
+    repeats corpus-wide; ``dup_frac`` = covered/n_tokens. One row per
+    input document (0 coverage when nothing repeats or n_tokens < k).
+
+    100 TB design: grams are built MAP-SIDE (transform over the token
+    array) and md5-compressed so the gram shuffle key is 32 bytes
+    regardless of k; the repeat filter (count ≥ 2) happens in a
+    partial-agg before the join back, so only repeated grams re-shuffle;
+    the interval union is a lag window PARTITIONED by document. Nothing
+    is quadratic: cost is O(corpus tokens) map work + two keyed
+    shuffles. k trades recall (smaller catches more) vs gram volume.
+    """
+    base = docs.select(F.col(id_col), tokens(docs, text_col).alias("t")).select(
+        id_col, "t", F.size("t").alias("n")
+    )
+    grams = (
+        base.filter(F.col("n") >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {k}), "
+                    f"p -> md5(concat_ws(' ', slice(t, p + 1, {k}))))"
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    repeated = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gram")
+    )
+    marked = grams.join(repeated, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    covered = (
+        marked.withColumn("prev", F.lag("pos").over(w))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("prev").isNull(), F.lit(k)).otherwise(
+                    F.least(F.lit(k), F.col("pos") - F.col("prev"))
+                )
+            )
+            .cast("long")
+            .alias("covered_tokens")
+        )
+    )
+    return (
+        base.join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias("covered_tokens"),
+            F.round(F.coalesce(F.col("covered_tokens"), F.lit(0)) / F.col("n"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )

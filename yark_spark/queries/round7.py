@@ -152,6 +152,76 @@ def q_text_normalize(spark, sf_dir):
     return docs.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
 
 
+_SUBSTRING_K = 10
+
+_SUBSTRING_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents), "
+    "l AS (SELECT doc_id, t, len(t) AS n FROM tok), "
+    "g AS (SELECT doc_id, g.i - 1 AS pos, "
+    f"md5(array_to_string(t[g.i : g.i + {_SUBSTRING_K - 1}], ' ')) AS gram "
+    f"FROM l, unnest(generate_series(1, n - {_SUBSTRING_K - 1})) AS g(i) "
+    f"WHERE n >= {_SUBSTRING_K}), "
+    "c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2), "
+    "m AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)), "
+    "w AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM m), "
+    "cov AS (SELECT doc_id, CAST(sum(CASE WHEN prev IS NULL "
+    f"THEN {_SUBSTRING_K} ELSE least({_SUBSTRING_K}, pos - prev) END) AS BIGINT) AS covered "
+    "FROM w GROUP BY doc_id) "
+    "SELECT l.doc_id, CAST(l.n AS BIGINT) AS n_tokens, "
+    "coalesce(cov.covered, 0) AS covered_tokens, "
+    "round(coalesce(cov.covered, 0) / l.n, 6) AS dup_frac "
+    "FROM l LEFT JOIN cov USING (doc_id)"
+)
+
+
+@query("q_substring_dedup", oracle=_SUBSTRING_ORACLE)
+def q_substring_dedup(spark, sf_dir):
+    """Exact-substring duplication coverage (Lee et al. 2022, k-gram-span
+    form): fraction of each document covered by 10-token substrings that
+    repeat anywhere in the corpus. Grams built map-side and
+    md5-compressed; repeat filter in a partial agg before the join back;
+    interval union via a per-doc lag window
+    (operators/substring.duplicated_span_coverage)."""
+    from yark_spark.operators.substring import duplicated_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_coverage(docs, "doc_id", "text", k=_SUBSTRING_K)
+
+
+def _incremental_oracle() -> str:
+    sig = ", ".join(f"min(md5('{i}' || tok)) AS h{i}" for i in range(8))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, idx, {j} AS b, h{2 * j} || h{2 * j + 1} AS v FROM sig"
+        for j in range(4)
+    )
+    return (
+        f"WITH tok AS (SELECT doc_id, doc_id % 4 = 0 AS idx, "
+        f"unnest(list_distinct({_TOK})) AS tok FROM documents), "
+        f"sig AS (SELECT doc_id, any_value(idx) AS idx, {sig} FROM tok GROUP BY doc_id), "
+        f"band AS ({bands}), "
+        "old AS (SELECT DISTINCT b, v FROM band WHERE idx), "
+        "hit AS (SELECT DISTINCT n.doc_id FROM band n JOIN old USING (b, v) WHERE NOT n.idx) "
+        "SELECT s.doc_id, h.doc_id IS NOT NULL AS is_dup "
+        "FROM sig s LEFT JOIN hit h USING (doc_id) WHERE NOT s.idx"
+    )
+
+
+@query("q_dedup_incremental", oracle=_incremental_oracle())
+def q_dedup_incremental(spark, sf_dir):
+    """Steady-state incremental dedup: new batch (doc_id % 4 != 0)
+    screened against the historical index (doc_id % 4 == 0) by shared
+    MinHash LSH band — semi-join on the band bucket, no pair
+    materialization (operators/incremental.incremental_minhash_flags)."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.incremental import incremental_minhash_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_minhash_flags(
+        docs, F.col("doc_id") % 4 == 0, num_hashes=8, bands=4
+    )
+
+
 _TOP_BIGRAM_ORACLE = (
     f"WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents), "
     "bg AS (SELECT doc_id, t[g.i] || ' ' || t[g.i + 1] AS bigram, len(t) - 1 AS n_bigrams "
