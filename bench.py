@@ -157,6 +157,22 @@ def bench_stress(spark, sf_dir) -> dict:
     }
 
 
+    # exact-substring coverage over the full corpus (round-7 session 2):
+    # ~|corpus tokens| grams through a partial-agg repeat filter — the
+    # heaviest text shuffle after LSH. Runs before the persisted-state
+    # rows for the same ordering reason as skew_join.
+    from yark_spark.operators.substring import duplicated_span_coverage
+
+    docs_ss = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cov_df = duplicated_span_coverage(docs_ss, "doc_id", "text", k=10)
+    t0 = time.perf_counter()
+    n_flagged = cov_df.filter(F.col("covered_tokens") > 0).count()
+    substring = {
+        "sec": round(time.perf_counter() - t0, 4),
+        "docs_flagged": n_flagged,
+        "k": 10,
+    }
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     boiler = spark.range(3000).select(
         (F.col("id") + 10_000_000).alias("doc_id"),
@@ -262,6 +278,7 @@ def bench_stress(spark, sf_dir) -> dict:
         "cluster_path": cluster_path,
         "compaction": compaction,
         "skew_join": skew_join,
+        "substring_coverage": substring,
     }
 
 

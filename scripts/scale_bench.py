@@ -23,6 +23,11 @@ EXTRA = [
     "q_token_entropy",     # two-level agg over (doc, token)
     "q_dedup_exact",       # content-hash shuffle
     "q_minhash_signature", # map-only signature pass
+    # round-7 session-2 heavy curation ops
+    "q_substring_dedup",   # gram volume x10; repeat filter partial agg
+    "q_dedup_incremental", # band semi-join vs a x10 index
+    "q_line_dedup",        # line-cardinality shuffle + reassembly
+    "q_bm25",              # postings filter before shuffle
 ]
 
 
@@ -45,13 +50,21 @@ def main() -> None:
     def run(key: str, d: str) -> tuple[float, float, int]:
         # min of 3: the sandbox carries background load, and a single
         # contended run can inflate a ratio 5x (observed r7) — the lane
-        # compares plan cost, so the best observed run is the signal
+        # compares plan cost, so the best observed run is the signal.
+        #
+        # Timed via the noop sink, NOT count(): count() references zero
+        # columns, which lets Catalyst ELIMINATE a final left join whose
+        # right side has a provably-unique key — for q_substring_dedup
+        # that pruned the entire gram pipeline and "measured" a 0.07 s
+        # token-length scan. The noop write consumes every column, so the
+        # full declared plan executes.
         runs, n = [], 0
         for _ in range(3):
             df = QUERIES[key](spark, d)
             t0 = time.perf_counter()
-            n = df.count()
+            df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        n = QUERIES[key](spark, d).count()
         return round(runs[0], 4), round(min(runs), 4), n
 
     out: dict = {"metric": "scale_ratio_sf1_over_sf0.1", "queries": {}}

@@ -328,3 +328,22 @@ def test_dedup_incremental_semi_join_on_band(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert "Semi" in plan, plan
+
+
+def test_join_full_preaggregated_sides(spark, sf_dir):
+    """q_join_full (round 7): both sides pre-aggregate before the full
+    outer join (two partial-agg pairs), sharing the user_id shuffle key."""
+    df = QUERIES["q_join_full"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "FullOuter" in plan, plan
+    assert plan.count("Aggregate") >= 4, plan  # 2x (partial + final)
+
+
+def test_table_diff_moves_digests_not_documents(spark, sf_dir):
+    """q_table_diff (round 7): the diff join's scans read (doc_id, text)
+    only to build md5 digests map-side; the join itself is a full-outer
+    equi-join on the key — no cartesian, no post-join text columns."""
+    df = QUERIES["q_table_diff"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan

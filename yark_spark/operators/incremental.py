@@ -27,6 +27,41 @@ def _md5_i(i: int):
     return lambda t: F.md5(F.concat(F.lit(seed), t))
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Derive a change feed between two corpus snapshots: one row per key
+    with status ``added`` (new only), ``removed`` (old only), ``changed``
+    (both, hashes differ) or ``unchanged``. The CDC primitive a
+    snapshot-only source needs before incremental reprocessing (only
+    added/changed rows re-enter the pipeline).
+
+    Both inputs carry (key_col, hash_col) — hash upstream (md5/sha2 of
+    the payload) so the diff join moves 32-byte digests, never documents.
+
+    100 TB design: one full-outer equi-join on the key both sides
+    shuffle-partition identically (or zero shuffle when both snapshots
+    are bucketed on the key by the writer); everything else is map-side
+    column work.
+    """
+    o = old.select(F.col(key_col), F.col(hash_col).alias("_old_h"))
+    n = new.select(F.col(key_col), F.col(hash_col).alias("_new_h"))
+    return (
+        o.join(n, key_col, "full_outer")
+        .select(
+            key_col,
+            F.when(F.col("_old_h").isNull(), F.lit("added"))
+            .when(F.col("_new_h").isNull(), F.lit("removed"))
+            .when(F.col("_old_h") != F.col("_new_h"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )
+
+
 def incremental_minhash_flags(
     docs: DataFrame,
     is_index: Column,

@@ -152,6 +152,47 @@ def q_text_normalize(spark, sf_dir):
     return docs.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
 
 
+_JOIN_FULL_ORACLE = (
+    "WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events "
+    "WHERE event_type = 'click' GROUP BY user_id), "
+    "p AS (SELECT user_id, count(*) AS n_purchases FROM events "
+    "WHERE event_type = 'purchase' GROUP BY user_id) "
+    "SELECT coalesce(c.user_id, p.user_id) AS user_id, "
+    "CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks, "
+    "CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases "
+    "FROM c FULL OUTER JOIN p ON c.user_id = p.user_id"
+)
+
+
+@query("q_join_full", oracle=_JOIN_FULL_ORACLE)
+def q_join_full(spark, sf_dir):
+    """FULL OUTER join (§2.7 join family's last uncovered type): per-user
+    click vs purchase counts where either side may be absent. Both
+    inputs pre-aggregate (map-side partial) before the join, so the
+    outer join runs on |users|-bounded sides sharing one shuffle key."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+
+    def _counts(etype, out):
+        return (
+            events.filter(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    clicks = _counts("click", "n_clicks")
+    purchases = _counts("purchase", "n_purchases")
+    return (
+        clicks.join(purchases, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+        )
+    )
+
+
 _SUBSTRING_K = 10
 
 _SUBSTRING_ORACLE = (
@@ -220,6 +261,42 @@ def q_dedup_incremental(spark, sf_dir):
     return incremental_minhash_flags(
         docs, F.col("doc_id") % 4 == 0, num_hashes=8, bands=4
     )
+
+
+_TABLE_DIFF_ORACLE = (
+    "WITH old AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 400), "
+    "new AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2') "
+    "ELSE md5(text) END AS h FROM documents WHERE doc_id >= 100) "
+    "SELECT coalesce(old.doc_id, new.doc_id) AS doc_id, "
+    "CASE WHEN old.h IS NULL THEN 'added' WHEN new.h IS NULL THEN 'removed' "
+    "WHEN old.h <> new.h THEN 'changed' ELSE 'unchanged' END AS status "
+    "FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id"
+)
+
+
+@query("q_table_diff", oracle=_TABLE_DIFF_ORACLE)
+def q_table_diff(spark, sf_dir):
+    """Snapshot diff → change feed (operators/incremental.snapshot_diff):
+    two corpus versions (overlapping id ranges; every 7th common doc
+    'edited') full-outer-joined on the key, moving md5 digests rather
+    than documents; statuses added/removed/changed/unchanged."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.incremental import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 400).select(
+        "doc_id", F.md5(F.col("text")).alias("content_hash")
+    )
+    new = docs.filter(F.col("doc_id") >= 100).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.md5(F.concat(F.col("text"), F.lit(" v2")))
+        )
+        .otherwise(F.md5(F.col("text")))
+        .alias("content_hash"),
+    )
+    return snapshot_diff(old, new, "doc_id")
 
 
 _TOP_BIGRAM_ORACLE = (
