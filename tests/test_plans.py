@@ -347,3 +347,20 @@ def test_table_diff_moves_digests_not_documents(spark, sf_dir):
     plan = formatted_plan(df)
     assert "FullOuter" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_profile_table_one_pass(spark, sf_dir):
+    """q_profile_table (round 7): all five columns profile in ONE
+    aggregate pass — a single scan of documents (count-distinct Expand is
+    fine; re-scanning per column is not)."""
+    df = QUERIES["q_profile_table"](spark, sf_dir)
+    assert len(read_schemas(df)) == 1, formatted_plan(df)
+
+
+def test_data_quality_no_cartesian_anti_join_for_referential(spark, sf_dir):
+    """q_data_quality (round 7): the referential check must be an anti
+    equi-join; nothing in the report may be cartesian."""
+    df = QUERIES["q_data_quality"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Anti" in plan, plan

@@ -263,6 +263,89 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, "
+    f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+    f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+    f"CAST(min({c}) AS VARCHAR) AS min_value, CAST(max({c}) AS VARCHAR) AS max_value "
+    "FROM documents"
+    for c in _PROFILE_COLS
+)
+
+
+@query("q_profile_table", oracle=_PROFILE_ORACLE)
+def q_profile_table(spark, sf_dir):
+    """Catalog-grade column profile of the documents table (rows, nulls,
+    exact distincts, stringified min/max) in ONE aggregate pass, pivoted
+    long via explode — no driver loop
+    (operators/validate.profile_table)."""
+    from yark_spark.operators.validate import profile_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_table(docs, list(_PROFILE_COLS))
+
+
+_DQ_ORACLE = (
+    "SELECT 'orders_pk_unique' AS check_name, CAST(count(*) AS BIGINT) AS n_violations "
+    "FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1) "
+    "UNION ALL "
+    "SELECT 'lineitem_orderkey_unique', CAST(count(*) AS BIGINT) "
+    "FROM (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1) "
+    "UNION ALL "
+    "SELECT 'customer_name_not_null', CAST(count(*) AS BIGINT) "
+    "FROM customer WHERE c_name IS NULL "
+    "UNION ALL "
+    "SELECT 'orders_custkey_referential', CAST(count(*) AS BIGINT) "
+    "FROM orders o WHERE NOT EXISTS "
+    "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) "
+    "UNION ALL "
+    "SELECT 'lineitem_quantity_range', CAST(count(*) AS BIGINT) "
+    "FROM lineitem WHERE l_quantity < 1 OR l_quantity > 45 "
+    "UNION ALL "
+    "SELECT 'events_type_membership', CAST(count(*) AS BIGINT) "
+    "FROM events WHERE event_type NOT IN ('signup', 'click', 'purchase', 'view')"
+)
+
+
+@query("q_data_quality", oracle=_DQ_ORACLE)
+def q_data_quality(spark, sf_dir):
+    """Deequ-style quality gate: six checks (uniqueness ×2, nullability,
+    referential integrity, numeric range, set membership) each collapsing
+    to a count before a |checks|-row union
+    (operators/validate.quality_report). Mixed zero and non-zero
+    violation counts by construction (lineitem keys repeat; 'error'
+    events violate the membership set)."""
+    from yark_spark.io import load_tables
+    from yark_spark.operators.validate import (
+        membership_violations,
+        not_null_violations,
+        quality_report,
+        range_violations,
+        referential_violations,
+        unique_violations,
+    )
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem", "customer", "events")
+    return quality_report(
+        {
+            "orders_pk_unique": unique_violations(t["orders"], ["o_orderkey"]),
+            "lineitem_orderkey_unique": unique_violations(t["lineitem"], ["l_orderkey"]),
+            "customer_name_not_null": not_null_violations(t["customer"], "c_name"),
+            "orders_custkey_referential": referential_violations(
+                t["orders"], t["customer"], "o_custkey", "c_custkey"
+            ),
+            "lineitem_quantity_range": range_violations(
+                t["lineitem"], "l_quantity", 1, 45
+            ),
+            "events_type_membership": membership_violations(
+                t["events"], "event_type", ["signup", "click", "purchase", "view"]
+            ),
+        }
+    )
+
+
 _TABLE_DIFF_ORACLE = (
     "WITH old AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 400), "
     "new AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2') "
