@@ -298,3 +298,60 @@ def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     }
     assert (1, 10) in got  # the match
     assert (2, None) in got  # unmatched view finalized as a null row
+
+
+def test_dedup_within_watermark_suppresses_restamped_retries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (round 7): a retry that RE-STAMPS its
+    timestamp is still suppressed (keys-only state), and after the
+    watermark passes first-seen + delay the key is re-admitted.
+    maxFilesPerTrigger=1 forces batch-by-batch progression so the
+    watermark actually advances between files."""
+    from yark_spark.streaming.pipelines import watermarked_dedup_within
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            ("v1", "2024-01-01T10:00:00Z"),
+            ("v1", "2024-01-01T10:03:00Z"),  # re-stamped retry → suppressed
+        ],
+    )
+    # Eviction uses the EVICTION watermark, which trails the data by one
+    # batch (a batch's watermark is computed from the PREVIOUS batch's max
+    # event time): b2 raises max event time to 11:00, b3 runs with
+    # watermark 10:50 (> v1's 10:10 expiry) whose end-of-batch cleanup
+    # evicts v1, and only b4 sees the state gone.
+    _write_batch(src, "b2.json", [("v2", "2024-01-01T11:00:00Z")])
+    _write_batch(src, "b3.json", [("v3", "2024-01-01T11:05:00Z")])
+    _write_batch(
+        src,
+        "b4.json",
+        [
+            ("v1", "2024-01-01T13:00:00Z"),  # state evicted → re-admitted
+            ("v1", "2024-01-01T13:04:00Z"),  # fresh retry → suppressed again
+        ],
+    )
+    stream = read_event_stream(
+        spark, str(src), HISTORY_SCHEMA, max_files_per_trigger=1
+    )
+    deduped = watermarked_dedup_within(stream, ["video"], "watched", "10 minutes")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["video"], r["watched"].isoformat()) for r in spark.read.parquet(out).collect()
+    )
+    assert [v for v, _ in got] == ["v1", "v1", "v2", "v3"]
+    # the kept v1 rows are the FIRST arrival of each admission window
+    assert got[0][1].startswith("2024-01-01T10:00")
+    assert got[1][1].startswith("2024-01-01T13:00")

@@ -51,6 +51,20 @@ def watermarked_dedup(
     return events.withWatermark(ts_col, delay).dropDuplicates(keys)
 
 
+def watermarked_dedup_within(
+    events: DataFrame, keys: list[str], ts_col: str = "watched", delay: str = "10 minutes"
+) -> DataFrame:
+    """Dedup on KEYS ONLY with state evicted by the watermark
+    (``dropDuplicatesWithinWatermark``): a duplicate arriving within
+    ``delay`` is suppressed even when its event time DIFFERS — the
+    retried-upload case, where the retry re-stamps the timestamp and
+    ``dropDuplicates(keys + [ts])`` would wrongly keep both. After the
+    watermark passes first-seen + delay the key's state is evicted, so a
+    genuine re-occurrence later is re-admitted. State stays bounded by
+    the number of distinct keys seen per horizon."""
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def tumbling_counts(
     events: DataFrame, ts_col: str = "ts", width: str = "1 hour", delay: str = "10 minutes"
 ) -> DataFrame:
