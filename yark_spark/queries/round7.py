@@ -193,6 +193,41 @@ def q_join_full(spark, sf_dir):
     )
 
 
+_NULL_SAFE_ORACLE = (
+    "WITH a AS (SELECT nullif(event_type, 'error') AS k, count(*) AS n_even "
+    "FROM events WHERE event_id % 2 = 0 GROUP BY 1), "
+    "b AS (SELECT nullif(event_type, 'error') AS k, count(*) AS n_odd "
+    "FROM events WHERE event_id % 2 = 1 GROUP BY 1) "
+    "SELECT a.k, CAST(a.n_even AS BIGINT) AS n_even, CAST(b.n_odd AS BIGINT) AS n_odd "
+    "FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k"
+)
+
+
+@query("q_null_safe_join", oracle=_NULL_SAFE_ORACLE)
+def q_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the NULL
+    group ('error' events nulled via nullif) must MATCH across sides
+    instead of silently dropping — the semantics gap that loses rows when
+    joining on nullable derived keys. Both sides pre-aggregate to
+    \\|event types\\| rows before the join."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error")).alias("k")
+
+    def _half(parity, out):
+        return (
+            events.filter(F.col("event_id") % 2 == parity)
+            .groupBy(k)
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    a, b = _half(0, "n_even"), _half(1, "n_odd")
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"], F.col("n_even").cast("long"), F.col("n_odd").cast("long")
+    )
+
+
 _SUBSTRING_K = 10
 
 _SUBSTRING_ORACLE = (
