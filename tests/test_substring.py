@@ -58,3 +58,25 @@ def test_coverage_never_exceeds_length(spark):
     out = duplicated_span_coverage(df, "doc_id", "text", k=10)
     bad = out.filter(F.col("covered_tokens") > F.col("n_tokens")).count()
     assert bad == 0
+
+
+def test_interval_union_formula_property():
+    """The lag-window formula (first→k, else min(k, pos-prev)) must equal
+    the true size of the union of [p, p+k) — property-checked in pure
+    python over random position sets (both engines run this same
+    algebra, so the formula itself is the thing to pin)."""
+    from hypothesis import given, strategies as st
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=300), min_size=0, max_size=60),
+        st.integers(min_value=1, max_value=20),
+    )
+    def check(raw, k):
+        pos = sorted(set(raw))
+        formula = sum(
+            k if i == 0 else min(k, p - pos[i - 1]) for i, p in enumerate(pos)
+        )
+        truth = len({x for p in pos for x in range(p, p + k)})
+        assert formula == truth, (pos, k, formula, truth)
+
+    check()
