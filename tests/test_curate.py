@@ -66,3 +66,28 @@ def test_deterministic(spark, curated):
     a = sorted(map(tuple, out.select("doc_id", "pack_bin").collect()))
     b = sorted(map(tuple, again.select("doc_id", "pack_bin").collect()))
     assert a == b
+
+
+def test_substring_filter_stage_drops_heavy_duplication(spark):
+    """Optional stage 3.5 (round 7): with max_dup_span_frac set, a doc
+    whose text is one long shared substring is dropped while distinct
+    docs survive; the stage count lands between fuzzy dedup and quality
+    filters. Off by default (the module-scoped fixture's report has no
+    after_substring_filter key)."""
+    shared = " ".join(f"tok{i}" for i in range(30))
+    uniq = [
+        (100 + i, " ".join(f"doc{100 + i}w{j}" for j in range(30)), "en")
+        for i in range(6)
+    ]
+    rows = [(1, shared + " tailA one two three", "en"),
+            (2, shared + " tailB four five six", "en")] + uniq
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    cfg = CurationConfig(max_dup_span_frac=0.5, fuzzy_threshold=0.95)
+    out, report = curate(docs, benchmark=None, config=cfg)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    report.unpersist()
+    assert "after_substring_filter" in report.counts
+    assert report.counts["after_substring_filter"] <= report.counts["after_fuzzy_dedup"]
+    # docs 1 and 2 share a 30-token run >> 50% of their 34 tokens -> dropped
+    assert kept.isdisjoint({1, 2})
+    assert {100, 101, 102, 103, 104, 105}.issubset(kept)

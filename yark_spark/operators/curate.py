@@ -46,6 +46,8 @@ class CurationConfig:
     max_bucket: int | None = 4096
     decontaminate_ngram: int = 5
     decontaminate_mode: str = "auto"         # broadcast | join | auto (by gram count)
+    max_dup_span_frac: float | None = None   # None = substring filter off
+    substring_k: int = 10                    # gram width for the span filter
     pack_budget: int = 512
 
 
@@ -133,6 +135,22 @@ def curate(
             mode=cfg.decontaminate_mode,
         )
         report.counts["after_decontamination"] = fuzzy.count()
+
+    # 3.5 optional exact-substring span filter (Lee et al. 2022 shape):
+    # drop docs whose duplicated-10-gram coverage exceeds the cap. Off by
+    # default (adds one gram-keyed shuffle over the surviving frontier);
+    # the span analysis itself is operators/substring. Semi-join keeps
+    # the frontier's columns untouched.
+    if cfg.max_dup_span_frac is not None:
+        from yark_spark.operators.substring import duplicated_span_coverage
+
+        cov = duplicated_span_coverage(fuzzy, id_col, text_col, k=cfg.substring_k)
+        fuzzy = fuzzy.join(
+            cov.filter(F.col("dup_frac") <= cfg.max_dup_span_frac).select(id_col),
+            id_col,
+            "left_semi",
+        )
+        report.counts["after_substring_filter"] = fuzzy.count()
 
     # 4. quality / repetition / language filters (all map-only, one scan)
     scored = fuzzy.withColumn("quality", quality_score(F.col(text_col))).withColumn(
