@@ -364,3 +364,20 @@ def test_data_quality_no_cartesian_anti_join_for_referential(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "Anti" in plan, plan
+
+
+def test_salted_join_shuffles_on_key_plus_salt(spark, sf_dir):
+    """q_salted_join (round 7): the join key must include the salt column
+    (hot l_returnflag spread over salt reducers); never cartesian."""
+    df = QUERIES["q_salted_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "__salt" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_score_calibration_window_partitioned_by_source(spark, sf_dir):
+    """q_score_calibration (round 7): percent_rank windows partition by
+    source — one shuffle on source, never a single global sort."""
+    df = QUERIES["q_score_calibration"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(source" in plan, plan

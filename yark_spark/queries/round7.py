@@ -193,6 +193,89 @@ def q_join_full(spark, sf_dir):
     )
 
 
+def _salted_join_oracle() -> str:
+    return (
+        "WITH dim AS (SELECT DISTINCT l_returnflag AS flag, "
+        "ascii(l_returnflag) AS w FROM lineitem) "
+        "SELECT li.l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows, "
+        "round(sum(li.l_quantity * dim.w), 4) AS weighted_qty "
+        "FROM lineitem li JOIN dim ON li.l_returnflag = dim.flag "
+        "GROUP BY li.l_returnflag"
+    )
+
+
+@query("q_salted_join", oracle=_salted_join_oracle())
+def q_salted_join(spark, sf_dir):
+    """Correctness key for the skew-salting JOIN recipe (the perf side is
+    bench_stress.skew_join): lineitem joined to a 3-row dim on the
+    heavily-skewed l_returnflag THROUGH operators/skew.salted_join — the
+    oracle computes the plain join, so the driver proves the salt
+    replication loses/duplicates nothing. The salt spreads each hot key
+    over `salt` reducers; the small side replicates ×salt."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    dim = li.select(F.col("l_returnflag").alias("flag")).distinct().select(
+        "flag", F.ascii(F.col("flag")).alias("w")
+    )
+    joined = salted_join(li, dim.withColumnRenamed("flag", "l_returnflag"), "l_returnflag", salt=8)
+    return (
+        joined.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity") * F.col("w")), 4).alias("weighted_qty"),
+        )
+    )
+
+
+def _calibration_oracle() -> str:
+    from yark_spark.queries.text import _STOP_IN
+
+    return (
+        "WITH t AS (SELECT doc_id, source, text, "
+        "string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents), "
+        "feat AS (SELECT doc_id, source, "
+        f"round(len(list_filter(toks, t -> t IN ({_STOP_IN}))) / greatest(len(toks), 1), 6) AS sw, "
+        "round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')))"
+        " / greatest(length(text), 1), 6) AS pr, "
+        "round(list_aggregate(list_transform(toks, t -> length(t)), 'sum')"
+        " / greatest(len(toks), 1), 6) AS mwl FROM t), "
+        "q AS (SELECT doc_id, source, round("
+        "least(sw * 4, 1.0) * 0.5 + (1 - least(pr * 5, 1.0)) * 0.3 "
+        "+ (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality "
+        "FROM feat) "
+        "SELECT doc_id, source, quality, "
+        "round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6) "
+        "AS calibrated FROM q"
+    )
+
+
+@query("q_score_calibration", oracle=_calibration_oracle())
+def q_score_calibration(spark, sf_dir):
+    """Cross-source score calibration: raw quality scores are NOT
+    comparable across sources (each source has its own distribution), so
+    mixture weighting uses the within-source percentile instead —
+    percent_rank over a window PARTITIONED by source with a (quality,
+    doc_id) tie-break for determinism. One shuffle on source; no global
+    sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from yark_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", "source", quality_score(F.col("text")).alias("quality"))
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return q.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(F.percent_rank().over(w), 6).alias("calibrated"),
+    )
+
+
 _NULL_SAFE_ORACLE = (
     "WITH a AS (SELECT nullif(event_type, 'error') AS k, count(*) AS n_even "
     "FROM events WHERE event_id % 2 = 0 GROUP BY 1), "
