@@ -143,3 +143,38 @@ def test_decode_image_features_distributed(spark):
     assert rows[1].mean_pixel == 3.5
     assert (rows[2].width, rows[2].height, rows[2].channels) == (1, 2, 3)
     assert rows[2].mean_pixel == 3.0
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """round 7: encode→decode roundtrips samples exactly; the decoder is a
+    generic chunk WALK — payloads with an extra (odd-sized) chunk before
+    'data' still decode; non-PCM formats raise NotImplementedError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from yark_spark.operators.multimodal import _make_wav_codec
+
+    encode, decode = _make_wav_codec()
+    samples = [0, 1, -1, 32767, -32768, 100]
+    rate, ch, got = decode(encode(samples, rate=16000))
+    assert (rate, ch) == (16000, 1)
+    assert got.tolist() == samples
+
+    # splice an odd-sized LIST chunk between fmt and data (word-aligned pad)
+    b = encode(samples, rate=8000)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = b[:fmt_end] + extra + b[fmt_end:]
+    rate2, _, got2 = decode(spliced)
+    assert rate2 == 8000 and got2.tolist() == samples
+
+    # IEEE-float WAV (fmt=3) must be rejected, not mis-read
+    float_fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+    bad = b[: 12] + float_fmt + b[12 + 24 :]
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode(bad)
+
+    with pytest.raises(ValueError):
+        decode(b"\x00" * 20)

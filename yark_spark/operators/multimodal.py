@@ -312,3 +312,143 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+#: Output schema of decode_audio_features.
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def _make_wav_codec():
+    """Closure-factory (ships by value — workers never import this
+    package) for a pure-numpy canonical-WAV codec: 16-bit PCM RIFF/WAVE,
+    generic chunk walk on decode (tolerates extra chunks, odd-size
+    padding). Compressed codecs (MP3/AAC/IEEE-float) raise
+    NotImplementedError — entropy coding needs an audio library this
+    container doesn't have; PCM is the container format a training
+    pipeline normalizes to anyway."""
+
+    def encode(samples, rate: int = 8000) -> bytes:
+        import struct
+
+        import numpy as np
+
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(data))
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+
+    def decode(b: bytes):
+        import struct
+
+        import numpy as np
+
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            sz = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            body = b[pos + 8 : pos + 8 + sz]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        audio_fmt, channels, rate, _, _, bits = fmt
+        if audio_fmt != 1 or bits != 16:
+            raise NotImplementedError(
+                f"non-PCM16 WAV (fmt={audio_fmt}, bits={bits}) needs an audio library"
+            )
+        return rate, channels, np.frombuffer(data, dtype="<i2")
+
+    return encode, decode
+
+
+def with_wav_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", rate: int = 8000
+) -> DataFrame:
+    """Deterministic WAV fixture column: each doc's md5 hex chars (ascii
+    codes as int16 samples, tiled 8× → 256 samples) encoded as canonical
+    PCM16 WAV. Map-only mapInPandas; the encoder half of the codec."""
+    encode, _ = _make_wav_codec()
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            payloads = [
+                encode(
+                    [ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()] * 8,
+                    rate=rate,
+                )
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _enc,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def decode_audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio statistics over a binary WAV column: header parse (chunk
+    walk), sample extraction, duration/peak/RMS — the audio twin of
+    decode_image_features. Map-only mapInPandas; RMS is
+    sqrt(mean(sample²)) with the mean over a power-of-two sample count
+    exact in doubles, so an analytic oracle hash-matches it."""
+    _, decode = _make_wav_codec()
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ns, rates, durs, peaks, rmss = [], [], [], [], []
+            for p in pdf[payload_col]:
+                rate, _channels, samples = decode(bytes(p))
+                v = samples.astype(np.float64)
+                ns.append(len(samples))
+                rates.append(rate)
+                durs.append(round(len(samples) / rate, 6))
+                peaks.append(int(np.max(np.abs(samples))) if len(samples) else 0)
+                rmss.append(
+                    round(float(np.sqrt(np.mean(v * v))), 6) if len(samples) else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_samples": np.array(ns, dtype="int32"),
+                    "sample_rate": np.array(rates, dtype="int32"),
+                    "duration_s": np.array(durs, dtype="float64"),
+                    "peak": np.array(peaks, dtype="int32"),
+                    "rms": np.array(rmss, dtype="float64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, AUDIO_FEATURE_SCHEMA
+    )

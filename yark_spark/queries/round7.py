@@ -464,6 +464,38 @@ def q_data_quality(spark, sf_dir):
     )
 
 
+_AUDIO_ORACLE = (
+    "WITH h AS (SELECT doc_id, md5(text) AS m FROM documents WHERE doc_id < 200), "
+    "s AS (SELECT doc_id, ascii(substr(m, g.i, 1)) AS v "
+    "FROM h, unnest(generate_series(1, 32)) AS g(i)) "
+    "SELECT doc_id, CAST(256 AS INTEGER) AS n_samples, "
+    "CAST(8000 AS INTEGER) AS sample_rate, "
+    "round(256.0 / 8000, 6) AS duration_s, "
+    "CAST(max(v) AS INTEGER) AS peak, "
+    "round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms "
+    "FROM s GROUP BY doc_id"
+)
+
+
+@query("q_audio_decode", oracle=_AUDIO_ORACLE)
+def q_audio_decode(spark, sf_dir):
+    """E4 audio twin of q_image_decode: deterministic PCM16 WAV per
+    document (md5 hex ascii codes as samples, tiled 8× → 256 samples)
+    ENCODED then DECODED by separate halves of the pure-numpy RIFF codec
+    (operators/multimodal._make_wav_codec — generic chunk walk, not an
+    offset assumption), with duration/peak/RMS hash-matched against the
+    analytic oracle. The 256-sample mean is a power-of-two divide (exact
+    in doubles) and the tiling leaves it equal to the 32-char mean, so
+    sqrt parity is bit-exact. Compressed codecs remain
+    NotImplementedError."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.multimodal import decode_audio_features, with_wav_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return decode_audio_features(with_wav_payload(docs))
+
+
 _TABLE_DIFF_ORACLE = (
     "WITH old AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 400), "
     "new AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2') "
