@@ -143,3 +143,44 @@ def test_store_write_sorted_clusters(spark, tmp_path):
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert hi <= lo
     assert store.read("facts").count() == 10_000
+
+
+def test_overwrite_partitions_replaces_only_touched(spark, tmp_path):
+    """round 7: dynamic partition overwrite rewrites only the partitions
+    present in the incoming batch; untouched partitions survive, and
+    re-running the same batch is idempotent."""
+    from yark_spark.operators.layout import overwrite_partitions
+
+    dest = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("day1", 1, "a"), ("day1", 2, "b"), ("day2", 3, "c")],
+        ["day", "id", "v"],
+    )
+    overwrite_partitions(base, dest, ["day"])
+
+    # re-deliver day 1 with corrected content; day 2 must be untouched
+    fixed = spark.createDataFrame([("day1", 9, "z")], ["day", "id", "v"])
+    overwrite_partitions(fixed, dest, ["day"])
+    got = {(r["day"], r["id"], r["v"]) for r in spark.read.parquet(dest).collect()}
+    assert got == {("day1", 9, "z"), ("day2", 3, "c")}
+
+    # idempotent re-run
+    overwrite_partitions(fixed, dest, ["day"])
+    assert spark.read.parquet(dest).count() == 2
+    # the scoped conf was restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """round 7: mergeSchema read across parquet files written with an
+    evolving schema (a column added later) — old rows surface NULL for
+    the new column, and the union schema is stable."""
+    d = str(tmp_path / "evo")
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(2, "b", "en")], ["id", "v", "lang"]
+    ).write.mode("append").parquet(d)
+    got = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(got.columns) == {"id", "v", "lang"}
+    rows = {r["id"]: r["lang"] for r in got.collect()}
+    assert rows == {1: None, 2: "en"}

@@ -135,3 +135,34 @@ def write_sorted(
         .write.mode("overwrite")
         .parquet(dest_path)
     )
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    dest_path: str,
+    partition_cols: list[str],
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving every other partition of the table untouched — the
+    idempotent daily-batch sink (re-running a day's job rewrites that
+    day's partitions, never truncating the table the way static
+    ``mode("overwrite")`` would).
+
+    Scoped conf: partitionOverwriteMode=dynamic is set for this write and
+    restored after, so other writers in the session keep the (safer)
+    static default. At 100 TB the partition columns must be coarse
+    (date/source, not high-cardinality ids) so a batch touches few
+    directories and the commit is metadata-bounded.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(dest_path)
+        )
+    finally:
+        spark.conf.set(key, prev)
