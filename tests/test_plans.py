@@ -381,3 +381,21 @@ def test_score_calibration_window_partitioned_by_source(spark, sf_dir):
     df = QUERIES["q_score_calibration"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "hashpartitioning(source" in plan, plan
+
+
+def test_tpch_q2_shape_partwise_window_and_broadcast_dim(spark, sf_dir):
+    """q_tpch_q2_shape (round 7): the best-supplier window partitions by
+    part; supplier broadcasts; never a global single-partition sort."""
+    df = QUERIES["q_tpch_q2_shape"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(l_partkey" in plan, plan
+    assert count_broadcast_joins(df) >= 1, plan
+
+
+def test_tpch_q21_shape_semi_and_anti(spark, sf_dir):
+    """q_tpch_q21_shape (round 7): the double-correlated EXISTS/NOT EXISTS
+    must compile to a semi AND an anti join — no cartesian."""
+    df = QUERIES["q_tpch_q21_shape"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Semi" in plan and "Anti" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -464,6 +464,94 @@ def q_data_quality(spark, sf_dir):
     )
 
 
+_Q2_ORACLE = (
+    "WITH cost AS (SELECT l_partkey, l_suppkey, "
+    "min(l_extendedprice / l_quantity) AS unit FROM lineitem GROUP BY 1, 2), "
+    "r AS (SELECT l_partkey, l_suppkey, unit, "
+    "row_number() OVER (PARTITION BY l_partkey ORDER BY unit, l_suppkey) AS rn FROM cost) "
+    "SELECT r.l_partkey AS p_partkey, s.s_name, round(r.unit, 6) AS best_unit_cost "
+    "FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey WHERE rn = 1"
+)
+
+
+@query("q_tpch_q2_shape", oracle=_Q2_ORACLE)
+def q_tpch_q2_shape(spark, sf_dir):
+    """TPC-H Q2 shape (min-within-group + join back): cheapest supplier
+    per part by unit price (lineitem stands in for partsupp — the
+    fixture set has no partsupp table). Ranking uses the RAW double (both
+    engines compute the same division bit-exactly); rounding happens only
+    on output. Per-part window after a (part, supp) partial agg; the
+    supplier dim broadcasts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit", "l_suppkey")
+    best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.join(
+        F.broadcast(sup), best["l_suppkey"] == sup["s_suppkey"]
+    ).select(
+        F.col("l_partkey").alias("p_partkey"),
+        "s_name",
+        F.round(F.col("unit"), 6).alias("best_unit_cost"),
+    )
+
+
+_Q21_ORACLE = (
+    "WITH l AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem), "
+    "bad AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R') "
+    "SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait "
+    "FROM bad b JOIN supplier s ON s.s_suppkey = b.l_suppkey "
+    "WHERE EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = b.l_orderkey "
+    "AND l2.l_suppkey <> b.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM bad b2 WHERE b2.l_orderkey = b.l_orderkey "
+    "AND b2.l_suppkey <> b.l_suppkey) "
+    "GROUP BY s.s_name"
+)
+
+
+@query("q_tpch_q21_shape", oracle=_Q21_ORACLE)
+def q_tpch_q21_shape(spark, sf_dir):
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS on the same key): suppliers
+    solely responsible for a returned ('R') line on multi-supplier
+    orders. Semi-join (another supplier exists on the order) + anti-join
+    (no OTHER supplier has an 'R' line) on the orderkey with a suppkey
+    inequality — the classic double-correlated pattern; both probe sides
+    are distinct-reduced before the joins."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    bad = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l2 = pairs.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    b2 = bad.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    cand = bad.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        b2,
+        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        cand.join(F.broadcast(sup), cand["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 _AUDIO_ORACLE = (
     "WITH h AS (SELECT doc_id, md5(text) AS m FROM documents WHERE doc_id < 200), "
     "s AS (SELECT doc_id, ascii(substr(m, g.i, 1)) AS v "
