@@ -399,3 +399,14 @@ def test_tpch_q21_shape_semi_and_anti(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Semi" in plan and "Anti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_lateral_topk_decorrelates_to_group_limit(spark, sf_dir):
+    """q_lateral_topk (round 7): the correlated LATERAL must decorrelate
+    into a WindowGroupLimit (map-side per-group top-k) over a
+    source-partitioned window — never a per-source nested loop."""
+    df = QUERIES["q_lateral_topk"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "hashpartitioning(source" in plan, plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan, plan

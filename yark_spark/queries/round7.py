@@ -464,6 +464,26 @@ def q_data_quality(spark, sf_dir):
     )
 
 
+_LATERAL_SQL = (
+    "SELECT s.source, l.doc_id, l.n_chars "
+    "FROM (SELECT DISTINCT source FROM {tbl}) s, "
+    "LATERAL (SELECT doc_id, n_chars FROM {tbl} d WHERE d.source = s.source "
+    "ORDER BY n_chars DESC, doc_id LIMIT 2) l"
+)
+
+
+@query("q_lateral_topk", oracle=_LATERAL_SQL.format(tbl="documents"))
+def q_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery (per-source top-2 by n_chars,
+    deterministic tie-break) — the SQL-surface twin of the window top-k:
+    Spark decorrelates the lateral into a ranked join, so the same
+    partitioned-window plan falls out of the correlated FORM. Identical
+    SQL text runs on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__lateral_docs")
+    return spark.sql(_LATERAL_SQL.format(tbl="__lateral_docs"))
+
+
 _Q2_ORACLE = (
     "WITH cost AS (SELECT l_partkey, l_suppkey, "
     "min(l_extendedprice / l_quantity) AS unit FROM lineitem GROUP BY 1, 2), "
