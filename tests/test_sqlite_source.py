@@ -1,0 +1,101 @@
+"""Partition-parallel SQLite DataSource (sources/sqlite_source): schema
+inference from declared affinities, rowid-range partitioning, roundtrip
+with the db_sink writer's DDL."""
+
+import sqlite3
+
+import pytest
+
+
+@pytest.fixture()
+def db(tmp_path):
+    path = str(tmp_path / "archive.db")
+    with sqlite3.connect(path) as conn:
+        conn.execute(
+            "CREATE TABLE videos (id TEXT PRIMARY KEY, title TEXT, "
+            "duration INTEGER, rating REAL, thumb BLOB)"
+        )
+        conn.executemany(
+            "INSERT INTO videos VALUES (?, ?, ?, ?, ?)",
+            [
+                (f"vid{i:05d}", f"title {i}", 60 + i, i / 10.0, bytes([i % 256, 1]))
+                for i in range(500)
+            ],
+        )
+        conn.commit()
+    return path
+
+
+def _register(spark):
+    from yark_spark.sources.sqlite_source import SQLiteDataSource
+
+    spark.dataSource.register(SQLiteDataSource)
+
+
+def test_schema_inference_by_affinity(spark, db):
+    _register(spark)
+    df = spark.read.format("sqlite").option("path", db).option("table", "videos").load()
+    assert dict(df.dtypes) == {
+        "id": "string",
+        "title": "string",
+        "duration": "bigint",
+        "rating": "double",
+        "thumb": "binary",
+    }
+
+
+def test_partitioned_read_covers_all_rows(spark, db):
+    _register(spark)
+    df = (
+        spark.read.format("sqlite")
+        .option("path", db)
+        .option("table", "videos")
+        .option("num_partitions", "8")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    rows = df.collect()
+    assert len(rows) == 500
+    got = {r["id"]: (r["duration"], r["rating"], bytes(r["thumb"])) for r in rows}
+    assert got["vid00042"] == (102, 4.2, bytes([42, 1]))
+
+
+def test_empty_table_reads_zero_rows(spark, tmp_path):
+    path = str(tmp_path / "empty.db")
+    with sqlite3.connect(path) as conn:
+        conn.execute("CREATE TABLE t (a INTEGER)")
+        conn.commit()
+    _register(spark)
+    df = spark.read.format("sqlite").option("path", path).option("table", "t").load()
+    assert df.count() == 0
+
+
+def test_missing_table_raises(spark, db):
+    _register(spark)
+    with pytest.raises(Exception, match="no such table"):
+        spark.read.format("sqlite").option("path", db).option("table", "nope").load().count()
+
+
+def test_roundtrip_with_db_sink_ddl(spark, tmp_path):
+    """The reference-schema tables written by operators/db_sink read back
+    through the source with matching row counts."""
+    from yark_spark.operators.db_sink import apply_schema
+
+    path = str(tmp_path / "ref.db")
+    with sqlite3.connect(path) as conn:
+        apply_schema(conn)
+        conn.executemany(
+            "INSERT INTO channels (channel_id, name) VALUES (?, ?)",
+            [(f"c{i}", f"chan {i}") for i in range(25)],
+        )
+        conn.commit()
+    _register(spark)
+    df = (
+        spark.read.format("sqlite")
+        .option("path", path)
+        .option("table", "channels")
+        .option("num_partitions", "3")
+        .load()
+    )
+    assert df.count() == 25
+    assert "channel_id" in df.columns and "name" in df.columns
