@@ -99,3 +99,46 @@ def test_roundtrip_with_db_sink_ddl(spark, tmp_path):
     )
     assert df.count() == 25
     assert "channel_id" in df.columns and "name" in df.columns
+
+
+def test_streaming_tail_reads_only_new_rows(spark, tmp_path):
+    """round 7: the streaming reader's offset is the last rowid — a
+    checkpointed query re-run after appends ships ONLY the new rows
+    (incremental exactly-once ingest from the reference DB format)."""
+    path = str(tmp_path / "stream.db")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    with sqlite3.connect(path) as conn:
+        conn.execute("CREATE TABLE hist (video TEXT, pos INTEGER)")
+        conn.executemany(
+            "INSERT INTO hist VALUES (?, ?)", [(f"v{i}", i) for i in range(10)]
+        )
+        conn.commit()
+    _register(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("sqlite")
+            .option("path", path)
+            .option("table", "hist")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 10
+
+    with sqlite3.connect(path) as conn:
+        conn.executemany(
+            "INSERT INTO hist VALUES (?, ?)", [(f"v{i}", i) for i in range(10, 13)]
+        )
+        conn.commit()
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 13  # 10 + 3 new, nothing re-read
+    assert got.filter("pos >= 10").count() == 3
