@@ -410,3 +410,14 @@ def test_lateral_topk_decorrelates_to_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "hashpartitioning(source" in plan, plan
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_hybrid_rrf_topk_via_take_ordered(spark, sf_dir):
+    """q_hybrid_rrf (round 7): each ranker's candidate list comes from
+    TakeOrderedAndProject (map-side k-reduction); the fusion joins are
+    bounded full-outer equi-joins — no corpus-sized global sort."""
+    df = QUERIES["q_hybrid_rrf"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan

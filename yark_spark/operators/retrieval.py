@@ -22,6 +22,46 @@ from pyspark.sql import functions as F
 from yark_spark.operators.dedup import tokens
 
 
+def rrf_fuse(
+    rankers: "list[tuple[DataFrame, str]]",
+    id_col: str = "doc_id",
+    k: int = 60,
+    top: int = 100,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of multiple rankers:
+    each ranker contributes its top-``top`` candidates ranked
+    (score desc, id asc — deterministic ties), and the fused score is
+    Σ 1/(k + rank) over the rankers that surfaced the doc.
+
+    100 TB design: the ONLY global ordering happens inside each ranker's
+    top-``top`` — TakeOrderedAndProject (map-side k-reduction), after
+    which the row_number window runs on ≤``top`` rows. Fusion is a chain
+    of full-outer USING-joins over ≤ rankers×top rows — candidate-set
+    bounded, never corpus-bounded.
+    """
+    from pyspark.sql import Window
+
+    fused = None
+    rank_cols = []
+    for i, (df, score_col) in enumerate(rankers):
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        ranked = (
+            df.orderBy(F.desc(score_col), F.asc(id_col))
+            .limit(top)
+            .withColumn(f"_r{i}", F.row_number().over(w))
+            .select(id_col, f"_r{i}")
+        )
+        rank_cols.append(f"_r{i}")
+        fused = ranked if fused is None else fused.join(ranked, id_col, "full_outer")
+    if fused is None:
+        raise ValueError("rrf_fuse: no rankers given")
+    score = None
+    for c in rank_cols:
+        term = F.coalesce(F.lit(1.0) / (F.lit(k) + F.col(c)), F.lit(0.0))
+        score = term if score is None else score + term
+    return fused.select(id_col, F.round(score, 6).alias("rrf"))
+
+
 def bm25(
     docs: DataFrame,
     terms: "list[str]",

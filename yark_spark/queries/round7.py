@@ -21,21 +21,47 @@ BM25_TERMS = ("spark", "window", "hash")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
-_BM25_ORACLE = (
-    f"WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents), "
-    "len AS (SELECT doc_id, len(t) AS dl FROM tok), "
-    "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM len), "
-    "w AS (SELECT doc_id, unnest(t) AS tok FROM tok), "
+def _quality_cte() -> str:
+    """DuckDB CTE text computing (doc_id, source, quality) — the SQL twin
+    of functions/text.quality_score, shared by the calibration and
+    hybrid-fusion oracles (same formula q_quality_score pins)."""
+    from yark_spark.queries.text import _STOP_IN
+
+    return (
+        "t AS (SELECT doc_id, source, text, "
+        "string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents), "
+        "feat AS (SELECT doc_id, source, "
+        f"round(len(list_filter(toks, t -> t IN ({_STOP_IN}))) / greatest(len(toks), 1), 6) AS sw, "
+        "round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')))"
+        " / greatest(length(text), 1), 6) AS pr, "
+        "round(list_aggregate(list_transform(toks, t -> length(t)), 'sum')"
+        " / greatest(len(toks), 1), 6) AS mwl FROM t), "
+        "q AS (SELECT doc_id, source, round("
+        "least(sw * 4, 1.0) * 0.5 + (1 - least(pr * 5, 1.0)) * 0.3 "
+        "+ (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality "
+        "FROM feat)"
+    )
+
+
+#: BM25 as CTE text ending in a `bm(doc_id, bm25)` relation, shared by
+#: the standalone oracle and the hybrid-fusion oracle.
+_BM25_CTE = (
+    f"tokb AS (SELECT doc_id, {_TOK} AS t FROM documents), "
+    "lenb AS (SELECT doc_id, len(t) AS dl FROM tokb), "
+    "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lenb), "
+    "w AS (SELECT doc_id, unnest(t) AS tok FROM tokb), "
     "tf AS (SELECT doc_id, tok, count(*) AS tf FROM w "
     f"WHERE tok IN ('{BM25_TERMS[0]}', '{BM25_TERMS[1]}', '{BM25_TERMS[2]}') GROUP BY 1, 2), "
-    "dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1) "
-    "SELECT tf.doc_id, "
+    "dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), "
+    "bm AS (SELECT tf.doc_id, "
     f"round(sum(ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) "
     f"* tf.tf * ({_BM25_K1} + 1.0) "
-    f"/ (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * len.dl / st.avgdl))), 6) AS bm25 "
-    "FROM tf JOIN dfr USING (tok) JOIN len USING (doc_id) CROSS JOIN st "
-    "GROUP BY tf.doc_id"
+    f"/ (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * lenb.dl / st.avgdl))), 6) AS bm25 "
+    "FROM tf JOIN dfr USING (tok) JOIN lenb USING (doc_id) CROSS JOIN st "
+    "GROUP BY tf.doc_id)"
 )
+
+_BM25_ORACLE = f"WITH {_BM25_CTE} SELECT doc_id, bm25 FROM bm"
 
 
 @query("q_bm25", oracle=_BM25_ORACLE)
@@ -48,6 +74,37 @@ def q_bm25(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25(docs, list(BM25_TERMS), k1=_BM25_K1, b=_BM25_B)
+
+
+def _hybrid_oracle() -> str:
+    return (
+        f"WITH {_quality_cte()}, {_BM25_CTE}, "
+        "bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r "
+        "FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100), "
+        "qr AS (SELECT doc_id, row_number() OVER (ORDER BY quality DESC, doc_id) AS r "
+        "FROM q ORDER BY quality DESC, doc_id LIMIT 100) "
+        "SELECT coalesce(bmr.doc_id, qr.doc_id) AS doc_id, "
+        "round(coalesce(1.0 / (60 + bmr.r), 0) + coalesce(1.0 / (60 + qr.r), 0), 6) AS rrf "
+        "FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id"
+    )
+
+
+@query("q_hybrid_rrf", oracle=_hybrid_oracle())
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    the BM25 keyword ranker fused with the quality ranker, top-100 each,
+    Σ 1/(60 + rank). The RAG-stack shape — lexical + prior fused on
+    bounded candidate lists (operators/retrieval.rrf_fuse); global
+    ordering only ever touches the top-k, via TakeOrderedAndProject."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.functions.text import quality_score
+    from yark_spark.operators.retrieval import bm25, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25(docs, list(BM25_TERMS), k1=_BM25_K1, b=_BM25_B)
+    quality = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return rrf_fuse([(bm, "bm25"), (quality, "quality")], top=100)
 
 
 _GAP_FILL_ORACLE = (
@@ -231,21 +288,8 @@ def q_salted_join(spark, sf_dir):
 
 
 def _calibration_oracle() -> str:
-    from yark_spark.queries.text import _STOP_IN
-
     return (
-        "WITH t AS (SELECT doc_id, source, text, "
-        "string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents), "
-        "feat AS (SELECT doc_id, source, "
-        f"round(len(list_filter(toks, t -> t IN ({_STOP_IN}))) / greatest(len(toks), 1), 6) AS sw, "
-        "round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')))"
-        " / greatest(length(text), 1), 6) AS pr, "
-        "round(list_aggregate(list_transform(toks, t -> length(t)), 'sum')"
-        " / greatest(len(toks), 1), 6) AS mwl FROM t), "
-        "q AS (SELECT doc_id, source, round("
-        "least(sw * 4, 1.0) * 0.5 + (1 - least(pr * 5, 1.0)) * 0.3 "
-        "+ (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality "
-        "FROM feat) "
+        f"WITH {_quality_cte()} "
         "SELECT doc_id, source, quality, "
         "round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6) "
         "AS calibrated FROM q"
