@@ -508,6 +508,41 @@ def q_data_quality(spark, sf_dir):
     )
 
 
+_UDTF_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents WHERE doc_id < 100) "
+    "SELECT doc_id, CAST(g.i - 1 AS INTEGER) AS pos, "
+    "array_to_string(t[(g.i - 1) * 10 + 1 : g.i * 10], ' ') AS piece "
+    "FROM tok, unnest(generate_series(1, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS g(i)"
+)
+
+
+@query("q_udtf_split", oracle=_UDTF_ORACLE)
+def q_udtf_split(spark, sf_dir):
+    """True Python UDTF (Spark 3.5+ ``@udtf`` class API, not a pandas
+    variant): chunk each document into 10-token pieces with positions,
+    invoked through a correlated LATERAL over the table. Row-at-a-time
+    Python IS the slow path — this key documents the API on a bounded
+    slice; the production equivalent of this exact computation is the
+    vectorized column expression in q_line_dedup. Python ``str.split()``
+    splits on the same ASCII whitespace class as the parity tokenizer."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, piece string")
+    class SplitPieces:
+        def eval(self, text: str):
+            toks = (text or "").lower().strip().split()
+            for i in range(0, len(toks), 10):
+                yield i // 10, " ".join(toks[i : i + 10])
+
+    spark.udtf.register("__split_pieces", SplitPieces)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter("doc_id < 100").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.piece "
+        "FROM __udtf_docs d, LATERAL __split_pieces(d.text) s"
+    )
+
+
 _LATERAL_SQL = (
     "SELECT s.source, l.doc_id, l.n_chars "
     "FROM (SELECT DISTINCT source FROM {tbl}) s, "
