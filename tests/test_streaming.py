@@ -305,13 +305,24 @@ def test_dedup_within_watermark_suppresses_restamped_retries(spark, tmp_path):
     timestamp is still suppressed (keys-only state), and after the
     watermark passes first-seen + delay the key is re-admitted.
     maxFilesPerTrigger=1 forces batch-by-batch progression so the
-    watermark actually advances between files."""
+    watermark actually advances between files; mtimes are stamped
+    strictly increasing because the file source orders by modification
+    time and same-tick writes otherwise interleave batches (observed
+    flake under load: b4 before b2 → late-drops + no eviction)."""
+    import os
+    import time
+
     from yark_spark.streaming.pipelines import watermarked_dedup_within
 
     src = tmp_path / "src"
     src.mkdir()
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
+    _base_t = time.time()
+
+    def _stamp(name, offset):
+        p = str(src / name)
+        os.utime(p, (_base_t + offset, _base_t + offset))
     _write_batch(
         src,
         "b1.json",
@@ -320,13 +331,16 @@ def test_dedup_within_watermark_suppresses_restamped_retries(spark, tmp_path):
             ("v1", "2024-01-01T10:03:00Z"),  # re-stamped retry → suppressed
         ],
     )
+    _stamp("b1.json", 0)
     # Eviction uses the EVICTION watermark, which trails the data by one
     # batch (a batch's watermark is computed from the PREVIOUS batch's max
     # event time): b2 raises max event time to 11:00, b3 runs with
     # watermark 10:50 (> v1's 10:10 expiry) whose end-of-batch cleanup
     # evicts v1, and only b4 sees the state gone.
     _write_batch(src, "b2.json", [("v2", "2024-01-01T11:00:00Z")])
+    _stamp("b2.json", 10)
     _write_batch(src, "b3.json", [("v3", "2024-01-01T11:05:00Z")])
+    _stamp("b3.json", 20)
     _write_batch(
         src,
         "b4.json",
@@ -335,6 +349,7 @@ def test_dedup_within_watermark_suppresses_restamped_retries(spark, tmp_path):
             ("v1", "2024-01-01T13:04:00Z"),  # fresh retry → suppressed again
         ],
     )
+    _stamp("b4.json", 30)
     stream = read_event_stream(
         spark, str(src), HISTORY_SCHEMA, max_files_per_trigger=1
     )
