@@ -508,6 +508,36 @@ def q_data_quality(spark, sf_dir):
     )
 
 
+_QUOTA_ORACLE = (
+    "WITH r AS (SELECT doc_id, source, row_number() OVER ("
+    "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+    "FROM documents) "
+    "SELECT doc_id, source FROM r WHERE rn <= 5"
+)
+
+
+@query("q_quota_sample", oracle=_QUOTA_ORACLE)
+def q_quota_sample(spark, sf_dir):
+    """Deterministic exact-N quota sampling: exactly 5 docs per source,
+    chosen by md5-of-id order — a content-addressed shuffle that is
+    reproducible across runs/engines and unbiased w.r.t. ingestion order
+    (rate-based sampling, q_stratified_sample, cannot guarantee exact
+    quotas). Per-source window, no global sort; at extreme per-group
+    cardinality the WindowGroupLimit pushes the quota map-side."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source")
+    )
+
+
 _UDTF_ORACLE = (
     f"WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents WHERE doc_id < 100) "
     "SELECT doc_id, CAST(g.i - 1 AS INTEGER) AS pos, "

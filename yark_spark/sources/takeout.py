@@ -122,3 +122,38 @@ def read_playlist_csv(
         "added",
     )
     return playlists, playlist_videos
+
+
+def read_json_with_quarantine(
+    spark: SparkSession, path: str, schema, corrupt_col: str = "_corrupt_record"
+):
+    """Error-tolerant JSON-lines ingest: PERMISSIVE mode captures rows the
+    parser rejects into ``corrupt_col`` instead of failing the job (or
+    silently dropping, as DROPMALFORMED would). Returns (clean, quarantine)
+    DataFrames — the quarantine carries the raw line for replay after a
+    parser fix, the archive.quarantine pattern applied at the SOURCE edge.
+
+    At 100 TB malformed rows are a certainty, not an edge case; failing a
+    12-hour job on row 3 billion is not an option, and dropping rows
+    silently corrupts downstream counts. Spark requires the corrupt
+    column to be part of the declared schema; callers keep their schema
+    corrupt-free and this adds/strips it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    # Spark populates ONLY corrupt_col for malformed lines. cache() before
+    # splitting: SPARK-21610 — filtering on the corrupt column alone over
+    # the raw scan is disallowed/unreliable without materialization.
+    raw = raw.cache()
+    clean = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return clean, quarantine
