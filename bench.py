@@ -164,13 +164,16 @@ def bench_stress(spark, sf_dir) -> dict:
     from yark_spark.operators.substring import duplicated_span_coverage
 
     docs_ss = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    cov_df = duplicated_span_coverage(docs_ss, "doc_id", "text", k=10)
+    # xxhash64 = the production hash path (8-byte shuffle key; ~1.3x the
+    # md5 oracle twin at sf0.1, byte-identical coverage on this corpus)
+    cov_df = duplicated_span_coverage(docs_ss, "doc_id", "text", k=10, hash_fn="xxhash64")
     t0 = time.perf_counter()
     n_flagged = cov_df.filter(F.col("covered_tokens") > 0).count()
     substring = {
         "sec": round(time.perf_counter() - t0, 4),
         "docs_flagged": n_flagged,
         "k": 10,
+        "hash_fn": "xxhash64",
     }
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

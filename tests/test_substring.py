@@ -80,3 +80,20 @@ def test_interval_union_formula_property():
         assert formula == truth, (pos, k, formula, truth)
 
     check()
+
+
+def test_hash_fn_paths_agree(spark):
+    """The xxhash64 production path and the md5 oracle-parity path must
+    produce identical coverage (collisions aside, which the fixture can't
+    hit)."""
+    rows = [(1, SHARED + " tail one"), (2, SHARED + " tail two"),
+            (3, "totally different words here with no repeats at all ok")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(duplicated_span_coverage(df, hash_fn="md5").collect())
+    b = sorted(duplicated_span_coverage(df, hash_fn="xxhash64").collect())
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        duplicated_span_coverage(df, hash_fn="sha1")

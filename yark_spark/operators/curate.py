@@ -144,7 +144,9 @@ def curate(
     if cfg.max_dup_span_frac is not None:
         from yark_spark.operators.substring import duplicated_span_coverage
 
-        cov = duplicated_span_coverage(fuzzy, id_col, text_col, k=cfg.substring_k)
+        cov = duplicated_span_coverage(
+            fuzzy, id_col, text_col, k=cfg.substring_k, hash_fn="xxhash64"
+        )
         fuzzy = fuzzy.join(
             cov.filter(F.col("dup_frac") <= cfg.max_dup_span_frac).select(id_col),
             id_col,

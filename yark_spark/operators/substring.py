@@ -22,6 +22,7 @@ def duplicated_span_coverage(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document duplicated-substring coverage: ``covered_tokens`` =
     size of the union of [pos, pos+k) over every position whose k-gram
@@ -35,7 +36,15 @@ def duplicated_span_coverage(
     the interval union is a lag window PARTITIONED by document. Nothing
     is quadratic: cost is O(corpus tokens) map work + two keyed
     shuffles. k trades recall (smaller catches more) vs gram volume.
+
+    ``hash_fn``: ``"md5"`` (default) is the oracle-parity family;
+    ``"xxhash64"`` is the production path — an 8-byte BIGINT shuffle key
+    instead of a 32-char string, JVM-native, same coverage result up to
+    hash collisions (~2^-64 per gram pair; a false collision can only
+    OVER-mark coverage by one gram).
     """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be md5 or xxhash64, got {hash_fn!r}")
     base = docs.select(F.col(id_col), tokens(docs, text_col).alias("t")).select(
         id_col, "t", F.size("t").alias("n")
     )
@@ -46,7 +55,7 @@ def duplicated_span_coverage(
             F.posexplode(
                 F.expr(
                     f"transform(sequence(0, size(t) - {k}), "
-                    f"p -> md5(concat_ws(' ', slice(t, p + 1, {k}))))"
+                    f"p -> {hash_fn}(concat_ws(' ', slice(t, p + 1, {k}))))"
                 )
             ).alias("pos", "gram"),
         )
