@@ -421,3 +421,21 @@ def test_hybrid_rrf_topk_via_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "FullOuter" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q17_q20_q22_shapes(spark, sf_dir):
+    """Round 7 TPC-H additions: Q17's brand filter pushes to the part
+    scan with the part side broadcast; Q20 compiles to nested semi-joins;
+    Q22 anti-joins orders with the scalar average broadcast. None may be
+    cartesian."""
+    q17 = formatted_plan(QUERIES["q_tpch_q17_shape"](spark, sf_dir))
+    assert "Brand#13" in pushed_filters(QUERIES["q_tpch_q17_shape"](spark, sf_dir))
+    assert "CartesianProduct" not in q17, q17
+
+    q20 = formatted_plan(QUERIES["q_tpch_q20_shape"](spark, sf_dir))
+    assert q20.count("Semi") >= 2, q20
+    assert "CartesianProduct" not in q20, q20
+
+    q22 = formatted_plan(QUERIES["q_tpch_q22_shape"](spark, sf_dir))
+    assert "Anti" in q22, q22
+    assert "CartesianProduct" not in q22, q22

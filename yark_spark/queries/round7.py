@@ -508,6 +508,121 @@ def q_data_quality(spark, sf_dir):
     )
 
 
+_Q17_ORACLE = (
+    "WITH lim AS (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS cap "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "JOIN lim ON lim.pk = l_partkey "
+    "WHERE p_brand = 'Brand#13' AND l_quantity < lim.cap"
+)
+
+
+@query("q_tpch_q17_shape", oracle=_Q17_ORACLE)
+def q_tpch_q17_shape(spark, sf_dir):
+    """TPC-H Q17 shape (correlated average): revenue from small-quantity
+    orders of one brand, where 'small' is relative to each PART's own
+    average quantity — the per-part cap table joins back onto the fact
+    scan (both engines compute the identical double cap, so the strict
+    comparison is deterministic). Brand filter pushes to the part scan;
+    part + cap tables broadcast."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    lim = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("cap")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(lim, li["l_partkey"] == lim["pk"])
+        .filter(F.col("l_quantity") < F.col("cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+_Q20_ORACLE = (
+    "SELECT s_name FROM supplier WHERE s_suppkey IN ("
+    "SELECT l_suppkey FROM lineitem WHERE l_partkey IN "
+    "(SELECT p_partkey FROM part WHERE p_name LIKE 'small%') "
+    "GROUP BY l_suppkey HAVING sum(l_quantity) > 300)"
+)
+
+
+@query("q_tpch_q20_shape", oracle=_Q20_ORACLE)
+def q_tpch_q20_shape(spark, sf_dir):
+    """TPC-H Q20 shape (nested IN-subqueries): suppliers who moved > 300
+    units of 'small%'-named parts — part-filter semi-join inside an
+    aggregate-HAVING inside a supplier semi-join. The inner part set
+    broadcasts; the outer probe is a semi-join on the aggregated
+    supplier list."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    movers = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li["l_partkey"] == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    return sup.join(
+        movers, sup["s_suppkey"] == movers["l_suppkey"], "left_semi"
+    ).select("s_name")
+
+
+_Q22_ORACLE = (
+    "WITH ab AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0) "
+    "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust, "
+    "round(sum(c_acctbal), 4) AS totacctbal "
+    "FROM customer, ab "
+    "WHERE c_acctbal > ab.a AND NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F') "
+    "GROUP BY c_mktsegment"
+)
+
+
+@query("q_tpch_q22_shape", oracle=_Q22_ORACLE)
+def q_tpch_q22_shape(spark, sf_dir):
+    """TPC-H Q22 shape (scalar subquery + anti-join): rich-but-inactive
+    customers per market segment — account balance above the global
+    positive-balance average (1-row scalar, broadcast) AND no FULFILLED
+    ('F') orders (anti equi-join on custkey over the filtered order set —
+    every fixture customer has SOME order, so the plain variant would be
+    a 0-row key), then a segment rollup."""
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
 _QUOTA_ORACLE = (
     "WITH r AS (SELECT doc_id, source, row_number() OVER ("
     "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
