@@ -439,3 +439,28 @@ def test_tpch_q17_q20_q22_shapes(spark, sf_dir):
     q22 = formatted_plan(QUERIES["q_tpch_q22_shape"](spark, sf_dir))
     assert "Anti" in q22, q22
     assert "CartesianProduct" not in q22, q22
+
+
+def test_tpch_q7_q8_q10_q13_q15_shapes(spark, sf_dir):
+    """Round 7 TPC-H completions: dims broadcast in the 5/8-way joins
+    (Q7/Q8), Q10 ends in TakeOrderedAndProject, Q13's outer join stays
+    an equi-join, Q15's scalar max broadcasts; nothing cartesian."""
+    for key, checks in {
+        "q_tpch_q7_shape": ["nocartesian", "broadcast2"],
+        "q_tpch_q8_shape": ["nocartesian", "broadcast2"],
+        "q_tpch_q10_shape": ["nocartesian", "takeordered"],
+        "q_tpch_q13_shape": ["nocartesian", "outer"],
+        "q_tpch_q15_shape": ["nocartesian", "broadcast1"],
+    }.items():
+        df = QUERIES[key](spark, sf_dir)
+        plan = formatted_plan(df)
+        if "nocartesian" in checks:
+            assert "CartesianProduct" not in plan, (key, plan)
+        if "broadcast2" in checks:
+            assert count_broadcast_joins(df) >= 2, (key, plan)
+        if "broadcast1" in checks:
+            assert count_broadcast_joins(df) >= 1, (key, plan)
+        if "takeordered" in checks:
+            assert "TakeOrderedAndProject" in plan, (key, plan)
+        if "outer" in checks:
+            assert "LeftOuter" in plan, (key, plan)

@@ -623,6 +623,236 @@ def q_tpch_q22_shape(spark, sf_dir):
     )
 
 
+_Q7_ORACLE = (
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+    "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation n1 ON n1.n_nationkey = s_nationkey "
+    "JOIN nation n2 ON n2.n_nationkey = c_nationkey "
+    "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+    "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') "
+    "GROUP BY 1, 2, 3"
+)
+
+
+@query("q_tpch_q7_shape", oracle=_Q7_ORACLE)
+def q_tpch_q7_shape(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): bilateral trade volume between
+    two nations by ship year — a 5-way join where BOTH nation dims
+    broadcast and the symmetric pair predicate prunes before the
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.io import load_tables
+
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "orders", "customer", "nation")
+    n1 = F.broadcast(t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nk") == F.col("s_nationkey"))
+        .join(n2, F.col("c_nk") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+_Q8_ORACLE = (
+    "WITH base AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+    "l_extendedprice * (1 - l_discount) AS vol, n2.n_name AS supp_nation "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation n1 ON n1.n_nationkey = c_nationkey "
+    "JOIN region ON r_regionkey = n1.n_regionkey "
+    "JOIN nation n2 ON n2.n_nationkey = s_nationkey "
+    "WHERE r_name = 'ASIA' AND p_type = 'PROMO') "
+    "SELECT o_year, round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) "
+    "/ sum(vol), 6) AS mkt_share FROM base GROUP BY o_year"
+)
+
+
+@query("q_tpch_q8_shape", oracle=_Q8_ORACLE)
+def q_tpch_q8_shape(spark, sf_dir):
+    """TPC-H Q8 shape (market share): one nation's share of PROMO-part
+    volume sold into ASIA, by order year — an 8-way star join with every
+    dim broadcast and a conditional-sum ratio (numerator and denominator
+    in one aggregate pass)."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.io import load_tables
+
+    t = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "orders", "customer",
+        "nation", "region",
+    )
+    n1 = F.broadcast(t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    ))
+    n2 = F.broadcast(t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "PROMO")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("c_nk") == F.col("c_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("r_regionkey") == F.col("c_rk"))
+        .join(n2, F.col("s_nk") == F.col("s_nationkey"))
+        .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                vol.alias("vol"), "supp_nation")
+    )
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(0.0))
+            / F.sum("vol"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+_Q10_ORACLE = (
+    "SELECT c_custkey, c_name, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+    "FROM customer JOIN orders ON o_custkey = c_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE l_returnflag = 'R' GROUP BY 1, 2 "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20"
+)
+
+
+@query("q_tpch_q10_shape", oracle=_Q10_ORACLE)
+def q_tpch_q10_shape(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item revenue): top-20 customers by
+    revenue lost to returns — returnflag filter pushed to the lineitem
+    scan, aggregate then TakeOrderedAndProject on the ROUNDED revenue
+    with a custkey tie-break (identical rounded doubles on both engines
+    make the cutoff deterministic)."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.io import load_tables
+
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["lineitem"].filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q13_ORACLE = (
+    "WITH c_orders AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+    "FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey) "
+    "SELECT CAST(c_count AS BIGINT) AS c_count, CAST(count(*) AS BIGINT) AS custdist "
+    "FROM c_orders GROUP BY 1"
+)
+
+
+@query("q_tpch_q13_shape", oracle=_Q13_ORACLE)
+def q_tpch_q13_shape(spark, sf_dir):
+    """TPC-H Q13 shape (order-count distribution): per-customer order
+    counts INCLUDING zero (left outer join — count(o_orderkey) skips the
+    null), then the histogram of counts. Two partial aggs on different
+    keys; the outer join shuffles once on custkey."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.io import load_tables
+
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy(F.col("c_count").cast("long").alias("c_count")).agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_Q15_ORACLE = (
+    "WITH rev AS (SELECT l_suppkey, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1) "
+    "SELECT s_suppkey, s_name, total_revenue "
+    "FROM supplier JOIN rev ON s_suppkey = l_suppkey "
+    "WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"
+)
+
+
+@query("q_tpch_q15_shape", oracle=_Q15_ORACLE)
+def q_tpch_q15_shape(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): the supplier(s) whose 1996 revenue
+    equals the maximum — revenue CTE reused for both the rows and the
+    scalar max (broadcast), equality on the ROUNDED value so both
+    engines agree bit-for-bit. Ship-date range pushes to the scan."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.io import load_tables
+
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        t["supplier"]
+        .join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 _QUOTA_ORACLE = (
     "WITH r AS (SELECT doc_id, source, row_number() OVER ("
     "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
