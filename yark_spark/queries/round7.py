@@ -1,12 +1,17 @@
-"""Round-7 session-2 curation/analytics keys: BM25 retrieval, dense
-time-grid gap fill, per-source percentile outlier trim, key
-pseudonymization, dedup-key text normalization, and the Gopher
-top-bigram repetition fraction.
+"""Round-7 second-wave query keys (SURVEY.md §2.8 E31+ and the TPC-H
+completions): retrieval (BM25, hybrid RRF), time series (gap fill,
+outlier trim), privacy (pseudonymization), text curation (normalization,
+top-bigram repetition, exact-substring coverage, incremental dedup,
+quota sampling), ops tooling (snapshot diff, data-quality gate, column
+profiling), join/SQL surface (full-outer, null-safe, lateral, Python
+UDTF, salted-join contract, score calibration, audio decode), and the
+TPC-H shapes Q2/Q7/Q8/Q10/Q13/Q15/Q17/Q20/Q21/Q22.
 
 Every key here is oracle-checked (hash-match). The reference has no
-retrieval/time-series surface at all (its only query shapes are PK
-lookups and predicate scans — /root/reference/cmds/archive.py:126,356);
-these extend the training-data-pipeline layer (SURVEY.md §2.8).
+retrieval/time-series/quality surface at all (its only query shapes are
+PK lookups and predicate scans —
+/root/reference/cmds/archive.py:126,356); these extend the
+training-data-pipeline layer (SURVEY.md §2.8).
 """
 
 from __future__ import annotations
