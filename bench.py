@@ -200,7 +200,20 @@ def bench_stress(spark, sf_dir) -> dict:
     emb = load_table(spark, sf_dir, "embeddings")
     t0 = time.perf_counter()
     n_rows = cosine_topk(emb, query_max_id=200, k=5).count()
-    cosine = {"sec": round(time.perf_counter() - t0, 4), "rows": n_rows, "queries": 200}
+    t_col = time.perf_counter() - t0
+    # BLAS twin (round 7): same result set via one matmul per Arrow batch;
+    # `sec` stays the column path for cross-round comparability.
+    from yark_spark.operators.similarity import cosine_topk_blas
+
+    t0 = time.perf_counter()
+    n_blas = cosine_topk_blas(emb, query_max_id=200, k=5).count()
+    cosine = {
+        "sec": round(t_col, 4),
+        "blas_sec": round(time.perf_counter() - t0, 4),
+        "rows": n_rows,
+        "queries": 200,
+    }
+    assert n_rows == n_blas, (n_rows, n_blas)
 
     # end-to-end curation (exact+fuzzy dedup -> clusters -> decontaminate
     # -> quality filters -> redact -> pack) — the composed pipeline a

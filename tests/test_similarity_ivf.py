@@ -59,3 +59,18 @@ def test_ivf_scored_side_filtered_by_cell(spark, emb):
     )
     assert "Cartesian" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_cosine_topk_blas_equals_column_path(spark, sf_dir):
+    """round 7: the BLAS matmul path must return EXACTLY the column
+    expression path's rows — same scores (rounded identically before
+    ranking), same tie-breaks — on both the default and a wider query
+    set."""
+    from yark_spark.io import load_table
+    from yark_spark.operators.similarity import cosine_topk, cosine_topk_blas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for qmax, k in ((10, 5), (50, 3)):
+        a = sorted(map(tuple, cosine_topk(emb, query_max_id=qmax, k=k).collect()))
+        b = sorted(map(tuple, cosine_topk_blas(emb, query_max_id=qmax, k=k).collect()))
+        assert a == b, (qmax, k)
