@@ -50,3 +50,39 @@ def test_empty_index_flags_nothing(spark):
         index_ids=[99],
     )
     assert got == {2: False, 3: False}
+
+
+def test_persisted_index_screen_matches_one_shot(spark, tmp_path):
+    """round 7: build_band_index → parquet → read back → screen must equal
+    the one-shot incremental_minhash_flags on the same split."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.incremental import (
+        build_band_index,
+        screen_against_index,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # copy of 1
+        (3, "one two three four five six seven"),
+        (4, "totally new words nobody wrote before"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    old = df.filter(F.col("doc_id") == 1)
+    new = df.filter(F.col("doc_id") != 1)
+
+    idx_path = str(tmp_path / "band_index")
+    build_band_index(old).write.mode("overwrite").parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    via_index = {
+        r["doc_id"]: r["is_dup"]
+        for r in screen_against_index(new, idx).collect()
+    }
+    one_shot = {
+        r["doc_id"]: r["is_dup"]
+        for r in incremental_minhash_flags(df, F.col("doc_id") == 1).collect()
+    }
+    assert via_index == one_shot
+    assert via_index[2] is True and via_index[4] is False

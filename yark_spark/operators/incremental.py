@@ -109,3 +109,75 @@ def incremental_minhash_flags(
         .join(hits, id_col, "left")
         .select(id_col, F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"))
     )
+
+
+def build_band_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Materializable form of the historical side: the distinct (band,
+    value) bucket table for a corpus. Write it once (parquet, ideally
+    partitioned/bucketed by ``b``), append each admitted batch's buckets,
+    and daily screening never recomputes history — the steady-state cost
+    is the NEW batch only."""
+    per_band = num_hashes // bands
+    toks = F.array_distinct(tokens(docs, text_col))
+    sig = docs.select(
+        *[F.array_min(F.transform(toks, _md5_i(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("b"),
+            F.concat(*[F.col(f"h{j * per_band + i}") for i in range(per_band)]).alias("v"),
+        )
+        for j in range(bands)
+    ]
+    return (
+        sig.select(F.explode(F.array(*band_structs)).alias("bv"))
+        .select(F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
+        .distinct()
+    )
+
+
+def screen_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Flag new documents sharing ≥1 LSH band bucket with a PERSISTED
+    index (``build_band_index`` output, typically read back from
+    parquet). Semantics identical to ``incremental_minhash_flags`` with
+    the same hash family/banding; returns (id_col, is_dup)."""
+    per_band = num_hashes // bands
+    toks = F.array_distinct(tokens(new_docs, text_col))
+    sig = new_docs.select(
+        F.col(id_col),
+        *[F.array_min(F.transform(toks, _md5_i(i))).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("b"),
+            F.concat(*[F.col(f"h{j * per_band + i}") for i in range(per_band)]).alias("v"),
+        )
+        for j in range(bands)
+    ]
+    band_df = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bv")).select(
+        id_col, F.col("bv.b").alias("b"), F.col("bv.v").alias("v")
+    )
+    hits = (
+        band_df.join(index.select("b", "v"), ["b", "v"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        sig.select(id_col)
+        .join(hits, id_col, "left")
+        .select(id_col, F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"))
+    )

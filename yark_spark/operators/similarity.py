@@ -335,7 +335,10 @@ def cosine_topk_blas(
     Use this when |queries| x dim fits comfortably in a task closure
     (~100k queries x 128 dims = 100 MB — beyond that, switch to the IVF
     path); the column-expression ``cosine_topk`` remains the
-    zero-driver-state baseline the oracle checks.
+    zero-driver-state baseline the oracle checks. Crossover: below a few
+    thousand candidates the Python-worker launch dominates and the
+    column path wins (sf0.01: 2.1 s vs 1.6 s); the matmul wins from
+    ~10k candidates up (sf0.1: 0.96 s vs 4.25 s).
     """
     import numpy as np
 
