@@ -91,3 +91,19 @@ def test_substring_filter_stage_drops_heavy_duplication(spark):
     # docs 1 and 2 share a 30-token run >> 50% of their 34 tokens -> dropped
     assert kept.isdisjoint({1, 2})
     assert {100, 101, 102, 103, 104, 105}.issubset(kept)
+
+
+def test_length_band_stage_trims_extremes(spark):
+    """Optional stage 3.6 (round 7): with length_band set, corpus-level
+    length outliers drop between fuzzy dedup and the quality filters."""
+    mid = [(i, " ".join(f"w{i}x{j}" for j in range(20)), "en") for i in range(20)]
+    rows = [(100, "tiny", "en"),
+            (101, " ".join(f"huge{j}" for j in range(400)), "en")] + mid
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    cfg = CurationConfig(length_band=(0.1, 0.9), fuzzy_threshold=0.99)
+    out, report = curate(docs, benchmark=None, config=cfg)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    report.unpersist()
+    assert "after_length_trim" in report.counts
+    assert 100 not in kept and 101 not in kept
+    assert len(kept & {i for i, _, _ in mid}) >= 15

@@ -48,6 +48,7 @@ class CurationConfig:
     decontaminate_mode: str = "auto"         # broadcast | join | auto (by gram count)
     max_dup_span_frac: float | None = None   # None = substring filter off
     substring_k: int = 10                    # gram width for the span filter
+    length_band: "tuple[float, float] | None" = None  # e.g. (0.05, 0.95); None = off
     pack_budget: int = 512
 
 
@@ -153,6 +154,21 @@ def curate(
             "left_semi",
         )
         report.counts["after_substring_filter"] = fuzzy.count()
+
+    # 3.6 optional per-corpus length-outlier trim (operators/timeseries
+    # .percentile_trim): drop docs outside the exact interpolated token-
+    # length band. Off by default for cross-round output stability.
+    if cfg.length_band is not None:
+        from yark_spark.operators.dedup import tokens as _tokens
+        from yark_spark.operators.timeseries import percentile_trim
+
+        lo, hi = cfg.length_band
+        lengths = fuzzy.withColumn("__ntok_band", F.size(_tokens(fuzzy, text_col)))
+        lengths = lengths.withColumn("__grp", F.lit(1))
+        fuzzy = percentile_trim(lengths, "__grp", "__ntok_band", lo, hi).drop(
+            "__ntok_band", "__grp"
+        )
+        report.counts["after_length_trim"] = fuzzy.count()
 
     # 4. quality / repetition / language filters (all map-only, one scan)
     scored = fuzzy.withColumn("quality", quality_score(F.col(text_col))).withColumn(
