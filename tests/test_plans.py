@@ -2,6 +2,7 @@
 must hold, not just the results. These are the '100 TB posture' assertions —
 a correct query with the wrong plan fails here."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from yark_spark.plans.explain import (
@@ -464,3 +465,23 @@ def test_tpch_q7_q8_q10_q13_q15_shapes(spark, sf_dir):
             assert "TakeOrderedAndProject" in plan, (key, plan)
         if "outer" in checks:
             assert "LeftOuter" in plan, (key, plan)
+
+
+@pytest.mark.slow
+def test_registry_plan_lint_no_cartesian(spark, sf_dir):
+    """Whole-surface invariant (round 7): NO registered key may compile to
+    a CartesianProduct except the explicitly tiny-dim-guarded
+    q_cross_join. (BroadcastNestedLoop is permitted — 1-row scalar
+    crossJoins legitimately use it; true cartesians are the scale
+    killer.) Lints the physical plan of every key without executing."""
+    allowed = {"q_cross_join"}
+    bad = []
+    for key, fn in sorted(QUERIES.items()):
+        try:
+            plan = formatted_plan(fn(spark, sf_dir))
+        except Exception as ex:  # noqa: BLE001 — lint must report, not abort
+            bad.append((key, f"plan build failed: {ex}"))
+            continue
+        if "CartesianProduct" in plan and key not in allowed:
+            bad.append((key, "CartesianProduct"))
+    assert not bad, bad
