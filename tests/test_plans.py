@@ -484,4 +484,12 @@ def test_registry_plan_lint_no_cartesian(spark, sf_dir):
             continue
         if "CartesianProduct" in plan and key not in allowed:
             bad.append((key, "CartesianProduct"))
+        # row-at-a-time scalar Python UDFs are banned everywhere; the
+        # UDTF node ("BatchEvalPythonUDTF") is the documented exception
+        # (q_udtf_split) and Arrow nodes (ArrowEvalPython, MapInPandas)
+        # are the sanctioned Python boundary.
+        import re
+
+        if re.search(r"BatchEvalPython(?!UDTF)", plan):
+            bad.append((key, "row-at-a-time Python UDF"))
     assert not bad, bad
