@@ -59,3 +59,22 @@ def test_profile_table_single_pass_values(spark):
     assert got["s"]["n_nulls"] == 1
     assert got["s"]["n_distinct"] == 2
     assert got["s"]["min_value"] == "a" and got["s"]["max_value"] == "b"
+
+
+def test_profile_table_empty_frame(spark):
+    """Empty input → one row per column with zero counts and NULL
+    min/max (not an error) — the shape a catalog expects for an empty
+    snapshot."""
+    df = spark.createDataFrame([], "id long, s string")
+    got = {r["column_name"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"id", "s"}
+    for c in got.values():
+        assert c["n_rows"] == 0 and c["n_nulls"] == 0 and c["n_distinct"] == 0
+        assert c["min_value"] is None and c["max_value"] is None
+
+
+def test_quality_report_requires_checks(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="no checks"):
+        quality_report({})
