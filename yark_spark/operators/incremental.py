@@ -27,6 +27,29 @@ def _md5_i(i: int):
     return lambda t: F.md5(F.concat(F.lit(seed), t))
 
 
+
+def _band_table(docs, id_cols, text_col, num_hashes, bands):
+    """(id_cols..., b, v) band rows for every doc — the shared core of the
+    one-shot, index-build, and screening entry points (one definition so
+    the hash family/banding can never drift between them)."""
+    per_band = num_hashes // bands
+    toks = F.array_distinct(tokens(docs, text_col))
+    sig = docs.select(
+        *id_cols,
+        *[F.array_min(F.transform(toks, _md5_i(i))).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("b"),
+            F.concat(*[F.col(f"h{j * per_band + i}") for i in range(per_band)]).alias("v"),
+        )
+        for j in range(bands)
+    ]
+    return sig.select(*id_cols, F.explode(F.array(*band_structs)).alias("bv")).select(
+        *id_cols, F.col("bv.b").alias("b"), F.col("bv.v").alias("v")
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
@@ -77,34 +100,20 @@ def incremental_minhash_flags(
     ``is_index`` is a boolean Column partitioning ``docs`` into the
     historical index (True) and the new batch (False).
     """
-    per_band = num_hashes // bands
-    toks = F.array_distinct(tokens(docs, text_col))
-    sig = docs.select(
-        F.col(id_col),
-        is_index.alias("is_idx"),
-        *[F.array_min(F.transform(toks, _md5_i(i))).alias(f"h{i}") for i in range(num_hashes)],
+    tagged = docs.withColumn("__is_idx", is_index)
+    band_df = _band_table(
+        tagged, [F.col(id_col), F.col("__is_idx")], text_col, num_hashes, bands
     )
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("b"),
-            F.concat(*[F.col(f"h{j * per_band + i}") for i in range(per_band)]).alias("v"),
-        )
-        for j in range(bands)
-    ]
-    band_df = sig.select(
-        id_col, "is_idx", F.explode(F.array(*band_structs)).alias("bv")
-    ).select(id_col, "is_idx", F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
-
-    index_buckets = band_df.filter(F.col("is_idx")).select("b", "v").distinct()
+    index_buckets = band_df.filter(F.col("__is_idx")).select("b", "v").distinct()
     hits = (
-        band_df.filter(~F.col("is_idx"))
+        band_df.filter(~F.col("__is_idx"))
         .join(index_buckets, ["b", "v"], "left_semi")
         .select(id_col)
         .distinct()
         .withColumn("is_dup", F.lit(True))
     )
     return (
-        sig.filter(~F.col("is_idx"))
+        tagged.filter(~F.col("__is_idx"))
         .select(id_col)
         .join(hits, id_col, "left")
         .select(id_col, F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"))
@@ -123,23 +132,7 @@ def build_band_index(
     partitioned/bucketed by ``b``), append each admitted batch's buckets,
     and daily screening never recomputes history — the steady-state cost
     is the NEW batch only."""
-    per_band = num_hashes // bands
-    toks = F.array_distinct(tokens(docs, text_col))
-    sig = docs.select(
-        *[F.array_min(F.transform(toks, _md5_i(i))).alias(f"h{i}") for i in range(num_hashes)]
-    )
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("b"),
-            F.concat(*[F.col(f"h{j * per_band + i}") for i in range(per_band)]).alias("v"),
-        )
-        for j in range(bands)
-    ]
-    return (
-        sig.select(F.explode(F.array(*band_structs)).alias("bv"))
-        .select(F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
-        .distinct()
-    )
+    return _band_table(docs, [], text_col, num_hashes, bands).distinct()
 
 
 def screen_against_index(
@@ -154,22 +147,7 @@ def screen_against_index(
     index (``build_band_index`` output, typically read back from
     parquet). Semantics identical to ``incremental_minhash_flags`` with
     the same hash family/banding; returns (id_col, is_dup)."""
-    per_band = num_hashes // bands
-    toks = F.array_distinct(tokens(new_docs, text_col))
-    sig = new_docs.select(
-        F.col(id_col),
-        *[F.array_min(F.transform(toks, _md5_i(i))).alias(f"h{i}") for i in range(num_hashes)],
-    )
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("b"),
-            F.concat(*[F.col(f"h{j * per_band + i}") for i in range(per_band)]).alias("v"),
-        )
-        for j in range(bands)
-    ]
-    band_df = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bv")).select(
-        id_col, F.col("bv.b").alias("b"), F.col("bv.v").alias("v")
-    )
+    band_df = _band_table(new_docs, [F.col(id_col)], text_col, num_hashes, bands)
     hits = (
         band_df.join(index.select("b", "v"), ["b", "v"], "left_semi")
         .select(id_col)
@@ -177,7 +155,7 @@ def screen_against_index(
         .withColumn("is_dup", F.lit(True))
     )
     return (
-        sig.select(id_col)
+        new_docs.select(id_col)
         .join(hits, id_col, "left")
         .select(id_col, F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"))
     )
