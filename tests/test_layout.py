@@ -184,3 +184,20 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(got.columns) == {"id", "v", "lang"}
     rows = {r["id"]: r["lang"] for r in got.collect()}
     assert rows == {1: None, 2: "en"}
+
+
+def test_overwrite_partitions_multi_column(spark, tmp_path):
+    """Dynamic overwrite with a two-level partition spec replaces only the
+    exact (day, source) combinations present in the batch."""
+    from yark_spark.operators.layout import overwrite_partitions
+
+    dest = str(tmp_path / "t2")
+    base = spark.createDataFrame(
+        [("d1", "web", 1), ("d1", "app", 2), ("d2", "web", 3)],
+        ["day", "src", "v"],
+    )
+    overwrite_partitions(base, dest, ["day", "src"])
+    fixed = spark.createDataFrame([("d1", "web", 9)], ["day", "src", "v"])
+    overwrite_partitions(fixed, dest, ["day", "src"])
+    got = {(r["day"], r["src"], r["v"]) for r in spark.read.parquet(dest).collect()}
+    assert got == {("d1", "web", 9), ("d1", "app", 2), ("d2", "web", 3)}

@@ -142,3 +142,23 @@ def test_streaming_tail_reads_only_new_rows(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 13  # 10 + 3 new, nothing re-read
     assert got.filter("pos >= 10").count() == 3
+
+
+def test_partition_clamp_when_fewer_rows_than_partitions(spark, tmp_path):
+    """num_partitions > row count clamps to the rowid span instead of
+    emitting empty or out-of-range partitions."""
+    path = str(tmp_path / "tiny.db")
+    with sqlite3.connect(path) as conn:
+        conn.execute("CREATE TABLE t (a INTEGER)")
+        conn.executemany("INSERT INTO t VALUES (?)", [(i,) for i in range(3)])
+        conn.commit()
+    _register(spark)
+    df = (
+        spark.read.format("sqlite")
+        .option("path", path)
+        .option("table", "t")
+        .option("num_partitions", "16")
+        .load()
+    )
+    assert sorted(r["a"] for r in df.collect()) == [0, 1, 2]
+    assert df.rdd.getNumPartitions() <= 3
