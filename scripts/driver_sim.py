@@ -45,16 +45,23 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    pool = list(qs) if check_all else list(qs)[:50]
+    # explicitly named keys resolve against the FULL registry;
+    # the bare invocation simulates the driver window (first 50)
+    pool = list(qs) if (check_all or only) else list(qs)[:50]
     window = [k for k in pool if not only or k in only]
     bad, rows_only = [], []
+    timings: dict = {}
     for key in window:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         try:
             a = qs[key](spark, sf_dir).toPandas()
         except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
             print(f"{key}: SPARK ERROR {str(ex)[:200]}")
             bad.append(key)
             continue
+        timings[key] = round(_time.perf_counter() - _t0, 2)
         if key not in osql:
             rows_only.append(key)
             print(f"{key}: rows-only ({len(a)} rows)")
@@ -101,6 +108,9 @@ def main() -> int:
         f"\nchecked {len(window)}: {len(window) - len(bad) - len(rows_only)} matched, "
         f"{len(rows_only)} rows-only, {len(bad)} failed"
     )
+    if timings:
+        slowest = sorted(timings.items(), key=lambda t: -t[1])[:5]
+        print("slowest (spark side, s):", ", ".join(f"{k}={v}" for k, v in slowest))
     if bad:
         print("FAILED:", bad)
     return 1 if bad else 0
