@@ -178,3 +178,24 @@ def test_wav_codec_roundtrip_and_chunk_walk():
 
     with pytest.raises(ValueError):
         decode(b"\x00" * 20)
+
+
+def test_wav_codec_roundtrip_property():
+    """round 7: encode→decode is the identity on arbitrary int16 sample
+    vectors and sample rates (hypothesis fuzz, no Spark needed)."""
+    from hypothesis import given, strategies as st
+
+    from yark_spark.operators.multimodal import _make_wav_codec
+
+    encode, decode = _make_wav_codec()
+
+    @given(
+        st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=300),
+        st.sampled_from([8000, 16000, 22050, 44100]),
+    )
+    def check(samples, rate):
+        r, ch, got = decode(encode(samples, rate=rate))
+        assert (r, ch) == (rate, 1)
+        assert got.tolist() == samples
+
+    check()
