@@ -32,3 +32,20 @@ def test_rrf_fuse_rejects_empty(spark):
 
     with pytest.raises(ValueError, match="no rankers"):
         rrf_fuse([])
+
+
+def test_bm25_score_is_additive_over_terms(spark):
+    """BM25 is a sum of independent per-term contributions: the 2-term
+    score equals the per-term scores summed per doc (within the 6dp
+    rounding both paths apply)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "x x y z"), (2, "y z z"), (3, "a b c")], ["doc_id", "text"]
+    )
+    both = {r["doc_id"]: r["bm25"] for r in bm25(docs, ["x", "y"]).collect()}
+    only_x = {r["doc_id"]: r["bm25"] for r in bm25(docs, ["x"]).collect()}
+    only_y = {r["doc_id"]: r["bm25"] for r in bm25(docs, ["y"]).collect()}
+    for doc in both:
+        expect = only_x.get(doc, 0.0) + only_y.get(doc, 0.0)
+        assert abs(both[doc] - expect) < 2e-6, (doc, both[doc], expect)
