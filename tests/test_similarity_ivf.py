@@ -74,3 +74,19 @@ def test_cosine_topk_blas_equals_column_path(spark, sf_dir):
         a = sorted(map(tuple, cosine_topk(emb, query_max_id=qmax, k=k).collect()))
         b = sorted(map(tuple, cosine_topk_blas(emb, query_max_id=qmax, k=k).collect()))
         assert a == b, (qmax, k)
+
+
+def test_embedding_near_dups_blas_equals_join_path(spark, sf_dir):
+    """round 7: the BLAS pairwise path must emit exactly the join path's
+    (id_a, id_b, cosine_sim) set at two thresholds."""
+    from yark_spark.io import load_table
+    from yark_spark.operators.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_blas,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for thr in (0.9, 0.5):
+        a = sorted(map(tuple, embedding_near_dups(emb, threshold=thr, max_id=150).collect()))
+        b = sorted(map(tuple, embedding_near_dups_blas(emb, threshold=thr, max_id=150).collect()))
+        assert a == b, thr

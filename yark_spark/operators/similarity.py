@@ -389,3 +389,52 @@ def cosine_topk_blas(
         _score, "query_id long, neighbor_id long, cosine_sim double"
     )
     return topk_per_query(partial, k)
+
+
+def embedding_near_dups_blas(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_id: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """BLAS twin of ``embedding_near_dups``: the bounded comparison set is
+    a normalized closure-shipped matrix; each Arrow batch of the same set
+    scores against it in one matmul and emits only (id_a < id_b) pairs at
+    or above the threshold. Same pairwise semantics, ~the cosine_topk_blas
+    speedup profile; bounded by the same closure-size ceiling. For
+    unbounded corpora use the LSH bucket path (``lsh_near_dups``)."""
+    import numpy as np
+
+    base = embeddings if max_id is None else embeddings.filter(F.col(id_col) < max_id)
+    rows = base.select(id_col, vec_col).collect()
+    if not rows:
+        return base.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double"
+        )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    def _score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            bids = pdf[id_col].to_numpy()
+            B = _np.array(list(pdf[vec_col]), dtype=_np.float64)
+            if B.size == 0:
+                continue
+            Bn = B / _np.linalg.norm(B, axis=1, keepdims=True)
+            S = _np.round(Bn @ Mn.T, round_digits)
+            ai, bj = _np.nonzero(S >= threshold)
+            id_a, id_b, sim = bids[ai], ids[bj], S[ai, bj]
+            keep = id_a < id_b
+            yield _pd.DataFrame(
+                {"id_a": id_a[keep], "id_b": id_b[keep], "cosine_sim": sim[keep]}
+            )
+
+    return base.select(id_col, vec_col).mapInPandas(
+        _score, "id_a long, id_b long, cosine_sim double"
+    )
