@@ -19,9 +19,13 @@ def test_json_quarantine_splits_clean_and_corrupt(spark, tmp_path):
     schema = StructType(
         [StructField("video", StringType()), StructField("pos", LongType())]
     )
-    clean, quarantine = read_json_with_quarantine(spark, str(p), schema)
+    clean, quarantine, raw = read_json_with_quarantine(spark, str(p), schema)
+    # 100 TB posture: persisted DISK_ONLY (no executor-memory pinning),
+    # handle returned for caller-managed release
+    assert raw.storageLevel.useDisk and not raw.storageLevel.useMemory
     assert {(r["video"], r["pos"]) for r in clean.collect()} == {("v1", 1), ("v2", 2)}
     bad = [r["raw_line"] for r in quarantine.collect()]
     assert len(bad) == 2
     assert any("not json at all" in b for b in bad)
     assert any("not_a_number" in b for b in bad)  # raw line preserved for replay
+    raw.unpersist()

@@ -162,3 +162,26 @@ def test_partition_clamp_when_fewer_rows_than_partitions(spark, tmp_path):
     )
     assert sorted(r["a"] for r in df.collect()) == [0, 1, 2]
     assert df.rdd.getNumPartitions() <= 3
+
+
+def test_quoted_identifiers_in_untrusted_table_and_column_names(spark, tmp_path):
+    """Archive DBs are untrusted input: a table/column name containing a
+    double quote must stay inside the identifier context (escaped as "")
+    at every query site — schema probe, partition probe, and range scan."""
+    path = str(tmp_path / "evil.db")
+    with sqlite3.connect(path) as conn:
+        conn.execute('CREATE TABLE "t""x" ("a""b" INTEGER, c TEXT)')
+        conn.executemany(
+            'INSERT INTO "t""x" VALUES (?, ?)', [(i, f"r{i}") for i in range(5)]
+        )
+        conn.commit()
+    _register(spark)
+    df = (
+        spark.read.format("sqlite")
+        .option("path", path)
+        .option("table", 't"x')
+        .option("num_partitions", "2")
+        .load()
+    )
+    assert df.columns == ['a"b', "c"]
+    assert sorted(r['a"b'] for r in df.collect()) == [0, 1, 2, 3, 4]

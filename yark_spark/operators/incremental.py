@@ -99,8 +99,16 @@ def incremental_minhash_flags(
 
     ``is_index`` is a boolean Column partitioning ``docs`` into the
     historical index (True) and the new batch (False).
+
+    NULL-text docs are dropped on BOTH sides before signature
+    construction: a null signature can never band-match, and the DuckDB
+    oracle (unnest of a NULL token list) emits no row for them — keeping
+    them here would produce a spurious (id, is_dup=false) row the oracle
+    lacks.
     """
-    tagged = docs.withColumn("__is_idx", is_index)
+    tagged = docs.filter(F.col(text_col).isNotNull()).withColumn(
+        "__is_idx", is_index
+    )
     band_df = _band_table(
         tagged, [F.col(id_col), F.col("__is_idx")], text_col, num_hashes, bands
     )

@@ -180,7 +180,14 @@ def decode_image_features(
                     "width": np.array(ws, dtype="int32"),
                     "height": np.array(hs, dtype="int32"),
                     "channels": np.array(cs, dtype="int32"),
-                    "mean_pixel": np.round(np.array(ms, dtype="float64"), 6),
+                    # decimal HALF_UP matching DuckDB/Spark round() —
+                    # np.round is half-to-even and diverges on dyadic
+                    # midpoints (e.g. a mean of k/2**7 at 6 dp); pixel
+                    # means are non-negative so no sign handling needed
+                    "mean_pixel": np.floor(
+                        np.array(ms, dtype="float64") * 1e6 + 0.5
+                    )
+                    / 1e6,
                 }
             )
 

@@ -18,6 +18,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _np_round_half_up(a, digits: int):
+    """Decimal HALF_UP (round half away from zero) over a numpy array,
+    matching Spark's ``F.round`` semantics. numpy's ``np.round`` is
+    banker's (half-to-even), which diverges on representable decimal
+    midpoints — e.g. a cosine landing exactly on k/2**7 = 0.0078125 at
+    6 dp rounds to 0.007812 under numpy but 0.007813 under Spark — and
+    would break the byte-identical BLAS-twin guarantee."""
+    import numpy as np
+
+    scale = 10.0**digits
+    return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -368,7 +381,7 @@ def cosine_topk_blas(
             if C.size == 0:
                 continue
             Cn = C / _np.linalg.norm(C, axis=1, keepdims=True)
-            S = _np.round(Cn @ Qn.T, round_digits)
+            S = _np_round_half_up(Cn @ Qn.T, round_digits)
             frames = []
             for j in range(len(qids)):
                 mask = ids != qids[j]
@@ -427,7 +440,7 @@ def embedding_near_dups_blas(
             if B.size == 0:
                 continue
             Bn = B / _np.linalg.norm(B, axis=1, keepdims=True)
-            S = _np.round(Bn @ Mn.T, round_digits)
+            S = _np_round_half_up(Bn @ Mn.T, round_digits)
             ai, bj = _np.nonzero(S >= threshold)
             id_a, id_b, sim = bids[ai], ids[bj], S[ai, bj]
             keep = id_a < id_b

@@ -903,14 +903,22 @@ def q_udtf_split(spark, sf_dir):
     invoked through a correlated LATERAL over the table. Row-at-a-time
     Python IS the slow path — this key documents the API on a bounded
     slice; the production equivalent of this exact computation is the
-    vectorized column expression in q_line_dedup. Python ``str.split()``
-    splits on the same ASCII whitespace class as the parity tokenizer."""
+    vectorized column expression in q_line_dedup. Tokenization mirrors
+    the oracle exactly: space-only strip (DuckDB ``trim`` default) then
+    a split on the explicit ASCII whitespace class KEEPING boundary
+    empties — Python ``str.strip()/split()`` would strip/split on
+    Unicode whitespace and drop empty tokens, silently diverging on
+    docs with leading tabs/newlines or whitespace-only text."""
+    import re
+
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos int, piece string")
     class SplitPieces:
         def eval(self, text: str):
-            toks = (text or "").lower().strip().split()
+            if text is None:
+                return  # oracle: generate_series(1, NULL) emits no rows
+            toks = re.split(r"[ \t\n\x0b\f\r]+", text.lower().strip(" "))
             for i in range(0, len(toks), 10):
                 yield i // 10, " ".join(toks[i : i + 10])
 

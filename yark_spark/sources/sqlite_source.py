@@ -56,6 +56,14 @@ _AFFINITY = (
 )
 
 
+def _qident(name: str) -> str:
+    """Quote a SQLite identifier, escaping embedded double quotes
+    (``"`` → ``""``). Archive DBs are untrusted input — a table or
+    column name containing a quote must not break out of the
+    identifier context in any of the query sites below."""
+    return '"' + name.replace('"', '""') + '"'
+
+
 def _spark_type(declared: str):
     up = (declared or "").upper()
     for marker, t in _AFFINITY:
@@ -84,7 +92,7 @@ class SQLiteDataSource(DataSource):
         path = self.options["path"]
         table = self.options["table"]
         with sqlite3.connect(path) as conn:
-            cols = conn.execute(f'PRAGMA table_info("{table}")').fetchall()
+            cols = conn.execute(f'PRAGMA table_info({_qident(table)})').fetchall()
         if not cols:
             raise ValueError(f"sqlite source: no such table {table!r} in {path}")
         return StructType(
@@ -113,7 +121,7 @@ class SQLiteReader(DataSourceReader):
         # is a sequential B-tree walk, not a scatter.)
         with sqlite3.connect(self.path) as conn:
             row = conn.execute(
-                f'SELECT min(rowid), max(rowid) FROM "{self.table}"'
+                f'SELECT min(rowid), max(rowid) FROM {_qident(self.table)}'
             ).fetchone()
         lo, hi = row if row and row[0] is not None else (0, -1)
         if hi < lo:
@@ -130,10 +138,10 @@ class SQLiteReader(DataSourceReader):
 
         if partition.hi < partition.lo:
             return
-        cols = ", ".join(f'"{c}"' for c in self.columns)
+        cols = ", ".join(_qident(c) for c in self.columns)
         with sqlite3.connect(self.path) as conn:
             cur = conn.execute(
-                f'SELECT {cols} FROM "{self.table}" WHERE rowid BETWEEN ? AND ?',
+                f'SELECT {cols} FROM {_qident(self.table)} WHERE rowid BETWEEN ? AND ?',
                 (partition.lo, partition.hi),
             )
             yield from cur
@@ -164,7 +172,7 @@ class SQLiteStreamReader(SimpleDataSourceStreamReader):
 
         with sqlite3.connect(self.path) as conn:
             row = conn.execute(
-                f'SELECT max(rowid) FROM "{self.table}"'
+                f'SELECT max(rowid) FROM {_qident(self.table)}'
             ).fetchone()
         hi = row[0] if row and row[0] is not None else 0
         lo = int(start["rowid"])
@@ -181,10 +189,10 @@ class SQLiteStreamReader(SimpleDataSourceStreamReader):
         # micro-batch is bounded by the appends since the last trigger
         import sqlite3
 
-        cols = ", ".join(f'"{c}"' for c in self.columns)
+        cols = ", ".join(_qident(c) for c in self.columns)
         with sqlite3.connect(self.path) as conn:
             return conn.execute(
-                f'SELECT {cols} FROM "{self.table}" '
+                f'SELECT {cols} FROM {_qident(self.table)} '
                 "WHERE rowid > ? AND rowid <= ?",
                 (lo, hi),
             ).fetchall()

@@ -137,7 +137,18 @@ def read_json_with_quarantine(
     12-hour job on row 3 billion is not an option, and dropping rows
     silently corrupts downstream counts. Spark requires the corrupt
     column to be part of the declared schema; callers keep their schema
-    corrupt-free and this adds/strips it."""
+    corrupt-free and this adds/strips it.
+
+    Memory contract: the raw scan must be persisted before the split
+    (SPARK-21610 — filtering on the corrupt column alone over the raw
+    scan is disallowed/unreliable without materialization), but pinning
+    the full input in executor MEMORY for the session is not a 100 TB
+    posture. So the persist is DISK_ONLY (sequential parquet-speed
+    re-read, no memory pressure, no LRU eviction churn), and the handle
+    is returned so the CALLER unpersists once both splits are
+    materialized: ``clean, quarantine, raw = ...; <write both>;
+    raw.unpersist()``."""
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -148,12 +159,9 @@ def read_json_with_quarantine(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
-    # Spark populates ONLY corrupt_col for malformed lines. cache() before
-    # splitting: SPARK-21610 — filtering on the corrupt column alone over
-    # the raw scan is disallowed/unreliable without materialization.
-    raw = raw.cache()
+    raw = raw.persist(StorageLevel.DISK_ONLY)
     clean = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     quarantine = raw.filter(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw_line")
     )
-    return clean, quarantine
+    return clean, quarantine, raw
