@@ -41,6 +41,37 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def enable_worker_protobuf_shim() -> bool:
+    """Route Spark Python workers through ``scripts/pyshim/python-shim``
+    when no usable protobuf install exists (transformWithStateInPandas
+    needs ``google.protobuf`` inside every worker; see the shim's
+    docstring for the container-specific details). Must run BEFORE the
+    SparkContext is created — worker interpreters are pinned at context
+    start. Probes ``google.protobuf.descriptor`` (not the bare package:
+    jar-embedded .proto resources make that a vacuous namespace hit).
+    Returns True when the shim is active or protobuf is natively
+    available. No-op outside this container."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    shim = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "pyshim",
+        "python-shim",
+    )
+    if not os.access(shim, os.X_OK):
+        return False
+    # override (not setdefault): the container presets PYSPARK_PYTHON=python,
+    # and the wrapper execs exactly that interpreter after extending
+    # PYTHONPATH, so behavior is otherwise identical
+    os.environ["PYSPARK_PYTHON"] = shim
+    return True
+
+
 def get_spark(app_name: str = "yark_spark", cpus: int | None = None) -> SparkSession:
     """Local session shaped like tests/bench expect.
 
@@ -50,6 +81,7 @@ def get_spark(app_name: str = "yark_spark", cpus: int | None = None) -> SparkSes
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    enable_worker_protobuf_shim()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

@@ -139,3 +139,136 @@ def track_sessions(events: DataFrame, watermark_delay: str = "10 minutes") -> Da
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary stateful streaming via transformWithStateInPandas (Spark 4)
+# ---------------------------------------------------------------------------
+#
+# The successor API to applyInPandasWithState above: named state variables
+# (ValueState/ListState/MapState) in the RocksDB state store, explicit
+# per-key TIMERS instead of one implicit timeout, and schema-evolvable
+# state. The sessionizer below is the same per-key mutable loop the
+# reference runs in Python (`cmds/archive.py:331-348`) re-expressed as a
+# keyed state machine: state = the open session, timer = its gap deadline.
+
+TWS_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_TWS_STATE_SCHEMA = "start_us long, last_us long, n_events long"
+
+
+def ensure_rocksdb_state_store(spark) -> None:
+    """transformWithState requires the RocksDB state store provider (the
+    default HDFS-backed store does not implement named state variables).
+    Session-level because the provider is read at query START; harmless
+    for every other workload — RocksDB is also the provider you want at
+    100 TB state (incremental snapshots, no executor-heap residency)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
+def _make_session_processor(gap_seconds: int):
+    """Factory (closure-shipped by value — workers never import this
+    package) building the StatefulProcessor class instance."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    gap_us = gap_seconds * 1_000_000
+    gap_ms = gap_seconds * 1000
+
+    class _SessionProcessor(StatefulProcessor):
+        """Per-user session machine. State: the OPEN session (start, last
+        event, count). Timer: fires when the event-time watermark passes
+        last_seen + gap → emit the session and clear. In-batch gaps close
+        sessions inline; only one timer per key is live (re-registering
+        deletes the previous deadline)."""
+
+        def init(self, handle):
+            self.handle = handle
+            self.state = handle.getValueState("session", _TWS_STATE_SCHEMA)
+
+        def _closed_frame(self, user_id, sessions):
+            import pandas as _pd
+
+            return _pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(sessions),
+                    "session_start": [
+                        _pd.Timestamp(s, unit="us") for s, _, _ in sessions
+                    ],
+                    "session_end": [
+                        _pd.Timestamp(e, unit="us") for _, e, _ in sessions
+                    ],
+                    "n_events": [n for _, _, n in sessions],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            (user_id,) = key
+            pdf = _pd.concat(list(rows)).sort_values("watched")
+            if self.state.exists():
+                start_us, last_us, n_events = self.state.get()
+                self.handle.deleteTimer(last_us // 1000 + gap_ms)
+            else:
+                start_us, last_us, n_events = None, None, 0
+            closed = []
+            for t in pdf["watched"]:
+                t_us = int(_pd.Timestamp(t).value // 1_000)
+                if last_us is not None and t_us - last_us > gap_us:
+                    closed.append((start_us, last_us, n_events))
+                    start_us, n_events = t_us, 0
+                if start_us is None:
+                    start_us = t_us
+                last_us = t_us
+                n_events += 1
+            self.state.update((start_us, last_us, n_events))
+            self.handle.registerTimer(last_us // 1000 + gap_ms)
+            if closed:
+                yield self._closed_frame(user_id, closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if not self.state.exists():
+                return
+            start_us, last_us, n_events = self.state.get()
+            # only the CURRENT deadline closes the session (a stale timer
+            # that raced a re-registration must not evict live state)
+            if expiredTimerInfo.getExpiryTimeInMs() < last_us // 1000 + gap_ms:
+                return
+            self.state.clear()
+            yield self._closed_frame(user_id, [(start_us, last_us, n_events)])
+
+        def close(self):
+            pass
+
+    return _SessionProcessor()
+
+
+def track_sessions_tws(
+    events: DataFrame,
+    watermark_delay: str = "10 minutes",
+    gap_seconds: int = GAP_SECONDS,
+) -> DataFrame:
+    """transformWithStateInPandas twin of ``track_sessions``:
+    events(user_id long, video string, watched timestamp) stream →
+    closed-session summaries (batch twin: the oracle-checked
+    q_sessionize rollup — see tests/test_stateful.py).
+
+    Scale: state shuffles on user_id only; RocksDB keeps per-key state
+    off-heap with incremental checkpoints, so total state is bounded by
+    OPEN sessions (closed keys are cleared), not event volume."""
+    ensure_rocksdb_state_store(events.sparkSession)
+    return (
+        events.withWatermark("watched", watermark_delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _make_session_processor(gap_seconds),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
