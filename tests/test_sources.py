@@ -29,3 +29,93 @@ def test_json_quarantine_splits_clean_and_corrupt(spark, tmp_path):
     assert any("not json at all" in b for b in bad)
     assert any("not_a_number" in b for b in bad)  # raw line preserved for replay
     raw.unpersist()
+
+
+def test_shard_json_array_roundtrips_adversarial_content(tmp_path):
+    """Byte-level structural scanner: braces/brackets/quotes inside
+    strings, escaped quotes and backslash runs, nesting, unicode — the
+    sharded JSONL must reparse to exactly the original array, across
+    shard rotation AND chunk boundaries (chunk size chosen to split
+    records mid-escape)."""
+    import json
+
+    from yark_spark.sources.takeout import shard_json_array
+
+    rows = [
+        {"titleUrl": "https://x/watch?v=a{b}c", "time": "2024-01-01T00:00:00Z"},
+        {"titleUrl": 'quote " and \\ backslash', "time": "t]}"},
+        {"titleUrl": None, "nested": {"a": [1, {"b": "}"}], "c": "[{"}, "time": "x"},
+        {"titleUrl": "emoji é中文", "time": "\\\\\""},
+        {"deep": [[{"x": "]"}], []], "time": "ok"},
+    ] * 200
+    src = tmp_path / "wh.json"
+    src.write_text(json.dumps(rows))
+    shards = shard_json_array(
+        str(src), str(tmp_path / "shards"), shard_bytes=20_000, chunk_bytes=777
+    )
+    assert len(shards) > 1  # rotation exercised
+    back = []
+    for sh in shards:
+        with open(sh, "rb") as f:
+            back.extend(json.loads(line) for line in f)
+    assert back == rows
+
+
+def test_sharded_watch_history_matches_multiline_and_parallelizes(spark, tmp_path):
+    """The sharded ingest path must produce exactly read_watch_history's
+    rows AND scan with more than one task (the single-task multiLine scan
+    is the one structural serial point the 100 TB path had)."""
+    import json
+
+    from yark_spark.sources.takeout import (
+        read_watch_history,
+        read_watch_history_sharded,
+    )
+
+    rows = [
+        {
+            "titleUrl": f"https://www.youtube.com/watch?v=vid{i:07d}",
+            "time": f"2024-01-{1 + i % 28:02d}T{i % 24:02d}:00:00Z",
+        }
+        for i in range(5000)
+    ]
+    rows.insert(100, {"time": "2024-01-01T00:00:00Z"})  # unavailable entry
+    src = tmp_path / "watch-history.json"
+    src.write_text(json.dumps(rows))
+
+    expected = {
+        (r["video"], r["watched"]) for r in read_watch_history(spark, str(src)).collect()
+    }
+    history, quarantine, raw = read_watch_history_sharded(
+        spark, str(src), stage_dir=str(tmp_path / "stage"), shard_bytes=64_000
+    )
+    got = {(r["video"], r["watched"]) for r in history.collect()}
+    assert got == expected
+    assert quarantine.count() == 0
+    assert history.rdd.getNumPartitions() > 1  # splittable scan, not 1 task
+    raw.unpersist()
+
+
+def test_shard_json_array_record_longer_than_chunk(tmp_path):
+    """A single record spanning MANY chunks (chunk_bytes far smaller than
+    the record) must be reassembled bit-exactly — including its middle
+    chunks that contain no record boundary at all."""
+    import json
+
+    from yark_spark.sources.takeout import shard_json_array
+
+    rows = [
+        {"titleUrl": "a" * 5000 + '"}{' + "\\" * 7, "time": "t1"},
+        {"titleUrl": "short", "time": "t2"},
+        {"titleUrl": "b" * 3000, "time": "t3"},
+    ]
+    src = tmp_path / "big.json"
+    src.write_text(json.dumps(rows))
+    shards = shard_json_array(
+        str(src), str(tmp_path / "shards"), shard_bytes=1 << 20, chunk_bytes=256
+    )
+    back = []
+    for sh in shards:
+        with open(sh, "rb") as f:
+            back.extend(json.loads(line) for line in f)
+    assert back == rows
