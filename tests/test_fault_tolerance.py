@@ -222,3 +222,65 @@ def test_interval_join_state_survives_restart(spark, tmp_path):
     drain()
     pairs = [(r.view_id, r.purchase_id) for r in spark.read.parquet(out).collect()]
     assert pairs == [(1, 10)]
+
+
+def test_multi_table_commit_killed_midway_keeps_old_snapshot(spark, tmp_path):
+    """Cross-table ingest atomicity (ParquetStore.commit_tables): a job
+    killed between one table's staging and another's must leave readers
+    on the PREVIOUS consistent snapshot of every table — no dims without
+    facts. The kill is simulated by failing the second table's staging
+    write; the commit manifest is the single atomic flip, so nothing
+    staged before the failure is visible."""
+    import pytest
+
+    from yark_spark.operators.store import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    # consistent snapshot 0: one parent (channels) + one child (videos)
+    store.commit_tables(
+        {
+            "channels": spark.createDataFrame([(1, "c1")], "id long, name string"),
+            "videos": spark.createDataFrame([(10, 1)], "vid long, channel long"),
+        }
+    )
+
+    real_stage = store._stage
+
+    def failing_stage(name, df, partition_by=None, sort_by=None):
+        if name == "videos":
+            raise RuntimeError("killed between dim and fact writes")
+        return real_stage(name, df, partition_by, sort_by)
+
+    store._stage = failing_stage
+    with pytest.raises(RuntimeError, match="killed"):
+        store.commit_tables(
+            {
+                "channels": spark.createDataFrame(
+                    [(1, "c1"), (2, "c2")], "id long, name string"
+                ),
+                "videos": spark.createDataFrame(
+                    [(10, 1), (20, 2)], "vid long, channel long"
+                ),
+            }
+        )
+    store._stage = real_stage
+
+    # readers (fresh store handle = fresh manifest read) see snapshot 0 for
+    # BOTH tables: the staged channels v-dir exists on disk but is invisible
+    fresh = ParquetStore(spark, str(tmp_path / "store"))
+    assert [r.id for r in fresh.read("channels").collect()] == [1]
+    assert [r.vid for r in fresh.read("videos").collect()] == [10]
+
+    # a successful retry commits BOTH tables together
+    fresh.commit_tables(
+        {
+            "channels": spark.createDataFrame(
+                [(1, "c1"), (2, "c2")], "id long, name string"
+            ),
+            "videos": spark.createDataFrame(
+                [(10, 1), (20, 2)], "vid long, channel long"
+            ),
+        }
+    )
+    assert sorted(r.id for r in fresh.read("channels").collect()) == [1, 2]
+    assert sorted(r.vid for r in fresh.read("videos").collect()) == [10, 20]

@@ -41,8 +41,9 @@ def _load_store_tables(store):
 
 
 def _save(store, tables, names):
-    for n in names:
-        store.write(n, tables[n])
+    # one cross-table atomic commit (stage all, flip one manifest) — a
+    # killed archive run must never leave dims without their facts
+    store.commit_tables({n: tables[n] for n in names})
 
 
 def cmd_archive_video(spark, args) -> int:
