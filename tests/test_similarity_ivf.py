@@ -90,3 +90,24 @@ def test_embedding_near_dups_blas_equals_join_path(spark, sf_dir):
         a = sorted(map(tuple, embedding_near_dups(emb, threshold=thr, max_id=150).collect()))
         b = sorted(map(tuple, embedding_near_dups_blas(emb, threshold=thr, max_id=150).collect()))
         assert a == b, thr
+
+
+def test_default_operating_point_recall_on_clustered_scale_corpus(spark):
+    """Contract for the DOCUMENTED default (n_probe=4 of 16 cells): on the
+    scale lane's clustered 5x corpus (deterministic perturbed copies —
+    near-dup-family geometry), recall@5 against the exact top-k must stay
+    >= 0.9. The full 10x/20x curve lives in scripts/ann_recall_lane.py
+    (SCALE_r*_ann.json); this pins the operating point in the suite so a
+    quantizer/probe regression fails tests, not just the lane."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from ann_recall_lane import recall_at_k, scaled_embeddings
+
+    emb = scaled_embeddings(spark, "/root/testdata/sf0.1", copies=5).persist()
+    exact = cosine_topk(emb, query_max_id=20, k=5)
+    exact.persist().count()
+    ivf = ivf_topk(emb, query_max_id=20, k=5, n_cells=16)  # default n_probe
+    assert recall_at_k(ivf, exact) >= 0.9
+    exact.unpersist()
+    emb.unpersist()

@@ -222,7 +222,7 @@ def ivf_topk(
     query_max_id: int = 10,
     k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 2,
+    n_probe: int = 4,
     seed: int = 42,
     max_iter: int = 8,
 ) -> DataFrame:
@@ -240,6 +240,12 @@ def ivf_topk(
 
     Recall/latency knobs match FAISS-style IVF: more cells → smaller lists
     and lower recall per probe; more probes → higher recall, more work.
+    The default operating point (n_probe=4 of 16 cells — a quarter of the
+    corpus probed) is pinned at recall@5 >= 0.9 on the scale lane's
+    clustered 5x/10x/20x corpora (scripts/ann_recall_lane.py →
+    SCALE_r*_ann.json; measured curve at 5x: probe 1/2/4/16 →
+    0.76/0.84/0.92/1.0) and contract-tested in
+    tests/test_similarity_ivf.py.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
