@@ -13,10 +13,16 @@ from yark_spark.operators.multimodal import (
 )
 
 
-def test_decode_compressed_is_explicitly_stubbed():
-    for magic in (b"\xff\xd8\xffJPEG....", b"\x89PNG\r\n\x1a\n...."):
-        with pytest.raises(NotImplementedError):
-            decode_image(magic)
+def test_decode_unsupported_is_explicitly_stubbed():
+    """PNG/WebP stay a documented NotImplementedError boundary; a
+    truncated/garbage JPEG now routes to the real codec (r8), which
+    raises a PARSE error rather than decoding silently."""
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFFxxxxWEBPVP8 ....")
+    with pytest.raises((ValueError, EOFError, NotImplementedError)):
+        decode_image(b"\xff\xd8\xffJPEG....")
 
 
 def test_fake_features_deterministic():
@@ -199,3 +205,123 @@ def test_wav_codec_roundtrip_property():
         assert got.tolist() == samples
 
     check()
+
+
+# --- round 8: pure-numpy baseline JPEG codec (operators/jpeg) -------------
+
+
+def test_jpeg_roundtrip_fidelity_smooth_images():
+    """Lossy roundtrip on smooth gray and RGB content stays close (the
+    codec's quality knob works): MAE < 2 at q90, < 0.2 at q100."""
+    import numpy as np
+
+    from yark_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:48, 0:64]
+    gray = np.clip(100 + 60 * np.sin(x / 9.0) + 40 * np.cos(y / 7.0) + x * 0.5, 0, 255).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert d.shape == gray.shape
+    assert float(np.abs(d.astype(float) - gray).mean()) < 2.0
+    assert float(np.abs(decode_jpeg(encode_jpeg(gray, quality=100)).astype(float) - gray).mean()) < 0.2
+
+    rgb = np.stack([gray, np.roll(gray, 5, 1), 255 - gray], axis=-1)
+    d3 = decode_jpeg(encode_jpeg(rgb, quality=90))
+    assert d3.shape == rgb.shape
+    assert float(np.abs(d3.astype(float) - rgb.astype(float)).mean()) < 2.0
+
+
+def test_jpeg_odd_sizes_and_extreme_quality():
+    import numpy as np
+
+    from yark_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1), (8, 8), (9, 7), (7, 9, 3), (1, 40)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for q in (5, 50, 100):
+            d = decode_jpeg(encode_jpeg(img, quality=q))
+            assert d.shape == img.shape
+
+
+def test_jpeg_block_constant_gray_q100_is_exact():
+    """The q_image_decode_jpeg oracle contract: per-8x8-block-constant
+    grayscale at quality 100 roundtrips BIT-EXACTLY (DC-only blocks,
+    unit quant) — the lossy codec becomes hash-matchable."""
+    import numpy as np
+
+    from yark_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.empty((16, 16), dtype=np.uint8)
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 48, 102, 97, 57
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=100)), img)
+
+
+def test_jpeg_decodes_420_subsampled_stream_with_file_tables():
+    """The decoder handles sampling factors beyond what our encoder
+    emits: a hand-built 4:2:0 stream (Y h=v=2, one MCU, flat 170 gray,
+    tables declared in DHT) must decode to a uniform RGB image."""
+    import struct
+
+    import numpy as np
+
+    from yark_spark.operators import jpeg as J
+
+    bw = J._BitWriter()
+    dc = J._canonical_codes(J._ENC_DC_BITS, J._ENC_DC_VALS)
+    ac = J._canonical_codes(J._ENC_AC_BITS, J._ENC_AC_VALS)
+
+    def put_block(dc_diff):
+        size, bits = J._magnitude(dc_diff)
+        length, code = dc[size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits, size)
+        length, code = ac[0x00]  # EOB: DC-only block
+        bw.write(code, length)
+
+    put_block(336)  # first Y block: (170-128)*8
+    for _ in range(3):
+        put_block(0)  # remaining Y blocks: diff 0
+    put_block(0)  # Cb
+    put_block(0)  # Cr
+    entropy = bw.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    q = np.ones(64, dtype=np.uint8).tobytes()
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x00" + q)
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x22, 0])  # Y: h=v=2
+        + bytes([2, 0x11, 0])
+        + bytes([3, 0x11, 0]),
+    )
+    out += seg(0xFFC4, bytes([0x00]) + bytes(J._ENC_DC_BITS) + bytes(J._ENC_DC_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(J._ENC_AC_BITS) + bytes(J._ENC_AC_VALS))
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00")
+    out += entropy + b"\xff\xd9"
+
+    rgb = J.decode_jpeg(bytes(out))
+    assert rgb.shape == (16, 16, 3)
+    assert np.all(rgb == 170)
+
+
+def test_jpeg_progressive_raises_documented_boundary():
+    import struct
+
+    import pytest
+
+    from yark_spark.operators.jpeg import decode_jpeg
+
+    payload = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    data = (
+        b"\xff\xd8"
+        + struct.pack(">HH", 0xFFC2, len(payload) + 2)
+        + payload
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(data)

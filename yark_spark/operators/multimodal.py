@@ -5,11 +5,12 @@ The reference stores raw image bytes in `videos.thumbnail BLOB`
 at `:201-221`). Here binary payloads are first-class `BinaryType` columns
 with typed metadata, processed by Arrow-batched pandas functions via
 ``mapInPandas``. The Spark-side plumbing (schema, batching, partitioning)
-is real, and decode is real for UNCOMPRESSED formats: a pure-numpy
-PGM/PPM/BMP parser (``decode_image`` / ``decode_image_features``, driver
-hash-matched via q_image_decode). Compressed formats (JPEG/PNG) still
-raise NotImplementedError — entropy coding needs an image library this
-container doesn't have; fake_image_features remains the deterministic
+is real, and decode is real for uncompressed PGM/PPM/BMP (pure-numpy
+parser, driver hash-matched via q_image_decode) AND for baseline JPEG —
+the format the reference's thumbnails actually use — via the pure-numpy
+T.81 codec in operators/jpeg (hash-matched via q_image_decode_jpeg on a
+constructed-exact roundtrip). WebP/PNG/progressive-JPEG still raise
+NotImplementedError; fake_image_features remains the deterministic
 stand-in for those paths.
 
 Scale notes: binary rows are big — keep them out of shuffles. All feature
@@ -119,15 +120,30 @@ def _make_decoder():
         px = rows[:, : width * nch].reshape(height, width, nch)
         return px[:, :, 2::-1].copy()  # BGR(A) -> RGB (alpha dropped)
 
+    # baseline JPEG (r8): the pure-numpy T.81 codec in operators/jpeg —
+    # registered by value so workers get it inside the closure without
+    # importing this package (stateful.py's cloudpickle pattern)
+    try:
+        from pyspark import cloudpickle as _cp
+
+        from yark_spark.operators import jpeg as _jpeg_mod
+
+        _cp.register_pickle_by_value(_jpeg_mod)
+        _decode_jpeg = _jpeg_mod.decode_jpeg
+    except Exception:  # pragma: no cover — pyspark-less import contexts
+        _decode_jpeg = None
+
     def decode(payload: bytes):
         payload = bytes(payload)
         if payload[:2] in (b"P5", b"P6"):
             return _decode_pnm(payload)
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
+        if payload[:2] == b"\xff\xd8" and _decode_jpeg is not None:
+            return _decode_jpeg(payload)
         raise NotImplementedError(
-            "only uncompressed PGM/PPM/BMP are decodable without an image "
-            "library; plug PIL/cv2 in for compressed formats"
+            "decodable without an image library: uncompressed PGM/PPM/BMP "
+            "and baseline JPEG; plug PIL/cv2 in for WebP/PNG/progressive"
         )
 
     return decode
@@ -458,4 +474,52 @@ def decode_audio_features(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _extract, AUDIO_FEATURE_SCHEMA
+    )
+
+
+def with_jpeg_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic JPEG fixture column: a 16x16 grayscale image whose
+    four 8x8 blocks are CONSTANT at the ascii codes of the doc's first
+    four md5 hex chars, encoded at quality 100.
+
+    Block-constant gray at q100 makes the lossy codec EXACT end-to-end:
+    every quant divisor is 1, a constant block has only a DC coefficient
+    (8*(v-128), an integer — quantized losslessly), and the DC-only IDCT
+    reconstructs the constant bit-exactly. That turns the whole
+    encode→Huffman→decode pipeline into something a SQL oracle can
+    hash-match (q_image_decode_jpeg), the same trick q_audio_decode uses
+    for RMS. Map-only mapInPandas; the jpeg module ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import jpeg as _jpeg_mod
+
+    _cp.register_pickle_by_value(_jpeg_mod)
+    encode = _jpeg_mod.encode_jpeg
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                vals = [ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()[:4]]
+                img = _np.empty((16, 16), dtype=_np.uint8)
+                img[:8, :8] = vals[0]
+                img[:8, 8:] = vals[1]
+                img[8:, :8] = vals[2]
+                img[8:, 8:] = vals[3]
+                payloads.append(encode(img, quality=100))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _enc,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
     )
