@@ -90,22 +90,28 @@ def cmd_archive_playlist(spark, args) -> int:
 
     store = _store(spark, args.store)
     playlists, playlist_videos = read_playlist_csv(spark, args.path)
-    pid = playlists.collect()[0]["playlist_id"]
+    pid = playlists.first()["playlist_id"]
     existing = store.read("playlists")
     if existing.filter(F.col("playlist_id") == pid).count() > 0:
         if not args.yes:
             print(f"playlist {pid} exists; pass --yes to overwrite", file=sys.stderr)
             return RC_PLAYLIST_EXISTS
-        store.write("playlists", delete_insert(existing, playlists, F.col("playlist_id") == pid))
-        store.write(
-            "playlist_videos",
-            delete_insert(store.read("playlist_videos"), playlist_videos, F.col("playlist") == pid),
+        store.commit_tables(
+            {
+                "playlists": delete_insert(existing, playlists, F.col("playlist_id") == pid),
+                "playlist_videos": delete_insert(
+                    store.read("playlist_videos"), playlist_videos, F.col("playlist") == pid
+                ),
+            }
         )
     else:
-        store.write("playlists", insert_ignore(existing, playlists, ["playlist_id"]))
-        store.write(
-            "playlist_videos",
-            insert_ignore(store.read("playlist_videos"), playlist_videos, ["playlist", "video"]),
+        store.commit_tables(
+            {
+                "playlists": insert_ignore(existing, playlists, ["playlist_id"]),
+                "playlist_videos": insert_ignore(
+                    store.read("playlist_videos"), playlist_videos, ["playlist", "video"]
+                ),
+            }
         )
     print(f"playlist {pid}: {playlist_videos.count()} videos")
     return 0
@@ -141,9 +147,8 @@ def cmd_replay(spark, args) -> int:
     fetched = fetch_infodicts(ids, load_fetcher(args.fetcher)).localCheckpoint()
     raw, still_lost = parse_fetched(fetched)
     out, recovered = replay_lost(t, raw)
-    for name, df in out.items():
-        store.write(name, df)
-    print(f"recovered: {recovered.collect()[0]['recovered']}")
+    store.commit_tables(out)  # all tables in one atomic snapshot flip
+    print(f"recovered: {recovered.first()['recovered']}")
     print(f"still lost: {still_lost.count()}")
     fetched.unpersist()
     return 0
@@ -168,10 +173,15 @@ def cmd_delete_video(spark, args) -> int:
             "video_tags": (t["video_tags"], "video", "video_id"),
         },
     )
-    # children before parent: a retry after partial failure re-converges
-    store.write("comments", kids["comments"])
-    store.write("video_tags", kids["video_tags"])
-    store.write("videos", surviving)
+    # one atomic snapshot: children and parent flip together, so readers
+    # never observe orphaned child rows mid-delete
+    store.commit_tables(
+        {
+            "comments": kids["comments"],
+            "video_tags": kids["video_tags"],
+            "videos": surviving,
+        }
+    )
     print(f"deleted {args.id}")
     return 0
 
@@ -193,9 +203,10 @@ def cmd_delete_playlist(spark, args) -> int:
     else:
         doomed = playlists.filter(F.col("playlist_id") == args.id).select("playlist_id")
         surviving, kids = cascade_delete(playlists, doomed, children)
-    # children before parent: a retry after partial failure re-converges
-    store.write("playlist_videos", kids["playlist_videos"])
-    store.write("playlists", surviving)
+    # one atomic snapshot: children and parent flip together
+    store.commit_tables(
+        {"playlist_videos": kids["playlist_videos"], "playlists": surviving}
+    )
     print(f"deleted playlist(s): {args.id}")
     return 0
 
