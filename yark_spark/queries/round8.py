@@ -185,3 +185,192 @@ def q_image_decode_jpeg(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return decode_image_features(with_jpeg_payload(docs))
+
+
+_SKYLINE_ORACLE = (
+    "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders a "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders b "
+    "WHERE b.o_totalprice >= a.o_totalprice AND b.o_orderdate >= a.o_orderdate "
+    "AND (b.o_totalprice > a.o_totalprice OR b.o_orderdate > a.o_orderdate))"
+)
+
+
+@query("q_skyline", oracle=_SKYLINE_ORACLE)
+def q_skyline(spark, sf_dir):
+    """Skyline / Pareto frontier (multi-objective data selection — e.g.
+    'keep documents not dominated on (quality, length)'): orders not
+    dominated on (o_totalprice, o_orderdate). Exact ties on BOTH dims
+    survive together, matching the NOT-EXISTS oracle.
+
+    Distributed 2D skyline, all JVM-side: (1) per-PARTITION partial —
+    distinct-x max-y within spark_partition_id, then a per-pid window
+    keeps x whose max-y beats the strict prefix max over larger x (each
+    pid's window is parallel, no global sort of the base data);
+    (2) the same filter once more over the UNION of partials — bounded
+    by the sum of per-partition frontier sizes (typically O(p·log n);
+    degenerate only when the two dims are perfectly anti-correlated and
+    the frontier IS the dataset); (3) a broadcast left-semi join back to
+    recover the full surviving rows. No NOT-EXISTS quadratic join
+    anywhere — the oracle's O(n²) form is exactly what this plan avoids
+    at scale."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.col("o_totalprice").alias("x"), F.col("o_orderdate").alias("y")
+    )
+
+    def _frontier(df, keys):
+        agg = df.groupBy(*keys, "x").agg(F.max("y").alias("ymax"))
+        w = (
+            Window.partitionBy(*keys).orderBy(F.desc("x"))
+            if keys
+            else Window.orderBy(F.desc("x"))
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            agg.withColumn("prefix", F.max("ymax").over(w))
+            .filter(F.col("prefix").isNull() | (F.col("ymax") > F.col("prefix")))
+            .select("x", F.col("ymax").alias("y"))
+        )
+
+    partial = _frontier(
+        pts.withColumn("pid", F.spark_partition_id()), ["pid"]
+    )
+    # the global window here runs over the tiny union of per-partition
+    # frontiers (bounded-input contract documented above), not the data
+    sky = _frontier(partial, [])
+    return orders.join(
+        F.broadcast(sky),
+        (orders.o_totalprice == sky.x) & (orders.o_orderdate == sky.y),
+        "left_semi",
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+def _pagerank_oracle(iters: int = 3, damp: float = 0.85) -> str:
+    edges = (
+        "SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, "
+        "'p' || CAST(l_partkey AS VARCHAR) AS dst "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+    )
+    cte = (
+        f"WITH und AS ({edges}), "
+        "e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und), "
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src), "
+        "n AS (SELECT DISTINCT src AS node FROM e), "
+        "t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM n), "
+        "p0 AS (SELECT node, 1.0 / total AS pr FROM n, t)"
+    )
+    for i in range(1, iters + 1):
+        cte += (
+            f", p{i} AS (SELECT n.node, (1 - {damp}) / t.total + {damp} * "
+            f"coalesce(sum(p.pr / deg.d), 0) AS pr "
+            f"FROM n CROSS JOIN t "
+            f"LEFT JOIN e ON e.dst = n.node "
+            f"LEFT JOIN p{i - 1} p ON p.node = e.src "
+            f"LEFT JOIN deg ON deg.src = e.src "
+            f"GROUP BY n.node, t.total)"
+        )
+    return cte + f" SELECT node, round(pr, 8) AS pagerank FROM p{iters}"
+
+
+@query("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark, sf_dir):
+    """Bounded-iteration PageRank (damping 0.85, 3 iterations) over the
+    undirected customer–part purchase graph (distinct (custkey, partkey)
+    pairs via orders⋈lineitem, both edge directions emitted so every
+    node has out-degree — no dangling-mass term needed).
+
+    Iterative dataflow: each iteration is one equi-join of the edge list
+    against the current rank vector plus a partial-agg groupBy on dst —
+    the classic DataFrame PageRank; 3 unrolled iterations keep the plan
+    bounded (longer runs would localCheckpoint per ~5 iterations, the
+    dedup_clusters pattern). The DuckDB oracle unrolls the same three
+    iterations as CTE layers. Scale: the rank vector is (node, double)
+    — tiny next to edges — and the join shuffles on the edge key both
+    engines agree on."""
+    from pyspark.sql import functions as F
+
+    damp, iters = 0.85, 3
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    und = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    e = und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    total = float(nodes.count())
+    pr = nodes.withColumn("pr", F.lit(1.0 / total))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e.src == pr.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("d")).alias("c"))
+        )
+        pr = (
+            nodes.join(contrib.groupBy("node").agg(F.sum("c").alias("s")), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - damp) / total)
+                    + F.lit(damp) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", F.round("pr", 8).alias("pagerank"))
+
+
+_WSAMPLE_ORACLE = (
+    "WITH w AS (SELECT doc_id, CAST(least(1 + n_chars // 500, 8) AS BIGINT) AS wt FROM documents), "
+    "tick AS (SELECT doc_id, max(md5(CAST(doc_id AS VARCHAR) || ':' || "
+    "CAST(g.t AS VARCHAR))) AS doc_key "
+    "FROM w, unnest(generate_series(1, wt)) AS g(t) GROUP BY doc_id) "
+    "SELECT doc_id, doc_key FROM tick ORDER BY doc_key DESC, doc_id LIMIT 50"
+)
+
+
+@query("q_weighted_sample", oracle=_WSAMPLE_ORACLE)
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, exact across engines: each
+    doc gets w tickets (w = 1 + n_chars/500 capped at 8 — longer docs
+    weigh more), each ticket a content-addressed md5 key; a doc's key is
+    its best ticket and the top-50 keys win. Distributionally this is
+    Efraimidis–Spirakis A-ES (max of w uniforms ~ U^(1/w)) but in EXACT
+    string-compare space — no transcendental (ln/pow) whose last-ulp
+    differences between engines could flip the k-th boundary. The weight
+    explode is bounded (≤8 tickets/doc) and the top-k is
+    TakeOrderedAndProject, no global sort. The training-mix use: sample
+    a corpus subset with probability increasing in document weight,
+    reproducibly."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.least(F.lit(1) + F.floor(F.col("n_chars") / 500), F.lit(8))
+        .cast("long")
+        .alias("wt"),
+    )
+    tickets = w.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("wt"))).alias("t"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("t").cast("string")
+            )
+        ).alias("tk"),
+    )
+    return (
+        tickets.groupBy("doc_id")
+        .agg(F.max("tk").alias("doc_key"))
+        .orderBy(F.desc("doc_key"), F.asc("doc_id"))
+        .limit(50)
+    )
