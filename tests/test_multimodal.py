@@ -325,3 +325,49 @@ def test_jpeg_progressive_raises_documented_boundary():
     )
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg(data)
+
+
+def test_image_dims_parses_all_container_headers():
+    """Header-peek parser against hand-built containers, including the
+    two WebP variants the fixture builder doesn't emit (VP8 lossy frame
+    tag, VP8L packed 14-bit dims)."""
+    import struct
+
+    import numpy as np
+
+    from yark_spark.operators.jpeg import encode_jpeg
+    from yark_spark.operators.multimodal import image_dims
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 360) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    assert image_dims(png) == ("png", 640, 360)
+
+    vp8x = (
+        b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+        + (479).to_bytes(3, "little") + (269).to_bytes(3, "little")
+    )
+    webp_x = b"RIFF" + struct.pack("<I", 4 + len(vp8x)) + b"WEBP" + vp8x
+    assert image_dims(webp_x) == ("webp", 480, 270)
+
+    # VP8 lossy: dims are uint16 LE at frame offset 6 (container offset 26)
+    vp8 = b"VP8 " + struct.pack("<I", 10) + b"\x00" * 6 + struct.pack("<HH", 320, 240)
+    webp_l = b"RIFF" + struct.pack("<I", 4 + len(vp8)) + b"WEBP" + vp8
+    assert image_dims(webp_l) == ("webp", 320, 240)
+
+    # VP8L: signature byte 0x2F then 14+14 bit (dims-1) little-endian packed
+    bits = (100 - 1) | ((80 - 1) << 14)
+    vp8l = b"VP8L" + struct.pack("<I", 5) + b"\x2f" + bits.to_bytes(4, "little")
+    webp_ll = b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l
+    assert image_dims(webp_ll) == ("webp", 100, 80)
+
+    jp = encode_jpeg(np.zeros((41, 67), dtype=np.uint8), quality=50)
+    assert image_dims(jp) == ("jpeg", 67, 41)
+
+    assert image_dims(b"P5\n# c\n33 22\n255\n" + b"\x00" * (33 * 22)) == ("pnm", 33, 22)
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        image_dims(b"GIF89a......")

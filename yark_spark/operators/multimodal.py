@@ -523,3 +523,181 @@ def with_jpeg_payload(
             [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
         ),
     )
+
+
+def _make_dims_parser():
+    """Header-peek metadata: (format, width, height) from the container
+    header ALONE — no entropy decode, no pixel pass. At 100 TB this is
+    the cheap first pass over a binary column (route/filter/bucket by
+    dimensions before any real decode); unlike ``decode_image`` it also
+    covers formats whose PIXELS we can't decode here (PNG, WebP).
+    Self-contained closure (ships by value)."""
+
+    def dims(payload: bytes) -> tuple[str, int, int]:
+        import struct
+
+        p = bytes(payload)
+        if p[:8] == b"\x89PNG\r\n\x1a\n":  # IHDR is always first
+            w, h = struct.unpack_from(">II", p, 16)
+            return "png", w, h
+        if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+            tag = p[12:16]
+            if tag == b"VP8X":  # extended: 24-bit canvas dims minus one
+                w = 1 + int.from_bytes(p[24:27], "little")
+                h = 1 + int.from_bytes(p[27:30], "little")
+                return "webp", w, h
+            if tag == b"VP8 ":  # lossy: dims at frame-header offset 26
+                w, h = struct.unpack_from("<HH", p, 26)
+                return "webp", w & 0x3FFF, h & 0x3FFF
+            if tag == b"VP8L":  # lossless: 14-bit packed after signature
+                bits = int.from_bytes(p[21:25], "little")
+                return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+            raise NotImplementedError("unknown WebP variant")
+        if p[:2] == b"\xff\xd8":  # JPEG: walk markers to any SOFn
+            pos = 2
+            while pos + 4 <= len(p):
+                if p[pos] != 0xFF:
+                    pos += 1
+                    continue
+                marker = p[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD9:
+                    pos += 2
+                    continue
+                (seglen,) = struct.unpack_from(">H", p, pos + 2)
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                              0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    h, w = struct.unpack_from(">HH", p, pos + 5)
+                    return "jpeg", w, h
+                pos += 2 + seglen
+            raise ValueError("JPEG without SOF")
+        if p[:2] in (b"P5", b"P6"):
+            import re
+
+            pos, tokens = 2, []
+            while len(tokens) < 2 and pos < len(p):
+                m = re.match(rb"(?:\s|#[^\n]*\n)*([0-9]+)", p[pos:])
+                if not m:
+                    raise ValueError("bad netpbm header")
+                tokens.append(int(m.group(1)))
+                pos += m.end()
+            return "pnm", tokens[0], tokens[1]
+        if p[:2] == b"BM":
+            w, h = struct.unpack_from("<ii", p, 18)
+            return "bmp", w, abs(h)
+        raise NotImplementedError("unrecognized image container")
+
+    return dims
+
+
+image_dims = _make_dims_parser()
+
+DIMS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def extract_image_dims(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Map-only header peek over a binary column → (format, width,
+    height). The production first stage before any decode fan-out."""
+    dims = _make_dims_parser()
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            fs, ws, hs = [], [], []
+            for p in pdf[payload_col]:
+                f, w, h = dims(bytes(p))
+                fs.append(f)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "format": fs,
+                    "width": np.array(ws, dtype="int32"),
+                    "height": np.array(hs, dtype="int32"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(_run, DIMS_SCHEMA)
+
+
+def with_header_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic mixed-container fixture column: doc_id % 4 picks the
+    format (PNG / WebP-VP8X / real encoded JPEG / PGM), dims derive from
+    the doc's md5 (w = 16 + a%48, h = 16 + b%48 over the first two hex
+    chars' ascii codes) — so a SQL oracle can compute the expected
+    (format, width, height) analytically while the Spark side builds and
+    parses REAL container headers (the JPEG arm round-trips through the
+    actual encoder's SOF0)."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import jpeg as _jpeg_mod
+
+    _cp.register_pickle_by_value(_jpeg_mod)
+    encode = _jpeg_mod.encode_jpeg
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import struct as _struct
+
+        import numpy as _np
+
+        def png(w, h):
+            ihdr = _struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _struct.pack(">I", 13)
+                + b"IHDR"
+                + ihdr
+                + b"\x00\x00\x00\x00"
+            )
+
+        def webp(w, h):
+            body = (
+                b"VP8X"
+                + _struct.pack("<I", 10)
+                + b"\x00\x00\x00\x00"
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little")
+            )
+            return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+        def pgm(w, h):
+            return b"P5\n%d %d\n255\n" % (w, h) + b"\x00" * (w * h)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                hx = _hashlib.md5(t.encode("utf-8")).hexdigest()
+                w = 16 + ord(hx[0]) % 48
+                h = 16 + ord(hx[1]) % 48
+                kind = int(did) % 4
+                if kind == 0:
+                    p = png(w, h)
+                elif kind == 1:
+                    p = webp(w, h)
+                elif kind == 2:
+                    p = encode(_np.zeros((h, w), dtype=_np.uint8), quality=50)
+                else:
+                    p = pgm(w, h)
+                ids.append(int(did))
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
