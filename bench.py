@@ -37,6 +37,11 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # record ambient load BEFORE Spark starts: three rounds of "slower,
+    # but the box was loaded" (r6/r7) are indistinguishable from creep
+    # unless every BENCH file carries the contention context (VERDICT r7
+    # next-round #4)
+    load_before = tuple(round(x, 2) for x in os.getloadavg())
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from yark_spark.queries import QUERIES
@@ -84,6 +89,8 @@ def main() -> None:
                 "ingest_sharded": ingest_sharded,
                 "stress": stress,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_avg_before": list(load_before),
+                "load_avg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

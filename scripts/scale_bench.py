@@ -28,6 +28,10 @@ EXTRA = [
     "q_dedup_incremental", # band semi-join vs a x10 index
     "q_line_dedup",        # line-cardinality shuffle + reassembly
     "q_bm25",              # postings filter before shuffle
+    # round-8 additions
+    "q_skyline",           # two-level frontier; partials must stay tiny
+    "q_pagerank",          # 3 iterations of edge-join + partial agg
+    "q_weighted_sample",   # bounded explode + TakeOrdered top-k
 ]
 
 
