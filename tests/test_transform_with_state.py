@@ -188,3 +188,113 @@ def test_tws_sessions_equal_oracle_checked_batch_sessionize(spark, sf_dir, tmp_p
         )
     }
     assert got == expected
+
+
+def test_tws_burst_dedup_equals_oracle_checked_batch_twin(spark, sf_dir, tmp_path):
+    """MapState variant: stream the real events fixture through the
+    transformWithState burst dedup (per-user map type → last-seen, 5-min
+    horizon) and the surviving event_ids must EXACTLY equal the
+    oracle-checked q_event_dedup_burst. Every verdict depends only on
+    earlier rows, so a single drained batch reproduces the batch result
+    with no sentinel/watermark games."""
+    from yark_spark.streaming.stateful import dedup_bursts_tws
+
+    src = tmp_path / "src"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    ev.coalesce(1).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        dedup_bursts_tws(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {r.event_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    expected = {r.event_id for r in QUERIES["q_event_dedup_burst"](spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_tws_burst_dedup_state_prunes_and_reemits_across_batches(spark, tmp_path):
+    """Across checkpointed runs: a type re-appearing INSIDE the horizon is
+    suppressed (map state persisted), a type re-appearing AFTER the
+    horizon re-emits as a fresh first (and its old entry is prunable
+    without changing semantics)."""
+    import json
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from yark_spark.streaming.pipelines import read_event_stream
+    from yark_spark.streaming.stateful import dedup_bursts_tws
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for eid, uid, et, ts in rows:
+                f.write(
+                    json.dumps(
+                        {"event_id": eid, "user_id": uid, "event_type": et, "ts": ts}
+                    )
+                    + "\n"
+                )
+
+    def drain():
+        q = (
+            dedup_bursts_tws(read_event_stream(spark, str(src), schema))
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return {r.event_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+
+    write(
+        "b1.json",
+        [
+            (1, 7, "view", "2024-01-01T10:00:00Z"),
+            (2, 7, "view", "2024-01-01T10:02:00Z"),  # within 5 min: suppressed
+            (3, 7, "click", "2024-01-01T10:00:30Z"),
+        ],
+    )
+    assert drain() == {1, 3}
+    # batch 2: view at 10:04 still inside the run (gap 2 min from 10:02 -
+    # state survived the restart); click at 11:00 is past the horizon
+    write(
+        "b2.json",
+        [
+            (4, 7, "view", "2024-01-01T10:04:00Z"),
+            (5, 7, "click", "2024-01-01T11:00:00Z"),
+        ],
+    )
+    assert drain() == {1, 3, 5}
+    # batch 3: far future event advances the watermark beyond every
+    # horizon (timer prunes the map), then a final view re-emits as first
+    write("b3.json", [(6, 99, "tick", "2024-01-02T00:00:00Z")])
+    write("b4.json", [(7, 7, "view", "2024-01-02T01:00:00Z")])
+    assert drain() == {1, 3, 5, 6, 7}

@@ -272,3 +272,117 @@ def track_sessions_tws(
             timeMode="eventTime",
         )
     )
+
+
+TWS_DEDUP_OUTPUT_SCHEMA = "event_id long, user_id long, event_type string"
+BURST_HORIZON_SECONDS = 5 * 60
+
+
+def _make_burst_dedup_processor(horizon_seconds: int):
+    """MapState showcase (vs the sessionizer's ValueState): per-user map
+    event_type → last-seen microseconds. A row survives iff its type was
+    never seen or the gap since that type's last event exceeds the
+    horizon — the reference's in-loop 'skip already archived' check
+    (`cmds/archive.py:126-129`) as keyed streaming state. An event-time
+    timer prunes map entries whose re-emission window has passed
+    (last + horizon < watermark): eviction bounds STATE, not semantics —
+    an evicted type re-appearing is by definition past its horizon and
+    correctly emits as a fresh first."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    horizon_us = horizon_seconds * 1_000_000
+    horizon_ms = horizon_seconds * 1000
+
+    class _BurstDedup(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+            self.last = handle.getMapState(
+                "last_seen", "event_type string", "last_us long"
+            )
+            self.deadline = handle.getValueState("deadline", "t_ms long")
+
+        def _retime(self, candidate_ms):
+            if self.deadline.exists():
+                (old,) = self.deadline.get()
+                if candidate_ms <= old:
+                    return
+                self.handle.deleteTimer(old)
+            self.handle.registerTimer(candidate_ms)
+            self.deadline.update((candidate_ms,))
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            (user_id,) = key
+            pdf = _pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            keep_ids, keep_types = [], []
+            newest = 0
+            for _, r in pdf.iterrows():
+                t_us = int(_pd.Timestamp(r["ts"]).value // 1_000)
+                et = r["event_type"]
+                prev = (
+                    self.last.getValue((et,)) if self.last.containsKey((et,)) else None
+                )
+                if prev is None or t_us - prev[0] > horizon_us:
+                    keep_ids.append(int(r["event_id"]))
+                    keep_types.append(et)
+                self.last.updateValue((et,), (t_us,))
+                newest = max(newest, t_us)
+            self._retime(newest // 1000 + horizon_ms)
+            if keep_ids:
+                yield _pd.DataFrame(
+                    {
+                        "event_id": keep_ids,
+                        "user_id": [user_id] * len(keep_ids),
+                        "event_type": keep_types,
+                    }
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # prune types whose horizon has passed; drop all state when
+            # the map empties (bounded state: only ACTIVE types survive)
+            wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+            stale = [
+                k
+                for k, v in self.last.iterator()
+                if v[0] + horizon_us < wm_us
+            ]
+            for k in stale:
+                self.last.removeKey(k)
+            remaining = list(self.last.keys())
+            if not remaining:
+                self.last.clear()
+                self.deadline.clear()
+            return
+            yield  # pragma: no cover — marks this a generator
+
+        def close(self):
+            pass
+
+    return _BurstDedup()
+
+
+def dedup_bursts_tws(
+    events: DataFrame,
+    watermark_delay: str = "10 minutes",
+    horizon_seconds: int = BURST_HORIZON_SECONDS,
+) -> DataFrame:
+    """transformWithStateInPandas burst dedup: keep only the FIRST event
+    of any rapid-fire run (same user + type within the horizon). Batch
+    twin: the ORACLE-CHECKED q_event_dedup_burst — every row's verdict
+    depends only on strictly-earlier rows, so a drained stream over the
+    same data must reproduce the batch row set exactly
+    (tests/test_transform_with_state.py). State: per-user MapState
+    (type → last_us), pruned by event-time timer once a type's
+    re-emission window passes."""
+    ensure_rocksdb_state_store(events.sparkSession)
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _make_burst_dedup_processor(horizon_seconds),
+            outputStructType=TWS_DEDUP_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
