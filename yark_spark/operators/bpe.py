@@ -1,0 +1,164 @@
+"""Distributed BPE merge training (tokenizer induction) — SURVEY.md §2.8
+(token counting's big sibling: not just counting with a fixed tokenizer,
+but LEARNING the tokenizer from the corpus, Sennrich et al. 2016).
+
+Shape per iteration (the classic algorithm, re-expressed as dataflow):
+
+1. the corpus is reduced ONCE to a (word, freq) table — all subsequent
+   work is over distinct words weighted by frequency, never raw text;
+2. adjacent symbol pairs are counted with a JVM-side ``transform`` over
+   each word's symbol array (explode + partial-agg groupBy — one shuffle
+   whose key space is the pair vocabulary, not the corpus);
+3. the argmax pair (count desc, then lexicographic — deterministic) is
+   a ONE-ROW TakeOrdered collect: the merge decision is inherently a
+   driver-side scalar, k rows total for k merges;
+4. the merge is applied to every word with a pure-Column ``aggregate``
+   fold (carry/emit state machine — left-to-right non-overlapping, the
+   standard application order), no Python in the loop.
+
+Each iteration persists its rewritten word table and unpersists the
+previous one, so the plan stays one-iteration deep (the dedup_clusters
+lesson). 100 TB posture: step 1 is the only corpus-sized job; the
+iteration loop runs over |distinct words| rows with arrays of symbols —
+orders of magnitude smaller — and its shuffle key space shrinks as
+merges consume pairs.
+
+Verification: ``q_bpe_pair_counts`` hash-matches iteration-0 pair counts
+against a DuckDB oracle; the k-merge loop is pinned by an exact
+equivalence test against a pure-Python reference implementation on the
+same corpus (tests/test_bpe.py) and registered as the rows-only contract
+for ``q_bpe_merges``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: repo-wide tokenizer parity class (operators/dedup.tokens)
+_WS = r"[ \t\n\x0B\f\r]+"
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the whitespace-parity tokenization, lowercased;
+    empty tokens (whitespace-only docs) dropped."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS)).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _adjacent_pairs(seq):
+    """array<string> -> array<struct<l,r>> of adjacent symbol pairs."""
+    return F.transform(
+        F.slice(seq, 1, F.size(seq) - 1),
+        lambda x, i: F.struct(
+            x.alias("l"), F.element_at(seq, i + F.lit(2)).alias("r")
+        ),
+    )
+
+
+def pair_counts(words: DataFrame, seq_col: str = "seq") -> DataFrame:
+    """Frequency-weighted adjacent-pair counts over the symbol arrays
+    (every adjacent position counts, overlaps included — the classic
+    get_stats). One explode + one partial-agg groupBy on (l, r)."""
+    return (
+        words.select("freq", F.explode(_adjacent_pairs(F.col(seq_col))).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _apply_merge(seq, a: str, b: str):
+    """Replace every left-to-right non-overlapping (a, b) with a+b via a
+    carry/emit fold — pure Column expression, no Python per row."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+
+    def step(st, x):
+        merged = st.carry.isNotNull() & (st.carry == F.lit(a)) & (x == F.lit(b))
+        out = (
+            F.when(merged, F.concat(st.out, F.array(F.lit(a + b))))
+            .when(st.carry.isNotNull(), F.concat(st.out, F.array(st.carry)))
+            .otherwise(st.out)
+        )
+        carry = F.when(merged, F.lit(None).cast("string")).otherwise(x)
+        return F.struct(out.alias("out"), carry.alias("carry"))
+
+    def fin(st):
+        return F.when(
+            st.carry.isNotNull(), F.concat(st.out, F.array(st.carry))
+        ).otherwise(st.out)
+
+    return F.aggregate(seq, init, step, fin)
+
+
+def train_bpe_merges(
+    docs: DataFrame, k_merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Learn the top-``k_merges`` BPE merges from a corpus. Returns
+    (rank, left, right, pair_count) — rank 1 = first merge learned.
+    Deterministic: ties broken by (left, right) lexicographically."""
+    spark = docs.sparkSession
+    words = (
+        word_freqs(docs, text_col)
+        .select("freq", F.split("word", "").alias("seq"))
+        .persist()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, k_merges + 1):
+            top = (
+                pair_counts(words)
+                .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+            merges.append((rank, l, r, n))
+            nxt = words.select("freq", _apply_merge(F.col("seq"), l, r).alias("seq"))
+            nxt = nxt.persist()
+            nxt.count()  # materialize before dropping the previous table
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+def reference_bpe_merges(
+    word_freq_pairs: list[tuple[str, int]], k_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Pure-Python reference implementation (the classic dict-based
+    algorithm) used ONLY by tests to pin the distributed trainer —
+    identical counting (overlapping adjacent positions) and identical
+    (count desc, pair asc) tie-break."""
+    words = [(list(w), f) for w, f in word_freq_pairs]
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k_merges + 1):
+        stats: dict[tuple[str, str], int] = {}
+        for seq, f in words:
+            for i in range(len(seq) - 1):
+                stats[(seq[i], seq[i + 1])] = stats.get((seq[i], seq[i + 1]), 0) + f
+        if not stats:
+            break
+        (l, r), n = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, l, r, n))
+        merged = l + r
+        for seq, _ in words:
+            i = 0
+            while i < len(seq) - 1:
+                if seq[i] == l and seq[i + 1] == r:
+                    seq[i : i + 2] = [merged]
+                i += 1
+    return out

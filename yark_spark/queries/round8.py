@@ -401,3 +401,50 @@ def q_image_dims(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return extract_image_dims(with_header_payload(docs))
+
+
+_BPE_WS = "[ \\t\\n\\x0B\\f\\r]+"
+_BPE_PAIRS_ORACLE = (
+    f"WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '{_BPE_WS}')) AS word "
+    "FROM documents), "
+    "wf AS (SELECT word, count(*) AS freq FROM tok WHERE word <> '' GROUP BY word), "
+    "pr AS (SELECT substr(word, g.i, 1) AS l, substr(word, g.i + 1, 1) AS r, freq "
+    "FROM wf, unnest(generate_series(1, length(word) - 1)) AS g(i)) "
+    "SELECT l, r, CAST(sum(freq) AS BIGINT) AS n FROM pr GROUP BY l, r "
+    "ORDER BY n DESC, l, r LIMIT 100"
+)
+
+
+@query("q_bpe_pair_counts", oracle=_BPE_PAIRS_ORACLE)
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE iteration-0 statistics (Sennrich et al. 2016): frequency-
+    weighted adjacent character-pair counts over the distinct-word table,
+    top-100 with a full (count desc, pair asc) tie-break. This is the
+    oracle-checked twin pinning the counting core of the k-merge trainer
+    (q_bpe_merges / operators/bpe.train_bpe_merges): one corpus-sized
+    tokenize+groupBy, then pair stats over distinct words only."""
+    from yark_spark.operators.bpe import pair_counts, word_freqs
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = word_freqs(docs).select("freq", F.split("word", "").alias("seq"))
+    return (
+        pair_counts(words)
+        .select("l", "r", F.col("n").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+        .limit(100)
+    )
+
+
+@query("q_bpe_merges")  # rows-only: k-iteration loop isn't SQL-expressible;
+# contract = exact equivalence vs the pure-Python reference (tests/test_bpe.py)
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer INDUCTION, not just tokenization: learn the first 6 BPE
+    merges from the documents corpus (distributed pair counting over the
+    word-frequency table, pure-Column merge application, one-row argmax
+    collect per iteration — see operators/bpe). The counting core is
+    hash-matched via q_bpe_pair_counts; the loop is pinned exactly
+    against the classic dict-based reference implementation."""
+    from yark_spark.operators.bpe import train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_bpe_merges(docs, k_merges=6)
