@@ -73,6 +73,21 @@ def scaled_table(spark, src: str, table: str, copies: int):
 
             part = part.withColumn("text", F.array_join(F.transform(toks, _rename(c)), " "))
             part = part.withColumn("n_chars", F.length("text").cast("long"))
+        if table == "embeddings" and c > 0:
+            # cluster COUNT scales ×N, cluster SIZE stays fixed — the
+            # premise of within-cluster ops (SemDeDup: n/k constant as the
+            # corpus grows). Without this, copies pile into the same 10
+            # labels and the within-cluster pair join grows quadratically,
+            # measuring the data artifact instead of the operator.
+            part = part.withColumn("label", (F.col("label") + F.lit(c * 10)).cast("int"))
+        if table == "customer" and c > 0:
+            # names embed the key (Customer#%09d) — recompute from the
+            # SHIFTED key so name-keyed blocks (fuzzy match) stay bounded
+            # instead of every copy duplicating the same name ×N.
+            part = part.withColumn(
+                "c_name",
+                F.concat(F.lit("Customer#"), F.lpad(F.col("c_custkey").cast("string"), 9, "0")),
+            )
         parts.append(part)
     out = parts[0]
     for p in parts[1:]:

@@ -32,6 +32,12 @@ EXTRA = [
     "q_skyline",           # two-level frontier; partials must stay tiny
     "q_pagerank",          # 3 iterations of edge-join + partial agg
     "q_weighted_sample",   # bounded explode + TakeOrdered top-k
+    # round-8b curation/analytics batch
+    "q_semdedup",          # within-cluster pair join; cluster COUNT scales
+    "q_fuzzy_match_join",  # blocked record linkage; blocks stay bounded
+    "q_collocation_pmi",   # vocabulary-bounded bigram + marginal rollups
+    "q_scd2_intervals",    # per-user change-point windows
+    "q_heavy_hitters",     # token counts + one-row total broadcast
 ]
 
 

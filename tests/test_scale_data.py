@@ -87,3 +87,32 @@ def test_token_renaming_is_bijective_within_copy(spark):
         above = sum(s >= 0.5 for s in sims) / len(sims)
         assert median < 0.5, median
         assert above < 0.15, (above, sims[-3:])
+
+
+def test_embedding_labels_scale_cluster_count_not_size(spark):
+    emb = scaled_table(spark, SRC, "embeddings", COPIES)
+    base = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    n_labels = base.select("label").distinct().count()
+    assert emb.select("label").distinct().count() == n_labels * COPIES
+    # per-cluster size distribution identical to the base corpus
+    base_sizes = sorted(
+        r["count"] for r in base.groupBy("label").count().collect()
+    )
+    per_copy = (
+        emb.groupBy((F.col("vec_id") / SHIFT).cast("int").alias("copy"), "label")
+        .count()
+        .collect()
+    )
+    for c in range(COPIES):
+        sizes = sorted(r["count"] for r in per_copy if r.copy == c)
+        assert sizes == base_sizes, c
+
+
+def test_customer_names_track_shifted_keys(spark):
+    cust = scaled_table(spark, SRC, "customer", COPIES)
+    bad = cust.filter(
+        F.col("c_name")
+        != F.concat(F.lit("Customer#"), F.lpad(F.col("c_custkey").cast("string"), 9, "0"))
+    ).count()
+    assert bad == 0
+    assert cust.select("c_name").distinct().count() == cust.count()

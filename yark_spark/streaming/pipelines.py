@@ -126,6 +126,24 @@ def interval_join(
     ).drop("__rkey")
 
 
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, key: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream (the lookup every event pipeline does before sinking). The
+    static side needs no watermark and holds no state — Spark re-executes
+    it per micro-batch. Caveat for dim refreshes: the file LISTING is
+    pinned inside the built plan's file index, so after an on-disk
+    overwrite the static DataFrame must be REBUILT (and the join
+    re-created) for a batch to see it — ``refreshByPath`` alone does not
+    reach an already-constructed streaming plan. The dim is broadcast (dimension tables are small relative to
+    the stream; a dim too big to broadcast becomes a shuffled join per
+    batch, which still needs no state store). ``how="left"`` keeps events
+    whose key has no dim row yet — the late-arriving-dimension case a
+    pipeline must tolerate rather than drop."""
+    return events.join(F.broadcast(dim), on=key, how=how)
+
+
 def history_sink(store, deduped: DataFrame, checkpoint: str):
     """§3.3 write path: per-micro-batch transactional upsert of history rows
     into the store (replaces the reference's per-row commit, `:343`).
