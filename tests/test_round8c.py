@@ -1,0 +1,86 @@
+"""Semantic invariants for the round-8c batch (oracle parity is covered by
+the registry-wide sweep in tests/test_oracle_parity.py)."""
+
+from pyspark.sql import functions as F
+
+from yark_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_copurchase_rules_probability_axioms(spark):
+    rows = QUERIES["q_copurchase_rules"](spark, SF).collect()
+    from yark_spark.queries.round8c import _RULE_MIN_SUPPORT
+
+    seen = set()
+    for r in rows:
+        assert r.support >= _RULE_MIN_SUPPORT
+        assert 0 < r.confidence <= 1
+        assert r.lift > 0
+        seen.add((r.antecedent, r.consequent))
+    # every rule's mirror is present (directed expansion is symmetric in
+    # the pair set), never a self-rule
+    for a, c in seen:
+        assert a != c
+        assert (c, a) in seen
+
+
+def test_copurchase_support_matches_brute_force(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    baskets = {}
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    from collections import Counter
+
+    c = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                c[(a, b)] += 1
+    rows = QUERIES["q_copurchase_rules"](spark, SF).collect()
+    for r in rows:
+        key = tuple(sorted((r.antecedent, r.consequent)))
+        assert c[key] == r.support, r
+
+
+def test_minhash_pr_confusion_is_complete(spark):
+    row = QUERIES["q_minhash_pr"](spark, SF).first()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter("doc_id < 20")
+    n = docs.count()
+    assert row.tp + row.fp + row.fn + row.tn == n * (n - 1) // 2
+    assert min(row.tp, row.fp, row.fn, row.tn) >= 0
+
+
+def test_time_weighted_avg_bounds_and_segments(spark):
+    out = QUERIES["q_time_weighted_avg"](spark, SF)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    assert out.filter(
+        (F.col("twa") < lo - 1e-6) | (F.col("twa") > hi + 1e-6)
+    ).count() == 0
+    # n_segments = events per user - 1 (the open last reading has no span)
+    per_user = {r.user_id: r["count"] for r in ev.groupBy("user_id").count().collect()}
+    for r in out.collect():
+        assert r.n_segments == per_user[r.user_id] - 1
+
+
+def test_time_weighted_avg_constant_series_is_identity(spark):
+    from yark_spark.queries.round8c import q_time_weighted_avg  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", 5.0), (2, 1, "2024-01-01 00:17:00", 5.0),
+         (3, 1, "2024-01-02 03:00:00", 5.0)],
+        ["event_id", "user_id", "ts_s", "value"],
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = df.select("user_id", "value", us.alias("us"), F.lead(us).over(w).alias("nxt")).filter(
+        F.col("nxt").isNotNull()
+    )
+    twa = g.groupBy("user_id").agg(
+        (F.sum(F.col("value") * (F.col("nxt") - F.col("us"))) / F.sum(F.col("nxt") - F.col("us"))).alias("twa")
+    ).first()
+    assert abs(twa.twa - 5.0) < 1e-12

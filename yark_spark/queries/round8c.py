@@ -1,0 +1,215 @@
+"""Round-8 third batch: market-basket mining, dedup-quality evaluation,
+and irregular-time-series analytics — each oracle-checked against DuckDB.
+
+Reference parity note: the reference archiver has no analytics surface
+(/root/reference/cmds/archive.py is fetch/store only); these extend the
+driver-mandated inventory of SURVEY.md §2.8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from yark_spark.io import load_table
+from yark_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Association rules (2-itemset support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_RULE_MIN_SUPPORT = 2
+
+_COPURCHASE_ORACLE = (
+    "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+    "n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM b), "
+    "pc AS (SELECT p, count(*) AS c FROM b GROUP BY p), "
+    "pairs AS (SELECT a.p AS pa, b2.p AS pb, count(*) AS c_ab "
+    "FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p GROUP BY a.p, b2.p), "
+    f"freq AS (SELECT * FROM pairs WHERE c_ab >= {_RULE_MIN_SUPPORT}), "
+    "directed AS (SELECT pa AS antecedent, pb AS consequent, c_ab FROM freq "
+    "UNION ALL SELECT pb, pa, c_ab FROM freq) "
+    "SELECT d.antecedent, d.consequent, CAST(d.c_ab AS BIGINT) AS support, "
+    "round(d.c_ab * 1.0 / ca.c, 6) AS confidence, "
+    "round(d.c_ab * 1.0 * n.n_orders / (ca.c * 1.0 * cb.c), 6) AS lift "
+    "FROM directed d "
+    "JOIN pc ca ON ca.p = d.antecedent "
+    "JOIN pc cb ON cb.p = d.consequent "
+    "CROSS JOIN n"
+)
+
+
+@query("q_copurchase_rules", oracle=_COPURCHASE_ORACLE)
+def q_copurchase_rules(spark, sf_dir):
+    """Association-rule mining, 2-itemset stage (the Apriori/FP-growth
+    workhorse): directed part→part rules from order baskets with support,
+    confidence = P(b|a), and lift = P(b|a)/P(b). The recommendation /
+    "frequently bought together" op.
+
+    Plan: baskets reduce to DISTINCT (order, part) first; the pair
+    generator is a SELF-EQUI-JOIN on the order key, so work is
+    Σ_o |basket|² — linear in orders because basket size is bounded by the
+    schema (TPC-H ≤ 7 lines), never a part×part cartesian. Pair counts
+    partial-aggregate before the support filter; per-part counts and the
+    order total are small rollups broadcast back. At 100 TB a hot order
+    (giant basket) is the skew risk — capped/salted exactly like the
+    hot-bucket cap in the MinHash pair join (operators/dedup.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b = b.cache()
+    n_orders = b.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    pc = b.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a, b2 = b.alias("a"), b.alias("b2")
+    pairs = (
+        a.join(b2, (F.col("a.o") == F.col("b2.o")) & (F.col("a.p") < F.col("b2.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b2.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _RULE_MIN_SUPPORT)
+    )
+    directed = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "c_ab"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "c_ab"
+        )
+    )
+    ca = pc.select(F.col("p").alias("antecedent"), F.col("c").alias("c_a"))
+    cb = pc.select(F.col("p").alias("consequent"), F.col("c").alias("c_b"))
+    return (
+        directed.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c_ab").cast("bigint").alias("support"),
+            F.round(F.col("c_ab") * 1.0 / F.col("c_a"), 6).alias("confidence"),
+            F.round(
+                F.col("c_ab") * 1.0 * F.col("n_orders")
+                / (F.col("c_a") * 1.0 * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator quality (precision / recall vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+_PR_TAU = 0.5
+
+_MINHASH_PR_ORACLE = (
+    # exact Jaccard and the 4-hash MinHash estimate over the same bounded
+    # slice and the same md5 hash family as q_minhash_signature /
+    # q_minhash_estimate / q_jaccard_pairs
+    "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok "
+    "FROM documents WHERE doc_id < 20), "
+    "sig AS (SELECT doc_id, min(md5('0' || tok)) AS h0, min(md5('1' || tok)) AS h1, "
+    "min(md5('2' || tok)) AS h2, min(md5('3' || tok)) AS h3 FROM tok GROUP BY doc_id), "
+    "est AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT + (a.h2 = b.h2)::INT "
+    "+ (a.h3 = b.h3)::INT) / 4.0 AS je "
+    "FROM sig a JOIN sig b ON a.doc_id < b.doc_id), "
+    "ts AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s "
+    "FROM documents WHERE doc_id < 20), "
+    "exact AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "len(list_intersect(a.s, b.s)) * 1.0 "
+    "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j "
+    "FROM ts a JOIN ts b ON a.doc_id < b.doc_id), "
+    "conf AS (SELECT e.id_a, e.id_b, "
+    f"(est.je >= {_PR_TAU}) AS pred, (e.j >= {_PR_TAU}) AS truth "
+    "FROM exact e JOIN est ON est.id_a = e.id_a AND est.id_b = e.id_b) "
+    "SELECT CAST(count(*) FILTER (pred AND truth) AS BIGINT) AS tp, "
+    "CAST(count(*) FILTER (pred AND NOT truth) AS BIGINT) AS fp, "
+    "CAST(count(*) FILTER (NOT pred AND truth) AS BIGINT) AS fn, "
+    "CAST(count(*) FILTER (NOT pred AND NOT truth) AS BIGINT) AS tn "
+    "FROM conf"
+)
+
+
+@query("q_minhash_pr", oracle=_MINHASH_PR_ORACLE)
+def q_minhash_pr(spark, sf_dir):
+    """Dedup-quality evaluation: the confusion matrix of the MinHash
+    near-dup PREDICTOR (4-hash estimate ≥ τ) against exact Jaccard ≥ τ on
+    a bounded doc slice — the validation pass a curation pipeline runs
+    before trusting a sketch-based dedup at scale (pairs with more hashes
+    → higher recall; this key pins the measurement itself).
+
+    Reuses the exact md5 hash family of q_minhash_signature and the exact
+    ground truth of q_jaccard_pairs; the threshold compare uses je ≥ 0.5
+    on the k=4 estimate, whose values are exact multiples of 0.25 — no
+    float boundary ambiguity. Both pair joins are on the bounded
+    evaluation slice (id < 20), as any labeled-eval pass would be."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+
+    def _md5_i(i):
+        return lambda t: F.md5(F.concat(F.lit(str(i)), t))
+
+    sig = docs.select(
+        "doc_id",
+        toks.alias("s"),
+        *[F.array_min(F.transform(toks, _md5_i(i))).alias(f"h{i}") for i in range(4)],
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    eq = sum((F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int") for i in range(4))
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        (eq / 4.0 >= F.lit(_PR_TAU)).alias("pred"),
+        (inter * 1.0 / union >= F.lit(_PR_TAU)).alias("truth"),
+    )
+    return pairs.agg(
+        F.count_if(F.col("pred") & F.col("truth")).alias("tp"),
+        F.count_if(F.col("pred") & ~F.col("truth")).alias("fp"),
+        F.count_if(~F.col("pred") & F.col("truth")).alias("fn"),
+        F.count_if(~F.col("pred") & ~F.col("truth")).alias("tn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (irregular series)
+# ---------------------------------------------------------------------------
+
+_TWA_ORACLE = (
+    "WITH g AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us, "
+    "lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments, "
+    "round(sum(value * (nxt - us)) / sum(nxt - us), 6) AS twa "
+    "FROM g WHERE nxt IS NOT NULL GROUP BY user_id"
+)
+
+
+@query("q_time_weighted_avg", oracle=_TWA_ORACLE)
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per user over an IRREGULARLY sampled series —
+    each reading is held until the next one (step interpolation), so the
+    mean weights each value by how long it was in force instead of
+    over-counting burst periods: the correct aggregate for sensor /
+    billing / utilization data, where the plain avg() is simply wrong.
+
+    One per-user window (lead) for segment durations in exact integer
+    microseconds + one partial-agg groupBy — both shuffles key on
+    user_id. Weighted sums accumulate value·μs products; only the final
+    ratio is rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = ev.select(
+        "user_id",
+        "value",
+        us.alias("us"),
+        F.lead(us).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.round(
+            F.sum(F.col("value") * (F.col("nxt") - F.col("us")))
+            / F.sum(F.col("nxt") - F.col("us")),
+            6,
+        ).alias("twa"),
+    )
