@@ -105,3 +105,30 @@ def test_global_row_number_and_ntile_match_window(spark):
             .count()
         )
         assert mismatches == 0, f"ntile n={n}"
+
+
+def test_partitioned_cumsum_boundary_stability_many_partitions(spark):
+    """Regression (round 8): repartitionByRange boundary sampling is not
+    stable across separate evaluations of the same subtree, so the offset
+    branch and the probe branch of partitioned_cumsum could disagree on
+    which partition a boundary value lands in — observed as a constant
+    jump in the running sum at a partition boundary at sf0.1. The
+    localCheckpoint pin makes both consumers read one materialized
+    partitioning; this forces MANY partitions over a small input (maximum
+    boundary pressure) and checks the exact prefix sum, twice."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.packing import partitioned_cumsum
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    s = (
+        ev.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    s.count()
+    out = partitioned_cumsum(s, ["value"], "c", "cum", num_partitions=50)
+    for _ in range(2):  # determinism across re-executions too
+        pdf = out.toPandas().sort_values("value").reset_index(drop=True)
+        assert (pdf.cum.values == pdf.c.cumsum().values).all()
+    s.unpersist()

@@ -84,3 +84,66 @@ def test_time_weighted_avg_constant_series_is_identity(spark):
         (F.sum(F.col("value") * (F.col("nxt") - F.col("us"))) / F.sum(F.col("nxt") - F.col("us"))).alias("twa")
     ).first()
     assert abs(twa.twa - 5.0) < 1e-12
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").select("embedding").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    expect = np.cov(X, rowvar=False)  # sample covariance (ddof=1)
+    got = QUERIES["q_embedding_covariance"](spark, SF).collect()
+    assert len(got) == 64 * 65 // 2
+    for r in got:
+        assert abs(r.cov - expect[r.i - 1, r.j - 1]) < 2e-6, (r.i, r.j)
+
+
+def test_pca_from_covariance_axioms(spark):
+    import numpy as np
+
+    from yark_spark.operators.pca import covariance_to_matrix, pca_from_covariance
+
+    cov = QUERIES["q_embedding_covariance"](spark, SF)
+    cov = cov.cache()
+    m = covariance_to_matrix(cov)
+    vals, vecs, ratio = pca_from_covariance(cov)
+    assert abs(vals.sum() - np.trace(m)) < 1e-8  # eigvals sum to trace
+    assert (np.diff(vals) <= 1e-12).all()  # descending
+    assert abs(ratio.sum() - 1.0) < 1e-8
+    # reconstruction: V diag(L) V^T == M
+    assert np.abs(vecs @ np.diag(vals) @ vecs.T - m).max() < 1e-8
+    # deterministic sign: largest coordinate of each component positive
+    for c in range(vecs.shape[1]):
+        assert vecs[np.argmax(np.abs(vecs[:, c])), c] > 0
+    cov.unpersist()
+
+
+def test_ks_test_matches_scipy_style_bruteforce(spark):
+    import numpy as np
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    a = np.sort(
+        [r.value for r in ev.filter("event_type = 'click'").select("value").collect()]
+    )
+    b = np.sort(
+        [r.value for r in ev.filter("event_type = 'view'").select("value").collect()]
+    )
+    grid = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(a, grid, side="right") / len(a)
+    f2 = np.searchsorted(b, grid, side="right") / len(b)
+    d_expect = np.abs(f1 - f2).max()
+    row = QUERIES["q_ks_test"](spark, SF).first()
+    assert row.n1 == len(a) and row.n2 == len(b)
+    assert abs(row.d_num / (row.n1 * row.n2) - d_expect) < 1e-12
+
+
+def test_gini_matches_bruteforce_and_bounds(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    xs = sorted(r.n_chars for r in docs.select("n_chars").collect())
+    n = len(xs)
+    srx = sum((i + 1) * x for i, x in enumerate(xs))
+    expect = (2.0 * srx) / (n * sum(xs)) - (n + 1.0) / n
+    row = QUERIES["q_gini"](spark, SF).first()
+    assert row.n == n
+    assert abs(row.gini - expect) < 1e-6
+    assert 0 <= row.gini < 1

@@ -35,12 +35,18 @@ def partitioned_cumsum(
     """Inclusive global running sum of ``value_col`` (integral) in
     ``order_cols`` order, as ``out_col`` (long). Scales: see module doc.
 
-    The local-cumsum subtree is evaluated twice (once for the offsets, once
-    as the probe side); both evaluations are deterministic (range
-    partitioner sampling is seeded), and callers with an expensive upstream
-    should persist it. ``order_cols`` must be a total order (add a unique
-    tie-break column) — required for a well-defined prefix sum and for the
-    range partitioner to produce disjoint slices.
+    Correctness-critical: the local-cumsum result is consumed TWICE (once
+    to derive the partition offsets, once as the probe side of the offset
+    join) and ``repartitionByRange`` boundary SAMPLING is not stable
+    across separate evaluations of the same subtree — two evaluations can
+    place a boundary value in different partitions, pairing rows with
+    offsets computed for a different partitioning (observed as a constant
+    jump at a partition boundary at sf0.1). The localCheckpoint pins ONE
+    materialized partitioning that both consumers read. (On a cluster,
+    executor loss invalidates a localCheckpoint — a long-lived production
+    job would use a reliable checkpoint dir instead.) ``order_cols`` must
+    be a total order (add a unique tie-break column) — required for a
+    well-defined prefix sum and for disjoint range slices.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -70,7 +76,7 @@ def partitioned_cumsum(
             pdf["__pid"] = pid
             yield pdf
 
-    local = part.mapInPandas(_cum, schema)
+    local = part.mapInPandas(_cum, schema).localCheckpoint(eager=True)
 
     # partition total = SUM of the values, not max of the running sum —
     # they only coincide for non-negative values; a negative value_col

@@ -213,3 +213,214 @@ def q_time_weighted_avg(spark, sf_dir):
             6,
         ).alias("twa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance matrix (exact integer accumulation)
+# ---------------------------------------------------------------------------
+
+_COV_ORACLE = (
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+    "sums AS (SELECT i, sum(CAST(floor(e[i] * 1000000000 + 0.5) AS BIGINT)) AS s_nanos "
+    "FROM e, generate_series(1, 64) g(i) GROUP BY i), "
+    "prods AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n, "
+    "sum(CAST(floor(e[i] * e[j] * 1000000000000 + 0.5) AS BIGINT)) AS spp "
+    "FROM e, generate_series(1, 64) g1(i), generate_series(1, 64) g2(j) "
+    "WHERE i <= j GROUP BY i, j) "
+    "SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j, "
+    "round((p.spp / 1e12 - (si.s_nanos / 1e9) * (sj.s_nanos / 1e9) / p.n) "
+    "/ (p.n - 1), 6) + 0.0 AS cov "
+    "FROM prods p JOIN sums si ON si.i = p.i JOIN sums sj ON sj.i = p.j"
+)
+
+
+@query("q_embedding_covariance", oracle=_COV_ORACLE)
+def q_embedding_covariance(spark, sf_dir):
+    """Upper-triangular sample covariance matrix of the embedding column —
+    the input to PCA whitening / decorrelation (operators/pca eigen-solves
+    the 64×64 result driver-side, where it is trivially small). Detects
+    redundant/collapsed subspaces before ANN indexing.
+
+    Plan: each vector emits its 64·65/2 upper-triangle products map-side
+    (one nested transform, one explode) into a partial agg keyed by
+    (i, j) — shuffle width = dim², independent of corpus size; per-dim
+    sums are a 64-row rollup joined back broadcast. Cross-engine
+    exactness: per-element terms are quantized to integer picos/nanos
+    (floor(v·1eK + 0.5)) and summed as BIGINTs — decimal rounding of
+    float SUMS diverges between engines, integer sums cannot; the 1e-12
+    per-term quantization is 6 orders below the reported 6dp. Overflow
+    headroom: |term| ≤ 1e12, so ~9e6 rows per (i,j) fit in int64 —
+    a 100 TB run would drop to 1e9 quantization or Welford partials."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ed = emb.select(e.alias("e"))
+    ed = ed.cache()
+    idx = F.sequence(F.lit(0), F.lit(63))
+    sums = (
+        ed.select(F.posexplode("e").alias("i0", "x"))
+        .groupBy((F.col("i0") + 1).alias("i"))
+        .agg(
+            F.sum(F.floor(F.col("x") * F.lit(1e9) + F.lit(0.5)).cast("bigint")).alias(
+                "s_nanos"
+            )
+        )
+    )
+    tri = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(63)),
+                lambda j: F.struct(
+                    (i + 1).alias("i"),
+                    (j + 1).alias("j"),
+                    F.floor(
+                        F.element_at(F.col("e"), i + 1)
+                        * F.element_at(F.col("e"), j + 1)
+                        * F.lit(1e12)
+                        + F.lit(0.5)
+                    )
+                    .cast("bigint")
+                    .alias("pp"),
+                ),
+            ),
+        )
+    )
+    prods = (
+        ed.select(F.explode(tri).alias("t"))
+        .select("t.i", "t.j", "t.pp")
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("pp").alias("spp"))
+    )
+    si = sums.select(F.col("i").alias("i"), F.col("s_nanos").alias("s_i"))
+    sj = sums.select(F.col("i").alias("j"), F.col("s_nanos").alias("s_j"))
+    return (
+        prods.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            # + 0.0 folds IEEE −0.0 to +0.0 (a rounded tiny negative cov
+            # can land on −0.0 in one engine and +0.0 in the other)
+            (
+                F.round(
+                    (
+                        F.col("spp") / F.lit(1e12)
+                        - (F.col("s_i") / F.lit(1e9))
+                        * (F.col("s_j") / F.lit(1e9))
+                        / F.col("n")
+                    )
+                    / (F.col("n") - 1),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov (distributed exact form)
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = (
+    "WITH s AS (SELECT value, sum((event_type = 'click')::INT) AS c1, "
+    "sum((event_type = 'view')::INT) AS c2 "
+    "FROM events WHERE event_type IN ('click', 'view') GROUP BY value), "
+    "t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM s), "
+    "c AS (SELECT value, sum(c1) OVER (ORDER BY value) AS cum1, "
+    "sum(c2) OVER (ORDER BY value) AS cum2 FROM s) "
+    "SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, "
+    "CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num, "
+    "round(max(abs(cum1 * n2 - cum2 * n1)) * 1.0 / (n1 * n2), 6) AS d_stat "
+    "FROM c, t GROUP BY n1, n2"
+)
+
+
+@query("q_ks_test", oracle=_KS_ORACLE)
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two event populations — the distribution-drift gate
+    a data pipeline runs between ingest batches (D = max |F̂₁ − F̂₂|).
+
+    Distributed EXACT form, no single-task global window: per-value
+    counts reduce first (parallel partial agg), then the global running
+    sums over the value order use the two-phase range-partitioned prefix
+    sum of ``operators/packing.partitioned_cumsum`` (the round-2 fix) —
+    every stage is parallel. The ECDF comparison is kept in INTEGERS
+    (|cum1·n2 − cum2·n1|, max, divide once at the end) so no float
+    boundary can flip the argmax between engines."""
+    from yark_spark.operators.packing import partitioned_cumsum
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.groupBy("value").agg(
+        F.count_if(F.col("event_type") == "click").alias("c1"),
+        F.count_if(F.col("event_type") == "view").alias("c2"),
+    )
+    s = s.cache()
+    s.count()  # materialize once; cumsum evaluates its subtree twice
+    totals = s.agg(
+        F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")
+    )
+    c = partitioned_cumsum(s, ["value"], "c1", "cum1")
+    c = partitioned_cumsum(c, ["value"], "c2", "cum2")
+    return (
+        c.crossJoin(F.broadcast(totals))
+        .select(
+            "n1",
+            "n2",
+            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias(
+                "d"
+            ),
+        )
+        .groupBy("n1", "n2")
+        .agg(
+            F.max("d").cast("bigint").alias("d_num"),
+            F.round(F.max("d") * 1.0 / (F.col("n1") * F.col("n2")), 6).alias(
+                "d_stat"
+            ),
+        )
+        .select("n1", "n2", "d_num", "d_stat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient (corpus-length inequality)
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = (
+    "WITH r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rk "
+    "FROM documents), "
+    "t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(n_chars) AS sx, "
+    "sum(rk * n_chars) AS srx FROM r) "
+    "SELECT n, CAST(sx AS BIGINT) AS total_chars, "
+    "round((2.0 * srx) / (n * 1.0 * sx) - (n + 1.0) / n, 6) AS gini FROM t"
+)
+
+
+@query("q_gini", oracle=_GINI_ORACLE)
+def q_gini(spark, sf_dir):
+    """Gini coefficient of the document-length distribution — the
+    inequality summary of a data-mix audit (0 = uniform corpus, →1 = a
+    few giant documents hold all the mass), computed from the rank form
+    G = 2·Σ rᵢxᵢ / (n·Σxᵢ) − (n+1)/n.
+
+    Global ranks come from ``operators/packing.global_row_number`` (the
+    two-phase range-partitioned prefix counter — no single-task window);
+    every accumulator (Σx, Σ r·x) is INTEGER, so both engines agree
+    exactly and only the final ratio is rounded."""
+    from yark_spark.operators.packing import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_row_number(docs, ["n_chars", "doc_id"], "rk")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            (2.0 * F.sum(F.col("rk") * F.col("n_chars")))
+            / (F.count(F.lit(1)) * 1.0 * F.sum("n_chars"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
