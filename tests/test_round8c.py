@@ -147,3 +147,18 @@ def test_gini_matches_bruteforce_and_bounds(spark):
     assert row.n == n
     assert abs(row.gini - expect) < 1e-6
     assert 0 <= row.gini < 1
+
+
+def test_exact_median_matches_builtin(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    expect = li.agg(F.round(F.median("l_extendedprice"), 4)).first()[0]
+    row = QUERIES["q_exact_median_global"](spark, SF).first()
+    assert row.median_price == expect
+    assert row.n == li.count()
+
+
+def test_zipf_slope_axioms(spark):
+    row = QUERIES["q_zipf_slope"](spark, SF).first()
+    assert row.vocab > 0
+    assert row.zipf_slope <= 0  # frequency never increases with rank
+    assert 0 <= row.r2 <= 1

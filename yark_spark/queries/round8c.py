@@ -424,3 +424,93 @@ def q_gini(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact global median (distributed selection, no per-group collect)
+# ---------------------------------------------------------------------------
+
+_GLOBAL_MEDIAN_ORACLE = (
+    "SELECT CAST(count(*) AS BIGINT) AS n, "
+    "round(median(l_extendedprice), 4) AS median_price FROM lineitem"
+)
+
+
+@query("q_exact_median_global", oracle=_GLOBAL_MEDIAN_ORACLE)
+def q_exact_median_global(spark, sf_dir):
+    """EXACT median of a whole fact column by distributed selection — the
+    100 TB form: Spark's builtin ``median``/``percentile`` buffers each
+    group's values in one aggregator (fine per small group, q_median_by_group;
+    fatal for one global group over a fact table). Here: per-value counts
+    partial-aggregate (value cardinality ≤ data size), the two-phase
+    range-partitioned prefix sum of ``operators/packing`` turns them into
+    exact global positions, and the median is the min value whose running
+    count reaches each middle position — interpolating the two middles for
+    even n, matching the engines' interpolated median definition. Every
+    stage is parallel; nothing ever holds the column in one task."""
+    from yark_spark.operators.packing import partitioned_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    counts = li.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.cache()
+    n = counts.agg(F.sum("c").cast("bigint").alias("n"))
+    cum = partitioned_cumsum(counts, ["v"], "c", "cum")
+    with_n = cum.crossJoin(F.broadcast(n))
+    k1 = (F.col("n") + 1) / 2  # lower middle (1-based)
+    k2 = (F.col("n") + 2) / 2  # upper middle
+    lo = with_n.filter(F.col("cum") >= F.floor(k1)).agg(F.min("v").alias("lo"))
+    hi = with_n.filter(F.col("cum") >= F.floor(k2)).agg(F.min("v").alias("hi"))
+    return (
+        n.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n",
+            F.round((F.col("lo") + F.col("hi")) / 2.0, 4).alias("median_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope of the token rank–frequency curve
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = (
+    "WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents), "
+    "c AS (SELECT t, count(*) AS n FROM tok GROUP BY t), "
+    "r AS (SELECT n, row_number() OVER (ORDER BY n DESC, t) AS rk FROM c) "
+    "SELECT CAST(count(*) AS BIGINT) AS vocab, "
+    "round(regr_slope(ln(n), ln(rk)), 4) AS zipf_slope, "
+    "round(regr_r2(ln(n), ln(rk)), 6) AS r2 FROM r"
+)
+
+
+@query("q_zipf_slope", oracle=_ZIPF_ORACLE)
+def q_zipf_slope(spark, sf_dir):
+    """Zipf fit of the corpus token distribution: OLS slope of
+    ln(freq) ~ ln(rank) — natural text sits near −1; a synthetic or
+    template-heavy corpus (like this fixture's ~31-token vocabulary)
+    shows up immediately as a flat slope with low R². The linguistic
+    sanity gauge of a corpus audit.
+
+    Token counts reduce map-side to the vocabulary (the only shuffle that
+    scales with data); ranks over the count table use the distributed
+    prefix counter (``global_row_number`` on (−n, token) — no single-task
+    window even if the vocabulary is large); the regression is one
+    partial-agg fold."""
+    from yark_spark.operators.packing import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("neg_n", -F.col("n"))
+    )
+    ranked = global_row_number(c, ["neg_n", "t"], "rk")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.round(F.regr_slope(F.log("n"), F.log("rk")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("n"), F.log("rk")), 6).alias("r2"),
+    )
