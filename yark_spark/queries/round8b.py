@@ -240,14 +240,18 @@ _EWMA_ORACLE = (
     + " FROM events) "
     "SELECT event_id, user_id, round(("
     + " + ".join(
-        f"coalesce(v{i} * {_ewma_w[i]!r}, 0)" if i else f"value * {_ewma_w[0]!r}"
+        # the i=0 (current-row) term is coalesced like every lag so a NULL
+        # reading degrades to "average of what's present" on BOTH engines
+        f"coalesce(v{i} * {_ewma_w[i]!r}, 0)"
+        if i
+        else f"coalesce(value * {_ewma_w[0]!r}, 0)"
         for i in range(_EWMA_LAGS)
     )
     + ") / ("
     + " + ".join(
         f"(CASE WHEN v{i} IS NOT NULL THEN {_ewma_w[i]!r} ELSE 0 END)"
         if i
-        else f"{_ewma_w[0]!r}"
+        else f"(CASE WHEN value IS NOT NULL THEN {_ewma_w[0]!r} ELSE 0 END)"
         for i in range(_EWMA_LAGS)
     )
     + "), 6) AS ewma FROM l"
