@@ -80,13 +80,16 @@ def scaled_table(spark, src: str, table: str, copies: int):
             # labels and the within-cluster pair join grows quadratically,
             # measuring the data artifact instead of the operator.
             part = part.withColumn("label", (F.col("label") + F.lit(c * 10)).cast("int"))
-        if table == "customer" and c > 0:
+        if table == "customer":
             # names embed the key (Customer#%09d) — recompute from the
             # SHIFTED key so name-keyed blocks (fuzzy match) stay bounded
-            # instead of every copy duplicating the same name ×N.
+            # instead of every copy duplicating the same name ×N. Width 12
+            # (not the source's 9) because ≥10 copies shift keys past 9
+            # digits and lpad would TRUNCATE, colliding names; applied to
+            # every copy (incl. 0) so all names share one format.
             part = part.withColumn(
                 "c_name",
-                F.concat(F.lit("Customer#"), F.lpad(F.col("c_custkey").cast("string"), 9, "0")),
+                F.concat(F.lit("Customer#"), F.lpad(F.col("c_custkey").cast("string"), 12, "0")),
             )
         parts.append(part)
     out = parts[0]

@@ -240,7 +240,10 @@ def test_shuffle_rank_no_single_task_window(spark, sf_dir):
     global window."""
     df = QUERIES["q_shuffle_rank"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert "rangepartitioning" in plan.lower(), plan
+    # round 8b: the range-partitioned cumsum is eager behind a
+    # localCheckpoint (boundary-sampling fix); the checkpointed scan is
+    # its signature in the lazy plan (tests/test_packing.py pins behavior)
+    assert "localCheckpoint" in plan, plan
     # the corpus-side cumsum windows over the partition id, and the
     # per-partition TOTALS (|partitions| rows, tiny by design) broadcast
     # back — the broadcast join is the signature of the two-pass shape

@@ -112,7 +112,7 @@ def test_customer_names_track_shifted_keys(spark):
     cust = scaled_table(spark, SRC, "customer", COPIES)
     bad = cust.filter(
         F.col("c_name")
-        != F.concat(F.lit("Customer#"), F.lpad(F.col("c_custkey").cast("string"), 9, "0"))
+        != F.concat(F.lit("Customer#"), F.lpad(F.col("c_custkey").cast("string"), 12, "0"))
     ).count()
     assert bad == 0
     assert cust.select("c_name").distinct().count() == cust.count()
