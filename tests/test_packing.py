@@ -81,6 +81,47 @@ def test_partitioned_cumsum_negative_values(spark):
         assert got == expected, f"num_partitions={n}"
 
 
+def test_local_cumsum_plan_is_range_partitioned_mapinpandas(spark):
+    """ADVICE r8: the eager localCheckpoint in partitioned_cumsum truncates
+    the lineage the plan tests used to pin, so the distributed shape must
+    be asserted on the PRE-checkpoint subtree. _local_cumsum is exactly
+    that subtree: RANGE partitioning on the order cols feeding a map-only
+    MapInPandas — never a single-task unpartitioned window."""
+    import pandas as pd
+
+    from yark_spark.operators.packing import _local_cumsum
+    from yark_spark.plans.explain import formatted_plan
+
+    pdf = pd.DataFrame({"k": range(100), "v": [1] * 100})
+    df = spark.createDataFrame(pdf)
+    plan = formatted_plan(_local_cumsum(df, ["k"], "v", "cum", num_partitions=8))
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "rangepartitioning" in phys.lower(), plan
+    assert "MapInPandas" in phys, plan
+    # no Window node touches the data rows in this subtree
+    assert "Window" not in phys, plan
+
+
+def test_release_cumsum_checkpoints_frees_tracked_blocks(spark):
+    """partitioned_cumsum retains its checkpointed intermediate for the
+    session; release_cumsum_checkpoints() must free every tracked one
+    exactly once (second call is a no-op returning 0)."""
+    import pandas as pd
+
+    from yark_spark.operators import packing
+
+    packing.release_cumsum_checkpoints()  # clean slate from earlier tests
+    pdf = pd.DataFrame({"k": range(50), "v": [1] * 50})
+    df = spark.createDataFrame(pdf)
+    out = packing.partitioned_cumsum(df, ["k"], "v", "cum", num_partitions=4)
+    out.count()  # materialize the consumer before releasing
+    n = len(packing._CHECKPOINTED)
+    assert n >= 1
+    assert packing.release_cumsum_checkpoints() == n
+    assert packing.release_cumsum_checkpoints() == 0
+    assert packing._CHECKPOINTED == []
+
+
 def test_global_row_number_and_ntile_match_window(spark):
     """global_row_number + ntile_expr reproduce Spark's own row_number() and
     ntile() for several N (exercising uneven tile sizes)."""

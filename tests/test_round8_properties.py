@@ -95,16 +95,25 @@ def test_gini_rank_form_bounds_and_invariance(xs):
 
 @given(
     weights=st.lists(st.integers(1, 20), min_size=2, max_size=20),
+    d=st.integers(1, 1000),
     values=st.data(),
 )
 @settings(max_examples=100, deadline=None)
-def test_time_weighted_avg_reduces_to_plain_avg_on_equal_gaps(weights, values):
-    """With equal segment durations the TWA equals the plain mean of the
-    held values — the q_time_weighted_avg sanity axiom; with unequal
-    durations it equals the duration-weighted mean by construction."""
+def test_time_weighted_avg_reduces_to_plain_avg_on_equal_gaps(weights, d, values):
+    """With ALL segment durations equal to a drawn constant d the
+    duration-weighted formula sum(v*d)/(d*n) must reduce to the plain mean
+    of the held values (the q_time_weighted_avg sanity axiom), and the TWA
+    must be invariant to rescaling every duration by the same factor —
+    both exercised through the weighted formula itself, not an identical
+    re-derivation (ADVICE r8: the old form compared a value to itself)."""
     vals = [values.draw(st.floats(0, 100, allow_nan=False)) for _ in weights]
-    equal = sum(v * 1 for v in vals) / len(vals)
-    twa_equal = sum(v * 1 for v in vals) / (1 * len(vals))
-    assert abs(twa_equal - equal) < 1e-9
+    n = len(vals)
+    twa_equal = sum(v * d for v in vals) / (d * n)
+    plain_mean = sum(vals) / n
+    assert abs(twa_equal - plain_mean) < 1e-6
     twa = sum(v * w for v, w in zip(vals, weights)) / sum(weights)
+    twa_scaled = sum(v * w * d for v, w in zip(vals, weights)) / sum(
+        w * d for w in weights
+    )
+    assert abs(twa - twa_scaled) < 1e-6
     assert min(vals) - 1e-9 <= twa <= max(vals) + 1e-9

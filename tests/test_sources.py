@@ -61,6 +61,64 @@ def test_shard_json_array_roundtrips_adversarial_content(tmp_path):
     assert back == rows
 
 
+def test_shard_json_array_parallel_matches_sequential_bytes(tmp_path):
+    """Differential oracle for the speculative parallel scanner (round 9):
+    on adversarial content — escaped quotes, backslash runs ending exactly
+    at chunk seams, braces/brackets inside strings, records spanning many
+    chunks — the parallel stage must produce BYTE-IDENTICAL shards to the
+    sequential scanner, for several chunk sizes and worker counts."""
+    import json
+
+    from yark_spark.sources.takeout import (
+        shard_json_array,
+        shard_json_array_sequential,
+    )
+
+    rows = [
+        {"titleUrl": "https://x/watch?v=a{b}c", "time": "2024-01-01T00:00:00Z"},
+        {"titleUrl": 'q" \\ "\\\\', "time": "t]}"},
+        {"titleUrl": None, "nested": {"a": [1, {"b": "}"}], "c": "[{"}, "time": "x"},
+        {"titleUrl": "emoji é中文" + "\\" * 9, "time": "\\\\\""},
+        {"deep": [[{"x": "]"}], []], "time": "ok"},
+        {"big": "z" * 4000, "time": "t"},
+    ] * 120
+    src = tmp_path / "wh.json"
+    src.write_text(json.dumps(rows))
+    ref = shard_json_array_sequential(
+        str(src), str(tmp_path / "seq"), shard_bytes=30_000, chunk_bytes=777
+    )
+    ref_bytes = [open(p, "rb").read() for p in ref]
+    for chunk_bytes in (313, 4096, 1 << 20):
+        for workers in (1, 4):
+            out_dir = tmp_path / f"par_{chunk_bytes}_{workers}"
+            got = shard_json_array(
+                str(src),
+                str(out_dir),
+                shard_bytes=30_000,
+                chunk_bytes=chunk_bytes,
+                max_workers=workers,
+            )
+            assert len(got) == len(ref), (chunk_bytes, workers)
+            for rp, gp in zip(ref_bytes, got):
+                assert open(gp, "rb").read() == rp, (chunk_bytes, workers, gp)
+
+
+def test_shard_json_array_empty_array(tmp_path):
+    """An empty top-level array stages to exactly one empty shard on both
+    paths (the Spark JSONL scan of an empty file yields 0 rows)."""
+    from yark_spark.sources.takeout import (
+        shard_json_array,
+        shard_json_array_sequential,
+    )
+
+    src = tmp_path / "empty.json"
+    src.write_text("[]")
+    seq = shard_json_array_sequential(str(src), str(tmp_path / "seq"))
+    par = shard_json_array(str(src), str(tmp_path / "par"), chunk_bytes=1)
+    assert len(seq) == len(par) == 1
+    assert open(seq[0], "rb").read() == open(par[0], "rb").read() == b""
+
+
 def test_sharded_watch_history_matches_multiline_and_parallelizes(spark, tmp_path):
     """The sharded ingest path must produce exactly read_watch_history's
     rows AND scan with more than one task (the single-task multiLine scan

@@ -24,30 +24,45 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
+#: DataFrames localCheckpoint-ed by ``partitioned_cumsum`` this session.
+#: Checkpointed RDD blocks live in executor storage until released; a
+#: long-lived session (REPL, test suite, streaming driver) that builds many
+#: prefix sums should call :func:`release_cumsum_checkpoints` once the
+#: results have been fully materialized/persisted downstream.
+_CHECKPOINTED: list[DataFrame] = []
 
-def partitioned_cumsum(
+
+def release_cumsum_checkpoints() -> int:
+    """Unpersist every checkpointed intermediate created by
+    ``partitioned_cumsum`` so far. ONLY call this after every DataFrame
+    returned by ``partitioned_cumsum`` / ``global_row_number`` has been
+    fully materialized (collected, written, or re-persisted) — the
+    returned plans read the checkpointed blocks on every evaluation.
+    Returns the number of intermediates released."""
+    n = len(_CHECKPOINTED)
+    while _CHECKPOINTED:
+        df = _CHECKPOINTED.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
+
+def _local_cumsum(
     df: DataFrame,
     order_cols: list[str],
     value_col: str,
     out_col: str,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Inclusive global running sum of ``value_col`` (integral) in
-    ``order_cols`` order, as ``out_col`` (long). Scales: see module doc.
-
-    Correctness-critical: the local-cumsum result is consumed TWICE (once
-    to derive the partition offsets, once as the probe side of the offset
-    join) and ``repartitionByRange`` boundary SAMPLING is not stable
-    across separate evaluations of the same subtree — two evaluations can
-    place a boundary value in different partitions, pairing rows with
-    offsets computed for a different partitioning (observed as a constant
-    jump at a partition boundary at sf0.1). The localCheckpoint pins ONE
-    materialized partitioning that both consumers read. (On a cluster,
-    executor loss invalidates a localCheckpoint — a long-lived production
-    job would use a reliable checkpoint dir instead.) ``order_cols`` must
-    be a total order (add a unique tie-break column) — required for a
-    well-defined prefix sum and for disjoint range slices.
-    """
+    """The PRE-checkpoint distributed plan: range-repartition on the order
+    columns, then a map-only Arrow-batched per-partition running sum that
+    also tags each row with its partition id. Exposed separately so tests
+    can pin the plan shape (RangePartitioning + MapInPandas, never a
+    single-task global window) — the eager localCheckpoint in
+    ``partitioned_cumsum`` truncates visible lineage, so the shape must be
+    asserted on this subtree."""
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     part = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).sortWithinPartitions(
@@ -76,7 +91,42 @@ def partitioned_cumsum(
             pdf["__pid"] = pid
             yield pdf
 
-    local = part.mapInPandas(_cum, schema).localCheckpoint(eager=True)
+    return part.mapInPandas(_cum, schema)
+
+
+def partitioned_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive global running sum of ``value_col`` (integral) in
+    ``order_cols`` order, as ``out_col`` (long). Scales: see module doc.
+
+    Correctness-critical: the local-cumsum result is consumed TWICE (once
+    to derive the partition offsets, once as the probe side of the offset
+    join) and ``repartitionByRange`` boundary SAMPLING is not stable
+    across separate evaluations of the same subtree — two evaluations can
+    place a boundary value in different partitions, pairing rows with
+    offsets computed for a different partitioning (observed as a constant
+    jump at a partition boundary at sf0.1). The localCheckpoint pins ONE
+    materialized partitioning that both consumers read. (On a cluster,
+    executor loss invalidates a localCheckpoint — a long-lived production
+    job would use a reliable checkpoint dir instead.) ``order_cols`` must
+    be a total order (add a unique tie-break column) — required for a
+    well-defined prefix sum and for disjoint range slices.
+
+    Side effects (by design — the correctness fix above requires them):
+    calling this function runs a Spark job EAGERLY at plan-build time (the
+    checkpoint materializes the partitioned cumsum), and the checkpointed
+    blocks stay in executor storage until :func:`release_cumsum_checkpoints`
+    is called or the session ends. Long-lived sessions that build many
+    prefix sums should release once downstream consumers are materialized.
+    """
+    local = _local_cumsum(df, order_cols, value_col, out_col, num_partitions)
+    local = local.localCheckpoint(eager=True)
+    _CHECKPOINTED.append(local)
 
     # partition total = SUM of the values, not max of the running sum —
     # they only coincide for non-negative values; a negative value_col

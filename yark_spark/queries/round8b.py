@@ -96,8 +96,12 @@ def q_semdedup(spark, sf_dir):
         F.col("embedding").alias("e_b"),
         _norm(F.col("embedding")).alias("n_b"),
     )
+    # No broadcast hint: both sides are the full embeddings table, which
+    # grows with the corpus — broadcasting it would OOM at scale. The label
+    # equi-key already gives Catalyst a shuffled hash/sort-merge join
+    # (no CartesianProduct; pinned by the registry-wide plan lint).
     pairs = a.join(
-        F.broadcast(b),
+        b,
         (F.col("l_a") == F.col("label")) & (F.col("keep_id") < F.col("vec_id")),
     ).select(
         "vec_id",

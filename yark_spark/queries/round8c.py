@@ -370,14 +370,21 @@ def q_ks_test(spark, sf_dir):
         .select(
             "n1",
             "n2",
-            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias(
-                "d"
-            ),
+            # decimal(38,0) headroom (ADVICE r8): the cross products cum·n
+            # overflow int64 once n1·n2 > ~9.2e18 (samples of ~3e9 rows each,
+            # reachable at the 100 TB envelope); DuckDB promotes to int128 so
+            # the oracle would silently diverge. 38 digits covers n ~ 1e19.
+            F.abs(
+                F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+                - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+            ).alias("d"),
         )
         .groupBy("n1", "n2")
         .agg(
             F.max("d").cast("bigint").alias("d_num"),
-            F.round(F.max("d") * 1.0 / (F.col("n1") * F.col("n2")), 6).alias(
+            # n1*1.0*n2 keeps the denominator in double — a bigint product
+            # would hit the same ~9.2e18 ceiling the numerator just escaped
+            F.round(F.max("d") / (F.col("n1") * 1.0 * F.col("n2")), 6).alias(
                 "d_stat"
             ),
         )
@@ -418,7 +425,12 @@ def q_gini(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.round(
-            (2.0 * F.sum(F.col("rk") * F.col("n_chars")))
+            # decimal(38,0) headroom (ADVICE r8): Σ rk·n_chars overflows
+            # int64 around 1e9 docs (rk ~1e9 × n_chars ~1e4 summed); DuckDB
+            # runs the sum in int128, so the engines would silently diverge
+            # right where the 100 TB envelope starts. Only the final ratio
+            # drops to double.
+            (2.0 * F.sum(F.col("rk").cast("decimal(38,0)") * F.col("n_chars")))
             / (F.count(F.lit(1)) * 1.0 * F.sum("n_chars"))
             - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
             6,
