@@ -6,20 +6,30 @@ reference archives real thumbnails as JPEG/WebP blobs
 (`cmds/archive.py:88-91`), and this container ships no PIL/cv2. The
 codec implements ITU-T T.81 baseline sequential DCT:
 
-- ``decode_jpeg``: SOI/APPn/DQT/DHT/SOF0/SOS parsing, Huffman entropy
-  decode (tables read from the FILE, so standard Annex-K streams decode
-  too), 0xFF00 unstuffing, dequantization, inverse zigzag, orthonormal
-  8x8 IDCT, general sampling factors with replication upsampling
-  (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB. Progressive (SOF2),
-  arithmetic coding, restart intervals and 12-bit precision raise
-  NotImplementedError — a documented boundary, not silent corruption.
-- ``encode_jpeg``: the roundtrip half — libjpeg-style quality-scaled
-  Annex-K quantization tables, 4:4:4 (color) or single-component
-  (gray), and GENERATED canonical Huffman tables (fixed-length: 4-bit
-  DC, 9-bit AC) declared in DHT. Generated tables trade compression for
-  zero transcription risk — the decoder reads whatever DHT declares, so
+- ``decode_jpeg``: SOI/APPn/DQT/DHT/SOF0/1/2/SOS parsing, Huffman
+  entropy decode (tables read from the FILE, so standard Annex-K streams
+  decode too), 0xFF00 unstuffing, restart intervals (DRI/RSTn, baseline
+  AND progressive), PROGRESSIVE DCT (SOF2: spectral selection,
+  successive approximation, DC/AC first+refinement scans, EOB runs —
+  round 9, VERDICT r8 next-round #2), dequantization, inverse zigzag,
+  batched orthonormal 8x8 IDCT, general sampling factors with
+  replication upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB.
+  Arithmetic coding (SOF9/10), hierarchical/lossless frames, 16-bit
+  quant tables and 12-bit precision raise NotImplementedError — a
+  documented boundary, not silent corruption.
+- ``encode_jpeg`` / ``encode_jpeg_progressive``: the roundtrip half —
+  libjpeg-style quality-scaled Annex-K quantization tables, 4:4:4
+  (color) or single-component (gray), optional restart intervals, and
+  GENERATED canonical Huffman tables (fixed-length: 4-bit DC, 8-bit AC)
+  declared in DHT. Generated tables trade compression for zero
+  transcription risk — the decoder reads whatever DHT declares, so
   correctness never depends on hard-coded Annex-K code tables. A
-  production encoder would emit the Annex-K tables for size.
+  production encoder would emit the Annex-K tables for size. The
+  progressive encoder emits a 10-scan script (DC first+refine, per-band
+  AC first+refine per component) over the SAME quantized coefficients as
+  the baseline encoder, so progressive-decode output must be bit-equal
+  to baseline-decode output — the constructed-exact oracle for the
+  refinement paths.
 
 Performance posture: the DCT/quant/color stages are vectorized numpy;
 Huffman entropy (de)coding is per-symbol Python — fine for thumbnails
@@ -139,10 +149,19 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_align(self) -> None:
+        """Byte-align with 1-bits (T.81 B.2.1) — before a restart marker."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits per T.81
+            self.write((1 << pad) - 1, pad)
+
+    def raw(self, data: bytes) -> None:
+        """Append marker bytes verbatim (no stuffing); must be aligned."""
+        assert self.nbits == 0
+        self.out += data
+
+    def flush(self) -> bytes:
+        self.pad_align()
         return bytes(self.out)
 
 
@@ -178,6 +197,23 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker at a restart boundary: discard the
+        padding bits of the current byte, then the two marker bytes."""
+        self.acc = 0
+        self.nbits = 0
+        p = self.pos
+        while p + 1 < len(self.data) and self.data[p] == 0xFF and self.data[p + 1] == 0xFF:
+            p += 1  # optional fill bytes
+        if (
+            p + 1 < len(self.data)
+            and self.data[p] == 0xFF
+            and 0xD0 <= self.data[p + 1] <= 0xD7
+        ):
+            self.pos = p + 2
+        else:
+            raise ValueError("expected restart marker")
 
 
 def _magnitude(value: int) -> tuple[int, int]:
@@ -219,9 +255,16 @@ def _blocks(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
-    """Encode uint8 (H, W) grayscale or (H, W, 3) RGB to baseline JPEG
-    (4:4:4, generated Huffman tables — see module docstring)."""
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _quantized_zz(arr: np.ndarray, quality: int):
+    """Shared front half of both encoders: → ``(zz_comps, qts, h, w)``
+    where ``zz_comps[ci]`` is the (n_blocks, 64) int64 array of quantized
+    coefficients in ZIGZAG order (4:4:4, raster block order). Baseline
+    and progressive encode the SAME coefficients — which is what makes
+    the cross-mode bit-equality test an exact oracle."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         planes = [arr.astype(np.float64)]
@@ -234,31 +277,166 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     if h == 0 or w == 0:
         raise ValueError("empty image")
     qts = [_quality_scaled(QUANT_LUMA, quality), _quality_scaled(QUANT_CHROMA, quality)]
-    ncomp = len(planes)
-
-    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
-    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
-
-    # entropy-coded data: components interleaved per MCU (one 8x8 block
-    # per component at 4:4:4)
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    comp_blocks = []
+    zz_comps = []
     for ci, p in enumerate(planes):
         padded = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
         coeffs = np.einsum("ux,nxy,vy->nuv", _D, _blocks(padded), _D)
         q = qts[1 if ci else 0].reshape(8, 8)
         # baseline AC categories stop at size 10: clamp quantized coeffs
         # to ±1023 (only reachable at quality ≈ 100 on synthetic extremes)
-        comp_blocks.append(
-            np.clip(np.round(coeffs / q), -1023, 1023).astype(np.int64)
-        )
+        quant = np.clip(np.round(coeffs / q), -1023, 1023).astype(np.int64)
+        zz_comps.append(quant.reshape(-1, 64)[:, ZIGZAG])
+    return zz_comps, qts, h, w
+
+
+def _emit_headers(
+    ncomp: int, h: int, w: int, qts, sof_marker: int, restart_interval: int
+) -> bytearray:
+    """SOI/APP0/DQT/SOF/DHT[/DRI] — identical for both encoders except
+    the SOF marker (0xFFC0 baseline, 0xFFC2 progressive)."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti in range(2 if ncomp == 3 else 1):
+        zz = qts[ti][ZIGZAG].astype(np.uint8).tobytes()
+        out += _seg(0xFFDB, bytes([ti]) + zz)
+    comps = b"".join(bytes([ci + 1, 0x11, 1 if ci else 0]) for ci in range(ncomp))
+    out += _seg(sof_marker, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
+    for tid in range(2 if ncomp == 3 else 1):
+        for cls, bits, vals in (
+            (0, _ENC_DC_BITS, _ENC_DC_VALS),
+            (1, _ENC_AC_BITS, _ENC_AC_VALS),
+        ):
+            out += _seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    return out
+
+
+def _sos(spec: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    """SOS header: spec = [(comp_id, dc_table, ac_table), ...]."""
+    body = bytes([len(spec)])
+    for cid, td, ta in spec:
+        body += bytes([cid, (td << 4) | ta])
+    return _seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+
+class _RestartWriter:
+    """Wraps a _BitWriter with the per-unit restart protocol: every
+    ``interval`` data units, byte-align (1-padding), emit RST(n mod 8),
+    and tell the caller to reset DC predictors / EOB state."""
+
+    def __init__(self, bw: _BitWriter, interval: int):
+        self.bw = bw
+        self.interval = interval
+        self.unit = 0
+        self.n = 0
+
+    def boundary(self) -> bool:
+        """Call before each data unit; True = state was just reset."""
+        if self.interval and self.unit and self.unit % self.interval == 0:
+            self.bw.pad_align()
+            self.bw.raw(bytes([0xFF, 0xD0 + (self.n % 8)]))
+            self.n += 1
+            self.unit += 1
+            return True
+        self.unit += 1
+        return False
+
+
+def _write_ac_band(bw, blk, ss: int, se: int, al: int, ac_codes) -> None:
+    """AC first-scan band coding (Ah=0): baseline run/size with the
+    point transform applied, per-block EOB (EOBRUN=1, zero extra bits)."""
+    band = [int(blk[k]) for k in range(ss, se + 1)]
+    shifted = [v // (1 << al) if v >= 0 else -((-v) >> al) for v in band]
+    # -((-v) >> al) == truncation toward zero for negatives (T.81 G.1.2.2)
+    nz = [i for i, v in enumerate(shifted) if v]
+    last = nz[-1] + 1 if nz else 0
+    run = 0
+    for v in shifted[:last]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_codes[0xF0]
+            bw.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        length, code = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if last < len(shifted):
+        length, code = ac_codes[0x00]  # EOB (run of 1)
+        bw.write(code, length)
+
+
+def _write_ac_refine(bw, blk, ss: int, se: int, al: int, ac_codes) -> None:
+    """AC refinement coding (Ah=Al+1): newly nonzero coefficients are
+    Huffman-coded with s=1 + sign bit; already-nonzero coefficients
+    append buffered correction bits; per-block EOB flushes the rest —
+    the exact inverse of the decoder's G.1.2.3 correction protocol."""
+    absvals = []
+    eobk = -1
+    for i, k in enumerate(range(ss, se + 1)):
+        t = abs(int(blk[k])) >> al
+        absvals.append(t)
+        if t == 1:
+            eobk = i
+    run = 0
+    pending: list[int] = []
+    for i, k in enumerate(range(ss, se + 1)):
+        t = absvals[i]
+        if t == 0:
+            run += 1
+            continue
+        # the ZRL check runs at ANY nonzero coefficient (before the
+        # history-bit branch): the decoder's 16-zero advance stops at the
+        # 16th zero, so correction bits pended BEFORE those zeros must be
+        # flushed with the ZRL, while this coefficient's own bit belongs
+        # to the NEXT symbol (libjpeg encode_mcu_AC_refine ordering)
+        while run > 15 and i <= eobk:
+            length, code = ac_codes[0xF0]
+            bw.write(code, length)
+            run -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if t > 1:
+            pending.append(t & 1)  # correction bit for a history coeff
+            continue
+        length, code = ac_codes[(run << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(blk[k]) >= 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        length, code = ac_codes[0x00]  # EOB (run of 1)
+        bw.write(code, length)
+        for b in pending:
+            bw.write(b, 1)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85, restart_interval: int = 0) -> bytes:
+    """Encode uint8 (H, W) grayscale or (H, W, 3) RGB to baseline JPEG
+    (4:4:4, generated Huffman tables — see module docstring). A nonzero
+    ``restart_interval`` emits DRI + RSTn markers every that many MCUs."""
+    zz_comps, qts, h, w = _quantized_zz(arr, quality)
+    ncomp = len(zz_comps)
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
 
     bw = _BitWriter()
+    rst = _RestartWriter(bw, restart_interval)
     pred = [0] * ncomp
-    n_blocks = comp_blocks[0].shape[0]
+    n_blocks = zz_comps[0].shape[0]
     for bi in range(n_blocks):
+        if rst.boundary():
+            pred = [0] * ncomp
         for ci in range(ncomp):
-            blk = comp_blocks[ci][bi].reshape(64)[ZIGZAG]
+            blk = zz_comps[ci][bi]
             diff = int(blk[0]) - pred[ci]
             pred[ci] = int(blk[0])
             size, bits = _magnitude(diff)
@@ -266,58 +444,269 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
             bw.write(code, length)
             if size:
                 bw.write(bits, size)
-            run = 0
-            nz = np.flatnonzero(blk[1:])
-            last = int(nz[-1]) + 1 if nz.size else 0
-            for k in range(1, last + 1):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    length, code = ac_codes[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                size, bits = _magnitude(v)
-                length, code = ac_codes[(run << 4) | size]
-                bw.write(code, length)
-                bw.write(bits, size)
-                run = 0
-            if last < 63:
-                length, code = ac_codes[0x00]  # EOB
-                bw.write(code, length)
+            _write_ac_band(bw, blk, 1, 63, 0, ac_codes)
     entropy = bw.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for ti in range(2 if ncomp == 3 else 1):
-        zz = qts[ti][ZIGZAG].astype(np.uint8).tobytes()
-        out += seg(0xFFDB, bytes([ti]) + zz)
-    comps = b"".join(
-        bytes([ci + 1, 0x11, 1 if ci else 0]) for ci in range(ncomp)
-    )
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
-    for cls, bits, vals in ((0, _ENC_DC_BITS, _ENC_DC_VALS), (1, _ENC_AC_BITS, _ENC_AC_VALS)):
-        payload = bytes([cls << 4]) + bytes(bits) + bytes(vals)
-        out += seg(0xFFC4, payload)
-    if ncomp == 3:  # second table pair, identical codes, id 1
-        for cls, bits, vals in ((0, _ENC_DC_BITS, _ENC_DC_VALS), (1, _ENC_AC_BITS, _ENC_AC_VALS)):
-            payload = bytes([(cls << 4) | 1]) + bytes(bits) + bytes(vals)
-            out += seg(0xFFC4, payload)
-    scomps = b"".join(
-        bytes([ci + 1, 0x11 if ci else 0x00]) for ci in range(ncomp)
-    )
-    out += seg(0xFFDA, bytes([ncomp]) + scomps + b"\x00\x3f\x00")
+    out = _emit_headers(ncomp, h, w, qts, 0xFFC0, restart_interval)
+    out += _sos([(ci + 1, 1 if ci else 0, 1 if ci else 0) for ci in range(ncomp)], 0, 63, 0, 0)
     out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """Encode to PROGRESSIVE JPEG (SOF2) with a scan script that
+    exercises every decode path: interleaved DC first scan at Al=1, DC
+    refinement, then per-component AC band scans (1-5, 6-63) at Al=1
+    followed by their refinement scans at Al=0. Quantized coefficients
+    are shared with ``encode_jpeg``, so both decodes must be bit-equal."""
+    zz_comps, qts, h, w = _quantized_zz(arr, quality)
+    ncomp = len(zz_comps)
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    n_blocks = zz_comps[0].shape[0]
+
+    out = _emit_headers(ncomp, h, w, qts, 0xFFC2, restart_interval)
+
+    # scan 1: DC first, all components interleaved, Ah=0, Al=1
+    bw = _BitWriter()
+    rst = _RestartWriter(bw, restart_interval)
+    pred = [0] * ncomp
+    for bi in range(n_blocks):
+        if rst.boundary():
+            pred = [0] * ncomp
+        for ci in range(ncomp):
+            v = int(zz_comps[ci][bi][0]) >> 1  # DC point transform: arith shift
+            diff = v - pred[ci]
+            pred[ci] = v
+            size, bits = _magnitude(diff)
+            length, code = dc_codes[size]
+            bw.write(code, length)
+            if size:
+                bw.write(bits, size)
+    out += _sos([(ci + 1, 1 if ci else 0, 0) for ci in range(ncomp)], 0, 0, 0, 1)
+    out += bw.flush()
+
+    # scan 2: DC refinement (raw bits, no Huffman), Ah=1, Al=0
+    bw = _BitWriter()
+    rst = _RestartWriter(bw, restart_interval)
+    for bi in range(n_blocks):
+        rst.boundary()
+        for ci in range(ncomp):
+            bw.write(int(zz_comps[ci][bi][0]) & 1, 1)
+    out += _sos([(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, 1, 0)
+    out += bw.flush()
+
+    # AC scans: single-component by construction (T.81 G.1.1.1)
+    for ci in range(ncomp):
+        tid = 1 if ci else 0
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            rst = _RestartWriter(bw, restart_interval)
+            for bi in range(n_blocks):
+                rst.boundary()
+                _write_ac_band(bw, zz_comps[ci][bi], ss, se, 1, ac_codes)
+            out += _sos([(ci + 1, 0, tid)], ss, se, 0, 1)
+            out += bw.flush()
+    for ci in range(ncomp):
+        tid = 1 if ci else 0
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            rst = _RestartWriter(bw, restart_interval)
+            for bi in range(n_blocks):
+                rst.boundary()
+                _write_ac_refine(bw, zz_comps[ci][bi], ss, se, 0, ac_codes)
+            out += _sos([(ci + 1, 0, tid)], ss, se, 1, 0)
+            out += bw.flush()
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _ac_first_scan(br, blk, act, ss, se, al, eobrun) -> int:
+    """Progressive AC first scan (Ah=0), one block: T.81 G.1.2.2 —
+    run/size coding with the point transform and EOB runs."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(br, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow")
+            blk[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read_bits(r)
+                return eobrun - 1
+            k += 16  # ZRL
+    return 0
+
+
+def _ac_refine_scan(br, blk, act, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement (Ah=Al+1), one block: T.81 G.1.2.3 —
+    newly nonzero coefficients arrive as s=1 Huffman symbols + sign bit;
+    every already-nonzero coefficient in the path appends one correction
+    bit (mirrors libjpeg's decode_mcu_AC_refine control flow)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(br, act)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid refinement symbol")
+                newval = p1 if br.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read_bits(r)
+                break  # EOB: fall through to the correction tail
+            while k <= se:
+                v = int(blk[k])
+                if v:
+                    if br.read_bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v and br.read_bit() and (v & p1) == 0:
+                blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(frame, scan, coef) -> None:
+    """Entropy-decode one scan into the per-component zigzag coefficient
+    arrays. Handles interleaved (ns>1: MCU geometry) and non-interleaved
+    (ns=1: the component's own block grid — T.81 A.2.2) layouts, restart
+    intervals, and all four progressive scan kinds. Baseline is the
+    degenerate single scan Ss=0..63, Ah=Al=0."""
+    comps = {c["id"]: c for c in frame["comps"]}
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    br = _BitReader(scan["data"])
+    htables = scan["htables"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    progressive = frame["progressive"]
+    ri = scan["ri"]
+    pred = {cid: 0 for cid, _, _ in scan["spec"]}
+    eobrun = 0
+
+    def tables(td, ta):
+        dct = htables.get((0, td))
+        act = htables.get((1, ta))
+        return dct, act
+
+    def decode_block(blk, cid, dct, act):
+        nonlocal eobrun
+        if not progressive:
+            size = _read_symbol(br, dct)
+            pred[cid] += _extend(br.read_bits(size), size)
+            blk[0] = pred[cid]
+            k = 1
+            while k < 64:
+                rs = _read_symbol(br, act)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                blk[k] = _extend(br.read_bits(size), size)
+                k += 1
+        elif ss == 0:
+            if ah == 0:  # DC first: arithmetic-shifted diffs
+                size = _read_symbol(br, dct)
+                pred[cid] += _extend(br.read_bits(size), size)
+                blk[0] = pred[cid] << al
+            else:  # DC refinement: one raw bit
+                if br.read_bit():
+                    blk[0] = int(blk[0]) | (1 << al)
+        elif ah == 0:
+            eobrun = _ac_first_scan(br, blk, act, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_scan(br, blk, act, ss, se, al, eobrun)
+
+    def maybe_restart(unit):
+        nonlocal eobrun
+        if ri and unit and unit % ri == 0:
+            br.restart()
+            for cid in pred:
+                pred[cid] = 0
+            eobrun = 0
+
+    if len(scan["spec"]) > 1:  # interleaved: MCU order
+        mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(unit)
+                unit += 1
+                for cid, td, ta in scan["spec"]:
+                    c = comps[cid]
+                    dct, act = tables(td, ta)
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(
+                                coef[cid][my * c["v"] + by, mx * c["h"] + bx],
+                                cid,
+                                dct,
+                                act,
+                            )
+    else:  # non-interleaved: the component's own block grid
+        cid, td, ta = scan["spec"][0]
+        c = comps[cid]
+        dct, act = tables(td, ta)
+        cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+        ch = (frame["h"] * c["v"] + vmax - 1) // vmax
+        nbx = (cw + 7) // 8
+        nby = (ch + 7) // 8
+        unit = 0
+        for byy in range(nby):
+            for bxx in range(nbx):
+                maybe_restart(unit)
+                unit += 1
+                decode_block(coef[cid][byy, bxx], cid, dct, act)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to uint8 (H, W) or (H, W, 3)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG — restart
+    intervals included — to uint8 (H, W) or (H, W, 3)."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -325,7 +714,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
-    scan = None
+    scans: list[dict] = []
+    ri = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -359,7 +749,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 fwd = _canonical_codes(bits, vals)
                 htables[(cls, tid)] = {lc: sym for sym, lc in fwd.items()}
                 sp += 17 + nvals
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("12-bit precision")
@@ -367,23 +757,54 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential DCT (SOF0/1)")
-        elif marker == 0xDD:  # DRI
-            (interval,) = struct.unpack_from(">H", seg, 0)
-            if interval:
-                raise NotImplementedError("restart intervals")
+            frame = {
+                "h": fh,
+                "w": fw,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/progressive Huffman DCT (SOF0/1/2); "
+                "arithmetic coding and hierarchical/lossless frames unsupported"
+            )
+        elif marker == 0xDD:  # DRI — applies to following scans
+            (ri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            spec = {}
+            spec = []
             for ci in range(ns):
                 cid, tt = seg[1 + 2 * ci : 3 + 2 * ci]
-                spec[cid] = (tt >> 4, tt & 0x0F)
-            scan = {"spec": spec, "start": pos + seglen}
-            break
+                spec.append((cid, tt >> 4, tt & 0x0F))
+            sss, sse, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            start = pos + seglen
+            p = start
+            n = len(data)
+            while p < n:  # entropy data ends at the first non-RST marker
+                if (
+                    data[p] == 0xFF
+                    and p + 1 < n
+                    and data[p + 1] != 0x00
+                    and not (0xD0 <= data[p + 1] <= 0xD7)
+                ):
+                    break
+                p += 1
+            scans.append(
+                {
+                    "spec": spec,
+                    "ss": sss,
+                    "se": sse,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0x0F,
+                    "data": data[start:p],
+                    "htables": dict(htables),
+                    "ri": ri,
+                }
+            )
+            pos = p
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("no SOF/SOS found")
 
     comps = frame["comps"]
@@ -391,62 +812,31 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     vmax = max(c["v"] for c in comps)
     mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
     mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
-    planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
+    # per-component quantized coefficients in zigzag order, accumulated
+    # across scans (progressive refinement is bitwise on these ints)
+    coef = {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
     }
-    br = _BitReader(data[scan["start"] :])
-
-    def read_symbol(table: dict[tuple[int, int], int]) -> int:
-        code, length = 0, 0
-        while length < 17:
-            code = (code << 1) | br.read_bit()
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
-
-    pred = {c["id"]: 0 for c in comps}
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for c in comps:
-                td, ta = scan["spec"][c["id"]]
-                dct_t, act_t = htables[(0, td)], htables[(1, ta)]
-                q = qtables[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64)
-                        size = read_symbol(dct_t)
-                        diff = _extend(br.read_bits(size), size)
-                        pred[c["id"]] += diff
-                        zz[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = read_symbol(act_t)
-                            run, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if run == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(br.read_bits(size), size)
-                            k += 1
-                        nat = np.zeros(64)
-                        nat[ZIGZAG] = zz
-                        block = _D.T @ ((nat * q).reshape(8, 8)) @ _D + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+    for scan in scans:
+        _decode_scan(frame, scan, coef)
 
     h, w = frame["h"], frame["w"]
     full = {}
     for c in comps:
-        p = planes[c["id"]]
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        full[c["id"]] = p[:h, :w]
+        q = qtables[c["tq"]]
+        zz = coef[c["id"]].astype(np.float64)
+        nby, nbx = zz.shape[:2]
+        nat = np.zeros_like(zz)
+        nat[..., ZIGZAG] = zz
+        blocks = (nat * q).reshape(nby, nbx, 8, 8)
+        # batched orthonormal IDCT: D.T @ B @ D for every block at once
+        out = np.einsum("ux,ghuv,vy->ghxy", _D, blocks, _D) + 128.0
+        plane = out.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full[c["id"]] = plane[:h, :w]
     if len(comps) == 1:
         only = full[comps[0]["id"]]
         return np.clip(only + 0.5, 0, 255).astype(np.uint8)

@@ -9,9 +9,9 @@ is real, and decode is real for uncompressed PGM/PPM/BMP (pure-numpy
 parser, driver hash-matched via q_image_decode) AND for baseline JPEG —
 the format the reference's thumbnails actually use — via the pure-numpy
 T.81 codec in operators/jpeg (hash-matched via q_image_decode_jpeg on a
-constructed-exact roundtrip). WebP/PNG/progressive-JPEG still raise
-NotImplementedError; fake_image_features remains the deterministic
-stand-in for those paths.
+constructed-exact roundtrip) — including PROGRESSIVE JPEG and restart
+intervals since round 9. WebP/PNG still raise NotImplementedError;
+fake_image_features remains the deterministic stand-in for those paths.
 
 Scale notes: binary rows are big — keep them out of shuffles. All feature
 extraction here is map-only (mapInPandas, no keys), and downstream joins
@@ -143,7 +143,7 @@ def _make_decoder():
             return _decode_jpeg(payload)
         raise NotImplementedError(
             "decodable without an image library: uncompressed PGM/PPM/BMP "
-            "and baseline JPEG; plug PIL/cv2 in for WebP/PNG/progressive"
+            "and baseline/progressive JPEG; plug PIL/cv2 in for WebP/PNG"
         )
 
     return decode
@@ -478,7 +478,11 @@ def decode_audio_features(
 
 
 def with_jpeg_payload(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    progressive: bool = False,
+    restart_interval: int = 0,
 ) -> DataFrame:
     """Deterministic JPEG fixture column: a 16x16 grayscale image whose
     four 8x8 blocks are CONSTANT at the ascii codes of the doc's first
@@ -490,13 +494,23 @@ def with_jpeg_payload(
     reconstructs the constant bit-exactly. That turns the whole
     encode→Huffman→decode pipeline into something a SQL oracle can
     hash-match (q_image_decode_jpeg), the same trick q_audio_decode uses
-    for RMS. Map-only mapInPandas; the jpeg module ships by value."""
+    for RMS. ``progressive`` / ``restart_interval`` switch the encoding
+    to SOF2 scan scripts and DRI/RSTn markers (q_image_decode_jpeg_prog)
+    — same exactness argument, different entropy structure. Map-only
+    mapInPandas; the jpeg module ships by value."""
     from pyspark import cloudpickle as _cp
 
     from yark_spark.operators import jpeg as _jpeg_mod
 
     _cp.register_pickle_by_value(_jpeg_mod)
-    encode = _jpeg_mod.encode_jpeg
+    if progressive:
+        _enc_fn = _jpeg_mod.encode_jpeg_progressive
+    else:
+        _enc_fn = _jpeg_mod.encode_jpeg
+    _ri = restart_interval
+
+    def encode(img, quality):
+        return _enc_fn(img, quality=quality, restart_interval=_ri)
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
