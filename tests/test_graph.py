@@ -1,0 +1,90 @@
+"""operators/graph.pagerank: convergence, dangling mass, oracle-twin
+equivalence (round 9, VERDICT r8 next-round #5)."""
+
+import numpy as np
+import pytest
+
+
+def _numpy_pagerank(edges, damp=0.85, tol=1e-12, max_iters=500):
+    """Dense power-iteration reference with uniform dangling
+    redistribution; returns (nodes, ranks, iterations)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    pr = np.full(n, 1.0 / n)
+    it = 0
+    for it in range(1, max_iters + 1):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[idx[d]] += pr[idx[s]] / out[idx[s]]
+        dangling = pr[out == 0].sum()
+        new = (1 - damp) / n + damp * (contrib + dangling / n)
+        delta = np.abs(new - pr).sum()
+        pr = new
+        if delta < tol:
+            break
+    return nodes, pr, it
+
+
+# chain + cross links: slow-mixing, so 3 iterations are visibly
+# unconverged and the tolerance loop must run well past them
+CHAIN_EDGES = [(f"n{i}", f"n{i + 1}") for i in range(20)] + [
+    ("n20", "n0"),
+    ("n5", "n0"),
+    ("n13", "n2"),
+]
+
+
+def test_pagerank_converges_past_fixed_iterations(spark):
+    from yark_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(CHAIN_EDGES, "src string, dst string")
+    ranks, iters = pagerank(edges, damp=0.7, tol=1e-6, max_iters=100, checkpoint_every=5)
+    got = {r["node"]: r["pr"] for r in ranks.collect()}
+
+    nodes, ref, _ = _numpy_pagerank(CHAIN_EDGES, damp=0.7, tol=1e-13)
+    ref_map = dict(zip(nodes, ref))
+    # 3 iterations are visibly unconverged on this graph...
+    _, ref3, _ = _numpy_pagerank(CHAIN_EDGES, damp=0.7, tol=0.0, max_iters=3)
+    assert np.abs(ref3 - ref).sum() > 1e-3
+    # ...and the operator ran past them and matched the stationary vector
+    assert iters > 3
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    for n in nodes:
+        assert got[n] == pytest.approx(ref_map[n], abs=1e-6), n
+
+
+def test_pagerank_redistributes_dangling_mass(spark):
+    """A graph with a SINK (no outgoing edges): without the dangling
+    term, rank mass leaks every iteration and the vector sums below 1."""
+    from yark_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]  # d is a sink
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ranks, _ = pagerank(df, damp=0.7, tol=1e-8, max_iters=200)
+    got = {r["node"]: r["pr"] for r in ranks.collect()}
+    nodes, ref, _ = _numpy_pagerank(edges, damp=0.7, tol=1e-13)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for n, v in zip(nodes, ref):
+        assert got[n] == pytest.approx(v, abs=1e-7), n
+
+
+def test_pagerank_fixed_iteration_twin_matches_reference(spark):
+    """tol=0 mode is the oracle twin: exactly max_iters power steps, no
+    convergence probes — must equal the numpy reference at the same
+    iteration count bit-for-double-bit (same formula, same order-free
+    sums over a tiny graph)."""
+    from yark_spark.operators.graph import pagerank
+
+    und = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    edges = und + [(d, s) for s, d in und]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ranks, iters = pagerank(df, tol=0.0, max_iters=3)
+    assert iters == 3
+    got = {r["node"]: r["pr"] for r in ranks.collect()}
+    nodes, ref, _ = _numpy_pagerank(edges, tol=0.0, max_iters=3)
+    for n, v in zip(nodes, ref):
+        assert got[n] == pytest.approx(v, rel=1e-12), n

@@ -107,3 +107,67 @@ def bm25(
         .groupBy(id_col)
         .agg(F.round(F.sum(idf * norm), 6).alias("bm25"))
     )
+
+
+def association_rules(
+    baskets, basket_col: str, item_col: str, min_support: int = 2
+):
+    """2-itemset association rules as an OPERATOR (round 9, VERDICT r8
+    next-round #8 — the q_copurchase_rules body promoted with
+    ``min_support`` as a parameter): directed item→item rules from
+    (basket, item) pairs with support (co-occurrence count),
+    confidence = P(b|a) and lift = P(b|a)/P(b). Input rows are reduced
+    to DISTINCT (basket, item) first.
+
+    Plan shape: the pair generator is a SELF-EQUI-JOIN on the basket
+    key, so work is Σ_b |basket|² — linear in baskets when basket size
+    is bounded, never an item×item cartesian. Pair counts
+    partial-aggregate BEFORE the support filter; per-item counts and
+    the basket total are small rollups joined back; the scalar total
+    broadcasts. Hot baskets (giant carts) are the skew risk — cap or
+    salt like the MinHash hot-bucket cap (operators/dedup.py).
+
+    The distinct basket set is cached for its three consumers (total,
+    item counts, pair join); callers running many rule builds in one
+    session should ``spark.catalog.clearCache()`` or unpersist via the
+    returned plan's source when done."""
+    from pyspark.sql import functions as F
+
+    b = baskets.select(
+        F.col(basket_col).alias("__o"), F.col(item_col).alias("__i")
+    ).distinct()
+    b = b.cache()
+    n_baskets = b.agg(F.countDistinct("__o").cast("bigint").alias("__n"))
+    pc = b.groupBy("__i").agg(F.count(F.lit(1)).alias("__c"))
+    a, b2 = b.alias("a"), b.alias("b2")
+    pairs = (
+        a.join(b2, (F.col("a.__o") == F.col("b2.__o")) & (F.col("a.__i") < F.col("b2.__i")))
+        .groupBy(F.col("a.__i").alias("__pa"), F.col("b2.__i").alias("__pb"))
+        .agg(F.count(F.lit(1)).alias("__cab"))
+        .filter(F.col("__cab") >= min_support)
+    )
+    directed = pairs.select(
+        F.col("__pa").alias("antecedent"), F.col("__pb").alias("consequent"), "__cab"
+    ).unionAll(
+        pairs.select(
+            F.col("__pb").alias("antecedent"), F.col("__pa").alias("consequent"), "__cab"
+        )
+    )
+    ca = pc.select(F.col("__i").alias("antecedent"), F.col("__c").alias("__ca"))
+    cb = pc.select(F.col("__i").alias("consequent"), F.col("__c").alias("__cb"))
+    return (
+        directed.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("__cab").cast("bigint").alias("support"),
+            F.round(F.col("__cab") * 1.0 / F.col("__ca"), 6).alias("confidence"),
+            F.round(
+                F.col("__cab") * 1.0 * F.col("__n")
+                / (F.col("__ca") * 1.0 * F.col("__cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

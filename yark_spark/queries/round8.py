@@ -281,17 +281,20 @@ def q_pagerank(spark, sf_dir):
     pairs via orders⋈lineitem, both edge directions emitted so every
     node has out-degree — no dangling-mass term needed).
 
-    Iterative dataflow: each iteration is one equi-join of the edge list
-    against the current rank vector plus a partial-agg groupBy on dst —
-    the classic DataFrame PageRank; 3 unrolled iterations keep the plan
-    bounded (longer runs would localCheckpoint per ~5 iterations, the
-    dedup_clusters pattern). The DuckDB oracle unrolls the same three
-    iterations as CTE layers. Scale: the rank vector is (node, double)
-    — tiny next to edges — and the join shuffles on the edge key both
-    engines agree on."""
+    Round 9: this key is now a thin wrapper over the REAL operator —
+    ``operators/graph.pagerank`` at ``tol=0, max_iters=3, dangling=False`` (the
+    fixed-iteration oracle twin; the dangling-mass term is identically
+    zero here because both edge directions are emitted). The production
+    convergence mode (L1 tolerance, localCheckpoint rotation every 5
+    iterations, dangling redistribution) is pinned against a numpy
+    power-iteration reference in tests/test_graph.py. The DuckDB oracle
+    unrolls the same three iterations as CTE layers. Scale: the rank
+    vector is (node, double) — tiny next to edges — and the join
+    shuffles on the edge key both engines agree on."""
     from pyspark.sql import functions as F
 
-    damp, iters = 0.85, 3
+    from yark_spark.operators.graph import pagerank
+
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     und = (
@@ -303,26 +306,7 @@ def q_pagerank(spark, sf_dir):
         .distinct()
     )
     e = und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    total = float(nodes.count())
-    pr = nodes.withColumn("pr", F.lit(1.0 / total))
-    for _ in range(iters):
-        contrib = (
-            e.join(pr, e.src == pr.node)
-            .join(deg, "src")
-            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("d")).alias("c"))
-        )
-        pr = (
-            nodes.join(contrib.groupBy("node").agg(F.sum("c").alias("s")), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit((1 - damp) / total)
-                    + F.lit(damp) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("pr"),
-            )
-        )
+    pr, _ = pagerank(e, damp=0.85, tol=0.0, max_iters=3, dangling=False)
     return pr.select("node", F.round("pr", 8).alias("pagerank"))
 
 
