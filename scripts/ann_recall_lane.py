@@ -124,12 +124,27 @@ def main() -> None:
                 "recall": round(r, 4),
                 "sec": round(time.time() - t0, 2),
             }
+        # multi-probe (round 9): flip 1-2 sign bits at the speed-optimal
+        # plane count — recovers the neighbors a single hyperplane split
+        # away without coarsening the buckets
+        mp_curve = {}
+        for n_planes, n_flip in ((8, 1), (8, 2), (16, 2)):
+            t0 = time.time()
+            approx = ann_topk_lsh(
+                emb, query_max_id=NQ, k=K, n_planes=n_planes, n_flip=n_flip
+            )
+            r = recall_at_k(approx, exact)
+            mp_curve[f"{n_planes}p_flip{n_flip}"] = {
+                "recall": round(r, 4),
+                "sec": round(time.time() - t0, 2),
+            }
         out["curves"][f"{copies}x"] = {
             "n_vectors": n,
             "exact_sec": round(exact_sec, 2),
             "ivf_n_cells": N_CELLS,
             "ivf_by_n_probe": ivf_curve,
             "lsh_by_n_planes": lsh_curve,
+            "lsh_multiprobe": mp_curve,
         }
         exact.unpersist()
         emb.unpersist()

@@ -25,8 +25,14 @@ TABLES = [
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--all"]
-    check_all = "--all" in sys.argv[1:]
+    json_path = None
+    argv = sys.argv[1:]
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if a != "--all"]
+    check_all = "--all" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -51,6 +57,7 @@ def main() -> int:
     window = [k for k in pool if not only or k in only]
     bad, rows_only = [], []
     timings: dict = {}
+    results: dict = {}
     for key in window:
         import time as _time
 
@@ -60,26 +67,31 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
             print(f"{key}: SPARK ERROR {str(ex)[:200]}")
             bad.append(key)
+            results[key] = {"status": "spark_error", "err": str(ex)[:200]}
             continue
         timings[key] = round(_time.perf_counter() - _t0, 2)
         if key not in osql:
             rows_only.append(key)
             print(f"{key}: rows-only ({len(a)} rows)")
+            results[key] = {"status": "rows_only", "rows": len(a), "sec": timings[key]}
             continue
         try:
             b = con.execute(osql[key]).fetchdf()
         except Exception as ex:  # noqa: BLE001
             print(f"{key}: ORACLE ERROR {str(ex)[:200]}")
             bad.append(key)
+            results[key] = {"status": "oracle_error", "err": str(ex)[:200]}
             continue
         cols = sorted(a.columns)
         if cols != sorted(b.columns):
             print(f"{key}: SCHEMA spark={cols} oracle={sorted(b.columns)}")
             bad.append(key)
+            results[key] = {"status": "schema_mismatch"}
             continue
         if len(a) != len(b):
             print(f"{key}: ROWS spark={len(a)} oracle={len(b)}")
             bad.append(key)
+            results[key] = {"status": "rows_mismatch", "spark_rows": len(a), "oracle_rows": len(b)}
             continue
         a2 = a[cols].sort_values(cols).reset_index(drop=True)
         b2 = b[cols].sort_values(cols).reset_index(drop=True)
@@ -91,6 +103,7 @@ def main() -> int:
         if drift:
             print(f"{key}: INT/FLOAT DTYPE DRIFT {drift} — value hash will differ")
             bad.append(key)
+            results[key] = {"status": "dtype_drift", "cols": drift}
             continue
 
         def _norm(v):
@@ -101,8 +114,10 @@ def main() -> int:
         if not aa.equals(bb):
             print(f"{key}: VALUES DIFFER")
             bad.append(key)
+            results[key] = {"status": "values_differ"}
             continue
         print(f"{key}: ok ({len(a)} rows)")
+        results[key] = {"status": "ok", "rows": len(a), "sec": timings[key]}
 
     print(
         f"\nchecked {len(window)}: {len(window) - len(bad) - len(rows_only)} matched, "
@@ -113,6 +128,20 @@ def main() -> int:
         print("slowest (spark side, s):", ", ".join(f"{k}={v}" for k, v in slowest))
     if bad:
         print("FAILED:", bad)
+    if json_path:
+        import json as _json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "n_checked": len(window),
+            "n_matched": len(window) - len(bad) - len(rows_only),
+            "n_rows_only": len(rows_only),
+            "n_failed": len(bad),
+            "keys": results,
+        }
+        with open(json_path, "w") as f:
+            _json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     return 1 if bad else 0
 
 

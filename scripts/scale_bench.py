@@ -38,6 +38,9 @@ EXTRA = [
     "q_collocation_pmi",   # vocabulary-bounded bigram + marginal rollups
     "q_scd2_intervals",    # per-user change-point windows
     "q_heavy_hitters",     # token counts + one-row total broadcast
+    # round 9: the r8 statistics/rules keys join the deep (20x/50x) lane
+    "q_exact_median_global",  # value-count agg + two-phase prefix sum
+    "q_copurchase_rules",     # basket self-join; basket size stays bounded
 ]
 
 

@@ -111,3 +111,34 @@ def test_default_operating_point_recall_on_clustered_scale_corpus(spark):
     assert recall_at_k(ivf, exact) >= 0.9
     exact.unpersist()
     emb.unpersist()
+
+
+def test_multiprobe_lsh_recall_contract(spark):
+    """Round 9 (VERDICT r8 next-round #7): multi-probe LSH contract. At
+    the speed-optimal 8-plane count, single-probe recall measured 0.77-
+    0.78 on the clustered scale corpora; probing the 1-bit-flip neighbor
+    buckets (9/256 of the corpus) must lift recall@5 to >= 0.9
+    (SCALE_r09_ann.json: 0.96 at 10x, 0.99 at 20x). The 10x corpus is
+    the contract geometry — its near-dup families (10 copies) fill the
+    whole top-5, so recall measures the HASH's ability to keep genuine
+    neighbors, not the corpus's supply of them (at 5x, families of 5
+    leave the 5th neighbor a far non-family vector no bucketing scheme
+    can localize — recall caps at ~0.84 for every LSH variant)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from ann_recall_lane import recall_at_k, scaled_embeddings
+
+    from yark_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+    emb = scaled_embeddings(spark, "/root/testdata/sf0.1", copies=10).persist()
+    exact = cosine_topk(emb, query_max_id=20, k=5)
+    exact.persist().count()
+    single = ann_topk_lsh(emb, query_max_id=20, k=5, n_planes=8, n_flip=0)
+    mp = ann_topk_lsh(emb, query_max_id=20, k=5, n_planes=8, n_flip=1)
+    r_single = recall_at_k(single, exact)
+    r_mp = recall_at_k(mp, exact)
+    assert r_mp >= 0.9, (r_single, r_mp)
+    assert r_mp > r_single  # the flip buckets are doing the lifting
+    exact.unpersist()
+    emb.unpersist()
