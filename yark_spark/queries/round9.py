@@ -1,0 +1,379 @@
+"""Round-9 operator batch: pipeline analytics that widen SURVEY.md §2.8 —
+funnel conversion, sorted-neighborhood record linkage, equi-depth
+histograms, exact stratified downsampling, mutual information, triangle
+counting, and a partition-skew audit. Every key is DuckDB-oracle-checked
+(hash-match).
+
+Reference parity note: the reference archiver (/root/reference) has no
+analytics surface (cmds/archive.py is fetch/store only); these extend the
+driver-mandated training-data/relational inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yark_spark.io import load_table
+from yark_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered-step conversion)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = (
+    "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e "
+    "JOIN s1 ON e.user_id = s1.user_id "
+    "WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id), "
+    "s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e "
+    "JOIN s2 ON e.user_id = s2.user_id "
+    "WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id) "
+    "SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type, "
+    "CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users "
+    "UNION ALL SELECT CAST(2 AS INTEGER), 'click', "
+    "CAST((SELECT count(*) FROM s2) AS BIGINT) "
+    "UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', "
+    "CAST((SELECT count(*) FROM s3) AS BIGINT)"
+)
+
+
+@query("q_funnel_steps", oracle=_FUNNEL_ORACLE)
+def q_funnel_steps(spark, sf_dir):
+    """THREE-step chained funnel (view → click → purchase): users
+    counted at step k only if the step-k event occurs STRICTLY AFTER
+    their step-(k-1) anchor (min qualifying time) — the product-analytics
+    staple, and the shape that plain per-type counts — and the 2-step
+    q_funnel — get wrong (a click before any view must not convert, and
+    each step anchors on the PREVIOUS step's qualifying time, not the
+    user's first event).
+
+    Plan: each step is one filtered partial-agg groupBy on user_id plus
+    an equi-join against the previous step's anchor — shuffle keys stay
+    on user_id throughout, so at 100 TB the three steps co-partition and
+    AQE coalesces the tiny tails. No window functions, no per-user
+    event-list collection."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _row(step, name, df):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("event_type"),
+            "n_users",
+        )
+
+    return _row(1, "view", s1).unionAll(_row(2, "click", s2)).unionAll(
+        _row(3, "purchase", s3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood record linkage (the SNM blocking alternative)
+# ---------------------------------------------------------------------------
+
+_SNM_WINDOW = 3  # each record pairs with the next (w-1) in sort order
+
+_SNM_ORACLE = (
+    "WITH r AS (SELECT c_custkey, c_name, "
+    "row_number() OVER (ORDER BY c_name, c_custkey) AS rn FROM customer) "
+    "SELECT a.c_custkey AS key_a, b.c_custkey AS key_b, "
+    "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev "
+    f"FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {_SNM_WINDOW - 1}"
+)
+
+
+@query("q_snm_pairs", oracle=_SNM_ORACLE)
+def q_snm_pairs(spark, sf_dir):
+    """Sorted-neighborhood method (Hernández & Stolfo 1995): the OTHER
+    classic record-linkage blocking — sort the corpus on a fuzzy key and
+    compare each record only to its w-1 successors. Complements the
+    equi-block strategy of ``fuzzy_match_join``: SNM catches matches that
+    straddle block boundaries as long as the sort key lands them nearby;
+    candidate volume is EXACTLY n·(w-1), independent of key skew.
+
+    Scale shape: the global sort rank comes from
+    ``operators/packing.global_row_number`` (range partition +
+    per-partition cumsum — never a single-task window), and the
+    neighbor pairing is an EQUI-join on rank (each record exploded into
+    its w-1 successor slots) — no window over the corpus, no
+    band/cartesian join anywhere."""
+    from yark_spark.operators.packing import global_row_number
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ranked = global_row_number(cust, ["c_name", "c_custkey"], "rn")
+    a = ranked.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, _SNM_WINDOW)])
+        ).alias("__d"),
+        F.col("rn"),
+    ).select(
+        "key_a", "name_a", (F.col("rn") + F.col("__d")).alias("rn_b")
+    )
+    b = ranked.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    return a.join(b, "rn_b").select(
+        "key_a",
+        "key_b",
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("lev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (distributed ntile)
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_BUCKETS = 8
+
+_EQUIDEPTH_ORACLE = (
+    f"WITH r AS (SELECT l_extendedprice AS v, ntile({_EQUIDEPTH_BUCKETS}) "
+    "OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket "
+    "FROM lineitem) "
+    "SELECT CAST(bucket AS INTEGER) AS bucket, CAST(count(*) AS BIGINT) AS n, "
+    "min(v) AS lo, max(v) AS hi FROM r GROUP BY bucket"
+)
+
+
+@query("q_histogram_equidepth", oracle=_EQUIDEPTH_ORACLE)
+def q_histogram_equidepth(spark, sf_dir):
+    """Equi-DEPTH histogram of a fact column (equal row counts per
+    bucket, data-driven boundaries) — the optimizer/profiling twin of the
+    fixed-width ``q_histogram``: at 100 TB the value distribution is
+    long-tailed and fixed-width bins put 99% of rows in one bin.
+
+    The bucket assignment is the exact ntile over a TOTAL order (price,
+    orderkey, linenumber), computed by the distributed global row number
+    + the closed-form ntile expression (operators/packing.ntile_expr) —
+    never Spark's single-partition unpartitioned ntile window. Bucket
+    stats are one partial-agg groupBy."""
+    from yark_spark.operators.packing import global_row_number, ntile_expr
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    ranked = global_row_number(li, ["v", "l_orderkey", "l_linenumber"], "rn")
+    total = li.agg(F.count(F.lit(1)).alias("N"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "v", ntile_expr(F.col("rn"), F.col("N"), _EQUIDEPTH_BUCKETS).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified downsampling (RNG-free data-mix rebalancing)
+# ---------------------------------------------------------------------------
+
+_STRAT_ORACLE = (
+    "WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l "
+    "FROM documents GROUP BY lang), "
+    "m AS (SELECT min(n_l) AS n_min FROM c), "
+    "r AS (SELECT doc_id, lang, "
+    "row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk FROM documents) "
+    "SELECT r.doc_id, r.lang FROM r JOIN c ON r.lang = c.lang CROSS JOIN m "
+    "WHERE (rk * n_min) % n_l < n_min"
+)
+
+
+@query("q_stratified_downsample", oracle=_STRAT_ORACLE)
+def q_stratified_downsample(spark, sf_dir):
+    """Data-mix rebalancing: downsample every language stratum to the
+    smallest stratum's size with EVENLY SPACED, RNG-free selection — the
+    Bresenham rule ``(rk · n_min) mod n_l < n_min`` keeps exactly n_min
+    of the n_l docs per stratum, deterministically (reruns and engines
+    agree bit-for-bit, unlike rand()-based sampling). The balanced-mix
+    builder every multilingual pretraining pipeline needs.
+
+    Scale shape: within-stratum ranks come from ONE distributed global
+    row number over (lang, doc_id) — range partition + per-partition
+    cumsum — minus each stratum's broadcast start offset; a
+    ``row_number() OVER (PARTITION BY lang ...)`` would funnel an entire
+    language through one task (5 langs = 5 tasks for the corpus). The
+    per-stratum counts and offsets are tiny aggregates broadcast back."""
+    from yark_spark.operators.packing import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    ranked = global_row_number(docs, ["lang", "doc_id"], "rn")
+    starts = ranked.groupBy("lang").agg(F.min("rn").alias("rn0"))
+    return (
+        ranked.join(F.broadcast(starts), "lang")
+        .join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(n_min))
+        .withColumn("rk", F.col("rn") - F.col("rn0") + 1)
+        .filter((F.col("rk") * F.col("n_min")) % F.col("n_l") < F.col("n_min"))
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns
+# ---------------------------------------------------------------------------
+
+_MI_ORACLE = (
+    "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), "
+    "jxy AS (SELECT lang, source, count(*) AS c_xy FROM documents "
+    "GROUP BY lang, source), "
+    "jx AS (SELECT lang, count(*) AS c_x FROM documents GROUP BY lang), "
+    "jy AS (SELECT source, count(*) AS c_y FROM documents GROUP BY source) "
+    "SELECT n.n, round(sum((c_xy * 1.0 / n.n) * "
+    "ln((c_xy * 1.0 * n.n) / (c_x * 1.0 * c_y))), 6) AS mi "
+    "FROM jxy JOIN jx ON jxy.lang = jx.lang "
+    "JOIN jy ON jxy.source = jy.source CROSS JOIN n GROUP BY n.n"
+)
+
+
+@query("q_mutual_information", oracle=_MI_ORACLE)
+def q_mutual_information(spark, sf_dir):
+    """Mutual information I(lang; source) — the dependence audit between
+    two categorical metadata columns (is the crawl source confounded
+    with language? is a quality label leaking the domain?). MI = Σ
+    p(x,y)·ln(p(x,y)/(p(x)p(y))) over the contingency table.
+
+    All probabilities derive from INTEGER counts (three partial-agg
+    rollups: joint, both marginals — the joint table is |X|·|Y| rows,
+    tiny, so the marginal joins broadcast); floats appear only in the
+    final per-cell log terms, summed over the handful of cells."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    jxy = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c_xy"))
+    jx = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c_x"))
+    jy = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c_y"))
+    term = (F.col("c_xy") * 1.0 / F.col("n")) * F.log(
+        (F.col("c_xy") * 1.0 * F.col("n")) / (F.col("c_x") * 1.0 * F.col("c_y"))
+    )
+    return (
+        jxy.join(F.broadcast(jx), "lang")
+        .join(F.broadcast(jy), "source")
+        .crossJoin(F.broadcast(n))
+        .groupBy("n")
+        .agg(F.round(F.sum(term), 6).alias("mi"))
+        .select("n", "mi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (graph cohesion over the co-purchase projection)
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = (
+    "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+    "e AS (SELECT a.p AS pa, b2.p AS pb FROM b a "
+    "JOIN b b2 ON a.o = b2.o AND a.p < b2.p "
+    "GROUP BY a.p, b2.p HAVING count(*) >= 2) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_triangles, "
+    "CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges "
+    "FROM e e1 JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb "
+    "JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb"
+)
+
+
+@query("q_triangle_count", oracle=_TRIANGLE_ORACLE)
+def q_triangle_count(spark, sf_dir):
+    """Triangle count of the co-purchase graph (parts co-bought in ≥2
+    orders) — the clustering-coefficient numerator, the classic graph
+    cohesion metric beyond the reachability ops (PageRank, connected
+    components) already covered.
+
+    The standard distributed formulation: edges stored ONCE in canonical
+    a<b order, wedges enumerated by joining edges on their lower
+    endpoint with pb ordered (so each triangle is counted exactly once
+    as a<b<c), then closed by an equi-join on the third edge. Work is
+    Σ_v deg(v)² for wedge generation — the hub-degree skew is the known
+    hot spot, handled in production by the high-degree-vertex split
+    (each join here is an equi-join; nothing is cartesian)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a2, b2 = b.alias("a"), b.alias("b2")
+    e = (
+        a2.join(b2, (F.col("a.o") == F.col("b2.o")) & (F.col("a.p") < F.col("b2.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b2.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    e = e.persist()
+    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.pa") == F.col("e1.pa")) & (F.col("e2.pb") > F.col("e1.pb")),
+        )
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pb")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return tri.crossJoin(F.broadcast(n_edges))
+
+
+# ---------------------------------------------------------------------------
+# Partition-skew audit (the shuffle-health profile)
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = (
+    "WITH c AS (SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY l_suppkey) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_keys, "
+    "CAST(max(n) AS BIGINT) AS max_n, CAST(min(n) AS BIGINT) AS min_n, "
+    "round(avg(n), 6) AS avg_n, round(median(n), 6) AS median_n, "
+    "round(max(n) / avg(n), 6) AS skew_ratio FROM c"
+)
+
+
+@query("q_skew_report", oracle=_SKEW_ORACLE)
+def q_skew_report(spark, sf_dir):
+    """Shuffle-key skew audit: the per-key row-count distribution for a
+    prospective join/agg key (supplier), summarized as max/min/avg/median
+    and the max-over-avg skew ratio — the profiling pass run BEFORE
+    choosing a 100 TB shuffle key, deciding between plain shuffle, AQE
+    skew-join, and explicit salting (operators/skew.py).
+
+    Two partial-agg passes: per-key counts (map-side combine), then a
+    six-scalar rollup over the (small) key-count table; the median is
+    over per-key counts, not data rows, so the builtin interpolated
+    median is safe here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_suppkey").alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    return c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_n"),
+        F.min("n").cast("bigint").alias("min_n"),
+        F.round(F.avg("n"), 6).alias("avg_n"),
+        F.round(F.median("n"), 6).alias("median_n"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio"),
+    )
