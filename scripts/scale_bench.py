@@ -60,6 +60,8 @@ def main() -> None:
     for d in (base, sf1):
         QUERIES["q_full_scan"](spark, d).count()  # warm listings + JIT
 
+    from yark_spark.operators.packing import release_cumsum_checkpoints
+
     def run(key: str, d: str) -> tuple[float, float, int]:
         # min of 3: the sandbox carries background load, and a single
         # contended run can inflate a ratio 5x (observed r7) — the lane
@@ -71,10 +73,20 @@ def main() -> None:
         # that pruned the entire gram pipeline and "measured" a 0.07 s
         # token-length scan. The noop write consumes every column, so the
         # full declared plan executes.
+        #
+        # Round 9: the SQL cache is CLEARED before every run and the
+        # timer starts BEFORE the query builds. Several operators
+        # cache/persist internally (copurchase baskets, triangle edges,
+        # median value-counts) — without the clear, runs 2-3 of the same
+        # plan are served from the cache manager and the eager build-time
+        # jobs fall outside the timer, which fakes near-constant "warm"
+        # times at every scale (observed: pagerank ratio 1.03 at 20x).
         runs, n = [], 0
         for _ in range(3):
-            df = QUERIES[key](spark, d)
+            spark.catalog.clearCache()
+            release_cumsum_checkpoints()
             t0 = time.perf_counter()
+            df = QUERIES[key](spark, d)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         n = QUERIES[key](spark, d).count()

@@ -46,7 +46,10 @@ def pagerank(
     the anti-join subtree entirely). ``tol=0.0`` runs exactly
     ``max_iters`` iterations — the fixed-iteration oracle twin
     (q_pagerank) is this operator at ``tol=0, max_iters=3,
-    dangling=False``.
+    dangling=False``. In convergence mode the returned ranks DataFrame
+    is persisted (it IS the last materialized iterate); call
+    ``.unpersist()`` when done. Fixed-iteration mode returns a plain
+    lazy plan.
     """
     e = edges.select("src", "dst")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
@@ -93,13 +96,14 @@ def pagerank(
                     + F.lit(damp) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("pr"),
             )
-        if (i + 1) % checkpoint_every == 0:
-            new = new.localCheckpoint(eager=True)
-        else:
-            new = new.persist(StorageLevel.MEMORY_AND_DISK)
         if tol > 0:
-            # the convergence probe also materializes `new` before the
-            # predecessor's blocks are released
+            # convergence mode: bound lineage (checkpoint every K rounds,
+            # persist between) and probe the L1 delta — the probe also
+            # materializes `new` before the predecessor's blocks release
+            if (i + 1) % checkpoint_every == 0:
+                new = new.localCheckpoint(eager=True)
+            else:
+                new = new.persist(StorageLevel.MEMORY_AND_DISK)
             delta = (
                 new.alias("a")
                 .join(pr.alias("b"), F.col("a.node") == F.col("b.node"))
@@ -113,7 +117,12 @@ def pagerank(
                 break
         else:
             # tol=0: fixed-iteration mode (the oracle twin) — no probe
-            # jobs; lazy persists chain and the caller's action runs once
+            # jobs and NO persist/checkpoint: pr is referenced once per
+            # iteration so caching buys nothing, and cached intermediates
+            # would let the SQL cache manager serve identical re-builds
+            # of the same plan from cache (observed faking bench re-runs
+            # to near-zero); the bounded iteration count keeps the lazy
+            # plan shallow
             pr = new
             iters_run = i + 1
     nodes.unpersist()
