@@ -42,3 +42,60 @@ def test_trainer_deterministic_across_runs(spark, sf_dir):
     a = train_bpe_merges(docs, k_merges=4).collect()
     b = train_bpe_merges(docs, k_merges=4).collect()
     assert a == b
+
+
+def test_bpe_encode_expr_equals_udf_and_reference(spark):
+    """Round 9: the two encode paths (pure-Column fold chain vs the
+    Arrow-batched per-word loop) must produce IDENTICAL token sequences,
+    and both must equal a pure-Python application of the merge table —
+    on words exercising overlapping-merge order (aaa → [aa, a]), chained
+    merges, and merge-rank precedence."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.bpe import bpe_encode_expr, bpe_encode_udf
+
+    merges = [("a", "a"), ("l", "o"), ("lo", "w"), ("aa", "b")]
+    texts = [
+        "low lower lowest",
+        "aaa aaaa aab aaab",
+        "low aaa low",
+        "",
+        "  spaced   out  ",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def py_encode(text):
+        out = []
+        for w in text.strip().lower().split():
+            seq = list(w)
+            for left, right in merges:
+                i = 0
+                while i < len(seq) - 1:
+                    if seq[i] == left and seq[i + 1] == right:
+                        seq[i : i + 2] = [left + right]
+                    i += 1
+            out.extend(seq)
+        return out
+
+    expected = {i: py_encode(t) for i, t in enumerate(texts)}
+
+    udf_out = {
+        r["doc_id"]: list(r["tokens"]) for r in bpe_encode_udf(docs, merges).collect()
+    }
+    assert udf_out == expected
+
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    expr_out_rows = words.select(
+        "doc_id", "pos", bpe_encode_expr(F.split("word", ""), merges).alias("toks")
+    ).collect()
+    expr_out: dict = {i: [] for i in range(len(texts))}
+    for r in sorted(expr_out_rows, key=lambda r: (r["doc_id"], r["pos"])):
+        expr_out[r["doc_id"]].extend(r["toks"])
+    assert expr_out == expected

@@ -201,3 +201,66 @@ def test_overwrite_partitions_multi_column(spark, tmp_path):
     overwrite_partitions(fixed, dest, ["day", "src"])
     got = {(r["day"], r["src"], r["v"]) for r in spark.read.parquet(dest).collect()}
     assert got == {("d1", "web", 9), ("d1", "app", 2), ("d2", "web", 3)}
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Round 9: write_zordered must localize BOTH keyed columns in the
+    file-level min/max stats — a narrow predicate on either column
+    matches a small fraction of files, where the linear sort prunes only
+    its leading key (every file spans the full range of the other
+    column). Verified against the actual parquet footers via pyarrow."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.layout import write_sorted, write_zordered
+
+    df = spark.range(65536).select(
+        "id",
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100000)) / 100000.0).alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100000)) / 100000.0).alias("y"),
+    )
+    linear = str(tmp_path / "linear")
+    zord = str(tmp_path / "zorder")
+    write_sorted(df, linear, ["x"], num_files=64)
+    write_zordered(df, zord, ["x", "y"], num_files=64)
+
+    def candidates(path, col, lo, hi):
+        files = glob.glob(path + "/*.parquet")
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            fmin = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if fmax >= lo and fmin <= hi:
+                hit += 1
+        return hit, len(files)
+
+    # narrow y-predicate: the x-sorted layout cannot prune at all; the
+    # z-ordered one touches ~sqrt-fraction of the files
+    y_lin, n_lin = candidates(linear, "y", 0.40, 0.45)
+    y_z, n_z = candidates(zord, "y", 0.40, 0.45)
+    assert n_lin == n_z == 64
+    assert y_lin >= 60  # linear sort on x: y spans everything, no pruning
+    assert y_z <= 32, y_z  # z-order localizes y too
+
+    # x-predicate: both layouts prune; z-order trades a little x-locality
+    x_lin, _ = candidates(linear, "x", 0.40, 0.45)
+    x_z, _ = candidates(zord, "x", 0.40, 0.45)
+    assert x_lin <= 8
+    assert x_z <= 32, x_z
+
+    # content preserved
+    assert (
+        spark.read.parquet(zord).select(F.sum("id")).first()[0]
+        == df.select(F.sum("id")).first()[0]
+    )
+    assert spark.read.parquet(zord).count() == 65536

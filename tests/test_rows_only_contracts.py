@@ -6,6 +6,7 @@ silently mean 'unchecked'."""
 
 ROWS_ONLY_CONTRACTS = {
     "q_bpe_merges": "q_bpe_pair_counts pins the counting core; exact k-merge equivalence vs the pure-Python reference BPE (test_bpe)",
+    "q_bpe_encode": "encode expr-path == Arrow-UDF path == pure-Python reference application, exact token-sequence equality (test_bpe)",
     "q_ann_lsh": "q_ann_lsh_full: zero-pruning probe == exact top-k oracle; recall tests (test_similarity_ivf)",
     "q_approx_count_distinct": "HLL++ within 15%/group of exact countDistinct (test_approx_contracts)",
     "q_approx_percentile": "approx_percentile within 1% TRUE rank error (test_approx_contracts)",

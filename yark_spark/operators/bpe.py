@@ -162,3 +162,80 @@ def reference_bpe_merges(
                     seq[i : i + 2] = [merged]
                 i += 1
     return out
+
+
+def bpe_encode_expr(seq, merges: list[tuple[str, str]]):
+    """ENCODE with a trained merge table, pure-Column path: the k merges
+    are applied in rank order as a chain of ``_apply_merge`` folds — all
+    JVM-side, zero Python per row. Exact BPE application semantics
+    (left-to-right non-overlapping per merge, merges in rank order).
+
+    Boundary: expression depth grows with k, so this path is for SMALL
+    merge tables (k ≲ 100 — demo/query scale). A production tokenizer
+    (~30k merges) uses ``bpe_encode_udf``; the two paths are pinned
+    equal in tests/test_bpe.py."""
+    out = seq
+    for left, right in merges:
+        out = _apply_merge(out, left, right)
+    return out
+
+
+def bpe_encode_udf(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODE with a trained merge table, Arrow-batched path: the classic
+    per-word merge loop inside ``mapInPandas`` — the production form for
+    real merge-table sizes, where a Column chain per merge is infeasible.
+    Map-only (no shuffle); the merge table ships once per task in the
+    closure (a production 30k-table is ~1 MB — broadcast-class).
+    Returns (id_col, tokens array<string>) with the whitespace-parity
+    word split of ``word_freqs`` and per-word encode, concatenated in
+    word order."""
+    import re as _re
+
+    from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+    ws = _re.compile(_WS)
+    table = list(merges)
+
+    def _encode_word(word: str, cache: dict) -> list:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        seq = list(word)
+        for left, right in table:
+            i = 0
+            while i < len(seq) - 1:
+                if seq[i] == left and seq[i + 1] == right:
+                    seq[i : i + 2] = [left + right]
+                i += 1
+        cache[word] = seq
+        return seq
+
+    def _run(batches):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            ids, toks = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in ws.split(str(t).strip().lower()) if w]
+                out: list = []
+                for w in words:
+                    out.extend(_encode_word(w, cache))
+                ids.append(int(i))
+                toks.append(out)
+            yield pd.DataFrame({id_col: ids, "tokens": toks})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _run,
+        StructType(
+            [
+                StructField(id_col, LongType()),
+                StructField("tokens", ArrayType(StringType())),
+            ]
+        ),
+    )

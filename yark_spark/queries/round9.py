@@ -377,3 +377,47 @@ def q_skew_report(spark, sf_dir):
         F.round(F.median("n"), 6).alias("median_n"),
         F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding (tokenizer application with a trained merge table)
+# ---------------------------------------------------------------------------
+
+@query("q_bpe_encode")  # rows-only: merge application is engine-specific;
+# contract = expr-path ≡ UDF-path ≡ pure-Python reference (test_bpe)
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION — the other half of the BPE story
+    (q_bpe_merges trains; this encodes the corpus with the trained
+    table): per word, apply the k merges in rank order (left-to-right
+    non-overlapping each), then roll token counts up per document.
+
+    This query uses the pure-Column path (``bpe_encode_expr``: a chain
+    of JVM fold expressions, zero Python per row — viable because the
+    demo table is k=6; a production ~30k-merge table uses the
+    Arrow-batched ``bpe_encode_udf``, pinned equal in tests/test_bpe.py).
+    The merge TABLE is a driver-side scalar list by nature (it IS the
+    trained tokenizer); everything per-row stays distributed: word
+    explode, per-word encode, one partial-agg rollup per doc."""
+    from yark_spark.operators.bpe import bpe_encode_expr, train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe_merges(docs, k_merges=6).orderBy("rank").collect()
+    ]
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    encoded = words.select(
+        "doc_id",
+        F.size(bpe_encode_expr(F.split("word", ""), merges)).alias("n_tok"),
+        F.length("word").alias("n_sym"),
+    )
+    return encoded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        (F.sum("n_sym") - F.sum("n_tok")).cast("bigint").alias("n_merges_applied"),
+    )
