@@ -51,8 +51,17 @@ def pagerank(
     ``.unpersist()`` when done. Fixed-iteration mode returns a plain
     lazy plan.
     """
-    e = edges.select("src", "dst")
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # the edge list and degree table feed EVERY iteration (contrib join +
+    # dangling anti-join) — persist them once instead of re-evaluating
+    # their upstream plan (often a join+distinct) per iteration. Lazy
+    # persists: blocks fill on first evaluation, so fixed-iteration mode
+    # (which returns a lazy plan) caches them during the caller's action.
+    e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -126,4 +135,12 @@ def pagerank(
             pr = new
             iters_run = i + 1
     nodes.unpersist()
+    if tol > 0:
+        # the returned ranks are already materialized (checkpoint/persist),
+        # so the iteration inputs can be released here; in fixed-iteration
+        # mode the returned LAZY plan still reads them — they cache during
+        # the caller's action and are released with the session (or an
+        # explicit clearCache), the association_rules precedent
+        e.unpersist()
+        deg.unpersist()
     return pr.select("node", "pr"), iters_run
