@@ -88,3 +88,53 @@ def test_pagerank_fixed_iteration_twin_matches_reference(spark):
     nodes, ref, _ = _numpy_pagerank(edges, tol=0.0, max_iters=3)
     for n, v in zip(nodes, ref):
         assert got[n] == pytest.approx(v, rel=1e-12), n
+
+
+def _numpy_ppr(edges, weights, damp=0.85, tol=1e-13, max_iters=1000):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    w = np.zeros(n)
+    for node, wt in weights.items():
+        w[idx[node]] = wt
+    w = w / w.sum()
+    pr = w.copy()
+    for _ in range(max_iters):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[idx[d]] += pr[idx[s]] / out[idx[s]]
+        dangling = pr[out == 0].sum()
+        new = (1 - damp) * w + damp * (contrib + dangling * w)
+        if np.abs(new - pr).sum() < tol:
+            pr = new
+            break
+        pr = new
+    return dict(zip(nodes, pr))
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    """PPR with a skewed teleport over a graph with a sink: must match
+    the numpy personalized power iteration (dangling mass redistributed
+    by the reset distribution, not uniformly), conserve mass, and rank
+    the seed's neighborhood above the far side of the graph."""
+    from yark_spark.operators.graph import personalized_pagerank
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),      # seed-side cycle
+        ("c", "d"), ("d", "e"),                  # path to the far side
+        ("e", "f"),                              # f is a sink
+    ]
+    weights = {"a": 3.0, "b": 1.0}  # teleport biased to a
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rdf = spark.createDataFrame(list(weights.items()), "node string, w double")
+    ranks, iters = personalized_pagerank(df, rdf, damp=0.7, tol=1e-8, max_iters=150)
+    got = {r["node"]: r["pr"] for r in ranks.collect()}
+    ref = _numpy_ppr(edges, weights, damp=0.7)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for n, v in ref.items():
+        assert got[n] == pytest.approx(v, abs=1e-7), n
+    assert got["a"] > got["e"]  # seed bias visible
+    ranks.unpersist()

@@ -146,3 +146,91 @@ def pagerank(
         e.unpersist()
         deg.unpersist()
     return pr.select("node", "pr"), iters_run
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    reset: DataFrame,
+    damp: float = 0.85,
+    tol: float = 1e-8,
+    max_iters: int = 60,
+    checkpoint_every: int = 5,
+) -> tuple[DataFrame, int]:
+    """Personalized PageRank: the teleport lands on ``reset``'s (node,
+    weight) distribution instead of uniformly — the seed-biased ranking
+    behind related-item / who-to-follow / topic-conditioned importance.
+    Weights are normalized internally; nodes absent from ``reset`` get
+    zero teleport mass. Dangling mass also redistributes by the reset
+    distribution (the standard PPR completion), so mass is conserved and
+    the result is the true stationary vector of the personalized chain.
+
+    Same execution shape as ``pagerank``'s convergence mode: persisted
+    edge/degree/weight tables, per-iteration edge-equi-join + partial-agg,
+    localCheckpoint rotation every ``checkpoint_every`` rounds, 1-row
+    L1-delta probes. Returns ``(ranks, iterations_run)``; ranks stay
+    persisted — ``.unpersist()`` when done."""
+    rcols = reset.columns
+    e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    r = reset.select(
+        F.col(rcols[0]).alias("node"), F.col(rcols[1]).cast("double").alias("__rw")
+    )
+    wsum = float(r.agg(F.sum("__rw")).first()[0])
+    wdf = (
+        nodes.join(r, "node", "left")
+        .select(
+            "node", (F.coalesce(F.col("__rw"), F.lit(0.0)) / F.lit(wsum)).alias("__w")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pr = wdf.select("node", F.col("__w").alias("pr")).localCheckpoint(eager=True)
+    iters_run = 0
+    for i in range(max_iters):
+        contrib = (
+            e.join(pr, e.src == pr.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("d")).alias("c"))
+        )
+        dang = pr.join(deg, pr.node == deg.src, "left_anti").agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
+        )
+        new = (
+            wdf.join(contrib.groupBy("node").agg(F.sum("c").alias("s")), "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(1 - damp) * F.col("__w")
+                    + F.lit(damp)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("dm") * F.col("__w"))
+                ).alias("pr"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=True)
+        else:
+            new = new.persist(StorageLevel.MEMORY_AND_DISK)
+        delta = (
+            new.alias("a")
+            .join(pr.alias("b"), F.col("a.node") == F.col("b.node"))
+            .agg(F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))).alias("l1"))
+            .first()["l1"]
+        )
+        pr.unpersist()
+        pr = new
+        iters_run = i + 1
+        if delta is not None and delta < tol:
+            break
+    e.unpersist()
+    deg.unpersist()
+    wdf.unpersist()
+    return pr.select("node", "pr"), iters_run

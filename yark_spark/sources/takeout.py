@@ -453,7 +453,7 @@ def shard_json_array(
     path: str,
     out_dir: str,
     shard_bytes: int = 64 << 20,
-    chunk_bytes: int = 8 << 20,
+    chunk_bytes: int = 4 << 20,
     max_workers: int | None = None,
 ) -> list[str]:
     """Parallel staging of a single-file JSON ARRAY into splittable JSONL
