@@ -7,7 +7,7 @@ over the same parquet tables: schema (column names), row count, int/float
 dtype drift (the value-hash killer), and normalized values.
 
 Run from OUTSIDE the repo so pandas-UDF workers don't accidentally inherit
-an importable repo cwd (see .claude/skills/verify/SKILL.md):
+an importable repo cwd (pandas-UDF workers resolve imports there):
 
     cd /tmp && python /root/repo/scripts/driver_sim.py [sf_dir] [key ...]
 
@@ -70,6 +70,11 @@ def main() -> int:
             results[key] = {"status": "spark_error", "err": str(ex)[:200]}
             continue
         timings[key] = round(_time.perf_counter() - _t0, 2)
+        # free any storage the key's operators tracked (graph checkpoints,
+        # prefix-sum intermediates) so a 236-key sweep doesn't accumulate
+        from yark_spark.operators.release import release_tracked
+
+        release_tracked()
         if key not in osql:
             rows_only.append(key)
             print(f"{key}: rows-only ({len(a)} rows)")

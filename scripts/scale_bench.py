@@ -60,7 +60,7 @@ def main() -> None:
     for d in (base, sf1):
         QUERIES["q_full_scan"](spark, d).count()  # warm listings + JIT
 
-    from yark_spark.operators.packing import release_cumsum_checkpoints
+    from yark_spark.operators.release import release_tracked
 
     def run(key: str, d: str) -> tuple[float, float, int]:
         # min of 3: the sandbox carries background load, and a single
@@ -84,7 +84,7 @@ def main() -> None:
         runs, n = [], 0
         for _ in range(3):
             spark.catalog.clearCache()
-            release_cumsum_checkpoints()
+            release_tracked()
             t0 = time.perf_counter()
             df = QUERIES[key](spark, d)
             df.write.format("noop").mode("overwrite").save()

@@ -16,7 +16,7 @@ rolling-hash path is the production shape (`q_cdc_chunks`, rows-only).
 The numeric kernels are built by closure FACTORIES (not module-level
 functions referenced from the UDF): cloudpickle ships dynamic closures by
 value, so Python workers never need to import this package — required
-because the driver may run from any cwd (see .claude/skills/verify).
+because the driver may run from any cwd.
 """
 
 from __future__ import annotations

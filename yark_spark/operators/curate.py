@@ -33,6 +33,7 @@ from yark_spark.operators.dedup import (
     fuzzy_dedup_pairs,
 )
 from yark_spark.operators.packing import partitioned_cumsum
+from yark_spark.operators.release import track
 
 
 @dataclass
@@ -119,6 +120,7 @@ def curate(
     clusters = dedup_clusters(exact, pairs, id_col)
     fuzzy_frontier = dedup_representatives(exact, clusters, id_col).persist()
     report.cached.append(fuzzy_frontier)  # caller releases via report.unpersist()
+    track(fuzzy_frontier)  # ...or a harness via release_tracked()
     report.counts["after_fuzzy_dedup"] = fuzzy_frontier.count()
     exact.unpersist()  # fuzzy frontier is materialized; downstream reads only it
     fuzzy = fuzzy_frontier
@@ -194,6 +196,7 @@ def curate(
     n_tok = F.size(F.split(F.col(text_col), "[ \\t\\n\\x0B\\f\\r]+"))
     staged = redacted.withColumn("__ntok", n_tok).persist()
     report.cached.append(staged)  # caller releases via report.unpersist()
+    track(staged)  # ...or a harness via release_tracked()
     report.counts["after_quality_filters"] = staged.count()
     curated = (
         partitioned_cumsum(staged, [id_col], "__ntok", "__cum")

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from yark_spark.operators.release import track
+
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """E1: exact dedup on a content hash; deterministic representative =
@@ -406,6 +408,7 @@ def _pointer_double(
             F.col("label").alias("__old"),
             F.coalesce("l2", "label").alias("label"),
         ).localCheckpoint()
+        track(j)  # checkpoint storage freed by harnesses via release_tracked()
         changed = j.where(F.col("label") != F.col("__old")).limit(1).count()
         labels = j.drop("__old")
         if changed == 0:
@@ -426,6 +429,7 @@ def _components(
         .select("id", F.least("id", F.coalesce("m", "id")).alias("label"))
         .localCheckpoint()  # eager: materializes + truncates lineage
     )
+    track(labels)
     # flatten parent chains before contracting — without this a path graph
     # contracts by ONE node per level (label(k) = k-1) instead of halving
     labels = _pointer_double(labels, stats=stats)
@@ -441,6 +445,7 @@ def _components(
         .distinct()  # symmetric in, symmetric out — both directions survive
         .localCheckpoint()
     )
+    track(contracted)
     if contracted.isEmpty():
         return labels
     sub = _components(

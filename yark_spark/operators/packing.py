@@ -38,14 +38,22 @@ def release_cumsum_checkpoints() -> int:
     returned by ``partitioned_cumsum`` / ``global_row_number`` has been
     fully materialized (collected, written, or re-persisted) — the
     returned plans read the checkpointed blocks on every evaluation.
-    Returns the number of intermediates released."""
+    Returns the number of intermediates released.
+
+    Round 10: ``DataFrame.unpersist()`` alone does NOT free a
+    localCheckpoint's storage (it only reaches the SQL cache manager;
+    the checkpoint is an RDD-level persist) — the backing RDD is now
+    unpersisted explicitly via the plan's LogicalRDD leaf."""
+    from yark_spark.operators.release import _unpersist_checkpoint_rdds
+
     n = len(_CHECKPOINTED)
     while _CHECKPOINTED:
         df = _CHECKPOINTED.pop()
         try:
             df.unpersist()
         except Exception:  # session already stopped — nothing to free
-            pass
+            continue
+        _unpersist_checkpoint_rdds(df)
     return n
 
 

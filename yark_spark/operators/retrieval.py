@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from yark_spark.operators.dedup import tokens
+from yark_spark.operators.release import track
 
 
 def rrf_fuse(
@@ -136,7 +137,7 @@ def association_rules(
     b = baskets.select(
         F.col(basket_col).alias("__o"), F.col(item_col).alias("__i")
     ).distinct()
-    b = b.cache()
+    b = track(b.cache())  # released by harnesses via release_tracked()
     n_baskets = b.agg(F.countDistinct("__o").cast("bigint").alias("__n"))
     pc = b.groupBy("__i").agg(F.count(F.lit(1)).alias("__c"))
     a, b2 = b.alias("a"), b.alias("b2")

@@ -1,0 +1,96 @@
+"""Round-10 operator batch (VERDICT r9 next-round list): personalized
+PageRank gains a DuckDB-oracle key (item #6) — the bounded-iteration twin
+of ``operators/graph.personalized_pagerank`` with the reset distribution
+unrolled into the CTE, the same pattern as round 8's ``_pagerank_oracle``.
+
+Reference parity note: the reference archiver (/root/reference) has no
+graph surface; this extends the driver-mandated training-data-pipeline
+inventory (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yark_spark.io import load_table
+from yark_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seed-biased teleport) — fixed-iteration twin
+# ---------------------------------------------------------------------------
+
+
+def _ppr_oracle(iters: int = 3, damp: float = 0.85) -> str:
+    """Unrolled personalized power iteration over the undirected
+    customer–part purchase graph; teleport (and dangling, identically
+    zero here — both edge directions are emitted) mass lands on the
+    normalized reset distribution: BUILDING-segment customers, weight 1.
+    Seeds absent from the graph contribute nothing (the Spark side
+    normalizes over graph nodes only — the LEFT JOIN from n reproduces
+    that), and non-seed nodes start at pr=0."""
+    edges = (
+        "SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, "
+        "'p' || CAST(l_partkey AS VARCHAR) AS dst "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+    )
+    cte = (
+        f"WITH und AS ({edges}), "
+        "e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und), "
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src), "
+        "n AS (SELECT DISTINCT src AS node FROM e), "
+        "seed AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node, 1.0 AS rw "
+        "FROM customer WHERE c_mktsegment = 'BUILDING'), "
+        "g AS (SELECT n.node, coalesce(seed.rw, 0.0) AS rw "
+        "FROM n LEFT JOIN seed ON seed.node = n.node), "
+        "w AS (SELECT node, rw / (SELECT sum(rw) FROM g) AS w FROM g), "
+        "p0 AS (SELECT node, w AS pr FROM w)"
+    )
+    for i in range(1, iters + 1):
+        cte += (
+            f", p{i} AS (SELECT w.node, (1 - {damp}) * w.w + {damp} * "
+            f"coalesce(sum(p.pr / deg.d), 0) AS pr "
+            f"FROM w "
+            f"LEFT JOIN e ON e.dst = w.node "
+            f"LEFT JOIN p{i - 1} p ON p.node = e.src "
+            f"LEFT JOIN deg ON deg.src = e.src "
+            f"GROUP BY w.node, w.w)"
+        )
+    return cte + f" SELECT node, round(pr, 8) AS ppr FROM p{iters}"
+
+
+@query("q_pagerank_personalized", oracle=_ppr_oracle())
+def q_pagerank_personalized(spark, sf_dir):
+    """Bounded-iteration personalized PageRank (damping 0.85, 3
+    iterations) over the undirected customer–part purchase graph, with
+    the teleport distribution concentrated on BUILDING-segment customers
+    (weight 1 each, normalized over graph nodes) — "rank parts and
+    customers by proximity to this market segment", the seed-biased
+    variant of q_pagerank.
+
+    Thin wrapper over ``operators/graph.personalized_pagerank`` at
+    ``tol=0, max_iters=3`` (the fixed-iteration oracle-twin mode added
+    this round); the production convergence mode is pinned against a
+    numpy reference in tests/test_graph.py. The DuckDB oracle unrolls
+    the same three iterations with the reset distribution in the CTE.
+    Both edge directions are emitted, so the dangling term is
+    identically zero and the two engines agree without it."""
+    from yark_spark.operators.graph import personalized_pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    und = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    e = und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"),
+        F.lit(1.0).alias("w"),
+    )
+    pr, _ = personalized_pagerank(e, seeds, damp=0.85, tol=0.0, max_iters=3)
+    return pr.select("node", F.round("pr", 8).alias("ppr"))

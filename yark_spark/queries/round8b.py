@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from yark_spark.io import load_table
+from yark_spark.operators.release import track
 from yark_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -333,7 +334,7 @@ def q_collocation_pmi(spark, sf_dir):
         F.any_value("w2").alias("w2"),
         F.count(F.lit(1)).alias("c_ab"),
     )
-    bc = bc.cache()
+    bc = track(bc.cache())  # released by harnesses via release_tracked()
     total = bc.agg(F.sum("c_ab").alias("total"))
     u1 = bc.groupBy(F.col("w1").alias("w")).agg(F.sum("c_ab").alias("c1"))
     u2 = bc.groupBy(F.col("w2").alias("w")).agg(F.sum("c_ab").alias("c2"))

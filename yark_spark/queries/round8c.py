@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from yark_spark.io import load_table
+from yark_spark.operators.release import track
 from yark_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -226,7 +227,7 @@ def q_embedding_covariance(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     ed = emb.select(e.alias("e"))
-    ed = ed.cache()
+    ed = track(ed.cache())  # released by harnesses via release_tracked()
     idx = F.sequence(F.lit(0), F.lit(63))
     sums = (
         ed.select(F.posexplode("e").alias("i0", "x"))
@@ -330,7 +331,7 @@ def q_ks_test(spark, sf_dir):
         F.count_if(F.col("event_type") == "click").alias("c1"),
         F.count_if(F.col("event_type") == "view").alias("c2"),
     )
-    s = s.cache()
+    s = track(s.cache())  # released by harnesses via release_tracked()
     s.count()  # materialize once; cumsum evaluates its subtree twice
     totals = s.agg(
         F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")
@@ -438,7 +439,7 @@ def q_exact_median_global(spark, sf_dir):
         F.col("l_extendedprice").alias("v")
     )
     counts = li.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    counts = counts.cache()
+    counts = track(counts.cache())  # released by harnesses via release_tracked()
     n = counts.agg(F.sum("c").cast("bigint").alias("n"))
     cum = partitioned_cumsum(counts, ["v"], "c", "cum")
     with_n = cum.crossJoin(F.broadcast(n))
