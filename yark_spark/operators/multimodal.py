@@ -132,6 +132,18 @@ def _make_decoder():
         _decode_jpeg = _jpeg_mod.decode_jpeg
     except Exception:  # pragma: no cover — pyspark-less import contexts
         _decode_jpeg = None
+    # lossless WebP (r10): the pure-Python VP8L codec in operators/webp,
+    # shipped by value the same way (lossy VP8 stays NotImplementedError
+    # inside decode_webp — the documented DCT-codec boundary)
+    try:
+        from pyspark import cloudpickle as _cp2
+
+        from yark_spark.operators import webp as _webp_mod
+
+        _cp2.register_pickle_by_value(_webp_mod)
+        _decode_webp = _webp_mod.decode_webp
+    except Exception:  # pragma: no cover
+        _decode_webp = None
 
     def decode(payload: bytes):
         payload = bytes(payload)
@@ -141,9 +153,16 @@ def _make_decoder():
             return _decode_bmp(payload)
         if payload[:2] == b"\xff\xd8" and _decode_jpeg is not None:
             return _decode_jpeg(payload)
+        if (
+            payload[:4] == b"RIFF"
+            and payload[8:12] == b"WEBP"
+            and _decode_webp is not None
+        ):
+            return _decode_webp(payload)
         raise NotImplementedError(
-            "decodable without an image library: uncompressed PGM/PPM/BMP "
-            "and baseline/progressive JPEG; plug PIL/cv2 in for WebP/PNG"
+            "decodable without an image library: uncompressed PGM/PPM/BMP, "
+            "baseline/progressive JPEG, and lossless (VP8L) WebP; plug "
+            "PIL/cv2 in for lossy WebP/PNG"
         )
 
     return decode
@@ -533,6 +552,57 @@ def with_jpeg_payload(
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         _enc,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def with_webp_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **encode_opts,
+) -> DataFrame:
+    """Deterministic lossless-WebP fixture column (round 10, VERDICT r9
+    next-round #3): the same 16x16 quadrant-gray image as
+    ``with_jpeg_payload`` — four 8x8 blocks constant at the ascii codes
+    of the doc's first four md5 hex chars — encoded as VP8L. Lossless,
+    so the decoded mean is EXACTLY the analytic value with no quality
+    argument needed (q_image_decode_webp hash-matches it; pixels come
+    back RGBA, so the mean folds in the constant 255 alpha plane).
+    ``encode_opts`` pass through to ``encode_webp_vp8l`` (transforms,
+    color cache, meta prefix) for plan-shape-identical variants. Map-only
+    mapInPandas; the webp module ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import webp as _webp_mod
+
+    _cp.register_pickle_by_value(_webp_mod)
+    _enc = _webp_mod.encode_webp_vp8l
+    _opts = dict(encode_opts)
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                vals = [ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()[:4]]
+                img = _np.empty((16, 16), dtype=_np.uint8)
+                img[:8, :8] = vals[0]
+                img[:8, 8:] = vals[1]
+                img[8:, :8] = vals[2]
+                img[8:, 8:] = vals[3]
+                payloads.append(_enc(img, **_opts))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
         StructType(
             [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
         ),

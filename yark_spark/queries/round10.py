@@ -1,11 +1,14 @@
 """Round-10 operator batch (VERDICT r9 next-round list): personalized
 PageRank gains a DuckDB-oracle key (item #6) — the bounded-iteration twin
 of ``operators/graph.personalized_pagerank`` with the reset distribution
-unrolled into the CTE, the same pattern as round 8's ``_pagerank_oracle``.
+unrolled into the CTE, the same pattern as round 8's ``_pagerank_oracle``
+— and lossless WebP (VP8L) pixel decode gains a constructed-exact oracle
+key (item #3) over the pure-Python codec in ``operators/webp``.
 
 Reference parity note: the reference archiver (/root/reference) has no
-graph surface; this extends the driver-mandated training-data-pipeline
-inventory (SURVEY.md §2.8).
+graph surface (SURVEY.md §2.8 training-data inventory); the WebP decode
+covers the thumbnail format the reference stores opaquely
+(cmds/archive.py:88-91).
 """
 
 from __future__ import annotations
@@ -94,3 +97,39 @@ def q_pagerank_personalized(spark, sf_dir):
     )
     pr, _ = personalized_pagerank(e, seeds, damp=0.85, tol=0.0, max_iters=3)
     return pr.select("node", F.round("pr", 8).alias("ppr"))
+
+
+# ---------------------------------------------------------------------------
+# Lossless WebP (VP8L) pixel decode — the last decodable thumbnail format
+# ---------------------------------------------------------------------------
+
+_WEBP_ORACLE = (
+    "WITH v AS (SELECT doc_id, "
+    "ascii(substr(md5(text), 1, 1)) AS a, ascii(substr(md5(text), 2, 1)) AS b, "
+    "ascii(substr(md5(text), 3, 1)) AS c, ascii(substr(md5(text), 4, 1)) AS d "
+    "FROM documents WHERE doc_id < 100) "
+    "SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, "
+    "CAST(4 AS INTEGER) AS channels, "
+    "round((3 * (a + b + c + d) / 4.0 + 255) / 4.0, 6) AS mean_pixel FROM v"
+)
+
+
+@query("q_image_decode_webp", oracle=_WEBP_ORACLE)
+def q_image_decode_webp(spark, sf_dir):
+    """E4 lossless WebP (round 10, VERDICT r9 next-round #3): REAL VP8L
+    decode — prefix-coded ARGB, LZ77 backward references, color cache,
+    and the transform stack (operators/webp) — of payloads built by the
+    in-repo VP8L encoder, hash-matched against an ANALYTIC oracle: the
+    codec is lossless, so the decoded mean of the 16x16 quadrant-gray
+    fixture (pixels (255, v, v, v) in RGBA) is exactly
+    (3*(a+b+c+d)/4 + 255)/4 of the doc's first four md5-hex ascii
+    codes — a value DuckDB computes without any image code. The full
+    transform/cache/meta decoder surface is pinned by roundtrip tests in
+    tests/test_webp.py; lossy VP8 remains a documented codec boundary
+    (reference stores WebP thumbnails: cmds/archive.py:88-91)."""
+    from yark_spark.operators.multimodal import decode_image_features, with_webp_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return decode_image_features(
+        with_webp_payload(docs, use_lz77=True, cache_bits=4, subtract_green=True)
+    )
