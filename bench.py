@@ -75,6 +75,7 @@ def main() -> None:
     ingest = bench_history_ingest(spark)
     ingest_sharded = bench_history_ingest_sharded(spark)
     stress = bench_stress(spark, sf_dir)
+    bpe = bench_bpe_encode(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -88,6 +89,7 @@ def main() -> None:
                 "ingest": ingest,
                 "ingest_sharded": ingest_sharded,
                 "stress": stress,
+                "bpe_encode": bpe,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load_avg_before": list(load_before),
                 "load_avg_after": [round(x, 2) for x in os.getloadavg()],
@@ -305,6 +307,103 @@ def bench_stress(spark, sf_dir) -> dict:
         "skew_join": skew_join,
         "substring_coverage": substring,
     }
+
+
+def bench_bpe_encode(spark, sf_dir) -> dict:
+    """Production BPE encode (VERDICT r9 next-round #7): a 2,000-merge
+    table through ``bpe_encode_udf`` — the Arrow-batched rank-dict path
+    (the k=6 demo key only exercises the JVM fold chain). Two series:
+
+    - ``corpus``: the full sf documents table. Its synthetic text has a
+      tiny vocabulary, so the per-task word cache dominates — the
+      realistic cost on THIS corpus.
+    - ``rich``: 5,000 docs x 200 words drawn deterministically from a
+      20k-word hex vocabulary (md5-derived, built Spark-side) — the
+      cache-stressing case where per-word encode cost is the bill.
+
+    The table is trained on the union of both vocabularies with
+    ``train_bpe_merges_local`` (the heap/incremental trainer, seconds at
+    this size; training is fixture setup, untimed)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from yark_spark.io import load_table
+    from yark_spark.operators.bpe import bpe_encode_udf, train_bpe_merges_local
+
+    n_vocab, n_docs, n_words = 20_000, 5_000, 200
+    hexword = lambda i: hashlib.md5(f"w{i}".encode()).hexdigest()[: 4 + (i % 9)]  # noqa: E731
+    vocab = [(hexword(i), 1 + n_vocab // (i + 1)) for i in range(n_vocab)]
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_words = [
+        (r["w"], int(r["f"]))
+        for r in (
+            docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .collect()
+        )
+    ]  # bounded: the documents vocabulary (tens of distinct words)
+    merges = [
+        (l, r)
+        for _, l, r, _ in train_bpe_merges_local(vocab + corpus_words, 2_000)
+    ]
+
+    out = {"merges": len(merges)}
+    t0 = time.perf_counter()
+    n_tok = (
+        bpe_encode_udf(docs, merges)
+        .agg(F.sum(F.size("tokens")).alias("n"))
+        .first()["n"]
+    )
+    el = time.perf_counter() - t0
+    out["corpus"] = {
+        "docs": docs.count(),
+        "tokens": int(n_tok),
+        "sec": round(el, 4),
+        "tokens_per_sec": round(n_tok / el),
+    }
+
+    # rich corpus: word ids drawn per (doc, position) via a hash mod —
+    # deterministic, generated Spark-side, zipf-free uniform draw
+    wid = F.pmod(F.xxhash64(F.col("doc_id") * 1000 + F.col("pos")), F.lit(n_vocab))
+    rich = (
+        spark.range(n_docs)
+        .withColumnRenamed("id", "doc_id")
+        .select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(n_words - 1))).alias("pos")
+        )
+        .select("doc_id", wid.alias("wid"))
+        .groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.collect_list(F.col("wid").cast("string"))).alias("ids"))
+    )
+    # map ids -> hex words worker-side (the vocab list ships by closure)
+    words = [hexword(i) for i in range(n_vocab)]
+
+    @F.udf("string")
+    def _to_text(ids):
+        return " ".join(words[int(t)] for t in ids.split(" "))
+
+    rich_docs = rich.select("doc_id", _to_text("ids").alias("text")).persist()
+    rich_docs.count()  # materialize: fixture generation stays untimed
+    t0 = time.perf_counter()
+    n_tok = (
+        bpe_encode_udf(rich_docs, merges)
+        .agg(F.sum(F.size("tokens")).alias("n"))
+        .first()["n"]
+    )
+    el = time.perf_counter() - t0
+    rich_docs.unpersist()
+    out["rich"] = {
+        "docs": n_docs,
+        "words": n_docs * n_words,
+        "vocab": n_vocab,
+        "tokens": int(n_tok),
+        "sec": round(el, 4),
+        "tokens_per_sec": round(n_tok / el),
+    }
+    return out
 
 
 def _write_history_json(path: str, rows: int) -> None:

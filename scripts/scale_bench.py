@@ -41,12 +41,34 @@ EXTRA = [
     # round 9: the r8 statistics/rules keys join the deep (20x/50x) lane
     "q_exact_median_global",  # value-count agg + two-phase prefix sum
     "q_copurchase_rules",     # basket self-join; basket size stays bounded
+    # round 10: the r9 analytics keys join the deep lane (VERDICT r9 #5)
+    "q_funnel_steps",          # 3 chained min-ts aggs; user cardinality scales
+    "q_snm_pairs",             # sorted-neighborhood linkage; window-bounded pairs
+    "q_histogram_equidepth",   # value-count agg + quantile boundary scan
+    "q_stratified_downsample", # per-stratum exact take; strata scale
+    "q_triangle_count",        # wedge closure; watch sum(deg^2) hub skew
 ]
 
 
 def main() -> None:
-    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
-    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    argv = list(sys.argv[1:])
+    only = None
+    note = None
+    json_path = None
+    if "--keys" in argv:
+        i = argv.index("--keys")
+        only = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2 :]
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    if "--note" in argv:
+        i = argv.index("--note")
+        note = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf1 = argv[0] if len(argv) > 0 else "/root/repo/.scale/sf1"
+    base = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
 
@@ -55,6 +77,8 @@ def main() -> None:
     from yark_spark.session import get_spark
 
     keys = HEADLINE + [k for k in EXTRA if k not in HEADLINE]
+    if only:
+        keys = [k for k in keys if k in only] + [k for k in only if k not in keys]
     spark = get_spark("yark_spark-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
     for d in (base, sf1):
@@ -111,7 +135,13 @@ def main() -> None:
     out["unit"] = "ratio"
     out["total_sf0.1_warm"] = round(tot_base, 4)
     out["total_sf1_warm"] = round(tot_sf1, 4)
+    out["load_avg"] = [round(x, 2) for x in os.getloadavg()]
+    if note:
+        out["method"] = note
     print(json.dumps(out))
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(out, f, indent=1)
     spark.stop()
 
 

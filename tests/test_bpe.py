@@ -99,3 +99,78 @@ def test_bpe_encode_expr_equals_udf_and_reference(spark):
     for r in sorted(expr_out_rows, key=lambda r: (r["doc_id"], r["pos"])):
         expr_out[r["doc_id"]].extend(r["toks"])
     assert expr_out == expected
+
+
+def test_fast_local_trainer_matches_reference_exactly():
+    """train_bpe_merges_local (round 10): the heap/incremental trainer
+    must reproduce the O(ranks x vocab) reference bit-for-bit, including
+    the (count desc, pair asc) tie-break, across fuzzed vocabularies."""
+    import random
+
+    from yark_spark.operators.bpe import reference_bpe_merges, train_bpe_merges_local
+
+    rng = random.Random(20260814)
+    for trial in range(25):
+        vocab = [
+            (
+                "".join(rng.choice("abcde") for _ in range(rng.randint(1, 9))),
+                rng.randint(1, 9),
+            )
+            for _ in range(rng.randint(2, 60))
+        ]
+        k = rng.randint(1, 25)
+        assert reference_bpe_merges(list(vocab), k) == train_bpe_merges_local(
+            list(vocab), k
+        ), trial
+
+
+def test_encode_rank_floor_preserves_sequential_semantics(spark):
+    """The rank-dict encoder's FLOOR (round 10): a later merge whose
+    output recreates an earlier merge's pair must NOT re-trigger that
+    earlier merge — the sequential expr path is the contract. Table:
+    rank1 ('x','abc'), rank2 ('a','bc'), rank3 ('ab','c'). On 'xabc',
+    rank3 merges 'ab'+'c' into 'abc' AFTER rank1's pass is over, so the
+    result must stay ['x', 'abc'] split — not 'xabc' re-merged."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.bpe import bpe_encode_expr, bpe_encode_udf
+
+    merges = [("x", "abc"), ("a", "bc"), ("ab", "c")]
+    # seed tokens 'bc' and 'ab' must exist for ranks 2-3 to be reachable
+    # from characters; build them via two prefix merges
+    table = [("b", "c"), ("a", "b")] + merges
+    docs = spark.createDataFrame(
+        [(1, "xabc"), (2, "aabc"), (3, "abcabc xabc")], "doc_id long, text string"
+    )
+    got_udf = {
+        r["doc_id"]: r["tokens"] for r in bpe_encode_udf(docs, table).collect()
+    }
+    exprd = docs.select(
+        "doc_id",
+        bpe_encode_expr(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), []
+        ).alias("words"),
+    )
+    # expr twin: apply the same merges per word via the Column fold
+    from yark_spark.operators.bpe import _apply_merge
+
+    def fold(seq):
+        out = seq
+        for l, r in table:
+            out = _apply_merge(out, l, r)
+        return out
+
+    got_expr = {
+        r["doc_id"]: r["toks"]
+        for r in docs.select(
+            "doc_id",
+            F.flatten(
+                F.transform(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda w: fold(F.split(w, "")),
+                )
+            ).alias("toks"),
+        ).collect()
+    }
+    assert got_udf == got_expr
+    assert got_udf[1] == ["x", "abc"]  # the floor case, explicitly

@@ -136,6 +136,78 @@ def train_bpe_merges(
     )
 
 
+def train_bpe_merges_local(
+    word_freq_pairs: list[tuple[str, int]], k_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side FAST trainer for production-size merge tables (round
+    10, VERDICT r9 next-round #7): identical output to
+    ``reference_bpe_merges`` (pinned in tests/test_bpe.py) but with
+    incremental pair-count maintenance — a pair->words index plus a
+    lazy-invalidation heap ordered by (count desc, pair asc) — so each
+    merge touches only the words that contain it instead of recounting
+    the whole vocabulary. 2,000 merges over a 20k-word vocabulary run in
+    seconds where the O(ranks x vocab) reference needs minutes. Use for
+    bench fixtures and small-driver training; the DISTRIBUTED trainer
+    (``train_bpe_merges``) remains the at-scale path where the word
+    table doesn't fit one machine."""
+    import heapq
+
+    words = [list(w) for w, _ in word_freq_pairs]
+    freqs = [f for _, f in word_freq_pairs]
+    stats: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for wi, seq in enumerate(words):
+        f = freqs[wi]
+        for i in range(len(seq) - 1):
+            p = (seq[i], seq[i + 1])
+            stats[p] = stats.get(p, 0) + f
+            index.setdefault(p, set()).add(wi)
+    heap = [(-n, p) for p, n in stats.items()]
+    heapq.heapify(heap)
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k_merges + 1):
+        best = None
+        while heap:
+            negn, p = heapq.heappop(heap)
+            if stats.get(p) == -negn:  # still-current heap entry
+                best = (p, -negn)
+                break
+        if best is None:
+            break
+        (l, r), n = best
+        out.append((rank, l, r, n))
+        merged = l + r
+        for wi in sorted(index.get((l, r), ())):
+            seq = words[wi]
+            f = freqs[wi]
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                left = stats.get(p, 0) - f
+                if left > 0:
+                    stats[p] = left
+                    # push the decreased count too: the lazy heap only
+                    # drops STALE entries, so every live count needs one
+                    heapq.heappush(heap, (-left, p))
+                else:
+                    stats.pop(p, None)
+                s = index.get(p)
+                if s is not None:
+                    s.discard(wi)
+            i = 0
+            while i < len(seq) - 1:
+                if seq[i] == l and seq[i + 1] == r:
+                    seq[i : i + 2] = [merged]
+                i += 1
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                stats[p] = stats.get(p, 0) + f
+                index.setdefault(p, set()).add(wi)
+                heapq.heappush(heap, (-stats[p], p))
+        stats.pop((l, r), None)
+        index.pop((l, r), None)
+    return out
+
+
 def reference_bpe_merges(
     word_freq_pairs: list[tuple[str, int]], k_merges: int
 ) -> list[tuple[int, str, str, int]]:
@@ -200,18 +272,37 @@ def bpe_encode_udf(
 
     ws = _re.compile(_WS)
     table = list(merges)
+    ranks = {pair: i for i, pair in enumerate(table)}
 
     def _encode_word(word: str, cache: dict) -> list:
+        # Round 10 (VERDICT r9 next-round #7): rank-dict loop instead of
+        # scanning the whole table per word (O(k*len) — ruinous at
+        # k=2000+). Each step finds the lowest-rank pair PRESENT and
+        # applies that single left-to-right pass; the rank FLOOR keeps
+        # the exact merges-in-rank-order semantics of bpe_encode_expr (a
+        # later merge whose output recreates an earlier merge's pair
+        # must NOT re-trigger it — that rank's pass already finished).
+        # Cost: O(passes*len), independent of table size.
         got = cache.get(word)
         if got is not None:
             return got
         seq = list(word)
-        for left, right in table:
+        floor = 0
+        while len(seq) > 1:
+            best = None
+            for i in range(len(seq) - 1):
+                rk = ranks.get((seq[i], seq[i + 1]))
+                if rk is not None and rk >= floor and (best is None or rk < best):
+                    best = rk
+            if best is None:
+                break
+            left, right = table[best]
             i = 0
             while i < len(seq) - 1:
                 if seq[i] == left and seq[i + 1] == right:
                     seq[i : i + 2] = [left + right]
                 i += 1
+            floor = best + 1
         cache[word] = seq
         return seq
 
