@@ -126,9 +126,13 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(_VERIFIED_ROUNDS)
 #: AnalysisException on the NTZ fixtures while carrying green r3 rows; the
 #: rows-only r2-era keys the verdict names ride along so none lands just
 #: outside the 50-key window). Fronting AUTO-EXPIRES: a priority key is
-#: only fronted while its newest green row is older than the newest
-#: CORRECTNESS report present, so once the re-verification lands these
-#: revert to the normal stalest-first rotation without an edit here.
+#: only fronted while its newest green row is no newer than the breakage
+#: round — once ONE post-fix re-verification lands (all eight got green
+#: r8 rows) the key reverts permanently to the stalest-first rotation.
+#: (The pre-r10 condition compared against the NEWEST report instead,
+#: which re-fronted already-rechecked keys every other round and burned
+#: 7 of the window's 50 slots on fresh r8 rows while r5-cohort keys
+#: waited.)
 _PRIORITY_RECHECK: tuple[str, ...] = (
     "q_sessionize",
     "q_event_dedup_burst",
@@ -140,6 +144,10 @@ _PRIORITY_RECHECK: tuple[str, ...] = (
     "q_grouped_pandas",
 )
 
+#: The round whose verdict reported the breakage _PRIORITY_RECHECK exists
+#: to re-cover; a green row from any LATER round proves the fix.
+_PRIORITY_RECHECK_BREAK_ROUND = 5
+
 
 def driver_ordered(mapping: dict) -> dict:
     """Reorder ``mapping`` so the driver's fixed-size window (first N keys)
@@ -150,14 +158,13 @@ def driver_ordered(mapping: dict) -> dict:
     rotates the window through least-recently-checked keys each round
     instead of re-checking the same registration-order prefix."""
     reg_idx = {k: i for i, k in enumerate(mapping)}
-    latest_round = max(_VERIFIED_ROUNDS.values(), default=0)
     unverified = [k for k in mapping if k not in DRIVER_VERIFIED]
     priority = [
         k
         for k in _PRIORITY_RECHECK
         if k in mapping
         and k not in unverified
-        and _VERIFIED_ROUNDS.get(k, 0) < latest_round
+        and _VERIFIED_ROUNDS.get(k, 0) <= _PRIORITY_RECHECK_BREAK_ROUND
     ]
     rest = sorted(
         (k for k in mapping if k in DRIVER_VERIFIED and k not in priority),
