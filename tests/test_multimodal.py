@@ -420,3 +420,89 @@ def test_image_dims_parses_all_container_headers():
 
     with pytest.raises(NotImplementedError):
         image_dims(b"GIF89a......")
+
+
+def test_decode_pnm_16bit():
+    """16-bit netpbm (round 10): two big-endian bytes per sample per the
+    spec; the former NotImplementedError boundary, now decoded."""
+    import numpy as np
+
+    from yark_spark.operators.multimodal import decode_image
+
+    arr = np.array([[0, 300], [65535, 1234]], dtype=np.uint16)
+    payload = b"P5\n2 2\n65535\n" + arr.astype(">u2").tobytes()
+    got = decode_image(payload)
+    assert got.dtype == np.uint16
+    assert (got == arr).all()
+
+    rgb = np.arange(12, dtype=np.uint16).reshape(2, 2, 3) * 5000
+    payload = b"P6\n2 2\n65535\n" + rgb.astype(">u2").tobytes()
+    assert (decode_image(payload) == rgb).all()
+
+
+def _rle8_bmp(indexed, flipped=True):
+    """Minimal BI_RLE8 encoder for the test: encoded + absolute runs,
+    EOL after each row, EOF at the end."""
+    import struct
+
+    h, w = indexed.shape
+    rle = bytearray()
+    rows = indexed[::-1] if flipped else indexed  # file order is bottom-up
+    for r, row in enumerate(rows):
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 2:
+                rle += bytes([run, int(row[x])])
+                x += run
+            else:
+                # absolute mode needs >= 3 literals; pad short tails with
+                # 1-pixel encoded runs
+                j = x
+                while j < w and (j - x) < 255:
+                    nxt_same = j + 1 < w and row[j + 1] == row[j]
+                    if nxt_same and j - x >= 3:
+                        break
+                    j += 1
+                n = j - x
+                if n >= 3:
+                    rle += bytes([0, n]) + bytes(int(v) for v in row[x:j])
+                    if n & 1:
+                        rle += b"\x00"
+                else:
+                    for v in row[x:j]:
+                        rle += bytes([1, int(v)])
+                x = j
+        rle += b"\x00\x00"  # end of line
+    rle += b"\x00\x01"  # end of bitmap
+    data_off = 14 + 40 + 256 * 4
+    palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(rle), 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h if flipped else -h, 1, 8, 1, len(rle), 0, 0, 256, 0
+        )
+    )
+    return header + palette + bytes(rle)
+
+
+def test_decode_bmp_rle8():
+    """BI_RLE8 BMP (round 10): encoded runs, absolute runs, EOL/EOF
+    escapes, bottom-up and top-down row order — the former
+    NotImplementedError boundary, now decoded to the index plane."""
+    import numpy as np
+
+    from yark_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(3)
+    img = np.repeat(rng.integers(0, 256, (7, 5), dtype=np.uint8), 3, axis=1)[:, :13]
+    for flipped in (True, False):
+        got = decode_image(_rle8_bmp(img, flipped=flipped))
+        assert got.shape == img.shape
+        assert (got == img).all(), flipped
+    # literal-heavy content exercises absolute mode
+    lit = rng.integers(0, 256, (4, 9), dtype=np.uint8)
+    assert (decode_image(_rle8_bmp(lit)) == lit).all()

@@ -10,8 +10,12 @@ parser, driver hash-matched via q_image_decode) AND for baseline JPEG —
 the format the reference's thumbnails actually use — via the pure-numpy
 T.81 codec in operators/jpeg (hash-matched via q_image_decode_jpeg on a
 constructed-exact roundtrip) — including PROGRESSIVE JPEG and restart
-intervals since round 9. WebP/PNG still raise NotImplementedError;
-fake_image_features remains the deterministic stand-in for those paths.
+intervals since round 9, lossless WebP (VP8L) via operators/webp since
+round 10 (hash-matched via q_image_decode_webp), plus 16-bit netpbm and
+BI_RLE8-compressed BMP. The remaining boundaries are the DCT/arithmetic
+video-class codecs: lossy VP8, PNG's zlib, arithmetic-coded JPEG,
+BI_RLE4/BI_BITFIELDS BMP; fake_image_features remains the deterministic
+stand-in for those paths.
 
 Scale notes: binary rows are big — keep them out of shuffles. All feature
 extraction here is map-only (mapInPandas, no keys), and downstream joins
@@ -56,13 +60,14 @@ def _make_decoder():
     (cloudpickle ships it BY VALUE, so Python workers never import this
     package — same pattern as chunking's kernels).
 
-    Supports the UNCOMPRESSED formats a pure-numpy parser can decode:
-    PGM (P5) / PPM (P6) binary netpbm, and BMP with BI_RGB (compression
-    0) at 8/24/32 bits per pixel. Compressed or unknown formats raise
-    NotImplementedError — a real deployment plugs PIL/cv2 in for those
-    (JPEG/PNG entropy coding is not reasonably reimplementable here).
-    Returns uint8 arrays shaped (H, W) for grayscale or (H, W, C) with
-    RGB channel order for color.
+    Supports PGM (P5) / PPM (P6) binary netpbm (8- and 16-bit), BMP
+    with BI_RGB at 8/24/32 bpp and BI_RLE8 at 8 bpp, baseline +
+    progressive JPEG (operators/jpeg), and lossless WebP / VP8L
+    (operators/webp). Remaining formats raise NotImplementedError — a
+    real deployment plugs PIL/cv2 in for those (PNG's zlib and the VP8
+    DCT codec are out of scope). Returns uint8 (uint16 for deep netpbm)
+    arrays shaped (H, W) for grayscale or (H, W, C) with RGB channel
+    order for color (RGBA for WebP).
     """
 
     def _decode_pnm(payload):
@@ -81,13 +86,17 @@ def _make_decoder():
             tokens.append(int(m.group(1)))
             pos += m.end()
         width, height, maxval = tokens
-        if maxval > 255:
-            raise NotImplementedError("16-bit netpbm not supported")
         pos += 1  # the single whitespace after maxval
         channels = 3 if payload[:2] == b"P6" else 1
         need = width * height * channels
-        pix = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
-        arr = pix.reshape(height, width, channels)
+        if maxval > 255:
+            # 16-bit netpbm (round 10): two bytes per sample, BIG-endian
+            # per the spec; returned as uint16 (feature means upcast fine)
+            pix = np.frombuffer(payload, dtype=">u2", count=need, offset=pos)
+            arr = pix.astype(np.uint16).reshape(height, width, channels)
+        else:
+            pix = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+            arr = pix.reshape(height, width, channels)
         return arr[:, :, 0] if channels == 1 else arr
 
     def _decode_bmp(payload):
@@ -102,8 +111,46 @@ def _make_decoder():
         width, height = struct.unpack_from("<ii", payload, 18)
         bpp, = struct.unpack_from("<H", payload, 28)
         compression, = struct.unpack_from("<I", payload, 30)
+        if compression == 1 and bpp == 8:
+            # BI_RLE8 (round 10): run pairs (count, index) with 0-escapes
+            # — 0,0 end-of-line / 0,1 end-of-bitmap / 0,2 delta(dx,dy) /
+            # 0,n absolute run of n indices, word-aligned. Returned as
+            # the palette-index plane, matching the uncompressed 8-bpp
+            # path (the gray fixtures write identity palettes).
+            flipped = height > 0
+            h = abs(height)
+            out = np.zeros((h, width), dtype=np.uint8)
+            x = y = 0
+            i = data_off
+            while i + 1 < len(payload):
+                c, v = payload[i], payload[i + 1]
+                i += 2
+                if c > 0:
+                    if x + c > width or y >= h:
+                        raise ValueError("RLE8 run past row end")
+                    out[h - 1 - y if flipped else y, x : x + c] = v
+                    x += c
+                elif v == 0:  # end of line
+                    x, y = 0, y + 1
+                elif v == 1:  # end of bitmap
+                    break
+                elif v == 2:  # delta jump (undefined pixels stay 0)
+                    x += payload[i]
+                    y += payload[i + 1]
+                    i += 2
+                else:  # absolute mode: v literal indices, word-aligned
+                    if x + v > width or y >= h:
+                        raise ValueError("RLE8 absolute run past row end")
+                    out[h - 1 - y if flipped else y, x : x + v] = np.frombuffer(
+                        payload, dtype=np.uint8, count=v, offset=i
+                    )
+                    x += v
+                    i += v + (v & 1)
+            return out
         if compression != 0:
-            raise NotImplementedError("compressed BMP (BI_RLE/BI_BITFIELDS) not supported")
+            raise NotImplementedError(
+                "compressed BMP (BI_RLE4/BI_BITFIELDS) not supported"
+            )
         if bpp not in (8, 24, 32):
             raise NotImplementedError(f"{bpp}-bpp BMP not supported")
         flipped = height > 0  # positive height = bottom-up row order
