@@ -129,15 +129,48 @@ def association_rules(
     salt like the MinHash hot-bucket cap (operators/dedup.py).
 
     The distinct basket set is cached for its three consumers (total,
-    item counts, pair join); callers running many rule builds in one
-    session should ``spark.catalog.clearCache()`` or unpersist via the
-    returned plan's source when done."""
+    item counts, pair join) and RELEASED before return: the result is
+    materialized eagerly (localCheckpoint, tracked by
+    ``operators/release``) — legitimate because the support filter
+    bounds the rule set. Round 10: the same partition-count hygiene as
+    ``operators/graph`` — the cache pins 200-partition output under a
+    vanilla session (AQE cannot re-coalesce cached plans), so the five
+    downstream shuffles ran 200 tiny tasks each at small SF; the
+    shuffle width is clamped to the basket-set size for the duration
+    of the build and restored on exit (a no-op at cluster scale)."""
     from pyspark.sql import functions as F
 
+    from yark_spark.operators.release import release_now
+
+    spark = baskets.sparkSession
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     b = baskets.select(
         F.col(basket_col).alias("__o"), F.col(item_col).alias("__i")
     ).distinct()
-    b = track(b.cache())  # released by harnesses via release_tracked()
+    b = b.cache()
+    n_rows = b.count()  # materializes the cache AND sizes the build
+    p = min(
+        conf_parts,
+        max(spark.sparkContext.defaultParallelism, int(n_rows // 2_000_000) + 1),
+    )
+    if p * 4 <= b.rdd.getNumPartitions():
+        packed = b.coalesce(p).localCheckpoint(eager=True)
+        b.unpersist()
+        b = packed
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        rules = track(_rules_plan(b, min_support).localCheckpoint(eager=True))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
+    release_now(b)
+    return rules
+
+
+def _rules_plan(b, min_support: int):
+    """The lazy rule-build plan over the materialized distinct basket
+    set ``b`` — split out so the caller owns conf/materialization."""
+    from pyspark.sql import functions as F
+
     n_baskets = b.agg(F.countDistinct("__o").cast("bigint").alias("__n"))
     pc = b.groupBy("__i").agg(F.count(F.lit(1)).alias("__c"))
     a, b2 = b.alias("a"), b.alias("b2")
