@@ -57,6 +57,22 @@ def release_cumsum_checkpoints() -> int:
     return n
 
 
+def sized_partitions(spark, n_rows: int, rows_per_task: int = 1_000_000) -> int:
+    """Shuffle-width clamp for a KNOWN row count (round 10, the
+    q_copurchase_rules / q_pagerank pattern): never above the session
+    conf, never below the executor parallelism, ~``rows_per_task`` rows
+    per task in between. Callers that already materialized (and counted)
+    a cached input pass this as ``num_partitions`` so a small dataset
+    doesn't fan a range shuffle into hundreds of near-empty tasks under
+    a wide session conf; at cluster scale the conf cap makes it a
+    no-op."""
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return min(
+        conf,
+        max(spark.sparkContext.defaultParallelism, int(n_rows // rows_per_task) + 1),
+    )
+
+
 def _local_cumsum(
     df: DataFrame,
     order_cols: list[str],

@@ -332,12 +332,15 @@ def q_ks_test(spark, sf_dir):
         F.count_if(F.col("event_type") == "view").alias("c2"),
     )
     s = track(s.cache())  # released by harnesses via release_tracked()
-    s.count()  # materialize once; cumsum evaluates its subtree twice
+    n_vals = s.count()  # materialize once; cumsum evaluates its subtree twice
     totals = s.agg(
         F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")
     )
-    c = partitioned_cumsum(s, ["value"], "c1", "cum1")
-    c = partitioned_cumsum(c, ["value"], "c2", "cum2")
+    from yark_spark.operators.packing import sized_partitions
+
+    p = sized_partitions(spark, n_vals)  # width clamp (round 10)
+    c = partitioned_cumsum(s, ["value"], "c1", "cum1", p)
+    c = partitioned_cumsum(c, ["value"], "c2", "cum2", p)
     return (
         c.crossJoin(F.broadcast(totals))
         .select(
@@ -440,8 +443,13 @@ def q_exact_median_global(spark, sf_dir):
     )
     counts = li.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
     counts = track(counts.cache())  # released by harnesses via release_tracked()
+    n_vals = counts.count()  # materializes the cache AND sizes the shuffle
     n = counts.agg(F.sum("c").cast("bigint").alias("n"))
-    cum = partitioned_cumsum(counts, ["v"], "c", "cum")
+    from yark_spark.operators.packing import sized_partitions
+
+    cum = partitioned_cumsum(
+        counts, ["v"], "c", "cum", sized_partitions(spark, n_vals)
+    )
     with_n = cum.crossJoin(F.broadcast(n))
     k1 = (F.col("n") + 1) / 2  # lower middle (1-based)
     k2 = (F.col("n") + 2) / 2  # upper middle
