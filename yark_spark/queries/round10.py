@@ -256,8 +256,16 @@ def q_rfm_scores(spark, sf_dir):
     shuffle + map-side ntile arithmetic) with custkey tie-breaks —
     never an unpartitioned ntile() window funneling every customer
     through one task (VERDICT r2 "What's wrong" #2). Scores ascend with
-    the metric (r_score 1 = most recent, f/m_score 5 = top buyers)."""
-    from yark_spark.operators.packing import global_row_number, ntile_expr
+    the metric (r_score 1 = most recent, f/m_score 5 = top buyers).
+    The per-customer aggregate is cached and counted once so the three
+    range shuffles size to the customer count, not the session conf
+    (packing.sized_partitions)."""
+    from yark_spark.operators.packing import (
+        global_row_number,
+        ntile_expr,
+        sized_partitions,
+    )
+    from yark_spark.operators.release import track
 
     o = load_table(spark, sf_dir, "orders")
     g = o.agg(F.max("o_orderdate").alias("mx"))
@@ -278,9 +286,12 @@ def q_rfm_scores(spark, sf_dir):
             "m_cents",
         )
     )
-    c = global_row_number(c, ["r_days", "custkey"], "__rr")
-    c = global_row_number(c, ["f", "custkey"], "__rf")
-    c = global_row_number(c, ["m_cents", "custkey"], "__rm")
+    c = track(c.cache())
+    n_cust = c.count()
+    p = sized_partitions(spark, n_cust)
+    c = global_row_number(c, ["r_days", "custkey"], "__rr", p)
+    c = global_row_number(c, ["f", "custkey"], "__rf", p)
+    c = global_row_number(c, ["m_cents", "custkey"], "__rm", p)
     total = F.broadcast(c.agg(F.count(F.lit(1)).alias("__N")))
     return c.crossJoin(total).select(
         "custkey",
