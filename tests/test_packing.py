@@ -173,3 +173,22 @@ def test_partitioned_cumsum_boundary_stability_many_partitions(spark):
         pdf = out.toPandas().sort_values("value").reset_index(drop=True)
         assert (pdf.cum.values == pdf.c.cumsum().values).all()
     s.unpersist()
+
+
+def test_partitioned_cumsum_multi_matches_chained_single(spark):
+    """Round 10: k running sums over one shared order must equal the
+    chained single-column calls exactly, for every partitioning."""
+    import random
+
+    from yark_spark.operators.packing import partitioned_cumsum, partitioned_cumsum_multi
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(-5, 9), rng.randint(0, 4)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v1 long, v2 long")
+    for n in (1, 3, 8):
+        a = partitioned_cumsum_multi(df, ["k"], ["v1", "v2"], ["c1", "c2"], n)
+        b = partitioned_cumsum(df, ["k"], "v1", "c1", n)
+        b = partitioned_cumsum(b, ["k"], "v2", "c2", n)
+        got = {r["k"]: (r["c1"], r["c2"]) for r in a.collect()}
+        exp = {r["k"]: (r["c1"], r["c2"]) for r in b.collect()}
+        assert got == exp, n

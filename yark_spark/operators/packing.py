@@ -87,6 +87,19 @@ def _local_cumsum(
     single-task global window) — the eager localCheckpoint in
     ``partitioned_cumsum`` truncates visible lineage, so the shape must be
     asserted on this subtree."""
+    return _local_cumsum_multi(df, order_cols, [value_col], [out_col], num_partitions)
+
+
+def _local_cumsum_multi(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: list[str],
+    out_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-column variant (round 10): k running sums share ONE range
+    shuffle and one Arrow pass — q_ks_test's two chained cumsums over
+    the same order collapse to a single stage+checkpoint."""
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     part = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).sortWithinPartitions(
@@ -96,22 +109,27 @@ def _local_cumsum(
     # DataFrame's cached schema
     schema = StructType(
         list(part.schema.fields)
-        + [StructField(out_col, LongType()), StructField("__pid", IntegerType())]
+        + [StructField(oc, LongType()) for oc in out_cols]
+        + [StructField("__pid", IntegerType())]
     )
+    vcols = list(value_cols)
+    ocols = list(out_cols)
 
     def _cum(batches):
         import pandas as pd  # noqa: F401 (worker-side)
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        running = 0
+        running = [0] * len(vcols)
         for pdf in batches:
             if len(pdf):
-                c = pdf[value_col].astype("int64").cumsum() + running
-                pdf[out_col] = c
-                running = int(c.iloc[-1])
+                for i, (vc, oc) in enumerate(zip(vcols, ocols)):
+                    c = pdf[vc].astype("int64").cumsum() + running[i]
+                    pdf[oc] = c
+                    running[i] = int(c.iloc[-1])
             else:
-                pdf[out_col] = pdf[value_col].astype("int64")
+                for vc, oc in zip(vcols, ocols):
+                    pdf[oc] = pdf[vc].astype("int64")
             pdf["__pid"] = pid
             yield pdf
 
@@ -148,7 +166,22 @@ def partitioned_cumsum(
     is called or the session ends. Long-lived sessions that build many
     prefix sums should release once downstream consumers are materialized.
     """
-    local = _local_cumsum(df, order_cols, value_col, out_col, num_partitions)
+    return partitioned_cumsum_multi(
+        df, order_cols, [value_col], [out_col], num_partitions
+    )
+
+
+def partitioned_cumsum_multi(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: list[str],
+    out_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """k inclusive global running sums over ONE shared order — one range
+    shuffle, one Arrow pass, one checkpoint for all of them (round 10;
+    same contract and side effects as :func:`partitioned_cumsum`)."""
+    local = _local_cumsum_multi(df, order_cols, value_cols, out_cols, num_partitions)
     local = local.localCheckpoint(eager=True)
     _CHECKPOINTED.append(local)
 
@@ -156,18 +189,24 @@ def partitioned_cumsum(
     # they only coincide for non-negative values; a negative value_col
     # would otherwise corrupt the offset of every later partition
     totals = local.groupBy("__pid").agg(
-        F.sum(F.col(value_col).cast("long")).alias("__t")
+        *[
+            F.sum(F.col(vc).cast("long")).alias(f"__t{i}")
+            for i, vc in enumerate(value_cols)
+        ]
     )
     w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     # the offsets window runs over P rows (one per partition), not the data
     offsets = totals.select(
-        "__pid", F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__off")
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__t{i}").over(w), F.lit(0)).alias(f"__off{i}")
+            for i in range(len(value_cols))
+        ],
     )
-    return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, (F.col(out_col) + F.col("__off")).cast("long"))
-        .drop("__pid", "__off")
-    )
+    out = local.join(F.broadcast(offsets), "__pid")
+    for i, oc in enumerate(out_cols):
+        out = out.withColumn(oc, (F.col(oc) + F.col(f"__off{i}")).cast("long"))
+    return out.drop("__pid", *[f"__off{i}" for i in range(len(value_cols))])
 
 
 def global_row_number(

@@ -336,11 +336,13 @@ def q_ks_test(spark, sf_dir):
     totals = s.agg(
         F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")
     )
-    from yark_spark.operators.packing import sized_partitions
+    from yark_spark.operators.packing import partitioned_cumsum_multi, sized_partitions
 
-    p = sized_partitions(spark, n_vals)  # width clamp (round 10)
-    c = partitioned_cumsum(s, ["value"], "c1", "cum1", p)
-    c = partitioned_cumsum(c, ["value"], "c2", "cum2", p)
+    # width clamp + ONE shared range shuffle/checkpoint for both running
+    # sums (round 10): the two ECDFs share the value order
+    c = partitioned_cumsum_multi(
+        s, ["value"], ["c1", "c2"], ["cum1", "cum2"], sized_partitions(spark, n_vals)
+    )
     return (
         c.crossJoin(F.broadcast(totals))
         .select(
