@@ -225,3 +225,34 @@ def test_shard_json_array_auto_selects_sequential_below_threshold(tmp_path, monk
         str(src), str(tmp_path / "thresh"), parallel_min_bytes=1
     )
     assert calls["seq"] == 1
+
+
+def test_shard_json_array_compact_separators_fast_write_path(tmp_path):
+    """Round 10: compact (machine-written) arrays — every inter-record
+    gap is exactly the one comma byte — take the comma-flip fast write
+    path; output must stay byte-identical to the sequential scanner.
+    The default json.dumps ', ' separator exercises the gather path in
+    the differential test above; this pins the fast path."""
+    import json
+
+    from yark_spark.sources.takeout import (
+        shard_json_array,
+        shard_json_array_sequential,
+    )
+
+    rows = [{"titleUrl": f"v{i}" * (i % 7 + 1), "time": "t,]}"} for i in range(800)]
+    src = tmp_path / "compact.json"
+    src.write_text(json.dumps(rows, separators=(",", ":")))
+    ref = shard_json_array_sequential(
+        str(src), str(tmp_path / "seq"), shard_bytes=6_000, chunk_bytes=509
+    )
+    got = shard_json_array(
+        str(src),
+        str(tmp_path / "par"),
+        shard_bytes=6_000,
+        chunk_bytes=509,
+        max_workers=3,
+    )
+    assert len(got) == len(ref) > 1
+    for rp, gp in zip(ref, got):
+        assert open(gp, "rb").read() == open(rp, "rb").read()
