@@ -104,15 +104,28 @@ def train_bpe_merges(
 ) -> DataFrame:
     """Learn the top-``k_merges`` BPE merges from a corpus. Returns
     (rank, left, right, pair_count) — rank 1 = first merge learned.
-    Deterministic: ties broken by (left, right) lexicographically."""
+    Deterministic: ties broken by (left, right) lexicographically.
+
+    Round 10: the per-rank iteration (pair count + top-1 + rewrite)
+    runs with the shuffle width clamped to the word-table size
+    (packing.sized_partitions, restored on exit) — the word table is
+    |vocabulary| rows, tiny next to the corpus, and a wide vanilla
+    session otherwise pays 2k tiny tasks per rank."""
+    from yark_spark.operators.packing import sized_partitions
+
     spark = docs.sparkSession
+    conf_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     words = (
         word_freqs(docs, text_col)
         .select("freq", F.split("word", "").alias("seq"))
         .persist()
     )
+    n_words = words.count()  # materializes the cache AND sizes the loop
     merges: list[tuple[int, str, str, int]] = []
     try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(sized_partitions(spark, n_words))
+        )
         for rank in range(1, k_merges + 1):
             top = (
                 pair_counts(words)
@@ -130,6 +143,7 @@ def train_bpe_merges(
             words.unpersist()
             words = nxt
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", conf_parts)
         words.unpersist()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
