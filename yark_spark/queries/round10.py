@@ -302,3 +302,47 @@ def q_rfm_scores(spark, sf_dir):
         ntile_expr(F.col("__rf"), F.col("__N"), 5).alias("f_score"),
         ntile_expr(F.col("__rm"), F.col("__N"), 5).alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential path mining (top event-type trigram paths)
+# ---------------------------------------------------------------------------
+
+_PATHS_ORACLE = (
+    "WITH s AS (SELECT user_id, event_type, "
+    "lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3 "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT event_type || '>' || e2 || '>' || e3 AS path, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM s WHERE e3 IS NOT NULL GROUP BY path "
+    "ORDER BY n DESC, path LIMIT 20"
+)
+
+
+@query("q_event_paths", oracle=_PATHS_ORACLE)
+def q_event_paths(spark, sf_dir):
+    """Sequential path mining: the top-20 event-type TRIGRAM paths
+    across all user streams — the "what do users do next" exploration
+    behind funnel design (q_funnel_steps checks a chosen path; this
+    discovers candidates). Two leads over a PER-USER window ((ts,
+    event_id) tie-break — user cardinality scales, one task never sees
+    more than one user's stream), a partial-agg path count (bounded by
+    |event_types|^3), and a TakeOrderedAndProject top-20 with a path
+    tie-break — no global sort."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        s.groupBy(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
