@@ -47,6 +47,12 @@ EXTRA = [
     "q_histogram_equidepth",   # value-count agg + quantile boundary scan
     "q_stratified_downsample", # per-stratum exact take; strata scale
     "q_triangle_count",        # wedge closure; watch sum(deg^2) hub skew
+    # round 10 additions (for the NEXT deep-lane run)
+    "q_cohort_retention",      # per-user min agg + bounded (user, week) join
+    "q_markov_transitions",    # per-user lead window; matrix is types^2
+    "q_rfm_scores",            # 3 sized range shuffles + ntile arithmetic
+    "q_event_paths",           # per-user 2-lead window + bounded path agg
+    "q_pagerank_personalized", # seeded power iteration, persisted inputs
 ]
 
 

@@ -3,7 +3,10 @@ PageRank gains a DuckDB-oracle key (item #6) — the bounded-iteration twin
 of ``operators/graph.personalized_pagerank`` with the reset distribution
 unrolled into the CTE, the same pattern as round 8's ``_pagerank_oracle``
 — and lossless WebP (VP8L) pixel decode gains a constructed-exact oracle
-key (item #3) over the pure-Python codec in ``operators/webp``.
+key (item #3) over the pure-Python codec in ``operators/webp``. The
+batch also widens §2.8 with four oracle-checked product-analytics keys:
+cohort retention, the event-type Markov transition matrix, RFM quintile
+scoring, and sequential path mining.
 
 Reference parity note: the reference archiver (/root/reference) has no
 graph surface (SURVEY.md §2.8 training-data inventory); the WebP decode
