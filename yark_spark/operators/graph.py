@@ -179,18 +179,26 @@ def _pagerank_iterate(
                 break
         else:
             # tol=0: fixed-iteration mode (the oracle twin) — no
-            # convergence probes; pr itself is referenced once per
-            # iteration so the chain stays a shallow lazy plan over the
-            # PERSISTED e/deg/nodes, materialized once at the eager
-            # checkpoint below
-            pr = new
+            # convergence probes, but each iterate still materializes
+            # eagerly with its predecessor released at once: one deep
+            # k-iteration lazy chain evaluated at the end held every
+            # intermediate exchange live simultaneously and broke the
+            # single-JVM broadcast build at the 50x lane scale
+            prev = pr
+            pr = new.localCheckpoint(eager=True)
+            if i > 0:
+                # only release OUR per-iteration checkpoints: iteration
+                # 0's prev is the LAZY initial vector whose lineage
+                # reaches the persisted/checkpointed edge inputs —
+                # walking its leaves would free e's blocks mid-run
+                release_now(prev)
             iters_run = i + 1
     if tol == 0:
-        # materialize through the cached inputs so they can be released
-        # here — the checkpointed blocks (a tiny (node, double) vector)
-        # back the returned DataFrame; release.track() lets harnesses
-        # free them after the caller's action (release_tracked())
-        pr = track(pr.localCheckpoint(eager=True))
+        # the final iterate is already a checkpoint — a tiny
+        # (node, double) vector backing the returned DataFrame;
+        # release.track() lets harnesses free it after the caller's
+        # action (release_tracked())
+        track(pr)
     else:
         track(pr)  # convergence mode returns the persisted last iterate
     nodes.unpersist()
@@ -329,16 +337,15 @@ def _ppr_iterate(
                 break
         else:
             # tol=0: fixed-iteration oracle-twin mode (q_pagerank_
-            # personalized) — no convergence probes, shallow lazy chain
-            # over the persisted e/deg/wdf, one eager materialization
-            # below
-            pr = new
+            # personalized) — no convergence probes, but per-iteration
+            # eager materialization with prompt predecessor release
+            # (the deep-chain variant held every exchange live at once
+            # and broke the 50x lane's broadcast build)
+            prev = pr
+            pr = new.localCheckpoint(eager=True)
+            release_now(prev)
             iters_run = i + 1
-    if tol == 0:
-        pr = track(pr.localCheckpoint(eager=True))
-        release_now(pr0)
-    else:
-        track(pr)
+    track(pr)  # final iterate is materialized in both modes
     e.unpersist()
     deg.unpersist()
     masked.unpersist()
