@@ -150,3 +150,25 @@ def test_decoded_mean_matches_analytic_oracle_shape():
     out = decode_webp(encode_webp_vp8l(img, cache_bits=4, subtract_green=True))
     got = float(np.mean(out, dtype=np.float64))
     assert got == (3 * (sum(vals) / 4.0) + 255) / 4.0
+
+
+def test_decoder_never_hangs_on_fuzzed_payloads():
+    """Robustness: random bytes in a structurally valid RIFF/VP8L
+    container must either raise a controlled error or decode to SOME
+    array — never hang or crash the interpreter. Every decoder loop has
+    a progress guarantee (pixel position, symbol count, bounded
+    recursion), which this pins with 200 fuzz cases."""
+    import struct
+
+    rng = np.random.default_rng(99)
+    for trial in range(200):
+        body = bytes([0x2F]) + bytes(rng.integers(0, 256, rng.integers(4, 60)).tolist())
+        chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunk += b"\x00"
+        payload = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+        try:
+            out = decode_webp(payload)
+            assert out.ndim == 3  # decoded to something array-shaped
+        except (ValueError, NotImplementedError, IndexError, KeyError, OverflowError):
+            pass

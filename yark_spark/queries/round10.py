@@ -349,3 +349,77 @@ def q_event_paths(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph degree distribution (the power-law profile)
+# ---------------------------------------------------------------------------
+
+_DEGREE_ORACLE = (
+    "WITH und AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), "
+    "deg AS (SELECT 'c' || CAST(c AS VARCHAR) AS node, count(*) AS d FROM und GROUP BY c "
+    "UNION ALL SELECT 'p' || CAST(p AS VARCHAR), count(*) FROM und GROUP BY p) "
+    "SELECT CAST(d AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes "
+    "FROM deg GROUP BY d"
+)
+
+
+@query("q_degree_distribution", oracle=_DEGREE_ORACLE)
+def q_degree_distribution(spark, sf_dir):
+    """Degree distribution of the bipartite customer-part purchase graph
+    — the first profiling pass before any graph algorithm (hub detection
+    for the high-degree splits q_triangle_count documents, power-law
+    sanity checks). Two per-side counts over ONE distinct edge
+    projection, then a count-of-counts rollup: both shuffles key on the
+    graph's own ids, the result is |distinct degrees| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    und = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = und.groupBy("c").agg(F.count(F.lit(1)).alias("d")).select("d").unionAll(
+        und.groupBy("p").agg(F.count(F.lit(1)).alias("d")).select("d")
+    )
+    return deg.groupBy(F.col("d").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activity seasonality (hour-of-day x day-of-week heat map + uniformity)
+# ---------------------------------------------------------------------------
+
+_SEASONALITY_ORACLE = (
+    "WITH c AS (SELECT CAST(isodow(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hod, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY dow, hod), "
+    "t AS (SELECT sum(n) AS tot, count(*) AS cells FROM c) "
+    "SELECT dow, hod, n, round(n * cells / tot, 6) AS lift "
+    "FROM c CROSS JOIN t"
+)
+
+
+@query("q_seasonality", oracle=_SEASONALITY_ORACLE)
+def q_seasonality(spark, sf_dir):
+    """Activity seasonality: the ISO-weekday x hour event heat map with
+    each cell's lift over a uniform spread — the load-forecast /
+    anomaly-baseline profile. One (dow, hod) partial-agg (at most 168
+    cells regardless of corpus size) with the 1-row total broadcast
+    back; lift = n * cells / total, exact in integers until the final
+    division."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.dayofweek(F.date_sub(F.col("ts"), 1)).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("cells")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hod",
+        "n",
+        F.round(F.col("n") * F.col("cells") / F.col("tot"), 6).alias("lift"),
+    )
