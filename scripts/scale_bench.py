@@ -53,6 +53,8 @@ EXTRA = [
     "q_rfm_scores",            # 3 sized range shuffles + ntile arithmetic
     "q_event_paths",           # per-user 2-lead window + bounded path agg
     "q_pagerank_personalized", # seeded power iteration, persisted inputs
+    "q_degree_distribution",   # per-side degree aggs + count-of-counts
+    "q_seasonality",           # 168-cell partial agg + broadcast total
 ]
 
 
