@@ -86,6 +86,11 @@ def main() -> None:
 
     keys = HEADLINE + [k for k in EXTRA if k not in HEADLINE]
     if only:
+        # validate up front (ADVICE r10 low #2): a typo'd key used to
+        # reach QUERIES[key] mid-run after warmup and lose the sweep
+        unknown = [k for k in only if k not in QUERIES]
+        if unknown:
+            sys.exit(f"scale_bench: unknown query keys: {', '.join(unknown)}")
         keys = [k for k in keys if k in only] + [k for k in only if k not in keys]
     spark = get_spark("yark_spark-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -138,3 +138,88 @@ def test_personalized_pagerank_matches_reference(spark):
         assert got[n] == pytest.approx(v, abs=1e-7), n
     assert got["a"] > got["e"]  # seed bias visible
     ranks.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 regressions: the edge-coalesce branch (taken only when the
+# session shuffle width is >= 4x the operator's sized width — e.g. a
+# vanilla 200-partition session over a small graph) turns `e` into a
+# localCheckpoint. Two hazards were unreachable under the pinned test
+# session and are forced here by over-partitioning the edge input.
+# ---------------------------------------------------------------------------
+
+
+def _wide_edges(spark, edges, parts=64):
+    """Edge DataFrame with enough partitions that pagerank's sized width
+    p satisfies p*4 <= partitions — forcing the coalesce/localCheckpoint
+    branch under the pinned test session."""
+    return spark.createDataFrame(edges, "src string, dst string").repartition(parts)
+
+
+def test_pagerank_convergence_survives_coalesced_checkpoint_edges(spark):
+    """ADVICE r10 (high): in convergence mode, releasing a superseded
+    PERSISTED iterate must not walk its plan's LogicalRDD leaves — those
+    include the coalesced localCheckpointed edge table, whose blocks are
+    unrecoverable ('Checkpoint block not found' on the next join)."""
+    from yark_spark.operators.graph import pagerank
+
+    edges = _wide_edges(spark, CHAIN_EDGES)
+    ranks, iters = pagerank(
+        edges, damp=0.7, tol=1e-6, max_iters=100, checkpoint_every=5
+    )
+    got = {r["node"]: r["pr"] for r in ranks.collect()}
+    nodes, ref, _ = _numpy_pagerank(CHAIN_EDGES, damp=0.7, tol=1e-13)
+    assert iters > 3
+    for n, v in zip(nodes, ref):
+        assert got[n] == pytest.approx(v, abs=1e-6), n
+    ranks.unpersist()
+
+
+def test_ppr_convergence_survives_coalesced_checkpoint_edges(spark):
+    """Same hazard in _ppr_iterate (ADVICE r10 high, second site)."""
+    from yark_spark.operators.graph import personalized_pagerank
+
+    edges = _wide_edges(spark, CHAIN_EDGES)
+    rdf = spark.createDataFrame([("n0", 2.0), ("n7", 1.0)], "node string, w double")
+    ranks, iters = personalized_pagerank(
+        edges, rdf, damp=0.7, tol=1e-8, max_iters=150, checkpoint_every=5
+    )
+    got = {r["node"]: r["pr"] for r in ranks.collect()}
+    ref = _numpy_ppr(CHAIN_EDGES, {"n0": 2.0, "n7": 1.0}, damp=0.7)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for n, v in ref.items():
+        assert got[n] == pytest.approx(v, abs=1e-7), n
+    ranks.unpersist()
+
+
+@pytest.mark.parametrize("mode", ["fixed", "convergence"])
+def test_pagerank_coalesced_edge_checkpoint_blocks_released(spark, mode):
+    """ADVICE r10 (medium): the coalesced edge table is a localCheckpoint
+    whose RDD-level blocks e.unpersist() cannot free; both modes must
+    route them through the release registry (or free them directly) so a
+    pagerank call leaves zero persistent RDDs after release_tracked()."""
+    from yark_spark.operators.graph import pagerank, personalized_pagerank
+    from yark_spark.operators.release import persisted_block_count, release_tracked
+
+    release_tracked()
+    before = persisted_block_count(spark)
+    edges = _wide_edges(spark, CHAIN_EDGES)
+    if mode == "fixed":
+        ranks, _ = pagerank(edges, tol=0.0, max_iters=3, dangling=False)
+    else:
+        ranks, _ = pagerank(edges, damp=0.7, tol=1e-6, max_iters=100)
+    ranks.collect()
+    rdf = spark.createDataFrame([("n0", 1.0)], "node string, w double")
+    pranks, _ = personalized_pagerank(
+        _wide_edges(spark, CHAIN_EDGES),
+        rdf,
+        tol=0.0 if mode == "fixed" else 1e-8,
+        max_iters=3 if mode == "fixed" else 150,
+    )
+    pranks.collect()
+    release_tracked()
+    after = persisted_block_count(spark)
+    assert after <= before, (
+        f"{mode}: pagerank/personalized_pagerank leaked "
+        f"{after - before} persistent RDD(s) (coalesced edge checkpoint?)"
+    )

@@ -114,7 +114,8 @@ def train_bpe_merges(
     from yark_spark.operators.packing import sized_partitions
 
     spark = docs.sparkSession
-    conf_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    from yark_spark.operators.conf import scoped_shuffle_partitions
+
     words = (
         word_freqs(docs, text_col)
         .select("freq", F.split("word", "").alias("seq"))
@@ -122,28 +123,29 @@ def train_bpe_merges(
     )
     n_words = words.count()  # materializes the cache AND sizes the loop
     merges: list[tuple[int, str, str, int]] = []
+    # scoped clamp — single-threaded-session assumption documented in
+    # operators/conf.py (ADVICE r10 low #1)
     try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(sized_partitions(spark, n_words))
-        )
-        for rank in range(1, k_merges + 1):
-            top = (
-                pair_counts(words)
-                .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
-            merges.append((rank, l, r, n))
-            nxt = words.select("freq", _apply_merge(F.col("seq"), l, r).alias("seq"))
-            nxt = nxt.persist()
-            nxt.count()  # materialize before dropping the previous table
-            words.unpersist()
-            words = nxt
+        with scoped_shuffle_partitions(spark, sized_partitions(spark, n_words)):
+            for rank in range(1, k_merges + 1):
+                top = (
+                    pair_counts(words)
+                    .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+                    .limit(1)
+                    .collect()
+                )
+                if not top:
+                    break
+                l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+                merges.append((rank, l, r, n))
+                nxt = words.select(
+                    "freq", _apply_merge(F.col("seq"), l, r).alias("seq")
+                )
+                nxt = nxt.persist()
+                nxt.count()  # materialize before dropping the previous table
+                words.unpersist()
+                words = nxt
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", conf_parts)
         words.unpersist()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"

@@ -1,0 +1,49 @@
+"""Scoped session-conf clamps (ADVICE r10, low #1).
+
+``spark.sql.shuffle.partitions`` is SESSION-global: a set/finally-restore
+around an iterative operator is visible to every other query planned on
+the same SparkSession while the scope is open, and two interleaved
+callers clobber each other's restores. Spark offers no per-DataFrame
+shuffle-width knob that preserves map-side partial aggregation (an
+explicit ``repartition(p, key)`` before a ``groupBy`` moves the partial
+agg ABOVE the exchange, shuffling raw rows instead of combined ones —
+strictly worse for the edge-contribution aggregates these clamps exist
+to size), so the clamp stays conf-based with the assumption made
+explicit and centralized here:
+
+**Single-threaded-session assumption**: operators using
+:func:`scoped_shuffle_partitions` (graph.pagerank / personalized_pagerank,
+bpe.train_bpe_merges, retrieval-index builds) assume no concurrent query
+is being PLANNED on the same SparkSession inside the scope. Every
+harness in this repo (driver_sim, bench.py, scale lanes, pytest) runs
+queries sequentially per session, so the assumption holds; a server
+embedding these operators under concurrent sessions should give each
+request its own ``spark.newSession()`` (session-local SQLConf, shared
+SparkContext) or pass a pre-clamped session in.
+
+The clamp is DOWN-only by contract at call sites (callers compute
+``p = min(conf, sized)``) and a no-op at cluster scale where the data
+size exceeds the session width.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Iterator
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark, n: int) -> Iterator[None]:
+    """Set ``spark.sql.shuffle.partitions`` to ``n`` for the scope and
+    restore the previous value on exit (also on exception). Non-reentrant
+    across threads — see the module docstring for the single-threaded-
+    session assumption. Setting the current value is a no-op scope."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    if str(n) == str(prev):
+        yield
+        return
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(prev))

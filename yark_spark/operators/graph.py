@@ -24,7 +24,12 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from yark_spark.operators.release import release_now, track
+from yark_spark.operators.conf import scoped_shuffle_partitions
+from yark_spark.operators.release import (
+    _unpersist_checkpoint_rdds,
+    release_now,
+    track,
+)
 
 
 def pagerank(
@@ -86,21 +91,23 @@ def pagerank(
         conf_parts,
         max(spark.sparkContext.defaultParallelism, int(n_edges // 1_000_000) + 1),
     )
+    e_is_ckpt = False
     if p * 4 <= e.rdd.getNumPartitions():
         packed = e.coalesce(p).localCheckpoint(eager=True)  # cache read, no shuffle
         e.unpersist()
         e = packed
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        e_is_ckpt = True
+    # scoped clamp (single-threaded-session assumption documented in
+    # operators/conf.py — ADVICE r10 low #1)
+    with scoped_shuffle_partitions(spark, p):
         return _pagerank_iterate(
-            e, damp, tol, max_iters, checkpoint_every, dangling
+            e, e_is_ckpt, damp, tol, max_iters, checkpoint_every, dangling
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
 
 
 def _pagerank_iterate(
     e: DataFrame,
+    e_is_ckpt: bool,
     damp: float,
     tol: float,
     max_iters: int,
@@ -108,8 +115,9 @@ def _pagerank_iterate(
     dangling: bool,
 ) -> tuple[DataFrame, int]:
     """The iteration body of :func:`pagerank` — ``e`` arrives persisted
-    (or checkpointed) and partition-sized; the caller owns the shuffle
-    conf and restores it after the eager materialization here."""
+    (or checkpointed, ``e_is_ckpt``) and partition-sized; the caller owns
+    the shuffle conf and restores it after the eager materialization
+    here."""
     deg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
@@ -123,8 +131,10 @@ def _pagerank_iterate(
     )
     total = float(nodes.count())  # inherent scalar: the |V| normalizer
     pr = nodes.select("node", F.lit(1.0 / total).alias("pr"))
+    pr_is_ckpt = False
     if tol > 0:
         pr = pr.localCheckpoint(eager=True)
+        pr_is_ckpt = True
     iters_run = 0
     for i in range(max_iters):
         contrib = (
@@ -162,7 +172,8 @@ def _pagerank_iterate(
             # convergence mode: bound lineage (checkpoint every K rounds,
             # persist between) and probe the L1 delta — the probe also
             # materializes `new` before the predecessor's blocks release
-            if (i + 1) % checkpoint_every == 0:
+            new_is_ckpt = (i + 1) % checkpoint_every == 0
+            if new_is_ckpt:
                 new = new.localCheckpoint(eager=True)
             else:
                 new = new.persist(StorageLevel.MEMORY_AND_DISK)
@@ -172,8 +183,20 @@ def _pagerank_iterate(
                 .agg(F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))).alias("l1"))
                 .first()["l1"]
             )
-            release_now(pr)  # superseded iterate: free checkpoint blocks too
+            # Release the superseded iterate. The checkpoint-RDD leaf
+            # walk is ONLY safe when pr is itself a localCheckpoint
+            # (its plan is then a single LogicalRDD of its own blocks).
+            # A merely-PERSISTED iterate's analyzed plan still reaches
+            # the coalesced localCheckpointed edge table / the chain's
+            # base checkpoint — walking those leaves would free blocks
+            # the next iteration's join still needs ("Checkpoint block
+            # not found", ADVICE r10 high).
+            if pr_is_ckpt:
+                release_now(pr)
+            else:
+                pr.unpersist()
             pr = new
+            pr_is_ckpt = new_is_ckpt
             iters_run = i + 1
             if delta is not None and delta < tol:
                 break
@@ -186,6 +209,7 @@ def _pagerank_iterate(
             # single-JVM broadcast build at the 50x lane scale
             prev = pr
             pr = new.localCheckpoint(eager=True)
+            pr_is_ckpt = True
             if i > 0:
                 # only release OUR per-iteration checkpoints: iteration
                 # 0's prev is the LAZY initial vector whose lineage
@@ -193,14 +217,10 @@ def _pagerank_iterate(
                 # walking its leaves would free e's blocks mid-run
                 release_now(prev)
             iters_run = i + 1
-    if tol == 0:
-        # the final iterate is already a checkpoint — a tiny
-        # (node, double) vector backing the returned DataFrame;
-        # release.track() lets harnesses free it after the caller's
-        # action (release_tracked())
-        track(pr)
-    else:
-        track(pr)  # convergence mode returns the persisted last iterate
+    # the final iterate is materialized in BOTH modes (checkpoint, or
+    # the persisted last convergence iterate); release.track() lets
+    # harnesses free it after the caller's action (release_tracked())
+    track(pr)
     nodes.unpersist()
     # the returned ranks are materialized in BOTH modes
     # (checkpoint/persist), so every iteration input releases before
@@ -208,6 +228,17 @@ def _pagerank_iterate(
     # identical plan to silently reuse
     e.unpersist()
     deg.unpersist()
+    if e_is_ckpt:
+        # the coalesce branch made e a localCheckpoint, whose RDD-level
+        # blocks e.unpersist() cannot free (ADVICE r10 medium). If the
+        # returned vector is its own checkpoint it has no lineage to e
+        # — free e's blocks now; otherwise (persisted-only final
+        # convergence iterate) defer to release_tracked() after the
+        # caller's action.
+        if pr_is_ckpt:
+            _unpersist_checkpoint_rdds(e)
+        else:
+            track(e)
     return pr.select("node", "pr"), iters_run
 
 
@@ -246,19 +277,23 @@ def personalized_pagerank(
         conf_parts,
         max(spark.sparkContext.defaultParallelism, int(n_edges // 1_000_000) + 1),
     )
+    e_is_ckpt = False
     if p * 4 <= e.rdd.getNumPartitions():
         packed = e.coalesce(p).localCheckpoint(eager=True)
         e.unpersist()
         e = packed
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(p))
-        return _ppr_iterate(e, reset, rcols, damp, tol, max_iters, checkpoint_every)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
+        e_is_ckpt = True
+    # scoped clamp (single-threaded-session assumption documented in
+    # operators/conf.py — ADVICE r10 low #1)
+    with scoped_shuffle_partitions(spark, p):
+        return _ppr_iterate(
+            e, e_is_ckpt, reset, rcols, damp, tol, max_iters, checkpoint_every
+        )
 
 
 def _ppr_iterate(
     e: DataFrame,
+    e_is_ckpt: bool,
     reset: DataFrame,
     rcols: list,
     damp: float,
@@ -267,7 +302,8 @@ def _ppr_iterate(
     checkpoint_every: int,
 ) -> tuple[DataFrame, int]:
     """Iteration body of :func:`personalized_pagerank` — ``e`` arrives
-    persisted and partition-sized; the caller owns the shuffle conf."""
+    persisted (or checkpointed, ``e_is_ckpt``) and partition-sized; the
+    caller owns the shuffle conf."""
     deg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
@@ -297,6 +333,7 @@ def _ppr_iterate(
     wdf = masked.select("node", (F.col("__rw") / F.lit(wsum)).alias("__w"))
     pr0 = wdf.select("node", F.col("__w").alias("pr")).localCheckpoint(eager=True)
     pr = pr0
+    pr_is_ckpt = True
     iters_run = 0
     for i in range(max_iters):
         contrib = (
@@ -320,7 +357,8 @@ def _ppr_iterate(
             )
         )
         if tol > 0:
-            if (i + 1) % checkpoint_every == 0:
+            new_is_ckpt = (i + 1) % checkpoint_every == 0
+            if new_is_ckpt:
                 new = new.localCheckpoint(eager=True)
             else:
                 new = new.persist(StorageLevel.MEMORY_AND_DISK)
@@ -330,8 +368,15 @@ def _ppr_iterate(
                 .agg(F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))).alias("l1"))
                 .first()["l1"]
             )
-            release_now(pr)  # superseded iterate: free checkpoint blocks too
+            # checkpoint-leaf walk only for iterates that ARE
+            # checkpoints; a persisted iterate's plan still reaches e's
+            # checkpoint blocks (ADVICE r10 high — see _pagerank_iterate)
+            if pr_is_ckpt:
+                release_now(pr)
+            else:
+                pr.unpersist()
             pr = new
+            pr_is_ckpt = new_is_ckpt
             iters_run = i + 1
             if delta is not None and delta < tol:
                 break
@@ -340,13 +385,23 @@ def _ppr_iterate(
             # personalized) — no convergence probes, but per-iteration
             # eager materialization with prompt predecessor release
             # (the deep-chain variant held every exchange live at once
-            # and broke the 50x lane's broadcast build)
+            # and broke the 50x lane's broadcast build). prev is always
+            # a checkpoint here (pr0 is one), so release_now is safe.
             prev = pr
             pr = new.localCheckpoint(eager=True)
+            pr_is_ckpt = True
             release_now(prev)
             iters_run = i + 1
     track(pr)  # final iterate is materialized in both modes
     e.unpersist()
     deg.unpersist()
     masked.unpersist()
+    if e_is_ckpt:
+        # free e's localCheckpoint RDD blocks (invisible to unpersist —
+        # ADVICE r10 medium): immediately when the returned vector is
+        # its own checkpoint, deferred via the registry otherwise
+        if pr_is_ckpt:
+            _unpersist_checkpoint_rdds(e)
+        else:
+            track(e)
     return pr.select("node", "pr"), iters_run

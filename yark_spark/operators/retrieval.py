@@ -157,11 +157,12 @@ def association_rules(
         packed = b.coalesce(p).localCheckpoint(eager=True)
         b.unpersist()
         b = packed
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    # scoped clamp — single-threaded-session assumption documented in
+    # operators/conf.py (ADVICE r10 low #1)
+    from yark_spark.operators.conf import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, p):
         rules = track(_rules_plan(b, min_support).localCheckpoint(eager=True))
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
     release_now(b)
     return rules
 
