@@ -76,6 +76,7 @@ def main() -> None:
     ingest_sharded = bench_history_ingest_sharded(spark)
     stress = bench_stress(spark, sf_dir)
     bpe = bench_bpe_encode(spark, sf_dir)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -90,13 +91,72 @@ def main() -> None:
                 "ingest_sharded": ingest_sharded,
                 "stress": stress,
                 "bpe_encode": bpe,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "load_avg_before": list(load_before),
+                "load_avg_after": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
+    # Final COMPACT summary line (VERDICT r10 next-round #5): the driver
+    # stores only the last 2000 chars of bench output, and the full JSON
+    # above can exceed that — r10's committed artifact lost the entire
+    # cold series to the tail capture. This line is itself valid JSON
+    # with the contract fields (metric/value/unit/queries/sf), ~1 kB, and
+    # printed LAST so any tail capture always contains the headline
+    # numbers: cold total + per-query cold, warm total, ingest rows/s,
+    # and the cross-round stress digests.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total_cold,
+                "unit": "sec",
+                "series": "cold",
+                "warm_value": total_warm,
+                "queries": cold,
+                "sf": sf_val,
+                "summary": True,
+                "ingest_rows_per_sec": ingest["rows_per_sec"],
+                "ingest_sharded_rows_per_sec": ingest_sharded["rows_per_sec"],
+                "stage_speedup": ingest_sharded["stage_speedup"],
+                "stress_digest": {
+                    "pairs": stress["dedup_skewed"]["pairs"],
+                    "capped_buckets": stress["dedup_skewed"]["capped_buckets"],
+                    "docs_out": stress["curate_e2e"]["docs_out"],
+                    "pointer_rounds": stress["cluster_path"]["pointer_rounds"],
+                    "cosine_sec": stress["cosine_topk_wide"]["sec"],
+                    "curate_sec": stress["curate_e2e"]["sec"],
+                    "skew_speedup": stress["skew_join"]["speedup"],
+                },
+                "bpe_tokens_per_sec": bpe["rich"]["tokens_per_sec"],
                 "load_avg_before": list(load_before),
                 "load_avg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
     spark.stop()
+
+
+def _best2(spark, fn) -> tuple:
+    """Run ``fn`` twice and return ``(last_result, min_sec, runs)`` —
+    the stress-row protocol hardening of VERDICT r10 next-round #6: a
+    single contended run on the shared sandbox wrote a phantom 1.75x
+    'regression' into BENCH_r10 (judge re-run on an idle box: no change,
+    byte-identical outputs). Best-of-2 with the per-run series recorded
+    makes one loaded run visible instead of load-bearing. The SQL cache
+    and the release registry are cleared before each run so operators
+    that persist internally measure their full plan both times (the
+    scale-lane policy, VERDICT r9)."""
+    from yark_spark.operators.release import release_tracked
+
+    runs, res = [], None
+    for _ in range(2):
+        spark.catalog.clearCache()
+        release_tracked()
+        t0 = time.perf_counter()
+        res = fn()
+        runs.append(time.perf_counter() - t0)
+    return res, round(min(runs), 4), [round(x, 4) for x in runs]
 
 
 def bench_stress(spark, sf_dir) -> dict:
@@ -149,19 +209,17 @@ def bench_stress(spark, sf_dir) -> dict:
         salted_df = salted_join(big, small, "k", salt=salt)
         n_naive = naive_df.count()  # warm
         n_salted = salted_df.count()  # warm
-        t0 = time.perf_counter()
-        naive_df.count()
-        t_naive = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        salted_df.count()
-        t_salted = time.perf_counter() - t0
+        _, t_naive, naive_runs = _best2(spark, naive_df.count)
+        _, t_salted, salted_runs = _best2(spark, salted_df.count)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
     assert n_naive == n_salted, (n_naive, n_salted)
     skew_join = {
-        "naive_sec": round(t_naive, 4),
-        "salted_sec": round(t_salted, 4),
+        "naive_sec": t_naive,
+        "salted_sec": t_salted,
         "speedup": round(t_naive / t_salted, 3),
+        "runs_naive": naive_runs,
+        "runs_salted": salted_runs,
         "rows": n_naive,
         "hot_share": 0.667,
         "salt": salt,
@@ -178,10 +236,12 @@ def bench_stress(spark, sf_dir) -> dict:
     # xxhash64 = the production hash path (8-byte shuffle key; ~1.3x the
     # md5 oracle twin at sf0.1, byte-identical coverage on this corpus)
     cov_df = duplicated_span_coverage(docs_ss, "doc_id", "text", k=10, hash_fn="xxhash64")
-    t0 = time.perf_counter()
-    n_flagged = cov_df.filter(F.col("covered_tokens") > 0).count()
+    n_flagged, t_sub, sub_runs = _best2(
+        spark, lambda: cov_df.filter(F.col("covered_tokens") > 0).count()
+    )
     substring = {
-        "sec": round(time.perf_counter() - t0, 4),
+        "sec": t_sub,
+        "runs": sub_runs,
         "docs_flagged": n_flagged,
         "k": 10,
         "hash_fn": "xxhash64",
@@ -195,32 +255,44 @@ def bench_stress(spark, sf_dir) -> dict:
             "licensed under the terms of the license found in the root folder"
         ).alias("text"),
     )
-    obs = Observation("lsh_cap")
-    t0 = time.perf_counter()
-    n_pairs = fuzzy_dedup_pairs(
-        docs.unionByName(boiler), "doc_id", "text",
-        num_hashes=16, bands=4, threshold=0.5, max_bucket=1024, observation=obs,
-    ).count()
+    skewed = docs.unionByName(boiler)
+    obs_box: list = []
+
+    def _run_dedup() -> int:
+        # fresh Observation per run (an Observation binds to one action)
+        obs = Observation("lsh_cap")
+        n = fuzzy_dedup_pairs(
+            skewed, "doc_id", "text",
+            num_hashes=16, bands=4, threshold=0.5, max_bucket=1024, observation=obs,
+        ).count()
+        obs_box.append(obs)
+        return n
+
+    n_pairs, t_dedup, dedup_runs = _best2(spark, _run_dedup)
     dedup = {
-        "sec": round(time.perf_counter() - t0, 4),
+        "sec": t_dedup,
+        "runs": dedup_runs,
         "pairs": n_pairs,
-        "rows_in_capped_buckets": obs.get["rows_in_capped_buckets"],
-        "capped_buckets": round(obs.get["capped_buckets"]),
+        "rows_in_capped_buckets": obs_box[-1].get["rows_in_capped_buckets"],
+        "capped_buckets": round(obs_box[-1].get["capped_buckets"]),
     }
 
     emb = load_table(spark, sf_dir, "embeddings")
-    t0 = time.perf_counter()
-    n_rows = cosine_topk(emb, query_max_id=200, k=5).count()
-    t_col = time.perf_counter() - t0
+    n_rows, t_col, col_runs = _best2(
+        spark, lambda: cosine_topk(emb, query_max_id=200, k=5).count()
+    )
     # BLAS twin (round 7): same result set via one matmul per Arrow batch;
     # `sec` stays the column path for cross-round comparability.
     from yark_spark.operators.similarity import cosine_topk_blas
 
-    t0 = time.perf_counter()
-    n_blas = cosine_topk_blas(emb, query_max_id=200, k=5).count()
+    n_blas, t_blas, blas_runs = _best2(
+        spark, lambda: cosine_topk_blas(emb, query_max_id=200, k=5).count()
+    )
     cosine = {
-        "sec": round(t_col, 4),
-        "blas_sec": round(time.perf_counter() - t0, 4),
+        "sec": t_col,
+        "blas_sec": t_blas,
+        "runs": col_runs,
+        "runs_blas": blas_runs,
         "rows": n_rows,
         "queries": 200,
     }
@@ -235,18 +307,25 @@ def bench_stress(spark, sf_dir) -> dict:
 
     corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     bench_docs = corpus.filter(F.col("doc_id") < 10).select("doc_id", "text")
-    t0 = time.perf_counter()
-    curated, report = curate(
-        corpus.filter(F.col("doc_id") >= 10), benchmark=bench_docs, config=CurationConfig()
-    )
-    n_out = curated.count()
-    dt = time.perf_counter() - t0
-    report.unpersist()
+
+    def _run_curate() -> tuple:
+        curated, report = curate(
+            corpus.filter(F.col("doc_id") >= 10),
+            benchmark=bench_docs,
+            config=CurationConfig(),
+        )
+        n = curated.count()
+        counts = dict(report.counts)
+        report.unpersist()
+        return n, counts
+
+    (n_out, cur_counts), t_cur, cur_runs = _best2(spark, _run_curate)
     cur = {
-        "sec": round(dt, 4),
-        "docs_in": report.counts["input"],
+        "sec": t_cur,
+        "runs": cur_runs,
+        "docs_in": cur_counts["input"],
         "docs_out": n_out,
-        "docs_per_sec": round(report.counts["input"] / dt),
+        "docs_per_sec": round(cur_counts["input"] / t_cur),
     }
 
     # cluster_path: the Boruvka worst case — one long PATH (diameter n-1,
@@ -262,16 +341,23 @@ def bench_stress(spark, sf_dir) -> dict:
         spark.range(n_path - 1)
         .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
     )
-    cstats: dict = {}
-    t0 = time.perf_counter()
-    comp = dedup_clusters(nodes, path_edges, "doc_id", stats=cstats)
-    n_roots = comp.select("cluster_id").distinct().count()
+    stats_box: list = []
+
+    def _run_cluster() -> int:
+        cstats: dict = {}
+        comp = dedup_clusters(nodes, path_edges, "doc_id", stats=cstats)
+        n = comp.select("cluster_id").distinct().count()
+        stats_box.append(cstats)
+        return n
+
+    n_roots, t_cluster, cluster_runs = _best2(spark, _run_cluster)
     cluster_path = {
-        "sec": round(time.perf_counter() - t0, 4),
+        "sec": t_cluster,
+        "runs": cluster_runs,
         "nodes": n_path,
         "components": n_roots,
-        "levels": cstats.get("levels"),
-        "pointer_rounds": cstats.get("pointer_rounds"),
+        "levels": stats_box[-1].get("levels"),
+        "pointer_rounds": stats_box[-1].get("pointer_rounds"),
     }
 
     # layout maintenance: compact a 64-fragment copy of lineitem back to
@@ -286,12 +372,19 @@ def bench_stress(spark, sf_dir) -> dict:
     frag = os.path.join(d, "frag")
     li = load_table(spark, sf_dir, "lineitem")
     li.repartition(64).write.mode("overwrite").parquet(frag)
-    dest = os.path.join(d, "compacted")
-    t0 = time.perf_counter()
-    n_files = compact(spark, frag, dest, target_file_bytes=32 * 1024 * 1024)
-    n_rows = spark.read.parquet(dest).count()
+    dest_box: list = []
+
+    def _run_compact() -> int:
+        dest = os.path.join(d, f"compacted{len(dest_box)}")
+        dest_box.append(dest)
+        n_files = compact(spark, frag, dest, target_file_bytes=32 * 1024 * 1024)
+        return n_files
+
+    n_files, t_compact, compact_runs = _best2(spark, _run_compact)
+    n_rows = spark.read.parquet(dest_box[-1]).count()
     compaction = {
-        "sec": round(time.perf_counter() - t0, 4),
+        "sec": t_compact,
+        "runs": compact_runs,
         "files_in": 64,
         "files_out": n_files,
         "rows": n_rows,
@@ -505,23 +598,33 @@ def bench_history_ingest_sharded(spark, n_rows: int = 1_000_000) -> dict:
     path = os.path.join(d, "watch-history.json")
     _write_history_json(path, n_rows)
 
-    t_seq = time.perf_counter()
-    shard_json_array_sequential(
-        path, os.path.join(d, "stage_seq"), shard_bytes=8 << 20
-    )
-    stage_seq_sec = time.perf_counter() - t_seq
+    # best-of-2 per scanner with per-run series (VERDICT r10 next-round
+    # #6 — same policy as stage_1g below): one contended run must not
+    # write a phantom stage_speedup into the committed artifact
+    import shutil as _shutil
 
-    t_par = time.perf_counter()
-    shard_json_array(  # the r9 shipped path: parallel forced at any size
-        path, os.path.join(d, "stage_par"), shard_bytes=8 << 20, max_workers=16
-    )
-    stage_par_sec = time.perf_counter() - t_par
+    def _scan2(tag: str, fn) -> tuple[float, list]:
+        runs = []
+        for r in range(2):
+            out_dir = os.path.join(d, f"{tag}{r}")
+            t0 = time.perf_counter()
+            fn(out_dir)
+            runs.append(time.perf_counter() - t0)
+            _shutil.rmtree(out_dir, ignore_errors=True)
+        return min(runs), [round(x, 4) for x in runs]
 
-    t_auto = time.perf_counter()
-    shard_json_array(  # the shipped auto path (sequential at this size)
-        path, os.path.join(d, "stage_auto"), shard_bytes=8 << 20
+    stage_seq_sec, stage_seq_runs = _scan2(
+        "stage_seq",
+        lambda o: shard_json_array_sequential(path, o, shard_bytes=8 << 20),
     )
-    stage_scan_sec = time.perf_counter() - t_auto
+    stage_par_sec, stage_par_runs = _scan2(
+        "stage_par",  # the r9 shipped path: parallel forced at any size
+        lambda o: shard_json_array(path, o, shard_bytes=8 << 20, max_workers=16),
+    )
+    stage_scan_sec, stage_auto_runs = _scan2(
+        "stage_auto",  # the shipped auto path (sequential at this size)
+        lambda o: shard_json_array(path, o, shard_bytes=8 << 20),
+    )
 
     # the >=1 GB worker-scaling point: body repeated 11x (structure, not
     # content, is what the scanner costs scale with)
@@ -559,8 +662,6 @@ def bench_history_ingest_sharded(spark, n_rows: int = 1_000_000) -> dict:
         "runs_par": [round(x, 2) for x in par_runs],
         "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
-    for sub in ("stage_seq", "stage_par", "stage_auto"):
-        shutil.rmtree(os.path.join(d, sub), ignore_errors=True)
     os.unlink(big)
 
     t0 = time.perf_counter()
@@ -589,6 +690,11 @@ def bench_history_ingest_sharded(spark, n_rows: int = 1_000_000) -> dict:
         "stage_scan_sec": round(stage_scan_sec, 4),
         "stage_seq_sec": round(stage_seq_sec, 4),
         "stage_par_sec": round(stage_par_sec, 4),
+        "stage_runs": {
+            "seq": stage_seq_runs,
+            "par_16w": stage_par_runs,
+            "auto": stage_auto_runs,
+        },
         # shipped auto-selected scanner vs the sequential single pass
         # (>1 = the selection beats the one-pass alternative)
         "stage_speedup": round(stage_seq_sec / stage_scan_sec, 2),
