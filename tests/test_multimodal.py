@@ -14,10 +14,10 @@ from yark_spark.operators.multimodal import (
 
 
 def test_decode_unsupported_is_explicitly_stubbed():
-    """PNG/WebP stay a documented NotImplementedError boundary; a
-    truncated/garbage JPEG now routes to the real codec (r8), which
-    raises a PARSE error rather than decoding silently."""
-    with pytest.raises(NotImplementedError):
+    """Lossy VP8 stays a documented NotImplementedError boundary; a
+    truncated/garbage JPEG or PNG now routes to the real codec (r8 /
+    r11), which raises a PARSE error rather than decoding silently."""
+    with pytest.raises(ValueError):  # PNG magic but truncated garbage (r11)
         decode_image(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(NotImplementedError):
         decode_image(b"RIFFxxxxWEBPVP8 ....")

@@ -1,0 +1,283 @@
+"""operators/png: the from-scratch PNG codec (round 11, VERDICT r10
+next-round #1) — DEFLATE inflate pinned against stdlib zlib (an
+independent implementation producing stored/fixed/dynamic blocks),
+roundtrips across the color-type x depth x filter matrix, checksum and
+container validation, and fuzz (no hangs, typed errors only).
+
+Sparkless: the kernels are plain numpy; the Spark-side plumbing is
+covered by q_image_decode_png's driver/parity rows and the multimodal
+integration test at the bottom (which routes through decode_image)."""
+
+import random
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from yark_spark.operators import png as P
+
+
+# ---------------------------------------------------------------------------
+# checksums + DEFLATE, differential vs stdlib zlib
+# ---------------------------------------------------------------------------
+
+
+def test_checksums_match_stdlib():
+    rnd = random.Random(0)
+    for n in (0, 1, 17, 5551, 5552, 5553, 20000):
+        data = bytes(rnd.randrange(256) for _ in range(n))
+        assert P.crc32(data) == zlib.crc32(data)
+        assert P.adler32(data) == zlib.adler32(data)
+
+
+@pytest.mark.parametrize("level", [0, 1, 6, 9])
+def test_inflate_differential_vs_stdlib(level):
+    """stdlib zlib emits stored (level 0), fixed, and dynamic-Huffman
+    blocks with real LZ77 matches — streams this repo's encoder cannot
+    produce, so the decoder's dynamic path is pinned independently."""
+    rnd = random.Random(level)
+    cases = [
+        b"",
+        b"x",
+        bytes(rnd.randrange(256) for _ in range(20000)),  # incompressible
+        b"abcabcabc" * 4000,  # long matches, all distances small
+        bytes(rnd.randrange(4) for _ in range(40000)),  # skewed alphabet
+        (b"A" * 300 + b"B") * 150,  # max-length (258) matches
+    ]
+    for payload in cases:
+        assert P.zlib_decompress(zlib.compress(payload, level)) == payload
+
+
+def test_inflate_large_distance_matches():
+    """Distances beyond 24577 base (the top generated table rows)."""
+    rnd = random.Random(9)
+    block = bytes(rnd.randrange(256) for _ in range(30000))
+    payload = block + b"\x00" * 100 + block  # forces ~30k-distance matches
+    assert P.zlib_decompress(zlib.compress(payload, 9)) == payload
+
+
+def test_generated_tables_match_rfc1951():
+    """Spot-check the generated length/distance tables against the
+    RFC's corner entries."""
+    assert P._LEN_TABLE[0] == (3, 0)  # symbol 257
+    assert P._LEN_TABLE[8] == (11, 1)  # symbol 265
+    assert P._LEN_TABLE[27] == (227, 5)  # symbol 284
+    assert P._LEN_TABLE[28] == (258, 0)  # symbol 285
+    assert P._DIST_TABLE[0] == (1, 0)
+    assert P._DIST_TABLE[4] == (5, 1)
+    assert P._DIST_TABLE[29] == (24577, 13)
+
+
+def test_own_deflate_accepted_by_stdlib():
+    rnd = random.Random(3)
+    data = bytes(rnd.randrange(256) for _ in range(70000))  # > one stored block
+    for method in ("stored", "fixed"):
+        z = P.zlib_compress(data, method)
+        assert zlib.decompress(z) == data
+        assert P.zlib_decompress(z) == data
+
+
+def test_zlib_container_validation():
+    good = P.zlib_compress(b"hello world", "fixed")
+    with pytest.raises(ValueError, match="Adler"):
+        P.zlib_decompress(good[:-1] + bytes([good[-1] ^ 1]))
+    with pytest.raises(ValueError, match="check bits"):
+        P.zlib_decompress(bytes([good[0], good[1] ^ 1]) + good[2:])
+    with pytest.raises(ValueError, match="deflate"):
+        P.zlib_decompress(b"\x77\x01" + good[2:])
+    # FDICT is a typed boundary, not a crash
+    cmf = 0x78
+    flg_fdict = 0x20
+    flg_fdict += (31 - (cmf * 256 + flg_fdict) % 31) % 31
+    with pytest.raises(NotImplementedError, match="FDICT"):
+        P.zlib_decompress(bytes([cmf, flg_fdict]) + good[2:])
+
+
+def test_stored_block_len_nlen_guard():
+    raw = P._deflate_stored(b"abcdef")
+    bad = bytearray(raw)
+    bad[2] ^= 0xFF  # corrupt NLEN
+    with pytest.raises(ValueError, match="LEN/NLEN"):
+        P.inflate(bytes(bad))
+
+
+def test_max_output_bomb_guard():
+    z = zlib.compress(b"\x00" * 1_000_000, 9)  # ~1 kB -> 1 MB
+    with pytest.raises(ValueError, match="max_output"):
+        P.inflate(z[2:-4], max_output=10_000)
+
+
+# ---------------------------------------------------------------------------
+# PNG roundtrips: color types x filters x deflate methods
+# ---------------------------------------------------------------------------
+
+_RNG = np.random.RandomState(7)
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (16, 16, 2), (16, 16, 3), (16, 16, 4), (5, 7, 3), (1, 1), (3, 1, 4)])
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4, "mixed"])
+def test_roundtrip_8bit(shape, ft):
+    img = _RNG.randint(0, 256, size=shape).astype(np.uint8)
+    for method in ("stored", "fixed"):
+        b = P.encode_png(img, filter_type=ft, deflate=method, idat_chunk=37)
+        got = P.decode_png(b)
+        assert got.shape == img.shape and (got == img).all()
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (9, 11, 3), (4, 4, 4)])
+def test_roundtrip_16bit(shape):
+    img = _RNG.randint(0, 65536, size=shape).astype(np.uint16)
+    got = P.decode_png(P.encode_png(img, filter_type="mixed"))
+    assert got.dtype == np.uint16 and (got == img).all()
+
+
+def test_roundtrip_palette_and_trns():
+    idx = _RNG.randint(0, 5, size=(10, 10)).astype(np.uint8)
+    pal = _RNG.randint(0, 256, size=(5, 3)).astype(np.uint8)
+    got = P.decode_png(P.encode_png(idx, palette=pal, filter_type="mixed"))
+    assert (got == pal[idx]).all()
+    got_a = P.decode_png(
+        P.encode_png(idx, palette=pal, trns=bytes([0, 50, 100]), filter_type=1)
+    )
+    assert got_a.shape == (10, 10, 4)
+    exp_alpha = np.array([0, 50, 100, 255, 255], dtype=np.uint8)[idx]
+    assert (got_a[:, :, 3] == exp_alpha).all()
+    assert (got_a[:, :, :3] == pal[idx]).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_gray_decode(depth):
+    """Hand-packed sub-byte grayscale (the encoder emits 8/16-bit only):
+    samples MSB-first within each byte, rows padded to byte boundary."""
+    w, h = 11, 5  # non-multiple of samples-per-byte: exercises padding
+    maxv = (1 << depth) - 1
+    img = _RNG.randint(0, maxv + 1, size=(h, w)).astype(np.uint8)
+    stride = (w * depth + 7) // 8
+    rows = bytearray()
+    for y in range(h):
+        rows.append(0)  # filter None
+        acc, nbits, rowb = 0, 0, bytearray()
+        for x in range(w):
+            acc = (acc << depth) | int(img[y, x])
+            nbits += depth
+            if nbits == 8:
+                rowb.append(acc)
+                acc, nbits = 0, 0
+        if nbits:
+            rowb.append(acc << (8 - nbits))
+        assert len(rowb) == stride
+        rows += rowb
+    z = P.zlib_compress(bytes(rows), "fixed")
+    png = bytearray(b"\x89PNG\r\n\x1a\n")
+    png += P._chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0))
+    png += P._chunk(b"IDAT", z)
+    png += P._chunk(b"IEND", b"")
+    got = P.decode_png(bytes(png))
+    assert (got == img).all()
+
+
+def test_paeth_predictor_spec_cases():
+    # ties break left, then above (ISO 15948 §9.4)
+    assert P._paeth(1, 1, 1) == 1
+    assert P._paeth(5, 5, 0) == 5  # p=10: pa=5, pb=5, pc=10 -> left on tie
+    assert P._paeth(50, 52, 50) == 52  # p=52: pb=0 -> above
+    assert P._paeth(10, 20, 15) == 15  # p=15: pc=0 -> upper-left
+    assert P._paeth(100, 50, 10) == 100  # p=140: pa=40, pb=90, pc=130
+
+
+def test_multi_idat_and_ancillary_chunks():
+    img = _RNG.randint(0, 256, size=(12, 12, 3)).astype(np.uint8)
+    b = bytearray(P.encode_png(img, idat_chunk=16))
+    # splice an ancillary tEXt chunk after IHDR — must be skipped
+    ihdr_end = 8 + 12 + 13
+    text = P._chunk(b"tEXt", b"Comment\x00hi")
+    spliced = bytes(b[:ihdr_end]) + text + bytes(b[ihdr_end:])
+    assert (P.decode_png(spliced) == img).all()
+
+
+# ---------------------------------------------------------------------------
+# validation + boundaries + fuzz
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_crc_detects_corruption():
+    img = _RNG.randint(0, 256, size=(8, 8)).astype(np.uint8)
+    b = bytearray(P.encode_png(img))
+    b[40] ^= 0x01  # inside IDAT payload region
+    with pytest.raises(ValueError, match="CRC|Adler|deflate"):
+        P.decode_png(bytes(b))
+
+
+def test_adam7_is_documented_boundary():
+    img = _RNG.randint(0, 256, size=(8, 8)).astype(np.uint8)
+    b = bytearray(P.encode_png(img))
+    # IHDR payload: offset 8(+8 len/tag); interlace is its last byte
+    ihdr_payload = bytearray(b[16 : 16 + 13])
+    ihdr_payload[-1] = 1
+    fixed = (
+        bytes(b[:16])
+        + bytes(ihdr_payload)
+        + struct.pack(">I", P.crc32(b"IHDR" + bytes(ihdr_payload)))
+        + bytes(b[16 + 13 + 4 :])
+    )
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        P.decode_png(fixed)
+
+
+def test_signature_and_structure_validation():
+    with pytest.raises(ValueError, match="signature"):
+        P.decode_png(b"NOTAPNG" + b"\x00" * 64)
+    img = _RNG.randint(0, 256, size=(4, 4)).astype(np.uint8)
+    b = P.encode_png(img)
+    with pytest.raises(ValueError):
+        P.decode_png(b[:30])  # truncated mid-chunk
+
+
+def test_decoder_never_hangs_on_fuzzed_payloads():
+    """Random mutations of a valid PNG and pure-random buffers must
+    terminate with a typed error or a successful decode — never hang or
+    raise something untyped (the quarantine contract)."""
+    img = _RNG.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    base = bytearray(P.encode_png(img, filter_type="mixed"))
+    rnd = random.Random(11)
+    for _ in range(300):
+        mut = bytearray(base)
+        for _ in range(rnd.randrange(1, 6)):
+            mut[rnd.randrange(len(mut))] = rnd.randrange(256)
+        try:
+            P.decode_png(bytes(mut))
+        except (ValueError, NotImplementedError, IndexError, struct.error):
+            pass
+    for _ in range(100):
+        blob = bytes(rnd.randrange(256) for _ in range(rnd.randrange(0, 200)))
+        try:
+            P.decode_png(b"\x89PNG\r\n\x1a\n" + blob)
+        except (ValueError, NotImplementedError, IndexError, struct.error):
+            pass
+
+
+def test_decode_image_routes_png():
+    """multimodal.decode_image dispatches PNG payloads to the codec."""
+    from yark_spark.operators.multimodal import decode_image
+
+    img = _RNG.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    got = decode_image(P.encode_png(img, filter_type="mixed", deflate="fixed"))
+    assert (got == img).all()
+
+
+def test_quadrant_fixture_mean_matches_analytic_oracle_shape():
+    """The q_image_decode_png exactness argument in miniature: the
+    encoder is lossless, so the decoded mean of the quadrant-gray RGB
+    fixture equals (a+b+c+d)/4 exactly."""
+    import hashlib
+
+    text = "the quick brown fox"
+    vals = [ord(c) for c in hashlib.md5(text.encode()).hexdigest()[:4]]
+    img = np.empty((16, 16), dtype=np.uint8)
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = vals
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    b = P.encode_png(rgb, filter_type="mixed", deflate="fixed", idat_chunk=64)
+    got = P.decode_png(b)
+    assert got.shape == (16, 16, 3)
+    assert float(got.mean()) == sum(vals) / 4.0

@@ -12,10 +12,12 @@ T.81 codec in operators/jpeg (hash-matched via q_image_decode_jpeg on a
 constructed-exact roundtrip) — including PROGRESSIVE JPEG and restart
 intervals since round 9, lossless WebP (VP8L) via operators/webp since
 round 10 (hash-matched via q_image_decode_webp), plus 16-bit netpbm and
-BI_RLE8-compressed BMP. The remaining boundaries are the DCT/arithmetic
-video-class codecs: lossy VP8, PNG's zlib, arithmetic-coded JPEG,
-BI_RLE4/BI_BITFIELDS BMP; fake_image_features remains the deterministic
-stand-in for those paths.
+BI_RLE8-compressed BMP, and PNG since round 11 — a from-scratch DEFLATE
+inflate (stored/fixed/dynamic Huffman) + all five filters in
+operators/png, hash-matched via q_image_decode_png. The remaining
+boundaries are the DCT/arithmetic video-class codecs: lossy VP8,
+arithmetic-coded JPEG, BI_RLE4/BI_BITFIELDS BMP, Adam7-interlaced PNG;
+fake_image_features remains the deterministic stand-in for those paths.
 
 Scale notes: binary rows are big — keep them out of shuffles. All feature
 extraction here is map-only (mapInPandas, no keys), and downstream joins
@@ -62,12 +64,14 @@ def _make_decoder():
 
     Supports PGM (P5) / PPM (P6) binary netpbm (8- and 16-bit), BMP
     with BI_RGB at 8/24/32 bpp and BI_RLE8 at 8 bpp, baseline +
-    progressive JPEG (operators/jpeg), and lossless WebP / VP8L
-    (operators/webp). Remaining formats raise NotImplementedError — a
-    real deployment plugs PIL/cv2 in for those (PNG's zlib and the VP8
-    DCT codec are out of scope). Returns uint8 (uint16 for deep netpbm)
-    arrays shaped (H, W) for grayscale or (H, W, C) with RGB channel
-    order for color (RGBA for WebP).
+    progressive JPEG (operators/jpeg), lossless WebP / VP8L
+    (operators/webp), and PNG (operators/png — from-scratch DEFLATE,
+    all filter types, color types 0/2/3/4/6, depths 1-16). Remaining
+    formats raise NotImplementedError — a real deployment plugs PIL/cv2
+    in for those (the VP8 DCT codec and Adam7-interlaced PNG are out of
+    scope). Returns uint8 (uint16 for deep netpbm/PNG) arrays shaped
+    (H, W) for grayscale or (H, W, C) with RGB channel order for color
+    (RGBA for WebP / alpha-carrying PNG).
     """
 
     def _decode_pnm(payload):
@@ -191,6 +195,18 @@ def _make_decoder():
         _decode_webp = _webp_mod.decode_webp
     except Exception:  # pragma: no cover
         _decode_webp = None
+    # PNG (r11): the from-scratch DEFLATE + filter decoder in
+    # operators/png, shipped by value the same way (Adam7 interlace
+    # raises inside decode_png — the documented boundary)
+    try:
+        from pyspark import cloudpickle as _cp3
+
+        from yark_spark.operators import png as _png_mod
+
+        _cp3.register_pickle_by_value(_png_mod)
+        _decode_png = _png_mod.decode_png
+    except Exception:  # pragma: no cover
+        _decode_png = None
 
     def decode(payload: bytes):
         payload = bytes(payload)
@@ -206,10 +222,12 @@ def _make_decoder():
             and _decode_webp is not None
         ):
             return _decode_webp(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and _decode_png is not None:
+            return _decode_png(payload)
         raise NotImplementedError(
             "decodable without an image library: uncompressed PGM/PPM/BMP, "
-            "baseline/progressive JPEG, and lossless (VP8L) WebP; plug "
-            "PIL/cv2 in for lossy WebP/PNG"
+            "baseline/progressive JPEG, lossless (VP8L) WebP, and "
+            "non-interlaced PNG; plug PIL/cv2 in for lossy WebP/Adam7"
         )
 
     return decode
@@ -656,13 +674,67 @@ def with_webp_payload(
     )
 
 
+def with_png_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **encode_opts,
+) -> DataFrame:
+    """Deterministic PNG fixture column (round 11, VERDICT r10
+    next-round #1): the same 16x16 quadrant-gray image as
+    ``with_jpeg_payload`` / ``with_webp_payload`` — four 8x8 blocks
+    constant at the ascii codes of the doc's first four md5 hex chars —
+    encoded as 8-bit RGB PNG by ``operators/png.encode_png``. Lossless,
+    so the decoded mean is EXACTLY (a+b+c+d)/4 with no quality argument
+    (q_image_decode_png hash-matches it; channels stay 3 — no alpha
+    plane to fold in). Defaults exercise the non-trivial decode path:
+    the all-five filter rotation and fixed-Huffman DEFLATE with the
+    zlib stream split across 64-byte IDAT chunks; ``encode_opts``
+    override (filter_type / deflate / idat_chunk). Map-only
+    mapInPandas; the png module ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import png as _png_mod
+
+    _cp.register_pickle_by_value(_png_mod)
+    _enc = _png_mod.encode_png
+    _opts = {"filter_type": "mixed", "deflate": "fixed", "idat_chunk": 64}
+    _opts.update(encode_opts)
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                vals = [ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()[:4]]
+                img = _np.empty((16, 16), dtype=_np.uint8)
+                img[:8, :8] = vals[0]
+                img[:8, 8:] = vals[1]
+                img[8:, :8] = vals[2]
+                img[8:, 8:] = vals[3]
+                payloads.append(_enc(_np.repeat(img[:, :, None], 3, axis=2), **_opts))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
 def _make_dims_parser():
     """Header-peek metadata: (format, width, height) from the container
     header ALONE — no entropy decode, no pixel pass. At 100 TB this is
     the cheap first pass over a binary column (route/filter/bucket by
-    dimensions before any real decode); unlike ``decode_image`` it also
-    covers formats whose PIXELS we can't decode here (PNG, WebP).
-    Self-contained closure (ships by value)."""
+    dimensions before any real decode); it also covers container
+    variants whose PIXELS the full decoder rejects (lossy VP8,
+    Adam7-interlaced PNG). Self-contained closure (ships by value)."""
 
     def dims(payload: bytes) -> tuple[str, int, int]:
         import struct
