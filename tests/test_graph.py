@@ -223,3 +223,24 @@ def test_pagerank_coalesced_edge_checkpoint_blocks_released(spark, mode):
         f"{mode}: pagerank/personalized_pagerank leaked "
         f"{after - before} persistent RDD(s) (coalesced edge checkpoint?)"
     )
+
+
+def test_ppr_dangling_elision_matches_on_sink_free_graph(spark):
+    """dangling=False must be a pure plan optimization on a graph where
+    every node has out-degree (both directions of an undirected edge
+    list): identical ranks to the default path (round 11)."""
+    from yark_spark.operators.graph import personalized_pagerank
+
+    und = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    edges = und + [(d, s) for s, d in und]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rdf = spark.createDataFrame([("a", 1.0), ("d", 3.0)], "node string, w double")
+    with_d, _ = personalized_pagerank(df, rdf, tol=0.0, max_iters=3)
+    without_d, _ = personalized_pagerank(df, rdf, tol=0.0, max_iters=3, dangling=False)
+    a = {r["node"]: r["pr"] for r in with_d.collect()}
+    b = {r["node"]: r["pr"] for r in without_d.collect()}
+    assert a.keys() == b.keys()
+    for n in a:
+        assert a[n] == pytest.approx(b[n], abs=1e-12), n
+    with_d.unpersist()
+    without_d.unpersist()

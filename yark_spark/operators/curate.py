@@ -88,7 +88,36 @@ def curate(
     cfg = config or CurationConfig()
     report = CurationReport()
     report.counts["input"] = docs.count()
+    # Partition-count hygiene (round 11, VERDICT r10 next-round #2): the
+    # pipeline's stage counts and iterative cluster rounds all execute
+    # HERE, and under a vanilla 200-partition session each shuffle fanned
+    # a few-hundred-row frontier into 200 near-empty tasks — the profile
+    # showed the cluster stage alone at 6 s of q_curate_pipeline's
+    # 17.8 s sf0.01 parity cost (not Python-worker spin-up as the r10
+    # note guessed). Clamp the width to the counted input for the build;
+    # no-op at cluster scale (never raises the conf), single-threaded-
+    # session assumption documented in operators/conf.
+    from yark_spark.operators.conf import scoped_shuffle_partitions
+    from yark_spark.operators.packing import sized_partitions
 
+    spark = docs.sparkSession
+    with scoped_shuffle_partitions(
+        spark, sized_partitions(spark, report.counts["input"])
+    ):
+        return _curate_impl(docs, benchmark, cfg, report, id_col, text_col)
+
+
+def _curate_impl(
+    docs: DataFrame,
+    benchmark: "DataFrame | None",
+    cfg: CurationConfig,
+    report: CurationReport,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, CurationReport]:
+    """Pipeline body of :func:`curate` — runs with the shuffle width
+    clamped by the caller; every stage count (the materialization
+    actions) executes inside that scope."""
     # 1. exact dedup on the normalized-content fingerprint (min-id keeps).
     # Persisted: three consumers (LSH signatures, cluster node set, the
     # representative join) plus the stage counts would otherwise recompute

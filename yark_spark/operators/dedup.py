@@ -382,7 +382,22 @@ def dedup_clusters(
     ).persist()
     if stats is not None:
         stats["levels"] = 0
-    out = _components(ids, edges, max_iter, stats)
+    # Partition-count hygiene (round 11, the q_pagerank pattern): every
+    # level runs several shuffles (min-neighbor agg, pointer-double
+    # self-joins, contraction distinct) over a frontier that never
+    # exceeds the edge count — under a vanilla 200-partition session
+    # each was fanning ~500 rows into 200 near-empty tasks, the
+    # dominant cost of q_curate_pipeline's 17.8 s sf0.01 parity row.
+    # The count also materializes the cache. No-op at cluster scale
+    # (clamp never raises the conf); single-threaded-session assumption
+    # documented in operators/conf.
+    from yark_spark.operators.conf import scoped_shuffle_partitions
+    from yark_spark.operators.packing import sized_partitions
+
+    spark = nodes.sparkSession
+    n_edges = edges.count()
+    with scoped_shuffle_partitions(spark, sized_partitions(spark, n_edges)):
+        out = _components(ids, edges, max_iter, stats)
     edges.unpersist()  # out's frontiers are checkpointed; lineage is cut
     return out.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 

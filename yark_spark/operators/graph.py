@@ -249,6 +249,7 @@ def personalized_pagerank(
     tol: float = 1e-8,
     max_iters: int = 60,
     checkpoint_every: int = 5,
+    dangling: bool = True,
 ) -> tuple[DataFrame, int]:
     """Personalized PageRank: the teleport lands on ``reset``'s (node,
     weight) distribution instead of uniformly — the seed-biased ranking
@@ -257,6 +258,13 @@ def personalized_pagerank(
     zero teleport mass. Dangling mass also redistributes by the reset
     distribution (the standard PPR completion), so mass is conserved and
     the result is the true stationary vector of the personalized chain.
+    On a graph with no sinks (e.g. an undirected graph fed as both edge
+    directions) the dangling term is identically zero — pass
+    ``dangling=False`` to elide the per-iteration anti-join subtree
+    entirely, the same knob (and reasoning) as :func:`pagerank`; the
+    round-11 profile of the r10 2.9x PPR-vs-pagerank delta showed this
+    subtree plus measurement ordering, not the reset-vector build, as
+    the gap.
 
     Same execution shape as ``pagerank``'s convergence mode: persisted
     edge/degree/weight tables, per-iteration edge-equi-join + partial-agg,
@@ -287,7 +295,8 @@ def personalized_pagerank(
     # operators/conf.py — ADVICE r10 low #1)
     with scoped_shuffle_partitions(spark, p):
         return _ppr_iterate(
-            e, e_is_ckpt, reset, rcols, damp, tol, max_iters, checkpoint_every
+            e, e_is_ckpt, reset, rcols, damp, tol, max_iters, checkpoint_every,
+            dangling,
         )
 
 
@@ -300,6 +309,7 @@ def _ppr_iterate(
     tol: float,
     max_iters: int,
     checkpoint_every: int,
+    dangling: bool,
 ) -> tuple[DataFrame, int]:
     """Iteration body of :func:`personalized_pagerank` — ``e`` arrives
     persisted (or checkpointed, ``e_is_ckpt``) and partition-sized; the
@@ -341,13 +351,14 @@ def _ppr_iterate(
             .join(deg, "src")
             .select(F.col("dst").alias("node"), (F.col("pr") / F.col("d")).alias("c"))
         )
-        dang = pr.join(deg, pr.node == deg.src, "left_anti").agg(
-            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
+        summed = wdf.join(
+            contrib.groupBy("node").agg(F.sum("c").alias("s")), "node", "left"
         )
-        new = (
-            wdf.join(contrib.groupBy("node").agg(F.sum("c").alias("s")), "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
+        if dangling:
+            dang = pr.join(deg, pr.node == deg.src, "left_anti").agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
+            )
+            new = summed.crossJoin(F.broadcast(dang)).select(
                 "node",
                 (
                     F.lit(1 - damp) * F.col("__w")
@@ -355,7 +366,15 @@ def _ppr_iterate(
                     * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("dm") * F.col("__w"))
                 ).alias("pr"),
             )
-        )
+        else:
+            # sink-free graph: the dangling term is identically zero
+            new = summed.select(
+                "node",
+                (
+                    F.lit(1 - damp) * F.col("__w")
+                    + F.lit(damp) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
         if tol > 0:
             new_is_ckpt = (i + 1) % checkpoint_every == 0
             if new_is_ckpt:

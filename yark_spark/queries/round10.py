@@ -98,7 +98,13 @@ def q_pagerank_personalized(spark, sf_dir):
         F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"),
         F.lit(1.0).alias("w"),
     )
-    pr, _ = personalized_pagerank(e, seeds, damp=0.85, tol=0.0, max_iters=3)
+    # both edge directions are emitted, so no node is a sink and the
+    # dangling term is identically zero — elide its per-iteration
+    # anti-join subtree (round 11; the oracle CTE has no dangling term
+    # for the same reason)
+    pr, _ = personalized_pagerank(
+        e, seeds, damp=0.85, tol=0.0, max_iters=3, dangling=False
+    )
     return pr.select("node", F.round("pr", 8).alias("ppr"))
 
 
