@@ -209,20 +209,50 @@ def test_chunk_crc_detects_corruption():
         P.decode_png(bytes(b))
 
 
-def test_adam7_is_documented_boundary():
+@pytest.mark.parametrize(
+    "shape", [(16, 16, 3), (7, 5), (1, 1), (2, 2, 4), (3, 9), (8, 8, 2), (13, 17, 3), (4, 1), (1, 9, 4)]
+)
+def test_adam7_interlaced_roundtrip(shape):
+    """Adam7 decode + encode (round 11): seven independently filtered
+    pass sub-images scattered onto the 8x8 grid; odd/small shapes
+    exercise EMPTY passes (pw or ph == 0) and ragged pass strides."""
+    img = _RNG.randint(0, 256, size=shape).astype(np.uint8)
+    for ft in (0, 4, "mixed"):
+        b = P.encode_png(img, filter_type=ft, interlace=True, idat_chunk=41)
+        got = P.decode_png(b)
+        assert got.shape == img.shape and (got == img).all(), (shape, ft)
+
+
+def test_adam7_16bit_and_palette():
+    img16 = _RNG.randint(0, 65536, size=(11, 6, 3)).astype(np.uint16)
+    assert (P.decode_png(P.encode_png(img16, interlace=True)) == img16).all()
+    idx = _RNG.randint(0, 7, size=(9, 13)).astype(np.uint8)
+    pal = _RNG.randint(0, 256, size=(7, 3)).astype(np.uint8)
+    assert (P.decode_png(P.encode_png(idx, palette=pal, interlace=True)) == pal[idx]).all()
+
+
+def test_adam7_pass_grid_matches_spec():
+    """The canonical 8x8 Adam7 stencil, rendered from the pass table."""
+    grid = np.zeros((8, 8), dtype=int)
+    for i, (x0, y0, dx, dy) in enumerate(P._ADAM7, start=1):
+        assert (grid[y0::dy, x0::dx] == 0).all()  # passes never overlap
+        grid[y0::dy, x0::dx] = i
+    expect = [
+        [1, 6, 4, 6, 2, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [3, 6, 4, 6, 3, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+    ]
+    assert grid.tolist() == expect
+    # a truncated interlaced stream is a typed error, not a crash
     img = _RNG.randint(0, 256, size=(8, 8)).astype(np.uint8)
-    b = bytearray(P.encode_png(img))
-    # IHDR payload: offset 8(+8 len/tag); interlace is its last byte
-    ihdr_payload = bytearray(b[16 : 16 + 13])
-    ihdr_payload[-1] = 1
-    fixed = (
-        bytes(b[:16])
-        + bytes(ihdr_payload)
-        + struct.pack(">I", P.crc32(b"IHDR" + bytes(ihdr_payload)))
-        + bytes(b[16 + 13 + 4 :])
-    )
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        P.decode_png(fixed)
+    b = P.encode_png(img, interlace=True)
+    with pytest.raises((ValueError, NotImplementedError)):
+        P.decode_png(b[:60])
 
 
 def test_signature_and_structure_validation():

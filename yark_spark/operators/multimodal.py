@@ -16,7 +16,7 @@ BI_RLE8-compressed BMP, and PNG since round 11 — a from-scratch DEFLATE
 inflate (stored/fixed/dynamic Huffman) + all five filters in
 operators/png, hash-matched via q_image_decode_png. The remaining
 boundaries are the DCT/arithmetic video-class codecs: lossy VP8,
-arithmetic-coded JPEG, BI_RLE4/BI_BITFIELDS BMP, Adam7-interlaced PNG;
+arithmetic-coded JPEG, BI_RLE4/BI_BITFIELDS BMP;
 fake_image_features remains the deterministic stand-in for those paths.
 
 Scale notes: binary rows are big — keep them out of shuffles. All feature
@@ -68,8 +68,8 @@ def _make_decoder():
     (operators/webp), and PNG (operators/png — from-scratch DEFLATE,
     all filter types, color types 0/2/3/4/6, depths 1-16). Remaining
     formats raise NotImplementedError — a real deployment plugs PIL/cv2
-    in for those (the VP8 DCT codec and Adam7-interlaced PNG are out of
-    scope). Returns uint8 (uint16 for deep netpbm/PNG) arrays shaped
+    in for those (the VP8 DCT codec is out of scope; PNG decodes fully,
+    Adam7 included since round 11). Returns uint8 (uint16 for deep netpbm/PNG) arrays shaped
     (H, W) for grayscale or (H, W, C) with RGB channel order for color
     (RGBA for WebP / alpha-carrying PNG).
     """
@@ -196,8 +196,8 @@ def _make_decoder():
     except Exception:  # pragma: no cover
         _decode_webp = None
     # PNG (r11): the from-scratch DEFLATE + filter decoder in
-    # operators/png, shipped by value the same way (Adam7 interlace
-    # raises inside decode_png — the documented boundary)
+    # operators/png, shipped by value the same way (both interlace
+    # methods decode; FDICT/zlib-bomb payloads raise typed errors)
     try:
         from pyspark import cloudpickle as _cp3
 
@@ -227,7 +227,7 @@ def _make_decoder():
         raise NotImplementedError(
             "decodable without an image library: uncompressed PGM/PPM/BMP, "
             "baseline/progressive JPEG, lossless (VP8L) WebP, and "
-            "non-interlaced PNG; plug PIL/cv2 in for lossy WebP/Adam7"
+            "PNG (Adam7 included); plug PIL/cv2 in for lossy WebP"
         )
 
     return decode
@@ -733,8 +733,8 @@ def _make_dims_parser():
     header ALONE — no entropy decode, no pixel pass. At 100 TB this is
     the cheap first pass over a binary column (route/filter/bucket by
     dimensions before any real decode); it also covers container
-    variants whose PIXELS the full decoder rejects (lossy VP8,
-    Adam7-interlaced PNG). Self-contained closure (ships by value)."""
+    variants whose PIXELS the full decoder rejects (lossy VP8).
+    Self-contained closure (ships by value)."""
 
     def dims(payload: bytes) -> tuple[str, int, int]:
         import struct

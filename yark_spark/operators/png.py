@@ -21,19 +21,21 @@ Everything here is implemented from the public specs, no zlib/PIL/cv2:
   PLTE / tRNS / IDAT (multi-IDAT concatenation) / IEND; the five filter
   types (None/Sub/Up/Average/Paeth) with the spec's exact Paeth
   predictor; color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-  6 (RGBA); bit depths 1/2/4/8/16 where the spec allows them.
+  6 (RGBA); bit depths 1/2/4/8/16 where the spec allows them; BOTH
+  interlace methods — progressive Adam7 streams unfilter each of the
+  seven pass sub-images independently and scatter onto the pass grid.
 * **Encoder**: per-row filter selection (any fixed type, or the
   deterministic all-five rotation), DEFLATE via stored blocks or
-  fixed-Huffman literal coding, optional IDAT splitting, palette and
-  16-bit output — bit-exact roundtrips make the constructed-exact
-  analytic oracle of ``q_image_decode_png`` possible, the same recipe as
-  JPEG's q100 DC-only and WebP's VP8L oracles.
+  fixed-Huffman literal coding, optional IDAT splitting, palette,
+  16-bit, and Adam7 output — bit-exact roundtrips make the
+  constructed-exact analytic oracle of ``q_image_decode_png`` possible,
+  the same recipe as JPEG's q100 DC-only and WebP's VP8L oracles.
 
 Documented boundaries (NotImplementedError, beside fully implemented
-siblings): Adam7 interlace, FDICT preset dictionaries, and encoder-side
-dynamic-Huffman/LZ77 match emission (decode covers all three block
-types; the stdlib-zlib differential in tests/test_png.py pins the
-dynamic path against independently produced streams).
+siblings): FDICT preset dictionaries and encoder-side dynamic-Huffman/
+LZ77 match emission (decode covers all three block types; the
+stdlib-zlib differential in tests/test_png.py pins the dynamic path
+against independently produced streams).
 
 Scale posture: decode is a per-payload CPU kernel invoked from map-only
 ``mapInPandas`` (operators/multimodal) — bytes never shuffle, and the
@@ -499,6 +501,28 @@ def _filter_rows(px: bytes, height: int, stride: int, bpp: int, types) -> bytes:
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
+#: Adam7 pass grid (ISO 15948 §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _adam7_pass_dims(w: int, h: int) -> list[tuple[int, int]]:
+    """(pass_width, pass_height) for each of the seven passes; empty
+    passes (0 in either dim) contribute no scanlines at all."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        out.append((pw, ph))
+    return out
+
 #: channels per color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -521,14 +545,37 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
+def _deframe(px: "bytes | bytearray", h: int, w: int, ch: int, depth: int, stride: int) -> np.ndarray:
+    """Reconstructed scanline bytes -> sample array: (h, w) for one
+    channel, (h, w, ch) otherwise; uint16 for depth 16, raw (unscaled)
+    samples for sub-byte depths."""
+    if depth == 8:
+        arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, stride)[:, : w * ch]
+        return arr.reshape(h, w, ch) if ch > 1 else arr.reshape(h, w)
+    if depth == 16:
+        arr = (
+            np.frombuffer(bytes(px), dtype=">u2")
+            .astype(np.uint16)
+            .reshape(h, stride // 2)[:, : w * ch]
+        )
+        return arr.reshape(h, w, ch) if ch > 1 else arr.reshape(h, w)
+    # 1/2/4-bit gray or palette indices: unpack to one sample per byte
+    bits = np.unpackbits(
+        np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, stride), axis=1
+    )
+    samples = bits[:, : w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (samples * weights).sum(axis=2).astype(np.uint8)
+
+
 def decode_png(payload: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     """Decode a PNG to a numpy array: 2-D uint8/uint16 for single-channel
     images, (h, w, channels) otherwise. Palette images resolve through
     PLTE (+ tRNS alpha when present) to RGB/RGBA uint8; sub-byte
     grayscale returns the RAW sample plane (values 0..2^depth-1,
     unscaled — documented, same convention as the BMP palette-index
-    plane). Verifies every chunk CRC and the zlib Adler-32. Adam7
-    interlace is a documented boundary."""
+    plane). Verifies every chunk CRC and the zlib Adler-32. Both
+    interlace methods decode (Adam7 since round 11)."""
     p = bytes(payload)
     if p[:8] != _SIG:
         raise ValueError("png: bad signature")
@@ -571,39 +618,41 @@ def decode_png(payload: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("png: unknown compression/filter method")
-    if interlace == 1:
-        raise NotImplementedError(
-            "png: Adam7 interlace not supported (documented boundary)"
-        )
-    if interlace != 0:
+    if interlace not in (0, 1):
         raise ValueError("png: unknown interlace method")
     if ctype not in _CHANNELS or depth not in _DEPTHS[ctype]:
         raise ValueError(f"png: illegal depth/color combination {depth}/{ctype}")
     if w == 0 or h == 0 or w * h > max_pixels:
         raise ValueError("png: image dimensions out of bounds")
     ch = _CHANNELS[ctype]
-    stride = (w * ch * depth + 7) // 8
     bpp = max(1, (ch * depth) // 8)
-    raw = zlib_decompress(bytes(idat), max_output=h * (1 + stride))
-    px = _unfilter(raw, h, stride, bpp)
-    if depth == 8:
-        arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, stride)[
-            :, : w * ch
-        ]
-        arr = arr.reshape(h, w, ch) if ch > 1 else arr.reshape(h, w)
-    elif depth == 16:
-        arr = (
-            np.frombuffer(bytes(px), dtype=">u2")
-            .astype(np.uint16)
-            .reshape(h, stride // 2)[:, : w * ch]
-        )
-        arr = arr.reshape(h, w, ch) if ch > 1 else arr.reshape(h, w)
-    else:  # 1/2/4-bit gray or palette indices: unpack to one sample/byte
-        bits = np.unpackbits(np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, stride), axis=1)
-        spb = 8 // depth  # samples per byte
-        samples = bits[:, : w * depth].reshape(h, w, depth)
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-        arr = (samples * weights).sum(axis=2).astype(np.uint8)
+    if interlace == 0:
+        stride = (w * ch * depth + 7) // 8
+        raw = zlib_decompress(bytes(idat), max_output=h * (1 + stride))
+        px = _unfilter(raw, h, stride, bpp)
+        arr = _deframe(px, h, w, ch, depth, stride)
+    else:
+        # Adam7 (round 11, closing the r11 boundary the codec shipped
+        # with): the zlib stream is seven independently filtered
+        # sub-images on the 8x8 pass grid; empty passes contribute no
+        # scanlines. Each pass unfilters with its OWN stride/history and
+        # scatters onto the full-resolution grid by (start, step).
+        dims = _adam7_pass_dims(w, h)
+        strides = [(pw * ch * depth + 7) // 8 for pw, _ in dims]
+        total = sum(ph * (1 + s) for (pw, ph), s in zip(dims, strides) if pw and ph)
+        raw = zlib_decompress(bytes(idat), max_output=total)
+        if len(raw) < total:
+            raise ValueError("png: interlaced IDAT stream shorter than image")
+        dtype = np.uint16 if depth == 16 else np.uint8
+        arr = np.zeros((h, w) if ch == 1 else (h, w, ch), dtype=dtype)
+        pos = 0
+        for (x0, y0, dx, dy), (pw, ph), pstride in zip(_ADAM7, dims, strides):
+            if pw == 0 or ph == 0:
+                continue
+            chunk = raw[pos : pos + ph * (1 + pstride)]
+            pos += ph * (1 + pstride)
+            ppx = _unfilter(chunk, ph, pstride, bpp)
+            arr[y0::dy, x0::dx] = _deframe(ppx, ph, pw, ch, depth, pstride)
     if ctype == 3:
         if plte is None:
             raise ValueError("png: palette image without PLTE")
@@ -626,6 +675,7 @@ def encode_png(
     palette: "np.ndarray | None" = None,
     trns: "bytes | None" = None,
     idat_chunk: int | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Encode a numpy image as PNG. uint8 2-D -> grayscale (or palette
     indices when ``palette`` (n,3) is given), (h,w,2) -> gray+alpha,
@@ -634,8 +684,10 @@ def encode_png(
     (row y uses filter y % 5 — deterministic, exercises all five).
     ``deflate``: ``stored`` or ``fixed`` (see :func:`zlib_compress`).
     ``idat_chunk`` splits the zlib stream across multiple IDAT chunks of
-    that size (decoder-side concatenation coverage). Lossless: decoding
-    the result reproduces ``img`` bit-exactly."""
+    that size (decoder-side concatenation coverage). ``interlace=True``
+    emits Adam7: seven independently filtered pass sub-images on the
+    8x8 grid (round 11). Lossless: decoding the result reproduces
+    ``img`` bit-exactly."""
     img = np.asarray(img)
     if img.dtype == np.uint16:
         depth = 16
@@ -656,20 +708,36 @@ def encode_png(
     if ctype == 3 and depth == 16:
         raise ValueError("png: palette images are 8-bit max")
     h, w = img.shape[:2]
-    if depth == 16:
-        px = img.astype(">u2").tobytes()
-    else:
-        px = img.astype(np.uint8).tobytes()
-    stride = (w * ch * depth + 7) // 8
     bpp = max(1, (ch * depth) // 8)
-    if filter_type == "mixed":
-        types = [y % 5 for y in range(h)]
+
+    def _row_types(n: int) -> list:
+        if filter_type == "mixed":
+            return [y % 5 for y in range(n)]
+        return [int(filter_type)] * n
+
+    def _plane_bytes(a: np.ndarray) -> bytes:
+        return a.astype(">u2").tobytes() if depth == 16 else a.astype(np.uint8).tobytes()
+
+    if interlace:
+        parts = []
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_pass_dims(w, h)):
+            if pw == 0 or ph == 0:
+                continue
+            sub = img[y0::dy, x0::dx]
+            pstride = (pw * ch * depth + 7) // 8
+            parts.append(
+                _filter_rows(_plane_bytes(sub), ph, pstride, bpp, _row_types(ph))
+            )
+        filtered = b"".join(parts)
     else:
-        types = [int(filter_type)] * h
-    filtered = _filter_rows(px, h, stride, bpp, types)
+        stride = (w * ch * depth + 7) // 8
+        filtered = _filter_rows(_plane_bytes(img), h, stride, bpp, _row_types(h))
     z = zlib_compress(filtered, method=deflate)
     out = bytearray(_SIG)
-    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0))
+    out += _chunk(
+        b"IHDR",
+        struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0),
+    )
     if ctype == 3:
         pal = np.asarray(palette, dtype=np.uint8)
         if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= 256:

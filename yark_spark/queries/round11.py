@@ -44,9 +44,9 @@ def q_image_decode_png(spark, sf_dir):
     exactly (a+b+c+d)/4 of the doc's first four md5-hex ascii codes — a
     value DuckDB computes without any image code. The dynamic-Huffman
     inflate path is pinned by a stdlib-zlib differential and the full
-    color-type/depth/filter matrix by roundtrip + fuzz tests in
-    tests/test_png.py; Adam7 interlace remains the documented boundary
-    (reference stores thumbnail bytes opaquely: cmds/archive.py:88-91).
+    color-type/depth/filter matrix — Adam7 interlace included — by
+    roundtrip + fuzz tests in tests/test_png.py (reference stores
+    thumbnail bytes opaquely: cmds/archive.py:88-91).
     Map-only mapInPandas end to end — the payload bytes never shuffle.
     """
     from yark_spark.operators.multimodal import decode_image_features, with_png_payload
