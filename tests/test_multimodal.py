@@ -506,3 +506,31 @@ def test_decode_bmp_rle8():
     # literal-heavy content exercises absolute mode
     lit = rng.integers(0, 256, (4, 9), dtype=np.uint8)
     assert (decode_image(_rle8_bmp(lit)) == lit).all()
+
+
+def test_decode_pixel_histogram_exact(spark):
+    """decode_pixel_histogram (round 11): integer-exact per-value counts
+    over the PNG quadrant fixture — 192 samples per distinct quadrant
+    value (64 pixels x 3 channels), buckets merged on collisions."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.multimodal import (
+        decode_pixel_histogram,
+        with_png_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc")], "doc_id long, text string"
+    )
+    rows = decode_pixel_histogram(with_png_payload(docs)).collect()
+    got = {(r["doc_id"], r["pixel_value"]): r["n"] for r in rows}
+    for did, text in [(1, "alpha doc"), (2, "beta doc")]:
+        vals = [ord(c) for c in hashlib.md5(text.encode()).hexdigest()[:4]]
+        expect = {}
+        for v in vals:
+            expect[v] = expect.get(v, 0) + 192
+        for v, n in expect.items():
+            assert got[(did, v)] == n, (did, v)
+    assert sum(n for (d, _), n in got.items() if d == 1) == 16 * 16 * 3

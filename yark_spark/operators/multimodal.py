@@ -674,6 +674,56 @@ def with_webp_payload(
     )
 
 
+PIXEL_HIST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("pixel_value", IntegerType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def decode_pixel_histogram(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact per-document pixel-VALUE histogram over a binary image
+    column (round 11): decode each payload and emit one row per distinct
+    sample value — ``(doc_id, pixel_value, n)`` with n summed across all
+    channels. Integer-exact (no float summary), so a lossless codec
+    makes the whole decode stack hash-checkable value-by-value, a
+    stronger exactness probe than the mean. The real pipeline use is
+    exposure/contrast profiling and dead-image detection (all-black /
+    all-white payloads collapse to one bucket) before any expensive
+    model pass. Map-only ``mapInPandas``; bytes never shuffle — the
+    output is at most 256 rows per image (or 65k for 16-bit), already
+    aggregated worker-side."""
+    decode = _make_decoder()
+
+    def _hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, vals, ns = [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode(bytes(p))
+                counts = np.bincount(arr.ravel().astype(np.int64))
+                nz = np.nonzero(counts)[0]
+                ids.extend([int(did)] * len(nz))
+                vals.extend(int(v) for v in nz)
+                ns.extend(int(counts[v]) for v in nz)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "pixel_value": pd.Series(vals, dtype="int32"),
+                    "n": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _hist, PIXEL_HIST_SCHEMA
+    )
+
+
 def with_png_payload(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -53,3 +53,87 @@ def q_image_decode_png(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return decode_image_features(with_png_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Exact pixel-value histogram — decode checked value-by-value, not by mean
+# ---------------------------------------------------------------------------
+
+_PIXEL_HIST_ORACLE = (
+    "WITH v AS (SELECT doc_id, "
+    "ascii(substr(md5(text), 1, 1)) AS a, ascii(substr(md5(text), 2, 1)) AS b, "
+    "ascii(substr(md5(text), 3, 1)) AS c, ascii(substr(md5(text), 4, 1)) AS d "
+    "FROM documents WHERE doc_id < 100), "
+    "u AS (SELECT doc_id, a AS pv FROM v UNION ALL SELECT doc_id, b FROM v "
+    "UNION ALL SELECT doc_id, c FROM v UNION ALL SELECT doc_id, d FROM v) "
+    "SELECT doc_id, CAST(pv AS INTEGER) AS pixel_value, "
+    "CAST(count(*) * 192 AS BIGINT) AS n FROM u GROUP BY doc_id, pv"
+)
+
+
+@query("q_image_pixel_hist", oracle=_PIXEL_HIST_ORACLE)
+def q_image_pixel_hist(spark, sf_dir):
+    """E84 exact pixel-value histogram (round 11): decode the PNG
+    quadrant fixture and count every sample value — INTEGER-exact, so
+    the DuckDB oracle checks the decode stack value-by-value instead of
+    through a float mean: each 8x8 quadrant contributes 64 pixels x 3
+    RGB channels = 192 samples of its md5-derived gray value, and equal
+    quadrant values merge buckets (count(*) x 192 in the oracle). Any
+    single wrong byte out of inflate/unfilter shifts a bucket and fails
+    the hash. Pipeline use: exposure profiling / dead-image detection
+    before a model pass. Map-only mapInPandas; histograms aggregate
+    worker-side (<=256 rows/image) so bytes never shuffle."""
+    from yark_spark.operators.multimodal import decode_pixel_histogram, with_png_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return decode_pixel_histogram(with_png_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Codec agreement — three independent codecs, one analytic truth
+# ---------------------------------------------------------------------------
+
+_AGREE_ORACLE = (
+    "WITH v AS (SELECT doc_id, "
+    "ascii(substr(md5(text), 1, 1)) AS a, ascii(substr(md5(text), 2, 1)) AS b, "
+    "ascii(substr(md5(text), 3, 1)) AS c, ascii(substr(md5(text), 4, 1)) AS d "
+    "FROM documents WHERE doc_id < 50) "
+    "SELECT doc_id, 'jpeg' AS fmt, CAST(1 AS INTEGER) AS channels, "
+    "round((a + b + c + d) / 4.0, 6) AS mean_pixel FROM v "
+    "UNION ALL SELECT doc_id, 'png', CAST(3 AS INTEGER), "
+    "round((a + b + c + d) / 4.0, 6) FROM v "
+    "UNION ALL SELECT doc_id, 'webp', CAST(4 AS INTEGER), "
+    "round((3 * (a + b + c + d) / 4.0 + 255) / 4.0, 6) FROM v"
+)
+
+
+@query("q_image_codec_agreement", oracle=_AGREE_ORACLE)
+def q_image_codec_agreement(spark, sf_dir):
+    """Cross-codec differential as a query (round 11): the SAME
+    quadrant-gray fixture runs through all three from-scratch codecs —
+    baseline JPEG at q100 (DC-only constant blocks, bit-exact),
+    lossless WebP VP8L, and PNG — and every row must match the ONE
+    analytic truth: mean (a+b+c+d)/4 for the gray/RGB forms, alpha
+    folded in for WebP's RGBA. Three independent entropy coders and
+    transform stacks agreeing with a no-image-code SQL oracle is the
+    strongest end-to-end pin the decode surface has. One map-only union;
+    50 docs per codec bound the work."""
+    from yark_spark.operators.multimodal import (
+        decode_image_features,
+        with_jpeg_payload,
+        with_png_payload,
+        with_webp_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    out = None
+    for fmt, payload in (
+        ("jpeg", with_jpeg_payload(docs)),
+        ("png", with_png_payload(docs)),
+        ("webp", with_webp_payload(docs, use_lz77=True, cache_bits=4, subtract_green=True)),
+    ):
+        part = decode_image_features(payload).select(
+            "doc_id", F.lit(fmt).alias("fmt"), "channels", "mean_pixel"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
