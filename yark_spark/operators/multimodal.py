@@ -738,10 +738,13 @@ def with_png_payload(
     so the decoded mean is EXACTLY (a+b+c+d)/4 with no quality argument
     (q_image_decode_png hash-matches it; channels stay 3 — no alpha
     plane to fold in). Defaults exercise the non-trivial decode path:
-    the all-five filter rotation and fixed-Huffman DEFLATE with the
-    zlib stream split across 64-byte IDAT chunks; ``encode_opts``
-    override (filter_type / deflate / idat_chunk). Map-only
-    mapInPandas; the png module ships by value."""
+    the all-five filter rotation, fixed-Huffman DEFLATE with the zlib
+    stream split across 64-byte IDAT chunks, and (round 11) Adam7
+    interlacing on odd doc_ids — pixels are identical either way, so
+    the analytic oracle pins BOTH interlace decode paths without
+    changing; ``encode_opts`` override (filter_type / deflate /
+    idat_chunk / interlace). Map-only mapInPandas; the png module ships
+    by value."""
     from pyspark import cloudpickle as _cp
 
     from yark_spark.operators import png as _png_mod
@@ -758,14 +761,16 @@ def with_png_payload(
 
         for pdf in batches:
             payloads = []
-            for t in pdf[text_col]:
+            for did, t in zip(pdf[id_col], pdf[text_col]):
                 vals = [ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()[:4]]
                 img = _np.empty((16, 16), dtype=_np.uint8)
                 img[:8, :8] = vals[0]
                 img[:8, 8:] = vals[1]
                 img[8:, :8] = vals[2]
                 img[8:, 8:] = vals[3]
-                payloads.append(_enc(_np.repeat(img[:, :, None], 3, axis=2), **_opts))
+                opts = dict(_opts)
+                opts.setdefault("interlace", int(did) % 2 == 1)
+                payloads.append(_enc(_np.repeat(img[:, :, None], 3, axis=2), **opts))
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
             )
