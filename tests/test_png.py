@@ -311,3 +311,100 @@ def test_quadrant_fixture_mean_matches_analytic_oracle_shape():
     got = P.decode_png(b)
     assert got.shape == (16, 16, 3)
     assert float(got.mean()) == sum(vals) / 4.0
+
+
+# ---------------------------------------------------------------------------
+# dynamic-Huffman + LZ77 ENCODER (round 11 — the boundary closed)
+# ---------------------------------------------------------------------------
+
+
+def test_dynamic_deflate_accepted_by_stdlib_and_own_inflate():
+    rnd = random.Random(21)
+    cases = [
+        b"", b"x", b"abc",
+        b"abcabcabcabc" * 1000,                              # long matches
+        bytes(rnd.randrange(256) for _ in range(30000)),     # incompressible
+        bytes(rnd.randrange(4) for _ in range(30000)),       # skewed alphabet
+        (b"A" * 300 + b"B") * 100,                           # 258-length runs
+        b"\x00" * 50000,                                     # one giant run
+    ]
+    for payload in cases:
+        z = P.zlib_compress(payload, "dynamic")
+        assert zlib.decompress(z) == payload, len(payload)
+        assert P.zlib_decompress(z) == payload, len(payload)
+
+
+def test_dynamic_deflate_actually_compresses():
+    src = open(__file__, "rb").read()
+    z_dyn = P.zlib_compress(src, "dynamic")
+    z_fix = P.zlib_compress(src, "fixed")
+    z_std = zlib.compress(src, 6)
+    assert zlib.decompress(z_dyn) == src
+    assert len(z_dyn) < len(z_fix) / 2          # LZ77 + dynamic codes bite
+    assert len(z_dyn) < len(z_std) * 1.15       # within 15% of stdlib -6
+
+
+def test_package_merge_respects_limit_and_kraft():
+    rnd = random.Random(4)
+    for maxlen in (7, 15):
+        for trial in range(20):
+            # 7-bit is the code-length code (19-symbol alphabet); 15-bit
+            # is lit/dist (up to 286)
+            n = rnd.randrange(2, 19) if maxlen == 7 else rnd.randrange(2, 280)
+            freqs = [rnd.choice([0, 1, 1, 5, 100, 10000]) for _ in range(n)]
+            if sum(1 for f in freqs if f) < 2:
+                freqs[0] = freqs[1] = 1
+            lens = P._limited_code_lengths(freqs, maxlen)
+            used = [(s, l) for s, l in enumerate(lens) if l]
+            assert all(1 <= l <= maxlen for _, l in used)
+            assert all(lens[s] == 0 for s, f in enumerate(freqs) if f == 0)
+            # Kraft equality for a complete prefix code
+            assert sum(2 ** (maxlen - l) for _, l in used) <= 2**maxlen
+            # the code must be decodable by the canonical constructor
+            P._Huff(lens)
+
+
+def test_rle_lengths_reconstructs():
+    rnd = random.Random(8)
+    for _ in range(50):
+        lens = []
+        while len(lens) < rnd.randrange(1, 320):
+            v = rnd.choice([0, 0, 0, 3, 7, 12])
+            lens += [v] * rnd.randrange(1, 160)
+        out = []
+        for sym, eb, ev in P._rle_lengths(lens):
+            if sym < 16:
+                out.append(sym)
+            elif sym == 16:
+                out += [out[-1]] * (3 + ev)
+            elif sym == 17:
+                out += [0] * (3 + ev)
+            else:
+                out += [0] * (11 + ev)
+        assert out == lens
+
+
+def test_lz77_tokens_reconstruct():
+    rnd = random.Random(12)
+    for _ in range(20):
+        raw = bytes(rnd.choice(b"abcd") for _ in range(rnd.randrange(0, 3000)))
+        out = bytearray()
+        for t in P._lz77_tokens(raw):
+            if isinstance(t, tuple):
+                length, dist = t
+                assert 3 <= length <= 258 and 1 <= dist <= 32768
+                start = len(out) - dist
+                assert start >= 0
+                for i in range(length):
+                    out.append(out[start + i])
+            else:
+                out.append(t)
+        assert bytes(out) == raw
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 3), (64, 64), (33, 17, 4)])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_roundtrip_dynamic_deflate(shape, interlace):
+    img = _RNG.randint(0, 256, size=shape).astype(np.uint8)
+    b = P.encode_png(img, deflate="dynamic", interlace=interlace, idat_chunk=99)
+    assert (P.decode_png(b) == img).all()

@@ -738,8 +738,8 @@ def with_png_payload(
     so the decoded mean is EXACTLY (a+b+c+d)/4 with no quality argument
     (q_image_decode_png hash-matches it; channels stay 3 — no alpha
     plane to fold in). Defaults exercise the non-trivial decode path:
-    the all-five filter rotation, fixed-Huffman DEFLATE with the zlib
-    stream split across 64-byte IDAT chunks, and (round 11) Adam7
+    the all-five filter rotation, REAL dynamic-Huffman+LZ77 DEFLATE
+    with the zlib stream split across 64-byte IDAT chunks, and Adam7
     interlacing on odd doc_ids — pixels are identical either way, so
     the analytic oracle pins BOTH interlace decode paths without
     changing; ``encode_opts`` override (filter_type / deflate /
@@ -751,7 +751,7 @@ def with_png_payload(
 
     _cp.register_pickle_by_value(_png_mod)
     _enc = _png_mod.encode_png
-    _opts = {"filter_type": "mixed", "deflate": "fixed", "idat_chunk": 64}
+    _opts = {"filter_type": "mixed", "deflate": "dynamic", "idat_chunk": 64}
     _opts.update(encode_opts)
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -25,17 +25,20 @@ Everything here is implemented from the public specs, no zlib/PIL/cv2:
   interlace methods — progressive Adam7 streams unfilter each of the
   seven pass sub-images independently and scatter onto the pass grid.
 * **Encoder**: per-row filter selection (any fixed type, or the
-  deterministic all-five rotation), DEFLATE via stored blocks or
-  fixed-Huffman literal coding, optional IDAT splitting, palette,
-  16-bit, and Adam7 output — bit-exact roundtrips make the
-  constructed-exact analytic oracle of ``q_image_decode_png`` possible,
-  the same recipe as JPEG's q100 DC-only and WebP's VP8L oracles.
+  deterministic all-five rotation), DEFLATE via stored blocks,
+  fixed-Huffman literal coding, or REAL compression — hash-chain LZ77
+  over the 32 KB window + length-limited dynamic Huffman codes built
+  with package-merge (15-bit lit/dist, 7-bit code-length code, the RLE
+  16/17/18 header) — within a few percent of stdlib zlib -6 on text;
+  optional IDAT splitting, palette, 16-bit, and Adam7 output. Bit-exact
+  roundtrips make the constructed-exact analytic oracle of
+  ``q_image_decode_png`` possible, the same recipe as JPEG's q100
+  DC-only and WebP's VP8L oracles.
 
-Documented boundaries (NotImplementedError, beside fully implemented
-siblings): FDICT preset dictionaries and encoder-side dynamic-Huffman/
-LZ77 match emission (decode covers all three block types; the
-stdlib-zlib differential in tests/test_png.py pins the dynamic path
-against independently produced streams).
+Documented boundary (NotImplementedError, beside fully implemented
+siblings): FDICT preset dictionaries. Both deflate directions are
+pinned against stdlib zlib in tests/test_png.py — inflate on zlib's
+streams, zlib.decompress on ours.
 
 Scale posture: decode is a per-payload CPU kernel invoked from map-only
 ``mapInPandas`` (operators/multimodal) — bytes never shuffle, and the
@@ -390,19 +393,237 @@ def _deflate_fixed_literals(raw: bytes) -> bytes:
     return bw.flush()
 
 
-def zlib_compress(raw: bytes, method: str = "fixed") -> bytes:
+def _lz77_tokens(raw: bytes, max_chain: int = 128):
+    """Greedy LZ77 over the 32 KB window via 3-byte hash chains: yields
+    int literals and ``(length, distance)`` matches (3 <= length <= 258,
+    1 <= distance <= 32768). ``max_chain`` bounds the candidates probed
+    per position — the standard compression/speed dial."""
+    n = len(raw)
+    head: dict[int, list[int]] = {}
+    i = 0
+    while i < n:
+        best_len = 0
+        best_dist = 0
+        if i + 3 <= n:
+            key = raw[i] | (raw[i + 1] << 8) | (raw[i + 2] << 16)
+            chain = head.get(key)
+            if chain:
+                limit = min(258, n - i)
+                for j in reversed(chain[-max_chain:]):
+                    if i - j > 32768:
+                        break
+                    # extend the match
+                    length = 0
+                    while length < limit and raw[j + length] == raw[i + length]:
+                        length += 1
+                    if length > best_len:
+                        best_len = length
+                        best_dist = i - j
+                        if length == limit:
+                            break
+        if best_len >= 3:
+            yield (best_len, best_dist)
+            # index every covered position so later matches can start here
+            end = min(i + best_len, n - 2)
+            for k in range(i, end):
+                kk = raw[k] | (raw[k + 1] << 8) | (raw[k + 2] << 16)
+                head.setdefault(kk, []).append(k)
+            i += best_len
+        else:
+            if i + 3 <= n:
+                head.setdefault(key, []).append(i)
+            yield raw[i]
+            i += 1
+
+
+def _sym_for(base_table: list[tuple[int, int]], value: int, first_sym: int):
+    """(symbol, extra_bits, extra_value) for a length/distance via the
+    generated base tables (largest base <= value)."""
+    lo, hi = 0, len(base_table) - 1
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if base_table[mid][0] <= value:
+            lo = mid
+        else:
+            hi = mid - 1
+    base, eb = base_table[lo]
+    return first_sym + lo, eb, value - base
+
+
+def _limited_code_lengths(freqs: list[int], maxlen: int) -> list[int]:
+    """Package-merge: optimal length-limited prefix-code lengths for the
+    nonzero entries of ``freqs`` (RFC 1951 caps literal/distance codes at
+    15 bits, the code-length code at 7)."""
+    syms = [s for s, f in enumerate(freqs) if f > 0]
+    out = [0] * len(freqs)
+    if not syms:
+        return out
+    if len(syms) == 1:
+        out[syms[0]] = 1
+        return out
+    if len(syms) > (1 << maxlen):
+        raise ValueError("deflate: alphabet too large for length limit")
+    orig = sorted((freqs[s], (s,)) for s in syms)
+    prev = list(orig)
+    for _ in range(maxlen - 1):
+        packages = [
+            (prev[i][0] + prev[i + 1][0], prev[i][1] + prev[i + 1][1])
+            for i in range(0, len(prev) - 1, 2)
+        ]
+        prev = sorted(orig + packages)
+    for _, ss in prev[: 2 * (len(syms) - 1)]:
+        for s in ss:
+            out[s] += 1
+    return out
+
+
+def _canon_codes(lengths: list[int]) -> list[tuple[int, int]]:
+    """(code, length) per symbol under the RFC 1951 canonical
+    assignment (0 length -> (0, 0), never emitted)."""
+    maxlen = max(lengths) if lengths else 0
+    bl_count = [0] * (maxlen + 1)
+    for l in lengths:
+        if l:
+            bl_count[l] += 1
+    code = 0
+    next_code = [0] * (maxlen + 1)
+    for l in range(1, maxlen + 1):
+        code = (code + bl_count[l - 1]) << 1
+        next_code[l] = code
+    out = []
+    for l in lengths:
+        if l:
+            out.append((next_code[l], l))
+            next_code[l] += 1
+        else:
+            out.append((0, 0))
+    return out
+
+
+def _rle_lengths(lens: list[int]):
+    """RFC 1951 §3.2.7 RLE of the code-length vector: yields
+    (clc_symbol, extra_bits, extra_value) triples using 16 (copy prev
+    3-6), 17 (zero-run 3-10), 18 (zero-run 11-138)."""
+    i = 0
+    n = len(lens)
+    while i < n:
+        v = lens[i]
+        run = 1
+        while i + run < n and lens[i + run] == v:
+            run += 1
+        i += run
+        if v == 0:
+            while run >= 11:
+                take = min(run, 138)
+                yield (18, 7, take - 11)
+                run -= take
+            if run >= 3:
+                yield (17, 3, run - 3)
+                run = 0
+            for _ in range(run):
+                yield (0, 0, 0)
+        else:
+            yield (v, 0, 0)
+            run -= 1
+            while run >= 3:
+                take = min(run, 6)
+                yield (16, 2, take - 3)
+                run -= take
+            for _ in range(run):
+                yield (v, 0, 0)
+
+
+def _deflate_dynamic(raw: bytes, max_chain: int = 128) -> bytes:
+    """One dynamic-Huffman block with real LZ77 matches (round 11,
+    closing the encoder-side boundary the codec shipped with): token
+    stream -> symbol frequencies -> package-merge length-limited codes
+    (15-bit lit/dist, 7-bit code-length code) -> RFC 1951 §3.2.7 header
+    (HLIT/HDIST/HCLEN, permuted CLC order, RLE 16/17/18) -> entropy-
+    coded body. Verified against stdlib zlib.decompress and this
+    module's own inflate in tests/test_png.py."""
+    tokens = list(_lz77_tokens(raw, max_chain=max_chain))
+    lit_freq = [0] * 286
+    dist_freq = [0] * 30
+    lit_freq[256] = 1  # EOB
+    enc: list[tuple] = []  # (lit_sym, eb, ev, dist_sym, deb, dev) | literals
+    for t in tokens:
+        if isinstance(t, tuple):
+            length, dist = t
+            ls, leb, lev = _sym_for(_LEN_TABLE, length, 257)
+            # symbol 284 tops out at 227+31=258, but 258 must use sym 285
+            if length == 258:
+                ls, leb, lev = 285, 0, 0
+            ds, deb, dev = _sym_for(_DIST_TABLE, dist, 0)
+            lit_freq[ls] += 1
+            dist_freq[ds] += 1
+            enc.append((ls, leb, lev, ds, deb, dev))
+        else:
+            lit_freq[t] += 1
+            enc.append(t)
+    lit_lens = _limited_code_lengths(lit_freq, 15)
+    dist_lens = _limited_code_lengths(dist_freq, 15)
+    hlit = max(257, max(s for s, l in enumerate(lit_lens) if l) + 1)
+    used_dist = [s for s, l in enumerate(dist_lens) if l]
+    hdist = max(1, (used_dist[-1] + 1) if used_dist else 1)
+    lit_codes = _canon_codes(lit_lens)
+    dist_codes = _canon_codes(dist_lens)
+    # code-length code over the concatenated (trimmed) length vectors
+    all_lens = lit_lens[:hlit] + dist_lens[:hdist]
+    clc_syms = list(_rle_lengths(all_lens))
+    clc_freq = [0] * 19
+    for s, _, _ in clc_syms:
+        clc_freq[s] += 1
+    clc_lens = _limited_code_lengths(clc_freq, 7)
+    clc_codes = _canon_codes(clc_lens)
+    hclen = max(
+        4, max(i + 1 for i, s in enumerate(_CLC_ORDER) if clc_lens[s] > 0)
+    )
+    bw = _BitsW()
+    bw.write(1, 1)  # BFINAL
+    bw.write(2, 2)  # dynamic
+    bw.write(hlit - 257, 5)
+    bw.write(hdist - 1, 5)
+    bw.write(hclen - 4, 4)
+    for i in range(hclen):
+        bw.write(clc_lens[_CLC_ORDER[i]], 3)
+    for s, eb, ev in clc_syms:
+        c, l = clc_codes[s]
+        bw.code(c, l)
+        if eb:
+            bw.write(ev, eb)
+    for t in enc:
+        if isinstance(t, tuple):
+            ls, leb, lev, ds, deb, dev = t
+            c, l = lit_codes[ls]
+            bw.code(c, l)
+            if leb:
+                bw.write(lev, leb)
+            c, l = dist_codes[ds]
+            bw.code(c, l)
+            if deb:
+                bw.write(dev, deb)
+        else:
+            c, l = lit_codes[t]
+            bw.code(c, l)
+    c, l = lit_codes[256]
+    bw.code(c, l)
+    return bw.flush()
+
+
+def zlib_compress(raw: bytes, method: str = "dynamic") -> bytes:
     """RFC 1950 wrap around the from-scratch deflate encoders:
-    ``stored`` (bit-exact raw blocks) or ``fixed`` (fixed-Huffman
-    literal coding). 0x78 0x01 passes the %31 check."""
+    ``stored`` (bit-exact raw blocks), ``fixed`` (fixed-Huffman literal
+    coding), or ``dynamic`` (LZ77 + length-limited dynamic Huffman —
+    real compression, the default since round 11). 0x78 0x01 passes the
+    %31 check."""
     if method == "stored":
         body = _deflate_stored(raw)
     elif method == "fixed":
         body = _deflate_fixed_literals(raw)
+    elif method == "dynamic":
+        body = _deflate_dynamic(raw)
     else:
-        raise NotImplementedError(
-            "encoder emits stored/fixed blocks; dynamic-Huffman + LZ77 match "
-            "emission is a documented boundary (decode supports all three)"
-        )
+        raise ValueError(f"zlib_compress: unknown method {method!r}")
     return b"\x78\x01" + body + struct.pack(">I", adler32(raw))
 
 
@@ -671,7 +892,7 @@ def decode_png(payload: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
 def encode_png(
     img: np.ndarray,
     filter_type: "int | str" = "mixed",
-    deflate: str = "fixed",
+    deflate: str = "dynamic",
     palette: "np.ndarray | None" = None,
     trns: "bytes | None" = None,
     idat_chunk: int | None = None,
@@ -682,7 +903,8 @@ def encode_png(
     (h,w,3) -> RGB, (h,w,4) -> RGBA; uint16 arrays -> 16-bit variants.
     ``filter_type``: a fixed filter id 0-4 for every row, or ``mixed``
     (row y uses filter y % 5 — deterministic, exercises all five).
-    ``deflate``: ``stored`` or ``fixed`` (see :func:`zlib_compress`).
+    ``deflate``: ``stored``, ``fixed``, or ``dynamic`` (real LZ77 +
+    dynamic-Huffman compression — see :func:`zlib_compress`).
     ``idat_chunk`` splits the zlib stream across multiple IDAT chunks of
     that size (decoder-side concatenation coverage). ``interlace=True``
     emits Adam7: seven independently filtered pass sub-images on the
