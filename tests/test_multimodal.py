@@ -534,3 +534,49 @@ def test_decode_pixel_histogram_exact(spark):
         for v, n in expect.items():
             assert got[(did, v)] == n, (did, v)
     assert sum(n for (d, _), n in got.items() if d == 1) == 16 * 16 * 3
+
+
+def test_decode_bmp_rle4():
+    """BI_RLE4 (round 11): runs alternate the value byte's two nibbles;
+    absolute mode packs nibbles word-aligned; EOL/EOB/delta escapes."""
+    import struct
+
+    # 6x2, bottom-up. Bottom row: run of 5 with 0xAB -> A B A B A, then
+    # literal run 1 of 0xC0 -> C. Top row: absolute 6 nibbles 123456.
+    data = bytes(
+        [5, 0xAB, 1, 0xC0, 0, 0,                 # row 0 + EOL
+         0, 6, 0x12, 0x34, 0x56, 0x00,           # absolute 6 (3 bytes + pad)
+         0, 1]                                   # EOB
+    )
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, 6, 2, 1, 4, 2, len(data), 0, 0, 0, 0)
+    arr = decode_image(hdr + data)
+    assert arr.shape == (2, 6)
+    assert arr[1].tolist() == [0xA, 0xB, 0xA, 0xB, 0xA, 0xC]  # bottom-up
+    assert arr[0].tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_decode_bmp_bitfields_565_and_8888():
+    import struct
+
+    import numpy as np
+
+    # 16-bpp 565: one pixel with R=31, G=0, B=16 -> (255, 0, 131)
+    px = (31 << 11) | (0 << 5) | 16
+    data = struct.pack("<HH", px, 0)  # stride pads to 4 bytes
+    hdr = b"BM" + struct.pack("<IHHI", 70 + len(data), 0, 0, 70)
+    hdr += struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 16, 3, len(data), 0, 0, 0, 0)
+    hdr += struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    hdr += b"\x00" * 4  # pad to the 70-byte data offset
+    arr = decode_image(hdr + data)
+    assert arr.shape == (1, 1, 3)
+    assert arr[0, 0].tolist() == [255, 0, 16 * 255 // 31]
+
+    # 32-bpp 8888 (alpha mask ignored -> RGB out)
+    data = struct.pack("<I", (0x11 << 16) | (0x22 << 8) | 0x33)
+    hdr = b"BM" + struct.pack("<IHHI", 70 + len(data), 0, 0, 70)
+    hdr += struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 3, len(data), 0, 0, 0, 0)
+    hdr += struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+    hdr += b"\x00" * 4
+    arr = decode_image(hdr + data)
+    assert arr[0, 0].tolist() == [0x11, 0x22, 0x33]

@@ -16,7 +16,7 @@ BI_RLE8-compressed BMP, and PNG since round 11 — a from-scratch DEFLATE
 inflate (stored/fixed/dynamic Huffman) + all five filters in
 operators/png, hash-matched via q_image_decode_png. The remaining
 boundaries are the DCT/arithmetic video-class codecs: lossy VP8,
-arithmetic-coded JPEG, BI_RLE4/BI_BITFIELDS BMP;
+arithmetic-coded JPEG, and BMP's embedded BI_JPEG/BI_PNG payloads;
 fake_image_features remains the deterministic stand-in for those paths.
 
 Scale notes: binary rows are big — keep them out of shuffles. All feature
@@ -63,7 +63,8 @@ def _make_decoder():
     package — same pattern as chunking's kernels).
 
     Supports PGM (P5) / PPM (P6) binary netpbm (8- and 16-bit), BMP
-    with BI_RGB at 8/24/32 bpp and BI_RLE8 at 8 bpp, baseline +
+    with BI_RGB at 8/24/32 bpp, BI_RLE8/BI_RLE4 runs, and BI_BITFIELDS
+    16/32 bpp (mask-generic, 565/555/8888), baseline +
     progressive JPEG (operators/jpeg), lossless WebP / VP8L
     (operators/webp), and PNG (operators/png — from-scratch DEFLATE,
     all filter types, color types 0/2/3/4/6, depths 1-16). Remaining
@@ -151,9 +152,84 @@ def _make_decoder():
                     x += v
                     i += v + (v & 1)
             return out
+        if compression == 2 and bpp == 4:
+            # BI_RLE4 (round 11): same escape structure as RLE8, but a
+            # run ALTERNATES the two nibbles of its value byte, and
+            # absolute mode packs nibbles two-per-byte (word-aligned).
+            # Returned as the palette-index plane like the RLE8 path.
+            flipped = height > 0
+            h = abs(height)
+            out = np.zeros((h, width), dtype=np.uint8)
+            x = y = 0
+            i = data_off
+            while i + 1 < len(payload):
+                c, v = payload[i], payload[i + 1]
+                i += 2
+                if c > 0:
+                    if x + c > width or y >= h:
+                        raise ValueError("RLE4 run past row end")
+                    row = h - 1 - y if flipped else y
+                    hi, lo = v >> 4, v & 0x0F
+                    for k in range(c):
+                        out[row, x + k] = hi if k % 2 == 0 else lo
+                    x += c
+                elif v == 0:  # end of line
+                    x, y = 0, y + 1
+                elif v == 1:  # end of bitmap
+                    break
+                elif v == 2:  # delta jump (undefined pixels stay 0)
+                    x += payload[i]
+                    y += payload[i + 1]
+                    i += 2
+                else:  # absolute: v packed nibbles, run word-aligned
+                    if x + v > width or y >= h:
+                        raise ValueError("RLE4 absolute run past row end")
+                    row = h - 1 - y if flipped else y
+                    nbytes = (v + 1) // 2
+                    for k in range(v):
+                        b = payload[i + k // 2]
+                        out[row, x + k] = (b >> 4) if k % 2 == 0 else (b & 0x0F)
+                    x += v
+                    i += nbytes + (nbytes & 1)
+            return out
+        if compression == 3 and bpp in (16, 32):
+            # BI_BITFIELDS (round 11): per-channel masks follow the
+            # 40-byte info header (or sit at the same offset inside a
+            # V4/V5 header); channels extract by mask/shift and scale
+            # to 8 bits by the mask's own maximum. Covers the common
+            # 565/555 16-bpp and 8888 32-bpp layouts generically.
+            masks = list(struct.unpack_from("<III", payload, 54))
+            if any(m == 0 for m in masks):
+                raise ValueError("BITFIELDS with an empty channel mask")
+            flipped = height > 0
+            h = abs(height)
+            stride = ((bpp * width + 31) // 32) * 4
+            rows = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h, offset=data_off
+            ).reshape(h, stride)
+            if flipped:
+                rows = rows[::-1]
+            nbytes = bpp // 8
+            px = (
+                rows[:, : width * nbytes]
+                .reshape(h, width, nbytes)
+                .astype(np.uint32)
+            )
+            vals = np.zeros((h, width), dtype=np.uint32)
+            for b in range(nbytes):
+                vals |= px[:, :, b] << (8 * b)  # little-endian
+            chans = []
+            for m in masks:  # R, G, B mask order per the spec
+                shift = (m & -m).bit_length() - 1
+                maxv = m >> shift
+                chans.append(
+                    (((vals & m) >> shift) * 255 // maxv).astype(np.uint8)
+                )
+            return np.dstack(chans)
         if compression != 0:
             raise NotImplementedError(
-                "compressed BMP (BI_RLE4/BI_BITFIELDS) not supported"
+                "compressed BMP: only BI_RLE8/BI_RLE4/BI_BITFIELDS supported "
+                "(BI_JPEG/BI_PNG embeddings stay a documented boundary)"
             )
         if bpp not in (8, 24, 32):
             raise NotImplementedError(f"{bpp}-bpp BMP not supported")
