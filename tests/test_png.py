@@ -86,12 +86,13 @@ def test_zlib_container_validation():
         P.zlib_decompress(bytes([good[0], good[1] ^ 1]) + good[2:])
     with pytest.raises(ValueError, match="deflate"):
         P.zlib_decompress(b"\x77\x01" + good[2:])
-    # FDICT is a typed boundary, not a crash
+    # an FDICT stream without its dictionary is a typed error (round 11:
+    # FDICT itself is now supported — see test_fdict_preset_dictionary)
     cmf = 0x78
     flg_fdict = 0x20
     flg_fdict += (31 - (cmf * 256 + flg_fdict) % 31) % 31
-    with pytest.raises(NotImplementedError, match="FDICT"):
-        P.zlib_decompress(bytes([cmf, flg_fdict]) + good[2:])
+    with pytest.raises(ValueError, match="preset dictionary"):
+        P.zlib_decompress(bytes([cmf, flg_fdict]) + b"\x00" * 4 + good[2:])
 
 
 def test_stored_block_len_nlen_guard():
@@ -408,3 +409,30 @@ def test_roundtrip_dynamic_deflate(shape, interlace):
     img = _RNG.randint(0, 256, size=shape).astype(np.uint8)
     b = P.encode_png(img, deflate="dynamic", interlace=interlace, idat_chunk=99)
     assert (P.decode_png(b) == img).all()
+
+
+def test_fdict_preset_dictionary_differential():
+    """FDICT (round 11): streams produced by stdlib compressobj(zdict=)
+    decode with the dictionary, and fail typed without it / with the
+    wrong one. PNG itself forbids FDICT; this is the bare-zlib mode."""
+    rnd = random.Random(2)
+    d = b"the quick brown fox jumps over the lazy dog " * 20
+    payloads = [
+        b"the quick brown fox is back",
+        d[:500] + b"xyz",
+        bytes(rnd.randrange(256) for _ in range(5000)),
+    ]
+    for payload in payloads:
+        co = zlib.compressobj(6, zlib.DEFLATED, 15, 8, zlib.Z_DEFAULT_STRATEGY, d)
+        z = co.compress(payload) + co.flush()
+        assert z[1] & 0x20  # FDICT bit set
+        assert P.zlib_decompress(z, dictionary=d) == payload
+        with pytest.raises(ValueError, match="preset dictionary"):
+            P.zlib_decompress(z)
+        with pytest.raises(ValueError, match="DICTID"):
+            P.zlib_decompress(z, dictionary=b"wrong")
+
+
+def test_inflate_window_seed_excluded_from_output():
+    seedful = P.inflate(P._deflate_stored(b"abc"), window=b"0123456789")
+    assert seedful == b"abc"  # the seed never leaks into the output

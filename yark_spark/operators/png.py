@@ -15,8 +15,10 @@ Everything here is implemented from the public specs, no zlib/PIL/cv2:
   distance base/extra-bit tables are GENERATED from the spec's doubling
   rule rather than transcribed (the operators/webp pattern). LSB-first
   bit reader; Huffman codes walk MSB-first per the RFC.
-* **zlib container** (RFC 1950): CMF/FLG check-bits validation, FDICT
-  rejection, Adler-32 verification of the inflated stream.
+* **zlib container** (RFC 1950): CMF/FLG check-bits validation,
+  Adler-32 verification of the inflated stream, and FDICT preset
+  dictionaries (DICTID-verified window seeding — the mode PNG forbids
+  but bare zlib users rely on).
 * **PNG** (ISO/IEC 15948): chunk walk with CRC verification, IHDR /
   PLTE / tRNS / IDAT (multi-IDAT concatenation) / IEND; the five filter
   types (None/Sub/Up/Average/Paeth) with the spec's exact Paeth
@@ -35,10 +37,10 @@ Everything here is implemented from the public specs, no zlib/PIL/cv2:
   ``q_image_decode_png`` possible, the same recipe as JPEG's q100
   DC-only and WebP's VP8L oracles.
 
-Documented boundary (NotImplementedError, beside fully implemented
-siblings): FDICT preset dictionaries. Both deflate directions are
-pinned against stdlib zlib in tests/test_png.py — inflate on zlib's
-streams, zlib.decompress on ours.
+No remaining codec boundaries: both deflate directions are pinned
+against stdlib zlib in tests/test_png.py — inflate on zlib's streams
+(including ``compressobj(zdict=...)`` FDICT streams), zlib.decompress
+on ours.
 
 Scale posture: decode is a per-payload CPU kernel invoked from map-only
 ``mapInPandas`` (operators/multimodal) — bytes never shuffle, and the
@@ -209,13 +211,19 @@ def _fixed_lit_lengths() -> list[int]:
     return [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
 
 
-def inflate(data: bytes, max_output: int | None = None) -> bytes:
+def inflate(
+    data: bytes, max_output: int | None = None, window: bytes = b""
+) -> bytes:
     """RFC 1951 DEFLATE decompression: stored, fixed-Huffman, and
     dynamic-Huffman blocks over a 32 KB LZ77 window. ``max_output``
     guards against decompression bombs when decoding untrusted payloads
-    (raises once exceeded)."""
+    (raises once exceeded; measured on the produced output, excluding
+    the seed). ``window`` pre-seeds the LZ77 history — the FDICT preset
+    dictionary (round 11): back-references may reach into it, but it is
+    not part of the returned output."""
     br = _Bits(data)
-    out = bytearray()
+    out = bytearray(window)
+    seed = len(out)
     fixed_lit = None
     fixed_dist = None
     while True:
@@ -286,19 +294,27 @@ def inflate(data: bytes, max_output: int | None = None) -> bytes:
                     start = len(out) - distance
                     for i in range(length):
                         out.append(out[start + i])
-                if max_output is not None and len(out) > max_output:
+                if max_output is not None and len(out) - seed > max_output:
                     raise ValueError("deflate: output exceeds max_output")
         else:
             raise ValueError("deflate: reserved block type 3")
-        if max_output is not None and len(out) > max_output:
+        if max_output is not None and len(out) - seed > max_output:
             raise ValueError("deflate: output exceeds max_output")
         if bfinal:
-            return bytes(out)
+            return bytes(out[seed:])
 
 
-def zlib_decompress(data: bytes, max_output: int | None = None) -> bytes:
-    """RFC 1950 container: validate CMF/FLG, reject FDICT, inflate, and
-    verify the trailing Adler-32."""
+def zlib_decompress(
+    data: bytes, max_output: int | None = None, dictionary: bytes | None = None
+) -> bytes:
+    """RFC 1950 container: validate CMF/FLG, inflate, and verify the
+    trailing Adler-32. FDICT streams (round 11) verify the embedded
+    DICTID against ``dictionary``'s Adler-32 and seed the LZ77 window
+    with it — the preset-dictionary mode PNG forbids but bare zlib
+    users (e.g. per-record compression with a shared sample dictionary)
+    rely on; pinned against stdlib ``compressobj(zdict=...)`` streams
+    in tests/test_png.py. A missing ``dictionary`` for an FDICT stream
+    raises a typed error."""
     if len(data) < 6:
         raise ValueError("zlib: stream too short")
     cmf, flg = data[0], data[1]
@@ -306,9 +322,21 @@ def zlib_decompress(data: bytes, max_output: int | None = None) -> bytes:
         raise ValueError("zlib: compression method is not deflate")
     if ((cmf << 8) | flg) % 31 != 0:
         raise ValueError("zlib: header check bits invalid")
+    body = data[2:-4]
+    window = b""
     if flg & 0x20:
-        raise NotImplementedError("zlib: FDICT preset dictionaries not supported")
-    raw = inflate(data[2:-4], max_output=max_output)
+        if len(data) < 10:
+            raise ValueError("zlib: FDICT stream too short")
+        (dictid,) = struct.unpack_from(">I", data, 2)
+        if dictionary is None:
+            raise ValueError(
+                f"zlib: stream needs a preset dictionary (DICTID {dictid:#010x})"
+            )
+        if adler32(dictionary) != dictid:
+            raise ValueError("zlib: DICTID does not match the given dictionary")
+        window = bytes(dictionary)[-32768:]  # only the last window matters
+        body = data[6:-4]
+    raw = inflate(body, max_output=max_output, window=window)
     (want,) = struct.unpack(">I", data[-4:])
     if adler32(raw) != want:
         raise ValueError("zlib: Adler-32 mismatch")
