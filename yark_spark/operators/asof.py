@@ -110,6 +110,22 @@ def asof_join_grouped(
             l_sorted, r_sorted, left_on=left_ts, right_on=right_ts, direction="backward"
         ).drop(columns=[right_ts] if right_ts not in l_pdf.columns else [])
 
+    # Explicit width on the cogroup shuffle (round 11): the stage's cost
+    # is Python — one merge_asof call per key group — but AQE sizes
+    # coalescing by shuffle BYTES, so at small SF it collapsed the
+    # exchange to ONE task running every group serially (6.9 s at
+    # sf0.01, 31 threads idle). repartition(n, key) satisfies the
+    # cogroup's clustered-distribution requirement (no second exchange)
+    # and an explicit user repartition is exempt from AQE coalescing;
+    # n = executor parallelism floored at the session conf width keeps
+    # cluster behavior identical to the implicit shuffle.
+    spark = left.sparkSession
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    l_sel = l_sel.repartition(n, key)
+    r_sel = r_sel.repartition(n, key)
     return l_sel.groupBy(key).cogroup(r_sel.groupBy(key)).applyInPandas(
         merge, out_schema
     )
