@@ -13,10 +13,13 @@ codec implements ITU-T T.81 baseline sequential DCT:
   successive approximation, DC/AC first+refinement scans, EOB runs —
   round 9, VERDICT r8 next-round #2), dequantization, inverse zigzag,
   batched orthonormal 8x8 IDCT, general sampling factors with
-  replication upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB.
-  Arithmetic coding (SOF9/10), hierarchical/lossless frames, 16-bit
-  quant tables and 12-bit precision raise NotImplementedError — a
-  documented boundary, not silent corruption.
+  replication upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB, and
+  LOSSLESS frames (SOF3, round 11: Annex-H predictive coding, all
+  seven predictors, 2-16-bit precision, mod-2^16 differences with the
+  SSSS=16 case, point transform). Arithmetic coding (SOF9/10),
+  hierarchical frames, 16-bit quant tables and 12-bit DCT precision
+  raise NotImplementedError — a documented boundary, not silent
+  corruption.
 - ``encode_jpeg`` / ``encode_jpeg_progressive``: the roundtrip half —
   libjpeg-style quality-scaled Annex-K quantization tables, 4:4:4
   (color) or single-component (gray), optional restart intervals, and
@@ -749,10 +752,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 fwd = _canonical_codes(bits, vals)
                 htables[(cls, tid)] = {lc: sym for sym, lc in fwd.items()}
                 sp += 17 + nvals
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 DCT, SOF3 lossless
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
+            if marker != 0xC3 and prec != 8:
                 raise NotImplementedError("12-bit precision")
+            if marker == 0xC3 and prec not in range(2, 17):
+                raise ValueError("lossless precision out of range 2-16")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
@@ -760,13 +765,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             frame = {
                 "h": fh,
                 "w": fw,
+                "prec": prec,
                 "comps": comps,
                 "progressive": marker == 0xC2,
+                "lossless": marker == 0xC3,
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline/progressive Huffman DCT (SOF0/1/2); "
-                "arithmetic coding and hierarchical/lossless frames unsupported"
+                "only Huffman DCT (SOF0/1/2) and lossless (SOF3) frames; "
+                "arithmetic coding and hierarchical frames unsupported"
             )
         elif marker == 0xDD:  # DRI — applies to following scans
             (ri,) = struct.unpack_from(">H", seg, 0)
@@ -806,6 +813,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += seglen
     if frame is None or not scans:
         raise ValueError("no SOF/SOS found")
+    if frame.get("lossless"):
+        return _decode_lossless(frame, scans)
 
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
@@ -842,3 +851,155 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         return np.clip(only + 0.5, 0, 255).astype(np.uint8)
     ids = [c["id"] for c in comps]
     return _ycbcr_to_rgb(full[ids[0]], full[ids[1]], full[ids[2]])
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (T.81 Annex H, SOF3) — round 11
+# ---------------------------------------------------------------------------
+
+#: encoder-side generated table for the lossless difference categories
+#: 0..16 — seventeen symbols at a fixed 5 bits (17 <= 32 code space),
+#: declared in DHT like the DCT encoders' generated tables
+_ENC_LL_VALS = list(range(17))
+_ENC_LL_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _ll_predict(plane, x: int, y: int, sel: int, default: int) -> int:
+    """T.81 H.1.2.1 prediction: the very first sample (and conceptually
+    each restart) predicts 2^(P-Pt-1); the rest of the first line uses
+    Ra (left); the first sample of later lines uses Rb (above); all
+    other positions use the scan's selected predictor 1-7."""
+    if y == 0:
+        return int(plane[0, x - 1]) if x > 0 else default
+    if x == 0:
+        return int(plane[y - 1, 0])
+    a = int(plane[y, x - 1])
+    b = int(plane[y - 1, x])
+    c = int(plane[y - 1, x - 1])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"lossless predictor selector {sel} out of range 1-7")
+
+
+def encode_jpeg_lossless(
+    arr: np.ndarray, predictor: int = 7, point_transform: int = 0
+) -> bytes:
+    """Encode to LOSSLESS JPEG (T.81 Annex H, SOF3): predictive coding
+    of the raw samples — no DCT, no quantization — with the Huffman
+    difference-category machinery the DCT encoders already use. uint8
+    (H, W) -> 8-bit grayscale; (H, W, 3) -> three interleaved components
+    (carried as-is: lossless JPEG does not mandate a color transform);
+    uint16 (H, W) -> 16-bit precision. ``predictor`` selects H.1
+    formula 1-7 for the interior; ``point_transform`` (Pt) right-shifts
+    samples before coding (the decoder re-scales by 2^Pt — the ONLY
+    lossy knob, off by default). Decoding the result reproduces the
+    input bit-exactly at Pt=0; differences are coded modulo 2^16 with
+    the SSSS=16 no-extra-bits special case."""
+    arr = np.asarray(arr)
+    if arr.dtype == np.uint16:
+        prec = 16
+        if arr.ndim != 2:
+            raise ValueError("16-bit lossless encode takes 2-D arrays")
+    elif arr.dtype == np.uint8:
+        prec = 8
+    else:
+        raise ValueError("lossless encode takes uint8 or uint16 arrays")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1-7")
+    if not 0 <= point_transform < prec:
+        raise ValueError("point transform out of range")
+    planes = (
+        [arr.astype(np.int64) >> point_transform]
+        if arr.ndim == 2
+        else [arr[:, :, i].astype(np.int64) >> point_transform for i in range(3)]
+    )
+    h, w = arr.shape[:2]
+    ncomp = len(planes)
+    codes = _canonical_codes(_ENC_LL_BITS, _ENC_LL_VALS)
+    default = 1 << (prec - point_transform - 1)
+    bw = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for plane in planes:
+                px = _ll_predict(plane, x, y, predictor, default)
+                d = (int(plane[y, x]) - px) & 0xFFFF
+                if d == 32768:  # T.81 H.1.2.2: SSSS=16, no appended bits
+                    length, code = codes[16]
+                    bw.write(code, length)
+                    continue
+                d = d - 65536 if d >= 32768 else d
+                size, bits = _magnitude(d)
+                length, code = codes[size]
+                bw.write(code, length)
+                if size:
+                    bw.write(bits, size)
+    entropy = bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI (no DQT/APP0 — nothing to quantize)
+    sof = struct.pack(">BHHB", prec, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])  # h=v=1; Tq unused in lossless
+    out += _seg(0xFFC3, sof)
+    dht = bytes([0x00]) + bytes(_ENC_LL_BITS) + bytes(_ENC_LL_VALS)
+    out += _seg(0xFFC4, dht)
+    out += _sos(
+        [(ci + 1, 0, 0) for ci in range(ncomp)], predictor, 0, 0, point_transform
+    )
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_lossless(frame: dict, scans: list) -> np.ndarray:
+    """Scan decoder for SOF3 frames: raster order, one sample per
+    component per MCU (all sampling factors 1), differences EXTENDed
+    from their category and accumulated modulo 2^16 onto the H.1
+    prediction. Returns uint8 for 8-bit precision, uint16 above."""
+    comps = frame["comps"]
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError("lossless JPEG with subsampling")
+    h, w, prec = frame["h"], frame["w"], frame["prec"]
+    planes = {c["id"]: np.zeros((h, w), dtype=np.int64) for c in comps}
+    for scan in scans:
+        if scan.get("ri"):
+            raise NotImplementedError("lossless restart intervals")
+        sel = scan["ss"]
+        pt = scan["al"]
+        default = 1 << (prec - pt - 1)
+        tables = {
+            cid: scan["htables"][(0, td)] for cid, td, _ in scan["spec"]
+        }
+        br = _BitReader(scan["data"])
+        order = [cid for cid, _, _ in scan["spec"]]
+        for y in range(h):
+            for x in range(w):
+                for cid in order:
+                    s = _read_symbol(br, tables[cid])
+                    if s == 16:
+                        d = 32768
+                    elif s:
+                        d = _extend(br.read_bits(s), s)
+                    else:
+                        d = 0
+                    plane = planes[cid]
+                    px = _ll_predict(plane, x, y, sel, default)
+                    plane[y, x] = (px + d) & 0xFFFF
+        if pt:
+            for cid in order:
+                planes[cid] <<= pt  # inverse point transform
+    dtype = np.uint8 if prec == 8 else np.uint16
+    maxv = (1 << prec) - 1
+    outs = [np.clip(planes[c["id"]], 0, maxv).astype(dtype) for c in comps]
+    return outs[0] if len(outs) == 1 else np.stack(outs, axis=-1)

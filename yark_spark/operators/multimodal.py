@@ -643,6 +643,7 @@ def with_jpeg_payload(
     text_col: str = "text",
     progressive: bool = False,
     restart_interval: int = 0,
+    lossless: bool = False,
 ) -> DataFrame:
     """Deterministic JPEG fixture column: a 16x16 grayscale image whose
     four 8x8 blocks are CONSTANT at the ascii codes of the doc's first
@@ -656,21 +657,33 @@ def with_jpeg_payload(
     hash-match (q_image_decode_jpeg), the same trick q_audio_decode uses
     for RMS. ``progressive`` / ``restart_interval`` switch the encoding
     to SOF2 scan scripts and DRI/RSTn markers (q_image_decode_jpeg_prog)
-    — same exactness argument, different entropy structure. Map-only
-    mapInPandas; the jpeg module ships by value."""
+    — same exactness argument, different entropy structure.
+    ``lossless=True`` (round 11) encodes SOF3 predictive lossless
+    frames instead, with the H.1 predictor varying per doc
+    (doc_id % 7 + 1) — pixels identical under every predictor, so ALL
+    SEVEN are pinned by one analytic oracle
+    (q_image_decode_jpeg_lossless). Map-only mapInPandas; the jpeg
+    module ships by value."""
     from pyspark import cloudpickle as _cp
 
     from yark_spark.operators import jpeg as _jpeg_mod
 
     _cp.register_pickle_by_value(_jpeg_mod)
-    if progressive:
-        _enc_fn = _jpeg_mod.encode_jpeg_progressive
-    else:
-        _enc_fn = _jpeg_mod.encode_jpeg
-    _ri = restart_interval
+    if lossless:
+        _ll = _jpeg_mod.encode_jpeg_lossless
 
-    def encode(img, quality):
-        return _enc_fn(img, quality=quality, restart_interval=_ri)
+        def encode(img, quality, did=0):
+            return _ll(img, predictor=did % 7 + 1)
+
+    else:
+        if progressive:
+            _enc_fn = _jpeg_mod.encode_jpeg_progressive
+        else:
+            _enc_fn = _jpeg_mod.encode_jpeg
+        _ri = restart_interval
+
+        def encode(img, quality, did=0):
+            return _enc_fn(img, quality=quality, restart_interval=_ri)
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -679,14 +692,14 @@ def with_jpeg_payload(
 
         for pdf in batches:
             payloads = []
-            for t in pdf[text_col]:
+            for did, t in zip(pdf[id_col], pdf[text_col]):
                 vals = [ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()[:4]]
                 img = _np.empty((16, 16), dtype=_np.uint8)
                 img[:8, :8] = vals[0]
                 img[:8, 8:] = vals[1]
                 img[8:, :8] = vals[2]
                 img[8:, 8:] = vals[3]
-                payloads.append(encode(img, quality=100))
+                payloads.append(encode(img, quality=100, did=int(did)))
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
             )

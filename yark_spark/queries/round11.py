@@ -137,3 +137,35 @@ def q_image_codec_agreement(spark, sf_dir):
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3) — all seven H.1 predictors under one oracle
+# ---------------------------------------------------------------------------
+
+_JPEG_LL_ORACLE = (
+    "WITH v AS (SELECT doc_id, "
+    "ascii(substr(md5(text), 1, 1)) AS a, ascii(substr(md5(text), 2, 1)) AS b, "
+    "ascii(substr(md5(text), 3, 1)) AS c, ascii(substr(md5(text), 4, 1)) AS d "
+    "FROM documents WHERE doc_id < 100) "
+    "SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, "
+    "CAST(1 AS INTEGER) AS channels, "
+    "round((a + b + c + d) / 4.0, 6) AS mean_pixel FROM v"
+)
+
+
+@query("q_image_decode_jpeg_lossless", oracle=_JPEG_LL_ORACLE)
+def q_image_decode_jpeg_lossless(spark, sf_dir):
+    """E4 lossless JPEG (round 11): T.81 Annex H predictive coding —
+    SOF3 frames, no DCT/quantization, differences Huffman-coded modulo
+    2^16 (operators/jpeg.encode_jpeg_lossless / _decode_lossless). The
+    fixture varies the H.1 predictor per doc (doc_id % 7 + 1), and the
+    codec is exactly lossless under every predictor, so ONE analytic
+    oracle — the quadrant mean (a+b+c+d)/4 — pins all seven prediction
+    formulas, the category/EXTEND machinery, and the SSSS=16 special
+    case end to end (roundtrip matrix incl. 16-bit and the point
+    transform in tests/test_jpeg_lossless.py). Map-only mapInPandas."""
+    from yark_spark.operators.multimodal import decode_image_features, with_jpeg_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return decode_image_features(with_jpeg_payload(docs, lossless=True))
