@@ -1,0 +1,174 @@
+"""GIF codec tests (round 11): hand-pinned LZW vectors, roundtrips
+across the variable-width/table-full boundaries, interlace, GCE
+transparency, sub-block splitting, and truncation fuzz."""
+
+import numpy as np
+import pytest
+
+from yark_spark.operators.gif import (
+    decode_gif,
+    decode_gif_frames,
+    encode_gif,
+    lzw_decode,
+    lzw_encode,
+)
+
+
+# ---------------------------------------------------------------------------
+# LZW core
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_hand_pinned_vector():
+    # indices [1,1,1,1] at mcs=2: clear=4 eoi=5; hand-derived code
+    # sequence 4,1,6,1 at width 3 then EOI(5) at width 4 (the decoder's
+    # table reaches 8 entries after the last data code). LSB-first
+    # packing: bits 001 100 011 100 1010 -> bytes 0x8C 0x53.
+    enc = lzw_encode(np.array([1, 1, 1, 1], dtype=np.uint8), 2)
+    assert enc == bytes([0x8C, 0x53])
+    assert lzw_decode(enc, 2, 4).tolist() == [1, 1, 1, 1]
+
+
+def test_lzw_kwkwk_case():
+    # the classic KwKwK stream: 'ababab...' forces code==next_code
+    idx = np.array([0, 1, 0, 1, 0, 1, 0], dtype=np.uint8)
+    assert lzw_decode(lzw_encode(idx, 2), 2, len(idx)).tolist() == idx.tolist()
+
+
+@pytest.mark.parametrize("mcs", [2, 4, 8])
+def test_lzw_roundtrip_random(mcs):
+    rng = np.random.default_rng(mcs)
+    idx = rng.integers(0, 1 << mcs, size=20_000, dtype=np.uint8)
+    assert np.array_equal(lzw_decode(lzw_encode(idx, mcs), mcs, len(idx)), idx)
+
+
+def test_lzw_table_full_clear_reset():
+    # random 256-symbol data fills the 12-bit table fast; 60k symbols
+    # guarantees at least one mid-stream CLEAR + re-grow cycle
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 256, size=60_000, dtype=np.uint8)
+    enc = lzw_encode(idx, 8)
+    assert np.array_equal(lzw_decode(enc, 8, len(idx)), idx)
+
+
+def test_lzw_rejects_out_of_range_code():
+    # code 7 with next_code==6 is invalid at mcs=2
+    # stream: clear(4), 7 -> bits 001 111 -> byte 0b00111100
+    with pytest.raises(ValueError, match="out of range"):
+        lzw_decode(bytes([0b00111100]), 2, 4)
+
+
+def test_lzw_truncated_stream():
+    with pytest.raises(ValueError, match="truncated"):
+        lzw_decode(b"\x8c", 2, 4)
+
+
+# ---------------------------------------------------------------------------
+# Container roundtrips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("shape", [(1, 1), (5, 3), (16, 16), (33, 7)])
+def test_gif_roundtrip_gray(shape, interlace):
+    rng = np.random.default_rng(shape[0] * 100 + shape[1])
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_gif(encode_gif(img, interlace=interlace))
+    assert out.shape == (*shape, 3)
+    assert np.array_equal(out, np.repeat(img[:, :, None], 3, axis=2))
+
+
+@pytest.mark.parametrize("n_colors", [2, 4, 17, 256])
+def test_gif_roundtrip_rgb_palette_sizes(n_colors):
+    rng = np.random.default_rng(n_colors)
+    pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, size=(24, 31))
+    img = pal[idx]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_interlace_matches_sequential():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(37, 11, 3), dtype=np.uint8)
+    img = (img // 64) * 64  # 4^3 = 64 possible colors, under the palette cap
+    a = decode_gif(encode_gif(img, interlace=False))
+    b = decode_gif(encode_gif(img, interlace=True))
+    assert np.array_equal(a, b)
+
+
+def test_gif_transparency_rgba():
+    img = np.array([[0, 255], [128, 0]], dtype=np.uint8)
+    payload = encode_gif(img, transparent=0)  # palette sorted: 0 first
+    assert payload[:6] == b"GIF89a"
+    out = decode_gif(payload)
+    assert out.shape == (2, 2, 4)
+    assert out[0, 0, 3] == 0 and out[0, 1, 3] == 255
+    frames = decode_gif_frames(payload)
+    assert frames[0]["transparent"] == 0
+
+
+def test_gif_version_87a_without_gce():
+    assert encode_gif(np.zeros((2, 2), dtype=np.uint8))[:6] == b"GIF87a"
+
+
+def test_gif_subblock_splitting():
+    # >255 bytes of LZW stream forces multiple data sub-blocks
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    payload = encode_gif(img)
+    assert np.array_equal(decode_gif(payload)[:, :, 0], img)
+
+
+def test_gif_skips_comment_and_application_extensions():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
+    payload = bytearray(encode_gif(img, force_89a=True))
+    # splice a comment and an application extension before the image
+    # descriptor (first 0x2C after header + GCT, sized from the packed byte)
+    at = payload.index(0x2C, 13 + 3 * (2 << (payload[10] & 0x07)))
+    ext = bytes([0x21, 0xFE, 5]) + b"hello" + b"\x00"
+    ext += bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0" + bytes([3, 1, 0, 0, 0])
+    payload[at:at] = ext
+    assert np.array_equal(decode_gif(bytes(payload))[:, :, 0], img)
+
+
+def test_gif_multiframe_returns_first():
+    a = encode_gif(np.full((3, 3), 10, dtype=np.uint8))
+    b = encode_gif(np.full((3, 3), 200, dtype=np.uint8))
+    # concatenate frame blocks: a minus trailer, b from its image descriptor
+    bi = b.index(0x2C, 13 + 3 * (2 << (b[10] & 0x07)))
+    two = a[:-1] + b[bi:]
+    frames = decode_gif_frames(two)
+    assert len(frames) == 2
+    assert decode_gif(two)[0, 0, 0] == 10
+
+
+def test_gif_truncation_fuzz():
+    payload = encode_gif(np.arange(64, dtype=np.uint8).reshape(8, 8) * 4)
+    for cut in range(1, len(payload) - 1, 7):
+        with pytest.raises(ValueError):
+            decode_gif(payload[:cut])
+
+
+def test_gif_corruption_fuzz_no_crash():
+    rng = np.random.default_rng(5)
+    base = bytearray(encode_gif(rng.integers(0, 256, size=(12, 12), dtype=np.uint8)))
+    for trial in range(40):
+        p = bytearray(base)
+        for _ in range(3):
+            p[rng.integers(6, len(p))] = rng.integers(0, 256)
+        try:
+            decode_gif(bytes(p))
+        except ValueError:
+            pass  # typed rejection is the contract; crashes are not
+
+
+def test_gif_rejects_non_gif():
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_encode_rejects_too_many_colors():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="distinct colors"):
+        encode_gif(img)

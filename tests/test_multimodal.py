@@ -416,10 +416,15 @@ def test_image_dims_parses_all_container_headers():
 
     assert image_dims(b"P5\n# c\n33 22\n255\n" + b"\x00" * (33 * 22)) == ("pnm", 33, 22)
 
+    from yark_spark.operators.gif import encode_gif
+
+    gp = encode_gif(np.zeros((22, 44), dtype=np.uint8))
+    assert image_dims(gp) == ("gif", 44, 22)
+
     import pytest
 
     with pytest.raises(NotImplementedError):
-        image_dims(b"GIF89a......")
+        image_dims(b"TIFF......")
 
 
 def test_decode_pnm_16bit():

@@ -283,6 +283,18 @@ def _make_decoder():
         _decode_png = _png_mod.decode_png
     except Exception:  # pragma: no cover
         _decode_png = None
+    # GIF (r11): the from-scratch LZW codec in operators/gif, shipped by
+    # value the same way (multi-frame files decode to the poster frame;
+    # disposal compositing is the documented animation boundary)
+    try:
+        from pyspark import cloudpickle as _cp4
+
+        from yark_spark.operators import gif as _gif_mod
+
+        _cp4.register_pickle_by_value(_gif_mod)
+        _decode_gif = _gif_mod.decode_gif
+    except Exception:  # pragma: no cover
+        _decode_gif = None
 
     def decode(payload: bytes):
         payload = bytes(payload)
@@ -300,10 +312,12 @@ def _make_decoder():
             return _decode_webp(payload)
         if payload[:8] == b"\x89PNG\r\n\x1a\n" and _decode_png is not None:
             return _decode_png(payload)
+        if payload[:4] == b"GIF8" and _decode_gif is not None:
+            return _decode_gif(payload)
         raise NotImplementedError(
             "decodable without an image library: uncompressed PGM/PPM/BMP, "
-            "baseline/progressive JPEG, lossless (VP8L) WebP, and "
-            "PNG (Adam7 included); plug PIL/cv2 in for lossy WebP"
+            "baseline/progressive JPEG, lossless (VP8L) WebP, "
+            "PNG (Adam7 included), and GIF; plug PIL/cv2 in for lossy WebP"
         )
 
     return decode
@@ -872,6 +886,56 @@ def with_png_payload(
     )
 
 
+def with_gif_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **encode_opts,
+) -> DataFrame:
+    """Deterministic GIF fixture column (round 11): the same 16x16
+    quadrant-gray image as the JPEG/WebP/PNG builders — four 8x8 blocks
+    constant at the ascii codes of the doc's first four md5 hex chars —
+    encoded by ``operators/gif.encode_gif`` (real LZW, ≤4-entry
+    palette). GIF is lossless, so the decoded mean is EXACTLY
+    (a+b+c+d)/4 and channels stay 3. Interlace on odd doc_ids pins both
+    row orders under one analytic oracle, exactly like the PNG fixture.
+    Map-only mapInPandas; the gif module ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import gif as _gif_mod
+
+    _cp.register_pickle_by_value(_gif_mod)
+    _enc = _gif_mod.encode_gif
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                vals = [ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()[:4]]
+                img = _np.empty((16, 16), dtype=_np.uint8)
+                img[:8, :8] = vals[0]
+                img[:8, 8:] = vals[1]
+                img[8:, :8] = vals[2]
+                img[8:, 8:] = vals[3]
+                opts = dict(encode_opts)
+                opts.setdefault("interlace", int(did) % 2 == 1)
+                payloads.append(_enc(img, **opts))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
 def _make_dims_parser():
     """Header-peek metadata: (format, width, height) from the container
     header ALONE — no entropy decode, no pixel pass. At 100 TB this is
@@ -931,6 +995,9 @@ def _make_dims_parser():
         if p[:2] == b"BM":
             w, h = struct.unpack_from("<ii", p, 18)
             return "bmp", w, abs(h)
+        if p[:4] == b"GIF8":  # logical screen descriptor right after version
+            w, h = struct.unpack_from("<HH", p, 6)
+            return "gif", w, h
         raise NotImplementedError("unrecognized image container")
 
     return dims

@@ -103,23 +103,26 @@ _AGREE_ORACLE = (
     "UNION ALL SELECT doc_id, 'png', CAST(3 AS INTEGER), "
     "round((a + b + c + d) / 4.0, 6) FROM v "
     "UNION ALL SELECT doc_id, 'webp', CAST(4 AS INTEGER), "
-    "round((3 * (a + b + c + d) / 4.0 + 255) / 4.0, 6) FROM v"
+    "round((3 * (a + b + c + d) / 4.0 + 255) / 4.0, 6) FROM v "
+    "UNION ALL SELECT doc_id, 'gif', CAST(3 AS INTEGER), "
+    "round((a + b + c + d) / 4.0, 6) FROM v"
 )
 
 
 @query("q_image_codec_agreement", oracle=_AGREE_ORACLE)
 def q_image_codec_agreement(spark, sf_dir):
     """Cross-codec differential as a query (round 11): the SAME
-    quadrant-gray fixture runs through all three from-scratch codecs —
+    quadrant-gray fixture runs through all four from-scratch codecs —
     baseline JPEG at q100 (DC-only constant blocks, bit-exact),
-    lossless WebP VP8L, and PNG — and every row must match the ONE
-    analytic truth: mean (a+b+c+d)/4 for the gray/RGB forms, alpha
-    folded in for WebP's RGBA. Three independent entropy coders and
-    transform stacks agreeing with a no-image-code SQL oracle is the
-    strongest end-to-end pin the decode surface has. One map-only union;
-    50 docs per codec bound the work."""
+    lossless WebP VP8L, PNG, and GIF (real LZW) — and every row must
+    match the ONE analytic truth: mean (a+b+c+d)/4 for the gray/RGB
+    forms, alpha folded in for WebP's RGBA. Four independent entropy
+    coders and transform stacks agreeing with a no-image-code SQL
+    oracle is the strongest end-to-end pin the decode surface has. One
+    map-only union; 50 docs per codec bound the work."""
     from yark_spark.operators.multimodal import (
         decode_image_features,
+        with_gif_payload,
         with_jpeg_payload,
         with_png_payload,
         with_webp_payload,
@@ -131,6 +134,7 @@ def q_image_codec_agreement(spark, sf_dir):
         ("jpeg", with_jpeg_payload(docs)),
         ("png", with_png_payload(docs)),
         ("webp", with_webp_payload(docs, use_lz77=True, cache_bits=4, subtract_green=True)),
+        ("gif", with_gif_payload(docs)),
     ):
         part = decode_image_features(payload).select(
             "doc_id", F.lit(fmt).alias("fmt"), "channels", "mean_pixel"
@@ -169,3 +173,38 @@ def q_image_decode_jpeg_lossless(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return decode_image_features(with_jpeg_payload(docs, lossless=True))
+
+
+# ---------------------------------------------------------------------------
+# GIF pixel decode — real LZW, both interlace orders, analytically exact
+# ---------------------------------------------------------------------------
+
+_GIF_ORACLE = (
+    "WITH v AS (SELECT doc_id, "
+    "ascii(substr(md5(text), 1, 1)) AS a, ascii(substr(md5(text), 2, 1)) AS b, "
+    "ascii(substr(md5(text), 3, 1)) AS c, ascii(substr(md5(text), 4, 1)) AS d "
+    "FROM documents WHERE doc_id < 100) "
+    "SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, "
+    "CAST(3 AS INTEGER) AS channels, "
+    "round((a + b + c + d) / 4.0, 6) AS mean_pixel FROM v"
+)
+
+
+@query("q_image_decode_gif", oracle=_GIF_ORACLE)
+def q_image_decode_gif(spark, sf_dir):
+    """E4 GIF pixel decode (round 11): from-scratch GIF87a/89a codec —
+    REAL variable-width LZW (LSB-first packing, KwKwK case, 12-bit
+    table with CLEAR resets), global color table, and the four-pass
+    interlace (operators/gif) — the fourth real-world thumbnail
+    container beside JPEG/WebP/PNG (reference stores thumbnail bytes
+    opaquely: cmds/archive.py:88-91). The fixture's ≤4-color palette
+    encodes losslessly, so the decoded mean of the 16x16 quadrant-gray
+    image is exactly (a+b+c+d)/4 of the doc's first four md5-hex ascii
+    codes; interlace on odd doc_ids pins both row orders under this one
+    analytic oracle. LZW sync across the 2^n width boundaries is pinned
+    by hand-derived vectors + roundtrip/fuzz tests in tests/test_gif.py.
+    Map-only mapInPandas end to end — payload bytes never shuffle."""
+    from yark_spark.operators.multimodal import decode_image_features, with_gif_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return decode_image_features(with_gif_payload(docs))
