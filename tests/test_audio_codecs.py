@@ -1,0 +1,203 @@
+"""G.711 (µ-law / A-law) + IMA ADPCM codec tests (round 11): published
+spec values pinned, bijection / fixed-point properties over all 256
+codes, constant-block exactness, SNR sanity on real waveforms, WAV
+container roundtrips for all four fmt tags, truncation fuzz."""
+
+import numpy as np
+import pytest
+
+from yark_spark.operators.audio_codecs import (
+    alaw_decode,
+    alaw_decode_table,
+    alaw_encode,
+    decode_wav,
+    encode_wav,
+    ima_adpcm_decode,
+    ima_adpcm_encode,
+    mulaw_decode,
+    mulaw_decode_table,
+    mulaw_encode,
+)
+
+# ---------------------------------------------------------------------------
+# G.711 — table pins (ITU-T G.711 / CCITT reference values)
+# ---------------------------------------------------------------------------
+
+
+def test_mulaw_published_values():
+    t = mulaw_decode_table()
+    assert t[0x00] == -32124  # largest negative segment
+    assert t[0x01] == -31100
+    assert t[0x7F] == -0 and t[0x7F] == 0
+    assert t[0x80] == 32124
+    assert t[0xFF] == 0
+    assert t[0xFE] == 8  # smallest positive step
+
+
+def test_alaw_published_values():
+    t = alaw_decode_table()
+    assert t[0x55] == -8  # code 0x55 xors to 0 -> smallest negative
+    assert t[0xD5] == 8
+    assert t[0x2A] == -32256  # largest negative (0x2A ^ 0x55 = 0x7F)
+    assert t[0xAA] == 32256
+    assert t[0x55 ^ 0x01] == -24  # adjacent linear-segment step of 16
+
+
+def test_g711_code_bijection():
+    # encode(decode(code)) == code for every byte — the two laws are
+    # exact inverses on their own quantization lattices (the ±0 pair
+    # 0x7F/0xFF in µ-law both decode to 0; encode maps 0 to 0xFF)
+    mu = mulaw_decode_table()
+    codes = np.arange(256, dtype=np.uint8)
+    enc = mulaw_encode(mu)
+    ok = enc == codes
+    assert ok.sum() == 255 and not ok[0x7F] and enc[0x7F] == 0xFF
+    al = alaw_decode_table()
+    assert np.array_equal(alaw_encode(al), codes)  # A-law has no ±0 pair
+
+
+def test_g711_fixed_points():
+    # decode(encode(v)) == v exactly when v is on the quantization lattice
+    for table, enc, dec in (
+        (mulaw_decode_table(), mulaw_encode, mulaw_decode),
+        (alaw_decode_table(), alaw_encode, alaw_decode),
+    ):
+        vals = table[np.arange(256)]
+        assert np.array_equal(dec(enc(vals)), vals)
+
+
+def test_g711_quantization_error_bound():
+    rng = np.random.default_rng(0)
+    x = rng.integers(-32000, 32000, size=4096).astype(np.int16)
+    for enc, dec, bound in ((mulaw_encode, mulaw_decode, 1024), (alaw_encode, alaw_decode, 1024)):
+        err = np.abs(dec(enc(x)).astype(np.int32) - x)
+        # error is bounded by half the largest segment step
+        assert err.max() <= bound
+        # and small signals quantize finely
+        small = rng.integers(-100, 100, size=1024).astype(np.int16)
+        errs = np.abs(dec(enc(small)).astype(np.int32) - small)
+        assert errs.max() <= 16
+
+
+def test_mulaw_monotone():
+    # decode table restricted to positive codes is strictly decreasing
+    # magnitude as code increases (0x80..0xFF: 32124 ... 0)
+    t = mulaw_decode_table()
+    pos = t[0x80:].astype(np.int32)
+    assert (np.diff(pos) <= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM
+# ---------------------------------------------------------------------------
+
+
+def test_adpcm_constant_blocks_exact():
+    # constant signal roundtrips exactly: header predictor = first
+    # sample, nibble 0 at step index 0 decodes to delta 0
+    for v in (0, 48, 102, -77, 32000):
+        x = np.full(130, v, dtype=np.int16)
+        data = ima_adpcm_encode(x, block_align=36)
+        out = ima_adpcm_decode(data, 36, len(x))
+        assert np.array_equal(out, x)
+
+
+def test_adpcm_block_structure():
+    # 65 samples/block at block_align=36; header stores sample 0 verbatim
+    x = np.arange(200, dtype=np.int16) * 37
+    data = ima_adpcm_encode(x, block_align=36)
+    assert len(data) == 4 * 36  # ceil(200/65) blocks
+    import struct
+
+    pred0, idx0, res0 = struct.unpack_from("<hBB", data, 0)
+    assert pred0 == 0 and res0 == 0
+    pred1, idx1, _ = struct.unpack_from("<hBB", data, 36)
+    assert pred1 == x[65]  # each block header restarts at the true sample
+
+
+def test_adpcm_snr_on_sine():
+    t = np.arange(4000)
+    x = (12000 * np.sin(2 * np.pi * t / 97)).astype(np.int16)
+    out = ima_adpcm_decode(ima_adpcm_encode(x, 256), 256, len(x))
+    err = out.astype(np.float64) - x
+    snr = 10 * np.log10(np.mean(x.astype(np.float64) ** 2) / np.mean(err**2))
+    assert snr > 20  # ADPCM on a smooth tone should be well over 20 dB
+
+
+def test_adpcm_decoder_tracks_encoder_state():
+    rng = np.random.default_rng(1)
+    # a rough random walk stresses the step-size adaptation
+    x = np.clip(np.cumsum(rng.integers(-2000, 2000, size=1000)), -32768, 32767).astype(
+        np.int16
+    )
+    out = ima_adpcm_decode(ima_adpcm_encode(x, 64), 64, len(x))
+    # not lossless, but the decoder must stay locked to the encoder:
+    # error bounded by the largest step
+    assert np.abs(out.astype(np.int32) - x).max() <= 32767 // 4
+
+
+def test_adpcm_truncated_raises():
+    x = np.zeros(130, dtype=np.int16)
+    data = ima_adpcm_encode(x, 36)
+    with pytest.raises(ValueError):
+        ima_adpcm_decode(data[:20], 36, 130)
+
+
+def test_adpcm_bad_index_raises():
+    data = bytearray(ima_adpcm_encode(np.zeros(65, dtype=np.int16), 36))
+    data[2] = 200  # step index out of range
+    with pytest.raises(ValueError, match="step index"):
+        ima_adpcm_decode(bytes(data), 36, 65)
+
+
+# ---------------------------------------------------------------------------
+# WAV container
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", ["pcm16", "mulaw", "alaw", "ima_adpcm"])
+def test_wav_container_roundtrip(codec):
+    if codec == "pcm16":
+        x = np.arange(-500, 500, dtype=np.int16) * 13
+        expect = x
+    elif codec == "ima_adpcm":
+        x = np.repeat(np.array([100, -200, 300], dtype=np.int16), 65)
+        expect = x  # constant blocks at block_align 36 are exact
+    else:
+        table = mulaw_decode_table() if codec == "mulaw" else alaw_decode_table()
+        x = table[np.arange(256)]
+        expect = x  # lattice values are fixed points
+    payload = encode_wav(x, rate=8000, codec=codec, block_align=36)
+    rate, channels, out = decode_wav(payload)
+    assert (rate, channels) == (8000, 1)
+    assert np.array_equal(out, expect)
+
+
+def test_wav_fact_chunk_trims_padding():
+    # 100 samples at block_align 36 → 2 blocks of 65 → padded to 130;
+    # the fact chunk must trim decode back to 100
+    x = np.full(100, 1234, dtype=np.int16)
+    rate, _, out = decode_wav(encode_wav(x, codec="ima_adpcm", block_align=36))
+    assert len(out) == 100 and (out == 1234).all()
+
+
+def test_wav_pcm16_matches_legacy_codec():
+    from yark_spark.operators.multimodal import _make_wav_codec
+
+    legacy_enc, legacy_dec = _make_wav_codec()
+    x = (np.arange(256, dtype=np.int16) - 128) * 7
+    new = decode_wav(legacy_enc(x, rate=8000))
+    old = legacy_dec(encode_wav(x, rate=8000, codec="pcm16"))
+    assert np.array_equal(new[2], x) and np.array_equal(old[2], x)
+
+
+def test_wav_unknown_fmt_raises():
+    payload = bytearray(encode_wav(np.zeros(8, dtype=np.int16)))
+    payload[20] = 0x55  # fmt tag -> MPEG-ish
+    with pytest.raises(NotImplementedError, match="audio library"):
+        decode_wav(bytes(payload))
+
+
+def test_wav_not_riff_raises():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)

@@ -1,0 +1,342 @@
+"""Compressed-audio codecs from scratch (round 11): G.711 µ-law /
+A-law and IMA ADPCM, plus a WAV container codec that speaks all four
+common ``fmt`` tags (1 = PCM16, 6 = A-law, 7 = µ-law, 0x11 = IMA
+ADPCM).
+
+Until this round "compressed audio" was a documented
+``NotImplementedError`` boundary in ``operators/multimodal`` — true for
+entropy-coded psychoacoustic codecs (MP3/AAC need an audio library),
+but the three telephony/RIFF codecs above are fixed table/bit
+arithmetic from public specs (ITU-T G.711; IMA ADPCM as used by the
+``WAVE_FORMAT_IMA_ADPCM`` block layout) and decode exactly like the
+image codecs beside them: pure numpy, shipped to executors **by value**
+(cloudpickle), typed ``ValueError`` on malformed payloads.
+
+Reference parity note: the reference archiver stores media bytes
+opaquely (/root/reference/cmds/archive.py:88-91); decoding them is
+mandate-side training-pipeline surface, same as operators/jpeg etc.
+
+Oracle recipes the query layer builds on:
+
+* **G.711 is a 256-entry bijection** between code bytes and quantized
+  PCM values. Samples drawn FROM the decode table are fixed points
+  (encode∘decode = identity on codes, decode∘encode = identity on
+  table values), so a fixture whose samples are table values decodes
+  bit-exactly and a SQL oracle can embed the spec table as literal
+  VALUES — no audio code in the oracle.
+* **IMA ADPCM reproduces constant blocks exactly**: the block header
+  stores the first sample verbatim (predictor) and nibble 0 at step
+  index 0 decodes to a zero delta (step 7 >> 3 == 0) while keeping the
+  index clamped at 0 — so a constant block roundtrips losslessly and
+  per-block statistics are analytic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "mulaw_encode",
+    "mulaw_decode",
+    "mulaw_decode_table",
+    "alaw_encode",
+    "alaw_decode",
+    "alaw_decode_table",
+    "ima_adpcm_encode",
+    "ima_adpcm_decode",
+    "encode_wav",
+    "decode_wav",
+]
+
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law
+# ---------------------------------------------------------------------------
+
+
+def mulaw_decode_table() -> np.ndarray:
+    """The 256-entry µ-law code → linear PCM16 table (ITU-T G.711):
+    complement the code, then mantissa/exponent expansion around the
+    0x84 bias. ``table[0x00] == -32124``, ``table[0xFF] == 0``."""
+    codes = np.arange(256, dtype=np.int32)
+    x = ~codes & 0xFF
+    sign = x & 0x80
+    exponent = (x >> 4) & 0x07
+    mantissa = x & 0x0F
+    mag = (((mantissa << 3) + _MULAW_BIAS) << exponent) - _MULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def mulaw_decode(codes) -> np.ndarray:
+    return mulaw_decode_table()[np.asarray(codes, dtype=np.uint8)]
+
+
+def mulaw_encode(samples) -> np.ndarray:
+    """Linear PCM16 → µ-law code bytes (vectorized G.711 compressor:
+    bias, segment = position of the top magnitude bit, 4-bit mantissa,
+    ones-complement). Exact inverse of the decode table on its values."""
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _MULAW_CLIP) + _MULAW_BIAS
+    # mag in [0x84, 0x7FFF+0x84]: exponent = top-bit position - 7
+    exponent = np.floor(np.log2(mag)).astype(np.int32) - 7
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# G.711 A-law
+# ---------------------------------------------------------------------------
+
+
+def alaw_decode_table() -> np.ndarray:
+    """The 256-entry A-law code → linear PCM16 table (ITU-T G.711):
+    XOR 0x55, then segment expansion; segment 0 is linear with a +8
+    half-step. Sign bit SET means positive (``table[0xD5] == +8``,
+    ``table[0x55] == -8``)."""
+    codes = np.arange(256, dtype=np.int32)
+    y = codes ^ 0x55
+    exponent = (y >> 4) & 0x07
+    mantissa = y & 0x0F
+    mag = np.where(
+        exponent == 0,
+        (mantissa << 4) + 8,
+        ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0),
+    )
+    return np.where(y & 0x80, mag, -mag).astype(np.int16)
+
+
+def alaw_decode(codes) -> np.ndarray:
+    return alaw_decode_table()[np.asarray(codes, dtype=np.uint8)]
+
+
+def alaw_encode(samples) -> np.ndarray:
+    """Linear PCM16 → A-law code bytes (vectorized): segment from the
+    top magnitude bit, 4-bit mantissa, sign bit 1 = positive, XOR 0x55.
+    Exact inverse of the decode table on its values."""
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767)
+    big = mag >= 256
+    exponent = np.where(big, np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 7, 0)
+    mantissa = np.where(big, (mag >> (exponent + 3)) & 0x0F, mag >> 4)
+    return (((sign | (exponent << 4) | mantissa) ^ 0x55) & 0xFF).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAVE_FORMAT_IMA_ADPCM 0x11, mono block layout)
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+_IMA_INDEX_ADJUST = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_nibble(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX_ADJUST[nibble & 7])))
+    return pred, index
+
+
+def _ima_encode_sample(pred: int, index: int, sample: int) -> tuple[int, int, int]:
+    """Greedy IMA quantizer: build the nibble bit-by-bit against the
+    current step (the standard encoder), then advance state with the
+    DECODED delta so encoder and decoder predictors stay identical."""
+    step = int(_IMA_STEPS[index])
+    delta = sample - pred
+    nibble = 8 if delta < 0 else 0
+    if delta < 0:
+        delta = -delta
+    if delta >= step:
+        nibble |= 4
+        delta -= step
+    if delta >= step >> 1:
+        nibble |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        nibble |= 1
+    pred, index = _ima_decode_nibble(pred, index, nibble)
+    return nibble, pred, index
+
+
+def ima_adpcm_encode(samples, block_align: int = 256) -> bytes:
+    """Mono IMA ADPCM block stream: each block is
+    ``[predictor int16le][step_index u8][reserved u8]`` then
+    ``block_align - 4`` nibble bytes (low nibble first). The header
+    predictor IS the first output sample; ``(block_align - 4) * 2 + 1``
+    samples per block; the final block zero-pads. The step index
+    carries across blocks (stored per-header, so every block decodes
+    independently)."""
+    if block_align < 8 or block_align % 4:
+        raise ValueError("block_align must be a multiple of 4, >= 8")
+    x = np.asarray(samples, dtype=np.int64)
+    if x.size == 0:
+        raise ValueError("empty sample array")
+    spb = (block_align - 4) * 2 + 1
+    out = bytearray()
+    index = 0
+    for start in range(0, len(x), spb):
+        block = x[start : start + spb]
+        pred = int(block[0])
+        out += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in block[1:]:
+            nib, pred, index = _ima_encode_sample(pred, index, int(s))
+            nibbles.append(nib)
+        nibbles += [0] * (2 * (block_align - 4) - len(nibbles))
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+def ima_adpcm_decode(data: bytes, block_align: int, n_samples: int) -> np.ndarray:
+    """Decode a mono IMA ADPCM block stream to ``n_samples`` int16."""
+    if block_align < 8:
+        raise ValueError("bad block_align")
+    spb = (block_align - 4) * 2 + 1
+    out = np.empty(n_samples, dtype=np.int16)
+    n_out = 0
+    pos = 0
+    while n_out < n_samples:
+        if pos + block_align > len(data) and pos + 4 > len(data):
+            raise ValueError("truncated ADPCM stream")
+        pred, index, _res = struct.unpack_from("<hBB", data, pos)
+        if index > 88:
+            raise ValueError(f"ADPCM step index {index} out of range")
+        out[n_out] = pred
+        n_out += 1
+        body = data[pos + 4 : pos + block_align]
+        pos += block_align
+        for byte in body:
+            for nib in (byte & 0x0F, byte >> 4):
+                if n_out >= n_samples:
+                    break
+                pred, index = _ima_decode_nibble(pred, index, nib)
+                out[n_out] = pred
+                n_out += 1
+        if n_out < n_samples and n_out % spb:
+            raise ValueError("truncated ADPCM block")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# WAV container over all four fmt tags
+# ---------------------------------------------------------------------------
+
+_FMT_PCM16, _FMT_ALAW, _FMT_MULAW, _FMT_IMA = 1, 6, 7, 0x11
+
+
+def encode_wav(
+    samples,
+    rate: int = 8000,
+    codec: str = "pcm16",
+    block_align: int = 256,
+) -> bytes:
+    """Canonical mono RIFF/WAVE for ``codec`` in pcm16 / mulaw / alaw /
+    ima_adpcm. Compressed forms write the spec ``fmt `` extensions
+    (cbSize, samples-per-block for ADPCM) and a ``fact`` chunk with the
+    true sample count."""
+    x = np.asarray(samples, dtype=np.int64)
+    n = len(x)
+    if codec == "pcm16":
+        data = x.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", _FMT_PCM16, 1, rate, rate * 2, 2, 16)
+        fact = b""
+    elif codec == "mulaw":
+        data = mulaw_encode(x).tobytes()
+        fmt = struct.pack("<HHIIHHH", _FMT_MULAW, 1, rate, rate, 1, 8, 0)
+        fact = struct.pack("<4sII", b"fact", 4, n)
+    elif codec == "alaw":
+        data = alaw_encode(x).tobytes()
+        fmt = struct.pack("<HHIIHHH", _FMT_ALAW, 1, rate, rate, 1, 8, 0)
+        fact = struct.pack("<4sII", b"fact", 4, n)
+    elif codec == "ima_adpcm":
+        data = ima_adpcm_encode(x, block_align)
+        spb = (block_align - 4) * 2 + 1
+        byte_rate = (rate * block_align + spb - 1) // spb
+        fmt = struct.pack(
+            "<HHIIHHHH", _FMT_IMA, 1, rate, byte_rate, block_align, 4, 2, spb
+        )
+        fact = struct.pack("<4sII", b"fact", 4, n)
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE → ``(rate, channels, int16 samples)`` for fmt tags
+    1 / 6 / 7 / 0x11 (mono for ADPCM). Generic chunk walk with
+    word-alignment; psychoacoustic codecs (MP3/AAC et al.) remain
+    ``NotImplementedError`` — those genuinely need an audio library."""
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data, fact_n = 12, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        sz = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact" and len(body) >= 4:
+            fact_n = struct.unpack("<I", body[:4])[0]
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, _br, block_align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == _FMT_PCM16:
+        if bits != 16:
+            raise NotImplementedError(f"{bits}-bit PCM needs an audio library")
+        return rate, channels, np.frombuffer(data, dtype="<i2")
+    if tag in (_FMT_MULAW, _FMT_ALAW):
+        if bits != 8:
+            raise ValueError(f"G.711 with {bits}-bit samples")
+        codes = np.frombuffer(data, dtype=np.uint8)
+        if fact_n is not None:
+            codes = codes[: fact_n * channels]
+        table = mulaw_decode_table() if tag == _FMT_MULAW else alaw_decode_table()
+        return rate, channels, table[codes]
+    if tag == _FMT_IMA:
+        if channels != 1:
+            raise NotImplementedError("multi-channel IMA ADPCM interleave")
+        spb = (block_align - 4) * 2 + 1
+        n_blocks = (len(data) + block_align - 1) // block_align
+        n = fact_n if fact_n is not None else n_blocks * spb
+        return rate, channels, ima_adpcm_decode(data, block_align, n)
+    raise NotImplementedError(
+        f"WAV fmt tag 0x{tag:x}: PCM16, G.711 (A-law/µ-law) and mono IMA "
+        "ADPCM decode here; psychoacoustic codecs need an audio library"
+    )

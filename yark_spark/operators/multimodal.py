@@ -610,6 +610,72 @@ def with_wav_payload(
     )
 
 
+def with_compressed_wav_payload(
+    df: DataFrame,
+    codec: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate: int = 8000,
+) -> DataFrame:
+    """Deterministic COMPRESSED WAV fixture column (round 11), built so
+    the lossy codecs reproduce it exactly (the constructed-exact oracle
+    recipe — see operators/audio_codecs):
+
+    * ``mulaw`` / ``alaw``: samples are G.711 decode-table values AT the
+      doc's md5 ascii codes (tiled 8x → 256 samples) — lattice points
+      are fixed points of encode∘decode, so the decoded stream equals
+      the fixture bit-for-bit and a SQL oracle embedding the spec table
+      as VALUES computes peak/RMS with no audio code;
+    * ``ima_adpcm``: four 65-sample blocks constant at the four md5
+      ascii codes (block_align 36) — block headers store the first
+      sample verbatim and zero deltas are exact at step index 0, so
+      decode returns the constants and the stats are analytic.
+
+    Map-only mapInPandas; audio_codecs ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import audio_codecs as _ac
+
+    _cp.register_pickle_by_value(_ac)
+    if codec not in ("mulaw", "alaw", "ima_adpcm"):
+        raise ValueError(f"unknown compressed codec {codec!r}")
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        table = None
+        if codec == "mulaw":
+            table = _ac.mulaw_decode_table()
+        elif codec == "alaw":
+            table = _ac.alaw_decode_table()
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                chars = [ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()]
+                if codec == "ima_adpcm":
+                    samples = _np.repeat(
+                        _np.array(chars[:4], dtype=_np.int16), 65
+                    )
+                    payloads.append(
+                        _ac.encode_wav(samples, rate=rate, codec=codec, block_align=36)
+                    )
+                else:
+                    samples = table[_np.array(chars * 8, dtype=_np.uint8)]
+                    payloads.append(_ac.encode_wav(samples, rate=rate, codec=codec))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
 def decode_audio_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -617,8 +683,18 @@ def decode_audio_features(
     walk), sample extraction, duration/peak/RMS — the audio twin of
     decode_image_features. Map-only mapInPandas; RMS is
     sqrt(mean(sample²)) with the mean over a power-of-two sample count
-    exact in doubles, so an analytic oracle hash-matches it."""
-    _, decode = _make_wav_codec()
+    exact in doubles, so an analytic oracle hash-matches it.
+
+    Round 11: decodes through ``operators/audio_codecs.decode_wav``, so
+    the SAME extractor covers PCM16 **and** the compressed fmt tags
+    (G.711 µ-law/A-law, mono IMA ADPCM); psychoacoustic codecs remain
+    the documented NotImplementedError boundary."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import audio_codecs as _ac
+
+    _cp.register_pickle_by_value(_ac)
+    decode = _ac.decode_wav
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -208,3 +208,119 @@ def q_image_decode_gif(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return decode_image_features(with_gif_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Compressed audio — G.711 (table-embedded oracle) + IMA ADPCM (analytic)
+# ---------------------------------------------------------------------------
+
+
+def _g711_tables() -> tuple[list[int], list[int]]:
+    """Scalar ITU-T G.711 decode tables, written independently of the
+    vectorized implementation in operators/audio_codecs (that module is
+    NOT imported here): the oracle SQL embeds these 256 rows as literal
+    VALUES, so DuckDB checks the codec against the spec formula with no
+    audio code. Published-value pins for both live in
+    tests/test_audio_codecs.py (e.g. µ-law 0x00 → -32124, A-law
+    0xD5 → +8)."""
+    mu, al = [], []
+    for code in range(256):
+        x = ~code & 0xFF
+        mag = ((((x & 0x0F) << 3) + 0x84) << ((x >> 4) & 0x07)) - 0x84
+        mu.append(-mag if x & 0x80 else mag)
+        y = code ^ 0x55
+        e, m = (y >> 4) & 0x07, y & 0x0F
+        amag = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+        al.append(amag if y & 0x80 else -amag)
+    return mu, al
+
+
+_MU_TBL, _AL_TBL = _g711_tables()
+_G711_VALUES = ", ".join(
+    f"({c}, {_MU_TBL[c]}, {_AL_TBL[c]})" for c in range(256)
+)
+
+_G711_ORACLE = (
+    f"WITH t(code, mu, al) AS (VALUES {_G711_VALUES}), "
+    "h AS (SELECT doc_id, md5(text) AS m FROM documents WHERE doc_id < 150), "
+    "s AS (SELECT doc_id, ascii(substr(m, g.i, 1)) AS c "
+    "FROM h, unnest(generate_series(1, 32)) AS g(i)), "
+    "j AS (SELECT doc_id, mu, al FROM s JOIN t ON t.code = s.c) "
+    "SELECT doc_id, 'mulaw' AS law, CAST(256 AS INTEGER) AS n_samples, "
+    "CAST(8000 AS INTEGER) AS sample_rate, round(256.0 / 8000, 6) AS duration_s, "
+    "CAST(max(abs(mu)) AS INTEGER) AS peak, "
+    "round(sqrt(avg(CAST(mu AS DOUBLE) * mu)), 6) AS rms FROM j GROUP BY doc_id "
+    "UNION ALL SELECT doc_id, 'alaw', CAST(256 AS INTEGER), "
+    "CAST(8000 AS INTEGER), round(256.0 / 8000, 6), "
+    "CAST(max(abs(al)) AS INTEGER), "
+    "round(sqrt(avg(CAST(al AS DOUBLE) * al)), 6) FROM j GROUP BY doc_id"
+)
+
+
+@query("q_audio_decode_g711", oracle=_G711_ORACLE)
+def q_audio_decode_g711(spark, sf_dir):
+    """E86 G.711 compressed-audio decode (round 11): µ-law AND A-law
+    WAV payloads (fmt tags 7 / 6, fact-chunked) decoded by the
+    from-scratch vectorized codec in operators/audio_codecs — the
+    former 'compressed audio' NotImplementedError boundary, now real
+    for the table codecs. Fixture samples sit ON the G.711 quantization
+    lattice (decode-table values at the doc's md5 ascii codes), so the
+    lossy codec reproduces them bit-exactly and the oracle checks
+    peak/RMS against the spec table embedded as 256 literal VALUES
+    rows — an independent scalar construction of the ITU formula, no
+    audio code in SQL. Map-only mapInPandas both stages; payload bytes
+    never shuffle."""
+    from yark_spark.operators.multimodal import (
+        decode_audio_features,
+        with_compressed_wav_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    out = None
+    for law in ("mulaw", "alaw"):
+        part = decode_audio_features(with_compressed_wav_payload(docs, law)).select(
+            "doc_id",
+            F.lit(law).alias("law"),
+            "n_samples",
+            "sample_rate",
+            "duration_s",
+            "peak",
+            "rms",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+_ADPCM_ORACLE = (
+    "WITH v AS (SELECT doc_id, "
+    "ascii(substr(md5(text), 1, 1)) AS a, ascii(substr(md5(text), 2, 1)) AS b, "
+    "ascii(substr(md5(text), 3, 1)) AS c, ascii(substr(md5(text), 4, 1)) AS d "
+    "FROM documents WHERE doc_id < 200) "
+    "SELECT doc_id, CAST(260 AS INTEGER) AS n_samples, "
+    "CAST(8000 AS INTEGER) AS sample_rate, "
+    "round(260.0 / 8000, 6) AS duration_s, "
+    "CAST(greatest(a, b, c, d) AS INTEGER) AS peak, "
+    "round(sqrt((a * a + b * b + c * c + d * d) / 4.0), 6) AS rms FROM v"
+)
+
+
+@query("q_audio_decode_adpcm", oracle=_ADPCM_ORACLE)
+def q_audio_decode_adpcm(spark, sf_dir):
+    """E86' IMA ADPCM decode (round 11): mono WAVE_FORMAT_IMA_ADPCM
+    blocks — header predictor + step index, 4-bit nibbles against the
+    89-entry step table, fact-chunk sample trim — decoded by
+    operators/audio_codecs. The fixture is four 65-sample blocks
+    constant at the doc's md5 ascii codes: block headers store the
+    first sample verbatim and zero deltas are exact at step index 0, so
+    the lossy codec is exact here and peak/RMS reduce to
+    greatest(a..d) / sqrt(mean of squares) — analytic in SQL. The
+    adaptive (genuinely lossy) path is pinned by SNR + encoder/decoder
+    state-lock tests in tests/test_audio_codecs.py. Map-only
+    mapInPandas; bytes never shuffle."""
+    from yark_spark.operators.multimodal import (
+        decode_audio_features,
+        with_compressed_wav_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return decode_audio_features(with_compressed_wav_payload(docs, "ima_adpcm"))
