@@ -1012,6 +1012,129 @@ def with_gif_payload(
     )
 
 
+#: Output schema of decode_video_features.
+VIDEO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps_num", IntegerType()),
+        StructField("fps_den", IntegerType()),
+        StructField("luma_mean", DoubleType()),
+        StructField("motion", DoubleType()),
+    ]
+)
+
+
+def decode_video_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL video statistics over a binary Y4M column (round 11):
+    container parse (operators/video), luma plane extraction, per-frame
+    brightness and a frame-difference motion score — the video twin of
+    decode_image_features / decode_audio_features. ``luma_mean`` is the
+    mean of per-frame luma means; ``motion`` the mean over consecutive
+    frame pairs of mean |Δluma| (0.0 for single-frame streams). With
+    power-of-two plane sizes both reduce to exact integer sums, so an
+    analytic oracle hash-matches them. Map-only mapInPandas; frames
+    never shuffle; entropy-coded video stays the documented boundary."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import video as _video_mod
+
+    _cp.register_pickle_by_value(_video_mod)
+    _decode = _video_mod.decode_y4m
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("n_frames", "width", "height", "fps_num", "fps_den",
+                     "luma_mean", "motion")}
+            for p in pdf[payload_col]:
+                v = _decode(bytes(p))
+                lumas = [f[0].astype(np.float64) for f in v["frames"]]
+                means = [float(y.mean()) for y in lumas]
+                diffs = [
+                    float(np.abs(b - a).mean()) for a, b in zip(lumas, lumas[1:])
+                ]
+                rows["n_frames"].append(len(lumas))
+                rows["width"].append(v["width"])
+                rows["height"].append(v["height"])
+                rows["fps_num"].append(v["fps_num"])
+                rows["fps_den"].append(v["fps_den"])
+                rows["luma_mean"].append(round(float(np.mean(means)), 6))
+                rows["motion"].append(
+                    round(float(np.mean(diffs)), 6) if diffs else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_frames": np.array(rows["n_frames"], dtype="int32"),
+                    "width": np.array(rows["width"], dtype="int32"),
+                    "height": np.array(rows["height"], dtype="int32"),
+                    "fps_num": np.array(rows["fps_num"], dtype="int32"),
+                    "fps_den": np.array(rows["fps_den"], dtype="int32"),
+                    "luma_mean": np.array(rows["luma_mean"], dtype="float64"),
+                    "motion": np.array(rows["motion"], dtype="float64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, VIDEO_FEATURE_SCHEMA
+    )
+
+
+def with_y4m_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fps: tuple = (30, 1),
+) -> DataFrame:
+    """Deterministic Y4M fixture column (round 11): four 16x16 frames
+    constant at the ascii codes of the doc's first four md5 hex chars
+    (the video twin of the quadrant image fixture — quadrants become
+    FRAMES, giving the time axis), neutral 4:2:0 chroma. Planes are
+    stored verbatim, so luma_mean is exactly (a+b+c+d)/4 and motion
+    exactly (|b-a|+|c-b|+|d-c|)/3 — both computable by DuckDB from the
+    md5 codes alone. Odd doc_ids encode C444, even C420: the chroma
+    layouts walk different plane sizes under the same oracle. Map-only
+    mapInPandas; the video module ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import video as _video_mod
+
+    _cp.register_pickle_by_value(_video_mod)
+    _enc = _video_mod.encode_y4m
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                vals = [ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()[:4]]
+                frames = [
+                    _np.full((16, 16), v, dtype=_np.uint8) for v in vals
+                ]
+                cs = "444" if int(did) % 2 else "420"
+                payloads.append(_enc(frames, fps=fps, colorspace=cs))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
 def _make_dims_parser():
     """Header-peek metadata: (format, width, height) from the container
     header ALONE — no entropy decode, no pixel pass. At 100 TB this is

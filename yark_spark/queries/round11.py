@@ -324,3 +324,41 @@ def q_audio_decode_adpcm(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return decode_audio_features(with_compressed_wav_payload(docs, "ima_adpcm"))
+
+
+# ---------------------------------------------------------------------------
+# Video — Y4M container decode, per-frame luma + motion, analytic oracle
+# ---------------------------------------------------------------------------
+
+_Y4M_ORACLE = (
+    "WITH v AS (SELECT doc_id, "
+    "ascii(substr(md5(text), 1, 1)) AS a, ascii(substr(md5(text), 2, 1)) AS b, "
+    "ascii(substr(md5(text), 3, 1)) AS c, ascii(substr(md5(text), 4, 1)) AS d "
+    "FROM documents WHERE doc_id < 200) "
+    "SELECT doc_id, CAST(4 AS INTEGER) AS n_frames, "
+    "CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, "
+    "CAST(30 AS INTEGER) AS fps_num, CAST(1 AS INTEGER) AS fps_den, "
+    "round((a + b + c + d) / 4.0, 6) AS luma_mean, "
+    "round((abs(b - a) + abs(c - b) + abs(d - c)) / 3.0, 6) AS motion FROM v"
+)
+
+
+@query("q_video_decode_y4m", oracle=_Y4M_ORACLE)
+def q_video_decode_y4m(spark, sf_dir):
+    """E87 Y4M video decode (round 11): the video modality gets a REAL
+    container — YUV4MPEG2, the standard uncompressed interchange format
+    (operators/video: stream/frame header grammar, 420-variant/422/444/
+    mono plane layouts) — replacing fake-feature stubs with actual luma
+    planes; entropy-coded video (H.264/VP9/AV1) stays the documented
+    boundary, exactly like psychoacoustic audio. The fixture's four
+    constant frames per doc make brightness AND the frame-difference
+    motion score analytic: luma_mean = (a+b+c+d)/4, motion =
+    (|b-a|+|c-b|+|d-c|)/3 — a temporal statistic no image key
+    exercises. Odd/even doc_ids alternate C444/C420 so both chroma
+    layouts parse under one oracle. Map-only mapInPandas; frames never
+    shuffle (at 100 TB the per-task unit is one video's frames, the
+    right granularity for a frame-sampling pipeline)."""
+    from yark_spark.operators.multimodal import decode_video_features, with_y4m_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return decode_video_features(with_y4m_payload(docs))
