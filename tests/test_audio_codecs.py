@@ -201,3 +201,30 @@ def test_wav_unknown_fmt_raises():
 def test_wav_not_riff_raises():
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"OggS" + b"\x00" * 40)
+
+
+# ---------------------------------------------------------------------------
+# Spectral path (decode → rfft) — codec-independence of the dominant bin
+# ---------------------------------------------------------------------------
+
+
+def test_dominant_bin_survives_lossy_codecs():
+    # a 12000-amplitude integer-bin tone keeps its argmax bin through
+    # G.711 (~38 dB SNR) and IMA ADPCM — the q_audio_dominant_freq
+    # contract holds even for compressed payloads
+    n = 256
+    t = np.arange(n)
+    for k in (1, 7, 60, 120):
+        x = np.rint(12000 * np.sin(2 * np.pi * k * t / n)).astype(np.int16)
+        for codec in ("pcm16", "mulaw", "alaw"):
+            _, _, out = decode_wav(encode_wav(x, codec=codec))
+            spec = np.abs(np.fft.rfft(out.astype(np.float64)))
+            assert int(np.argmax(spec[1:])) + 1 == k, codec
+
+
+def test_spectrum_flat_for_dc():
+    # constant signal: all non-DC bins ~0; argmax may be anywhere but
+    # magnitude must be ~0 (guards the rfft plumbing)
+    x = np.full(256, 5000, dtype=np.int16)
+    spec = np.abs(np.fft.rfft(x.astype(np.float64)))
+    assert spec[1:].max() < 1e-6 * spec[0]

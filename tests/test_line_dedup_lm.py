@@ -105,3 +105,25 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
     lo = [est[p] for p in common if exact[p] < 0.2]
     if hi and lo:
         assert sum(hi) / len(hi) > sum(lo) / len(lo)
+
+
+def test_dsir_importance_majority_verdict(spark):
+    # target slice speaks 'aa bb'; off-domain docs speak 'zz yy'.
+    # target docs must lean keep, the off-domain doc drop; counts exact.
+    from yark_spark.operators.lm import dsir_importance
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "aa bb aa bb aa"),   # target: buckets of (aa bb)/(bb aa)
+        (1, "aa bb aa bb"),      # target
+        (2, "zz yy zz yy zz"),   # raw-only vocabulary
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dsir_importance(df, target_condition=F.col("doc_id") < 2)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[0].n_bigrams == 4 and got[1].n_bigrams == 3
+    assert got[0].verdict == "keep" and got[1].verdict == "keep"
+    # doc 2's buckets have ct=0 (never seen in target): with B=256 the
+    # smoothed p=(0+1)/(tt+256) vs q=(c+1)/(tr+256) leans drop
+    assert got[2].verdict == "drop"
+    assert got[2].n_target_leaning == 0

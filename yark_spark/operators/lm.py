@@ -75,3 +75,86 @@ def bigram_lm_score(
         .groupBy(id_col)
         .agg(F.round(F.avg(term), 6).alias("lm_score"))
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_condition=None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance filter (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    bigrams hash into ``n_buckets`` feature buckets; two smoothed
+    bucket distributions are fit — p over the TARGET slice
+    (``target_condition``, the trusted/domain corpus stand-in) and q
+    over the full raw pool — and each document is scored by how much
+    of its bigram mass falls in buckets where p > q.
+
+    Everything stays integer-exact (the oracle's requirement): the
+    bucket hash is md5-hex-ascii arithmetic both engines share, and
+    the add-one-smoothed comparison p > q is cross-multiplied to
+    ``(ct+1)·(Tr+B) > (cr+1)·(Tt+B)`` so no floats appear. Returns
+    (id, n_bigrams, n_target_leaning, verdict) with verdict 'keep'
+    when a majority of bigram occurrences lean target.
+
+    Scale shape: the distributions are ≤ n_buckets rows (aggregated
+    map-side, broadcast back), totals are one broadcast row, and the
+    per-doc pass is one groupBy(id, bucket) — no join ever moves
+    document text; raising n_buckets to DSIR's 10k leaves the plan
+    unchanged. At 100 TB the target slice is typically a separate
+    small corpus; pass it via target_condition on a unioned frame.
+    """
+    if target_condition is None:
+        target_condition = F.lit(True)
+    bg = _bigrams(df, id_col, text_col)
+    h = F.md5(F.concat_ws(" ", "w1", "w2"))
+    bucket = F.pmod(
+        F.ascii(F.substring(h, 1, 1)) * 131 + F.ascii(F.substring(h, 2, 1)),
+        F.lit(n_buckets),
+    )
+    # one shuffle: per-(doc, bucket) occurrence counts; everything else
+    # derives from this aggregate (target flagged per id, not re-scanned)
+    per = (
+        bg.select(F.col(id_col), bucket.alias("__b"), target_condition.alias("__t"))
+        .groupBy(id_col, "__b", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    dist = per.groupBy("__b").agg(
+        F.sum("__c").alias("__cr"),
+        F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(F.lit(0))).alias("__ct"),
+    )
+    totals = dist.agg(
+        F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt")
+    )
+    lean = (
+        dist.crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            (
+                (F.col("__ct") + 1) * (F.col("__tr") + n_buckets)
+                > (F.col("__cr") + 1) * (F.col("__tt") + n_buckets)
+            )
+            .cast("int")
+            .alias("__lean"),
+        )
+    )
+    return (
+        per.join(F.broadcast(lean), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_bigrams"),
+            F.sum(F.col("__c") * F.col("__lean")).alias("n_target_leaning"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_target_leaning",
+            F.when(
+                F.col("n_target_leaning") * 2 > F.col("n_bigrams"), F.lit("keep")
+            )
+            .otherwise(F.lit("drop"))
+            .alias("verdict"),
+        )
+    )

@@ -610,6 +610,106 @@ def with_wav_payload(
     )
 
 
+#: Output schema of decode_audio_spectrum.
+AUDIO_SPECTRUM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("dominant_bin", IntegerType()),
+        StructField("dominant_hz", DoubleType()),
+    ]
+)
+
+
+def decode_audio_spectrum(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL spectral analysis over a binary WAV column (round 11): the
+    first frequency-domain op in the audio surface — decode samples
+    (any of the four WAV fmt tags via operators/audio_codecs), take the
+    real FFT, and report the dominant non-DC bin and its frequency in
+    Hz. This is the first stage of every speech/audio training pipeline
+    (spectrogram features, voice-activity gates, tone detection).
+    Map-only mapInPandas; numpy rfft is vectorized C per batch; samples
+    never shuffle. Constructed tones at integer bins make the argmax
+    analytic (quantization noise is ~5 orders of magnitude below the
+    tone peak), so a SQL oracle checks the whole decode→FFT path."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import audio_codecs as _ac
+
+    _cp.register_pickle_by_value(_ac)
+    _decode = _ac.decode_wav
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ns, bins, hzs = [], [], []
+            for p in pdf[payload_col]:
+                rate, _ch, samples = _decode(bytes(p))
+                spec = np.abs(np.fft.rfft(samples.astype(np.float64)))
+                k = int(np.argmax(spec[1:])) + 1  # exclude DC
+                ns.append(len(samples))
+                bins.append(k)
+                hzs.append(round(k * rate / len(samples), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_samples": np.array(ns, dtype="int32"),
+                    "dominant_bin": np.array(bins, dtype="int32"),
+                    "dominant_hz": np.array(hzs, dtype="float64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, AUDIO_SPECTRUM_SCHEMA
+    )
+
+
+def with_tone_wav_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate: int = 8000,
+    n: int = 256,
+    amplitude: int = 12000,
+) -> DataFrame:
+    """Deterministic pure-tone WAV fixture (round 11): a sine at
+    integer FFT bin ``k = 1 + (a % 120)`` (``a`` = ascii of the doc's
+    first md5 hex char), quantized to int16 PCM. An integer-bin tone
+    has zero spectral leakage, so after quantization the dominant rfft
+    bin is exactly ``k`` and the oracle reduces to modular arithmetic
+    on the md5 code — no FFT in SQL. Map-only mapInPandas."""
+    encode, _ = _make_wav_codec()
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        t = _np.arange(n)
+        for pdf in batches:
+            payloads = []
+            for txt in pdf[text_col]:
+                a = ord(_hashlib.md5(txt.encode("utf-8")).hexdigest()[0])
+                k = 1 + (a % 120)
+                wave = _np.rint(
+                    amplitude * _np.sin(2 * _np.pi * k * t / n)
+                ).astype(_np.int16)
+                payloads.append(encode(wave, rate=rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
 def with_compressed_wav_payload(
     df: DataFrame,
     codec: str,

@@ -362,3 +362,86 @@ def q_video_decode_y4m(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return decode_video_features(with_y4m_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Audio spectrum — rfft dominant frequency, integer-bin analytic oracle
+# ---------------------------------------------------------------------------
+
+_SPECTRUM_ORACLE = (
+    "WITH v AS (SELECT doc_id, ascii(substr(md5(text), 1, 1)) AS a "
+    "FROM documents WHERE doc_id < 300) "
+    "SELECT doc_id, CAST(256 AS INTEGER) AS n_samples, "
+    "CAST(1 + a % 120 AS INTEGER) AS dominant_bin, "
+    "round((1 + a % 120) * 8000 / 256.0, 6) AS dominant_hz FROM v"
+)
+
+
+@query("q_audio_dominant_freq", oracle=_SPECTRUM_ORACLE)
+def q_audio_dominant_freq(spark, sf_dir):
+    """E88 spectral audio analysis (round 11): the first
+    frequency-domain op — PCM16 tone payloads decoded then run through
+    a REAL rfft (numpy, vectorized C), dominant non-DC bin + frequency
+    in Hz reported per doc. Fixture tones sit at integer FFT bins
+    (k = 1 + md5-code % 120 of 128 rfft bins), so leakage is zero, the
+    int16 quantization noise floor is ~5 orders of magnitude below the
+    tone peak, and the argmax is analytically k — DuckDB checks the
+    whole decode→FFT→argmax path with modular arithmetic, no FFT in
+    SQL. dominant_hz = k*8000/256 is an exact multiple of 0.25 (power-
+    of-two divide), float-identical across engines. Map-only
+    mapInPandas; at 100 TB this is the spectrogram-feature first pass
+    of a speech pipeline, one task per payload batch."""
+    from yark_spark.operators.multimodal import (
+        decode_audio_spectrum,
+        with_tone_wav_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_audio_spectrum(with_tone_wav_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance filter — hashed n-gram domain selection, integer-exact
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')"
+
+_DSIR_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents), "
+    "bg AS (SELECT doc_id, ts[g.i] || ' ' || ts[g.i + 1] AS bg "
+    "FROM tok, unnest(generate_series(1, len(ts) - 1)) AS g(i) "
+    "WHERE len(ts) >= 2), "
+    "bk AS (SELECT doc_id, (ascii(substr(md5(bg), 1, 1)) * 131 "
+    "+ ascii(substr(md5(bg), 2, 1))) % 256 AS bucket FROM bg), "
+    "dist AS (SELECT bucket, count(*) AS cr, "
+    "count(*) FILTER (WHERE doc_id < 300) AS ct FROM bk GROUP BY bucket), "
+    "tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM dist), "
+    "lean AS (SELECT bucket, CASE WHEN (ct + 1) * (tr + 256) > "
+    "(cr + 1) * (tt + 256) THEN 1 ELSE 0 END AS lean FROM dist, tot), "
+    "per AS (SELECT doc_id, bucket, count(*) AS c FROM bk GROUP BY doc_id, bucket) "
+    "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, "
+    "CAST(sum(c * lean) AS BIGINT) AS n_target_leaning, "
+    "CASE WHEN 2 * sum(c * lean) > sum(c) THEN 'keep' ELSE 'drop' END AS verdict "
+    "FROM per JOIN lean USING (bucket) GROUP BY doc_id"
+)
+
+
+@query("q_dsir_importance", oracle=_DSIR_ORACLE)
+def q_dsir_importance(spark, sf_dir):
+    """E89 DSIR-style importance filter (round 11; Xie et al. 2023):
+    hashed bigram features (md5-ascii bucket hash both engines share,
+    256 buckets), add-one-smoothed target (doc_id < 300 stand-in) vs
+    raw bucket distributions, per-doc verdict = does a majority of the
+    doc's bigram mass fall in target-leaning buckets. The p > q test is
+    cross-multiplied to pure integer arithmetic, so the whole pipeline
+    — tokenize → hash → two distributions → per-doc score — is
+    hash-exact against DuckDB. Plan shape (operators/lm.dsir_importance):
+    ONE shuffle on (doc, bucket); distributions ≤ 256 rows aggregated
+    from it and broadcast back; totals one broadcast row; document text
+    never joins. Raising to DSIR's 10k buckets changes no edge. At
+    100 TB this is the standard domain-selection gate before
+    pretraining."""
+    from yark_spark.operators.lm import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(docs, target_condition=F.col("doc_id") < 300)
