@@ -55,6 +55,9 @@ EXTRA = [
     "q_pagerank_personalized", # seeded power iteration, persisted inputs
     "q_degree_distribution",   # per-side degree aggs + count-of-counts
     "q_seasonality",           # 168-cell partial agg + broadcast total
+    # round 11: the one new key whose cost scales with the corpus (the
+    # codec keys decode fixed 100-300-doc fixture ranges by design)
+    "q_dsir_importance",       # (doc,bucket) shuffle + broadcast dists
 ]
 
 
