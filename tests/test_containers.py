@@ -1,0 +1,137 @@
+"""gzip + ustar container tests (round 11) — differential against the
+stdlib gzip/tarfile implementations both directions, plus malformed-
+payload typing."""
+
+import gzip as stdlib_gzip
+import io
+import tarfile
+
+import numpy as np
+import pytest
+
+from yark_spark.operators.containers import (
+    gzip_compress,
+    gzip_decompress,
+    tar_build,
+    tar_members,
+)
+
+
+def _corpus():
+    rng = np.random.default_rng(0)
+    return [
+        b"",
+        b"a",
+        b"hello world " * 50,
+        bytes(rng.integers(0, 256, size=3000, dtype=np.uint8)),
+        ("unicode éè€ " * 40).encode("utf-8"),
+    ]
+
+
+@pytest.mark.parametrize("method", ["stored", "fixed", "dynamic"])
+def test_gzip_roundtrip_all_methods(method):
+    for raw in _corpus():
+        assert gzip_decompress(gzip_compress(raw, method=method)) == raw
+
+
+def test_gzip_interop_with_stdlib():
+    for raw in _corpus():
+        # stdlib reads ours…
+        assert stdlib_gzip.decompress(gzip_compress(raw, name="f.txt")) == raw
+        # …and we read stdlib's (FNAME set via GzipFile filename)
+        buf = io.BytesIO()
+        with stdlib_gzip.GzipFile("member.txt", "wb", fileobj=buf) as f:
+            f.write(raw)
+        assert gzip_decompress(buf.getvalue()) == raw
+
+
+def test_gzip_optional_fields_walked():
+    raw = b"payload" * 10
+    base = bytearray(gzip_compress(raw))
+    # splice FEXTRA + FCOMMENT + FHCRC is overkill; FEXTRA alone covers
+    # the length-prefixed walk (FNAME/FCOMMENT are covered by interop)
+    base[3] |= 4  # FEXTRA
+    extra = b"\x06\x00AB\x02\x00xy"
+    patched = bytes(base[:10]) + extra + bytes(base[10:])
+    assert gzip_decompress(patched) == raw
+
+
+def test_gzip_crc_mismatch_raises():
+    p = bytearray(gzip_compress(b"x" * 100))
+    p[-6] ^= 0xFF  # corrupt CRC field
+    with pytest.raises(ValueError, match="CRC"):
+        gzip_decompress(bytes(p))
+
+
+def test_gzip_bad_magic_raises():
+    with pytest.raises(ValueError, match="magic"):
+        gzip_decompress(b"PK\x03\x04" + b"\x00" * 30)
+
+
+def test_gzip_bomb_guard():
+    big = gzip_compress(b"\x00" * 200_000)
+    with pytest.raises(ValueError):
+        gzip_decompress(big, max_output=10_000)
+
+
+# ---------------------------------------------------------------------------
+# tar
+# ---------------------------------------------------------------------------
+
+
+def test_tar_roundtrip():
+    members = [
+        ("00000001.txt", b"first doc"),
+        ("00000001.json", b'{"id":1}'),
+        ("a/b/c.bin", bytes(range(256)) * 3),
+        ("empty.txt", b""),
+    ]
+    assert tar_members(tar_build(members)) == members
+
+
+def test_tar_interop_with_stdlib():
+    members = [("x.txt", b"alpha"), ("y.json", b'{"k":2}'), ("z.bin", b"\x00" * 700)]
+    # tarfile reads ours
+    tf = tarfile.open(fileobj=io.BytesIO(tar_build(members)))
+    got = [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()]
+    assert got == members
+    # and we read tarfile's (ustar format), directories skipped
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as w:
+        d = tarfile.TarInfo("dir/")
+        d.type = tarfile.DIRTYPE
+        w.addfile(d)
+        for name, data in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            w.addfile(ti, io.BytesIO(data))
+    assert tar_members(buf.getvalue()) == members
+
+
+def test_tar_prefix_field():
+    # stdlib splits >100-char paths into prefix+name; we must rejoin
+    long_name = "d" * 90 + "/" + "f" * 60 + ".txt"
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as w:
+        ti = tarfile.TarInfo(long_name)
+        ti.size = 3
+        w.addfile(ti, io.BytesIO(b"abc"))
+    assert tar_members(buf.getvalue()) == [(long_name, b"abc")]
+
+
+def test_tar_checksum_mismatch_raises():
+    p = bytearray(tar_build([("a.txt", b"data")]))
+    p[0] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        tar_members(bytes(p))
+
+
+def test_tar_truncated_member_raises():
+    p = tar_build([("a.txt", b"x" * 600)])
+    with pytest.raises(ValueError, match="truncated"):
+        tar_members(p[:700])
+
+
+def test_tar_name_over_100_raises():
+    with pytest.raises(ValueError, match="100 bytes"):
+        tar_build([("n" * 150, b"")])

@@ -1,0 +1,174 @@
+"""Compressed/archival text containers (round 11): gzip members and
+POSIX ustar tar shards, from scratch over the in-repo DEFLATE.
+
+Why these two: web corpora ship as **gzip** (WARC/WET, most crawled
+text), and multimodal training shards ship as **tar** (the WebDataset
+convention: ``{key}.jpg`` + ``{key}.json`` members streamed
+sequentially). Both are pure container formats — gzip is RFC 1952
+framing around the DEFLATE stream ``operators/png`` already implements
+from scratch (round 11's LZ77 + length-limited dynamic Huffman
+encoder), and ustar is 512-byte headers with octal fields — so the
+engine reads real-world shard bytes with no external library, same
+design rules as the codecs (ship by value, typed ``ValueError`` on
+malformed payloads, bomb guard via ``max_output``).
+
+Reference parity note: the reference stores fetched bytes opaquely
+(/root/reference/cmds/archive.py:88-91); shard ingest is mandate-side
+training-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from yark_spark.operators.png import crc32, inflate, zlib_compress
+
+__all__ = ["gzip_compress", "gzip_decompress", "tar_build", "tar_members"]
+
+
+# ---------------------------------------------------------------------------
+# gzip (RFC 1952)
+# ---------------------------------------------------------------------------
+
+_FTEXT, _FHCRC, _FEXTRA, _FNAME, _FCOMMENT = 1, 2, 4, 8, 16
+
+
+def gzip_compress(raw: bytes, name: str | None = None, method: str = "dynamic") -> bytes:
+    """Single-member gzip: fixed header (MTIME 0, OS 255), optional
+    FNAME, the from-scratch deflate body (``stored`` / ``fixed`` /
+    ``dynamic``), CRC-32 + ISIZE trailer. Interoperable with stdlib
+    gzip (differential-tested)."""
+    flg = _FNAME if name else 0
+    out = bytearray(b"\x1f\x8b\x08" + bytes([flg]) + b"\x00\x00\x00\x00\x02\xff")
+    if name:
+        out += name.encode("utf-8") + b"\x00"
+    # zlib_compress = 2-byte header + deflate body + 4-byte adler; strip both
+    out += zlib_compress(raw, method=method)[2:-4]
+    out += struct.pack("<II", crc32(raw), len(raw) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def gzip_decompress(payload: bytes, max_output: int | None = None) -> bytes:
+    """Single-member gzip → raw bytes, CRC-32 and ISIZE verified.
+    Walks all RFC 1952 optional fields (FEXTRA/FNAME/FCOMMENT/FHCRC)."""
+    p = bytes(payload)
+    if len(p) < 18:
+        raise ValueError("gzip: payload too short")
+    if p[:2] != b"\x1f\x8b":
+        raise ValueError("gzip: bad magic")
+    if p[2] != 8:
+        raise ValueError(f"gzip: compression method {p[2]} is not deflate")
+    flg = p[3]
+    pos = 10
+    if flg & _FEXTRA:
+        if pos + 2 > len(p):
+            raise ValueError("gzip: truncated FEXTRA")
+        (xlen,) = struct.unpack_from("<H", p, pos)
+        pos += 2 + xlen
+    if flg & _FNAME:
+        end = p.find(b"\x00", pos)
+        if end < 0:
+            raise ValueError("gzip: unterminated FNAME")
+        pos = end + 1
+    if flg & _FCOMMENT:
+        end = p.find(b"\x00", pos)
+        if end < 0:
+            raise ValueError("gzip: unterminated FCOMMENT")
+        pos = end + 1
+    if flg & _FHCRC:
+        pos += 2
+    if pos >= len(p) - 8:
+        raise ValueError("gzip: no deflate body")
+    raw = inflate(p[pos:-8], max_output=max_output)
+    crc, isize = struct.unpack_from("<II", p, len(p) - 8)
+    if crc32(raw) != crc:
+        raise ValueError("gzip: CRC-32 mismatch")
+    if (len(raw) & 0xFFFFFFFF) != isize:
+        raise ValueError("gzip: ISIZE mismatch")
+    return raw
+
+
+# ---------------------------------------------------------------------------
+# POSIX ustar (the WebDataset shard container)
+# ---------------------------------------------------------------------------
+
+
+def _octal(n: int, width: int) -> bytes:
+    return f"{n:0{width - 1}o}".encode() + b"\x00"
+
+
+def _tar_header(name: str, size: int) -> bytes:
+    nb = name.encode("utf-8")
+    if len(nb) > 100:
+        raise ValueError("tar: member name over 100 bytes (no prefix support needed)")
+    h = bytearray(512)
+    h[0 : len(nb)] = nb
+    h[100:108] = _octal(0o644, 8)  # mode
+    h[108:116] = _octal(0, 8)  # uid
+    h[116:124] = _octal(0, 8)  # gid
+    h[124:136] = _octal(size, 12)
+    h[136:148] = _octal(0, 12)  # mtime
+    h[148:156] = b" " * 8  # checksum placeholder (spaces while summing)
+    h[156] = ord("0")  # regular file
+    h[257:263] = b"ustar\x00"
+    h[263:265] = b"00"
+    chk = sum(h)
+    h[148:156] = f"{chk:06o}".encode() + b"\x00 "
+    return bytes(h)
+
+
+def tar_build(members: list[tuple[str, bytes]]) -> bytes:
+    """ustar archive from (name, bytes) members — the fixture/shard
+    writer. 512-byte header + data padded to 512, two zero blocks at
+    the end."""
+    out = bytearray()
+    for name, data in members:
+        data = bytes(data)
+        out += _tar_header(name, len(data))
+        out += data
+        pad = -len(data) % 512
+        out += b"\x00" * pad
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
+    """Parse a ustar/GNU tar stream → [(name, bytes)] of regular files
+    (directories and PAX/GNU metadata entries are skipped; typeflag
+    '0' or NUL only). Checksum-verified per header."""
+    p = bytes(payload)
+    out = []
+    pos = 0
+    while pos + 512 <= len(p):
+        block = p[pos : pos + 512]
+        if block == b"\x00" * 512:  # end-of-archive marker
+            break
+        stored = block[148:156]
+        try:
+            chk = int(stored.strip(b" \x00") or b"0", 8)
+        except ValueError as exc:
+            raise ValueError(f"tar: bad checksum field at offset {pos}") from exc
+        calc = sum(block[:148]) + 8 * 32 + sum(block[156:])
+        if chk != calc:
+            raise ValueError(f"tar: header checksum mismatch at offset {pos}")
+        size_field = block[124:136].strip(b" \x00")
+        try:
+            size = int(size_field or b"0", 8)
+        except ValueError as exc:
+            raise ValueError(f"tar: bad size field at offset {pos}") from exc
+        name = block[:100].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        prefix = block[345:500].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        if prefix:
+            name = prefix + "/" + name
+        typeflag = block[156:157]
+        pos += 512
+        data_end = pos + size
+        if data_end > len(p):
+            raise ValueError(f"tar: truncated member {name!r}")
+        if typeflag in (b"0", b"\x00"):
+            out.append((name, p[pos:data_end]))
+        pos = data_end + (-size % 512)
+    else:
+        if pos < len(p):
+            raise ValueError("tar: trailing partial block")
+    return out

@@ -1235,6 +1235,176 @@ def with_y4m_payload(
     )
 
 
+def _register_container_modules():
+    """Ship containers + its png dependency (DEFLATE) by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import containers as _cont
+    from yark_spark.operators import png as _png
+
+    _cp.register_pickle_by_value(_png)
+    _cp.register_pickle_by_value(_cont)
+    return _cont
+
+
+def with_gzip_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """gzip each document's text with the from-scratch RFC 1952 writer
+    over REAL dynamic-Huffman DEFLATE (operators/containers over
+    operators/png) — the wire shape of crawled-web text (WARC/WET).
+    Map-only mapInPandas."""
+    _cont = _register_container_modules()
+    _gz = _cont.gzip_compress
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [
+                        _gz(t.encode("utf-8"), name=f"{int(d)}.txt")
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+GUNZIP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def gunzip_text_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decompress a gzip binary column (CRC-32 + ISIZE verified, bomb
+    guard at 64 MB/member) and emit (id, n_chars, md5 digest) — the
+    digest lets a SQL oracle certify the ENTIRE compress→decompress
+    path equals the original text without moving the text itself.
+    Map-only mapInPandas; the decompressed bytes never shuffle."""
+    _cont = _register_container_modules()
+    _gunzip = _cont.gzip_decompress
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ns, digs = [], []
+            for p in pdf[payload_col]:
+                raw = _gunzip(bytes(p), max_output=64 << 20)
+                ns.append(len(raw.decode("utf-8")))
+                digs.append(_hashlib.md5(raw).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, GUNZIP_SCHEMA
+    )
+
+
+def with_tar_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_shard: int = 16,
+) -> DataFrame:
+    """Pack documents into WebDataset-style tar shards: per doc a
+    ``{key}.txt`` (the text) and ``{key}.json`` (metadata) member, keys
+    zero-padded to 8, ``docs_per_shard`` docs per archive. One
+    applyInPandas per shard group — the grouping shuffle IS the shard
+    assignment, exactly how a 100 TB export writes shards."""
+    _cont = _register_container_modules()
+    _build_tar = _cont.tar_build
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        members = []
+        for did, t in zip(pdf[id_col], pdf[text_col]):
+            k = f"{int(did):08d}"
+            members.append((k + ".txt", t.encode("utf-8")))
+            members.append((k + ".json", f'{{"id":{int(did)}}}'.encode()))
+        sid = int(pdf[id_col].iloc[0]) // docs_per_shard
+        return pd.DataFrame({"shard_id": [sid], "payload": [_build_tar(members)]})
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / docs_per_shard).cast("long").alias("__s"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("shard_id", LongType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+    )
+
+
+TAR_LISTING_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("shard_id", LongType()),
+        StructField("name", StringType()),
+        StructField("size_bytes", IntegerType()),
+    ]
+)
+
+
+def tar_member_listing(
+    df: DataFrame, shard_col: str = "shard_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Explode tar shards into their member listing (doc key parsed
+    from the WebDataset name convention). Map-only mapInPandas: one
+    task reads one shard sequentially — the access pattern tar was
+    designed for, and the reason WebDataset scales to object stores."""
+    _cont = _register_container_modules()
+    _members = _cont.tar_members
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            dids, sids, names, sizes = [], [], [], []
+            for sid, p in zip(pdf[shard_col], pdf[payload_col]):
+                for name, data in _members(bytes(p)):
+                    dids.append(int(name.split(".")[0]))
+                    sids.append(int(sid))
+                    names.append(name)
+                    sizes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(dids, dtype="int64"),
+                    "shard_id": np.array(sids, dtype="int64"),
+                    "name": names,
+                    "size_bytes": np.array(sizes, dtype="int32"),
+                }
+            )
+
+    return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
+        _extract, TAR_LISTING_SCHEMA
+    )
+
+
 def _make_dims_parser():
     """Header-peek metadata: (format, width, height) from the container
     header ALONE — no entropy decode, no pixel pass. At 100 TB this is

@@ -445,3 +445,65 @@ def q_dsir_importance(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_importance(docs, target_condition=F.col("doc_id") < 300)
+
+
+# ---------------------------------------------------------------------------
+# gzip text ingest — full compress→decompress path certified by md5
+# ---------------------------------------------------------------------------
+
+_GUNZIP_ORACLE = (
+    "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 500"
+)
+
+
+@query("q_text_gunzip", oracle=_GUNZIP_ORACLE)
+def q_text_gunzip(spark, sf_dir):
+    """E90 gzip text ingest (round 11): documents round-trip through
+    the from-scratch RFC 1952 gzip writer/reader (operators/containers)
+    over the REAL dynamic-Huffman DEFLATE in operators/png — the wire
+    format of crawled-web text (WARC/WET members are gzip). The decoded
+    md5 digest must equal DuckDB's md5(text), certifying every byte of
+    the LZ77 + Huffman round trip with a one-line oracle; CRC-32 and
+    ISIZE are verified in-path, with a 64 MB bomb guard (stdlib
+    differentials in tests/test_containers.py). Two map-only
+    mapInPandas stages; text bytes never shuffle."""
+    from yark_spark.operators.multimodal import gunzip_text_features, with_gzip_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return gunzip_text_features(with_gzip_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar shards — pack then list, sizes checked analytically
+# ---------------------------------------------------------------------------
+
+_WDS_ORACLE = (
+    "WITH v AS (SELECT doc_id, doc_id // 16 AS shard_id, "
+    "lpad(CAST(doc_id AS VARCHAR), 8, '0') AS k, "
+    "octet_length(encode(text)) AS tsize FROM documents WHERE doc_id < 480) "
+    "SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id, "
+    "k || '.txt' AS name, CAST(tsize AS INTEGER) AS size_bytes FROM v "
+    "UNION ALL SELECT doc_id, CAST(shard_id AS BIGINT), k || '.json', "
+    "CAST(7 + length(CAST(doc_id AS VARCHAR)) AS INTEGER) FROM v"
+)
+
+
+@query("q_webdataset_scan", oracle=_WDS_ORACLE)
+def q_webdataset_scan(spark, sf_dir):
+    """E90' WebDataset shard round trip (round 11): documents pack into
+    ustar tar shards ({key}.txt + {key}.json members, 16 docs/shard —
+    the WebDataset convention for multimodal training data) via ONE
+    applyInPandas per shard group, then a map-only listing pass parses
+    the archives back (checksum-verified headers, prefix-field and
+    typeflag handling, stdlib-tarfile interop tested). Member sizes are
+    analytic — octet_length of the text and 7+digits for the JSON — so
+    the oracle certifies the header grammar and both directions of the
+    512-byte block layout with no tar code in SQL. The grouping shuffle
+    IS the shard assignment: at 100 TB that's one range-partitioned
+    write of sequential-read shards, the access pattern object-store
+    training loaders want."""
+    from yark_spark.operators.multimodal import tar_member_listing, with_tar_shards
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return tar_member_listing(with_tar_shards(docs))
