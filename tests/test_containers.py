@@ -135,3 +135,97 @@ def test_tar_truncated_member_raises():
 def test_tar_name_over_100_raises():
     with pytest.raises(ValueError, match="100 bytes"):
         tar_build([("n" * 150, b"")])
+
+
+# ---------------------------------------------------------------------------
+# multi-member gzip + WARC
+# ---------------------------------------------------------------------------
+
+
+def test_gzip_members_concatenated():
+    from yark_spark.operators.containers import gzip_members
+
+    parts = [b"alpha", b"beta" * 100, b""]
+    stream = b"".join(gzip_compress(x) for x in parts)
+    assert gzip_members(stream) == parts
+    # stdlib reads concatenated members the same way
+    assert stdlib_gzip.decompress(stream) == b"".join(parts)
+
+
+def test_gzip_decompress_rejects_multimember():
+    stream = gzip_compress(b"a") + gzip_compress(b"b")
+    with pytest.raises(ValueError, match="trailing data"):
+        gzip_decompress(stream)
+
+
+def _records():
+    return [
+        {
+            "type": "response",
+            "uri": "https://example.com/doc/1",
+            "record_id": "urn:uuid:1",
+            "block": b"HTTP/1.1 200 OK\r\n\r\nhello",
+        },
+        {"type": "warcinfo", "block": b"software: yark-spark"},
+        {"type": "response", "uri": "https://example.com/doc/2", "block": b""},
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip(gz):
+    from yark_spark.operators.containers import warc_build, warc_records
+
+    payload = warc_build(_records(), per_record_gzip=gz)
+    got = warc_records(payload)
+    assert [r["headers"]["warc-type"] for r in got] == [
+        "response",
+        "warcinfo",
+        "response",
+    ]
+    assert got[0]["block"] == b"HTTP/1.1 200 OK\r\n\r\nhello"
+    assert got[0]["headers"]["warc-target-uri"] == "https://example.com/doc/1"
+    assert got[0]["headers"]["warc-record-id"] == "<urn:uuid:1>"
+    assert got[2]["block"] == b""
+    assert all(r["version"] == "WARC/1.0" for r in got)
+
+
+def test_warc_gz_is_one_member_per_record():
+    from yark_spark.operators.containers import gzip_members, warc_build
+
+    payload = warc_build(_records(), per_record_gzip=True)
+    assert len(gzip_members(payload)) == 3  # the seekable .warc.gz shape
+
+
+def test_warc_content_length_authoritative():
+    from yark_spark.operators.containers import warc_records
+
+    # block containing CRLF CRLF must not split the record
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 12\r\n\r\n"
+        + b"ab\r\n\r\ncd\r\n\r\n"
+        + b"\r\n\r\n"
+    )
+    got = warc_records(rec)
+    assert len(got) == 1 and got[0]["block"] == b"ab\r\n\r\ncd\r\n\r\n"
+
+
+def test_warc_truncated_block_raises():
+    from yark_spark.operators.containers import warc_build, warc_records
+
+    payload = warc_build(_records())
+    with pytest.raises(ValueError, match="truncated|terminated"):
+        warc_records(payload[: len(payload) - 8])
+
+
+def test_warc_missing_length_raises():
+    from yark_spark.operators.containers import warc_records
+
+    with pytest.raises(ValueError, match="Content-Length"):
+        warc_records(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nxx\r\n\r\n")
+
+
+def test_warc_bad_version_raises():
+    from yark_spark.operators.containers import warc_records
+
+    with pytest.raises(ValueError, match="version"):
+        warc_records(b"HTTP/1.1 200\r\nContent-Length: 0\r\n\r\n\r\n\r\n")

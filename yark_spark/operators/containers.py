@@ -23,7 +23,15 @@ import struct
 
 from yark_spark.operators.png import crc32, inflate, zlib_compress
 
-__all__ = ["gzip_compress", "gzip_decompress", "tar_build", "tar_members"]
+__all__ = [
+    "gzip_compress",
+    "gzip_decompress",
+    "gzip_members",
+    "tar_build",
+    "tar_members",
+    "warc_build",
+    "warc_records",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -48,18 +56,17 @@ def gzip_compress(raw: bytes, name: str | None = None, method: str = "dynamic") 
     return bytes(out)
 
 
-def gzip_decompress(payload: bytes, max_output: int | None = None) -> bytes:
-    """Single-member gzip → raw bytes, CRC-32 and ISIZE verified.
-    Walks all RFC 1952 optional fields (FEXTRA/FNAME/FCOMMENT/FHCRC)."""
-    p = bytes(payload)
-    if len(p) < 18:
+def _gzip_member(p: bytes, pos: int, max_output: int | None) -> tuple[bytes, int]:
+    """Decode one gzip member starting at ``pos`` → (raw, next_pos).
+    Walks all RFC 1952 optional fields; CRC-32 and ISIZE verified."""
+    if pos + 18 > len(p):
         raise ValueError("gzip: payload too short")
-    if p[:2] != b"\x1f\x8b":
+    if p[pos : pos + 2] != b"\x1f\x8b":
         raise ValueError("gzip: bad magic")
-    if p[2] != 8:
-        raise ValueError(f"gzip: compression method {p[2]} is not deflate")
-    flg = p[3]
-    pos = 10
+    if p[pos + 2] != 8:
+        raise ValueError(f"gzip: compression method {p[pos + 2]} is not deflate")
+    flg = p[pos + 3]
+    pos += 10
     if flg & _FEXTRA:
         if pos + 2 > len(p):
             raise ValueError("gzip: truncated FEXTRA")
@@ -79,13 +86,42 @@ def gzip_decompress(payload: bytes, max_output: int | None = None) -> bytes:
         pos += 2
     if pos >= len(p) - 8:
         raise ValueError("gzip: no deflate body")
-    raw = inflate(p[pos:-8], max_output=max_output)
-    crc, isize = struct.unpack_from("<II", p, len(p) - 8)
+    raw, used = inflate(p[pos:], max_output=max_output, with_consumed=True)
+    pos += used
+    if pos + 8 > len(p):
+        raise ValueError("gzip: truncated trailer")
+    crc, isize = struct.unpack_from("<II", p, pos)
     if crc32(raw) != crc:
         raise ValueError("gzip: CRC-32 mismatch")
     if (len(raw) & 0xFFFFFFFF) != isize:
         raise ValueError("gzip: ISIZE mismatch")
+    return raw, pos + 8
+
+
+def gzip_decompress(payload: bytes, max_output: int | None = None) -> bytes:
+    """Single-member gzip → raw bytes (trailing data raises — use
+    ``gzip_members`` for concatenated streams like .warc.gz)."""
+    p = bytes(payload)
+    raw, end = _gzip_member(p, 0, max_output)
+    if end != len(p):
+        raise ValueError("gzip: trailing data after member (multi-member stream?)")
     return raw
+
+
+def gzip_members(payload: bytes, max_output: int | None = None) -> list[bytes]:
+    """Concatenated gzip members → list of raw payloads. RFC 1952
+    permits back-to-back members and the .warc.gz convention depends on
+    it (one member per WARC record, so readers can seek); ``max_output``
+    bounds EACH member."""
+    p = bytes(payload)
+    out = []
+    pos = 0
+    while pos < len(p):
+        raw, pos = _gzip_member(p, pos, max_output)
+        out.append(raw)
+    if not out:
+        raise ValueError("gzip: empty stream")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -171,4 +207,85 @@ def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
     else:
         if pos < len(p):
             raise ValueError("tar: trailing partial block")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# WARC (ISO 28500) — the Common Crawl record format
+# ---------------------------------------------------------------------------
+
+
+def warc_build(records: list[dict], per_record_gzip: bool = False) -> bytes:
+    """Serialize WARC/1.0 records: each dict needs ``type`` and
+    ``block`` (bytes), plus optional extra headers (``uri``,
+    ``record_id``, ...). ``per_record_gzip`` writes the .warc.gz
+    convention — one gzip member per record, so a reader can seek to
+    any record boundary and start inflating."""
+    out = bytearray()
+    for r in records:
+        block = bytes(r["block"])
+        lines = [b"WARC/1.0"]
+        lines.append(b"WARC-Type: " + r["type"].encode())
+        if "record_id" in r:
+            lines.append(b"WARC-Record-ID: <" + r["record_id"].encode() + b">")
+        if "uri" in r:
+            lines.append(b"WARC-Target-URI: " + r["uri"].encode())
+        for k, v in r.get("headers", {}).items():
+            lines.append(f"{k}: {v}".encode())
+        lines.append(b"Content-Length: " + str(len(block)).encode())
+        rec = b"\r\n".join(lines) + b"\r\n\r\n" + block + b"\r\n\r\n"
+        out += gzip_compress(rec) if per_record_gzip else rec
+    return bytes(out)
+
+
+def warc_records(payload: bytes, max_output: int | None = None) -> list[dict]:
+    """Parse a WARC stream (plain or .warc.gz — sniffed from the
+    magic) → list of ``{version, headers (lower-cased keys), block}``.
+    Content-Length is authoritative for the block; each record must be
+    terminated by CRLF CRLF per ISO 28500."""
+    p = bytes(payload)
+    if p[:2] == b"\x1f\x8b":
+        chunks = gzip_members(p, max_output=max_output)
+    else:
+        chunks = [p]
+    out = []
+    for chunk in chunks:
+        pos = 0
+        while pos < len(chunk):
+            # tolerate inter-record padding newlines
+            while pos < len(chunk) and chunk[pos : pos + 1] in (b"\r", b"\n"):
+                pos += 1
+            if pos >= len(chunk):
+                break
+            head_end = chunk.find(b"\r\n\r\n", pos)
+            if head_end < 0:
+                raise ValueError("warc: unterminated header block")
+            head = chunk[pos:head_end].decode("utf-8", "replace").split("\r\n")
+            if not head[0].startswith("WARC/"):
+                raise ValueError(f"warc: bad version line {head[0]!r}")
+            headers: dict[str, str] = {}
+            for line in head[1:]:
+                k, sep, v = line.partition(":")
+                if not sep:
+                    raise ValueError(f"warc: malformed header line {line!r}")
+                headers[k.strip().lower()] = v.strip()
+            if "content-length" not in headers:
+                raise ValueError("warc: missing Content-Length")
+            n = int(headers["content-length"])
+            block_start = head_end + 4
+            if block_start + n > len(chunk):
+                raise ValueError("warc: truncated record block")
+            out.append(
+                {
+                    "version": head[0],
+                    "headers": headers,
+                    "block": chunk[block_start : block_start + n],
+                }
+            )
+            pos = block_start + n
+            if chunk[pos : pos + 4] not in (b"\r\n\r\n", b""):
+                raise ValueError("warc: record not CRLF-CRLF terminated")
+            pos += 4
+    if not out:
+        raise ValueError("warc: no records")
     return out

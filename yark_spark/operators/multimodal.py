@@ -1405,6 +1405,103 @@ def tar_member_listing(
     )
 
 
+def with_warc_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_shard: int = 16,
+    per_record_gzip: bool = True,
+) -> DataFrame:
+    """Pack documents into .warc.gz shards (ISO 28500 — the Common
+    Crawl wire format): one ``response`` record per doc with a
+    WARC-Target-URI, one gzip member per record (the seekable .warc.gz
+    convention). One applyInPandas per shard group, same shape as
+    with_tar_shards."""
+    _cont = _register_container_modules()
+    _build_warc = _cont.warc_build
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        records = [
+            {
+                "type": "response",
+                "uri": f"https://example.com/doc/{int(did)}",
+                "record_id": f"urn:uuid:{int(did):032x}",
+                "block": t.encode("utf-8"),
+            }
+            for did, t in zip(pdf[id_col], pdf[text_col])
+        ]
+        sid = int(pdf[id_col].iloc[0]) // docs_per_shard
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "payload": [_build_warc(records, per_record_gzip=per_record_gzip)],
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / docs_per_shard).cast("long").alias("__s"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("shard_id", LongType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+    )
+
+
+WARC_LISTING_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("shard_id", LongType()),
+        StructField("warc_type", StringType()),
+        StructField("content_length", IntegerType()),
+    ]
+)
+
+
+def warc_record_listing(
+    df: DataFrame, shard_col: str = "shard_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Explode .warc.gz (or plain WARC) shards into their record
+    listing — the Common Crawl index pass: doc key from the target
+    URI, type + content length from the headers. Map-only mapInPandas;
+    one task inflates one shard's members sequentially (1 MB/record
+    bomb guard), which is exactly how CC-MAIN segment files are read
+    at 100 TB."""
+    _cont = _register_container_modules()
+    _records = _cont.warc_records
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            dids, sids, types, lens = [], [], [], []
+            for sid, p in zip(pdf[shard_col], pdf[payload_col]):
+                for r in _records(bytes(p), max_output=1 << 20):
+                    uri = r["headers"].get("warc-target-uri", "")
+                    dids.append(int(uri.rsplit("/", 1)[-1]))
+                    sids.append(int(sid))
+                    types.append(r["headers"]["warc-type"])
+                    lens.append(len(r["block"]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(dids, dtype="int64"),
+                    "shard_id": np.array(sids, dtype="int64"),
+                    "warc_type": types,
+                    "content_length": np.array(lens, dtype="int32"),
+                }
+            )
+
+    return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
+        _extract, WARC_LISTING_SCHEMA
+    )
+
+
 def _make_dims_parser():
     """Header-peek metadata: (format, width, height) from the container
     header ALONE — no entropy decode, no pixel pass. At 100 TB this is

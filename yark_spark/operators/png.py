@@ -212,7 +212,10 @@ def _fixed_lit_lengths() -> list[int]:
 
 
 def inflate(
-    data: bytes, max_output: int | None = None, window: bytes = b""
+    data: bytes,
+    max_output: int | None = None,
+    window: bytes = b"",
+    with_consumed: bool = False,
 ) -> bytes:
     """RFC 1951 DEFLATE decompression: stored, fixed-Huffman, and
     dynamic-Huffman blocks over a 32 KB LZ77 window. ``max_output``
@@ -220,7 +223,10 @@ def inflate(
     (raises once exceeded; measured on the produced output, excluding
     the seed). ``window`` pre-seeds the LZ77 history — the FDICT preset
     dictionary (round 11): back-references may reach into it, but it is
-    not part of the returned output."""
+    not part of the returned output. ``with_consumed`` returns
+    ``(bytes, n_input_bytes)`` instead — the byte-aligned length of the
+    deflate stream, which multi-member containers (concatenated gzip,
+    the .warc.gz convention) need to find the next member."""
     br = _Bits(data)
     out = bytearray(window)
     seed = len(out)
@@ -301,7 +307,10 @@ def inflate(
         if max_output is not None and len(out) - seed > max_output:
             raise ValueError("deflate: output exceeds max_output")
         if bfinal:
-            return bytes(out[seed:])
+            body = bytes(out[seed:])
+            if with_consumed:
+                return body, (br.pos + 7) // 8
+            return body
 
 
 def zlib_decompress(

@@ -507,3 +507,34 @@ def q_webdataset_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
     return tar_member_listing(with_tar_shards(docs))
+
+
+# ---------------------------------------------------------------------------
+# WARC shards — the Common Crawl wire format, multi-member gzip per shard
+# ---------------------------------------------------------------------------
+
+_WARC_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
+    "'response' AS warc_type, "
+    "CAST(octet_length(encode(text)) AS INTEGER) AS content_length "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_warc_scan", oracle=_WARC_ORACLE)
+def q_warc_scan(spark, sf_dir):
+    """E90'' WARC shard round trip (round 11): documents pack into
+    .warc.gz shards — ISO 28500 records, ONE GZIP MEMBER PER RECORD
+    (the seekable Common Crawl convention; RFC 1952 multi-member
+    walking with per-member CRC/ISIZE checks) — then a map-only listing
+    pass inflates each shard and indexes (uri-key, type, content
+    length). Every content_length must equal octet_length(text): the
+    oracle certifies the record grammar AND the concatenated-gzip walk
+    over the real dynamic-Huffman DEFLATE. Same scale shape as
+    q_webdataset_scan: the grouping shuffle is the shard assignment;
+    listing reads each shard sequentially — the CC-MAIN segment access
+    pattern."""
+    from yark_spark.operators.multimodal import warc_record_listing, with_warc_shards
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return warc_record_listing(with_warc_shards(docs))
