@@ -115,11 +115,22 @@ def dsir_importance(
         F.lit(n_buckets),
     )
     # one shuffle: per-(doc, bucket) occurrence counts; everything else
-    # derives from this aggregate (target flagged per id, not re-scanned)
-    per = (
+    # derives from this aggregate (target flagged per id, not re-scanned).
+    # Cached via the release registry — three consumers (dist, totals
+    # via dist, the per-doc score) would otherwise each re-run the
+    # bigram explosion + shuffle, i.e. two extra corpus scans at scale.
+    from yark_spark.operators.release import track
+
+    # coalesce the cached intermediate to one partition per core: AQE
+    # cannot re-coalesce a cached plan, so an un-clamped vanilla session
+    # would pin 200 near-empty partitions into every downstream stage
+    width = df.sparkSession.sparkContext.defaultParallelism
+    per = track(
         bg.select(F.col(id_col), bucket.alias("__b"), target_condition.alias("__t"))
         .groupBy(id_col, "__b", "__t")
         .agg(F.count(F.lit(1)).alias("__c"))
+        .coalesce(max(1, width))
+        .cache()
     )
     dist = per.groupBy("__b").agg(
         F.sum("__c").alias("__cr"),
