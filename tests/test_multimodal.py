@@ -585,3 +585,43 @@ def test_decode_bmp_bitfields_565_and_8888():
     hdr += b"\x00" * 4
     arr = decode_image(hdr + data)
     assert arr[0, 0].tolist() == [0x11, 0x22, 0x33]
+
+
+def test_jpeg_16bit_quant_tables_decode():
+    """A DQT rewritten to Pq=1 (16-bit entries, same values) must decode
+    to identical pixels — the r11 boundary removal (T.81 B.2.4.1)."""
+    import struct
+
+    import numpy as np
+
+    from yark_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=90)
+
+    def widen_dqt(p: bytes) -> bytes:
+        out = bytearray()
+        pos = 0
+        while pos < len(p):
+            if p[pos] == 0xFF and pos + 1 < len(p) and p[pos + 1] == 0xDB:
+                (seglen,) = struct.unpack_from(">H", p, pos + 2)
+                seg = p[pos + 4 : pos + 2 + seglen]
+                body = bytearray()
+                sp = 0
+                while sp < len(seg):
+                    tq = seg[sp] & 0x0F
+                    body.append(0x10 | tq)  # Pq=1
+                    for v in seg[sp + 1 : sp + 65]:
+                        body += struct.pack(">H", v)
+                    sp += 65
+                out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+                pos += 2 + seglen
+            else:
+                out.append(p[pos])
+                pos += 1
+        return bytes(out)
+
+    a = decode_jpeg(payload)
+    b = decode_jpeg(widen_dqt(payload))
+    assert np.array_equal(a, b)

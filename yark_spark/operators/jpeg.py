@@ -16,10 +16,10 @@ codec implements ITU-T T.81 baseline sequential DCT:
   replication upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB, and
   LOSSLESS frames (SOF3, round 11: Annex-H predictive coding, all
   seven predictors, 2-16-bit precision, mod-2^16 differences with the
-  SSSS=16 case, point transform). Arithmetic coding (SOF9/10),
-  hierarchical frames, 16-bit quant tables and 12-bit DCT precision
-  raise NotImplementedError — a documented boundary, not silent
-  corruption.
+  SSSS=16 case, point transform). 16-bit (Pq=1) quantization tables
+  parse per T.81 B.2.4.1 (round 11). Arithmetic coding (SOF9/10),
+  hierarchical frames and 12-bit DCT precision raise
+  NotImplementedError — a documented boundary, not silent corruption.
 - ``encode_jpeg`` / ``encode_jpeg_progressive``: the roundtrip half —
   libjpeg-style quality-scaled Annex-K quantization tables, 4:4:4
   (color) or single-component (gray), optional restart intervals, and
@@ -735,13 +735,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             sp = 0
             while sp < len(seg):
                 pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                zz = np.frombuffer(seg, np.uint8, 64, sp + 1).astype(np.float64)
+                if pq == 0:  # 8-bit entries
+                    zz = np.frombuffer(seg, np.uint8, 64, sp + 1).astype(np.float64)
+                    sp += 65
+                elif pq == 1:  # 16-bit big-endian entries (T.81 B.2.4.1)
+                    zz = (
+                        np.frombuffer(seg, ">u2", 64, sp + 1).astype(np.float64)
+                    )
+                    sp += 129
+                else:
+                    raise ValueError(f"DQT precision Pq={pq} out of range")
                 nat = np.empty(64)
                 nat[ZIGZAG] = zz
                 qtables[tq] = nat
-                sp += 65
         elif marker == 0xC4:  # DHT
             sp = 0
             while sp < len(seg):
