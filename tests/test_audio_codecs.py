@@ -228,3 +228,53 @@ def test_spectrum_flat_for_dc():
     x = np.full(256, 5000, dtype=np.int16)
     spec = np.abs(np.fft.rfft(x.astype(np.float64)))
     assert spec[1:].max() < 1e-6 * spec[0]
+
+
+# ---------------------------------------------------------------------------
+# Stereo IMA ADPCM (round 11 boundary removal)
+# ---------------------------------------------------------------------------
+
+
+def test_adpcm_stereo_constant_exact():
+    # constant L/R channels roundtrip exactly, interleave preserved
+    n_frames = 130
+    x = np.empty(n_frames * 2, dtype=np.int16)
+    x[0::2] = 1000   # L
+    x[1::2] = -2000  # R
+    data = ima_adpcm_encode(x, block_align=72, channels=2)
+    out = ima_adpcm_decode(data, 72, len(x), channels=2)
+    assert np.array_equal(out, x)
+
+
+def test_adpcm_stereo_matches_per_channel_mono():
+    # each channel's decoded stream must equal decoding that channel
+    # alone with the same per-channel samples-per-block (block_align
+    # 36 mono ~ 72 stereo: both 65 frames/block)
+    rng = np.random.default_rng(9)
+    n_frames = 200
+    l = np.clip(np.cumsum(rng.integers(-900, 900, n_frames)), -32768, 32767)
+    r = np.clip(np.cumsum(rng.integers(-900, 900, n_frames)), -32768, 32767)
+    x = np.empty(n_frames * 2, dtype=np.int16)
+    x[0::2], x[1::2] = l, r
+    st = ima_adpcm_decode(ima_adpcm_encode(x, 72, channels=2), 72, len(x), channels=2)
+    ml = ima_adpcm_decode(ima_adpcm_encode(l.astype(np.int16), 36), 36, n_frames)
+    mr = ima_adpcm_decode(ima_adpcm_encode(r.astype(np.int16), 36), 36, n_frames)
+    assert np.array_equal(st[0::2], ml)
+    assert np.array_equal(st[1::2], mr)
+
+
+def test_wav_stereo_adpcm_roundtrip():
+    n_frames = 65
+    x = np.empty(n_frames * 2, dtype=np.int16)
+    x[0::2] = 48
+    x[1::2] = 102
+    rate, ch, out = decode_wav(
+        encode_wav(x, rate=16000, codec="ima_adpcm", block_align=72, channels=2)
+    )
+    assert (rate, ch) == (16000, 2)
+    assert np.array_equal(out, x)
+
+
+def test_adpcm_stereo_bad_block_align_raises():
+    with pytest.raises(ValueError, match="block_align"):
+        ima_adpcm_encode(np.zeros(20, dtype=np.int16), 36, channels=2)

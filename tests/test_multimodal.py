@@ -625,3 +625,36 @@ def test_jpeg_16bit_quant_tables_decode():
     a = decode_jpeg(payload)
     b = decode_jpeg(widen_dqt(payload))
     assert np.array_equal(a, b)
+
+
+def test_decode_bmp_core_header():
+    """BITMAPCOREHEADER (12-byte OS/2 header, uint16 dims) decodes and
+    header-peeks — the r11 boundary removal."""
+    import struct
+
+    import numpy as np
+
+    from yark_spark.operators.multimodal import image_dims
+
+    # 2x2 24bpp, bottom-up, rows padded to 4 bytes (stride 8)
+    rows = [bytes([1, 2, 3, 4, 5, 6]) + b"\x00\x00",   # bottom row (BGR)
+            bytes([7, 8, 9, 10, 11, 12]) + b"\x00\x00"]  # top row
+    raw = rows[0] + rows[1]
+    hdr = b"BM" + struct.pack("<IHHI", 26 + len(raw), 0, 0, 26)
+    hdr += struct.pack("<IHHHH", 12, 2, 2, 1, 24)
+    payload = hdr + raw
+    arr = decode_image(payload)
+    assert arr.shape == (2, 2, 3)
+    assert arr[0, 0].tolist() == [9, 8, 7]    # top-left, BGR->RGB
+    assert arr[1, 1].tolist() == [6, 5, 4]
+    assert image_dims(payload) == ("bmp", 2, 2)
+
+
+def test_decode_bmp_unknown_header_size_raises():
+    import struct
+
+    base = _bmp(1, 1, [[(0, 0, 0)]])
+    p = bytearray(base)
+    struct.pack_into("<I", p, 14, 16)  # neither 12 nor >=40
+    with pytest.raises(ValueError, match="header size"):
+        decode_image(bytes(p))

@@ -184,63 +184,110 @@ def _ima_encode_sample(pred: int, index: int, sample: int) -> tuple[int, int, in
     return nibble, pred, index
 
 
-def ima_adpcm_encode(samples, block_align: int = 256) -> bytes:
-    """Mono IMA ADPCM block stream: each block is
-    ``[predictor int16le][step_index u8][reserved u8]`` then
-    ``block_align - 4`` nibble bytes (low nibble first). The header
-    predictor IS the first output sample; ``(block_align - 4) * 2 + 1``
-    samples per block; the final block zero-pads. The step index
-    carries across blocks (stored per-header, so every block decodes
+def _ima_samples_per_block(block_align: int, channels: int) -> int:
+    """Frames per block (per channel): header sample + 8 nibbles per
+    4-byte channel group."""
+    return ((block_align - 4 * channels) // (4 * channels)) * 8 + 1
+
+
+def ima_adpcm_encode(samples, block_align: int = 256, channels: int = 1) -> bytes:
+    """IMA ADPCM block stream (mono or stereo; stereo samples
+    interleaved L R L R …). Each block: per-channel
+    ``[predictor int16le][step_index u8][reserved u8]`` headers, then
+    4-byte nibble groups ALTERNATING per channel (8 samples per group —
+    the WAVE_FORMAT_IMA_ADPCM interleave). Header predictors ARE the
+    first frame; the final block zero-pads. Step indices carry across
+    blocks per channel (stored per-header, so blocks decode
     independently)."""
-    if block_align < 8 or block_align % 4:
-        raise ValueError("block_align must be a multiple of 4, >= 8")
+    if channels not in (1, 2):
+        raise ValueError("1 or 2 channels")
+    if block_align < 8 * channels or block_align % (4 * channels):
+        raise ValueError("block_align must be a multiple of 4*channels, >= 8*channels")
     x = np.asarray(samples, dtype=np.int64)
-    if x.size == 0:
-        raise ValueError("empty sample array")
-    spb = (block_align - 4) * 2 + 1
+    if x.size == 0 or x.size % channels:
+        raise ValueError("sample count empty or not divisible by channels")
+    chans = [x[c::channels] for c in range(channels)]
+    spb = _ima_samples_per_block(block_align, channels)
     out = bytearray()
-    index = 0
-    for start in range(0, len(x), spb):
-        block = x[start : start + spb]
-        pred = int(block[0])
-        out += struct.pack("<hBB", pred, index, 0)
-        nibbles = []
-        for s in block[1:]:
-            nib, pred, index = _ima_encode_sample(pred, index, int(s))
-            nibbles.append(nib)
-        nibbles += [0] * (2 * (block_align - 4) - len(nibbles))
-        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
-            out.append(lo | (hi << 4))
+    index = [0] * channels
+    n_frames = len(chans[0])
+    for start in range(0, n_frames, spb):
+        preds = []
+        for c in range(channels):
+            pred = int(chans[c][start])
+            out += struct.pack("<hBB", pred, index[c], 0)
+            preds.append(pred)
+        # per-channel nibble streams for this block (spb-1 data samples)
+        nibs: list[list[int]] = []
+        for c in range(channels):
+            block = chans[c][start + 1 : start + spb]
+            pred = preds[c]
+            lst = []
+            for s in block:
+                nib, pred, index[c] = _ima_encode_sample(pred, index[c], int(s))
+                lst.append(nib)
+            lst += [0] * ((spb - 1) - len(lst))
+            nibs.append(lst)
+        # emit alternating 8-nibble (4-byte) groups per channel
+        for g in range(0, spb - 1, 8):
+            for c in range(channels):
+                grp = nibs[c][g : g + 8]
+                for lo, hi in zip(grp[0::2], grp[1::2]):
+                    out.append(lo | (hi << 4))
     return bytes(out)
 
 
-def ima_adpcm_decode(data: bytes, block_align: int, n_samples: int) -> np.ndarray:
-    """Decode a mono IMA ADPCM block stream to ``n_samples`` int16."""
-    if block_align < 8:
+def ima_adpcm_decode(
+    data: bytes, block_align: int, n_samples: int, channels: int = 1
+) -> np.ndarray:
+    """Decode an IMA ADPCM block stream to ``n_samples`` TOTAL int16
+    samples (stereo interleaved L R L R …)."""
+    if channels not in (1, 2):
+        raise ValueError("1 or 2 channels")
+    if block_align < 8 * channels:
         raise ValueError("bad block_align")
-    spb = (block_align - 4) * 2 + 1
+    spb = _ima_samples_per_block(block_align, channels)
     out = np.empty(n_samples, dtype=np.int16)
-    n_out = 0
+    n_frames_out = 0
+    total_frames = -(-n_samples // channels)
     pos = 0
-    while n_out < n_samples:
-        if pos + block_align > len(data) and pos + 4 > len(data):
+    while n_frames_out < total_frames:
+        if pos + 4 * channels > len(data):
             raise ValueError("truncated ADPCM stream")
-        pred, index, _res = struct.unpack_from("<hBB", data, pos)
-        if index > 88:
-            raise ValueError(f"ADPCM step index {index} out of range")
-        out[n_out] = pred
-        n_out += 1
-        body = data[pos + 4 : pos + block_align]
-        pos += block_align
-        for byte in body:
-            for nib in (byte & 0x0F, byte >> 4):
-                if n_out >= n_samples:
-                    break
-                pred, index = _ima_decode_nibble(pred, index, nib)
-                out[n_out] = pred
-                n_out += 1
-        if n_out < n_samples and n_out % spb:
+        preds, idxs = [], []
+        for c in range(channels):
+            pred, index, _res = struct.unpack_from("<hBB", data, pos + 4 * c)
+            if index > 88:
+                raise ValueError(f"ADPCM step index {index} out of range")
+            preds.append(pred)
+            idxs.append(index)
+        pos += 4 * channels
+        body = data[pos : pos + block_align - 4 * channels]
+        if len(body) < block_align - 4 * channels and (
+            n_frames_out + spb < total_frames
+            or len(body) % (4 * channels)
+        ):
             raise ValueError("truncated ADPCM block")
+        pos += len(body)
+        # rebuild per-channel frame streams for this block
+        frames = [[preds[c]] for c in range(channels)]
+        for g in range(0, len(body), 4 * channels):
+            for c in range(channels):
+                for byte in body[g + 4 * c : g + 4 * c + 4]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = _ima_decode_nibble(
+                            preds[c], idxs[c], nib
+                        )
+                        frames[c].append(preds[c])
+        take = min(spb, total_frames - n_frames_out, len(frames[0]))
+        for f in range(take):
+            for c in range(channels):
+                k = (n_frames_out + f) * channels + c
+                if k < n_samples:
+                    out[k] = frames[c][f]
+        n_frames_out += take
+        if take < spb and n_frames_out < total_frames:
+            raise ValueError("truncated ADPCM stream")
     return out
 
 
@@ -256,6 +303,7 @@ def encode_wav(
     rate: int = 8000,
     codec: str = "pcm16",
     block_align: int = 256,
+    channels: int = 1,
 ) -> bytes:
     """Canonical mono RIFF/WAVE for ``codec`` in pcm16 / mulaw / alaw /
     ima_adpcm. Compressed forms write the spec ``fmt `` extensions
@@ -276,13 +324,21 @@ def encode_wav(
         fmt = struct.pack("<HHIIHHH", _FMT_ALAW, 1, rate, rate, 1, 8, 0)
         fact = struct.pack("<4sII", b"fact", 4, n)
     elif codec == "ima_adpcm":
-        data = ima_adpcm_encode(x, block_align)
-        spb = (block_align - 4) * 2 + 1
+        data = ima_adpcm_encode(x, block_align, channels=channels)
+        spb = _ima_samples_per_block(block_align, channels)
         byte_rate = (rate * block_align + spb - 1) // spb
         fmt = struct.pack(
-            "<HHIIHHHH", _FMT_IMA, 1, rate, byte_rate, block_align, 4, 2, spb
+            "<HHIIHHHH",
+            _FMT_IMA,
+            channels,
+            rate,
+            byte_rate,
+            block_align,
+            4 * channels,
+            2,
+            spb,
         )
-        fact = struct.pack("<4sII", b"fact", 4, n)
+        fact = struct.pack("<4sII", b"fact", 4, n // channels)
     else:
         raise ValueError(f"unknown codec {codec!r}")
     body = (
@@ -330,12 +386,16 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         table = mulaw_decode_table() if tag == _FMT_MULAW else alaw_decode_table()
         return rate, channels, table[codes]
     if tag == _FMT_IMA:
-        if channels != 1:
-            raise NotImplementedError("multi-channel IMA ADPCM interleave")
-        spb = (block_align - 4) * 2 + 1
+        if channels not in (1, 2):
+            raise NotImplementedError(f"{channels}-channel IMA ADPCM")
+        spb = _ima_samples_per_block(block_align, channels)
         n_blocks = (len(data) + block_align - 1) // block_align
-        n = fact_n if fact_n is not None else n_blocks * spb
-        return rate, channels, ima_adpcm_decode(data, block_align, n)
+        frames = fact_n if fact_n is not None else n_blocks * spb
+        return (
+            rate,
+            channels,
+            ima_adpcm_decode(data, block_align, frames * channels, channels),
+        )
     raise NotImplementedError(
         f"WAV fmt tag 0x{tag:x}: PCM16, G.711 (A-law/µ-law) and mono IMA "
         "ADPCM decode here; psychoacoustic codecs need an audio library"

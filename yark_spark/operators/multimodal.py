@@ -111,11 +111,17 @@ def _make_decoder():
 
         data_off, = struct.unpack_from("<I", payload, 10)
         hdr_size, = struct.unpack_from("<I", payload, 14)
-        if hdr_size < 40:
-            raise NotImplementedError("BMP core-header variant not supported")
-        width, height = struct.unpack_from("<ii", payload, 18)
-        bpp, = struct.unpack_from("<H", payload, 28)
-        compression, = struct.unpack_from("<I", payload, 30)
+        if hdr_size == 12:
+            # BITMAPCOREHEADER (OS/2 1.x, round 11): uint16 dims, no
+            # compression field — always bottom-up uncompressed
+            width, height, _planes, bpp = struct.unpack_from("<HHHH", payload, 18)
+            compression = 0
+        elif hdr_size >= 40:
+            width, height = struct.unpack_from("<ii", payload, 18)
+            bpp, = struct.unpack_from("<H", payload, 28)
+            compression, = struct.unpack_from("<I", payload, 30)
+        else:
+            raise ValueError(f"BMP header size {hdr_size} unrecognized")
         if compression == 1 and bpp == 8:
             # BI_RLE8 (round 10): run pairs (count, index) with 0-escapes
             # — 0,0 end-of-line / 0,1 end-of-bitmap / 0,2 delta(dx,dy) /
@@ -1559,6 +1565,10 @@ def _make_dims_parser():
                 pos += m.end()
             return "pnm", tokens[0], tokens[1]
         if p[:2] == b"BM":
+            (hdr_size,) = struct.unpack_from("<I", p, 14)
+            if hdr_size == 12:  # BITMAPCOREHEADER: uint16 dims
+                w, h = struct.unpack_from("<HH", p, 18)
+                return "bmp", w, h
             w, h = struct.unpack_from("<ii", p, 18)
             return "bmp", w, abs(h)
         if p[:4] == b"GIF8":  # logical screen descriptor right after version
