@@ -72,3 +72,44 @@ def test_quadrant_fixture_matches_analytic_oracle_shape():
         got = decode_jpeg(encode_jpeg_lossless(img, predictor=pred))
         assert (got == img).all()
         assert float(got.mean()) == sum(vals) / 4.0
+
+
+@pytest.mark.parametrize("restart_rows", [1, 3, 16])
+def test_lossless_restart_intervals_roundtrip(restart_rows):
+    """Row-aligned DRI/RSTn in lossless scans (r11 boundary removal):
+    bit-exact roundtrip, and each restart segment re-predicts from a
+    fresh first line (pre-restart samples never feed the prediction)."""
+    rng = np.random.default_rng(restart_rows)
+    img = rng.integers(0, 256, size=(16, 7), dtype=np.uint8)
+    payload = encode_jpeg_lossless(img, predictor=4, restart_rows=restart_rows)
+    assert b"\xff\xdd" in payload  # DRI present
+    assert np.array_equal(decode_jpeg(payload), img)
+
+
+def test_lossless_restart_rgb_and_16bit():
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(rgb, predictor=7, restart_rows=2)), rgb
+    )
+    deep = rng.integers(0, 1 << 16, size=(8, 4), dtype=np.uint16)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(deep, predictor=1, restart_rows=4)), deep
+    )
+
+
+def test_lossless_restart_segment_independence():
+    """Corrupting bytes in the LAST restart segment must not change the
+    first segment's decode (the whole point of restart markers)."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    payload = bytearray(encode_jpeg_lossless(img, restart_rows=4))
+    rst = payload.rindex(b"\xff\xd0")
+    good_top = decode_jpeg(bytes(payload))[:4]
+    for flip in range(rst + 2, min(rst + 6, len(payload) - 2)):
+        p = bytearray(payload)
+        p[flip] ^= 0x55
+        try:
+            out = decode_jpeg(bytes(p))
+        except (ValueError, EOFError):
+            continue  # typed failure is fine
+        assert np.array_equal(out[:4], good_top)

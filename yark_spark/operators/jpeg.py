@@ -900,7 +900,10 @@ def _ll_predict(plane, x: int, y: int, sel: int, default: int) -> int:
 
 
 def encode_jpeg_lossless(
-    arr: np.ndarray, predictor: int = 7, point_transform: int = 0
+    arr: np.ndarray,
+    predictor: int = 7,
+    point_transform: int = 0,
+    restart_rows: int = 0,
 ) -> bytes:
     """Encode to LOSSLESS JPEG (T.81 Annex H, SOF3): predictive coding
     of the raw samples — no DCT, no quantization — with the Huffman
@@ -912,7 +915,13 @@ def encode_jpeg_lossless(
     samples before coding (the decoder re-scales by 2^Pt — the ONLY
     lossy knob, off by default). Decoding the result reproduces the
     input bit-exactly at Pt=0; differences are coded modulo 2^16 with
-    the SSSS=16 no-extra-bits special case."""
+    the SSSS=16 no-extra-bits special case.
+
+    ``restart_rows`` > 0 (round 11) emits DRI + RSTn every that many
+    SAMPLE ROWS (Ri = restart_rows * width MCUs — the row-aligned shape
+    encoders emit for error resilience): each restart segment is coded
+    as a fresh scan start (T.81 H.2.2 forbids predicting from
+    pre-restart samples), so its first row uses the first-line rules."""
     arr = np.asarray(arr)
     if arr.dtype == np.uint16:
         prec = 16
@@ -935,23 +944,39 @@ def encode_jpeg_lossless(
     ncomp = len(planes)
     codes = _canonical_codes(_ENC_LL_BITS, _ENC_LL_VALS)
     default = 1 << (prec - point_transform - 1)
-    bw = _BitWriter()
-    for y in range(h):
-        for x in range(w):
-            for plane in planes:
-                px = _ll_predict(plane, x, y, predictor, default)
-                d = (int(plane[y, x]) - px) & 0xFFFF
-                if d == 32768:  # T.81 H.1.2.2: SSSS=16, no appended bits
-                    length, code = codes[16]
+    if restart_rows < 0 or restart_rows > h:
+        raise ValueError("restart_rows out of range")
+    seg_rows = restart_rows or h
+
+    def _encode_segment(views) -> bytes:
+        bw = _BitWriter()
+        sh = views[0].shape[0]
+        for y in range(sh):
+            for x in range(w):
+                for view in views:
+                    px = _ll_predict(view, x, y, predictor, default)
+                    d = (int(view[y, x]) - px) & 0xFFFF
+                    if d == 32768:  # T.81 H.1.2.2: SSSS=16, no appended bits
+                        length, code = codes[16]
+                        bw.write(code, length)
+                        continue
+                    d = d - 65536 if d >= 32768 else d
+                    size, bits = _magnitude(d)
+                    length, code = codes[size]
                     bw.write(code, length)
-                    continue
-                d = d - 65536 if d >= 32768 else d
-                size, bits = _magnitude(d)
-                length, code = codes[size]
-                bw.write(code, length)
-                if size:
-                    bw.write(bits, size)
-    entropy = bw.flush()
+                    if size:
+                        bw.write(bits, size)
+        return bw.flush()
+
+    segments = [
+        _encode_segment([p[y0 : y0 + seg_rows] for p in planes])
+        for y0 in range(0, h, seg_rows)
+    ]
+    entropy = bytearray(segments[0])
+    for i, seg_bytes in enumerate(segments[1:]):
+        entropy += bytes([0xFF, 0xD0 + (i % 8)])
+        entropy += seg_bytes
+    entropy = bytes(entropy)
 
     out = bytearray(b"\xff\xd8")  # SOI (no DQT/APP0 — nothing to quantize)
     sof = struct.pack(">BHHB", prec, h, w, ncomp)
@@ -960,6 +985,8 @@ def encode_jpeg_lossless(
     out += _seg(0xFFC3, sof)
     dht = bytes([0x00]) + bytes(_ENC_LL_BITS) + bytes(_ENC_LL_VALS)
     out += _seg(0xFFC4, dht)
+    if restart_rows:
+        out += _seg(0xFFDD, struct.pack(">H", restart_rows * w))
     out += _sos(
         [(ci + 1, 0, 0) for ci in range(ncomp)], predictor, 0, 0, point_transform
     )
@@ -979,8 +1006,12 @@ def _decode_lossless(frame: dict, scans: list) -> np.ndarray:
     h, w, prec = frame["h"], frame["w"], frame["prec"]
     planes = {c["id"]: np.zeros((h, w), dtype=np.int64) for c in comps}
     for scan in scans:
-        if scan.get("ri"):
-            raise NotImplementedError("lossless restart intervals")
+        ri = scan.get("ri") or 0
+        if ri % w:
+            # mid-row restarts would predict across the forbidden
+            # boundary; encoders emit row-aligned intervals
+            raise NotImplementedError("lossless restart interval not row-aligned")
+        seg_rows = (ri // w) if ri else h
         sel = scan["ss"]
         pt = scan["al"]
         default = 1 << (prec - pt - 1)
@@ -989,7 +1020,14 @@ def _decode_lossless(frame: dict, scans: list) -> np.ndarray:
         }
         br = _BitReader(scan["data"])
         order = [cid for cid, _, _ in scan["spec"]]
+        seg_start = 0
         for y in range(h):
+            if y - seg_start == seg_rows:
+                # restart boundary: re-sync the reader, and code the
+                # segment as a fresh scan (T.81 H.2.2 — pre-restart
+                # samples must not feed the prediction)
+                br.restart()
+                seg_start = y
             for x in range(w):
                 for cid in order:
                     s = _read_symbol(br, tables[cid])
@@ -1000,7 +1038,8 @@ def _decode_lossless(frame: dict, scans: list) -> np.ndarray:
                     else:
                         d = 0
                     plane = planes[cid]
-                    px = _ll_predict(plane, x, y, sel, default)
+                    view = plane[seg_start:]
+                    px = _ll_predict(view, x, y - seg_start, sel, default)
                     plane[y, x] = (px + d) & 0xFFFF
         if pt:
             for cid in order:
