@@ -658,3 +658,52 @@ def test_decode_bmp_unknown_header_size_raises():
     struct.pack_into("<I", p, 14, 16)  # neither 12 nor >=40
     with pytest.raises(ValueError, match="header size"):
         decode_image(bytes(p))
+
+
+def test_jpeg_12bit_extended_sequential_decode():
+    """Hand-built SOF1 12-bit gray frame (r11 boundary removal): one
+    8x8 block, DC=1000 with q00=8 -> orthonormal IDCT constant 1000,
+    level shift 2048 -> every pixel exactly 3048 as uint16."""
+    import struct
+
+    import numpy as np
+
+    from yark_spark.operators.jpeg import decode_jpeg
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qt = bytes([0]) + bytes([8] + [1] * 63)  # Pq=0, q00=8 (zigzag first)
+    sof = struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0])
+    dc_dht = bytes([0x00]) + bytes([0, 0, 0, 0, 16] + [0] * 11) + bytes(range(16))
+    ac_dht = bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    # DC: symbol 10 (5 bits: 01010) + 1000 (10 bits) + AC EOB (1 bit '0')
+    entropy = bytes([0b01010111, 0b11010000])
+    payload = (
+        b"\xff\xd8"
+        + seg(0xFFDB, qt)
+        + seg(0xFFC1, sof)
+        + seg(0xFFC4, dc_dht)
+        + seg(0xFFC4, ac_dht)
+        + seg(0xFFDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(payload)
+    assert out.dtype == np.uint16 and out.shape == (8, 8)
+    assert (out == 3048).all()
+
+
+def test_jpeg_12bit_baseline_sof0_rejected():
+    """12-bit in SOF0 is malformed (baseline is 8-bit by definition)."""
+    import struct
+
+    from yark_spark.operators.jpeg import decode_jpeg
+
+    sof = struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0])
+    payload = (
+        b"\xff\xd8" + struct.pack(">HH", 0xFFC0, len(sof) + 2) + sof + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(payload)

@@ -17,8 +17,9 @@ codec implements ITU-T T.81 baseline sequential DCT:
   LOSSLESS frames (SOF3, round 11: Annex-H predictive coding, all
   seven predictors, 2-16-bit precision, mod-2^16 differences with the
   SSSS=16 case, point transform). 16-bit (Pq=1) quantization tables
-  parse per T.81 B.2.4.1 (round 11). Arithmetic coding (SOF9/10),
-  hierarchical frames and 12-bit DCT precision raise
+  parse per T.81 B.2.4.1, and 12-bit extended-sequential/progressive
+  frames decode with precision-scaled level shift and clip (round 11).
+  Arithmetic coding (SOF9/10) and hierarchical frames raise
   NotImplementedError — a documented boundary, not silent corruption.
 - ``encode_jpeg`` / ``encode_jpeg_progressive``: the roundtrip half —
   libjpeg-style quality-scaled Annex-K quantization tables, 4:4:4
@@ -243,11 +244,14 @@ def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
     return np.stack([y, cb, cr], axis=-1)
 
 
-def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.stack([r, g, b], axis=-1) + 0.5, 0, 255).astype(np.uint8)
+def _ycbcr_to_rgb(y, cb, cr, prec: int = 8) -> np.ndarray:
+    center = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
+    out = np.clip(np.stack([r, g, b], axis=-1) + 0.5, 0, maxv)
+    return out.astype(np.uint8 if prec == 8 else np.uint16)
 
 
 def _blocks(plane: np.ndarray) -> np.ndarray:
@@ -760,8 +764,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 sp += 17 + nvals
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 DCT, SOF3 lossless
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
-            if marker != 0xC3 and prec != 8:
-                raise NotImplementedError("12-bit precision")
+            if marker == 0xC0 and prec != 8:
+                raise ValueError("baseline SOF0 is 8-bit by definition")
+            if marker in (0xC1, 0xC2) and prec not in (8, 12):
+                raise ValueError(f"DCT precision {prec} (T.81 allows 8 or 12)")
             if marker == 0xC3 and prec not in range(2, 17):
                 raise ValueError("lossless precision out of range 2-16")
             comps = []
@@ -846,17 +852,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         nat[..., ZIGZAG] = zz
         blocks = (nat * q).reshape(nby, nbx, 8, 8)
         # batched orthonormal IDCT: D.T @ B @ D for every block at once
-        out = np.einsum("ux,ghuv,vy->ghxy", _D, blocks, _D) + 128.0
+        # (level shift and clip range follow the frame precision — 12-bit
+        # extended/progressive frames decode since round 11)
+        prec = frame["prec"]
+        out = np.einsum("ux,ghuv,vy->ghxy", _D, blocks, _D) + float(1 << (prec - 1))
         plane = out.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         plane = np.repeat(
             np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
         )
         full[c["id"]] = plane[:h, :w]
+    prec = frame["prec"]
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     if len(comps) == 1:
         only = full[comps[0]["id"]]
-        return np.clip(only + 0.5, 0, 255).astype(np.uint8)
+        return np.clip(only + 0.5, 0, maxv).astype(dtype)
     ids = [c["id"] for c in comps]
-    return _ycbcr_to_rgb(full[ids[0]], full[ids[1]], full[ids[2]])
+    return _ycbcr_to_rgb(full[ids[0]], full[ids[1]], full[ids[2]], prec=prec)
 
 
 # ---------------------------------------------------------------------------
