@@ -1623,19 +1623,23 @@ def extract_image_dims(
 def with_header_payload(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Deterministic mixed-container fixture column: doc_id % 4 picks the
-    format (PNG / WebP-VP8X / real encoded JPEG / PGM), dims derive from
+    """Deterministic mixed-container fixture column: doc_id % 6 picks the
+    format (PNG / WebP-VP8X / real encoded JPEG / PGM / real encoded GIF
+    / BMP — the GIF arm added in round 11 round-trips through the actual
+    LZW encoder, like the JPEG arm), dims derive from
     the doc's md5 (w = 16 + a%48, h = 16 + b%48 over the first two hex
     chars' ascii codes) — so a SQL oracle can compute the expected
     (format, width, height) analytically while the Spark side builds and
-    parses REAL container headers (the JPEG arm round-trips through the
-    actual encoder's SOF0)."""
+    parses REAL container headers."""
     from pyspark import cloudpickle as _cp
 
+    from yark_spark.operators import gif as _gif_mod
     from yark_spark.operators import jpeg as _jpeg_mod
 
     _cp.register_pickle_by_value(_jpeg_mod)
+    _cp.register_pickle_by_value(_gif_mod)
     encode = _jpeg_mod.encode_jpeg
+    encode_gif = _gif_mod.encode_gif
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -1672,15 +1676,25 @@ def with_header_payload(
                 hx = _hashlib.md5(t.encode("utf-8")).hexdigest()
                 w = 16 + ord(hx[0]) % 48
                 h = 16 + ord(hx[1]) % 48
-                kind = int(did) % 4
+                kind = int(did) % 6
                 if kind == 0:
                     p = png(w, h)
                 elif kind == 1:
                     p = webp(w, h)
                 elif kind == 2:
                     p = encode(_np.zeros((h, w), dtype=_np.uint8), quality=50)
-                else:
+                elif kind == 3:
                     p = pgm(w, h)
+                elif kind == 4:
+                    p = encode_gif(_np.zeros((h, w), dtype=_np.uint8))
+                else:  # minimal BITMAPINFOHEADER, dims only (header peek)
+                    p = (
+                        b"BM"
+                        + _struct.pack("<IHHI", 54, 0, 0, 54)
+                        + _struct.pack(
+                            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0
+                        )
+                    )
                 ids.append(int(did))
                 payloads.append(p)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})

@@ -362,8 +362,9 @@ def q_weighted_sample(spark, sf_dir):
 
 _DIMS_ORACLE = (
     "SELECT doc_id, "
-    "CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'webp' "
-    "WHEN 2 THEN 'jpeg' ELSE 'pnm' END AS format, "
+    "CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'webp' "
+    "WHEN 2 THEN 'jpeg' WHEN 3 THEN 'pnm' WHEN 4 THEN 'gif' "
+    "ELSE 'bmp' END AS format, "
     "CAST(16 + ascii(substr(md5(text), 1, 1)) % 48 AS INTEGER) AS width, "
     "CAST(16 + ascii(substr(md5(text), 2, 1)) % 48 AS INTEGER) AS height "
     "FROM documents WHERE doc_id < 200"
@@ -373,11 +374,11 @@ _DIMS_ORACLE = (
 @query("q_image_dims", oracle=_DIMS_ORACLE)
 def q_image_dims(spark, sf_dir):
     """E4 header-peek metadata: (format, width, height) parsed from REAL
-    container headers — PNG IHDR, WebP VP8X canvas, JPEG SOF0 (via a real
-    encode of those dimensions), binary PGM — with NO pixel decode. The
+    container headers — PNG IHDR, WebP VP8X canvas, JPEG SOF0 and GIF (via real
+    encodes of those dimensions), binary PGM, BMP — with NO pixel decode. The
     production first pass over a 100 TB binary column: route / filter /
-    bucket by dimensions before any decode fan-out, covering formats
-    whose pixels this container can't decode (PNG/WebP). Payload dims
+    bucket by dimensions before any decode fan-out, covering container
+    variants whose pixels the engine rejects (lossy VP8). Payload dims
     derive from md5 so the oracle computes them analytically while the
     Spark side exercises the actual byte-level parsers
     (operators/multimodal.extract_image_dims)."""
