@@ -278,3 +278,59 @@ def test_wav_stereo_adpcm_roundtrip():
 def test_adpcm_stereo_bad_block_align_raises():
     with pytest.raises(ValueError, match="block_align"):
         ima_adpcm_encode(np.zeros(20, dtype=np.int16), 36, channels=2)
+
+
+def test_adpcm_differential_property():
+    """Decode must agree bit-for-bit with an INDEPENDENT scalar
+    reference decoder written differently (table walk inline). A plain
+    error bound is the wrong property: a full-range jump from step 7
+    lags the step adaptation by design (error ~65k for a few samples,
+    exactly like any conformant IMA implementation)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    steps = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ]
+    adjust = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+    def ref_decode(data, block_align, n):
+        import struct
+
+        out = []
+        pos = 0
+        while len(out) < n:
+            pred, idx, _ = struct.unpack_from("<hBB", data, pos)
+            out.append(pred)
+            # blocks are always full; zero-padding of the final block is
+            # decoded too and sliced off by the return truncation
+            for byte in data[pos + 4 : pos + block_align]:
+                for nib in (byte & 0xF, byte >> 4):
+                    s = steps[idx]
+                    d = (s >> 3) + (s if nib & 4 else 0)
+                    d += (s >> 1) if nib & 2 else 0
+                    d += (s >> 2) if nib & 1 else 0
+                    pred = pred - d if nib & 8 else pred + d
+                    pred = max(-32768, min(32767, pred))
+                    idx = max(0, min(88, idx + adjust[nib & 7]))
+                    out.append(pred)
+            pos += block_align
+        return out[:n]
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=300))
+    def run(vals):
+        x = np.array(vals, dtype=np.int16)
+        data = ima_adpcm_encode(x, 64)
+        mine = ima_adpcm_decode(data, 64, len(x))
+        theirs = ref_decode(data, 64, len(x))
+        assert mine.tolist() == theirs
+
+    run()

@@ -229,3 +229,32 @@ def test_warc_bad_version_raises():
 
     with pytest.raises(ValueError, match="version"):
         warc_records(b"HTTP/1.1 200\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+
+
+def test_gzip_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=0, max_size=4000))
+    def run(raw):
+        assert gzip_decompress(gzip_compress(raw)) == raw
+        assert stdlib_gzip.decompress(gzip_compress(raw)) == raw
+
+    run()
+
+
+def test_tar_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.text(
+        alphabet=st.characters(min_codepoint=48, max_codepoint=122), min_size=1, max_size=20
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.tuples(names, st.binary(max_size=1500)), min_size=1, max_size=6))
+    def run(members):
+        assert tar_members(tar_build(members)) == members
+
+    run()

@@ -172,3 +172,16 @@ def test_encode_rejects_too_many_colors():
     img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="distinct colors"):
         encode_gif(img)
+
+
+def test_lzw_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=800))
+    def run(vals):
+        idx = np.array(vals, dtype=np.uint8)
+        assert np.array_equal(lzw_decode(lzw_encode(idx, 8), 8, len(idx)), idx)
+
+    run()
