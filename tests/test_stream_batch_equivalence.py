@@ -75,3 +75,35 @@ def test_session_window_equals_oracle_checked_sessionize(spark, sf_dir):
         for r in derived.collect()
     }
     assert sessions == expected
+
+
+def test_stream_tar_shard_listing_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming shard ingest (r11): dropping tar shards into a watched
+    dir and draining with availableNow must yield exactly the batch
+    tar_member_listing of the same shards."""
+    from yark_spark.operators.multimodal import tar_member_listing, with_tar_shards
+    from yark_spark.streaming.pipelines import tar_shard_listing_stream
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    shards = with_tar_shards(docs).collect()
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    for r in shards:
+        (shard_dir / f"shard-{r.shard_id}.tar").write_bytes(bytes(r.payload))
+
+    out = tar_shard_listing_stream(spark, str(shard_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_shards")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_shards"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(
+        map(tuple, spark.sql("SELECT * FROM stream_shards").collect())
+    )
+    batch_df = spark.createDataFrame(shards)
+    batch = sorted(map(tuple, tar_member_listing(batch_df).collect()))
+    assert streamed == batch and len(streamed) == 128  # 64 docs x 2 members

@@ -212,3 +212,39 @@ def run_available_now(writer_or_df, checkpoint: str | None = None, query_name: s
         q = writer_or_df.trigger(availableNow=True).start()
     q.awaitTermination()
     return q
+
+
+def tar_shard_listing_stream(
+    spark: SparkSession, path: str, glob: str = "*.tar"
+) -> DataFrame:
+    """Streaming WebDataset shard ingest (round 11): watch a directory
+    for tar shards (``binaryFile`` source — the Structured Streaming
+    twin of an object-store shard drop), parse each archive with the
+    from-scratch ustar reader and emit its member listing. The listing
+    is a stateless mapInPandas, so the stream needs no watermark and
+    each micro-batch is one set of whole shards — exactly the unit a
+    100 TB training-data loader consumes. Shard ids parse from the
+    ``shard-N.tar`` name convention."""
+    tune(spark)
+    # the binaryFile source's fixed schema, stated explicitly (streaming
+    # sources cannot infer)
+    binary_schema = (
+        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    from yark_spark.operators.multimodal import tar_member_listing
+
+    shards = stream.select(
+        F.regexp_extract(
+            F.element_at(F.split(F.col("path"), "/"), -1), r"shard-(\d+)", 1
+        )
+        .cast("long")
+        .alias("shard_id"),
+        F.col("content").alias("payload"),
+    )
+    return tar_member_listing(shards)
