@@ -35,6 +35,7 @@ LEAK_PRONE_KEYS = [
     "q_exact_median_global",
     "q_copurchase_rules",
     "q_curate_pipeline",
+    "q_dsir_importance",  # r11: cached per-(doc,bucket) aggregate
 ]
 
 
