@@ -192,3 +192,46 @@ def test_partitioned_cumsum_multi_matches_chained_single(spark):
         got = {r["k"]: (r["c1"], r["c2"]) for r in a.collect()}
         exp = {r["k"]: (r["c1"], r["c2"]) for r in b.collect()}
         assert got == exp, n
+
+
+def test_shard_assignment_properties(spark):
+    """Size-targeted binning (r11): shards are contiguous in order, and
+    every shard except the last reaches the byte target before closing
+    (overshoot bounded by one document)."""
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.packing import shard_assignment
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, doc_bytes long")
+    out = shard_assignment(df, ["doc_id"], "doc_bytes", 1000).collect()
+    by_id = sorted(out, key=lambda r: r.doc_id)
+    # contiguity: shard ids are non-decreasing in doc order
+    sids = [r.shard_id for r in by_id]
+    assert sids == sorted(sids)
+    # per-shard byte totals
+    totals = {}
+    for r in by_id:
+        totals[r.shard_id] = totals.get(r.shard_id, 0) + r.doc_bytes
+    last = max(totals)
+    for sid, tot in totals.items():
+        if sid != last:
+            # a shard spans cum range [k*T, (k+1)*T): its total is T minus
+            # the previous shard's overshoot plus its own — within one
+            # max-size document of the target on both sides
+            assert 1000 - 500 < tot < 1000 + 500
+    # exact definition: shard = exclusive prefix bytes // target
+    cum = 0
+    for r in by_id:
+        assert r.shard_id == cum // 1000
+        cum += r.doc_bytes
+
+
+def test_shard_assignment_bad_target(spark):
+    import pytest
+
+    from yark_spark.operators.packing import shard_assignment
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, doc_bytes long")
+    with pytest.raises(ValueError, match="target_bytes"):
+        shard_assignment(df, ["doc_id"], "doc_bytes", 0)

@@ -538,3 +538,39 @@ def q_warc_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
     return warc_record_listing(with_warc_shards(docs))
+
+
+# ---------------------------------------------------------------------------
+# Size-targeted shard binning — distributed prefix sum, integer-exact
+# ---------------------------------------------------------------------------
+
+_SHARD_BIN_ORACLE = (
+    "WITH v AS (SELECT doc_id, octet_length(encode(text)) AS sz FROM documents) "
+    "SELECT doc_id, CAST(sz AS INTEGER) AS doc_bytes, "
+    "CAST((sum(sz) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - sz) "
+    "// 4096 AS BIGINT) AS shard_id FROM v"
+)
+
+
+@query("q_shard_bin_packing", oracle=_SHARD_BIN_ORACLE)
+def q_shard_bin_packing(spark, sf_dir):
+    """E91 size-targeted shard assignment (round 11): the production
+    counterpart of the fixed-count grouping in q_webdataset_scan /
+    q_warc_scan — shards bounded by BYTES (4 KB target here), robust to
+    document-length skew. shard = exclusive-prefix-bytes DIV target,
+    computed with the two-phase distributed prefix sum
+    (operators/packing.shard_assignment over partitioned_cumsum) — the
+    corpus never passes through a single-task window, and the division
+    is integral so the assignment hash-matches DuckDB's window-sum
+    oracle exactly. Rows of a shard are contiguous in doc order: the
+    downstream shard writer is one range-partitioned applyInPandas, the
+    same shape the tar/WARC packers already use."""
+    from yark_spark.operators.packing import shard_assignment
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length("text").cast("long").alias("doc_bytes")
+    )
+    out = shard_assignment(docs, ["doc_id"], "doc_bytes", 4096)
+    return out.select(
+        "doc_id", F.col("doc_bytes").cast("int").alias("doc_bytes"), "shard_id"
+    )
