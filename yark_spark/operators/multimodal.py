@@ -1411,6 +1411,55 @@ def tar_member_listing(
     )
 
 
+def with_tar_shards_sized(
+    df: DataFrame,
+    target_bytes: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Size-targeted WebDataset shard packing (round 11): shard ids come
+    from ``packing.shard_assignment`` (exclusive-prefix-bytes DIV
+    target over the distributed prefix sum) instead of a fixed doc
+    count, so shards stay ~uniform in BYTES under document-length skew
+    — then one applyInPandas per shard builds the tar exactly like
+    ``with_tar_shards``. The assignment metric is the text's UTF-8 byte
+    length (tar header overhead excluded — it is constant per member
+    and irrelevant to balance)."""
+    from yark_spark.operators.packing import shard_assignment
+
+    _cont = _register_container_modules()
+    _build_tar = _cont.tar_build
+
+    sized = df.select(
+        F.col(id_col), F.col(text_col), F.octet_length(text_col).cast("long").alias("__sz")
+    )
+    assigned = shard_assignment(sized, [id_col], "__sz", target_bytes)
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        members = []
+        for did, t in zip(pdf[id_col], pdf[text_col]):
+            k = f"{int(did):08d}"
+            members.append((k + ".txt", t.encode("utf-8")))
+            members.append((k + ".json", f'{{"id":{int(did)}}}'.encode()))
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "payload": [_build_tar(members)],
+            }
+        )
+
+    return assigned.groupBy("shard_id").applyInPandas(
+        _build,
+        StructType(
+            [
+                StructField("shard_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
 def with_warc_shards(
     df: DataFrame,
     id_col: str = "doc_id",

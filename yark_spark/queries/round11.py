@@ -574,3 +574,35 @@ def q_shard_bin_packing(spark, sf_dir):
     return out.select(
         "doc_id", F.col("doc_bytes").cast("int").alias("doc_bytes"), "shard_id"
     )
+
+
+_WDS_SIZED_ORACLE = (
+    "WITH v AS (SELECT doc_id, octet_length(encode(text)) AS sz, "
+    "lpad(CAST(doc_id AS VARCHAR), 8, '0') AS k FROM documents WHERE doc_id < 480), "
+    "a AS (SELECT doc_id, k, sz, "
+    "CAST((sum(sz) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - sz) "
+    "// 8192 AS BIGINT) AS shard_id FROM v) "
+    "SELECT doc_id, shard_id, k || '.txt' AS name, "
+    "CAST(sz AS INTEGER) AS size_bytes FROM a "
+    "UNION ALL SELECT doc_id, shard_id, k || '.json', "
+    "CAST(7 + length(CAST(doc_id AS VARCHAR)) AS INTEGER) FROM a"
+)
+
+
+@query("q_webdataset_sized", oracle=_WDS_SIZED_ORACLE)
+def q_webdataset_sized(spark, sf_dir):
+    """E91' end-to-end sized shard export (round 11): the composition of
+    E91 and E90' — documents bin into ~8 KB shards via the distributed
+    prefix sum, each shard packs into a real ustar archive in one
+    applyInPandas, and a map-only listing pass parses the archives
+    back. The oracle reproduces BOTH layers analytically: the window-sum
+    shard assignment AND the member names/sizes — so one hash checks
+    the full export path a 100 TB corpus actually takes (size-balanced
+    shard write → sequential-read training loader)."""
+    from yark_spark.operators.multimodal import (
+        tar_member_listing,
+        with_tar_shards_sized,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return tar_member_listing(with_tar_shards_sized(docs, 8192))
