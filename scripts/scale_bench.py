@@ -58,6 +58,7 @@ EXTRA = [
     # round 11: the one new key whose cost scales with the corpus (the
     # codec keys decode fixed 100-300-doc fixture ranges by design)
     "q_dsir_importance",       # (doc,bucket) shuffle + broadcast dists
+    "q_shard_bin_packing",     # two-phase prefix sum over the full corpus
 ]
 
 
