@@ -334,3 +334,28 @@ def test_adpcm_differential_property():
         assert mine.tolist() == theirs
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# round-11 review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_wav_stereo_pcm16_and_g711_channels_honored():
+    # review fix: channels was silently ignored for non-ADPCM codecs
+    x = np.array([100, -200] * 50, dtype=np.int16)  # L R interleaved
+    for codec in ("pcm16", "mulaw", "alaw"):
+        rate, ch, out = decode_wav(encode_wav(x, codec=codec, channels=2))
+        assert ch == 2 and len(out) == len(x), codec
+    with pytest.raises(ValueError, match="divisible"):
+        encode_wav(np.zeros(5, dtype=np.int16), channels=2)
+
+
+def test_wav_truncated_fmt_typed_error():
+    import struct
+
+    body = b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    body += b"data" + struct.pack("<I", 0)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(payload)

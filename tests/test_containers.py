@@ -258,3 +258,11 @@ def test_tar_roundtrip_property():
         assert tar_members(tar_build(members)) == members
 
     run()
+
+
+def test_tar_member_over_8gib_rejected():
+    from yark_spark.operators.containers import _tar_header
+
+    assert len(_tar_header("x", 8**11 - 1)) == 512  # largest legal size
+    with pytest.raises(ValueError, match="8 GiB"):
+        _tar_header("x", 8**11)

@@ -113,3 +113,9 @@ def test_lossless_restart_segment_independence():
         except (ValueError, EOFError):
             continue  # typed failure is fine
         assert np.array_equal(out[:4], good_top)
+
+
+def test_lossless_restart_dri_range_check():
+    img = np.zeros((4, 40000), dtype=np.uint8)
+    with pytest.raises(ValueError, match="DRI"):
+        encode_jpeg_lossless(img, restart_rows=2)

@@ -127,3 +127,22 @@ def test_dsir_importance_majority_verdict(spark):
     # smoothed p=(0+1)/(tt+256) vs q=(c+1)/(tr+256) leans drop
     assert got[2].verdict == "drop"
     assert got[2].n_target_leaning == 0
+
+
+def test_dsir_importance_doc_level_flag_condition(spark):
+    # review fix: the documented unioned-frame pattern — a condition on
+    # a doc-level marker column, not an id predicate — must work and
+    # agree with the equivalent id-based call
+    from pyspark.sql import functions as F
+
+    from yark_spark.operators.lm import dsir_importance
+
+    rows = [(i, f"tok{i % 7} tok{(i + 1) % 5} tok{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "is_target", F.col("doc_id") < 15
+    )
+    by_flag = dsir_importance(df, target_condition=F.col("is_target"))
+    by_id = dsir_importance(df, target_condition=F.col("doc_id") < 15)
+    assert sorted(map(tuple, by_flag.collect())) == sorted(
+        map(tuple, by_id.collect())
+    )

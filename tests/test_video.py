@@ -98,3 +98,10 @@ def test_unsupported_colorspace_raises():
 def test_no_frames_raises():
     with pytest.raises(ValueError, match="no frames"):
         decode_y4m(b"YUV4MPEG2 W2 H2\n")
+
+
+def test_encode_rejects_wrong_chroma_shape():
+    y = np.zeros((4, 4), dtype=np.uint8)
+    bad_cb = np.zeros((4, 4), dtype=np.uint8)  # full-res chroma under C420
+    with pytest.raises(ValueError, match="chroma plane shape"):
+        encode_y4m([(y, bad_cb, bad_cb)], colorspace="420")

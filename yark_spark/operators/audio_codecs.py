@@ -305,24 +305,36 @@ def encode_wav(
     block_align: int = 256,
     channels: int = 1,
 ) -> bytes:
-    """Canonical mono RIFF/WAVE for ``codec`` in pcm16 / mulaw / alaw /
-    ima_adpcm. Compressed forms write the spec ``fmt `` extensions
-    (cbSize, samples-per-block for ADPCM) and a ``fact`` chunk with the
-    true sample count."""
+    """Canonical RIFF/WAVE for ``codec`` in pcm16 / mulaw / alaw /
+    ima_adpcm; multi-channel samples are interleaved (L R L R …) and
+    ``channels`` is honored in the fmt chunk for every codec. Compressed
+    forms write the spec ``fmt `` extensions (cbSize, samples-per-block
+    for ADPCM) and a ``fact`` chunk with the frame count."""
     x = np.asarray(samples, dtype=np.int64)
     n = len(x)
+    if channels < 1 or n % channels:
+        raise ValueError("sample count not divisible by channels")
     if codec == "pcm16":
         data = x.astype("<i2").tobytes()
-        fmt = struct.pack("<HHIIHH", _FMT_PCM16, 1, rate, rate * 2, 2, 16)
+        fmt = struct.pack(
+            "<HHIIHH", _FMT_PCM16, channels, rate,
+            rate * 2 * channels, 2 * channels, 16,
+        )
         fact = b""
     elif codec == "mulaw":
         data = mulaw_encode(x).tobytes()
-        fmt = struct.pack("<HHIIHHH", _FMT_MULAW, 1, rate, rate, 1, 8, 0)
-        fact = struct.pack("<4sII", b"fact", 4, n)
+        fmt = struct.pack(
+            "<HHIIHHH", _FMT_MULAW, channels, rate,
+            rate * channels, channels, 8, 0,
+        )
+        fact = struct.pack("<4sII", b"fact", 4, n // channels)
     elif codec == "alaw":
         data = alaw_encode(x).tobytes()
-        fmt = struct.pack("<HHIIHHH", _FMT_ALAW, 1, rate, rate, 1, 8, 0)
-        fact = struct.pack("<4sII", b"fact", 4, n)
+        fmt = struct.pack(
+            "<HHIIHHH", _FMT_ALAW, channels, rate,
+            rate * channels, channels, 8, 0,
+        )
+        fact = struct.pack("<4sII", b"fact", 4, n // channels)
     elif codec == "ima_adpcm":
         data = ima_adpcm_encode(x, block_align, channels=channels)
         spb = _ima_samples_per_block(block_align, channels)
@@ -372,6 +384,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         pos += 8 + sz + (sz & 1)
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"fmt chunk truncated to {len(fmt)} bytes")
     tag, channels, rate, _br, block_align, bits = struct.unpack("<HHIIHH", fmt[:16])
     if tag == _FMT_PCM16:
         if bits != 16:

@@ -86,7 +86,9 @@ def _gzip_member(p: bytes, pos: int, max_output: int | None) -> tuple[bytes, int
         pos += 2
     if pos >= len(p) - 8:
         raise ValueError("gzip: no deflate body")
-    raw, used = inflate(p[pos:], max_output=max_output, with_consumed=True)
+    # memoryview: O(1) slice — a bytes slice here would copy the whole
+    # remaining payload per member, quadratic over a multi-member shard
+    raw, used = inflate(memoryview(p)[pos:], max_output=max_output, with_consumed=True)
     pos += used
     if pos + 8 > len(p):
         raise ValueError("gzip: truncated trailer")
@@ -137,6 +139,8 @@ def _tar_header(name: str, size: int) -> bytes:
     nb = name.encode("utf-8")
     if len(nb) > 100:
         raise ValueError("tar: member name over 100 bytes (no prefix support needed)")
+    if size >= 8**11:  # the 11-octal-digit ustar size field caps at 8 GiB
+        raise ValueError("tar: member over 8 GiB exceeds the ustar size field")
     h = bytearray(512)
     h[0 : len(nb)] = nb
     h[100:108] = _octal(0o644, 8)  # mode

@@ -958,6 +958,10 @@ def encode_jpeg_lossless(
     default = 1 << (prec - point_transform - 1)
     if restart_rows < 0 or restart_rows > h:
         raise ValueError("restart_rows out of range")
+    if restart_rows and restart_rows * w > 0xFFFF:
+        raise ValueError(
+            f"restart interval {restart_rows * w} MCUs exceeds the 16-bit DRI field"
+        )
     seg_rows = restart_rows or h
 
     def _encode_segment(views) -> bytes:

@@ -21,17 +21,22 @@ from pyspark.sql import functions as F
 from yark_spark.operators.dedup import tokens
 
 
-def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, w1, w2) — one row per consecutive token pair; docs with fewer
-    than two tokens contribute nothing."""
+def _bigrams(
+    df: DataFrame, id_col: str, text_col: str, carry: list[str] = ()
+) -> DataFrame:
+    """(id[, *carry], w1, w2) — one row per consecutive token pair; docs
+    with fewer than two tokens contribute nothing. ``carry`` columns are
+    evaluated against the ORIGINAL row (so doc-level flags survive the
+    projection) and replicated onto every bigram."""
     t = tokens(df, text_col)
-    base = df.select(F.col(id_col), t.alias("__t")).filter(F.size("__t") >= 2)
+    keep = [F.col(id_col)] + [F.col(c) for c in carry]
+    base = df.select(*keep, t.alias("__t")).filter(F.size("__t") >= 2)
     return base.select(
-        F.col(id_col),
+        *keep,
         F.explode(F.sequence(F.lit(1), F.size("__t") - 1)).alias("__i"),
         "__t",
     ).select(
-        F.col(id_col),
+        *keep,
         F.element_at("__t", F.col("__i")).alias("w1"),
         F.element_at("__t", F.col("__i") + 1).alias("w2"),
     )
@@ -108,7 +113,13 @@ def dsir_importance(
     """
     if target_condition is None:
         target_condition = F.lit(True)
-    bg = _bigrams(df, id_col, text_col)
+    # evaluate the condition against the ORIGINAL rows and carry the flag
+    # through the bigram explosion — conditions over any doc-level column
+    # (e.g. an is_target marker on a unioned frame) work, not just id
+    # predicates over the projected bigram stream
+    bg = _bigrams(
+        df.withColumn("__tgt", target_condition), id_col, text_col, carry=["__tgt"]
+    )
     h = F.md5(F.concat_ws(" ", "w1", "w2"))
     bucket = F.pmod(
         F.ascii(F.substring(h, 1, 1)) * 131 + F.ascii(F.substring(h, 2, 1)),
@@ -126,7 +137,7 @@ def dsir_importance(
     # would pin 200 near-empty partitions into every downstream stage
     width = df.sparkSession.sparkContext.defaultParallelism
     per = track(
-        bg.select(F.col(id_col), bucket.alias("__b"), target_condition.alias("__t"))
+        bg.select(F.col(id_col), bucket.alias("__b"), F.col("__tgt").alias("__t"))
         .groupBy(id_col, "__b", "__t")
         .agg(F.count(F.lit(1)).alias("__c"))
         .coalesce(max(1, width))

@@ -590,8 +590,17 @@ def with_wav_payload(
 ) -> DataFrame:
     """Deterministic WAV fixture column: each doc's md5 hex chars (ascii
     codes as int16 samples, tiled 8× → 256 samples) encoded as canonical
-    PCM16 WAV. Map-only mapInPandas; the encoder half of the codec."""
-    encode, _ = _make_wav_codec()
+    PCM16 WAV via the production codec (operators/audio_codecs;
+    byte-identical to the closure codec kept in tests as the
+    independent differential). Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import audio_codecs as _ac
+
+    _cp.register_pickle_by_value(_ac)
+
+    def encode(samples, rate):
+        return _ac.encode_wav(samples, rate=rate, codec="pcm16")
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -654,9 +663,13 @@ def decode_audio_spectrum(
             ns, bins, hzs = [], [], []
             for p in pdf[payload_col]:
                 rate, _ch, samples = _decode(bytes(p))
+                ns.append(len(samples))
+                if len(samples) < 2:  # no non-DC bin exists
+                    bins.append(0)
+                    hzs.append(0.0)
+                    continue
                 spec = np.abs(np.fft.rfft(samples.astype(np.float64)))
                 k = int(np.argmax(spec[1:])) + 1  # exclude DC
-                ns.append(len(samples))
                 bins.append(k)
                 hzs.append(round(k * rate / len(samples), 6))
             yield pd.DataFrame(
@@ -687,7 +700,14 @@ def with_tone_wav_payload(
     has zero spectral leakage, so after quantization the dominant rfft
     bin is exactly ``k`` and the oracle reduces to modular arithmetic
     on the md5 code — no FFT in SQL. Map-only mapInPandas."""
-    encode, _ = _make_wav_codec()
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import audio_codecs as _ac
+
+    _cp.register_pickle_by_value(_ac)
+
+    def encode(samples, rate):
+        return _ac.encode_wav(samples, rate=rate, codec="pcm16")
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -813,7 +833,13 @@ def decode_audio_features(
                 ns.append(len(samples))
                 rates.append(rate)
                 durs.append(round(len(samples) / rate, 6))
-                peaks.append(int(np.max(np.abs(samples))) if len(samples) else 0)
+                # widen before abs: np.abs(int16 -32768) overflows to
+                # -32768 and would silently drop the true full-scale peak
+                peaks.append(
+                    int(np.max(np.abs(samples.astype(np.int64))))
+                    if len(samples)
+                    else 0
+                )
                 rmss.append(
                     round(float(np.sqrt(np.mean(v * v))), 6) if len(samples) else 0.0
                 )

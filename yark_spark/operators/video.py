@@ -163,6 +163,13 @@ def encode_y4m(
             if cb is None:
                 cb = np.full((ch, cw), 128, dtype=np.uint8)
                 cr = cb
-            out += np.asarray(cb, dtype=np.uint8).tobytes()
-            out += np.asarray(cr, dtype=np.uint8).tobytes()
+            cb = np.asarray(cb, dtype=np.uint8)
+            cr = np.asarray(cr, dtype=np.uint8)
+            if cb.shape != (ch, cw) or cr.shape != (ch, cw):
+                raise ValueError(
+                    f"chroma plane shape {cb.shape}/{cr.shape} != {(ch, cw)} "
+                    f"for C{colorspace}"
+                )
+            out += cb.tobytes()
+            out += cr.tobytes()
     return bytes(out)
