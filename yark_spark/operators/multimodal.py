@@ -1492,14 +1492,18 @@ def with_warc_shards(
     text_col: str = "text",
     docs_per_shard: int = 16,
     per_record_gzip: bool = True,
+    http_head: bool = False,
 ) -> DataFrame:
     """Pack documents into .warc.gz shards (ISO 28500 — the Common
     Crawl wire format): one ``response`` record per doc with a
     WARC-Target-URI, one gzip member per record (the seekable .warc.gz
-    convention). One applyInPandas per shard group, same shape as
-    with_tar_shards."""
+    convention). ``http_head`` prefixes each block with an HTTP message
+    head and a leading ``warcinfo`` record per shard — the full CC-MAIN
+    record shape the WET extractor strips. One applyInPandas per shard
+    group, same shape as with_tar_shards."""
     _cont = _register_container_modules()
     _build_warc = _cont.warc_build
+    _head = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
@@ -1508,10 +1512,14 @@ def with_warc_shards(
                 "type": "response",
                 "uri": f"https://example.com/doc/{int(did)}",
                 "record_id": f"urn:uuid:{int(did):032x}",
-                "block": t.encode("utf-8"),
+                "block": (_head if http_head else b"") + t.encode("utf-8"),
             }
             for did, t in zip(pdf[id_col], pdf[text_col])
         ]
+        if http_head:
+            records.insert(
+                0, {"type": "warcinfo", "block": b"software: yark-spark\r\n"}
+            )
         sid = int(pdf[id_col].iloc[0]) // docs_per_shard
         return pd.DataFrame(
             {
@@ -1580,6 +1588,60 @@ def warc_record_listing(
 
     return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
         _extract, WARC_LISTING_SCHEMA
+    )
+
+
+WET_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def warc_wet_extract(
+    df: DataFrame, shard_col: str = "shard_id", payload_col: str = "payload"
+) -> DataFrame:
+    """WET-style text extraction (round 11): the Common Crawl
+    WARC→WET conversion pass — for each ``response`` record, strip the
+    HTTP message head (status line + headers, up to the first CRLF CRLF)
+    from the block and recover the payload text. Emits (doc key,
+    n_chars, md5 digest) so a SQL oracle certifies byte-exact recovery
+    through gzip members + record grammar + HTTP framing without moving
+    the text. Map-only mapInPandas; non-response records are skipped
+    exactly like the real WET generator."""
+    _cont = _register_container_modules()
+    _records = _cont.warc_records
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            dids, ns, digs = [], [], []
+            for p in pdf[payload_col]:
+                for r in _records(bytes(p), max_output=1 << 20):
+                    if r["headers"]["warc-type"] != "response":
+                        continue
+                    uri = r["headers"].get("warc-target-uri", "")
+                    block = r["block"]
+                    head_end = block.find(b"\r\n\r\n")
+                    body = block[head_end + 4 :] if head_end >= 0 else block
+                    dids.append(int(uri.rsplit("/", 1)[-1]))
+                    ns.append(len(body.decode("utf-8")))
+                    digs.append(_hashlib.md5(body).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(dids, dtype="int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
+        _extract, WET_SCHEMA
     )
 
 

@@ -540,6 +540,29 @@ def q_warc_scan(spark, sf_dir):
     return warc_record_listing(with_warc_shards(docs))
 
 
+_WET_ORACLE = (
+    "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_warc_wet_extract", oracle=_WET_ORACLE)
+def q_warc_wet_extract(spark, sf_dir):
+    """E90''' WARC→WET text extraction (round 11): the Common Crawl
+    conversion pass — .warc.gz shards whose response blocks carry a
+    full HTTP message head (plus a warcinfo record per shard, skipped
+    exactly like the real WET generator), inflated member-by-member,
+    record grammar parsed, HTTP head stripped at the first CRLF CRLF,
+    and the recovered text digest-matched against md5(text). One hash
+    certifies the whole wire path a crawled corpus takes: per-record
+    gzip members → ISO 28500 framing → HTTP framing → text. Map-only
+    mapInPandas both stages."""
+    from yark_spark.operators.multimodal import warc_wet_extract, with_warc_shards
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return warc_wet_extract(with_warc_shards(docs, http_head=True))
+
+
 # ---------------------------------------------------------------------------
 # Size-targeted shard binning — distributed prefix sum, integer-exact
 # ---------------------------------------------------------------------------
