@@ -402,6 +402,74 @@ def fake_image_features(payload: bytes) -> tuple[int, int, str]:
     return width, height, mode
 
 
+#: Output schema of decode_image_features_quarantine: the feature
+#: columns (null for quarantined rows) plus the error class.
+QUARANTINE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_pixel", DoubleType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def decode_image_features_quarantine(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Quarantining variant of :func:`decode_image_features` (round 11):
+    at 100 TB some payload bytes WILL be corrupt, and a decode error
+    must not kill the task (the default extractor fails fast — the
+    right behavior for constructed fixtures, the wrong one for crawled
+    bytes). Rows that decode get their features and a null ``error``;
+    rows whose decode raises get null features and the exception CLASS
+    name — the same side-output-in-band shape as the JSON ingest
+    quarantine, ready for a ``WHERE error IS NULL`` split + a
+    quarantine-table write. Only decoder errors (ValueError /
+    NotImplementedError / EOFError) are caught; anything else is a bug
+    and still fails the task. Map-only mapInPandas."""
+    decode = _make_decoder()  # ships by value; workers never import the package
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ws, hs, cs, ms, errs = [], [], [], [], []
+            for p in pdf[payload_col]:
+                try:
+                    arr = decode(bytes(p))
+                except (ValueError, NotImplementedError, EOFError) as exc:
+                    ws.append(None)
+                    hs.append(None)
+                    cs.append(None)
+                    ms.append(None)
+                    errs.append(type(exc).__name__)
+                    continue
+                h, w = arr.shape[:2]
+                ch = 1 if arr.ndim == 2 else arr.shape[2]
+                ws.append(w)
+                hs.append(h)
+                cs.append(ch)
+                ms.append(round(float(np.mean(arr.astype(np.float64))), 6))
+                errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "channels": pd.array(cs, dtype="Int32"),
+                    "mean_pixel": pd.array(ms, dtype="Float64"),
+                    "error": errs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, QUARANTINE_FEATURE_SCHEMA
+    )
+
+
 def with_binary_payload(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> DataFrame:
     """Materialize an opaque binary column (stand-in for image/audio bytes;
     the fixture tables carry no blobs)."""
@@ -1098,6 +1166,7 @@ def with_gif_payload(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corrupt_every: int | None = None,
     **encode_opts,
 ) -> DataFrame:
     """Deterministic GIF fixture column (round 11): the same 16x16
@@ -1107,7 +1176,11 @@ def with_gif_payload(
     palette). GIF is lossless, so the decoded mean is EXACTLY
     (a+b+c+d)/4 and channels stay 3. Interlace on odd doc_ids pins both
     row orders under one analytic oracle, exactly like the PNG fixture.
-    Map-only mapInPandas; the gif module ships by value."""
+    Map-only mapInPandas; the gif module ships by value.
+
+    ``corrupt_every`` (round 11): truncate every N-th doc's payload
+    mid-stream — a deterministic decode ValueError, the quarantine
+    fixture for decode_image_features_quarantine."""
     from pyspark import cloudpickle as _cp
 
     from yark_spark.operators import gif as _gif_mod
@@ -1131,7 +1204,10 @@ def with_gif_payload(
                 img[8:, 8:] = vals[3]
                 opts = dict(encode_opts)
                 opts.setdefault("interlace", int(did) % 2 == 1)
-                payloads.append(_enc(img, **opts))
+                payload = _enc(img, **opts)
+                if corrupt_every and int(did) % corrupt_every == 0:
+                    payload = payload[: len(payload) // 2]
+                payloads.append(payload)
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
             )

@@ -211,6 +211,44 @@ def q_image_decode_gif(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Decode quarantine — corrupt payloads become rows, not task failures
+# ---------------------------------------------------------------------------
+
+_QUARANTINE_ORACLE = (
+    "WITH v AS (SELECT doc_id, "
+    "ascii(substr(md5(text), 1, 1)) AS a, ascii(substr(md5(text), 2, 1)) AS b, "
+    "ascii(substr(md5(text), 3, 1)) AS c, ascii(substr(md5(text), 4, 1)) AS d, "
+    "doc_id % 7 = 0 AS bad FROM documents WHERE doc_id < 210) "
+    "SELECT doc_id, "
+    "CASE WHEN bad THEN NULL ELSE CAST(16 AS INTEGER) END AS width, "
+    "CASE WHEN bad THEN NULL ELSE CAST(16 AS INTEGER) END AS height, "
+    "CASE WHEN bad THEN NULL ELSE CAST(3 AS INTEGER) END AS channels, "
+    "CASE WHEN bad THEN NULL ELSE round((a + b + c + d) / 4.0, 6) END AS mean_pixel, "
+    "CASE WHEN bad THEN 'ValueError' ELSE NULL END AS error FROM v"
+)
+
+
+@query("q_image_decode_quarantine", oracle=_QUARANTINE_ORACLE)
+def q_image_decode_quarantine(spark, sf_dir):
+    """E92 decode quarantine (round 11): at 100 TB some payload bytes
+    WILL be corrupt, and the default fail-fast extractor would kill the
+    task — this key pins the production semantics instead. Every 7th
+    GIF payload is truncated mid-stream; quarantined rows surface the
+    exception class with null features, healthy rows decode normally,
+    and the oracle checks BOTH populations in one hash (the same
+    side-output-in-band shape as the JSON ingest quarantine). Only
+    decoder errors are caught — a crash in the engine itself still
+    fails loudly. Map-only mapInPandas."""
+    from yark_spark.operators.multimodal import (
+        decode_image_features_quarantine,
+        with_gif_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 210)
+    return decode_image_features_quarantine(with_gif_payload(docs, corrupt_every=7))
+
+
+# ---------------------------------------------------------------------------
 # Compressed audio — G.711 (table-embedded oracle) + IMA ADPCM (analytic)
 # ---------------------------------------------------------------------------
 
