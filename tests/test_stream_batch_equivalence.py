@@ -107,3 +107,33 @@ def test_stream_tar_shard_listing_equals_batch(spark, sf_dir, tmp_path):
     batch_df = spark.createDataFrame(shards)
     batch = sorted(map(tuple, tar_member_listing(batch_df).collect()))
     assert streamed == batch and len(streamed) == 128  # 64 docs x 2 members
+
+
+def test_stream_warc_listing_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming .warc.gz ingest (r11): the availableNow drain of a
+    watched segment directory must equal the batch record listing."""
+    from yark_spark.operators.multimodal import warc_record_listing, with_warc_shards
+    from yark_spark.streaming.pipelines import warc_shard_listing_stream
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    shards = with_warc_shards(docs).collect()
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    for r in shards:
+        (seg_dir / f"shard-{r.shard_id}.warc.gz").write_bytes(bytes(r.payload))
+
+    out = warc_shard_listing_stream(spark, str(seg_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_warc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_warc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(map(tuple, spark.sql("SELECT * FROM stream_warc").collect()))
+    batch = sorted(
+        map(tuple, warc_record_listing(spark.createDataFrame(shards)).collect())
+    )
+    assert streamed == batch and len(streamed) == 48

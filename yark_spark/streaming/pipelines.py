@@ -248,3 +248,34 @@ def tar_shard_listing_stream(
         F.col("content").alias("payload"),
     )
     return tar_member_listing(shards)
+
+
+def warc_shard_listing_stream(
+    spark: SparkSession, path: str, glob: str = "*.warc.gz"
+) -> DataFrame:
+    """Streaming Common Crawl-style ingest (round 11): watch a directory
+    for .warc.gz segment files (binaryFile source) and emit each
+    record's index row via the stateless WARC listing — the streaming
+    twin of q_warc_scan, same shape as tar_shard_listing_stream. Shard
+    ids parse from the ``shard-N.warc.gz`` name convention."""
+    tune(spark)
+    binary_schema = (
+        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    from yark_spark.operators.multimodal import warc_record_listing
+
+    shards = stream.select(
+        F.regexp_extract(
+            F.element_at(F.split(F.col("path"), "/"), -1), r"shard-(\d+)", 1
+        )
+        .cast("long")
+        .alias("shard_id"),
+        F.col("content").alias("payload"),
+    )
+    return warc_record_listing(shards)
