@@ -16,6 +16,7 @@ ROWS_ONLY_CONTRACTS = {
     "q_grouped_pandas": "UPGRADED round 7: now oracle-checked (integer-us median)",
     "q_multimodal_features": "q_image_decode / q_audio_decode hash-match the REAL decode paths; this key is the stub-plumbing shape",
     "q_pack_greedy": "q_pack_sequences: prefix-sum packing oracle-checked; greedy variant asserts budget invariants (test_packing)",
+    "q_image_phash": "DCT pHash invariance contracts: <=6-bit drift under JPEG q50 recompression, >=16 bits between distinct images, brightness/luma stability (test_phash)",
     "q_simhash": "q_simhash_md5: md5 bit-vote twin hash-matched",
     "q_simhash_pairs": "q_containment_pairs + q_simhash_md5 pin band/Hamming algebra",
     "q_stream_session": "row-set cross-checked against oracle-checked q_sessionize (test_stream_batch_equivalence)",

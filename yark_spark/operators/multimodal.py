@@ -470,6 +470,47 @@ def decode_image_features_quarantine(
     )
 
 
+#: Output schema of image_phash_features.
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+
+def image_phash_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual hash over a binary image column (round 11): decode →
+    DCT pHash (operators/phash) → 16-hex-char signature. The
+    image-native near-duplicate key: identical pictures at different
+    compression settings hash within a few bits (contracts in
+    tests/test_phash.py), so downstream dedup is a band-join on hash
+    prefixes + a Hamming verify — the SimHash plan shape applied to
+    pixels. Map-only mapInPandas; pixels never shuffle."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import phash as _phash_mod
+
+    _cp.register_pickle_by_value(_phash_mod)
+    _ph = _phash_mod.phash64
+    decode = _make_decoder()
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                f"{_ph(decode(bytes(p))):016x}" for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "phash": hashes}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, PHASH_SCHEMA
+    )
+
+
 def with_binary_payload(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> DataFrame:
     """Materialize an opaque binary column (stand-in for image/audio bytes;
     the fixture tables carry no blobs)."""

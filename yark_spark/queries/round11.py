@@ -210,6 +210,24 @@ def q_image_decode_gif(spark, sf_dir):
     return decode_image_features(with_gif_payload(docs))
 
 
+@query("q_image_phash")  # rows-only: a DCT median threshold has no SQL twin
+def q_image_phash(spark, sf_dir):
+    """E93 perceptual image hash (round 11, rows-only — contract in
+    tests/test_rows_only_contracts.py): DCT pHash signatures over the
+    GIF payload column — the image-native near-dup key the dedup family
+    lacked (text has MinHash/SimHash, embeddings have cosine; pixels
+    had nothing). Governed by the invariance contracts in
+    tests/test_phash.py: ≤6 bits Hamming drift under JPEG q50
+    recompression, ≥16 bits between distinct images, brightness-shift
+    and RGB/luma stability. At 100 TB dedup is a band-join on hash
+    prefixes + Hamming verify — the SimHash plan applied to pixels;
+    this key is the map-only signature pass that feeds it."""
+    from yark_spark.operators.multimodal import image_phash_features, with_gif_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return image_phash_features(with_gif_payload(docs))
+
+
 # ---------------------------------------------------------------------------
 # Decode quarantine — corrupt payloads become rows, not task failures
 # ---------------------------------------------------------------------------
