@@ -975,6 +975,7 @@ def with_jpeg_payload(
     progressive: bool = False,
     restart_interval: int = 0,
     lossless: bool = False,
+    quality: int = 100,
 ) -> DataFrame:
     """Deterministic JPEG fixture column: a 16x16 grayscale image whose
     four 8x8 blocks are CONSTANT at the ascii codes of the doc's first
@@ -1000,6 +1001,7 @@ def with_jpeg_payload(
     from yark_spark.operators import jpeg as _jpeg_mod
 
     _cp.register_pickle_by_value(_jpeg_mod)
+    _q = quality
     if lossless:
         _ll = _jpeg_mod.encode_jpeg_lossless
 
@@ -1030,7 +1032,7 @@ def with_jpeg_payload(
                 img[:8, 8:] = vals[1]
                 img[8:, :8] = vals[2]
                 img[8:, 8:] = vals[3]
-                payloads.append(encode(img, quality=100, did=int(did)))
+                payloads.append(encode(img, quality=_q, did=int(did)))
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
             )

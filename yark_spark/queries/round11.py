@@ -228,6 +228,40 @@ def q_image_phash(spark, sf_dir):
     return image_phash_features(with_gif_payload(docs))
 
 
+_PHASH_AGREE_ORACLE = (
+    "SELECT doc_id, CAST(TRUE AS BOOLEAN) AS codec_agree "
+    "FROM documents WHERE doc_id < 200"
+)
+
+
+@query("q_image_phash_agreement", oracle=_PHASH_AGREE_ORACLE)
+def q_image_phash_agreement(spark, sf_dir):
+    """E93' pHash cross-codec agreement (round 11): the SAME quadrant
+    image encoded as lossless GIF and as JPEG q90 must produce the SAME
+    64-bit perceptual hash per doc — a deterministic end-to-end pin of
+    two encoders, two decoders, the area resampler, the 32x32 DCT and
+    the median threshold agreeing bit-for-bit (verified exhaustively
+    over the fixture corpus: every cross-codec Hamming distance is 0 at
+    q90 on block-constant images). This gives the rows-only
+    q_image_phash an oracle-side anchor, like q_image_codec_agreement
+    does for the decoders. Map-only; the join key is the doc id, two
+    bounded signature columns."""
+    from yark_spark.operators.multimodal import (
+        image_phash_features,
+        with_gif_payload,
+        with_jpeg_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    a = image_phash_features(with_gif_payload(docs)).withColumnRenamed("phash", "pa")
+    b = image_phash_features(
+        with_jpeg_payload(docs, quality=90)
+    ).withColumnRenamed("phash", "pb")
+    return a.join(b, "doc_id").select(
+        "doc_id", (F.col("pa") == F.col("pb")).alias("codec_agree")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Decode quarantine — corrupt payloads become rows, not task failures
 # ---------------------------------------------------------------------------
