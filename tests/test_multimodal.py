@@ -707,3 +707,69 @@ def test_jpeg_12bit_baseline_sof0_rejected():
     )
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(payload)
+
+
+# ---------------------------------------------------------------------------
+# Round 12: ADVICE fixes — quarantine catch list + lenient listing keys
+# ---------------------------------------------------------------------------
+
+
+def test_quarantine_catches_truncated_headers(spark):
+    """Payloads truncated mid-header raise struct.error / IndexError
+    inside the header parsers (not ValueError) — the quarantine must
+    catch those too, or one corrupt crawled byte-string kills the task
+    (round-12 ADVICE)."""
+    from yark_spark.operators.multimodal import decode_image_features_quarantine
+
+    payloads = [
+        (1, b"BM" + b"\x00" * 14),          # truncated BMP header
+        (2, b"\xff\xd8\xff\xe0\x00"),       # truncated JPEG segment length
+        (3, b"RIFF\x04\x00\x00\x00WAVE"),   # WAV with no fmt chunk
+        (4, b"GIF89a\x10\x00"),             # truncated GIF descriptor
+        (5, b"\x89PNG\r\n\x1a\n\x00\x00"),  # truncated PNG chunk header
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in decode_image_features_quarantine(df).collect()}
+    assert len(rows) == 5
+    for did, r in rows.items():
+        assert r["error"] is not None, f"doc {did} should be quarantined"
+        assert r["width"] is None and r["mean_pixel"] is None
+
+
+def test_tar_listing_non_numeric_member_null_doc_id(spark):
+    """A member whose name doesn't start with digits (a real-world tar
+    README, a PAX leftover) yields a null doc_id instead of failing the
+    whole shard listing (round-12 ADVICE)."""
+    import io
+    import tarfile
+
+    from yark_spark.operators.multimodal import tar_member_listing
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in [("README.txt", b"hello"), ("00042.txt", b"doc body")]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    df = spark.createDataFrame([(0, bytearray(buf.getvalue()))], "shard_id long, payload binary")
+    rows = sorted(tar_member_listing(df).collect(), key=lambda r: r["name"])
+    assert [r["name"] for r in rows] == ["00042.txt", "README.txt"]
+    assert rows[0]["doc_id"] == 42
+    assert rows[1]["doc_id"] is None
+    assert rows[1]["size_bytes"] == 5
+
+
+def test_warc_listing_warcinfo_null_doc_id(spark):
+    """Real Common Crawl segments open with a warcinfo record that has
+    no WARC-Target-URI — the listing must emit it with a null doc_id,
+    not crash on int('') (round-12 ADVICE)."""
+    from yark_spark.operators.multimodal import warc_record_listing, with_warc_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(4)], "doc_id long, text string"
+    )
+    out = warc_record_listing(with_warc_shards(docs, http_head=True)).collect()
+    info = [r for r in out if r["warc_type"] == "warcinfo"]
+    resp = [r for r in out if r["warc_type"] == "response"]
+    assert len(info) == 1 and info[0]["doc_id"] is None
+    assert sorted(r["doc_id"] for r in resp) == [0, 1, 2, 3]

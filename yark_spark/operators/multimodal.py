@@ -427,12 +427,18 @@ def decode_image_features_quarantine(
     rows whose decode raises get null features and the exception CLASS
     name — the same side-output-in-band shape as the JSON ingest
     quarantine, ready for a ``WHERE error IS NULL`` split + a
-    quarantine-table write. Only decoder errors (ValueError /
-    NotImplementedError / EOFError) are caught; anything else is a bug
-    and still fails the task. Map-only mapInPandas."""
+    quarantine-table write. Only decoder errors are caught; anything
+    else is a bug and still fails the task. The catch list includes
+    ``struct.error`` and ``IndexError`` because payloads truncated
+    mid-header surface as failed ``struct.unpack`` / slice-index reads
+    inside header parsers (BMP/JPEG/WAV) before any explicit validation
+    can run — exactly the corrupt-crawled-bytes case the quarantine
+    exists for. Map-only mapInPandas."""
     decode = _make_decoder()  # ships by value; workers never import the package
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
         import numpy as np
 
         for pdf in batches:
@@ -440,7 +446,13 @@ def decode_image_features_quarantine(
             for p in pdf[payload_col]:
                 try:
                     arr = decode(bytes(p))
-                except (ValueError, NotImplementedError, EOFError) as exc:
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    EOFError,
+                    IndexError,
+                    _struct.error,
+                ) as exc:
                     ws.append(None)
                     hs.append(None)
                     cs.append(None)
@@ -1532,19 +1544,28 @@ def tar_member_listing(
     _members = _cont.tar_members
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
         import numpy as np
+
+        # WebDataset keys are the leading digits of the member name; a
+        # real-world tar can carry non-numeric members (README, PAX
+        # leftovers) — those get a null doc_id instead of failing the
+        # whole shard listing.
+        _key = _re.compile(rb"^(\d+)").match
 
         for pdf in batches:
             dids, sids, names, sizes = [], [], [], []
             for sid, p in zip(pdf[shard_col], pdf[payload_col]):
                 for name, data in _members(bytes(p)):
-                    dids.append(int(name.split(".")[0]))
+                    m = _key(name.encode("utf-8", "replace"))
+                    dids.append(int(m.group(1)) if m else None)
                     sids.append(int(sid))
                     names.append(name)
                     sizes.append(len(data))
             yield pd.DataFrame(
                 {
-                    "doc_id": np.array(dids, dtype="int64"),
+                    "doc_id": pd.array(dids, dtype="Int64"),
                     "shard_id": np.array(sids, dtype="int64"),
                     "name": names,
                     "size_bytes": np.array(sizes, dtype="int32"),
@@ -1691,14 +1712,19 @@ def warc_record_listing(
             dids, sids, types, lens = [], [], [], []
             for sid, p in zip(pdf[shard_col], pdf[payload_col]):
                 for r in _records(bytes(p), max_output=1 << 20):
+                    # Real CC segments always open with a warcinfo
+                    # record that has NO WARC-Target-URI; any record
+                    # whose URI tail isn't our numeric doc key gets a
+                    # null doc_id instead of failing the shard.
                     uri = r["headers"].get("warc-target-uri", "")
-                    dids.append(int(uri.rsplit("/", 1)[-1]))
+                    tail = uri.rsplit("/", 1)[-1]
+                    dids.append(int(tail) if tail.isdigit() else None)
                     sids.append(int(sid))
                     types.append(r["headers"]["warc-type"])
                     lens.append(len(r["block"]))
             yield pd.DataFrame(
                 {
-                    "doc_id": np.array(dids, dtype="int64"),
+                    "doc_id": pd.array(dids, dtype="Int64"),
                     "shard_id": np.array(sids, dtype="int64"),
                     "warc_type": types,
                     "content_length": np.array(lens, dtype="int32"),
