@@ -79,3 +79,65 @@ def test_hamming64():
     assert hamming64(0, 0) == 0
     assert hamming64(0, (1 << 64) - 1) == 64
     assert hamming64(0b1010, 0b0110) == 2
+
+
+# ---------------------------------------------------------------------------
+# Round 12: banded near-dup resolution over pHash (VERDICT r11 task #1)
+# ---------------------------------------------------------------------------
+
+
+def _i64(h):
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_phash_neardup_pairs_pigeonhole_and_hamming(spark):
+    """Within bands-1 = 3 bit flips the pair is guaranteed (pigeonhole,
+    uncapped); the hamming column must equal hamming64."""
+    from yark_spark.operators.dedup import phash_neardup_pairs
+
+    base = 0x123456789ABCDEF0
+    rows = [
+        (0, _i64(base)),
+        (1, _i64(base ^ 0b111)),            # 3 flips, band 0
+        (2, _i64(base ^ (1 << 17) ^ (1 << 33) ^ (1 << 49))),  # 3 bands touched
+        (3, _i64(~base & ((1 << 64) - 1))),  # far: 64 flips
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, phash_i64 long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(df, max_hamming=64, max_bucket=None).collect()
+    }
+    assert got[(0, 1)] == 3 and got[(0, 2)] == 3
+    assert (0, 3) not in got  # differs in every band: no shared band key
+    lut = dict(rows)
+    for (a, b), ham in got.items():
+        assert ham == hamming64(lut[a] & ((1 << 64) - 1), lut[b] & ((1 << 64) - 1))
+
+
+def test_phash_neardup_recall_on_recompression_families(spark):
+    """The end-to-end contract for the oracle-checked banding keys: REAL
+    codec drift. Each family = one photo + its JPEG q90/q75/q50 and
+    lossless-GIF recompressions; the banded pipeline (4 x 16-bit bands,
+    Hamming <= 6) must keep every family connected as ONE cluster and
+    never merge distinct photos."""
+    from yark_spark.operators.dedup import phash_neardup_clusters
+    from yark_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rows = []
+    for fam in range(6):
+        img = _photo(fam)
+        variants = [img] + [
+            decode_jpeg(encode_jpeg(img, quality=q)) for q in (90, 75, 50)
+        ]
+        for v, arr in enumerate(variants):
+            rows.append((fam * 10 + v, _i64(phash64(arr))))
+    df = spark.createDataFrame(rows, "doc_id long, phash_i64 long")
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in phash_neardup_clusters(df).collect()
+    }
+    assert len(clusters) == len(rows)
+    for fam in range(6):
+        members = {clusters[fam * 10 + v] for v in range(4)}
+        assert members == {fam * 10}, f"family {fam} split: {members}"
+    assert len(set(clusters.values())) == 6  # no cross-family merge

@@ -711,3 +711,72 @@ def fuzzy_match_join(
         .filter(F.col("__rn") == 1)
         .select(dirty_id, clean_id, "lev")
     )
+
+
+def phash_neardup_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash_i64",
+    max_hamming: int = 6,
+    bands: int = 4,
+    max_bucket: int | None = 4096,
+    observation=None,
+) -> DataFrame:
+    """Image near-duplicate candidate pairs over a 64-bit pHash column
+    (round 12, VERDICT r11 task #1): the SimHash banding plan applied to
+    PIXEL signatures. ``bands`` × ``64//bands``-bit slices of the hash
+    are the LSH keys → shared-band equi-join via :func:`banded_pairs`
+    (first-band emission, hot-bucket cap) → ``bit_count(xor)`` Hamming
+    verify over the carried signatures. Everything after the map-only
+    signature pass is JVM expressions — band slicing is
+    ``shiftrightunsigned``+mask, the verify is one codegen'd xor — so the
+    only Python in the pipeline is the decode that produced the hashes.
+
+    Recall: pigeonhole guarantees every pair within ``bands - 1`` bit
+    flips shares a band (uncapped). pHash recompression drift can reach
+    ``max_hamming`` = 6 bits, where a pathological 2+2+1+1 spread across
+    all four bands would be missed — the planted-recompression-family
+    recall contract in tests/test_phash.py pins the empirical behavior
+    on real codec drift (drift concentrates in few low-frequency bits,
+    and families stay connected through the uncompressed original even
+    when one recompressed pair misses). Returns (id_a, id_b, hamming),
+    id_a < id_b, each candidate pair exactly once."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_key = [
+        F.shiftrightunsigned(hash_col, b * width).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ]
+    pairs = banded_pairs(
+        sig.select(F.col(id_col), F.col(hash_col)),
+        id_col,
+        band_key,
+        carry=[hash_col],
+        max_bucket=max_bucket,
+        observation=observation,
+    )
+    hamming = F.bit_count(
+        F.col(f"{hash_col}_a").bitwiseXOR(F.col(f"{hash_col}_b"))
+    ).cast("int")
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def phash_neardup_clusters(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash_i64",
+    max_hamming: int = 6,
+    bands: int = 4,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """Image near-dup pairs resolved into clusters: pHash band-join pairs
+    → :func:`dedup_clusters` connected components. Returns
+    (id, cluster_id) for every signature row; feed the result to
+    :func:`dedup_representatives` for the image keep-list — the same
+    pairs→clusters→keep composition the text path uses."""
+    pairs = phash_neardup_pairs(
+        sig, id_col, hash_col, max_hamming, bands, max_bucket
+    )
+    return dedup_clusters(sig.select(F.col(id_col)), pairs, id_col)

@@ -490,9 +490,21 @@ PHASH_SCHEMA = StructType(
     ]
 )
 
+#: Output schema of image_phash_features(as_int=True): the signed-64
+#: integer wire shape the band-join dedup path consumes.
+PHASH_I64_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash_i64", LongType()),
+    ]
+)
+
 
 def image_phash_features(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    as_int: bool = False,
 ) -> DataFrame:
     """Perceptual hash over a binary image column (round 11): decode →
     DCT pHash (operators/phash) → 16-hex-char signature. The
@@ -500,7 +512,13 @@ def image_phash_features(
     compression settings hash within a few bits (contracts in
     tests/test_phash.py), so downstream dedup is a band-join on hash
     prefixes + a Hamming verify — the SimHash plan shape applied to
-    pixels. Map-only mapInPandas; pixels never shuffle."""
+    pixels. Map-only mapInPandas; pixels never shuffle.
+
+    ``as_int=True`` (round 12) emits the signature as a two's-complement
+    SIGNED 64-bit ``phash_i64`` LongType column instead of hex — the
+    wire shape ``dedup.image_neardup_pairs`` wants, where band slicing
+    (``shiftrightunsigned``) and the Hamming verify (``bit_count(xor)``)
+    stay whole-stage-codegen'd JVM expressions."""
     from pyspark import cloudpickle as _cp
 
     from yark_spark.operators import phash as _phash_mod
@@ -510,16 +528,29 @@ def image_phash_features(
     decode = _make_decoder()
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            hashes = [
-                f"{_ph(decode(bytes(p))):016x}" for p in pdf[payload_col]
-            ]
-            yield pd.DataFrame(
-                {"doc_id": pdf[id_col].astype("int64"), "phash": hashes}
-            )
+        import numpy as np
 
+        for pdf in batches:
+            raw = [_ph(decode(bytes(p))) for p in pdf[payload_col]]
+            if as_int:
+                vals = np.array(
+                    [h - (1 << 64) if h >= (1 << 63) else h for h in raw],
+                    dtype="int64",
+                )
+                yield pd.DataFrame(
+                    {"doc_id": pdf[id_col].astype("int64"), "phash_i64": vals}
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col].astype("int64"),
+                        "phash": [f"{h:016x}" for h in raw],
+                    }
+                )
+
+    schema = PHASH_I64_SCHEMA if as_int else PHASH_SCHEMA
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        _extract, PHASH_SCHEMA
+        _extract, schema
     )
 
 
