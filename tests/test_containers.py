@@ -266,3 +266,43 @@ def test_tar_member_over_8gib_rejected():
     assert len(_tar_header("x", 8**11 - 1)) == 512  # largest legal size
     with pytest.raises(ValueError, match="8 GiB"):
         _tar_header("x", 8**11)
+
+
+# ---------------------------------------------------------------------------
+# Round 12: zstd member + magic-number dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_zstd_member_roundtrip():
+    from yark_spark.operators.containers import (
+        zstd_compress_member,
+        zstd_decompress_member,
+    )
+
+    raw = ("json line {\"k\": %d}\n" * 500 % tuple(range(500))).encode()
+    enc = zstd_compress_member(raw)
+    assert len(enc) < len(raw) // 3
+    assert zstd_decompress_member(enc) == raw
+
+
+def test_decompress_auto_dispatch():
+    from yark_spark.operators.containers import (
+        decompress_auto,
+        gzip_compress,
+        zstd_compress_member,
+    )
+
+    raw = b"mixed-corpus document body " * 40
+    assert decompress_auto(gzip_compress(raw)) == raw
+    assert decompress_auto(zstd_compress_member(raw)) == raw
+    assert decompress_auto(b"plain text payload") == b"plain text payload"
+
+
+def test_decompress_auto_bomb_guard():
+    import pytest
+
+    from yark_spark.operators.containers import decompress_auto, zstd_compress_member
+
+    raw = b"\x00" * 200_000
+    with pytest.raises(ValueError):
+        decompress_auto(zstd_compress_member(raw), max_output=1000)

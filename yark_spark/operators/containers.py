@@ -24,6 +24,7 @@ import struct
 from yark_spark.operators.png import crc32, inflate, zlib_compress
 
 __all__ = [
+    "decompress_auto",
     "gzip_compress",
     "gzip_decompress",
     "gzip_members",
@@ -31,6 +32,8 @@ __all__ = [
     "tar_members",
     "warc_build",
     "warc_records",
+    "zstd_compress_member",
+    "zstd_decompress_member",
 ]
 
 
@@ -293,3 +296,41 @@ def warc_records(payload: bytes, max_output: int | None = None) -> list[dict]:
     if not out:
         raise ValueError("warc: no records")
     return out
+
+
+# ---------------------------------------------------------------------------
+# zstd (RFC 8878) + magic-number dispatch (round 12)
+# ---------------------------------------------------------------------------
+
+
+def zstd_compress_member(raw: bytes, method: str = "compressed") -> bytes:
+    """One zstd frame for ``raw`` — the .jsonl.zst wire shape (see
+    operators/zstd for the codec; content checksum always on)."""
+    from yark_spark.operators.zstd import zstd_compress
+
+    return zstd_compress(raw, method=method)
+
+
+def zstd_decompress_member(payload: bytes, max_output: int | None = None) -> bytes:
+    """Single zstd frame → raw bytes (checksums verified; bomb guard)."""
+    from yark_spark.operators.zstd import zstd_decompress
+
+    return zstd_decompress(payload, max_output=max_output)
+
+
+def decompress_auto(payload: bytes, max_output: int | None = None) -> bytes:
+    """Magic-number dispatch over the compressed-text container formats
+    the ingest path meets in the wild: gzip (1f 8b), zstd (28 b5 2f fd,
+    plus skippable frames), otherwise the bytes are taken as plain text.
+    One entry point so a mixed corpus directory ( .gz / .zst / raw )
+    ingests through a single map-only pass."""
+    p = bytes(payload)
+    if p[:2] == b"\x1f\x8b":
+        return gzip_decompress(p, max_output=max_output)
+    if len(p) >= 4:
+        magic = struct.unpack_from("<I", p)[0]
+        if magic == 0xFD2FB528 or 0x184D2A50 <= magic <= 0x184D2A5F:
+            from yark_spark.operators.zstd import zstd_frames
+
+            return b"".join(zstd_frames(p, max_output=max_output))
+    return p
