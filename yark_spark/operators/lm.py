@@ -180,3 +180,129 @@ def dsir_importance(
             .alias("verdict"),
         )
     )
+
+
+def langid_ngram_vote(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    train_condition=None,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Language identification by hashed char-trigram voting (round 12,
+    VERDICT r11 task #3): a naive-Bayes-flavored classifier whose
+    verdict is INTEGER-EXACT so it hash-matches a SQL oracle — the DSIR
+    recipe generalized from 2 classes to K.
+
+    Training: docs matching ``train_condition`` (the trusted slice) with
+    their ``lang_col`` labels; char trigrams of lower(trim(text)) hash
+    into ``n_buckets`` buckets (the md5-ascii arithmetic both engines
+    share); per-(lang, bucket) counts + per-lang totals give add-one-
+    smoothed likelihoods P(b|l) = (n+1)/(T+B).
+
+    Instead of the float log-sum argmax, each BUCKET votes for its
+    maximum-likelihood language — the pairwise comparison
+    (n_a+1)/(T_a+B) > (n_b+1)/(T_b+B) cross-multiplies to pure int64
+    arithmetic ((n_a+1)·(T_b+B) > (n_b+1)·(T_a+B)); ties go to the
+    lexicographically larger lang, deterministically. A document's
+    verdict is the language winning the most trigram-weighted bucket
+    votes (ties again to the larger lang). This is the classic n-gram
+    profile vote (Cavnar–Trenkle flavored) with hashed features.
+
+    Plan shape at 100 TB: ONE wide shuffle — the per-(doc, bucket)
+    occurrence counts; the training distribution is ≤ n_buckets × K
+    rows aggregated map-side and resolved to a ≤ n_buckets-row winner
+    table that BROADCASTS back onto the per-doc counts; the final
+    argmax is a single max(struct) aggregate. Document text never
+    joins; raising n_buckets leaves every edge unchanged.
+
+    Returns (id, pred_lang, votes, n_trigrams); docs with fewer than 3
+    chars contribute no trigrams and no row."""
+    if train_condition is None:
+        train_condition = F.lit(True)
+    spark = df.sparkSession
+    b = F.lit(n_buckets)
+    s = F.lower(F.trim(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        s.alias("__s"),
+        train_condition.alias("__tr"),
+        F.col(lang_col).alias("__lang"),
+    ).filter(F.length("__s") >= 3)
+    tri = base.select(
+        F.col(id_col),
+        "__tr",
+        "__lang",
+        F.explode(F.sequence(F.lit(1), F.length("__s") - 2)).alias("__i"),
+        "__s",
+    ).select(
+        F.col(id_col),
+        "__tr",
+        "__lang",
+        F.expr("substr(__s, __i, 3)").alias("__t"),
+    )
+    h = F.md5(F.col("__t"))
+    bucket = F.pmod(
+        F.ascii(F.substring(h, 1, 1)) * 131 + F.ascii(F.substring(h, 2, 1)), b
+    )
+    keyed = tri.select(F.col(id_col), "__tr", "__lang", bucket.alias("__b"))
+    # ONE shuffle: per-(doc, bucket) counts; the training aggregates
+    # derive from the same stream map-side (train rows carry the lang).
+    from yark_spark.operators.release import track
+
+    width = spark.sparkContext.defaultParallelism
+    per = track(
+        keyed.groupBy(id_col, "__b", "__tr", "__lang")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .coalesce(max(1, width))
+        .cache()
+    )
+    train = per.filter(F.col("__tr")).groupBy("__b", "__lang").agg(
+        F.sum("__c").alias("__n")
+    )
+    tot = per.filter(F.col("__tr")).groupBy("__lang").agg(F.sum("__c").alias("__T"))
+    # full (bucket × lang) grid so untrained buckets still resolve
+    grid = (
+        spark.range(n_buckets)
+        .select(F.col("id").cast("int").alias("__b"))
+        .crossJoin(tot)
+    )
+    dist = grid.join(train, ["__b", "__lang"], "left").select(
+        "__b", "__lang", F.coalesce("__n", F.lit(0)).alias("__n"), "__T"
+    )
+    a, o = dist.alias("a"), dist.alias("o")
+    la, na, ta = F.col("a.__lang"), F.col("a.__n"), F.col("a.__T")
+    lo, no, to = F.col("o.__lang"), F.col("o.__n"), F.col("o.__T")
+    beaten = F.coalesce(
+        F.max(
+            (
+                ((no + 1) * (ta + b) > (na + 1) * (to + b))
+                | (((no + 1) * (ta + b) == (na + 1) * (to + b)) & (lo > la))
+            ).cast("int")
+        ),
+        F.lit(0),  # a single-language corpus has no opponents at all
+    )
+    winners = (
+        a.join(o, (F.col("a.__b") == F.col("o.__b")) & (la != lo), "left")
+        .groupBy(F.col("a.__b").alias("__b"), la.alias("__wl"))
+        .agg(beaten.alias("__beaten"))
+        .filter(F.col("__beaten") == 0)
+        .select("__b", "__wl")
+    )
+    votes = (
+        per.join(F.broadcast(winners), "__b")
+        .groupBy(id_col, "__wl")
+        .agg(F.sum("__c").alias("__v"))
+    )
+    best = F.max(F.struct(F.col("__v"), F.col("__wl")))
+    return (
+        votes.groupBy(id_col)
+        .agg(best.alias("__best"), F.sum("__v").alias("n_trigrams"))
+        .select(
+            F.col(id_col),
+            F.col("__best.__wl").alias("pred_lang"),
+            F.col("__best.__v").alias("votes"),
+            F.col("n_trigrams"),
+        )
+    )

@@ -173,3 +173,66 @@ def q_text_unzstd(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return unzstd_text_features(with_zstd_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Language identification — hashed char-trigram voting (task #3)
+# ---------------------------------------------------------------------------
+
+_LANGID_B = 1024
+
+_LANGID_ORACLE = (
+    "WITH langs AS (SELECT DISTINCT lang FROM documents WHERE doc_id < 300), "
+    "src AS (SELECT doc_id, lower(trim(text)) AS s FROM documents), "
+    "tri AS (SELECT doc_id, substr(s, g.i, 3) AS t FROM src, "
+    "unnest(generate_series(1, len(s) - 2)) AS g(i) WHERE len(s) >= 3), "
+    "bk AS (SELECT doc_id, (ascii(substr(md5(t), 1, 1)) * 131 "
+    f"+ ascii(substr(md5(t), 2, 1))) % {_LANGID_B} AS bucket FROM tri), "
+    "train AS (SELECT bucket, d.lang, count(*) AS n FROM bk "
+    "JOIN documents d USING (doc_id) WHERE d.doc_id < 300 GROUP BY 1, 2), "
+    "tot AS (SELECT d.lang, count(*) AS T FROM bk "
+    "JOIN documents d USING (doc_id) WHERE d.doc_id < 300 GROUP BY 1), "
+    f"grid AS (SELECT g.b AS bucket, l.lang FROM generate_series(0, {_LANGID_B - 1}) "
+    "AS g(b), langs l), "
+    "dist AS (SELECT grid.bucket, grid.lang, COALESCE(train.n, 0) AS n, tot.T "
+    "FROM grid JOIN tot USING (lang) LEFT JOIN train "
+    "ON train.bucket = grid.bucket AND train.lang = grid.lang), "
+    "beat AS (SELECT a.bucket, a.lang, max(CASE WHEN "
+    f"(b.n + 1) * (a.T + {_LANGID_B}) > (a.n + 1) * (b.T + {_LANGID_B}) "
+    f"OR ((b.n + 1) * (a.T + {_LANGID_B}) = (a.n + 1) * (b.T + {_LANGID_B}) "
+    "AND b.lang > a.lang) THEN 1 ELSE 0 END) AS beaten "
+    "FROM dist a JOIN dist b ON a.bucket = b.bucket AND a.lang != b.lang "
+    "GROUP BY 1, 2), "
+    "win AS (SELECT bucket, lang AS wlang FROM beat WHERE beaten = 0), "
+    "per AS (SELECT doc_id, bucket, count(*) AS c FROM bk GROUP BY 1, 2), "
+    "dv AS (SELECT doc_id, wlang, sum(c) AS votes FROM per "
+    "JOIN win USING (bucket) GROUP BY 1, 2), "
+    "sel AS (SELECT doc_id, wlang, votes, row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY votes DESC, wlang DESC) AS rn, "
+    "sum(votes) OVER (PARTITION BY doc_id) AS nt FROM dv) "
+    "SELECT doc_id, wlang AS pred_lang, CAST(votes AS BIGINT) AS votes, "
+    "CAST(nt AS BIGINT) AS n_trigrams FROM sel WHERE rn = 1"
+)
+
+
+@query("q_langid", oracle=_LANGID_ORACLE)
+def q_langid(spark, sf_dir):
+    """E96 language identification (round 12, VERDICT r11 task #3):
+    hashed char-trigram voting classifier (operators/lm.langid_ngram_vote)
+    trained on the trusted doc_id < 300 slice with its lang labels.
+    Every step is integer-exact — md5-ascii bucket hash, add-one
+    smoothed per-bucket maximum-likelihood vote with the comparison
+    cross-multiplied to int64, trigram-weighted argmax with a
+    deterministic tie-break — so the verdict hash-matches the DuckDB
+    re-derivation. The learning behavior itself (near-perfect accuracy
+    when languages genuinely differ in character statistics; the
+    fixture corpus is label-independent by construction, documented) is
+    pinned by the synthetic-corpus contract in tests/test_langid.py.
+    Plan: ONE wide shuffle (doc × bucket counts); the winner table
+    (≤ 1024 rows) broadcasts back; text never joins."""
+    from yark_spark.operators.lm import langid_ngram_vote
+
+    docs = load_table(spark, sf_dir, "documents")
+    return langid_ngram_vote(
+        docs, train_condition=F.col("doc_id") < 300, n_buckets=_LANGID_B
+    )
