@@ -185,3 +185,93 @@ def test_lzw_roundtrip_property():
         assert np.array_equal(lzw_decode(lzw_encode(idx, 8), 8, len(idx)), idx)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# Round 12: disposal compositing + multi-frame encoder
+# ---------------------------------------------------------------------------
+
+
+def test_compose_disposal_methods_hand_checked():
+    """Disposal 1 (keep), 3 (restore previous), 2 (restore background):
+    four frames over a 4x4 screen with hand-computed canvases."""
+    from yark_spark.operators.gif import compose_gif_frames, encode_gif_anim
+
+    f0 = np.full((4, 4), 10, np.uint8)
+    f1 = np.full((2, 2), 200, np.uint8)
+    f2 = np.full((4, 4), 30, np.uint8)
+    f3 = np.full((2, 2), 99, np.uint8)
+    payload = encode_gif_anim(
+        [f0, f1, f2, f3],
+        rects=[(0, 0), (2, 2), (0, 0), (0, 0)],
+        disposals=[1, 3, 2, 0],
+        delays=[10, 20, 30, 40],
+    )
+    out = compose_gif_frames(payload)
+    assert (out[0]["rgb"][:, :, 0] == 10).all()
+    exp1 = np.full((4, 4), 10)
+    exp1[2:, 2:] = 200
+    assert (out[1]["rgb"][:, :, 0] == exp1).all()
+    # f1's disposal 3 reverts its paint before f2 draws
+    assert (out[2]["rgb"][:, :, 0] == 30).all()
+    # f2's disposal 2 clears the full region to transparent
+    exp3 = np.zeros((4, 4))
+    exp3[:2, :2] = 99
+    assert (out[3]["rgb"][:, :, 0] == exp3).all()
+    assert (out[3]["alpha"][:2, :2] == 255).all()
+    assert (out[3]["alpha"][2:, 2:] == 0).all()
+    assert [o["delay_cs"] for o in out] == [10, 20, 30, 40]
+
+
+def test_compose_transparency_preserves_underlying_pixels():
+    """A transparent index in frame 2 must not overwrite frame 1's
+    paint — the compositing rule players rely on."""
+    from yark_spark.operators.gif import compose_gif_frames, encode_gif_anim
+
+    f0 = np.full((2, 2), 7, np.uint8)
+    # palette = union {7, 9, 50} sorted -> 9 is index 1 = the transparent
+    # index; frame 0 never uses it, frame 1's 9-pixels punch through
+    f1 = np.array([[9, 50], [50, 9]], np.uint8)
+    payload = encode_gif_anim([f0, f1], disposals=[1, 1], transparent=1)
+    out = compose_gif_frames(payload)
+    assert (out[0]["rgb"][:, :, 0] == 7).all()
+    assert (out[1]["rgb"][:, :, 0] == np.array([[7, 50], [50, 7]])).all()
+    assert (out[1]["alpha"] == 255).all()
+
+
+def test_compose_frame_outside_screen_rejected():
+    import pytest
+
+    from yark_spark.operators.gif import compose_gif_frames, encode_gif_anim
+
+    payload = bytearray(
+        encode_gif_anim([np.full((4, 4), 3, np.uint8)], screen=(4, 4))
+    )
+    # corrupt the image descriptor's left coordinate to 3 (3+4 > 4)
+    pos = payload.index(0x2C, 13)
+    payload[pos + 1] = 3
+    with pytest.raises(ValueError, match="outside"):
+        compose_gif_frames(bytes(payload))
+
+
+def test_gce_disposal_and_delay_roundtrip():
+    from yark_spark.operators.gif import decode_gif_frames, encode_gif_anim
+
+    frames = [np.full((3, 3), v, np.uint8) for v in (1, 2, 3)]
+    payload = encode_gif_anim(frames, disposals=[0, 2, 3], delays=[0, 500, 65535])
+    got = decode_gif_frames(payload)
+    assert [f["disposal"] for f in got] == [0, 2, 3]
+    assert [f["delay_cs"] for f in got] == [0, 500, 65535]
+
+
+def test_anim_single_frame_motion_zero(spark):
+    """Single-frame GIFs flow through the video operator with motion 0."""
+    from yark_spark.operators.gif import encode_gif_anim
+    from yark_spark.operators.multimodal import gif_anim_video_features
+
+    payload = encode_gif_anim([np.full((5, 4), 80, np.uint8)], delays=[25])
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    r = gif_anim_video_features(df).collect()[0]
+    assert (r["n_frames"], r["width"], r["height"]) == (1, 4, 5)
+    assert r["motion"] == 0.0 and r["luma_mean"] == 80.0
+    assert r["duration_cs"] == 25

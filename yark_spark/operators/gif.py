@@ -44,9 +44,11 @@ import struct
 import numpy as np
 
 __all__ = [
+    "compose_gif_frames",
     "decode_gif",
     "decode_gif_frames",
     "encode_gif",
+    "encode_gif_anim",
     "lzw_decode",
     "lzw_encode",
 ]
@@ -252,6 +254,8 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
 
     frames: list[dict] = []
     transparent = None
+    disposal = 0
+    delay_cs = 0
     while True:
         if pos >= len(p):
             raise ValueError("missing GIF trailer")
@@ -266,10 +270,12 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
             pos += 1
             if label == 0xF9:  # graphic control
                 body, pos = _read_subblocks(p, pos)
-                if len(body) >= 4 and body[0] & 0x01:
-                    transparent = body[3]
+                if len(body) >= 4:
+                    disposal = (body[0] >> 2) & 0x07
+                    delay_cs = body[1] | (body[2] << 8)
+                    transparent = body[3] if body[0] & 0x01 else None
                 else:
-                    transparent = None
+                    transparent, disposal, delay_cs = None, 0, 0
             else:  # comment / application / plain text: skip
                 _, pos = _read_subblocks(p, pos)
             continue
@@ -312,9 +318,11 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
                 "width": w,
                 "height": h,
                 "transparent": transparent,
+                "disposal": disposal,
+                "delay_cs": delay_cs,
             }
         )
-        transparent = None
+        transparent, disposal, delay_cs = None, 0, 0
     if not frames:
         raise ValueError("GIF with no image frame")
     return frames
@@ -385,4 +393,143 @@ def encode_gif(
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def compose_gif_frames(payload: bytes) -> list[dict]:
+    """Animated-GIF disposal compositing (round 12, VERDICT r11 task
+    #4 — this closes the boundary decode_gif_frames documented): replay
+    every frame onto the logical-screen canvas per its GIF89a disposal
+    method and return the PRESENTED canvases:
+
+    * 0 (unspecified) / 1 (do not dispose): the painted region stays;
+    * 2 (restore to background): after presentation the frame's region
+      clears to TRANSPARENT — the universal player behavior (browsers
+      ignore the background color index; so do we, documented);
+    * 3 (restore to previous): the canvas reverts to its state before
+      the frame was drawn.
+
+    Transparent pixels of a frame never overwrite the canvas. Returns
+    one dict per frame: ``{rgb (H, W, 3) uint8 over black, alpha
+    (H, W) uint8 0/255, delay_cs}`` — H/W are the logical screen, so
+    sub-rectangle frames composite into place."""
+    p = bytes(payload)
+    frames = decode_gif_frames(p)
+    sw, sh = struct.unpack_from("<HH", p, 6)
+    if sw == 0 or sh == 0:
+        # legal-but-degenerate headers: fall back to frame-0 extent
+        sw = frames[0]["left"] + frames[0]["width"]
+        sh = frames[0]["top"] + frames[0]["height"]
+    rgb = np.zeros((sh, sw, 3), dtype=np.uint8)
+    alive = np.zeros((sh, sw), dtype=bool)
+    out = []
+    for f in frames:
+        l, t, w, h = f["left"], f["top"], f["width"], f["height"]
+        if l + w > sw or t + h > sh:
+            raise ValueError("GIF frame rectangle outside the logical screen")
+        if f["disposal"] > 3:
+            raise ValueError(f"reserved GIF disposal method {f['disposal']}")
+        prev = (rgb.copy(), alive.copy()) if f["disposal"] == 3 else None
+        colors = f["palette"][f["indices"]]
+        if f["transparent"] is not None:
+            opaque = f["indices"] != f["transparent"]
+        else:
+            opaque = np.ones((h, w), dtype=bool)
+        region_rgb = rgb[t : t + h, l : l + w]
+        region_alive = alive[t : t + h, l : l + w]
+        region_rgb[opaque] = colors[opaque]
+        region_alive[opaque] = True
+        out.append(
+            {
+                "rgb": rgb.copy(),
+                "alpha": np.where(alive, 255, 0).astype(np.uint8),
+                "delay_cs": f["delay_cs"],
+            }
+        )
+        if f["disposal"] == 2:
+            rgb[t : t + h, l : l + w] = 0
+            alive[t : t + h, l : l + w] = False
+        elif f["disposal"] == 3:
+            rgb, alive = prev
+    return out
+
+
+def encode_gif_anim(
+    frames: list,
+    screen: tuple | None = None,
+    rects: list | None = None,
+    disposals: list | None = None,
+    delays: list | None = None,
+    transparent: int | None = None,
+) -> bytes:
+    """Multi-frame GIF89a fixture encoder (round 12): one global color
+    table from the union of all frame colors, a Graphic Control
+    Extension per frame (disposal method + centisecond delay +
+    optional transparency flag), sub-rectangle placement via ``rects``
+    [(left, top), ...]. Same fixture-encoder rules as
+    :func:`encode_gif`: exact palette (no quantizer), real LZW."""
+    arrs = []
+    for img in frames:
+        a = np.asarray(img, dtype=np.uint8)
+        if a.ndim == 2:
+            a = np.repeat(a[:, :, None], 3, axis=2)
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError("encode_gif_anim wants gray or RGB frames")
+        arrs.append(a)
+    if not arrs:
+        raise ValueError("no frames")
+    rects = rects or [(0, 0)] * len(arrs)
+    disposals = disposals or [0] * len(arrs)
+    delays = delays or [0] * len(arrs)
+    if not (len(rects) == len(disposals) == len(delays) == len(arrs)):
+        raise ValueError("frames/rects/disposals/delays length mismatch")
+    if screen is None:
+        screen = (
+            max(l + a.shape[1] for (l, _), a in zip(rects, arrs)),
+            max(t + a.shape[0] for (_, t), a in zip(rects, arrs)),
+        )
+    sw, sh = screen
+    all_colors = np.unique(
+        np.concatenate([a.reshape(-1, 3) for a in arrs], axis=0), axis=0
+    )
+    pal = [tuple(c) for c in all_colors]
+    if transparent is not None and transparent >= len(pal):
+        raise ValueError("transparent index outside the built palette")
+    lut = {c: i for i, c in enumerate(pal)}
+    if len(pal) > 256:
+        raise ValueError(f"{len(pal)} distinct colors (fixture encoder caps at 256)")
+    bits = max(2, int(np.ceil(np.log2(max(2, len(pal))))))
+    n_pal = 1 << bits
+    pal_bytes = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal_bytes[: len(pal)] = all_colors
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out.append(0x80 | ((bits - 1) & 0x07))
+    out += b"\x00\x00"
+    out += pal_bytes.tobytes()
+    for a, (left, top), disp, delay in zip(arrs, rects, disposals, delays):
+        h, w = a.shape[:2]
+        if left + w > sw or top + h > sh:
+            raise ValueError("frame rectangle outside the declared screen")
+        if not 0 <= disp <= 3:
+            raise ValueError("disposal method must be 0..3")
+        flags = (disp << 2) | (0x01 if transparent is not None else 0)
+        out += bytes(
+            [0x21, 0xF9, 4, flags, delay & 0xFF, (delay >> 8) & 0xFF,
+             transparent or 0, 0]
+        )
+        out += struct.pack("<BHHHH", 0x2C, left, top, w, h)
+        out.append(0x00)  # no LCT, not interlaced
+        idx = np.array(
+            [lut[tuple(c)] for c in a.reshape(-1, 3)], dtype=np.uint8
+        )
+        out.append(bits)
+        stream = lzw_encode(idx, bits)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

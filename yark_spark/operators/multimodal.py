@@ -2100,3 +2100,140 @@ def unzstd_text_features(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _extract, GUNZIP_SCHEMA
     )
+
+
+#: Output schema of gif_anim_video_features.
+GIF_VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_cs", IntegerType()),
+        StructField("luma_mean", DoubleType()),
+        StructField("motion", DoubleType()),
+    ]
+)
+
+
+def with_gif_anim_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    subrect: bool = True,
+) -> DataFrame:
+    """Deterministic animated-GIF fixture column (round 12): four gray
+    frames at the ascii codes of the doc's first four md5 hex chars —
+    the Y4M fixture's time axis in the GIF container. ``subrect=True``
+    (the compositing fixture): frame 0 fills the 16x16 screen at value
+    a with disposal 1; frames 1-3 are BOTTOM-HALF 8x16 rectangles at
+    b/c/d, so every presented canvas k>0 is (top=a, bottom=v_k) and the
+    disposal compositor is in the oracle path, not just the parser.
+    ``subrect=False``: full-canvas frames with ALTERNATING disposal
+    1/2 — full repaint makes both compose identically, pinning that
+    disposal bookkeeping never corrupts whole-frame animation (the
+    cross-container agreement fixture). Delays are 10 cs per frame.
+    Map-only mapInPandas; the gif module ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import gif as _gif_mod
+
+    _cp.register_pickle_by_value(_gif_mod)
+    _enc = _gif_mod.encode_gif_anim
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                vals = [ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()[:4]]
+                if subrect:
+                    frames = [_np.full((16, 16), vals[0], dtype=_np.uint8)] + [
+                        _np.full((8, 16), v, dtype=_np.uint8) for v in vals[1:]
+                    ]
+                    rects = [(0, 0), (0, 8), (0, 8), (0, 8)]
+                    disposals = [1, 1, 1, 1]
+                else:
+                    frames = [
+                        _np.full((16, 16), v, dtype=_np.uint8) for v in vals
+                    ]
+                    rects = [(0, 0)] * 4
+                    disposals = [1, 2, 1, 2]
+                payloads.append(
+                    _enc(frames, screen=(16, 16), rects=rects,
+                         disposals=disposals, delays=[10] * 4)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def gif_anim_video_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Animated-GIF temporal statistics (round 12): disposal-composited
+    canvases (operators/gif.compose_gif_frames) → per-canvas luma mean
+    and the frame-difference motion score — the Y4M recipe applied to
+    the GIF container, making animation a first-class video source.
+    ``luma_mean`` is the mean of per-canvas luma means (luma = RGB
+    channel mean over the black-composited canvas), ``motion`` the mean
+    over consecutive canvas pairs of mean |Δluma| (0.0 single-frame),
+    ``duration_cs`` the summed GCE delays. Map-only mapInPandas; frames
+    never shuffle."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import gif as _gif_mod
+
+    _cp.register_pickle_by_value(_gif_mod)
+    _compose = _gif_mod.compose_gif_frames
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("n_frames", "width", "height", "duration_cs",
+                     "luma_mean", "motion")}
+            for p in pdf[payload_col]:
+                canvases = _compose(bytes(p))
+                lumas = [
+                    c["rgb"].astype(np.float64).mean(axis=2) for c in canvases
+                ]
+                means = [float(y.mean()) for y in lumas]
+                diffs = [
+                    float(np.abs(b - a).mean()) for a, b in zip(lumas, lumas[1:])
+                ]
+                h, w = lumas[0].shape
+                rows["n_frames"].append(len(lumas))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["duration_cs"].append(sum(c["delay_cs"] for c in canvases))
+                rows["luma_mean"].append(round(float(np.mean(means)), 6))
+                rows["motion"].append(
+                    round(float(np.mean(diffs)), 6) if diffs else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_frames": np.array(rows["n_frames"], dtype="int32"),
+                    "width": np.array(rows["width"], dtype="int32"),
+                    "height": np.array(rows["height"], dtype="int32"),
+                    "duration_cs": np.array(rows["duration_cs"], dtype="int32"),
+                    "luma_mean": np.array(rows["luma_mean"], dtype="float64"),
+                    "motion": np.array(rows["motion"], dtype="float64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, GIF_VIDEO_SCHEMA
+    )
