@@ -34,6 +34,35 @@ HEADLINE = [
 ]
 
 
+def calibration_kernel() -> float:
+    """Fixed-work, fixed-seed, single-thread pure-CPU reference (~1 s
+    nominal on the round-12 box; VERDICT r11 next-round #5): 400k
+    chained SHA-256 digests + a 4M-step integer LCG. Recorded in every
+    BENCH/PARITY artifact as ``calibration_sec`` so cross-round
+    comparisons can normalize for box drift — divide any wall-clock by
+    (calibration_sec / the baseline calibration in BASELINE.md) before
+    reading a regression. Deterministic output is asserted so the work
+    can never be optimized away or silently changed."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"\x00" * 64
+    for _ in range(400_000):
+        h = hashlib.sha256(h).digest()
+    x = 0
+    for i in range(4_000_000):
+        x = (x * 1103515245 + i) & 0xFFFFFFFFFFFF
+    elapsed = time.perf_counter() - t0
+    assert x == 242044016458624, "calibration kernel result drifted"
+    return elapsed
+
+
+def calibration_sec(repeats: int = 3) -> float:
+    """Best-of-N calibration (ambient load pushes times UP, never down,
+    so min is the clean-box estimate)."""
+    return round(min(calibration_kernel() for _ in range(repeats)), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -42,6 +71,8 @@ def main() -> None:
     # unless every BENCH file carries the contention context (VERDICT r7
     # next-round #4)
     load_before = tuple(round(x, 2) for x in os.getloadavg())
+    # pure-CPU box-speed reference, measured BEFORE the JVM exists
+    calib = calibration_sec()
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from yark_spark.queries import QUERIES
@@ -92,6 +123,7 @@ def main() -> None:
                 "stress": stress,
                 "bpe_encode": bpe,
                 "sf": sf_val,
+                "calibration_sec": calib,
                 "load_avg_before": list(load_before),
                 "load_avg_after": [round(x, 2) for x in os.getloadavg()],
             }
@@ -115,6 +147,7 @@ def main() -> None:
                 "warm_value": total_warm,
                 "queries": cold,
                 "sf": sf_val,
+                "calibration_sec": calib,
                 "summary": True,
                 "ingest_rows_per_sec": ingest["rows_per_sec"],
                 "ingest_sharded_rows_per_sec": ingest_sharded["rows_per_sec"],
