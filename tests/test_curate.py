@@ -107,3 +107,49 @@ def test_length_band_stage_trims_extremes(spark):
     assert "after_length_trim" in report.counts
     assert 100 not in kept and 101 not in kept
     assert len(kept & {i for i, _, _ in mid}) >= 15
+
+
+# ---------------------------------------------------------------------------
+# Round 12: optional image near-dup stage
+# ---------------------------------------------------------------------------
+
+
+def _phash_docs(spark):
+    """12 docs with distinct texts; planted pHash families of 3 (base
+    hash per family, members within 2 bits)."""
+    # pi-digit constants: pairwise Hamming ~32, far above the threshold
+    bases = [0x243F6A8885A308D3, 0x13198A2E03707344, 0x2409382229953100, 0x452821E638D01377]
+    rows = []
+    for i in range(12):
+        ph = bases[i // 3] ^ (i % 3)  # flips bits 0/1 only -> hamming <= 2
+        if ph >= 1 << 63:
+            ph -= 1 << 64
+        # token-disjoint texts so the TEXT fuzzy dedup never merges them
+        text = " ".join(f"tok{i}x{j}" for j in range(8))
+        rows.append((i, text, ph))
+    return spark.createDataFrame(rows, "doc_id long, text string, phash_i64 long")
+
+
+def test_curate_image_neardup_stage(spark):
+    docs = _phash_docs(spark)
+    out, report = curate(
+        docs, config=CurationConfig(image_phash_col="phash_i64", min_quality=0.0)
+    )
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    report.unpersist()
+    # one representative (min id) per planted family of 3
+    assert kept == [0, 3, 6, 9]
+    assert report.counts["after_image_neardup"] == 4
+
+
+def test_curate_image_stage_off_is_byte_identical(spark):
+    docs = _phash_docs(spark)
+    base_cfg = CurationConfig(min_quality=0.0)
+    out_a, rep_a = curate(docs.drop("phash_i64"), config=base_cfg)
+    out_b, rep_b = curate(docs, config=base_cfg)  # column present, knob off
+    rows_a = sorted(map(tuple, out_a.drop("phash_i64").collect()))
+    rows_b = sorted(map(tuple, out_b.drop("phash_i64").collect()))
+    rep_a.unpersist()
+    rep_b.unpersist()
+    assert rows_a == rows_b
+    assert "after_image_neardup" not in rep_a.counts

@@ -51,6 +51,15 @@ class CurationConfig:
     substring_k: int = 10                    # gram width for the span filter
     length_band: "tuple[float, float] | None" = None  # e.g. (0.05, 0.95); None = off
     pack_budget: int = 512
+    # Image near-dup stage (round 12, VERDICT r11 next-round #6) — OFF by
+    # default; set to the name of a signed-64 pHash column on the input
+    # (image_phash_features(as_int=True) produces one) to drop perceptual
+    # image duplicates after the text fuzzy dedup. Signature extraction
+    # stays a separate map-only pass so curate itself never decodes pixels.
+    image_phash_col: "str | None" = None
+    image_max_hamming: int = 6
+    image_bands: int = 4
+    image_max_bucket: "int | None" = 4096
 
 
 @dataclass
@@ -153,6 +162,29 @@ def _curate_impl(
     report.counts["after_fuzzy_dedup"] = fuzzy_frontier.count()
     exact.unpersist()  # fuzzy frontier is materialized; downstream reads only it
     fuzzy = fuzzy_frontier
+
+    # 2.5 optional image near-dup stage (round 12): perceptual-hash band
+    # join + Hamming verify + connected components over a caller-provided
+    # signed-64 pHash column, one representative per image family — the
+    # text fuzzy-dedup composition applied to pixels. Off by default
+    # (cfg.image_phash_col None leaves this code entirely untouched, so
+    # the e2e output is byte-identical to pre-round-12 runs).
+    if cfg.image_phash_col is not None:
+        from yark_spark.operators.dedup import phash_neardup_clusters
+
+        sig = fuzzy.select(
+            F.col(id_col), F.col(cfg.image_phash_col).alias("phash_i64")
+        )
+        iclusters = phash_neardup_clusters(
+            sig,
+            id_col,
+            "phash_i64",
+            max_hamming=cfg.image_max_hamming,
+            bands=cfg.image_bands,
+            max_bucket=cfg.image_max_bucket,
+        )
+        fuzzy = dedup_representatives(fuzzy, iclusters, id_col)
+        report.counts["after_image_neardup"] = fuzzy.count()
 
     # 3. decontamination: drop docs overlapping the benchmark gram set
     # (broadcast array_intersect for small benchmarks, gram anti-join for
