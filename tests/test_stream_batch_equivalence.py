@@ -137,3 +137,37 @@ def test_stream_warc_listing_equals_batch(spark, sf_dir, tmp_path):
         map(tuple, warc_record_listing(spark.createDataFrame(shards)).collect())
     )
     assert streamed == batch and len(streamed) == 48
+
+
+def test_stream_jsonl_zst_listing_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming .jsonl.zst ingest (r12): the availableNow drain of a
+    watched shard directory must equal the batch listing — the whole
+    from-scratch zstd decode path running inside Structured Streaming."""
+    from yark_spark.operators.multimodal import (
+        jsonl_zst_listing,
+        with_jsonl_zst_shards,
+    )
+    from yark_spark.streaming.pipelines import jsonl_zst_listing_stream
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    shards = with_jsonl_zst_shards(docs).collect()
+    shard_dir = tmp_path / "zst"
+    shard_dir.mkdir()
+    for r in shards:
+        (shard_dir / f"shard-{r.shard_id}.jsonl.zst").write_bytes(bytes(r.payload))
+
+    out = jsonl_zst_listing_stream(spark, str(shard_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_zst")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_zst"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(map(tuple, spark.sql("SELECT * FROM stream_zst").collect()))
+    batch = sorted(
+        map(tuple, jsonl_zst_listing(spark.createDataFrame(shards)).collect())
+    )
+    assert streamed == batch and len(streamed) == 48

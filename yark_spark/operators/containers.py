@@ -303,19 +303,33 @@ def warc_records(payload: bytes, max_output: int | None = None) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
+_ZSTD = None  # bound by bind_zstd(); ships by value with this module
+
+
+def bind_zstd():
+    """Resolve the zstd codec module into a module global (imported
+    lazily to keep containers importable standalone), so executors that
+    receive THIS module by value carry the codec along instead of
+    attempting a worker-side package import — the operators/zstd
+    bind_encoder() pattern."""
+    global _ZSTD
+    if _ZSTD is None:
+        from yark_spark.operators import zstd as _z
+
+        _z.bind_encoder()
+        _ZSTD = _z
+    return _ZSTD
+
+
 def zstd_compress_member(raw: bytes, method: str = "compressed") -> bytes:
     """One zstd frame for ``raw`` — the .jsonl.zst wire shape (see
     operators/zstd for the codec; content checksum always on)."""
-    from yark_spark.operators.zstd import zstd_compress
-
-    return zstd_compress(raw, method=method)
+    return bind_zstd().zstd_compress(raw, method=method)
 
 
 def zstd_decompress_member(payload: bytes, max_output: int | None = None) -> bytes:
     """Single zstd frame → raw bytes (checksums verified; bomb guard)."""
-    from yark_spark.operators.zstd import zstd_decompress
-
-    return zstd_decompress(payload, max_output=max_output)
+    return bind_zstd().zstd_decompress(payload, max_output=max_output)
 
 
 def decompress_auto(payload: bytes, max_output: int | None = None) -> bytes:
@@ -330,7 +344,5 @@ def decompress_auto(payload: bytes, max_output: int | None = None) -> bytes:
     if len(p) >= 4:
         magic = struct.unpack_from("<I", p)[0]
         if magic == 0xFD2FB528 or 0x184D2A50 <= magic <= 0x184D2A5F:
-            from yark_spark.operators.zstd import zstd_frames
-
-            return b"".join(zstd_frames(p, max_output=max_output))
+            return b"".join(bind_zstd().zstd_frames(p, max_output=max_output))
     return p

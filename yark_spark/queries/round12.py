@@ -318,3 +318,28 @@ def q_video_container_agreement(spark, sf_dir):
         "height", "luma_mean", "motion"
     )
     return g.unionByName(y).select(*common)
+
+
+_JSONL_ZST_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_jsonl_zst_scan", oracle=_JSONL_ZST_ORACLE)
+def q_jsonl_zst_scan(spark, sf_dir):
+    """E95' .jsonl.zst shard round trip (round 12): documents pack into
+    compressed JSON-lines shards (16 docs/shard, one zstd frame each,
+    through the real FSE+huff0 encoder) via ONE applyInPandas per shard
+    group, then a map-only listing pass magic-dispatches the
+    decompression (decompress_auto), parses the lines and digest-checks
+    every document's text — the modern corpus-release wire format
+    beside the tar (q_webdataset_scan) and WARC (q_warc_scan) shapes.
+    The grouping shuffle IS the shard assignment; a streaming twin
+    (jsonl_zst_listing_stream) watches a shard directory with
+    batch-stream equivalence tested."""
+    from yark_spark.operators.multimodal import jsonl_zst_listing, with_jsonl_zst_shards
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return jsonl_zst_listing(with_jsonl_zst_shards(docs))

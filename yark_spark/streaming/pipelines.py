@@ -279,3 +279,34 @@ def warc_shard_listing_stream(
         F.col("content").alias("payload"),
     )
     return warc_record_listing(shards)
+
+
+def jsonl_zst_listing_stream(
+    spark: SparkSession, path: str, glob: str = "*.jsonl.zst"
+) -> DataFrame:
+    """Streaming .jsonl.zst shard ingest (round 12): watch a directory
+    for compressed JSON-lines shards (binaryFile source) and emit each
+    document's digest row via the stateless listing — the streaming
+    twin of q_jsonl_zst_scan, same shape as tar_shard_listing_stream.
+    Shard ids parse from the ``shard-N.jsonl.zst`` name convention."""
+    tune(spark)
+    binary_schema = (
+        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    from yark_spark.operators.multimodal import jsonl_zst_listing
+
+    shards = stream.select(
+        F.regexp_extract(
+            F.element_at(F.split(F.col("path"), "/"), -1), r"shard-(\d+)", 1
+        )
+        .cast("long")
+        .alias("shard_id"),
+        F.col("content").alias("payload"),
+    )
+    return jsonl_zst_listing(shards)
