@@ -119,33 +119,44 @@ def _of_code(offset_value: int) -> tuple[int, int, int]:
     return code, offset_value - (1 << code), code
 
 
-def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes | None:
-    """Sequence section body for (ll, offset_value, ml) triples, all
-    three channels on the predefined distributions. Returns None when a
-    value exceeds the predefined alphabets (caller falls back to raw)."""
-    lls, ofs, mls = [], [], []
-    for ll, ov, ml in seqs:
-        lc = _ll_code(ll)
-        oc = _of_code(ov)
-        mc = _ml_code(ml)
-        if lc[0] > 35 or ll > 131071 or mc[0] > 52 or oc[0] > 28:
-            return None
-        lls.append(lc)
-        ofs.append(oc)
-        mls.append(mc)
-    ll_enc = _FseEncoder(_FseTable.from_counts(*_LL_DEFAULT))
-    of_enc = _FseEncoder(_FseTable.from_counts(*_OF_DEFAULT))
-    ml_enc = _FseEncoder(_FseTable.from_counts(*_ML_DEFAULT))
+def _fit_channel(codes: list, max_log: int):
+    """Fitted table for one sequence channel: ('rle', sym) when the
+    channel is constant, else ('fse', counts, acc_log, ncount_bytes) —
+    normalized to the zstd heuristic accuracy log clamp [5, max_log]."""
+    freqs: dict[int, int] = {}
+    for c, _, _ in codes:
+        freqs[c] = freqs.get(c, 0) + 1
+    if len(freqs) == 1:
+        return ("rle", codes[0][0])
+    al = max(5, min(max_log, (len(codes) - 1).bit_length()))
+    counts = _normalize_counts(freqs, al)
+    return ("fse", counts, al, _write_ncount(counts, al))
+
+
+def _seq_body(seqs, lls, ofs, mls, tables) -> bytes:
+    """Assemble one sequences section given per-channel table choices
+    (mode, table-or-desc): modes byte + descriptions (LL, OF, ML order)
+    + the interleaved backward bitstream."""
     n = len(seqs)
-    # Walk each channel's state chain backward from a free choice of
-    # final state; update_bits[i] is what the decoder reads AFTER
-    # sequence i (absent for the last sequence).
+    modes = 0
+    descs = bytearray()
+    encs = {}
+    for shift, key, spec in ((6, "ll", tables["ll"]), (4, "of", tables["of"]),
+                             (2, "ml", tables["ml"])):
+        if spec is None:  # predefined
+            default = {"ll": _LL_DEFAULT, "of": _OF_DEFAULT, "ml": _ML_DEFAULT}[key]
+            encs[key] = _FseEncoder(_FseTable.from_counts(*default))
+        elif spec[0] == "rle":
+            modes |= 1 << shift
+            descs.append(spec[1])
+            encs[key] = _FseEncoder(_FseTable.rle(spec[1]))
+        else:
+            modes |= 2 << shift
+            descs += spec[3]
+            encs[key] = _FseEncoder(_FseTable.from_counts(spec[1], spec[2]))
     chains = {}
-    for key, enc, codes in (
-        ("ll", ll_enc, lls),
-        ("of", of_enc, ofs),
-        ("ml", ml_enc, mls),
-    ):
+    for key, codes in (("ll", lls), ("of", ofs), ("ml", mls)):
+        enc = encs[key]
         states = [0] * n
         upd = [None] * (n - 1)
         states[n - 1] = enc.start_state(codes[n - 1][0])
@@ -159,9 +170,9 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes | None:
     # upd. The writer emits in REVERSE so the backward reader sees them
     # in order.
     reads: list[tuple[int, int]] = [
-        (chains["ll"][0][0], ll_enc.log),
-        (chains["of"][0][0], of_enc.log),
-        (chains["ml"][0][0], ml_enc.log),
+        (chains["ll"][0][0], encs["ll"].log),
+        (chains["of"][0][0], encs["of"].log),
+        (chains["ml"][0][0], encs["ml"].log),
     ]
     for i in range(n):
         reads.append((ofs[i][1], ofs[i][2]))
@@ -174,15 +185,51 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes | None:
     bw = _BitsW()
     for value, nbits in reversed(reads):
         bw.add(value, nbits)
-    body = bw.close()
-    # header: number of sequences + modes byte (all predefined)
     if n < 128:
         head = bytes([n])
     elif n < 0x7F00:
         head = bytes([(n >> 8) + 128, n & 0xFF])
     else:
         head = bytes([255, n & 0xFF, (n - 0x7F00) >> 8])
-    return head + bytes([0]) + body
+    return head + bytes([modes]) + bytes(descs) + bw.close()
+
+
+def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes | None:
+    """Sequence section body for (ll, offset_value, ml) triples.
+    Channels are coded on FITTED FSE tables (normalized counts
+    serialized on the wire, RLE mode for constant channels) when that
+    beats the predefined distributions — the predefined tables assume a
+    generic corpus and cost ~0.2 extra bits/symbol on skewed real data.
+    Both candidates are assembled and the smaller wins. Returns None
+    when a value exceeds the representable alphabets (caller stores the
+    block raw)."""
+    lls, ofs, mls = [], [], []
+    for ll, ov, ml in seqs:
+        lc = _ll_code(ll)
+        oc = _of_code(ov)
+        mc = _ml_code(ml)
+        if lc[0] > 35 or ll > 131071 or mc[0] > 52 or oc[0] > 28:
+            return None
+        lls.append(lc)
+        ofs.append(oc)
+        mls.append(mc)
+    predefined = _seq_body(
+        seqs, lls, ofs, mls, {"ll": None, "of": None, "ml": None}
+    )
+    if len(seqs) < 16:  # fitted tables can't amortize their descriptions
+        return predefined
+    fitted = _seq_body(
+        seqs,
+        lls,
+        ofs,
+        mls,
+        {
+            "ll": _fit_channel(lls, 9),
+            "of": _fit_channel(ofs, 8),
+            "ml": _fit_channel(mls, 9),
+        },
+    )
+    return fitted if len(fitted) < len(predefined) else predefined
 
 
 # ---------------------------------------------------------------------------
