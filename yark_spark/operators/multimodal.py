@@ -2346,3 +2346,96 @@ def jsonl_zst_listing(
     return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
         _extract, JSONL_ZST_SCHEMA
     )
+
+
+def with_html_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic HTML fixture column (round 12): each document's
+    text wrapped in a realistic page skeleton — DOCTYPE, a script whose
+    body contains fake markup (the RAWTEXT trap), a style block, a
+    comment, markup indentation, an inline ``<em>`` splitting the text
+    mid-flow, and the first space encoded as the ``&#32;`` numeric
+    entity — constructed so ``html_to_text`` recovers the text
+    BYTE-EXACTLY (entities decode, inline tags vanish without breaking
+    the flow, whitespace-only indentation nodes drop). Map-only
+    mapInPandas; the html module ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import html as _html_mod
+
+    _cp.register_pickle_by_value(_html_mod)
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import html as _stdhtml
+
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                esc = _stdhtml.escape(t)
+                head, sep, tail = esc.partition(" ")
+                body = (
+                    f"{head}&#32;<em>{tail}</em>" if sep else esc
+                )
+                page = (
+                    "<!DOCTYPE html>\n<html>\n <head>\n"
+                    f"  <script>var x = '<p>{int(did)}</p>';</script>\n"
+                    "  <style>body { color: #000; }</style>\n"
+                    " </head>\n"
+                    f" <!-- doc {int(did)} -->\n"
+                    " <body>\n  <div>\n"
+                    f"   <p>{body}</p>\n"
+                    "  </div>\n </body>\n</html>\n"
+                )
+                payloads.append(page.encode("utf-8"))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def html_extract_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """HTML → text extraction over a binary page column (round 12): the
+    markup half of the crawled-web WET pass (operators/html — RAWTEXT
+    script/style dropping, block boundaries, HTML5 entity decode,
+    malformed-markup tolerance). Emits (id, n_chars, md5 digest) of the
+    extracted text — the gzip/zstd-ingest oracle recipe, certifying the
+    whole tag state machine against SQL md5(text). Map-only
+    mapInPandas; pages never shuffle."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import html as _html_mod
+
+    _cp.register_pickle_by_value(_html_mod)
+    _extract_text = _html_mod.html_to_text
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ns, digs = [], []
+            for p in pdf[payload_col]:
+                text = _extract_text(bytes(p))
+                ns.append(len(text))
+                digs.append(_hashlib.md5(text.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, GUNZIP_SCHEMA
+    )

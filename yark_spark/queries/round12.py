@@ -343,3 +343,31 @@ def q_jsonl_zst_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
     return jsonl_zst_listing(with_jsonl_zst_shards(docs))
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction — the markup half of the WET pass
+# ---------------------------------------------------------------------------
+
+_HTML_ORACLE = (
+    "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 500"
+)
+
+
+@query("q_html_extract", oracle=_HTML_ORACLE)
+def q_html_extract(spark, sf_dir):
+    """E98 HTML text extraction (round 12): each document wrapped in a
+    realistic page skeleton — script bodies containing fake markup (the
+    HTML5 RAWTEXT trap), style blocks, comments, markup indentation, an
+    inline <em> splitting the text mid-flow, a numeric character
+    reference — then recovered BYTE-EXACTLY by the from-scratch tag
+    state machine (operators/html) and digest-matched against
+    md5(text). This is the markup half of the crawled-web WET pass
+    (q_warc_wet_extract covers the HTTP-framing half); adversarial
+    malformed-markup cases are pinned in tests/test_html.py. Two
+    map-only mapInPandas stages; pages never shuffle."""
+    from yark_spark.operators.multimodal import html_extract_features, with_html_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return html_extract_features(with_html_payload(docs))
