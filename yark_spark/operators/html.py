@@ -32,7 +32,7 @@ from __future__ import annotations
 import html as _htmlmod
 import re
 
-__all__ = ["html_to_text"]
+__all__ = ["html_page_fixture", "html_to_text"]
 
 #: Elements whose raw bodies are dropped (HTML5 script-data/RAWTEXT).
 _RAW_TEXT = ("script", "style")
@@ -132,3 +132,24 @@ def _find_tag_end(s: str, pos: int) -> int:
             return pos
         pos += 1
     return -1
+
+
+def html_page_fixture(did: int, text: str) -> str:
+    """The deterministic page skeleton the HTML fixture keys share (see
+    multimodal.with_html_payload for the trap inventory — RAWTEXT
+    script, comment, indentation, inline <em>, numeric reference);
+    :func:`html_to_text` recovers ``text`` byte-exactly. Lives here so
+    closures over it ship by value with the codec module."""
+    esc = _htmlmod.escape(text)
+    head, sep, tail = esc.partition(" ")
+    body = f"{head}&#32;<em>{tail}</em>" if sep else esc
+    return (
+        "<!DOCTYPE html>\n<html>\n <head>\n"
+        f"  <script>var x = '<p>{int(did)}</p>';</script>\n"
+        "  <style>body { color: #000; }</style>\n"
+        " </head>\n"
+        f" <!-- doc {int(did)} -->\n"
+        " <body>\n  <div>\n"
+        f"   <p>{body}</p>\n"
+        "  </div>\n </body>\n</html>\n"
+    )

@@ -2365,29 +2365,14 @@ def with_html_payload(
     from yark_spark.operators import html as _html_mod
 
     _cp.register_pickle_by_value(_html_mod)
+    _page = _html_mod.html_page_fixture
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import html as _stdhtml
-
         for pdf in batches:
-            payloads = []
-            for did, t in zip(pdf[id_col], pdf[text_col]):
-                esc = _stdhtml.escape(t)
-                head, sep, tail = esc.partition(" ")
-                body = (
-                    f"{head}&#32;<em>{tail}</em>" if sep else esc
-                )
-                page = (
-                    "<!DOCTYPE html>\n<html>\n <head>\n"
-                    f"  <script>var x = '<p>{int(did)}</p>';</script>\n"
-                    "  <style>body { color: #000; }</style>\n"
-                    " </head>\n"
-                    f" <!-- doc {int(did)} -->\n"
-                    " <body>\n  <div>\n"
-                    f"   <p>{body}</p>\n"
-                    "  </div>\n </body>\n</html>\n"
-                )
-                payloads.append(page.encode("utf-8"))
+            payloads = [
+                _page(int(d), t).encode("utf-8")
+                for d, t in zip(pdf[id_col], pdf[text_col])
+            ]
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
             )
@@ -2438,4 +2423,87 @@ def html_extract_features(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _extract, GUNZIP_SCHEMA
+    )
+
+
+def with_html_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, page) — the HTML fixture as a STRING column, the shape
+    with_warc_shards consumes to build full crawled-page records."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import html as _html_mod
+
+    _cp.register_pickle_by_value(_html_mod)
+    _page = _html_mod.html_page_fixture
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "page": [
+                        _page(int(d), t)
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("page", StringType())]
+        ),
+    )
+
+
+def warc_wet_html_extract(
+    df: DataFrame, shard_col: str = "shard_id", payload_col: str = "payload"
+) -> DataFrame:
+    """The COMPLETE crawled-web text-recovery wire (round 12): per-record
+    gzip members → ISO 28500 record grammar → HTTP head stripped at the
+    first CRLF-CRLF → HTML tag state machine → text. This is
+    warc_wet_extract with the markup half included — what a real WET
+    generator actually does to a CC-MAIN segment. Emits (doc key,
+    n_chars, md5 digest) of the RECOVERED TEXT so one SQL hash certifies
+    four protocol layers at once. Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import html as _html_mod
+
+    _cp.register_pickle_by_value(_html_mod)
+    _cont = _register_container_modules()
+    _records = _cont.warc_records
+    _to_text = _html_mod.html_to_text
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            dids, ns, digs = [], [], []
+            for p in pdf[payload_col]:
+                for r in _records(bytes(p), max_output=1 << 20):
+                    if r["headers"]["warc-type"] != "response":
+                        continue
+                    uri = r["headers"].get("warc-target-uri", "")
+                    block = r["block"]
+                    head_end = block.find(b"\r\n\r\n")
+                    body = block[head_end + 4 :] if head_end >= 0 else block
+                    text = _to_text(body)
+                    dids.append(int(uri.rsplit("/", 1)[-1]))
+                    ns.append(len(text))
+                    digs.append(_hashlib.md5(text.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(dids, dtype="int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
+        _extract, WET_SCHEMA
     )

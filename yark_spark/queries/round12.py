@@ -371,3 +371,33 @@ def q_html_extract(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return html_extract_features(with_html_payload(docs))
+
+
+_WET_HTML_ORACLE = (
+    "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 400"
+)
+
+
+@query("q_warc_wet_html", oracle=_WET_HTML_ORACLE)
+def q_warc_wet_html(spark, sf_dir):
+    """E98' the COMPLETE crawled-web text-recovery wire (round 12):
+    documents become full HTML pages (script traps, comments, inline
+    tags, entities), get packed into .warc.gz shards with HTTP message
+    heads and a warcinfo record — the exact CC-MAIN record shape — then
+    ONE map-only pass inflates per-record gzip members, parses the ISO
+    28500 grammar, strips the HTTP head at the first CRLF-CRLF, runs
+    the HTML tag state machine, and digest-matches the recovered text
+    against md5(text). Four protocol layers (gzip → WARC → HTTP → HTML)
+    certified by one SQL hash — what a real WET generator does to a
+    crawl segment, end to end."""
+    from yark_spark.operators.multimodal import (
+        warc_wet_html_extract,
+        with_html_text,
+        with_warc_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    pages = with_html_text(docs)
+    shards = with_warc_shards(pages, text_col="page", http_head=True)
+    return warc_wet_html_extract(shards)
