@@ -182,3 +182,4 @@ def fingerprint(text: Column) -> Column:
     canonical key for exact dedup across formatting variants."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), "[ \\t\\n\\x0B\\f\\r]+", " ")
     return F.md5(normalized)
+

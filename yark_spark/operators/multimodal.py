@@ -2507,3 +2507,38 @@ def warc_wet_html_extract(
     return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
         _extract, WET_SCHEMA
     )
+
+
+def nfc_text_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode NFC canonical composition over a text column (round 12):
+    Arrow-batched mapInPandas running Python's unicodedata — the
+    standard first normalization pass of a multilingual corpus (dedup
+    and tokenization both assume composed forms). Emits (id, n_chars,
+    md5 digest) of the normalized text so the DuckDB oracle (utf8proc)
+    provides an independent-Unicode-implementation differential."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import unicodedata as _ud
+
+        import numpy as np
+
+        for pdf in batches:
+            ns, digs = [], []
+            for t in pdf[text_col]:
+                nt = _ud.normalize("NFC", t)
+                ns.append(len(nt))
+                digs.append(_hashlib.md5(nt.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _extract, GUNZIP_SCHEMA
+    )

@@ -401,3 +401,38 @@ def q_warc_wet_html(spark, sf_dir):
     pages = with_html_text(docs)
     shards = with_warc_shards(pages, text_col="page", http_head=True)
     return warc_wet_html_extract(shards)
+
+
+# ---------------------------------------------------------------------------
+# NFC normalization — independent-Unicode-implementation differential
+# ---------------------------------------------------------------------------
+
+_NFC_ORACLE = (
+    "WITH v AS (SELECT doc_id, "
+    "nfc_normalize(text || 'e' || chr(769) || chr(65) || chr(778)) AS nt "
+    "FROM documents WHERE doc_id < 500) "
+    "SELECT doc_id, CAST(length(nt) AS INTEGER) AS n_chars, "
+    "md5(nt) AS digest FROM v"
+)
+
+
+@query("q_text_nfc", oracle=_NFC_ORACLE)
+def q_text_nfc(spark, sf_dir):
+    """E99' Unicode NFC normalization (round 12): combining sequences
+    (e + U+0301, A + U+030A) appended to each doc collapse to their
+    precomposed forms under canonical composition. The Spark side runs
+    Python's unicodedata (UCD tables) in an Arrow-batched mapInPandas;
+    the oracle runs DuckDB's utf8proc nfc_normalize — two INDEPENDENT
+    Unicode implementations agreeing on the digest, a true cross-engine
+    differential. NFC is the standard first normalization pass of a
+    multilingual corpus pipeline."""
+    from yark_spark.operators.multimodal import nfc_text_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    probe = docs.withColumn(
+        # decomposed combining sequences (e+U+0301, A+U+030A) so the
+        # Spark side genuinely composes; the oracle builds the same
+        # sequence with chr() and normalizes with utf8proc
+        "text", F.concat(F.col("text"), F.lit("e\u0301A\u030a"))
+    )
+    return nfc_text_features(probe)
