@@ -15,11 +15,11 @@ those three:
   pin the decoder by roundtrip — GIF's LZW is lossless, so decoded
   pixels equal encoded pixels bit-for-bit and an analytic (no image
   code) SQL oracle can check the decode stack end to end;
-* malformed payloads raise ``ValueError`` (typed, not crashes); the one
-  documented boundary is multi-frame animation *composition* — every
-  frame decodes, but ``decode_gif`` returns frame 0 (a thumbnail
-  pipeline wants the poster frame; disposal-method compositing is
-  player behavior, not data processing).
+* malformed payloads raise ``ValueError`` (typed, not crashes);
+  ``decode_gif`` returns frame 0 (poster-frame semantics for thumbnail
+  pipelines); full disposal-method animation compositing landed in
+  round 12 as :func:`compose_gif_frames` (the boundary this module
+  documented through round 11 is closed).
 
 LZW notes (the part worth being careful about):
 
@@ -235,8 +235,9 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
     """Parse every frame of a GIF into
     ``{indices, palette, left, top, width, height, transparent}`` dicts
     (indices ``uint8 (h, w)`` in screen row order — interlace undone;
-    palette ``uint8 (n, 3)``). Frame *composition* (disposal methods)
-    is the documented animation boundary — callers get the raw frames."""
+    palette ``uint8 (n, 3)``) plus the GCE ``disposal`` method and
+    ``delay_cs``; callers get the RAW frames —
+    :func:`compose_gif_frames` replays them per the disposal rules."""
     p = bytes(payload)
     if p[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")

@@ -291,7 +291,7 @@ def _make_decoder():
         _decode_png = None
     # GIF (r11): the from-scratch LZW codec in operators/gif, shipped by
     # value the same way (multi-frame files decode to the poster frame;
-    # disposal compositing is the documented animation boundary)
+    # full disposal compositing = gif.compose_gif_frames, round 12)
     try:
         from pyspark import cloudpickle as _cp4
 
