@@ -315,3 +315,130 @@ def test_offset_beyond_window_rejected():
     blocks = struct.pack("<I", 1 | (2 << 1) | (len(body) << 3))[:3] + body
     with pytest.raises(ValueError, match="offset|window"):
         zstd_decompress(_frame(blocks, 4))
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (cont.): dictionaries (RFC 8878 §5)
+# ---------------------------------------------------------------------------
+
+
+def _dict_frame(blocks: bytes, content_size: int, dict_id: int) -> bytes:
+    """Frame with a 4-byte Dictionary_ID, single-segment, no checksum.
+    Field order per RFC: FHD, Dictionary_ID, Frame_Content_Size."""
+    assert content_size < 256
+    return (
+        _MAGIC
+        + bytes([0x23])  # single segment + did_size=4, FCS 1 byte
+        + struct.pack("<I", dict_id)
+        + bytes([content_size])
+        + blocks
+    )
+
+
+def test_raw_content_dictionary_window():
+    """A match reaching below output offset 0 copies from the raw
+    dictionary content: ll=2 literals 'xy', then offset 10 into the
+    dict tail, ml=4 crossing the dict/output boundary."""
+    # dict content ends ...'ABCDEFGH'; offset 10 -> start 8 back in dict
+    body = (
+        b"\x10xy"           # raw literals 'xy'
+        + b"\x01\x54"       # 1 sequence, all RLE tables
+        + b"\x02\x03\x01"   # LL code 2 (ll=2), OF code 3, ML code 1 (ml=4)
+        + bytes([0b1_010])  # marker + OF extra '010' -> offset_value 8+2=10
+    )                        # offset = 10 - 3 = 7
+    blocks = struct.pack("<I", 1 | (2 << 1) | (len(body) << 3))[:3] + body
+    frame = _dict_frame(blocks, 6, 0)
+    out = zstd_decompress(frame, dictionary=b"....ABCDEFGH")
+    # output before match: 'xy' (len 2); offset 7 -> start -5 -> dict[-5:]
+    # = 'DEFGH' -> take ml=4: 'DEFG'
+    assert out == b"xyDEFG"
+
+
+def test_structured_dictionary_tables_reps_and_window():
+    """A structured dictionary (magic, entropy tables, reps, content):
+    the first block uses Treeless literals (dict Huffman), Repeat-mode
+    sequence tables (dict FSE) and a rep-code resolving to the dict's
+    starting offsets, with the match landing in dict content."""
+    from yark_spark.operators.zstd import parse_zstd_dictionary
+    from yark_spark.operators.zstd_encode import (
+        _BitsW,
+        _FseEncoder,
+        _huf_codes,
+        _huf_stream,
+        _write_ncount,
+    )
+
+    # Huffman over symbols 'a','b' (weights 1,1) — direct description
+    lens = {ord("a"): 1, ord("b"): 1}
+    weights = [0] * 256
+    weights[ord("a")] = 1
+    weights[ord("b")] = 1
+    explicit = weights[: ord("b")]  # 'b' is the implied last symbol
+    nibbles = bytearray()
+    for i in range(0, len(explicit), 2):
+        hi = explicit[i]
+        lo = explicit[i + 1] if i + 1 < len(explicit) else 0
+        nibbles.append((hi << 4) | lo)
+    huf_desc = bytes([127 + len(explicit)]) + bytes(nibbles)
+    # FSE tables: OF constant code 4 (counts put ALL weight on symbol 4),
+    # ML constant code 2 (ml=5), LL constant code 3 (ll=3)
+    of_desc = _write_ncount([0, 0, 0, 0, 32], 5)   # AL=5, symbol 4 only
+    ml_desc = _write_ncount([0, 0, 32], 5)          # symbol 2 -> ml 5
+    ll_desc = _write_ncount([0, 0, 0, 32], 5)       # symbol 3 -> ll 3
+    content = b"0123456789ABCDEF"
+    reps = struct.pack("<III", 4, 8, 12)
+    blob = (
+        struct.pack("<II", 0xEC30A437, 77)
+        + huf_desc + of_desc + ml_desc + ll_desc + reps + content
+    )
+    d = parse_zstd_dictionary(blob)
+    assert d["dict_id"] == 77 and d["reps"] == [4, 8, 12]
+
+    # block: treeless literals 'aab' + 1 sequence, all Repeat modes.
+    # OF code 4 reads 4 extra bits: value 0 -> offset_value 16 -> offset 13
+    codes, _tl = _huf_codes(weights)
+    lit_stream = _huf_stream(b"aab", codes)
+    h = 3 | (0 << 2) | (3 << 4) | (len(lit_stream) << 14)
+    lit_sec = bytes([h & 0xFF, (h >> 8) & 0xFF, (h >> 16) & 0xFF]) + lit_stream
+    bw = _BitsW()
+    # reads: LL init(5) OF init(5) ML init(5), OF extra 4 bits = 0
+    enc_ll = _FseEncoder(d["ll"]); enc_of = _FseEncoder(d["of"]); enc_ml = _FseEncoder(d["ml"])
+    reads = [
+        (enc_ll.start_state(3), 5),
+        (enc_of.start_state(4), 5),
+        (enc_ml.start_state(2), 5),
+        (0, 4),
+    ]
+    for v, n in reversed(reads):
+        bw.add(v, n)
+    body = lit_sec + b"\x01" + bytes([0xFC]) + bw.close()
+    blocks = struct.pack("<I", 1 | (2 << 1) | (len(body) << 3))[:3] + body
+    frame = _dict_frame(blocks, 8, 77)
+    out = zstd_decompress(frame, dictionary=d)
+    # ll=3 -> 'aab'; offset 13, output len 3 -> start -10 -> content[6:]
+    # = '6789ABCDEF' -> ml=5 -> '6789A'
+    assert out == b"aab6789A"
+
+
+def test_dictionary_id_checks():
+    frame = _dict_frame(struct.pack("<I", 1 | (5 << 3))[:3] + b"hello", 5, 42)
+    with pytest.raises(ValueError, match="dictionary"):
+        zstd_decompress(frame)  # frame wants a dict, none given
+    from yark_spark.operators.zstd import parse_zstd_dictionary
+    wrong = {"dict_id": 43, "reps": [1, 4, 8], "content": b""}
+    with pytest.raises(ValueError, match="dictionary"):
+        zstd_decompress(frame, dictionary=wrong)
+    # raw-content dicts (id 0) satisfy any frame id
+    assert zstd_decompress(frame, dictionary=b"window") == b"hello"
+
+
+def test_dictionary_rep_offset_validation():
+    from yark_spark.operators.zstd import parse_zstd_dictionary
+
+    blob = (
+        struct.pack("<II", 0xEC30A437, 1)
+        + bytes([127 + 1, 0x10])  # weights: sym0 w=1, implied sym1 w=1
+        + b""
+    )
+    with pytest.raises(ValueError):
+        parse_zstd_dictionary(blob)  # truncated before FSE tables/reps

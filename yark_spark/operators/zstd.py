@@ -37,6 +37,7 @@ from __future__ import annotations
 import struct
 
 __all__ = [
+    "parse_zstd_dictionary",
     "xxh64",
     "zstd_compress",
     "zstd_decompress",
@@ -642,13 +643,22 @@ def _decode_block(block, out: bytearray, state: dict, max_output) -> None:
             raise ValueError("zstd: literals overrun")
         _emit(out, literals[lit_pos : lit_pos + ll], max_output)
         lit_pos += ll
-        if offset > len(out):
+        dict_content = state.get("dict_content", b"")
+        if offset > len(out) + len(dict_content):
             raise ValueError("zstd: match offset beyond window")
         if max_output is not None and len(out) + ml > max_output:
             raise ValueError("zstd: output exceeds max_output")
         start = len(out) - offset
-        for j in range(ml):  # byte-wise: overlap (offset < length) is legal
-            out.append(out[start + j])
+        if start >= 0:
+            for j in range(ml):  # byte-wise: overlap (offset < len) is legal
+                out.append(out[start + j])
+        else:
+            # the match begins inside the dictionary content; it may run
+            # off the dictionary's end into the produced output
+            take = min(ml, -start)
+            out += dict_content[len(dict_content) + start :][:take]
+            for j in range(take, ml):
+                out.append(out[start + j])
     if not rd.exhausted():
         raise ValueError("zstd: sequence bitstream not fully consumed")
     _emit(out, literals[lit_pos:], max_output)
@@ -662,11 +672,72 @@ def _emit(out: bytearray, data, max_output) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Dictionaries (RFC 8878 §5)
+# ---------------------------------------------------------------------------
+
+_DICT_MAGIC = 0xEC30A437
+
+
+def parse_zstd_dictionary(blob: bytes) -> dict:
+    """Parse a zstd dictionary: the structured format (magic 0xEC30A437,
+    dictionary id, entropy tables — Huffman for literals then FSE for
+    Offsets/Match_Lengths/Literals_Lengths — three starting repeat
+    offsets, then the content) or, per the RFC's fallback, RAW CONTENT
+    (any blob without the magic: window prefill only, default tables).
+    The returned dict plugs into :func:`zstd_decompress`."""
+    blob = bytes(blob)
+    if len(blob) >= 8 and struct.unpack_from("<I", blob)[0] == _DICT_MAGIC:
+        (dict_id,) = struct.unpack_from("<I", blob, 4)
+        pos = 8
+        weights, used = _read_huf_weights(blob, pos)
+        huf = _HufTable(weights)
+        pos += used
+        tables = {}
+        for kind, max_sym, max_log in (("of", 31, 8), ("ml", 52, 9), ("ll", 35, 9)):
+            counts, log, n = _fse_read_ncount(blob, pos, max_sym, max_log)
+            tables[kind] = _FseTable.from_counts(counts, log)
+            pos += n
+        if pos + 12 > len(blob):
+            raise ValueError("zstd: dictionary truncated before rep offsets")
+        reps = list(struct.unpack_from("<III", blob, pos))
+        pos += 12
+        content = blob[pos:]
+        for r in reps:
+            if r == 0 or r > len(content):
+                raise ValueError("zstd: dictionary rep offset out of range")
+        return {
+            "dict_id": dict_id,
+            "huf": huf,
+            "ll": tables["ll"],
+            "of": tables["of"],
+            "ml": tables["ml"],
+            "reps": reps,
+            "content": content,
+        }
+    return {"dict_id": 0, "reps": [1, 4, 8], "content": blob}
+
+
+def _dict_state(dictionary: "dict | None") -> dict:
+    """Initial per-frame decode state, seeded from a parsed dictionary:
+    the dict's entropy tables serve the first block's Repeat/Treeless
+    modes, its rep offsets replace [1, 4, 8], and its content extends
+    the match window below output offset 0."""
+    state = {"reps": [1, 4, 8]}
+    if dictionary is not None:
+        state["reps"] = list(dictionary["reps"])
+        state["dict_content"] = dictionary["content"]
+        for k in ("huf", "ll", "of", "ml"):
+            if k in dictionary:
+                state[k] = dictionary[k]
+    return state
+
+
+# ---------------------------------------------------------------------------
 # Frames
 # ---------------------------------------------------------------------------
 
 
-def _decode_frame(p, pos: int, max_output):
+def _decode_frame(p, pos: int, max_output, dictionary=None):
     """One zstd frame at ``pos`` → (content bytes, next position)."""
     if pos + 4 > len(p):
         raise ValueError("zstd: truncated magic")
@@ -691,10 +762,18 @@ def _decode_frame(p, pos: int, max_output):
         wd = p[pos]
         pos += 1
         window = (1 << (10 + (wd >> 3))) + ((1 << (10 + (wd >> 3))) // 8) * (wd & 7)
+    frame_did = 0
     if did_size:
-        if p[pos : pos + did_size] != b"\x00" * did_size:
-            raise ValueError("zstd: dictionaries are not supported")
+        frame_did = int.from_bytes(bytes(p[pos : pos + did_size]), "little")
         pos += did_size
+    if frame_did:
+        if dictionary is None:
+            raise ValueError(f"zstd: frame wants dictionary {frame_did}, none given")
+        if dictionary["dict_id"] not in (0, frame_did):
+            raise ValueError(
+                f"zstd: frame wants dictionary {frame_did}, "
+                f"got {dictionary['dict_id']}"
+            )
     content_size = None
     if fcs_size:
         if pos + fcs_size > len(p):
@@ -706,7 +785,7 @@ def _decode_frame(p, pos: int, max_output):
     if single:
         window = content_size if content_size is not None else 0
     out = bytearray()
-    state = {"reps": [1, 4, 8]}
+    state = _dict_state(dictionary)
     block_cap = min(window, _BLOCK_MAX) if window else _BLOCK_MAX
     while True:
         if pos + 3 > len(p):
@@ -752,18 +831,26 @@ def _decode_frame(p, pos: int, max_output):
     return bytes(out), pos
 
 
-def zstd_decompress(payload: bytes, max_output: int | None = None) -> bytes:
+def zstd_decompress(
+    payload: bytes, max_output: int | None = None, dictionary=None
+) -> bytes:
     """Decompress a single zstd frame (skippable frames are skipped);
-    trailing garbage raises. ``max_output`` is the bomb guard."""
-    frames = zstd_frames(payload, max_output=max_output)
+    trailing garbage raises. ``max_output`` is the bomb guard;
+    ``dictionary`` is raw bytes or a :func:`parse_zstd_dictionary`
+    result for dictionary-compressed frames."""
+    frames = zstd_frames(payload, max_output=max_output, dictionary=dictionary)
     if len(frames) != 1:
         raise ValueError(f"zstd: expected one frame, found {len(frames)}")
     return frames[0]
 
 
-def zstd_frames(payload: bytes, max_output: int | None = None) -> list[bytes]:
+def zstd_frames(
+    payload: bytes, max_output: int | None = None, dictionary=None
+) -> list[bytes]:
     """All frames in a concatenated stream (the multi-frame convention,
     mirroring gzip_members); skippable frames are dropped."""
+    if dictionary is not None and not isinstance(dictionary, dict):
+        dictionary = parse_zstd_dictionary(dictionary)
     p = bytes(payload)
     out = []
     pos = 0
@@ -776,7 +863,7 @@ def zstd_frames(payload: bytes, max_output: int | None = None) -> list[bytes]:
                 if pos > len(p):
                     raise ValueError("zstd: truncated skippable frame")
                 continue
-        content, pos = _decode_frame(p, pos, max_output)
+        content, pos = _decode_frame(p, pos, max_output, dictionary)
         out.append(content)
     return out
 
