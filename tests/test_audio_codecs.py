@@ -359,3 +359,57 @@ def test_wav_truncated_fmt_typed_error():
     payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
     with pytest.raises(ValueError, match="truncated"):
         decode_wav(payload)
+
+
+# ---------------------------------------------------------------------------
+# Round 12: PCM sample depths (8 / 24 / 32-bit int + IEEE float32)
+# ---------------------------------------------------------------------------
+
+
+def test_pcm_depth_roundtrips():
+    from yark_spark.operators.audio_codecs import decode_wav, encode_wav
+
+    x = np.array([-32768, -12345, -1, 0, 1, 257, 32767, 25600], dtype=np.int64)
+    for codec in ("pcm16", "pcm24", "pcm32", "float32"):
+        _r, _c, got = decode_wav(encode_wav(x, codec=codec))
+        assert (got == x.astype(np.int16)).all(), codec
+    # 8-bit keeps only the top byte (spec: unsigned with a 128 bias)
+    _r, _c, got = decode_wav(encode_wav(x, codec="pcm8"))
+    assert (got == ((x >> 8) << 8).astype(np.int16)).all()
+
+
+def test_pcm24_sign_extension_and_alignment():
+    from yark_spark.operators.audio_codecs import decode_wav, encode_wav
+
+    x = np.array([-1, -256, 255, -32768], dtype=np.int64)
+    _r, _c, got = decode_wav(encode_wav(x, codec="pcm24"))
+    assert (got == x.astype(np.int16)).all()
+    # truncated 24-bit data is rejected, not misparsed
+    import pytest
+
+    bad = bytearray(encode_wav(np.array([0, 0], dtype=np.int64), codec="pcm24"))
+    idx = bytes(bad).index(b"data") + 4
+    import struct
+
+    struct.pack_into("<I", bad, idx, 5)  # data size not a multiple of 3
+    bad = bad[: idx + 4 + 5]
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_float32_extremes_clip():
+    import struct
+
+    from yark_spark.operators.audio_codecs import decode_wav
+
+    # hand-built float32 WAV with out-of-range samples: must clip
+    samples = struct.pack("<4f", 2.0, -2.0, 0.999969482421875, -1.0)
+    fmt = struct.pack("<HHIIHHH", 3, 1, 8000, 32000, 4, 32, 0)
+    body = (
+        b"WAVE"
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(samples)) + samples
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+    _r, _c, got = decode_wav(wav)
+    assert list(got) == [32767, -32768, 32767, -32768]

@@ -295,7 +295,7 @@ def ima_adpcm_decode(
 # WAV container over all four fmt tags
 # ---------------------------------------------------------------------------
 
-_FMT_PCM16, _FMT_ALAW, _FMT_MULAW, _FMT_IMA = 1, 6, 7, 0x11
+_FMT_PCM16, _FMT_FLOAT32, _FMT_ALAW, _FMT_MULAW, _FMT_IMA = 1, 3, 6, 7, 0x11
 
 
 def encode_wav(
@@ -321,6 +321,36 @@ def encode_wav(
             rate * 2 * channels, 2 * channels, 16,
         )
         fact = b""
+    elif codec in ("pcm8", "pcm24", "pcm32"):
+        # int16 input widened/narrowed losslessly around the int16 core
+        # (round 12): 8-bit drops the low byte (bias 128), 24/32-bit
+        # left-shift so decode's top-16 normalization is exact
+        if codec == "pcm8":
+            data = (((x >> 8) + 128) & 0xFF).astype(np.uint8).tobytes()
+            width = 1
+        elif codec == "pcm24":
+            v = (x.astype(np.int64) << 8).astype(np.int32)
+            b = np.empty((len(x), 3), dtype=np.uint8)
+            b[:, 0] = v & 0xFF
+            b[:, 1] = (v >> 8) & 0xFF
+            b[:, 2] = (v >> 16) & 0xFF
+            data = b.tobytes()
+            width = 3
+        else:
+            data = (x.astype(np.int64) << 16).astype("<i4").tobytes()
+            width = 4
+        fmt = struct.pack(
+            "<HHIIHH", _FMT_PCM16, channels, rate,
+            rate * width * channels, width * channels, 8 * width,
+        )
+        fact = b""
+    elif codec == "float32":
+        data = (x.astype(np.float64) / 32768.0).astype("<f4").tobytes()
+        fmt = struct.pack(
+            "<HHIIHHH", _FMT_FLOAT32, channels, rate,
+            rate * 4 * channels, 4 * channels, 32, 0,
+        )
+        fact = struct.pack("<4sII", b"fact", 4, n // channels)
     elif codec == "mulaw":
         data = mulaw_encode(x).tobytes()
         fmt = struct.pack(
@@ -388,9 +418,32 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(f"fmt chunk truncated to {len(fmt)} bytes")
     tag, channels, rate, _br, block_align, bits = struct.unpack("<HHIIHH", fmt[:16])
     if tag == _FMT_PCM16:
-        if bits != 16:
-            raise NotImplementedError(f"{bits}-bit PCM needs an audio library")
-        return rate, channels, np.frombuffer(data, dtype="<i2")
+        # all integer PCM widths normalize to int16 (round 12 — the
+        # "needs an audio library" depth boundary closed): 8-bit is
+        # UNSIGNED with a 128 bias per the WAV spec; 24/32-bit shift
+        # down, keeping the top 16 bits
+        if bits == 16:
+            return rate, channels, np.frombuffer(data, dtype="<i2")
+        if bits == 8:
+            u = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+            return rate, channels, ((u - 128) << 8).astype(np.int16)
+        if bits == 24:
+            if len(data) % 3:
+                raise ValueError("24-bit PCM data not a multiple of 3 bytes")
+            raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+            v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            v = (v ^ 0x800000) - 0x800000  # sign-extend 24 -> 32
+            return rate, channels, (v >> 8).astype(np.int16)
+        if bits == 32:
+            v = np.frombuffer(data, dtype="<i4")
+            return rate, channels, (v >> 16).astype(np.int16)
+        raise NotImplementedError(f"{bits}-bit integer PCM")
+    if tag == _FMT_FLOAT32:
+        if bits != 32:
+            raise NotImplementedError(f"{bits}-bit IEEE-float PCM")
+        f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        v = np.clip(np.rint(f * 32768.0), -32768, 32767)
+        return rate, channels, v.astype(np.int16)
     if tag in (_FMT_MULAW, _FMT_ALAW):
         if bits != 8:
             raise ValueError(f"G.711 with {bits}-bit samples")

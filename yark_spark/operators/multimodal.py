@@ -2542,3 +2542,66 @@ def nfc_text_features(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         _extract, GUNZIP_SCHEMA
     )
+
+
+#: Output schema of audio_pcm_depth_features.
+PCM_DEPTH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("codec", StringType()),
+        StructField("n_samples", IntegerType()),
+        StructField("mean_sample", LongType()),
+    ]
+)
+
+
+def audio_pcm_depth_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PCM sample-depth normalization (round 12 — the "N-bit PCM needs
+    an audio library" boundary closed): each doc's four md5-derived
+    int16 samples (multiples of 256, so every width is lossless) write
+    through the WAV encoder at 8/24/32-bit integer PCM and IEEE
+    float32, decode back through the four-depth normalizer in
+    operators/audio_codecs, and emit the per-depth sample mean — all
+    four depths must land on the SAME analytic value
+    (64·(a+b+c+d) − 26112), certified by one SQL oracle. Map-only
+    mapInPandas; the audio module ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import audio_codecs as _ac
+
+    _cp.register_pickle_by_value(_ac)
+    _enc, _dec = _ac.encode_wav, _ac.decode_wav
+    codecs = ("pcm8", "pcm24", "pcm32", "float32")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            dids, names, ns, means = [], [], [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                vals = [
+                    ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()[:4]
+                ]
+                samples = np.array([(v - 102) * 256 for v in vals], dtype=np.int64)
+                for codec in codecs:
+                    _r, _c, got = _dec(_enc(samples, codec=codec))
+                    dids.append(int(did))
+                    names.append(codec)
+                    ns.append(len(got))
+                    means.append(int(got.astype(np.int64).sum()) // len(got))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(dids, dtype="int64"),
+                    "codec": names,
+                    "n_samples": np.array(ns, dtype="int32"),
+                    "mean_sample": np.array(means, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _extract, PCM_DEPTH_SCHEMA
+    )

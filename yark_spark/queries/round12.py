@@ -436,3 +436,30 @@ def q_text_nfc(spark, sf_dir):
         "text", F.concat(F.col("text"), F.lit("e\u0301A\u030a"))
     )
     return nfc_text_features(probe)
+
+
+_PCM_DEPTH_ORACLE = (
+    "WITH v AS (SELECT doc_id, "
+    "ascii(substr(md5(text), 1, 1)) AS a, ascii(substr(md5(text), 2, 1)) AS b, "
+    "ascii(substr(md5(text), 3, 1)) AS c, ascii(substr(md5(text), 4, 1)) AS d "
+    "FROM documents WHERE doc_id < 150) "
+    "SELECT doc_id, s.codec, CAST(4 AS INTEGER) AS n_samples, "
+    "CAST(64 * (a + b + c + d) - 26112 AS BIGINT) AS mean_sample "
+    "FROM v, (VALUES ('pcm8'), ('pcm24'), ('pcm32'), ('float32')) s(codec)"
+)
+
+
+@query("q_audio_pcm_depths", oracle=_PCM_DEPTH_ORACLE)
+def q_audio_pcm_depths(spark, sf_dir):
+    """E100 PCM sample-depth normalization (round 12): the WAV decoder's
+    "N-bit PCM needs an audio library" boundary closed — 8-bit unsigned
+    (128 bias), 24-bit packed LE, 32-bit integer and IEEE float32 all
+    normalize to the int16 core. The fixture samples are multiples of
+    256 so every width is lossless; all four depths must produce the
+    SAME analytic per-doc mean (64·(a+b+c+d) − 26112) — one oracle
+    checks four container layouts and the float scaling convention
+    (x/32768, rint on decode) at once. Map-only mapInPandas."""
+    from yark_spark.operators.multimodal import audio_pcm_depth_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return audio_pcm_depth_features(docs)
