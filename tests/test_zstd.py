@@ -442,3 +442,70 @@ def test_dictionary_rep_offset_validation():
     )
     with pytest.raises(ValueError):
         parse_zstd_dictionary(blob)  # truncated before FSE tables/reps
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (cont.): seekable format
+# ---------------------------------------------------------------------------
+
+
+def test_seekable_roundtrip_and_independent_frames():
+    from yark_spark.operators.zstd import (
+        zstd_seek_table,
+        zstd_seekable_compress,
+    )
+
+    raw = b"the quick brown fox jumps over the lazy dog. " * 2000
+    enc = zstd_seekable_compress(raw, frame_size=16 << 10)
+    table = zstd_seek_table(enc)
+    assert len(table) == -(-len(raw) // (16 << 10))
+    # whole-stream decode skips the seek table
+    assert b"".join(zstd_frames(enc)) == raw
+    # every frame decodes alone and matches its slice
+    pos = 0
+    for off, c_sz, d_sz in table:
+        got = zstd_decompress(enc[off : off + c_sz])
+        assert got == raw[pos : pos + d_sz]
+        pos += d_sz
+    assert pos == len(raw)
+
+
+def test_seekable_footer_validation():
+    from yark_spark.operators.zstd import zstd_seek_table, zstd_seekable_compress
+
+    enc = bytearray(zstd_seekable_compress(b"data" * 100))
+    with pytest.raises(ValueError, match="seekable"):
+        zstd_seek_table(bytes(enc[:-1]))  # magic cut off
+    bad = bytearray(enc)
+    bad[-9] ^= 1  # corrupt the frame count (footer: count u32, desc, magic)
+    with pytest.raises(ValueError, match="seek"):
+        zstd_seek_table(bytes(bad))
+    with pytest.raises(ValueError):
+        zstd_seek_table(zstd_compress(b"plain frame, no table"))
+
+
+def test_seekable_spark_listing_equals_whole_stream(spark):
+    """The parallel per-frame path and the whole-stream jsonl listing
+    must produce identical rows for the same documents."""
+    from yark_spark.operators.multimodal import (
+        jsonl_zst_listing,
+        seekable_zst_frame_listing,
+        with_jsonl_zst_shards,
+        with_seekable_zst_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} " * (i % 7 + 1)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        map(tuple, seekable_zst_frame_listing(
+            with_seekable_zst_shards(docs, frame_size=512)
+        ).drop("shard_id").collect())
+    )
+    b = sorted(
+        map(tuple, jsonl_zst_listing(
+            with_jsonl_zst_shards(docs, docs_per_shard=64)
+        ).drop("shard_id").collect())
+    )
+    assert a == b and len(a) == 40

@@ -2605,3 +2605,143 @@ def audio_pcm_depth_features(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         _extract, PCM_DEPTH_SCHEMA
     )
+
+
+#: Output schema of seekable_zst_frame_listing's frame stage.
+_SEEK_FRAME_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def with_seekable_zst_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_shard: int = 64,
+    frame_size: int = 4096,
+) -> DataFrame:
+    """Pack documents into SEEKABLE .jsonl.zst shards (round 12): one
+    JSON line per doc, the shard split into independent zstd frames of
+    ``frame_size`` uncompressed bytes with the seek table appended (the
+    public zstd seekable-format spec). One applyInPandas per shard
+    group. The point at 100 TB: a multi-GB .zst object stops being one
+    task — the seek table makes it SPLITTABLE."""
+    _zstd = _register_zstd_modules()
+    _enc = _zstd.zstd_seekable_compress_chunks
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        pdf = pdf.sort_values(id_col)
+        # frame chunks cut at LINE boundaries (never mid-record), packed
+        # greedily up to frame_size uncompressed bytes
+        chunks, cur = [], bytearray()
+        for did, t in zip(pdf[id_col], pdf[text_col]):
+            line = (
+                _json.dumps({"id": int(did), "text": t}, ensure_ascii=False) + "\n"
+            ).encode("utf-8")
+            if cur and len(cur) + len(line) > frame_size:
+                chunks.append(bytes(cur))
+                cur = bytearray()
+            cur += line
+        if cur:
+            chunks.append(bytes(cur))
+        sid = int(pdf[id_col].iloc[0]) // docs_per_shard
+        return pd.DataFrame({"shard_id": [sid], "payload": [_enc(chunks)]})
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / docs_per_shard).cast("long").alias("__s"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("shard_id", LongType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+    )
+
+
+def seekable_zst_frame_listing(
+    df: DataFrame,
+    shard_col: str = "shard_id",
+    payload_col: str = "payload",
+    decode_partitions: int | None = None,
+) -> DataFrame:
+    """Parallel decode of seekable .zst shards (round 12): stage 1
+    parses each shard's seek table and emits one row PER FRAME (the
+    frame's own bytes — at object-store scale this stage reads only the
+    footer and issues byte-range requests); a ``repartition`` then
+    spreads the frames so stage 2's entropy decode of ONE shard runs on
+    MANY cores — the whole reason the seekable format exists. Frames
+    split only at line boundaries by construction here; a general
+    reader would stitch the cut line across neighboring frames (same
+    pattern as the tar prefix rejoin). Emits (doc_id, shard_id,
+    n_chars, digest) like jsonl_zst_listing."""
+    _zstd = _register_zstd_modules()
+    _table = _zstd.zstd_seek_table
+    _dec = _zstd.zstd_decompress
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            sids, nos, blobs = [], [], []
+            for sid, p in zip(pdf[shard_col], pdf[payload_col]):
+                p = bytes(p)
+                for no, (off, c_sz, _d) in enumerate(_table(p)):
+                    sids.append(int(sid))
+                    nos.append(no)
+                    blobs.append(p[off : off + c_sz])
+            yield pd.DataFrame(
+                {
+                    "shard_id": np.array(sids, dtype="int64"),
+                    "frame_no": np.array(nos, dtype="int32"),
+                    "frame_bytes": blobs,
+                }
+            )
+
+    frames = df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
+        _frames, _SEEK_FRAME_SCHEMA
+    )
+    n = decode_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # the repartition IS the point: entropy decode of one shard's frames
+    # fans out across the cluster instead of serializing in one task
+    frames = frames.repartition(n, "shard_id", "frame_no")
+
+    def _docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import json as _json
+
+        import numpy as np
+
+        for pdf in batches:
+            dids, sids, ns, digs = [], [], [], []
+            for sid, blob in zip(pdf["shard_id"], pdf["frame_bytes"]):
+                raw = _dec(bytes(blob), max_output=256 << 20)
+                for line in raw.decode("utf-8").splitlines():
+                    if not line:
+                        continue
+                    obj = _json.loads(line)
+                    dids.append(int(obj["id"]))
+                    sids.append(int(sid))
+                    ns.append(len(obj["text"]))
+                    digs.append(
+                        _hashlib.md5(obj["text"].encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(dids, dtype="int64"),
+                    "shard_id": np.array(sids, dtype="int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return frames.mapInPandas(_docs, JSONL_ZST_SCHEMA)

@@ -42,6 +42,9 @@ __all__ = [
     "zstd_compress",
     "zstd_decompress",
     "zstd_frames",
+    "zstd_seek_table",
+    "zstd_seekable_compress",
+    "zstd_seekable_compress_chunks",
 ]
 
 _MAGIC = 0xFD2FB528
@@ -941,3 +944,81 @@ def _compress_block(chunk: bytes, reps: list[int]):
         except ImportError:
             return None
     return _COMPRESS_BLOCK(chunk, reps)
+
+
+# ---------------------------------------------------------------------------
+# Seekable format (public zstd seekable-format spec): independent frames
+# + a seek table in a skippable frame, so ONE huge .zst object is
+# splittable — each frame decompresses alone, which is what lets a
+# cluster parallelize the entropy decode of a single shard.
+# ---------------------------------------------------------------------------
+
+_SEEKABLE_MAGIC = 0x8F92EAB1
+_SEEK_SKIPPABLE = 0x184D2A5E
+
+
+def zstd_seekable_compress(
+    raw: bytes, frame_size: int = 1 << 16, method: str = "compressed"
+) -> bytes:
+    """Split ``raw`` into independent zstd frames of ``frame_size``
+    uncompressed bytes and append the seek table (skippable frame magic
+    0x184D2A5E; per-frame compressed/decompressed sizes; footer =
+    frame count, descriptor, 0x8F92EAB1). The output is a valid plain
+    zstd stream (zstd_frames decodes it whole, the seek table being
+    skippable) AND a random-access one (zstd_seek_table finds every
+    frame boundary)."""
+    raw = bytes(raw)
+    chunks = [raw[i : i + frame_size] for i in range(0, len(raw), frame_size)] or [
+        b""
+    ]
+    return zstd_seekable_compress_chunks(chunks, method=method)
+
+
+def zstd_seekable_compress_chunks(chunks, method: str = "compressed") -> bytes:
+    """Seekable stream from CALLER-CHOSEN chunks — record-aligned frame
+    boundaries (a .jsonl packer cuts at line ends so every frame is
+    independently parseable; the byte-count variant above is for opaque
+    payloads)."""
+    frames = [zstd_compress(bytes(c), method=method) for c in chunks]
+    entries = bytearray()
+    for f, c in zip(frames, chunks):
+        entries += struct.pack("<II", len(f), len(c))
+    table = (
+        struct.pack("<II", _SEEK_SKIPPABLE, len(entries) + 9)
+        + bytes(entries)
+        + struct.pack("<IBI", len(frames), 0, _SEEKABLE_MAGIC)
+    )
+    return b"".join(frames) + table
+
+
+def zstd_seek_table(payload: bytes) -> list[tuple[int, int, int]]:
+    """Parse the seekable-format footer → one (compressed_offset,
+    compressed_size, decompressed_size) triple per frame. Raises
+    ValueError when the payload carries no seek table."""
+    p = bytes(payload)
+    if len(p) < 9:
+        raise ValueError("zstd: no room for a seekable footer")
+    (n_frames, desc, magic) = struct.unpack_from("<IBI", p, len(p) - 9)
+    if magic != _SEEKABLE_MAGIC:
+        raise ValueError("zstd: seekable footer magic missing")
+    if desc & 0x7C:
+        raise ValueError("zstd: reserved seekable descriptor bits set")
+    entry_sz = 12 if desc & 0x80 else 8
+    table_sz = n_frames * entry_sz + 9
+    start = len(p) - 8 - table_sz  # skippable header sits before the table
+    if start < 0:
+        raise ValueError("zstd: seek table larger than payload")
+    (skip_magic, skip_sz) = struct.unpack_from("<II", p, start)
+    if skip_magic != _SEEK_SKIPPABLE or skip_sz != table_sz:
+        raise ValueError("zstd: seek table skippable framing invalid")
+    out = []
+    off = 0
+    pos = start + 8
+    for _ in range(n_frames):
+        c_sz, d_sz = struct.unpack_from("<II", p, pos)
+        pos += entry_sz
+        out.append((off, c_sz, d_sz))
+        off += c_sz
+    if off != start:
+        raise ValueError("zstd: seek table does not cover the frames")
+    return out

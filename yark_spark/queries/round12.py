@@ -463,3 +463,30 @@ def q_audio_pcm_depths(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return audio_pcm_depth_features(docs)
+
+
+_SEEKABLE_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS shard_id, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 448"
+)
+
+
+@query("q_seekable_zst_scan", oracle=_SEEKABLE_ORACLE)
+def q_seekable_zst_scan(spark, sf_dir):
+    """E95'' seekable .jsonl.zst shards (round 12; the public zstd
+    seekable-format spec): 64 docs/shard packed into INDEPENDENT zstd
+    frames cut at line boundaries (~4 KB each) with the seek table in a
+    skippable frame. The reader parses the footer, emits one row per
+    frame, and REPARTITIONS before the entropy decode — one multi-GB
+    .zst object stops being one task; its decode fans out across the
+    cluster. The stream remains a valid plain zstd stream (the
+    whole-stream twin is equivalence-tested). Digest-matched per doc
+    through frame slicing + FSE/huff0 decode + JSON parse."""
+    from yark_spark.operators.multimodal import (
+        seekable_zst_frame_listing,
+        with_seekable_zst_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
+    return seekable_zst_frame_listing(with_seekable_zst_shards(docs))
