@@ -372,6 +372,22 @@ def compress_block(
     thread it through every compressed block of the frame (raw/RLE
     blocks leave it untouched on both sides)."""
     tokens = list(_lz77_tokens(chunk, max_chain=max_chain))
+    # merge back-to-back matches at the SAME distance: the DEFLATE
+    # matcher caps one match at 258 bytes, but a continued copy at an
+    # unchanged distance is a single (longer) zstd sequence — long runs
+    # and repeated records collapse to one match instead of dozens
+    merged: list = []
+    for t in tokens:
+        if (
+            isinstance(t, tuple)
+            and merged
+            and isinstance(merged[-1], tuple)
+            and merged[-1][1] == t[1]
+        ):
+            merged[-1] = (merged[-1][0] + t[0], t[1])
+        else:
+            merged.append(t)
+    tokens = merged
     seqs: list[tuple[int, int, int]] = []
     literals = bytearray()
     pending = 0  # literal run length awaiting the next match
