@@ -88,3 +88,14 @@ def test_fixture_roundtrip_is_byte_exact(spark):
     for i, t in enumerate(texts):
         assert rows[i]["n_chars"] == len(t)
         assert rows[i]["digest"] == hashlib.md5(t.encode()).hexdigest()
+
+
+def test_inline_whitespace_node_is_a_word_separator():
+    """'a<b> </b>c' must extract 'a c' — an in-flow whitespace-only
+    node between inline tags separates words; only BLOCK-boundary
+    indentation drops (round-12 self-review)."""
+    assert html_to_text("a<b> </b>c") == "a c"
+    assert html_to_text("foo<span> </span>bar") == "foo bar"
+    assert html_to_text("a<b> </b><i> </i>c") == "a c"  # runs collapse
+    # block-boundary indentation still drops
+    assert html_to_text("<div>\n  <p>indented</p>\n</div>") == "indented"

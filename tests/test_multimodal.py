@@ -773,3 +773,32 @@ def test_warc_listing_warcinfo_null_doc_id(spark):
     resp = [r for r in out if r["warc_type"] == "response"]
     assert len(info) == 1 and info[0]["doc_id"] is None
     assert sorted(r["doc_id"] for r in resp) == [0, 1, 2, 3]
+
+
+def test_wet_extractors_tolerate_non_numeric_uris(spark):
+    """Both WET extractors emit null doc_id for response records whose
+    URI tail is not the numeric fixture key (real CC URIs end in e.g.
+    index.html) instead of failing the shard (round-12 self-review)."""
+    from yark_spark.operators.containers import warc_build
+    from yark_spark.operators.multimodal import warc_wet_extract, warc_wet_html_extract
+
+    records = [
+        {
+            "type": "response",
+            "uri": "https://example.com/page/index.html",
+            "record_id": "urn:uuid:1",
+            "block": b"HTTP/1.1 200 OK\r\n\r\n<p>real page</p>",
+        },
+        {
+            "type": "response",
+            "uri": "https://example.com/doc/7",
+            "record_id": "urn:uuid:2",
+            "block": b"HTTP/1.1 200 OK\r\n\r\n<p>doc body</p>",
+        },
+    ]
+    payload = warc_build(records, per_record_gzip=True)
+    df = spark.createDataFrame([(0, bytearray(payload))], "shard_id long, payload binary")
+    for fn in (warc_wet_extract, warc_wet_html_extract):
+        rows = sorted(fn(df).collect(), key=lambda r: (r["doc_id"] is None, r["doc_id"]))
+        assert len(rows) == 2
+        assert rows[0]["doc_id"] == 7 and rows[1]["doc_id"] is None

@@ -509,3 +509,55 @@ def test_seekable_spark_listing_equals_whole_stream(spark):
         ).drop("shard_id").collect())
     )
     assert a == b and len(a) == 40
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (cont.): self-review regression pins
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_count_wire_roundtrip():
+    """Number_of_Sequences header codec: decode(encode(n)) == n across
+    every format boundary, including the byte0==255 ADDITION form the
+    self-review caught (an OR misparses every count >= 0x8000)."""
+    from yark_spark.operators.zstd import _read_seq_count
+
+    def write(n):
+        if n < 128:
+            return bytes([n])
+        if n < 0x7F00:
+            return bytes([(n >> 8) + 128, n & 0xFF])
+        return bytes([255, (n - 0x7F00) & 0xFF, (n - 0x7F00) >> 8])
+
+    for n in (0, 1, 127, 128, 255, 256, 0x7EFF, 0x7F00, 0x7FFF, 0x8000,
+              0xFF00, 0x17EFF):
+        got, used = _read_seq_count(write(n), 0)
+        assert got == n, (n, got)
+        assert used == len(write(n))
+    # the specific wire the OR form misparsed: ff 00 01 -> 32768
+    assert _read_seq_count(b"\xff\x00\x01", 0)[0] == 0x8000
+
+
+def test_bomb_guard_spans_concatenated_frames():
+    """max_output bounds the TOTAL across frames — concatenation must
+    not multiply the cap (round-12 self-review)."""
+    one = zstd_compress(b"\x00" * 10_000)
+    stream = one * 5
+    with pytest.raises(ValueError, match="max_output"):
+        zstd_frames(stream, max_output=30_000)
+    assert b"".join(zstd_frames(stream, max_output=50_000)) == b"\x00" * 50_000
+
+
+def test_trailing_zero_bitstream_rejected():
+    """RFC: the bitstream's last byte carries the end marker and must
+    be nonzero; a zero byte must be malformed, not silently reparsed."""
+    # huffman-compressed literals whose stream ends in 0x00
+    body = (
+        bytes([2 | (0 << 2) | (4 << 4) | (3 << 14) & 0xFF])  # placeholder
+    )
+    from yark_spark.operators.zstd import _BackwardBits
+
+    with pytest.raises(ValueError, match="marker"):
+        _BackwardBits(b"\xff\x00")
+    with pytest.raises(ValueError, match="marker"):
+        _BackwardBits(b"\x00")

@@ -97,20 +97,30 @@ def html_to_text(payload: "bytes | str") -> str:
             continue
         if name in _BLOCK:
             chunks.append("\n")
-    # assemble: entity-decode text nodes, drop whitespace-only nodes,
-    # collapse marker runs to one newline
+    # assemble: entity-decode text nodes; whitespace-only nodes at a
+    # BLOCK boundary are markup indentation and drop, but an in-flow
+    # whitespace node between inline tags is a real word separator and
+    # collapses to one space ('a<b> </b>c' -> 'a c', not 'ac' — the
+    # round-12 self-review case); marker runs collapse to one newline
     parts: list[str] = []
     pending_break = False
+    pending_space = False
     for c in chunks:
         if c == "\n":
             pending_break = True
+            pending_space = False
             continue
         text = _htmlmod.unescape(c)
         if not text.strip():
+            if parts and not pending_break and text:
+                pending_space = True
             continue
         if pending_break and parts:
             parts.append("\n")
+        elif pending_space:
+            parts.append(" ")
         pending_break = False
+        pending_space = False
         parts.append(text)
     return "".join(parts).strip()
 

@@ -272,13 +272,21 @@ def langid_ngram_vote(
         "__b", "__lang", F.coalesce("__n", F.lit(0)).alias("__n"), "__T"
     )
     a, o = dist.alias("a"), dist.alias("o")
-    la, na, ta = F.col("a.__lang"), F.col("a.__n"), F.col("a.__T")
-    lo, no, to = F.col("o.__lang"), F.col("o.__n"), F.col("o.__T")
+    la, ta = F.col("a.__lang"), F.col("a.__T")
+    lo, to = F.col("o.__lang"), F.col("o.__T")
+    # decimal(19,0) factors -> decimal(38,0) exact products: at the
+    # 100 TB design point per-lang trigram totals T reach ~1e13-1e14
+    # and (n+1)*(T+B) overflows int64 (round-12 self-review); DuckDB's
+    # oracle side promotes to hugeint natively
+    na = F.col("a.__n").cast("decimal(19,0)")
+    no = F.col("o.__n").cast("decimal(19,0)")
+    tad = ta.cast("decimal(19,0)")
+    tod = to.cast("decimal(19,0)")
     beaten = F.coalesce(
         F.max(
             (
-                ((no + 1) * (ta + b) > (na + 1) * (to + b))
-                | (((no + 1) * (ta + b) == (na + 1) * (to + b)) & (lo > la))
+                ((no + 1) * (tad + b) > (na + 1) * (tod + b))
+                | (((no + 1) * (tad + b) == (na + 1) * (tod + b)) & (lo > la))
             ).cast("int")
         ),
         F.lit(0),  # a single-language corpus has no opponents at all

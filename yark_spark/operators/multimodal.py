@@ -1812,12 +1812,13 @@ def warc_wet_extract(
                     block = r["block"]
                     head_end = block.find(b"\r\n\r\n")
                     body = block[head_end + 4 :] if head_end >= 0 else block
-                    dids.append(int(uri.rsplit("/", 1)[-1]))
+                    tail = uri.rsplit("/", 1)[-1]
+                    dids.append(int(tail) if tail.isdigit() else None)
                     ns.append(len(body.decode("utf-8")))
                     digs.append(_hashlib.md5(body).hexdigest())
             yield pd.DataFrame(
                 {
-                    "doc_id": np.array(dids, dtype="int64"),
+                    "doc_id": pd.array(dids, dtype="Int64"),
                     "n_chars": np.array(ns, dtype="int32"),
                     "digest": digs,
                 }
@@ -2493,12 +2494,16 @@ def warc_wet_html_extract(
                     head_end = block.find(b"\r\n\r\n")
                     body = block[head_end + 4 :] if head_end >= 0 else block
                     text = _to_text(body)
-                    dids.append(int(uri.rsplit("/", 1)[-1]))
+                    # real CC URIs rarely end in a numeric key: null
+                    # doc_id instead of failing the shard (the
+                    # warc_record_listing rule, round-12 self-review)
+                    tail = uri.rsplit("/", 1)[-1]
+                    dids.append(int(tail) if tail.isdigit() else None)
                     ns.append(len(text))
                     digs.append(_hashlib.md5(text.encode("utf-8")).hexdigest())
             yield pd.DataFrame(
                 {
-                    "doc_id": np.array(dids, dtype="int64"),
+                    "doc_id": pd.array(dids, dtype="Int64"),
                     "n_chars": np.array(ns, dtype="int32"),
                     "digest": digs,
                 }

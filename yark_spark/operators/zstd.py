@@ -152,9 +152,13 @@ class _BackwardBits:
     def __init__(self, data):
         if len(data) == 0:
             raise ValueError("zstd: empty bitstream")
-        big = int.from_bytes(bytes(data), "little")
-        if big == 0:
+        data = bytes(data)
+        if data[-1] == 0:
+            # RFC: the LAST byte must carry the end marker; accepting a
+            # zero byte would silently relocate the marker and reparse
+            # the stream as a shorter one (round-12 self-review)
             raise ValueError("zstd: bitstream missing end marker")
+        big = int.from_bytes(data, "little")
         self.big = big
         self.avail = big.bit_length() - 1  # bits below the marker
 
@@ -574,25 +578,32 @@ def _seq_table(mode: int, block, pos: int, kind: str, state: dict):
     return table, pos
 
 
+def _read_seq_count(block, pos: int) -> tuple[int, int]:
+    """Number_of_Sequences header → (nseq, next pos). byte0 == 255 means
+    nseq = byte1 + (byte2 << 8) + 0x7F00 — ADDITION, not OR (byte2's
+    low bits overlap 0x7F00's set bits; an OR form misparses every
+    count >= 0x8000 — caught by the round-12 self-review, pinned by the
+    roundtrip test against the encoder's writer)."""
+    b0 = block[pos]
+    if b0 == 0:
+        return 0, pos + 1
+    if b0 < 128:
+        return b0, pos + 1
+    if b0 < 255:
+        if pos + 2 > len(block):
+            raise ValueError("zstd: truncated sequence count")
+        return ((b0 - 128) << 8) | block[pos + 1], pos + 2
+    if pos + 3 > len(block):
+        raise ValueError("zstd: truncated sequence count")
+    return block[pos + 1] + (block[pos + 2] << 8) + 0x7F00, pos + 3
+
+
 def _decode_block(block, out: bytearray, state: dict, max_output) -> None:
     """One compressed block: literals + sequences, executed into ``out``."""
     literals, pos = _decode_literals(block, state)
     if pos >= len(block):
         raise ValueError("zstd: missing sequences header")
-    b0 = block[pos]
-    if b0 == 0:
-        nseq, pos = 0, pos + 1
-    elif b0 < 128:
-        nseq, pos = b0, pos + 1
-    elif b0 < 255:
-        if pos + 2 > len(block):
-            raise ValueError("zstd: truncated sequence count")
-        nseq, pos = ((b0 - 128) << 8) | block[pos + 1], pos + 2
-    else:
-        if pos + 3 > len(block):
-            raise ValueError("zstd: truncated sequence count")
-        nseq = block[pos + 1] | (block[pos + 2] << 8) | 0x7F00
-        pos += 3
+    nseq, pos = _read_seq_count(block, pos)
     if nseq == 0:
         _emit(out, literals, max_output)
         return
@@ -799,6 +810,8 @@ def _decode_frame(p, pos: int, max_output, dictionary=None):
         btype = (hdr >> 1) & 3
         bsize = hdr >> 3
         if btype == 0:  # raw
+            if bsize > block_cap:
+                raise ValueError("zstd: raw block exceeds block maximum")
             if pos + bsize > len(p):
                 raise ValueError("zstd: truncated raw block")
             _emit(out, p[pos : pos + bsize], max_output)
@@ -857,6 +870,7 @@ def zstd_frames(
     p = bytes(payload)
     out = []
     pos = 0
+    total = 0
     while pos < len(p):
         if pos + 8 <= len(p):
             (magic,) = struct.unpack_from("<I", p, pos)
@@ -866,7 +880,12 @@ def zstd_frames(
                 if pos > len(p):
                     raise ValueError("zstd: truncated skippable frame")
                 continue
-        content, pos = _decode_frame(p, pos, max_output, dictionary)
+        # the bomb guard bounds the TOTAL across frames — per-frame
+        # budgets would let frame concatenation multiply the cap
+        # (round-12 self-review)
+        budget = None if max_output is None else max_output - total
+        content, pos = _decode_frame(p, pos, budget, dictionary)
+        total += len(content)
         out.append(content)
     return out
 
