@@ -777,6 +777,57 @@ def with_wav_payload(
     )
 
 
+def with_flac_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate: int = 8000,
+    block_size: int = 64,
+) -> DataFrame:
+    """Deterministic FLAC fixture column (round 12): the SAME samples as
+    ``with_wav_payload`` (md5 hex ascii codes tiled 8× → 256) encoded by
+    the from-scratch RFC 9639 encoder (operators/flac) — FLAC is
+    lossless, so the analytic WAV oracle pins the whole
+    sync→Rice→predictor wire unchanged. ``block_size=64`` forces four
+    frames per stream (frame numbering, per-frame CRCs, frame-boundary
+    handling all on the hot path). Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import flac as _flac_mod
+
+    _cp.register_pickle_by_value(_flac_mod)
+    _encode = _flac_mod.encode_flac
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = [
+                _encode(
+                    _np.array(
+                        [ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()]
+                        * 8,
+                        dtype=_np.int64,
+                    ),
+                    rate=rate,
+                    block_size=block_size,
+                )
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _enc,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
 #: Output schema of decode_audio_spectrum.
 AUDIO_SPECTRUM_SCHEMA = StructType(
     [
@@ -804,9 +855,16 @@ def decode_audio_spectrum(
     from pyspark import cloudpickle as _cp
 
     from yark_spark.operators import audio_codecs as _ac
+    from yark_spark.operators import flac as _flac_mod
 
     _cp.register_pickle_by_value(_ac)
-    _decode = _ac.decode_wav
+    _cp.register_pickle_by_value(_flac_mod)
+    _decode_wav = _ac.decode_wav
+    _decode_flac = _flac_mod.decode_flac
+
+    def _decode(b: bytes):
+        # container dispatch by magic: fLaC (round 12) beside RIFF/WAVE
+        return _decode_flac(b) if b[:4] == b"fLaC" else _decode_wav(b)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -965,14 +1023,24 @@ def decode_audio_features(
 
     Round 11: decodes through ``operators/audio_codecs.decode_wav``, so
     the SAME extractor covers PCM16 **and** the compressed fmt tags
-    (G.711 µ-law/A-law, mono IMA ADPCM); psychoacoustic codecs remain
-    the documented NotImplementedError boundary."""
+    (G.711 µ-law/A-law, mono IMA ADPCM). Round 12: `.flac` payloads
+    dispatch by magic to the from-scratch RFC 9639 decoder
+    (operators/flac) — lossless compressed audio is real; only
+    psychoacoustic codecs (MP3/AAC/Opus) remain the documented
+    NotImplementedError boundary."""
     from pyspark import cloudpickle as _cp
 
     from yark_spark.operators import audio_codecs as _ac
+    from yark_spark.operators import flac as _flac_mod
 
     _cp.register_pickle_by_value(_ac)
-    decode = _ac.decode_wav
+    _cp.register_pickle_by_value(_flac_mod)
+    _decode_wav = _ac.decode_wav
+    _decode_flac = _flac_mod.decode_flac
+
+    def decode(b: bytes):
+        # container dispatch by magic: fLaC (round 12) beside RIFF/WAVE
+        return _decode_flac(b) if b[:4] == b"fLaC" else _decode_wav(b)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

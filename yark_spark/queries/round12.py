@@ -490,3 +490,76 @@ def q_seekable_zst_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
     return seekable_zst_frame_listing(with_seekable_zst_shards(docs))
+
+
+_FLAC_ORACLE = (
+    "WITH h AS (SELECT doc_id, md5(text) AS m FROM documents WHERE doc_id < 200), "
+    "s AS (SELECT doc_id, ascii(substr(m, g.i, 1)) AS v "
+    "FROM h, unnest(generate_series(1, 32)) AS g(i)) "
+    "SELECT doc_id, CAST(256 AS INTEGER) AS n_samples, "
+    "CAST(8000 AS INTEGER) AS sample_rate, "
+    "round(256.0 / 8000, 6) AS duration_s, "
+    "CAST(max(v) AS INTEGER) AS peak, "
+    "round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms "
+    "FROM s GROUP BY doc_id"
+)
+
+
+@query("q_audio_decode_flac", oracle=_FLAC_ORACLE)
+def q_audio_decode_flac(spark, sf_dir):
+    """E101 FLAC decode (round 12): the lossless-compressed-audio
+    boundary closed with a complete from-scratch RFC 9639 codec
+    (operators/flac — frame sync, CRC-8/16, UTF-8 frame numbers,
+    CONSTANT/VERBATIM/FIXED/LPC subframes, partitioned Rice with both
+    methods + escape, all four stereo assignments, STREAMINFO MD5).
+    The fixture is the SAME md5-ascii sample stream as q_audio_decode's
+    WAV (FLAC is lossless, so the identical analytic oracle pins the
+    whole sync→Rice→predictor→feature wire), encoded at block_size=64
+    so every stream crosses four frame boundaries. Map-only mapInPandas
+    both stages; payload bytes never shuffle. FLAC is how public speech
+    corpora (LibriSpeech, MLS) actually ship — this is the audio twin
+    of the PNG/DEFLATE ingest path."""
+    from yark_spark.operators.multimodal import (
+        decode_audio_features,
+        with_flac_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return decode_audio_features(with_flac_payload(docs))
+
+
+_AUDIO_AGREEMENT_ORACLE = (
+    "WITH h AS (SELECT doc_id, md5(text) AS m FROM documents WHERE doc_id < 120), "
+    "s AS (SELECT doc_id, ascii(substr(m, g.i, 1)) AS v "
+    "FROM h, unnest(generate_series(1, 32)) AS g(i)), "
+    "t AS (SELECT doc_id, CAST(max(v) AS INTEGER) AS peak, "
+    "round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms FROM s GROUP BY doc_id) "
+    "SELECT doc_id, c.container, peak, rms "
+    "FROM t, (VALUES ('wav'), ('flac')) c(container)"
+)
+
+
+@query("q_audio_container_agreement", oracle=_AUDIO_AGREEMENT_ORACLE)
+def q_audio_container_agreement(spark, sf_dir):
+    """E101' cross-container audio agreement (the E84'' codec-agreement
+    recipe applied to audio): the SAME PCM stream shipped as RIFF/WAVE
+    (PCM16) and as FLAC must produce identical features, both checked
+    against ONE no-audio-code SQL truth crossed with the container
+    labels. Two independent from-scratch containers × one analytic
+    oracle — a bug in either container, either bit reader (WAV is
+    byte-LE, FLAC is bit-MSB), or the Rice/LPC reconstruction breaks
+    the union against the truth."""
+    from yark_spark.operators.multimodal import (
+        decode_audio_features,
+        with_flac_payload,
+        with_wav_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    out = None
+    for container, builder in (("wav", with_wav_payload), ("flac", with_flac_payload)):
+        part = decode_audio_features(builder(docs)).select(
+            "doc_id", F.lit(container).alias("container"), "peak", "rms"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
