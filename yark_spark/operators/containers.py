@@ -332,12 +332,28 @@ def zstd_decompress_member(payload: bytes, max_output: int | None = None) -> byt
     return bind_zstd().zstd_decompress(payload, max_output=max_output)
 
 
+_LZ4 = None  # bound by bind_lz4(); ships by value with this module
+
+
+def bind_lz4():
+    """Resolve the LZ4 codec module into a module global (the bind_zstd
+    pattern — lazy so containers stays importable standalone, bound so
+    executors that receive THIS module by value carry the codec)."""
+    global _LZ4
+    if _LZ4 is None:
+        from yark_spark.operators import lz4 as _l
+
+        _LZ4 = _l
+    return _LZ4
+
+
 def decompress_auto(payload: bytes, max_output: int | None = None) -> bytes:
     """Magic-number dispatch over the compressed-text container formats
     the ingest path meets in the wild: gzip (1f 8b), zstd (28 b5 2f fd,
-    plus skippable frames), otherwise the bytes are taken as plain text.
-    One entry point so a mixed corpus directory ( .gz / .zst / raw )
-    ingests through a single map-only pass."""
+    plus skippable frames), LZ4 frames (04 22 4d 18, round 12),
+    otherwise the bytes are taken as plain text. One entry point so a
+    mixed corpus directory ( .gz / .zst / .lz4 / raw ) ingests through
+    a single map-only pass."""
     p = bytes(payload)
     if p[:2] == b"\x1f\x8b":
         return gzip_decompress(p, max_output=max_output)
@@ -345,4 +361,7 @@ def decompress_auto(payload: bytes, max_output: int | None = None) -> bytes:
         magic = struct.unpack_from("<I", p)[0]
         if magic == 0xFD2FB528 or 0x184D2A50 <= magic <= 0x184D2A5F:
             return b"".join(bind_zstd().zstd_frames(p, max_output=max_output))
+        if magic == 0x184D2204:
+            kw = {} if max_output is None else {"max_output": max_output}
+            return bind_lz4().lz4_frame_decompress(p, **kw)
     return p

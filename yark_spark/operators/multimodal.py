@@ -1504,14 +1504,17 @@ def _register_container_modules():
     from pyspark import cloudpickle as _cp
 
     from yark_spark.operators import containers as _cont
+    from yark_spark.operators import lz4 as _lz4
     from yark_spark.operators import png as _png
     from yark_spark.operators import zstd as _zstd
     from yark_spark.operators import zstd_encode as _zenc
 
     _cont.bind_zstd()
+    _cont.bind_lz4()
     _cp.register_pickle_by_value(_png)
     _cp.register_pickle_by_value(_zstd)
     _cp.register_pickle_by_value(_zenc)
+    _cp.register_pickle_by_value(_lz4)
     _cp.register_pickle_by_value(_cont)
     return _cont
 
@@ -2175,6 +2178,110 @@ def unzstd_text_features(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _extract, GUNZIP_SCHEMA
+    )
+
+
+def with_lz4_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """LZ4-frame-compress each document's text with the from-scratch
+    codec (operators/lz4: greedy hash matcher, XXH32 header/content
+    checksums) — the third modern wire codec beside .gz and .zst.
+    Map-only mapInPandas."""
+    _cont = _register_container_modules()
+    _enc = _cont.bind_lz4().lz4_frame_compress
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [_enc(t.encode("utf-8")) for t in pdf[text_col]],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def unlz4_text_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decompress an LZ4-frame binary column (header checksum byte,
+    XXH32 content checksum and declared content size verified in-path,
+    64 MB bomb guard) and emit (id, n_chars, md5 digest) — the
+    gzip/zstd ingest oracle recipe on the third codec. Map-only
+    mapInPandas."""
+    _cont = _register_container_modules()
+    _dec = _cont.bind_lz4().lz4_frame_decompress
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ns, digs = [], []
+            for p in pdf[payload_col]:
+                raw = _dec(bytes(p), max_output=64 << 20)
+                ns.append(len(raw.decode("utf-8")))
+                digs.append(_hashlib.md5(raw).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, GUNZIP_SCHEMA
+    )
+
+
+def with_jsonl_lz4_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_shard: int = 16,
+) -> DataFrame:
+    """Pack documents into ``.jsonl.lz4`` shards — the LZ4 twin of
+    ``with_jsonl_zst_shards`` (HF dataset staging shape); the listing
+    side is ``jsonl_zst_listing`` unchanged, because its
+    ``decompress_auto`` dispatch already speaks the LZ4 frame magic.
+    One applyInPandas per shard group — the grouping shuffle IS the
+    shard assignment."""
+    _cont = _register_container_modules()
+    _enc = _cont.bind_lz4().lz4_frame_compress
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        pdf = pdf.sort_values(id_col)
+        lines = [
+            _json.dumps({"id": int(did), "text": t}, ensure_ascii=False)
+            for did, t in zip(pdf[id_col], pdf[text_col])
+        ]
+        raw = ("\n".join(lines) + "\n").encode("utf-8")
+        sid = int(pdf[id_col].iloc[0]) // docs_per_shard
+        return pd.DataFrame({"shard_id": [sid], "payload": [_enc(raw)]})
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / docs_per_shard).cast("long").alias("__s"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("shard_id", LongType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
     )
 
 

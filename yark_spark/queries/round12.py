@@ -563,3 +563,53 @@ def q_audio_container_agreement(spark, sf_dir):
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+_UNLZ4_ORACLE = (
+    "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 500"
+)
+
+
+@query("q_text_unlz4", oracle=_UNLZ4_ORACLE)
+def q_text_unlz4(spark, sf_dir):
+    """E102 LZ4 text ingest (round 12): documents round-trip through the
+    from-scratch LZ4 frame codec (operators/lz4 — token/offset block
+    sequences from a real greedy hash matcher, frame descriptor with
+    header-checksum byte, XXH32 content checksum, all implemented from
+    the public spec including XXH32 itself). `.jsonl.lz4` is the third
+    modern corpus wire codec beside .gz and .zst — the one chosen when
+    decode CPU bounds the scan. The decoded md5 digest must equal
+    DuckDB's md5(text): one digest certifies token parsing, overlapping
+    copies, framing and checksums end to end. Two map-only mapInPandas
+    stages; text bytes never shuffle."""
+    from yark_spark.operators.multimodal import unlz4_text_features, with_lz4_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return unlz4_text_features(with_lz4_payload(docs))
+
+
+_JSONL_LZ4_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_jsonl_lz4_scan", oracle=_JSONL_LZ4_ORACLE)
+def q_jsonl_lz4_scan(spark, sf_dir):
+    """E102' .jsonl.lz4 shard ingest: the LZ4 twin of q_jsonl_zst_scan —
+    16-doc JSON-lines shards packed into one LZ4 frame each, exploded
+    back through the SAME listing operator (jsonl_zst_listing), whose
+    decompress_auto magic dispatch now speaks gzip, zstd AND LZ4 frames
+    from one entry point (a mixed .gz/.zst/.lz4 corpus directory scans
+    in one map-only pass). Digest-matched per doc through pack →
+    compress → dispatch → JSON parse; the grouping shuffle IS the shard
+    assignment."""
+    from yark_spark.operators.multimodal import (
+        jsonl_zst_listing,
+        with_jsonl_lz4_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return jsonl_zst_listing(with_jsonl_lz4_shards(docs))
