@@ -301,6 +301,18 @@ def _make_decoder():
         _decode_gif = _gif_mod.decode_gif
     except Exception:  # pragma: no cover
         _decode_gif = None
+    # TIFF (r12): the baseline TIFF 6.0 reader in operators/tiff —
+    # MSB-first early-change LZW / PackBits / uncompressed strips,
+    # horizontal predictor, both byte orders — shipped by value too
+    try:
+        from pyspark import cloudpickle as _cp5
+
+        from yark_spark.operators import tiff as _tiff_mod
+
+        _cp5.register_pickle_by_value(_tiff_mod)
+        _decode_tiff = _tiff_mod.decode_tiff
+    except Exception:  # pragma: no cover
+        _decode_tiff = None
 
     def decode(payload: bytes):
         payload = bytes(payload)
@@ -320,10 +332,13 @@ def _make_decoder():
             return _decode_png(payload)
         if payload[:4] == b"GIF8" and _decode_gif is not None:
             return _decode_gif(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*") and _decode_tiff is not None:
+            return _decode_tiff(payload)
         raise NotImplementedError(
             "decodable without an image library: uncompressed PGM/PPM/BMP, "
             "baseline/progressive JPEG, lossless (VP8L) WebP, "
-            "PNG (Adam7 included), and GIF; plug PIL/cv2 in for lossy WebP"
+            "PNG (Adam7 included), GIF, and baseline TIFF; "
+            "plug PIL/cv2 in for lossy WebP"
         )
 
     return decode
@@ -1303,6 +1318,66 @@ def with_png_payload(
                 img[8:, 8:] = vals[3]
                 opts = dict(_opts)
                 opts.setdefault("interlace", int(did) % 2 == 1)
+                payloads.append(_enc(_np.repeat(img[:, :, None], 3, axis=2), **opts))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def with_tiff_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **encode_opts,
+) -> DataFrame:
+    """Deterministic TIFF fixture column (round 12): the same 16x16
+    quadrant-gray image as the PNG/JPEG/WebP/GIF fixtures (four 8x8
+    blocks at the ascii codes of the doc's first four md5 hex chars) as
+    8-bit RGB TIFF via ``operators/tiff.encode_tiff``. The encoding
+    matrix CYCLES per doc_id — compression none/LZW/PackBits (mod 3),
+    byte order II/MM (mod 2), predictor 1/2 (mod 2 of doc_id//2),
+    rows_per_strip=8 so every image crosses a strip boundary — and the
+    decode is lossless under all of them, so ONE analytic oracle pins
+    the whole matrix: MSB-first early-change LZW, PackBits runs, both
+    endians, horizontal differencing, strip reassembly. Map-only
+    mapInPandas; the tiff module ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import tiff as _tiff_mod
+
+    _cp.register_pickle_by_value(_tiff_mod)
+    _enc = _tiff_mod.encode_tiff
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        comps = ("none", "lzw", "packbits")
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                vals = [ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()[:4]]
+                img = _np.empty((16, 16), dtype=_np.uint8)
+                img[:8, :8] = vals[0]
+                img[:8, 8:] = vals[1]
+                img[8:, :8] = vals[2]
+                img[8:, 8:] = vals[3]
+                did = int(did)
+                opts = {
+                    "compression": comps[did % 3],
+                    "byte_order": "<" if did % 2 == 0 else ">",
+                    "predictor": 1 + ((did // 2) % 2),
+                    "rows_per_strip": 8,
+                }
+                opts.update(encode_opts)
                 payloads.append(_enc(_np.repeat(img[:, :, None], 3, axis=2), **opts))
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}

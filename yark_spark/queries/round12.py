@@ -613,3 +613,37 @@ def q_jsonl_lz4_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
     return jsonl_zst_listing(with_jsonl_lz4_shards(docs))
+
+
+_TIFF_ORACLE = (
+    "WITH v AS (SELECT doc_id, "
+    "ascii(substr(md5(text), 1, 1)) AS a, ascii(substr(md5(text), 2, 1)) AS b, "
+    "ascii(substr(md5(text), 3, 1)) AS c, ascii(substr(md5(text), 4, 1)) AS d "
+    "FROM documents WHERE doc_id < 150) "
+    "SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, "
+    "CAST(3 AS INTEGER) AS channels, "
+    "round((a + b + c + d) / 4.0, 6) AS mean_pixel FROM v"
+)
+
+
+@query("q_image_decode_tiff", oracle=_TIFF_ORACLE)
+def q_image_decode_tiff(spark, sf_dir):
+    """E103 TIFF pixel decode (round 12): baseline TIFF 6.0 from scratch
+    (operators/tiff) — IFD walk with inline-vs-offset values, strip
+    reassembly, MSB-first EARLY-CHANGE LZW (the opposite bit order and
+    the off-by-one width switch vs GIF's LZW — a genuinely distinct
+    wire), PackBits, the horizontal-differencing predictor, both byte
+    orders. The fixture CYCLES the whole encoding matrix per doc_id
+    (compression x endianness x predictor, 8-row strips so every image
+    crosses a strip boundary); decode is lossless under all of them, so
+    the ONE quadrant-gray analytic oracle (mean = (a+b+c+d)/4) pins
+    every path at once. TIFF is how scanned-document and scientific
+    image corpora actually arrive. Map-only mapInPandas; payload bytes
+    never shuffle."""
+    from yark_spark.operators.multimodal import (
+        decode_image_features,
+        with_tiff_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return decode_image_features(with_tiff_payload(docs))
