@@ -332,6 +332,20 @@ def zstd_decompress_member(payload: bytes, max_output: int | None = None) -> byt
     return bind_zstd().zstd_decompress(payload, max_output=max_output)
 
 
+_BZ2 = None  # bound by bind_bzip2(); ships by value with this module
+
+
+def bind_bzip2():
+    """Resolve the bzip2 codec module into a module global (the
+    bind_zstd pattern)."""
+    global _BZ2
+    if _BZ2 is None:
+        from yark_spark.operators import bzip2 as _b
+
+        _BZ2 = _b
+    return _BZ2
+
+
 _LZ4 = None  # bound by bind_lz4(); ships by value with this module
 
 
@@ -350,13 +364,17 @@ def bind_lz4():
 def decompress_auto(payload: bytes, max_output: int | None = None) -> bytes:
     """Magic-number dispatch over the compressed-text container formats
     the ingest path meets in the wild: gzip (1f 8b), zstd (28 b5 2f fd,
-    plus skippable frames), LZ4 frames (04 22 4d 18, round 12),
+    plus skippable frames), LZ4 frames (04 22 4d 18, round 12), bzip2
+    incl. multistream ('BZh' — the Wikipedia-dump layout, round 12),
     otherwise the bytes are taken as plain text. One entry point so a
-    mixed corpus directory ( .gz / .zst / .lz4 / raw ) ingests through
-    a single map-only pass."""
+    mixed corpus directory ( .gz / .zst / .lz4 / .bz2 / raw ) ingests
+    through a single map-only pass."""
     p = bytes(payload)
     if p[:2] == b"\x1f\x8b":
         return gzip_decompress(p, max_output=max_output)
+    if p[:3] == b"BZh":
+        kw = {} if max_output is None else {"max_output": max_output}
+        return bind_bzip2().bz2_decompress(p, **kw)
     if len(p) >= 4:
         magic = struct.unpack_from("<I", p)[0]
         if magic == 0xFD2FB528 or 0x184D2A50 <= magic <= 0x184D2A5F:

@@ -1578,6 +1578,7 @@ def _register_container_modules():
     import ever runs (decompress_auto dispatches into zstd)."""
     from pyspark import cloudpickle as _cp
 
+    from yark_spark.operators import bzip2 as _bz2
     from yark_spark.operators import containers as _cont
     from yark_spark.operators import lz4 as _lz4
     from yark_spark.operators import png as _png
@@ -1586,10 +1587,12 @@ def _register_container_modules():
 
     _cont.bind_zstd()
     _cont.bind_lz4()
+    _cont.bind_bzip2()
     _cp.register_pickle_by_value(_png)
     _cp.register_pickle_by_value(_zstd)
     _cp.register_pickle_by_value(_zenc)
     _cp.register_pickle_by_value(_lz4)
+    _cp.register_pickle_by_value(_bz2)
     _cp.register_pickle_by_value(_cont)
     return _cont
 
@@ -2344,6 +2347,115 @@ def with_jsonl_lz4_shards(
         raw = ("\n".join(lines) + "\n").encode("utf-8")
         sid = int(pdf[id_col].iloc[0]) // docs_per_shard
         return pd.DataFrame({"shard_id": [sid], "payload": [_enc(raw)]})
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / docs_per_shard).cast("long").alias("__s"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("shard_id", LongType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+    )
+
+
+def with_bz2_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """bzip2-compress each document's text with the from-scratch codec
+    (operators/bzip2: RLE1 → rank-doubling BWT → MTF/RUNA-RUNB →
+    canonical Huffman, both CRC layers) — the `.bz2` wrapper Wikipedia
+    dumps ship in. Map-only mapInPandas."""
+    _cont = _register_container_modules()
+    _enc = _cont.bind_bzip2().bz2_compress
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [_enc(t.encode("utf-8")) for t in pdf[text_col]],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def unbz2_text_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decompress a bzip2 binary column (block CRCs + the rotate-combine
+    stream CRC verified in-path, 64 MB bomb guard) and emit (id,
+    n_chars, md5 digest) — the gzip/zstd/LZ4 ingest oracle recipe on
+    the fourth wire codec. Map-only mapInPandas."""
+    _cont = _register_container_modules()
+    _dec = _cont.bind_bzip2().bz2_decompress
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ns, digs = [], []
+            for p in pdf[payload_col]:
+                raw = _dec(bytes(p), max_output=64 << 20)
+                ns.append(len(raw.decode("utf-8")))
+                digs.append(_hashlib.md5(raw).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, GUNZIP_SCHEMA
+    )
+
+
+def with_jsonl_bz2_multistream_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_shard: int = 16,
+    docs_per_stream: int = 4,
+) -> DataFrame:
+    """Pack documents into MULTISTREAM ``.jsonl.bz2`` shards — the exact
+    Wikipedia-dump layout: each shard is a concatenation of independent
+    bzip2 streams (4 docs each here), so a reader with an offset index
+    can start at any stream boundary without decoding the prefix. The
+    listing side is ``jsonl_zst_listing`` unchanged: decompress_auto
+    walks concatenated 'BZh' streams the way it walks multi-member
+    gzip. One applyInPandas per shard group — the grouping shuffle IS
+    the shard assignment."""
+    _cont = _register_container_modules()
+    _enc = _cont.bind_bzip2().bz2_compress
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        pdf = pdf.sort_values(id_col)
+        payload = bytearray()
+        rows = list(zip(pdf[id_col], pdf[text_col]))
+        for s0 in range(0, len(rows), docs_per_stream):
+            lines = [
+                _json.dumps({"id": int(did), "text": t}, ensure_ascii=False)
+                for did, t in rows[s0 : s0 + docs_per_stream]
+            ]
+            payload += _enc(("\n".join(lines) + "\n").encode("utf-8"))
+        sid = int(pdf[id_col].iloc[0]) // docs_per_shard
+        return pd.DataFrame({"shard_id": [sid], "payload": [bytes(payload)]})
 
     return (
         df.select(F.col(id_col), F.col(text_col))

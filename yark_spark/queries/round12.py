@@ -647,3 +647,55 @@ def q_image_decode_tiff(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return decode_image_features(with_tiff_payload(docs))
+
+
+_UNBZ2_ORACLE = (
+    "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 400"
+)
+
+
+@query("q_text_unbz2", oracle=_UNBZ2_ORACLE)
+def q_text_unbz2(spark, sf_dir):
+    """E104 bzip2 text ingest (round 12): documents round-trip through
+    the from-scratch bzip2 codec (operators/bzip2 — RLE1, numpy
+    rank-doubling BWT, MTF with RUNA/RUNB bijective-base-2 zero runs,
+    multi-group canonical Huffman with MTF selectors, bzip2's
+    non-reflected CRC-32 per block plus the rotate-combine stream CRC).
+    `.bz2` is how Wikipedia database dumps — a canonical pretraining
+    source — actually ship. The codec is pinned by TWO-WAY stdlib
+    differentials (our decoder reads libbzip2 output, libbzip2 reads
+    ours — the PNG/zlib recipe); the decoded md5 digest must equal
+    DuckDB's md5(text). Two map-only mapInPandas stages; text bytes
+    never shuffle."""
+    from yark_spark.operators.multimodal import unbz2_text_features, with_bz2_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return unbz2_text_features(with_bz2_payload(docs))
+
+
+_WIKI_BZ2_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_jsonl_bz2_multistream_scan", oracle=_WIKI_BZ2_ORACLE)
+def q_jsonl_bz2_multistream_scan(spark, sf_dir):
+    """E104' multistream .bz2 shard ingest — the Wikipedia-dump wire
+    layout: each 16-doc shard is a CONCATENATION of four independent
+    bzip2 streams (the structure that lets wiki readers seek to an
+    indexed stream offset without decoding the prefix). The listing is
+    the SAME jsonl operator as the zstd/LZ4 shards: decompress_auto
+    walks consecutive 'BZh' streams the way it walks multi-member gzip,
+    so one map-only pass ingests a mixed .gz/.zst/.lz4/.bz2 corpus
+    directory. Digest-matched per doc through pack → 4-stream compress
+    → concatenate → multistream walk → JSON parse."""
+    from yark_spark.operators.multimodal import (
+        jsonl_zst_listing,
+        with_jsonl_bz2_multistream_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return jsonl_zst_listing(with_jsonl_bz2_multistream_shards(docs))
