@@ -171,3 +171,39 @@ def test_stream_jsonl_zst_listing_equals_batch(spark, sf_dir, tmp_path):
         map(tuple, jsonl_zst_listing(spark.createDataFrame(shards)).collect())
     )
     assert streamed == batch and len(streamed) == 48
+
+
+def test_stream_tfrecord_listing_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming TFRecord ingest (r12): the availableNow drain of a
+    watched shard directory must equal the batch listing, with the
+    codec dispatched from the filename suffix (.tfrecord vs
+    .tfrecord.gz) exactly as tf.data declares compression_type."""
+    from yark_spark.operators.multimodal import (
+        tfrecord_listing,
+        with_tfrecord_shards,
+    )
+    from yark_spark.streaming.pipelines import tfrecord_listing_stream
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    shards = with_tfrecord_shards(docs).collect()  # alternate: even plain, odd gz
+    shard_dir = tmp_path / "tfr"
+    shard_dir.mkdir()
+    for r in shards:
+        suffix = ".tfrecord.gz" if r.codec == "gzip" else ".tfrecord"
+        (shard_dir / f"shard-{r.shard_id}{suffix}").write_bytes(bytes(r.payload))
+
+    out = tfrecord_listing_stream(spark, str(shard_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_tfr")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tfr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(map(tuple, spark.sql("SELECT * FROM stream_tfr").collect()))
+    batch = sorted(
+        map(tuple, tfrecord_listing(spark.createDataFrame(shards)).collect())
+    )
+    assert streamed == batch and len(streamed) == 48

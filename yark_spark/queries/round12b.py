@@ -1,0 +1,49 @@
+"""Round-12 second batch: the training-data EXPORT wire formats the
+round-12 ingest family still lacked — TFRecord/tf.Example (the
+tf.data shard wire: C4, YT-8M), then Avro object-container files and
+the snappy block codec (the Hadoop-lineage record wire), QOI images,
+and MJPEG/AVI video — each a from-scratch codec certified by the
+established digest-oracle recipe (md5 through the full wire must
+equal DuckDB's md5 of the source column).
+
+Reference parity note: the reference archiver exports nothing binary
+(/root/reference/cmds/archive.py row-inserts into SQLite); these keys
+extend the driver-mandated shard-wire surface (SURVEY.md §2.8
+E90/E95 family) to the formats TF/JAX and Hadoop-lineage consumers
+actually read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yark_spark.io import load_table
+from yark_spark.registry import query
+
+_TFRECORD_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_tfrecord_scan", oracle=_TFRECORD_ORACLE)
+def q_tfrecord_scan(spark, sf_dir):
+    """E101 TFRecord/tf.Example shard round trip (round 12): documents
+    pack into TFRecord shards — each doc one tf.Example protobuf
+    ({"id": int64_list, "text": bytes_list}) through the from-scratch
+    wire encoder, framed with masked CRC-32C (Castagnoli slice-by-8,
+    RFC 7143 vectors pinned) — via ONE applyInPandas per shard group;
+    odd shards additionally gzip through the in-repo DEFLATE (tf.data's
+    compression_type dispatch, declared-not-sniffed). The map-only
+    listing verifies EVERY masked CRC, decodes the protobuf, and
+    digest-checks each document's text — framing + CRC-32C + protobuf
+    certified by one SQL hash. This is the fourth shard wire beside
+    tar-WebDataset (PyTorch), .jsonl.zst (HF) and WARC (crawl): the
+    grouping shuffle IS the shard assignment; a streaming twin
+    (tfrecord_listing_stream) watches a shard directory with
+    batch-stream equivalence tested."""
+    from yark_spark.operators.multimodal import tfrecord_listing, with_tfrecord_shards
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return tfrecord_listing(with_tfrecord_shards(docs))

@@ -310,3 +310,37 @@ def jsonl_zst_listing_stream(
         F.col("content").alias("payload"),
     )
     return jsonl_zst_listing(shards)
+
+
+def tfrecord_listing_stream(
+    spark: SparkSession, path: str, glob: str = "*.tfrecord*"
+) -> DataFrame:
+    """Streaming TFRecord shard ingest (round 12): watch a directory
+    for ``shard-N.tfrecord`` / ``shard-N.tfrecord.gz`` files
+    (binaryFile source) and emit each document's digest row via the
+    stateless listing — the streaming twin of q_tfrecord_scan, same
+    shape as tar_shard_listing_stream. The codec dispatches from the
+    FILENAME suffix, exactly how tf.data declares compression_type —
+    never sniffed, because a record length's low bytes can collide
+    with the gzip magic."""
+    tune(spark)
+    binary_schema = (
+        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    from yark_spark.operators.multimodal import tfrecord_listing
+
+    name = F.element_at(F.split(F.col("path"), "/"), -1)
+    shards = stream.select(
+        F.regexp_extract(name, r"shard-(\d+)", 1).cast("long").alias("shard_id"),
+        F.when(name.endswith(".gz"), F.lit("gzip"))
+        .otherwise(F.lit("none"))
+        .alias("codec"),
+        F.col("content").alias("payload"),
+    )
+    return tfrecord_listing(shards)
