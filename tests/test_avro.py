@@ -1,0 +1,269 @@
+"""Avro object-container codec tests (round 12): zigzag vectors from
+the spec, a hand-built container file (byte-by-byte from the 1.11
+spec, no writer involvement), the full generic type matrix (unions,
+arrays, maps, enums, fixed, nested records, negative-count blocks),
+the three codecs, sync-marker/truncation/CRC typed errors, bomb
+guard, and roundtrip fuzz over random schema-driven data."""
+
+import json
+import random
+import struct
+
+import pytest
+
+from yark_spark.operators.avro_ocf import (
+    MAGIC,
+    avro_build,
+    avro_decode,
+    avro_encode,
+    avro_records,
+    avro_scan,
+    zigzag_decode,
+    zigzag_encode,
+)
+from yark_spark.operators.png import crc32
+
+DOC_SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": "string"},
+    ],
+}
+
+
+# ---------------------------------------------------------------------------
+# zigzag — spec vector table
+# ---------------------------------------------------------------------------
+
+
+def test_zigzag_spec_vectors():
+    # the table from the Avro spec's binary-encoding section
+    for n, wire in [
+        (0, b"\x00"),
+        (-1, b"\x01"),
+        (1, b"\x02"),
+        (-2, b"\x03"),
+        (2, b"\x04"),
+        (-64, b"\x7f"),
+        (64, b"\x80\x01"),
+    ]:
+        assert zigzag_encode(n) == wire
+        assert zigzag_decode(wire, 0) == (n, len(wire))
+
+
+def test_zigzag_int64_extremes():
+    for n in (2**63 - 1, -(2**63), 2**40, -(2**40)):
+        wire = zigzag_encode(n)
+        assert zigzag_decode(wire, 0) == (n, len(wire))
+
+
+# ---------------------------------------------------------------------------
+# Hand-built container file (no writer involvement)
+# ---------------------------------------------------------------------------
+
+
+def test_hand_built_container_decodes():
+    schema_json = json.dumps(DOC_SCHEMA).encode()
+    sync = bytes(range(16))
+    # metadata map: 2 entries, then end-of-map 0
+    meta = bytearray()
+    meta += zigzag_encode(2)
+    for k, v in [(b"avro.schema", schema_json), (b"avro.codec", b"null")]:
+        meta += zigzag_encode(len(k)) + k + zigzag_encode(len(v)) + v
+    meta += b"\x00"
+    # one record: doc_id 3 (zigzag 6), text "hi" (len 2)
+    datum = zigzag_encode(3) + zigzag_encode(2) + b"hi"
+    block = zigzag_encode(1) + zigzag_encode(len(datum)) + datum + sync
+    blob = MAGIC + bytes(meta) + sync + block
+    assert avro_records(blob) == [{"doc_id": 3, "text": "hi"}]
+    assert avro_scan(blob)[0] == "null"
+
+
+def test_negative_block_counts_accepted():
+    # spec: negative array/map block count means abs(count) + byte-size
+    schema = {"type": "array", "items": "long"}
+    body = zigzag_encode(-2)  # block of 2, size-prefixed
+    items = zigzag_encode(7) + zigzag_encode(-7)
+    body += zigzag_encode(len(items)) + items + b"\x00"
+    assert avro_decode(schema, body) == ([7, -7], len(body))
+
+
+# ---------------------------------------------------------------------------
+# Generic datum encode/decode
+# ---------------------------------------------------------------------------
+
+GENERIC_SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "u", "type": ["null", "long", "string"]},
+        {"name": "arr", "type": {"type": "array", "items": "double"}},
+        {"name": "m", "type": {"type": "map", "values": "int"}},
+        {"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["A", "B", "C"]}},
+        {"name": "fx", "type": {"type": "fixed", "name": "F", "size": 4}},
+        {"name": "b", "type": "boolean"},
+        {"name": "raw", "type": "bytes"},
+        {
+            "name": "nested",
+            "type": {
+                "type": "record",
+                "name": "inner",
+                "fields": [{"name": "f", "type": "float"}],
+            },
+        },
+    ],
+}
+
+
+@pytest.mark.parametrize(
+    "datum",
+    [
+        {
+            "u": "x",
+            "arr": [1.5, -2.25],
+            "m": {"k": 3, "j": -9},
+            "e": "B",
+            "fx": b"\x01\x02\x03\x04",
+            "b": True,
+            "raw": b"\x00\xff",
+            "nested": {"f": 0.5},
+        },
+        {
+            "u": None,
+            "arr": [],
+            "m": {},
+            "e": "C",
+            "fx": b"abcd",
+            "b": False,
+            "raw": b"",
+            "nested": {"f": -1.0},
+        },
+        {
+            "u": 2**62,
+            "arr": [0.0],
+            "m": {"": 0},
+            "e": "A",
+            "fx": b"\x00" * 4,
+            "b": True,
+            "raw": bytes(range(256)),
+            "nested": {"f": 65504.0},
+        },
+    ],
+)
+def test_generic_roundtrip(datum):
+    enc = avro_encode(GENERIC_SCHEMA, datum)
+    dec, pos = avro_decode(GENERIC_SCHEMA, enc)
+    assert dec == datum and pos == len(enc)
+
+
+def test_union_branch_selection():
+    schema = ["null", "long", "string"]
+    assert avro_encode(schema, None) == b"\x00"
+    assert avro_encode(schema, 5)[:1] == zigzag_encode(1)
+    assert avro_encode(schema, "s")[:1] == zigzag_encode(2)
+    with pytest.raises(ValueError, match="union"):
+        avro_encode(schema, 1.5)
+
+
+def test_enum_out_of_range_raises():
+    schema = {"type": "enum", "name": "E", "symbols": ["A"]}
+    with pytest.raises(ValueError, match="enum"):
+        avro_decode(schema, zigzag_encode(3))
+
+
+# ---------------------------------------------------------------------------
+# Container + codecs
+# ---------------------------------------------------------------------------
+
+RECORDS = [{"doc_id": i, "text": f"doc {i} body " * (i % 5)} for i in range(40)]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+def test_container_roundtrip_all_codecs(codec):
+    blob = avro_build(DOC_SCHEMA, RECORDS, codec=codec, records_per_block=7)
+    got_codec, got = avro_scan(blob)
+    assert got == RECORDS and got_codec == codec
+
+
+def test_container_multiple_blocks():
+    blob = avro_build(DOC_SCHEMA, RECORDS, codec="null", records_per_block=3)
+    assert avro_records(blob) == RECORDS
+
+
+def test_bad_magic_rejected():
+    blob = avro_build(DOC_SCHEMA, RECORDS[:2])
+    with pytest.raises(ValueError, match="magic"):
+        avro_records(b"Obj\x02" + blob[4:])
+
+
+def test_sync_marker_mismatch_rejected():
+    blob = bytearray(avro_build(DOC_SCHEMA, RECORDS[:4], records_per_block=2))
+    blob[-1] ^= 0x01  # corrupt the final sync marker
+    with pytest.raises(ValueError, match="sync"):
+        avro_records(bytes(blob))
+
+
+def test_snappy_crc_mismatch_rejected():
+    blob = bytearray(
+        avro_build(DOC_SCHEMA, RECORDS[:4], codec="snappy", records_per_block=4)
+    )
+    # the snappy CRC is the 4 bytes before the trailing sync marker
+    blob[-17] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        avro_records(bytes(blob))
+
+
+def test_truncation_rejected():
+    blob = avro_build(DOC_SCHEMA, RECORDS[:4])
+    for cut in (2, 5, len(blob) // 2, len(blob) - 1):
+        with pytest.raises(ValueError):
+            avro_records(blob[:cut])
+
+
+def test_bomb_guard():
+    blob = avro_build(DOC_SCHEMA, RECORDS, codec="deflate")
+    raw_size = sum(len(avro_encode(DOC_SCHEMA, r)) for r in RECORDS)
+    with pytest.raises(ValueError):
+        avro_records(blob, max_output=raw_size - 1)
+    assert avro_records(blob, max_output=raw_size) == RECORDS
+
+
+def test_missing_schema_metadata_rejected():
+    sync = bytes(16)
+    blob = MAGIC + b"\x00" + sync  # empty metadata map
+    with pytest.raises(ValueError, match="avro.schema"):
+        avro_records(blob)
+
+
+def test_snappy_crc_is_big_endian_of_uncompressed():
+    blob = avro_build(DOC_SCHEMA, RECORDS[:2], codec="snappy", records_per_block=2)
+    raw = b"".join(avro_encode(DOC_SCHEMA, r) for r in RECORDS[:2])
+    want = struct.pack(">I", crc32(raw))
+    assert want == bytes(blob[-20:-16])
+
+
+# ---------------------------------------------------------------------------
+# Fuzz
+# ---------------------------------------------------------------------------
+
+
+def test_container_fuzz_roundtrip():
+    rng = random.Random(17)
+    for _ in range(20):
+        recs = [
+            {
+                "doc_id": rng.randrange(-(2**62), 2**62),
+                "text": "".join(
+                    rng.choice("abc é中") for _ in range(rng.randrange(50))
+                ),
+            }
+            for _ in range(rng.randrange(1, 30))
+        ]
+        codec = rng.choice(["null", "deflate", "snappy"])
+        bs = rng.randrange(1, 10)
+        assert (
+            avro_records(avro_build(DOC_SCHEMA, recs, codec=codec, records_per_block=bs))
+            == recs
+        )

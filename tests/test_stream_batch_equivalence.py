@@ -207,3 +207,41 @@ def test_stream_tfrecord_listing_equals_batch(spark, sf_dir, tmp_path):
         map(tuple, tfrecord_listing(spark.createDataFrame(shards)).collect())
     )
     assert streamed == batch and len(streamed) == 48
+
+
+def test_stream_avro_listing_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming Avro ingest (r12): the availableNow drain of a watched
+    shard directory must equal the batch listing — the self-describing
+    header (embedded schema + codec) means the stream needs no codec
+    hint, unlike TFRecord's suffix dispatch."""
+    from yark_spark.operators.multimodal import avro_listing, with_avro_shards
+    from yark_spark.streaming.pipelines import avro_listing_stream
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    shards = with_avro_shards(docs).collect()  # codecs cycle null/deflate/snappy
+    shard_dir = tmp_path / "avro"
+    shard_dir.mkdir()
+    for r in shards:
+        (shard_dir / f"shard-{r.shard_id}.avro").write_bytes(bytes(r.payload))
+
+    out = avro_listing_stream(spark, str(shard_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_avro")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_avro"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(map(tuple, spark.sql("SELECT * FROM stream_avro").collect()))
+    batch = sorted(
+        map(
+            tuple,
+            avro_listing(
+                spark.createDataFrame([(r.shard_id, r.payload) for r in shards],
+                                      "shard_id LONG, payload BINARY")
+            ).collect(),
+        )
+    )
+    assert streamed == batch and len(streamed) == 48

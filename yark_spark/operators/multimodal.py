@@ -3242,3 +3242,135 @@ def tfrecord_listing(
     return df.select(
         F.col(shard_col), F.col(codec_col), F.col(payload_col)
     ).mapInPandas(_extract, JSONL_ZST_SCHEMA)
+
+
+AVRO_LISTING_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("shard_id", LongType()),
+        StructField("codec", StringType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def _register_avro_modules():
+    """Ship the from-scratch Avro OCF codec and its snappy + DEFLATE
+    dependencies by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import avro_ocf as _avro
+    from yark_spark.operators import snappy as _snappy
+
+    _register_container_modules()  # registers png (DEFLATE) too
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_avro)
+    return _avro
+
+
+_AVRO_DOC_SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": "string"},
+    ],
+}
+
+_AVRO_CODEC_CYCLE = ("null", "deflate", "snappy")
+
+
+def with_avro_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_shard: int = 16,
+) -> DataFrame:
+    """Pack documents into Avro object-container shards (round 12):
+    each shard one ``.avro`` file ({doc_id: long, text: string} writer
+    schema embedded in the header) through the from-scratch binary
+    encoder, with the codec CYCLED null → deflate → snappy by
+    shard_id % 3 so one fixture exercises all three block wires. One
+    applyInPandas per shard group — the grouping shuffle IS the shard
+    assignment, same scale shape as the tar/WARC/TFRecord packers."""
+    _avro = _register_avro_modules()
+    _build_file = _avro.avro_build
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        recs = [
+            {"doc_id": int(did), "text": t}
+            for did, t in zip(pdf[id_col], pdf[text_col])
+        ]
+        sid = int(pdf[id_col].iloc[0]) // docs_per_shard
+        codec = _AVRO_CODEC_CYCLE[sid % 3]
+        blob = _build_file(
+            _AVRO_DOC_SCHEMA, recs, codec=codec, records_per_block=8
+        )
+        return pd.DataFrame(
+            {"shard_id": [sid], "codec": [codec], "payload": [blob]}
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / docs_per_shard).cast("long").alias("__s"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("shard_id", LongType()),
+                    StructField("codec", StringType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+    )
+
+
+def avro_listing(
+    df: DataFrame,
+    shard_col: str = "shard_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Explode Avro object-container shards back into per-document rows
+    (round 12): magic + metadata parse, codec dispatch FROM THE FILE
+    HEADER (avro.codec — self-describing, unlike TFRecord), per-block
+    sync-marker verification, snappy big-endian CRC-32 check,
+    schema-driven binary decode, and the md5 digest of each document's
+    text so one SQL hash certifies container + codec + encoding end to
+    end. Emits the codec column so the oracle pins WHICH wire each
+    shard took. Map-only mapInPandas; one task inflates one shard
+    sequentially, the object-store access pattern."""
+    _avro = _register_avro_modules()
+    _scan = _avro.avro_scan
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            dids, sids, codecs, ns, digs = [], [], [], [], []
+            for sid, p in zip(pdf[shard_col], pdf[payload_col]):
+                codec, recs = _scan(bytes(p), max_output=256 << 20)
+                for r in recs:
+                    text = r["text"]
+                    dids.append(int(r["doc_id"]))
+                    sids.append(int(sid))
+                    codecs.append(codec)
+                    ns.append(len(text))
+                    digs.append(_hashlib.md5(text.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(dids, dtype="int64"),
+                    "shard_id": np.array(sids, dtype="int64"),
+                    "codec": codecs,
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
+        _extract, AVRO_LISTING_SCHEMA
+    )

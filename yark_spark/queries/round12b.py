@@ -47,3 +47,34 @@ def q_tfrecord_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
     return tfrecord_listing(with_tfrecord_shards(docs))
+
+
+_AVRO_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
+    "CASE (doc_id // 16) % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate' "
+    "ELSE 'snappy' END AS codec, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_avro_scan", oracle=_AVRO_ORACLE)
+def q_avro_scan(spark, sf_dir):
+    """E102 Avro object-container shard round trip (round 12):
+    documents pack into ``.avro`` shards — the Hadoop-lineage record
+    wire (Kafka archives, Hive tables, Sqoop exports) — through the
+    from-scratch schema-driven binary encoder (zigzag-varint longs,
+    length-prefixed strings, tagless records) and container framing
+    (Obj1 magic, embedded writer schema, 16-byte sync markers), with
+    the codec CYCLED null → deflate (in-repo RFC 1951) → snappy
+    (from-scratch block codec + the spec's big-endian CRC-32 of the
+    uncompressed block) by shard_id % 3. The map-only listing parses
+    the self-describing header, dispatches the codec it DECLARES,
+    verifies every sync marker and snappy CRC, decodes each record and
+    digest-checks its text — container + three codecs + binary
+    encoding certified by one SQL hash that also pins WHICH wire each
+    shard took. The grouping shuffle IS the shard assignment."""
+    from yark_spark.operators.multimodal import avro_listing, with_avro_shards
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return avro_listing(with_avro_shards(docs))

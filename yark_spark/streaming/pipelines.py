@@ -344,3 +344,35 @@ def tfrecord_listing_stream(
         F.col("content").alias("payload"),
     )
     return tfrecord_listing(shards)
+
+
+def avro_listing_stream(
+    spark: SparkSession, path: str, glob: str = "*.avro"
+) -> DataFrame:
+    """Streaming Avro shard ingest (round 12): watch a directory for
+    ``shard-N.avro`` container files (binaryFile source) and emit each
+    record's digest row via the stateless listing — the streaming twin
+    of q_avro_scan, same shape as tar_shard_listing_stream. No codec
+    column needed in the name: Avro containers are self-describing
+    (avro.codec in the header metadata)."""
+    tune(spark)
+    binary_schema = (
+        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    from yark_spark.operators.multimodal import avro_listing
+
+    shards = stream.select(
+        F.regexp_extract(
+            F.element_at(F.split(F.col("path"), "/"), -1), r"shard-(\d+)", 1
+        )
+        .cast("long")
+        .alias("shard_id"),
+        F.col("content").alias("payload"),
+    )
+    return avro_listing(shards)
