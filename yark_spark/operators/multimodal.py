@@ -313,6 +313,17 @@ def _make_decoder():
         _decode_tiff = _tiff_mod.decode_tiff
     except Exception:  # pragma: no cover
         _decode_tiff = None
+    # QOI (r12): the from-scratch six-op codec in operators/qoi — the
+    # entropy-coder-free lossless interchange format
+    try:
+        from pyspark import cloudpickle as _cp6
+
+        from yark_spark.operators import qoi as _qoi_mod
+
+        _cp6.register_pickle_by_value(_qoi_mod)
+        _decode_qoi = _qoi_mod.decode_qoi
+    except Exception:  # pragma: no cover
+        _decode_qoi = None
 
     def decode(payload: bytes):
         payload = bytes(payload)
@@ -334,10 +345,12 @@ def _make_decoder():
             return _decode_gif(payload)
         if payload[:4] in (b"II*\x00", b"MM\x00*") and _decode_tiff is not None:
             return _decode_tiff(payload)
+        if payload[:4] == b"qoif" and _decode_qoi is not None:
+            return _decode_qoi(payload)
         raise NotImplementedError(
             "decodable without an image library: uncompressed PGM/PPM/BMP, "
             "baseline/progressive JPEG, lossless (VP8L) WebP, "
-            "PNG (Adam7 included), GIF, and baseline TIFF; "
+            "PNG (Adam7 included), GIF, baseline TIFF, and QOI; "
             "plug PIL/cv2 in for lossy WebP"
         )
 
@@ -3373,4 +3386,56 @@ def avro_listing(
 
     return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
         _extract, AVRO_LISTING_SCHEMA
+    )
+
+
+def with_qoi_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic QOI fixture column (round 12): the same 16x16
+    quadrant-gray image as the PNG/JPEG/WebP/GIF/TIFF fixtures, encoded
+    by the from-scratch six-op QOI encoder — RGB on even doc_ids, RGBA
+    with opaque alpha on odd ones, so ONE oracle key pins both channel
+    modes (the RGBA mean folds the 255 alpha plane in, the WebP
+    recipe). The quadrant steps exercise RUN, LUMA/RGB literals and the
+    hash index in every payload. Map-only mapInPandas; the qoi module
+    ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import qoi as _qoi_mod
+
+    _cp.register_pickle_by_value(_qoi_mod)
+    _enc = _qoi_mod.encode_qoi
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                vals = [ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()[:4]]
+                img = _np.empty((16, 16), dtype=_np.uint8)
+                img[:8, :8] = vals[0]
+                img[:8, 8:] = vals[1]
+                img[8:, :8] = vals[2]
+                img[8:, 8:] = vals[3]
+                rgb = _np.repeat(img[:, :, None], 3, axis=2)
+                if int(did) % 2:
+                    rgba = _np.concatenate(
+                        [rgb, _np.full((16, 16, 1), 255, dtype=_np.uint8)], axis=2
+                    )
+                    payloads.append(_enc(rgba))
+                else:
+                    payloads.append(_enc(rgb))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
     )

@@ -78,3 +78,36 @@ def q_avro_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
     return avro_listing(with_avro_shards(docs))
+
+
+_QOI_ORACLE = (
+    "WITH v AS (SELECT doc_id, "
+    "ascii(substr(md5(text), 1, 1)) AS a, ascii(substr(md5(text), 2, 1)) AS b, "
+    "ascii(substr(md5(text), 3, 1)) AS c, ascii(substr(md5(text), 4, 1)) AS d "
+    "FROM documents WHERE doc_id < 200) "
+    "SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, "
+    "CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS INTEGER) AS channels, "
+    "round(CASE WHEN doc_id % 2 = 1 "
+    "THEN (3 * (a + b + c + d) / 4.0 + 255) / 4.0 "
+    "ELSE (a + b + c + d) / 4.0 END, 6) AS mean_pixel FROM v"
+)
+
+
+@query("q_image_decode_qoi", oracle=_QOI_ORACLE)
+def q_image_decode_qoi(spark, sf_dir):
+    """E103 QOI pixel decode (round 12): the from-scratch six-op QOI
+    codec (operators/qoi — RGB/RGBA literals, 64-entry hash index,
+    2-bit DIFF, green-anchored LUMA, 62-cap RUN, wraparound
+    arithmetic) decoding payloads built by the in-repo encoder,
+    hash-matched against the ANALYTIC oracle of the lossless image
+    family: the 16x16 quadrant mean is exactly (a+b+c+d)/4 of the
+    doc's md5 codes for RGB (even doc_ids) and folds the opaque alpha
+    plane in for RGBA (odd doc_ids) — one key pins both channel modes
+    with no image code in the oracle. QOI is the entropy-coder-free
+    lossless staging format (single linear pass, the LZ4 of images);
+    spec wire vectors + roundtrip fuzz + PNG cross-codec pixel
+    equality live in tests/test_qoi.py. Map-only mapInPandas."""
+    from yark_spark.operators.multimodal import decode_image_features, with_qoi_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return decode_image_features(with_qoi_payload(docs))
