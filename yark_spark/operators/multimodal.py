@@ -3439,3 +3439,126 @@ def with_qoi_payload(
             [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
         ),
     )
+
+
+AVI_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps_num", IntegerType()),
+        StructField("fps_den", IntegerType()),
+        StructField("luma_mean", DoubleType()),
+        StructField("motion", DoubleType()),
+    ]
+)
+
+
+def with_avi_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fps: tuple = (25, 1),
+) -> DataFrame:
+    """Deterministic MJPEG-AVI fixture column (round 12): the same
+    four-frame constant-gray 16x16 animation as the Y4M / animated-GIF
+    fixtures (frame k = ascii code of md5 hex char k), each frame an
+    independent baseline JPEG at quality 100 — DC-only blocks with a
+    unit quantizer decode EXACTLY, so the temporal statistics stay
+    analytic through a REAL entropy-coded video wire. Map-only
+    mapInPandas; the avi module (and its jpeg dependency) ships by
+    value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import avi as _avi_mod
+    from yark_spark.operators import jpeg as _jpeg_mod
+
+    _cp.register_pickle_by_value(_jpeg_mod)
+    _cp.register_pickle_by_value(_avi_mod)
+    _enc = _avi_mod.encode_avi_mjpeg
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                vals = [ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()[:4]]
+                frames = [_np.full((16, 16), v, dtype=_np.uint8) for v in vals]
+                payloads.append(_enc(frames, fps=fps, quality=100))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def avi_video_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """MJPEG-AVI temporal statistics (round 12): RIFF container parse →
+    per-frame baseline-JPEG decode (the in-repo codec) → per-frame luma
+    mean and the frame-difference motion score — the Y4M/GIF recipe on
+    the one entropy-coded video wire a from-scratch stack covers
+    honestly (MJPEG is intra-only; inter-frame DCT codecs remain the
+    documented boundary, typed at decode_avi_frames). Map-only
+    mapInPandas; frames never shuffle."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import avi as _avi_mod
+    from yark_spark.operators import jpeg as _jpeg_mod
+
+    _cp.register_pickle_by_value(_jpeg_mod)
+    _cp.register_pickle_by_value(_avi_mod)
+    _decode = _avi_mod.decode_avi_frames
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("n_frames", "width", "height", "fps_num", "fps_den",
+                     "luma_mean", "motion")}
+            for p in pdf[payload_col]:
+                v = _decode(bytes(p))
+                lumas = []
+                for f in v["frames"]:
+                    arr = np.asarray(f, dtype=np.float64)
+                    lumas.append(arr.mean(axis=2) if arr.ndim == 3 else arr)
+                means = [float(y.mean()) for y in lumas]
+                diffs = [
+                    float(np.abs(b - a).mean()) for a, b in zip(lumas, lumas[1:])
+                ]
+                rows["n_frames"].append(v["n_frames"])
+                rows["width"].append(v["width"])
+                rows["height"].append(v["height"])
+                rows["fps_num"].append(v["fps_num"])
+                rows["fps_den"].append(v["fps_den"])
+                rows["luma_mean"].append(round(float(np.mean(means)), 6))
+                rows["motion"].append(
+                    round(float(np.mean(diffs)), 6) if diffs else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_frames": np.array(rows["n_frames"], dtype="int32"),
+                    "width": np.array(rows["width"], dtype="int32"),
+                    "height": np.array(rows["height"], dtype="int32"),
+                    "fps_num": np.array(rows["fps_num"], dtype="int32"),
+                    "fps_den": np.array(rows["fps_den"], dtype="int32"),
+                    "luma_mean": np.array(rows["luma_mean"], dtype="float64"),
+                    "motion": np.array(rows["motion"], dtype="float64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, AVI_FEATURE_SCHEMA
+    )

@@ -111,3 +111,86 @@ def q_image_decode_qoi(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return decode_image_features(with_qoi_payload(docs))
+
+
+_AVI_ORACLE = (
+    "WITH v AS (SELECT doc_id, "
+    "ascii(substr(md5(text), 1, 1)) AS a, ascii(substr(md5(text), 2, 1)) AS b, "
+    "ascii(substr(md5(text), 3, 1)) AS c, ascii(substr(md5(text), 4, 1)) AS d "
+    "FROM documents WHERE doc_id < 150) "
+    "SELECT doc_id, CAST(4 AS INTEGER) AS n_frames, "
+    "CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, "
+    "CAST(25 AS INTEGER) AS fps_num, CAST(1 AS INTEGER) AS fps_den, "
+    "round((a + b + c + d) / 4.0, 6) AS luma_mean, "
+    "round((abs(b - a) + abs(c - b) + abs(d - c)) / 3.0, 6) AS motion FROM v"
+)
+
+
+@query("q_video_decode_avi", oracle=_AVI_ORACLE)
+def q_video_decode_avi(spark, sf_dir):
+    """E104 MJPEG-in-AVI decode (round 12): the from-scratch RIFF-AVI
+    container parse (operators/avi — hdrl/strl/movi grammar, avih +
+    'vids'/'MJPG' stream headers, word-aligned 00dc chunks, idx1) with
+    per-frame decode through the in-repo baseline JPEG codec — a REAL
+    entropy-coded video wire end to end. Constant-gray frames at
+    quality 100 are DC-exact (unit quantizer), so the oracle is the
+    video family's analytic truth: luma_mean = (a+b+c+d)/4 and motion
+    = (|b-a|+|c-b|+|d-c|)/3 over the md5 frame codes, with the
+    scale/rate fps (25/1) pinning the stream-header parse. Inter-frame
+    DCT codecs remain the documented boundary (typed
+    NotImplementedError on non-MJPG handlers). Map-only mapInPandas
+    both stages."""
+    from yark_spark.operators.multimodal import avi_video_features, with_avi_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return avi_video_features(with_avi_payload(docs))
+
+
+_TRI_AGREE_ORACLE = (
+    "WITH v AS (SELECT doc_id, "
+    "ascii(substr(md5(text), 1, 1)) AS a, ascii(substr(md5(text), 2, 1)) AS b, "
+    "ascii(substr(md5(text), 3, 1)) AS c, ascii(substr(md5(text), 4, 1)) AS d "
+    "FROM documents WHERE doc_id < 120) "
+    "SELECT doc_id, s.source, CAST(4 AS INTEGER) AS n_frames, "
+    "CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, "
+    "round((a + b + c + d) / 4.0, 6) AS luma_mean, "
+    "round((abs(b - a) + abs(c - b) + abs(d - c)) / 3.0, 6) AS motion "
+    "FROM v, (VALUES ('avi'), ('gif_anim'), ('y4m')) s(source)"
+)
+
+
+@query("q_video_tri_container_agreement", oracle=_TRI_AGREE_ORACLE)
+def q_video_tri_container_agreement(spark, sf_dir):
+    """E104' three-container temporal agreement (round 12): the same
+    four-frame synthetic animation through Y4M (verbatim planes),
+    animated GIF (palette + LZW + GCE + disposal compositing) and
+    MJPEG-AVI (RIFF grammar + per-frame baseline JPEG entropy decode)
+    must yield identical luma_mean and motion — THREE independent
+    container-and-codec stacks, spanning raw, dictionary-coded and
+    DCT-coded pixel wires, checked against ONE no-video-code SQL
+    truth. Extends the E97' two-container recipe with the only
+    entropy-coded member of the family."""
+    from yark_spark.operators.multimodal import (
+        avi_video_features,
+        decode_video_features,
+        gif_anim_video_features,
+        with_avi_payload,
+        with_gif_anim_payload,
+        with_y4m_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    common = ["doc_id", "source", "n_frames", "width", "height", "luma_mean", "motion"]
+    a = avi_video_features(with_avi_payload(docs)).select(
+        "doc_id", F.lit("avi").alias("source"), "n_frames", "width",
+        "height", "luma_mean", "motion"
+    )
+    g = gif_anim_video_features(with_gif_anim_payload(docs, subrect=False)).select(
+        "doc_id", F.lit("gif_anim").alias("source"), "n_frames", "width",
+        "height", "luma_mean", "motion"
+    )
+    y = decode_video_features(with_y4m_payload(docs)).select(
+        "doc_id", F.lit("y4m").alias("source"), "n_frames", "width",
+        "height", "luma_mean", "motion"
+    )
+    return a.unionByName(g).unionByName(y).select(*common)
