@@ -3562,3 +3562,105 @@ def avi_video_features(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _extract, AVI_FEATURE_SCHEMA
     )
+
+
+def _register_msgpack_modules():
+    """Ship the from-scratch MessagePack codec (plus the container
+    stack whose decompress_auto the listing dispatches through) by
+    value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import msgpack as _mp
+
+    _cont = _register_container_modules()
+    _register_zstd_modules()
+    _cp.register_pickle_by_value(_mp)
+    return _mp, _cont
+
+
+def with_msgpack_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_shard: int = 16,
+) -> DataFrame:
+    """Pack documents into ``.msgpack`` shards (round 12): each doc one
+    top-level map {"id", "text"} through the from-scratch MessagePack
+    encoder, shards a plain concatenation of objects (the streaming
+    convention); odd shards additionally wrap in a zstd frame
+    (``.msgpack.zst`` — the MosaicML/Redis-lineage staging wire) so one
+    fixture exercises both. Safe to sniff on read: a top-level fixmap
+    byte (0x8x) cannot collide with the zstd or gzip magics. One
+    applyInPandas per shard group — the grouping shuffle IS the shard
+    assignment."""
+    _mp, _cont = _register_msgpack_modules()
+    _enc = _mp.msgpack_encode
+    _zst = _cont.zstd_compress_member
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        blob = b"".join(
+            _enc({"id": int(did), "text": t})
+            for did, t in zip(pdf[id_col], pdf[text_col])
+        )
+        sid = int(pdf[id_col].iloc[0]) // docs_per_shard
+        if sid % 2:
+            blob = _zst(blob)
+        return pd.DataFrame({"shard_id": [sid], "payload": [blob]})
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / docs_per_shard).cast("long").alias("__s"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("shard_id", LongType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+    )
+
+
+def msgpack_listing(
+    df: DataFrame, shard_col: str = "shard_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Explode ``.msgpack`` / ``.msgpack.zst`` shards back into
+    per-document rows (round 12): magic-dispatched decompression
+    (decompress_auto), a single linear walk over the concatenated
+    top-level objects, and the md5 digest of each text so one SQL hash
+    certifies codec + stream framing end to end. Map-only mapInPandas;
+    one task walks one shard sequentially, the object-store access
+    pattern."""
+    _mp, _cont = _register_msgpack_modules()
+    _stream = _mp.msgpack_stream_decode
+    _auto = _cont.decompress_auto
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            dids, sids, ns, digs = [], [], [], []
+            for sid, p in zip(pdf[shard_col], pdf[payload_col]):
+                raw = _auto(bytes(p), max_output=256 << 20)
+                for obj in _stream(raw):
+                    text = obj["text"]
+                    dids.append(int(obj["id"]))
+                    sids.append(int(sid))
+                    ns.append(len(text))
+                    digs.append(_hashlib.md5(text.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(dids, dtype="int64"),
+                    "shard_id": np.array(sids, dtype="int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
+        _extract, JSONL_ZST_SCHEMA
+    )

@@ -194,3 +194,28 @@ def q_video_tri_container_agreement(spark, sf_dir):
         "height", "luma_mean", "motion"
     )
     return a.unionByName(g).unionByName(y).select(*common)
+
+
+_MSGPACK_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_msgpack_scan", oracle=_MSGPACK_ORACLE)
+def q_msgpack_scan(spark, sf_dir):
+    """E105 MessagePack shard round trip (round 12): documents pack as
+    concatenated top-level msgpack maps (the streaming convention)
+    through the from-scratch codec — smallest-form integer/string
+    families, spec-example-pinned wire — with odd shards wrapped in a
+    zstd frame (.msgpack.zst, the MosaicML-lineage staging wire) and
+    magic-sniffed back (a fixmap byte cannot collide with the zstd or
+    gzip magics). The map-only listing walks each stream and
+    digest-checks every text — the fourth record encoding in the
+    shard-wire family beside JSON-lines, tf.Example protobuf and Avro
+    binary. The grouping shuffle IS the shard assignment."""
+    from yark_spark.operators.multimodal import msgpack_listing, with_msgpack_shards
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return msgpack_listing(with_msgpack_shards(docs))
