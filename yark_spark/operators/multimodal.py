@@ -1058,17 +1058,25 @@ def decode_audio_features(
     NotImplementedError boundary."""
     from pyspark import cloudpickle as _cp
 
+    from yark_spark.operators import aiff as _aiff_mod
     from yark_spark.operators import audio_codecs as _ac
     from yark_spark.operators import flac as _flac_mod
 
     _cp.register_pickle_by_value(_ac)
     _cp.register_pickle_by_value(_flac_mod)
+    _cp.register_pickle_by_value(_aiff_mod)
     _decode_wav = _ac.decode_wav
     _decode_flac = _flac_mod.decode_flac
+    _decode_aiff = _aiff_mod.decode_aiff
 
     def decode(b: bytes):
-        # container dispatch by magic: fLaC (round 12) beside RIFF/WAVE
-        return _decode_flac(b) if b[:4] == b"fLaC" else _decode_wav(b)
+        # container dispatch by magic: fLaC (round 12) and big-endian
+        # FORM/AIFF (round 12) beside RIFF/WAVE
+        if b[:4] == b"fLaC":
+            return _decode_flac(b)
+        if b[:4] == b"FORM":
+            return _decode_aiff(b)
+        return _decode_wav(b)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -3663,4 +3671,44 @@ def msgpack_listing(
 
     return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
         _extract, JSONL_ZST_SCHEMA
+    )
+
+
+def with_aiff_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", rate: int = 8000
+) -> DataFrame:
+    """Deterministic AIFF fixture column (round 12): the SAME samples
+    as ``with_wav_payload`` / ``with_flac_payload`` (md5 hex ascii
+    codes tiled 8× → 256) encoded big-endian by the from-scratch IFF-85
+    container (operators/aiff) with the 80-bit extended-precision
+    sample rate — lossless, so the analytic WAV oracle pins the whole
+    big-endian container + extended-float parse unchanged. Map-only
+    mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import aiff as _aiff_mod
+
+    _cp.register_pickle_by_value(_aiff_mod)
+    _encode = _aiff_mod.encode_aiff
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            payloads = [
+                _encode(
+                    [ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()] * 8,
+                    rate=rate,
+                )
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _enc,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
     )

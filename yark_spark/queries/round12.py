@@ -535,7 +535,7 @@ _AUDIO_AGREEMENT_ORACLE = (
     "t AS (SELECT doc_id, CAST(max(v) AS INTEGER) AS peak, "
     "round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms FROM s GROUP BY doc_id) "
     "SELECT doc_id, c.container, peak, rms "
-    "FROM t, (VALUES ('wav'), ('flac')) c(container)"
+    "FROM t, (VALUES ('aiff'), ('flac'), ('wav')) c(container)"
 )
 
 
@@ -543,21 +543,28 @@ _AUDIO_AGREEMENT_ORACLE = (
 def q_audio_container_agreement(spark, sf_dir):
     """E101' cross-container audio agreement (the E84'' codec-agreement
     recipe applied to audio): the SAME PCM stream shipped as RIFF/WAVE
-    (PCM16) and as FLAC must produce identical features, both checked
-    against ONE no-audio-code SQL truth crossed with the container
-    labels. Two independent from-scratch containers × one analytic
-    oracle — a bug in either container, either bit reader (WAV is
-    byte-LE, FLAC is bit-MSB), or the Rice/LPC reconstruction breaks
-    the union against the truth."""
+    (PCM16, little-endian), as FLAC (bit-MSB entropy-coded) and as AIFF
+    (big-endian IFF with the 80-bit extended-float sample rate) must
+    produce identical features, all checked against ONE no-audio-code
+    SQL truth crossed with the container labels. Three independent
+    from-scratch containers × one analytic oracle — a bug in any
+    container grammar, any endianness path, the extended-float parse,
+    or the Rice/LPC reconstruction breaks the union against the
+    truth."""
     from yark_spark.operators.multimodal import (
         decode_audio_features,
+        with_aiff_payload,
         with_flac_payload,
         with_wav_payload,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     out = None
-    for container, builder in (("wav", with_wav_payload), ("flac", with_flac_payload)):
+    for container, builder in (
+        ("aiff", with_aiff_payload),
+        ("flac", with_flac_payload),
+        ("wav", with_wav_payload),
+    ):
         part = decode_audio_features(builder(docs)).select(
             "doc_id", F.lit(container).alias("container"), "peak", "rms"
         )
