@@ -219,3 +219,75 @@ def q_msgpack_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
     return msgpack_listing(with_msgpack_shards(docs))
+
+
+def _wordpiece_oracle() -> str:
+    """DuckDB re-derivation of greedy WordPiece: a non-recursive argmax
+    join precomputes best(word, pos) = the LONGEST vocab piece matching
+    there (maximum munch as max_by over substring equality), a
+    recursive CTE follows pos -> pos + len(best) per DISTINCT word, a
+    word succeeds iff the walk reaches len+1 (else all-or-nothing
+    [UNK]), and the per-doc md5 of the ordered token stream pins every
+    piece boundary and the ## presentation."""
+    from yark_spark.operators.wordpiece import WORDPIECE_VOCAB
+
+    values = ", ".join(f"('{p}')" for p in WORDPIECE_VOCAB)
+    return (
+        "WITH RECURSIVE "
+        f"vocab(piece) AS (VALUES {values}), "
+        "docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE doc_id < 250), "
+        "wl AS (SELECT doc_id, string_split_regex(t, '[^a-z0-9]+') AS arr "
+        "FROM docs), "
+        "words AS (SELECT doc_id, g.i AS word_no, list_extract(arr, g.i) AS word "
+        "FROM wl, unnest(generate_series(1, len(arr))) AS g(i) "
+        "WHERE list_extract(arr, g.i) != ''), "
+        "dw AS (SELECT DISTINCT word FROM words), "
+        "positions AS (SELECT word, g.p FROM dw, "
+        "unnest(generate_series(1, length(word))) AS g(p)), "
+        "best AS (SELECT p.word, p.p, max_by(v.piece, length(v.piece)) AS piece "
+        "FROM positions p JOIN vocab v "
+        "ON substr(p.word, p.p, length(v.piece)) = v.piece "
+        "GROUP BY p.word, p.p), "
+        "walk(word, p, piece_no, piece) AS ("
+        "SELECT word, 1, 0, CAST(NULL AS VARCHAR) FROM dw "
+        "UNION ALL "
+        "SELECT w.word, w.p + length(b.piece), w.piece_no + 1, b.piece "
+        "FROM walk w JOIN best b ON b.word = w.word AND b.p = w.p "
+        "WHERE w.p <= length(w.word)), "
+        "ok AS (SELECT word FROM walk WHERE p = length(word) + 1), "
+        "word_tokens AS ("
+        "SELECT w.word, w.piece_no, CASE WHEN w.piece_no = 1 THEN w.piece "
+        "ELSE '##' || w.piece END AS token "
+        "FROM walk w JOIN ok USING (word) WHERE w.piece IS NOT NULL "
+        "UNION ALL "
+        "SELECT d.word, 1, '[UNK]' FROM dw d "
+        "WHERE d.word NOT IN (SELECT word FROM ok)), "
+        "doc_tokens AS (SELECT ws.doc_id, ws.word_no, wt.piece_no, wt.token "
+        "FROM words ws JOIN word_tokens wt ON wt.word = ws.word) "
+        "SELECT doc_id, CAST(count(DISTINCT word_no) AS INTEGER) AS n_words, "
+        "CAST(count(*) AS INTEGER) AS n_tokens, "
+        "CAST(count(*) FILTER (WHERE token = '[UNK]') AS INTEGER) AS n_unk, "
+        "md5(string_agg(token, ' ' ORDER BY word_no, piece_no)) AS digest "
+        "FROM doc_tokens GROUP BY doc_id"
+    )
+
+
+@query("q_wordpiece_encode", oracle=_wordpiece_oracle())
+def q_wordpiece_encode(spark, sf_dir):
+    """E107 WordPiece tokenization (round 12): greedy
+    longest-match-first subword encoding (operators/wordpiece) — the
+    BERT-family tokenizer beside the BPE family (E48/E76') — with the
+    all-or-nothing [UNK] rule genuinely exercised (the vocabulary
+    omits 'q', so 'query' collapses to [UNK] after partial matches
+    would have been emitted). The oracle re-derives MAXIMUM MUNCH in
+    SQL: argmax-join best-piece table + recursive-CTE path following
+    per distinct word + success-reachability check; the per-doc md5 of
+    the ordered token stream means one hash pins every piece boundary,
+    the ## presentation and the UNK collapse. Map-only mapInPandas
+    with per-batch distinct-word memoization; token streams never
+    shuffle."""
+    from yark_spark.operators.wordpiece import wordpiece_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    return wordpiece_features(docs)
