@@ -1,0 +1,138 @@
+"""ZIP codec tests (round 12): wire-layout pins (signatures, EOCD
+backward scan past a trailing comment), two-way stdlib-zipfile
+differentials, mixed stored/deflate archives, the stored fallback for
+incompressible data, typed boundaries (encryption, ZIP64, spanned),
+corruption/truncation/CRC errors, bomb guard, and roundtrip fuzz."""
+
+import io
+import random
+import struct
+import zipfile as stdlib_zipfile
+
+import pytest
+
+from yark_spark.operators.zip_archive import (
+    zip_build,
+    zip_member_names,
+    zip_members,
+)
+
+MEMBERS = [
+    ("0.txt", b"hello world"),
+    ("1.txt", b"a" * 500),
+    ("2.bin", bytes(range(256))),
+]
+
+
+def test_roundtrip_and_signatures():
+    blob = zip_build(MEMBERS)
+    assert blob[:4] == b"PK\x03\x04"
+    assert b"PK\x01\x02" in blob and b"PK\x05\x06" in blob
+    assert [(n, d) for n, _m, d in zip_members(blob)] == MEMBERS
+
+
+def test_listing_reads_no_member_data():
+    assert zip_member_names(zip_build(MEMBERS)) == ["0.txt", "1.txt", "2.bin"]
+
+
+def test_eocd_found_past_trailing_comment():
+    # append a comment by patching the EOCD comment length — readers
+    # must find EOCD by backward scan, not fixed offset
+    blob = bytearray(zip_build(MEMBERS))
+    comment = b"dataset v1.2 mirror"
+    blob[-2:] = struct.pack("<H", len(comment))
+    blob += comment
+    assert zip_member_names(bytes(blob)) == ["0.txt", "1.txt", "2.bin"]
+    assert [(n, d) for n, _m, d in zip_members(bytes(blob))] == MEMBERS
+
+
+def test_stdlib_reads_ours():
+    zf = stdlib_zipfile.ZipFile(io.BytesIO(zip_build(MEMBERS)))
+    assert zf.namelist() == [n for n, _ in MEMBERS]
+    for n, d in MEMBERS:
+        assert zf.read(n) == d
+    assert zf.testzip() is None  # stdlib CRC pass over every member
+
+
+def test_we_read_stdlib_both_methods():
+    buf = io.BytesIO()
+    with stdlib_zipfile.ZipFile(buf, "w") as z:
+        z.writestr("s.txt", b"stored data", compress_type=stdlib_zipfile.ZIP_STORED)
+        z.writestr(
+            "d.txt", b"deflate me " * 50, compress_type=stdlib_zipfile.ZIP_DEFLATED
+        )
+    got = {n: (m, d) for n, m, d in zip_members(buf.getvalue())}
+    assert got["s.txt"] == (0, b"stored data")
+    assert got["d.txt"] == (8, b"deflate me " * 50)
+
+
+def test_explicit_methods_and_stored_fallback():
+    blob = zip_build(MEMBERS, methods=[0, 8, 0])
+    assert [m for _n, m, _d in zip_members(blob)] == [0, 8, 0]
+    # default mode stores incompressible data instead of inflating it
+    rng = random.Random(9)
+    noise = bytes(rng.randrange(256) for _ in range(2000))
+    blob = zip_build([("n.bin", noise)])
+    (name, method, data), = zip_members(blob)
+    assert method == 0 and data == noise
+
+
+def test_crc_mismatch_detected():
+    blob = zip_build([("x.txt", b"payload here")], methods=[0])
+    # flip a data byte inside the stored member
+    pos = blob.find(b"payload here")
+    bad = blob[:pos] + b"Xayload here" + blob[pos + 12 :]
+    with pytest.raises(ValueError, match="CRC"):
+        zip_members(bad)
+
+
+def test_truncation_and_bad_signature():
+    blob = zip_build(MEMBERS)
+    with pytest.raises(ValueError, match="end-of-central"):
+        zip_members(blob[: len(blob) // 3])
+    bad = bytearray(blob)
+    bad[0] = 0x51
+    with pytest.raises(ValueError, match="signature|local"):
+        zip_members(bytes(bad))
+
+
+def test_encrypted_member_typed_boundary():
+    blob = bytearray(zip_build([("e.txt", b"secret")], methods=[0]))
+    # set bit 0 of the general-purpose flags in the CENTRAL entry
+    pos = blob.find(b"PK\x01\x02")
+    struct.pack_into("<H", blob, pos + 8, 0x0001)
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        zip_members(bytes(blob))
+
+
+def test_zip64_typed_boundary():
+    blob = bytearray(zip_build(MEMBERS))
+    eocd = blob.rfind(b"PK\x05\x06")
+    struct.pack_into("<I", blob, eocd + 16, 0xFFFFFFFF)  # cd offset sentinel
+    with pytest.raises(NotImplementedError, match="ZIP64"):
+        zip_members(bytes(blob))
+
+
+def test_bomb_guard():
+    blob = zip_build([("big.txt", b"z" * 10000)])
+    with pytest.raises(ValueError, match="bomb"):
+        zip_members(blob, max_output=9999)
+    assert zip_members(blob, max_output=10000)[0][2] == b"z" * 10000
+
+
+def test_roundtrip_fuzz():
+    rng = random.Random(33)
+    for _ in range(25):
+        members = []
+        for i in range(rng.randrange(1, 8)):
+            n = rng.randrange(0, 800)
+            alpha = rng.choice([4, 256])
+            members.append(
+                (f"m{i}.dat", bytes(rng.randrange(alpha) for _ in range(n)))
+            )
+        blob = zip_build(members)
+        assert [(n, d) for n, _m, d in zip_members(blob)] == members
+        # stdlib agrees on every member
+        zf = stdlib_zipfile.ZipFile(io.BytesIO(blob))
+        for n, d in members:
+            assert zf.read(n) == d

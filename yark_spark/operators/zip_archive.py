@@ -1,0 +1,179 @@
+"""ZIP archive codec from scratch (round 12): the PKWARE APPNOTE
+layout — local file headers (PK\\x03\\x04), central directory entries
+(PK\\x01\\x02), end-of-central-directory record (PK\\x05\\x06) located
+by the backward signature scan the format requires (the trailing
+variable-length comment means a reader MUST find EOCD from the end),
+DOS mod time/date fields, and per-member CRC-32 verification — with
+methods 0 (stored) and 8 (deflate, the in-repo RFC 1951 codec from
+``operators/png``), both directions, nothing imported.
+
+ZIP is the long tail of public dataset distribution: Kaggle exports,
+academic benchmark releases (GLUE, SQuAD mirrors), image-archive drops
+and government open-data portals all ship ``.zip`` — an ingest stack
+that covers tar/WARC/gzip/zstd but not zip still can't open half of
+what a data-collection crawl brings home. It joins the container
+family (E90) as the random-access member: the central directory
+means a reader can list and slice ONE member without streaming the
+archive, the property the listing pass exploits.
+
+Boundaries, typed: encrypted members, spanned archives and ZIP64
+raise ``NotImplementedError``; streaming members written with the
+bit-3 data descriptor (sizes unknown at header time) raise too — the
+central directory always has real sizes, so descriptor-written
+archives from other tools still parse through the CD path; we reject
+only when the CD itself is absent. All malformed-input paths raise
+``ValueError`` (bad signatures, truncation, CRC mismatch,
+size/declaration mismatch, bomb) so the quarantine keeps corrupt rows
+as rows.
+
+Oracle recipe: the container family's — member bytes through
+build → parse must md5-match DuckDB's md5(text), with the method
+column (stored vs deflate, cycled per member) pinned by the same SQL
+hash. Wire vectors + roundtrip fuzz live in tests/test_zip.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from yark_spark.operators.png import crc32, inflate, zlib_compress
+
+__all__ = ["zip_build", "zip_members", "zip_member_names"]
+
+_LOCAL_SIG = b"PK\x03\x04"
+_CENTRAL_SIG = b"PK\x01\x02"
+_EOCD_SIG = b"PK\x05\x06"
+
+_STORED, _DEFLATE = 0, 8
+
+# fixed DOS timestamp (1980-01-01 00:00:00) — archives stay byte-
+# deterministic; real mtimes would break fixture reproducibility
+_DOS_TIME, _DOS_DATE = 0, 0x21
+
+
+def zip_build(members: list[tuple[str, bytes]], methods: list[int] | None = None) -> bytes:
+    """Build a ZIP archive from (name, payload) members. ``methods``
+    (0 stored / 8 deflate) per member; default deflates unless the
+    deflate stream would be larger (the stored fallback every real
+    zipper applies)."""
+    out = bytearray()
+    central = bytearray()
+    for i, (name, payload) in enumerate(members):
+        nb = name.encode("utf-8")
+        crc = crc32(payload)
+        method = methods[i] if methods is not None else _DEFLATE
+        if method == _DEFLATE:
+            comp = zlib_compress(payload)[2:-4]  # raw RFC 1951 stream
+            if methods is None and len(comp) >= len(payload):
+                method, comp = _STORED, payload
+        elif method == _STORED:
+            comp = payload
+        else:
+            raise ValueError(f"zip: unsupported method {method}")
+        offset = len(out)
+        local = struct.pack(
+            "<4sHHHHHIIIHH",
+            _LOCAL_SIG, 20, 0, method, _DOS_TIME, _DOS_DATE,
+            crc, len(comp), len(payload), len(nb), 0,
+        )
+        out += local + nb + comp
+        central += struct.pack(
+            "<4sHHHHHHIIIHHHHHII",
+            _CENTRAL_SIG, 20, 20, 0, method, _DOS_TIME, _DOS_DATE,
+            crc, len(comp), len(payload), len(nb), 0, 0, 0, 0, 0, offset,
+        ) + nb
+    cd_offset = len(out)
+    out += central
+    out += struct.pack(
+        "<4sHHHHIIH",
+        _EOCD_SIG, 0, 0, len(members), len(members),
+        len(central), cd_offset, 0,
+    )
+    return bytes(out)
+
+
+def _find_eocd(b: bytes) -> int:
+    """Backward scan for the EOCD signature (the comment field means
+    the record does not sit at a fixed offset)."""
+    # EOCD is 22 bytes + comment (≤ 65535)
+    lo = max(0, len(b) - 22 - 65535)
+    pos = b.rfind(_EOCD_SIG, lo)
+    if pos < 0:
+        raise ValueError("zip: end-of-central-directory not found")
+    return pos
+
+
+def _central_entries(b: bytes):
+    eocd = _find_eocd(b)
+    if eocd + 22 > len(b):
+        raise ValueError("zip: truncated EOCD record")
+    (_sig, disk, cd_disk, n_disk, n_total, cd_size, cd_offset, _clen) = struct.unpack(
+        "<4sHHHHIIH", b[eocd : eocd + 22]
+    )
+    if disk != 0 or cd_disk != 0 or n_disk != n_total:
+        raise NotImplementedError("zip: spanned archives not supported")
+    if n_total == 0xFFFF or cd_offset == 0xFFFFFFFF:
+        raise NotImplementedError("zip: ZIP64 not supported")
+    pos = cd_offset
+    for _ in range(n_total):
+        if pos + 46 > len(b):
+            raise ValueError("zip: truncated central directory")
+        (
+            sig, _ver_made, _ver_need, flags, method, _t, _d,
+            crc, comp_size, uncomp_size, name_len, extra_len,
+            comment_len, _disk_no, _iattr, _eattr, local_offset,
+        ) = struct.unpack("<4sHHHHHHIIIHHHHHII", b[pos : pos + 46])
+        if sig != _CENTRAL_SIG:
+            raise ValueError("zip: bad central-directory signature")
+        name = b[pos + 46 : pos + 46 + name_len].decode("utf-8")
+        pos += 46 + name_len + extra_len + comment_len
+        yield name, flags, method, crc, comp_size, uncomp_size, local_offset
+
+
+def zip_member_names(payload: bytes) -> list[str]:
+    """List member names from the central directory only — no data
+    reads, the random-access property the format exists for."""
+    return [e[0] for e in _central_entries(bytes(payload))]
+
+
+def zip_members(
+    payload: bytes, max_output: int | None = None
+) -> list[tuple[str, int, bytes]]:
+    """Extract every member as (name, method, data), verifying local
+    headers against the central directory and each CRC-32."""
+    b = bytes(payload)
+    out = []
+    total = 0
+    for name, flags, method, crc, comp_size, uncomp_size, off in _central_entries(b):
+        if flags & 0x1:
+            raise NotImplementedError("zip: encrypted members not supported")
+        if off + 30 > len(b):
+            raise ValueError("zip: local header offset out of range")
+        (sig, _ver, lflags, lmethod, _t, _d, _lcrc, _lcs, _lus, nl, el) = struct.unpack(
+            "<4sHHHHHIIIHH", b[off : off + 30]
+        )
+        if sig != _LOCAL_SIG:
+            raise ValueError("zip: bad local-header signature")
+        if lmethod != method:
+            raise ValueError("zip: local/central method mismatch")
+        data_at = off + 30 + nl + el
+        if data_at + comp_size > len(b):
+            raise ValueError("zip: truncated member data")
+        total += uncomp_size
+        if max_output is not None and total > max_output:
+            raise ValueError("zip: decoded size exceeds bomb guard")
+        comp = b[data_at : data_at + comp_size]
+        if method == _STORED:
+            if comp_size != uncomp_size:
+                raise ValueError("zip: stored member size mismatch")
+            data = comp
+        elif method == _DEFLATE:
+            data = inflate(comp, max_output=uncomp_size)
+            if len(data) != uncomp_size:
+                raise ValueError("zip: inflated size mismatch")
+        else:
+            raise NotImplementedError(f"zip: compression method {method}")
+        if crc32(data) != crc:
+            raise ValueError(f"zip: CRC mismatch in member {name!r}")
+        out.append((name, method, data))
+    return out

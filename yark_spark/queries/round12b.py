@@ -291,3 +291,31 @@ def q_wordpiece_encode(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
     return wordpiece_features(docs)
+
+
+_ZIP_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'stored' ELSE 'deflate' END AS method, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_zip_scan", oracle=_ZIP_ORACLE)
+def q_zip_scan(spark, sf_dir):
+    """E108 ZIP archive round trip (round 12): documents pack into
+    ``.zip`` shards through the from-scratch PKWARE codec — local
+    headers, central directory, EOCD backward scan, DOS timestamps,
+    per-member CRC-32 — with the compression method CYCLED stored/
+    deflate per member so one SQL hash pins both member wires and the
+    mixed-method central-directory bookkeeping; two-way stdlib-zipfile
+    differentials pin interop in tests/test_zip.py. ZIP is the long
+    tail of public dataset distribution (Kaggle, benchmark mirrors,
+    open-data portals) and the container family's RANDOM-ACCESS member
+    (the central directory lists without streaming — zip_member_names
+    reads no data). Encrypted/ZIP64/spanned archives are typed
+    boundaries. The grouping shuffle IS the shard assignment."""
+    from yark_spark.operators.multimodal import with_zip_shards, zip_listing
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return zip_listing(with_zip_shards(docs))
