@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -3818,4 +3819,130 @@ def zip_listing(
                 StructField("digest", StringType()),
             ]
         ),
+    )
+
+
+EXIF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orientation", IntegerType()),
+        StructField("lat_deg", IntegerType()),
+        StructField("lon_deg", IntegerType()),
+        StructField("has_gps", BooleanType()),
+        StructField("gps_after_strip", BooleanType()),
+        StructField("mean_pixel", DoubleType()),
+    ]
+)
+
+
+def with_exif_jpeg_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic EXIF-bearing JPEG fixture (round 12): the 16x16
+    quadrant-gray q100 JPEG with a real APP1 Exif block inserted after
+    SOI — orientation 1+(a%8), and (on doc_id % 3 != 0) a GPS sub-IFD
+    at (b%90, d%180) whole degrees with hemisphere refs from c/a
+    parity; doc_id % 3 == 0 images carry Exif WITHOUT GPS, so the
+    extraction's null path and the redaction's no-op path are both on
+    the fixture. Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import exif as _exif_mod
+    from yark_spark.operators import jpeg as _jpeg_mod
+
+    _cp.register_pickle_by_value(_jpeg_mod)
+    _cp.register_pickle_by_value(_exif_mod)
+    _enc, _build, _insert = (
+        _jpeg_mod.encode_jpeg,
+        _exif_mod.exif_build,
+        _exif_mod.jpeg_insert_app1,
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                vals = [ord(c) for c in _hashlib.md5(t.encode("utf-8")).hexdigest()[:4]]
+                a, b, c, d = vals
+                img = _np.empty((16, 16), dtype=_np.uint8)
+                img[:8, :8] = a
+                img[:8, 8:] = b
+                img[8:, :8] = c
+                img[8:, 8:] = d
+                gps = None
+                if int(did) % 3 != 0:
+                    lat = (b % 90) * (1 if c % 2 == 0 else -1)
+                    lon = (d % 180) * (1 if a % 2 == 0 else -1)
+                    gps = (float(lat), float(lon))
+                app1 = _build(orientation=1 + a % 8, gps=gps)
+                payloads.append(_insert(_enc(img, quality=100), app1))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _make,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def exif_gps_redaction_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """EXIF extraction + GPS-PII redaction proof (round 12): parse the
+    APP1/IFD grammar (orientation + GPS whole degrees), run exif_strip,
+    re-parse to prove no GPS survives, and decode the STRIPPED image's
+    pixels — one row certifies extraction, redaction completeness and
+    pixel preservation together (the image-side twin of the text PII
+    pass). Map-only mapInPandas; bytes never shuffle."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import exif as _exif_mod
+    from yark_spark.operators import jpeg as _jpeg_mod
+
+    _cp.register_pickle_by_value(_jpeg_mod)
+    _cp.register_pickle_by_value(_exif_mod)
+    _parse, _strip = _exif_mod.exif_parse, _exif_mod.exif_strip
+    _decode = _jpeg_mod.decode_jpeg
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            oris, lats, lons, has, after, means = [], [], [], [], [], []
+            for p in pdf[payload_col]:
+                jpeg = bytes(p)
+                meta = _parse(jpeg)
+                stripped = _strip(jpeg)
+                meta_after = _parse(stripped)
+                arr = _decode(stripped)
+                oris.append(int(meta.get("orientation", 0)))
+                lats.append(meta.get("gps_lat_deg"))
+                lons.append(meta.get("gps_lon_deg"))
+                has.append("gps_lat_deg" in meta)
+                after.append("gps_lat_deg" in meta_after)
+                means.append(float(np.mean(arr, dtype=np.float64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "orientation": np.array(oris, dtype="int32"),
+                    "lat_deg": pd.array(lats, dtype="Int32"),
+                    "lon_deg": pd.array(lons, dtype="Int32"),
+                    "has_gps": has,
+                    "gps_after_strip": after,
+                    "mean_pixel": np.floor(
+                        np.array(means, dtype="float64") * 1e6 + 0.5
+                    )
+                    / 1e6,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, EXIF_SCHEMA
     )

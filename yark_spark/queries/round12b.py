@@ -319,3 +319,41 @@ def q_zip_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
     return zip_listing(with_zip_shards(docs))
+
+
+_EXIF_ORACLE = (
+    "WITH v AS (SELECT doc_id, "
+    "ascii(substr(md5(text), 1, 1)) AS a, ascii(substr(md5(text), 2, 1)) AS b, "
+    "ascii(substr(md5(text), 3, 1)) AS c, ascii(substr(md5(text), 4, 1)) AS d "
+    "FROM documents WHERE doc_id < 200) "
+    "SELECT doc_id, CAST(1 + a % 8 AS INTEGER) AS orientation, "
+    "CASE WHEN doc_id % 3 != 0 THEN CAST(b % 90 AS INTEGER) END AS lat_deg, "
+    "CASE WHEN doc_id % 3 != 0 THEN CAST(d % 180 AS INTEGER) END AS lon_deg, "
+    "(doc_id % 3 != 0) AS has_gps, FALSE AS gps_after_strip, "
+    "round((a + b + c + d) / 4.0, 6) AS mean_pixel FROM v"
+)
+
+
+@query("q_image_exif_gps_redact", oracle=_EXIF_ORACLE)
+def q_image_exif_gps_redact(spark, sf_dir):
+    """E109 EXIF extraction + GPS-PII redaction (round 12): real APP1
+    Exif blocks (from-scratch TIFF-IFD writer) inside the q100 quadrant
+    JPEGs carry orientation and GPS degree/minute/second rationals; the
+    operator parses the marker + IFD grammar, STRIPS the Exif segment
+    (the exiftool -all= stance), re-parses to prove no GPS survives,
+    and decodes the stripped image — so ONE oracle row certifies
+    extraction correctness (orientation + whole-degree GPS), redaction
+    completeness (gps_after_strip = FALSE) and pixel preservation (the
+    analytic quadrant mean) together. This is the image-side twin of
+    the text PII pass: crawled images leak photographers' locations
+    through GPS IFDs, and a 100 TB curation pipeline strips them before
+    release. doc_id % 3 == 0 fixtures carry Exif WITHOUT GPS so the
+    null-extraction and no-op-redaction paths are pinned too. Map-only
+    mapInPandas."""
+    from yark_spark.operators.multimodal import (
+        exif_gps_redaction_features,
+        with_exif_jpeg_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return exif_gps_redaction_features(with_exif_jpeg_payload(docs))
