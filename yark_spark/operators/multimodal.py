@@ -3946,3 +3946,120 @@ def exif_gps_redaction_features(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _extract, EXIF_SCHEMA
     )
+
+
+SUBTITLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("n_cues", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("speech_ms", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+_CUE_WORDS, _CUE_GAP_MS, _CUE_LEN_MS = 4, 200, 1500
+
+
+def with_subtitle_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fmt: str = "srt",
+) -> DataFrame:
+    """Deterministic subtitle fixture (round 12): the document's words
+    become caption cues — one cue per 4 words, 1500 ms speech + 200 ms
+    gap — serialized as SubRip (``fmt='srt'``, comma milliseconds) or
+    WebVTT (``fmt='vtt'``, period milliseconds, cue ids, a NOTE block
+    and cue settings on the wire to exercise the grammar). Map-only
+    mapInPandas; the subtitles module ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import subtitles as _sub_mod
+
+    _cp.register_pickle_by_value(_sub_mod)
+    _srt, _vtt = _sub_mod.srt_build, _sub_mod.vtt_build
+    if fmt not in ("srt", "vtt"):
+        raise ValueError(f"subtitle fixture: unknown format {fmt!r}")
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                words = t.split()
+                cues = []
+                for k in range(0, len(words), _CUE_WORDS):
+                    start = (k // _CUE_WORDS) * (_CUE_LEN_MS + _CUE_GAP_MS)
+                    cues.append(
+                        (start, start + _CUE_LEN_MS, " ".join(words[k : k + _CUE_WORDS]))
+                    )
+                if fmt == "srt":
+                    payloads.append(_srt(cues))
+                else:
+                    # exercise the VTT-only grammar: ids + a NOTE block
+                    body = _vtt(cues, with_ids=True)
+                    payloads.append(
+                        body.replace(
+                            "WEBVTT\n", "WEBVTT - fixture track\n\nNOTE generated\n", 1
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", StringType())]
+        ),
+    )
+
+
+def subtitle_features(
+    df: DataFrame,
+    source: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Parse a subtitle column (SRT or VTT by ``source``) and emit the
+    transcript statistics a caption-quality filter uses: cue count,
+    track duration (last cue end), total speech time, and the md5 of
+    the space-joined recovered transcript — the digest certifies cue
+    order, payload recovery and the timestamp grammar at once.
+    Map-only mapInPandas; transcripts never shuffle."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import subtitles as _sub_mod
+
+    _cp.register_pickle_by_value(_sub_mod)
+    _parse = _sub_mod.srt_parse if source == "srt" else _sub_mod.vtt_parse
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ncs, durs, spks, digs = [], [], [], []
+            for p in pdf[payload_col]:
+                cues = _parse(str(p))
+                transcript = " ".join(text for _s, _e, text in cues)
+                ncs.append(len(cues))
+                durs.append(cues[-1][1] if cues else 0)
+                spks.append(sum(e - s for s, e, _t in cues))
+                digs.append(_hashlib.md5(transcript.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "source": source,
+                    "n_cues": np.array(ncs, dtype="int32"),
+                    "duration_ms": np.array(durs, dtype="int32"),
+                    "speech_ms": np.array(spks, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, SUBTITLE_SCHEMA
+    )

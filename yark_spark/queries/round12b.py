@@ -357,3 +357,38 @@ def q_image_exif_gps_redact(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return exif_gps_redaction_features(with_exif_jpeg_payload(docs))
+
+
+_SUBTITLE_ORACLE = (
+    "WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS nw, "
+    "md5(text) AS dg FROM documents WHERE doc_id < 200), "
+    "c AS (SELECT doc_id, CAST((nw + 3) // 4 AS INTEGER) AS n_cues, dg FROM w) "
+    "SELECT doc_id, s.source, n_cues, "
+    "CAST((n_cues - 1) * 1700 + 1500 AS INTEGER) AS duration_ms, "
+    "CAST(n_cues * 1500 AS INTEGER) AS speech_ms, dg AS digest "
+    "FROM c, (VALUES ('srt'), ('vtt')) s(source)"
+)
+
+
+@query("q_subtitle_agreement", oracle=_SUBTITLE_ORACLE)
+def q_subtitle_agreement(spark, sf_dir):
+    """E110 subtitle parsing with SRT/VTT cross-format agreement
+    (round 12): each document's words become caption cues (one per 4
+    words, 1500 ms + 200 ms gaps) shipped BOTH as SubRip (comma
+    milliseconds) and as WebVTT (period milliseconds, cue ids, a NOTE
+    block and cue settings on the wire) — the two formats video
+    platforms serve caption tracks in, i.e. the text channel of
+    video training data. Both parsers must recover identical cue
+    counts, timing sums and the md5 of the space-joined transcript,
+    checked against ONE no-subtitle-code SQL truth (the digest equals
+    md5(text) because cue packing preserves the word stream) — the
+    agreement recipe on the caption modality. Grammar traps (comma vs
+    period, hourless VTT timestamps, NOTE/STYLE blocks, BOM, CRLF)
+    pinned in tests/test_subtitles.py. Map-only mapInPandas both
+    stages."""
+    from yark_spark.operators.multimodal import subtitle_features, with_subtitle_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    s = subtitle_features(with_subtitle_payload(docs, fmt="srt"), source="srt")
+    v = subtitle_features(with_subtitle_payload(docs, fmt="vtt"), source="vtt")
+    return s.unionByName(v)
