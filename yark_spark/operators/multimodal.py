@@ -4063,3 +4063,112 @@ def subtitle_features(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _extract, SUBTITLE_SCHEMA
     )
+
+
+def with_mbox_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_shard: int = 16,
+) -> DataFrame:
+    """Pack documents into mbox shards (round 12): each doc one RFC
+    5322 message (From/Subject/X-Doc-Id headers — Subject long enough
+    to FOLD, exercising unfold on read) with the transfer encoding
+    cycled 7bit / quoted-printable / base64 by doc_id % 3, concatenated
+    with mboxrd From-quoting — the Enron-corpus / mailing-list-archive
+    wire. One applyInPandas per shard group."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import mime as _mime_mod
+
+    _cp.register_pickle_by_value(_mime_mod)
+    _build_msg, _build_box = _mime_mod.message_build, _mime_mod.mbox_build
+    _encodings = ("7bit", "quoted-printable", "base64")
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        msgs = []
+        for did, t in zip(pdf[id_col], pdf[text_col]):
+            did = int(did)
+            msgs.append(
+                _build_msg(
+                    [
+                        ("From", "archive@example.org"),
+                        ("Subject", f"document {did} " + "retention notice " * 8),
+                        ("X-Doc-Id", str(did)),
+                    ],
+                    t,
+                    encoding=_encodings[did % 3],
+                )
+            )
+        sid = int(pdf[id_col].iloc[0]) // docs_per_shard
+        return pd.DataFrame({"shard_id": [sid], "payload": [_build_box(msgs)]})
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / docs_per_shard).cast("long").alias("__s"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("shard_id", LongType()),
+                    StructField("payload", StringType()),
+                ]
+            ),
+        )
+    )
+
+
+def mbox_listing(
+    df: DataFrame, shard_col: str = "shard_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Explode mbox shards back into per-message rows (round 12):
+    From-separator walk with mboxrd unquoting, header unfold, transfer
+    decoding (7bit / quoted-printable / base64 — declared by the
+    Content-Transfer-Encoding header, as mail requires), and the md5
+    digest of the decoded body so one SQL hash certifies the container
+    + header grammar + all three encodings. Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import mime as _mime_mod
+
+    _cp.register_pickle_by_value(_mime_mod)
+    _split, _parse = _mime_mod.mbox_messages, _mime_mod.message_parse
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            dids, sids, encs, ns, digs = [], [], [], [], []
+            for sid, p in zip(pdf[shard_col], pdf[payload_col]):
+                for raw in _split(str(p)):
+                    headers, body = _parse(raw)
+                    dids.append(int(headers["x-doc-id"]))
+                    sids.append(int(sid))
+                    encs.append(headers.get("content-transfer-encoding", "7bit"))
+                    ns.append(len(body))
+                    digs.append(_hashlib.md5(body.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(dids, dtype="int64"),
+                    "shard_id": np.array(sids, dtype="int64"),
+                    "encoding": encs,
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
+        _extract,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("shard_id", LongType()),
+                StructField("encoding", StringType()),
+                StructField("n_chars", IntegerType()),
+                StructField("digest", StringType()),
+            ]
+        ),
+    )

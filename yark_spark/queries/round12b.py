@@ -392,3 +392,32 @@ def q_subtitle_agreement(spark, sf_dir):
     s = subtitle_features(with_subtitle_payload(docs, fmt="srt"), source="srt")
     v = subtitle_features(with_subtitle_payload(docs, fmt="vtt"), source="vtt")
     return s.unionByName(v)
+
+
+_MBOX_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
+    "CASE doc_id % 3 WHEN 0 THEN '7bit' WHEN 1 THEN 'quoted-printable' "
+    "ELSE 'base64' END AS encoding, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_mbox_scan", oracle=_MBOX_ORACLE)
+def q_mbox_scan(spark, sf_dir):
+    """E111 mbox email-archive round trip (round 12): documents become
+    RFC 5322 messages — folded Subject headers (unfold on read), an
+    X-Doc-Id header, the transfer encoding CYCLED 7bit /
+    quoted-printable / base64 (both codecs from scratch, stdlib
+    differentials in tests) — concatenated into mbox shards with
+    mboxrd From-quoting (the in-band escape rule WARC's length-prefix
+    avoids; the quoting trap is pinned in tests). The Enron-corpus /
+    mailing-list wire: the map-only listing walks From separators,
+    unquotes, unfolds, decodes per the declared
+    Content-Transfer-Encoding and digest-checks every body — container
+    + header grammar + three encodings under one SQL hash. The
+    grouping shuffle IS the shard assignment."""
+    from yark_spark.operators.multimodal import mbox_listing, with_mbox_shards
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return mbox_listing(with_mbox_shards(docs))
