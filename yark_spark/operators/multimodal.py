@@ -4172,3 +4172,67 @@ def mbox_listing(
             ]
         ),
     )
+
+
+ROBOTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("url_path", StringType()),
+        StructField("allowed", BooleanType()),
+        StructField("matched_rule", StringType()),
+    ]
+)
+
+
+def robots_url_filter(
+    df: DataFrame,
+    robots_text: str,
+    agent: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RFC 9309 crawl-policy filter (round 12): derive each document's
+    URL path ('/' + first word + '/' + second word — the fixture
+    convention the oracle mirrors with split_part), evaluate the
+    robots.txt policy for ``agent`` (group selection, wildcard rules,
+    longest-match precedence with Allow beating Disallow on ties) and
+    emit the verdict plus the winning rule. The policy is parsed ONCE
+    per task and is broadcast-sized — at 100 TB the per-host policy
+    table is the broadcast side of the URL join. Map-only
+    mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import robots as _robots_mod
+
+    _cp.register_pickle_by_value(_robots_mod)
+    _parse, _select, _decide = (
+        _robots_mod.parse_robots,
+        _robots_mod.rules_for_agent,
+        _robots_mod.robots_decision,
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rules = _select(_parse(robots_text), agent)
+        for pdf in batches:
+            paths, alloweds, matched = [], [], []
+            for t in pdf[text_col]:
+                words = t.split()
+                w1 = words[0] if words else ""
+                w2 = words[1] if len(words) > 1 else ""
+                path = f"/{w1}/{w2}"
+                ok, rule = _decide(rules, path)
+                paths.append(path)
+                alloweds.append(ok)
+                matched.append(rule)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "url_path": paths,
+                    "allowed": alloweds,
+                    "matched_rule": matched,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _extract, ROBOTS_SCHEMA
+    )

@@ -421,3 +421,61 @@ def q_mbox_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
     return mbox_listing(with_mbox_shards(docs))
+
+
+#: The fixture crawl policy: wildcard, anchor, tie-precedence and
+#: empty-Disallow idioms all on the wire; the oracle re-derives each
+#: rule as a LIKE pattern below.
+ROBOTS_FIXTURE = """\
+# fixture policy
+User-agent: trainbot
+Disallow: /t
+Allow: /table/
+Disallow: /*/key
+Disallow: /small$
+Allow:
+
+User-agent: gptbot
+Disallow: /
+
+User-agent: *
+Disallow: /private
+"""
+
+_ROBOTS_ORACLE = (
+    "WITH u AS (SELECT doc_id, '/' || split_part(text, ' ', 1) || '/' || "
+    "split_part(text, ' ', 2) AS url_path FROM documents WHERE doc_id < 400), "
+    "rules(is_allow, rule, pat, anchored) AS (VALUES "
+    "(FALSE, '/t', '/t%', FALSE), "
+    "(TRUE, '/table/', '/table/%', FALSE), "
+    "(FALSE, '/*/key', '/%/key%', FALSE), "
+    "(FALSE, '/small$', '/small', TRUE)), "
+    "m AS (SELECT u.doc_id, u.url_path, r.is_allow, r.rule, "
+    "row_number() OVER (PARTITION BY u.doc_id "
+    "ORDER BY length(r.rule) DESC, r.is_allow DESC) AS rn "
+    "FROM u JOIN rules r ON (NOT r.anchored AND u.url_path LIKE r.pat) "
+    "OR (r.anchored AND u.url_path = r.pat)) "
+    "SELECT u.doc_id, u.url_path, "
+    "COALESCE(m.is_allow, TRUE) AS allowed, m.rule AS matched_rule "
+    "FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)"
+)
+
+
+@query("q_robots_filter", oracle=_ROBOTS_ORACLE)
+def q_robots_filter(spark, sf_dir):
+    """E112 robots.txt crawl-policy filter (round 12): the RFC 9309
+    engine (operators/robots — group selection over stacked
+    user-agents, * fallback, wildcard '*' spanning octets, '$' end
+    anchor, empty-Disallow allow-all idiom, longest-match precedence
+    with Allow beating Disallow on ties) evaluated for 'trainbot'
+    over per-document URL paths. The gatekeeper op of a crawl-derived
+    corpus: dataset builders re-check robots at CURATION time when a
+    domain's policy changed after the crawl. The oracle re-derives
+    the whole algorithm in SQL — each rule a LIKE pattern, the
+    precedence one window over (length, is_allow) — so verdict AND
+    winning rule hash-match. Policy is broadcast-sized; map-only
+    mapInPandas."""
+    from yark_spark.operators.multimodal import robots_url_filter
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return robots_url_filter(docs, ROBOTS_FIXTURE, agent="trainbot")
