@@ -4236,3 +4236,99 @@ def robots_url_filter(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         _extract, ROBOTS_SCHEMA
     )
+
+
+NOTEBOOK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_cells", IntegerType()),
+        StructField("n_code", IntegerType()),
+        StructField("n_markdown", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+_NB_CELL_WORDS = 6
+
+
+def with_ipynb_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic .ipynb fixture (round 12): the document's words
+    packed into alternating markdown/code cells (6 words each; even
+    cells use the list-of-lines source form, odd the single-string
+    form — both legal on real disks), with noisy stream outputs and
+    execution counts on every code cell that extraction MUST strip.
+    Map-only mapInPandas; the notebook module ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import notebook as _nb_mod
+
+    _cp.register_pickle_by_value(_nb_mod)
+    _build = _nb_mod.ipynb_build
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                words = t.split()
+                cells = []
+                for k in range(0, len(words), _NB_CELL_WORDS):
+                    cell_type = "markdown" if (k // _NB_CELL_WORDS) % 2 == 0 else "code"
+                    cells.append((cell_type, " ".join(words[k : k + _NB_CELL_WORDS])))
+                payloads.append(_build(cells))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _make,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", StringType())]
+        ),
+    )
+
+
+def ipynb_source_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Notebook source extraction (round 12): parse the nbformat-4
+    model, normalize both source forms, STRIP outputs (the curation
+    stance — printed rows are PII surface), and emit per-notebook cell
+    counts plus the md5 of the space-joined recovered source — one
+    hash pins cell order, form normalization and output stripping.
+    Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import notebook as _nb_mod
+
+    _cp.register_pickle_by_value(_nb_mod)
+    _parse = _nb_mod.ipynb_cells
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ncs, ncode, nmd, digs = [], [], [], []
+            for p in pdf[payload_col]:
+                cells = _parse(str(p))
+                text = " ".join(src for _t, src in cells)
+                ncs.append(len(cells))
+                ncode.append(sum(1 for t, _s in cells if t == "code"))
+                nmd.append(sum(1 for t, _s in cells if t == "markdown"))
+                digs.append(_hashlib.md5(text.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_cells": np.array(ncs, dtype="int32"),
+                    "n_code": np.array(ncode, dtype="int32"),
+                    "n_markdown": np.array(nmd, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, NOTEBOOK_SCHEMA
+    )

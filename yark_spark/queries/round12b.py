@@ -479,3 +479,31 @@ def q_robots_filter(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     return robots_url_filter(docs, ROBOTS_FIXTURE, agent="trainbot")
+
+
+_IPYNB_ORACLE = (
+    "WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS nw, "
+    "md5(text) AS dg FROM documents WHERE doc_id < 300), "
+    "c AS (SELECT doc_id, CAST((nw + 5) // 6 AS INTEGER) AS n_cells, dg FROM w) "
+    "SELECT doc_id, n_cells, CAST(n_cells // 2 AS INTEGER) AS n_code, "
+    "CAST((n_cells + 1) // 2 AS INTEGER) AS n_markdown, dg AS digest FROM c"
+)
+
+
+@query("q_ipynb_extract", oracle=_IPYNB_ORACLE)
+def q_ipynb_extract(spark, sf_dir):
+    """E113 Jupyter-notebook source extraction (round 12): documents
+    become nbformat-4 notebooks — alternating markdown/code cells,
+    BOTH legal source forms (list-of-lines and single-string) on the
+    wire, noisy stream outputs + execution counts on every code cell —
+    and the operator recovers SOURCE ONLY (the Stack/StarCoder
+    curation stance: outputs bloat tokens and leak printed rows — an
+    output cell is PII surface exactly like EXIF GPS). Cell counts are
+    analytic in the word count and the recovered-text digest equals
+    md5(text), so outputs surviving, cell-order bugs or source-form
+    mishandling all break one hash. nbformat<4 worksheets = typed
+    boundary. Map-only mapInPandas both stages."""
+    from yark_spark.operators.multimodal import ipynb_source_features, with_ipynb_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return ipynb_source_features(with_ipynb_payload(docs))
