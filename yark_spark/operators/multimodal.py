@@ -4332,3 +4332,74 @@ def ipynb_source_features(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _extract, NOTEBOOK_SCHEMA
     )
+
+
+def with_markdown_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic markdown fixture (round 12): the document's words
+    wrapped in README-shaped markup — ATX header with trailing-#
+    close, strong/emphasis/inline-code/link/image-alt rotation, list
+    items, blockquotes, fenced code blocks with info strings, plus
+    droppable noise (HTML comment, autolink, thematic break) — built
+    so md_to_text recovers the exact word stream. Map-only
+    mapInPandas; the markdown module ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import markdown as _md_mod
+
+    _cp.register_pickle_by_value(_md_mod)
+    _fixture = _md_mod.md_page_fixture
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_fixture(t.split()) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _make,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", StringType())]
+        ),
+    )
+
+
+def markdown_extract_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Markdown text recovery (round 12): strip the markup
+    (operators/markdown — the documentation half of a code corpus,
+    beside the HTML extractor's crawled-web half) and emit (n_chars,
+    md5 digest) of the recovered text — the GUNZIP_SCHEMA digest
+    recipe on the markup axis. Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import markdown as _md_mod
+
+    _cp.register_pickle_by_value(_md_mod)
+    _strip = _md_mod.md_to_text
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ns, digs = [], []
+            for p in pdf[payload_col]:
+                text = _strip(str(p))
+                ns.append(len(text))
+                digs.append(_hashlib.md5(text.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, GUNZIP_SCHEMA
+    )

@@ -507,3 +507,34 @@ def q_ipynb_extract(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return ipynb_source_features(with_ipynb_payload(docs))
+
+
+_MD_ORACLE = (
+    "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 500"
+)
+
+
+@query("q_markdown_extract", oracle=_MD_ORACLE)
+def q_markdown_extract(spark, sf_dir):
+    """E114 markdown text extraction (round 12): each document wrapped
+    in README-shaped markup — ATX headers with trailing-# closes,
+    strong/emphasis/inline-code/links/image-alts, list markers,
+    blockquotes, fenced code blocks whose CONTENTS survive (code is
+    data in a code corpus; fences and info strings don't), HTML
+    comments, autolinks and thematic breaks as droppable noise — then
+    recovered BYTE-EXACTLY by the CommonMark-lite stripper
+    (operators/markdown) and digest-matched against md5(text). The
+    documentation half of every code corpus (The Stack's READMEs)
+    beside the HTML extractor's crawled-web half; full CommonMark
+    (reference links, tables, HTML blocks) is the documented
+    boundary, and unknown constructs degrade to visible text instead
+    of raising — a quality pass must not drop documents. Map-only
+    mapInPandas both stages."""
+    from yark_spark.operators.multimodal import (
+        markdown_extract_features,
+        with_markdown_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return markdown_extract_features(with_markdown_payload(docs))
