@@ -141,3 +141,15 @@ def test_fuzz_gps_degrees():
         meta = exif_parse(_with_exif(gps=(lat, lon)))
         assert meta["gps_lat_deg"] == int(abs(lat))
         assert meta["gps_lon_deg"] == int(abs(lon))
+
+
+def test_fill_bytes_before_marker_tolerated():
+    """Review finding: T.81 B.1.1.2 allows 0xFF fill bytes before any
+    marker; real camera JPEGs use them, and the PII strip must not
+    push those files to quarantine unredacted."""
+    jj = _with_exif()
+    pos = jj.find(b"\xff\xe1")
+    padded = jj[:pos] + b"\xff" + jj[pos:]  # one fill byte before APP1
+    assert exif_parse(padded)["orientation"] == 6
+    stripped = exif_strip(padded)
+    assert exif_parse(stripped) == {}

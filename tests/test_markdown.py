@@ -59,3 +59,10 @@ def test_fixture_recovers_word_stream():
     for n in range(1, len(words) + 1):
         sub = words[:n]
         assert md_to_text(md_page_fixture(sub)) == " ".join(sub), n
+
+
+def test_nul_bytes_degrade_not_corrupt():
+    """Review finding: literal NUL bytes collided with the placeholder
+    tokens and spliced code-span content into the wrong place."""
+    assert md_to_text("\x000\x00 and `code`") == "0 and code"
+    assert md_to_text("plain \x00 text") == "plain text"

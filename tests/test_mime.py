@@ -204,3 +204,21 @@ def test_fuzz_roundtrip():
             msgs.append(message_build([("X-Doc-Id", str(i))], body, enc))
         back = mbox_messages(mbox_build(msgs))
         assert [message_parse(m)[1] for m in back] == bodies
+
+
+def test_trailing_newlines_roundtrip_mbox():
+    """Review finding: the reader popped ALL trailing blanks; bodies
+    ending with newlines must survive the mbox framing exactly."""
+    for body in ["hello\n", "hello\n\n", "hello", "a\n\nb\n"]:
+        m = message_build([("X-Doc-Id", "1")], body, "7bit")
+        back = mbox_messages(mbox_build([m]))
+        assert message_parse(back[0])[1] == body, repr(body)
+
+
+def test_multipart_part_trailing_newline_survives():
+    """Review finding: the parser rstripped all trailing newlines; the
+    delimiter consumes only the framing line separator."""
+    p = message_build([("Content-Type", "text/plain")], "A\n", "7bit")
+    parts = multipart_parse(multipart_build([p], "b9"), "b9")
+    assert message_parse(parts[0])[1] == "A\n"
+

@@ -150,3 +150,17 @@ def test_roundtrip_fuzz():
     for _ in range(300):
         obj = gen()
         assert msgpack_decode(msgpack_encode(obj)) == obj
+
+
+def test_ext_reencode_passthrough():
+    """Review finding: decoded ext tuples must re-encode to their
+    original wire form (fixext/ext8), not degrade to arrays — a
+    repack pipeline over foreign shards must preserve ext types."""
+    for wire in [b"\xd4\x07abcd"[:3], b"\xd6\x07abcd", b"\xc7\x03\x05xyz"]:
+        obj = msgpack_decode(wire)
+        assert msgpack_encode(obj) == wire, wire
+    # 16-byte fixext and a 300-byte ext8->ext16 boundary case
+    obj = ("__ext__", -1, bytes(16))
+    assert msgpack_decode(msgpack_encode(obj)) == obj
+    obj = ("__ext__", 3, bytes(300))
+    assert msgpack_decode(msgpack_encode(obj)) == obj

@@ -97,3 +97,26 @@ def test_longest_agent_token_wins():
         "User-agent: bot\nDisallow: /a\n\nUser-agent: trainbot\nDisallow: /b\n"
     )
     assert rules_for_agent(g, "trainbot") == [(False, "/b")]
+
+
+def test_rfc_groups_with_same_agent_combine():
+    """RFC 9309 §2.2.1: multiple groups addressed to the same agent
+    MUST combine (review finding: only the first was used)."""
+    g = parse_robots(
+        "User-agent: trainbot\nDisallow: /a\n\n"
+        "User-agent: trainbot\nDisallow: /b\n"
+    )
+    rules = rules_for_agent(g, "trainbot")
+    assert robots_decision(rules, "/a/x") == (False, "/a")
+    assert robots_decision(rules, "/b/x") == (False, "/b")
+
+
+def test_substring_match_is_one_directional():
+    """'bot' must NOT capture the 'gptbot' group (review finding: the
+    reverse substring test let short agents steal named groups)."""
+    g = parse_robots(
+        "User-agent: gptbot\nDisallow: /\n\nUser-agent: *\nDisallow: /private\n"
+    )
+    assert rules_for_agent(g, "bot") == [(False, "/private")]
+    # and a longer agent string still matches its named group
+    assert rules_for_agent(g, "gptbot/1.2 (+https://x)") == [(False, "/")]

@@ -136,3 +136,19 @@ def test_roundtrip_fuzz():
         zf = stdlib_zipfile.ZipFile(io.BytesIO(blob))
         for n, d in members:
             assert zf.read(n) == d
+
+
+def test_eocd_signature_inside_comment():
+    """Review finding: rfind picked a 'PK\\x05\\x06' embedded in the
+    archive comment; the reader must validate that the declared
+    comment length reaches exactly the end of file."""
+    import io
+    import zipfile as stdlib_zipfile
+
+    buf = io.BytesIO()
+    with stdlib_zipfile.ZipFile(buf, "w") as z:
+        z.writestr("a.txt", b"data")
+        z.comment = b"note: PK\x05\x06 looks like an EOCD but is text"
+    blob = buf.getvalue()
+    assert zip_member_names(blob) == ["a.txt"]
+    assert zip_members(blob)[0][2] == b"data"

@@ -39,6 +39,7 @@ import struct
 
 from yark_spark.operators.png import crc32, inflate, zlib_compress
 from yark_spark.operators.snappy import snappy_compress, snappy_decompress
+from yark_spark.operators.varint import read_uvarint, write_uvarint
 
 __all__ = [
     "avro_encode",
@@ -63,32 +64,12 @@ _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "st
 def zigzag_encode(n: int) -> bytes:
     """Avro long: zigzag then base-128 varint."""
     z = (n << 1) ^ (n >> 63) if n < 0 else n << 1
-    out = bytearray()
-    while True:
-        b = z & 0x7F
-        z >>= 7
-        if z:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
+    return write_uvarint(z)
 
 
 def zigzag_decode(buf, pos: int) -> tuple[int, int]:
-    result = 0
-    shift = 0
-    n = len(buf)
-    while True:
-        if pos >= n:
-            raise ValueError("avro: truncated varint")
-        if shift >= 70:
-            raise ValueError("avro: varint too long")
-        b = buf[pos]
-        pos += 1
-        result |= (b & 0x7F) << shift
-        if not b & 0x80:
-            return (result >> 1) ^ -(result & 1), pos
-        shift += 7
+    result, pos = read_uvarint(buf, pos, max_shift=70, what="avro")
+    return (result >> 1) ^ -(result & 1), pos
 
 
 def _read_bytes(buf, pos: int) -> tuple[bytes, int]:

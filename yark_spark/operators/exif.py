@@ -156,6 +156,12 @@ def _jpeg_segments(jpeg: bytes):
     while pos + 4 <= n:
         if jpeg[pos] != 0xFF:
             raise ValueError("exif: broken JPEG marker grammar")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — real camera files use them for alignment
+        while pos + 4 <= n and jpeg[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = jpeg[pos + 1]
         if marker == 0xD9:  # EOI
             return

@@ -51,7 +51,10 @@ def md_to_text(md: str) -> str:
     (CommonMark: code is not inline-parsed — a ``[x](y)`` inside
     backticks is code, not a link); fences, info strings and backticks
     don't. Link text and image alt survive (URLs don't)."""
-    s = _COMMENT_RE.sub(" ", md)
+    # NUL bytes cannot appear in legitimate markdown (and would collide
+    # with the placeholder tokens below) — drop them up front, the same
+    # degrade-gracefully stance as every other unknown construct
+    s = _COMMENT_RE.sub(" ", md.replace("\x00", ""))
     # protect code contents from the inline rules: swap each fence
     # body / code span for a placeholder, restore after stripping
     protected: list[str] = []

@@ -263,15 +263,18 @@ def multipart_parse(body: str, boundary: str) -> list[str]:
     delim = f"--{boundary}"
     if delim not in body:
         raise ValueError("mime: multipart boundary not found")
-    # walk line-wise: a delimiter only counts at line start (RFC 2046)
+    # walk line-wise: a delimiter only counts at line start (RFC 2046).
+    # The newline BEFORE each delimiter is the line separator the
+    # builder's join adds — it belongs to the framing, not the part —
+    # so rejoining the collected lines reconstructs the part exactly,
+    # including any trailing newlines of its own.
     parts: list[str] = []
     lines = body.split("\n")
     current: list[str] | None = None
     for line in lines:
         if line == delim or line == delim + "--":
             if current is not None:
-                # strip the trailing blank line the delimiter consumes
-                parts.append("\n".join(current).rstrip("\n"))
+                parts.append("\n".join(current))
             if line.endswith("--"):
                 return parts
             current = []
@@ -311,34 +314,44 @@ def _unquote_from(body: str) -> str:
 
 
 def mbox_build(messages: list[str]) -> str:
-    """Concatenate serialized messages into an mbox (mboxrd quoting)."""
+    """Concatenate serialized messages into an mbox: each message is
+    followed by exactly ONE blank separator line (mboxrd quoting makes
+    the From lines unambiguous; the single-blank framing makes
+    trailing newlines in bodies round-trip exactly)."""
     chunks = []
     for msg in messages:
         chunks.append(_MBOX_FROM + "\n" + _quote_from(msg) + "\n")
-    return "\n".join(chunks)
+    return "\n".join(chunks) + "\n"
 
 
 def mbox_messages(payload: str, max_messages: int = 1_000_000) -> list[str]:
-    """Split an mbox into serialized messages, undoing mboxrd quoting."""
+    """Split an mbox into serialized messages, undoing mboxrd quoting.
+    Exactly ONE trailing blank line per message is consumed as the
+    separator — a body that itself ends with newlines keeps them (the
+    writer's single-blank framing makes this exact; foreign mboxes
+    with extra separator blanks lose only those)."""
     lines = payload.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()  # the file's final newline, not a body line
     messages: list[str] = []
     current: list[str] | None = None
+
+    def _close(chunk: list[str]) -> None:
+        if chunk and chunk[-1] == "":
+            chunk.pop()  # exactly one separator blank
+        messages.append(_unquote_from("\n".join(chunk)))
+
     for line in lines:
         if line.startswith("From "):
             if current is not None:
-                # drop the blank separator line before this From
-                while current and current[-1] == "":
-                    current.pop()
-                messages.append(_unquote_from("\n".join(current)))
+                _close(current)
             if len(messages) >= max_messages:
                 raise ValueError("mbox: message count exceeds bomb guard")
             current = []
         elif current is not None:
             current.append(line)
     if current is not None:
-        while current and current[-1] == "":
-            current.pop()
-        messages.append(_unquote_from("\n".join(current)))
+        _close(current)
     if not messages:
         raise ValueError("mbox: no From separator found")
     return messages

@@ -113,6 +113,30 @@ def _enc(obj, out: bytearray, depth: int) -> None:
         else:
             out += struct.pack(">BI", 0xC6, n)
         out += b
+    elif (
+        isinstance(obj, tuple)
+        and len(obj) == 3
+        and obj[0] == "__ext__"
+        and isinstance(obj[1], int)
+        and isinstance(obj[2], (bytes, bytearray))
+    ):
+        # ext passthrough: re-emit what the decoder surfaced, so a
+        # rewrite/repack pipeline preserves foreign ext types
+        # (timestamps etc.) instead of degrading them to arrays
+        ext_type, data = obj[1], bytes(obj[2])
+        if not -128 <= ext_type <= 127:
+            raise ValueError("msgpack: ext type out of int8 range")
+        n = len(data)
+        if n in (1, 2, 4, 8, 16):
+            out.append(0xD4 + n.bit_length() - 1)
+        elif n <= 0xFF:
+            out += struct.pack(">BB", 0xC7, n)
+        elif n <= 0xFFFF:
+            out += struct.pack(">BH", 0xC8, n)
+        else:
+            out += struct.pack(">BI", 0xC9, n)
+        out += struct.pack(">b", ext_type)
+        out += data
     elif isinstance(obj, (list, tuple)):
         n = len(obj)
         if n <= 15:

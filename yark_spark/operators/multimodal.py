@@ -3142,8 +3142,10 @@ def _register_tfrecord_modules():
     from pyspark import cloudpickle as _cp
 
     from yark_spark.operators import tfrecord as _tfr
+    from yark_spark.operators import varint as _varint
 
     _register_container_modules()
+    _cp.register_pickle_by_value(_varint)
     _cp.register_pickle_by_value(_tfr)
     return _tfr
 
@@ -3284,8 +3286,10 @@ def _register_avro_modules():
 
     from yark_spark.operators import avro_ocf as _avro
     from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import varint as _varint
 
     _register_container_modules()  # registers png (DEFLATE) too
+    _cp.register_pickle_by_value(_varint)
     _cp.register_pickle_by_value(_snappy)
     _cp.register_pickle_by_value(_avro)
     return _avro

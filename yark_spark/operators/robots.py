@@ -71,29 +71,52 @@ def parse_robots(text: str) -> list[tuple[list[str], list[tuple[bool, str]]]]:
 def rules_for_agent(
     groups: list[tuple[list[str], list[tuple[bool, str]]]], agent: str
 ) -> list[tuple[bool, str]]:
-    """Select the group per RFC 9309: the longest product-token match
-    wins; the ``*`` group is the fallback; no group → no rules."""
+    """Select rules per RFC 9309 §2.2.1: a group matches when its
+    product token is a SUBSTRING of the crawler's user-agent (one
+    direction only — 'bot' must not capture the 'gptbot' group); the
+    longest matching token wins, and ALL groups matching at that
+    length COMBINE (the RFC requires merging groups addressed to the
+    same agent); the ``*`` groups (also combined) are the fallback."""
     agent = agent.lower()
-    best_len, best_rules = -1, []
-    star_rules = None
+    best_len = -1
+    star_rules: list[tuple[bool, str]] = []
+    saw_star = False
+    # pass 1: the longest product token that is a substring of agent
     for agents, rules in groups:
         for ua in agents:
             if ua == "*":
-                if star_rules is None:
-                    star_rules = rules
-            elif ua in agent or agent in ua:
-                if len(ua) > best_len:
-                    best_len, best_rules = len(ua), rules
-    if best_len >= 0:
-        return best_rules
-    return star_rules if star_rules is not None else []
+                saw_star = True
+                star_rules.extend(rules)
+            elif ua and ua in agent:
+                best_len = max(best_len, len(ua))
+    if best_len < 0:
+        return star_rules if saw_star else []
+    # pass 2: combine every group matching at that length
+    combined: list[tuple[bool, str]] = []
+    for agents, rules in groups:
+        if any(ua != "*" and ua in agent and len(ua) == best_len for ua in agents):
+            combined.extend(rules)
+    return combined
+
+
+# plain-dict memo, NOT functools.lru_cache: the wrapper type pickles by
+# REFERENCE even when this module is registered by value, which would
+# make vanilla-session workers import yark_spark (caught by driver sim)
+_REGEX_CACHE: dict[str, re.Pattern] = {}
 
 
 def _rule_regex(path: str) -> re.Pattern:
-    anchored = path.endswith("$")
-    body = path[:-1] if anchored else path
-    pattern = "".join(".*" if c == "*" else re.escape(c) for c in body)
-    return re.compile("^" + pattern + ("$" if anchored else ""))
+    # cached: robots_decision runs per URL in the ingest hot path, and
+    # a policy has few distinct rules — compile each exactly once
+    pat = _REGEX_CACHE.get(path)
+    if pat is None:
+        anchored = path.endswith("$")
+        body = path[:-1] if anchored else path
+        pattern = "".join(".*" if c == "*" else re.escape(c) for c in body)
+        pat = re.compile("^" + pattern + ("$" if anchored else ""))
+        if len(_REGEX_CACHE) < 4096:
+            _REGEX_CACHE[path] = pat
+    return pat
 
 
 def robots_decision(

@@ -26,36 +26,18 @@ hand-derived wire vectors + roundtrip fuzz live in tests/test_snappy.py.
 
 from __future__ import annotations
 
+from yark_spark.operators.varint import read_uvarint, write_uvarint
+
 __all__ = ["snappy_compress", "snappy_decompress"]
 
 
 def _write_varint(n: int) -> bytes:
-    out = bytearray()
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
+    return write_uvarint(n)
 
 
 def _read_varint(buf, pos: int) -> tuple[int, int]:
-    result = 0
-    shift = 0
-    n = len(buf)
-    while True:
-        if pos >= n:
-            raise ValueError("snappy: truncated length preamble")
-        if shift >= 35:
-            raise ValueError("snappy: length varint too long")
-        b = buf[pos]
-        pos += 1
-        result |= (b & 0x7F) << shift
-        if not b & 0x80:
-            return result, pos
-        shift += 7
+    # 35 → the 32-bit preamble cap of the snappy format
+    return read_uvarint(buf, pos, max_shift=35, what="snappy")
 
 
 def snappy_decompress(payload: bytes, max_output: int | None = None) -> bytes:

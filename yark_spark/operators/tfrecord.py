@@ -53,6 +53,8 @@ from __future__ import annotations
 
 import struct
 
+from yark_spark.operators.varint import read_uvarint, write_uvarint
+
 __all__ = [
     "crc32c",
     "masked_crc32c",
@@ -189,32 +191,11 @@ _WIRE_I32 = 5
 def _write_varint(n: int) -> bytes:
     if n < 0:
         raise ValueError("protobuf: varint must be non-negative (mask int64 first)")
-    out = bytearray()
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
+    return write_uvarint(n)
 
 
 def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
-    result = 0
-    shift = 0
-    n = len(buf)
-    while True:
-        if pos >= n:
-            raise ValueError("protobuf: truncated varint")
-        if shift >= 70:
-            raise ValueError("protobuf: varint too long")
-        b = buf[pos]
-        pos += 1
-        result |= (b & 0x7F) << shift
-        if not b & 0x80:
-            return result, pos
-        shift += 7
+    return read_uvarint(buf, pos, max_shift=70, what="protobuf")
 
 
 def _tag(field: int, wire: int) -> bytes:

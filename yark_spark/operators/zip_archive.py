@@ -94,13 +94,20 @@ def zip_build(members: list[tuple[str, bytes]], methods: list[int] | None = None
 
 def _find_eocd(b: bytes) -> int:
     """Backward scan for the EOCD signature (the comment field means
-    the record does not sit at a fixed offset)."""
+    the record does not sit at a fixed offset). A candidate only
+    counts when its declared comment length reaches EXACTLY the end
+    of the file — otherwise the signature is comment/member bytes
+    (e.g. a comment that itself contains 'PK\\x05\\x06')."""
     # EOCD is 22 bytes + comment (≤ 65535)
     lo = max(0, len(b) - 22 - 65535)
     pos = b.rfind(_EOCD_SIG, lo)
-    if pos < 0:
-        raise ValueError("zip: end-of-central-directory not found")
-    return pos
+    while pos >= 0:
+        if pos + 22 <= len(b):
+            (clen,) = struct.unpack("<H", b[pos + 20 : pos + 22])
+            if pos + 22 + clen == len(b):
+                return pos
+        pos = b.rfind(_EOCD_SIG, lo, pos)
+    raise ValueError("zip: end-of-central-directory not found")
 
 
 def _central_entries(b: bytes):
