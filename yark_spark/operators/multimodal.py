@@ -4407,3 +4407,87 @@ def markdown_extract_features(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _extract, GUNZIP_SCHEMA
     )
+
+
+def _register_docx_modules():
+    """Ship the docx extractor and its zip/DEFLATE dependency chain by
+    value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import docx as _docx_mod
+    from yark_spark.operators import zip_archive as _zipmod
+
+    _register_container_modules()  # png (DEFLATE)
+    _cp.register_pickle_by_value(_zipmod)
+    _cp.register_pickle_by_value(_docx_mod)
+    return _docx_mod
+
+
+def with_docx_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic .docx fixture (round 12): the document's words
+    packed five per paragraph, each paragraph split into two runs (the
+    second carrying xml:space='preserve' + run properties that must
+    not leak), XML entities live when the text contains specials.
+    Map-only mapInPandas."""
+    _docx_mod = _register_docx_modules()
+    _build = _docx_mod.docx_build
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                words = t.split()
+                paras = []
+                for k in range(0, len(words), 5):
+                    chunk = words[k : k + 5]
+                    mid = max(1, len(chunk) // 2)
+                    tail = " " + " ".join(chunk[mid:]) if chunk[mid:] else ""
+                    paras.append([" ".join(chunk[:mid]), tail])
+                payloads.append(_build(paras))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _make,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def docx_extract_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """DOCX text recovery (round 12): ZIP grammar → word/document.xml
+    → WordprocessingML walk → text, emitting (n_chars, md5 digest) —
+    one hash certifying the EOCD/central-directory/DEFLATE layer AND
+    the XML run/paragraph/entity layer together (the E98' composition
+    recipe on the office wire). Map-only mapInPandas."""
+    _docx_mod = _register_docx_modules()
+    _extract_text = _docx_mod.docx_to_text
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ns, digs = [], []
+            for p in pdf[payload_col]:
+                text = _extract_text(bytes(p))
+                ns.append(len(text))
+                digs.append(_hashlib.md5(text.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, GUNZIP_SCHEMA
+    )

@@ -538,3 +538,28 @@ def q_markdown_extract(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return markdown_extract_features(with_markdown_payload(docs))
+
+
+_DOCX_ORACLE = (
+    "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 400"
+)
+
+
+@query("q_docx_extract", oracle=_DOCX_ORACLE)
+def q_docx_extract(spark, sf_dir):
+    """E115 DOCX text extraction (round 12): documents packed into real
+    Office Open XML packages — the in-repo ZIP writer carrying
+    [Content_Types].xml, _rels/.rels and word/document.xml, paragraphs
+    split into runs with xml:space='preserve' and run-property
+    elements that must NOT leak — then recovered byte-exactly by the
+    composition: EOCD backward scan → central directory → DEFLATE
+    inflate → WordprocessingML walk (only w:t content is text) →
+    entity decode. Two from-scratch layers under one SQL hash — the
+    E98' crawl-wire recipe applied to the office/FOIA corpus slice.
+    Tables/headers/footnotes are the documented OOXML boundary.
+    Map-only mapInPandas both stages."""
+    from yark_spark.operators.multimodal import docx_extract_features, with_docx_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return docx_extract_features(with_docx_payload(docs))
