@@ -4491,3 +4491,81 @@ def docx_extract_features(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _extract, GUNZIP_SCHEMA
     )
+
+
+def with_pdf_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic PDF fixture (round 12): the document's words
+    become 6-word text lines, 5 lines per page, multi-page documents
+    with odd pages' content streams Flate-compressed (indirect
+    /Length objects on the wire) and the text rotated through the
+    Tj / kerned-TJ / ' show forms. Map-only mapInPandas; the pdf
+    module (and its png/zlib dependency) ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import pdf as _pdf_mod
+
+    _register_container_modules()  # png (zlib/DEFLATE)
+    _cp.register_pickle_by_value(_pdf_mod)
+    _build = _pdf_mod.pdf_build
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            payloads = []
+            for t in pdf_batch[text_col]:
+                words = t.split()
+                lines = [" ".join(words[k : k + 6]) for k in range(0, len(words), 6)]
+                pages = [lines[p : p + 5] for p in range(0, len(lines), 5)]
+                payloads.append(_build(pages or [[""]]))
+            yield pd.DataFrame(
+                {"doc_id": pdf_batch[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _make,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def pdf_extract_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """PDF text recovery (round 12): startxref → classic xref table →
+    page-tree walk → content streams (FlateDecode through the in-repo
+    zlib) → text-operator walk (Tj/TJ/'/line moves), emitting
+    (n_chars, md5 digest) of the recovered text — the largest
+    "documents" vertical of web crawls under the extraction family's
+    one-hash certificate. Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import pdf as _pdf_mod
+
+    _register_container_modules()
+    _cp.register_pickle_by_value(_pdf_mod)
+    _extract_text = _pdf_mod.pdf_text
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf_batch in batches:
+            ns, digs = [], []
+            for p in pdf_batch[payload_col]:
+                text = _extract_text(bytes(p))
+                ns.append(len(text))
+                digs.append(_hashlib.md5(text.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf_batch[id_col].astype("int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, GUNZIP_SCHEMA
+    )
