@@ -4569,3 +4569,87 @@ def pdf_extract_features(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _extract, GUNZIP_SCHEMA
     )
+
+
+def _register_epub_modules():
+    """Ship the epub extractor and its zip + html dependency chain by
+    value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import epub as _epub_mod
+    from yark_spark.operators import html as _html_mod
+    from yark_spark.operators import zip_archive as _zipmod
+
+    _register_container_modules()  # png (DEFLATE)
+    _cp.register_pickle_by_value(_zipmod)
+    _cp.register_pickle_by_value(_html_mod)
+    _cp.register_pickle_by_value(_epub_mod)
+    return _epub_mod
+
+
+def with_epub_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic .epub fixture (round 12): the document's words in
+    20-word XHTML chapters (full pages with style-RAWTEXT traps),
+    chapter FILES written in reversed zip order while the OPF spine
+    lists reading order — a reader that walks the zip instead of the
+    spine fails the digest. Map-only mapInPandas."""
+    _epub_mod = _register_epub_modules()
+    _build = _epub_mod.epub_build
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                words = t.split()
+                chapters = [
+                    " ".join(words[k : k + 20]) for k in range(0, len(words), 20)
+                ] or [""]
+                payloads.append(_build(chapters))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _make,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def epub_extract_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """EPUB text recovery (round 12): OCF walk (stored-first mimetype
+    verified) → container.xml → OPF manifest/spine → chapters in
+    READING order → the HTML tag state machine — THREE from-scratch
+    layers (ZIP grammar, OPF XML, HTML RAWTEXT machine) under one
+    digest, the deepest composition in the extraction family.
+    Map-only mapInPandas."""
+    _epub_mod = _register_epub_modules()
+    _extract_text = _epub_mod.epub_to_text
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ns, digs = [], []
+            for p in pdf[payload_col]:
+                text = _extract_text(bytes(p))
+                ns.append(len(text))
+                digs.append(_hashlib.md5(text.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, GUNZIP_SCHEMA
+    )

@@ -592,3 +592,29 @@ def q_pdf_extract(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     return pdf_extract_features(with_pdf_payload(docs))
+
+
+_EPUB_ORACLE = (
+    "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 400"
+)
+
+
+@query("q_epub_extract", oracle=_EPUB_ORACLE)
+def q_epub_extract(spark, sf_dir):
+    """E117 EPUB text extraction (round 12): documents split across
+    multi-chapter OCF packages — the stored-first mimetype member
+    (bytes 30..58 of every valid .epub spell
+    mimetypeapplication/epub+zip), container.xml → OPF manifest +
+    SPINE, chapter files deliberately written in REVERSED zip order so
+    only spine-ordered readers recover the text — then extracted
+    through three from-scratch layers (ZIP grammar → OPF XML → the
+    HTML RAWTEXT state machine) and digest-matched against md5(text).
+    Books are the long-context backbone of LLM mixes (Gutenberg/
+    Books3-class corpora ship as EPUB); DRM surfaces as the ZIP
+    layer's typed encryption boundary. Map-only mapInPandas both
+    stages."""
+    from yark_spark.operators.multimodal import epub_extract_features, with_epub_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return epub_extract_features(with_epub_payload(docs))
