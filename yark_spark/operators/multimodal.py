@@ -4653,3 +4653,58 @@ def epub_extract_features(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _extract, GUNZIP_SCHEMA
     )
+
+
+PARQUET_FOOTER_SCHEMA = StructType(
+    [
+        StructField("row_group_id", LongType()),
+        StructField("row_group_num_rows", LongType()),
+        StructField("column_id", LongType()),
+        StructField("path_in_schema", StringType()),
+        StructField("type", StringType()),
+        StructField("num_values", LongType()),
+        StructField("compression", StringType()),
+        StructField("data_page_offset", LongType()),
+        StructField("total_compressed_size", LongType()),
+        StructField("total_uncompressed_size", LongType()),
+    ]
+)
+
+
+def parquet_footer_listing(df: DataFrame, payload_col: str = "content") -> DataFrame:
+    """Parquet footer audit (round 12): parse each file's PAR1 trailer
+    + Thrift-compact FileMetaData from scratch (operators/parquet_meta)
+    and emit one row per (row group, column chunk) — the
+    parquet_metadata() differential shape. This is the planning
+    surface a 100 TB lake's layout/compaction/shard tooling reads;
+    map-only over binaryFile rows, and at scale only the FOOTER bytes
+    need fetching (a range request per object). Map-only
+    mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import parquet_meta as _pm
+
+    _cp.register_pickle_by_value(_pm)
+    _rows = _pm.footer_rows
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.name for f in PARQUET_FOOTER_SCHEMA.fields]
+        for pdf in batches:
+            acc: dict[str, list] = {c: [] for c in cols}
+            for p in pdf[payload_col]:
+                for r in _rows(bytes(p)):
+                    for c in cols:
+                        acc[c].append(r[c])
+            out = {}
+            for c in cols:
+                if c in ("path_in_schema", "type", "compression"):
+                    out[c] = acc[c]
+                else:
+                    out[c] = np.array(acc[c], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(payload_col)).mapInPandas(
+        _extract, PARQUET_FOOTER_SCHEMA
+    )

@@ -1,0 +1,256 @@
+"""Parquet footer reader from scratch (round 12): the PAR1 trailer
+(4-byte little-endian footer length before the magic), the Apache
+Thrift COMPACT protocol (short/long-form field headers with delta
+field ids, zigzag varints, bool-in-header encoding, size-in-header
+lists, nested structs) as a generic parser, and the parquet.thrift
+``FileMetaData`` model (schema elements, row groups, column chunks,
+column metadata with type/codec enums) mapped onto it — nothing
+imported.
+
+Why the ENGINE needs this even though Spark reads parquet natively:
+the footer IS the planning surface of a 100 TB lake — row-group
+pruning, size-based shard assignment (operators/packing), compaction
+planning (operators/layout) and scan-cost estimation all read exactly
+these structs, and a tool that can audit them WITHOUT spinning up a
+JVM (a driver-side planner, a layout linter, an ingest validator) is
+how the layout operators verify their own output. It is also the
+fourth Thrift-family wire beside protobuf (TFRecord), Avro binary and
+MessagePack — the engine now speaks all four schema-carrying record
+encodings' substrates.
+
+Oracle design (the strongest differential in the repo): DuckDB ships
+an INDEPENDENT C++ parquet reader exposed as ``parquet_metadata()`` —
+the from-scratch Thrift parse of the SAME committed fixture file must
+hash-match its row-group/column rows (ids, paths, types, codecs,
+offsets, sizes, value counts) exactly. Two unrelated implementations
+of the full footer grammar agreeing column-by-column.
+
+Parse raises typed ``ValueError`` on malformed input (bad magic,
+truncated footer, unknown compact type, struct bomb) so corrupt files
+quarantine as rows.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["parquet_footer", "footer_rows", "PHYSICAL_TYPES", "CODECS"]
+
+PHYSICAL_TYPES = {
+    0: "BOOLEAN",
+    1: "INT32",
+    2: "INT64",
+    3: "INT96",
+    4: "FLOAT",
+    5: "DOUBLE",
+    6: "BYTE_ARRAY",
+    7: "FIXED_LEN_BYTE_ARRAY",
+}
+
+CODECS = {
+    0: "UNCOMPRESSED",
+    1: "SNAPPY",
+    2: "GZIP",
+    3: "LZO",
+    4: "BROTLI",
+    5: "LZ4",
+    6: "ZSTD",
+    7: "LZ4_RAW",
+}
+
+# thrift compact wire types
+_CT_STOP = 0
+_CT_TRUE = 1
+_CT_FALSE = 2
+_CT_BYTE = 3
+_CT_I16 = 4
+_CT_I32 = 5
+_CT_I64 = 6
+_CT_DOUBLE = 7
+_CT_BINARY = 8
+_CT_LIST = 9
+_CT_SET = 10
+_CT_MAP = 11
+_CT_STRUCT = 12
+
+
+def _uvarint(b: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(b):
+            raise ValueError("thrift: truncated varint")
+        if shift >= 70:
+            raise ValueError("thrift: varint too long")
+        byte = b[pos]
+        pos += 1
+        result |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _zigzag(b: bytes, pos: int) -> tuple[int, int]:
+    v, pos = _uvarint(b, pos)
+    return (v >> 1) ^ -(v & 1), pos
+
+
+def _read_value(b: bytes, pos: int, ctype: int, depth: int):
+    if depth > 32:
+        raise ValueError("thrift: nesting too deep")
+    if ctype == _CT_TRUE:
+        return True, pos
+    if ctype == _CT_FALSE:
+        return False, pos
+    if ctype == _CT_BYTE:
+        if pos >= len(b):
+            raise ValueError("thrift: truncated byte")
+        v = b[pos]
+        return (v - 256 if v >= 128 else v), pos + 1
+    if ctype in (_CT_I16, _CT_I32, _CT_I64):
+        return _zigzag(b, pos)
+    if ctype == _CT_DOUBLE:
+        if pos + 8 > len(b):
+            raise ValueError("thrift: truncated double")
+        return struct.unpack_from("<d", b, pos)[0], pos + 8
+    if ctype == _CT_BINARY:
+        n, pos = _uvarint(b, pos)
+        if pos + n > len(b):
+            raise ValueError("thrift: truncated binary")
+        return bytes(b[pos : pos + n]), pos + n
+    if ctype in (_CT_LIST, _CT_SET):
+        if pos >= len(b):
+            raise ValueError("thrift: truncated list header")
+        header = b[pos]
+        pos += 1
+        size = header >> 4
+        elem_type = header & 0x0F
+        if size == 15:
+            size, pos = _uvarint(b, pos)
+        if size > 1_000_000:
+            raise ValueError("thrift: list size bomb")
+        out = []
+        for _ in range(size):
+            v, pos = _read_value(b, pos, elem_type, depth + 1)
+            out.append(v)
+        return out, pos
+    if ctype == _CT_MAP:
+        size, pos = _uvarint(b, pos)
+        if size == 0:
+            return {}, pos
+        if pos >= len(b):
+            raise ValueError("thrift: truncated map header")
+        kv = b[pos]
+        pos += 1
+        ktype, vtype = kv >> 4, kv & 0x0F
+        out = {}
+        for _ in range(size):
+            k, pos = _read_value(b, pos, ktype, depth + 1)
+            v, pos = _read_value(b, pos, vtype, depth + 1)
+            out[k] = v
+        return out, pos
+    if ctype == _CT_STRUCT:
+        return _read_struct(b, pos, depth + 1)
+    raise ValueError(f"thrift: unknown compact type {ctype}")
+
+
+def _read_struct(b: bytes, pos: int, depth: int = 0) -> tuple[dict, int]:
+    """Generic compact-protocol struct → {field_id: value}."""
+    fields: dict[int, object] = {}
+    last_id = 0
+    while True:
+        if pos >= len(b):
+            raise ValueError("thrift: truncated struct")
+        header = b[pos]
+        pos += 1
+        if header == _CT_STOP:
+            return fields, pos
+        delta = header >> 4
+        ctype = header & 0x0F
+        if delta:
+            field_id = last_id + delta
+        else:  # long form: explicit zigzag field id
+            field_id, pos = _zigzag(b, pos)
+        last_id = field_id
+        fields[field_id], pos = _read_value(b, pos, ctype, depth)
+    # unreachable
+
+
+def parquet_footer(payload: bytes) -> dict:
+    """Parse a parquet file's footer into the FileMetaData shape:
+    {version, num_rows, created_by, schema: [...], row_groups: [...]}
+    with column metadata decoded per parquet.thrift field ids."""
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"PAR1" or b[-4:] != b"PAR1":
+        raise ValueError("parquet: missing PAR1 magic")
+    (flen,) = struct.unpack("<I", b[-8:-4])
+    start = len(b) - 8 - flen
+    if start < 4:
+        raise ValueError("parquet: footer length out of range")
+    raw, _ = _read_struct(b, start)
+
+    def _schema_element(d: dict) -> dict:
+        return {
+            "type": PHYSICAL_TYPES.get(d.get(1), d.get(1)),
+            "type_length": d.get(2),
+            "repetition": d.get(3),
+            "name": d.get(4, b"").decode("utf-8"),
+            "num_children": d.get(5, 0),
+        }
+
+    def _column(d: dict) -> dict:
+        md = d.get(3, {})
+        return {
+            "file_offset": d.get(2),
+            "type": PHYSICAL_TYPES.get(md.get(1), md.get(1)),
+            "encodings": md.get(2, []),
+            "path_in_schema": [p.decode("utf-8") for p in md.get(3, [])],
+            "codec": CODECS.get(md.get(4), md.get(4)),
+            "num_values": md.get(5),
+            "total_uncompressed_size": md.get(6),
+            "total_compressed_size": md.get(7),
+            "data_page_offset": md.get(9),
+            "index_page_offset": md.get(10),
+            "dictionary_page_offset": md.get(11),
+        }
+
+    def _row_group(d: dict) -> dict:
+        return {
+            "columns": [_column(c) for c in d.get(1, [])],
+            "total_byte_size": d.get(2),
+            "num_rows": d.get(3),
+        }
+
+    return {
+        "version": raw.get(1),
+        "schema": [_schema_element(s) for s in raw.get(2, [])],
+        "num_rows": raw.get(3),
+        "row_groups": [_row_group(g) for g in raw.get(4, [])],
+        "created_by": (raw.get(6) or b"").decode("utf-8", "replace"),
+    }
+
+
+def footer_rows(payload: bytes) -> list[dict]:
+    """Flatten the footer into per-(row_group, column) rows — the
+    ``parquet_metadata()`` differential shape."""
+    meta = parquet_footer(payload)
+    out = []
+    for gid, rg in enumerate(meta["row_groups"]):
+        for cid, col in enumerate(rg["columns"]):
+            out.append(
+                {
+                    "row_group_id": gid,
+                    "row_group_num_rows": rg["num_rows"],
+                    "column_id": cid,
+                    # nested paths join with ", " — the parquet_metadata()
+                    # presentation, so the differential is byte-equal
+                    "path_in_schema": ", ".join(col["path_in_schema"]),
+                    "type": col["type"],
+                    "num_values": col["num_values"],
+                    "compression": col["codec"],
+                    "data_page_offset": col["data_page_offset"],
+                    "total_compressed_size": col["total_compressed_size"],
+                    "total_uncompressed_size": col["total_uncompressed_size"],
+                }
+            )
+    return out

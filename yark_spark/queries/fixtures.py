@@ -55,6 +55,26 @@ def ensure_fixtures() -> None:
     if not os.path.exists(json_path):
         with open(json_path, "w") as f:
             json.dump(_HISTORY_ROWS, f, indent=1)
+    # round 12: a small multi-row-group parquet file for the footer-
+    # reader differential (q_parquet_footer) — BOTH sides read this
+    # same committed file, so regeneration only happens when missing
+    # (duckdb version drift would change bytes, not correctness)
+    pq_path = os.path.join(FIXTURES_DIR, "footer.parquet")
+    if not os.path.exists(pq_path):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"""
+            COPY (
+                SELECT i AS id, CAST(i * 1.5 AS DOUBLE) AS score,
+                       repeat('word ', 1 + i % 7) AS text,
+                       CAST(i % 2 = 0 AS BOOLEAN) AS flag
+                FROM range(6000) t(i)
+            ) TO '{pq_path}'
+            (FORMAT parquet, COMPRESSION zstd, ROW_GROUP_SIZE 1000)
+            """
+        )
 
 
 _ensure_at_import()

@@ -618,3 +618,38 @@ def q_epub_extract(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     return epub_extract_features(with_epub_payload(docs))
+
+
+def _parquet_footer_oracle() -> str:
+    from yark_spark.queries.fixtures import FIXTURES_DIR
+
+    return (
+        "SELECT row_group_id, row_group_num_rows, column_id, path_in_schema, "
+        "type, num_values, compression, data_page_offset, "
+        "total_compressed_size, total_uncompressed_size "
+        f"FROM parquet_metadata('{FIXTURES_DIR}/footer.parquet')"
+    )
+
+
+@query("q_parquet_footer", oracle=_parquet_footer_oracle())
+def q_parquet_footer(spark, sf_dir):
+    """E118 parquet footer audit (round 12): the PAR1 trailer + Apache
+    Thrift COMPACT protocol (delta field ids, bool-in-header,
+    size-in-header lists, nested structs) + the parquet.thrift
+    FileMetaData model, all from scratch (operators/parquet_meta),
+    flattened to per-(row group, column chunk) rows over a committed
+    multi-row-group ZSTD fixture file read via binaryFile. The oracle
+    is DuckDB's INDEPENDENT C++ parquet reader (parquet_metadata()):
+    two unrelated implementations of the footer grammar must agree on
+    ids, paths, types, codecs, offsets, sizes and value counts — the
+    strongest differential in the repo (the same check passes over all
+    30 driver testdata files in tests/test_parquet_meta.py). This is
+    the planning surface the layout/compaction/shard operators read;
+    at object-store scale only footer bytes need fetching. Thrift is
+    also the fourth schema-carrying record substrate beside protobuf
+    (TFRecord), Avro binary and MessagePack."""
+    from yark_spark.operators.multimodal import parquet_footer_listing
+    from yark_spark.queries.fixtures import fixture_path
+
+    files = spark.read.format("binaryFile").load(fixture_path("footer.parquet"))
+    return parquet_footer_listing(files)
