@@ -235,8 +235,7 @@ def _wordpiece_oracle() -> str:
     return (
         "WITH RECURSIVE "
         f"vocab(piece) AS (VALUES {values}), "
-        "docs AS (SELECT doc_id, lower(text) AS t FROM documents "
-        "WHERE doc_id < 250), "
+        "docs AS (SELECT doc_id, lower(text) AS t FROM documents), "
         "wl AS (SELECT doc_id, string_split_regex(t, '[^a-z0-9]+') AS arr "
         "FROM docs), "
         "words AS (SELECT doc_id, g.i AS word_no, list_extract(arr, g.i) AS word "
@@ -286,10 +285,12 @@ def q_wordpiece_encode(spark, sf_dir):
     the ordered token stream means one hash pins every piece boundary,
     the ## presentation and the UNK collapse. Map-only mapInPandas
     with per-batch distinct-word memoization; token streams never
-    shuffle."""
+    shuffle. UNBOUNDED over the corpus — the one round-12 key whose
+    cost scales with data, so it carries the 20x/50x lane
+    (SCALE_r12b)."""
     from yark_spark.operators.wordpiece import wordpiece_features
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    docs = load_table(spark, sf_dir, "documents")
     return wordpiece_features(docs)
 
 
