@@ -4708,3 +4708,111 @@ def parquet_footer_listing(df: DataFrame, payload_col: str = "content") -> DataF
     return df.select(F.col(payload_col)).mapInPandas(
         _extract, PARQUET_FOOTER_SCHEMA
     )
+
+
+FEED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("entry_title", StringType()),
+        StructField("link", StringType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def with_feed_payload(
+    df: DataFrame,
+    fmt: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_feed: int = 16,
+) -> DataFrame:
+    """Deterministic web-feed fixture (round 12): 16 documents per
+    feed as RSS 2.0 (``fmt='rss'`` — odd entries CDATA-wrapped, even
+    entity-escaped) or Atom 1.0 (``fmt='atom'`` — link as attribute,
+    RFC 3339 dates). One applyInPandas per feed group."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import feeds as _feeds_mod
+
+    _cp.register_pickle_by_value(_feeds_mod)
+    _rss, _atom = _feeds_mod.rss_build, _feeds_mod.atom_build
+    if fmt not in ("rss", "atom"):
+        raise ValueError(f"feed fixture: unknown format {fmt!r}")
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        entries = [
+            {
+                "id": f"doc-{int(did)}",
+                "title": f"document {int(did)}",
+                "link": f"https://example.org/{int(did)}",
+                "text": t,
+                "date_rfc822": "Mon, 01 Jan 2024 00:00:00 GMT",
+                "date_rfc3339": "2024-01-01T00:00:00Z",
+            }
+            for did, t in zip(pdf[id_col], pdf[text_col])
+        ]
+        fid = int(pdf[id_col].iloc[0]) // docs_per_feed
+        payload = (
+            _rss(f"feed {fid}", entries) if fmt == "rss" else _atom(f"feed {fid}", entries)
+        )
+        return pd.DataFrame({"feed_id": [fid], "payload": [payload]})
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / docs_per_feed).cast("long").alias("__s"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("feed_id", LongType()),
+                    StructField("payload", StringType()),
+                ]
+            ),
+        )
+    )
+
+
+def feed_listing(
+    df: DataFrame, source: str, payload_col: str = "payload"
+) -> DataFrame:
+    """Explode feeds back into per-entry rows (round 12): parse the
+    RSS or Atom grammar (per ``source``), recover doc_id from the
+    entry id, and digest the entry text — the crawl-discovery wire
+    under the family's one-hash certificate. Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import feeds as _feeds_mod
+
+    _cp.register_pickle_by_value(_feeds_mod)
+    _parse = _feeds_mod.rss_parse if source == "rss" else _feeds_mod.atom_parse
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            dids, titles, links, ns, digs = [], [], [], [], []
+            for p in pdf[payload_col]:
+                for e in _parse(str(p)):
+                    dids.append(int(e["id"].split("-")[1]))
+                    titles.append(e["title"])
+                    links.append(e["link"])
+                    ns.append(len(e["text"]))
+                    digs.append(_hashlib.md5(e["text"].encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(dids, dtype="int64"),
+                    "source": source,
+                    "entry_title": titles,
+                    "link": links,
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(payload_col)).mapInPandas(_extract, FEED_SCHEMA)

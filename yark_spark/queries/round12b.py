@@ -654,3 +654,33 @@ def q_parquet_footer(spark, sf_dir):
 
     files = spark.read.format("binaryFile").load(fixture_path("footer.parquet"))
     return parquet_footer_listing(files)
+
+
+_FEED_ORACLE = (
+    "SELECT doc_id, s.source, "
+    "'document ' || CAST(doc_id AS VARCHAR) AS entry_title, "
+    "'https://example.org/' || CAST(doc_id AS VARCHAR) AS link, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents, (VALUES ('atom'), ('rss')) s(source) "
+    "WHERE doc_id < 320"
+)
+
+
+@query("q_feed_agreement", oracle=_FEED_ORACLE)
+def q_feed_agreement(spark, sf_dir):
+    """E119 RSS/Atom feed parsing with cross-format agreement (round
+    12): 16 documents per feed shipped BOTH as RSS 2.0 (element links,
+    RFC 822 dates, odd entries CDATA-wrapped / even entity-escaped —
+    both escaping regimes on every wire) and as Atom 1.0 (attribute
+    links, RFC 3339 dates, namespaced root). Both parsers must recover
+    identical ids, titles, links and text digests against ONE
+    no-feed-code SQL truth — the SRT/VTT agreement recipe applied to
+    the crawl-DISCOVERY layer (feeds are how a crawler finds documents
+    before any index does). The grouping shuffle IS the feed
+    assignment; map-only listings."""
+    from yark_spark.operators.multimodal import feed_listing, with_feed_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 320)
+    r = feed_listing(with_feed_payload(docs, fmt="rss"), source="rss")
+    a = feed_listing(with_feed_payload(docs, fmt="atom"), source="atom")
+    return r.unionByName(a)
