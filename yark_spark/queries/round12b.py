@@ -684,3 +684,65 @@ def q_feed_agreement(spark, sf_dir):
     r = feed_listing(with_feed_payload(docs, fmt="rss"), source="rss")
     a = feed_listing(with_feed_payload(docs, fmt="atom"), source="atom")
     return r.unionByName(a)
+
+
+_WIRE_AGREE_ORACLE = (
+    "SELECT doc_id, s.source, CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest FROM documents, "
+    "(VALUES ('avro'), ('jsonl_zst'), ('mbox'), ('msgpack'), ('tfrecord'), "
+    "('warc'), ('zip')) s(source) WHERE doc_id < 160"
+)
+
+
+@query("q_shard_wire_agreement", oracle=_WIRE_AGREE_ORACLE)
+def q_shard_wire_agreement(spark, sf_dir):
+    """E120 seven-wire shard agreement (round 12 capstone): the SAME
+    documents packed and recovered through EVERY text shard wire the
+    engine speaks — .jsonl.zst (FSE/huff0 entropy coding), TFRecord
+    (CRC-32C framing + protobuf), Avro OCF (zigzag binary + cycled
+    null/deflate/snappy codecs), MessagePack streams, ZIP archives
+    (central directory + DEFLATE), mbox (MIME transfer encodings) and
+    WARC (gzip members + ISO 28500 grammar) — all digest-matched
+    against ONE no-container-code SQL truth. This is the codec-
+    agreement recipe (E84''/E97'/E101'/E110/E119) applied at the
+    CONTAINER level: one key proves seven independent from-scratch
+    wire stacks round-trip the same bytes, so a corpus migrated
+    between any two of them is provably lossless. Each path is the
+    production operator pair; every branch is one grouping shuffle +
+    one map-only listing."""
+    from yark_spark.operators.multimodal import (
+        avro_listing,
+        jsonl_zst_listing,
+        mbox_listing,
+        msgpack_listing,
+        tfrecord_listing,
+        warc_wet_extract,
+        with_avro_shards,
+        with_jsonl_zst_shards,
+        with_mbox_shards,
+        with_msgpack_shards,
+        with_tfrecord_shards,
+        with_warc_shards,
+        with_zip_shards,
+        zip_listing,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 160)
+    cols = ["doc_id", "source", "n_chars", "digest"]
+
+    def _tag(df, name):
+        return df.select("doc_id", F.lit(name).alias("source"), "n_chars", "digest")
+
+    parts = [
+        _tag(avro_listing(with_avro_shards(docs)), "avro"),
+        _tag(jsonl_zst_listing(with_jsonl_zst_shards(docs)), "jsonl_zst"),
+        _tag(mbox_listing(with_mbox_shards(docs)), "mbox"),
+        _tag(msgpack_listing(with_msgpack_shards(docs)), "msgpack"),
+        _tag(tfrecord_listing(with_tfrecord_shards(docs)), "tfrecord"),
+        _tag(warc_wet_extract(with_warc_shards(docs, http_head=True)), "warc"),
+        _tag(zip_listing(with_zip_shards(docs)), "zip"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*cols)
