@@ -59,6 +59,9 @@ EXTRA = [
     # codec keys decode fixed 100-300-doc fixture ranges by design)
     "q_dsir_importance",       # (doc,bucket) shuffle + broadcast dists
     "q_shard_bin_packing",     # two-phase prefix sum over the full corpus
+    # round 12: the session-2 key whose cost scales with the corpus
+    # (the wire/codec keys are fixed-doc-range fixtures by design)
+    "q_wordpiece_encode",      # map-only munch + distinct-word memo
 ]
 
 
