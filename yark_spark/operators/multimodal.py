@@ -4816,3 +4816,104 @@ def feed_listing(
             )
 
     return df.select(F.col(payload_col)).mapInPandas(_extract, FEED_SCHEMA)
+
+
+MP3_SCAN_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("bitrate_kbps", IntegerType()),
+        StructField("cbr", BooleanType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("id3_title", StringType()),
+    ]
+)
+
+#: Layer III bitrate indices the fixture cycles (kbps 64/128/192/320).
+_MP3_FIXTURE_INDICES = (5, 9, 11, 14)
+
+
+def with_mp3_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic MP3 fixture (round 12): frame count = 10 + a % 20
+    over the doc's first md5 code, bitrate index cycled 64/128/192/320
+    kbps by doc_id % 4, 32 kHz (per-frame duration an exact 36 ms),
+    ID3v2 junk prefix the scanner must skip, ID3v1 title carrying the
+    doc id. Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import mp3 as _mp3_mod
+
+    _cp.register_pickle_by_value(_mp3_mod)
+    _build = _mp3_mod.mp3_build
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                a = ord(_hashlib.md5(t.encode("utf-8")).hexdigest()[0])
+                payloads.append(
+                    _build(
+                        10 + a % 20,
+                        bitrate_index=_MP3_FIXTURE_INDICES[int(did) % 4],
+                        rate_index=2,
+                        title=f"doc {int(did)}",
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _make,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def mp3_scan_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """MP3 frame-header listing (round 12): walk the MPEG-1 Layer III
+    headers (published bitrate/rate tables, padding-aware frame
+    sizing), skip ID3v2, parse the ID3v1 title — duration/bitrate/tag
+    triage WITHOUT psychoacoustic decode, the avi_scan stance on the
+    dominant crawled-audio format. Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import mp3 as _mp3_mod
+
+    _cp.register_pickle_by_value(_mp3_mod)
+    _scan = _mp3_mod.mp3_scan
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("n_frames", "bitrate_kbps", "cbr", "sample_rate",
+                     "duration_ms", "id3_title")}
+            for p in pdf[payload_col]:
+                m = _scan(bytes(p))
+                for k in rows:
+                    rows[k].append(m[k])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_frames": np.array(rows["n_frames"], dtype="int32"),
+                    "bitrate_kbps": pd.array(rows["bitrate_kbps"], dtype="Int32"),
+                    "cbr": rows["cbr"],
+                    "sample_rate": np.array(rows["sample_rate"], dtype="int32"),
+                    "duration_ms": np.array(rows["duration_ms"], dtype="int32"),
+                    "id3_title": rows["id3_title"],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, MP3_SCAN_SCHEMA
+    )

@@ -746,3 +746,34 @@ def q_shard_wire_agreement(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select(*cols)
+
+
+_MP3_ORACLE = (
+    "WITH v AS (SELECT doc_id, ascii(substr(md5(text), 1, 1)) AS a "
+    "FROM documents WHERE doc_id < 300) "
+    "SELECT doc_id, CAST(10 + a % 20 AS INTEGER) AS n_frames, "
+    "CAST(CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 192 "
+    "ELSE 320 END AS INTEGER) AS bitrate_kbps, TRUE AS cbr, "
+    "CAST(32000 AS INTEGER) AS sample_rate, "
+    "CAST((10 + a % 20) * 36 AS INTEGER) AS duration_ms, "
+    "'doc ' || CAST(doc_id AS VARCHAR) AS id3_title FROM v"
+)
+
+
+@query("q_mp3_scan", oracle=_MP3_ORACLE)
+def q_mp3_scan(spark, sf_dir):
+    """E121 MP3 frame-header scan (round 12): MPEG-1 Layer III header
+    walk from scratch (operators/mp3 — 11-bit sync, the published
+    bitrate/sample-rate tables, padding-aware 144·bitrate/rate frame
+    sizing, ID3v2 syncsafe prefix skip, ID3v1 trailer parse) over
+    fixture streams whose frame count, bitrate (cycled 64/128/192/320
+    kbps), exact 36 ms/frame duration at 32 kHz and tag title are all
+    analytic in the doc's md5 codes. The psychoacoustic DECODE stays
+    the documented boundary — but triage (duration/bitrate/CBR/tags)
+    never needed waveforms, and this is the avi_scan listing stance
+    applied to the dominant crawled-audio format. Map-only mapInPandas
+    both stages."""
+    from yark_spark.operators.multimodal import mp3_scan_features, with_mp3_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return mp3_scan_features(with_mp3_payload(docs))
