@@ -71,3 +71,43 @@ def test_unterminated_cdata():
     bad = rss_build("ch", _entries(2)).replace("]]>", "", 1)
     with pytest.raises(ValueError, match="CDATA|unterminated"):
         rss_parse(bad)
+
+
+def test_sitemap_roundtrip_and_escaping():
+    from yark_spark.operators.feeds import sitemap_build, sitemap_parse
+
+    urls = [
+        {"loc": f"https://x/{i}?a=1&b=2", "lastmod": "2024-01-01", "priority": "0.5"}
+        for i in range(4)
+    ]
+    xml = sitemap_build(urls)
+    assert "&amp;" in xml  # query-string escaping is live
+    assert sitemap_parse(xml) == urls
+
+
+def test_sitemap_index_two_level():
+    from yark_spark.operators.feeds import (
+        sitemap_build,
+        sitemap_index_build,
+        sitemap_index_parse,
+        sitemap_parse,
+    )
+
+    children = {
+        f"https://x/s{i}.xml": sitemap_build(
+            [{"loc": f"https://x/{i}/{j}", "lastmod": "", "priority": ""} for j in range(3)]
+        )
+        for i in range(2)
+    }
+    idx = sitemap_index_build(list(children))
+    locs = sitemap_index_parse(idx)
+    assert locs == list(children)
+    total = [u["loc"] for loc in locs for u in sitemap_parse(children[loc])]
+    assert len(total) == 6
+    # root-element dispatch is typed both ways
+    import pytest
+
+    with pytest.raises(ValueError, match="index document"):
+        sitemap_parse(idx)
+    with pytest.raises(ValueError, match="not a sitemapindex"):
+        sitemap_index_parse(next(iter(children.values())))

@@ -186,3 +186,83 @@ def atom_parse(xml: str, max_entries: int = 100_000) -> list[dict]:
             }
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# XML sitemaps (sitemaps.org protocol) — the third discovery wire
+# ---------------------------------------------------------------------------
+
+
+def sitemap_build(urls: list[dict]) -> str:
+    """Serialize a <urlset> sitemap: loc (entity-escaped), lastmod
+    (W3C date), priority."""
+    entries = []
+    for u in urls:
+        entries.append(
+            "<url>"
+            f"<loc>{_escape(u['loc'])}</loc>"
+            f"<lastmod>{u['lastmod']}</lastmod>"
+            f"<priority>{u['priority']}</priority>"
+            "</url>"
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "".join(entries)
+        + "</urlset>"
+    )
+
+
+def sitemap_index_build(locs: list[str]) -> str:
+    """Serialize a <sitemapindex> pointing at child sitemaps — the
+    two-level layout large sites must use (50k-URL/50MB caps per
+    file)."""
+    entries = [
+        f"<sitemap><loc>{_escape(loc)}</loc></sitemap>" for loc in locs
+    ]
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "".join(entries)
+        + "</sitemapindex>"
+    )
+
+
+def sitemap_parse(xml: str, max_urls: int = 100_000) -> list[dict]:
+    """Parse a <urlset>: [(loc, lastmod, priority)]. A <sitemapindex>
+    payload raises a typed ValueError naming the other parser (the
+    two document kinds share a namespace and crawlers MUST dispatch
+    on the root element)."""
+    if re.search(r"<sitemapindex[\s>]", xml):
+        raise ValueError("sitemap: index document — parse with sitemap_index_parse")
+    if not re.search(r"<urlset[\s>]", xml):
+        raise ValueError("sitemap: not a urlset document")
+    out = []
+    for m in re.finditer(r"<url(?:\s[^>]*)?>(.*?)</url>", xml, re.S):
+        if len(out) >= max_urls:
+            raise ValueError("sitemap: url count exceeds bomb guard")
+        body = m.group(1)
+        loc, _ = _element_text(body, "loc")
+        if loc is None:
+            raise ValueError("sitemap: url entry missing loc")
+        lastmod, _ = _element_text(body, "lastmod")
+        priority, _ = _element_text(body, "priority")
+        out.append(
+            {"loc": loc, "lastmod": lastmod or "", "priority": priority or ""}
+        )
+    return out
+
+
+def sitemap_index_parse(xml: str, max_sitemaps: int = 100_000) -> list[str]:
+    """Parse a <sitemapindex> into child sitemap locations."""
+    if not re.search(r"<sitemapindex[\s>]", xml):
+        raise ValueError("sitemap: not a sitemapindex document")
+    out = []
+    for m in re.finditer(r"<sitemap(?:\s[^>]*)?>(.*?)</sitemap>", xml, re.S):
+        if len(out) >= max_sitemaps:
+            raise ValueError("sitemap: child count exceeds bomb guard")
+        loc, _ = _element_text(m.group(1), "loc")
+        if loc is None:
+            raise ValueError("sitemap: index entry missing loc")
+        out.append(loc)
+    return out

@@ -4917,3 +4917,93 @@ def mp3_scan_features(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _extract, MP3_SCAN_SCHEMA
     )
+
+
+SITEMAP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("loc", StringType()),
+        StructField("lastmod", StringType()),
+        StructField("priority", StringType()),
+    ]
+)
+
+
+def with_sitemap_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    urls_per_map: int = 16,
+) -> DataFrame:
+    """Deterministic sitemap fixture (round 12): 16 URLs per <urlset>,
+    loc carrying the doc id (with a query string so entity escaping is
+    live), lastmod/priority derived from the id. One applyInPandas per
+    sitemap group."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import feeds as _feeds_mod
+
+    _cp.register_pickle_by_value(_feeds_mod)
+    _build = _feeds_mod.sitemap_build
+
+    def _make(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        urls = [
+            {
+                "loc": f"https://example.org/doc/{int(did)}?src=map&v=1",
+                "lastmod": f"2024-01-{(int(did) % 28) + 1:02d}",
+                "priority": f"0.{int(did) % 10}",
+            }
+            for did in pdf[id_col]
+        ]
+        sid = int(pdf[id_col].iloc[0]) // urls_per_map
+        return pd.DataFrame({"map_id": [sid], "payload": [_build(urls)]})
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / urls_per_map).cast("long").alias("__s"))
+        .applyInPandas(
+            _make,
+            StructType(
+                [
+                    StructField("map_id", LongType()),
+                    StructField("payload", StringType()),
+                ]
+            ),
+        )
+    )
+
+
+def sitemap_listing(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Explode <urlset> sitemaps into per-URL rows (round 12): the
+    third discovery wire beside robots (policy) and feeds (updates) —
+    sitemaps enumerate what a site WANTS crawled; doc ids recover from
+    the loc path. Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import feeds as _feeds_mod
+
+    _cp.register_pickle_by_value(_feeds_mod)
+    _parse = _feeds_mod.sitemap_parse
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            dids, locs, mods, prios = [], [], [], []
+            for p in pdf[payload_col]:
+                for u in _parse(str(p)):
+                    dids.append(int(u["loc"].split("/doc/")[1].split("?")[0]))
+                    locs.append(u["loc"])
+                    mods.append(u["lastmod"])
+                    prios.append(u["priority"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(dids, dtype="int64"),
+                    "loc": locs,
+                    "lastmod": mods,
+                    "priority": prios,
+                }
+            )
+
+    return df.select(F.col(payload_col)).mapInPandas(_extract, SITEMAP_SCHEMA)

@@ -777,3 +777,30 @@ def q_mp3_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return mp3_scan_features(with_mp3_payload(docs))
+
+
+_SITEMAP_ORACLE = (
+    "SELECT doc_id, "
+    "'https://example.org/doc/' || CAST(doc_id AS VARCHAR) || '?src=map&v=1' "
+    "AS loc, "
+    "'2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod, "
+    "'0.' || CAST(doc_id % 10 AS VARCHAR) AS priority "
+    "FROM documents WHERE doc_id < 400"
+)
+
+
+@query("q_sitemap_scan", oracle=_SITEMAP_ORACLE)
+def q_sitemap_scan(spark, sf_dir):
+    """E122 XML sitemap scan (round 12): <urlset> documents built and
+    parsed from scratch (operators/feeds — loc with live entity
+    escaping from the query string, lastmod W3C dates, priorities),
+    completing the crawl-DISCOVERY trio: robots.txt says what MAY be
+    crawled (E112), feeds say what CHANGED (E119), sitemaps enumerate
+    what the site WANTS crawled. Two-level sitemapindex dispatch (the
+    50k-URL cap layout) is parsed by sitemap_index_parse with a typed
+    root-element dispatch error, pinned in tests/test_feeds.py. The
+    grouping shuffle IS the sitemap assignment; map-only listing."""
+    from yark_spark.operators.multimodal import sitemap_listing, with_sitemap_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return sitemap_listing(with_sitemap_payload(docs))
