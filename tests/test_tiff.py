@@ -265,3 +265,22 @@ def test_dimension_bomb_guard():
             enc[off + 8 : off + 12] = (1 << 30).to_bytes(4, "little")
     with pytest.raises(ValueError):
         decode_tiff(bytes(enc))
+
+
+def test_lzw_flush_code_at_early_change_boundary():
+    """Round-12 fuzz find: the decoder appends a speculative entry
+    after the encoder's FINAL flush code (which adds no encoder-side
+    entry); when that append crossed the 510-entry early-change
+    threshold, the old encoder (keyed off its own table) left EOI at
+    9 bits while the decoder read 10 ('LZW code beyond table').
+    random.Random(1) × 253 bytes deterministically hit the boundary
+    pre-fix; widths now follow a simulated decoder table."""
+    rng = random.Random(1)
+    data = bytes(rng.randrange(256) for _ in range(253))
+    assert lzw_decode(lzw_encode(data), max_output=253) == data
+    # sweep the whole boundary neighborhood across seeds
+    for seed in range(24):
+        rng = random.Random(seed)
+        for n in range(248, 262):
+            d = bytes(rng.randrange(256) for _ in range(n))
+            assert lzw_decode(lzw_encode(d), max_output=max(n, 1)) == d, (seed, n)

@@ -170,9 +170,44 @@ def lzw_encode(data: bytes) -> bytes:
     def fresh() -> tuple[dict[bytes, int], int]:
         return {bytes([i]): i for i in range(256)}, 258
 
+    # Width discipline (round-12 fuzz find): the DECODER appends a
+    # speculative table entry after EVERY data code except the first
+    # since Clear — including the encoder's final flush code, which
+    # adds no encoder-side entry. Keying the width bump off the
+    # encoder's own table (the old next_code == (1<<width)-1 rule)
+    # desynchronized exactly when that phantom append crossed the
+    # early-change threshold on the flush code: the decoder widened
+    # and misread the 9-bit EOI ("LZW code beyond table" on ~0.1% of
+    # random 254-byte inputs). Simulate the decoder's table size and
+    # bump IT — both sides now widen at the same wire position by
+    # construction.
     width = 9
     write_code(_CLEAR, width)
     table, next_code = fresh()
+    dec_table = 258  # decoder table size after its Clear reset
+    first_since_clear = True
+
+    def emit(code: int) -> None:
+        nonlocal width, dec_table, first_since_clear
+        if dec_table == (1 << width) - 2 and width < 12:
+            width += 1  # early change, at the decoder's position
+        write_code(code, width)
+        if first_since_clear:
+            first_since_clear = False  # decoder appends nothing here
+        else:
+            dec_table += 1
+
+    def emit_clear() -> None:
+        nonlocal width, dec_table, first_since_clear, table, next_code, w
+        if dec_table == (1 << width) - 2 and width < 12:
+            width += 1
+        write_code(_CLEAR, width)
+        width = 9
+        dec_table = 258
+        first_since_clear = True
+        table, next_code = fresh()
+        w = b""
+
     w = b""
     for byte in data:
         c = bytes([byte])
@@ -180,20 +215,17 @@ def lzw_encode(data: bytes) -> bytes:
         if wc in table:
             w = wc
             continue
-        write_code(table[w], width)
+        emit(table[w])
         table[wc] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:
-            width += 1  # early change, mirroring the decoder
         w = c
         if next_code == 4094:
-            write_code(table[w], width)
-            write_code(_CLEAR, width)
-            width = 9
-            table, next_code = fresh()
-            w = b""
+            emit(table[w])
+            emit_clear()
     if w:
-        write_code(table[w], width)
+        emit(table[w])
+    if dec_table == (1 << width) - 2 and width < 12:
+        width += 1  # the decoder reads EOI at the bumped width too
     write_code(_EOI, width)
     if nacc:
         write_code(0, 8 - nacc)  # pad final byte
