@@ -111,3 +111,18 @@ def test_sitemap_index_two_level():
         sitemap_parse(idx)
     with pytest.raises(ValueError, match="not a sitemapindex"):
         sitemap_index_parse(next(iter(children.values())))
+
+
+def test_uppercase_x_hex_entity_decodes():
+    # ADVICE r12: &#X41; (uppercase X, XML 1.0 §4.1) must decode; the
+    # old pattern's '#X' branch was dead code.
+    xml = rss_build("ch", _entries(1)).replace("body", "&#X41;body")
+    assert rss_parse(xml)[0]["text"].startswith("Abody")
+
+
+def test_hex_letters_without_x_pass_through_raw():
+    # '&#ab;' is neither decimal nor hex-marked: with disjoint hex/dec
+    # patterns it no longer reaches int() (old code crashed with a
+    # generic ValueError there) — it stays raw in the text.
+    xml = rss_build("ch", _entries(1)).replace("body", "&#ab;body")
+    assert rss_parse(xml)[0]["text"].startswith("&#ab;body")

@@ -103,3 +103,21 @@ def test_errors():
         parquet_footer(bad)
     with pytest.raises(ValueError, match="truncated"):
         _read_struct(bytes([0x15]), 0)  # header then no varint
+
+
+def test_thrift_bool_elements_in_list_consume_bytes():
+    # ADVICE r12: list<bool> elements are ONE BYTE EACH (0x01/0x02) on
+    # the compact wire, unlike struct fields (bool-in-header). field 1
+    # list<bool> [true, false, true], field 2 i32 21 — a reader that
+    # returns header-derived bools without consuming bytes desyncs here.
+    blob = bytes([0x19, 0x31, 0x01, 0x02, 0x01, 0x15, 0x2A, 0x00])
+    fields, pos = _read_struct(blob, 0)
+    assert fields == {1: [True, False, True], 2: 21} and pos == len(blob)
+
+
+def test_thrift_bool_element_invalid_byte():
+    import pytest as _pytest
+
+    blob = bytes([0x19, 0x11, 0x07, 0x00])
+    with _pytest.raises(ValueError, match="bool element"):
+        _read_struct(blob, 0)

@@ -115,3 +115,20 @@ def test_corpus_shape_roundtrip():
         lines = [" ".join(sub[k : k + 6]) for k in range(0, len(sub), 6)]
         pages = [lines[p : p + 5] for p in range(0, len(lines), 5)]
         assert pdf_text(pdf_build(pages)) == " ".join(sub), n
+
+
+def test_hex_string_show_operand():
+    # ADVICE r12: <hex> Tj show operands must extract, not vanish.
+    from yark_spark.operators.pdf import _content_text
+
+    content = b"BT /F1 12 Tf <48656C6C6F> Tj <2C20776F726C64> Tj ET"
+    assert "".join(_content_text(content)) == "Hello, world"
+
+
+def test_direct_root_is_typed_error():
+    # ADVICE r12: a direct-object /Root raises the quarantine's typed
+    # ValueError, not AttributeError.
+    blob = pdf_build([["x"]])
+    patched = blob.replace(b"/Root 1 0 R", b"/Root 3     ")
+    with pytest.raises(ValueError, match="/Root must be an indirect"):
+        pdf_text(patched)

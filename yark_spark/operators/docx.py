@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import re
 
+from yark_spark.operators.xml_util import xml_unescape
 from yark_spark.operators.zip_archive import zip_build, zip_members
 
 __all__ = ["docx_build", "docx_to_text", "document_xml_text"]
@@ -101,22 +102,8 @@ def docx_build(paragraphs: list[list[str]]) -> bytes:
     return zip_build(members)
 
 
-_ENTITY = {"lt": "<", "gt": ">", "amp": "&", "quot": '"', "apos": "'"}
-_ENT_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-z]+);")
-
-
 def _unescape(s: str) -> str:
-    def _sub(m: re.Match) -> str:
-        ref = m.group(1)
-        if ref.startswith("#x") or ref.startswith("#X"):
-            return chr(int(ref[2:], 16))
-        if ref.startswith("#"):
-            return chr(int(ref[1:]))
-        if ref in _ENTITY:
-            return _ENTITY[ref]
-        raise ValueError(f"docx: unknown XML entity &{ref};")
-
-    return _ENT_RE.sub(_sub, s)
+    return xml_unescape(s, "docx")
 
 
 _TAG_RE = re.compile(r"<[^>]+>")

@@ -27,9 +27,9 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["rss_build", "rss_parse", "atom_build", "atom_parse"]
+from yark_spark.operators.xml_util import xml_unescape
 
-_ENTITY = {"lt": "<", "gt": ">", "amp": "&", "quot": '"', "apos": "'"}
+__all__ = ["rss_build", "rss_parse", "atom_build", "atom_parse"]
 
 
 def _escape(s: str) -> str:
@@ -37,17 +37,7 @@ def _escape(s: str) -> str:
 
 
 def _unescape(s: str) -> str:
-    def _sub(m: re.Match) -> str:
-        ref = m.group(1)
-        if ref.startswith("#x") or ref.startswith("#X"):
-            return chr(int(ref[2:], 16))
-        if ref.startswith("#"):
-            return chr(int(ref[1:]))
-        if ref in _ENTITY:
-            return _ENTITY[ref]
-        raise ValueError(f"feed: unknown XML entity &{ref};")
-
-    return re.sub(r"&(#x?[0-9a-fA-F]+|[a-z]+);", _sub, s)
+    return xml_unescape(s, "feed")
 
 
 def _element_text(xml: str, tag: str, start: int = 0) -> tuple[str | None, int]:

@@ -4415,10 +4415,12 @@ def _register_docx_modules():
     from pyspark import cloudpickle as _cp
 
     from yark_spark.operators import docx as _docx_mod
+    from yark_spark.operators import xml_util as _xml_util_mod
     from yark_spark.operators import zip_archive as _zipmod
 
     _register_container_modules()  # png (DEFLATE)
     _cp.register_pickle_by_value(_zipmod)
+    _cp.register_pickle_by_value(_xml_util_mod)
     _cp.register_pickle_by_value(_docx_mod)
     return _docx_mod
 
@@ -4736,7 +4738,9 @@ def with_feed_payload(
     from pyspark import cloudpickle as _cp
 
     from yark_spark.operators import feeds as _feeds_mod
+    from yark_spark.operators import xml_util as _xml_util_mod
 
+    _cp.register_pickle_by_value(_xml_util_mod)
     _cp.register_pickle_by_value(_feeds_mod)
     _rss, _atom = _feeds_mod.rss_build, _feeds_mod.atom_build
     if fmt not in ("rss", "atom"):
@@ -4786,7 +4790,9 @@ def feed_listing(
     from pyspark import cloudpickle as _cp
 
     from yark_spark.operators import feeds as _feeds_mod
+    from yark_spark.operators import xml_util as _xml_util_mod
 
+    _cp.register_pickle_by_value(_xml_util_mod)
     _cp.register_pickle_by_value(_feeds_mod)
     _parse = _feeds_mod.rss_parse if source == "rss" else _feeds_mod.atom_parse
 
@@ -4942,7 +4948,9 @@ def with_sitemap_payload(
     from pyspark import cloudpickle as _cp
 
     from yark_spark.operators import feeds as _feeds_mod
+    from yark_spark.operators import xml_util as _xml_util_mod
 
+    _cp.register_pickle_by_value(_xml_util_mod)
     _cp.register_pickle_by_value(_feeds_mod)
     _build = _feeds_mod.sitemap_build
 
@@ -4982,7 +4990,9 @@ def sitemap_listing(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     from pyspark import cloudpickle as _cp
 
     from yark_spark.operators import feeds as _feeds_mod
+    from yark_spark.operators import xml_util as _xml_util_mod
 
+    _cp.register_pickle_by_value(_xml_util_mod)
     _cp.register_pickle_by_value(_feeds_mod)
     _parse = _feeds_mod.sitemap_parse
 

@@ -95,13 +95,22 @@ def _zigzag(b: bytes, pos: int) -> tuple[int, int]:
     return (v >> 1) ^ -(v & 1), pos
 
 
-def _read_value(b: bytes, pos: int, ctype: int, depth: int):
+def _read_value(b: bytes, pos: int, ctype: int, depth: int, in_container: bool = False):
     if depth > 32:
         raise ValueError("thrift: nesting too deep")
-    if ctype == _CT_TRUE:
-        return True, pos
-    if ctype == _CT_FALSE:
-        return False, pos
+    if ctype in (_CT_TRUE, _CT_FALSE):
+        # Struct fields encode bool IN the field header (the ctype itself
+        # says true/false); collection ELEMENTS encode one byte each
+        # (0x01 true / 0x02 false) — ADVICE r12: consuming zero bytes
+        # here desyncs any footer struct carrying bool lists.
+        if not in_container:
+            return ctype == _CT_TRUE, pos
+        if pos >= len(b):
+            raise ValueError("thrift: truncated bool element")
+        v = b[pos]
+        if v not in (_CT_TRUE, _CT_FALSE):
+            raise ValueError(f"thrift: invalid bool element byte {v:#04x}")
+        return v == _CT_TRUE, pos + 1
     if ctype == _CT_BYTE:
         if pos >= len(b):
             raise ValueError("thrift: truncated byte")
@@ -131,7 +140,7 @@ def _read_value(b: bytes, pos: int, ctype: int, depth: int):
             raise ValueError("thrift: list size bomb")
         out = []
         for _ in range(size):
-            v, pos = _read_value(b, pos, elem_type, depth + 1)
+            v, pos = _read_value(b, pos, elem_type, depth + 1, in_container=True)
             out.append(v)
         return out, pos
     if ctype == _CT_MAP:
@@ -145,8 +154,8 @@ def _read_value(b: bytes, pos: int, ctype: int, depth: int):
         ktype, vtype = kv >> 4, kv & 0x0F
         out = {}
         for _ in range(size):
-            k, pos = _read_value(b, pos, ktype, depth + 1)
-            v, pos = _read_value(b, pos, vtype, depth + 1)
+            k, pos = _read_value(b, pos, ktype, depth + 1, in_container=True)
+            v, pos = _read_value(b, pos, vtype, depth + 1, in_container=True)
             out[k] = v
         return out, pos
     if ctype == _CT_STRUCT:

@@ -328,7 +328,10 @@ def _xref_offsets(b: bytes) -> dict[int, int]:
         trailer, pos = _parse_object(b, pos)
         prev = trailer.get("Prev")
         if "Root" in trailer and "__root__" not in offsets:
-            offsets["__root__"] = trailer["Root"].num  # type: ignore[assignment]
+            root = trailer["Root"]
+            if not isinstance(root, _Ref):
+                raise ValueError("pdf: /Root must be an indirect reference")
+            offsets["__root__"] = root.num  # type: ignore[assignment]
         if prev is None:
             break
         at = int(prev)
@@ -428,6 +431,11 @@ def _content_text(content: bytes) -> list[str]:
         if c == 0x5B:  # array operand (TJ): strings + kerning numbers
             arr, pos = _parse_object(content, pos)
             pending.append("".join(x for x in arr if isinstance(x, str)))
+            continue
+        if c == 0x3C:  # <hex> show operand or <<dict>> (BDC property list)
+            v, pos = _parse_object(content, pos)
+            if isinstance(v, str):  # hex string: a show operand like (…)
+                pending.append(v)
             continue
         if c == 0x2F:  # name operand (/F1)
             _, pos = _parse_object(content, pos)
