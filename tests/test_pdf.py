@@ -70,13 +70,16 @@ def test_escaped_text_roundtrip():
     assert pdf_text(blob) == "parens (x) and \\ backslash"
 
 
-def test_xref_stream_typed_boundary():
+def test_startxref_at_non_stream_object_is_typed_error():
     blob = bytearray(pdf_build([["x"]]))
-    # point startxref at an object instead of an xref table
+    # point startxref at a NON-STREAM object: neither a table nor a
+    # /Type /XRef stream (round 13: xref streams are now implemented,
+    # so the old NotImplementedError boundary became a malformed-input
+    # ValueError)
     m = list(re.finditer(rb"startxref\s+(\d+)", blob))[-1]
     head_at = blob.find(b"1 0 obj")
     patched = blob[: m.start(1)] + str(head_at).encode() + blob[m.end(1) :]
-    with pytest.raises(NotImplementedError, match="xref"):
+    with pytest.raises(ValueError, match="stream"):
         pdf_text(bytes(patched))
 
 
@@ -132,3 +135,123 @@ def test_direct_root_is_typed_error():
     patched = blob.replace(b"/Root 1 0 R", b"/Root 3     ")
     with pytest.raises(ValueError, match="/Root must be an indirect"):
         pdf_text(patched)
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5: xref streams + object streams (round 13)
+# ---------------------------------------------------------------------------
+
+
+_PAGES = [[f"line {i} of page {p} word stream" for i in range(7)] for p in range(5)]
+
+
+def test_xrefstream_layout_on_wire():
+    blob = pdf_build(_PAGES, xref_stream=True)
+    assert blob.startswith(b"%PDF-1.5")
+    assert blob.count(b"/Type /XRef") == 2  # two chained xref streams
+    assert b"/Type /ObjStm" in blob
+    assert b"/Predictor 12" in blob and b"/Prev " in blob
+    assert b"\ntrailer" not in blob  # stream dict IS the trailer
+    # page dicts live only inside the (compressed) ObjStm
+    assert b"/Type /Page " not in blob
+
+
+def test_xrefstream_roundtrip_matches_classic():
+    classic = pdf_text(pdf_build(_PAGES))
+    streamed = pdf_text(pdf_build(_PAGES, xref_stream=True))
+    assert classic == streamed and "line 6 of page 4" in streamed
+
+
+def test_xrefstream_single_page_uncompressed():
+    blob = pdf_build([["solo page"]], compress_odd=False, xref_stream=True)
+    assert pdf_text(blob) == "solo page"
+
+
+def test_png_predictor_roundtrip():
+    from yark_spark.operators.pdf import _png_unpredict, _png_up_predict
+
+    rows = bytes(range(48))  # 8 rows of width 6
+    assert _png_unpredict(_png_up_predict(rows, 6), 6, 1, 8) == rows
+
+
+def test_decode_xref_stream_vectors():
+    from yark_spark.operators.pdf import _decode_xref_stream
+
+    # /W [1 2 1], /Index [0 2 7 1]: free 0, type-1 at 0x0102 gen 3,
+    # type-2 (objstm 5, idx 9)
+    data = bytes([0, 0, 0, 0xFF, 1, 0x01, 0x02, 3, 2, 0x00, 0x05, 9])
+    d = {"W": [1, 2, 1], "Size": 8, "Index": [0, 2, 7, 1]}
+    got = _decode_xref_stream(d, data)
+    assert got == {0: (0, 0, 0xFF), 1: (1, 0x0102, 3), 7: (2, 5, 9)}
+    # zero-width TYPE field defaults to 1; /Index defaults to [0 Size]
+    d2 = {"W": [0, 2, 1], "Size": 2}
+    got2 = _decode_xref_stream(d2, bytes([0x00, 0x10, 0, 0x00, 0x20, 0]))
+    assert got2 == {0: (1, 0x10, 0), 1: (1, 0x20, 0)}
+
+
+def test_decode_xref_stream_typed_errors():
+    from yark_spark.operators.pdf import _decode_xref_stream
+
+    with pytest.raises(ValueError, match="/W"):
+        _decode_xref_stream({"W": [1, 9, 2], "Size": 1}, b"\x00" * 12)
+    with pytest.raises(ValueError, match="/Index"):
+        _decode_xref_stream({"W": [1, 3, 2], "Size": 1, "Index": [0]}, b"\x00" * 6)
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_xref_stream({"W": [1, 3, 2], "Size": 2}, b"\x00" * 6)
+    with pytest.raises(ValueError, match="/Size"):
+        _decode_xref_stream({"W": [1, 3, 2], "Size": 0}, b"")
+
+
+def test_xrefstream_tamper_typed_errors():
+    blob = pdf_build(_PAGES, xref_stream=True)
+    with pytest.raises(ValueError, match="/W"):
+        pdf_text(blob.replace(b"/W [1 3 2]", b"/W [9 3 2]"))
+    with pytest.raises(ValueError, match="neither an xref table"):
+        pdf_text(blob.replace(b"/Type /XRef ", b"/Type /Xref "))
+    # unsupported predictor is a typed boundary
+    with pytest.raises(NotImplementedError, match="predictor"):
+        pdf_text(blob.replace(b"/Predictor 12", b"/Predictor 02"))
+
+
+def test_hybrid_xrefstm_trailer_key():
+    # hybrid-reference file: a classic table section with NO usable
+    # entries whose trailer /XRefStm points at the real xref stream
+    blob = pdf_build(_PAGES, xref_stream=True)
+    m = list(re.finditer(rb"startxref\s+(\d+)", blob))[-1]
+    stream_at = int(m.group(1))
+    body = blob[: blob.rfind(b"startxref")]
+    table_at = len(body)
+    hybrid = (
+        body
+        + b"xref\n0 1\n0000000000 65535 f \n"
+        + b"trailer\n<< /Size 99 /Root 1 0 R /XRefStm "
+        + str(stream_at).encode()
+        + b" >>\n"
+        + f"startxref\n{table_at}\n%%EOF\n".encode()
+    )
+    assert pdf_text(hybrid) == pdf_text(blob)
+
+
+def test_freed_object_tombstone_blocks_older_revision():
+    from yark_spark.operators.pdf import _xref_offsets
+
+    # revision 1: object 5 in use at offset 111; revision 2 FREES it.
+    # first-seen-wins must not resurrect the old entry via /Prev.
+    rev1 = (
+        b"xref\n0 1\n0000000000 65535 f \n5 1\n0000000111 00000 n \n"
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\n"
+    )
+    pad = b"%PDF-1.4\n" + b"%" + b"x" * 40 + b"\n"
+    r1_at = len(pad)
+    blob = pad + rev1
+    r2_at = len(blob)
+    blob += (
+        b"xref\n0 1\n0000000000 65535 f \n5 1\n0000000000 00001 f \n"
+        b"trailer\n<< /Size 6 /Root 1 0 R /Prev "
+        + str(r1_at).encode()
+        + b" >>\nstartxref\n"
+        + str(r2_at).encode()
+        + b"\n%%EOF\n"
+    )
+    offs = _xref_offsets(blob)
+    assert 5 not in offs and offs["__root__"] == 1

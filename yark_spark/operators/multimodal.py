@@ -4496,30 +4496,41 @@ def docx_extract_features(
 
 
 def with_pdf_payload(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    layout: str = "classic",
 ) -> DataFrame:
     """Deterministic PDF fixture (round 12): the document's words
     become 6-word text lines, 5 lines per page, multi-page documents
     with odd pages' content streams Flate-compressed (indirect
     /Length objects on the wire) and the text rotated through the
-    Tj / kerned-TJ / ' show forms. Map-only mapInPandas; the pdf
-    module (and its png/zlib dependency) ships by value."""
+    Tj / kerned-TJ / ' show forms. ``layout='cycle'`` (round 13)
+    alternates per doc between the classic xref TABLE and the PDF 1.5
+    xref-STREAM + /ObjStm layout, so one oracle digest pins both
+    cross-reference grammars. Map-only mapInPandas; the pdf module
+    (and its png/zlib dependency) ships by value."""
     from pyspark import cloudpickle as _cp
 
     from yark_spark.operators import pdf as _pdf_mod
 
+    if layout not in ("classic", "cycle"):
+        raise ValueError(f"pdf fixture: unknown layout {layout!r}")
     _register_container_modules()  # png (zlib/DEFLATE)
     _cp.register_pickle_by_value(_pdf_mod)
     _build = _pdf_mod.pdf_build
+    _cycle = layout == "cycle"
 
     def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
             payloads = []
-            for t in pdf_batch[text_col]:
+            for did, t in zip(pdf_batch[id_col], pdf_batch[text_col]):
                 words = t.split()
                 lines = [" ".join(words[k : k + 6]) for k in range(0, len(words), 6)]
                 pages = [lines[p : p + 5] for p in range(0, len(lines), 5)]
-                payloads.append(_build(pages or [[""]]))
+                payloads.append(
+                    _build(pages or [[""]], xref_stream=_cycle and int(did) % 2 == 1)
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf_batch[id_col].astype("int64"), "payload": payloads}
             )

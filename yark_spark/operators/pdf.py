@@ -13,11 +13,17 @@ reader AND a writer for fixtures, nothing imported.
 PDF is the single largest "documents" vertical of web crawls and the
 wire of the academic-paper corpora (peS2o/S2ORC start from PDFs);
 text recovery from born-digital PDFs is exactly this pass: xref →
-page tree → content streams → inflate → text-op walk. The honest
-boundaries, typed: xref STREAMS (PDF 1.5 compressed xref),
-encrypted documents, and non-ASCII font encodings / CID fonts
-(real-world glyph-to-Unicode needs font tables); incremental updates
-chain via ``/Prev`` and ARE followed.
+page tree → content streams → inflate → text-op walk. Round 13 adds
+the PDF 1.5 layout post-2005 files actually use: cross-reference
+STREAMS (``/W`` field widths, multi-subsection ``/Index``, ``/Prev``
+chains, FlateDecode + PNG predictors via ``/DecodeParms``), type-2
+entries into ``/ObjStm`` OBJECT streams (``/N``/``/First`` header
+pairs), hybrid-reference files (classic trailer ``/XRefStm``), and
+free-entry tombstones so an incremental update's deletion cannot be
+resurrected from an older revision. The remaining honest boundaries,
+typed: encryption, non-Flate filters, TIFF /Predictor 2, and
+non-ASCII font encodings / CID fonts (real-world glyph-to-Unicode
+needs font tables).
 
 Decode raises typed ``ValueError`` on malformed input (no header or
 startxref, bad xref/object syntax, unterminated strings/streams,
@@ -34,7 +40,7 @@ from __future__ import annotations
 
 import re
 
-from yark_spark.operators.png import zlib_compress, zlib_decompress
+from yark_spark.operators.png import _unfilter, zlib_compress, zlib_decompress
 
 __all__ = ["pdf_build", "pdf_text"]
 
@@ -73,11 +79,22 @@ def _content_stream(lines: list[str]) -> bytes:
 
 
 def pdf_build(
-    pages: list[list[str]], compress_odd: bool = True, words_per_line: int = 6
+    pages: list[list[str]],
+    compress_odd: bool = True,
+    words_per_line: int = 6,
+    xref_stream: bool = False,
 ) -> bytes:
-    """Build a classic-xref PDF: one page per entry, each a list of
-    text lines; odd pages' content streams are FlateDecode-compressed
-    through the in-repo zlib encoder."""
+    """Build a PDF: one page per entry, each a list of text lines;
+    odd pages' content streams are FlateDecode-compressed through the
+    in-repo zlib encoder. ``xref_stream=True`` emits the PDF 1.5
+    layout instead of the classic table: non-stream objects (catalog,
+    page tree, page dicts, font) packed into an ``/ObjStm`` object
+    stream referenced by type-2 entries, and TWO chained cross-
+    reference STREAMS (``/W [1 3 2]``, multi-subsection ``/Index``,
+    ``/Prev``, the second PNG-Up predicted via ``/DecodeParms
+    /Predictor 12``) — the post-2005 real-world layout."""
+    if xref_stream:
+        return _pdf_build_xrefstream(pages, compress_odd)
     objects: dict[int, bytes] = {}
     n_pages = len(pages)
     first_page_obj = 4
@@ -138,6 +155,138 @@ def pdf_build(
         f"trailer\n<< /Size {max_obj + 1} /Root 1 0 R >>\n"
         f"startxref\n{xref_at}\n%%EOF\n".encode()
     )
+    return bytes(out)
+
+
+def _png_up_predict(rows: bytes, width: int) -> bytes:
+    """PNG Up (filter 2) prediction over fixed-width rows: each output
+    row is filter-byte 2 + (row - previous row) mod 256."""
+    out = bytearray()
+    prev = bytes(width)
+    for at in range(0, len(rows), width):
+        row = rows[at : at + width]
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(width))
+        prev = row
+    return bytes(out)
+
+
+def _xref_stream_entries(
+    offsets: dict[int, int],
+    objstm_members: dict[int, tuple[int, int]],
+    nums: list[int],
+) -> bytes:
+    """Encode /W [1 3 2] rows for ``nums``: object 0 free, ObjStm
+    members as type 2 (stream num, index), the rest type 1."""
+    out = bytearray()
+    for num in nums:
+        if num == 0:
+            out += b"\x00" + (0).to_bytes(3, "big") + (0xFFFF).to_bytes(2, "big")
+        elif num in objstm_members:
+            stm, idx = objstm_members[num]
+            out += b"\x02" + stm.to_bytes(3, "big") + idx.to_bytes(2, "big")
+        else:
+            off = offsets[num]
+            if off > 0xFFFFFF:
+                raise ValueError("pdf: fixture offset exceeds 3-byte /W field")
+            out += b"\x01" + off.to_bytes(3, "big") + (0).to_bytes(2, "big")
+    return bytes(out)
+
+
+def _pdf_build_xrefstream(pages: list[list[str]], compress_odd: bool) -> bytes:
+    """PDF 1.5 layout: page-tree dicts live in an object stream,
+    located by two chained xref streams (see ``pdf_build``)."""
+    n_pages = len(pages)
+    first_page_obj = 4
+    kids = " ".join(f"{first_page_obj + 2 * i} 0 R" for i in range(n_pages))
+    # objects that go INSIDE the ObjStm (non-stream, not /Length values)
+    packed: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>".encode(),
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    top: dict[int, bytes] = {}  # stream objects + /Length integers
+    next_length_no = first_page_obj + 2 * n_pages
+    for i, lines in enumerate(pages):
+        page_no = first_page_obj + 2 * i
+        content_no = page_no + 1
+        packed[page_no] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {content_no} 0 R >>".encode()
+        )
+        data = _content_stream(lines)
+        if compress_odd and i % 2 == 1:
+            comp = zlib_compress(data)
+            length_no = next_length_no
+            next_length_no += 1
+            top[length_no] = str(len(comp)).encode()
+            top[content_no] = (
+                f"<< /Length {length_no} 0 R /Filter /FlateDecode >>".encode()
+                + b"\nstream\n" + comp + b"\nendstream"
+            )
+        else:
+            top[content_no] = (
+                f"<< /Length {len(data)} >>".encode()
+                + b"\nstream\n" + data + b"\nendstream"
+            )
+    # ObjStm: header is N (objnum, offset) pairs, then the objects
+    objstm_no = next_length_no
+    members = sorted(packed)
+    bodies = [packed[m] + b"\n" for m in members]
+    offs, at = [], 0
+    for body in bodies:
+        offs.append(at)
+        at += len(body)
+    header = " ".join(f"{m} {o}" for m, o in zip(members, offs)).encode() + b"\n"
+    stm_raw = header + b"".join(bodies)
+    stm_comp = zlib_compress(stm_raw)
+    top[objstm_no] = (
+        f"<< /Type /ObjStm /N {len(members)} /First {len(header)} "
+        f"/Filter /FlateDecode /Length {len(stm_comp)} >>".encode()
+        + b"\nstream\n" + stm_comp + b"\nendstream"
+    )
+    x1_no, x2_no = objstm_no + 1, objstm_no + 2
+    size = x2_no + 1
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(top):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + top[num] + b"\nendobj\n"
+    objstm_members = {m: (objstm_no, i) for i, m in enumerate(members)}
+
+    # split the number space between the two chained xref streams: X1
+    # (no predictor) covers [0, split) plus its own entry; X2 (PNG Up
+    # /Predictor 12) covers [split, objstm_no] plus its own entry and
+    # chains back via /Prev. Both /Index arrays are multi-subsection.
+    split = first_page_obj + n_pages  # mid page-dict/content range
+    x1_at = len(out)
+    nums1 = list(range(split)) + [x1_no]
+    rows1 = _xref_stream_entries({**offsets, x1_no: x1_at}, objstm_members, nums1)
+    comp1 = zlib_compress(rows1)
+    out += f"{x1_no} 0 obj\n".encode() + (
+        f"<< /Type /XRef /Size {size} /W [1 3 2] "
+        f"/Index [0 {split} {x1_no} 1] /Root 1 0 R "
+        f"/Filter /FlateDecode /Length {len(comp1)} >>".encode()
+        + b"\nstream\n" + comp1 + b"\nendstream\nendobj\n"
+    )
+    x2_at = len(out)
+    nums2 = list(range(split, objstm_no + 1)) + [x2_no]
+    rows2 = _xref_stream_entries(
+        {**offsets, x1_no: x1_at, x2_no: x2_at}, objstm_members, nums2
+    )
+    pred2 = _png_up_predict(rows2, 6)
+    comp2 = zlib_compress(pred2)
+    out += f"{x2_no} 0 obj\n".encode() + (
+        f"<< /Type /XRef /Size {size} /W [1 3 2] "
+        f"/Index [{split} {objstm_no + 1 - split} {x2_no} 1] "
+        f"/Prev {x1_at} /Root 1 0 R /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns 6 >> "
+        f"/Length {len(comp2)} >>".encode()
+        + b"\nstream\n" + comp2 + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{x2_at}\n%%EOF\n".encode()
     return bytes(out)
 
 
@@ -283,61 +432,173 @@ def _parse_string(b: bytes, pos: int) -> tuple[str, int]:
 # ---------------------------------------------------------------------------
 
 
-def _xref_offsets(b: bytes) -> dict[int, int]:
-    """Locate and parse the classic xref table chain (/Prev followed)."""
+def _bootstrap_resolve(v):
+    """Resolver for streams read BEFORE the xref exists (the xref
+    stream itself): indirect values are a typed error there."""
+    if isinstance(v, _Ref):
+        raise ValueError("pdf: xref stream dict values must be direct")
+    return v
+
+
+def _parse_stream_obj_at(b: bytes, pos: int):
+    """Parse ``N G obj <<dict>> stream…endstream`` at ``pos`` with a
+    DIRECT /Length (used to read xref streams before any xref is
+    available); returns (num, dict, raw_data)."""
+    m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", b[pos : pos + 64])
+    if not m:
+        raise ValueError("pdf: expected an object at startxref target")
+    d, end = _parse_object(b, pos + m.end())
+    if not isinstance(d, dict):
+        raise ValueError("pdf: xref stream object must be a stream")
+    end = _skip_ws(b, end)
+    if b[end : end + 6] != b"stream":
+        raise ValueError("pdf: xref stream object must be a stream")
+    end += 6
+    if b[end : end + 2] == b"\r\n":
+        end += 2
+    elif b[end : end + 1] == b"\n":
+        end += 1
+    length = _bootstrap_resolve(d.get("Length"))
+    if not isinstance(length, int):
+        raise ValueError("pdf: xref stream /Length must be a direct integer")
+    data = b[end : end + length]
+    if len(data) < length:
+        raise ValueError("pdf: truncated stream")
+    return int(m.group(1)), d, data
+
+
+def _decode_xref_stream(d: dict, data: bytes) -> dict[int, tuple[int, int, int]]:
+    """Decode /W-packed xref stream rows per /Index subsections into
+    {objnum: (type, field2, field3)} — type 1 = (offset, gen), type 2 =
+    (objstm num, index within), type 0 = free."""
+    w = d.get("W")
+    if not (
+        isinstance(w, list)
+        and len(w) == 3
+        and all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+    ):
+        raise ValueError("pdf: xref stream /W must be three small integers")
+    size = d.get("Size")
+    if not isinstance(size, int) or size <= 0:
+        raise ValueError("pdf: xref stream /Size must be a positive integer")
+    index = d.get("Index", [0, size])
+    if not (
+        isinstance(index, list)
+        and index
+        and len(index) % 2 == 0
+        and all(isinstance(x, int) and x >= 0 for x in index)
+    ):
+        raise ValueError("pdf: xref stream /Index must be (start count) pairs")
+    rowlen = sum(w)
+    n_rows = sum(index[1::2])
+    if rowlen == 0 or len(data) < n_rows * rowlen:
+        raise ValueError("pdf: truncated xref stream data")
+    entries: dict[int, tuple[int, int, int]] = {}
+    at = 0
+    for k in range(0, len(index), 2):
+        start, count = index[k], index[k + 1]
+        for i in range(count):
+            fields = []
+            for width in w:
+                fields.append(int.from_bytes(data[at : at + width], "big"))
+                at += width
+            # zero-width type field defaults to 1 (in-use); other
+            # zero-width fields default to 0 (PDF 32000-1 §7.5.8.3)
+            typ = fields[0] if w[0] else 1
+            entries[start + i] = (typ, fields[1], fields[2])
+    return entries
+
+
+_FREE = -1  # tombstone: freed in a newer revision; older entries must not win
+
+
+def _xref_offsets(b: bytes) -> dict[int, object]:
+    """Locate and parse the cross-reference chain (/Prev followed) —
+    classic TABLES, PDF 1.5 xref STREAMS (/W widths, /Index
+    subsections, FlateDecode + PNG predictors), and hybrid files
+    (classic trailer /XRefStm). Values: int = byte offset (type 1),
+    ("objstm", stream_num, idx) = compressed object (type 2)."""
     tail = b[-2048:]
     m = None
     for m in re.finditer(rb"startxref\s+(\d+)", tail):
         pass
     if m is None:
         raise ValueError("pdf: startxref not found")
-    offsets: dict[int, int] = {}
-    at = int(m.group(1))
-    seen = set()
-    while True:
+    offsets: dict[int, object] = {}
+
+    def _put(num: int, loc: object) -> None:
+        if num not in offsets:
+            offsets[num] = loc
+
+    pending = [int(m.group(1))]
+    seen: set[int] = set()
+    while pending:
+        at = pending.pop(0)
         if at in seen or at >= len(b):
             raise ValueError("pdf: broken xref chain")
         seen.add(at)
         pos = _skip_ws(b, at)
-        if b[pos : pos + 4] != b"xref":
-            raise NotImplementedError(
-                "pdf: cross-reference streams (PDF 1.5) not supported; "
-                "classic xref tables only"
-            )
-        pos += 4
-        while True:
-            pos = _skip_ws(b, pos)
-            if b[pos : pos + 7] == b"trailer":
-                pos += 7
-                break
-            m2 = re.match(rb"(\d+)\s+(\d+)", b[pos : pos + 32])
-            if not m2:
-                raise ValueError("pdf: malformed xref subsection header")
-            start, count = int(m2.group(1)), int(m2.group(2))
-            pos += m2.end()
-            pos = _skip_ws(b, pos)
-            for i in range(count):
-                entry = b[pos : pos + 20]
-                if len(entry) < 18:
-                    raise ValueError("pdf: truncated xref entry")
-                kind = entry[17:18]
-                num = start + i
-                if kind == b"n" and num not in offsets:
-                    offsets[num] = int(entry[:10])
-                pos += 20
-        trailer, pos = _parse_object(b, pos)
-        prev = trailer.get("Prev")
+        if b[pos : pos + 4] == b"xref":
+            pos += 4
+            while True:
+                pos = _skip_ws(b, pos)
+                if b[pos : pos + 7] == b"trailer":
+                    pos += 7
+                    break
+                m2 = re.match(rb"(\d+)\s+(\d+)", b[pos : pos + 32])
+                if not m2:
+                    raise ValueError("pdf: malformed xref subsection header")
+                start, count = int(m2.group(1)), int(m2.group(2))
+                pos += m2.end()
+                pos = _skip_ws(b, pos)
+                for i in range(count):
+                    entry = b[pos : pos + 20]
+                    if len(entry) < 18:
+                        raise ValueError("pdf: truncated xref entry")
+                    kind = entry[17:18]
+                    num = start + i
+                    if kind == b"n":
+                        _put(num, int(entry[:10]))
+                    elif num:  # freed: block older revisions' entries
+                        _put(num, _FREE)
+                    pos += 20
+            trailer, pos = _parse_object(b, pos)
+        else:
+            _num, trailer, data = _parse_stream_obj_at(b, pos)
+            if trailer.get("Type") != "XRef":
+                raise ValueError(
+                    "pdf: startxref target is neither an xref table nor "
+                    "a /Type /XRef stream"
+                )
+            data = _apply_filters(trailer, data, _bootstrap_resolve)
+            for num, (typ, f2, f3) in _decode_xref_stream(trailer, data).items():
+                if typ == 1:
+                    _put(num, f2)
+                elif typ == 2:
+                    _put(num, ("objstm", f2, f3))
+                elif typ == 0 and num:
+                    _put(num, _FREE)
+                # unknown types: ignore per spec (forward compat)
+            xref_stm = trailer.get("XRefStm")
+            if xref_stm is not None:
+                raise ValueError("pdf: /XRefStm inside an xref stream")
+        # hybrid-reference file: the classic trailer points at a
+        # PARALLEL xref stream describing the compressed objects;
+        # process it before this revision's /Prev
+        xref_stm = trailer.get("XRefStm")
+        if isinstance(xref_stm, int):
+            pending.insert(0, xref_stm)
         if "Root" in trailer and "__root__" not in offsets:
             root = trailer["Root"]
             if not isinstance(root, _Ref):
                 raise ValueError("pdf: /Root must be an indirect reference")
             offsets["__root__"] = root.num  # type: ignore[assignment]
-        if prev is None:
-            break
-        at = int(prev)
+        prev = trailer.get("Prev")
+        if prev is not None:
+            pending.append(int(prev))
     if "__root__" not in offsets:
         raise ValueError("pdf: trailer has no /Root")
-    return offsets
+    return {k: v for k, v in offsets.items() if v is not _FREE or k == "__root__"}
 
 
 class _Pdf:
@@ -348,6 +609,7 @@ class _Pdf:
         self.offsets = _xref_offsets(b)
         self.root_num = self.offsets.pop("__root__")
         self._cache: dict[int, object] = {}
+        self._objstm_loaded: set[int] = set()
 
     def obj(self, num: int):
         if num in self._cache:
@@ -355,6 +617,13 @@ class _Pdf:
         if num not in self.offsets:
             raise ValueError(f"pdf: object {num} not in xref")
         pos = self.offsets[num]
+        if isinstance(pos, tuple):  # ("objstm", stream_num, index)
+            self._load_objstm(pos[1])
+            if num not in self._cache:
+                raise ValueError(
+                    f"pdf: object {num} not found in object stream {pos[1]}"
+                )
+            return self._cache[num]
         m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", self.b[pos : pos + 64])
         if not m or int(m.group(1)) != num:
             raise ValueError(f"pdf: object header mismatch at {pos}")
@@ -386,27 +655,100 @@ class _Pdf:
                 raise ValueError("pdf: reference chain too deep")
         return v
 
+    def _load_objstm(self, stm_num: int) -> None:
+        """Decode an /ObjStm object stream and cache every member:
+        header is /N (objnum offset) integer pairs, objects start at
+        /First. An ObjStm located inside another ObjStm is a typed
+        error (PDF 32000-1 forbids it)."""
+        if stm_num in self._objstm_loaded:
+            return
+        if isinstance(self.offsets.get(stm_num), tuple):
+            raise ValueError("pdf: object stream located inside an object stream")
+        self._objstm_loaded.add(stm_num)
+        stm = self.obj(stm_num)
+        if not (isinstance(stm, tuple) and stm[0] == "__stream__"):
+            raise ValueError(f"pdf: object {stm_num} is not an object stream")
+        d = stm[1]
+        if d.get("Type") != "ObjStm":
+            raise ValueError(f"pdf: object {stm_num} is not /Type /ObjStm")
+        n = self.resolve(d.get("N"))
+        first = self.resolve(d.get("First"))
+        if not (isinstance(n, int) and isinstance(first, int) and n >= 0):
+            raise ValueError("pdf: object stream /N and /First must be integers")
+        if n > 100_000:
+            raise ValueError("pdf: object stream /N exceeds bomb guard")
+        data = _stream_data(self, stm)
+        header = data[:first]
+        ints = re.findall(rb"\d+", header)
+        if len(ints) < 2 * n:
+            raise ValueError("pdf: truncated object stream header")
+        for k in range(n):
+            onum, ooff = int(ints[2 * k]), int(ints[2 * k + 1])
+            if onum in self._cache:
+                continue
+            val, _end = _parse_object(data, first + ooff)
+            self._cache[onum] = val
+
 
 _FILTER_OK = (None, "FlateDecode")
 
 
-def _stream_data(pdf: _Pdf, obj) -> bytes:
-    if not (isinstance(obj, tuple) and obj[0] == "__stream__"):
-        raise ValueError("pdf: expected a stream object")
-    _tag, d, data = obj
-    filt = pdf.resolve(d.get("Filter"))
+def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    """Reverse PNG row prediction (/Predictor 10–15) via the in-repo
+    PNG unfilter: rows of (filter_type, bytes) with stride derived
+    from /Columns /Colors /BitsPerComponent."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    stride = (columns * colors * bpc + 7) // 8
+    if stride <= 0 or len(data) % (stride + 1):
+        raise ValueError("pdf: predicted stream is not whole rows")
+    height = len(data) // (stride + 1)
+    return bytes(_unfilter(data, height, stride, bpp))
+
+
+def _apply_filters(d: dict, data: bytes, resolve) -> bytes:
+    """Run a stream's /Filter pipeline (with per-filter /DecodeParms):
+    FlateDecode plus the PNG predictors xref streams use in the wild;
+    TIFF Predictor 2 and other filters are typed boundaries."""
+    filt = resolve(d.get("Filter"))
     if filt is None:
         return data
     filters = filt if isinstance(filt, list) else [filt]
-    for f in filters:
+    parms = resolve(d.get("DecodeParms"))
+    parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+    if len(parms_list) < len(filters):
+        parms_list = list(parms_list) + [None] * (len(filters) - len(parms_list))
+    for f, parm in zip(filters, parms_list):
         if f == "FlateDecode":
             data = zlib_decompress(data, max_output=64 << 20)
+            parm = resolve(parm)
+            if isinstance(parm, dict):
+                pred = resolve(parm.get("Predictor", 1))
+                if pred in (None, 1):
+                    pass
+                elif isinstance(pred, int) and 10 <= pred <= 15:
+                    data = _png_unpredict(
+                        data,
+                        int(resolve(parm.get("Columns", 1))),
+                        int(resolve(parm.get("Colors", 1))),
+                        int(resolve(parm.get("BitsPerComponent", 8))),
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"pdf: predictor {pred} not supported (PNG 10-15 only)"
+                    )
         else:
             raise NotImplementedError(
                 f"pdf: filter {f} not supported (FlateDecode only — "
                 "DCT/CCITT/LZW streams are image/legacy territory)"
             )
     return data
+
+
+def _stream_data(pdf: _Pdf, obj) -> bytes:
+    if not (isinstance(obj, tuple) and obj[0] == "__stream__"):
+        raise ValueError("pdf: expected a stream object")
+    _tag, d, data = obj
+    return _apply_filters(d, data, pdf.resolve)
 
 
 _TEXT_SHOW_RE = re.compile(rb"Tj|TJ|T\*|Td|TD|'|\"")
