@@ -561,3 +561,111 @@ def test_trailing_zero_bitstream_rejected():
         _BackwardBits(b"\xff\x00")
     with pytest.raises(ValueError, match="marker"):
         _BackwardBits(b"\x00")
+
+
+# ---------------------------------------------------------------------------
+# Dictionary compression (round 13): structured-dict builder/trainer +
+# dictionary FRAMES from the in-repo encoder
+# ---------------------------------------------------------------------------
+
+
+def _dict_samples():
+    import json
+
+    return [
+        json.dumps({"id": k, "text": f"sample doc {k} shared corpus words"}).encode()
+        + b"\n"
+        for k in range(16)
+    ]
+
+
+def test_ncount_roundtrips_less_than_one_counts():
+    from yark_spark.operators.zstd import (
+        _LL_DEFAULT,
+        _ML_DEFAULT,
+        _OF_DEFAULT,
+        _fse_read_ncount,
+    )
+    from yark_spark.operators.zstd_encode import _write_ncount
+
+    for counts, log in (_LL_DEFAULT, _ML_DEFAULT, _OF_DEFAULT):
+        blob = _write_ncount(list(counts), log)
+        got, got_log, used = _fse_read_ncount(blob, 0, len(counts) - 1, log)
+        assert got_log == log and used == len(blob)
+        assert got == list(counts)
+
+
+def test_structured_dictionary_roundtrip():
+    from yark_spark.operators.zstd import parse_zstd_dictionary
+    from yark_spark.operators.zstd_encode import build_zstd_dictionary
+
+    blob = build_zstd_dictionary(b"shared prefix content", 4242, reps=(2, 5, 9))
+    d = parse_zstd_dictionary(blob)
+    assert d["dict_id"] == 4242
+    assert d["content"] == b"shared prefix content"
+    assert d["reps"] == [2, 5, 9]
+    assert "huf" in d and "ll" in d and "of" in d and "ml" in d
+    with pytest.raises(ValueError, match="non-zero"):
+        build_zstd_dictionary(b"x" * 16, 0)
+    with pytest.raises(ValueError, match="rep offset"):
+        build_zstd_dictionary(b"tiny", 7, reps=(1, 4, 8))
+
+
+def test_trained_dictionary_is_deterministic_and_prefix_aware():
+    from yark_spark.operators.zstd import parse_zstd_dictionary
+    from yark_spark.operators.zstd_encode import train_prefix_dictionary
+
+    b1 = train_prefix_dictionary(_dict_samples(), 913)
+    b2 = train_prefix_dictionary(list(_dict_samples()), 913)
+    assert b1 == b2  # both sides of the fixture derive identical bytes
+    content = parse_zstd_dictionary(b1)["content"]
+    assert content.endswith(b'{"id": ')  # majority prefix at window edge
+
+
+def test_dictionary_frame_roundtrip_and_typed_errors():
+    from yark_spark.operators.zstd_encode import train_prefix_dictionary
+
+    blob = train_prefix_dictionary(_dict_samples(), 913)
+    raw = (
+        b'{"id": 900, "text": "fresh doc shared corpus words and new tail"}\n' * 4
+    )
+    frame = zstd_compress(raw, method="compressed", dictionary=blob)
+    assert zstd_decompress(frame, dictionary=blob) == raw
+    # the frame header CARRIES the id: decode without the dict is typed
+    with pytest.raises(ValueError, match="wants dictionary 913"):
+        zstd_decompress(frame)
+    wrong = bytearray(blob)
+    struct.pack_into("<I", wrong, 4, 77)
+    with pytest.raises(ValueError, match="got 77"):
+        zstd_decompress(frame, dictionary=bytes(wrong))
+
+
+def test_dictionary_frames_actually_copy_from_content():
+    # payload whose long prefix exists ONLY in the dictionary content:
+    # the dict frame must be smaller than the dict-less frame, proving
+    # sequences reach below output offset 0
+    from yark_spark.operators.zstd_encode import build_zstd_dictionary
+
+    prefix = b"the shared record skeleton all documents start with: "
+    blob = build_zstd_dictionary(prefix, 31)
+    raw = prefix + b"unique tail 1234"
+    with_dict = zstd_compress(raw, method="compressed", dictionary=blob)
+    without = zstd_compress(raw, method="compressed")
+    assert zstd_decompress(with_dict, dictionary=blob) == raw
+    assert len(with_dict) < len(without)
+
+
+def test_dictionary_frame_fuzz_roundtrip():
+    from yark_spark.operators.zstd_encode import train_prefix_dictionary
+
+    blob = train_prefix_dictionary(_dict_samples(), 913)
+    rng = random.Random(1313)
+    words = [b"alpha", b"beta", b"shared", b"corpus", b"words", b"zz"]
+    for _ in range(60):
+        raw = b'{"id": %d, "text": "%s"}\n' % (
+            rng.randrange(10**6),
+            b" ".join(rng.choice(words) for _ in range(rng.randrange(0, 40))),
+        )
+        raw = raw * rng.randrange(1, 5)
+        frame = zstd_compress(raw, method="compressed", dictionary=blob)
+        assert zstd_decompress(frame, dictionary=blob) == raw

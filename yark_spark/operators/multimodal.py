@@ -2642,20 +2642,46 @@ JSONL_ZST_SCHEMA = StructType(
 )
 
 
+def corpus_jsonl_dictionary(dict_id: int = 913) -> bytes:
+    """The deterministic content-prefix zstd dictionary for the JSONL
+    shard fixtures (round 13): trained driver-side on template records
+    with the same skeleton the packer emits, so the build and listing
+    sides derive IDENTICAL bytes independently (no side-channel file).
+    At 100 TB the ~1 KB dictionary ships in every task closure — the
+    standard small-dict deployment shape."""
+    import json as _json
+
+    from yark_spark.operators.zstd_encode import train_prefix_dictionary
+
+    samples = [
+        _json.dumps(
+            {"id": k, "text": f"sample document body {k} with shared corpus words"},
+            ensure_ascii=False,
+        ).encode("utf-8")
+        + b"\n"
+        for k in range(16)
+    ]
+    return train_prefix_dictionary(samples, dict_id=dict_id)
+
+
 def with_jsonl_zst_shards(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     docs_per_shard: int = 16,
+    dictionary: bytes | None = None,
 ) -> DataFrame:
     """Pack documents into ``.jsonl.zst`` shards (round 12) — the wire
     shape of modern crawled-corpus releases (Common Crawl derivatives,
     HF dataset exports): one JSON object per line, the whole shard one
     zstd frame through the from-scratch RFC 8878 encoder. One
     applyInPandas per shard group — the grouping shuffle IS the shard
-    assignment, same scale shape as the tar/WARC packers."""
+    assignment, same scale shape as the tar/WARC packers.
+    ``dictionary`` (round 13): structured-dictionary bytes — frames
+    carry its Dictionary_ID and may copy from its content."""
     _zstd = _register_zstd_modules()
     _enc = _zstd.zstd_compress
+    _dict_bytes = bytes(dictionary) if dictionary is not None else None
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         import json as _json
@@ -2668,7 +2694,12 @@ def with_jsonl_zst_shards(
         raw = ("\n".join(lines) + "\n").encode("utf-8")
         sid = int(pdf[id_col].iloc[0]) // docs_per_shard
         return pd.DataFrame(
-            {"shard_id": [sid], "payload": [_enc(raw, method="compressed")]}
+            {
+                "shard_id": [sid],
+                "payload": [
+                    _enc(raw, method="compressed", dictionary=_dict_bytes)
+                ],
+            }
         )
 
     return (
@@ -2687,7 +2718,10 @@ def with_jsonl_zst_shards(
 
 
 def jsonl_zst_listing(
-    df: DataFrame, shard_col: str = "shard_id", payload_col: str = "payload"
+    df: DataFrame,
+    shard_col: str = "shard_id",
+    payload_col: str = "payload",
+    dictionary: bytes | None = None,
 ) -> DataFrame:
     """Explode ``.jsonl.zst`` shards back into per-document rows (round
     12): magic-dispatched decompression (``containers.decompress_auto``
@@ -2695,10 +2729,16 @@ def jsonl_zst_listing(
     JSON-lines parse, and the md5-of-text digest so a SQL oracle
     certifies the whole wire — zstd frame → lines → JSON → text —
     without moving the text. Map-only mapInPandas; one task inflates
-    one shard sequentially, the object-store access pattern."""
+    one shard sequentially, the object-store access pattern.
+    ``dictionary`` (round 13): structured-dictionary bytes for
+    dictionary-compressed shards (the dict ships in the task closure;
+    parsed ONCE per task, not per shard)."""
     _cont = _register_container_modules()
     _zstd = _register_zstd_modules()
     _auto = _cont.decompress_auto
+    _unzstd = _zstd.zstd_decompress
+    _parse_dict = _zstd.parse_zstd_dictionary
+    _dict_bytes = bytes(dictionary) if dictionary is not None else None
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -2706,10 +2746,16 @@ def jsonl_zst_listing(
 
         import numpy as np
 
+        parsed_dict = _parse_dict(_dict_bytes) if _dict_bytes is not None else None
         for pdf in batches:
             dids, sids, ns, digs = [], [], [], []
             for sid, p in zip(pdf[shard_col], pdf[payload_col]):
-                raw = _auto(bytes(p), max_output=256 << 20)
+                if parsed_dict is not None:
+                    raw = _unzstd(
+                        bytes(p), max_output=256 << 20, dictionary=parsed_dict
+                    )
+                else:
+                    raw = _auto(bytes(p), max_output=256 << 20)
                 for line in raw.decode("utf-8").splitlines():
                     if not line:
                         continue

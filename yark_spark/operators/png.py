@@ -430,14 +430,20 @@ def _deflate_fixed_literals(raw: bytes) -> bytes:
     return bw.flush()
 
 
-def _lz77_tokens(raw: bytes, max_chain: int = 128):
+def _lz77_tokens(raw: bytes, max_chain: int = 128, start: int = 0):
     """Greedy LZ77 over the 32 KB window via 3-byte hash chains: yields
     int literals and ``(length, distance)`` matches (3 <= length <= 258,
     1 <= distance <= 32768). ``max_chain`` bounds the candidates probed
-    per position — the standard compression/speed dial."""
+    per position — the standard compression/speed dial. ``start > 0``
+    treats ``raw[:start]`` as a pre-seeded WINDOW (a zstd dictionary's
+    content): its positions enter the hash chains but emit no tokens,
+    so matches from ``start`` on may reach back into it."""
     n = len(raw)
     head: dict[int, list[int]] = {}
-    i = 0
+    for k in range(max(0, min(start, n - 2))):
+        kk = raw[k] | (raw[k + 1] << 8) | (raw[k + 2] << 16)
+        head.setdefault(kk, []).append(k)
+    i = start
     while i < n:
         best_len = 0
         best_dist = 0

@@ -896,15 +896,29 @@ def zstd_frames(
 # ---------------------------------------------------------------------------
 
 
-def zstd_compress(raw: bytes, method: str = "store", checksum: bool = True) -> bytes:
+def zstd_compress(
+    raw: bytes,
+    method: str = "store",
+    checksum: bool = True,
+    dictionary=None,
+) -> bytes:
     """Frame writer. ``store`` emits raw blocks (RLE where a chunk is a
     single repeated byte) — the spec-minimal encoder used for
     constructed-exact wire tests; ``compressed`` routes through the real
     entropy path in :func:`_compress_block` (huff0 literals +
-    greedy-LZ sequences on predefined tables)."""
+    greedy-LZ sequences on predefined tables). ``dictionary`` (raw
+    bytes or a :func:`parse_zstd_dictionary` result) makes this a
+    DICTIONARY frame: the frame header carries the Dictionary_ID, the
+    repeat-offset history starts from the dictionary's, and the first
+    block's matcher may copy from the dictionary content (offsets
+    reaching below output position 0 — RFC 8878 §3.1.1.4)."""
     raw = bytes(raw)
     n = len(raw)
-    fhd = 0x20 | (0x04 if checksum else 0)  # single segment, no dict
+    if dictionary is not None and not isinstance(dictionary, dict):
+        dictionary = parse_zstd_dictionary(dictionary)
+    dict_id = dictionary["dict_id"] if dictionary is not None else 0
+    did_flag = 3 if dict_id else 0  # 4-byte Dictionary_ID field
+    fhd = 0x20 | (0x04 if checksum else 0) | did_flag  # single segment
     if n < 256:
         fcs_flag, fcs = 0, struct.pack("<B", n)
     elif n <= 0xFFFF + 256:
@@ -915,13 +929,19 @@ def zstd_compress(raw: bytes, method: str = "store", checksum: bool = True) -> b
         fcs_flag, fcs = 3, struct.pack("<Q", n)
     out = bytearray(struct.pack("<I", _MAGIC))
     out.append(fhd | (fcs_flag << 6))
+    if dict_id:
+        out += struct.pack("<I", dict_id)  # Dictionary_ID precedes FCS
     out += fcs
     chunks = [raw[i : i + _BLOCK_MAX] for i in range(0, n, _BLOCK_MAX)] or [b""]
-    reps = [1, 4, 8]  # frame-level repeat-offset history
+    reps = list(dictionary["reps"]) if dictionary is not None else [1, 4, 8]
+    window = dictionary["content"] if dictionary is not None else b""
     for i, chunk in enumerate(chunks):
         last = 1 if i == len(chunks) - 1 else 0
         if method == "compressed" and len(chunk) >= 16:
-            res = _compress_block(chunk, reps)
+            # dictionary content serves the FIRST block's matcher (the
+            # fixture payloads are single-block; later blocks would need
+            # dict_content + prior chunks threaded as window)
+            res = _compress_block(chunk, reps, window=window if i == 0 else b"")
             if res is not None:
                 body, reps = res
                 out += struct.pack("<I", last | (2 << 1) | (len(body) << 3))[:3]
@@ -954,7 +974,7 @@ def bind_encoder() -> None:
         _COMPRESS_BLOCK = compress_block
 
 
-def _compress_block(chunk: bytes, reps: list[int]):
+def _compress_block(chunk: bytes, reps: list[int], window: bytes = b""):
     """Entropy-coded block writer: (body, new_reps), or None to fall
     back to raw framing."""
     if _COMPRESS_BLOCK is None:
@@ -962,7 +982,7 @@ def _compress_block(chunk: bytes, reps: list[int]):
             bind_encoder()
         except ImportError:
             return None
-    return _COMPRESS_BLOCK(chunk, reps)
+    return _COMPRESS_BLOCK(chunk, reps, window=window)
 
 
 # ---------------------------------------------------------------------------

@@ -363,15 +363,21 @@ def _try_huf(lit: bytes) -> bytes | None:
 
 
 def compress_block(
-    chunk: bytes, reps: list[int] | None = None, max_chain: int = 64
+    chunk: bytes,
+    reps: list[int] | None = None,
+    max_chain: int = 64,
+    window: bytes = b"",
 ):
     """One zstd Compressed_Block body for ``chunk`` (≤ 128 KB) →
     ``(body, new_reps)``, or None when the entropy paths can't represent
     it (caller stores raw). ``reps`` is the FRAME-level repeat-offset
     history — the decoder carries it across blocks, so the encoder must
     thread it through every compressed block of the frame (raw/RLE
-    blocks leave it untouched on both sides)."""
-    tokens = list(_lz77_tokens(chunk, max_chain=max_chain))
+    blocks leave it untouched on both sides). ``window`` is match
+    context below output offset 0 — a zstd DICTIONARY's content: the
+    matcher seeds its hash chains with it, so sequences may copy from
+    the dictionary (offsets larger than the bytes produced so far)."""
+    tokens = list(_lz77_tokens(window + chunk, max_chain=max_chain, start=len(window)))
     # merge back-to-back matches at the SAME distance: the DEFLATE
     # matcher caps one match at 258 bytes, but a continued copy at an
     # unchanged distance is a single (longer) zstd sequence — long runs
@@ -476,7 +482,10 @@ def _normalize_counts(freqs: dict[int, int], acc_log: int) -> list[int]:
 
 def _write_ncount(counts: list[int], acc_log: int) -> bytes:
     """Serialize an FSE table description (inverse of the reader's
-    threshold scheme; -1 counts are never produced by the encoder)."""
+    threshold scheme). A -1 count is the spec's "less than 1"
+    probability: coded as value 0, it takes ONE slot from remaining —
+    the block encoder never produces it, but the predefined
+    distributions serialized into dictionaries do (round 13)."""
     bits: list[tuple[int, int]] = [(acc_log - 5, 4)]
     remaining = (1 << acc_log) + 1
     threshold = 1 << acc_log
@@ -491,7 +500,7 @@ def _write_ncount(counts: list[int], acc_log: int) -> bytes:
         else:
             v = value if value < threshold else value + cap
             bits.append((v, nb))
-        remaining -= c
+        remaining -= -c if c < 0 else c
         if c == 0:
             # zero-run coding: count following zeros in 2-bit groups
             run = 0
@@ -579,3 +588,97 @@ def _fse_compress_weights(weights: list[int]) -> bytes | None:
     for v, nb in reversed(reads):
         bw.add(v, nb)
     return desc + bw.close()
+
+
+# ---------------------------------------------------------------------------
+# Dictionaries (round 13): the structured format (RFC 8878 §5) for the
+# dictionary-compressed shard fixtures — content trained as the corpus
+# records' majority byte-prefix, entropy tables = the spec's predefined
+# distributions (valid to parse; consulted only if a first block opts
+# into Repeat/Treeless modes, which this encoder does not).
+# ---------------------------------------------------------------------------
+
+_DICT_MAGIC = 0xEC30A437
+
+
+def build_zstd_dictionary(
+    content: bytes, dict_id: int, reps: tuple[int, int, int] = (1, 4, 8)
+) -> bytes:
+    """Serialize a structured zstd dictionary: magic, id, Huffman
+    weights (direct form: 127 explicit weight-1 symbols + the implied
+    128th — a flat 7-bit literals table), the predefined OF/ML/LL FSE
+    distributions via the in-repo ncount writer, the three starting
+    repeat offsets, then ``content`` (the match window below output
+    offset 0). Round-trips through ``parse_zstd_dictionary``."""
+    import struct as _struct
+
+    # driver-side only (fixtures ship the BYTES to executors), so the
+    # runtime import of the decode module's spec tables is safe
+    from yark_spark.operators.zstd import _LL_DEFAULT, _ML_DEFAULT, _OF_DEFAULT
+
+    content = bytes(content)
+    if dict_id == 0:
+        raise ValueError("zstd: structured dictionary id must be non-zero")
+    for r in reps:
+        if r == 0 or r > len(content):
+            raise ValueError("zstd: dictionary rep offset out of range")
+    out = bytearray(_struct.pack("<II", _DICT_MAGIC, dict_id))
+    out.append(254)  # direct weights, 254 - 127 = 127 explicit symbols
+    out += bytes([0x11] * 63) + bytes([0x10])  # 127 nibbles of weight 1
+    for counts, log in (_OF_DEFAULT, _ML_DEFAULT, _LL_DEFAULT):
+        out += _write_ncount(list(counts), log)
+    out += _struct.pack("<III", *reps)
+    out += content
+    return bytes(out)
+
+
+def train_prefix_dictionary(
+    samples: list[bytes],
+    dict_id: int,
+    min_share: float = 0.6,
+    max_len: int = 4096,
+    gram: int = 16,
+) -> bytes:
+    """Train a content-prefix dictionary from record-shaped payloads:
+    the 16-byte substrings shared by at least ``min_share`` of the
+    samples (most-shared first), then the byte-wise majority-vote
+    PREFIX placed LAST — at the window edge, where its match offsets
+    are smallest (the layout real zstd trainers converge on: hottest
+    content nearest the data). Fully deterministic (count-then-value
+    tie-breaks), so fixture builders and listings derive the same
+    dictionary independently."""
+    if not samples:
+        raise ValueError("zstd: dictionary training needs samples")
+    # shared leading structure (a JSONL corpus's {"id":  skeleton)
+    prefix = bytearray()
+    for i in range(max_len):
+        freq: dict[int, int] = {}
+        for smp in samples:
+            if len(smp) > i:
+                freq[smp[i]] = freq.get(smp[i], 0) + 1
+        if not freq:
+            break
+        byte, n = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))
+        if n < min_share * len(samples):
+            break
+        prefix.append(byte)
+    # frequent shared substrings (counted once per sample)
+    gfreq: dict[bytes, int] = {}
+    for smp in samples:
+        for g in {smp[i : i + gram] for i in range(len(smp) - gram + 1)}:
+            gfreq[g] = gfreq.get(g, 0) + 1
+    shared = sorted(
+        (g for g, n in gfreq.items() if n >= min_share * len(samples)),
+        key=lambda g: (-gfreq[g], g),
+    )
+    body = bytearray()
+    budget = max_len - len(prefix)
+    for g in shared:
+        if len(body) + gram > budget:
+            break
+        if g not in body:  # skip grams an earlier pick already covers
+            body += g
+    content = bytes(body) + bytes(prefix)
+    if len(content) < 8:
+        raise ValueError("zstd: dictionary training found no shared content")
+    return build_zstd_dictionary(content, dict_id)
