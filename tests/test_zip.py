@@ -152,3 +152,33 @@ def test_eocd_signature_inside_comment():
     blob = buf.getvalue()
     assert zip_member_names(blob) == ["a.txt"]
     assert zip_members(blob)[0][2] == b"data"
+
+
+def test_listing_tolerates_non_numeric_member_names(spark):
+    # VERDICT r12 item #6: a README or checksum member must yield a
+    # null doc_id, not fail the shard (the tar listing's rule, now
+    # shared via containers.member_doc_id)
+    import pandas as pd
+
+    from yark_spark.operators.multimodal import zip_listing
+    from yark_spark.operators.zip_archive import zip_build
+
+    payload = zip_build(
+        [("7.txt", b"seven"), ("README.md", b"docs"), ("12.txt", b"twelve")]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"shard_id": [0], "payload": [payload]})
+    )
+    rows = {r["doc_id"]: r for r in zip_listing(df).collect()}
+    assert set(rows) == {7, 12, None}
+    assert rows[None]["digest"] is not None
+
+
+def test_member_doc_id_rule():
+    from yark_spark.operators.containers import member_doc_id
+
+    assert member_doc_id("123.txt") == 123
+    assert member_doc_id("42") == 42
+    assert member_doc_id("007leading.bin") == 7
+    assert member_doc_id("README") is None
+    assert member_doc_id("") is None

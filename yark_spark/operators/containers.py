@@ -19,9 +19,22 @@ training-pipeline surface.
 
 from __future__ import annotations
 
+import re
 import struct
 
 from yark_spark.operators.png import crc32, inflate, zlib_compress
+
+_MEMBER_KEY_RE = re.compile(r"^(\d+)")
+
+
+def member_doc_id(name: str) -> "int | None":
+    """WebDataset-style member key: the LEADING DIGITS of an archive
+    member name (or a URI tail). Returns None for non-numeric names
+    (README, PAX leftovers, checksum files) so one odd member cannot
+    fail a whole shard listing - shared by the tar/zip/WARC listings
+    (VERDICT r12 item #6)."""
+    m = _MEMBER_KEY_RE.match(name)
+    return int(m.group(1)) if m else None
 
 __all__ = [
     "decompress_auto",

@@ -1751,24 +1751,20 @@ def tar_member_listing(
     designed for, and the reason WebDataset scales to object stores."""
     _cont = _register_container_modules()
     _members = _cont.tar_members
+    _member_id = _cont.member_doc_id
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import re as _re
-
         import numpy as np
 
         # WebDataset keys are the leading digits of the member name; a
         # real-world tar can carry non-numeric members (README, PAX
         # leftovers) — those get a null doc_id instead of failing the
-        # whole shard listing.
-        _key = _re.compile(rb"^(\d+)").match
-
+        # whole shard listing (member_doc_id, shared with zip/WARC).
         for pdf in batches:
             dids, sids, names, sizes = [], [], [], []
             for sid, p in zip(pdf[shard_col], pdf[payload_col]):
                 for name, data in _members(bytes(p)):
-                    m = _key(name.encode("utf-8", "replace"))
-                    dids.append(int(m.group(1)) if m else None)
+                    dids.append(_member_id(name))
                     sids.append(int(sid))
                     names.append(name)
                     sizes.append(len(data))
@@ -1913,6 +1909,7 @@ def warc_record_listing(
     at 100 TB."""
     _cont = _register_container_modules()
     _records = _cont.warc_records
+    _member_id = _cont.member_doc_id
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1927,7 +1924,7 @@ def warc_record_listing(
                     # null doc_id instead of failing the shard.
                     uri = r["headers"].get("warc-target-uri", "")
                     tail = uri.rsplit("/", 1)[-1]
-                    dids.append(int(tail) if tail.isdigit() else None)
+                    dids.append(_member_id(tail))
                     sids.append(int(sid))
                     types.append(r["headers"]["warc-type"])
                     lens.append(len(r["block"]))
@@ -1967,6 +1964,7 @@ def warc_wet_extract(
     exactly like the real WET generator."""
     _cont = _register_container_modules()
     _records = _cont.warc_records
+    _member_id = _cont.member_doc_id
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -1984,7 +1982,7 @@ def warc_wet_extract(
                     head_end = block.find(b"\r\n\r\n")
                     body = block[head_end + 4 :] if head_end >= 0 else block
                     tail = uri.rsplit("/", 1)[-1]
-                    dids.append(int(tail) if tail.isdigit() else None)
+                    dids.append(_member_id(tail))
                     ns.append(len(body.decode("utf-8")))
                     digs.append(_hashlib.md5(body).hexdigest())
             yield pd.DataFrame(
@@ -2906,6 +2904,7 @@ def warc_wet_html_extract(
     _cp.register_pickle_by_value(_html_mod)
     _cont = _register_container_modules()
     _records = _cont.warc_records
+    _member_id = _cont.member_doc_id
     _to_text = _html_mod.html_to_text
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2928,7 +2927,7 @@ def warc_wet_html_extract(
                     # doc_id instead of failing the shard (the
                     # warc_record_listing rule, round-12 self-review)
                     tail = uri.rsplit("/", 1)[-1]
-                    dids.append(int(tail) if tail.isdigit() else None)
+                    dids.append(_member_id(tail))
                     ns.append(len(text))
                     digs.append(_hashlib.md5(text.encode("utf-8")).hexdigest())
             yield pd.DataFrame(
@@ -3833,6 +3832,9 @@ def zip_listing(
     lacks."""
     _zipmod = _register_zip_modules()
     _parse = _zipmod.zip_members
+    from yark_spark.operators import containers as _cont_mod
+
+    _member_id = _cont_mod.member_doc_id
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -3843,14 +3845,16 @@ def zip_listing(
             dids, sids, methods, ns, digs = [], [], [], [], []
             for sid, p in zip(pdf[shard_col], pdf[payload_col]):
                 for name, method, data in _parse(bytes(p), max_output=256 << 20):
-                    dids.append(int(name.split(".")[0]))
+                    # leading-digits member key; None for odd names
+                    # (README, checksums) instead of failing the shard
+                    dids.append(_member_id(name))
                     sids.append(int(sid))
                     methods.append("stored" if method == 0 else "deflate")
                     ns.append(len(data.decode("utf-8")))
                     digs.append(_hashlib.md5(data).hexdigest())
             yield pd.DataFrame(
                 {
-                    "doc_id": np.array(dids, dtype="int64"),
+                    "doc_id": pd.array(dids, dtype="Int64"),
                     "shard_id": np.array(sids, dtype="int64"),
                     "method": methods,
                     "n_chars": np.array(ns, dtype="int32"),
