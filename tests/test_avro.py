@@ -267,3 +267,125 @@ def test_container_fuzz_roundtrip():
             avro_records(avro_build(DOC_SCHEMA, recs, codec=codec, records_per_block=bs))
             == recs
         )
+
+
+# ---------------------------------------------------------------------------
+# Schema resolution (round 13)
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_resolved(writer, reader, datum):
+    from yark_spark.operators.avro_ocf import avro_encode, avro_resolve_decode
+
+    buf = avro_encode(writer, datum)
+    got, pos = avro_resolve_decode(writer, reader, buf)
+    assert pos == len(buf)
+    return got
+
+
+def test_resolution_promotions():
+    assert _roundtrip_resolved("int", "long", 7) == 7
+    assert _roundtrip_resolved("int", "double", 7) == 7.0
+    assert isinstance(_roundtrip_resolved("long", "float", 3), float)
+    assert _roundtrip_resolved("string", "bytes", "hi") == b"hi"
+    assert _roundtrip_resolved("bytes", "string", b"hi") == "hi"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot resolve"):
+        _roundtrip_resolved("double", "int", 1.5)
+
+
+def test_resolution_record_by_name_defaults_and_skip():
+    writer = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "gone", "type": "string"},  # writer-only: skipped
+            {"name": "b", "type": "string"},
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "b", "type": "string"},  # reordered: by-name match
+            {"name": "a", "type": "long"},  # promoted
+            {"name": "c", "type": "int", "default": 9},  # reader-only
+        ],
+    }
+    got = _roundtrip_resolved(writer, reader, {"a": 5, "gone": "x", "b": "t"})
+    assert got == {"a": 5, "b": "t", "c": 9}
+    reader_no_default = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "zz", "type": "int"}],
+    }
+    with pytest.raises(ValueError, match="no default"):
+        _roundtrip_resolved(writer, reader_no_default, {"a": 1, "gone": "", "b": ""})
+
+
+def test_resolution_enum_by_name():
+    w = {"type": "enum", "name": "C", "symbols": ["green", "blue", "red"]}
+    r = {"type": "enum", "name": "C", "symbols": ["red", "green", "blue"]}
+    # writer index 2 = 'red'; a positional reader would say 'blue'
+    assert _roundtrip_resolved(w, r, "red") == "red"
+    r2 = {"type": "enum", "name": "C", "symbols": ["red"], "default": "red"}
+    assert _roundtrip_resolved(w, r2, "blue") == "red"  # enum default
+    r3 = {"type": "enum", "name": "C", "symbols": ["red"]}
+    with pytest.raises(ValueError, match="unknown to reader"):
+        _roundtrip_resolved(w, r3, "blue")
+
+
+def test_resolution_unions_both_directions():
+    # writer union -> reader single
+    assert _roundtrip_resolved(["null", "string"], "string", "x") == "x"
+    # writer single -> reader union (first matching branch)
+    assert _roundtrip_resolved("int", ["null", "long"], 4) == 4
+    with pytest.raises(ValueError, match="no reader union branch"):
+        _roundtrip_resolved("string", ["null", "int"], "x")
+
+
+def test_resolution_nested_and_fixed():
+    w = {"type": "array", "items": {"type": "map", "values": "int"}}
+    r = {"type": "array", "items": {"type": "map", "values": "double"}}
+    assert _roundtrip_resolved(w, r, [{"k": 1}]) == [{"k": 1.0}]
+    fw = {"type": "fixed", "name": "F", "size": 2}
+    fr = {"type": "fixed", "name": "F", "size": 3}
+    with pytest.raises(ValueError, match="fixed size"):
+        _roundtrip_resolved(fw, fr, b"ab")
+
+
+def test_resolution_default_datum_forms():
+    from yark_spark.operators.avro_ocf import _default_datum
+
+    assert _default_datum("double", 1) == 1.0
+    # bytes defaults are code-point strings (spec): U+0001 U+00FF
+    assert _default_datum("bytes", "\u0001\u00ff") == b"\x01\xff"
+    assert _default_datum(["null", "int"], None) is None  # first branch
+    assert _default_datum({"type": "array", "items": "int"}, [1, 2]) == [1, 2]
+
+
+def test_ocf_scan_with_reader_schema():
+    from yark_spark.operators.avro_ocf import avro_build, avro_records
+
+    writer = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "tmp", "type": "string"},
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "id", "type": "double"},
+            {"name": "tag", "type": "string", "default": "none"},
+        ],
+    }
+    blob = avro_build(writer, [{"id": 3, "tmp": "x"}], codec="deflate")
+    assert avro_records(blob, reader_schema=reader) == [
+        {"id": 3.0, "tag": "none"}
+    ]

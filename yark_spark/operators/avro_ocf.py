@@ -15,10 +15,16 @@ tables, Sqoop exports and many published event corpora ship as
 .jsonl.zst (HF) and WARC (crawl) in the shard-wire family
 (SURVEY.md §2.8 E90/E95/E101). The encoder/decoder pair is fully
 SCHEMA-DRIVEN (any composition of the spec's types round-trips, not
-just the fixture record); schema RESOLUTION (reading with a different
-schema than the writer's) is a documented boundary — the reader
-always decodes with the embedded writer schema, which is what a
-whole-file scan does.
+just the fixture record). Round 13 adds schema RESOLUTION per Avro
+1.11 "Schema Resolution": pass ``reader_schema`` to ``avro_records``
+/ ``avro_scan`` and records decode with the WRITER schema from the
+file but materialize per the READER schema — record fields matched
+BY NAME (writer-only fields skipped, reader-only fields take their
+JSON defaults), int→long→float→double and string↔bytes promotions,
+enum symbols resolved by name (reader ``default`` for unknown
+symbols), and union-vs-union / union-vs-single matching both ways.
+Unresolvable pairs raise typed ValueError. Aliases stay a documented
+boundary.
 
 Decode raises typed ``ValueError`` on malformed input (bad magic,
 sync-marker mismatch, truncation, unknown codec/branch/symbol, bomb)
@@ -44,6 +50,7 @@ from yark_spark.operators.varint import read_uvarint, write_uvarint
 __all__ = [
     "avro_encode",
     "avro_decode",
+    "avro_resolve_decode",
     "avro_build",
     "avro_records",
     "avro_scan",
@@ -315,13 +322,19 @@ def avro_build(
     return bytes(out)
 
 
-def avro_records(payload: bytes, max_output: int | None = None) -> list:
+def avro_records(
+    payload: bytes, max_output: int | None = None, reader_schema=None
+) -> list:
     """Parse an Avro object container file with the embedded writer
-    schema; verifies the magic and every block's sync marker."""
-    return avro_scan(payload, max_output=max_output)[1]
+    schema; verifies the magic and every block's sync marker.
+    ``reader_schema`` (round 13) resolves every record against a
+    DIFFERENT schema per Avro 1.11 schema resolution."""
+    return avro_scan(payload, max_output=max_output, reader_schema=reader_schema)[1]
 
 
-def avro_scan(payload: bytes, max_output: int | None = None) -> tuple[str, list]:
+def avro_scan(
+    payload: bytes, max_output: int | None = None, reader_schema=None
+) -> tuple[str, list]:
     """Like ``avro_records`` but also returns the codec the file
     declares — (codec, records) — so listings can surface WHICH wire a
     shard took without re-parsing the metadata map."""
@@ -367,8 +380,172 @@ def avro_scan(payload: bytes, max_output: int | None = None) -> tuple[str, list]
         pos += 16
         rp = 0
         for _ in range(count):
-            datum, rp = avro_decode(schema, raw, rp)
+            if reader_schema is not None:
+                datum, rp = avro_resolve_decode(schema, reader_schema, raw, rp)
+            else:
+                datum, rp = avro_decode(schema, raw, rp)
             out.append(datum)
         if rp != len(raw):
             raise ValueError("avro: trailing bytes in data block")
     return codec, out
+
+
+# ---------------------------------------------------------------------------
+# Schema resolution (Avro 1.11 "Schema Resolution", round 13)
+# ---------------------------------------------------------------------------
+
+#: writer type -> reader types it promotes to (beyond exact equality)
+_PROMOTIONS = {
+    "int": ("long", "float", "double"),
+    "long": ("float", "double"),
+    "float": ("double",),
+    "string": ("bytes",),
+    "bytes": ("string",),
+}
+
+
+def _resolvable(writer, reader) -> bool:
+    """Can data written as ``writer`` be read as ``reader``? (shallow
+    check — nested mismatches surface as typed errors during decode)"""
+    tw, tr = _type_of(writer), _type_of(reader)
+    if tw == "union" or tr == "union":
+        if tw == "union" and tr != "union":
+            return any(_resolvable(b, reader) for b in writer)
+        if tw != "union" and tr == "union":
+            return any(_resolvable(writer, b) for b in reader)
+        return any(
+            any(_resolvable(wb, rb) for rb in reader) for wb in writer
+        )
+    if tw == tr:
+        return True
+    return tr in _PROMOTIONS.get(tw, ())
+
+
+def _promote(tw: str, tr: str, value):
+    if tr in ("float", "double") and tw in ("int", "long", "float"):
+        return float(value)
+    if tw == "string" and tr == "bytes":
+        return value.encode("utf-8")
+    if tw == "bytes" and tr == "string":
+        return value.decode("utf-8")
+    return value
+
+
+def _default_datum(schema, default):
+    """Materialize a reader field's JSON ``default`` as a datum of
+    ``schema`` (bytes/fixed defaults are code-point strings; a union
+    default belongs to its FIRST branch, per spec)."""
+    t = _type_of(schema)
+    if t == "union":
+        return _default_datum(schema[0], default)
+    if t in ("bytes", "fixed"):
+        return default.encode("latin-1")
+    if t == "float" or t == "double":
+        return float(default)
+    if t == "record":
+        return {
+            f["name"]: _default_datum(f["type"], default[f["name"]])
+            for f in schema["fields"]
+        }
+    if t == "array":
+        return [_default_datum(schema["items"], v) for v in default]
+    if t == "map":
+        return {k: _default_datum(schema["values"], v) for k, v in default.items()}
+    return default
+
+
+def avro_resolve_decode(writer, reader, buf, pos: int = 0):
+    """Decode one datum written under ``writer`` but materialized per
+    ``reader`` (Avro 1.11 schema resolution); returns (value,
+    next_pos). Raises typed ValueError for unresolvable pairs."""
+    tw, tr = _type_of(writer), _type_of(reader)
+    if tw == "union":
+        idx, pos = zigzag_decode(buf, pos)
+        if not 0 <= idx < len(writer):
+            raise ValueError(f"avro: union branch {idx} out of range")
+        return avro_resolve_decode(writer[idx], reader, buf, pos)
+    if tr == "union":
+        # writer non-union against a reader union: first matching branch
+        for branch in reader:
+            if _resolvable(writer, branch):
+                return avro_resolve_decode(writer, branch, buf, pos)
+        raise ValueError(
+            f"avro: no reader union branch accepts writer type {tw!r}"
+        )
+    if tw != tr:
+        if tr not in _PROMOTIONS.get(tw, ()):
+            raise ValueError(f"avro: cannot resolve writer {tw!r} as reader {tr!r}")
+        value, pos = avro_decode(writer, buf, pos)
+        return _promote(tw, tr, value), pos
+    if tw == "record":
+        reader_fields = {f["name"]: f for f in reader["fields"]}
+        out = {}
+        seen = set()
+        for wf in writer["fields"]:
+            rf = reader_fields.get(wf["name"])
+            if rf is None:
+                # writer-only field: decode and DISCARD (skip)
+                _, pos = avro_decode(wf["type"], buf, pos)
+                continue
+            out[wf["name"]], pos = avro_resolve_decode(
+                wf["type"], rf["type"], buf, pos
+            )
+            seen.add(wf["name"])
+        for rf in reader["fields"]:
+            if rf["name"] in seen:
+                continue
+            if "default" not in rf:
+                raise ValueError(
+                    f"avro: reader field {rf['name']!r} absent from writer "
+                    "and has no default"
+                )
+            out[rf["name"]] = _default_datum(rf["type"], rf["default"])
+        return out, pos
+    if tw == "array":
+        out = []
+        while True:
+            count, pos = zigzag_decode(buf, pos)
+            if count == 0:
+                return out, pos
+            if count < 0:
+                count = -count
+                _, pos = zigzag_decode(buf, pos)
+            for _ in range(count):
+                v, pos = avro_resolve_decode(
+                    writer["items"], reader["items"], buf, pos
+                )
+                out.append(v)
+    if tw == "map":
+        out = {}
+        while True:
+            count, pos = zigzag_decode(buf, pos)
+            if count == 0:
+                return out, pos
+            if count < 0:
+                count = -count
+                _, pos = zigzag_decode(buf, pos)
+            for _ in range(count):
+                kb, pos = _read_bytes(buf, pos)
+                out[kb.decode("utf-8")], pos = avro_resolve_decode(
+                    writer["values"], reader["values"], buf, pos
+                )
+    if tw == "enum":
+        idx, pos = zigzag_decode(buf, pos)
+        wsyms = writer["symbols"]
+        if not 0 <= idx < len(wsyms):
+            raise ValueError(f"avro: enum index {idx} out of range")
+        name = wsyms[idx]  # symbols resolve BY NAME, not position
+        if name in reader["symbols"]:
+            return name, pos
+        if "default" in reader:
+            return reader["default"], pos
+        raise ValueError(
+            f"avro: writer enum symbol {name!r} unknown to reader "
+            "(no enum default)"
+        )
+    if tw == "fixed":
+        if writer.get("size") != reader.get("size"):
+            raise ValueError("avro: fixed size mismatch between schemas")
+        return avro_decode(reader, buf, pos)
+    # identical primitive types
+    return avro_decode(reader, buf, pos)

