@@ -32,7 +32,14 @@ from __future__ import annotations
 import html as _htmlmod
 import re
 
-__all__ = ["html_page_fixture", "html_to_text"]
+__all__ = [
+    "html_page_fixture",
+    "html_to_text",
+    "html_blocks",
+    "classify_blocks",
+    "html_main_text",
+    "main_content_page_fixture",
+]
 
 #: Elements whose raw bodies are dropped (HTML5 script-data/RAWTEXT).
 _RAW_TEXT = ("script", "style")
@@ -162,4 +169,208 @@ def html_page_fixture(did: int, text: str) -> str:
         " <body>\n  <div>\n"
         f"   <p>{body}</p>\n"
         "  </div>\n </body>\n</html>\n"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (round 13): jusText-class block classification
+# (Pomikalek 2011) — segment at block-level tags, score each block's
+# link density and stopword density, keep the content blocks. This is
+# the boilerplate-removal pass between WET extraction and curation:
+# nav bars, sidebars, footers and cookie banners are link-dense or
+# function-word-free, article prose is neither.
+# ---------------------------------------------------------------------------
+
+
+def html_blocks(payload: "bytes | str") -> list[dict]:
+    """Segment an HTML document into text BLOCKS at block-level tags,
+    tracking per block: assembled text (same whitespace/entity rules
+    as html_to_text), word count, character count, and the characters
+    inside ``<a>`` anchors (the link-density numerator). Empty blocks
+    (markup indentation) are dropped."""
+    s = (
+        payload.decode("utf-8", "replace")
+        if isinstance(payload, (bytes, bytearray))
+        else payload
+    )
+    n = len(s)
+    i = 0
+    blocks: list[dict] = []
+    parts: list[str] = []
+    link_chars = 0
+    anchor_depth = 0
+    pending_space = False
+
+    def _flush() -> None:
+        nonlocal parts, link_chars, pending_space
+        text = "".join(parts)
+        if text.strip():
+            blocks.append(
+                {
+                    "text": text,
+                    "n_words": len(text.split()),
+                    "n_chars": len(text),
+                    "link_chars": link_chars,
+                }
+            )
+        parts = []
+        link_chars = 0
+        pending_space = False
+
+    def _text_node(raw: str) -> None:
+        nonlocal pending_space, link_chars
+        text = _htmlmod.unescape(raw)
+        if not text.strip():
+            # in-flow whitespace between inline tags separates words;
+            # indentation at a block edge does not
+            if parts and text:
+                pending_space = True
+            return
+        nonlocal_parts_append(text)
+
+    def nonlocal_parts_append(text: str) -> None:
+        nonlocal pending_space, link_chars
+        if pending_space:
+            parts.append(" ")
+            pending_space = False
+        parts.append(text)
+        if anchor_depth > 0:
+            link_chars += len(text)
+
+    while i < n:
+        lt = s.find("<", i)
+        if lt < 0:
+            _text_node(s[i:])
+            break
+        if lt > i:
+            _text_node(s[i:lt])
+        if s.startswith("<!--", lt):
+            end = s.find("-->", lt + 4)
+            i = n if end < 0 else end + 3
+            continue
+        if s.startswith("<!", lt) or s.startswith("<?", lt):
+            if s.startswith("<![CDATA[", lt):
+                end = s.find("]]>", lt + 9)
+                i = n if end < 0 else end + 3
+            else:
+                end = s.find(">", lt)
+                i = n if end < 0 else end + 1
+            continue
+        closing = s.startswith("</", lt)
+        m = _TAG_NAME.match(s, lt + (2 if closing else 1))
+        if not m:
+            _text_node("<")
+            i = lt + 1
+            continue
+        name = m.group(0).lower()
+        gt = _find_tag_end(s, m.end())
+        if gt < 0:
+            break
+        i = gt + 1
+        if not closing and name in _RAW_TEXT:
+            close = re.compile(rf"</{name}\s*>", re.IGNORECASE).search(s, i)
+            i = n if close is None else close.end()
+            if name in _BLOCK:
+                _flush()
+            continue
+        if name == "a":
+            anchor_depth = max(0, anchor_depth - 1) if closing else anchor_depth + 1
+            continue
+        if name in _BLOCK:
+            _flush()
+    _flush()
+    return blocks
+
+
+def classify_blocks(
+    blocks: list[dict],
+    stopwords: frozenset[str],
+    max_link_density_num: int = 1,
+    max_link_density_den: int = 3,
+    length_low: int = 5,
+    stop_num: int = 1,
+    stop_den: int = 4,
+) -> list[str]:
+    """jusText-class two-pass classification. Context-free: a block
+    whose linked characters reach ``max_link_density`` (default 1/3)
+    is ``bad``; fewer than ``length_low`` words is ``short``; stopword
+    density at or above ``stop_num/stop_den`` (default 1/4) is
+    ``good``; else ``bad``. Context pass: each ``short`` block takes
+    ``good`` iff its nearest NON-short neighbor on either side is
+    good (the header/footnote rule). All thresholds are INTEGER
+    cross-multiplications so the SQL oracle is drift-free.
+    Simplification, documented: one stopword threshold instead of
+    jusText's neargood band, and no h-tag special case."""
+    ctx_free: list[str] = []
+    for b in blocks:
+        if b["n_chars"] > 0 and b["link_chars"] * max_link_density_den >= (
+            b["n_chars"] * max_link_density_num
+        ):
+            ctx_free.append("bad")
+        elif b["n_words"] < length_low:
+            ctx_free.append("short")
+        else:
+            stops = sum(1 for w in b["text"].split() if w.lower() in stopwords)
+            ctx_free.append(
+                "good" if stops * stop_den >= b["n_words"] * stop_num else "bad"
+            )
+    final = list(ctx_free)
+    for k, c in enumerate(ctx_free):
+        if c != "short":
+            continue
+        neigh = []
+        for j in range(k - 1, -1, -1):
+            if ctx_free[j] != "short":
+                neigh.append(ctx_free[j])
+                break
+        for j in range(k + 1, len(ctx_free)):
+            if ctx_free[j] != "short":
+                neigh.append(ctx_free[j])
+                break
+        final[k] = "good" if "good" in neigh else "bad"
+    return final
+
+
+def html_main_text(payload: "bytes | str", stopwords: frozenset[str]) -> str:
+    """The retained MAIN content of a page: blocks classified good,
+    joined by newlines (the jusText output shape)."""
+    blocks = html_blocks(payload)
+    classes = classify_blocks(blocks, stopwords)
+    return "\n".join(b["text"] for b, c in zip(blocks, classes) if c == "good")
+
+
+def main_content_page_fixture(did: int, text: str, words_per_block: int = 12) -> str:
+    """A realistic page around a document's words: link-dense nav /
+    sidebar / footer, a short heading, a stopword-free cookie banner,
+    and the document text as 12-word paragraphs — constructed so the
+    retained main content is EXACTLY the good paragraphs (every
+    boilerplate block is link-dense, short-with-bad-neighbors, or
+    function-word-free)."""
+    words = text.split()
+    paras = "\n  ".join(
+        f"<p>{_htmlmod.escape(' '.join(words[k : k + words_per_block]))}</p>"
+        for k in range(0, len(words), words_per_block)
+    )
+    return (
+        "<!DOCTYPE html>\n<html>\n<head>\n"
+        f" <title>doc {int(did)}</title>\n"
+        f" <script>var nav = '<p>menu {int(did)}</p>';</script>\n"
+        " <style>nav { color: #333; }</style>\n"
+        "</head>\n<body>\n"
+        " <nav><ul>\n"
+        '  <li><a href="/">home page of the site</a></li>\n'
+        f'  <li><a href="/archive">archive for doc {int(did)}</a></li>\n'
+        '  <li><a href="/about">about the data team</a></li>\n'
+        " </ul></nav>\n"
+        f" <h1>Document {int(did)}</h1>\n"
+        ' <div class="banner">cookies consent preferences tracking'
+        " settings accept disable manage</div>\n"
+        " <article>\n"
+        f"  {paras}\n"
+        " </article>\n"
+        ' <aside><a href="/rel">related content for readers</a>'
+        ' <a href="/top">trending in the archive</a></aside>\n'
+        ' <footer><a href="/privacy">privacy policy</a>'
+        ' <a href="/terms">terms</a> (c) site</footer>\n'
+        "</body>\n</html>\n"
     )

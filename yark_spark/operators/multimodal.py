@@ -3651,6 +3651,112 @@ def avro_evolve_listing(
     )
 
 
+#: Fixture "language model" for jusText-class classification: the
+#: synthetic corpus's function words (its a/the plus the highest-
+#: frequency nouns) — jusText ships per-language stopword lists, and
+#: this is the fixture language's. ~26% corpus hit rate, so 12-word
+#: blocks genuinely split between good and bad.
+MAIN_CONTENT_STOPWORDS = frozenset(
+    {"a", "the", "table", "row", "value", "key", "data", "line"}
+)
+
+MAIN_CONTENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_blocks_kept", IntegerType()),
+        StructField("n_words_kept", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def with_main_content_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic boilerplate-heavy page fixture (round 13): the
+    document's words as 12-word paragraphs inside a page carrying a
+    link-dense nav/sidebar/footer, a short heading and a stopword-free
+    cookie banner (operators/html.main_content_page_fixture). Map-only
+    mapInPandas; the html module ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import html as _html_mod
+
+    _cp.register_pickle_by_value(_html_mod)
+    _page = _html_mod.main_content_page_fixture
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _page(int(d), t).encode("utf-8")
+                for d, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def main_content_features(
+    df: DataFrame,
+    stopwords: frozenset = MAIN_CONTENT_STOPWORDS,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """jusText-class main-content extraction (round 13): segment each
+    page into blocks, classify by link density / length / stopword
+    density (integer thresholds) with the short-block context pass,
+    and emit per-doc (kept blocks, kept words, md5 of the retained
+    text). Docs whose every block is boilerplate are omitted (the SQL
+    twin's GROUP BY over good blocks drops them too). Map-only
+    mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import html as _html_mod
+
+    _cp.register_pickle_by_value(_html_mod)
+    _blocks = _html_mod.html_blocks
+    _classify = _html_mod.classify_blocks
+    _stop = frozenset(stopwords)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            dids, nbs, nws, digs = [], [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                blocks = _blocks(bytes(p))
+                classes = _classify(blocks, _stop)
+                kept = [b for b, c in zip(blocks, classes) if c == "good"]
+                if not kept:
+                    continue
+                text = "\n".join(b["text"] for b in kept)
+                dids.append(int(did))
+                nbs.append(len(kept))
+                nws.append(sum(b["n_words"] for b in kept))
+                digs.append(_hashlib.md5(text.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(dids, dtype="int64"),
+                    "n_blocks_kept": np.array(nbs, dtype="int32"),
+                    "n_words_kept": np.array(nws, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, MAIN_CONTENT_SCHEMA
+    )
+
+
 def with_qoi_payload(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
