@@ -197,3 +197,80 @@ def q_html_main_content(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     return main_content_features(with_main_content_payload(docs))
+
+
+def _unigram_oracle() -> str:
+    """DuckDB re-derivation of Viterbi unigram encoding by BRUTE
+    FORCE: a recursive CTE enumerates EVERY segmentation of every
+    distinct word (carrying integer pico-cost and the token string),
+    one window picks the same (cost, toks) argmin the Spark DP
+    computes, unreachable words collapse to [UNK], and the per-doc
+    md5 of the ordered token stream pins every piece boundary.
+    Enumeration is bounded by the tiny corpus vocabulary and short
+    words (compositions of len<=8 into parts<=4); the Spark side runs
+    true Viterbi, so the hash match proves the DP against exhaustive
+    search."""
+    from yark_spark.operators.unigram import UNIGRAM_PIECES
+
+    values = ", ".join(f"('{p}', {c})" for p, c in UNIGRAM_PIECES)
+    return (
+        "WITH RECURSIVE "
+        f"pieces(piece, cost) AS (VALUES {values}), "
+        "docs AS (SELECT doc_id, lower(text) AS t FROM documents), "
+        "wl AS (SELECT doc_id, string_split_regex(t, '[^a-z0-9]+') AS arr "
+        "FROM docs), "
+        "words AS (SELECT doc_id, g.i AS word_no, list_extract(arr, g.i) AS word "
+        "FROM wl, unnest(generate_series(1, len(arr))) AS g(i) "
+        "WHERE list_extract(arr, g.i) != ''), "
+        "dw AS (SELECT DISTINCT word FROM words), "
+        "paths(word, p, cost, toks) AS ("
+        "SELECT word, 1, CAST(0 AS BIGINT), CAST('' AS VARCHAR) FROM dw "
+        "UNION ALL "
+        "SELECT w.word, w.p + length(pc.piece), w.cost + pc.cost, "
+        "CASE WHEN w.toks = '' THEN pc.piece "
+        "ELSE w.toks || ' ' || pc.piece END "
+        "FROM paths w JOIN pieces pc "
+        "ON substr(w.word, w.p, length(pc.piece)) = pc.piece "
+        "WHERE w.p <= length(w.word)), "
+        "done AS (SELECT word, cost, toks FROM paths "
+        "WHERE p = length(word) + 1), "
+        "best AS (SELECT word, toks FROM ("
+        "SELECT word, toks, row_number() OVER "
+        "(PARTITION BY word ORDER BY cost, toks) AS rn FROM done) WHERE rn = 1), "
+        "word_tokens AS ("
+        "SELECT d.word, coalesce(b.toks, '[UNK]') AS toks, "
+        "CAST(len(string_split(coalesce(b.toks, '[UNK]'), ' ')) AS INTEGER) "
+        "AS n_toks FROM dw d LEFT JOIN best b USING (word)), "
+        "doc_tokens AS (SELECT ws.doc_id, ws.word_no, wt.toks, wt.n_toks "
+        "FROM words ws JOIN word_tokens wt ON wt.word = ws.word) "
+        "SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words, "
+        "CAST(sum(n_toks) AS INTEGER) AS n_tokens, "
+        "CAST(count(*) FILTER (WHERE toks = '[UNK]') AS INTEGER) AS n_unk, "
+        "md5(string_agg(toks, ' ' ORDER BY word_no)) AS digest "
+        "FROM doc_tokens GROUP BY doc_id"
+    )
+
+
+@query("q_unigram_encode", oracle=_unigram_oracle())
+def q_unigram_encode(spark, sf_dir):
+    """E127 Unigram-LM tokenization (round 13, VERDICT r12 item #2):
+    the SentencePiece algorithm (Kudo 2018) completing the tokenizer
+    trio beside BPE (E48/E76', merge-driven) and WordPiece (E107,
+    greedy munch) — a TRAINED piece table (sequential EM over the
+    corpus's embedded word-frequency profile: substring seed,
+    forward-backward expected counts, renormalize, prune to
+    singles + top multis) with integer pico-costs, and VITERBI
+    encoding as suffix DP under (cost, token-string) ordering, ties
+    breaking to the lexicographically smallest stream on both sides.
+    The oracle re-derives every word's segmentation by EXHAUSTIVE
+    recursive-CTE enumeration + one argmin window, so the digest
+    match proves the DP against brute force. The distributed EM twin
+    (one partial-agg shuffle per sweep, piece table in the closure —
+    broadcast at 100 TB) is pinned against the sequential trainer in
+    tests/test_unigram.py. Map-only mapInPandas with a per-batch
+    distinct-word memo; token streams never shuffle. UNBOUNDED over
+    the corpus — carries a 20x/50x lane like WordPiece."""
+    from yark_spark.operators.unigram import unigram_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_features(docs)
