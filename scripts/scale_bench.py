@@ -62,6 +62,9 @@ EXTRA = [
     # round 12: the session-2 key whose cost scales with the corpus
     # (the wire/codec keys are fixed-doc-range fixtures by design)
     "q_wordpiece_encode",      # map-only munch + distinct-word memo
+    # round 13: the one new key whose cost scales with the corpus (pdf/
+    # zstd-dict/avro/main-content keys are fixed-doc-range fixtures)
+    "q_unigram_encode",        # map-only Viterbi + distinct-word memo
 ]
 
 

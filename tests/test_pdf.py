@@ -255,3 +255,114 @@ def test_freed_object_tombstone_blocks_older_revision():
     )
     offs = _xref_offsets(blob)
     assert 5 not in offs and offs["__root__"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-13 stream-filter family (ISO 32000-1 §7.4): ASCIIHex/ASCII85,
+# RunLength, LZW (both /EarlyChange regimes), chains, fixture cycle
+# ---------------------------------------------------------------------------
+
+
+def test_ascii_hex_vectors():
+    from yark_spark.operators.pdf import ascii_hex_decode, ascii_hex_encode
+
+    assert ascii_hex_decode(b"48656C6C6F>") == b"Hello"
+    assert ascii_hex_decode(b"48 65\n6C\t6c 6F >") == b"Hello"  # ws + case
+    assert ascii_hex_decode(b"7>") == b"\x70"  # odd digit: low nibble 0
+    assert ascii_hex_decode(b">") == b""
+    assert ascii_hex_decode(ascii_hex_encode(bytes(range(256)))) == bytes(range(256))
+    with pytest.raises(ValueError, match="non-hex"):
+        ascii_hex_decode(b"4G>")
+    with pytest.raises(ValueError, match="EOD"):
+        ascii_hex_decode(b"48656C")
+
+
+def test_ascii85_vectors():
+    from yark_spark.operators.pdf import ascii85_decode, ascii85_encode
+
+    # 'Man ' is the canonical btoa vector -> 9jqo^
+    assert ascii85_encode(b"Man ") == b"9jqo^~>"
+    assert ascii85_decode(b"9jqo^~>") == b"Man "
+    assert ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert ascii85_decode(b"<~z~>") == b"\x00\x00\x00\x00"  # Adobe leader
+    # partial groups: n+1 chars -> n bytes
+    for n in range(1, 9):
+        data = bytes(range(65, 65 + n))
+        assert ascii85_decode(ascii85_encode(data)) == data
+    with pytest.raises(ValueError, match="lone trailing"):
+        ascii85_decode(b"9~>")
+    with pytest.raises(ValueError, match="inside a group"):
+        ascii85_decode(b"9z~>")
+    with pytest.raises(ValueError, match="overflow"):
+        ascii85_decode(b"uuuuu~>")  # > 2^32-1
+    with pytest.raises(ValueError, match="out of range"):
+        ascii85_decode(b"9jv\x19o~>")
+    with pytest.raises(ValueError, match="EOD"):
+        ascii85_decode(b"9jqo^")
+
+
+def test_run_length_vectors():
+    from yark_spark.operators.pdf import run_length_decode, run_length_encode
+
+    # literal of 3 + run of 4 + EOD
+    assert run_length_decode(b"\x02abc\xfdx\x80") == b"abcxxxx"
+    assert run_length_decode(b"\x80") == b""
+    # data after EOD is ignored per spec
+    assert run_length_decode(b"\x00Q\x80IGNORED") == b"Q"
+    data = b"aaaabcdddddddd" * 40
+    assert run_length_decode(run_length_encode(data)) == data
+    with pytest.raises(ValueError, match="EOD"):
+        run_length_decode(b"\x00Q")
+    with pytest.raises(ValueError, match="literal past end"):
+        run_length_decode(b"\x05ab")
+    with pytest.raises(ValueError, match="run past end"):
+        run_length_decode(b"\xfd")
+
+
+def test_lzw_early_change_regimes():
+    from yark_spark.operators.tiff import lzw_decode, lzw_encode
+
+    # long enough to cross the 9->10 bit width boundary: the two
+    # regimes MUST disagree past it (that's the whole point of the parm)
+    data = bytes((i * 7) % 251 for i in range(4000))
+    e1 = lzw_encode(data, early_change=True)
+    e0 = lzw_encode(data, early_change=False)
+    assert lzw_decode(e1, early_change=True) == data
+    assert lzw_decode(e0, early_change=False) == data
+    with pytest.raises(ValueError):
+        lzw_decode(e0, early_change=True)
+
+
+def test_filter_chain_order_and_parms_on_wire():
+    from yark_spark.operators.pdf import pdf_build, pdf_text
+
+    lines = [[f"word{i} " * 3 for i in range(5)] for _ in range(15)]
+    pages = [[ln.strip() for ln in pg] for pg in lines]
+    blob = pdf_build(pages, content_filters="cycle")
+    # every §7.4 filter name and the chain/parm forms are on the wire
+    for needle in (
+        b"/Filter /LZWDecode",
+        b"/Filter /RunLengthDecode",
+        b"/Filter /ASCIIHexDecode",
+        b"/Filter [/ASCII85Decode /FlateDecode]",
+        b"/DecodeParms << /EarlyChange 0 >>",
+    ):
+        assert needle in blob, needle
+    expect = " ".join(w for pg in pages for ln in pg for w in ln.split())
+    assert pdf_text(blob) == expect
+
+
+def test_filter_cycle_matches_flate_odd_text():
+    from yark_spark.operators.pdf import pdf_build, pdf_text
+
+    pages = [[f"line {i} alpha beta"] for i in range(9)]
+    a = pdf_text(pdf_build(pages))
+    b = pdf_text(pdf_build(pages, content_filters="cycle"))
+    assert a == b
+
+
+def test_filter_cycle_xrefstream_is_typed_error():
+    from yark_spark.operators.pdf import pdf_build
+
+    with pytest.raises(ValueError, match="classic-layout"):
+        pdf_build([["x"]], xref_stream=True, content_filters="cycle")

@@ -4855,11 +4855,27 @@ def docx_extract_features(
     )
 
 
+def _register_pdf_modules():
+    """Ship the pdf module and its dependency chain by value: png
+    (zlib/DEFLATE) via the container set, and tiff (the shared LZW
+    wire — pdf's LZWDecode delegates to it since round 13)."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import pdf as _pdf_mod
+    from yark_spark.operators import tiff as _tiff_mod
+
+    _register_container_modules()
+    _cp.register_pickle_by_value(_tiff_mod)
+    _cp.register_pickle_by_value(_pdf_mod)
+    return _pdf_mod
+
+
 def with_pdf_payload(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     layout: str = "classic",
+    filters: str = "flate_odd",
 ) -> DataFrame:
     """Deterministic PDF fixture (round 12): the document's words
     become 6-word text lines, 5 lines per page, multi-page documents
@@ -4869,17 +4885,22 @@ def with_pdf_payload(
     alternates per doc between the classic xref TABLE and the PDF 1.5
     xref-STREAM + /ObjStm layout, so one oracle digest pins both
     cross-reference grammars. Map-only mapInPandas; the pdf module
-    (and its png/zlib dependency) ships by value."""
-    from pyspark import cloudpickle as _cp
-
-    from yark_spark.operators import pdf as _pdf_mod
-
+    (and its png/zlib + tiff/LZW dependencies) ships by value.
+    ``filters='cycle'`` (round 13) rotates the CLASSIC layout's
+    content-stream /Filter through the full §7.4 family per page —
+    none / Flate / LZW / RunLength / ASCIIHex / [A85→Flate chain] /
+    LZW with /EarlyChange 0 — so the digest pins every filter
+    decoder."""
     if layout not in ("classic", "cycle"):
         raise ValueError(f"pdf fixture: unknown layout {layout!r}")
-    _register_container_modules()  # png (zlib/DEFLATE)
-    _cp.register_pickle_by_value(_pdf_mod)
+    if filters not in ("flate_odd", "cycle"):
+        raise ValueError(f"pdf fixture: unknown filter mode {filters!r}")
+    if filters == "cycle" and layout != "classic":
+        raise ValueError("pdf fixture: filter cycling is classic-layout only")
+    _pdf_mod = _register_pdf_modules()
     _build = _pdf_mod.pdf_build
     _cycle = layout == "cycle"
+    _filters = filters
 
     def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
@@ -4889,7 +4910,11 @@ def with_pdf_payload(
                 lines = [" ".join(words[k : k + 6]) for k in range(0, len(words), 6)]
                 pages = [lines[p : p + 5] for p in range(0, len(lines), 5)]
                 payloads.append(
-                    _build(pages or [[""]], xref_stream=_cycle and int(did) % 2 == 1)
+                    _build(
+                        pages or [[""]],
+                        xref_stream=_cycle and int(did) % 2 == 1,
+                        content_filters=_filters,
+                    )
                 )
             yield pd.DataFrame(
                 {"doc_id": pdf_batch[id_col].astype("int64"), "payload": payloads}
@@ -4912,13 +4937,7 @@ def pdf_extract_features(
     (n_chars, md5 digest) of the recovered text — the largest
     "documents" vertical of web crawls under the extraction family's
     one-hash certificate. Map-only mapInPandas."""
-    from pyspark import cloudpickle as _cp
-
-    from yark_spark.operators import pdf as _pdf_mod
-
-    _register_container_modules()
-    _cp.register_pickle_by_value(_pdf_mod)
-    _extract_text = _pdf_mod.pdf_text
+    _extract_text = _register_pdf_modules().pdf_text
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib

@@ -41,6 +41,9 @@ from __future__ import annotations
 import re
 
 from yark_spark.operators.png import _unfilter, zlib_compress, zlib_decompress
+from yark_spark.operators.tiff import lzw_decode as _lzw_decode
+from yark_spark.operators.tiff import lzw_encode as _lzw_encode
+from yark_spark.operators.tiff import packbits_encode as _packbits_encode
 
 __all__ = ["pdf_build", "pdf_text"]
 
@@ -78,11 +81,39 @@ def _content_stream(lines: list[str]) -> bytes:
     return "\n".join(ops).encode("latin-1")
 
 
+def _encode_content(data: bytes, k: int) -> tuple[bytes, bytes]:
+    """Encode one content stream under filter-cycle slot ``k`` (0–6),
+    returning (dict-fragment after /Length, wire bytes). Slot 5 is a
+    two-stage chain (§7.4.1: /Filter arrays list DECODE order, so the
+    wire is a85(flate(data))); slot 6 pins the /EarlyChange 0 LZW
+    variant."""
+    if k == 1:
+        return b" /Filter /FlateDecode", zlib_compress(data)
+    if k == 2:
+        return b" /Filter /LZWDecode", _lzw_encode(data)
+    if k == 3:
+        return b" /Filter /RunLengthDecode", run_length_encode(data)
+    if k == 4:
+        return b" /Filter /ASCIIHexDecode", ascii_hex_encode(data)
+    if k == 5:
+        return (
+            b" /Filter [/ASCII85Decode /FlateDecode]",
+            ascii85_encode(zlib_compress(data)),
+        )
+    if k == 6:
+        return (
+            b" /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>",
+            _lzw_encode(data, early_change=False),
+        )
+    return b"", data
+
+
 def pdf_build(
     pages: list[list[str]],
     compress_odd: bool = True,
     words_per_line: int = 6,
     xref_stream: bool = False,
+    content_filters: str = "flate_odd",
 ) -> bytes:
     """Build a PDF: one page per entry, each a list of text lines;
     odd pages' content streams are FlateDecode-compressed through the
@@ -92,8 +123,15 @@ def pdf_build(
     stream referenced by type-2 entries, and TWO chained cross-
     reference STREAMS (``/W [1 3 2]``, multi-subsection ``/Index``,
     ``/Prev``, the second PNG-Up predicted via ``/DecodeParms
-    /Predictor 12``) — the post-2005 real-world layout."""
+    /Predictor 12``) — the post-2005 real-world layout.
+    ``content_filters='cycle'`` (round 13, classic layout only)
+    rotates each page's content stream through the §7.4 filter
+    family instead of the flate-odd default."""
+    if content_filters not in ("flate_odd", "cycle"):
+        raise ValueError(f"pdf: unknown content_filters {content_filters!r}")
     if xref_stream:
+        if content_filters != "flate_odd":
+            raise ValueError("pdf: filter cycling is a classic-layout fixture")
         return _pdf_build_xrefstream(pages, compress_odd)
     objects: dict[int, bytes] = {}
     n_pages = len(pages)
@@ -119,7 +157,16 @@ def pdf_build(
             f"/Contents {content_no} 0 R >>".encode()
         )
         data = _content_stream(lines)
-        if compress_odd and i % 2 == 1:
+        if content_filters == "cycle":
+            frag, wire = _encode_content(data, i % 7)
+            objects[content_no] = (
+                f"<< /Length {len(wire)}".encode()
+                + frag
+                + b" >>\nstream\n"
+                + wire
+                + b"\nendstream"
+            )
+        elif compress_odd and i % 2 == 1:
             comp = zlib_compress(data)
             # /Length as an INDIRECT reference — readers must resolve
             length_no = next_length_no
@@ -693,6 +740,145 @@ class _Pdf:
 _FILTER_OK = (None, "FlateDecode")
 
 
+# ---------------------------------------------------------------------------
+# Non-Flate stream filters (ISO 32000-1 §7.4): the ASCII armor pair,
+# RunLength, and LZW (shared with the TIFF codec — same MSB-first wire,
+# PDF adds the /EarlyChange 0 variant). Each has an encoder so the
+# fixture writer can put every filter on the wire under the one oracle
+# digest. DCT/CCITT/JBIG2/JPX/Crypt stay typed boundaries (image and
+# encryption territory).
+# ---------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+
+
+def ascii_hex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, ``>``
+    EOD required, an odd final digit takes a zero low nibble."""
+    out = bytearray()
+    pending = -1
+    for c in data:
+        if c in _WS:
+            continue
+        if c == 0x3E:  # '>'
+            if pending >= 0:
+                out.append(pending << 4)
+            return bytes(out)
+        if 0x30 <= c <= 0x39:
+            v = c - 0x30
+        elif 0x41 <= c <= 0x46:
+            v = c - 0x37
+        elif 0x61 <= c <= 0x66:
+            v = c - 0x57
+        else:
+            raise ValueError(f"pdf: ASCIIHexDecode: non-hex byte {c:#x}")
+        if pending < 0:
+            pending = v
+        else:
+            out.append((pending << 4) | v)
+            pending = -1
+    raise ValueError("pdf: ASCIIHexDecode missing '>' EOD")
+
+
+def ascii_hex_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3): base-85 groups ``!``–``u`` → 4 bytes,
+    ``z`` = four zero bytes (whole-group shorthand only), ``~>`` EOD
+    required; a partial final group of n chars yields n−1 bytes (pad
+    with ``u``, keep the high-order bytes)."""
+    out = bytearray()
+    group: list[int] = []
+    i, n = 0, len(data)
+    if data[:2] == b"<~":  # Adobe-style leader, tolerated
+        i = 2
+    while i < n:
+        c = data[i]
+        i += 1
+        if c in _WS:
+            continue
+        if c == 0x7E:  # '~'
+            if i < n and data[i] == 0x3E:
+                if len(group) == 1:
+                    raise ValueError("pdf: ASCII85Decode lone trailing char")
+                if group:
+                    k = len(group)
+                    v = 0
+                    for g in group + [84] * (5 - k):
+                        v = v * 85 + g
+                    if v > 0xFFFFFFFF:
+                        raise ValueError("pdf: ASCII85Decode group overflow")
+                    out += v.to_bytes(4, "big")[: k - 1]
+                return bytes(out)
+            raise ValueError("pdf: ASCII85Decode stray '~'")
+        if c == 0x7A:  # 'z'
+            if group:
+                raise ValueError("pdf: ASCII85Decode 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise ValueError(f"pdf: ASCII85Decode byte {c:#x} out of range")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("pdf: ASCII85Decode group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+    raise ValueError("pdf: ASCII85Decode missing '~>' EOD")
+
+
+def ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for k in range(0, len(data), 4):
+        chunk = data[k : k + 4]
+        pad = 4 - len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * pad, "big")
+        if v == 0 and pad == 0:
+            out.append(0x7A)  # 'z'
+            continue
+        digits = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            digits.append(r + 0x21)
+        out += bytes(reversed(digits))[: 5 - pad]
+    return bytes(out) + b"~>"
+
+
+def run_length_decode(data: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5): PackBits with length byte 128 as a
+    REQUIRED EOD (TIFF treats it as a no-op — the one wire
+    difference)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            return bytes(out)
+        if length < 128:
+            if i + length + 1 > n:
+                raise ValueError("pdf: RunLengthDecode literal past end")
+            out += data[i : i + length + 1]
+            i += length + 1
+        else:
+            if i >= n:
+                raise ValueError("pdf: RunLengthDecode run past end")
+            out += bytes([data[i]]) * (257 - length)
+            i += 1
+    raise ValueError("pdf: RunLengthDecode missing EOD")
+
+
+def run_length_encode(data: bytes) -> bytes:
+    # PackBits never emits control byte 128, so appending the PDF EOD
+    # to the TIFF encoder's output is a valid RunLengthEncode wire.
+    return _packbits_encode(data) + b"\x80"
+
+
 def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     """Reverse PNG row prediction (/Predictor 10–15) via the in-repo
     PNG unfilter: rows of (filter_type, bytes) with stride derived
@@ -705,10 +891,33 @@ def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     return bytes(_unfilter(data, height, stride, bpp))
 
 
+def _maybe_unpredict(data: bytes, parm, resolve) -> bytes:
+    """Apply the /Predictor half of /DecodeParms (shared by Flate and
+    LZW per §7.4.4.4): 1/absent = none, 10–15 = the PNG row filters;
+    TIFF Predictor 2 stays a typed boundary."""
+    if not isinstance(parm, dict):
+        return data
+    pred = resolve(parm.get("Predictor", 1))
+    if pred in (None, 1):
+        return data
+    if isinstance(pred, int) and 10 <= pred <= 15:
+        return _png_unpredict(
+            data,
+            int(resolve(parm.get("Columns", 1))),
+            int(resolve(parm.get("Colors", 1))),
+            int(resolve(parm.get("BitsPerComponent", 8))),
+        )
+    raise NotImplementedError(
+        f"pdf: predictor {pred} not supported (PNG 10-15 only)"
+    )
+
+
 def _apply_filters(d: dict, data: bytes, resolve) -> bytes:
     """Run a stream's /Filter pipeline (with per-filter /DecodeParms):
-    FlateDecode plus the PNG predictors xref streams use in the wild;
-    TIFF Predictor 2 and other filters are typed boundaries."""
+    FlateDecode and LZWDecode (both with the PNG predictors and, for
+    LZW, /EarlyChange), the ASCIIHex/ASCII85 armor pair, and
+    RunLengthDecode — chains applied in listed order per §7.4.1.
+    DCT/CCITT/JBIG2/JPX/Crypt remain typed boundaries."""
     filt = resolve(d.get("Filter"))
     if filt is None:
         return data
@@ -718,28 +927,28 @@ def _apply_filters(d: dict, data: bytes, resolve) -> bytes:
     if len(parms_list) < len(filters):
         parms_list = list(parms_list) + [None] * (len(filters) - len(parms_list))
     for f, parm in zip(filters, parms_list):
+        parm = resolve(parm)
         if f == "FlateDecode":
             data = zlib_decompress(data, max_output=64 << 20)
-            parm = resolve(parm)
+            data = _maybe_unpredict(data, parm, resolve)
+        elif f == "LZWDecode":
+            early = 1
             if isinstance(parm, dict):
-                pred = resolve(parm.get("Predictor", 1))
-                if pred in (None, 1):
-                    pass
-                elif isinstance(pred, int) and 10 <= pred <= 15:
-                    data = _png_unpredict(
-                        data,
-                        int(resolve(parm.get("Columns", 1))),
-                        int(resolve(parm.get("Colors", 1))),
-                        int(resolve(parm.get("BitsPerComponent", 8))),
-                    )
-                else:
-                    raise NotImplementedError(
-                        f"pdf: predictor {pred} not supported (PNG 10-15 only)"
-                    )
+                early = int(resolve(parm.get("EarlyChange", 1)))
+            data = _lzw_decode(
+                data, max_output=64 << 20, early_change=early != 0
+            )
+            data = _maybe_unpredict(data, parm, resolve)
+        elif f == "ASCIIHexDecode":
+            data = ascii_hex_decode(data)
+        elif f == "ASCII85Decode":
+            data = ascii85_decode(data)
+        elif f == "RunLengthDecode":
+            data = run_length_decode(data)
         else:
             raise NotImplementedError(
-                f"pdf: filter {f} not supported (FlateDecode only — "
-                "DCT/CCITT/LZW streams are image/legacy territory)"
+                f"pdf: filter {f} not supported (DCT/CCITT/JBIG2/JPX/"
+                "Crypt are image/encryption territory)"
             )
     return data
 

@@ -102,8 +102,16 @@ _CLEAR = 256
 _EOI = 257
 
 
-def lzw_decode(data: bytes, max_output: int = 1 << 26) -> bytes:
+def lzw_decode(
+    data: bytes, max_output: int = 1 << 26, early_change: bool = True
+) -> bytes:
+    """``early_change=True`` is the TIFF 6.0 §13 discipline (widths bump
+    one code early — the historic off-by-one the spec canonized) and
+    ALSO PDF's ``/EarlyChange 1`` default; ``early_change=False`` is
+    PDF ``/EarlyChange 0`` (spec-exact widening, ISO 32000-1 §7.4.4.2),
+    where the decoder widens one table entry later."""
     out = bytearray()
+    early = 2 if early_change else 1
     bitpos, nbits = 0, len(data) * 8
 
     def read_code(width: int) -> int:
@@ -149,13 +157,14 @@ def lzw_decode(data: bytes, max_output: int = 1 << 26) -> bytes:
         # 510/1022/2046 lands — and the decoder's table lags the
         # encoder's by exactly one entry at the same wire position, so
         # it widens at (1<<width)-2 where the encoder uses (1<<width)-1
-        if len(table) == (1 << width) - 2 and width < 12:
+        if len(table) == (1 << width) - early and width < 12:
             width += 1
     return bytes(out)
 
 
-def lzw_encode(data: bytes) -> bytes:
+def lzw_encode(data: bytes, early_change: bool = True) -> bytes:
     out = bytearray()
+    early = 2 if early_change else 1
     acc, nacc = 0, 0
 
     def write_code(code: int, width: int) -> None:
@@ -189,7 +198,7 @@ def lzw_encode(data: bytes) -> bytes:
 
     def emit(code: int) -> None:
         nonlocal width, dec_table, first_since_clear
-        if dec_table == (1 << width) - 2 and width < 12:
+        if dec_table == (1 << width) - early and width < 12:
             width += 1  # early change, at the decoder's position
         write_code(code, width)
         if first_since_clear:
@@ -199,7 +208,7 @@ def lzw_encode(data: bytes) -> bytes:
 
     def emit_clear() -> None:
         nonlocal width, dec_table, first_since_clear, table, next_code, w
-        if dec_table == (1 << width) - 2 and width < 12:
+        if dec_table == (1 << width) - early and width < 12:
             width += 1
         write_code(_CLEAR, width)
         width = 9
@@ -224,7 +233,7 @@ def lzw_encode(data: bytes) -> bytes:
             emit_clear()
     if w:
         emit(table[w])
-    if dec_table == (1 << width) - 2 and width < 12:
+    if dec_table == (1 << width) - early and width < 12:
         width += 1  # the decoder reads EOI at the bumped width too
     write_code(_EOI, width)
     if nacc:

@@ -50,6 +50,33 @@ def q_pdf_extract_xrefstream(spark, sf_dir):
     return pdf_extract_features(with_pdf_payload(docs, layout="cycle"))
 
 
+_PDF_FILTER_ORACLE = (
+    "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 400"
+)
+
+
+@query("q_pdf_filter_cycle", oracle=_PDF_FILTER_ORACLE)
+def q_pdf_filter_cycle(spark, sf_dir):
+    """E128 PDF stream-filter family (round 13): the q_pdf_extract
+    wire with each page's content stream rotated through the FULL
+    ISO 32000-1 §7.4 filter set — none / FlateDecode / LZWDecode
+    (TIFF-shared MSB wire, /EarlyChange 1 default) / RunLengthDecode
+    (PackBits + required EOD) / ASCIIHexDecode / the two-stage
+    [/ASCII85Decode /FlateDecode] chain (decode-order array per
+    §7.4.1) / LZWDecode with /DecodeParms << /EarlyChange 0 >> (the
+    spec-exact width variant). Real-world PDFs lean on exactly these
+    (LZW in pre-2000 writers, the ASCII armors in mail/PostScript
+    derived docs, RunLength in scanners), so FlateDecode-only
+    extraction quarantined them. ONE oracle digest over the recovered
+    text pins every filter decoder and the chain plumbing at once.
+    Map-only mapInPandas both stages."""
+    from yark_spark.operators.multimodal import pdf_extract_features, with_pdf_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return pdf_extract_features(with_pdf_payload(docs, filters="cycle"))
+
+
 _JSONL_ZST_DICT_ORACLE = (
     "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
     "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
