@@ -359,6 +359,20 @@ def bind_bzip2():
     return _BZ2
 
 
+_XZ = None  # bound by bind_xz(); ships by value with this module
+
+
+def bind_xz():
+    """Resolve the xz/LZMA codec module into a module global (the
+    bind_zstd pattern)."""
+    global _XZ
+    if _XZ is None:
+        from yark_spark.operators import xz as _x
+
+        _XZ = _x
+    return _XZ
+
+
 _LZ4 = None  # bound by bind_lz4(); ships by value with this module
 
 
@@ -379,15 +393,19 @@ def decompress_auto(payload: bytes, max_output: int | None = None) -> bytes:
     the ingest path meets in the wild: gzip (1f 8b), zstd (28 b5 2f fd,
     plus skippable frames), LZ4 frames (04 22 4d 18, round 12), bzip2
     incl. multistream ('BZh' — the Wikipedia-dump layout, round 12),
+    xz (fd '7zXZ' 00 — round 13, multi-stream via the codec itself),
     otherwise the bytes are taken as plain text. One entry point so a
-    mixed corpus directory ( .gz / .zst / .lz4 / .bz2 / raw ) ingests
-    through a single map-only pass."""
+    mixed corpus directory ( .gz / .zst / .lz4 / .bz2 / .xz / raw )
+    ingests through a single map-only pass."""
     p = bytes(payload)
     if p[:2] == b"\x1f\x8b":
         return gzip_decompress(p, max_output=max_output)
     if p[:3] == b"BZh":
         kw = {} if max_output is None else {"max_output": max_output}
         return bind_bzip2().bz2_decompress(p, **kw)
+    if p[:6] == b"\xfd7zXZ\x00":
+        kw = {} if max_output is None else {"max_output": max_output}
+        return bind_xz().xz_decompress(p, **kw)
     if len(p) >= 4:
         magic = struct.unpack_from("<I", p)[0]
         if magic == 0xFD2FB528 or 0x184D2A50 <= magic <= 0x184D2A5F:

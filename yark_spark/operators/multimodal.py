@@ -1604,17 +1604,20 @@ def _register_container_modules():
     from yark_spark.operators import containers as _cont
     from yark_spark.operators import lz4 as _lz4
     from yark_spark.operators import png as _png
+    from yark_spark.operators import xz as _xz
     from yark_spark.operators import zstd as _zstd
     from yark_spark.operators import zstd_encode as _zenc
 
     _cont.bind_zstd()
     _cont.bind_lz4()
     _cont.bind_bzip2()
+    _cont.bind_xz()
     _cp.register_pickle_by_value(_png)
     _cp.register_pickle_by_value(_zstd)
     _cp.register_pickle_by_value(_zenc)
     _cp.register_pickle_by_value(_lz4)
     _cp.register_pickle_by_value(_bz2)
+    _cp.register_pickle_by_value(_xz)
     _cp.register_pickle_by_value(_cont)
     return _cont
 
@@ -2476,6 +2479,127 @@ def with_jsonl_bz2_multistream_shards(
             payload += _enc(("\n".join(lines) + "\n").encode("utf-8"))
         sid = int(pdf[id_col].iloc[0]) // docs_per_shard
         return pd.DataFrame({"shard_id": [sid], "payload": [bytes(payload)]})
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / docs_per_shard).cast("long").alias("__s"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("shard_id", LongType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+    )
+
+
+def with_xz_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """xz-compress each document's text with the from-scratch LZMA
+    codec (operators/xz: range-coded LZMA2 chunks inside the full .xz
+    container) — the fifth shard wire beside .gz/.zst/.lz4/.bz2
+    (scientific corpora, software-heritage dumps, long-tail HF
+    exports). The integrity-check id CYCLES none/CRC32/CRC64/SHA256
+    and the chunk mode cycles compressed/mixed per doc, so one digest
+    pins every check verifier and both chunk grammars. Map-only
+    mapInPandas."""
+    _cont = _register_container_modules()
+    _enc = _cont.bind_xz().xz_compress
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        checks = ["none", "crc32", "crc64", "sha256"]
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                payloads.append(
+                    _enc(
+                        t.encode("utf-8"),
+                        check=checks[int(did) % 4],
+                        mode="mixed" if int(did) % 2 else "compressed",
+                        chunk_size=1 << 12,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def unxz_text_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decompress an xz binary column (header/block/index/footer CRCs,
+    the per-block integrity check, and the Index↔blocks cross-check
+    all verified in-path; 64 MB bomb guard) and emit (id, n_chars, md5
+    digest) — the gzip/zstd/LZ4/bz2 ingest oracle recipe on the fifth
+    wire codec. Map-only mapInPandas."""
+    _cont = _register_container_modules()
+    _dec = _cont.bind_xz().xz_decompress
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ns, digs = [], []
+            for p in pdf[payload_col]:
+                raw = _dec(bytes(p), max_output=64 << 20)
+                ns.append(len(raw.decode("utf-8")))
+                digs.append(_hashlib.md5(raw).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, GUNZIP_SCHEMA
+    )
+
+
+def with_jsonl_xz_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_shard: int = 16,
+) -> DataFrame:
+    """Pack documents into ``.jsonl.xz`` shards — the xz twin of
+    ``with_jsonl_zst_shards``; the listing side is
+    ``jsonl_zst_listing`` unchanged, because ``decompress_auto`` now
+    speaks the xz magic. Check id cycles per shard. One applyInPandas
+    per shard group — the grouping shuffle IS the shard assignment."""
+    _cont = _register_container_modules()
+    _enc = _cont.bind_xz().xz_compress
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        pdf = pdf.sort_values(id_col)
+        lines = [
+            _json.dumps({"id": int(did), "text": t}, ensure_ascii=False)
+            for did, t in zip(pdf[id_col], pdf[text_col])
+        ]
+        raw = ("\n".join(lines) + "\n").encode("utf-8")
+        sid = int(pdf[id_col].iloc[0]) // docs_per_shard
+        checks = ["none", "crc32", "crc64", "sha256"]
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "payload": [_enc(raw, check=checks[sid % 4])],
+            }
+        )
 
     return (
         df.select(F.col(id_col), F.col(text_col))

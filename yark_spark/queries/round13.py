@@ -159,6 +159,62 @@ def q_avro_evolve(spark, sf_dir):
     return avro_evolve_listing(with_avro_evolved_shards(docs))
 
 
+_UNXZ_ORACLE = (
+    "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 500"
+)
+
+
+@query("q_text_unxz", oracle=_UNXZ_ORACLE)
+def q_text_unxz(spark, sf_dir):
+    """E129 xz/LZMA text ingest (round 13): documents round-trip
+    through the from-scratch LZMA codec (operators/xz) — the 11-bit
+    adaptive binary range coder, the 12-state literal/match/rep
+    machine with matched-byte literals, pos-slot + SpecPos + align
+    distance trees, 4-deep repeat history, the LZMA2 chunk ladder
+    (compressed + stored chunks, props/state/dict resets), and the
+    full .xz container (header/block/index/footer CRCs, the Index
+    cross-check, and a per-doc CYCLE of the four integrity checks
+    incl. a from-scratch CRC64-ECMA). xz completes the shard-
+    compression family (gzip/zstd/lz4/bzip2/xz) — scientific corpora
+    and software-heritage dumps ship .jsonl.xz/.tar.xz. The decoded
+    md5 digest must equal DuckDB's md5(text); no lzma library exists
+    in the container, so tests/test_xz.py pins the CRC64 check-input
+    vector, hand-built container grammars and 300-trial roundtrip
+    fuzz instead of a differential (the zstd/E95 precedent). Two
+    map-only mapInPandas stages; text bytes never shuffle."""
+    from yark_spark.operators.multimodal import unxz_text_features, with_xz_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return unxz_text_features(with_xz_payload(docs))
+
+
+_JSONL_XZ_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_jsonl_xz_scan", oracle=_JSONL_XZ_ORACLE)
+def q_jsonl_xz_scan(spark, sf_dir):
+    """E129' .jsonl.xz shard ingest: the xz twin of q_jsonl_zst_scan —
+    16-doc JSON-lines shards packed into one .xz stream each (check id
+    cycling per shard), exploded back through the SAME listing operator
+    (jsonl_zst_listing), whose decompress_auto magic dispatch now
+    speaks gzip, zstd, LZ4, bzip2 AND xz from one entry point — a
+    mixed corpus directory scans in one map-only pass. Digest-matched
+    per doc through pack → compress → dispatch → JSON parse; the
+    grouping shuffle IS the shard assignment."""
+    from yark_spark.operators.multimodal import (
+        jsonl_zst_listing,
+        with_jsonl_xz_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return jsonl_zst_listing(with_jsonl_xz_shards(docs))
+
+
 def _main_content_oracle() -> str:
     """DuckDB re-derivation of the WHOLE jusText pass over the main
     blocks: words renumbered after empty-token filtering, grouped into
