@@ -5226,6 +5226,72 @@ def parquet_footer_listing(df: DataFrame, payload_col: str = "content") -> DataF
     )
 
 
+#: Output schema of parquet_documents_scan.
+PARQUET_RAW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def parquet_documents_scan(df: DataFrame, payload_col: str = "content") -> DataFrame:
+    """From-scratch parquet DATA read (round 13): decode the documents
+    table's (doc_id, lang, n_chars, text) columns from the raw file
+    bytes through operators/parquet_data — Thrift page headers, the
+    in-repo SNAPPY/GZIP/ZSTD codecs, RLE/bit-packed definition levels,
+    PLAIN + RLE_DICTIONARY values with mid-chunk dictionary fallback —
+    and emit one row per document with md5(text) as the value
+    certificate. The oracle is DuckDB's C++ reader over the SAME
+    file, so every hybrid run boundary, level weave and dictionary
+    index must agree row-for-row with an unrelated implementation.
+    At 100 TB the unit of work is (file, row group) with ranged
+    fetches; per-file map-only here, bytes never shuffle."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import parquet_data as _pdata
+    from yark_spark.operators import parquet_meta as _pm
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()  # gzip + zstd for codec dispatch
+    _pdata.bind_codecs()  # driver-side: workers have no repo on path
+    _cp.register_pickle_by_value(_varint)  # snappy's length prefixes
+    _cp.register_pickle_by_value(_pm)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_pdata)
+    _read = _pdata.parquet_read_columns
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, langs, ns, digs = [], [], [], []
+            for p in pdf[payload_col]:
+                cols = _read(bytes(p), ["doc_id", "lang", "n_chars", "text"])
+                ids.extend(cols["doc_id"])
+                langs.extend(cols["lang"])
+                ns.extend(cols["n_chars"])
+                digs.extend(
+                    _hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in cols["text"]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype="int64"),
+                    "lang": langs,
+                    "n_chars": np.array(ns, dtype="int64"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(payload_col)).mapInPandas(_extract, PARQUET_RAW_SCHEMA)
+
+
 FEED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

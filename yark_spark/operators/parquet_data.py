@@ -1,0 +1,380 @@
+"""Parquet DATA-page reader from scratch (round 13): extends the E118
+footer audit (operators/parquet_meta — Thrift compact + FileMetaData)
+down to the values themselves, so the repo carries a complete
+independent read path for flat parquet columns:
+
+    PAR1 trailer → Thrift footer → row groups → column chunks →
+    page headers (Thrift) → codec (UNCOMPRESSED / SNAPPY / GZIP /
+    ZSTD, all in-repo) → definition levels (RLE/bit-packed hybrid)
+    → PLAIN or dictionary (RLE_DICTIONARY index runs over a PLAIN
+    dictionary page) values → typed Python rows.
+
+Parquet is THE 100 TB storage substrate; reading it with a second,
+unrelated implementation and demanding row-level agreement with
+DuckDB's C++ reader (and Spark's, transitively, via the oracle
+harness) is the strongest differential the repo can state — any
+drift in hybrid-run decoding, level semantics, dictionary fallback
+mid-chunk, or page-boundary bookkeeping breaks the hash.
+
+Both DataPage (v1) and DataPageV2 layouts are handled (v2 keeps its
+level sections uncompressed ahead of the compressed values). Pages
+after a dictionary fallback (pyarrow switches to PLAIN when the
+dictionary outgrows its cap) decode per-page by their own declared
+encoding.
+
+Boundaries (documented, typed): nested columns (repeated fields /
+LIST/MAP paths), INT96, FIXED_LEN_BYTE_ARRAY, the DELTA_* and
+BYTE_STREAM_SPLIT encodings, and codecs beyond the four above raise
+``NotImplementedError``; malformed pages raise ``ValueError`` so the
+ingest quarantine keeps corrupt files as rows.
+
+Reference parity note: the reference archiver has no columnar layer
+(SQLite row store, /root/reference/cmds/archive.py); this is
+driver-mandated pipeline surface (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from yark_spark.operators.parquet_meta import (
+    _read_struct,
+    parquet_footer,
+)
+
+__all__ = ["parquet_read_columns"]
+
+_PAGE_DATA = 0
+_PAGE_DICT = 2
+_PAGE_DATA_V2 = 3
+
+_ENC_PLAIN = 0
+_ENC_PLAIN_DICT = 2
+_ENC_RLE = 3
+_ENC_RLE_DICT = 8
+
+_UNSUPPORTED_ENC = {
+    4: "DELTA_BINARY_PACKED",
+    5: "DELTA_LENGTH_BYTE_ARRAY",
+    6: "DELTA_BYTE_ARRAY",
+    7: "BYTE_STREAM_SPLIT",
+    9: "BYTE_STREAM_SPLIT",
+}
+
+
+def _bit_width(v: int) -> int:
+    return v.bit_length()
+
+
+_SNAPPY = None  # bound by bind_codecs(); ships by value with this module
+_CONTAINERS = None
+_ZSTD = None
+
+
+def bind_codecs():
+    """Resolve the page-codec modules into module globals (the
+    containers.bind_zstd pattern): called DRIVER-side before pickling
+    so executors that receive this module by value carry the codecs —
+    a runtime ``import yark_spark...`` inside a worker has no repo on
+    its path."""
+    global _SNAPPY, _CONTAINERS, _ZSTD
+    if _SNAPPY is None:
+        from yark_spark.operators import containers as _c
+        from yark_spark.operators import snappy as _s
+        from yark_spark.operators import zstd as _z
+
+        _SNAPPY, _CONTAINERS, _ZSTD = _s, _c, _z
+
+
+def _decompress(codec: str, data: bytes, uncompressed_size: int) -> bytes:
+    bind_codecs()
+    if codec == "UNCOMPRESSED" or codec == 0:
+        out = data
+    elif codec == "SNAPPY":
+        out = _SNAPPY.snappy_decompress(data, max_output=256 << 20)
+    elif codec == "GZIP":
+        out = _CONTAINERS.gzip_decompress(data, max_output=256 << 20)
+    elif codec == "ZSTD":
+        out = b"".join(_ZSTD.zstd_frames(data, max_output=256 << 20))
+    else:
+        raise NotImplementedError(f"parquet: codec {codec} not supported")
+    if len(out) != uncompressed_size:
+        raise ValueError(
+            f"parquet: page decompressed to {len(out)} bytes, "
+            f"header declared {uncompressed_size}"
+        )
+    return out
+
+
+def _hybrid_runs(buf: bytes, pos: int, end: int, bit_width: int, count: int) -> list[int]:
+    """RLE / bit-packed hybrid (parquet encoding spec §RLE): header
+    varint — LSB 0 → RLE run of (header>>1) copies of a fixed-width
+    little-endian value; LSB 1 → (header>>1) groups of 8 values packed
+    LSB-first at ``bit_width`` bits. Stops after ``count`` values."""
+    out: list[int] = []
+    byte_w = (bit_width + 7) // 8
+    mask = (1 << bit_width) - 1
+    while len(out) < count:
+        if pos >= end:
+            raise ValueError("parquet: hybrid run section truncated")
+        header = 0
+        shift = 0
+        while True:
+            if pos >= end:
+                raise ValueError("parquet: truncated hybrid header varint")
+            b = buf[pos]
+            pos += 1
+            header |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        if header & 1:  # bit-packed groups
+            n_groups = header >> 1
+            n_vals = n_groups * 8
+            n_bytes = n_groups * bit_width
+            if pos + n_bytes > end:
+                raise ValueError("parquet: bit-packed run past section end")
+            acc = int.from_bytes(buf[pos : pos + n_bytes], "little")
+            pos += n_bytes
+            take = min(n_vals, count - len(out))
+            for i in range(take):
+                out.append((acc >> (i * bit_width)) & mask)
+        else:  # RLE run
+            n = header >> 1
+            if pos + byte_w > end:
+                raise ValueError("parquet: RLE run value past section end")
+            v = int.from_bytes(buf[pos : pos + byte_w], "little") & mask
+            pos += byte_w
+            out.extend([v] * min(n, count - len(out)))
+    return out
+
+
+def _plain_values(ptype: str, buf: bytes, pos: int, end: int, count: int) -> list:
+    """PLAIN-encoded values of one physical type."""
+    if ptype == "BOOLEAN":
+        out = []
+        for i in range(count):
+            byte = pos + (i >> 3)
+            if byte >= end:
+                raise ValueError("parquet: PLAIN boolean run truncated")
+            out.append(bool((buf[byte] >> (i & 7)) & 1))
+        return out
+    if ptype in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+        fmt, width = {
+            "INT32": ("<i", 4),
+            "INT64": ("<q", 8),
+            "FLOAT": ("<f", 4),
+            "DOUBLE": ("<d", 8),
+        }[ptype]
+        if pos + width * count > end:
+            raise ValueError(f"parquet: PLAIN {ptype} section truncated")
+        return [
+            struct.unpack_from(fmt, buf, pos + i * width)[0] for i in range(count)
+        ]
+    if ptype == "BYTE_ARRAY":
+        out = []
+        for _ in range(count):
+            if pos + 4 > end:
+                raise ValueError("parquet: BYTE_ARRAY length truncated")
+            (ln,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+            if pos + ln > end:
+                raise ValueError("parquet: BYTE_ARRAY value truncated")
+            out.append(bytes(buf[pos : pos + ln]))
+            pos += ln
+        return out
+    raise NotImplementedError(f"parquet: physical type {ptype} not supported")
+
+
+def _read_chunk(data: bytes, col: dict, max_def: int) -> list:
+    """Decode one column chunk → Python values (None for nulls)."""
+    ptype = col["type"]
+    codec = col["codec"]
+    n_total = col["num_values"]
+    start = col["data_page_offset"]
+    if col["dictionary_page_offset"] is not None:
+        start = min(start, col["dictionary_page_offset"])
+    pos = start
+    dictionary: list | None = None
+    values: list = []
+    while len(values) < n_total:
+        header, body_at = _read_struct(data, pos)
+        page_type = header.get(1)
+        unc_size = header.get(2)
+        comp_size = header.get(3)
+        if unc_size is None or comp_size is None:
+            raise ValueError("parquet: page header missing sizes")
+        raw = data[body_at : body_at + comp_size]
+        if len(raw) != comp_size:
+            raise ValueError("parquet: page body truncated")
+        pos = body_at + comp_size
+        if page_type == _PAGE_DICT:
+            dh = header.get(7) or {}
+            n_dict = dh.get(1, 0)
+            enc = dh.get(2, _ENC_PLAIN)
+            if enc not in (_ENC_PLAIN, _ENC_PLAIN_DICT):
+                raise NotImplementedError(
+                    f"parquet: dictionary page encoding {enc}"
+                )
+            page = _decompress(codec, raw, unc_size)
+            dictionary = _plain_values(ptype, page, 0, len(page), n_dict)
+            continue
+        if page_type == _PAGE_DATA:
+            dh = header.get(5) or {}
+            n_vals = dh.get(1)
+            enc = dh.get(2)
+            page = _decompress(codec, raw, unc_size)
+            p = 0
+            # v1 layout: [rep levels][def levels][values], each level
+            # section 4-byte-length-prefixed RLE (flat columns: no reps)
+            defs = None
+            if max_def > 0:
+                (sec_len,) = struct.unpack_from("<I", page, p)
+                p += 4
+                defs = _hybrid_runs(
+                    page, p, p + sec_len, _bit_width(max_def), n_vals
+                )
+                p += sec_len
+            n_present = (
+                n_vals if defs is None else sum(1 for d in defs if d == max_def)
+            )
+            vals = _decode_values(
+                ptype, enc, page, p, len(page), n_present, dictionary
+            )
+            values.extend(_weave(defs, vals, max_def, n_vals))
+            continue
+        if page_type == _PAGE_DATA_V2:
+            dh = header.get(8) or {}
+            n_vals = dh.get(1)
+            n_nulls = dh.get(2, 0)
+            enc = dh.get(4)
+            def_len = dh.get(5, 0)
+            rep_len = dh.get(6, 0)
+            is_compressed = dh.get(7, True)
+            if rep_len:
+                raise NotImplementedError("parquet: repeated fields (v2 page)")
+            levels = raw[: def_len + rep_len]
+            body = raw[def_len + rep_len :]
+            if is_compressed:
+                body = _decompress(codec, body, unc_size - def_len - rep_len)
+            defs = None
+            if max_def > 0:
+                # v2 level sections carry NO length prefix
+                defs = _hybrid_runs(levels, 0, def_len, _bit_width(max_def), n_vals)
+            vals = _decode_values(
+                ptype, enc, body, 0, len(body), n_vals - n_nulls, dictionary
+            )
+            values.extend(_weave(defs, vals, max_def, n_vals))
+            continue
+        raise NotImplementedError(f"parquet: page type {page_type}")
+    if len(values) != n_total:
+        raise ValueError("parquet: chunk value count mismatch")
+    return values
+
+
+def _decode_values(ptype, enc, buf, pos, end, count, dictionary) -> list:
+    if count == 0:
+        return []
+    if enc in (_ENC_RLE_DICT, _ENC_PLAIN_DICT):
+        if dictionary is None:
+            raise ValueError("parquet: dictionary-encoded page before dict page")
+        bw = buf[pos]
+        idx = _hybrid_runs(buf, pos + 1, end, bw, count)
+        try:
+            return [dictionary[i] for i in idx]
+        except IndexError:
+            raise ValueError("parquet: dictionary index out of range") from None
+    if enc == _ENC_PLAIN:
+        return _plain_values(ptype, buf, pos, end, count)
+    if enc == _ENC_RLE:
+        # booleans as a values encoding (DataPageV2 writes them this
+        # way): uint32 length prefix + hybrid runs at bit width 1
+        if ptype != "BOOLEAN":
+            raise NotImplementedError(
+                f"parquet: RLE value encoding for {ptype}"
+            )
+        if pos + 4 > end:
+            raise ValueError("parquet: RLE boolean section truncated")
+        (sec_len,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        bits = _hybrid_runs(buf, pos, min(pos + sec_len, end), 1, count)
+        return [bool(b) for b in bits]
+    if enc in _UNSUPPORTED_ENC:
+        raise NotImplementedError(
+            f"parquet: encoding {_UNSUPPORTED_ENC[enc]} not supported"
+        )
+    raise ValueError(f"parquet: unknown value encoding {enc}")
+
+
+def _weave(defs, vals, max_def: int, n_vals: int) -> list:
+    if defs is None:
+        if len(vals) != n_vals:
+            raise ValueError("parquet: value count mismatch in page")
+        return vals
+    out = []
+    it = iter(vals)
+    for d in defs:
+        out.append(next(it) if d == max_def else None)
+    return out
+
+
+def parquet_read_columns(payload: bytes, columns: list[str]) -> dict[str, list]:
+    """Read flat columns from a parquet file held in memory, across
+    all row groups, returning ``{name: [values…]}`` with ``None`` for
+    nulls and UTF-8-decoded strings for BYTE_ARRAY.
+
+    At 100 TB the unit of work is (file, row group) with ranged
+    fetches of footer + needed chunks; this in-memory form is the
+    per-task kernel of that plan.
+    """
+    footer = parquet_footer(payload)
+    # flat-schema walk: root (num_children=N) then N leaves
+    schema = footer["schema"]
+    if not schema:
+        raise ValueError("parquet: empty schema")
+    leaves: dict[str, dict] = {}
+    nested: set[str] = set()
+
+    def _skip_subtree(i: int) -> int:
+        n = schema[i]["num_children"]
+        i += 1
+        for _ in range(n):
+            i = _skip_subtree(i)
+        return i
+
+    i = 1
+    for _ in range(schema[0]["num_children"]):
+        el = schema[i]
+        if el["num_children"] or el["repetition"] == 2:
+            nested.add(el["name"])  # only an error if actually requested
+            i = _skip_subtree(i)
+            continue
+        leaves[el["name"]] = el
+        i += 1
+    wanted_nested = [c for c in columns if c in nested]
+    if wanted_nested:
+        raise NotImplementedError(
+            f"parquet: nested/repeated columns not supported: {wanted_nested}"
+        )
+    missing = [c for c in columns if c not in leaves]
+    if missing:
+        raise ValueError(f"parquet: columns not in schema: {missing}")
+    out: dict[str, list] = {c: [] for c in columns}
+    for rg in footer["row_groups"]:
+        by_path = {tuple(c["path_in_schema"]): c for c in rg["columns"]}
+        for name in columns:
+            col = by_path.get((name,))
+            if col is None:
+                raise ValueError(f"parquet: column chunk missing for {name!r}")
+            if col["type"] in ("INT96", "FIXED_LEN_BYTE_ARRAY"):
+                raise NotImplementedError(
+                    f"parquet: physical type {col['type']} not supported"
+                )
+            max_def = 1 if leaves[name]["repetition"] == 1 else 0
+            vals = _read_chunk(payload, col, max_def)
+            if col["type"] == "BYTE_ARRAY":
+                vals = [
+                    v.decode("utf-8") if isinstance(v, bytes) else v for v in vals
+                ]
+            out[name].extend(vals)
+    return out

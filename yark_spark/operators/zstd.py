@@ -296,10 +296,16 @@ _LL_DEFAULT = (
      2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1],
     6,
 )
+# Round-13 fix (libzstd differential via pyarrow.Codec): the low-
+# probability region starts at symbol 46 (7 entries), not 42 — the
+# round-12 transcription shifted the spread by four skip positions,
+# which only real-library frames could reveal (our encoder/decoder
+# pair was self-consistent, and the predefined-mode hand vectors
+# happened not to land on the displaced states).
 _ML_DEFAULT = (
     [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
-     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1,
-     -1, -1, -1, -1, -1, -1, -1, -1, -1, -1],
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1, -1, -1],
     6,
 )
 _OF_DEFAULT = (

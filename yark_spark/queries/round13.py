@@ -215,6 +215,32 @@ def q_jsonl_xz_scan(spark, sf_dir):
     return jsonl_zst_listing(with_jsonl_xz_shards(docs))
 
 
+_PARQUET_RAW_ORACLE = (
+    "SELECT doc_id, lang, n_chars, md5(text) AS digest FROM documents"
+)
+
+
+@query("q_parquet_raw_scan", oracle=_PARQUET_RAW_ORACLE)
+def q_parquet_raw_scan(spark, sf_dir):
+    """E130 parquet DATA-page read from scratch (round 13): the E118
+    footer audit extended to the values — raw documents.parquet bytes
+    through operators/parquet_data (Thrift page headers, in-repo
+    SNAPPY/GZIP/ZSTD page codecs, RLE/bit-packed hybrid definition
+    levels, PLAIN + RLE_DICTIONARY values incl. pyarrow's mid-chunk
+    dictionary fallback, DataPage v1 AND v2 layouts), emitting
+    (doc_id, lang, n_chars, md5(text)) per row. The oracle is
+    DuckDB's INDEPENDENT C++ reader over the SAME file: two unrelated
+    implementations of the full read path must agree on every row —
+    the strongest differential shape in the repo, now covering data,
+    not just metadata. Parquet is THE 100 TB substrate; the unit of
+    work at scale is (file, row group) with ranged footer+chunk
+    fetches, map-only here, bytes never shuffle."""
+    from yark_spark.operators.multimodal import parquet_documents_scan
+
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/documents.parquet")
+    return parquet_documents_scan(files)
+
+
 def _main_content_oracle() -> str:
     """DuckDB re-derivation of the WHOLE jusText pass over the main
     blocks: words renumbered after empty-token filtering, grouped into
