@@ -306,3 +306,43 @@ def test_decompress_auto_bomb_guard():
     raw = b"\x00" * 200_000
     with pytest.raises(ValueError):
         decompress_auto(zstd_compress_member(raw), max_output=1000)
+
+
+# ---------------------------------------------------------------------------
+# Round-13: gzip member spans (the CDX offset primitive)
+# ---------------------------------------------------------------------------
+
+
+def test_gzip_member_spans_cover_stream():
+    from yark_spark.operators.containers import (
+        gzip_compress,
+        gzip_member_spans,
+        gzip_members,
+    )
+
+    parts = [b"alpha " * 40, b"beta", b"", b"\x1f\x8b fake magic inside " * 9]
+    blob = b"".join(gzip_compress(p) for p in parts)
+    spans = gzip_member_spans(blob)
+    assert len(spans) == 4
+    assert spans[0][0] == 0 and spans[-1][1] == len(blob)
+    # spans are contiguous and each slice decodes standalone to its part
+    for (s, e), nxt, part in zip(spans, spans[1:] + [(len(blob), None)], parts):
+        assert e == nxt[0]
+        assert gzip_members(blob[s:e]) == [part]
+
+
+def test_gzip_member_spans_reject_garbage_tail():
+    import pytest
+
+    from yark_spark.operators.containers import gzip_compress, gzip_member_spans
+
+    with pytest.raises(ValueError):
+        gzip_member_spans(gzip_compress(b"x") + b"JUNK")
+
+
+def test_surt_key():
+    from yark_spark.operators.containers import surt_key as _surt_key
+
+    assert _surt_key("https://Example.COM/doc/5") == "com,example)/doc/5"
+    assert _surt_key("http://a.b.example.com:80/p/q") == "com,example,b,a)/p/q"
+    assert _surt_key("https://host") == "host)/"

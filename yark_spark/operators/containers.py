@@ -126,6 +126,39 @@ def gzip_decompress(payload: bytes, max_output: int | None = None) -> bytes:
     return raw
 
 
+def surt_key(uri: str) -> str:
+    """SURT canonicalization (the CDX urlkey convention, round 13):
+    scheme dropped, host lower-cased and dot-reversed with commas,
+    default ports stripped, ``)`` before the path. Lives here (not in
+    multimodal) so it ships by value with the container module to
+    vanilla-session workers."""
+    rest = uri.split("://", 1)[-1]
+    host, _, path = rest.partition("/")
+    host = host.lower()
+    for suffix in (":80", ":443"):
+        if host.endswith(suffix):
+            host = host[: -len(suffix)]
+    return ",".join(reversed(host.split("."))) + ")/" + path
+
+
+def gzip_member_spans(payload: bytes) -> list[tuple[int, int]]:
+    """Byte spans ``(start, end)`` of each member in a concatenated
+    gzip stream — the offsets a CDX index records so a reader can
+    range-request ONE record out of a multi-GB .warc.gz object
+    (round 13). Members are walked (headers + deflate + trailer), not
+    magic-scanned: ``1f 8b`` inside compressed data cannot fool it."""
+    p = bytes(payload)
+    spans = []
+    pos = 0
+    while pos < len(p):
+        start = pos
+        _raw, pos = _gzip_member(p, pos, None)
+        spans.append((start, pos))
+    if not spans:
+        raise ValueError("gzip: empty stream")
+    return spans
+
+
 def gzip_members(payload: bytes, max_output: int | None = None) -> list[bytes]:
     """Concatenated gzip members → list of raw payloads. RFC 1952
     permits back-to-back members and the .warc.gz convention depends on
