@@ -105,11 +105,14 @@ def test_encrypted_member_typed_boundary():
         zip_members(bytes(blob))
 
 
-def test_zip64_typed_boundary():
+def test_zip64_sentinel_without_structures_is_typed():
+    # round 12 pinned this as the ZIP64 NotImplementedError boundary;
+    # round 13 implements ZIP64, so a saturated EOCD with NO locator
+    # behind it is now a malformed-archive ValueError instead
     blob = bytearray(zip_build(MEMBERS))
     eocd = blob.rfind(b"PK\x05\x06")
     struct.pack_into("<I", blob, eocd + 16, 0xFFFFFFFF)  # cd offset sentinel
-    with pytest.raises(NotImplementedError, match="ZIP64"):
+    with pytest.raises(ValueError, match="ZIP64 locator"):
         zip_members(bytes(blob))
 
 
@@ -182,3 +185,62 @@ def test_member_doc_id_rule():
     assert member_doc_id("007leading.bin") == 7
     assert member_doc_id("README") is None
     assert member_doc_id("") is None
+
+
+# ---------------------------------------------------------------------------
+# Round-13: ZIP64 (APPNOTE 4.5) both directions
+# ---------------------------------------------------------------------------
+
+
+def test_zip64_roundtrip_ours():
+    members = [(f"{i:04d}.txt", f"member {i} ".encode() * (i + 1)) for i in range(5)]
+    blob = zip_build(members, zip64=True)
+    assert b"PK\x06\x06" in blob and b"PK\x06\x07" in blob
+    got = zip_members(blob)
+    assert [(n, d) for n, _m, d in got] == members
+    assert zip_member_names(blob) == [n for n, _ in members]
+
+
+def test_zip64_read_by_stdlib():
+    import io
+    import zipfile
+
+    members = [("a.txt", b"alpha " * 100), ("b.bin", bytes(range(256)) * 4)]
+    blob = zip_build(members, zip64=True)
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        assert zf.namelist() == ["a.txt", "b.bin"]
+        for name, payload in members:
+            assert zf.read(name) == payload
+        assert zf.testzip() is None
+
+
+def test_zip64_written_by_stdlib_read_by_ours():
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    payloads = {"x.txt": b"force me " * 50, "y.txt": b"zip64 path " * 30}
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in payloads.items():
+            # force_zip64 writes saturated local sizes + 0x0001 extras
+            with zf.open(name, "w", force_zip64=True) as f:
+                f.write(data)
+    got = {n: d for n, _m, d in zip_members(buf.getvalue())}
+    assert got == payloads
+
+
+def test_zip64_missing_locator_typed():
+    import struct
+
+    blob = bytearray(zip_build([("a", b"x")], zip64=True))
+    # wipe the locator signature: saturated EOCD now dangles
+    at = bytes(blob).rindex(b"PK\x06\x07")
+    blob[at : at + 4] = b"PK\x00\x00"
+    with pytest.raises(ValueError, match="ZIP64 locator"):
+        zip_members(bytes(blob))
+    # and a saturated CD entry without its extra is typed too
+    blob2 = bytearray(zip_build([("a", b"x" * 40)]))
+    cd = bytes(blob2).rindex(b"PK\x01\x02")
+    struct.pack_into("<I", blob2, cd + 20, 0xFFFFFFFF)  # comp_size
+    with pytest.raises(ValueError, match="zip64 extra"):
+        zip_members(bytes(blob2))

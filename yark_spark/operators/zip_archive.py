@@ -16,7 +16,16 @@ family (E90) as the random-access member: the central directory
 means a reader can list and slice ONE member without streaming the
 archive, the property the listing pass exploits.
 
-Boundaries, typed: encrypted members, spanned archives and ZIP64
+ZIP64 (round 13): the 4.5 extension large archives actually use —
+saturated 0xFFFF/0xFFFFFFFF fields redirect through the 0x0001 extra
+field, the ZIP64 EOCD record (PK\\x06\\x06) and its locator
+(PK\\x06\\x07) — both directions (``zip_build(zip64=True)`` emits the
+full layout so fixtures exercise the path without 4 GiB files;
+readers follow saturation per-field, so archives that zip64 only
+SOME members parse too). Differential: stdlib ``zipfile`` with
+``force_zip64`` writes, read back by us (tests/test_zip.py).
+
+Boundaries, typed: encrypted members and spanned archives
 raise ``NotImplementedError``; streaming members written with the
 bit-3 data descriptor (sizes unknown at header time) raise too — the
 central directory always has real sizes, so descriptor-written
@@ -43,6 +52,8 @@ __all__ = ["zip_build", "zip_members", "zip_member_names"]
 _LOCAL_SIG = b"PK\x03\x04"
 _CENTRAL_SIG = b"PK\x01\x02"
 _EOCD_SIG = b"PK\x05\x06"
+_Z64_EOCD_SIG = b"PK\x06\x06"
+_Z64_LOCATOR_SIG = b"PK\x06\x07"
 
 _STORED, _DEFLATE = 0, 8
 
@@ -51,11 +62,18 @@ _STORED, _DEFLATE = 0, 8
 _DOS_TIME, _DOS_DATE = 0, 0x21
 
 
-def zip_build(members: list[tuple[str, bytes]], methods: list[int] | None = None) -> bytes:
+def zip_build(
+    members: list[tuple[str, bytes]],
+    methods: list[int] | None = None,
+    zip64: bool = False,
+) -> bytes:
     """Build a ZIP archive from (name, payload) members. ``methods``
     (0 stored / 8 deflate) per member; default deflates unless the
     deflate stream would be larger (the stored fallback every real
-    zipper applies)."""
+    zipper applies). ``zip64=True`` forces the full 4.5 layout —
+    saturated central fields + 0x0001 extras, the ZIP64 EOCD record
+    and locator — so readers exercise the large-archive path on small
+    fixtures (exactly what ``zip -fz`` / zipfile's force_zip64 do)."""
     out = bytearray()
     central = bytearray()
     for i, (name, payload) in enumerate(members):
@@ -71,24 +89,59 @@ def zip_build(members: list[tuple[str, bytes]], methods: list[int] | None = None
         else:
             raise ValueError(f"zip: unsupported method {method}")
         offset = len(out)
-        local = struct.pack(
-            "<4sHHHHHIIIHH",
-            _LOCAL_SIG, 20, 0, method, _DOS_TIME, _DOS_DATE,
-            crc, len(comp), len(payload), len(nb), 0,
-        )
-        out += local + nb + comp
-        central += struct.pack(
-            "<4sHHHHHHIIIHHHHHII",
-            _CENTRAL_SIG, 20, 20, 0, method, _DOS_TIME, _DOS_DATE,
-            crc, len(comp), len(payload), len(nb), 0, 0, 0, 0, 0, offset,
-        ) + nb
+        if zip64:
+            # local header: sizes saturated, real values in the extra
+            lextra = struct.pack(
+                "<HHQQ", 0x0001, 16, len(payload), len(comp)
+            )
+            local = struct.pack(
+                "<4sHHHHHIIIHH",
+                _LOCAL_SIG, 45, 0, method, _DOS_TIME, _DOS_DATE,
+                crc, 0xFFFFFFFF, 0xFFFFFFFF, len(nb), len(lextra),
+            )
+            out += local + nb + lextra + comp
+            cextra = struct.pack(
+                "<HHQQQ", 0x0001, 24, len(payload), len(comp), offset
+            )
+            central += struct.pack(
+                "<4sHHHHHHIIIHHHHHII",
+                _CENTRAL_SIG, 45, 45, 0, method, _DOS_TIME, _DOS_DATE,
+                crc, 0xFFFFFFFF, 0xFFFFFFFF, len(nb), len(cextra),
+                0, 0, 0, 0, 0xFFFFFFFF,
+            ) + nb + cextra
+        else:
+            local = struct.pack(
+                "<4sHHHHHIIIHH",
+                _LOCAL_SIG, 20, 0, method, _DOS_TIME, _DOS_DATE,
+                crc, len(comp), len(payload), len(nb), 0,
+            )
+            out += local + nb + comp
+            central += struct.pack(
+                "<4sHHHHHHIIIHHHHHII",
+                _CENTRAL_SIG, 20, 20, 0, method, _DOS_TIME, _DOS_DATE,
+                crc, len(comp), len(payload), len(nb), 0, 0, 0, 0, 0, offset,
+            ) + nb
     cd_offset = len(out)
     out += central
-    out += struct.pack(
-        "<4sHHHHIIH",
-        _EOCD_SIG, 0, 0, len(members), len(members),
-        len(central), cd_offset, 0,
-    )
+    if zip64:
+        z64_at = len(out)
+        out += struct.pack(
+            "<4sQHHIIQQQQ",
+            _Z64_EOCD_SIG, 44, 45, 45, 0, 0,
+            len(members), len(members), len(central), cd_offset,
+        )
+        out += struct.pack("<4sIQI", _Z64_LOCATOR_SIG, 0, z64_at, 1)
+        out += struct.pack(
+            "<4sHHHHIIH",
+            _EOCD_SIG, 0, 0, 0xFFFF, 0xFFFF,
+            0xFFFFFFFF, 0xFFFFFFFF, 0,
+        )
+    else:
+        out += struct.pack(
+            "<4sHHHHIIH",
+            _EOCD_SIG, 0, 0, len(members), len(members),
+            len(central), cd_offset, 0,
+        )
     return bytes(out)
 
 
@@ -110,6 +163,39 @@ def _find_eocd(b: bytes) -> int:
     raise ValueError("zip: end-of-central-directory not found")
 
 
+def _zip64_extra(extra: bytes, uncomp: int, comp: int, offset: int):
+    """Resolve saturated central-directory fields through the 0x0001
+    extra field (APPNOTE 4.5.3): values appear in fixed order, each
+    present ONLY if its 32-bit field saturated."""
+    pos = 0
+    while pos + 4 <= len(extra):
+        tag, size = struct.unpack_from("<HH", extra, pos)
+        body = extra[pos + 4 : pos + 4 + size]
+        pos += 4 + size
+        if tag != 0x0001:
+            continue
+        at = 0
+        if uncomp == 0xFFFFFFFF:
+            if at + 8 > len(body):
+                raise ValueError("zip: zip64 extra missing uncompressed size")
+            (uncomp,) = struct.unpack_from("<Q", body, at)
+            at += 8
+        if comp == 0xFFFFFFFF:
+            if at + 8 > len(body):
+                raise ValueError("zip: zip64 extra missing compressed size")
+            (comp,) = struct.unpack_from("<Q", body, at)
+            at += 8
+        if offset == 0xFFFFFFFF:
+            if at + 8 > len(body):
+                raise ValueError("zip: zip64 extra missing local offset")
+            (offset,) = struct.unpack_from("<Q", body, at)
+            at += 8
+        return uncomp, comp, offset
+    if 0xFFFFFFFF in (uncomp, comp, offset):
+        raise ValueError("zip: saturated field without a zip64 extra")
+    return uncomp, comp, offset
+
+
 def _central_entries(b: bytes):
     eocd = _find_eocd(b)
     if eocd + 22 > len(b):
@@ -119,8 +205,25 @@ def _central_entries(b: bytes):
     )
     if disk != 0 or cd_disk != 0 or n_disk != n_total:
         raise NotImplementedError("zip: spanned archives not supported")
-    if n_total == 0xFFFF or cd_offset == 0xFFFFFFFF:
-        raise NotImplementedError("zip: ZIP64 not supported")
+    if n_total == 0xFFFF or cd_offset == 0xFFFFFFFF or cd_size == 0xFFFFFFFF:
+        # ZIP64 (round 13): the locator sits directly before EOCD
+        loc_at = eocd - 20
+        if loc_at < 0 or b[loc_at : loc_at + 4] != _Z64_LOCATOR_SIG:
+            raise ValueError("zip: saturated EOCD without a ZIP64 locator")
+        (_lsig, z_disk, z64_at, n_disks) = struct.unpack(
+            "<4sIQI", b[loc_at : loc_at + 20]
+        )
+        if z_disk != 0 or n_disks != 1:
+            raise NotImplementedError("zip: spanned archives not supported")
+        if z64_at + 56 > len(b) or b[z64_at : z64_at + 4] != _Z64_EOCD_SIG:
+            raise ValueError("zip: ZIP64 EOCD record not at locator offset")
+        (
+            _zsig, _zsize, _vmade, _vneed, zdisk, zcd_disk,
+            zn_disk, zn_total, zcd_size, zcd_offset,
+        ) = struct.unpack("<4sQHHIIQQQQ", b[z64_at : z64_at + 56])
+        if zdisk != 0 or zcd_disk != 0 or zn_disk != zn_total:
+            raise NotImplementedError("zip: spanned archives not supported")
+        n_total, cd_size, cd_offset = zn_total, zcd_size, zcd_offset
     pos = cd_offset
     for _ in range(n_total):
         if pos + 46 > len(b):
@@ -133,6 +236,11 @@ def _central_entries(b: bytes):
         if sig != _CENTRAL_SIG:
             raise ValueError("zip: bad central-directory signature")
         name = b[pos + 46 : pos + 46 + name_len].decode("utf-8")
+        if 0xFFFFFFFF in (comp_size, uncomp_size, local_offset):
+            extra = b[pos + 46 + name_len : pos + 46 + name_len + extra_len]
+            uncomp_size, comp_size, local_offset = _zip64_extra(
+                extra, uncomp_size, comp_size, local_offset
+            )
         pos += 46 + name_len + extra_len + comment_len
         yield name, flags, method, crc, comp_size, uncomp_size, local_offset
 
