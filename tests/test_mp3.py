@@ -64,3 +64,91 @@ def test_errors():
         mp3_scan(mp3_build(10, with_id3v2=False), max_frames=5)
     with pytest.raises(ValueError, match="no audio frames"):
         mp3_scan(mp3_build(0, with_id3v2=False))
+
+
+# ---------------------------------------------------------------------------
+# Round-13: Layer III structural decode (side info / reservoir /
+# scalefactors)
+# ---------------------------------------------------------------------------
+
+
+def test_deep_roundtrip_all_fields():
+    from yark_spark.operators.mp3 import (
+        _granule_fields,
+        mp3_build_deep,
+        mp3_parse_deep,
+    )
+
+    for a, b, c, d in [(97, 98, 99, 100), (48, 102, 57, 101), (0, 0, 0, 0)]:
+        rows = mp3_parse_deep(mp3_build_deep(a, b, c, d))
+        assert len(rows) == (6 + a % 6) * 2
+        for r in rows:
+            f = _granule_fields(a, b, c, d, r["frame"], r["granule"])
+            assert r["global_gain"] == f["global_gain"]
+            assert r["scalefac_compress"] == f["scalefac_compress"]
+            assert r["block_type"] == (2 if f["short"] else 0)
+            assert r["preflag"] == f["preflag"]
+            assert r["scalefac_scale"] == f["scalefac_scale"]
+            if f["short"]:
+                assert r["subblock_gain"] == f["subblock_gain"]
+                assert r["table_select"] == f["table_select"][:2]
+                n1, n2, hi = 18, 36, True
+            else:
+                assert r["table_select"] == f["table_select"]
+                n1, n2, hi = 11, 21, False
+            exp = [f["sf_value"](j, f["slen1"]) for j in range(n1)]
+            exp += [f["sf_value"](j, f["slen2"]) for j in range(n1, n2)]
+            assert r["scalefacs"] == exp
+
+
+def test_deep_reservoir_pointers_are_live():
+    from yark_spark.operators.mp3 import mp3_build_deep, mp3_parse_deep
+
+    rows = mp3_parse_deep(mp3_build_deep(101, 55, 16, 77))
+    mdbs = [r["main_data_begin"] for r in rows if r["granule"] == 0]
+    assert mdbs[0] == 0
+    # nearly every later frame reads back into earlier areas
+    assert sum(1 for m in mdbs[1:] if m > 0) >= len(mdbs) - 2
+    assert all(m == (101 + 7 * i) % 120 for i, m in enumerate(mdbs) if i)
+
+
+def test_deep_typed_boundaries():
+    from yark_spark.operators.mp3 import mp3_build_deep, mp3_parse_deep
+
+    blob = bytearray(mp3_build_deep(97, 98, 99, 100))
+    # big_values != 0: flip a bit inside granule 0's big_values field
+    # (side info starts at byte 4; big_values bits 18..26 of side info)
+    tampered = bytearray(blob)
+    tampered[4 + 3] ^= 0x02  # a bit inside big_values
+    with pytest.raises(NotImplementedError, match="Huffman"):
+        mp3_parse_deep(bytes(tampered))
+    # stereo header
+    tampered = bytearray(blob)
+    tampered[3] = 0x00  # mode 00 = stereo
+    with pytest.raises(NotImplementedError, match="stereo"):
+        mp3_parse_deep(bytes(tampered))
+    # scfsi reuse
+    tampered = bytearray(blob)
+    tampered[4 + 1] ^= 0x01  # lowest bit of scfsi nibble
+    with pytest.raises(NotImplementedError, match="scfsi"):
+        mp3_parse_deep(bytes(tampered))
+    # main_data_begin reaching before the stream start: force frame 0
+    tampered = bytearray(blob)
+    tampered[4] = 0xFF  # top bits of mdb
+    with pytest.raises(ValueError, match="before stream start"):
+        mp3_parse_deep(bytes(tampered))
+
+
+def test_deep_part23_mismatch_is_typed():
+    from yark_spark.operators.mp3 import mp3_build_deep, mp3_parse_deep
+
+    blob = bytearray(mp3_build_deep(97, 98, 99, 100))
+    # part2_3_length occupies side-info bits 18..29 (after mdb 9,
+    # private 5, scfsi 4); bump its low bit -> scalefactor bit count
+    # no longer matches
+    si0 = 4
+    bit = 18 + 11  # low bit of part2_3_length, bit offset in side info
+    tampered = bytearray(blob)
+    tampered[si0 + bit // 8] ^= 1 << (7 - bit % 8)
+    with pytest.raises(ValueError, match="part2_3_length"):
+        mp3_parse_deep(bytes(tampered))

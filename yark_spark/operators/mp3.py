@@ -167,3 +167,286 @@ def mp3_scan(payload: bytes, max_frames: int = 1_000_000) -> dict:
         "duration_ms": (n_samples * 1000) // rate,
         "id3_title": title,
     }
+
+
+# ---------------------------------------------------------------------------
+# Layer III structural decode (round 13): side info + bit reservoir +
+# scalefactors, both directions. The spectral Huffman stage stays the
+# documented boundary (ISO 11172-3 Table B.7 is literal spec data with
+# no in-container source to transcribe from; fixtures therefore carry
+# big_values = 0 and part2_3_length = exact scalefactor bits — a
+# spec-valid silent granule whose every OTHER field round-trips).
+# ---------------------------------------------------------------------------
+
+#: slen1/slen2 per scalefac_compress (ISO 11172-3 §2.4.2.7)
+SLEN = (
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if value < 0 or value >> bits:
+            raise ValueError("mp3: field value out of range")
+        self.acc = (self.acc << bits) | value
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        if self.n:
+            raise ValueError("mp3: writer not byte-aligned")
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, bits: int) -> int:
+        if self.pos + bits > len(self.data) * 8:
+            raise ValueError("mp3: bitstream truncated")
+        out = 0
+        p = self.pos
+        for _ in range(bits):
+            out = (out << 1) | ((self.data[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return out
+
+
+def _granule_fields(a: int, b: int, c: int, d: int, i: int, g: int) -> dict:
+    """Deterministic per-granule side-info fields from the doc's md5
+    codes — ARITHMETIC ONLY, so a SQL oracle can re-derive each one."""
+    short = (i + g) % 5 == 0
+    sc = (c + i + g) % 16
+    slen1, slen2 = SLEN[sc]
+    if short:
+        n_sf = 18 + 18  # 6 bands x 3 windows under slen1, 6 x 3 under slen2
+        part2 = 18 * slen1 + 18 * slen2
+    else:
+        n_sf = 21  # bands 0-10 slen1, 11-20 slen2
+        part2 = 11 * slen1 + 10 * slen2
+    return {
+        "short": short,
+        "global_gain": (b + 7 * i + 3 * g) % 256,
+        "scalefac_compress": sc,
+        "slen1": slen1,
+        "slen2": slen2,
+        "part2": part2,
+        "n_sf": n_sf,
+        "preflag": 0 if short else (d + i + g) % 2,
+        "scalefac_scale": (a + i + g) % 2,
+        "subblock_gain": ((d + i) % 8, (d + i + 1) % 8, (d + i + 2) % 8),
+        "table_select": ((b + g) % 32, (c + g) % 32, (d + g) % 32),
+        "sf_value": lambda j, slen, _d=d, _i=i, _g=g: (
+            (_d + _i + _g + j) % (1 << slen) if slen else 0
+        ),
+    }
+
+
+def mp3_build_deep(a: int, b: int, c: int, d: int) -> bytes:
+    """Layer III stream whose SIDE INFO, SCALEFACTORS and BIT
+    RESERVOIR are all real: mono MPEG-1 at 32 kHz / 96 kbps, frame
+    and granule fields pure arithmetic over the four md5 codes, and
+    main_data_begin = (a + 7·i) % 120 for i ≥ 1 so nearly every frame
+    reads its data back out of earlier frames' areas (ancillary
+    stuffing fills the gaps, exactly how real encoders pad)."""
+    n_frames = 6 + a % 6
+    rate_index, bitrate_index = 2, 6  # 32 kHz, 96 kbps -> 432-byte frames
+    size = _frame_size(V1L3_BITRATES[bitrate_index], _RATES[rate_index], 0)
+    cap = size - 4 - 17  # main-data area per frame (mono side info = 17)
+
+    sideinfos = []
+    main_bits = []
+    mdbs = []
+    for i in range(n_frames):
+        mdb = 0 if i == 0 else (a + 7 * i) % 120
+        mdbs.append(mdb)
+        w = _BitWriter()
+        w.write(mdb, 9)
+        w.write(0, 5)  # private_bits (mono)
+        w.write(0, 4)  # scfsi: fixture granules differ, no reuse
+        md = _BitWriter()
+        for g in range(2):
+            f = _granule_fields(a, b, c, d, i, g)
+            w.write(f["part2"], 12)  # part2_3_length == scalefac bits
+            w.write(0, 9)  # big_values = 0: silent spectrum
+            w.write(f["global_gain"], 8)
+            w.write(f["scalefac_compress"], 4)
+            if f["short"]:
+                w.write(1, 1)  # window_switching_flag
+                w.write(2, 2)  # block_type: short
+                w.write(0, 1)  # mixed_block_flag
+                for t in f["table_select"][:2]:
+                    w.write(t, 5)
+                for sg in f["subblock_gain"]:
+                    w.write(sg, 3)
+            else:
+                w.write(0, 1)
+                for t in f["table_select"]:
+                    w.write(t, 5)
+                w.write((a + i) % 16, 4)  # region0_count
+                w.write((b + i) % 8, 3)  # region1_count
+            w.write(f["preflag"], 1)
+            w.write(f["scalefac_scale"], 1)
+            w.write((c + i + g) % 2, 1)  # count1table_select
+            # the granule's main data: its scalefactors, nothing else
+            if f["short"]:
+                for j in range(18):
+                    md.write(f["sf_value"](j, f["slen1"]), f["slen1"])
+                for j in range(18, 36):
+                    md.write(f["sf_value"](j, f["slen2"]), f["slen2"])
+            else:
+                for j in range(11):
+                    md.write(f["sf_value"](j, f["slen1"]), f["slen1"])
+                for j in range(11, 21):
+                    md.write(f["sf_value"](j, f["slen2"]), f["slen2"])
+        md.pad_to_byte()
+        sideinfos.append(w.bytes())
+        main_bits.append(md.bytes())
+
+    # lay the main-data stream into the concatenated frame areas,
+    # honoring each frame's back-pointer; ancillary filler between
+    areas = bytearray(cap * n_frames)
+    write_pos = 0  # position in the concatenated area stream
+    for i in range(n_frames):
+        start = i * cap - mdbs[i]
+        if start < write_pos:
+            raise ValueError("mp3: reservoir fixture would overlap")
+        for p in range(write_pos, start):  # deterministic ancillary fill
+            areas[p] = (p * 31 + 7) % 251
+        areas[start : start + len(main_bits[i])] = main_bits[i]
+        write_pos = start + len(main_bits[i])
+    for p in range(write_pos, len(areas)):
+        areas[p] = (p * 31 + 7) % 251
+
+    out = bytearray()
+    for i in range(n_frames):
+        out += _header(bitrate_index, rate_index, 0)
+        out += sideinfos[i]
+        out += areas[i * cap : (i + 1) * cap]
+    return bytes(out)
+
+
+def mp3_parse_deep(payload: bytes, max_frames: int = 100_000) -> list[dict]:
+    """Structural Layer III decode: frame walk, side-info parse (both
+    block shapes), BIT-RESERVOIR reassembly via main_data_begin, and
+    scalefactor extraction, verifying part2_3_length consumes exactly
+    (big_values must be 0 here — the spectral Huffman stage is the
+    documented boundary, typed). Returns one dict per granule."""
+    b = bytes(payload)
+    pos = 0
+    reservoir = bytearray()  # concatenated main-data areas so far
+    out = []
+    frame_no = 0
+    while pos < len(b):
+        if frame_no >= max_frames:
+            raise ValueError("mp3: frame count exceeds bomb guard")
+        if len(b) - pos < 4:
+            raise ValueError("mp3: truncated frame header")
+        h0, h1, h2, h3 = b[pos : pos + 4]
+        if h0 != 0xFF or (h1 & 0xE0) != 0xE0:
+            raise ValueError(f"mp3: lost frame sync at byte {pos}")
+        if (h1 & 0x18) != 0x18 or (h1 & 0x06) != 0x02:
+            raise ValueError("mp3: only MPEG-1 Layer III parses here")
+        if (h3 >> 6) != 3:
+            raise NotImplementedError("mp3: stereo side info not implemented")
+        bitrate_index, rate_index = h2 >> 4, (h2 >> 2) & 3
+        if bitrate_index in (0, 15) or rate_index == 3:
+            raise ValueError("mp3: invalid bitrate/rate index")
+        size = _frame_size(
+            V1L3_BITRATES[bitrate_index], _RATES[rate_index], (h2 >> 1) & 1
+        )
+        if pos + size > len(b):
+            raise ValueError("mp3: truncated frame")
+        si = _BitReader(b[pos + 4 : pos + 21])
+        mdb = si.read(9)
+        si.read(5)  # private
+        scfsi = si.read(4)
+        if scfsi:
+            raise NotImplementedError("mp3: scfsi scalefactor reuse")
+        area = b[pos + 21 : pos + size]
+        data_start = len(reservoir) - mdb
+        if data_start < 0:
+            raise ValueError("mp3: main_data_begin reaches before stream start")
+        reservoir += area
+        rd = _BitReader(bytes(reservoir))
+        rd.pos = data_start * 8
+        for g in range(2):
+            part23 = si.read(12)
+            big_values = si.read(9)
+            if big_values:
+                raise NotImplementedError(
+                    "mp3: spectral Huffman decode (Table B.7) not implemented"
+                )
+            gg = si.read(8)
+            sc = si.read(4)
+            slen1, slen2 = SLEN[sc]
+            wsf = si.read(1)
+            block_type, sub_gains, tables = 0, (0, 0, 0), ()
+            if wsf:
+                block_type = si.read(2)
+                mixed = si.read(1)
+                if block_type != 2 or mixed:
+                    raise NotImplementedError(
+                        "mp3: only normal/short block shapes parse here"
+                    )
+                tables = (si.read(5), si.read(5))
+                sub_gains = (si.read(3), si.read(3), si.read(3))
+            else:
+                tables = (si.read(5), si.read(5), si.read(5))
+                si.read(4)  # region0_count
+                si.read(3)  # region1_count
+            preflag = si.read(1)
+            sf_scale = si.read(1)
+            si.read(1)  # count1table_select
+            at = rd.pos
+            if wsf:
+                sfs = [rd.read(slen1) for _ in range(18)]
+                sfs += [rd.read(slen2) for _ in range(18)]
+            else:
+                sfs = [rd.read(slen1) for _ in range(11)]
+                sfs += [rd.read(slen2) for _ in range(10)]
+            if rd.pos - at != part23:
+                raise ValueError(
+                    "mp3: part2_3_length does not match scalefactor bits"
+                )
+            out.append(
+                {
+                    "frame": frame_no,
+                    "granule": g,
+                    "main_data_begin": mdb,
+                    "block_type": block_type if wsf else 0,
+                    "global_gain": gg,
+                    "scalefac_compress": sc,
+                    "preflag": preflag,
+                    "scalefac_scale": sf_scale,
+                    "table_select": tables,
+                    "subblock_gain": sub_gains,
+                    "scalefacs": sfs,
+                }
+            )
+        # granule reads advance rd; main data beyond is the next
+        # frame's (or ancillary) — the back-pointer finds it again
+        pos += size
+        frame_no += 1
+        if len(reservoir) > 1 << 16:  # only the tail can be referenced
+            drop = len(reservoir) - 4096
+            reservoir = reservoir[drop:]
+    if not out:
+        raise ValueError("mp3: no frames")
+    return out

@@ -1945,6 +1945,102 @@ def warc_record_listing(
     )
 
 
+MP3_DEEP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_granules", IntegerType()),
+        StructField("n_short", IntegerType()),
+        StructField("sum_gg", LongType()),
+        StructField("sum_sf", LongType()),
+        StructField("sum_mdb", LongType()),
+    ]
+)
+
+
+def with_mp3_deep_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Layer III structural fixture (round 13): every side-info field,
+    scalefactor and bit-reservoir pointer derived arithmetically from
+    the doc's first four md5 codes (operators/mp3.mp3_build_deep), so
+    the oracle re-derives the whole stream in SQL. Map-only
+    mapInPandas; the mp3 module ships by value."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import mp3 as _mp3_mod
+
+    _cp.register_pickle_by_value(_mp3_mod)
+    _build = _mp3_mod.mp3_build_deep
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _h
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                hx = _h.md5(t.encode("utf-8")).hexdigest()
+                payloads.append(
+                    _build(ord(hx[0]), ord(hx[1]), ord(hx[2]), ord(hx[3]))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _make,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def mp3_deep_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Structural Layer III decode per doc (operators/mp3.
+    mp3_parse_deep): frame walk, side info (both block shapes),
+    bit-reservoir reassembly, scalefactor extraction — aggregated to
+    SQL-checkable sums (granule count, short-block count, global-gain
+    sum, scalefactor sum, reservoir-pointer sum). Map-only
+    mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import mp3 as _mp3_mod
+
+    _cp.register_pickle_by_value(_mp3_mod)
+    _parse = _mp3_mod.mp3_parse_deep
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ngs, nss, ggs, sfs, mdbs = [], [], [], [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                rows = _parse(bytes(p))
+                ids.append(int(did))
+                ngs.append(len(rows))
+                nss.append(sum(1 for r in rows if r["block_type"] == 2))
+                ggs.append(sum(r["global_gain"] for r in rows))
+                sfs.append(sum(sum(r["scalefacs"]) for r in rows))
+                mdbs.append(
+                    sum(r["main_data_begin"] for r in rows if r["granule"] == 0)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype="int64"),
+                    "n_granules": np.array(ngs, dtype="int32"),
+                    "n_short": np.array(nss, dtype="int32"),
+                    "sum_gg": np.array(ggs, dtype="int64"),
+                    "sum_sf": np.array(sfs, dtype="int64"),
+                    "sum_mdb": np.array(mdbs, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, MP3_DEEP_SCHEMA
+    )
+
+
 CDX_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
