@@ -195,3 +195,94 @@ def test_boolean_plain_bit_order(tmp_path):
     pq.write_table(t, path, compression="none", use_dictionary=False)
     mine = parquet_read_columns(open(path, "rb").read(), ["b"])
     assert mine["b"] == flags
+
+
+# ---------------------------------------------------------------------------
+# Round-13 second pass: the DELTA encoding family + BYTE_STREAM_SPLIT
+# ---------------------------------------------------------------------------
+
+
+def _enc_roundtrip(tmp_path, table, encodings, **kw):
+    path = str(tmp_path / "enc.parquet")
+    pq.write_table(table, path, use_dictionary=False, column_encoding=encodings, **kw)
+    data = open(path, "rb").read()
+    cols = table.column_names
+    mine = parquet_read_columns(data, cols)
+    con = duckdb.connect()
+    ref = con.execute(f'SELECT {", ".join(cols)} FROM read_parquet(?)', [path]).fetchall()
+    for ci, c in enumerate(cols):
+        _agree(mine[c], [r[ci] for r in ref])
+
+
+def test_delta_binary_packed(tmp_path):
+    import random
+
+    rng = random.Random(1)
+    vals32 = [rng.randrange(-(2**31), 2**31) for _ in range(3000)]
+    vals64 = [rng.randrange(-(2**63), 2**63) for _ in range(3000)]
+    t = pa.table(
+        {
+            "i32": pa.array(vals32, pa.int32()),
+            "i64": pa.array(vals64, pa.int64()),
+            "mono": pa.array(range(3000), pa.int64()),
+            "null32": pa.array(
+                [None if k % 7 == 0 else k * 3 - 999 for k in range(3000)],
+                pa.int32(),
+            ),
+        }
+    )
+    _enc_roundtrip(
+        tmp_path,
+        t,
+        {c: "DELTA_BINARY_PACKED" for c in t.column_names},
+    )
+
+
+def test_delta_binary_packed_v2_pages(tmp_path):
+    t = pa.table({"i": pa.array([k * k - 50 * k for k in range(5000)], pa.int64())})
+    _enc_roundtrip(
+        tmp_path, t, {"i": "DELTA_BINARY_PACKED"}, data_page_version="2.0"
+    )
+
+
+def test_delta_length_byte_array(tmp_path):
+    t = pa.table({"s": pa.array([f"v{'x' * (k % 23)}{k}" for k in range(2000)])})
+    _enc_roundtrip(tmp_path, t, {"s": "DELTA_LENGTH_BYTE_ARRAY"})
+
+
+def test_delta_byte_array(tmp_path):
+    # sorted keys share prefixes — the encoding's target shape
+    t = pa.table(
+        {
+            "s": pa.array(
+                sorted(f"common/prefix/{k % 50:02d}/leaf-{k}" for k in range(2000))
+            ),
+            "empty_mix": pa.array(["" if k % 9 == 0 else f"p{k}" for k in range(2000)]),
+        }
+    )
+    _enc_roundtrip(
+        tmp_path,
+        t,
+        {"s": "DELTA_BYTE_ARRAY", "empty_mix": "DELTA_BYTE_ARRAY"},
+    )
+
+
+def test_byte_stream_split(tmp_path):
+    t = pa.table(
+        {
+            "f32": pa.array([k / 7.0 for k in range(1500)], pa.float32()),
+            "f64": pa.array([k * -1.5 for k in range(1500)], pa.float64()),
+        }
+    )
+    _enc_roundtrip(
+        tmp_path,
+        t,
+        {"f32": "BYTE_STREAM_SPLIT", "f64": "BYTE_STREAM_SPLIT"},
+    )
+
+
+def test_delta_overflow_wraps_like_writer(tmp_path):
+    # deltas that overflow 64-bit two's complement: modular semantics
+    vals = [0, 2**63 - 1, -(2**63), 2**63 - 1, 0]
+    t = pa.table({"i": pa.array(vals, pa.int64())})
+    _enc_roundtrip(tmp_path, t, {"i": "DELTA_BINARY_PACKED"})

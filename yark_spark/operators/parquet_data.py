@@ -22,9 +22,17 @@ after a dictionary fallback (pyarrow switches to PLAIN when the
 dictionary outgrows its cap) decode per-page by their own declared
 encoding.
 
+The full DELTA encoding family decodes too (round-13 second pass):
+DELTA_BINARY_PACKED (block/miniblock geometry, zigzag headers,
+MODULAR delta arithmetic at the physical width — overflowing deltas
+wrap exactly like the writer's two's complement), DELTA_LENGTH_
+BYTE_ARRAY, DELTA_BYTE_ARRAY (prefix sharing), and BYTE_STREAM_SPLIT
+— each pinned by pyarrow-written fixtures differentialed against
+DuckDB.
+
 Boundaries (documented, typed): nested columns (repeated fields /
-LIST/MAP paths), INT96, FIXED_LEN_BYTE_ARRAY, the DELTA_* and
-BYTE_STREAM_SPLIT encodings, and codecs beyond the four above raise
+LIST/MAP paths), INT96, FIXED_LEN_BYTE_ARRAY, the deprecated
+BIT_PACKED level encoding, and codecs beyond the four above raise
 ``NotImplementedError``; malformed pages raise ``ValueError`` so the
 ingest quarantine keeps corrupt files as rows.
 
@@ -53,13 +61,135 @@ _ENC_PLAIN_DICT = 2
 _ENC_RLE = 3
 _ENC_RLE_DICT = 8
 
+_ENC_DELTA_BINARY = 5
+_ENC_DELTA_LENGTH_BA = 6
+_ENC_DELTA_BA = 7
+_ENC_BYTE_STREAM_SPLIT = 9
+
 _UNSUPPORTED_ENC = {
-    4: "DELTA_BINARY_PACKED",
-    5: "DELTA_LENGTH_BYTE_ARRAY",
-    6: "DELTA_BYTE_ARRAY",
-    7: "BYTE_STREAM_SPLIT",
-    9: "BYTE_STREAM_SPLIT",
+    4: "BIT_PACKED (deprecated)",
 }
+
+
+def _uvarint(buf: bytes, pos: int, end: int) -> tuple[int, int]:
+    x = 0
+    shift = 0
+    while True:
+        if pos >= end:
+            raise ValueError("parquet: truncated ULEB128 varint")
+        b = buf[pos]
+        pos += 1
+        x |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return x, pos
+
+
+def _zigzag(buf: bytes, pos: int, end: int) -> tuple[int, int]:
+    u, pos = _uvarint(buf, pos, end)
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _delta_binary_packed(
+    buf: bytes, pos: int, end: int, bits: int
+) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED (parquet encodings spec): block/miniblock
+    header, zigzag first value, per-block zigzag min_delta + miniblock
+    bit widths, LSB-first packed deltas; arithmetic is MODULAR at the
+    physical width (``bits`` = 32 or 64), so overflowing deltas wrap
+    exactly like the writer's two's complement did. Returns (values,
+    next_pos)."""
+    block_size, pos = _uvarint(buf, pos, end)
+    n_mini, pos = _uvarint(buf, pos, end)
+    total, pos = _uvarint(buf, pos, end)
+    first, pos = _zigzag(buf, pos, end)
+    if n_mini == 0 or block_size % 128 or (block_size // n_mini) % 32:
+        raise ValueError("parquet: invalid delta block geometry")
+    per_mini = block_size // n_mini
+    mask = (1 << bits) - 1
+    sign = 1 << (bits - 1)
+
+    def _wrap(v: int) -> int:
+        v &= mask
+        return v - (1 << bits) if v & sign else v
+
+    out = [_wrap(first)]
+    acc = out[0]
+    remaining = total - 1
+    while remaining > 0:
+        min_delta, pos = _zigzag(buf, pos, end)
+        if pos + n_mini > end:
+            raise ValueError("parquet: truncated miniblock widths")
+        widths = buf[pos : pos + n_mini]
+        pos += n_mini
+        for w in widths:
+            if w > bits + 1:
+                raise ValueError("parquet: miniblock width exceeds type")
+            n_bytes = per_mini * w // 8
+            if pos + n_bytes > end:
+                raise ValueError("parquet: truncated miniblock")
+            if remaining > 0 and w:
+                acc_bits = int.from_bytes(buf[pos : pos + n_bytes], "little")
+                take = min(per_mini, remaining)
+                m = (1 << w) - 1
+                for i in range(take):
+                    delta = ((acc_bits >> (i * w)) & m) + min_delta
+                    acc = _wrap(acc + delta)
+                    out.append(acc)
+                remaining -= take
+            elif remaining > 0:  # zero width: all deltas = min_delta
+                take = min(per_mini, remaining)
+                for _ in range(take):
+                    acc = _wrap(acc + min_delta)
+                    out.append(acc)
+                remaining -= take
+            pos += n_bytes
+    if len(out) != total:
+        raise ValueError("parquet: delta value count mismatch")
+    return out, pos
+
+
+def _delta_length_byte_array(
+    buf: bytes, pos: int, end: int
+) -> tuple[list[bytes], int]:
+    lengths, pos = _delta_binary_packed(buf, pos, end, 32)
+    out = []
+    for ln in lengths:
+        if ln < 0 or pos + ln > end:
+            raise ValueError("parquet: DELTA_LENGTH_BYTE_ARRAY body truncated")
+        out.append(bytes(buf[pos : pos + ln]))
+        pos += ln
+    return out, pos
+
+
+def _delta_byte_array(buf: bytes, pos: int, end: int) -> list[bytes]:
+    prefixes, pos = _delta_binary_packed(buf, pos, end, 32)
+    suffixes, _pos = _delta_length_byte_array(buf, pos, end)
+    if len(prefixes) != len(suffixes):
+        raise ValueError("parquet: DELTA_BYTE_ARRAY prefix/suffix mismatch")
+    out: list[bytes] = []
+    prev = b""
+    for pl, suf in zip(prefixes, suffixes):
+        if pl < 0 or pl > len(prev):
+            raise ValueError("parquet: DELTA_BYTE_ARRAY prefix out of range")
+        prev = prev[:pl] + suf
+        out.append(prev)
+    return out
+
+
+def _byte_stream_split(ptype: str, buf: bytes, pos: int, end: int, count: int) -> list:
+    width = {"FLOAT": 4, "DOUBLE": 8, "INT32": 4, "INT64": 8}.get(ptype)
+    if width is None:
+        raise NotImplementedError(
+            f"parquet: BYTE_STREAM_SPLIT for {ptype} not supported"
+        )
+    if end - pos != width * count:
+        raise ValueError("parquet: BYTE_STREAM_SPLIT section size mismatch")
+    streams = [buf[pos + k * count : pos + (k + 1) * count] for k in range(width)]
+    fmt = {"FLOAT": "<f", "DOUBLE": "<d", "INT32": "<i", "INT64": "<q"}[ptype]
+    return [
+        struct.unpack(fmt, bytes(s[i] for s in streams))[0] for i in range(count)
+    ]
 
 
 def _bit_width(v: int) -> int:
@@ -299,6 +429,31 @@ def _decode_values(ptype, enc, buf, pos, end, count, dictionary) -> list:
         pos += 4
         bits = _hybrid_runs(buf, pos, min(pos + sec_len, end), 1, count)
         return [bool(b) for b in bits]
+    if enc == _ENC_DELTA_BINARY:
+        if ptype not in ("INT32", "INT64"):
+            raise ValueError(f"parquet: DELTA_BINARY_PACKED for {ptype}")
+        vals, _ = _delta_binary_packed(
+            buf, pos, end, 32 if ptype == "INT32" else 64
+        )
+        if len(vals) != count:
+            raise ValueError("parquet: delta count != page value count")
+        return vals
+    if enc == _ENC_DELTA_LENGTH_BA:
+        if ptype != "BYTE_ARRAY":
+            raise ValueError(f"parquet: DELTA_LENGTH_BYTE_ARRAY for {ptype}")
+        vals, _ = _delta_length_byte_array(buf, pos, end)
+        if len(vals) != count:
+            raise ValueError("parquet: delta-length count mismatch")
+        return vals
+    if enc == _ENC_DELTA_BA:
+        if ptype != "BYTE_ARRAY":
+            raise ValueError(f"parquet: DELTA_BYTE_ARRAY for {ptype}")
+        vals = _delta_byte_array(buf, pos, end)
+        if len(vals) != count:
+            raise ValueError("parquet: delta-byte-array count mismatch")
+        return vals
+    if enc == _ENC_BYTE_STREAM_SPLIT:
+        return _byte_stream_split(ptype, buf, pos, end, count)
     if enc in _UNSUPPORTED_ENC:
         raise NotImplementedError(
             f"parquet: encoding {_UNSUPPORTED_ENC[enc]} not supported"
