@@ -1,0 +1,155 @@
+"""Parquet writer tests (round 13): files our Thrift-compact
+serializer writes must be read identically by DuckDB's C++ reader,
+pyarrow's reader AND our own E130 reader — plus footer agreement via
+DuckDB's parquet_metadata(), hybrid-encoder alignment vectors, and
+typed boundaries."""
+
+import pytest
+
+pa = pytest.importorskip("pyarrow")
+import io  # noqa: E402
+
+import duckdb  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+from yark_spark.operators.parquet_data import parquet_read_columns  # noqa: E402
+from yark_spark.operators.parquet_write import (  # noqa: E402
+    _hybrid_encode,
+    parquet_write,
+)
+
+_COLS = {
+    "i": [None if k % 7 == 0 else k - 50 for k in range(200)],
+    "big": [k * 10**10 for k in range(200)],
+    "f": [k / 3.0 for k in range(200)],
+    "flag": [k % 3 == 0 for k in range(200)],
+    "s": [None if k % 11 == 0 else f"val-{k % 9}" for k in range(200)],
+    "uniq": [f"unique-{k}" for k in range(200)],
+}
+
+
+def _write_tmp(tmp_path, blob):
+    p = tmp_path / "ours.parquet"
+    p.write_bytes(blob)
+    return str(p)
+
+
+@pytest.mark.parametrize("codec", ["UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"])
+def test_three_readers_agree(tmp_path, codec):
+    blob = parquet_write(_COLS, codec=codec, row_group_size=64)
+    # our own reader
+    mine = parquet_read_columns(blob, list(_COLS))
+    for c, vals in _COLS.items():
+        want = [bool(v) if isinstance(v, bool) else v for v in vals]
+        assert mine[c] == want, (codec, c)
+    # pyarrow
+    t = pq.read_table(io.BytesIO(blob))
+    assert t.num_rows == 200
+    for c in ("s", "big", "flag", "i"):
+        assert t.column(c).to_pylist() == _COLS[c], (codec, c)
+    # duckdb
+    path = _write_tmp(tmp_path, blob)
+    con = duckdb.connect()
+    ref = con.execute(f"SELECT * FROM read_parquet('{path}')").fetchall()
+    assert len(ref) == 200
+    names = list(_COLS)
+    for ci, c in enumerate(names):
+        got = [r[ci] for r in ref]
+        assert got == _COLS[c], (codec, c)
+    con.close()
+
+
+def test_footer_agreement_with_duckdb_metadata(tmp_path):
+    blob = parquet_write(_COLS, codec="SNAPPY", row_group_size=50)
+    path = _write_tmp(tmp_path, blob)
+    con = duckdb.connect()
+    meta = con.execute(
+        "SELECT row_group_id, path_in_schema, type, compression, num_values "
+        "FROM parquet_metadata(?) ORDER BY row_group_id, path_in_schema",
+        [path],
+    ).fetchall()
+    # 200 rows / 50 per group = 4 row groups x 6 columns
+    assert len(meta) == 24
+    assert {m[3] for m in meta} == {"SNAPPY"}
+    assert all(m[4] == 50 for m in meta)
+    by_col = {m[1]: m[2] for m in meta}
+    assert by_col["big"] == "INT64" and by_col["flag"] == "BOOLEAN"
+    assert by_col["s"] == "BYTE_ARRAY" and by_col["f"] == "DOUBLE"
+    schema = con.execute(
+        "SELECT name, type FROM parquet_schema(?)", [path]
+    ).fetchall()
+    types = dict(schema)
+    assert types["s"] == "BYTE_ARRAY"
+    con.close()
+
+
+def test_utf8_annotation_yields_varchar(tmp_path):
+    blob = parquet_write({"s": ["a", "b", None]}, codec="UNCOMPRESSED")
+    path = _write_tmp(tmp_path, blob)
+    con = duckdb.connect()
+    (tname,) = con.execute(
+        "SELECT typeof(s) FROM read_parquet(?) LIMIT 1", [path]
+    ).fetchone()
+    assert tname == "VARCHAR"  # ConvertedType UTF8 honored
+    con.close()
+
+
+def test_dictionary_and_plain_chunks_coexist(tmp_path):
+    # 's' is low-cardinality (dict page), 'uniq' exceeds the cap (PLAIN)
+    blob = parquet_write(_COLS, codec="SNAPPY", dictionary_max_cardinality=16)
+    t = pq.read_table(io.BytesIO(blob))
+    assert t.column("s").to_pylist() == _COLS["s"]
+    assert t.column("uniq").to_pylist() == _COLS["uniq"]
+
+
+def test_roundtrip_through_both_in_repo_halves():
+    cols = {"x": list(range(1000)), "y": [f"r{k % 13}" for k in range(1000)]}
+    blob = parquet_write(cols, codec="ZSTD", row_group_size=128)
+    back = parquet_read_columns(blob, ["x", "y"])
+    assert back["x"] == cols["x"] and back["y"] == cols["y"]
+
+
+def test_all_null_and_empty_columns(tmp_path):
+    blob = parquet_write({"n": [None, None, None], "v": [1, 2, 3]})
+    t = pq.read_table(io.BytesIO(blob))
+    assert t.column("n").to_pylist() == [None, None, None]
+    mine = parquet_read_columns(blob, ["n", "v"])
+    assert mine["n"] == [None, None, None] and mine["v"] == [1, 2, 3]
+
+
+def test_hybrid_encoder_alignment():
+    # the round-13 bug shape: a short bit-packed stretch followed by a
+    # long run — the packed group must NOT pad mid-stream
+    from yark_spark.operators.parquet_data import _hybrid_runs
+
+    for pattern in (
+        [0] + [1] * 10 + [0] + [1] * 10,
+        [1, 0, 1] + [0] * 20 + [1, 1],
+        [0] * 7 + [1] * 9,
+        [1] * 8,
+        [0, 1] * 30,
+        [3, 1, 2] * 11,
+    ):
+        bw = max(v.bit_length() for v in pattern)
+        enc = _hybrid_encode(pattern, bw)
+        dec = _hybrid_runs(enc, 0, len(enc), bw, len(pattern))
+        assert dec == pattern, pattern
+
+
+def test_mixed_type_column_rejected():
+    with pytest.raises(ValueError, match="mixed types"):
+        parquet_write({"m": [1, "two"]})
+
+
+def test_unknown_codec_typed():
+    with pytest.raises(NotImplementedError, match="codec"):
+        parquet_write({"x": [1]}, codec="BROTLI")
+
+
+def test_explicit_type_override(tmp_path):
+    blob = parquet_write(
+        {"small": [1, 2, None]}, types={"small": "INT64"}, codec="UNCOMPRESSED"
+    )
+    t = pq.read_table(io.BytesIO(blob))
+    assert str(t.schema.field("small").type) == "int64"
+    assert t.column("small").to_pylist() == [1, 2, None]

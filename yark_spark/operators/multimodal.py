@@ -2041,6 +2041,78 @@ def mp3_deep_features(
     )
 
 
+def parquet_write_roundtrip_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    codec_cycle: tuple = ("SNAPPY", "ZSTD", "GZIP", "UNCOMPRESSED"),
+) -> DataFrame:
+    """Parquet BOTH directions in one pass (round 13): each batch of
+    documents is serialized into a real parquet file by the
+    from-scratch writer (operators/parquet_write — Thrift-compact
+    footer + page headers, dictionary/PLAIN pages, definition
+    levels; the page codec CYCLES per batch) and read back by the
+    from-scratch reader (operators/parquet_data). The oracle digest
+    certifies the whole loop; the cross-library half (DuckDB and
+    pyarrow consuming our files, duckdb parquet_metadata footer
+    agreement) is pinned in tests/test_parquet_write.py. Map-only
+    mapInPandas; at 100 TB this is the shard-materialization kernel
+    (one file per task, footer last, no cross-task state)."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import parquet_data as _pdata
+    from yark_spark.operators import parquet_meta as _pm
+    from yark_spark.operators import parquet_write as _pw
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()
+    _pdata.bind_codecs()
+    _pw.bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_pm)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_pdata)
+    _cp.register_pickle_by_value(_pw)
+    _write = _pw.parquet_write
+    _read = _pdata.parquet_read_columns
+    _codecs = tuple(codec_cycle)
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _h
+
+        import numpy as np
+
+        for bi, pdf in enumerate(batches):
+            cols = {
+                "doc_id": [int(v) for v in pdf[id_col]],
+                "text": list(pdf[text_col]),
+            }
+            blob = _write(
+                cols,
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                codec=_codecs[bi % len(_codecs)],
+                row_group_size=64,
+            )
+            back = _read(blob, ["doc_id", "text"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(back["doc_id"], dtype="int64"),
+                    "n_chars": np.array(
+                        [len(t) for t in back["text"]], dtype="int32"
+                    ),
+                    "digest": [
+                        _h.md5(t.encode("utf-8")).hexdigest()
+                        for t in back["text"]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _roundtrip, GUNZIP_SCHEMA
+    )
+
+
 CDX_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -1,0 +1,457 @@
+"""Parquet WRITER from scratch (round 13): the other direction of
+E118/E130 — serialize flat columns into a real parquet file with
+nothing imported:
+
+    values → PLAIN or dictionary pages (RLE/bit-packed hybrid
+    indices + definition levels) → page codec (UNCOMPRESSED /
+    SNAPPY / GZIP / ZSTD, all in-repo encoders) → Thrift COMPACT
+    page headers → row groups → Thrift FileMetaData → PAR1 trailer.
+
+With E130's reader this closes the loop on THE 100 TB storage
+substrate: the repo now reads what others write and writes what
+others read. Correctness is cross-library: DuckDB's C++ reader and
+pyarrow's reader both consume our files (values, schema, nulls,
+UTF8 annotation, multi row groups, every codec), our own reader
+round-trips them, and DuckDB's ``parquet_metadata()`` agrees with
+the footer we serialized (tests/test_parquet_write.py).
+
+Types: BOOLEAN, INT32, INT64, FLOAT, DOUBLE, BYTE_ARRAY (strings,
+annotated UTF8 via ConvertedType so SQL engines read VARCHAR).
+``None`` values become definition-level nulls (columns are written
+OPTIONAL). Dictionary encoding is applied per column chunk when the
+value cardinality is small enough to pay for itself, with the PLAIN
+fallback real writers use — both paths exercise E130's reader.
+
+Boundaries (typed): nested schemas, INT96/FLBA, and exotic codecs
+raise ``NotImplementedError``.
+
+Reference parity note: the reference archiver has no columnar layer
+(SQLite row store, /root/reference/cmds/archive.py); this is
+driver-mandated pipeline surface (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["parquet_write"]
+
+# thrift compact wire types
+_CT_TRUE, _CT_FALSE = 1, 2
+_CT_I32, _CT_I64 = 5, 6
+_CT_BINARY = 8
+_CT_LIST = 9
+_CT_STRUCT = 12
+
+_TYPE_IDS = {
+    "BOOLEAN": 0,
+    "INT32": 1,
+    "INT64": 2,
+    "FLOAT": 4,
+    "DOUBLE": 5,
+    "BYTE_ARRAY": 6,
+}
+_CODEC_IDS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
+
+_ENC_PLAIN, _ENC_RLE, _ENC_RLE_DICT = 0, 3, 8
+_PAGE_DATA, _PAGE_DICT = 0, 2
+
+
+# ---------------------------------------------------------------------------
+# Thrift compact protocol — writer half (the parser lives in
+# parquet_meta; hand-rolled vectors in the tests pin the two against
+# each other)
+# ---------------------------------------------------------------------------
+
+
+def _uvarint(x: int) -> bytes:
+    out = bytearray()
+    while x >= 0x80:
+        out.append((x & 0x7F) | 0x80)
+        x >>= 7
+    out.append(x)
+    return bytes(out)
+
+
+def _zigzag(x: int) -> bytes:
+    return _uvarint((x << 1) ^ (x >> 63) if x < 0 else x << 1)
+
+
+class _TStruct:
+    """Builds one compact-protocol struct: fields MUST be added in
+    ascending id order (the delta encoding requires it)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.last_id = 0
+
+    def _header(self, fid: int, ctype: int) -> None:
+        delta = fid - self.last_id
+        if 1 <= delta <= 15:
+            self.buf.append((delta << 4) | ctype)
+        else:
+            self.buf.append(ctype)
+            self.buf += _zigzag(fid)
+        self.last_id = fid
+
+    def i32(self, fid: int, v: int) -> "_TStruct":
+        self._header(fid, _CT_I32)
+        self.buf += _zigzag(v)
+        return self
+
+    def i64(self, fid: int, v: int) -> "_TStruct":
+        self._header(fid, _CT_I64)
+        self.buf += _zigzag(v)
+        return self
+
+    def binary(self, fid: int, v: bytes) -> "_TStruct":
+        self._header(fid, _CT_BINARY)
+        self.buf += _uvarint(len(v)) + v
+        return self
+
+    def boolean(self, fid: int, v: bool) -> "_TStruct":
+        self._header(fid, _CT_TRUE if v else _CT_FALSE)
+        return self
+
+    def struct(self, fid: int, body: bytes) -> "_TStruct":
+        self._header(fid, _CT_STRUCT)
+        self.buf += body
+        return self
+
+    def list_of(self, fid: int, elem_type: int, items: list[bytes]) -> "_TStruct":
+        self._header(fid, _CT_LIST)
+        n = len(items)
+        if n < 15:
+            self.buf.append((n << 4) | elem_type)
+        else:
+            self.buf.append(0xF0 | elem_type)
+            self.buf += _uvarint(n)
+        for it in items:
+            self.buf += it
+        return self
+
+    def done(self) -> bytes:
+        return bytes(self.buf) + b"\x00"  # STOP
+
+
+def _t_i32_elem(v: int) -> bytes:
+    return _zigzag(v)
+
+
+def _t_binary_elem(v: bytes) -> bytes:
+    return _uvarint(len(v)) + v
+
+
+# ---------------------------------------------------------------------------
+# RLE/bit-packed hybrid — writer half
+# ---------------------------------------------------------------------------
+
+
+def _hybrid_encode(values: list[int], bit_width: int) -> bytes:
+    """Encode small ints at ``bit_width``: RLE runs for repeats of 8+,
+    bit-packed groups otherwise. Spec discipline: RLE runs carry an
+    exact count, but a bit-packed run covers groups of EIGHT — only
+    the FINAL group of the whole encoding may pad, so pending values
+    are held until they align before an RLE run can be emitted."""
+    out = bytearray()
+    byte_w = max(1, (bit_width + 7) // 8)
+    pend: list[int] = []
+
+    def _flush(final: bool) -> None:
+        if not pend:
+            return
+        if not final and len(pend) % 8:
+            raise ValueError("parquet-write: internal bit-pack misalignment")
+        groups = (len(pend) + 7) // 8
+        out.extend(_uvarint((groups << 1) | 1))
+        acc = 0
+        for k in range(groups * 8):
+            v = pend[k] if k < len(pend) else 0
+            acc |= v << (k * bit_width)
+        out.extend(acc.to_bytes(groups * bit_width, "little"))
+        pend.clear()
+
+    i, n = 0, len(values)
+    while i < n:
+        run = 1
+        while i + run < n and values[i + run] == values[i]:
+            run += 1
+        if run >= 8:
+            if len(pend) % 8:
+                # absorb just enough of the run to realign, re-assess
+                take = min(run, (-len(pend)) % 8)
+                pend.extend(values[i : i + take])
+                i += take
+                continue
+            _flush(final=False)
+            out.extend(_uvarint(run << 1))
+            out.extend(values[i].to_bytes(byte_w, "little"))
+            i += run
+        else:
+            pend.extend(values[i : i + run])
+            i += run
+    _flush(final=True)
+    return bytes(out)
+
+
+def _plain_encode(ptype: str, values: list) -> bytes:
+    if ptype == "BOOLEAN":
+        out = bytearray((len(values) + 7) // 8)
+        for i, v in enumerate(values):
+            if v:
+                out[i >> 3] |= 1 << (i & 7)
+        return bytes(out)
+    if ptype in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+        fmt = {"INT32": "<i", "INT64": "<q", "FLOAT": "<f", "DOUBLE": "<d"}[ptype]
+        return b"".join(struct.pack(fmt, v) for v in values)
+    if ptype == "BYTE_ARRAY":
+        out = bytearray()
+        for v in values:
+            if isinstance(v, str):
+                v = v.encode("utf-8")
+            out += struct.pack("<I", len(v)) + v
+        return bytes(out)
+    raise NotImplementedError(f"parquet-write: type {ptype}")
+
+
+_SNAPPY = None  # bound by bind_codecs(); ships by value with this module
+_CONTAINERS = None
+_ZSTD = None
+
+
+def bind_codecs():
+    """Resolve codec modules into module globals driver-side (the
+    parquet_data/containers pattern) — workers receiving this module
+    by value cannot ``import yark_spark`` at runtime."""
+    global _SNAPPY, _CONTAINERS, _ZSTD
+    if _SNAPPY is None:
+        from yark_spark.operators import containers as _c
+        from yark_spark.operators import snappy as _s
+        from yark_spark.operators import zstd as _z
+
+        _SNAPPY, _CONTAINERS, _ZSTD = _s, _c, _z
+
+
+def _compress(codec: str, data: bytes) -> bytes:
+    if codec == "UNCOMPRESSED":
+        return data
+    bind_codecs()
+    if codec == "SNAPPY":
+        return _SNAPPY.snappy_compress(data)
+    if codec == "GZIP":
+        return _CONTAINERS.gzip_compress(data)
+    if codec == "ZSTD":
+        return _ZSTD.zstd_compress(data, method="compressed")
+    raise NotImplementedError(f"parquet-write: codec {codec}")
+
+
+def _bit_width(v: int) -> int:
+    return v.bit_length()
+
+
+def _infer_type(name: str, values: list) -> str:
+    kind = None
+    wide = False
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            k = "BOOLEAN"
+        elif isinstance(v, int):
+            k = "INT"
+            if not -(2**31) <= v < 2**31:
+                wide = True
+        elif isinstance(v, float):
+            k = "DOUBLE"
+        elif isinstance(v, (str, bytes)):
+            k = "BYTE_ARRAY"
+        else:
+            raise NotImplementedError(
+                f"parquet-write: unsupported value {type(v).__name__} in {name!r}"
+            )
+        if kind is None:
+            kind = k
+        elif kind != k:
+            raise ValueError(f"parquet-write: mixed types in column {name!r}")
+    if kind == "INT":
+        return "INT64" if wide else "INT32"
+    return kind or "BYTE_ARRAY"  # all-null column
+
+
+def parquet_write(
+    columns: dict[str, list],
+    types: dict[str, str] | None = None,
+    codec: str = "SNAPPY",
+    row_group_size: int | None = None,
+    dictionary_max_cardinality: int = 1024,
+    created_by: str = "yark_spark parquet writer",
+) -> bytes:
+    """Serialize ``{name: values}`` (equal lengths, ``None`` = null)
+    into parquet bytes. ``types`` overrides per-column physical types
+    ({'BOOLEAN','INT32','INT64','FLOAT','DOUBLE','BYTE_ARRAY'});
+    strings are annotated UTF8. Dictionary encoding is chosen per
+    chunk when distinct non-null values fit
+    ``dictionary_max_cardinality``, else PLAIN."""
+    if codec not in _CODEC_IDS:
+        raise NotImplementedError(f"parquet-write: codec {codec}")
+    names = list(columns)
+    if not names:
+        raise ValueError("parquet-write: no columns")
+    n_rows = len(columns[names[0]])
+    for c in names:
+        if len(columns[c]) != n_rows:
+            raise ValueError("parquet-write: ragged columns")
+    ctypes = {c: (types or {}).get(c) or _infer_type(c, columns[c]) for c in names}
+    for c, t in ctypes.items():
+        if t not in _TYPE_IDS:
+            raise NotImplementedError(f"parquet-write: type {t} for {c!r}")
+    rg_size = row_group_size or max(1, n_rows)
+
+    out = bytearray(b"PAR1")
+    rg_structs: list[bytes] = []
+    for rg_start in range(0, max(n_rows, 1), rg_size):
+        rg_rows = min(rg_size, n_rows - rg_start) if n_rows else 0
+        col_structs: list[bytes] = []
+        rg_total = 0
+        for name in names:
+            vals = columns[name][rg_start : rg_start + rg_rows]
+            ptype = ctypes[name]
+            chunk, meta = _write_chunk(
+                out, name, ptype, vals, codec, dictionary_max_cardinality
+            )
+            col_structs.append(chunk)
+            rg_total += meta
+        rg_structs.append(
+            _TStruct()
+            .list_of(1, _CT_STRUCT, col_structs)
+            .i64(2, rg_total)
+            .i64(3, rg_rows)
+            .done()
+        )
+        if n_rows == 0:
+            break
+
+    schema_elems = [
+        _TStruct().binary(4, b"schema").i32(5, len(names)).done()
+    ]
+    for name in names:
+        el = _TStruct()
+        el.i32(1, _TYPE_IDS[ctypes[name]])
+        el.i32(3, 1)  # OPTIONAL
+        el.binary(4, name.encode("utf-8"))
+        if ctypes[name] == "BYTE_ARRAY":
+            el.i32(6, 0)  # ConvertedType UTF8
+        schema_elems.append(el.done())
+
+    fmeta = (
+        _TStruct()
+        .i32(1, 2)  # version
+        .list_of(2, _CT_STRUCT, schema_elems)
+        .i64(3, n_rows)
+        .list_of(4, _CT_STRUCT, rg_structs)
+        .binary(6, created_by.encode("utf-8"))
+        .done()
+    )
+    out += fmeta
+    out += struct.pack("<I", len(fmeta)) + b"PAR1"
+    return bytes(out)
+
+
+def _write_chunk(
+    out: bytearray,
+    name: str,
+    ptype: str,
+    vals: list,
+    codec: str,
+    dict_max: int = 1024,
+) -> tuple[bytes, int]:
+    """Append one column chunk's pages to ``out``; return (the
+    ColumnChunk thrift struct, total compressed size)."""
+    present = [v for v in vals if v is not None]
+    defs = [0 if v is None else 1 for v in vals]
+    # definition levels: uint32-length-prefixed hybrid at bit width 1
+    def_section = _hybrid_encode(defs, 1)
+    def_block = struct.pack("<I", len(def_section)) + def_section
+
+    distinct = []
+    seen = {}
+    for v in present:
+        key = v.encode("utf-8") if isinstance(v, str) else v
+        if key not in seen:
+            seen[key] = len(distinct)
+            distinct.append(v)
+    use_dict = (
+        0 < len(distinct) <= dict_max
+        and len(distinct) < max(2, len(present))
+        and ptype != "BOOLEAN"
+    )
+
+    encodings = {_ENC_RLE, _ENC_PLAIN}
+    dict_page = b""
+    dict_offset = None
+    chunk_start = len(out)
+    total_unc = 0
+    if use_dict:
+        encodings.add(_ENC_RLE_DICT)
+        dict_raw = _plain_encode(ptype, distinct)
+        dict_comp = _compress(codec, dict_raw)
+        inner = _TStruct().i32(1, len(distinct)).i32(2, _ENC_PLAIN).done()
+        dict_hdr = (
+            _TStruct()
+            .i32(1, _PAGE_DICT)
+            .i32(2, len(dict_raw))
+            .i32(3, len(dict_comp))
+            .struct(7, inner)
+            .done()
+        )
+        dict_offset = len(out)
+        out += dict_hdr + dict_comp
+        total_unc += len(dict_raw)
+        idx = [
+            seen[v.encode("utf-8") if isinstance(v, str) else v] for v in present
+        ]
+        bw = max(1, _bit_width(max(1, len(distinct) - 1)))
+        values_raw = bytes([bw]) + _hybrid_encode(idx, bw)
+        data_enc = _ENC_RLE_DICT
+    else:
+        values_raw = _plain_encode(ptype, present)
+        data_enc = _ENC_PLAIN
+
+    page_raw = def_block + values_raw
+    page_comp = _compress(codec, page_raw)
+    inner = (
+        _TStruct()
+        .i32(1, len(vals))
+        .i32(2, data_enc)
+        .i32(3, _ENC_RLE)
+        .i32(4, _ENC_RLE)
+        .done()
+    )
+    page_hdr = (
+        _TStruct()
+        .i32(1, _PAGE_DATA)
+        .i32(2, len(page_raw))
+        .i32(3, len(page_comp))
+        .struct(5, inner)
+        .done()
+    )
+    data_offset = len(out)
+    out += page_hdr + page_comp
+    total_unc += len(page_raw)
+    total_comp = len(out) - chunk_start
+
+    meta = _TStruct()
+    meta.i32(1, _TYPE_IDS[ptype])
+    meta.list_of(
+        2, _CT_I32, [_t_i32_elem(e) for e in sorted(encodings)]
+    )
+    meta.list_of(3, _CT_BINARY, [_t_binary_elem(name.encode("utf-8"))])
+    meta.i32(4, _CODEC_IDS[codec])
+    meta.i64(5, len(vals))
+    meta.i64(6, total_unc)
+    meta.i64(7, total_comp)
+    meta.i64(9, data_offset)
+    if dict_offset is not None:
+        meta.i64(11, dict_offset)
+    chunk = _TStruct().i64(2, chunk_start).struct(3, meta.done()).done()
+    return chunk, total_comp

@@ -270,6 +270,34 @@ def q_warc_cdx_seek(spark, sf_dir):
     return warc_cdx_seek_extract(with_warc_shards(docs, http_head=True))
 
 
+_PARQUET_WRITE_ORACLE = (
+    "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 500"
+)
+
+
+@query("q_parquet_write_roundtrip", oracle=_PARQUET_WRITE_ORACLE)
+def q_parquet_write_roundtrip(spark, sf_dir):
+    """E133 parquet writer from scratch (round 13): E130's reader got
+    its other half — documents serialized into REAL parquet files by
+    operators/parquet_write (hand-built Thrift-compact FileMetaData +
+    page headers, dictionary/PLAIN value pages, RLE/bit-packed
+    definition levels with the exact-8s alignment discipline, UTF8
+    annotation, multi row groups, page codec CYCLING snappy/zstd/
+    gzip/uncompressed per batch through the in-repo encoders) and
+    read back by operators/parquet_data, digest-matched against
+    DuckDB. Cross-library proof lives in tests/test_parquet_write.py:
+    DuckDB and pyarrow both read our files value-for-value and
+    DuckDB's parquet_metadata() agrees with the footer we serialized.
+    The repo now reads what others write AND writes what others read
+    on THE 100 TB substrate. Map-only mapInPandas; one file per task,
+    footer last — the shard-materialization kernel."""
+    from yark_spark.operators.multimodal import parquet_write_roundtrip_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return parquet_write_roundtrip_features(docs)
+
+
 def _mp3_deep_oracle() -> str:
     """Re-derive the ENTIRE Layer III structural stream in SQL: the
     fixture's side-info fields, scalefactors and reservoir pointers
