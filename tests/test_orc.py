@@ -1,0 +1,160 @@
+"""ORC reader tests (round 13): value-level differential against
+pyarrow's ORC_CPP writer (genuine third-party wire) across all five
+compressions and every supported type/encoding, RLEv2 sub-encoding
+coverage probes, multi-stripe assembly, and typed boundaries."""
+
+import random
+
+import pytest
+
+pa = pytest.importorskip("pyarrow")
+import io  # noqa: E402
+
+import pyarrow.orc as orc  # noqa: E402
+
+from yark_spark.operators.orc import (  # noqa: E402
+    _byte_rle,
+    _rlev2,
+    orc_read_columns,
+)
+
+
+def _write(table, compression="zlib", **kw):
+    buf = io.BytesIO()
+    orc.write_table(table, buf, compression=compression, **kw)
+    return buf.getvalue()
+
+
+def _table(n=3000, seed=3):
+    rng = random.Random(seed)
+    return pa.table(
+        {
+            "i": pa.array(
+                [None if k % 7 == 0 else k - 500 for k in range(n)], pa.int64()
+            ),
+            "i32": pa.array([k * 3 - n for k in range(n)], pa.int32()),
+            "i16": pa.array([(k % 200) - 100 for k in range(n)], pa.int16()),
+            "i8": pa.array([(k % 250) - 125 for k in range(n)], pa.int8()),
+            "s": pa.array([None if k % 11 == 0 else f"val-{k % 20}" for k in range(n)]),
+            "u": pa.array([f"uniq-{k}" for k in range(n)]),
+            "f32": pa.array([k / 3.0 for k in range(n)], pa.float32()),
+            "f64": pa.array([k / 7.0 for k in range(n)], pa.float64()),
+            "b": pa.array([k % 3 == 0 for k in range(n)], pa.bool_()),
+            "r": pa.array(
+                [rng.randrange(-(2**40), 2**40) for _ in range(n)], pa.int64()
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize(
+    "compression", ["uncompressed", "zlib", "snappy", "zstd", "lz4"]
+)
+def test_differential_vs_orc_cpp(compression):
+    t = _table()
+    got = orc_read_columns(_write(t, compression))
+    for c in t.column_names:
+        assert got[c] == t.column(c).to_pylist(), (compression, c)
+
+
+def test_multi_stripe():
+    t = _table(n=9000)
+    blob = _write(t, "zlib", stripe_size=16 * 1024)
+    f = orc.ORCFile(io.BytesIO(blob))
+    assert f.nstripes >= 2  # the fixture really is multi-stripe
+    got = orc_read_columns(blob)
+    for c in t.column_names:
+        assert got[c] == t.column(c).to_pylist(), c
+
+
+def test_column_subset_and_missing():
+    t = _table(n=500)
+    blob = _write(t)
+    got = orc_read_columns(blob, ["i", "s"])
+    assert set(got) == {"i", "s"}
+    assert got["i"] == t.column("i").to_pylist()
+    with pytest.raises(ValueError, match="not in schema"):
+        orc_read_columns(blob, ["nope"])
+
+
+def test_nested_column_typed_boundary():
+    t = pa.table({"x": pa.array([1, 2]), "v": pa.array([[1.0], [2.0, 3.0]])})
+    blob = _write(t)
+    assert orc_read_columns(blob, ["x"])["x"] == [1, 2]
+    with pytest.raises(NotImplementedError, match="LIST"):
+        orc_read_columns(blob, ["v"])
+    # default column set skips the nested child silently
+    assert set(orc_read_columns(blob)) == {"x"}
+
+
+def test_timestamp_typed_boundary():
+    import datetime
+
+    t = pa.table(
+        {"ts": pa.array([datetime.datetime(2020, 1, 1)], pa.timestamp("us"))}
+    )
+    with pytest.raises(NotImplementedError, match="TIMESTAMP"):
+        orc_read_columns(_write(t), ["ts"])
+
+
+def test_bad_magic_and_truncation_typed():
+    t = pa.table({"x": pa.array(range(100))})
+    blob = _write(t)
+    with pytest.raises(ValueError, match="magic"):
+        orc_read_columns(b"XXX" + blob[3:])
+    with pytest.raises(ValueError):
+        orc_read_columns(blob[: len(blob) // 2] + blob[-30:])
+
+
+# ---------------------------------------------------------------------------
+# RLEv2 sub-encodings: drive each through the real writer with data
+# shaped to trigger it, and pin the primitives with hand vectors
+# ---------------------------------------------------------------------------
+
+
+def test_rlev2_short_repeat_vector():
+    # ORC spec example: 10000 x3 -> 0x0a 0x27 0x10
+    assert _rlev2(bytes([0x0A, 0x27, 0x10]), 3, signed=False) == [10000] * 3
+
+
+def test_rlev2_direct_vector():
+    # ORC spec example: [23713, 43806, 57005, 48879] ->
+    # 5e 03 5c a1 ab 1e de ad be ef
+    enc = bytes.fromhex("5e035ca1ab1edeadbeef")
+    assert _rlev2(enc, 4, signed=False) == [23713, 43806, 57005, 48879]
+
+
+def test_rlev2_delta_vector():
+    # ORC spec example: the first primes — base 2, delta base +1,
+    # then 4-bit deltas 2,2,4,2,4,2,4,6
+    enc = bytes.fromhex("c609020222424246")
+    assert _rlev2(enc, 10, signed=False) == [2, 3, 5, 7, 11, 13, 17, 19, 23, 29]
+
+
+def test_rlev2_fixed_delta():
+    # width code 0 = fixed delta: 10 values stepping by -3 from 100
+    # header: mode 3, wcode 0, len-1=9 -> c0 09; base varint 100,
+    # delta svarint -3 (zigzag 5)
+    enc = bytes.fromhex("c0096405")
+    assert _rlev2(enc, 10, signed=False) == list(range(100, 70, -3))
+
+
+def test_byte_rle_vectors():
+    # run: 0x61 x100 -> 61 00? no: control 97 = run of 100
+    assert _byte_rle(bytes([0x61, 0x00]), 100) == [0] * 100
+    assert _byte_rle(bytes([0xFE, 0x44, 0x45]), 2) == [0x44, 0x45]
+
+
+def test_monotonic_ids_exercise_delta():
+    # doc_id-like columns: the writer emits DELTA runs
+    t = pa.table({"id": pa.array(range(5000), pa.int64())})
+    assert orc_read_columns(_write(t))["id"] == list(range(5000))
+
+
+def test_outlier_heavy_exercise_patched_base():
+    rng = random.Random(9)
+    vals = [2000 + rng.randrange(200) for _ in range(512)]
+    for k in range(0, 512, 97):
+        vals[k] = 10**9 + k  # outliers force PATCHED BASE
+    t = pa.table({"x": pa.array(vals, pa.int64())})
+    assert orc_read_columns(_write(t))["x"] == vals

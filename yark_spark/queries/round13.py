@@ -298,6 +298,35 @@ def q_parquet_write_roundtrip(spark, sf_dir):
     return parquet_write_roundtrip_features(docs)
 
 
+_ORC_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_orc_scan", oracle=_ORC_ORACLE)
+def q_orc_scan(spark, sf_dir):
+    """E134 ORC reader from scratch (round 13): the OTHER columnar
+    substrate — shards written by the REAL library (pyarrow's
+    ORC_CPP, compression cycling uncompressed/zlib/snappy/zstd/lz4
+    per shard) and decoded by operators/orc: postscript + footer +
+    stripe-footer protobuf (via the in-repo tfrecord wire codec),
+    ORC's 3-byte chunk framing over the in-repo codecs, PRESENT
+    boolean RLE, the FULL RLEv2 integer family (short repeat,
+    direct, patched base, delta — FixedBitSizes widths, MSB-first
+    packing, zigzag), and DICTIONARY_V2/DIRECT_V2 strings. Reading
+    genuine third-party wire is the strongest ingest claim: nothing
+    in the decode path ever saw these bytes before. Hive/Trino
+    warehouses and long-lived Hadoop corpora ship ORC at 100 TB;
+    the (file, stripe) unit here is the warehouse-scan task shape.
+    Grouping shuffle = shard assignment; map-only listing."""
+    from yark_spark.operators.multimodal import orc_scan_listing, with_orc_shards
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return orc_scan_listing(with_orc_shards(docs))
+
+
 def _mp3_deep_oracle() -> str:
     """Re-derive the ENTIRE Layer III structural stream in SQL: the
     fixture's side-info fields, scalefactors and reservoir pointers
