@@ -2223,6 +2223,173 @@ def orc_scan_listing(
     )
 
 
+DELTA_SNAPSHOT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("version_added", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def with_delta_table_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Delta-style table fixture (round 13): every 32 docs become one
+    lakehouse table archive — four 8-doc parquet files written by the
+    FROM-SCRATCH writer (operators/parquet_write, SNAPPY) plus a
+    three-commit JSON log: v0 protocol+metaData+add(p0,p1), v1
+    add(p2), v2 remove(p1)+add(p3). The snapshot reader must therefore
+    drop docs 8–15 of every table and attribute the rest to the right
+    commit. One applyInPandas per table group."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import parquet_data as _pdata
+    from yark_spark.operators import parquet_meta as _pm
+    from yark_spark.operators import parquet_write as _pw
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()
+    _pw.bind_codecs()
+    _pdata.bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_pm)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_pdata)
+    _cp.register_pickle_by_value(_pw)
+    _write = _pw.parquet_write
+    _cont = _register_container_modules()
+    _tar = _cont.tar_build
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 32
+        parts = []
+        for k in range(0, len(ids), 8):
+            blob = _write(
+                {"doc_id": ids[k : k + 8], "text": texts[k : k + 8]},
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                codec="SNAPPY",
+            )
+            parts.append((f"part-{k // 8:05d}.parquet", blob))
+
+        def _add(path, blob):
+            return _json.dumps(
+                {"add": {"path": path, "size": len(blob), "dataChange": True}}
+            )
+
+        v0 = "\n".join(
+            [
+                _json.dumps(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                ),
+                _json.dumps(
+                    {
+                        "metaData": {
+                            "id": f"table-{tid}",
+                            "format": {"provider": "parquet"},
+                            "partitionColumns": [],
+                        }
+                    }
+                ),
+                _add(*parts[0]),
+                _add(*parts[1]) if len(parts) > 1 else "",
+            ]
+        )
+        v1 = _add(*parts[2]) if len(parts) > 2 else ""
+        v2_lines = []
+        if len(parts) > 1:
+            v2_lines.append(
+                _json.dumps(
+                    {"remove": {"path": parts[1][0], "dataChange": True}}
+                )
+            )
+        if len(parts) > 3:
+            v2_lines.append(_add(*parts[3]))
+        members = [(f"_delta_log/{0:020d}.json", v0.encode())]
+        members.append((f"_delta_log/{1:020d}.json", v1.encode()))
+        members.append((f"_delta_log/{2:020d}.json", "\n".join(v2_lines).encode()))
+        members += parts
+        return pd.DataFrame(
+            {"table_id": [tid], "payload": [_tar(members)]}
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("table_id", LongType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+    )
+
+
+def delta_snapshot_features(
+    df: DataFrame, table_col: str = "table_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Replay each table's commit log (operators/deltalog) and emit
+    the LIVE rows with their adding commit version — removed files'
+    docs must vanish, resurrected/compacted files carry the rewrite
+    version, and every live parquet file decodes through the
+    from-scratch reader. Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import deltalog as _dl
+    from yark_spark.operators import parquet_data as _pdata
+    from yark_spark.operators import parquet_meta as _pm
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()
+    _pdata.bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_pm)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_pdata)
+    _cp.register_pickle_by_value(_dl)
+    _rows = _dl.delta_snapshot_rows
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _h
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, tids, vers, ns, digs = [], [], [], [], []
+            for tid, p in zip(pdf[table_col], pdf[payload_col]):
+                for version, row in _rows(bytes(p), ["doc_id", "text"]):
+                    ids.append(int(row["doc_id"]))
+                    tids.append(int(tid))
+                    vers.append(version)
+                    ns.append(len(row["text"]))
+                    digs.append(_h.md5(row["text"].encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype="int64"),
+                    "table_id": np.array(tids, dtype="int64"),
+                    "version_added": np.array(vers, dtype="int32"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(table_col), F.col(payload_col)).mapInPandas(
+        _extract, DELTA_SNAPSHOT_SCHEMA
+    )
+
+
 CDX_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

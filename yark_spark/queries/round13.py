@@ -327,6 +327,43 @@ def q_orc_scan(spark, sf_dir):
     return orc_scan_listing(with_orc_shards(docs))
 
 
+_DELTA_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CAST(CASE WHEN doc_id % 32 < 8 THEN 0 "
+    "WHEN doc_id % 32 < 16 THEN -1 "  # removed: filtered below
+    "WHEN doc_id % 32 < 24 THEN 1 ELSE 2 END AS INTEGER) AS version_added, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480 AND doc_id % 32 NOT BETWEEN 8 AND 15"
+)
+
+
+@query("q_delta_snapshot", oracle=_DELTA_ORACLE)
+def q_delta_snapshot(spark, sf_dir):
+    """E135 lakehouse transaction-log snapshot (round 13): every 32
+    docs become a Delta-protocol table — four parquet files written
+    by the from-scratch writer (E133) inside a tar archive with a
+    three-commit JSON log (v0: protocol+metaData+add p0,p1; v1: add
+    p2; v2: remove p1 + add p3) — and operators/deltalog replays the
+    log per delta.io PROTOCOL.md: gapless version order, last action
+    per path wins, size cross-check before decode, minReaderVersion
+    gate, then the live files stream through the from-scratch
+    parquet reader (E130). The oracle pins the SEMANTICS: docs 8–15
+    of every table must VANISH (their file was removed in v2) and
+    every surviving row must carry the version of the commit that
+    added its file. This is how a 100 TB lakehouse table is a table —
+    object stores have no rename-into-place, so the log IS the
+    state, and snapshot resolution is the first thing every engine
+    does before any scan. Grouping shuffle = table assignment;
+    map-only replay."""
+    from yark_spark.operators.multimodal import (
+        delta_snapshot_features,
+        with_delta_table_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return delta_snapshot_features(with_delta_table_payload(docs))
+
+
 def _mp3_deep_oracle() -> str:
     """Re-derive the ENTIRE Layer III structural stream in SQL: the
     fixture's side-info fields, scalefactors and reservoir pointers
