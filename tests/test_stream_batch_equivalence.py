@@ -245,3 +245,37 @@ def test_stream_avro_listing_equals_batch(spark, sf_dir, tmp_path):
         )
     )
     assert streamed == batch and len(streamed) == 48
+
+
+def test_stream_jsonl_xz_listing_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming .jsonl.xz ingest (r13): decompress_auto speaks the xz
+    magic, so the r12 shard stream drains the fifth codec's shards
+    unchanged — availableNow must equal the batch listing."""
+    from yark_spark.operators.multimodal import (
+        jsonl_zst_listing,
+        with_jsonl_xz_shards,
+    )
+    from yark_spark.streaming.pipelines import jsonl_zst_listing_stream
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    shards = with_jsonl_xz_shards(docs).collect()
+    shard_dir = tmp_path / "xz"
+    shard_dir.mkdir()
+    for r in shards:
+        (shard_dir / f"shard-{r.shard_id}.jsonl.xz").write_bytes(bytes(r.payload))
+
+    out = jsonl_zst_listing_stream(spark, str(shard_dir), glob="*.jsonl.xz")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_xz")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_xz"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(map(tuple, spark.sql("SELECT * FROM stream_xz").collect()))
+    batch = sorted(
+        map(tuple, jsonl_zst_listing(spark.createDataFrame(shards)).collect())
+    )
+    assert streamed == batch and len(streamed) == 48
