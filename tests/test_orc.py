@@ -158,3 +158,71 @@ def test_outlier_heavy_exercise_patched_base():
         vals[k] = 10**9 + k  # outliers force PATCHED BASE
     t = pa.table({"x": pa.array(vals, pa.int64())})
     assert orc_read_columns(_write(t))["x"] == vals
+
+
+# ---------------------------------------------------------------------------
+# Round-13 second half: the ORC WRITER — the real library reads ours
+# ---------------------------------------------------------------------------
+
+_WCOLS = {
+    "i": [None if k % 7 == 0 else k - 500 for k in range(2000)],
+    "s": [None if k % 11 == 0 else f"val-{k % 20}" for k in range(2000)],
+    "f": [k / 7.0 for k in range(2000)],
+    "b": [k % 3 == 0 for k in range(2000)],
+}
+
+
+@pytest.mark.parametrize("compression", ["NONE", "ZLIB"])
+def test_writer_read_by_orc_cpp(compression):
+    from yark_spark.operators.orc import orc_write
+
+    blob = orc_write(_WCOLS, compression=compression, stripe_rows=700)
+    t = orc.ORCFile(io.BytesIO(blob)).read()
+    for c, vals in _WCOLS.items():
+        assert t.column(c).to_pylist() == vals, (compression, c)
+    assert orc.ORCFile(io.BytesIO(blob)).nstripes == 3
+
+
+@pytest.mark.parametrize("compression", ["NONE", "ZLIB"])
+def test_writer_read_by_our_reader(compression):
+    from yark_spark.operators.orc import orc_write
+
+    blob = orc_write(_WCOLS, compression=compression, stripe_rows=700)
+    got = orc_read_columns(blob)
+    for c, vals in _WCOLS.items():
+        assert got[c] == vals, (compression, c)
+
+
+def test_writer_rlev2_subset_roundtrips():
+    from yark_spark.operators.orc import _rlev2_encode
+
+    import random as _r
+
+    rng = _r.Random(17)
+    for trial in range(60):
+        n = rng.randrange(0, 1500)
+        kind = trial % 4
+        if kind == 0:
+            vals = [rng.randrange(-(2**50), 2**50) for _ in range(n)]
+        elif kind == 1:
+            vals = [rng.choice([0, 1, -1]) for _ in range(n)]
+        elif kind == 2:
+            vals = [7] * n
+        else:
+            vals = [k * 3 for k in range(n)]
+        for signed in (True, False):
+            if not signed and any(v < 0 for v in vals):
+                continue
+            enc = _rlev2_encode(vals, signed)
+            assert _rlev2(enc, n, signed) == vals, (trial, signed)
+
+
+def test_writer_all_null_and_empty():
+    from yark_spark.operators.orc import orc_write
+
+    blob = orc_write({"n": [None, None], "v": [1.5, 2.5]})
+    t = orc.ORCFile(io.BytesIO(blob)).read()
+    assert t.column("n").to_pylist() == [None, None]
+    assert t.column("v").to_pylist() == [1.5, 2.5]
+    got = orc_read_columns(blob)
+    assert got["n"] == [None, None] and got["v"] == [1.5, 2.5]

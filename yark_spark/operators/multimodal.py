@@ -2390,6 +2390,65 @@ def delta_snapshot_features(
     )
 
 
+def orc_write_roundtrip_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """ORC both directions in one pass (round 13): each batch written
+    by operators/orc.orc_write (compression cycling NONE/ZLIB,
+    multi-stripe) and read back by orc_read_columns; digest oracle
+    certifies the loop, tests pin ORC_CPP reading our files. Map-only
+    mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import orc as _orc_mod
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import tfrecord as _tf
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()
+    _orc_mod._bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_tf)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_orc_mod)
+    _write = _orc_mod.orc_write
+    _read = _orc_mod.orc_read_columns
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _h
+
+        import numpy as np
+
+        for bi, pdf in enumerate(batches):
+            cols = {
+                "doc_id": [int(v) for v in pdf[id_col]],
+                "text": list(pdf[text_col]),
+            }
+            blob = _write(
+                cols,
+                types={"doc_id": "LONG", "text": "STRING"},
+                compression=("ZLIB", "NONE")[bi % 2],
+                stripe_rows=64,
+            )
+            back = _read(blob, ["doc_id", "text"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(back["doc_id"], dtype="int64"),
+                    "n_chars": np.array(
+                        [len(t) for t in back["text"]], dtype="int32"
+                    ),
+                    "digest": [
+                        _h.md5(t.encode("utf-8")).hexdigest()
+                        for t in back["text"]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _roundtrip, GUNZIP_SCHEMA
+    )
+
+
 CDX_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import struct
 
-from yark_spark.operators.tfrecord import _fields, _read_varint
+from yark_spark.operators.tfrecord import _fields, _read_varint, _tag, _write_varint
 
 __all__ = ["orc_read_columns"]
 
@@ -483,3 +483,266 @@ def _decode_column(
         raise ValueError("orc: decoded value count mismatch")
     it = iter(vals)
     return [next(it) if p else None for p in present]
+
+
+# ---------------------------------------------------------------------------
+# ORC WRITER (round-13 second half): flat columns → a real ORC file
+# the REAL library reads back — the parquet-writer recipe applied to
+# the other substrate. One stripe per `stripe_rows`; integer columns
+# as RLEv2 (short-repeat for runs, DIRECT otherwise), strings
+# DIRECT_V2, doubles/floats raw, booleans/presents boolean-RLE;
+# NONE or ZLIB chunk framing.
+# ---------------------------------------------------------------------------
+
+
+def _pb_varint_field(field: int, v: int) -> bytes:
+    return _tag(field, 0) + _write_varint(v)
+
+
+def _pb_len_field(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _write_varint(len(payload)) + payload
+
+
+def _zigzag_enc(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _rlev2_encode(values: list[int], signed: bool) -> bytes:
+    """Short-repeat runs (3..10) + DIRECT groups (<=512 values at the
+    closest FixedBitSizes width) — a valid, reader-complete subset of
+    the RLEv2 writer surface."""
+    out = bytearray()
+    enc = [( _zigzag_enc(v) if signed else v) for v in values]
+    for v in enc:
+        if v < 0:
+            raise ValueError("orc-write: unsigned RLEv2 value is negative")
+    i, n = 0, len(enc)
+    while i < n:
+        run = 1
+        while run < 10 and i + run < n and enc[i + run] == enc[i]:
+            run += 1
+        if run >= 3:
+            width = max(1, (enc[i].bit_length() + 7) // 8)
+            out.append(((width - 1) << 3) | (run - 3))
+            out += enc[i].to_bytes(width, "big")
+            i += run
+            continue
+        # DIRECT group: up to 512 values, stop before the next 3+-run
+        j = i + 1
+        while j < n and j - i < 512:
+            r = 1
+            while r < 3 and j + r < n and enc[j + r] == enc[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        group = enc[i:j]
+        bits = max(1, max(v.bit_length() for v in group))
+        width = next(w for w in _FBS if w >= bits)
+        wcode = _FBS.index(width)
+        length = len(group) - 1
+        out.append(0x40 | (wcode << 1) | (length >> 8))
+        out.append(length & 0xFF)
+        acc = 0
+        for v in group:
+            acc = (acc << width) | v
+        pad = (-(len(group) * width)) % 8
+        acc <<= pad
+        out += acc.to_bytes((len(group) * width + pad) // 8, "big")
+        i = j
+    return bytes(out)
+
+
+def _byte_rle_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while run < 130 and i + run < n and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(run - 3)
+            out.append(data[i])
+            i += run
+            continue
+        j = i + 1
+        while j < n and j - i < 128:
+            r = 1
+            while r < 3 and j + r < n and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out.append(256 - (j - i))
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _bool_rle_encode(bits: list[bool]) -> bytes:
+    raw = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            raw[i >> 3] |= 1 << (7 - (i & 7))
+    return _byte_rle_encode(bytes(raw))
+
+
+def _chunks_compress(data: bytes, compression: str) -> bytes:
+    """The writer half of ORC chunk framing (NONE/ZLIB)."""
+    if compression == "NONE":
+        return data
+    if compression != "ZLIB":
+        raise NotImplementedError(f"orc-write: compression {compression}")
+    _bind_codecs()
+    out = bytearray()
+    block = 1 << 15
+    for at in range(0, max(len(data), 1), block):
+        chunk = data[at : at + block]
+        comp = _BIND["png"].zlib_compress(chunk)[2:-4]  # raw deflate
+        if len(comp) < len(chunk):
+            header = len(comp) << 1
+            body = comp
+        else:
+            header = (len(chunk) << 1) | 1  # original
+            body = chunk
+        out += bytes((header & 0xFF, (header >> 8) & 0xFF, (header >> 16) & 0xFF))
+        out += body
+    return bytes(out)
+
+
+_KIND_IDS = {v: k for k, v in _KINDS.items()}
+
+
+def orc_write(
+    columns: dict[str, list],
+    types: dict[str, str] | None = None,
+    compression: str = "ZLIB",
+    stripe_rows: int | None = None,
+) -> bytes:
+    """Serialize ``{name: values}`` (``None`` = null) into an ORC
+    file. Types: LONG, DOUBLE, STRING, BOOLEAN (inferred when not
+    given). Readable by the real ORC_CPP (pyarrow) and by
+    ``orc_read_columns`` — both pinned in tests/test_orc.py."""
+    names = list(columns)
+    if not names:
+        raise ValueError("orc-write: no columns")
+    n_rows = len(columns[names[0]])
+    for c in names:
+        if len(columns[c]) != n_rows:
+            raise ValueError("orc-write: ragged columns")
+
+    def _infer(vals):
+        for v in vals:
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                return "BOOLEAN"
+            if isinstance(v, int):
+                return "LONG"
+            if isinstance(v, float):
+                return "DOUBLE"
+            if isinstance(v, str):
+                return "STRING"
+            raise NotImplementedError(
+                f"orc-write: unsupported value type {type(v).__name__}"
+            )
+        return "STRING"
+
+    ctypes = {c: (types or {}).get(c) or _infer(columns[c]) for c in names}
+    for c, t in ctypes.items():
+        if t not in ("LONG", "DOUBLE", "STRING", "BOOLEAN"):
+            raise NotImplementedError(f"orc-write: type {t}")
+
+    out = bytearray(b"ORC")
+    stripe_infos = []
+    step = stripe_rows or max(1, n_rows)
+    for start in range(0, max(n_rows, 1), step):
+        rows = min(step, n_rows - start) if n_rows else 0
+        offset = len(out)
+        streams_pb = []
+        encodings_pb = [_tag(1, 0) + _write_varint(0)]  # root: DIRECT
+        data_blob = bytearray()
+
+        def _emit(col_id, kind, payload):
+            comp = _chunks_compress(payload, compression)
+            data_blob.extend(comp)
+            streams_pb.append(
+                _pb_varint_field(1, kind)
+                + _pb_varint_field(2, col_id)
+                + _pb_varint_field(3, len(comp))
+            )
+
+        for ci, c in enumerate(names, start=1):
+            vals = columns[c][start : start + rows]
+            present = [v is not None for v in vals]
+            nn = [v for v in vals if v is not None]
+            if not all(present):
+                _emit(ci, _PRESENT, _bool_rle_encode(present))
+            t = ctypes[c]
+            if t == "LONG":
+                _emit(ci, _DATA, _rlev2_encode(nn, signed=True))
+                enc = 2  # DIRECT_V2
+            elif t == "DOUBLE":
+                _emit(ci, _DATA, b"".join(struct.pack("<d", v) for v in nn))
+                enc = 0
+            elif t == "BOOLEAN":
+                _emit(ci, _DATA, _bool_rle_encode([bool(v) for v in nn]))
+                enc = 0
+            else:  # STRING DIRECT_V2
+                blobs = [v.encode("utf-8") for v in nn]
+                _emit(ci, _DATA, b"".join(blobs))
+                _emit(ci, _LENGTH, _rlev2_encode([len(b) for b in blobs], False))
+                enc = 2
+            encodings_pb.append(_tag(1, 0) + _write_varint(enc))
+
+        out += data_blob
+        sfoot = b"".join(
+            _pb_len_field(1, s) for s in streams_pb
+        ) + b"".join(_pb_len_field(2, e) for e in encodings_pb)
+        sfoot_c = _chunks_compress(sfoot, compression)
+        out += sfoot_c
+        stripe_infos.append(
+            _pb_varint_field(1, offset)
+            + _pb_varint_field(2, 0)  # indexLength
+            + _pb_varint_field(3, len(data_blob))
+            + _pb_varint_field(4, len(sfoot_c))
+            + _pb_varint_field(5, rows)
+        )
+        if n_rows == 0:
+            break
+
+    # footer: types — root struct + children
+    root = _tag(1, 0) + _write_varint(_KIND_IDS["STRUCT"])
+    for ci in range(1, len(names) + 1):
+        root += _pb_varint_field(2, ci)
+    for c in names:
+        root += _pb_len_field(3, c.encode("utf-8"))
+    type_msgs = [root]
+    for c in names:
+        type_msgs.append(_tag(1, 0) + _write_varint(_KIND_IDS[ctypes[c]]))
+    content_len = len(out) - 3
+    footer = (
+        _pb_varint_field(1, 3)  # headerLength ("ORC")
+        + _pb_varint_field(2, content_len)
+        + b"".join(_pb_len_field(3, s) for s in stripe_infos)
+        + b"".join(_pb_len_field(4, t) for t in type_msgs)
+        + _pb_varint_field(6, n_rows)
+        + _pb_varint_field(8, 0)  # rowIndexStride 0: no row indexes
+    )
+    footer_c = _chunks_compress(footer, compression)
+    out += footer_c
+    comp_id = {"NONE": 0, "ZLIB": 1}[compression]
+    ps = (
+        _pb_varint_field(1, len(footer_c))
+        + _pb_varint_field(2, comp_id)
+        + _pb_varint_field(3, 1 << 15)
+        + _pb_len_field(4, _write_varint(0) + _write_varint(12))
+        + _pb_varint_field(5, 0)  # metadataLength
+        + _pb_varint_field(6, 1)  # writerVersion
+        + _pb_len_field(8000, b"ORC")
+    )
+    if len(ps) > 255:
+        raise ValueError("orc-write: postscript too long")
+    out += ps
+    out.append(len(ps))
+    return bytes(out)

@@ -364,6 +364,24 @@ def q_delta_snapshot(spark, sf_dir):
     return delta_snapshot_features(with_delta_table_payload(docs))
 
 
+@query("q_orc_write_roundtrip", oracle=_PARQUET_WRITE_ORACLE)
+def q_orc_write_roundtrip(spark, sf_dir):
+    """E134' ORC writer from scratch (round 13): the E133 recipe on
+    the other substrate — documents serialized into real ORC files by
+    operators/orc.orc_write (hand-built protobuf postscript/footer/
+    stripe-footer via the tfrecord wire encoder, RLEv2 short-repeat +
+    DIRECT integer runs, DIRECT_V2 strings, boolean-RLE presents,
+    ZLIB chunk framing, multi-stripe) and read back by the E134
+    reader, digest-matched against DuckDB. tests/test_orc.py pins the
+    cross-library half: the REAL ORC_CPP reads our files
+    value-for-value. Both columnar substrates now go both directions.
+    Map-only mapInPandas."""
+    from yark_spark.operators.multimodal import orc_write_roundtrip_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return orc_write_roundtrip_features(docs)
+
+
 def _mp3_deep_oracle() -> str:
     """Re-derive the ENTIRE Layer III structural stream in SQL: the
     fixture's side-info fields, scalefactors and reservoir pointers
