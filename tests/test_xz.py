@@ -274,3 +274,14 @@ def test_stored_fallback_on_random_data():
     z = xz_compress(data)
     assert len(z) < len(data) + 1024  # stored chunks, tiny overhead
     assert xz_decompress(z) == data
+
+
+def test_stored_chunks_split_past_64k():
+    # stored-chunk headers carry a 16-bit size-1: a chunk_size above
+    # 64 KiB must split stored pieces instead of overflowing the field
+    import os
+
+    data = os.urandom(200_000)
+    for mode in ("uncompressed", "mixed"):
+        z = lzma2_compress(data, chunk_size=1 << 18, mode=mode)
+        assert lzma2_decompress(z, max_output=1 << 22) == data

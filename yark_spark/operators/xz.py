@@ -708,10 +708,14 @@ def lzma2_compress(
         nonlocal first, need_props, out
         if not in_window:
             enc.window += chunk  # stored bytes still join the history
-        out.append(0x01 if first else 0x02)
-        out += struct.pack(">H", len(chunk) - 1)
-        out += chunk
-        first = False
+        # stored-chunk headers carry a 16-bit size-1: split larger
+        # chunks (chunk_size may exceed 64 KiB for the packed path)
+        for at in range(0, len(chunk), 1 << 16):
+            piece = chunk[at : at + (1 << 16)]
+            out.append(0x01 if first else 0x02)
+            out += struct.pack(">H", len(piece) - 1)
+            out += piece
+            first = False
         need_props = True  # the model is void after a stored chunk
         enc.reset_state()
 
