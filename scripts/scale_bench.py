@@ -65,6 +65,9 @@ EXTRA = [
     # round 13: the one new key whose cost scales with the corpus (pdf/
     # zstd-dict/avro/main-content keys are fixed-doc-range fixtures)
     "q_unigram_encode",        # map-only Viterbi + distinct-word memo
+    # round-13 session 2: the from-scratch parquet reader runs over the
+    # WHOLE documents file (the other new keys are fixed-doc-range)
+    "q_parquet_raw_scan",      # per-file map-only page decode
 ]
 
 

@@ -155,16 +155,15 @@ def test_multiple_row_groups(tmp_path):
     _roundtrip(tmp_path, row_group_size=64)
 
 
-def test_nested_column_typed_boundary(tmp_path):
+def test_list_column_reads(tmp_path):
+    # round 12 pinned this as the nested typed boundary; the third
+    # round-13 pass implements the standard LIST shape, so it decodes
     t = pa.table({"x": pa.array([1, 2]), "v": pa.array([[1.0], [2.0, 3.0]])})
     path = str(tmp_path / "nested.parquet")
     pq.write_table(t, path)
     data = open(path, "rb").read()
-    # un-requested nested columns are fine…
     assert parquet_read_columns(data, ["x"])["x"] == [1, 2]
-    # …requesting one is the typed boundary
-    with pytest.raises(NotImplementedError, match="nested"):
-        parquet_read_columns(data, ["v"])
+    assert parquet_read_columns(data, ["v"])["v"] == [[1.0], [2.0, 3.0]]
 
 
 def test_missing_column_is_value_error(tmp_path):
@@ -286,3 +285,84 @@ def test_delta_overflow_wraps_like_writer(tmp_path):
     vals = [0, 2**63 - 1, -(2**63), 2**63 - 1, 0]
     t = pa.table({"i": pa.array(vals, pa.int64())})
     _enc_roundtrip(tmp_path, t, {"i": "DELTA_BINARY_PACKED"})
+
+
+# ---------------------------------------------------------------------------
+# Round-13 third pass: LIST columns via repetition-level assembly
+# ---------------------------------------------------------------------------
+
+
+def _list_fixture():
+    return pa.table(
+        {
+            "k": pa.array(range(40)),
+            "v": pa.array(
+                [
+                    None
+                    if k % 7 == 0
+                    else (
+                        []
+                        if k % 5 == 0
+                        else [
+                            None if j % 3 == 0 else float(k * 10 + j)
+                            for j in range(k % 6)
+                        ]
+                    )
+                    for k in range(40)
+                ],
+                pa.list_(pa.float64()),
+            ),
+            "sv": pa.array(
+                [
+                    None if k % 11 == 0 else [f"s{k}-{j}" for j in range(k % 4)]
+                    for k in range(40)
+                ],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"data_page_version": "2.0"},
+        {"compression": "zstd"},
+        {"use_dictionary": False},
+        {"row_group_size": 13},
+    ],
+    ids=["v1", "v2", "zstd", "plain", "multi-rg"],
+)
+def test_list_assembly_matches_pyarrow(tmp_path, kw):
+    t = _list_fixture()
+    path = str(tmp_path / "l.parquet")
+    pq.write_table(t, path, **kw)
+    got = parquet_read_columns(open(path, "rb").read(), ["k", "v", "sv"])
+    assert got["v"] == t.column("v").to_pylist()
+    assert got["sv"] == t.column("sv").to_pylist()
+
+
+def test_embeddings_table_vectors():
+    data = open("/root/testdata/sf0.001/embeddings.parquet", "rb").read()
+    got = parquet_read_columns(data, ["vec_id", "embedding"])
+    import io
+
+    want = pq.read_table(io.BytesIO(data))
+    assert got["vec_id"] == want.column("vec_id").to_pylist()
+    ref = want.column("embedding").to_pylist()
+    assert len(got["embedding"]) == len(ref)
+    for a, b in zip(got["embedding"], ref):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert len(a) == len(b) and all(x == y for x, y in zip(a, b))
+
+
+def test_deeper_nesting_still_typed(tmp_path):
+    t = pa.table(
+        {"m": pa.array([[[1.0]], [[2.0], [3.0]]], pa.list_(pa.list_(pa.float64())))}
+    )
+    path = str(tmp_path / "deep.parquet")
+    pq.write_table(t, path)
+    with pytest.raises(NotImplementedError, match="nested"):
+        parquet_read_columns(open(path, "rb").read(), ["m"])

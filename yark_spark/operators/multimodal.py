@@ -2449,6 +2449,64 @@ def orc_write_roundtrip_features(
     )
 
 
+PARQUET_VECTOR_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("dim", IntegerType()),
+        StructField("csum", LongType()),
+    ]
+)
+
+
+def parquet_vectors_scan(df: DataFrame, payload_col: str = "content") -> DataFrame:
+    """From-scratch read of the EMBEDDINGS parquet (round 13, second
+    pass): the ``array<float>`` column through repetition-level
+    record assembly (operators/parquet_data LIST support) — vec_id +
+    per-vector dimension + an integer-exact checksum
+    (Σ floor(x·10⁶), reproducible bit-for-bit in SQL). Vector columns
+    ARE the embedding substrate at 100 TB; a reader that stops at
+    flat columns can't open an ANN corpus. Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import parquet_data as _pdata
+    from yark_spark.operators import parquet_meta as _pm
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()
+    _pdata.bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_pm)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_pdata)
+    _read = _pdata.parquet_read_columns
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, dims, sums = [], [], []
+            for p in pdf[payload_col]:
+                cols = _read(bytes(p), ["vec_id", "embedding"])
+                for vid, vec in zip(cols["vec_id"], cols["embedding"]):
+                    ids.append(int(vid))
+                    dims.append(len(vec))
+                    sums.append(sum(_math.floor(x * 1_000_000) for x in vec))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.array(ids, dtype="int64"),
+                    "dim": np.array(dims, dtype="int32"),
+                    "csum": np.array(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(payload_col)).mapInPandas(
+        _extract, PARQUET_VECTOR_SCHEMA
+    )
+
+
 CDX_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

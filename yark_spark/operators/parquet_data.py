@@ -316,18 +316,24 @@ def _plain_values(ptype: str, buf: bytes, pos: int, end: int, count: int) -> lis
     raise NotImplementedError(f"parquet: physical type {ptype} not supported")
 
 
-def _read_chunk(data: bytes, col: dict, max_def: int) -> list:
-    """Decode one column chunk → Python values (None for nulls)."""
+def _read_chunk(data: bytes, col: dict, max_def: int, max_rep: int = 0):
+    """Decode one column chunk. Flat columns (``max_rep == 0``)
+    return the woven value list (None for nulls); repeated columns
+    return ``(defs, reps, present_values)`` for the caller's record
+    assembly."""
     ptype = col["type"]
     codec = col["codec"]
-    n_total = col["num_values"]
+    n_total = col["num_values"]  # level entries, not rows
     start = col["data_page_offset"]
     if col["dictionary_page_offset"] is not None:
         start = min(start, col["dictionary_page_offset"])
     pos = start
     dictionary: list | None = None
     values: list = []
-    while len(values) < n_total:
+    all_defs: list[int] = []
+    all_reps: list[int] = []
+    seen = 0
+    while seen < n_total:
         header, body_at = _read_struct(data, pos)
         page_type = header.get(1)
         unc_size = header.get(2)
@@ -356,7 +362,15 @@ def _read_chunk(data: bytes, col: dict, max_def: int) -> list:
             page = _decompress(codec, raw, unc_size)
             p = 0
             # v1 layout: [rep levels][def levels][values], each level
-            # section 4-byte-length-prefixed RLE (flat columns: no reps)
+            # section 4-byte-length-prefixed RLE
+            reps = None
+            if max_rep > 0:
+                (sec_len,) = struct.unpack_from("<I", page, p)
+                p += 4
+                reps = _hybrid_runs(
+                    page, p, p + sec_len, _bit_width(max_rep), n_vals
+                )
+                p += sec_len
             defs = None
             if max_def > 0:
                 (sec_len,) = struct.unpack_from("<I", page, p)
@@ -371,9 +385,7 @@ def _read_chunk(data: bytes, col: dict, max_def: int) -> list:
             vals = _decode_values(
                 ptype, enc, page, p, len(page), n_present, dictionary
             )
-            values.extend(_weave(defs, vals, max_def, n_vals))
-            continue
-        if page_type == _PAGE_DATA_V2:
+        elif page_type == _PAGE_DATA_V2:
             dh = header.get(8) or {}
             n_vals = dh.get(1)
             n_nulls = dh.get(2, 0)
@@ -381,24 +393,35 @@ def _read_chunk(data: bytes, col: dict, max_def: int) -> list:
             def_len = dh.get(5, 0)
             rep_len = dh.get(6, 0)
             is_compressed = dh.get(7, True)
-            if rep_len:
-                raise NotImplementedError("parquet: repeated fields (v2 page)")
-            levels = raw[: def_len + rep_len]
-            body = raw[def_len + rep_len :]
+            levels = raw[: rep_len + def_len]
+            body = raw[rep_len + def_len :]
             if is_compressed:
                 body = _decompress(codec, body, unc_size - def_len - rep_len)
+            reps = None
+            if max_rep > 0:
+                # v2 level sections carry NO length prefix; reps first
+                reps = _hybrid_runs(levels, 0, rep_len, _bit_width(max_rep), n_vals)
             defs = None
             if max_def > 0:
-                # v2 level sections carry NO length prefix
-                defs = _hybrid_runs(levels, 0, def_len, _bit_width(max_def), n_vals)
+                defs = _hybrid_runs(
+                    levels, rep_len, rep_len + def_len, _bit_width(max_def), n_vals
+                )
             vals = _decode_values(
                 ptype, enc, body, 0, len(body), n_vals - n_nulls, dictionary
             )
+        else:
+            raise NotImplementedError(f"parquet: page type {page_type}")
+        seen += n_vals
+        if max_rep > 0:
+            all_defs.extend(defs if defs is not None else [max_def] * n_vals)
+            all_reps.extend(reps if reps is not None else [0] * n_vals)
+            values.extend(vals)
+        else:
             values.extend(_weave(defs, vals, max_def, n_vals))
-            continue
-        raise NotImplementedError(f"parquet: page type {page_type}")
-    if len(values) != n_total:
+    if seen != n_total:
         raise ValueError("parquet: chunk value count mismatch")
+    if max_rep > 0:
+        return all_defs, all_reps, values
     return values
 
 
@@ -473,21 +496,53 @@ def _weave(defs, vals, max_def: int, n_vals: int) -> list:
     return out
 
 
+def _assemble_lists(defs, reps, vals, max_def: int, def_outer: int) -> list:
+    """Record assembly for the standard 3-level LIST shape: rep 0
+    starts a row; def < def_outer → null row; def == def_outer →
+    empty list; above that an entry exists, a value iff def ==
+    max_def."""
+    rows: list = []
+    it = iter(vals)
+    cur: list | None = None
+    started = False
+    for d, r in zip(defs, reps):
+        if r == 0:
+            if started:
+                rows.append(cur)
+            started = True
+            if d < def_outer:
+                cur = None
+                continue
+            cur = []
+            if d == def_outer:
+                continue  # empty list
+        elif cur is None:
+            raise ValueError("parquet: repeated entry in a null row")
+        cur.append(next(it) if d == max_def else None)
+    if started:
+        rows.append(cur)
+    return rows
+
+
 def parquet_read_columns(payload: bytes, columns: list[str]) -> dict[str, list]:
-    """Read flat columns from a parquet file held in memory, across
-    all row groups, returning ``{name: [values…]}`` with ``None`` for
-    nulls and UTF-8-decoded strings for BYTE_ARRAY.
+    """Read columns from a parquet file held in memory, across all
+    row groups, returning ``{name: [values…]}`` with ``None`` for
+    nulls and UTF-8-decoded strings for BYTE_ARRAY. Standard 3-level
+    LIST columns (``group > repeated group > leaf`` — the embedding
+    ``array<float>`` shape) come back as Python lists via
+    repetition-level record assembly; deeper nesting stays typed.
 
     At 100 TB the unit of work is (file, row group) with ranged
     fetches of footer + needed chunks; this in-memory form is the
     per-task kernel of that plan.
     """
     footer = parquet_footer(payload)
-    # flat-schema walk: root (num_children=N) then N leaves
+    # schema walk: root (num_children=N), then subtrees in order
     schema = footer["schema"]
     if not schema:
         raise ValueError("parquet: empty schema")
     leaves: dict[str, dict] = {}
+    lists: dict[str, dict] = {}
     nested: set[str] = set()
 
     def _skip_subtree(i: int) -> int:
@@ -500,36 +555,74 @@ def parquet_read_columns(payload: bytes, columns: list[str]) -> dict[str, list]:
     i = 1
     for _ in range(schema[0]["num_children"]):
         el = schema[i]
-        if el["num_children"] or el["repetition"] == 2:
-            nested.add(el["name"])  # only an error if actually requested
-            i = _skip_subtree(i)
+        if el["num_children"] == 0 and el["repetition"] != 2:
+            leaves[el["name"]] = el
+            i += 1
             continue
-        leaves[el["name"]] = el
-        i += 1
+        # the standard LIST shape: optional/required group with ONE
+        # repeated-group child holding ONE primitive leaf
+        if (
+            el["num_children"] == 1
+            and el["repetition"] in (0, 1)
+            and i + 2 < len(schema)
+            and schema[i + 1]["repetition"] == 2
+            and schema[i + 1]["num_children"] == 1
+            and schema[i + 2]["num_children"] == 0
+            and schema[i + 2]["repetition"] in (0, 1)
+        ):
+            mid, leaf = schema[i + 1], schema[i + 2]
+            def_outer = 1 if el["repetition"] == 1 else 0
+            lists[el["name"]] = {
+                "path": (el["name"], mid["name"], leaf["name"]),
+                "leaf": leaf,
+                "def_outer": def_outer,
+                "max_def": def_outer + 1 + (1 if leaf["repetition"] == 1 else 0),
+            }
+            i += 3
+            continue
+        nested.add(el["name"])  # only an error if actually requested
+        i = _skip_subtree(i)
     wanted_nested = [c for c in columns if c in nested]
     if wanted_nested:
         raise NotImplementedError(
             f"parquet: nested/repeated columns not supported: {wanted_nested}"
         )
-    missing = [c for c in columns if c not in leaves]
+    missing = [c for c in columns if c not in leaves and c not in lists]
     if missing:
         raise ValueError(f"parquet: columns not in schema: {missing}")
     out: dict[str, list] = {c: [] for c in columns}
     for rg in footer["row_groups"]:
         by_path = {tuple(c["path_in_schema"]): c for c in rg["columns"]}
         for name in columns:
-            col = by_path.get((name,))
+            info = lists.get(name)
+            col = by_path.get(info["path"] if info else (name,))
             if col is None:
                 raise ValueError(f"parquet: column chunk missing for {name!r}")
             if col["type"] in ("INT96", "FIXED_LEN_BYTE_ARRAY"):
                 raise NotImplementedError(
                     f"parquet: physical type {col['type']} not supported"
                 )
-            max_def = 1 if leaves[name]["repetition"] == 1 else 0
-            vals = _read_chunk(payload, col, max_def)
-            if col["type"] == "BYTE_ARRAY":
-                vals = [
-                    v.decode("utf-8") if isinstance(v, bytes) else v for v in vals
-                ]
-            out[name].extend(vals)
+            if info is None:
+                max_def = 1 if leaves[name]["repetition"] == 1 else 0
+                vals = _read_chunk(payload, col, max_def)
+                if col["type"] == "BYTE_ARRAY":
+                    vals = [
+                        v.decode("utf-8") if isinstance(v, bytes) else v
+                        for v in vals
+                    ]
+                out[name].extend(vals)
+            else:
+                defs, reps, vals = _read_chunk(
+                    payload, col, info["max_def"], max_rep=1
+                )
+                if col["type"] == "BYTE_ARRAY":
+                    vals = [
+                        v.decode("utf-8") if isinstance(v, bytes) else v
+                        for v in vals
+                    ]
+                out[name].extend(
+                    _assemble_lists(
+                        defs, reps, vals, info["max_def"], info["def_outer"]
+                    )
+                )
     return out

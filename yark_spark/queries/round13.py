@@ -382,6 +382,32 @@ def q_orc_write_roundtrip(spark, sf_dir):
     return orc_write_roundtrip_features(docs)
 
 
+_PARQUET_VECTOR_ORACLE = (
+    "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, "
+    "CAST(list_aggregate(list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), 'sum') "
+    "AS BIGINT) AS csum FROM embeddings"
+)
+
+
+@query("q_parquet_vector_scan", oracle=_PARQUET_VECTOR_ORACLE)
+def q_parquet_vector_scan(spark, sf_dir):
+    """E130' parquet LIST columns (round 13, second pass): the E130
+    reader extended past flat columns to the standard 3-level LIST
+    shape via REPETITION-LEVEL record assembly (rep 0 starts a row;
+    def distinguishes null row / empty list / null element / value) —
+    read directly off the raw embeddings.parquet bytes and checked
+    against DuckDB with an integer-exact per-vector checksum
+    (Σ floor(x·10⁶) — float32 values decode bit-identically on both
+    sides, and the floor-sum is order-free in integers). Embedding
+    corpora ARE this shape at 100 TB; a page reader that stops at
+    flat columns cannot open an ANN corpus. Map-only mapInPandas."""
+    from yark_spark.operators.multimodal import parquet_vectors_scan
+
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/embeddings.parquet")
+    return parquet_vectors_scan(files)
+
+
 def _mp3_deep_oracle() -> str:
     """Re-derive the ENTIRE Layer III structural stream in SQL: the
     fixture's side-info fields, scalefactors and reservoir pointers
