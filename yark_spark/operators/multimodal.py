@@ -1735,6 +1735,67 @@ def with_tar_shards(
     )
 
 
+def xz_compress_payload(
+    df: DataFrame, payload_col: str = "payload", check: str = "crc64"
+) -> DataFrame:
+    """Wrap an existing binary payload column in the .xz container
+    (round 13) — e.g. tar shards → ``.tar.xz``, the software-
+    distribution / Software-Heritage wire. Map-only mapInPandas."""
+    _cont = _register_container_modules()
+    _enc = _cont.bind_xz().xz_compress
+
+    def _wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[payload_col] = [_enc(bytes(p), check=check) for p in pdf[payload_col]]
+            yield pdf
+
+    return df.mapInPandas(_wrap, df.schema)
+
+
+def tar_text_digest_listing(
+    df: DataFrame, shard_col: str = "shard_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Explode (possibly compressed) tar shards into per-document text
+    digests: decompress_auto sniffs the wrapper (.tar / .tar.gz /
+    .tar.xz / …), then the ustar walk digests each ``.txt`` member —
+    certifying container + codec + member bytes under one SQL hash.
+    Map-only mapInPandas."""
+    _cont = _register_container_modules()
+    _members = _cont.tar_members
+    _auto = _cont.decompress_auto
+    _member_id = _cont.member_doc_id
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _h
+
+        import numpy as np
+
+        for pdf in batches:
+            dids, sids, ns, digs = [], [], [], []
+            for sid, p in zip(pdf[shard_col], pdf[payload_col]):
+                tar = _auto(bytes(p), max_output=1 << 26)
+                for name, data in _members(tar):
+                    if not name.endswith(".txt"):
+                        continue
+                    dids.append(_member_id(name))
+                    sids.append(int(sid))
+                    ns.append(len(data.decode("utf-8")))
+                    digs.append(_h.md5(data).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(dids, dtype="Int64"),
+                    "shard_id": np.array(sids, dtype="int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
+        _extract, ORC_LISTING_SCHEMA
+    )
+
+
 TAR_LISTING_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

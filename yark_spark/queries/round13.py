@@ -408,6 +408,32 @@ def q_parquet_vector_scan(spark, sf_dir):
     return parquet_vectors_scan(files)
 
 
+_TAR_XZ_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_tar_xz_scan", oracle=_TAR_XZ_ORACLE)
+def q_tar_xz_scan(spark, sf_dir):
+    """E129'' .tar.xz shard ingest (round 13): WebDataset-style tar
+    shards wrapped in the from-scratch xz container — the software-
+    distribution and Software-Heritage wire (source tarballs ship as
+    .tar.xz) — recovered through decompress_auto's magic dispatch +
+    the ustar walk, with each member's text digest-matched. Two
+    from-scratch layers certified under one SQL hash; the grouping
+    shuffle IS the shard assignment; map-only listing."""
+    from yark_spark.operators.multimodal import (
+        tar_text_digest_listing,
+        with_tar_shards,
+        xz_compress_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return tar_text_digest_listing(xz_compress_payload(with_tar_shards(docs)))
+
+
 def _mp3_deep_oracle() -> str:
     """Re-derive the ENTIRE Layer III structural stream in SQL: the
     fixture's side-info fields, scalefactors and reservoir pointers
