@@ -6302,3 +6302,290 @@ def sitemap_listing(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.select(F.col(payload_col)).mapInPandas(_extract, SITEMAP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v2 table snapshots (round 13, session 3)
+# ---------------------------------------------------------------------------
+
+ICEBERG_SNAPSHOT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("seq_added", LongType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def _register_iceberg_modules():
+    """Ship the Iceberg resolver and its avro + parquet substrate by
+    value (see by-value shipping discipline: every transitive in-repo
+    module must itself be registered)."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import avro_ocf as _avro
+    from yark_spark.operators import iceberg as _ice
+    from yark_spark.operators import parquet_data as _pdata
+    from yark_spark.operators import parquet_meta as _pm
+    from yark_spark.operators import parquet_write as _pw
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()  # png (DEFLATE), zstd, containers
+    _pw.bind_codecs()
+    _pdata.bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_pm)
+    _cp.register_pickle_by_value(_pdata)
+    _cp.register_pickle_by_value(_pw)
+    _cp.register_pickle_by_value(_avro)
+    _cp.register_pickle_by_value(_ice)
+    return _ice
+
+
+def with_iceberg_table_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Iceberg-v2 table fixture (round 13): every 32 docs become one
+    table archive whose METADATA TREE exercises the full v2 resolution
+    surface — two snapshots, manifest reuse with sequence-number
+    inheritance (entries carry null sequence numbers and inherit the
+    manifest-list's), a positional delete file killing p1 rows 0-3
+    (docs 8-11), and an equality delete file naming docs 4, 5 AND
+    doc 24: the first two sit in p0 (sequence 1 < 2, deleted), the
+    third in p3 (sequence 2, NOT < 2 — the spec's strict inequality
+    means it SURVIVES, and the oracle pins that). Layout:
+
+      p0 docs 0-7, p1 8-15, p2 16-23  — snapshot 1, sequence 1
+      p3 docs 24-31                   — snapshot 2, sequence 2
+      pos-delete (p1, pos 0-3), eq-delete {4,5,24} — sequence 2
+
+    Every file is in-repo wire: parquet via operators/parquet_write,
+    manifests via operators/avro_ocf (deflate blocks), the tree via
+    operators/containers tar. One applyInPandas per table group."""
+    _ice = _register_iceberg_modules()
+    from pyspark.cloudpickle import register_pickle_by_value as _reg  # noqa: F401
+
+    from yark_spark.operators import avro_ocf as _avro
+    from yark_spark.operators import parquet_write as _pw
+
+    _cont = _register_container_modules()
+    _tar = _cont.tar_build
+    _write = _pw.parquet_write
+    _abuild = _avro.avro_build
+    _ml_schema = _ice.MANIFEST_LIST_SCHEMA
+    _m_schema = _ice.MANIFEST_SCHEMA
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 32
+        base = tid * 32
+
+        def _pq(lo, hi):
+            return _write(
+                {"doc_id": ids[lo:hi], "text": texts[lo:hi]},
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                codec="SNAPPY",
+            )
+
+        parts = [(f"data/p{k}.parquet", _pq(k * 8, k * 8 + 8)) for k in range(4)]
+        pos_del = _write(
+            {
+                "file_path": ["data/p1.parquet"] * 4,
+                "pos": [0, 1, 2, 3],
+            },
+            types={"file_path": "BYTE_ARRAY", "pos": "INT64"},
+            codec="SNAPPY",
+        )
+        eq_del = _write(
+            {"doc_id": [base + 4, base + 5, base + 24]},
+            types={"doc_id": "INT64"},
+            codec="SNAPPY",
+        )
+
+        def _entry(df_path, blob, content, nrec, eq_ids=None, seq=None):
+            return {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": seq,  # null => inherit (v2)
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": content,
+                    "file_path": df_path,
+                    "file_format": "PARQUET",
+                    "record_count": nrec,
+                    "file_size_in_bytes": len(blob),
+                    "equality_ids": eq_ids,
+                },
+            }
+
+        # manifest-1: p0,p1,p2 added at snapshot 1 (entries inherit).
+        m1 = _abuild(
+            _m_schema,
+            [_entry(p, b, 0, 8) for p, b in parts[:3]],
+            codec="deflate",
+        )
+        # manifest-2: p3 added at snapshot 2.
+        m2 = _abuild(_m_schema, [_entry(*parts[3], 0, 8)], codec="deflate")
+        # manifest-3 (deletes): positional + equality, snapshot 2.
+        m3 = _abuild(
+            _m_schema,
+            [
+                _entry("data/pos-del-0.parquet", pos_del, 1, 4),
+                _entry("data/eq-del-0.parquet", eq_del, 2, 3, eq_ids=[1]),
+            ],
+            codec="deflate",
+        )
+
+        def _mf(path, blob, content, seq, snap, added, existing):
+            return {
+                "manifest_path": path,
+                "manifest_length": len(blob),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap,
+                "added_files_count": added,
+                "existing_files_count": existing,
+                "deleted_files_count": 0,
+            }
+
+        snap1_list = _abuild(
+            _ml_schema,
+            [_mf("metadata/m1.avro", m1, 0, 1, 1, 3, 0)],
+            codec="deflate",
+        )
+        # snapshot 2 REUSES manifest-1 verbatim (inheritance keeps its
+        # entries at sequence 1 because the list entry says 1).
+        snap2_list = _abuild(
+            _ml_schema,
+            [
+                _mf("metadata/m1.avro", m1, 0, 1, 1, 3, 0),
+                _mf("metadata/m2.avro", m2, 0, 2, 2, 1, 0),
+                _mf("metadata/m3.avro", m3, 1, 2, 2, 2, 0),
+            ],
+            codec="deflate",
+        )
+        meta = {
+            "format-version": 2,
+            "table-uuid": f"00000000-0000-0000-0000-{tid:012d}",
+            "location": f"tbl-{tid}",
+            "last-sequence-number": 2,
+            "current-snapshot-id": 2,
+            "current-schema-id": 0,
+            "schemas": [
+                {
+                    "schema-id": 0,
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "id": 1,
+                            "name": "doc_id",
+                            "required": True,
+                            "type": "long",
+                        },
+                        {
+                            "id": 2,
+                            "name": "text",
+                            "required": True,
+                            "type": "string",
+                        },
+                    ],
+                }
+            ],
+            "snapshots": [
+                {
+                    "snapshot-id": 1,
+                    "sequence-number": 1,
+                    "timestamp-ms": 0,
+                    "manifest-list": "metadata/snap-1.avro",
+                    "summary": {"operation": "append"},
+                },
+                {
+                    "snapshot-id": 2,
+                    "sequence-number": 2,
+                    "parent-snapshot-id": 1,
+                    "timestamp-ms": 1,
+                    "manifest-list": "metadata/snap-2.avro",
+                    "summary": {"operation": "overwrite"},
+                },
+            ],
+        }
+        members = [
+            ("metadata/v2.metadata.json", _json.dumps(meta).encode()),
+            ("metadata/snap-1.avro", snap1_list),
+            ("metadata/snap-2.avro", snap2_list),
+            ("metadata/m1.avro", m1),
+            ("metadata/m2.avro", m2),
+            ("metadata/m3.avro", m3),
+            ("data/pos-del-0.parquet", pos_del),
+            ("data/eq-del-0.parquet", eq_del),
+        ] + parts
+        return pd.DataFrame({"table_id": [tid], "payload": [_tar(members)]})
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("table_id", LongType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+    )
+
+
+def iceberg_snapshot_features(
+    df: DataFrame,
+    table_col: str = "table_id",
+    payload_col: str = "payload",
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Resolve each table's selected snapshot through the manifest
+    tree (operators/iceberg) and emit surviving rows with the data
+    sequence number that added them. ``snapshot_id`` selects
+    time-travel (q_iceberg_time_travel reads snapshot 1, before any
+    delete file existed). Map-only mapInPandas."""
+    _ice = _register_iceberg_modules()
+    _rows = _ice.iceberg_snapshot_rows
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _h
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, tids, seqs, ns, digs = [], [], [], [], []
+            for tid, p in zip(pdf[table_col], pdf[payload_col]):
+                for seq, row in _rows(
+                    bytes(p), ["doc_id", "text"], snapshot_id=snapshot_id
+                ):
+                    ids.append(int(row["doc_id"]))
+                    tids.append(int(tid))
+                    seqs.append(int(seq))
+                    ns.append(len(row["text"]))
+                    digs.append(_h.md5(row["text"].encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype="int64"),
+                    "table_id": np.array(tids, dtype="int64"),
+                    "seq_added": np.array(seqs, dtype="int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(table_col), F.col(payload_col)).mapInPandas(
+        _extract, ICEBERG_SNAPSHOT_SCHEMA
+    )

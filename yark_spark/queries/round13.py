@@ -645,3 +645,67 @@ def q_unigram_encode(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_features(docs)
+
+
+_ICEBERG_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CAST(CASE WHEN doc_id % 32 < 24 THEN 1 ELSE 2 END AS BIGINT) AS seq_added, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480 "
+    "AND doc_id % 32 NOT IN (4, 5, 8, 9, 10, 11)"
+)
+
+
+@query("q_iceberg_snapshot", oracle=_ICEBERG_ORACLE)
+def q_iceberg_snapshot(spark, sf_dir):
+    """E136 Iceberg-v2 snapshot resolution (round 13, session 3): the
+    SECOND lakehouse protocol beside Delta's JSON log (E135) — every
+    32 docs become a v2 metadata TREE (table metadata JSON → avro
+    manifest list → avro manifests → parquet data/delete files, every
+    byte in-repo wire) and operators/iceberg resolves the current
+    snapshot per the public spec: sequence-number INHERITANCE through
+    a manifest REUSED verbatim by snapshot 2, a positional delete
+    file (pos 0-3 of p1 → docs 8-11 vanish, delete.seq >= data.seq),
+    and an equality delete naming docs {4, 5, 24} of which 24 sits in
+    the SAME-sequence data file p3 and therefore SURVIVES (the spec's
+    strict inequality) — the oracle pins all three rules at once.
+    Iceberg is why 100 TB scans plan in O(manifests), not
+    O(files-listed); delete application is the broadcast semi-join
+    shape. Grouping shuffle = table assignment; map-only resolve."""
+    from yark_spark.operators.multimodal import (
+        iceberg_snapshot_features,
+        with_iceberg_table_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return iceberg_snapshot_features(with_iceberg_table_payload(docs))
+
+
+_ICEBERG_TT_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CAST(1 AS BIGINT) AS seq_added, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480 AND doc_id % 32 < 24"
+)
+
+
+@query("q_iceberg_time_travel", oracle=_ICEBERG_TT_ORACLE)
+def q_iceberg_time_travel(spark, sf_dir):
+    """E136' Iceberg time travel (round 13, session 3): the same
+    metadata trees resolved AS OF snapshot 1 — the tree's whole point
+    is that old snapshots stay readable because manifests and data
+    files are immutable; only the pointer moves. Snapshot 1 predates
+    p3 and BOTH delete files, so docs 0-23 of every table come back
+    alive (including 4, 5 and 8-11 that the current snapshot has
+    deleted) and everything carries sequence 1. Reading yesterday's
+    corpus while today's compaction runs is exactly this query at
+    100 TB. Same fixture, same map-only resolve."""
+    from yark_spark.operators.multimodal import (
+        iceberg_snapshot_features,
+        with_iceberg_table_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return iceberg_snapshot_features(
+        with_iceberg_table_payload(docs), snapshot_id=1
+    )
