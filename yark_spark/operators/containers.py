@@ -22,7 +22,7 @@ from __future__ import annotations
 import re
 import struct
 
-from yark_spark.operators.png import crc32, inflate, zlib_compress
+from yark_spark.operators.png import crc32, inflate, zlib_compress, zlib_decompress
 
 _MEMBER_KEY_RE = re.compile(r"^(\d+)")
 
@@ -447,3 +447,160 @@ def decompress_auto(payload: bytes, max_output: int | None = None) -> bytes:
             kw = {} if max_output is None else {"max_output": max_output}
             return bind_lz4().lz4_frame_decompress(p, **kw)
     return p
+
+
+# ---------------------------------------------------------------------------
+# HTTP/1.1 message framing (round 13, session 3)
+# ---------------------------------------------------------------------------
+# What a crawler actually stores inside a WARC response block is the
+# HTTP MESSAGE as it crossed the wire (RFC 7230): status line, header
+# fields, then a body that may be chunked (Transfer-Encoding) and/or
+# content-coded (Content-Encoding: gzip/deflate/zstd). A WET pass that
+# only strips to the first CRLF CRLF silently yields chunk framing or
+# compressed bytes as "text" — the majority of real CC-MAIN responses.
+# Decode order per the RFCs: Transfer-Encoding first (it framed the
+# transfer), then Content-Encoding codings right-to-left.
+
+
+def http_dechunk(body: bytes, max_output: int | None = None) -> bytes:
+    """Reverse RFC 7230 §4.1 chunked framing: hex size lines (chunk
+    extensions after ``;`` ignored), CRLF-delimited chunk data, a 0
+    chunk, then optional trailer fields up to a blank line."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("http: truncated chunk-size line")
+        size_token = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            raise ValueError(f"http: bad chunk size {size_token!r}") from None
+        pos = eol + 2
+        if size == 0:
+            break
+        if pos + size > n:
+            raise ValueError("http: chunk data past end of body")
+        out += body[pos : pos + size]
+        if max_output is not None and len(out) > max_output:
+            raise ValueError("http: de-chunked size exceeds bomb guard")
+        pos += size
+        if body[pos : pos + 2] != b"\r\n":
+            raise ValueError("http: missing CRLF after chunk data")
+        pos += 2
+    # trailer section: header lines until the terminating blank line
+    # (or exact end of body when the sender omitted the blank line).
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("http: truncated trailer section")
+        if eol == pos:  # blank line — end of trailers
+            pos = eol + 2
+            break
+        pos = eol + 2
+    return bytes(out)
+
+
+def _content_decode(coding: str, data: bytes, max_output: int | None) -> bytes:
+    if coding in ("identity", ""):
+        return data
+    if coding in ("gzip", "x-gzip"):
+        return gzip_decompress(data, max_output=max_output)
+    if coding == "deflate":
+        # RFC 7230 says zlib-wrapped, but a famous population of
+        # servers ships RAW deflate under this token; sniff the zlib
+        # CMF/FLG pair the way real clients do.
+        if len(data) >= 2 and data[0] & 0x0F == 8 and (data[0] << 8 | data[1]) % 31 == 0:
+            return zlib_decompress(data, max_output=max_output)
+        return inflate(data, max_output=max_output)
+    if coding == "zstd":
+        return zstd_decompress_member(data, max_output=max_output)
+    if coding == "br":
+        raise NotImplementedError("http: brotli content-coding not supported")
+    raise ValueError(f"http: unknown content-coding {coding!r}")
+
+
+def http_message_decode(
+    block: bytes, max_output: int | None = None
+) -> tuple[int, dict[str, str], bytes]:
+    """Parse one stored HTTP/1.x response message into
+    ``(status_code, headers, body)`` with transfer- and content-codings
+    reversed. Header names lowercase; duplicate names comma-joined
+    (RFC 7230 §3.2.2). A block with no CRLF CRLF head is a bare body
+    (status 0) — the lenient path for pre-HTTP WARC conversions."""
+    head_end = block.find(b"\r\n\r\n")
+    if head_end < 0 or not block[:5].startswith(b"HTTP/"):
+        return 0, {}, block
+    head_lines = block[:head_end].split(b"\r\n")
+    status_parts = head_lines[0].split(None, 2)
+    if len(status_parts) < 2 or not status_parts[1].isdigit():
+        raise ValueError(f"http: bad status line {head_lines[0]!r}")
+    status = int(status_parts[1])
+    headers: dict[str, str] = {}
+    for line in head_lines[1:]:
+        if line[:1] in (b" ", b"\t"):  # obs-fold: continuation of previous
+            raise ValueError("http: obsolete header folding not supported")
+        name, sep, value = line.partition(b":")
+        if not sep:
+            raise ValueError(f"http: malformed header line {line!r}")
+        key = name.decode("latin-1").strip().lower()
+        val = value.decode("latin-1").strip()
+        headers[key] = headers[key] + ", " + val if key in headers else val
+    body = block[head_end + 4 :]
+    te = [t.strip().lower() for t in headers.get("transfer-encoding", "").split(",") if t.strip()]
+    if te:
+        if te[-1] != "chunked" or len(te) != 1:
+            raise NotImplementedError(
+                f"http: transfer-encoding {headers['transfer-encoding']!r}"
+            )
+        body = http_dechunk(body, max_output=max_output)
+    for coding in reversed(
+        [c.strip().lower() for c in headers.get("content-encoding", "").split(",") if c.strip()]
+    ):
+        body = _content_decode(coding, body, max_output)
+    return status, headers, body
+
+
+def http_message_build(
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/plain; charset=utf-8",
+    transfer_chunked: bool = False,
+    content_encoding: str | None = None,
+    chunk_size: int = 100,
+) -> bytes:
+    """Serialize an HTTP/1.1 response message the way an origin would
+    have: optional content-coding (gzip/deflate/zstd via the in-repo
+    encoders), then optional chunked framing (with a chunk extension
+    on the first chunk and a trailer field, both of which parsers must
+    tolerate)."""
+    headers = [f"HTTP/1.1 {status} OK", f"Content-Type: {content_type}"]
+    payload = body
+    if content_encoding:
+        enc = content_encoding.lower()
+        if enc == "gzip":
+            payload = gzip_compress(payload)
+        elif enc == "deflate":
+            payload = zlib_compress(payload)
+        elif enc == "zstd":
+            payload = zstd_compress_member(payload)
+        else:
+            raise ValueError(f"http-build: content-coding {enc!r}")
+        headers.append(f"Content-Encoding: {content_encoding}")
+    if transfer_chunked:
+        headers.append("Transfer-Encoding: chunked")
+        chunks = bytearray()
+        first = True
+        for i in range(0, len(payload), chunk_size):
+            piece = payload[i : i + chunk_size]
+            ext = ";yark=1" if first else ""
+            chunks += f"{len(piece):x}{ext}\r\n".encode() + piece + b"\r\n"
+            first = False
+        chunks += b"0\r\nX-Trailer: done\r\n\r\n"
+        body_wire = bytes(chunks)
+    else:
+        headers.append(f"Content-Length: {len(payload)}")
+        body_wire = payload
+    return ("\r\n".join(headers) + "\r\n\r\n").encode("latin-1") + body_wire

@@ -1902,6 +1902,7 @@ def with_warc_shards(
     docs_per_shard: int = 16,
     per_record_gzip: bool = True,
     http_head: bool = False,
+    http_wire: str | None = None,
 ) -> DataFrame:
     """Pack documents into .warc.gz shards (ISO 28500 — the Common
     Crawl wire format): one ``response`` record per doc with a
@@ -1912,7 +1913,30 @@ def with_warc_shards(
     group, same shape as with_tar_shards."""
     _cont = _register_container_modules()
     _build_warc = _cont.warc_build
+    _build_http = _cont.http_message_build
     _head = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"
+
+    # http_wire="cycle": each record's block is a FULL RFC 7230 response
+    # message, framing cycling with doc key % 6 — identity / chunked /
+    # gzip / chunked-over-gzip / deflate / zstd (q_warc_http_decode).
+    _WIRES = (
+        (False, None),
+        (True, None),
+        (False, "gzip"),
+        (True, "gzip"),
+        (False, "deflate"),
+        (False, "zstd"),
+    )
+
+    def _block(did: int, text: str) -> bytes:
+        if http_wire is None:
+            return (_head if http_head else b"") + text.encode("utf-8")
+        chunked, enc = _WIRES[did % 6]
+        return _build_http(
+            text.encode("utf-8"),
+            transfer_chunked=chunked,
+            content_encoding=enc,
+        )
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
@@ -1921,11 +1945,11 @@ def with_warc_shards(
                 "type": "response",
                 "uri": f"https://example.com/doc/{int(did)}",
                 "record_id": f"urn:uuid:{int(did):032x}",
-                "block": (_head if http_head else b"") + t.encode("utf-8"),
+                "block": _block(int(did), t),
             }
             for did, t in zip(pdf[id_col], pdf[text_col])
         ]
-        if http_head:
+        if http_head or http_wire is not None:
             records.insert(
                 0, {"type": "warcinfo", "block": b"software: yark-spark\r\n"}
             )
@@ -6588,4 +6612,77 @@ def iceberg_snapshot_features(
 
     return df.select(F.col(table_col), F.col(payload_col)).mapInPandas(
         _extract, ICEBERG_SNAPSHOT_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# WARC HTTP message decode (round 13, session 3)
+# ---------------------------------------------------------------------------
+
+WARC_HTTP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("wire", StringType()),
+        StructField("status", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def warc_http_decode_features(
+    df: DataFrame, shard_col: str = "shard_id", payload_col: str = "payload"
+) -> DataFrame:
+    """The WET pass done RIGHT (round 13): for each response record,
+    parse the stored HTTP/1.1 message with operators/containers.
+    http_message_decode — status line, headers, chunked de-framing,
+    then content-codings right-to-left — and emit the recovered text's
+    digest plus the wire label derived FROM THE PARSED HEADERS (so a
+    hash match proves each framing was really present and really
+    reversed, not just that the cycle was copied). Real CC-MAIN blocks
+    are exactly this shape; a strip-to-CRLFCRLF pass yields chunk
+    sizes and gzip bytes as 'text' for most of the web. Map-only
+    mapInPandas; the gzip/zstd inflate runs where the record already
+    is, nothing re-shuffles."""
+    _cont = _register_container_modules()
+    _records = _cont.warc_records
+    _decode = _cont.http_message_decode
+    _member_id = _cont.member_doc_id
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            dids, wires, stats, ns, digs = [], [], [], [], []
+            for p in pdf[payload_col]:
+                for r in _records(bytes(p), max_output=1 << 20):
+                    if r["headers"]["warc-type"] != "response":
+                        continue
+                    uri = r["headers"].get("warc-target-uri", "")
+                    status, hh, body = _decode(r["block"], max_output=1 << 20)
+                    parts = []
+                    if "chunked" in hh.get("transfer-encoding", ""):
+                        parts.append("chunked")
+                    ce = hh.get("content-encoding", "")
+                    if ce:
+                        parts.append(ce)
+                    dids.append(_member_id(uri.rsplit("/", 1)[-1]))
+                    wires.append("+".join(parts) if parts else "identity")
+                    stats.append(status)
+                    ns.append(len(body.decode("utf-8")))
+                    digs.append(_hashlib.md5(body).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(dids, dtype="Int64"),
+                    "wire": wires,
+                    "status": np.array(stats, dtype="int32"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
+        _extract, WARC_HTTP_SCHEMA
     )

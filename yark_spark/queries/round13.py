@@ -709,3 +709,40 @@ def q_iceberg_time_travel(spark, sf_dir):
     return iceberg_snapshot_features(
         with_iceberg_table_payload(docs), snapshot_id=1
     )
+
+
+_WARC_HTTP_ORACLE = (
+    "SELECT doc_id, "
+    "CASE doc_id % 6 WHEN 0 THEN 'identity' WHEN 1 THEN 'chunked' "
+    "WHEN 2 THEN 'gzip' WHEN 3 THEN 'chunked+gzip' "
+    "WHEN 4 THEN 'deflate' ELSE 'zstd' END AS wire, "
+    "CAST(200 AS INTEGER) AS status, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_warc_http_decode", oracle=_WARC_HTTP_ORACLE)
+def q_warc_http_decode(spark, sf_dir):
+    """E137 WARC HTTP message decode (round 13, session 3): what a
+    crawler's WARC response block actually HOLDS is the RFC 7230 wire
+    message — and real CC-MAIN bodies arrive chunked and
+    content-coded, so the E98' strip-to-CRLFCRLF WET pass would hand
+    most of the web's chunk framing and gzip bytes onward as 'text'.
+    Each record here carries a full HTTP/1.1 message whose framing
+    cycles with the doc key: identity / chunked (with a chunk
+    extension and a trailer field) / gzip / chunked OVER gzip (the
+    RFC's decode order: transfer-coding first, then content-codings
+    right-to-left) / deflate (zlib-sniffed, raw-deflate tolerated) /
+    zstd (RFC 8878 content-coding) — all through in-repo codecs. The
+    Spark side labels each row from the PARSED headers, so the hash
+    match proves every framing was present and reversed, record by
+    record. brotli stays a typed boundary. Grouping shuffle = shard
+    assignment; map-only decode."""
+    from yark_spark.operators.multimodal import (
+        warc_http_decode_features,
+        with_warc_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return warc_http_decode_features(with_warc_shards(docs, http_wire="cycle"))
