@@ -1,0 +1,177 @@
+"""Parquet scan skipping (round 13 s3): row-group statistics +
+split-block bloom filters, both directions against real wire.
+
+- our Statistics thrift → pyarrow AND DuckDB read the min/max pairs
+  (requires the column_orders field — spec readers ignore
+  min_value/max_value without it);
+- pyarrow-WRITTEN statistics → our pruning reader skips on them;
+- SBBF: no false negatives ever, absent probes overwhelmingly skip,
+  false-positive scans still return zero rows, header roundtrip and
+  typed parse failures.
+"""
+
+from __future__ import annotations
+
+import io
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from yark_spark.operators.parquet_data import (
+    parquet_read_columns,
+    parquet_scan_filtered,
+)
+from yark_spark.operators.parquet_meta import (
+    parquet_footer,
+    sbbf_contains,
+    sbbf_insert,
+    sbbf_parse,
+    sbbf_serialize,
+    sbbf_size_bytes,
+)
+from yark_spark.operators.parquet_write import parquet_write
+from yark_spark.operators.zstd import xxh64
+
+
+def _blob(n=64, rg=8, bloom=("key",)):
+    # keys are EVEN so odd probes are absent-but-in-range (the case
+    # only bloom can skip).
+    return parquet_write(
+        {
+            "key": [2 * i for i in range(n)],
+            "text": [f"doc-{i}" for i in range(n)],
+        },
+        types={"key": "INT64", "text": "BYTE_ARRAY"},
+        codec="SNAPPY",
+        row_group_size=rg,
+        bloom_filter_columns=list(bloom),
+    )
+
+
+def test_stats_prune_range_scan():
+    cols, cnt = parquet_scan_filtered(_blob(), ["key", "text"], "key", 48, 78)
+    assert cols["key"] == list(range(48, 79, 2))
+    assert cnt == {
+        "groups_total": 8,
+        "skipped_stats": 6,
+        "skipped_bloom": 0,
+        "groups_scanned": 2,
+    }
+
+
+def test_stats_prune_disjoint_range():
+    cols, cnt = parquet_scan_filtered(_blob(), ["key"], "key", 1000, 2000)
+    assert cols["key"] == [] and cnt["skipped_stats"] == 8
+
+
+def test_present_point_probe_is_exact_and_never_bloom_skipped():
+    blob = _blob()
+    for key in (0, 30, 126):
+        cols, cnt = parquet_scan_filtered(blob, ["text"], "key", key)
+        assert cols["text"] == [f"doc-{key // 2}"]
+        assert cnt["groups_scanned"] == 1 and cnt["skipped_bloom"] == 0
+
+
+def test_absent_point_probes_bloom_skip_and_fp_scans_stay_empty():
+    blob = _blob()
+    bloom_skips = scans = candidates = 0
+    for probe in range(1, 127, 2):  # all absent (keys are even)
+        cols, cnt = parquet_scan_filtered(blob, ["text"], "key", probe)
+        assert cols["text"] == []  # exact filter survives any FP
+        # probes at 16k+15 fall BETWEEN group ranges → stats skip all 8;
+        # the rest land inside one group, where only bloom can skip.
+        assert cnt["skipped_stats"] == (8 if probe % 16 == 15 else 7)
+        bloom_skips += cnt["skipped_bloom"]
+        scans += cnt["groups_scanned"]
+        candidates += 1 if probe % 16 != 15 else 0
+    # ≤1% expected FP rate: demand the overwhelming majority of
+    # in-range absent probes skip via bloom (a FP scan is allowed, a
+    # false NEGATIVE never).
+    assert candidates == 56 and bloom_skips >= 53
+    assert bloom_skips + scans == candidates
+
+
+def test_string_stats_prune_unsigned_lexicographic():
+    blob = parquet_write(
+        {"name": [f"{c}{i}" for c in "abcdefgh" for i in range(8)]},
+        types={"name": "BYTE_ARRAY"},
+        row_group_size=8,
+    )
+    cols, cnt = parquet_scan_filtered(blob, ["name"], "name", "c0", "c9")
+    assert cols["name"] == [f"c{i}" for i in range(8)]
+    assert cnt["skipped_stats"] == 7
+
+
+def test_nulls_counted_and_prune_still_sound():
+    blob = parquet_write(
+        {"key": [1, None, 3, None, 100, 101, None, 103]},
+        types={"key": "INT64"},
+        row_group_size=4,
+    )
+    foot = parquet_footer(blob)
+    st0 = foot["row_groups"][0]["columns"][0]["statistics"]
+    assert st0["null_count"] == 2
+    cols, cnt = parquet_scan_filtered(blob, ["key"], "key", 100, 200)
+    assert cols["key"] == [100, 101, 103] and cnt["skipped_stats"] == 1
+
+
+def test_pyarrow_reads_our_stats_and_we_read_pyarrows():
+    blob = _blob()
+    md = pq.ParquetFile(io.BytesIO(blob)).metadata
+    st = md.row_group(2).column(0).statistics
+    assert (st.min, st.max, st.null_count) == (32, 46, 0)
+    # other direction: pyarrow-written row groups prune in our reader
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"key": list(range(64))}), buf, row_group_size=8
+    )
+    cols, cnt = parquet_scan_filtered(buf.getvalue(), ["key"], "key", 24, 39)
+    assert cols["key"] == list(range(24, 40))
+    assert cnt["skipped_stats"] == 6 and cnt["groups_scanned"] == 2
+
+
+def test_duckdb_reads_our_stats(tmp_path):
+    import duckdb
+
+    p = tmp_path / "t.parquet"
+    p.write_bytes(_blob())
+    rows = duckdb.sql(
+        f"select stats_min_value, stats_max_value from parquet_metadata('{p}') "
+        "where path_in_schema='key' and row_group_id=0"
+    ).fetchall()
+    assert rows == [("0", "14")]
+
+
+def test_sbbf_no_false_negatives_fuzz():
+    import random
+
+    rnd = random.Random(13)
+    for _ in range(50):
+        n = rnd.randint(1, 500)
+        vals = [rnd.randrange(1 << 48) for _ in range(n)]
+        bitset = bytearray(sbbf_size_bytes(n))
+        for v in vals:
+            sbbf_insert(bitset, xxh64(v.to_bytes(8, "little")))
+        for v in vals:
+            assert sbbf_contains(bitset, xxh64(v.to_bytes(8, "little")))
+
+
+def test_sbbf_serialize_parse_roundtrip_and_typed_failures():
+    bitset = bytearray(sbbf_size_bytes(100))
+    sbbf_insert(bitset, xxh64(b"hello"))
+    blob = sbbf_serialize(bytes(bitset))
+    back = sbbf_parse(blob)
+    assert back == bytes(bitset)
+    assert sbbf_contains(back, xxh64(b"hello"))
+    with pytest.raises(ValueError, match="bloom"):
+        sbbf_parse(b"\x15\x02\x00" + b"x")  # missing unions
+    with pytest.raises(ValueError, match="length"):
+        sbbf_parse(blob[: len(blob) - 5])  # truncated bitset
+
+
+def test_full_read_unchanged_with_bloom_present():
+    blob = _blob()
+    cols = parquet_read_columns(blob, ["key", "text"])
+    assert cols["key"] == [2 * i for i in range(64)]
+    assert pq.read_table(io.BytesIO(blob)).num_rows == 64

@@ -6686,3 +6686,98 @@ def warc_http_decode_features(
     return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
         _extract, WARC_HTTP_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet predicate-driven scan skipping (round 13, session 3)
+# ---------------------------------------------------------------------------
+
+PARQUET_PRUNE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("shard_id", LongType()),
+        StructField("groups_skipped", IntegerType()),
+        StructField("groups_scanned", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def parquet_prune_scan_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Write each 64-doc shard into a REAL parquet file (from-scratch
+    writer: 8 row groups of 8, chunk Statistics + a split-block bloom
+    filter on the key column) and scan it back through
+    parquet_scan_filtered with the range predicate
+    ``doc_id BETWEEN base+24 AND base+39`` — the footer must prove 6
+    of 8 row groups were never decoded, and the skip counters ride in
+    the output so the oracle pins the PLAN, not just the rows. This
+    is the mechanism behind every 100 TB selective scan: stats prune
+    row groups before any page I/O, blooms kill in-range point probes
+    (pinned separately in tests/test_parquet_prune.py — bloom skips
+    are deterministic but not SQL-derivable, false positives by
+    design). One applyInPandas per shard group."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import parquet_data as _pdata
+    from yark_spark.operators import parquet_meta as _pm
+    from yark_spark.operators import parquet_write as _pw
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()
+    _pw.bind_codecs()
+    _pdata.bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_pm)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_pdata)
+    _cp.register_pickle_by_value(_pw)
+    _write = _pw.parquet_write
+    _scan = _pdata.parquet_scan_filtered
+
+    def _build_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        sid = ids[0] // 64
+        base = sid * 64
+        blob = _write(
+            {"doc_id": ids, "text": list(pdf[text_col])},
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+            codec="SNAPPY",
+            row_group_size=8,
+            bloom_filter_columns=["doc_id"],
+        )
+        cols, cnt = _scan(
+            blob, ["doc_id", "text"], "doc_id", base + 24, base + 39
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(cols["doc_id"], dtype="int64"),
+                "shard_id": np.full(len(cols["doc_id"]), sid, dtype="int64"),
+                "groups_skipped": np.full(
+                    len(cols["doc_id"]), cnt["skipped_stats"], dtype="int32"
+                ),
+                "groups_scanned": np.full(
+                    len(cols["doc_id"]), cnt["groups_scanned"], dtype="int32"
+                ),
+                "n_chars": np.array(
+                    [len(t) for t in cols["text"]], dtype="int32"
+                ),
+                "digest": [
+                    _h.md5(t.encode("utf-8")).hexdigest() for t in cols["text"]
+                ],
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__s"))
+        .applyInPandas(_build_and_scan, PARQUET_PRUNE_SCHEMA)
+    )

@@ -48,6 +48,8 @@ import struct
 from yark_spark.operators.parquet_meta import (
     _read_struct,
     parquet_footer,
+    sbbf_contains,
+    sbbf_parse,
 )
 
 __all__ = ["parquet_read_columns"]
@@ -524,7 +526,11 @@ def _assemble_lists(defs, reps, vals, max_def: int, def_outer: int) -> list:
     return rows
 
 
-def parquet_read_columns(payload: bytes, columns: list[str]) -> dict[str, list]:
+def parquet_read_columns(
+    payload: bytes,
+    columns: list[str],
+    row_groups: "list[dict] | None" = None,
+) -> dict[str, list]:
     """Read columns from a parquet file held in memory, across all
     row groups, returning ``{name: [values…]}`` with ``None`` for
     nulls and UTF-8-decoded strings for BYTE_ARRAY. Standard 3-level
@@ -591,7 +597,7 @@ def parquet_read_columns(payload: bytes, columns: list[str]) -> dict[str, list]:
     if missing:
         raise ValueError(f"parquet: columns not in schema: {missing}")
     out: dict[str, list] = {c: [] for c in columns}
-    for rg in footer["row_groups"]:
+    for rg in footer["row_groups"] if row_groups is None else row_groups:
         by_path = {tuple(c["path_in_schema"]): c for c in rg["columns"]}
         for name in columns:
             info = lists.get(name)
@@ -626,3 +632,96 @@ def parquet_read_columns(payload: bytes, columns: list[str]) -> dict[str, list]:
                     )
                 )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Predicate-driven row-group skipping (round 13, session 3)
+# ---------------------------------------------------------------------------
+
+
+def _stat_decode(ptype: str, b: bytes):
+    if b is None:
+        return None
+    if ptype == "BOOLEAN":
+        return b != b"\x00"
+    if ptype in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+        fmt = {"INT32": "<i", "INT64": "<q", "FLOAT": "<f", "DOUBLE": "<d"}[ptype]
+        return struct.unpack("<" + fmt[1], b)[0]
+    return bytes(b)
+
+
+def _probe_encode(ptype: str, v) -> bytes:
+    """A probe value's plain bytes — MUST mirror the writer's
+    _stat_encode (bloom hash input / statistics encoding)."""
+    if ptype == "BOOLEAN":
+        return b"\x01" if v else b"\x00"
+    if ptype in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+        fmt = {"INT32": "<i", "INT64": "<q", "FLOAT": "<f", "DOUBLE": "<d"}[ptype]
+        return struct.pack(fmt, v)
+    return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+
+
+def parquet_scan_filtered(
+    payload: bytes,
+    columns: list[str],
+    pred_col: str,
+    lo,
+    hi=None,
+) -> tuple[dict[str, list], dict[str, int]]:
+    """Scan with the predicate ``pred_col BETWEEN lo AND hi`` (or
+    ``= lo`` when ``hi`` is None), skipping row groups the footer
+    already rules out — min/max statistics first, then (for point
+    probes) the column's split-block bloom filter. Returns
+    ``(columns, counters)`` where counters report
+    ``{groups_total, skipped_stats, skipped_bloom, groups_scanned}``
+    — a scan that decodes pages a 100 TB planner would never fetch is
+    wrong even when its rows are right, so the counters are part of
+    the contract. Rows are exact-filtered after decode (statistics
+    are a superset guarantee, bloom has false positives by design)."""
+    footer = parquet_footer(payload)
+    hi_eff = lo if hi is None else hi
+    counters = {
+        "groups_total": len(footer["row_groups"]),
+        "skipped_stats": 0,
+        "skipped_bloom": 0,
+        "groups_scanned": 0,
+    }
+    survivors = []
+    for rg in footer["row_groups"]:
+        col = next(
+            (c for c in rg["columns"] if c["path_in_schema"] == [pred_col]), None
+        )
+        if col is None:
+            raise ValueError(f"parquet: predicate column {pred_col!r} missing")
+        ptype = col["type"]
+        st = col.get("statistics")
+        if st is not None and st["min_value"] is not None:
+            mn = _stat_decode(ptype, st["min_value"])
+            mx = _stat_decode(ptype, st["max_value"])
+            probe_lo = _probe_encode(ptype, lo) if ptype == "BYTE_ARRAY" else lo
+            probe_hi = (
+                _probe_encode(ptype, hi_eff) if ptype == "BYTE_ARRAY" else hi_eff
+            )
+            if probe_hi < mn or probe_lo > mx:
+                counters["skipped_stats"] += 1
+                continue
+        if hi is None and col.get("bloom_filter_offset") is not None:
+            bind_codecs()
+            off = col["bloom_filter_offset"]
+            ln = col.get("bloom_filter_length")
+            end = off + ln if ln else len(payload)
+            bitset = sbbf_parse(bytes(payload[off:end]))
+            if not sbbf_contains(bitset, _ZSTD.xxh64(_probe_encode(ptype, lo))):
+                counters["skipped_bloom"] += 1
+                continue
+        survivors.append(rg)
+    counters["groups_scanned"] = len(survivors)
+    cols = parquet_read_columns(
+        payload, list(dict.fromkeys([*columns, pred_col])), row_groups=survivors
+    )
+    keep = [
+        i
+        for i, v in enumerate(cols[pred_col])
+        if v is not None and lo <= v <= hi_eff
+    ]
+    return {c: [cols[c][i] for i in keep] for c in columns}, counters

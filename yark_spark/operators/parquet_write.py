@@ -34,6 +34,12 @@ from __future__ import annotations
 
 import struct
 
+from yark_spark.operators.parquet_meta import (
+    sbbf_insert,
+    sbbf_serialize,
+    sbbf_size_bytes,
+)
+
 __all__ = ["parquet_write"]
 
 # thrift compact wire types
@@ -249,6 +255,33 @@ def _bit_width(v: int) -> int:
     return v.bit_length()
 
 
+def _stat_encode(ptype: str, v) -> bytes:
+    """One value's plain bytes — the Statistics min_value/max_value
+    encoding AND the bloom-filter hash input (BYTE_ARRAY carries no
+    length prefix in either role, matching parquet-mr)."""
+    if ptype == "BOOLEAN":
+        return b"\x01" if v else b"\x00"
+    if ptype in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+        fmt = {"INT32": "<i", "INT64": "<q", "FLOAT": "<f", "DOUBLE": "<d"}[ptype]
+        return struct.pack(fmt, v)
+    return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+
+
+def _stat_order_key(ptype: str, v):
+    """Sort key matching the column's ordering: signed numerics,
+    unsigned lexicographic bytes for BYTE_ARRAY (UTF8's order)."""
+    return _stat_encode(ptype, v) if ptype == "BYTE_ARRAY" else v
+
+
+def _statistics_struct(ptype: str, vals: list, present: list) -> bytes:
+    st = _TStruct()
+    st.i64(3, len(vals) - len(present))
+    if present:
+        st.binary(5, _stat_encode(ptype, max(present, key=lambda v: _stat_order_key(ptype, v))))
+        st.binary(6, _stat_encode(ptype, min(present, key=lambda v: _stat_order_key(ptype, v))))
+    return st.done()
+
+
 def _infer_type(name: str, values: list) -> str:
     kind = None
     wide = False
@@ -285,6 +318,7 @@ def parquet_write(
     row_group_size: int | None = None,
     dictionary_max_cardinality: int = 1024,
     created_by: str = "yark_spark parquet writer",
+    bloom_filter_columns: "list[str] | None" = None,
 ) -> bytes:
     """Serialize ``{name: values}`` (equal lengths, ``None`` = null)
     into parquet bytes. ``types`` overrides per-column physical types
@@ -317,7 +351,13 @@ def parquet_write(
             vals = columns[name][rg_start : rg_start + rg_rows]
             ptype = ctypes[name]
             chunk, meta = _write_chunk(
-                out, name, ptype, vals, codec, dictionary_max_cardinality
+                out,
+                name,
+                ptype,
+                vals,
+                codec,
+                dictionary_max_cardinality,
+                bloom=name in (bloom_filter_columns or ()),
             )
             col_structs.append(chunk)
             rg_total += meta
@@ -343,6 +383,10 @@ def parquet_write(
             el.i32(6, 0)  # ConvertedType UTF8
         schema_elems.append(el.done())
 
+    # column_orders (field 7): one TypeDefinedOrder union per leaf —
+    # WITHOUT this, spec-compliant readers must IGNORE the chunks'
+    # min_value/max_value statistics (pyarrow does exactly that).
+    type_order = _TStruct().struct(1, _TStruct().done()).done()
     fmeta = (
         _TStruct()
         .i32(1, 2)  # version
@@ -350,6 +394,7 @@ def parquet_write(
         .i64(3, n_rows)
         .list_of(4, _CT_STRUCT, rg_structs)
         .binary(6, created_by.encode("utf-8"))
+        .list_of(7, _CT_STRUCT, [type_order] * len(names))
         .done()
     )
     out += fmeta
@@ -364,6 +409,7 @@ def _write_chunk(
     vals: list,
     codec: str,
     dict_max: int = 1024,
+    bloom: bool = False,
 ) -> tuple[bytes, int]:
     """Append one column chunk's pages to ``out``; return (the
     ColumnChunk thrift struct, total compressed size)."""
@@ -453,5 +499,17 @@ def _write_chunk(
     meta.i64(9, data_offset)
     if dict_offset is not None:
         meta.i64(11, dict_offset)
+    meta.struct(12, _statistics_struct(ptype, vals, present))
+    if bloom and present:
+        bind_codecs()
+        bitset = bytearray(sbbf_size_bytes(len(distinct)))
+        for v in distinct:
+            sbbf_insert(bitset, _ZSTD.xxh64(_stat_encode(ptype, v)))
+        blob = sbbf_serialize(bytes(bitset))
+        # bloom bytes live between chunks but do NOT count into
+        # total_compressed_size (parquet-mr convention: pages only).
+        meta.i64(14, len(out))
+        meta.i32(15, len(blob))
+        out += blob
     chunk = _TStruct().i64(2, chunk_start).struct(3, meta.done()).done()
     return chunk, total_comp

@@ -746,3 +746,37 @@ def q_warc_http_decode(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
     return warc_http_decode_features(with_warc_shards(docs, http_wire="cycle"))
+
+
+_PARQUET_PRUNE_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS shard_id, "
+    "CAST(6 AS INTEGER) AS groups_skipped, "
+    "CAST(2 AS INTEGER) AS groups_scanned, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 448 AND doc_id % 64 BETWEEN 24 AND 39"
+)
+
+
+@query("q_parquet_prune_scan", oracle=_PARQUET_PRUNE_ORACLE)
+def q_parquet_prune_scan(spark, sf_dir):
+    """E138 parquet scan skipping (round 13, session 3): the E133
+    writer now emits per-chunk Statistics (min_value/max_value +
+    null_count, with the column_orders footer field — WITHOUT which
+    spec readers must ignore the pair; pyarrow and DuckDB both read
+    ours, pinned in tests) and split-block bloom filters (the
+    parquet-format SBBF: xxHash64, 256-bit blocks, the 8-salt word
+    mask), and parquet_scan_filtered plans row-group survival off the
+    footer BEFORE any page decode. Each 64-doc shard becomes 8 row
+    groups; the range probe doc_id BETWEEN base+24 AND base+39 must
+    decode exactly 2 of them, and the skip counters ride in the
+    output so the ORACLE pins the plan (6 skipped / 2 scanned), not
+    just the rows — a scan that reads pages a planner would never
+    fetch is wrong even when its rows are right. Bloom point-probe
+    skipping is pinned in tests/test_parquet_prune.py (deterministic
+    but FP-by-design, so not SQL-derivable). This is row-group
+    pruning at 100 TB with the engine holding both sides of the
+    contract. One applyInPandas per shard; map-only."""
+    from yark_spark.operators.multimodal import parquet_prune_scan_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
+    return parquet_prune_scan_features(docs)
