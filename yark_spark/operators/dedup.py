@@ -272,14 +272,12 @@ def fuzzy_dedup_pairs(
     ).filter(F.col("est_jaccard") >= threshold)
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """SimHash signature — MAP-ONLY: each token votes its hash bits; bit b
-    of the signature is 1 iff the vote sum is positive. Token hashes are
-    computed once per doc into an array, then each bit's votes are an
-    F.aggregate fold over that array — no explode, no groupBy, no shuffle
-    (the explode form would shuffle tokens×1 rows with 64 agg columns)."""
-    hashes = F.transform(tokens(df, text_col), lambda t: F.xxhash64(t))
-    tagged = df.select(F.col(id_col), hashes.alias("__h"))
+def _simhash_fold(tagged: DataFrame, id_col: str, bits: int, out_col: str) -> DataFrame:
+    """Shared SimHash bit-vote fold over a pre-hashed token array
+    column ``__h``: bit b of the signature is 1 iff the vote sum is
+    positive. Each bit's votes are an F.aggregate fold over the array
+    — no explode, no groupBy, no shuffle (the explode form would
+    shuffle tokens×1 rows with ``bits`` agg columns)."""
 
     def _vote(b):
         # closure factory (see minhash_signature note on lambda params)
@@ -293,7 +291,32 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         bit = F.when(votes[b] > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = bit * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")
         sig = term if sig is None else sig + term
-    return tagged.select(F.col(id_col), sig.alias("simhash"))
+    return tagged.select(F.col(id_col), sig.alias(out_col))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash signature — MAP-ONLY: each token votes its xxhash64
+    bits (fast JVM path; Spark-specific, so the q_simhash key is
+    rows-only by design)."""
+    hashes = F.transform(tokens(df, text_col), lambda t: F.xxhash64(t))
+    tagged = df.select(F.col(id_col), hashes.alias("__h"))
+    return _simhash_fold(tagged, id_col, bits, "simhash")
+
+
+def simhash_md5(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """SimHash over PORTABLE token hashes (round 13 s3): the first 15
+    hex digits of md5(token) → a 60-bit integer both engines compute
+    identically, so the whole bit-vote majority gets a full value
+    oracle (retiring the estimator-family's only unpinned member —
+    q_simhash stays as the fast xxhash64 twin). Same map-only fold."""
+    if not 0 < bits <= 60:
+        raise ValueError("simhash_md5: bits must be in (0, 60]")
+    hashes = F.transform(
+        tokens(df, text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    tagged = df.select(F.col(id_col), hashes.alias("__h"))
+    return _simhash_fold(tagged, id_col, bits, "simhash60")
 
 
 def simhash_candidates(

@@ -780,3 +780,111 @@ def q_parquet_prune_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
     return parquet_prune_scan_features(docs)
+
+
+_SIMHASH60_ORACLE = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), "
+    "'[ \\t\\n\\x0B\\f\\r]+')) AS tok FROM documents), "
+    "h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h "
+    "FROM tok), "
+    "votes AS (SELECT doc_id, b, "
+    "sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+    "FROM h CROSS JOIN range(60) t(b) GROUP BY doc_id, b) "
+    "SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << "
+    "CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash60 "
+    "FROM votes GROUP BY doc_id"
+)
+
+
+@query("q_simhash_oracle", oracle=_SIMHASH60_ORACLE)
+def q_simhash_oracle(spark, sf_dir):
+    """E139 SimHash with a full value oracle (round 13, session 3):
+    the bit-vote majority signature recomputed over PORTABLE token
+    hashes — the first 15 md5 hex digits as a 60-bit integer both
+    engines derive identically — so the one estimator-family key that
+    was rows-only by design (q_simhash, xxhash64 votes) gets an
+    exact-match twin: DuckDB re-derives every token vote, every bit
+    majority, and the final 60-bit signature value-for-value.
+    q_simhash keeps the fast JVM hash for production; this key proves
+    the ALGORITHM. Map-only F.aggregate folds — no explode, no
+    shuffle of tokens."""
+    from yark_spark.operators.dedup import simhash_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_md5(docs, "doc_id", "text")
+
+
+def _kmv_oracle() -> str:
+    parts = []
+    for src, table, col in (
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("events.user_id", "events", "user_id"),
+    ):
+        parts.append(
+            f"SELECT '{src}' AS source, k_used, kth_hash, "
+            "CASE WHEN k_used < 256 THEN k_used "
+            "ELSE (255 * 281474976710656) // kth_hash END AS est_distinct, "
+            "true_distinct FROM ("
+            "SELECT count(*) AS k_used, max(h) AS kth_hash, any_value(td) AS true_distinct "
+            "FROM (SELECT h, td FROM ("
+            f"SELECT DISTINCT CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 12) "
+            f"AS BIGINT) AS h FROM {table}) "
+            f"CROSS JOIN (SELECT count(DISTINCT {col}) AS td FROM {table}) "
+            "ORDER BY h LIMIT 256))"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("q_kmv_distinct", oracle=_kmv_oracle())
+def q_kmv_distinct(spark, sf_dir):
+    """E140 KMV distinct sketch (round 13, session 3): the k-minimum-
+    values estimator (Bar-Yossef et al. 2002) — hash every value into
+    [0, 2^48), keep the k = 256 smallest DISTINCT hashes, and estimate
+    cardinality as (k-1)·2^48 / h_(k) in EXACT integer arithmetic, so
+    unlike q_approx_count_distinct (Spark's HLL++, rows-only by
+    design) the whole sketch is value-pinned: DuckDB re-derives the
+    hash set, the k-th order statistic, and the estimate bit-for-bit.
+    true_distinct rides along so the artifact shows the estimator's
+    error live (±~6% at k=256). At 100 TB the TopK is takeOrdered —
+    per-partition k-mins then a k-sized merge on one reducer; the
+    corpus never sorts globally. Three sources in one result."""
+    from pyspark.sql import functions as SF
+
+    outs = []
+    for src, table, col in (
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("events.user_id", "events", "user_id"),
+    ):
+        t = load_table(spark, sf_dir, table)
+        h = SF.conv(
+            SF.substring(SF.md5(SF.col(col).cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        hashes = t.select(h.alias("h")).distinct()
+        topk = hashes.orderBy("h").limit(256)
+        td = t.agg(SF.countDistinct(col).alias("td"))
+        agg = (
+            topk.agg(
+                SF.count("*").alias("k_used"),
+                SF.max("h").alias("kth_hash"),
+            )
+            .crossJoin(SF.broadcast(td))
+            .select(
+                SF.lit(src).alias("source"),
+                SF.col("k_used"),
+                SF.col("kth_hash"),
+                SF.when(SF.col("k_used") < 256, SF.col("k_used"))
+                .otherwise(
+                    SF.expr("255 * 281474976710656 DIV kth_hash")
+                )
+                .cast("long")
+                .alias("est_distinct"),
+                SF.col("td").cast("long").alias("true_distinct"),
+            )
+        )
+        outs.append(agg)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
