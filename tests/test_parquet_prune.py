@@ -175,3 +175,98 @@ def test_full_read_unchanged_with_bloom_present():
     cols = parquet_read_columns(blob, ["key", "text"])
     assert cols["key"] == [2 * i for i in range(64)]
     assert pq.read_table(io.BytesIO(blob)).num_rows == 64
+
+
+# ---------------------------------------------------------------------------
+# Page-index pruning (ColumnIndex / OffsetIndex)
+# ---------------------------------------------------------------------------
+
+from yark_spark.operators.parquet_data import parquet_page_scan_filtered  # noqa: E402
+from yark_spark.operators.parquet_meta import (  # noqa: E402
+    parquet_column_index,
+    parquet_offset_index,
+)
+
+
+def _pyarrow_paged(n=64, batch=8):
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"k": list(range(n)), "t": [f"x{i}" for i in range(n)]}),
+        buf,
+        row_group_size=n,
+        data_page_size=1,
+        write_batch_size=batch,
+        write_page_index=True,
+    )
+    return buf.getvalue()
+
+
+def test_page_prune_on_pyarrow_page_index_wire():
+    blob = _pyarrow_paged()
+    cols, cnt = parquet_page_scan_filtered(blob, ["k", "t"], "k", 24, 39)
+    assert cols["k"] == list(range(24, 40))
+    assert cols["t"] == [f"x{i}" for i in range(24, 40)]
+    assert cnt == {"pages_total": 8, "pages_skipped": 6, "pages_scanned": 2}
+
+
+def test_page_prune_point_probe_decodes_one_page():
+    blob = _pyarrow_paged()
+    cols, cnt = parquet_page_scan_filtered(blob, ["t"], "k", 63)
+    assert cols["t"] == ["x63"]
+    assert cnt["pages_scanned"] == 1
+    cols, cnt = parquet_page_scan_filtered(blob, ["t"], "k", 1000)
+    assert cols["t"] == [] and cnt["pages_scanned"] == 0
+
+
+def test_page_prune_on_our_writers_page_index():
+    blob = parquet_write(
+        {"k": list(range(64)), "t": [f"x{i}" for i in range(64)]},
+        types={"k": "INT64", "t": "BYTE_ARRAY"},
+        codec="ZSTD",
+        row_group_size=8,
+        write_page_index=True,
+    )
+    cols, cnt = parquet_page_scan_filtered(blob, ["k", "t"], "k", 24, 39)
+    assert cols["k"] == list(range(24, 40))
+    # one page per row group in our writer: page counts == group counts
+    assert cnt == {"pages_total": 8, "pages_skipped": 6, "pages_scanned": 2}
+    # and third-party readers still accept the file wholesale
+    assert pq.read_table(io.BytesIO(blob)).num_rows == 64
+
+
+def test_page_index_structs_parse_both_wires():
+    from yark_spark.operators.parquet_meta import parquet_footer
+
+    for blob in (_pyarrow_paged(), parquet_write(
+        {"k": [1, None, 3]}, types={"k": "INT64"}, write_page_index=True
+    )):
+        f = parquet_footer(blob)
+        col = f["row_groups"][0]["columns"][0]
+        ci = parquet_column_index(blob, col)
+        oi = parquet_offset_index(blob, col)
+        assert len(ci["min_values"]) == len(oi)
+        assert oi[0]["first_row_index"] == 0
+        assert all(not p for p in ci["null_pages"])
+
+
+def test_page_prune_nulls_in_pages():
+    blob = parquet_write(
+        {"k": [1, None, 3, None, 100, 101, None, 103]},
+        types={"k": "INT64"},
+        row_group_size=4,
+        write_page_index=True,
+    )
+    cols, cnt = parquet_page_scan_filtered(blob, ["k"], "k", 100, 200)
+    assert cols["k"] == [100, 101, 103]
+    assert cnt["pages_skipped"] == 1
+    # null_counts surfaced in the index
+    from yark_spark.operators.parquet_meta import parquet_footer
+
+    col = parquet_footer(blob)["row_groups"][0]["columns"][0]
+    assert parquet_column_index(blob, col)["null_counts"] == [2]
+
+
+def test_page_prune_requires_index_typed():
+    blob = parquet_write({"k": [1, 2, 3]}, types={"k": "INT64"})
+    with pytest.raises(ValueError, match="no page index"):
+        parquet_page_scan_filtered(blob, ["k"], "k", 1)

@@ -47,7 +47,9 @@ import struct
 
 from yark_spark.operators.parquet_meta import (
     _read_struct,
+    parquet_column_index,
     parquet_footer,
+    parquet_offset_index,
     sbbf_contains,
     sbbf_parse,
 )
@@ -725,3 +727,197 @@ def parquet_scan_filtered(
         if v is not None and lo <= v <= hi_eff
     ]
     return {c: [cols[c][i] for i in keep] for c in columns}, counters
+
+
+# ---------------------------------------------------------------------------
+# Page-granular skipping via the page index (round 13, session 3)
+# ---------------------------------------------------------------------------
+
+
+def _read_dictionary(data: bytes, col: dict) -> "list | None":
+    """Decode a chunk's dictionary page (when present) without
+    touching any data page — the one page every page-selective read
+    still needs."""
+    off = col["dictionary_page_offset"]
+    if off is None:
+        return None
+    header, body_at = _read_struct(data, off)
+    if header.get(1) != _PAGE_DICT:
+        raise ValueError("parquet: dictionary_page_offset is not a dict page")
+    raw = data[body_at : body_at + header.get(3)]
+    page = _decompress(col["codec"], raw, header.get(2))
+    dh = header.get(7) or {}
+    return _plain_values(col["type"], page, 0, len(page), dh.get(1, 0))
+
+
+def _decode_one_page(
+    data: bytes, off: int, col: dict, max_def: int, dictionary: "list | None"
+) -> list:
+    """Decode exactly one FLAT data page at ``off`` (a PageLocation
+    offset) into its woven row values — the ranged-fetch unit of a
+    page-selective scan. Repeated columns are a typed boundary here."""
+    ptype, codec = col["type"], col["codec"]
+    header, body_at = _read_struct(data, off)
+    page_type = header.get(1)
+    unc_size, comp_size = header.get(2), header.get(3)
+    if unc_size is None or comp_size is None:
+        raise ValueError("parquet: page header missing sizes")
+    raw = data[body_at : body_at + comp_size]
+    if len(raw) != comp_size:
+        raise ValueError("parquet: page body truncated")
+    if page_type == _PAGE_DATA:
+        dh = header.get(5) or {}
+        n_vals, enc = dh.get(1), dh.get(2)
+        page = _decompress(codec, raw, unc_size)
+        p = 0
+        defs = None
+        if max_def > 0:
+            (sec_len,) = struct.unpack_from("<I", page, p)
+            p += 4
+            defs = _hybrid_runs(page, p, p + sec_len, _bit_width(max_def), n_vals)
+            p += sec_len
+        n_present = (
+            n_vals if defs is None else sum(1 for d in defs if d == max_def)
+        )
+        vals = _decode_values(ptype, enc, page, p, len(page), n_present, dictionary)
+    elif page_type == _PAGE_DATA_V2:
+        dh = header.get(8) or {}
+        n_vals, n_nulls, enc = dh.get(1), dh.get(2, 0), dh.get(4)
+        def_len, rep_len = dh.get(5, 0), dh.get(6, 0)
+        if rep_len:
+            raise NotImplementedError("parquet: page-selective repeated columns")
+        levels = raw[:def_len]
+        body = raw[def_len:]
+        if dh.get(7, True):
+            body = _decompress(codec, body, unc_size - def_len)
+        defs = (
+            _hybrid_runs(levels, 0, def_len, _bit_width(max_def), n_vals)
+            if max_def > 0
+            else None
+        )
+        vals = _decode_values(ptype, enc, body, 0, len(body), n_vals - n_nulls, dictionary)
+    else:
+        raise ValueError(f"parquet: PageLocation points at page type {page_type}")
+    if defs is None:
+        return vals
+    return _weave(defs, vals, max_def, n_vals)
+
+
+def parquet_page_scan_filtered(
+    payload: bytes,
+    columns: list[str],
+    pred_col: str,
+    lo,
+    hi=None,
+) -> tuple[dict[str, list], dict[str, int]]:
+    """Page-granular selective scan driven by the PAGE INDEX
+    (ColumnIndex min/max/null_pages + OffsetIndex page locations —
+    the parquet feature real writers emit via write_page_index):
+    prune the predicate column's pages against ``[lo, hi]``, map the
+    survivors to row ranges via first_row_index, fetch ONLY the pages
+    of the requested columns that overlap those rows, and exact-filter
+    at the end. Decoded bytes scale with the SELECTED rows, not the
+    row group — inside a 10M-row group a point probe decodes one page
+    per column. Counters report pages_total/pages_skipped/
+    pages_scanned for the predicate column (the plan contract).
+    Requires the page index (typed ValueError when absent — use
+    parquet_scan_filtered's row-group pruning then)."""
+    footer = parquet_footer(payload)
+    # flat leaves only: definition depth from the schema's repetition
+    max_defs = {
+        el["name"]: (1 if el["repetition"] == 1 else 0)
+        for el in footer["schema"][1:]
+        if el["num_children"] == 0
+    }
+    hi_eff = lo if hi is None else hi
+    counters = {"pages_total": 0, "pages_skipped": 0, "pages_scanned": 0}
+    out: dict[str, list] = {c: [] for c in columns}
+    need = list(dict.fromkeys([*columns, pred_col]))
+    for rg in footer["row_groups"]:
+        by_name = {
+            c["path_in_schema"][0]: c
+            for c in rg["columns"]
+            if len(c["path_in_schema"]) == 1
+        }
+        if pred_col not in by_name:
+            raise ValueError(f"parquet: predicate column {pred_col!r} missing")
+        pcol = by_name[pred_col]
+        ci = parquet_column_index(payload, pcol)
+        oi = parquet_offset_index(payload, pcol)
+        if ci is None or oi is None:
+            raise ValueError(
+                "parquet: no page index on predicate column "
+                "(row-group pruning via parquet_scan_filtered instead)"
+            )
+        n_rows = rg["num_rows"]
+        bounds = [p["first_row_index"] for p in oi] + [n_rows]
+        ptype = pcol["type"]
+        counters["pages_total"] += len(oi)
+
+        def _pv(b):
+            return _stat_decode(ptype, b) if ptype != "BYTE_ARRAY" else bytes(b)
+
+        plo = _probe_encode(ptype, lo) if ptype == "BYTE_ARRAY" else lo
+        phi = _probe_encode(ptype, hi_eff) if ptype == "BYTE_ARRAY" else hi_eff
+        surviving = []
+        for i in range(len(oi)):
+            if ci["null_pages"][i]:
+                counters["pages_skipped"] += 1
+                continue
+            mn, mx = _pv(ci["min_values"][i]), _pv(ci["max_values"][i])
+            if phi < mn or plo > mx:
+                counters["pages_skipped"] += 1
+                continue
+            surviving.append(i)
+        counters["pages_scanned"] += len(surviving)
+        if not surviving:
+            continue
+        # decode the predicate column's surviving pages, collect hits
+        pdict = _read_dictionary(payload, pcol)
+        pdef = max_defs.get(pred_col, 1)
+        hits: list[int] = []
+        pred_vals: dict[int, object] = {}
+        for i in surviving:
+            vals = _decode_one_page(payload, oi[i]["offset"], pcol, pdef, pdict)
+            if len(vals) != bounds[i + 1] - bounds[i]:
+                raise ValueError("parquet: page row count != offset index span")
+            for j, v in enumerate(vals):
+                if v is not None:
+                    if isinstance(v, bytes):
+                        v = v.decode("utf-8")
+                    if lo <= v <= hi_eff:
+                        ridx = bounds[i] + j
+                        hits.append(ridx)
+                        pred_vals[ridx] = v
+        if not hits:
+            continue
+        hit_set = set(hits)
+        col_vals: dict[str, dict[int, object]] = {}
+        for name in need:
+            if name == pred_col:
+                col_vals[name] = pred_vals
+                continue
+            ccol = by_name.get(name)
+            if ccol is None:
+                raise ValueError(f"parquet: column {name!r} missing")
+            coi = parquet_offset_index(payload, ccol)
+            if coi is None:
+                raise ValueError(f"parquet: no offset index on {name!r}")
+            cbounds = [p["first_row_index"] for p in coi] + [n_rows]
+            cdict = _read_dictionary(payload, ccol)
+            got: dict[int, object] = {}
+            for i in range(len(coi)):
+                if not any(cbounds[i] <= r < cbounds[i + 1] for r in hits):
+                    continue
+                vals = _decode_one_page(
+                    payload, coi[i]["offset"], ccol, max_defs.get(name, 1), cdict
+                )
+                for j, v in enumerate(vals):
+                    r = cbounds[i] + j
+                    if r in hit_set:
+                        got[r] = v.decode("utf-8") if isinstance(v, bytes) else v
+            col_vals[name] = got
+        for r in hits:
+            for c in columns:
+                out[c].append(col_vals[c].get(r))
+    return out, counters

@@ -235,6 +235,12 @@ def parquet_footer(payload: bytes) -> dict:
             else None,
             "bloom_filter_offset": md.get(14),
             "bloom_filter_length": md.get(15),
+            # Page-index locations (ColumnChunk fields 4-7): the
+            # page-granular pruning surface (round 13 s3).
+            "offset_index_offset": d.get(4),
+            "offset_index_length": d.get(5),
+            "column_index_offset": d.get(6),
+            "column_index_length": d.get(7),
         }
 
     def _row_group(d: dict) -> dict:
@@ -372,3 +378,49 @@ def sbbf_parse(buf: bytes, pos: int = 0) -> bytes:
     if not isinstance(n, int) or n <= 0 or n % 32 or p + n > len(buf):
         raise ValueError("parquet: bad bloom filter length")
     return bytes(buf[p : p + n])
+
+
+# ---------------------------------------------------------------------------
+# Page index (parquet.thrift ColumnIndex / OffsetIndex, round 13 s3)
+# ---------------------------------------------------------------------------
+
+
+def parquet_column_index(payload: bytes, col: dict) -> "dict | None":
+    """Parse a chunk's ColumnIndex: per-page ``null_pages`` /
+    ``min_values`` / ``max_values`` (plain-encoded bounds) +
+    ``boundary_order`` + ``null_counts``. None when the writer emitted
+    no page index."""
+    off = col.get("column_index_offset")
+    if off is None:
+        return None
+    d, _ = _read_struct(bytes(payload), off)
+    pages = d.get(2, [])
+    return {
+        "null_pages": d.get(1, [False] * len(pages)),
+        "min_values": pages,
+        "max_values": d.get(3, []),
+        "boundary_order": d.get(4, 0),
+        "null_counts": d.get(5),
+    }
+
+
+def parquet_offset_index(payload: bytes, col: dict) -> "list[dict] | None":
+    """Parse a chunk's OffsetIndex into page locations:
+    ``[{offset, compressed_page_size, first_row_index}]`` in row
+    order — the ranged-fetch plan for page-granular reads."""
+    off = col.get("offset_index_offset")
+    if off is None:
+        return None
+    d, _ = _read_struct(bytes(payload), off)
+    out = []
+    for p in d.get(1, []):
+        if 1 not in p or 3 not in p:
+            raise ValueError("parquet: PageLocation missing offset/first_row")
+        out.append(
+            {
+                "offset": p[1],
+                "compressed_page_size": p.get(2),
+                "first_row_index": p[3],
+            }
+        )
+    return out

@@ -273,12 +273,21 @@ def _stat_order_key(ptype: str, v):
     return _stat_encode(ptype, v) if ptype == "BYTE_ARRAY" else v
 
 
+def _minmax_encoded(ptype: str, present: list) -> "tuple[bytes, bytes] | None":
+    if not present:
+        return None
+    lo = min(present, key=lambda v: _stat_order_key(ptype, v))
+    hi = max(present, key=lambda v: _stat_order_key(ptype, v))
+    return _stat_encode(ptype, lo), _stat_encode(ptype, hi)
+
+
 def _statistics_struct(ptype: str, vals: list, present: list) -> bytes:
     st = _TStruct()
     st.i64(3, len(vals) - len(present))
-    if present:
-        st.binary(5, _stat_encode(ptype, max(present, key=lambda v: _stat_order_key(ptype, v))))
-        st.binary(6, _stat_encode(ptype, min(present, key=lambda v: _stat_order_key(ptype, v))))
+    mm = _minmax_encoded(ptype, present)
+    if mm is not None:
+        st.binary(5, mm[1])
+        st.binary(6, mm[0])
     return st.done()
 
 
@@ -319,6 +328,7 @@ def parquet_write(
     dictionary_max_cardinality: int = 1024,
     created_by: str = "yark_spark parquet writer",
     bloom_filter_columns: "list[str] | None" = None,
+    write_page_index: bool = False,
 ) -> bytes:
     """Serialize ``{name: values}`` (equal lengths, ``None`` = null)
     into parquet bytes. ``types`` overrides per-column physical types
@@ -342,15 +352,15 @@ def parquet_write(
     rg_size = row_group_size or max(1, n_rows)
 
     out = bytearray(b"PAR1")
-    rg_structs: list[bytes] = []
+    rg_infos: list[tuple[int, int, list]] = []  # (rows, total, [col info])
     for rg_start in range(0, max(n_rows, 1), rg_size):
         rg_rows = min(rg_size, n_rows - rg_start) if n_rows else 0
-        col_structs: list[bytes] = []
+        col_infos: list = []
         rg_total = 0
         for name in names:
             vals = columns[name][rg_start : rg_start + rg_rows]
             ptype = ctypes[name]
-            chunk, meta = _write_chunk(
+            meta_bytes, cstart, csize, pinfo = _write_chunk(
                 out,
                 name,
                 ptype,
@@ -359,8 +369,62 @@ def parquet_write(
                 dictionary_max_cardinality,
                 bloom=name in (bloom_filter_columns or ()),
             )
-            col_structs.append(chunk)
-            rg_total += meta
+            col_infos.append((meta_bytes, cstart, pinfo))
+            rg_total += csize
+        rg_infos.append((rg_rows, rg_total, col_infos))
+        if n_rows == 0:
+            break
+
+    # Page index (ColumnIndex + OffsetIndex, spec position: after the
+    # last row group, before the footer). One page per chunk in this
+    # writer, so each index carries exactly one entry — the same wire
+    # shape multi-page writers emit, just unit-length.
+    index_locs: "dict[tuple[int, int], tuple[int, int, int, int]] | None" = None
+    if write_page_index:
+        index_locs = {}
+        ci_offs: dict[tuple[int, int], tuple[int, int]] = {}
+        for gi, (_, _, col_infos) in enumerate(rg_infos):
+            for cj, (_, _, pinfo) in enumerate(col_infos):
+                ci = (
+                    _TStruct()
+                    .list_of(
+                        1, _CT_TRUE, [b"\x01" if pinfo["min"] is None else b"\x02"]
+                    )
+                    .list_of(
+                        2, _CT_BINARY, [_t_binary_elem(pinfo["min"] or b"")]
+                    )
+                    .list_of(
+                        3, _CT_BINARY, [_t_binary_elem(pinfo["max"] or b"")]
+                    )
+                    .i32(4, 0)  # boundary_order UNORDERED
+                    .list_of(5, _CT_I64, [_t_i32_elem(pinfo["nulls"])])
+                    .done()
+                )
+                ci_offs[(gi, cj)] = (len(out), len(ci))
+                out += ci
+        for gi, (_, _, col_infos) in enumerate(rg_infos):
+            for cj, (_, _, pinfo) in enumerate(col_infos):
+                loc = (
+                    _TStruct()
+                    .i64(1, pinfo["page_offset"])
+                    .i32(2, pinfo["page_size"])
+                    .i64(3, 0)  # first_row_index within the row group
+                    .done()
+                )
+                oi = _TStruct().list_of(1, _CT_STRUCT, [loc]).done()
+                co, cl = ci_offs[(gi, cj)]
+                index_locs[(gi, cj)] = (len(out), len(oi), co, cl)
+                out += oi
+
+    rg_structs: list[bytes] = []
+    for gi, (rg_rows, rg_total, col_infos) in enumerate(rg_infos):
+        col_structs = []
+        for cj, (meta_bytes, cstart, _pinfo) in enumerate(col_infos):
+            cc = _TStruct().i64(2, cstart).struct(3, meta_bytes)
+            if index_locs is not None:
+                oi_off, oi_len, ci_off, ci_len = index_locs[(gi, cj)]
+                cc.i64(4, oi_off).i32(5, oi_len).i64(6, ci_off).i32(7, ci_len)
+            col_structs.append(cc.done())
         rg_structs.append(
             _TStruct()
             .list_of(1, _CT_STRUCT, col_structs)
@@ -368,8 +432,6 @@ def parquet_write(
             .i64(3, rg_rows)
             .done()
         )
-        if n_rows == 0:
-            break
 
     schema_elems = [
         _TStruct().binary(4, b"schema").i32(5, len(names)).done()
@@ -483,6 +545,7 @@ def _write_chunk(
     )
     data_offset = len(out)
     out += page_hdr + page_comp
+    data_page_size = len(page_hdr) + len(page_comp)
     total_unc += len(page_raw)
     total_comp = len(out) - chunk_start
 
@@ -511,5 +574,14 @@ def _write_chunk(
         meta.i64(14, len(out))
         meta.i32(15, len(blob))
         out += blob
-    chunk = _TStruct().i64(2, chunk_start).struct(3, meta.done()).done()
-    return chunk, total_comp
+    mm = _minmax_encoded(ptype, present)
+    page_info = {
+        # PageLocation.compressed_page_size includes the page header
+        "page_offset": data_offset,
+        "page_size": data_page_size,
+        "rows": len(vals),
+        "min": None if mm is None else mm[0],
+        "max": None if mm is None else mm[1],
+        "nulls": len(vals) - len(present),
+    }
+    return meta.done(), chunk_start, total_comp, page_info

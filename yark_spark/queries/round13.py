@@ -888,3 +888,34 @@ def q_kmv_distinct(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+_PARQUET_PAGE_PRUNE_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS shard_id, "
+    "CAST(6 AS INTEGER) AS pages_skipped, "
+    "CAST(2 AS INTEGER) AS pages_scanned, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 448 AND doc_id % 64 BETWEEN 24 AND 39"
+)
+
+
+@query("q_parquet_page_prune", oracle=_PARQUET_PAGE_PRUNE_ORACLE)
+def q_parquet_page_prune(spark, sf_dir):
+    """E138' parquet PAGE-index pruning (round 13, session 3): the
+    page-granular half of the scan-skip pair — fixtures written by
+    PYARROW with write_page_index (genuine third-party ColumnIndex/
+    OffsetIndex wire: per-page min/max, null_pages, PageLocation
+    offsets + first_row_index), one 64-row row group of eight 8-row
+    pages per shard, and parquet_page_scan_filtered must plan page
+    survival off that index: 6 of 8 pages skipped, survivors fetched
+    by PageLocation offset (the ranged-read unit), per-column page
+    selection joined on first_row_index. Inside a 10M-row row group
+    this is the only thing keeping a point probe O(pages-hit); the
+    counters ride in the output so the oracle pins the PLAN. Our own
+    writer emits the same index wire (write_page_index=True, pinned
+    both directions in tests/test_parquet_prune.py). One
+    applyInPandas per shard; map-only."""
+    from yark_spark.operators.multimodal import parquet_page_prune_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
+    return parquet_page_prune_features(docs)
