@@ -102,7 +102,10 @@ def test_reader_version_gate():
         delta_live_files(blob)
 
 
-def test_checkpoint_typed_boundary():
+def test_checkpoint_orphan_is_typed():
+    # A checkpoint parquet with NO _last_checkpoint pointer is a
+    # corrupt table (round 13 s3 closed the former NotImplementedError
+    # boundary — checkpoints now replay; see the tests below).
     a = _pq([1])
     blob = _table(
         [
@@ -111,7 +114,7 @@ def test_checkpoint_typed_boundary():
         ],
         [("a.parquet", a)],
     )
-    with pytest.raises(NotImplementedError, match="checkpoint"):
+    with pytest.raises(ValueError, match="checkpoint"):
         delta_live_files(blob)
 
 
@@ -122,3 +125,126 @@ def test_empty_commit_is_fine():
         [("a.parquet", a)],
     )
     assert [(p, v) for p, v, _ in delta_live_files(blob)] == [("a.parquet", 0)]
+
+
+# ---------------------------------------------------------------------------
+# Parquet checkpoints (round 13 s3)
+# ---------------------------------------------------------------------------
+
+import io
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _checkpoint(rows):
+    """rows: list of dicts with optional 'add'/'remove'/'metaData'/
+    'protocol' keys — one action per row, pyarrow nested-struct wire."""
+    add_t = pa.struct([("path", pa.string()), ("size", pa.int64())])
+    rm_t = pa.struct([("path", pa.string())])
+    md_t = pa.struct([("id", pa.string())])
+    pr_t = pa.struct([("minReaderVersion", pa.int32())])
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table(
+            {
+                "protocol": pa.array([r.get("protocol") for r in rows], type=pr_t),
+                "metaData": pa.array([r.get("metaData") for r in rows], type=md_t),
+                "add": pa.array([r.get("add") for r in rows], type=add_t),
+                "remove": pa.array([r.get("remove") for r in rows], type=rm_t),
+            }
+        ),
+        buf,
+    )
+    return buf.getvalue()
+
+
+def _ckpt_members(version, ckpt, last=None):
+    return [
+        (
+            "_delta_log/_last_checkpoint",
+            json.dumps(last or {"version": version}).encode(),
+        ),
+        (f"_delta_log/{version:020d}.checkpoint.parquet", ckpt),
+    ]
+
+
+_CK_BASE = [
+    {"protocol": {"minReaderVersion": 1}},
+    {"metaData": {"id": "t"}},
+]
+
+
+def test_checkpoint_seeds_state_without_early_commits():
+    a, c, d = _pq([1, 2]), _pq([5, 6]), _pq([7, 8])
+    ckpt = _checkpoint(
+        _CK_BASE
+        + [
+            {"add": {"path": "a.parquet", "size": len(a)}},
+            {"add": {"path": "b.parquet", "size": 999}},  # removed below
+            {"remove": {"path": "expired.parquet"}},  # old tombstone
+        ]
+    )
+    blob = _table(
+        _ckpt_members(2, ckpt)
+        + [
+            _commit(3, _add("c.parquet", c)),
+            _commit(4, _rm("b.parquet"), _add("d.parquet", d)),
+        ],
+        [("a.parquet", a), ("c.parquet", c), ("d.parquet", d)],
+        # b.parquet vacuumed: removed files' bytes must never be read
+    )
+    live = delta_live_files(blob)
+    assert [(p, v) for p, v, _ in live] == [
+        ("a.parquet", 2), ("c.parquet", 3), ("d.parquet", 4),
+    ]
+
+
+def test_checkpoint_commit_gap_is_typed():
+    a = _pq([1])
+    ckpt = _checkpoint(_CK_BASE + [{"add": {"path": "a.parquet", "size": len(a)}}])
+    blob = _table(
+        _ckpt_members(2, ckpt) + [_commit(4, _add("a.parquet", a))],
+        [("a.parquet", a)],
+    )
+    with pytest.raises(ValueError, match="gapless"):
+        delta_live_files(blob)
+
+
+def test_checkpoint_missing_parquet_is_typed():
+    blob = _table(
+        [("_delta_log/_last_checkpoint", json.dumps({"version": 2}).encode())],
+        [],
+    )
+    with pytest.raises(ValueError, match="names missing"):
+        delta_live_files(blob)
+
+
+def test_checkpoint_without_pointer_is_typed():
+    ckpt = _checkpoint(_CK_BASE)
+    blob = _table(
+        [(f"_delta_log/{2:020d}.checkpoint.parquet", ckpt), _commit(0, _PROTO, _META)],
+        [],
+    )
+    with pytest.raises(ValueError, match="without _last_checkpoint"):
+        delta_live_files(blob)
+
+
+def test_checkpoint_without_metadata_is_typed():
+    a = _pq([1])
+    ckpt = _checkpoint(
+        [{"protocol": {"minReaderVersion": 1}},
+         {"add": {"path": "a.parquet", "size": len(a)}}]
+    )
+    blob = _table(_ckpt_members(2, ckpt), [("a.parquet", a)])
+    with pytest.raises(ValueError, match="no metaData"):
+        delta_live_files(blob)
+
+
+def test_checkpoint_reader_version_gate():
+    ckpt = _checkpoint(
+        [{"protocol": {"minReaderVersion": 3}}, {"metaData": {"id": "t"}}]
+    )
+    blob = _table(_ckpt_members(2, ckpt), [])
+    with pytest.raises(NotImplementedError, match="minReaderVersion"):
+        delta_live_files(blob)

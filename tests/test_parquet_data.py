@@ -366,3 +366,38 @@ def test_deeper_nesting_still_typed(tmp_path):
     pq.write_table(t, path)
     with pytest.raises(NotImplementedError, match="nested"):
         parquet_read_columns(open(path, "rb").read(), ["m"])
+
+
+def test_nested_struct_dotted_paths_on_pyarrow_wire():
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yark_spark.operators.parquet_data import parquet_read_columns
+
+    add_t = pa.struct([("path", pa.string()), ("size", pa.int64())])
+    deep_t = pa.struct([("a", pa.struct([("b", pa.int64())]))])
+    t = pa.table(
+        {
+            "add": pa.array(
+                [{"path": "p0", "size": 10}, None, {"path": "p1", "size": None}],
+                type=add_t,
+            ),
+            "x": pa.array([{"a": {"b": 1}}, {"a": None}, None], type=deep_t),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    cols = parquet_read_columns(
+        buf.getvalue(), ["add.path", "add.size", "x.a.b"]
+    )
+    # null struct, null leaf, and null mid-level ancestor all weave to None
+    assert cols["add.path"] == ["p0", None, "p1"]
+    assert cols["add.size"] == [10, None, None]
+    assert cols["x.a.b"] == [1, None, None]
+    # the GROUP name itself stays a typed boundary
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="nested"):
+        parquet_read_columns(buf.getvalue(), ["add"])

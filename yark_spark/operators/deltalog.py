@@ -47,17 +47,42 @@ _COMMIT_RE = re.compile(r"^_delta_log/(\d{20})\.json$")
 
 def delta_live_files(tar_payload: bytes) -> list[tuple[str, int, bytes]]:
     """Replay a table archive's commit log → the live snapshot as
-    ``[(path, version_added, file_bytes)]`` in path order."""
+    ``[(path, version_added, file_bytes)]`` in path order.
+
+    Parquet CHECKPOINTS (round 13 s3): when ``_last_checkpoint``
+    names version V, the state is seeded from
+    ``<V>.checkpoint.parquet`` — one row per action, actions as
+    NESTED STRUCT columns (``add.path``, ``add.size``,
+    ``remove.path``, ``metaData.id``, ``protocol.minReaderVersion``)
+    read through the from-scratch reader's dotted-path support — and
+    only commits V+1..N replay on top. Commits ≤ V may be PHYSICALLY
+    ABSENT (log retention deleted them — the whole point of
+    checkpoints: a reader that still walks version 0 breaks on any
+    real table older than the retention window). Files seeded from
+    the checkpoint carry version_added = V, the finest attribution
+    the log retains."""
     members = dict(tar_members(tar_payload))
+    ckpt_version = None
+    lc = members.get("_delta_log/_last_checkpoint")
+    if lc is not None:
+        ckpt_version = json.loads(lc.decode("utf-8"))["version"]
     commits: list[tuple[int, bytes]] = []
     for name in members:
         m = _COMMIT_RE.match(name)
         if m:
             commits.append((int(m.group(1)), members[name]))
         elif name.startswith("_delta_log/") and ".checkpoint." in name:
-            raise NotImplementedError(
-                "delta: parquet checkpoints not supported (JSON log replay only)"
-            )
+            if ckpt_version is None:
+                raise ValueError(
+                    "delta: checkpoint parquet without _last_checkpoint"
+                )
+    if ckpt_version is not None:
+        ckpt_name = f"_delta_log/{ckpt_version:020d}.checkpoint.parquet"
+        if ckpt_name not in members:
+            raise ValueError(f"delta: _last_checkpoint names missing {ckpt_name}")
+        return _replay_from_checkpoint(
+            members, ckpt_version, members[ckpt_name], commits
+        )
     if not commits:
         raise ValueError("delta: no commit files under _delta_log/")
     commits.sort()
@@ -67,26 +92,38 @@ def delta_live_files(tar_payload: bytes) -> list[tuple[str, int, bytes]]:
     live: dict[str, tuple[int, int | None]] = {}  # path -> (version, logged size)
     saw_metadata = False
     for version, blob in commits:
-        for line in blob.splitlines():
-            if not line.strip():
-                continue
-            action = json.loads(line)
-            if "protocol" in action:
-                if action["protocol"].get("minReaderVersion", 1) > 1:
-                    raise NotImplementedError(
-                        "delta: minReaderVersion > 1 (column mapping / "
-                        "deletion vectors) not supported"
-                    )
-            elif "metaData" in action:
-                saw_metadata = True
-            elif "add" in action:
-                a = action["add"]
-                live[a["path"]] = (version, a.get("size"))
-            elif "remove" in action:
-                live.pop(action["remove"]["path"], None)
-            # commitInfo / txn: informational, skipped
+        saw_metadata = _apply_commit(blob, version, live) or saw_metadata
     if not saw_metadata:
         raise ValueError("delta: table has no metaData action")
+    return _finalize(members, live)
+
+
+def _apply_commit(blob: bytes, version: int, live: dict) -> bool:
+    """Apply one commit's newline-delimited actions to ``live``;
+    returns whether a metaData action was seen."""
+    saw_metadata = False
+    for line in blob.splitlines():
+        if not line.strip():
+            continue
+        action = json.loads(line)
+        if "protocol" in action:
+            if action["protocol"].get("minReaderVersion", 1) > 1:
+                raise NotImplementedError(
+                    "delta: minReaderVersion > 1 (column mapping / "
+                    "deletion vectors) not supported"
+                )
+        elif "metaData" in action:
+            saw_metadata = True
+        elif "add" in action:
+            a = action["add"]
+            live[a["path"]] = (version, a.get("size"))
+        elif "remove" in action:
+            live.pop(action["remove"]["path"], None)
+        # commitInfo / txn: informational, skipped
+    return saw_metadata
+
+
+def _finalize(members: dict, live: dict) -> list[tuple[str, int, bytes]]:
     # integrity checks apply to the FINAL live set only: files whose
     # every add was later removed may be physically gone (vacuumed) —
     # replay must not require their bytes
@@ -102,6 +139,49 @@ def delta_live_files(tar_payload: bytes) -> list[tuple[str, int, bytes]]:
             )
         out.append((path, version, data))
     return out
+
+
+def _replay_from_checkpoint(
+    members: dict, ckpt_version: int, ckpt_blob: bytes, commits: list
+) -> list[tuple[str, int, bytes]]:
+    """Seed state from the checkpoint's struct-column rows, then
+    replay only the commits AFTER it (earlier JSON may be gone)."""
+    cols = parquet_read_columns(
+        ckpt_blob,
+        [
+            "add.path",
+            "add.size",
+            "remove.path",
+            "metaData.id",
+            "protocol.minReaderVersion",
+        ],
+    )
+    live: dict[str, tuple[int, int | None]] = {}
+    saw_metadata = False
+    for i in range(len(cols["add.path"])):
+        mrv = cols["protocol.minReaderVersion"][i]
+        if mrv is not None and mrv > 1:
+            raise NotImplementedError(
+                "delta: minReaderVersion > 1 (column mapping / "
+                "deletion vectors) not supported"
+            )
+        if cols["metaData.id"][i] is not None:
+            saw_metadata = True
+        p = cols["add.path"][i]
+        if p is not None:
+            live[p] = (ckpt_version, cols["add.size"][i])
+        # remove rows are EXPIRED tombstones retained for vacuum
+        # bookkeeping — by definition not part of the live state
+    if not saw_metadata:
+        raise ValueError("delta: checkpoint has no metaData row")
+    later = sorted((v, b) for v, b in commits if v > ckpt_version)
+    if [v for v, _ in later] != list(
+        range(ckpt_version + 1, ckpt_version + 1 + len(later))
+    ):
+        raise ValueError("delta: commit versions after checkpoint must be gapless")
+    for version, blob in later:
+        _apply_commit(blob, version, live)
+    return _finalize(members, live)
 
 
 def delta_snapshot_rows(

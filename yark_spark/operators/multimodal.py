@@ -6869,3 +6869,122 @@ def parquet_page_prune_features(
         .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__s"))
         .applyInPandas(_build_and_scan, PARQUET_PAGE_PRUNE_SCHEMA)
     )
+
+
+def with_delta_checkpoint_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Delta table fixture WITH a parquet checkpoint (round 13 s3):
+    every 32 docs become a table whose pre-checkpoint history is
+    GONE — ``_last_checkpoint`` names version 2, the checkpoint
+    parquet (written by PYARROW with the real nested-struct action
+    schema: add/remove/metaData/protocol struct columns, one action
+    per row, plus an expired remove tombstone) seeds state {p0, p2},
+    and only commits 3 (add p3) and 4 (remove p2 + add p4) exist as
+    JSON. p2's bytes are also deleted (vacuumed) — a reader that
+    walks version 0 or touches removed files breaks, which is
+    exactly what log retention does to naive readers on any table
+    older than 30 days. Expected: docs 0-7 at checkpoint version 2,
+    24-31 at 3, 8-15 at 4 (as part-4), 16-23 vanished. One
+    applyInPandas per table group."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import parquet_data as _pdata
+    from yark_spark.operators import parquet_meta as _pm
+    from yark_spark.operators import parquet_write as _pw
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()
+    _pw.bind_codecs()
+    _pdata.bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_pm)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_pdata)
+    _cp.register_pickle_by_value(_pw)
+    _write = _pw.parquet_write
+    _cont = _register_container_modules()
+    _tar = _cont.tar_build
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io as _io
+        import json as _json
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 32
+
+        def _pq_file(lo, hi):
+            return _write(
+                {"doc_id": ids[lo:hi], "text": texts[lo:hi]},
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                codec="SNAPPY",
+            )
+
+        p0 = _pq_file(0, 8)
+        p4 = _pq_file(8, 16)
+        p2 = _pq_file(16, 24)
+        p3 = _pq_file(24, 32)
+
+        add_t = _pa.struct([("path", _pa.string()), ("size", _pa.int64())])
+        rm_t = _pa.struct([("path", _pa.string())])
+        md_t = _pa.struct([("id", _pa.string())])
+        pr_t = _pa.struct([("minReaderVersion", _pa.int32())])
+        adds = [None, None, {"path": "part-0.parquet", "size": len(p0)},
+                {"path": "part-2.parquet", "size": len(p2)}, None]
+        rms = [None, None, None, None, {"path": "part-gone.parquet"}]
+        mds = [None, {"id": f"table-{tid}"}, None, None, None]
+        prs = [{"minReaderVersion": 1}, None, None, None, None]
+        buf = _io.BytesIO()
+        _pq.write_table(
+            _pa.table(
+                {
+                    "protocol": _pa.array(prs, type=pr_t),
+                    "metaData": _pa.array(mds, type=md_t),
+                    "add": _pa.array(adds, type=add_t),
+                    "remove": _pa.array(rms, type=rm_t),
+                }
+            ),
+            buf,
+        )
+        v3 = _json.dumps(
+            {"add": {"path": "part-3.parquet", "size": len(p3), "dataChange": True}}
+        )
+        v4 = "\n".join(
+            [
+                _json.dumps({"remove": {"path": "part-2.parquet", "dataChange": True}}),
+                _json.dumps(
+                    {"add": {"path": "part-4.parquet", "size": len(p4), "dataChange": True}}
+                ),
+            ]
+        )
+        members = [
+            ("_delta_log/_last_checkpoint", _json.dumps({"version": 2, "size": 5}).encode()),
+            (f"_delta_log/{2:020d}.checkpoint.parquet", buf.getvalue()),
+            (f"_delta_log/{3:020d}.json", v3.encode()),
+            (f"_delta_log/{4:020d}.json", v4.encode()),
+            ("part-0.parquet", p0),
+            ("part-3.parquet", p3),
+            ("part-4.parquet", p4),
+            # part-2 vacuumed: its bytes must never be required
+        ]
+        return pd.DataFrame({"table_id": [tid], "payload": [_tar(members)]})
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("table_id", LongType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+    )

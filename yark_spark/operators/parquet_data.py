@@ -551,6 +551,7 @@ def parquet_read_columns(
         raise ValueError("parquet: empty schema")
     leaves: dict[str, dict] = {}
     lists: dict[str, dict] = {}
+    struct_leaves: dict[str, dict] = {}
     nested: set[str] = set()
 
     def _skip_subtree(i: int) -> int:
@@ -588,14 +589,42 @@ def parquet_read_columns(
             }
             i += 3
             continue
-        nested.add(el["name"])  # only an error if actually requested
+        nested.add(el["name"])  # the GROUP name itself stays unreadable
+        # ...but its non-repeated leaves are plain def-level weaves:
+        # register them under dotted names ("add.path") — the Delta
+        # checkpoint / nested-metadata shape (round 13 s3). A repeated
+        # node anywhere on the path keeps that subtree a typed
+        # boundary (full Dremel assembly).
+        def _register(j: int, prefix: list, d: int) -> int:
+            e = schema[j]
+            if e["repetition"] == 2:
+                return _skip_subtree(j)
+            dd = d + (1 if e["repetition"] == 1 else 0)
+            if e["num_children"] == 0:
+                struct_leaves[".".join(prefix + [e["name"]])] = {
+                    "path": tuple(prefix + [e["name"]]),
+                    "max_def": dd,
+                }
+                return j + 1
+            k = j + 1
+            for _ in range(e["num_children"]):
+                k = _register(k, prefix + [e["name"]], dd)
+            return k
+
+        _register(i, [], 0)
         i = _skip_subtree(i)
-    wanted_nested = [c for c in columns if c in nested]
+    wanted_nested = [
+        c for c in columns if c in nested and c not in struct_leaves
+    ]
     if wanted_nested:
         raise NotImplementedError(
             f"parquet: nested/repeated columns not supported: {wanted_nested}"
         )
-    missing = [c for c in columns if c not in leaves and c not in lists]
+    missing = [
+        c
+        for c in columns
+        if c not in leaves and c not in lists and c not in struct_leaves
+    ]
     if missing:
         raise ValueError(f"parquet: columns not in schema: {missing}")
     out: dict[str, list] = {c: [] for c in columns}
@@ -603,7 +632,14 @@ def parquet_read_columns(
         by_path = {tuple(c["path_in_schema"]): c for c in rg["columns"]}
         for name in columns:
             info = lists.get(name)
-            col = by_path.get(info["path"] if info else (name,))
+            sinfo = struct_leaves.get(name) if info is None else None
+            if info is not None:
+                want_path = info["path"]
+            elif sinfo is not None:
+                want_path = sinfo["path"]
+            else:
+                want_path = (name,)
+            col = by_path.get(want_path)
             if col is None:
                 raise ValueError(f"parquet: column chunk missing for {name!r}")
             if col["type"] in ("INT96", "FIXED_LEN_BYTE_ARRAY"):
@@ -611,7 +647,10 @@ def parquet_read_columns(
                     f"parquet: physical type {col['type']} not supported"
                 )
             if info is None:
-                max_def = 1 if leaves[name]["repetition"] == 1 else 0
+                if sinfo is not None:
+                    max_def = sinfo["max_def"]
+                else:
+                    max_def = 1 if leaves[name]["repetition"] == 1 else 0
                 vals = _read_chunk(payload, col, max_def)
                 if col["type"] == "BYTE_ARRAY":
                     vals = [

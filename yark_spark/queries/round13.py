@@ -919,3 +919,38 @@ def q_parquet_page_prune(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
     return parquet_page_prune_features(docs)
+
+
+_DELTA_CKPT_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CAST(CASE WHEN doc_id % 32 < 8 THEN 2 "
+    "WHEN doc_id % 32 < 16 THEN 4 ELSE 3 END AS INTEGER) AS version_added, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480 AND doc_id % 32 NOT BETWEEN 16 AND 23"
+)
+
+
+@query("q_delta_checkpoint", oracle=_DELTA_CKPT_ORACLE)
+def q_delta_checkpoint(spark, sf_dir):
+    """E135' Delta parquet-checkpoint replay (round 13, session 3):
+    the E135 JSON-log replay closes its documented boundary — every
+    32 docs become a table whose PRE-CHECKPOINT HISTORY IS GONE
+    (_last_checkpoint → 00000000000000000002.checkpoint.parquet,
+    commits 0-2 deleted by log retention, one removed file's bytes
+    vacuumed away), so state MUST seed from the checkpoint's
+    nested-struct action rows (add.path/add.size/remove.path/
+    metaData.id/protocol.minReaderVersion — PYARROW-written wire read
+    through the from-scratch reader's new dotted-path struct
+    support) and replay only commits 3-4 on top. The oracle pins the
+    asymmetric survivor map: docs 0-7 carry the checkpoint version,
+    24-31 commit 3, 8-15 commit 4, 16-23 vanish without their file
+    ever being read. Every Delta table older than the 30-day
+    retention window IS this shape at 100 TB. Grouping shuffle =
+    table assignment; map-only replay."""
+    from yark_spark.operators.multimodal import (
+        delta_snapshot_features,
+        with_delta_checkpoint_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return delta_snapshot_features(with_delta_checkpoint_payload(docs))
