@@ -226,3 +226,71 @@ def test_writer_all_null_and_empty():
     assert t.column("v").to_pylist() == [1.5, 2.5]
     got = orc_read_columns(blob)
     assert got["n"] == [None, None] and got["v"] == [1.5, 2.5]
+
+
+# ---------------------------------------------------------------------------
+# Stripe pruning on StripeStatistics (round 13 s3)
+# ---------------------------------------------------------------------------
+
+
+def test_stripe_prune_on_real_orc_cpp_wire():
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from yark_spark.operators.orc import orc_scan_filtered
+
+    n = 8192  # ORC_CPP batches stripes at 1024 rows with a small limit
+    buf = io.BytesIO()
+    po.write_table(
+        pa.table({"k": list(range(n)), "t": [f"x{i:06d}" for i in range(n)]}),
+        buf,
+        stripe_size=64 * 1024,
+    )
+    blob = buf.getvalue()
+    cols, cnt = orc_scan_filtered(blob, ["k", "t"], "k", 3000, 3010)
+    assert cols["k"] == list(range(3000, 3011))
+    assert cnt == {"stripes_total": 8, "skipped_stats": 7, "stripes_scanned": 1}
+    # string bounds from StringStatistics
+    cols, cnt = orc_scan_filtered(blob, ["k"], "t", "x000500", "x000502")
+    assert cols["k"] == [500, 501, 502] and cnt["stripes_scanned"] == 1
+    # disjoint range decodes nothing
+    cols, cnt = orc_scan_filtered(blob, ["t"], "k", 10**9)
+    assert cols["t"] == [] and cnt["skipped_stats"] == 8
+
+
+def test_stripe_prune_on_our_writer_and_orc_cpp_still_reads():
+    import io
+
+    import pyarrow.orc as po
+
+    from yark_spark.operators.orc import orc_scan_filtered, orc_write
+
+    blob = orc_write(
+        {"k": list(range(64)), "t": [f"x{i:02d}" for i in range(64)]},
+        types={"k": "LONG", "t": "STRING"},
+        compression="ZLIB",
+        stripe_rows=8,
+    )
+    cols, cnt = orc_scan_filtered(blob, ["k"], "k", 24, 39)
+    assert cols["k"] == list(range(24, 40))
+    assert cnt == {"stripes_total": 8, "skipped_stats": 6, "stripes_scanned": 2}
+    t = po.read_table(io.BytesIO(blob))
+    assert t.num_rows == 64  # metadata section doesn't disturb ORC_CPP
+
+
+def test_stripe_prune_nulls_and_missing_stats_scan():
+    from yark_spark.operators.orc import orc_scan_filtered, orc_write
+
+    blob = orc_write(
+        {"k": [1, None, 3, None, 100, 101, None, 103],
+         "d": [0.5] * 8},
+        types={"k": "LONG", "d": "DOUBLE"},
+        stripe_rows=4,
+    )
+    cols, cnt = orc_scan_filtered(blob, ["k"], "k", 100, 200)
+    assert cols["k"] == [100, 101, 103] and cnt["skipped_stats"] == 1
+    # DOUBLE has no bounds in our stats: every stripe scans (superset)
+    cols, cnt = orc_scan_filtered(blob, ["k"], "d", 0.4, 0.6)
+    assert cnt["skipped_stats"] == 0 and len(cols["k"]) == 8

@@ -6988,3 +6988,85 @@ def with_delta_checkpoint_payload(
             ),
         )
     )
+
+
+ORC_PRUNE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("shard_id", LongType()),
+        StructField("stripes_skipped", IntegerType()),
+        StructField("stripes_scanned", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def orc_stripe_prune_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """ORC stripe pruning end-to-end (round 13 s3): each 64-doc shard
+    becomes an ORC file from the in-repo writer (8 stripes of 8,
+    ZLIB, StripeStatistics in the Metadata section — sint64-zigzag
+    int bounds + string bounds, the wire ORC_CPP emits and still
+    reads from our files), and orc_scan_filtered plans stripe
+    survival off those statistics before touching any stream: the
+    range probe must decode exactly 2 of 8 stripes, counters ride in
+    the output so the oracle pins the plan. Third-party-wire pruning
+    (genuine pyarrow/ORC_CPP multi-stripe files) is pinned in
+    tests/test_orc.py. One applyInPandas per shard; map-only."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import orc as _orc_mod
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import tfrecord as _tf
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()
+    _orc_mod._bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_tf)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_orc_mod)
+    _write = _orc_mod.orc_write
+    _scan = _orc_mod.orc_scan_filtered
+
+    def _build_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        sid = ids[0] // 64
+        base = sid * 64
+        blob = _write(
+            {"doc_id": ids, "text": list(pdf[text_col])},
+            types={"doc_id": "LONG", "text": "STRING"},
+            compression="ZLIB",
+            stripe_rows=8,
+        )
+        cols, cnt = _scan(
+            blob, ["doc_id", "text"], "doc_id", base + 24, base + 39
+        )
+        n = len(cols["doc_id"])
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(cols["doc_id"], dtype="int64"),
+                "shard_id": np.full(n, sid, dtype="int64"),
+                "stripes_skipped": np.full(n, cnt["skipped_stats"], dtype="int32"),
+                "stripes_scanned": np.full(
+                    n, cnt["stripes_scanned"], dtype="int32"
+                ),
+                "n_chars": np.array([len(t) for t in cols["text"]], dtype="int32"),
+                "digest": [
+                    _h.md5(t.encode("utf-8")).hexdigest() for t in cols["text"]
+                ],
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__s"))
+        .applyInPandas(_build_and_scan, ORC_PRUNE_SCHEMA)
+    )

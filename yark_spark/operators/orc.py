@@ -332,7 +332,14 @@ def orc_read_columns(
     At 100 TB the unit of work is (file, stripe) with ranged reads of
     postscript + footer + needed streams; this is that per-task
     kernel."""
-    b = bytes(payload)
+    f = _orc_open(bytes(payload), max_output)
+    return _orc_read_stripes(f, columns, max_output, None)[0]
+
+
+def _orc_open(b: bytes, max_output: int) -> dict:
+    """Postscript → footer → schema maps; the ranged-read head every
+    ORC operation starts from. Keeps the raw bounds of the METADATA
+    section (stripe statistics) for the pruning path."""
     if len(b) < 4 or b[:3] != b"ORC":
         raise ValueError("orc: bad magic")
     psl = b[-1]
@@ -367,6 +374,26 @@ def orc_read_columns(
         kind = _KINDS.get(_one(types[tid], 1, -1))
         col_name[name] = tid
         col_kind[tid] = kind
+    return {
+        "b": b,
+        "footer": footer,
+        "compression": compression,
+        "names": names,
+        "col_name": col_name,
+        "col_kind": col_kind,
+        "metadata_span": (footer_end - footer_len - metadata_len, footer_end - footer_len),
+    }
+
+
+def _orc_read_stripes(
+    f: dict, columns: "list[str] | None", max_output: int, keep: "set[int] | None"
+) -> tuple[dict[str, list], list[int]]:
+    """Decode the stripes whose index is in ``keep`` (all when None);
+    returns (columns, per-row stripe index) so callers can attribute
+    rows to stripes."""
+    b = f["b"]
+    footer, compression = f["footer"], f["compression"]
+    names, col_name, col_kind = f["names"], f["col_name"], f["col_kind"]
     wanted = columns if columns is not None else [
         n for n in names if col_kind[col_name[n]] in _PRIMITIVE
     ]
@@ -378,7 +405,10 @@ def orc_read_columns(
             raise NotImplementedError(f"orc: column type {kind} not supported")
 
     out: dict[str, list] = {c: [] for c in wanted}
-    for st in footer.get(3, []):
+    stripe_of: list[int] = []
+    for si, st in enumerate(footer.get(3, [])):
+        if keep is not None and si not in keep:
+            continue
         s = _msg(st)
         offset = _one(s, 1, 0)
         index_len = _one(s, 2, 0)
@@ -412,7 +442,82 @@ def orc_read_columns(
                     streams, cid, n_rows, compression, max_output,
                 )
             )
-    return out
+        stripe_of.extend([si] * n_rows)
+    return out, stripe_of
+
+
+def orc_scan_filtered(
+    payload: bytes,
+    columns: list[str],
+    pred_col: str,
+    lo,
+    hi=None,
+    max_output: int = 1 << 28,
+) -> tuple[dict[str, list], dict[str, int]]:
+    """Stripe-pruned scan: the predicate ``pred_col BETWEEN lo AND
+    hi`` (``= lo`` when ``hi`` is None) is planned against the
+    METADATA section's StripeStatistics — per-stripe ColumnStatistics
+    with IntegerStatistics (sint64 zigzag min/max) or
+    StringStatistics bounds, exactly as ORC_CPP writes them — and
+    only surviving stripes decode. Counters
+    ``{stripes_total, skipped_stats, stripes_scanned}`` are part of
+    the contract: at 100 TB the stripe is the ORC scan task, and a
+    reader that decodes stripes the statistics rule out is wrong even
+    with right rows. Stripes with no usable statistics scan (superset
+    guarantee). Rows exact-filter after decode."""
+    f = _orc_open(bytes(payload), max_output)
+    if pred_col not in f["col_name"]:
+        raise ValueError(f"orc: predicate column {pred_col!r} missing")
+    tid = f["col_name"][pred_col]
+    hi_eff = lo if hi is None else hi
+    stripes = f["footer"].get(3, [])
+    counters = {
+        "stripes_total": len(stripes),
+        "skipped_stats": 0,
+        "stripes_scanned": 0,
+    }
+    m0, m1 = f["metadata_span"]
+    stats_by_stripe: list = [None] * len(stripes)
+    if m1 > m0:
+        meta = _msg(_decompress_chunks(f["b"][m0:m1], f["compression"], max_output))
+        for si, ss in enumerate(meta.get(1, [])):
+            if si >= len(stripes):
+                break
+            cols = _msg(ss).get(1, [])
+            if tid < len(cols):
+                stats_by_stripe[si] = _msg(cols[tid])
+    keep: set[int] = set()
+    for si in range(len(stripes)):
+        cs = stats_by_stripe[si]
+        bounds = None
+        if cs is not None:
+            ints = cs.get(2)
+            strs = cs.get(4)
+            if ints:
+                m = _msg(ints[0])
+                if 1 in m and 2 in m:
+                    # proto sint64: zigzag varints
+                    bounds = (_unzigzag(_one(m, 1)), _unzigzag(_one(m, 2)))
+            elif strs:
+                m = _msg(strs[0])
+                if 1 in m and 2 in m:
+                    bounds = (
+                        bytes(_one(m, 1)).decode("utf-8"),
+                        bytes(_one(m, 2)).decode("utf-8"),
+                    )
+        if bounds is not None and (hi_eff < bounds[0] or lo > bounds[1]):
+            counters["skipped_stats"] += 1
+            continue
+        keep.add(si)
+    counters["stripes_scanned"] = len(keep)
+    need = list(dict.fromkeys([*columns, pred_col]))
+    cols, _ = _orc_read_stripes(f, need, max_output, keep)
+    idx = [
+        i
+        for i, v in enumerate(cols[pred_col])
+        if v is not None and lo <= v <= hi_eff
+    ]
+    return {c: [cols[c][i] for i in idx] for c in columns}, counters
 
 
 def _stream(streams, cid, kind, compression, max_output) -> bytes | None:
@@ -655,6 +760,7 @@ def orc_write(
 
     out = bytearray(b"ORC")
     stripe_infos = []
+    stripe_stats_msgs = []  # Metadata section: one StripeStatistics each
     step = stripe_rows or max(1, n_rows)
     for start in range(0, max(n_rows, 1), step):
         rows = min(step, n_rows - start) if n_rows else 0
@@ -662,6 +768,8 @@ def orc_write(
         streams_pb = []
         encodings_pb = [_tag(1, 0) + _write_varint(0)]  # root: DIRECT
         data_blob = bytearray()
+        # root ColumnStatistics: numberOfValues + hasNull=false
+        cs_msgs = [_pb_varint_field(1, rows) + _pb_varint_field(10, 0)]
 
         def _emit(col_id, kind, payload):
             comp = _chunks_compress(payload, compression)
@@ -694,6 +802,27 @@ def orc_write(
                 _emit(ci, _LENGTH, _rlev2_encode([len(b) for b in blobs], False))
                 enc = 2
             encodings_pb.append(_tag(1, 0) + _write_varint(enc))
+            # per-column StripeStatistics entry (LONG → sint64 zigzag
+            # IntegerStatistics, STRING → StringStatistics); DOUBLE/
+            # BOOLEAN carry counts only — absent bounds mean "scan"
+            cs = _pb_varint_field(1, len(nn)) + _pb_varint_field(
+                10, 0 if all(present) else 1
+            )
+            if nn and t == "LONG":
+                cs += _pb_len_field(
+                    2,
+                    _tag(1, 0)
+                    + _write_varint(_zigzag_enc(min(nn)))
+                    + _tag(2, 0)
+                    + _write_varint(_zigzag_enc(max(nn))),
+                )
+            elif nn and t == "STRING":
+                cs += _pb_len_field(
+                    4,
+                    _pb_len_field(1, min(nn).encode("utf-8"))
+                    + _pb_len_field(2, max(nn).encode("utf-8")),
+                )
+            cs_msgs.append(cs)
 
         out += data_blob
         sfoot = b"".join(
@@ -708,8 +837,16 @@ def orc_write(
             + _pb_varint_field(4, len(sfoot_c))
             + _pb_varint_field(5, rows)
         )
+        stripe_stats_msgs.append(b"".join(_pb_len_field(1, m) for m in cs_msgs))
         if n_rows == 0:
             break
+
+    # Metadata section (StripeStatistics), between stripes and footer;
+    # contentLength counts header + stripes only
+    content_len_val = len(out) - 3
+    metadata = b"".join(_pb_len_field(1, m) for m in stripe_stats_msgs)
+    metadata_c = _chunks_compress(metadata, compression)
+    out += metadata_c
 
     # footer: types — root struct + children
     root = _tag(1, 0) + _write_varint(_KIND_IDS["STRUCT"])
@@ -720,10 +857,9 @@ def orc_write(
     type_msgs = [root]
     for c in names:
         type_msgs.append(_tag(1, 0) + _write_varint(_KIND_IDS[ctypes[c]]))
-    content_len = len(out) - 3
     footer = (
         _pb_varint_field(1, 3)  # headerLength ("ORC")
-        + _pb_varint_field(2, content_len)
+        + _pb_varint_field(2, content_len_val)
         + b"".join(_pb_len_field(3, s) for s in stripe_infos)
         + b"".join(_pb_len_field(4, t) for t in type_msgs)
         + _pb_varint_field(6, n_rows)
@@ -737,7 +873,7 @@ def orc_write(
         + _pb_varint_field(2, comp_id)
         + _pb_varint_field(3, 1 << 15)
         + _pb_len_field(4, _write_varint(0) + _write_varint(12))
-        + _pb_varint_field(5, 0)  # metadataLength
+        + _pb_varint_field(5, len(metadata_c))  # metadataLength
         + _pb_varint_field(6, 1)  # writerVersion
         + _pb_len_field(8000, b"ORC")
     )

@@ -954,3 +954,33 @@ def q_delta_checkpoint(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
     return delta_snapshot_features(with_delta_checkpoint_payload(docs))
+
+
+_ORC_PRUNE_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS shard_id, "
+    "CAST(6 AS INTEGER) AS stripes_skipped, "
+    "CAST(2 AS INTEGER) AS stripes_scanned, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 448 AND doc_id % 64 BETWEEN 24 AND 39"
+)
+
+
+@query("q_orc_stripe_prune", oracle=_ORC_PRUNE_ORACLE)
+def q_orc_stripe_prune(spark, sf_dir):
+    """E141 ORC stripe pruning (round 13, session 3): the scan-skip
+    pair's OTHER columnar substrate — the E134' writer now emits the
+    Metadata section's StripeStatistics (per-stripe ColumnStatistics:
+    sint64-zigzag IntegerStatistics bounds, StringStatistics bounds,
+    hasNull; ORC_CPP still reads every file), and orc_scan_filtered
+    plans stripe survival off them before touching any stream: 6 of
+    8 stripes skipped for the range probe, counters in the output so
+    the oracle pins the PLAN. Pruning over GENUINE ORC_CPP wire
+    (pyarrow multi-stripe files, int and string predicates) is
+    pinned in tests/test_orc.py. The stripe is the ORC scan task at
+    100 TB — the engine now holds the skip contract on parquet row
+    groups, parquet pages, parquet blooms, ORC stripes, and Iceberg/
+    Delta file sets. One applyInPandas per shard; map-only."""
+    from yark_spark.operators.multimodal import orc_stripe_prune_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
+    return orc_stripe_prune_features(docs)
