@@ -272,3 +272,122 @@ def test_multi_column_equality_delete_is_boundary():
     )
     with pytest.raises(NotImplementedError, match="multi-column"):
         iceberg_snapshot_rows(payload, ["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# Partition pruning (round 13 s3)
+# ---------------------------------------------------------------------------
+
+from yark_spark.operators.iceberg import (  # noqa: E402
+    PARTITIONED_MANIFEST_LIST_SCHEMA,
+    PARTITIONED_MANIFEST_SCHEMA,
+    iceberg_partition_scan,
+    partition_bound,
+)
+
+
+def _ptable(*, summary_bounds=((0, 1), (2, 3))):
+    files = []
+    for k in range(8):
+        blob = _pq([k * 8 + j for j in range(8)], [f"t{k}-{j}" for j in range(8)])
+        files.append((f"data/f{k}.parquet", k // 2, blob))
+
+    def _entry(path, part, blob):
+        return {
+            "status": 1,
+            "snapshot_id": None,
+            "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {"part": part},
+                "record_count": 8,
+                "file_size_in_bytes": len(blob),
+            },
+        }
+
+    mA = avro_build(PARTITIONED_MANIFEST_SCHEMA, [_entry(*f) for f in files[:4]])
+    mB = avro_build(PARTITIONED_MANIFEST_SCHEMA, [_entry(*f) for f in files[4:]])
+
+    def _mfp(path, blob, bounds):
+        return {
+            "manifest_path": path,
+            "manifest_length": len(blob),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 1,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 1,
+            "added_files_count": 4,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "partitions": None
+            if bounds is None
+            else [
+                {
+                    "contains_null": False,
+                    "lower_bound": partition_bound(bounds[0]),
+                    "upper_bound": partition_bound(bounds[1]),
+                }
+            ],
+        }
+
+    snap = avro_build(
+        PARTITIONED_MANIFEST_LIST_SCHEMA,
+        [
+            _mfp("metadata/mA.avro", mA, summary_bounds[0]),
+            _mfp("metadata/mB.avro", mB, summary_bounds[1]),
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": SCHEMA_FIELDS}],
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "timestamp-ms": 0,
+                "manifest-list": "metadata/snap.avro",
+                "summary": {"operation": "append"},
+            }
+        ],
+    }
+    return tar_build(
+        [
+            ("metadata/v2.metadata.json", json.dumps(meta).encode()),
+            ("metadata/snap.avro", snap),
+            ("metadata/mA.avro", mA),
+            ("metadata/mB.avro", mB),
+        ]
+        + [(p, b) for p, _pt, b in files]
+    )
+
+
+def test_partition_scan_two_level_prune():
+    rows, cnt = iceberg_partition_scan(_ptable(), ["doc_id"], 2)
+    assert sorted(r["doc_id"] for r in rows) == list(range(32, 48))
+    assert cnt == {
+        "manifests_total": 2,
+        "manifests_skipped": 1,
+        "files_skipped": 2,
+        "files_scanned": 2,
+    }
+
+
+def test_partition_scan_missing_summaries_opens_manifest():
+    # null summaries → manifest must open (superset guarantee), file
+    # level still prunes
+    rows, cnt = iceberg_partition_scan(
+        _ptable(summary_bounds=(None, None)), ["doc_id"], 2
+    )
+    assert sorted(r["doc_id"] for r in rows) == list(range(32, 48))
+    assert cnt["manifests_skipped"] == 0 and cnt["files_skipped"] == 6
+
+
+def test_partition_scan_empty_partition():
+    rows, cnt = iceberg_partition_scan(_ptable(), ["doc_id"], 9)
+    assert rows == [] and cnt["manifests_skipped"] == 2

@@ -282,3 +282,146 @@ def iceberg_snapshot_rows(
             if not killed:
                 out.append((f["seq"], {c: row[c] for c in columns}))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Partition pruning (round 13, session 3)
+# ---------------------------------------------------------------------------
+# The TOP of the scan-skip hierarchy: before any parquet footer is
+# touched, an Iceberg planner prunes (1) whole MANIFESTS via the
+# manifest-list's per-field summaries (contains_null + lower/upper
+# bound, single-value serialization — little-endian for longs) and
+# (2) individual FILES via each entry's partition struct. Fixtures
+# use a single identity-partitioned long field named "part".
+
+PARTITIONED_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": MANIFEST_LIST_SCHEMA["fields"]
+    + [
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "field_summary",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean"},
+                            {"name": "lower_bound", "type": ["null", "bytes"]},
+                            {"name": "upper_bound", "type": ["null", "bytes"]},
+                        ],
+                    },
+                },
+            ],
+        }
+    ],
+}
+
+PARTITIONED_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "file_sequence_number", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {
+                        "name": "partition",
+                        "type": {
+                            "type": "record",
+                            "name": "r102",
+                            "fields": [{"name": "part", "type": "long"}],
+                        },
+                    },
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def partition_bound(v: int) -> bytes:
+    """Iceberg single-value serialization of a long (8-byte LE)."""
+    return int(v).to_bytes(8, "little", signed=True)
+
+
+def iceberg_partition_scan(
+    tar_payload: bytes, columns: list[str], part_value: int
+) -> tuple[list[dict], dict[str, int]]:
+    """Scan one partition of a partitioned table: manifests whose
+    field summaries exclude ``part_value`` are never OPENED
+    (manifests_skipped), entries whose partition struct mismatches
+    are never READ (files_skipped), and only the surviving parquet
+    decodes. Returns (rows, counters) — the counters are the plan
+    contract; at 100 TB this two-level prune is why an Iceberg query
+    over one partition costs O(one manifest + its files), not
+    O(table)."""
+    members = dict(tar_members(tar_payload))
+    meta_names = [n for n in members if n.endswith(".metadata.json")]
+    if len(meta_names) != 1:
+        raise ValueError("iceberg: expected exactly one *.metadata.json member")
+    meta = json.loads(members[meta_names[0]].decode("utf-8"))
+    if meta.get("format-version") != 2:
+        raise NotImplementedError("iceberg: v2 metadata trees only")
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    counters = {
+        "manifests_total": 0,
+        "manifests_skipped": 0,
+        "files_skipped": 0,
+        "files_scanned": 0,
+    }
+    rows: list[dict] = []
+    for mf in avro_records(_member(members, snap["manifest-list"])):
+        if mf["content"] != 0:
+            continue
+        counters["manifests_total"] += 1
+        summaries = mf.get("partitions")
+        if summaries:
+            s0 = summaries[0]
+            lo = s0.get("lower_bound")
+            hi = s0.get("upper_bound")
+            if lo is not None and hi is not None:
+                lo_v = int.from_bytes(bytes(lo), "little", signed=True)
+                hi_v = int.from_bytes(bytes(hi), "little", signed=True)
+                if not lo_v <= part_value <= hi_v:
+                    counters["manifests_skipped"] += 1
+                    continue
+        blob = _member(members, mf["manifest_path"])
+        if len(blob) != mf["manifest_length"]:
+            raise ValueError("iceberg: manifest length mismatch")
+        for entry in avro_records(blob):
+            if entry["status"] == _DELETED:
+                continue
+            df = entry["data_file"]
+            if df["partition"]["part"] != part_value:
+                counters["files_skipped"] += 1
+                continue
+            data = _member(members, df["file_path"])
+            if len(data) != df["file_size_in_bytes"]:
+                raise ValueError("iceberg: data file size mismatch")
+            cols = parquet_read_columns(data, columns)
+            n = len(cols[columns[0]]) if columns else 0
+            if n != df["record_count"]:
+                raise ValueError("iceberg: data file record count mismatch")
+            counters["files_scanned"] += 1
+            for i in range(n):
+                rows.append({c: cols[c][i] for c in columns})
+    return rows, counters

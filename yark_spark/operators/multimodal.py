@@ -7070,3 +7070,171 @@ def orc_stripe_prune_features(
         .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__s"))
         .applyInPandas(_build_and_scan, ORC_PRUNE_SCHEMA)
     )
+
+
+ICEBERG_PART_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("manifests_skipped", IntegerType()),
+        StructField("files_skipped", IntegerType()),
+        StructField("files_scanned", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def iceberg_partition_scan_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Iceberg partition pruning end-to-end (round 13 s3): every 64
+    docs become an identity-partitioned table (part = (doc%64)//16,
+    eight 8-doc files across two manifests whose manifest-list rows
+    carry FIELD SUMMARIES — lower/upper bound in Iceberg's
+    single-value little-endian serialization), and the part=2 scan
+    must skip one whole manifest unopened, skip the wrong-partition
+    files inside the other, and decode exactly two files. Counters
+    ride in the output; the oracle pins the plan AND the rows. One
+    applyInPandas per table group, map-only resolve."""
+    _ice = _register_iceberg_modules()
+    from yark_spark.operators import avro_ocf as _avro
+    from yark_spark.operators import parquet_write as _pw
+
+    _cont = _register_container_modules()
+    _tar = _cont.tar_build
+    _write = _pw.parquet_write
+    _abuild = _avro.avro_build
+    _ml_schema = _ice.PARTITIONED_MANIFEST_LIST_SCHEMA
+    _m_schema = _ice.PARTITIONED_MANIFEST_SCHEMA
+    _bound = _ice.partition_bound
+    _scan = _ice.iceberg_partition_scan
+
+    def _build_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 64
+
+        files = []
+        for k in range(8):
+            blob = _write(
+                {"doc_id": ids[k * 8 : k * 8 + 8], "text": texts[k * 8 : k * 8 + 8]},
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                codec="SNAPPY",
+            )
+            files.append((f"data/part={k // 2}/f{k}.parquet", k // 2, blob))
+
+        def _entry(path, part, blob):
+            return {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {"part": part},
+                    "record_count": 8,
+                    "file_size_in_bytes": len(blob),
+                },
+            }
+
+        mA = _abuild(
+            _m_schema, [_entry(p, pt, b) for p, pt, b in files[:4]], codec="deflate"
+        )
+        mB = _abuild(
+            _m_schema, [_entry(p, pt, b) for p, pt, b in files[4:]], codec="deflate"
+        )
+
+        def _mf(path, blob, lo, hi):
+            return {
+                "manifest_path": path,
+                "manifest_length": len(blob),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 1,
+                "added_files_count": 4,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "partitions": [
+                    {
+                        "contains_null": False,
+                        "lower_bound": _bound(lo),
+                        "upper_bound": _bound(hi),
+                    }
+                ],
+            }
+
+        snap_list = _abuild(
+            _ml_schema,
+            [
+                _mf("metadata/mA.avro", mA, 0, 1),
+                _mf("metadata/mB.avro", mB, 2, 3),
+            ],
+            codec="deflate",
+        )
+        meta = {
+            "format-version": 2,
+            "table-uuid": f"00000000-0000-0000-0001-{tid:012d}",
+            "location": f"ptbl-{tid}",
+            "last-sequence-number": 1,
+            "current-snapshot-id": 1,
+            "current-schema-id": 0,
+            "schemas": [
+                {
+                    "schema-id": 0,
+                    "type": "struct",
+                    "fields": [
+                        {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+                        {"id": 2, "name": "text", "required": True, "type": "string"},
+                    ],
+                }
+            ],
+            "snapshots": [
+                {
+                    "snapshot-id": 1,
+                    "sequence-number": 1,
+                    "timestamp-ms": 0,
+                    "manifest-list": "metadata/snap-1.avro",
+                    "summary": {"operation": "append"},
+                }
+            ],
+        }
+        members = [
+            ("metadata/v2.metadata.json", _json.dumps(meta).encode()),
+            ("metadata/snap-1.avro", snap_list),
+            ("metadata/mA.avro", mA),
+            ("metadata/mB.avro", mB),
+        ] + [(p, b) for p, _pt, b in files]
+        rows, cnt = _scan(_tar(members), ["doc_id", "text"], 2)
+        dids = [int(r["doc_id"]) for r in rows]
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(dids, dtype="int64"),
+                "table_id": np.full(len(dids), tid, dtype="int64"),
+                "manifests_skipped": np.full(
+                    len(dids), cnt["manifests_skipped"], dtype="int32"
+                ),
+                "files_skipped": np.full(len(dids), cnt["files_skipped"], dtype="int32"),
+                "files_scanned": np.full(len(dids), cnt["files_scanned"], dtype="int32"),
+                "n_chars": np.array([len(r["text"]) for r in rows], dtype="int32"),
+                "digest": [
+                    _h.md5(r["text"].encode("utf-8")).hexdigest() for r in rows
+                ],
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
+        .applyInPandas(_build_and_scan, ICEBERG_PART_SCHEMA)
+    )

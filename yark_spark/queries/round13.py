@@ -984,3 +984,34 @@ def q_orc_stripe_prune(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
     return orc_stripe_prune_features(docs)
+
+
+_ICEBERG_PART_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
+    "CAST(1 AS INTEGER) AS manifests_skipped, "
+    "CAST(2 AS INTEGER) AS files_skipped, "
+    "CAST(2 AS INTEGER) AS files_scanned, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 448 AND doc_id % 64 BETWEEN 32 AND 47"
+)
+
+
+@query("q_iceberg_partition_prune", oracle=_ICEBERG_PART_ORACLE)
+def q_iceberg_partition_prune(spark, sf_dir):
+    """E136'' Iceberg partition pruning (round 13, session 3): the
+    TOP of the scan-skip hierarchy the engine now holds end-to-end
+    (partition → manifest → file → row group / stripe → page →
+    bloom). Every 64 docs become an identity-partitioned v2 table
+    (part = (doc%64)//16) whose manifest-list rows carry FIELD
+    SUMMARIES (lower/upper bounds in Iceberg's single-value LE
+    serialization); the part=2 scan must leave one manifest
+    UNOPENED on summary evidence alone, skip the sibling partition's
+    files inside the other, and decode exactly two parquet files —
+    1 manifest skipped / 2 files skipped / 2 scanned, pinned by the
+    oracle with the surviving rows. This two-level prune is why a
+    one-partition query on a 100 TB table plans in O(one manifest),
+    not O(table). Grouping shuffle = table assignment; map-only."""
+    from yark_spark.operators.multimodal import iceberg_partition_scan_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
+    return iceberg_partition_scan_features(docs)
