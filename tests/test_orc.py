@@ -251,7 +251,7 @@ def test_stripe_prune_on_real_orc_cpp_wire():
     blob = buf.getvalue()
     cols, cnt = orc_scan_filtered(blob, ["k", "t"], "k", 3000, 3010)
     assert cols["k"] == list(range(3000, 3011))
-    assert cnt == {"stripes_total": 8, "skipped_stats": 7, "stripes_scanned": 1}
+    assert cnt == {"stripes_total": 8, "skipped_stats": 7, "skipped_bloom": 0, "stripes_scanned": 1}
     # string bounds from StringStatistics
     cols, cnt = orc_scan_filtered(blob, ["k"], "t", "x000500", "x000502")
     assert cols["k"] == [500, 501, 502] and cnt["stripes_scanned"] == 1
@@ -275,7 +275,7 @@ def test_stripe_prune_on_our_writer_and_orc_cpp_still_reads():
     )
     cols, cnt = orc_scan_filtered(blob, ["k"], "k", 24, 39)
     assert cols["k"] == list(range(24, 40))
-    assert cnt == {"stripes_total": 8, "skipped_stats": 6, "stripes_scanned": 2}
+    assert cnt == {"stripes_total": 8, "skipped_stats": 6, "skipped_bloom": 0, "stripes_scanned": 2}
     t = po.read_table(io.BytesIO(blob))
     assert t.num_rows == 64  # metadata section doesn't disturb ORC_CPP
 
@@ -294,3 +294,90 @@ def test_stripe_prune_nulls_and_missing_stats_scan():
     # DOUBLE has no bounds in our stats: every stripe scans (superset)
     cols, cnt = orc_scan_filtered(blob, ["k"], "d", 0.4, 0.6)
     assert cnt["skipped_stats"] == 0 and len(cols["k"]) == 8
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter streams (round 13 s3)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_probe_real_orc_cpp_wire_long_and_string():
+    """The strongest in-container bloom differential: blooms written
+    by ORC_CPP itself, probed by the from-scratch Murmur3-hash64 /
+    signed-Wang hashes — a wrong hash misses essentially every
+    present value."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from yark_spark.operators.orc import orc_scan_filtered
+
+    n = 8192
+    buf = io.BytesIO()
+    po.write_table(
+        pa.table(
+            {"k": [2 * i for i in range(n)], "t": [f"w{i:05d}" for i in range(n)]}
+        ),
+        buf,
+        stripe_size=64 * 1024,
+        bloom_filter_columns=[1, 2],  # ORC type ids
+    )
+    blob = buf.getvalue()
+    # present long probes must never bloom-skip (no false negatives)
+    for v in (0, 2000, 2 * n - 2):
+        cols, cnt = orc_scan_filtered(blob, ["t"], "k", v)
+        assert cols["t"] == [f"w{v // 2:05d}"]
+        assert cnt["skipped_bloom"] == 0
+    # absent in-range longs: stats can't help, bloom must
+    skipped = 0
+    for v in range(2001, 2101, 2):
+        cols, cnt = orc_scan_filtered(blob, ["t"], "k", v)
+        assert cols["t"] == []
+        skipped += cnt["skipped_bloom"]
+    assert skipped >= 45  # ~1% fpp
+    # string blooms (Murmur3 hash64, Hive seed)
+    cols, cnt = orc_scan_filtered(blob, ["k"], "t", "w00777")
+    assert cols["k"] == [1554] and cnt["skipped_bloom"] == 0
+    cols, cnt = orc_scan_filtered(blob, ["k"], "t", "w00777x")
+    assert cols["k"] == [] and cnt["skipped_bloom"] + cnt["skipped_stats"] == 8
+
+
+def test_bloom_long_hash_signed_shift_semantics():
+    # value 0 walks through ~0 = -1; ARITHMETIC shifts collapse it to
+    # hash 0 — the exact divergence an unsigned transcription has.
+    from yark_spark.operators.orc import orc_long_hash
+
+    assert orc_long_hash(0) == 0
+    assert orc_long_hash(1) != 0
+    # stability pin: the function is pure integer math
+    assert orc_long_hash(123456789) == orc_long_hash(123456789)
+
+
+def test_bloom_our_writer_probe_and_orc_cpp_reads():
+    import io
+
+    import pyarrow.orc as po
+
+    from yark_spark.operators.orc import orc_scan_filtered, orc_write
+
+    blob = orc_write(
+        {"k": [2 * i for i in range(64)], "t": [f"w{i:02d}" for i in range(64)]},
+        types={"k": "LONG", "t": "STRING"},
+        compression="ZLIB",
+        stripe_rows=8,
+        bloom_filter_columns=["k", "t"],
+    )
+    skips = scans = 0
+    for probe in range(1, 127, 2):  # absent (keys even)
+        cols, cnt = orc_scan_filtered(blob, ["t"], "k", probe)
+        assert cols["t"] == []
+        skips += cnt["skipped_bloom"]
+        scans += cnt["stripes_scanned"]
+    assert skips + scans == 56 and skips >= 53
+    # present probes never skip; range probes don't consult blooms
+    cols, cnt = orc_scan_filtered(blob, ["t"], "k", 30)
+    assert cols["t"] == ["w15"] and cnt["skipped_bloom"] == 0
+    cols, cnt = orc_scan_filtered(blob, ["k"], "k", 20, 40)
+    assert cnt["skipped_bloom"] == 0
+    assert po.read_table(io.BytesIO(blob)).num_rows == 64

@@ -474,6 +474,7 @@ def orc_scan_filtered(
     counters = {
         "stripes_total": len(stripes),
         "skipped_stats": 0,
+        "skipped_bloom": 0,
         "stripes_scanned": 0,
     }
     m0, m1 = f["metadata_span"]
@@ -507,6 +508,17 @@ def orc_scan_filtered(
                     )
         if bounds is not None and (hi_eff < bounds[0] or lo > bounds[1]):
             counters["skipped_stats"] += 1
+            continue
+        if hi is None and not _stripe_bloom_maybe(
+            f["b"],
+            _msg(stripes[si]),
+            f["compression"],
+            max_output,
+            tid,
+            f["col_kind"][tid],
+            lo,
+        ):
+            counters["skipped_bloom"] += 1
             continue
         keep.add(si)
     counters["stripes_scanned"] = len(keep)
@@ -723,6 +735,7 @@ def orc_write(
     types: dict[str, str] | None = None,
     compression: str = "ZLIB",
     stripe_rows: int | None = None,
+    bloom_filter_columns: "list[str] | None" = None,
 ) -> bytes:
     """Serialize ``{name: values}`` (``None`` = null) into an ORC
     file. Types: LONG, DOUBLE, STRING, BOOLEAN (inferred when not
@@ -766,8 +779,10 @@ def orc_write(
         rows = min(step, n_rows - start) if n_rows else 0
         offset = len(out)
         streams_pb = []
+        index_streams_pb = []
         encodings_pb = [_tag(1, 0) + _write_varint(0)]  # root: DIRECT
         data_blob = bytearray()
+        index_blob = bytearray()
         # root ColumnStatistics: numberOfValues + hasNull=false
         cs_msgs = [_pb_varint_field(1, rows) + _pb_varint_field(10, 0)]
 
@@ -823,16 +838,27 @@ def orc_write(
                     + _pb_len_field(2, max(nn).encode("utf-8")),
                 )
             cs_msgs.append(cs)
+            if c in (bloom_filter_columns or ()) and t in ("LONG", "STRING"):
+                # one BLOOM_FILTER_UTF8 index stream per stripe
+                # (single stride — this writer's row-index granularity)
+                bcomp = _chunks_compress(orc_bloom_build(nn, t), compression)
+                index_blob.extend(bcomp)
+                index_streams_pb.append(
+                    _pb_varint_field(1, _BLOOM_FILTER_UTF8)
+                    + _pb_varint_field(2, ci)
+                    + _pb_varint_field(3, len(bcomp))
+                )
 
+        out += index_blob
         out += data_blob
         sfoot = b"".join(
-            _pb_len_field(1, s) for s in streams_pb
+            _pb_len_field(1, s) for s in index_streams_pb + streams_pb
         ) + b"".join(_pb_len_field(2, e) for e in encodings_pb)
         sfoot_c = _chunks_compress(sfoot, compression)
         out += sfoot_c
         stripe_infos.append(
             _pb_varint_field(1, offset)
-            + _pb_varint_field(2, 0)  # indexLength
+            + _pb_varint_field(2, len(index_blob))
             + _pb_varint_field(3, len(data_blob))
             + _pb_varint_field(4, len(sfoot_c))
             + _pb_varint_field(5, rows)
@@ -882,3 +908,184 @@ def orc_write(
     out += ps
     out.append(len(ps))
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter streams (round 13, session 3)
+# ---------------------------------------------------------------------------
+# ORC blooms live in each stripe's INDEX region as BLOOM_FILTER_UTF8
+# (kind 8) streams: a BloomFilterIndex protobuf holding one
+# BloomFilter per row-index stride {numHashFunctions, utf8bitset}.
+# Hashing is the Hive lineage ORC_CPP implements byte-for-byte:
+# strings → Murmur3 hash64 (the x64_128 h1 lane alone) with the Hive
+# seed 104729; longs → the Thomas Wang 64-bit mix with ARITHMETIC
+# (signed) right shifts — the C++ int64_t semantics; an unsigned
+# transcription diverges exactly on negative intermediates (value 0
+# maps through ~0 to 0). Both paths are differentialed against
+# genuine pyarrow/ORC_CPP-written blooms in tests/test_orc.py:
+# every present value must probe "maybe" (a wrong hash misses
+# essentially all of them), absent values overwhelmingly "absent".
+
+_M64 = 1 << 64
+_MURMUR_C1 = 0x87C37B91114253D5
+_MURMUR_C2 = 0x4CF5AD432745937F
+HIVE_MURMUR_SEED = 104729
+
+_BLOOM_FILTER = 7  # deprecated pre-ORC-135 stream kind
+_BLOOM_FILTER_UTF8 = 8
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & (_M64 - 1)
+
+
+def murmur3_hash64(data: bytes, seed: int = HIVE_MURMUR_SEED) -> int:
+    """Hive/ORC Murmur3 64-bit variant: 8-byte little-endian blocks
+    through the x64_128 h1 lane, reversed-shift tail, fmix64."""
+    h = seed
+    n = len(data)
+    nblocks = n // 8
+    for b in range(nblocks):
+        k = int.from_bytes(data[b * 8 : (b + 1) * 8], "little")
+        k = (k * _MURMUR_C1) & (_M64 - 1)
+        k = _rotl64(k, 31)
+        k = (k * _MURMUR_C2) & (_M64 - 1)
+        h ^= k
+        h = (_rotl64(h, 27) * 5 + 0x52DCE729) & (_M64 - 1)
+    tail = data[nblocks * 8 :]
+    if tail:
+        k = 0
+        for i in range(len(tail) - 1, -1, -1):
+            k ^= tail[i] << (i * 8)
+        k = (k * _MURMUR_C1) & (_M64 - 1)
+        k = _rotl64(k, 31)
+        k = (k * _MURMUR_C2) & (_M64 - 1)
+        h ^= k
+    h ^= n
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & (_M64 - 1)
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & (_M64 - 1)
+    h ^= h >> 33
+    return h
+
+
+def _signed64(v: int) -> int:
+    v &= _M64 - 1
+    return v - _M64 if v >> 63 else v
+
+
+def orc_long_hash(key: int) -> int:
+    """Thomas Wang 64-bit mix with int64_t (ARITHMETIC-shift)
+    semantics — Python's ``>>`` on negatives is arithmetic, so only
+    the adds/left-shifts need explicit wrapping."""
+    key = _signed64(key)
+    key = _signed64((~key) + (key << 21))
+    key = key ^ (key >> 24)
+    key = _signed64(key + (key << 3) + (key << 8))
+    key = key ^ (key >> 14)
+    key = _signed64(key + (key << 2) + (key << 4))
+    key = key ^ (key >> 28)
+    key = _signed64(key + (key << 31))
+    return key & (_M64 - 1)
+
+
+def _signed32(v: int) -> int:
+    v &= 0xFFFFFFFF
+    return v - (1 << 32) if v & (1 << 31) else v
+
+
+def bloom_hash_positions(h64: int, k: int, num_bits: int) -> list[int]:
+    """Hive double hashing: h1/h2 from the 64-bit hash's halves as
+    JAVA INTS, combined = h1 + i*h2 (int wrap), ~ on negatives."""
+    h1 = _signed32(h64)
+    h2 = _signed32(h64 >> 32)
+    out = []
+    for i in range(1, k + 1):
+        combined = _signed32(h1 + i * h2)
+        if combined < 0:
+            combined = _signed32(~combined)
+        out.append(combined % num_bits)
+    return out
+
+
+def _bloom_maybe(bitset: bytes, k: int, h64: int) -> bool:
+    nb = len(bitset) * 8
+    if nb == 0 or k <= 0:
+        return True  # malformed bloom must not cause false negatives
+    return all(
+        (bitset[p >> 3] >> (p & 7)) & 1 for p in bloom_hash_positions(h64, k, nb)
+    )
+
+
+def _bloom_value_hash(kind: str, v) -> "int | None":
+    if kind == "LONG":
+        return orc_long_hash(int(v))
+    if kind == "STRING":
+        return murmur3_hash64(v.encode("utf-8") if isinstance(v, str) else bytes(v))
+    return None  # other types: no bloom support → scan
+
+
+def _stripe_bloom_maybe(
+    b: bytes, st: dict, compression: str, max_output: int, tid: int, kind: str, value
+) -> bool:
+    """True unless EVERY stride bloom of the stripe rules the value
+    out. Missing/foreign-kind streams → True (superset guarantee)."""
+    h64 = _bloom_value_hash(kind, value)
+    if h64 is None:
+        return True
+    offset = _one(st, 1, 0)
+    index_len = _one(st, 2, 0)
+    data_len = _one(st, 3, 0)
+    sf_len = _one(st, 4, 0)
+    sf_raw = b[offset + index_len + data_len : offset + index_len + data_len + sf_len]
+    sfoot = _msg(_decompress_chunks(sf_raw, compression, max_output))
+    pos = offset
+    raw = None
+    for sraw in sfoot.get(1, []):
+        sm = _msg(sraw)
+        s_kind = _one(sm, 1, 0)
+        s_col = _one(sm, 2, 0)
+        s_len = _one(sm, 3, 0)
+        if s_col == tid and s_kind in (_BLOOM_FILTER, _BLOOM_FILTER_UTF8):
+            raw = b[pos : pos + s_len]
+            if s_kind == _BLOOM_FILTER_UTF8:
+                break  # prefer the post-ORC-135 stream
+        pos += s_len
+    if raw is None:
+        return True
+    bfi = _msg(_decompress_chunks(raw, compression, max_output))
+    blooms = [_msg(x) for x in bfi.get(1, [])]
+    if not blooms:
+        return True
+    for bf in blooms:
+        kf = _one(bf, 1, 0)
+        u8 = _one(bf, 3)
+        if u8 is not None:
+            bitset = bytes(u8)
+        else:
+            bitset = b"".join(
+                int(x).to_bytes(8, "little") for x in bf.get(2, [])
+            )
+        if _bloom_maybe(bitset, kf, h64):
+            return True
+    return False
+
+
+def orc_bloom_build(values: list, kind: str, fpp_bits_per_value: int = 10) -> bytes:
+    """Serialize one BloomFilterIndex (single stride) the way our
+    writer stores it: numHashFunctions + utf8bitset."""
+    import math
+
+    n = max(1, len(values))
+    num_bits = ((n * fpp_bits_per_value + 63) // 64) * 64
+    k = max(1, round(0.693 * num_bits / n))
+    bitset = bytearray(num_bits // 8)
+    for v in values:
+        h64 = _bloom_value_hash(kind, v)
+        if h64 is None:
+            raise NotImplementedError(f"orc-bloom: type {kind}")
+        for p in bloom_hash_positions(h64, k, num_bits):
+            bitset[p >> 3] |= 1 << (p & 7)
+    bf = _pb_varint_field(1, k) + _pb_len_field(3, bytes(bitset))
+    return _pb_len_field(1, bf)
