@@ -68,6 +68,10 @@ EXTRA = [
     # round-13 session 2: the from-scratch parquet reader runs over the
     # WHOLE documents file (the other new keys are fixed-doc-range)
     "q_parquet_raw_scan",      # per-file map-only page decode
+    # round-13 session 3: the two new keys whose cost scales with the
+    # corpus (iceberg/delta/prune keys are fixed-doc-range fixtures)
+    "q_simhash_oracle",        # map-only 60-bit vote folds over tokens
+    "q_kmv_distinct",          # 3 hash-distinct TopK merges
 ]
 
 
