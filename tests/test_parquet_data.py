@@ -401,3 +401,48 @@ def test_nested_struct_dotted_paths_on_pyarrow_wire():
 
     with _pytest.raises(NotImplementedError, match="nested"):
         parquet_read_columns(buf.getvalue(), ["add"])
+
+
+def test_int96_and_flba_decimal_on_pyarrow_wire():
+    import datetime
+    import decimal
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yark_spark.operators.parquet_data import parquet_read_columns
+
+    ts = [
+        datetime.datetime(1969, 12, 31, 23, 59, 59),  # pre-epoch day
+        datetime.datetime(1970, 1, 1),
+        datetime.datetime(2038, 1, 19, 3, 14, 8, 123456),
+        None,
+    ]
+    dec = [decimal.Decimal("-0.01"), decimal.Decimal("12345.67"), None,
+           decimal.Decimal("99999999999999.99")]
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "d": pa.array(dec, type=pa.decimal128(18, 2)),
+                "raw": pa.array([b"abcd", b"efgh", b"ijkl", None],
+                                type=pa.binary(4)),
+            }
+        ),
+        buf,
+        use_deprecated_int96_timestamps=True,
+    )
+    cols = parquet_read_columns(buf.getvalue(), ["ts", "d", "raw"])
+    exp = [
+        int(t.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
+        + t.microsecond
+        if t
+        else None
+        for t in ts
+    ]
+    assert cols["ts"] == exp  # incl. the negative pre-epoch value
+    assert cols["d"] == [-1, 1234567, None, 9999999999999999]
+    # FLBA without DECIMAL annotation stays raw bytes
+    assert cols["raw"] == [b"abcd", b"efgh", b"ijkl", None]

@@ -7238,3 +7238,93 @@ def iceberg_partition_scan_features(
         .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
         .applyInPandas(_build_and_scan, ICEBERG_PART_SCHEMA)
     )
+
+
+PARQUET_INT96_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ts_micros", LongType()),
+        StructField("dec_unscaled", LongType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def parquet_int96_scan_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Legacy-wire parquet scan (round 13 s3): each 64-doc shard is
+    written by PYARROW with use_deprecated_int96_timestamps — the
+    INT96 (8-byte nanos-of-day + 4-byte Julian day) timestamps that
+    Spark and Hive wrote for YEARS and every long-lived corpus still
+    carries — plus a decimal128(18,2) column (FIXED_LEN_BYTE_ARRAY
+    big-endian two's complement). The from-scratch reader decodes
+    both: INT96 → exact epoch microseconds, FLBA DECIMAL → unscaled
+    integer, and the oracle re-derives each value arithmetically from
+    the doc key. One applyInPandas per shard; map-only."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import parquet_data as _pdata
+    from yark_spark.operators import parquet_meta as _pm
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()
+    _pdata.bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_pm)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_pdata)
+    _read = _pdata.parquet_read_columns
+
+    def _build_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import datetime as _dt
+        import decimal as _decimal
+        import hashlib as _h
+        import io as _io
+
+        import numpy as np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        epoch = _dt.datetime(2020, 1, 1)
+        ts = [
+            epoch + _dt.timedelta(seconds=d * 3661, microseconds=d * 7)
+            for d in ids
+        ]
+        dec = [_decimal.Decimal(d * 137 - 5000).scaleb(-2) for d in ids]
+        buf = _io.BytesIO()
+        _pq.write_table(
+            _pa.table(
+                {
+                    "doc_id": ids,
+                    "ts": _pa.array(ts, type=_pa.timestamp("us")),
+                    "d": _pa.array(dec, type=_pa.decimal128(18, 2)),
+                    "text": texts,
+                }
+            ),
+            buf,
+            use_deprecated_int96_timestamps=True,
+        )
+        cols = _read(buf.getvalue(), ["doc_id", "ts", "d", "text"])
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(cols["doc_id"], dtype="int64"),
+                "ts_micros": np.array(cols["ts"], dtype="int64"),
+                "dec_unscaled": np.array(cols["d"], dtype="int64"),
+                "n_chars": np.array([len(t) for t in cols["text"]], dtype="int32"),
+                "digest": [
+                    _h.md5(t.encode("utf-8")).hexdigest() for t in cols["text"]
+                ],
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__s"))
+        .applyInPandas(_build_and_scan, PARQUET_INT96_SCHEMA)
+    )

@@ -283,7 +283,9 @@ def _hybrid_runs(buf: bytes, pos: int, end: int, bit_width: int, count: int) -> 
     return out
 
 
-def _plain_values(ptype: str, buf: bytes, pos: int, end: int, count: int) -> list:
+def _plain_values(
+    ptype: str, buf: bytes, pos: int, end: int, count: int, type_length: "int | None" = None
+) -> list:
     """PLAIN-encoded values of one physical type."""
     if ptype == "BOOLEAN":
         out = []
@@ -317,10 +319,43 @@ def _plain_values(ptype: str, buf: bytes, pos: int, end: int, count: int) -> lis
             out.append(bytes(buf[pos : pos + ln]))
             pos += ln
         return out
+    if ptype == "INT96":
+        # The legacy Spark/Hive timestamp: 8-byte LE nanos-of-day +
+        # 4-byte LE Julian day. Decoded to MICROSECONDS since epoch
+        # (2440588 = the Unix-epoch Julian day) — round 13 s3.
+        if pos + 12 * count > end:
+            raise ValueError("parquet: PLAIN INT96 section truncated")
+        out = []
+        for i in range(count):
+            # both fields SIGNED: pre-epoch instants ride as a
+            # negative nanos-of-day against the epoch Julian day
+            nanos = int.from_bytes(
+                buf[pos + i * 12 : pos + i * 12 + 8], "little", signed=True
+            )
+            jd = int.from_bytes(
+                buf[pos + i * 12 + 8 : pos + i * 12 + 12], "little", signed=True
+            )
+            out.append((jd - 2440588) * 86_400_000_000 + nanos // 1000)
+        return out
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        if not type_length:
+            raise ValueError("parquet: FLBA without a schema type_length")
+        if pos + type_length * count > end:
+            raise ValueError("parquet: PLAIN FLBA section truncated")
+        return [
+            bytes(buf[pos + i * type_length : pos + (i + 1) * type_length])
+            for i in range(count)
+        ]
     raise NotImplementedError(f"parquet: physical type {ptype} not supported")
 
 
-def _read_chunk(data: bytes, col: dict, max_def: int, max_rep: int = 0):
+def _read_chunk(
+    data: bytes,
+    col: dict,
+    max_def: int,
+    max_rep: int = 0,
+    type_length: "int | None" = None,
+):
     """Decode one column chunk. Flat columns (``max_rep == 0``)
     return the woven value list (None for nulls); repeated columns
     return ``(defs, reps, present_values)`` for the caller's record
@@ -357,7 +392,7 @@ def _read_chunk(data: bytes, col: dict, max_def: int, max_rep: int = 0):
                     f"parquet: dictionary page encoding {enc}"
                 )
             page = _decompress(codec, raw, unc_size)
-            dictionary = _plain_values(ptype, page, 0, len(page), n_dict)
+            dictionary = _plain_values(ptype, page, 0, len(page), n_dict, type_length)
             continue
         if page_type == _PAGE_DATA:
             dh = header.get(5) or {}
@@ -387,7 +422,7 @@ def _read_chunk(data: bytes, col: dict, max_def: int, max_rep: int = 0):
                 n_vals if defs is None else sum(1 for d in defs if d == max_def)
             )
             vals = _decode_values(
-                ptype, enc, page, p, len(page), n_present, dictionary
+                ptype, enc, page, p, len(page), n_present, dictionary, type_length
             )
         elif page_type == _PAGE_DATA_V2:
             dh = header.get(8) or {}
@@ -411,7 +446,7 @@ def _read_chunk(data: bytes, col: dict, max_def: int, max_rep: int = 0):
                     levels, rep_len, rep_len + def_len, _bit_width(max_def), n_vals
                 )
             vals = _decode_values(
-                ptype, enc, body, 0, len(body), n_vals - n_nulls, dictionary
+                ptype, enc, body, 0, len(body), n_vals - n_nulls, dictionary, type_length
             )
         else:
             raise NotImplementedError(f"parquet: page type {page_type}")
@@ -429,7 +464,7 @@ def _read_chunk(data: bytes, col: dict, max_def: int, max_rep: int = 0):
     return values
 
 
-def _decode_values(ptype, enc, buf, pos, end, count, dictionary) -> list:
+def _decode_values(ptype, enc, buf, pos, end, count, dictionary, type_length=None) -> list:
     if count == 0:
         return []
     if enc in (_ENC_RLE_DICT, _ENC_PLAIN_DICT):
@@ -442,7 +477,7 @@ def _decode_values(ptype, enc, buf, pos, end, count, dictionary) -> list:
         except IndexError:
             raise ValueError("parquet: dictionary index out of range") from None
     if enc == _ENC_PLAIN:
-        return _plain_values(ptype, buf, pos, end, count)
+        return _plain_values(ptype, buf, pos, end, count, type_length)
     if enc == _ENC_RLE:
         # booleans as a values encoding (DataPageV2 writes them this
         # way): uint32 length prefix + hybrid runs at bit width 1
@@ -604,6 +639,7 @@ def parquet_read_columns(
                 struct_leaves[".".join(prefix + [e["name"]])] = {
                     "path": tuple(prefix + [e["name"]]),
                     "max_def": dd,
+                    "el": e,
                 }
                 return j + 1
             k = j + 1
@@ -642,19 +678,31 @@ def parquet_read_columns(
             col = by_path.get(want_path)
             if col is None:
                 raise ValueError(f"parquet: column chunk missing for {name!r}")
-            if col["type"] in ("INT96", "FIXED_LEN_BYTE_ARRAY"):
-                raise NotImplementedError(
-                    f"parquet: physical type {col['type']} not supported"
-                )
             if info is None:
                 if sinfo is not None:
                     max_def = sinfo["max_def"]
+                    el = sinfo.get("el") or {}
                 else:
-                    max_def = 1 if leaves[name]["repetition"] == 1 else 0
-                vals = _read_chunk(payload, col, max_def)
+                    el = leaves[name]
+                    max_def = 1 if el["repetition"] == 1 else 0
+                vals = _read_chunk(
+                    payload, col, max_def, type_length=el.get("type_length")
+                )
                 if col["type"] == "BYTE_ARRAY":
                     vals = [
                         v.decode("utf-8") if isinstance(v, bytes) else v
+                        for v in vals
+                    ]
+                elif (
+                    col["type"] == "FIXED_LEN_BYTE_ARRAY"
+                    and el.get("converted_type") == 5  # DECIMAL
+                ):
+                    # unscaled big-endian two's-complement integer;
+                    # the schema's scale applies downstream
+                    vals = [
+                        int.from_bytes(v, "big", signed=True)
+                        if isinstance(v, bytes)
+                        else v
                         for v in vals
                     ]
                 out[name].extend(vals)

@@ -205,6 +205,11 @@ def parquet_footer(payload: bytes) -> dict:
             "repetition": d.get(3),
             "name": d.get(4, b"").decode("utf-8"),
             "num_children": d.get(5, 0),
+            # ConvertedType (5 = DECIMAL) + its scale/precision — the
+            # FLBA decimal surface (round 13 s3)
+            "converted_type": d.get(6),
+            "scale": d.get(7),
+            "precision": d.get(8),
         }
 
     def _column(d: dict) -> dict:

@@ -1015,3 +1015,33 @@ def q_iceberg_partition_prune(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
     return iceberg_partition_scan_features(docs)
+
+
+_PARQUET_INT96_ORACLE = (
+    "SELECT doc_id, "
+    "CAST(1577836800000000 + doc_id * 3661 * 1000000 + doc_id * 7 AS BIGINT) "
+    "AS ts_micros, "
+    "CAST(doc_id * 137 - 5000 AS BIGINT) AS dec_unscaled, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 448"
+)
+
+
+@query("q_parquet_int96_scan", oracle=_PARQUET_INT96_ORACLE)
+def q_parquet_int96_scan(spark, sf_dir):
+    """E142 legacy parquet wire: INT96 timestamps + FLBA decimals
+    (round 13, session 3): shards written by PYARROW with
+    use_deprecated_int96_timestamps — the 12-byte (nanos-of-day,
+    Julian-day) timestamps Spark and Hive emitted for years; any
+    corpus older than ~2019 still carries them, and a reader that
+    types them out quarantines the archive tier wholesale. The
+    from-scratch reader decodes INT96 to EXACT epoch microseconds
+    (2440588 = the Unix-epoch Julian day) and decimal128(18,2)
+    FIXED_LEN_BYTE_ARRAY to the unscaled big-endian two's-complement
+    integer; the oracle re-derives both arithmetically from the doc
+    key, so the match is value-exact with no timestamp-library
+    anywhere. One applyInPandas per shard; map-only."""
+    from yark_spark.operators.multimodal import parquet_int96_scan_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
+    return parquet_int96_scan_features(docs)
