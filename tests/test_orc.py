@@ -87,14 +87,13 @@ def test_nested_column_typed_boundary():
     assert set(orc_read_columns(blob)) == {"x"}
 
 
-def test_timestamp_typed_boundary():
-    import datetime
-
-    t = pa.table(
-        {"ts": pa.array([datetime.datetime(2020, 1, 1)], pa.timestamp("us"))}
-    )
-    with pytest.raises(NotImplementedError, match="TIMESTAMP"):
-        orc_read_columns(_write(t), ["ts"])
+def test_nested_typed_boundary():
+    # TIMESTAMP/DATE/DECIMAL/BINARY decode since round 13 s3 (see
+    # test_logical_types_on_orc_cpp_wire); nested children remain the
+    # typed boundary.
+    t = pa.table({"s": pa.array([{"a": 1}], pa.struct([("a", pa.int64())]))})
+    with pytest.raises(NotImplementedError, match="STRUCT"):
+        orc_read_columns(_write(t), ["s"])
 
 
 def test_bad_magic_and_truncation_typed():
@@ -381,3 +380,54 @@ def test_bloom_our_writer_probe_and_orc_cpp_reads():
     cols, cnt = orc_scan_filtered(blob, ["k"], "k", 20, 40)
     assert cnt["skipped_bloom"] == 0
     assert po.read_table(io.BytesIO(blob)).num_rows == 64
+
+
+def test_logical_types_on_orc_cpp_wire():
+    import datetime
+    import decimal
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from yark_spark.operators.orc import orc_read_columns
+
+    ts = [
+        datetime.datetime(2014, 12, 31, 23, 59, 59),  # pre-2015 base
+        datetime.datetime(2015, 1, 1),
+        datetime.datetime(2020, 6, 1, 12, 34, 56, 789000),  # trailing zeros
+        datetime.datetime(2038, 1, 19, 3, 14, 8, 123456),
+        None,
+    ]
+    dt = [datetime.date(1969, 12, 31), datetime.date(1970, 1, 1),
+          datetime.date(2024, 2, 29), None, datetime.date(2100, 1, 1)]
+    dec = [decimal.Decimal("-0.01"), decimal.Decimal("0.00"),
+           decimal.Decimal("12345.67"), None,
+           decimal.Decimal("-99999999999999.99")]
+    bn = [b"", b"a", b"\x00\xff", None, b"xyz"]
+    buf = io.BytesIO()
+    po.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "dt": pa.array(dt, type=pa.date32()),
+                "d": pa.array(dec, type=pa.decimal128(18, 2)),
+                "b": pa.array(bn, type=pa.binary()),
+            }
+        ),
+        buf,
+    )
+    cols = orc_read_columns(buf.getvalue(), ["ts", "dt", "d", "b"])
+    exp_ts = [
+        int(x.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
+        + x.microsecond
+        if x
+        else None
+        for x in ts
+    ]
+    exp_dt = [(x - datetime.date(1970, 1, 1)).days if x else None for x in dt]
+    exp_d = [int(x.scaleb(2)) if x is not None else None for x in dec]
+    assert cols["ts"] == exp_ts
+    assert cols["dt"] == exp_dt
+    assert cols["d"] == exp_d
+    assert cols["b"] == bn

@@ -7328,3 +7328,105 @@ def parquet_int96_scan_features(
         .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__s"))
         .applyInPandas(_build_and_scan, PARQUET_INT96_SCHEMA)
     )
+
+
+ORC_LOGICAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ts_micros", LongType()),
+        StructField("epoch_days", IntegerType()),
+        StructField("dec_unscaled", LongType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def orc_logical_scan_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """ORC warehouse logical types (round 13 s3): each 64-doc shard
+    written by ORC_CPP (pyarrow) with TIMESTAMP (seconds-from-2015 +
+    the SECONDARY nanos stream's trailing-zero trick), DATE (epoch
+    days), DECIMAL (unbounded zigzag varints + per-value scale
+    stream) and BINARY (text bytes) columns — the types every Hive
+    corpus carries — decoded by the from-scratch reader to exact
+    integers and digests, oracle-re-derived arithmetically from the
+    doc key. One applyInPandas per shard; map-only."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import orc as _orc_mod
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import tfrecord as _tf
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()
+    _orc_mod._bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_tf)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_orc_mod)
+    _read = _orc_mod.orc_read_columns
+
+    def _build_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import datetime as _dt
+        import decimal as _decimal
+        import hashlib as _h
+        import io as _io
+
+        import numpy as np
+        import pyarrow as _pa
+        import pyarrow.orc as _po
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        epoch = _dt.datetime(2020, 1, 1)
+        day0 = _dt.date(2020, 1, 1)
+        buf = _io.BytesIO()
+        _po.write_table(
+            _pa.table(
+                {
+                    "doc_id": ids,
+                    "ts": _pa.array(
+                        [
+                            epoch
+                            + _dt.timedelta(seconds=d * 3661, microseconds=d * 7)
+                            for d in ids
+                        ],
+                        type=_pa.timestamp("us"),
+                    ),
+                    "dt": _pa.array(
+                        [day0 + _dt.timedelta(days=d * 3) for d in ids],
+                        type=_pa.date32(),
+                    ),
+                    "d": _pa.array(
+                        [_decimal.Decimal(d * 137 - 5000).scaleb(-2) for d in ids],
+                        type=_pa.decimal128(18, 2),
+                    ),
+                    "b": _pa.array(
+                        [t.encode("utf-8") for t in texts], type=_pa.binary()
+                    ),
+                }
+            ),
+            buf,
+        )
+        cols = _read(buf.getvalue(), ["doc_id", "ts", "dt", "d", "b"])
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(cols["doc_id"], dtype="int64"),
+                "ts_micros": np.array(cols["ts"], dtype="int64"),
+                "epoch_days": np.array(cols["dt"], dtype="int32"),
+                "dec_unscaled": np.array(cols["d"], dtype="int64"),
+                "n_chars": np.array(
+                    [len(b.decode("utf-8")) for b in cols["b"]], dtype="int32"
+                ),
+                "digest": [_h.md5(b).hexdigest() for b in cols["b"]],
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__s"))
+        .applyInPandas(_build_and_scan, ORC_LOGICAL_SCHEMA)
+    )

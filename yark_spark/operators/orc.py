@@ -45,14 +45,24 @@ _KINDS = {
     10: "LIST", 11: "MAP", 12: "STRUCT", 13: "UNION", 14: "DECIMAL",
     15: "DATE", 16: "VARCHAR", 17: "CHAR",
 }
-_PRIMITIVE = {"BOOLEAN", "BYTE", "SHORT", "INT", "LONG", "FLOAT", "DOUBLE", "STRING"}
+_PRIMITIVE = {
+    "BOOLEAN", "BYTE", "SHORT", "INT", "LONG", "FLOAT", "DOUBLE", "STRING",
+    # round 13 s3: the warehouse logical types (Hive corpora are full
+    # of them) — TIMESTAMP → epoch micros, DATE → epoch days,
+    # DECIMAL → unscaled int, BINARY → bytes
+    "TIMESTAMP", "DATE", "DECIMAL", "BINARY",
+}
 _SIGNED_INTS = {"BYTE", "SHORT", "INT", "LONG"}
 
 _COMPRESSION = {0: "NONE", 1: "ZLIB", 2: "SNAPPY", 3: "LZO", 4: "LZ4", 5: "ZSTD"}
 
 # stream kinds
 _PRESENT, _DATA, _LENGTH, _DICT_DATA = 0, 1, 2, 3
+_SECONDARY = 5
 _ROW_INDEX = 6
+
+#: seconds between the Unix epoch and ORC's timestamp base (2015-01-01)
+_ORC_TS_BASE = 1_420_070_400
 
 # FixedBitSizes: 5-bit width code → bit width (RLEv2)
 _FBS = [
@@ -550,12 +560,57 @@ def _decode_column(
     data = _stream(streams, cid, _DATA, compression, max_output)
     if data is None:
         raise ValueError(f"orc: column {cid} has no DATA stream")
-    if enc_kind in (0, 1) and kind in ("SHORT", "INT", "LONG", "STRING"):
+    if enc_kind in (0, 1) and kind in (
+        "SHORT", "INT", "LONG", "STRING", "DATE", "TIMESTAMP", "DECIMAL", "BINARY"
+    ):
         raise NotImplementedError(
             "orc: RLEv1 (DIRECT/DICTIONARY) integer streams not supported"
         )
-    if kind in ("SHORT", "INT", "LONG"):
+    if kind in ("SHORT", "INT", "LONG", "DATE"):
+        # DATE is days since the Unix epoch on the same signed wire
         vals = _rlev2(data, n_present, signed=True)
+    elif kind == "TIMESTAMP":
+        # DATA = seconds relative to 2015-01-01 (signed), SECONDARY =
+        # nanos with the trailing-zero trick: low 3 bits t > 0 mean
+        # multiply (v >> 3) by 10^(t+1). Decoded to epoch MICROS.
+        secs = _rlev2(data, n_present, signed=True)
+        sec_raw = _stream(streams, cid, _SECONDARY, compression, max_output)
+        if sec_raw is None:
+            raise ValueError("orc: timestamp column missing SECONDARY stream")
+        nraw = _rlev2(sec_raw, n_present, signed=False)
+        vals = []
+        for s, nv in zip(secs, nraw):
+            t = nv & 0x7
+            nanos = (nv >> 3) * (10 ** (t + 1)) if t else (nv >> 3)
+            if nanos >= 1_000_000_000:
+                raise ValueError("orc: timestamp nanos out of range")
+            vals.append((_ORC_TS_BASE + s) * 1_000_000 + nanos // 1000)
+    elif kind == "DECIMAL":
+        # DATA = unbounded zigzag base-128 varints (NOT RLEv2);
+        # SECONDARY = per-value scale. Decoded to the unscaled int
+        # (the schema's scale applies downstream — same contract as
+        # the parquet FLBA DECIMAL path).
+        vals = []
+        pos = 0
+        for _ in range(n_present):
+            v, pos = _svarint(data, pos)
+            vals.append(v)
+        sec_raw = _stream(streams, cid, _SECONDARY, compression, max_output)
+        if sec_raw is None:
+            raise ValueError("orc: decimal column missing SECONDARY stream")
+        _rlev2(sec_raw, n_present, signed=True)  # scales: validated, not applied
+    elif kind == "BINARY":
+        lengths_raw = _stream(streams, cid, _LENGTH, compression, max_output)
+        if lengths_raw is None:
+            raise ValueError("orc: binary column missing LENGTH stream")
+        lengths = _rlev2(lengths_raw, n_present, signed=False)
+        vals = []
+        at = 0
+        for ln in lengths:
+            if at + ln > len(data):
+                raise ValueError("orc: binary values truncated")
+            vals.append(bytes(data[at : at + ln]))
+            at += ln
     elif kind == "BYTE":
         vals = [v - 256 if v > 127 else v for v in _byte_rle(data, n_present)]
     elif kind == "BOOLEAN":

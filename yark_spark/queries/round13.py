@@ -1045,3 +1045,34 @@ def q_parquet_int96_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
     return parquet_int96_scan_features(docs)
+
+
+_ORC_LOGICAL_ORACLE = (
+    "SELECT doc_id, "
+    "CAST(1577836800000000 + doc_id * 3661 * 1000000 + doc_id * 7 AS BIGINT) "
+    "AS ts_micros, "
+    "CAST(18262 + doc_id * 3 AS INTEGER) AS epoch_days, "
+    "CAST(doc_id * 137 - 5000 AS BIGINT) AS dec_unscaled, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 448"
+)
+
+
+@query("q_orc_logical_scan", oracle=_ORC_LOGICAL_ORACLE)
+def q_orc_logical_scan(spark, sf_dir):
+    """E143 ORC warehouse logical types (round 13, session 3): the
+    INT96 story on the other substrate — shards written by ORC_CPP
+    carrying TIMESTAMP (seconds relative to 2015-01-01 plus the
+    SECONDARY nanos stream with ORC's trailing-zero trick: low 3
+    bits t > 0 mean multiply by 10^(t+1)), DATE (epoch days on the
+    signed RLEv2 wire), DECIMAL (unbounded zigzag base-128 varints —
+    NOT RLEv2 — with a per-value scale stream) and BINARY. Every
+    Hive/Trino warehouse table uses these types; a reader without
+    them quarantines the warehouse tier. Decoded to exact integers
+    (epoch micros / days / unscaled) and re-derived arithmetically
+    by the oracle from the doc key — value-exact with no timestamp
+    library anywhere. One applyInPandas per shard; map-only."""
+    from yark_spark.operators.multimodal import orc_logical_scan_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
+    return orc_logical_scan_features(docs)
