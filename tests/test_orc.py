@@ -431,3 +431,38 @@ def test_logical_types_on_orc_cpp_wire():
     assert cols["dt"] == exp_dt
     assert cols["d"] == exp_d
     assert cols["b"] == bn
+
+
+def test_nested_struct_dotted_paths_on_orc_cpp_wire():
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from yark_spark.operators.orc import orc_read_columns
+
+    s_t = pa.struct([("a", pa.int64()), ("b", pa.string())])
+    deep_t = pa.struct([("x", pa.struct([("y", pa.int64())]))])
+    t = pa.table(
+        {
+            "k": [1, 2, 3, 4],
+            "s": pa.array(
+                [{"a": 10, "b": "p"}, None, {"a": None, "b": "q"},
+                 {"a": 30, "b": None}],
+                type=s_t,
+            ),
+            "d": pa.array(
+                [{"x": {"y": 7}}, {"x": None}, None, {"x": {"y": 9}}],
+                type=deep_t,
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    po.write_table(t, buf)
+    cols = orc_read_columns(buf.getvalue(), ["k", "s.a", "s.b", "d.x.y"])
+    # null struct, null leaf, and null mid-level all weave to None
+    assert cols["s.a"] == [10, None, None, 30]
+    assert cols["s.b"] == ["p", None, "q", None]
+    assert cols["d.x.y"] == [7, None, None, 9]
+    # the GROUP itself stays typed; default selection = flat leaves
+    assert sorted(orc_read_columns(buf.getvalue()).keys()) == ["k"]

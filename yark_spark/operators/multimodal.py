@@ -7430,3 +7430,99 @@ def orc_logical_scan_features(
         .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__s"))
         .applyInPandas(_build_and_scan, ORC_LOGICAL_SCHEMA)
     )
+
+
+ORC_STRUCT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("quality", IntegerType()),
+        StructField("crawl_lang", StringType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def orc_struct_scan_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """ORC nested-struct metadata scan (round 13 s3): shards written
+    by ORC_CPP with the metadata-envelope shape every curated corpus
+    uses — a doc row plus a nested ``meta`` struct (quality int,
+    crawl.lang two levels down, ~quarter of envelopes null) — read
+    back through the dotted-path presence-chain weave. One
+    applyInPandas per shard; map-only."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import orc as _orc_mod
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import tfrecord as _tf
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()
+    _orc_mod._bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_tf)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_orc_mod)
+    _read = _orc_mod.orc_read_columns
+
+    def _build_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import io as _io
+
+        import numpy as np
+        import pyarrow as _pa
+        import pyarrow.orc as _po
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        meta_t = _pa.struct(
+            [
+                ("quality", _pa.int32()),
+                ("crawl", _pa.struct([("lang", _pa.string())])),
+            ]
+        )
+        metas = [
+            None
+            if d % 4 == 3
+            else {
+                "quality": d % 7,
+                "crawl": {"lang": ("en", "de", "fr")[d % 3]},
+            }
+            for d in ids
+        ]
+        buf = _io.BytesIO()
+        _po.write_table(
+            _pa.table(
+                {
+                    "doc_id": ids,
+                    "meta": _pa.array(metas, type=meta_t),
+                    "text": texts,
+                }
+            ),
+            buf,
+        )
+        cols = _read(
+            buf.getvalue(), ["doc_id", "meta.quality", "meta.crawl.lang", "text"]
+        )
+        q = [(-1 if v is None else int(v)) for v in cols["meta.quality"]]
+        lang = [("none" if v is None else v) for v in cols["meta.crawl.lang"]]
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(cols["doc_id"], dtype="int64"),
+                "quality": np.array(q, dtype="int32"),
+                "crawl_lang": lang,
+                "n_chars": np.array([len(t) for t in cols["text"]], dtype="int32"),
+                "digest": [
+                    _h.md5(t.encode("utf-8")).hexdigest() for t in cols["text"]
+                ],
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__s"))
+        .applyInPandas(_build_and_scan, ORC_STRUCT_SCHEMA)
+    )

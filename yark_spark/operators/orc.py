@@ -380,10 +380,26 @@ def _orc_open(b: bytes, max_output: int) -> dict:
         raise ValueError("orc: schema children/name mismatch")
     col_kind: dict[int, str] = {}
     col_name: dict[str, int] = {}
-    for name, tid in zip(names, subtypes):
+    parents: dict[str, list[int]] = {}
+
+    def _walk(tid: int, prefix: str, chain: list[int]) -> None:
         kind = _KINDS.get(_one(types[tid], 1, -1))
-        col_name[name] = tid
         col_kind[tid] = kind
+        if kind == "STRUCT":
+            # non-repeated nesting: children live under dotted names
+            # ("s.a"), each ancestor contributing a presence level —
+            # the parquet dotted-path recipe on this substrate
+            # (round 13 s3). LIST/MAP/UNION subtrees stay typed.
+            sub = _packed_or_repeated_uints(types[tid], 2)
+            sub_names = [bytes(v).decode("utf-8") for v in types[tid].get(3, [])]
+            for nm, child in zip(sub_names, sub):
+                _walk(child, f"{prefix}.{nm}" if prefix else nm, chain + [tid])
+        if prefix:
+            col_name[prefix] = tid
+            parents[prefix] = chain
+
+    for name, tid in zip(names, subtypes):
+        _walk(tid, name, [])
     return {
         "b": b,
         "footer": footer,
@@ -391,6 +407,7 @@ def _orc_open(b: bytes, max_output: int) -> dict:
         "names": names,
         "col_name": col_name,
         "col_kind": col_kind,
+        "parents": parents,
         "metadata_span": (footer_end - footer_len - metadata_len, footer_end - footer_len),
     }
 
@@ -404,6 +421,7 @@ def _orc_read_stripes(
     b = f["b"]
     footer, compression = f["footer"], f["compression"]
     names, col_name, col_kind = f["names"], f["col_name"], f["col_kind"]
+    parents = f.get("parents", {})
     wanted = columns if columns is not None else [
         n for n in names if col_kind[col_name[n]] in _PRIMITIVE
     ]
@@ -446,12 +464,29 @@ def _orc_read_stripes(
             cid = col_name[c]
             kind = col_kind[cid]
             enc_kind = encodings[cid][0] if cid < len(encodings) else 0
-            out[c].extend(
-                _decode_column(
-                    kind, enc_kind, encodings[cid][1] if cid < len(encodings) else 0,
-                    streams, cid, n_rows, compression, max_output,
+            # ancestor presence chain: each struct level narrows the
+            # row count its children encode (a child holds one entry
+            # per PRESENT parent row), then weaves back out with
+            # None for null-ancestor rows
+            levels: list[list[bool]] = []
+            n_level = n_rows
+            for anc in parents.get(c, []):
+                p_raw = _stream(streams, anc, _PRESENT, compression, max_output)
+                pres = (
+                    _bool_rle(p_raw, n_level)
+                    if p_raw is not None
+                    else [True] * n_level
                 )
+                levels.append(pres)
+                n_level = sum(pres)
+            vals = _decode_column(
+                kind, enc_kind, encodings[cid][1] if cid < len(encodings) else 0,
+                streams, cid, n_level, compression, max_output,
             )
+            for pres in reversed(levels):
+                it = iter(vals)
+                vals = [next(it) if p else None for p in pres]
+            out[c].extend(vals)
         stripe_of.extend([si] * n_rows)
     return out, stripe_of
 

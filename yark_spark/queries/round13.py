@@ -1076,3 +1076,34 @@ def q_orc_logical_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
     return orc_logical_scan_features(docs)
+
+
+_ORC_STRUCT_ORACLE = (
+    "SELECT doc_id, "
+    "CAST(CASE WHEN doc_id % 4 = 3 THEN -1 ELSE doc_id % 7 END AS INTEGER) "
+    "AS quality, "
+    "CASE WHEN doc_id % 4 = 3 THEN 'none' "
+    "WHEN doc_id % 3 = 0 THEN 'en' WHEN doc_id % 3 = 1 THEN 'de' "
+    "ELSE 'fr' END AS crawl_lang, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 448"
+)
+
+
+@query("q_orc_struct_scan", oracle=_ORC_STRUCT_ORACLE)
+def q_orc_struct_scan(spark, sf_dir):
+    """E143' ORC nested-struct metadata (round 13, session 3): the
+    dotted-path recipe on the OTHER substrate — ORC nests by
+    PRESENCE CHAINS (a child column holds one entry per present
+    parent row, so each struct level narrows the encoded count and
+    the reader weaves back out level by level), unlike parquet's
+    definition levels; shards written by ORC_CPP carry the
+    metadata-envelope shape every curated corpus uses (doc +
+    meta.quality + meta.crawl.lang two levels down, a quarter of
+    envelopes null) and the oracle pins null-struct vs null-leaf vs
+    null-mid-level attribution per row. One applyInPandas per shard;
+    map-only."""
+    from yark_spark.operators.multimodal import orc_struct_scan_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
+    return orc_struct_scan_features(docs)
