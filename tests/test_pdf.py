@@ -366,3 +366,185 @@ def test_filter_cycle_xrefstream_is_typed_error():
 
     with pytest.raises(ValueError, match="classic-layout"):
         pdf_build([["x"]], xref_stream=True, content_filters="cycle")
+
+
+# ---------------------------------------------------------------------------
+# Round 14: font encodings — ToUnicode CMaps, /Encoding Differences, CID
+# ---------------------------------------------------------------------------
+
+_FONT_PAGES = [
+    [
+        "Hello, world! (brackets) \\backslash",
+        "The quick brown fox jumps over the lazy dog 0123456789",
+        'MIXED Case; punct: #$%&*+-/<=>?@[]^_`{|}~ "quotes"',
+        "café naïve über søster ñandú £5 ©2024 ° ± ÷ ×",
+    ],
+    ["second page line one", "second page line two", "x"],
+]
+_FONT_EXPECT = " ".join(
+    w for pg in _FONT_PAGES for ln in pg for w in ln.split()
+)
+
+
+@pytest.mark.parametrize("mode", ["simple", "tounicode", "differences", "cid"])
+def test_font_modes_roundtrip(mode):
+    from yark_spark.operators.pdf import pdf_build, pdf_text
+
+    assert pdf_text(pdf_build(_FONT_PAGES, font_mode=mode)) == _FONT_EXPECT
+
+
+def test_tounicode_wire_has_both_bfrange_forms():
+    from yark_spark.operators.pdf import pdf_build
+    from yark_spark.operators.png import zlib_decompress
+    import re as _re
+
+    blob = pdf_build(_FONT_PAGES, font_mode="tounicode")
+    assert b"/ToUnicode" in blob
+    # the CMap stream is Flate-compressed; pull it and check grammar
+    m = _re.search(
+        rb"<< /Length (\d+) /Filter /FlateDecode >>\nstream\n", blob
+    )
+    # find the ToUnicode object specifically (its dict has no other keys)
+    starts = [
+        m2 for m2 in _re.finditer(
+            rb"<< /Length (\d+) /Filter /FlateDecode >>\nstream\n", blob
+        )
+    ]
+    found = False
+    for m2 in starts:
+        raw = blob[m2.end() : m2.end() + int(m2.group(1))]
+        try:
+            cmap = zlib_decompress(raw)
+        except ValueError:
+            continue
+        if b"begincmap" in cmap:
+            assert b"beginbfchar" in cmap or b"beginbfrange" in cmap
+            assert b"begincodespacerange" in cmap
+            found = True
+    assert found
+
+
+def test_scrambled_bytes_need_the_cmap():
+    """Latin-1-only decode of the scrambled font must NOT equal the
+    text — proves the CMap path actually ran (not a no-op scramble)."""
+    from yark_spark.operators import pdf as pdfmod
+
+    blob = pdfmod.pdf_build(_FONT_PAGES, font_mode="tounicode")
+    doc = pdfmod._Pdf(blob)
+    root = doc.resolve(doc.obj(doc.root_num))
+    pages_obj = doc.resolve(root.get("Pages"))
+    kid = doc.resolve(pages_obj["Kids"][0])
+    content = pdfmod._stream_data(doc, doc.resolve(kid["Contents"]))
+    latin1 = " ".join("".join(pdfmod._content_text(content, None)).split())
+    assert latin1 != " ".join(w for ln in _FONT_PAGES[0] for w in ln.split())
+
+
+def test_cid_without_tounicode_is_typed_error():
+    from yark_spark.operators import pdf as pdfmod
+
+    blob = pdfmod.pdf_build(_FONT_PAGES, font_mode="cid")
+    m = re.search(rb"/ToUnicode \d+ 0 R", blob)
+    patched = blob[: m.start()] + b" " * (m.end() - m.start()) + blob[m.end():]
+    with pytest.raises(ValueError, match="without /ToUnicode"):
+        pdfmod.pdf_text(patched)
+
+
+def test_glyph_name_resolution():
+    from yark_spark.operators.pdf import _glyph_to_unicode
+
+    assert _glyph_to_unicode("a") == "a"
+    assert _glyph_to_unicode("Z") == "Z"
+    assert _glyph_to_unicode("seven") == "7"
+    assert _glyph_to_unicode("quotesingle") == "'"
+    assert _glyph_to_unicode("emdash") == "—"
+    assert _glyph_to_unicode("uni0041") == "A"
+    assert _glyph_to_unicode("uni00480049") == "HI"
+    assert _glyph_to_unicode("u1F600") == "\U0001F600"
+    assert _glyph_to_unicode("u0041") == "A"
+    assert _glyph_to_unicode("germandbls") == "ß"
+    assert _glyph_to_unicode("gXYZ") is None
+    assert _glyph_to_unicode("uni41") is None  # needs 4-hex groups
+
+
+def test_parse_cmap_vectors():
+    from yark_spark.operators.pdf import _parse_cmap
+
+    cs, mp = _parse_cmap(
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"2 beginbfchar <20> <0020> <41> <0041> endbfchar\n"
+        b"2 beginbfrange <61> <63> <0061> <70> <71> [<0050> <0051>] endbfrange"
+    )
+    assert cs == [(b"\x00", b"\xff")]
+    assert mp[b"\x20"] == " " and mp[b"\x41"] == "A"
+    assert mp[b"\x61"] == "a" and mp[b"\x63"] == "c"
+    assert mp[b"\x70"] == "P" and mp[b"\x71"] == "Q"
+    # surrogate-pair destination (4-byte UTF-16BE)
+    _, mp2 = _parse_cmap(b"1 beginbfchar <01> <D83DDE00> endbfchar")
+    assert mp2[b"\x01"] == "\U0001F600"
+
+
+def test_parse_cmap_typed_errors():
+    from yark_spark.operators.pdf import _parse_cmap
+
+    with pytest.raises(ValueError, match="codespace"):
+        _parse_cmap(b"1 begincodespacerange <00> <FFFF> endcodespacerange")
+    with pytest.raises(ValueError, match="out of order"):
+        _parse_cmap(b"1 beginbfrange <05> <01> <0041> endbfrange")
+    with pytest.raises(ValueError, match="array length"):
+        _parse_cmap(b"1 beginbfrange <00> <02> [<0041>] endbfrange")
+    with pytest.raises(ValueError, match="destination"):
+        _parse_cmap(b"1 beginbfrange <00> <01> endbfrange")
+
+
+def test_differences_wire_and_base_encoding():
+    from yark_spark.operators.pdf import pdf_build
+
+    blob = pdf_build(_FONT_PAGES, font_mode="differences")
+    assert b"/BaseEncoding /WinAnsiEncoding" in blob
+    assert b"/Differences [" in blob
+    assert b"/uni" in blob  # algorithmic names on the wire
+    # at least one bare AGL name too (alternation)
+    assert re.search(rb"/Differences \[[^\]]*/[a-z]{2,}", blob)
+
+
+def test_differences_unknown_name_keeps_base_slot():
+    """A /Differences name we cannot resolve keeps the base-encoding
+    slot (lenient, like real extractors) instead of erroring."""
+    from yark_spark.operators import pdf as pdfmod
+
+    blob = pdfmod.pdf_build([["AB"]], font_mode="simple")
+    # graft an Encoding with an unknown glyph name onto the font
+    patched = blob.replace(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding << /Differences [65 /madeupname] >> >>",
+    )
+    # offsets shifted: rebuild via pdf_build path instead — simpler:
+    # parse the patched body directly through the decoder
+    doc = pdfmod._Pdf(blob)
+
+    class _FakeResolve:
+        def resolve(self, v):
+            return v
+
+    dec = pdfmod._font_decoder(
+        _FakeResolve(),
+        {"Subtype": "Type1", "Encoding": {"Differences": [65, "madeupname"]}},
+    )
+    assert dec.decode(b"A") == "A"  # base latin-1 slot survived
+    dec2 = pdfmod._font_decoder(
+        _FakeResolve(),
+        {"Subtype": "Type1", "Encoding": {"Differences": [65, "zero"]}},
+    )
+    assert dec2.decode(b"AB") == "0B"
+
+
+def test_font_mode_layout_guards():
+    from yark_spark.operators.pdf import pdf_build
+
+    with pytest.raises(ValueError, match="font_mode"):
+        pdf_build([["x"]], font_mode="bogus")
+    with pytest.raises(ValueError, match="classic flate-odd"):
+        pdf_build([["x"]], xref_stream=True, font_mode="cid")
+    with pytest.raises(ValueError, match="classic flate-odd"):
+        pdf_build([["x"]], content_filters="cycle", font_mode="tounicode")

@@ -5729,6 +5729,7 @@ def with_pdf_payload(
     text_col: str = "text",
     layout: str = "classic",
     filters: str = "flate_odd",
+    fonts: str = "simple",
 ) -> DataFrame:
     """Deterministic PDF fixture (round 12): the document's words
     become 6-word text lines, 5 lines per page, multi-page documents
@@ -5743,17 +5744,29 @@ def with_pdf_payload(
     content-stream /Filter through the full §7.4 family per page —
     none / Flate / LZW / RunLength / ASCIIHex / [A85→Flate chain] /
     LZW with /EarlyChange 0 — so the digest pins every filter
-    decoder."""
+    decoder. ``fonts='cycle'`` (round 14, classic layout only)
+    rotates each DOC's font arrangement through doc_id % 4 — simple
+    latin-1 Helvetica / a /ToUnicode-CMap'd scrambled font (codes =
+    byte XOR 0x80, bfchar + both bfrange forms) / an /Encoding
+    /Differences remap over /BaseEncoding /WinAnsiEncoding (AGL and
+    uniXXXX names alternating) / an /Identity-H Type0 CID font with
+    2-byte codes — so the digest pins every glyph-to-Unicode path."""
     if layout not in ("classic", "cycle"):
         raise ValueError(f"pdf fixture: unknown layout {layout!r}")
     if filters not in ("flate_odd", "cycle"):
         raise ValueError(f"pdf fixture: unknown filter mode {filters!r}")
     if filters == "cycle" and layout != "classic":
         raise ValueError("pdf fixture: filter cycling is classic-layout only")
+    if fonts not in ("simple", "cycle"):
+        raise ValueError(f"pdf fixture: unknown font mode {fonts!r}")
+    if fonts == "cycle" and (layout != "classic" or filters != "flate_odd"):
+        raise ValueError("pdf fixture: font cycling is classic flate-odd only")
     _pdf_mod = _register_pdf_modules()
     _build = _pdf_mod.pdf_build
     _cycle = layout == "cycle"
     _filters = filters
+    _font_modes = ("simple", "tounicode", "differences", "cid")
+    _fonts = fonts
 
     def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
@@ -5767,6 +5780,11 @@ def with_pdf_payload(
                         pages or [[""]],
                         xref_stream=_cycle and int(did) % 2 == 1,
                         content_filters=_filters,
+                        font_mode=(
+                            _font_modes[int(did) % 4]
+                            if _fonts == "cycle"
+                            else "simple"
+                        ),
                     )
                 )
             yield pd.DataFrame(

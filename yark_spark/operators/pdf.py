@@ -20,10 +20,21 @@ chains, FlateDecode + PNG predictors via ``/DecodeParms``), type-2
 entries into ``/ObjStm`` OBJECT streams (``/N``/``/First`` header
 pairs), hybrid-reference files (classic trailer ``/XRefStm``), and
 free-entry tombstones so an incremental update's deletion cannot be
-resurrected from an older revision. The remaining honest boundaries,
-typed: encryption, non-Flate filters, TIFF /Predictor 2, and
-non-ASCII font encodings / CID fonts (real-world glyph-to-Unicode
-needs font tables).
+resurrected from an older revision. Round 14 adds font-encoding-aware
+show-string decode: embedded ``/ToUnicode`` CMap streams (ISO
+32000-1 §9.10.3 — codespacerange widths, bfchar pairs, bfrange with
+both the incrementing-destination and per-code array forms), simple
+fonts' ``/Encoding`` dictionaries (``/BaseEncoding`` WinAnsi /
+MacRoman tables plus ``/Differences`` glyph-name remaps resolved
+through the Adobe Glyph List conventions incl. the algorithmic
+``uniXXXX``/``uXXXXXX`` forms), and ``/Identity-H`` Type0 composite
+fonts whose 2-byte codes map through their ToUnicode CMap. Subset-
+embedded fonts are the real-world norm (show-string bytes are
+font-internal codes, not latin-1), so latin-1-only decode produced
+mojibake on them. The remaining honest boundaries, typed:
+encryption, TIFF /Predictor 2, and CID fonts WITHOUT a /ToUnicode
+CMap (glyph-to-Unicode there needs the font program's cmap/post
+tables — quarantined, never mojibake'd).
 
 Decode raises typed ``ValueError`` on malformed input (no header or
 startxref, bad xref/object syntax, unterminated strings/streams,
@@ -81,6 +92,112 @@ def _content_stream(lines: list[str]) -> bytes:
     return "\n".join(ops).encode("latin-1")
 
 
+def _pdf_escape_code_bytes(bs: bytes) -> bytes:
+    """Escape raw code bytes for a literal string: backslash the three
+    specials, keep printable ASCII, octal-escape everything else (so
+    scrambled font codes survive any byte value)."""
+    out = bytearray()
+    for b in bs:
+        if b in (0x5C, 0x28, 0x29):
+            out += b"\\" + bytes([b])
+        elif 0x20 <= b <= 0x7E:
+            out.append(b)
+        else:
+            out += (f"\\{b:03o}").encode("ascii")
+    return bytes(out)
+
+
+def _content_stream_coded(
+    lines: list[str], encode_fn, width: int = 1
+) -> bytes:
+    """Font-coded twin of _content_stream (round 14): each text line
+    is mapped through ``encode_fn`` (str → code bytes, ``width`` bytes
+    per code) and rotated through the three show forms; literal
+    strings carry octal-escaped code bytes on even lines, hex strings
+    on odd — both operand grammars cross the font decoder."""
+    ops: list[bytes] = [b"BT", b"/F1 12 Tf", b"14 TL", b"72 720 Td"]
+    for i, line in enumerate(lines):
+        coded = encode_fn(line)
+        use_hex = i % 2 == 1
+
+        def _show(bs: bytes) -> bytes:
+            if use_hex:
+                return b"<" + bs.hex().encode("ascii") + b">"
+            return b"(" + _pdf_escape_code_bytes(bs) + b")"
+
+        k = i % 3
+        if k == 0:
+            ops.append(_show(coded) + b" Tj")
+            ops.append(b"T*")
+        elif k == 1:
+            mid = max(width, (len(coded) // 2 // width) * width)
+            ops.append(
+                b"[" + _show(coded[:mid]) + b" -28 " + _show(coded[mid:]) + b"] TJ"
+            )
+            ops.append(b"0 -14 TD")
+        else:
+            ops.append(_show(coded) + b" '")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def _tounicode_cmap(mapping: dict[int, int], width: int) -> bytes:
+    """Emit a ToUnicode CMap stream body for {code → codepoint}:
+    contiguous code runs whose codepoints also increment become
+    bfrange rows (short runs use the per-code ARRAY destination form,
+    longer runs the incrementing <dstStart> form), singles become
+    bfchar pairs; runs never cross a low-byte 0xFF boundary and
+    sections chunk at the spec's 100-entry limit."""
+    codes = sorted(mapping)
+    runs: list[list[int]] = []
+    for c in codes:
+        if (
+            runs
+            and c == runs[-1][-1] + 1
+            and mapping[c] == mapping[runs[-1][-1]] + 1
+            and (runs[-1][-1] & 0xFF) != 0xFF
+        ):
+            runs[-1].append(c)
+        else:
+            runs.append([c])
+    chars = [r[0] for r in runs if len(r) == 1]
+    ranges = [r for r in runs if len(r) > 1]
+
+    def _h(v: int, w: int) -> str:
+        return f"<{v:0{2 * w}x}>"
+
+    body = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def",
+        "/CMapName /Adobe-Identity-UCS def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        f"{_h(0, width)} {_h((1 << (8 * width)) - 1, width)}",
+        "endcodespacerange",
+    ]
+    for at in range(0, len(chars), 100):
+        chunk = chars[at : at + 100]
+        body.append(f"{len(chunk)} beginbfchar")
+        for c in chunk:
+            body.append(f"{_h(c, width)} {_h(mapping[c], 2)}")
+        body.append("endbfchar")
+    for at in range(0, len(ranges), 100):
+        chunk = ranges[at : at + 100]
+        body.append(f"{len(chunk)} beginbfrange")
+        for r in chunk:
+            lo, hi = r[0], r[-1]
+            if len(r) <= 4:  # exercise the array-destination form
+                arr = " ".join(_h(mapping[c], 2) for c in r)
+                body.append(f"{_h(lo, width)} {_h(hi, width)} [{arr}]")
+            else:
+                body.append(f"{_h(lo, width)} {_h(hi, width)} {_h(mapping[lo], 2)}")
+        body.append("endbfrange")
+    body += ["endcmap", "CMapName currentdict /CMap defineresource pop", "end", "end"]
+    return "\n".join(body).encode("ascii")
+
+
 def _encode_content(data: bytes, k: int) -> tuple[bytes, bytes]:
     """Encode one content stream under filter-cycle slot ``k`` (0–6),
     returning (dict-fragment after /Length, wire bytes). Slot 5 is a
@@ -114,6 +231,7 @@ def pdf_build(
     words_per_line: int = 6,
     xref_stream: bool = False,
     content_filters: str = "flate_odd",
+    font_mode: str = "simple",
 ) -> bytes:
     """Build a PDF: one page per entry, each a list of text lines;
     odd pages' content streams are FlateDecode-compressed through the
@@ -129,10 +247,51 @@ def pdf_build(
     family instead of the flate-odd default."""
     if content_filters not in ("flate_odd", "cycle"):
         raise ValueError(f"pdf: unknown content_filters {content_filters!r}")
+    if font_mode not in ("simple", "tounicode", "differences", "cid"):
+        raise ValueError(f"pdf: unknown font_mode {font_mode!r}")
+    if font_mode != "simple" and (xref_stream or content_filters != "flate_odd"):
+        raise ValueError("pdf: font cycling is a classic flate-odd fixture")
     if xref_stream:
         if content_filters != "flate_odd":
             raise ValueError("pdf: filter cycling is a classic-layout fixture")
         return _pdf_build_xrefstream(pages, compress_odd)
+
+    # font-coded show strings (round 14): map text through the chosen
+    # font-internal code scheme; the matching /ToUnicode CMap or
+    # /Encoding Differences below is the ONLY way to read it back
+    encode_fn = None
+    code_width = 1
+    diff_code_of: dict[str, int] = {}
+    if font_mode == "tounicode":
+        # XOR 0x80: a byte-bijection that keeps runs contiguous, so the
+        # CMap exercises bfrange (long runs), array-form, AND bfchar
+        def encode_fn(s: str) -> bytes:  # noqa: F811
+            return bytes((ord(ch) ^ 0x80) for ch in s)
+
+    elif font_mode == "cid":
+        code_width = 2
+
+        def encode_fn(s: str) -> bytes:  # noqa: F811
+            return b"".join((ord(ch) + 0x1234).to_bytes(2, "big") for ch in s)
+
+    elif font_mode == "differences":
+        # space rides the /BaseEncoding (WinAnsi) untouched; every other
+        # distinct char gets a sequential 1-byte code named in
+        # /Differences (AGL names and uniXXXX forms alternating)
+        distinct = sorted({ch for pg in pages for ln in pg for ch in ln} - {" "})
+        if len(distinct) > 254:
+            raise ValueError("pdf: differences fixture supports ≤254 distinct chars")
+        diff_code_of = {" ": 0x20}
+        nxt = 1
+        for ch in distinct:
+            if nxt == 0x20:
+                nxt += 1
+            diff_code_of[ch] = nxt
+            nxt += 1
+
+        def encode_fn(s: str) -> bytes:  # noqa: F811
+            return bytes(diff_code_of[ch] for ch in s)
+
     objects: dict[int, bytes] = {}
     n_pages = len(pages)
     first_page_obj = 4
@@ -156,7 +315,11 @@ def pdf_build(
             f"/Resources << /Font << /F1 3 0 R >> >> "
             f"/Contents {content_no} 0 R >>".encode()
         )
-        data = _content_stream(lines)
+        data = (
+            _content_stream_coded(lines, encode_fn, code_width)
+            if encode_fn is not None
+            else _content_stream(lines)
+        )
         if content_filters == "cycle":
             frag, wire = _encode_content(data, i % 7)
             objects[content_no] = (
@@ -186,6 +349,75 @@ def pdf_build(
                 + b"\nendstream"
             )
     objects.update(stream_objs)
+
+    # font objects for the coded modes (numbers AFTER the /Length pool
+    # so classic xref subsections stay contiguous 0..max)
+    if font_mode == "tounicode":
+        used = sorted({b for pg in pages for ln in pg for b in encode_fn(ln)})
+        cmap = _tounicode_cmap({c: c ^ 0x80 for c in used}, 1)
+        comp = zlib_compress(cmap)
+        tou_no = next_length_no
+        next_length_no += 1
+        objects[tou_no] = (
+            f"<< /Length {len(comp)} /Filter /FlateDecode >>".encode()
+            + b"\nstream\n" + comp + b"\nendstream"
+        )
+        objects[3] = (
+            f"<< /Type /Font /Subtype /TrueType /BaseFont /Scrambled "
+            f"/ToUnicode {tou_no} 0 R >>".encode()
+        )
+    elif font_mode == "cid":
+        used = sorted(
+            {
+                int.from_bytes(encode_fn(ch)[:2], "big")
+                for pg in pages
+                for ln in pg
+                for ch in ln
+            }
+        )
+        cmap = _tounicode_cmap({c: c - 0x1234 for c in used}, 2)
+        comp = zlib_compress(cmap)
+        tou_no = next_length_no
+        desc_no = next_length_no + 1
+        next_length_no += 2
+        objects[tou_no] = (
+            f"<< /Length {len(comp)} /Filter /FlateDecode >>".encode()
+            + b"\nstream\n" + comp + b"\nendstream"
+        )
+        objects[desc_no] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Packed "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> >>"
+        )
+        objects[3] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Packed "
+            f"/Encoding /Identity-H /DescendantFonts [{desc_no} 0 R] "
+            f"/ToUnicode {tou_no} 0 R >>".encode()
+        )
+    elif font_mode == "differences":
+        rev_agl = {}
+        for name, ch in _AGL.items():
+            rev_agl.setdefault(ch, name)
+        parts: list[str] = []
+        prev_code = None
+        for i, (ch, code) in enumerate(
+            sorted(diff_code_of.items(), key=lambda kv: kv[1])
+        ):
+            if ch == " ":
+                continue  # rides the base encoding
+            if prev_code is None or code != prev_code + 1:
+                parts.append(str(code))
+            agl_name = rev_agl.get(ch)
+            if agl_name is not None and i % 2 == 0:
+                parts.append(f"/{agl_name}")
+            else:
+                parts.append(f"/uni{ord(ch):04X}")
+            prev_code = code
+        objects[3] = (
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /Remapped "
+            f"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+            f"/Differences [{' '.join(parts)}] >> >>".encode()
+        )
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
@@ -960,16 +1192,320 @@ def _stream_data(pdf: _Pdf, obj) -> bytes:
     return _apply_filters(d, data, pdf.resolve)
 
 
+# ---------------------------------------------------------------------------
+# Font encodings — ToUnicode CMaps, /Encoding Differences (round 14)
+# ---------------------------------------------------------------------------
+
+# Adobe Glyph List subset covering the standard Latin names PDF
+# /Differences arrays use (AGL + PDF spec Appendix D); the algorithmic
+# uniXXXX / uXXXXXX forms are handled in _glyph_to_unicode.
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~", "quoteleft": "‘",
+    "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "endash": "–", "emdash": "—",
+    "bullet": "•", "ellipsis": "…", "dagger": "†",
+    "daggerdbl": "‡", "fi": "ﬁ", "fl": "ﬂ",
+    "germandbls": "ß", "adieresis": "ä", "odieresis": "ö",
+    "udieresis": "ü", "eacute": "é", "egrave": "è",
+    "agrave": "à", "ccedilla": "ç", "ntilde": "ñ",
+    "oslash": "ø", "aring": "å", "ae": "æ",
+    "Euro": "€", "sterling": "£", "yen": "¥",
+    "cent": "¢", "degree": "°", "section": "§",
+    "paragraph": "¶", "copyright": "©", "registered": "®",
+    "trademark": "™", "nbspace": " ", "minus": "−",
+    "multiply": "×", "divide": "÷", "plusminus": "±",
+}
+# single-letter names ARE the glyph: /A → "A", /z → "z"
+for _ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _AGL[_ch] = _ch
+
+_UNI_NAME_RE = re.compile(r"^uni((?:[0-9A-F]{4})+)$")
+_U_NAME_RE = re.compile(r"^u([0-9A-F]{4,6})$")
+
+
+def _glyph_to_unicode(name: str) -> str | None:
+    """Resolve a glyph name per the AGL algorithm: exact AGL entry,
+    then the algorithmic uniXXXX (one or more UTF-16 units) and
+    uXXXX[XX] forms; unknown names return None (caller keeps the
+    base-encoding slot — lenient, like real extractors)."""
+    hit = _AGL.get(name)
+    if hit is not None:
+        return hit
+    m = _UNI_NAME_RE.match(name)
+    if m:
+        hx = m.group(1)
+        units = [int(hx[i : i + 4], 16) for i in range(0, len(hx), 4)]
+        return b"".join(u.to_bytes(2, "big") for u in units).decode(
+            "utf-16-be", errors="replace"
+        )
+    m = _U_NAME_RE.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        if cp <= 0x10FFFF:
+            return chr(cp)
+    return None
+
+
+def _base_encoding_table(name: str | None) -> list[str]:
+    """256-slot code→char table for a /BaseEncoding name. WinAnsi is
+    the cp1252 layout, MacRoman the mac-roman layout; slots those
+    encodings leave undefined fall back to the latin-1 identity (the
+    pre-round-14 behavior, so unmapped codes degrade, not crash)."""
+    codec = {
+        "WinAnsiEncoding": "cp1252",
+        "MacRomanEncoding": "mac_roman",
+    }.get(name or "", "latin-1")
+    table: list[str] = []
+    for i in range(256):
+        try:
+            table.append(bytes([i]).decode(codec))
+        except UnicodeDecodeError:
+            table.append(chr(i))
+    return table
+
+
+_CMAP_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>|\[|\]")
+
+
+def _parse_cmap(data: bytes) -> tuple[list[tuple[bytes, bytes]], dict[bytes, str]]:
+    """Parse a ToUnicode CMap stream (§9.10.3): codespacerange pairs
+    (fixing code byte-widths), bfchar pairs, and bfrange triples in
+    both destination forms — <lo> <hi> <dstStart> (destination
+    increments with the code) and <lo> <hi> [<d0> <d1> …] (explicit
+    per-code array). Returns (codespaces, {code bytes → unicode str})."""
+
+    def _hx(tok: bytes) -> bytes:
+        hx = re.sub(rb"\s", b"", tok)
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+
+    codespaces: list[tuple[bytes, bytes]] = []
+    for sec in re.findall(
+        rb"begincodespacerange(.*?)endcodespacerange", data, re.S
+    ):
+        toks = re.findall(rb"<([0-9A-Fa-f\s]*)>", sec)
+        if len(toks) % 2:
+            raise ValueError("pdf: cmap codespacerange must hold <lo> <hi> pairs")
+        for i in range(0, len(toks), 2):
+            lo, hi = _hx(toks[i]), _hx(toks[i + 1])
+            if len(lo) != len(hi) or not lo:
+                raise ValueError("pdf: cmap codespace bounds must share a width")
+            codespaces.append((lo, hi))
+
+    mapping: dict[bytes, str] = {}
+
+    def _dst_str(dst: bytes) -> str:
+        if len(dst) % 2:
+            raise ValueError("pdf: cmap bf destination must be UTF-16BE")
+        return dst.decode("utf-16-be", errors="replace")
+
+    for sec in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = re.findall(rb"<([0-9A-Fa-f\s]*)>", sec)
+        if len(toks) % 2:
+            raise ValueError("pdf: cmap bfchar must hold <src> <dst> pairs")
+        for i in range(0, len(toks), 2):
+            mapping[_hx(toks[i])] = _dst_str(_hx(toks[i + 1]))
+
+    for sec in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        toks: list[object] = []
+        for m in _CMAP_HEX_RE.finditer(sec):
+            toks.append(_hx(m.group(1)) if m.group(1) is not None else m.group(0))
+        at = 0
+        while at < len(toks):
+            lo, hi = toks[at], toks[at + 1] if at + 1 < len(toks) else None
+            if not isinstance(lo, bytes) or not isinstance(hi, bytes):
+                raise ValueError("pdf: cmap bfrange must start <lo> <hi>")
+            if len(lo) != len(hi) or lo > hi:
+                raise ValueError("pdf: cmap bfrange bounds out of order")
+            count = int.from_bytes(hi, "big") - int.from_bytes(lo, "big") + 1
+            at += 2
+            if at >= len(toks):
+                raise ValueError("pdf: cmap bfrange missing destination")
+            nxt = toks[at]
+            if nxt == b"[":
+                at += 1
+                dsts: list[bytes] = []
+                while at < len(toks) and toks[at] != b"]":
+                    d = toks[at]
+                    if not isinstance(d, bytes):
+                        raise ValueError("pdf: cmap bfrange array holds <dst> only")
+                    dsts.append(d)
+                    at += 1
+                if at >= len(toks):
+                    raise ValueError("pdf: cmap bfrange array unterminated")
+                at += 1  # past ]
+                if len(dsts) != count:
+                    raise ValueError("pdf: cmap bfrange array length mismatch")
+                base = int.from_bytes(lo, "big")
+                for k, d in enumerate(dsts):
+                    mapping[(base + k).to_bytes(len(lo), "big")] = _dst_str(d)
+            elif isinstance(nxt, bytes):
+                at += 1
+                base = int.from_bytes(lo, "big")
+                dst0 = int.from_bytes(nxt, "big")
+                w = len(nxt)
+                for k in range(count):
+                    mapping[(base + k).to_bytes(len(lo), "big")] = _dst_str(
+                        (dst0 + k).to_bytes(w, "big")
+                    )
+            else:
+                raise ValueError("pdf: cmap bfrange destination malformed")
+    return codespaces, mapping
+
+
+class _FontDecoder:
+    """Maps raw show-string code bytes to Unicode text. Three shapes:
+    a ToUnicode CMap (codespace-driven code widths), a 256-slot simple
+    table (/Encoding base + /Differences), or the latin-1 identity
+    fallback (pre-round-14 behavior, kept for bare fonts)."""
+
+    __slots__ = ("codespaces", "cmap", "table", "default_w")
+
+    def __init__(
+        self,
+        codespaces: list[tuple[bytes, bytes]] | None = None,
+        cmap: dict[bytes, str] | None = None,
+        table: list[str] | None = None,
+    ):
+        self.codespaces = codespaces or []
+        self.cmap = cmap
+        self.table = table
+        self.default_w = len(self.codespaces[0][0]) if self.codespaces else 1
+
+    def decode(self, raw: bytes) -> str:
+        if self.cmap is not None:
+            out: list[str] = []
+            i, n = 0, len(raw)
+            while i < n:
+                w = self.default_w
+                for lo, hi in self.codespaces:
+                    cw = len(lo)
+                    chunk = raw[i : i + cw]
+                    if len(chunk) == cw and lo <= chunk <= hi:
+                        w = cw
+                        break
+                chunk = raw[i : i + w]
+                i += w
+                s = self.cmap.get(chunk)
+                if s is None:
+                    # unmapped: simple-width codes degrade to latin-1,
+                    # wide codes to U+FFFD (there IS no byte meaning)
+                    s = chunk.decode("latin-1") if len(chunk) == 1 else "�"
+                out.append(s)
+            return "".join(out)
+        if self.table is not None:
+            return "".join(self.table[b] for b in raw)
+        return raw.decode("latin-1")
+
+
+_LATIN1_DECODER = _FontDecoder()
+
+
+def _font_decoder(pdf: "_Pdf", font_obj) -> _FontDecoder:
+    """Build the decoder for one font dict: /ToUnicode CMap when
+    embedded (authoritative per §9.10.2), else simple-font /Encoding
+    (name or dict-with-/Differences), else latin-1. A Type0 (CID)
+    font WITHOUT /ToUnicode is a typed error → quarantine, because
+    its codes are font-internal glyph indexes with no text meaning."""
+    font = pdf.resolve(font_obj)
+    if not isinstance(font, dict):
+        raise ValueError("pdf: /Font resource entry must be a dictionary")
+    tounicode = font.get("ToUnicode")
+    if tounicode is not None:
+        data = _stream_data(pdf, pdf.resolve(tounicode))
+        codespaces, mapping = _parse_cmap(data)
+        if not codespaces:
+            codespaces = [(b"\x00", b"\xff")]
+        return _FontDecoder(codespaces=codespaces, cmap=mapping)
+    if font.get("Subtype") == "Type0":
+        raise ValueError(
+            "pdf: CID-keyed Type0 font without /ToUnicode — glyph-to-"
+            "Unicode needs the font program's cmap/post tables"
+        )
+    enc = pdf.resolve(font.get("Encoding"))
+    if isinstance(enc, str):
+        return _FontDecoder(table=_base_encoding_table(enc))
+    if isinstance(enc, dict):
+        table = _base_encoding_table(
+            pdf.resolve(enc.get("BaseEncoding"))
+            if enc.get("BaseEncoding") is not None
+            else None
+        )
+        diffs = pdf.resolve(enc.get("Differences"))
+        if diffs is not None:
+            if not isinstance(diffs, list):
+                raise ValueError("pdf: /Differences must be an array")
+            code = 0
+            for item in diffs:
+                if isinstance(item, int):
+                    code = item
+                elif isinstance(item, str):
+                    if not 0 <= code <= 255:
+                        raise ValueError("pdf: /Differences code out of range")
+                    uni = _glyph_to_unicode(item)
+                    if uni is not None:
+                        table[code] = uni
+                    code += 1
+                else:
+                    raise ValueError("pdf: /Differences holds codes and names")
+        return _FontDecoder(table=table)
+    if enc is not None:
+        raise ValueError("pdf: /Encoding must be a name or dictionary")
+    return _LATIN1_DECODER
+
+
+def _page_font_decoders(pdf: "_Pdf", resources, cache: dict) -> dict:
+    """Resolve a page's /Resources /Font dict into {name: decoder},
+    caching per indirect object number so a font shared across pages
+    parses its CMap once."""
+    fonts: dict[str, _FontDecoder] = {}
+    res = pdf.resolve(resources)
+    if not isinstance(res, dict):
+        return fonts
+    font_dict = res.get("Font")
+    if isinstance(font_dict, _Ref):
+        font_dict = pdf.resolve(font_dict)
+    if not isinstance(font_dict, dict):
+        return fonts
+    for name, ref in font_dict.items():
+        key = ref.num if isinstance(ref, _Ref) else None
+        if key is not None and key in cache:
+            fonts[name] = cache[key]
+            continue
+        dec = _font_decoder(pdf, ref)
+        if key is not None:
+            cache[key] = dec
+        fonts[name] = dec
+    return fonts
+
+
 _TEXT_SHOW_RE = re.compile(rb"Tj|TJ|T\*|Td|TD|'|\"")
 
 
-def _content_text(content: bytes) -> list[str]:
+def _content_text(content: bytes, fonts: dict | None = None) -> list[str]:
     """Walk a content stream, collecting text-show strings; line-move
-    operators (Td/TD/T*/'/\") emit a word-boundary marker."""
+    operators (Td/TD/T*/'/\") emit a word-boundary marker. ``fonts``
+    maps resource names (/F1) to _FontDecoders; the ``Tf`` operator
+    switches the active decoder, and show-string bytes (recovered via
+    the latin-1 byte↔str bijection the parser uses) are mapped through
+    it — round 14's font-encoding-aware path."""
     pieces: list[str] = []
     pos = 0
     n = len(content)
-    pending: list[str] = []  # string operands awaiting their operator
+    pending: list[bytes] = []  # raw show-string operands awaiting their operator
+    last_name: str | None = None  # most recent name operand (Tf's font)
+    cur = _LATIN1_DECODER
     while pos < n:
         c = content[pos]
         if c in _WS:
@@ -977,19 +1513,21 @@ def _content_text(content: bytes) -> list[str]:
             continue
         if c == 0x28:  # string operand
             s, pos = _parse_string(content, pos)
-            pending.append(s)
+            pending.append(s.encode("latin-1"))
             continue
         if c == 0x5B:  # array operand (TJ): strings + kerning numbers
             arr, pos = _parse_object(content, pos)
-            pending.append("".join(x for x in arr if isinstance(x, str)))
+            pending.extend(
+                x.encode("latin-1") for x in arr if isinstance(x, str)
+            )
             continue
         if c == 0x3C:  # <hex> show operand or <<dict>> (BDC property list)
             v, pos = _parse_object(content, pos)
             if isinstance(v, str):  # hex string: a show operand like (…)
-                pending.append(v)
+                pending.append(v.encode("latin-1"))
             continue
         if c == 0x2F:  # name operand (/F1)
-            _, pos = _parse_object(content, pos)
+            last_name, pos = _parse_object(content, pos)
             continue
         m = re.match(rb"[+-]?\d+(\.\d*)?|[+-]?\.\d+", content[pos:])
         if m:
@@ -1001,13 +1539,15 @@ def _content_text(content: bytes) -> list[str]:
             end += 1
         op = content[pos:end] if end > pos else content[pos : pos + 1]
         pos = max(end, pos + 1)
-        if op in (b"Tj", b"'", b'"'):
-            pieces.extend(pending)
+        if op == b"Tf" and fonts is not None and last_name is not None:
+            cur = fonts.get(last_name, _LATIN1_DECODER)
+        elif op in (b"Tj", b"'", b'"'):
+            pieces.extend(cur.decode(s) for s in pending)
             pieces.append(" ")  # ' and " imply a line move; Tj gets T*
             if op == b"Tj":
                 pieces.pop()  # Tj itself moves nothing
         elif op == b"TJ":
-            pieces.extend(pending)
+            pieces.extend(cur.decode(s) for s in pending)
         elif op in (b"Td", b"TD", b"T*"):
             pieces.append(" ")
         pending = []
@@ -1020,27 +1560,30 @@ def pdf_text(payload: bytes, max_pages: int = 10_000) -> str:
     pdf = _Pdf(bytes(payload))
     root = pdf.resolve(pdf.obj(pdf.root_num))
     pages_obj = pdf.resolve(root.get("Pages"))
-    page_nums: list[int] = []
+    page_nums: list[tuple[object, object]] = []  # (contents, resources)
 
-    def _walk(node_dict) -> None:
+    def _walk(node_dict, inherited_res) -> None:
         node_type = node_dict.get("Type")
+        res = node_dict.get("Resources", inherited_res)  # §7.8.3 inheritance
         if node_type == "Pages":
             for kid in node_dict.get("Kids", []):
                 if len(page_nums) > max_pages:
                     raise ValueError("pdf: page count exceeds bomb guard")
                 kid_obj = pdf.resolve(kid)
-                _walk(kid_obj)
+                _walk(kid_obj, res)
         elif node_type == "Page":
             contents = node_dict.get("Contents")
-            page_nums.append(contents)
+            page_nums.append((contents, res))
         else:
             raise ValueError(f"pdf: unexpected page-tree node {node_type!r}")
 
-    _walk(pages_obj)
+    _walk(pages_obj, None)
     pieces: list[str] = []
-    for contents in page_nums:
+    font_cache: dict = {}
+    for contents, res in page_nums:
         refs = contents if isinstance(contents, list) else [contents]
         data = b"".join(_stream_data(pdf, pdf.resolve(r)) for r in refs)
-        pieces.extend(_content_text(data))
+        fonts = _page_font_decoders(pdf, res, font_cache) if res is not None else None
+        pieces.extend(_content_text(data, fonts))
         pieces.append(" ")
     return " ".join("".join(pieces).split())

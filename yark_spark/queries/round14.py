@@ -1,0 +1,55 @@
+"""Round-14 operator batch (VERDICT r13 next-round list): the last
+real-input extraction gaps and the lakehouse WRITE loop — PDF
+font-encoding-aware text (ToUnicode CMaps, /Encoding Differences,
+Identity-H CID fonts), ORC LIST/MAP columns, Iceberg partition-spec
+transforms + v1 tables, Delta checkpoint writing + deletion vectors,
+parquet page-index pruning across repeated (LIST) columns, and a
+scoped-honest brotli content-coding.
+
+Reference parity note: the reference archiver (SupBlizard/yark,
+768 LoC) stores fetched payloads opaquely; these keys extend the
+driver-mandated training-data-pipeline surface (SURVEY.md §2.8),
+each with a DuckDB oracle re-deriving the semantics from the same
+parquet tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yark_spark.io import load_table
+from yark_spark.registry import query
+
+_PDF_FONTS_ORACLE = (
+    "SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS font_mode, "
+    "CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 400"
+)
+
+
+@query("q_pdf_extract_fonts", oracle=_PDF_FONTS_ORACLE)
+def q_pdf_extract_fonts(spark, sf_dir):
+    """E142 PDF font-encoding-aware extraction (round 14, VERDICT r13
+    item #1): documents written into real PDFs whose FONT arrangement
+    cycles per doc_id % 4 — (0) the classic latin-1 Helvetica, (1) a
+    subset-style scrambled font (show-string bytes = text XOR 0x80)
+    recoverable ONLY through its embedded /ToUnicode CMap stream
+    (codespacerange, bfchar pairs, bfrange in both the incrementing-
+    destination and per-code ARRAY forms, Flate-compressed), (2) a
+    simple font whose /Encoding dict remaps every glyph via
+    /Differences over /BaseEncoding /WinAnsiEncoding (AGL names and
+    algorithmic uniXXXX forms alternating, space riding the base
+    table), (3) an /Identity-H Type0 CID font with 2-byte codes
+    (= ord + 0x1234) mapped through a 2-byte-codespace ToUnicode CMap,
+    literal-with-octal-escape and hex show strings alternating per
+    line. Born-digital PDFs overwhelmingly embed subset fonts whose
+    byte codes are font-internal, so the pre-round-14 latin-1 decode
+    produced mojibake on 3 of these 4 arrangements — the oracle digest
+    (md5 of the ORIGINAL text) passes only if every glyph-to-Unicode
+    path is exact (operators/pdf.py). Map-only mapInPandas both
+    stages."""
+    from yark_spark.operators.multimodal import pdf_extract_features, with_pdf_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    out = pdf_extract_features(with_pdf_payload(docs, fonts="cycle"))
+    return out.withColumn("font_mode", (F.col("doc_id") % 4).cast("int"))
