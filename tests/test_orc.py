@@ -77,14 +77,14 @@ def test_column_subset_and_missing():
         orc_read_columns(blob, ["nope"])
 
 
-def test_nested_column_typed_boundary():
+def test_nested_column_list_decodes_since_r14():
+    # LIST was the typed boundary through round 13; round 14 decodes it
     t = pa.table({"x": pa.array([1, 2]), "v": pa.array([[1.0], [2.0, 3.0]])})
     blob = _write(t)
     assert orc_read_columns(blob, ["x"])["x"] == [1, 2]
-    with pytest.raises(NotImplementedError, match="LIST"):
-        orc_read_columns(blob, ["v"])
-    # default column set skips the nested child silently
-    assert set(orc_read_columns(blob)) == {"x"}
+    assert orc_read_columns(blob, ["v"])["v"] == [[1.0], [2.0, 3.0]]
+    # default column set now includes repeated columns
+    assert set(orc_read_columns(blob)) == {"x", "v"}
 
 
 def test_nested_typed_boundary():
@@ -466,3 +466,139 @@ def test_nested_struct_dotted_paths_on_orc_cpp_wire():
     assert cols["d.x.y"] == [7, None, None, 9]
     # the GROUP itself stays typed; default selection = flat leaves
     assert sorted(orc_read_columns(buf.getvalue()).keys()) == ["k"]
+
+
+# ---------------------------------------------------------------------------
+# Round 14: LIST / MAP repeated columns (fixtures written by ORC_CPP)
+# ---------------------------------------------------------------------------
+
+
+def _repeated_table():
+    import pyarrow as pa
+
+    rows = 50
+    rng = random.Random(7)
+    emb = []
+    for i in range(rows):
+        if i % 11 == 3:
+            emb.append(None)  # null row
+        elif i % 11 == 7:
+            emb.append([])  # empty list
+        else:
+            v = [round(rng.uniform(-1, 1), 6) for _ in range(8)]
+            if i % 5 == 0:
+                v[2] = None  # null element
+            emb.append(v)
+    ints = [
+        None if i % 13 == 5 else [i, i * 2, None if i % 4 == 0 else i * 3]
+        for i in range(rows)
+    ]
+    maps = [
+        None if i % 17 == 2 else {f"k{j}": i * 10 + j for j in range(i % 4)}
+        for i in range(rows)
+    ]
+    lol = [
+        None if i % 19 == 4 else [[i, 1], [], [2, None, 3]][: (i % 3) + 1]
+        for i in range(rows)
+    ]
+    strs = [None if i % 7 == 1 else [f"s{i}", "", f"val{i % 5}"] for i in range(rows)]
+    t = pa.table(
+        {
+            "id": pa.array(range(rows), pa.int64()),
+            "emb": pa.array(emb, pa.list_(pa.float32())),
+            "ints": pa.array(ints, pa.list_(pa.int64())),
+            "m": pa.array(maps, pa.map_(pa.string(), pa.int64())),
+            "lol": pa.array(lol, pa.list_(pa.list_(pa.int32()))),
+            "strs": pa.array(strs, pa.list_(pa.string())),
+        }
+    )
+    return t, emb, ints, maps, lol, strs
+
+
+@pytest.mark.parametrize(
+    "compression", ["uncompressed", "zlib", "snappy", "zstd", "lz4"]
+)
+def test_list_map_on_orc_cpp_wire(compression):
+    """LIST/MAP differential over real ORC_CPP wire: null row, empty
+    list, null element, list<list<…>>, map<string,int64>, list<string>
+    — every cell value-compared, all five chunk codecs."""
+    import struct as st
+
+    t, emb, ints, maps, lol, strs = _repeated_table()
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression=compression)
+    got = orc_read_columns(buf.getvalue())
+    assert got["id"] == list(range(50))
+
+    def f32(x):
+        return None if x is None else st.unpack("<f", st.pack("<f", x))[0]
+
+    assert got["emb"] == [
+        None if e is None else [f32(x) for x in e] for e in emb
+    ]
+    assert got["ints"] == ints
+    assert got["m"] == maps
+    assert got["lol"] == lol
+    assert got["strs"] == strs
+
+
+def test_list_map_multi_stripe():
+    import pyarrow as pa
+
+    rows = 3000
+    vals = [
+        None if i % 97 == 13 else [i % 7, None if i % 31 == 4 else i]
+        for i in range(rows)
+    ]
+    t = pa.table(
+        {
+            "id": pa.array(range(rows), pa.int64()),
+            "v": pa.array(vals, pa.list_(pa.int64())),
+        }
+    )
+    buf = io.BytesIO()
+    orc.write_table(t, buf, stripe_size=1024)  # forces several stripes
+    got = orc_read_columns(buf.getvalue())
+    assert got["id"] == list(range(rows))
+    assert got["v"] == vals
+
+
+def test_struct_inside_list_stays_typed():
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "id": [1, 2],
+            "xs": pa.array(
+                [[{"a": 1}], [{"a": 2}]],
+                pa.list_(pa.struct([("a", pa.int64())])),
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    orc.write_table(t, buf)
+    with pytest.raises(NotImplementedError, match="STRUCT"):
+        orc_read_columns(buf.getvalue(), ["xs"])
+
+
+def test_list_under_struct_parent_presence():
+    """A LIST nested under a nullable STRUCT weaves through the
+    ancestor presence chain like any other dotted leaf."""
+    import pyarrow as pa
+
+    s_t = pa.struct([("xs", pa.list_(pa.int64())), ("k", pa.int64())])
+    t = pa.table(
+        {
+            "id": [1, 2, 3, 4],
+            "s": pa.array(
+                [{"xs": [1, 2], "k": 9}, None, {"xs": None, "k": 8},
+                 {"xs": [], "k": 7}],
+                type=s_t,
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    orc.write_table(t, buf)
+    cols = orc_read_columns(buf.getvalue(), ["id", "s.xs", "s.k"])
+    assert cols["s.xs"] == [[1, 2], None, None, []]
+    assert cols["s.k"] == [9, None, 8, 7]

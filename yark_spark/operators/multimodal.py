@@ -2308,6 +2308,154 @@ def orc_scan_listing(
     )
 
 
+def with_orc_vector_shards(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    vecs_per_shard: int = 25,
+) -> DataFrame:
+    """Pack embedding vectors into ORC shards WRITTEN BY THE REAL
+    LIBRARY (pyarrow's ORC_CPP) carrying a ``list<float>`` embedding
+    column AND a ``map<string,int64>`` metadata column — the repeated
+    shapes round 14 adds to the from-scratch reader. Deterministic
+    null grammar so the oracle can re-derive every cell: vec_id%25==13
+    nulls the row (embedding AND map), %25==18 writes an EMPTY list,
+    %25==21 nulls element [3]. Compression cycles all five codecs per
+    shard. One applyInPandas per shard group — the grouping shuffle
+    IS the shard assignment."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io as _io
+
+        import pyarrow as _pa
+        import pyarrow.orc as _orc
+
+        pdf = pdf.sort_values(id_col)
+        embs, metas = [], []
+        for vid, e, lab in zip(pdf[id_col], pdf[emb_col], pdf[label_col]):
+            vid = int(vid)
+            if vid % 25 == 13:
+                embs.append(None)
+                metas.append(None)
+                continue
+            if vid % 25 == 18:
+                embs.append([])
+            else:
+                v = [float(x) for x in e]
+                if vid % 25 == 21 and len(v) > 3:
+                    v[3] = None
+                embs.append(v)
+            metas.append({"label": int(lab), "mod": vid % 7})
+        t = _pa.table(
+            {
+                "vec_id": _pa.array([int(v) for v in pdf[id_col]], _pa.int64()),
+                "embedding": _pa.array(embs, _pa.list_(_pa.float32())),
+                "meta": _pa.array(metas, _pa.map_(_pa.string(), _pa.int64())),
+            }
+        )
+        sid = int(pdf[id_col].iloc[0]) // vecs_per_shard
+        comp = ["uncompressed", "zlib", "snappy", "zstd", "lz4"][sid % 5]
+        buf = _io.BytesIO()
+        _orc.write_table(t, buf, compression=comp)
+        return pd.DataFrame({"shard_id": [sid], "payload": [buf.getvalue()]})
+
+    return (
+        df.select(F.col(id_col), F.col(emb_col), F.col(label_col))
+        .groupBy(F.floor(F.col(id_col) / vecs_per_shard).cast("long").alias("__s"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("shard_id", LongType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+    )
+
+
+ORC_VECTOR_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("dim", IntegerType()),
+        StructField("csum", LongType()),
+        StructField("label", IntegerType()),
+        StructField("mod7", IntegerType()),
+    ]
+)
+
+
+def orc_vector_listing(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode the repeated-column ORC shards with the from-scratch
+    reader (operators/orc round 14: LIST/MAP PRESENT + LENGTH stream
+    assembly, recursive through the anonymous child types) — emitting
+    per vector the dimension, the integer-exact checksum Σ floor(x·10⁶)
+    over non-null elements, and two values READ BACK THROUGH THE MAP
+    column. Null row → (dim -1, csum 0, label -1, mod7 -1); empty
+    list → dim 0; null element skips its term — each distinct wire
+    state lands in a distinct oracle-checkable value. Map-only
+    mapInPandas; one task decodes one shard."""
+    import math as _math
+
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import orc as _orc_mod
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import tfrecord as _tf
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()
+    _orc_mod._bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_tf)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_orc_mod)
+    _read = _orc_mod.orc_read_columns
+    _floor = _math.floor
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, dims, csums, labels, mods = [], [], [], [], []
+            for p in pdf[payload_col]:
+                cols = _read(bytes(p), ["vec_id", "embedding", "meta"])
+                for vid, emb, meta in zip(
+                    cols["vec_id"], cols["embedding"], cols["meta"]
+                ):
+                    ids.append(int(vid))
+                    if emb is None:
+                        dims.append(-1)
+                        csums.append(0)
+                    else:
+                        dims.append(len(emb))
+                        csums.append(
+                            sum(
+                                _floor(float(x) * 1_000_000)
+                                for x in emb
+                                if x is not None
+                            )
+                        )
+                    if meta is None:
+                        labels.append(-1)
+                        mods.append(-1)
+                    else:
+                        labels.append(int(meta["label"]))
+                        mods.append(int(meta["mod"]))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.array(ids, dtype="int64"),
+                    "dim": np.array(dims, dtype="int32"),
+                    "csum": np.array(csums, dtype="int64"),
+                    "label": np.array(labels, dtype="int32"),
+                    "mod7": np.array(mods, dtype="int32"),
+                }
+            )
+
+    return df.select(F.col(payload_col)).mapInPandas(_extract, ORC_VECTOR_SCHEMA)
+
+
 DELTA_SNAPSHOT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -381,19 +381,33 @@ def _orc_open(b: bytes, max_output: int) -> dict:
     col_kind: dict[int, str] = {}
     col_name: dict[str, int] = {}
     parents: dict[str, list[int]] = {}
+    children: dict[int, list[int]] = {}
 
-    def _walk(tid: int, prefix: str, chain: list[int]) -> None:
+    def _walk(tid: int, prefix: str | None, chain: list[int]) -> None:
         kind = _KINDS.get(_one(types[tid], 1, -1))
         col_kind[tid] = kind
+        sub = _packed_or_repeated_uints(types[tid], 2)
+        children[tid] = list(sub)
         if kind == "STRUCT":
             # non-repeated nesting: children live under dotted names
             # ("s.a"), each ancestor contributing a presence level —
             # the parquet dotted-path recipe on this substrate
-            # (round 13 s3). LIST/MAP/UNION subtrees stay typed.
-            sub = _packed_or_repeated_uints(types[tid], 2)
+            # (round 13 s3). Anonymous subtrees (under LIST/MAP) keep
+            # kinds/children but register no dotted names.
             sub_names = [bytes(v).decode("utf-8") for v in types[tid].get(3, [])]
             for nm, child in zip(sub_names, sub):
-                _walk(child, f"{prefix}.{nm}" if prefix else nm, chain + [tid])
+                _walk(
+                    child,
+                    (f"{prefix}.{nm}" if prefix else nm)
+                    if prefix is not None
+                    else None,
+                    chain + [tid],
+                )
+        elif kind in ("LIST", "MAP"):
+            # repeated nesting (round 14): children are anonymous —
+            # the LENGTH stream on this node maps rows to child runs
+            for child in sub:
+                _walk(child, None, chain + [tid])
         if prefix:
             col_name[prefix] = tid
             parents[prefix] = chain
@@ -407,6 +421,7 @@ def _orc_open(b: bytes, max_output: int) -> dict:
         "names": names,
         "col_name": col_name,
         "col_kind": col_kind,
+        "children": children,
         "parents": parents,
         "metadata_span": (footer_end - footer_len - metadata_len, footer_end - footer_len),
     }
@@ -423,13 +438,17 @@ def _orc_read_stripes(
     names, col_name, col_kind = f["names"], f["col_name"], f["col_kind"]
     parents = f.get("parents", {})
     wanted = columns if columns is not None else [
-        n for n in names if col_kind[col_name[n]] in _PRIMITIVE
+        n
+        for n in names
+        if col_kind[col_name[n]] in _PRIMITIVE
+        or col_kind[col_name[n]] in ("LIST", "MAP")
     ]
+    children = f.get("children", {})
     for c in wanted:
         if c not in col_name:
             raise ValueError(f"orc: column {c!r} not in schema")
         kind = col_kind[col_name[c]]
-        if kind not in _PRIMITIVE:
+        if kind not in _PRIMITIVE and kind not in ("LIST", "MAP"):
             raise NotImplementedError(f"orc: column type {kind} not supported")
 
     out: dict[str, list] = {c: [] for c in wanted}
@@ -479,10 +498,16 @@ def _orc_read_stripes(
                 )
                 levels.append(pres)
                 n_level = sum(pres)
-            vals = _decode_column(
-                kind, enc_kind, encodings[cid][1] if cid < len(encodings) else 0,
-                streams, cid, n_level, compression, max_output,
-            )
+            if kind in ("LIST", "MAP"):
+                vals = _decode_node(
+                    col_kind, children, encodings, streams, cid, n_level,
+                    compression, max_output,
+                )
+            else:
+                vals = _decode_column(
+                    kind, enc_kind, encodings[cid][1] if cid < len(encodings) else 0,
+                    streams, cid, n_level, compression, max_output,
+                )
             for pres in reversed(levels):
                 it = iter(vals)
                 vals = [next(it) if p else None for p in pres]
@@ -690,6 +715,76 @@ def _decode_column(
         raise ValueError("orc: decoded value count mismatch")
     it = iter(vals)
     return [next(it) if p else None for p in present]
+
+
+def _decode_node(
+    col_kind, children, encodings, streams, tid, n_rows, compression, max_output
+) -> list:
+    """Recursive typed decode for repeated columns (round 14): a LIST
+    node carries PRESENT + LENGTH (unsigned RLEv2, one entry per
+    present row) and one anonymous child holding Σlengths values; a
+    MAP node carries the same LENGTH over its (key, value) child pair.
+    Children recurse — list<list<…>>, map<k, list<v>>, and primitive
+    leaves (which keep their own PRESENT for null elements) all
+    assemble from the same two streams. Null row / empty container /
+    null element are distinct, mirroring the parquet rep/def
+    semantics (parquet_data.py E130'')."""
+    kind = col_kind.get(tid)
+    if kind in _PRIMITIVE:
+        enc = encodings[tid] if tid < len(encodings) else (0, 0)
+        return _decode_column(
+            kind, enc[0], enc[1], streams, tid, n_rows, compression, max_output
+        )
+    if kind not in ("LIST", "MAP"):
+        raise NotImplementedError(f"orc: column type {kind} not supported")
+    enc_kind = encodings[tid][0] if tid < len(encodings) else 0
+    if enc_kind not in (2, 3):  # DIRECT_V2 / DICTIONARY_V2 families
+        raise NotImplementedError("orc: RLEv1 length streams not supported")
+    present_raw = _stream(streams, tid, _PRESENT, compression, max_output)
+    present = (
+        _bool_rle(present_raw, n_rows) if present_raw is not None else [True] * n_rows
+    )
+    n_present = sum(present)
+    len_raw = _stream(streams, tid, _LENGTH, compression, max_output)
+    if len_raw is None:
+        raise ValueError(f"orc: {kind} column {tid} has no LENGTH stream")
+    lengths = _rlev2(len_raw, n_present, signed=False)
+    total = sum(lengths)
+    sub = children.get(tid, [])
+    if kind == "LIST":
+        if len(sub) != 1:
+            raise ValueError("orc: LIST type must have exactly one child")
+        flat = _decode_node(
+            col_kind, children, encodings, streams, sub[0], total,
+            compression, max_output,
+        )
+    else:
+        if len(sub) != 2:
+            raise ValueError("orc: MAP type must have exactly two children")
+        keys = _decode_node(
+            col_kind, children, encodings, streams, sub[0], total,
+            compression, max_output,
+        )
+        mvals = _decode_node(
+            col_kind, children, encodings, streams, sub[1], total,
+            compression, max_output,
+        )
+    out: list = []
+    at = 0
+    li = iter(lengths)
+    for p in present:
+        if not p:
+            out.append(None)
+            continue
+        ln = next(li)
+        if kind == "LIST":
+            out.append(flat[at : at + ln])
+        else:
+            out.append(dict(zip(keys[at : at + ln], mvals[at : at + ln])))
+        at += ln
+    if at != total:
+        raise ValueError("orc: repeated-column length mismatch")
+    return out
 
 
 # ---------------------------------------------------------------------------
