@@ -229,8 +229,17 @@ def test_manifest_length_mismatch_is_typed():
         iceberg_snapshot_rows(_table(tamper_manifest_length=True), ["doc_id"])
 
 
-def test_format_version_1_is_boundary():
+def test_format_version_3_is_boundary():
+    # v1 reads since round 14 (see test_iceberg_transforms.py); v3
+    # (deletion vectors et al.) stays typed
     with pytest.raises(NotImplementedError, match="format-version"):
+        iceberg_snapshot_rows(_table(format_version=3), ["doc_id"])
+
+
+def test_v1_with_delete_manifests_is_corrupt():
+    # a table CLAIMING v1 but carrying delete manifests is malformed:
+    # sequence numbers / row-level deletes arrived with v2
+    with pytest.raises(ValueError, match="v1 tables cannot carry delete"):
         iceberg_snapshot_rows(_table(format_version=1), ["doc_id"])
 
 

@@ -39,13 +39,25 @@ manifest tree is the index, and delete application is a per-data-file
 semi-join — here a per-file set lookup inside a map-only task, on a
 cluster a broadcast of the (small) delete-file row sets.
 
-Documented typed boundaries: format-version 1 tables, partition-spec
-transforms (fixtures are unpartitioned — ``partition_spec_id`` 0),
-and snapshot ``operation`` values beyond append/overwrite raise
-``NotImplementedError``; a metadata tree referencing a missing member
-or a manifest whose length disagrees with the member is a corrupt
-table (typed ``ValueError``), mirroring the size cross-check real
-readers run before issuing ranged reads.
+Round 14 closes two of the round-13 boundaries: **format-version 1
+tables** read through the same resolver (v1 manifests carry no
+sequence numbers — every entry plans at sequence 0 — and no delete
+manifests exist by definition), and **partition-spec transforms** per
+spec Appendix B — ``identity``, ``bucket[N]`` (Murmur3 x86 32-bit of
+the value's single-value serialization, ``(hash & Int.MAX) % N``),
+``truncate[W]`` (floored multiple for ints/longs, codepoint prefix
+for strings), and the temporal family ``year``/``month``/``day``/
+``hour`` (calendar offsets from the Unix epoch, micros in). The
+planner reads the metadata's ``partition-specs``, transforms the
+probe's SOURCE value, and prunes manifests/files on the TRANSFORMED
+key — with field-summary bounds decoded at the transform's RESULT
+type width (temporal/bucket results are 4-byte ints on the wire,
+long identity/truncate stay 8). Remaining typed boundaries: snapshot
+``operation`` values beyond append/overwrite/delete, multi-field
+partition specs, and ``void``-transformed probes; a metadata tree
+referencing a missing member or a manifest whose length disagrees
+with the member is a corrupt table (typed ``ValueError``), mirroring
+the size cross-check real readers run before issuing ranged reads.
 
 Reference parity note: the reference archiver tracks files as SQLite
 rows (/root/reference/cmds/archive.py); table-format snapshot
@@ -64,8 +76,14 @@ from yark_spark.operators.parquet_data import parquet_read_columns
 __all__ = [
     "MANIFEST_LIST_SCHEMA",
     "MANIFEST_SCHEMA",
+    "V1_MANIFEST_LIST_SCHEMA",
+    "V1_MANIFEST_SCHEMA",
+    "iceberg_bucket",
     "iceberg_plan_snapshot",
     "iceberg_snapshot_rows",
+    "iceberg_transform",
+    "murmur3_x86_32",
+    "transform_result_width",
 ]
 
 # Avro schemas for the two metadata file shapes, following the spec's
@@ -117,6 +135,44 @@ MANIFEST_SCHEMA = {
     ],
 }
 
+# v1 shapes (round 14): no sequence numbers, no content field — the
+# pre-row-level-delete wire real warehouses still carry everywhere.
+V1_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+    ],
+}
+
+V1_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": "long"},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
 _EXISTING, _ADDED, _DELETED = 0, 1, 2
 
 
@@ -140,10 +196,10 @@ def iceberg_plan_snapshot(
     if len(meta_names) != 1:
         raise ValueError("iceberg: expected exactly one *.metadata.json member")
     meta = json.loads(members[meta_names[0]].decode("utf-8"))
-    if meta.get("format-version") != 2:
+    fmt = meta.get("format-version")
+    if fmt not in (1, 2):
         raise NotImplementedError(
-            f"iceberg: format-version {meta.get('format-version')} "
-            "(v2 metadata trees only)"
+            f"iceberg: format-version {fmt} (v1/v2 metadata trees only)"
         )
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
@@ -176,12 +232,19 @@ def iceberg_plan_snapshot(
         for entry in avro_records(blob):
             if entry["status"] == _DELETED:
                 continue
-            seq = entry["sequence_number"]
-            if seq is None:
-                # v2 sequence-number inheritance: a null entry number
-                # takes the manifest-list's number (the sequence the
-                # manifest was added at, preserved across reuse).
-                seq = mf["sequence_number"]
+            if fmt == 1:
+                # v1 manifests carry NO sequence numbers (the concept
+                # arrived with v2's row-level deletes): every entry
+                # plans at sequence 0, and delete manifests cannot
+                # exist — content defaults cover both.
+                seq = 0
+            else:
+                seq = entry["sequence_number"]
+                if seq is None:
+                    # v2 sequence-number inheritance: a null entry number
+                    # takes the manifest-list's number (the sequence the
+                    # manifest was added at, preserved across reuse).
+                    seq = mf["sequence_number"]
             df = entry["data_file"]
             if df["file_format"].upper() != "PARQUET":
                 raise NotImplementedError(
@@ -190,16 +253,18 @@ def iceberg_plan_snapshot(
             rec = {
                 "path": df["file_path"],
                 "seq": seq,
-                "content": df["content"],
+                "content": df.get("content", 0),
                 "record_count": df["record_count"],
                 "size": df["file_size_in_bytes"],
                 "equality_ids": df.get("equality_ids"),
             }
-            if mf["content"] == 0:
-                if df["content"] != 0:
+            if mf.get("content", 0) == 0:
+                if rec["content"] != 0:
                     raise ValueError("iceberg: delete file in a data manifest")
                 data_files.append(rec)
             else:
+                if fmt == 1:
+                    raise ValueError("iceberg: v1 tables cannot carry delete manifests")
                 if df["content"] not in (1, 2):
                     raise ValueError("iceberg: data file in a delete manifest")
                 delete_files.append(rec)
@@ -354,34 +419,211 @@ PARTITIONED_MANIFEST_SCHEMA = {
 }
 
 
-def partition_bound(v: int) -> bytes:
-    """Iceberg single-value serialization of a long (8-byte LE)."""
-    return int(v).to_bytes(8, "little", signed=True)
+def partition_bound(v: int, width: int = 8) -> bytes:
+    """Iceberg single-value serialization of an int/long (LE two's
+    complement; temporal/bucket transform RESULTS are 4-byte ints,
+    identity/truncate over longs stay 8)."""
+    return int(v).to_bytes(width, "little", signed=True)
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec transforms (round 14) — spec Appendix B
+# ---------------------------------------------------------------------------
+
+_MASK32 = 0xFFFFFFFF
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (public domain, Austin Appleby) — the
+    hash Iceberg's bucket transform mandates (spec Appendix B). Signed
+    32-bit result."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & _MASK32
+    n = len(data)
+    rounds = n // 4
+    for i in range(rounds):
+        k = int.from_bytes(data[4 * i : 4 * i + 4], "little")
+        k = (k * c1) & _MASK32
+        k = ((k << 15) | (k >> 17)) & _MASK32
+        k = (k * c2) & _MASK32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _MASK32
+        h = (h * 5 + 0xE6546B64) & _MASK32
+    tail = data[4 * rounds :]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & _MASK32
+        k = ((k << 15) | (k >> 17)) & _MASK32
+        k = (k * c2) & _MASK32
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _MASK32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _MASK32
+    h ^= h >> 16
+    return h - (1 << 32) if h & 0x80000000 else h
+
+
+def iceberg_bucket(value, n: int, src_type: str = "long") -> int:
+    """bucket[N]: ``(murmur3_x86_32(serialized) & Int.MAX) % N``.
+    int/long/date/time/timestamp hash their 8-byte little-endian long
+    form; strings hash raw UTF-8 (spec: hashes must agree across the
+    int→long promotion, hence the shared 8-byte form)."""
+    if src_type in ("int", "long", "date", "time", "timestamp", "timestamptz"):
+        raw = int(value).to_bytes(8, "little", signed=True)
+    elif src_type == "string":
+        raw = str(value).encode("utf-8")
+    elif src_type in ("binary", "fixed"):
+        raw = bytes(value)
+    else:
+        raise NotImplementedError(f"iceberg: bucket over {src_type!r}")
+    return (murmur3_x86_32(raw) & 0x7FFFFFFF) % n
+
+
+_MICROS_PER_HOUR = 3_600_000_000
+_MICROS_PER_DAY = 86_400_000_000
+
+_TRANSFORM_RE = None  # lazy-compiled (keeps import cheap)
+
+
+def iceberg_transform(transform: str, value, src_type: str = "long"):
+    """Apply a partition transform to a source value. Temporal
+    transforms take timestamp MICROS (or date DAYS for ``date``
+    sources) and return calendar offsets from the Unix epoch — year/
+    month as year/month counts, day as epoch days, hour as epoch
+    hours — all floored toward -inf like the spec's Java impl."""
+    global _TRANSFORM_RE
+    if _TRANSFORM_RE is None:
+        import re as _re
+
+        _TRANSFORM_RE = _re.compile(r"^(identity|void|year|month|day|hour)$|^(bucket|truncate)\[(\d+)\]$")
+    m = _TRANSFORM_RE.match(transform)
+    if not m:
+        raise NotImplementedError(f"iceberg: unknown transform {transform!r}")
+    if value is None:
+        return None
+    if m.group(1) == "identity":
+        return value
+    if m.group(1) == "void":
+        return None
+    if m.group(2) == "bucket":
+        return iceberg_bucket(value, int(m.group(3)), src_type)
+    if m.group(2) == "truncate":
+        w = int(m.group(3))
+        if w <= 0:
+            raise ValueError("iceberg: truncate width must be positive")
+        if src_type in ("int", "long"):
+            return int(value) - (int(value) % w)  # Python % floors: W·⌊v/W⌋
+        if src_type == "string":
+            return str(value)[:w]
+        raise NotImplementedError(f"iceberg: truncate over {src_type!r}")
+    # temporal family
+    if src_type == "date":
+        days = int(value)
+    elif src_type in ("timestamp", "timestamptz"):
+        days = int(value) // _MICROS_PER_DAY
+    else:
+        raise NotImplementedError(
+            f"iceberg: temporal transform over {src_type!r}"
+        )
+    kind = m.group(1)
+    if kind == "day":
+        return days
+    if kind == "hour":
+        if src_type == "date":
+            raise ValueError("iceberg: hour transform needs a timestamp source")
+        return int(value) // _MICROS_PER_HOUR
+    import datetime as _dt
+
+    d = _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+    if kind == "year":
+        return d.year - 1970
+    return (d.year - 1970) * 12 + (d.month - 1)  # month
+
+
+def transform_result_width(transform: str, src_type: str = "long") -> int:
+    """Byte width of the transform RESULT's single-value serialization
+    (field-summary bounds wire): temporal + bucket results are ints
+    (4), identity/truncate keep the source width."""
+    if transform in ("year", "month", "day", "hour") or transform.startswith(
+        "bucket["
+    ):
+        return 4
+    if src_type == "int":
+        return 4
+    return 8
 
 
 def iceberg_partition_scan(
-    tar_payload: bytes, columns: list[str], part_value: int
+    tar_payload: bytes,
+    columns: list[str],
+    part_value=None,
+    source_value=None,
 ) -> tuple[list[dict], dict[str, int]]:
     """Scan one partition of a partitioned table: manifests whose
-    field summaries exclude ``part_value`` are never OPENED
+    field summaries exclude the partition key are never OPENED
     (manifests_skipped), entries whose partition struct mismatches
     are never READ (files_skipped), and only the surviving parquet
-    decodes. Returns (rows, counters) — the counters are the plan
-    contract; at 100 TB this two-level prune is why an Iceberg query
-    over one partition costs O(one manifest + its files), not
-    O(table)."""
+    decodes. ``source_value`` gives the probe in SOURCE-column terms;
+    the planner reads the metadata's ``partition-specs``, applies the
+    spec's transform to it (round 14), and prunes on the TRANSFORMED
+    key — ``part_value`` passes an already-transformed key directly
+    (and is the identity-spec legacy form). Returns (rows, counters)
+    — the counters are the plan contract; at 100 TB this two-level
+    prune is why an Iceberg query over one partition costs O(one
+    manifest + its files), not O(table)."""
     members = dict(tar_members(tar_payload))
     meta_names = [n for n in members if n.endswith(".metadata.json")]
     if len(meta_names) != 1:
         raise ValueError("iceberg: expected exactly one *.metadata.json member")
     meta = json.loads(members[meta_names[0]].decode("utf-8"))
-    if meta.get("format-version") != 2:
-        raise NotImplementedError("iceberg: v2 metadata trees only")
+    if meta.get("format-version") not in (1, 2):
+        raise NotImplementedError("iceberg: v1/v2 metadata trees only")
     snap = next(
         s
         for s in meta["snapshots"]
         if s["snapshot-id"] == meta["current-snapshot-id"]
     )
+
+    # resolve the (single-field) partition spec: name, transform,
+    # source type — identity over "part" when no spec is declared
+    field_name, transform, src_type = "part", "identity", "long"
+    specs = meta.get("partition-specs")
+    if specs:
+        spec = next(
+            (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
+            specs[0],
+        )
+        fields = spec.get("fields", [])
+        if len(fields) != 1:
+            raise NotImplementedError(
+                "iceberg: multi-field partition specs not supported"
+            )
+        field_name = fields[0]["name"]
+        transform = fields[0]["transform"]
+        src_id = fields[0].get("source-id")
+        schema_id = meta.get("current-schema-id", 0)
+        schema = next(
+            s for s in meta.get("schemas", []) if s.get("schema-id") == schema_id
+        )
+        for f in schema["fields"]:
+            if f["id"] == src_id:
+                src_type = f["type"]
+                break
+    if source_value is not None:
+        part_key = iceberg_transform(transform, source_value, src_type)
+        if part_key is None:
+            raise ValueError("iceberg: void/null probe cannot select a partition")
+    else:
+        part_key = part_value
+    width = transform_result_width(transform, src_type)
+
     counters = {
         "manifests_total": 0,
         "manifests_skipped": 0,
@@ -390,7 +632,7 @@ def iceberg_partition_scan(
     }
     rows: list[dict] = []
     for mf in avro_records(_member(members, snap["manifest-list"])):
-        if mf["content"] != 0:
+        if mf.get("content", 0) != 0:
             continue
         counters["manifests_total"] += 1
         summaries = mf.get("partitions")
@@ -398,10 +640,15 @@ def iceberg_partition_scan(
             s0 = summaries[0]
             lo = s0.get("lower_bound")
             hi = s0.get("upper_bound")
-            if lo is not None and hi is not None:
+            if lo is not None and hi is not None and isinstance(part_key, int):
+                if len(lo) != width or len(hi) != width:
+                    raise ValueError(
+                        "iceberg: field-summary bound width mismatch for "
+                        f"{transform} (want {width} bytes)"
+                    )
                 lo_v = int.from_bytes(bytes(lo), "little", signed=True)
                 hi_v = int.from_bytes(bytes(hi), "little", signed=True)
-                if not lo_v <= part_value <= hi_v:
+                if not lo_v <= part_key <= hi_v:
                     counters["manifests_skipped"] += 1
                     continue
         blob = _member(members, mf["manifest_path"])
@@ -411,7 +658,7 @@ def iceberg_partition_scan(
             if entry["status"] == _DELETED:
                 continue
             df = entry["data_file"]
-            if df["partition"]["part"] != part_value:
+            if df["partition"][field_name] != part_key:
                 counters["files_skipped"] += 1
                 continue
             data = _member(members, df["file_path"])

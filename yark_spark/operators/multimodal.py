@@ -7406,6 +7406,274 @@ def iceberg_partition_scan_features(
     )
 
 
+ICEBERG_TRANSFORM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("transform", StringType()),
+        StructField("manifests_skipped", IntegerType()),
+        StructField("files_skipped", IntegerType()),
+        StructField("files_scanned", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+_ICE_DAY = 86_400_000_000
+_ICE_HOUR = 3_600_000_000
+
+
+def iceberg_transform_scan_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Iceberg partition-spec TRANSFORMS end-to-end (round 14, VERDICT
+    r13 item #3): every 64 docs become a partitioned table whose
+    metadata declares a real ``partition-specs`` entry, the transform
+    cycling per table — ``truncate[16]`` on the doc_id long, ``day``
+    / ``hour`` / ``month`` on a per-group timestamp column (rows
+    inside a group share the calendar bucket but not the instant, so
+    a formula that floors wrongly moves files between partitions).
+    The scan probes in SOURCE-column terms (a mid-bucket instant /
+    a mid-truncation long); the planner applies the spec's transform
+    (operators/iceberg.iceberg_transform) and must skip one manifest
+    via field summaries — whose bound bytes use the transform
+    RESULT's width: 4-byte ints for temporal results, 8-byte longs
+    for truncate — and two files via partition structs, decoding
+    exactly two. One applyInPandas per table group, map-only
+    resolve."""
+    _ice = _register_iceberg_modules()
+    from yark_spark.operators import avro_ocf as _avro
+    from yark_spark.operators import parquet_write as _pw
+
+    _cont = _register_container_modules()
+    _tar = _cont.tar_build
+    _write = _pw.parquet_write
+    _abuild = _avro.avro_build
+    _ml_schema = _ice.PARTITIONED_MANIFEST_LIST_SCHEMA
+    _bound = _ice.partition_bound
+    _scan = _ice.iceberg_partition_scan
+    _twidth = _ice.transform_result_width
+
+    def _build_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import datetime as _dt
+        import hashlib as _h
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 64
+        base = tid * 64
+        tname, field, src_id, src_type = [
+            ("truncate[16]", "doc_trunc", 1, "long"),
+            ("day", "ts_day", 3, "timestamp"),
+            ("hour", "ts_hour", 3, "timestamp"),
+            ("month", "ts_month", 3, "timestamp"),
+        ][tid % 4]
+
+        def _month_micros(m: int, day: int) -> int:
+            d = _dt.date(1970 + m // 12, m % 12 + 1, day)
+            return ((d - _dt.date(1970, 1, 1)).days) * _ICE_DAY
+
+        def _pv(g: int) -> int:  # partition value of group g
+            return base + 16 * g
+
+        def _ts(g: int, j: int) -> int:  # source instant for doc j of group g
+            if tname == "day":
+                return _pv(g) * _ICE_DAY + j * _ICE_HOUR
+            if tname == "hour":
+                return _pv(g) * _ICE_HOUR + j * 60_000_000
+            if tname == "month":
+                return _month_micros(_pv(g), 1 + j)
+            return ids[g * 16 + j] * 1_000_000  # truncate: ts is inert
+
+        # probe in SOURCE terms, landing mid-bucket inside group 2
+        if tname == "truncate[16]":
+            probe = base + 40
+        elif tname == "day":
+            probe = _pv(2) * _ICE_DAY + 7 * _ICE_HOUR + 123_000_000
+        elif tname == "hour":
+            probe = _pv(2) * _ICE_HOUR + 35 * 60_000_000
+        else:
+            probe = _month_micros(_pv(2), 20)
+
+        files = []
+        for k in range(8):
+            g = k // 2
+            rows = list(range(k * 8, k * 8 + 8))
+            blob = _write(
+                {
+                    "doc_id": [ids[j] for j in rows],
+                    "text": [texts[j] for j in rows],
+                    "ts": [_ts(g, j % 16) for j in rows],
+                },
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY", "ts": "INT64"},
+                codec="SNAPPY",
+            )
+            files.append((f"data/{field}={_pv(g)}/f{k}.parquet", _pv(g), blob))
+
+        m_schema = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"]},
+                {"name": "sequence_number", "type": ["null", "long"]},
+                {"name": "file_sequence_number", "type": ["null", "long"]},
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "data_file",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {
+                                "name": "partition",
+                                "type": {
+                                    "type": "record",
+                                    "name": "r102",
+                                    "fields": [{"name": field, "type": "long"}],
+                                },
+                            },
+                            {"name": "record_count", "type": "long"},
+                            {"name": "file_size_in_bytes", "type": "long"},
+                        ],
+                    },
+                },
+            ],
+        }
+
+        def _entry(path, pv, blob):
+            return {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {field: pv},
+                    "record_count": 8,
+                    "file_size_in_bytes": len(blob),
+                },
+            }
+
+        mA = _abuild(
+            m_schema, [_entry(p, pv, b) for p, pv, b in files[:4]], codec="deflate"
+        )
+        mB = _abuild(
+            m_schema, [_entry(p, pv, b) for p, pv, b in files[4:]], codec="deflate"
+        )
+        width = _twidth(tname, src_type)
+
+        def _mf(path, blob, lo, hi):
+            return {
+                "manifest_path": path,
+                "manifest_length": len(blob),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 1,
+                "added_files_count": 4,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "partitions": [
+                    {
+                        "contains_null": False,
+                        "lower_bound": _bound(lo, width),
+                        "upper_bound": _bound(hi, width),
+                    }
+                ],
+            }
+
+        snap_list = _abuild(
+            _ml_schema,
+            [
+                _mf("metadata/mA.avro", mA, _pv(0), _pv(1)),
+                _mf("metadata/mB.avro", mB, _pv(2), _pv(3)),
+            ],
+            codec="deflate",
+        )
+        meta = {
+            "format-version": 2,
+            "table-uuid": f"00000000-0000-0000-0002-{tid:012d}",
+            "location": f"ttbl-{tid}",
+            "last-sequence-number": 1,
+            "current-snapshot-id": 1,
+            "current-schema-id": 0,
+            "default-spec-id": 0,
+            "schemas": [
+                {
+                    "schema-id": 0,
+                    "type": "struct",
+                    "fields": [
+                        {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+                        {"id": 2, "name": "text", "required": True, "type": "string"},
+                        {"id": 3, "name": "ts", "required": True, "type": "timestamp"},
+                    ],
+                }
+            ],
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": field,
+                            "transform": tname,
+                            "source-id": src_id,
+                            "field-id": 1000,
+                        }
+                    ],
+                }
+            ],
+            "snapshots": [
+                {
+                    "snapshot-id": 1,
+                    "sequence-number": 1,
+                    "timestamp-ms": 0,
+                    "manifest-list": "metadata/snap-1.avro",
+                    "summary": {"operation": "append"},
+                }
+            ],
+        }
+        members = [
+            ("metadata/v2.metadata.json", _json.dumps(meta).encode()),
+            ("metadata/snap-1.avro", snap_list),
+            ("metadata/mA.avro", mA),
+            ("metadata/mB.avro", mB),
+        ] + [(p, b) for p, _pv2, b in files]
+        rows, cnt = _scan(_tar(members), ["doc_id", "text"], source_value=probe)
+        dids = [int(r["doc_id"]) for r in rows]
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(dids, dtype="int64"),
+                "table_id": np.full(len(dids), tid, dtype="int64"),
+                "transform": [tname] * len(dids),
+                "manifests_skipped": np.full(
+                    len(dids), cnt["manifests_skipped"], dtype="int32"
+                ),
+                "files_skipped": np.full(len(dids), cnt["files_skipped"], dtype="int32"),
+                "files_scanned": np.full(len(dids), cnt["files_scanned"], dtype="int32"),
+                "n_chars": np.array([len(r["text"]) for r in rows], dtype="int32"),
+                "digest": [
+                    _h.md5(r["text"].encode("utf-8")).hexdigest() for r in rows
+                ],
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
+        .applyInPandas(_build_and_scan, ICEBERG_TRANSFORM_SCHEMA)
+    )
+
+
 PARQUET_INT96_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

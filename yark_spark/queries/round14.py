@@ -100,3 +100,207 @@ def q_orc_vector_scan(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return orc_vector_listing(with_orc_vector_shards(emb))
+
+
+_ICEBERG_TRANSFORM_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
+    "CASE CAST(doc_id // 64 AS BIGINT) % 4 WHEN 0 THEN 'truncate[16]' "
+    "WHEN 1 THEN 'day' WHEN 2 THEN 'hour' ELSE 'month' END AS transform, "
+    "CAST(1 AS INTEGER) AS manifests_skipped, "
+    "CAST(2 AS INTEGER) AS files_skipped, "
+    "CAST(2 AS INTEGER) AS files_scanned, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 448 AND doc_id % 64 BETWEEN 32 AND 47"
+)
+
+
+@query("q_iceberg_transform_prune", oracle=_ICEBERG_TRANSFORM_ORACLE)
+def q_iceberg_transform_prune(spark, sf_dir):
+    """E144 Iceberg partition-spec transforms (round 14, VERDICT r13
+    item #3): the two-level prune of E136'' re-run over tables whose
+    metadata declares REAL ``partition-specs`` — the transform cycling
+    truncate[16] / day / hour / month per table — probed in SOURCE-
+    column terms (a mid-bucket timestamp, a mid-truncation long). The
+    planner must apply the spec formula (spec Appendix B,
+    operators/iceberg.iceberg_transform), decode field-summary bounds
+    at the transform RESULT's serialized width (temporal results are
+    4-byte ints, truncate keeps the 8-byte long), skip one manifest
+    unopened and two files unread, and decode exactly two files — all
+    four counters AND the surviving rows pinned per transform in the
+    oracle. Real Iceberg tables are overwhelmingly day()/bucket()/
+    truncate()-partitioned; identity-only pruning never fires on
+    them. One applyInPandas per table, map-only resolve."""
+    from yark_spark.operators.multimodal import iceberg_transform_scan_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
+    return iceberg_transform_scan_features(docs)
+
+
+# --- murmur3_x86_32 twins for the bucket transform (E145) -----------------
+# The Iceberg bucket[N] hash written twice from the spec: once as Spark
+# COLUMN arithmetic (JVM-side, whole-stage codegen — no Python in the
+# hot path) and once as DuckDB SQL CTE steps. 32-bit multiplies split
+# 16/16 so no intermediate exceeds 2^48 (both engines run signed-64
+# lanes). Constants: c1 cc9e2d51, c2 1b873593, fmix 85ebca6b/c2b2ae35.
+
+_M32 = 4294967295
+
+
+def _sql_mul32(x: str, k: int) -> str:
+    return (
+        f"(((({x}) & 65535) * {k} + (((({x}) >> 16) * {k} & 65535) << 16)) "
+        f"& 4294967295)"
+    )
+
+
+def _sql_rotl(x: str, r: int) -> str:
+    return f"(((({x}) << {r}) & 4294967295) | (({x}) >> {32 - r}))"
+
+
+def _sql_mm32_round(h: str, k: str) -> str:
+    k1 = _sql_mul32(k, 0xCC9E2D51)
+    k2 = _sql_rotl(k1, 15)
+    k3 = _sql_mul32(k2, 0x1B873593)
+    h2 = _sql_rotl(f"xor({h}, {k3})", 13)
+    return f"(({_sql_mul32(h2, 5)} + 3864292196) & 4294967295)"
+
+
+def _mm32_cte(pred: str) -> str:
+    """CTE chain computing hh = murmur3_x86_32(LE8(doc_id)) per row."""
+    return (
+        "WITH t0 AS (SELECT doc_id, text, doc_id & 4294967295 AS kk1, "
+        f"(doc_id >> 32) & 4294967295 AS kk2 FROM documents WHERE {pred}), "
+        f"t1 AS (SELECT *, {_sql_mm32_round('0', 'kk1')} AS h1 FROM t0), "
+        f"t2 AS (SELECT *, {_sql_mm32_round('h1', 'kk2')} AS h2 FROM t1), "
+        "t3 AS (SELECT *, xor(h2, 8) AS h3 FROM t2), "
+        "t4 AS (SELECT *, xor(h3, h3 >> 16) AS h4 FROM t3), "
+        f"t5 AS (SELECT *, {_sql_mul32('h4', 0x85EBCA6B)} AS h5 FROM t4), "
+        "t6 AS (SELECT *, xor(h5, h5 >> 13) AS h6 FROM t5), "
+        f"t7 AS (SELECT *, {_sql_mul32('h6', 0xC2B2AE35)} AS h7 FROM t6), "
+        "t8 AS (SELECT *, xor(h7, h7 >> 16) AS hh FROM t7)"
+    )
+
+
+def _col_mul32(x, k: int):
+    lo = x.bitwiseAND(F.lit(65535)) * F.lit(k)
+    hi = (F.shiftrightunsigned(x, 16) * F.lit(k)).bitwiseAND(F.lit(65535))
+    return (lo + F.shiftleft(hi, 16)).bitwiseAND(F.lit(_M32))
+
+
+def _col_rotl(x, r: int):
+    return F.shiftleft(x, r).bitwiseAND(F.lit(_M32)).bitwiseOR(
+        F.shiftrightunsigned(x, 32 - r)
+    )
+
+
+def _col_mm32_round(h, k):
+    k = _col_mul32(k, 0xCC9E2D51)
+    k = _col_rotl(k, 15)
+    k = _col_mul32(k, 0x1B873593)
+    h = _col_rotl(h.bitwiseXOR(k), 13)
+    return (_col_mul32(h, 5) + F.lit(0xE6546B64)).bitwiseAND(F.lit(_M32))
+
+
+def with_murmur3_long(df, src: str, out: str):
+    """murmur3_x86_32 of a non-negative long column's 8-byte little-
+    endian form, as pure Column arithmetic staged through NAMED
+    intermediate columns — each mul32/rotl references its operand
+    several times, so an inline tree grows exponentially and stalls
+    the optimizer; named steps keep every duplicate a leaf attribute
+    (whole-stage codegen CSEs them). Pinned ≡ the from-scratch
+    operators/iceberg.murmur3_x86_32 in tests."""
+    c = F.col(src)
+    df = df.withColumn("__k1", c.bitwiseAND(F.lit(_M32))).withColumn(
+        "__k2", F.shiftrightunsigned(c, 32)
+    )
+    h = F.lit(0)
+    for kname in ("__k1", "__k2"):
+        df = df.withColumn("__ka", _col_mul32(F.col(kname), 0xCC9E2D51))
+        df = df.withColumn("__kb", _col_rotl(F.col("__ka"), 15))
+        df = df.withColumn("__kc", _col_mul32(F.col("__kb"), 0x1B873593))
+        df = df.withColumn("__hx", _col_rotl(h.bitwiseXOR(F.col("__kc")), 13))
+        df = df.withColumn(
+            "__h",
+            (_col_mul32(F.col("__hx"), 5) + F.lit(0xE6546B64)).bitwiseAND(
+                F.lit(_M32)
+            ),
+        )
+        h = F.col("__h")
+    df = df.withColumn("__f0", h.bitwiseXOR(F.lit(8)))
+    df = df.withColumn(
+        "__f1", F.col("__f0").bitwiseXOR(F.shiftrightunsigned(F.col("__f0"), 16))
+    )
+    df = df.withColumn("__f2", _col_mul32(F.col("__f1"), 0x85EBCA6B))
+    df = df.withColumn(
+        "__f3", F.col("__f2").bitwiseXOR(F.shiftrightunsigned(F.col("__f2"), 13))
+    )
+    df = df.withColumn("__f4", _col_mul32(F.col("__f3"), 0xC2B2AE35))
+    df = df.withColumn(
+        out, F.col("__f4").bitwiseXOR(F.shiftrightunsigned(F.col("__f4"), 16))
+    )
+    return df.drop(
+        "__k1", "__k2", "__ka", "__kb", "__kc", "__hx", "__h",
+        "__f0", "__f1", "__f2", "__f3", "__f4",
+    )
+
+
+_ICE_DAY_US = 86_400_000_000
+_ICE_HOUR_US = 3_600_000_000
+_TS_STEP_US = 90_061_000_000  # 1d 1h 1m 1s per doc — every field moves
+
+_ICEBERG_VALUES_ORACLE = (
+    _mm32_cte("doc_id < 448")
+    + " SELECT doc_id, "
+    "CAST((hh & 2147483647) % 8 AS INTEGER) AS bucket8, "
+    "CAST((hh & 2147483647) % 32 AS INTEGER) AS bucket32, "
+    "CAST(doc_id - doc_id % 16 AS BIGINT) AS trunc16, "
+    f"CAST(doc_id * {_TS_STEP_US} // {_ICE_DAY_US} AS BIGINT) AS day_part, "
+    f"CAST(doc_id * {_TS_STEP_US} // {_ICE_HOUR_US} AS BIGINT) AS hour_part, "
+    f"CAST(year(make_timestamp(doc_id * {_TS_STEP_US})) - 1970 AS INTEGER) "
+    "AS year_part, "
+    f"CAST((year(make_timestamp(doc_id * {_TS_STEP_US})) - 1970) * 12 "
+    f"+ month(make_timestamp(doc_id * {_TS_STEP_US})) - 1 AS INTEGER) "
+    "AS month_part FROM t8"
+)
+
+
+@query("q_iceberg_transform_values", oracle=_ICEBERG_VALUES_ORACLE)
+def q_iceberg_transform_values(spark, sf_dir):
+    """E145 Iceberg transform FORMULAS value-oracled (round 14): every
+    spec-Appendix-B transform computed per doc over a derived
+    timestamp lattice (doc_id × 1d1h1m1s so year/month/day/hour all
+    move) — bucket[8]/bucket[32] via murmur3_x86_32 of the 8-byte
+    little-endian long AS PURE COLUMN ARITHMETIC (32-bit multiplies
+    split 16/16 to stay inside signed-64 lanes, whole-stage codegen,
+    zero Python rows), truncate[16] as the floored multiple, and the
+    temporal family. The oracle recomputes the SAME murmur3 rounds as
+    a DuckDB CTE chain — two genuinely independent transcriptions of
+    the spec constants that must agree hash-for-hash on every row
+    (the q_simhash_oracle recipe applied to the bucket hash), plus
+    calendar twins through each engine's own datetime kernel. The
+    from-scratch planner twin (operators/iceberg.murmur3_x86_32) is
+    pinned to both via spec Appendix-B vectors + equality tests in
+    tests/test_iceberg_transforms.py."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
+    c = F.col("doc_id")
+    staged = with_murmur3_long(
+        docs.select(c.alias("doc_id"), (c * F.lit(_TS_STEP_US)).alias("ts")),
+        "doc_id",
+        "hh",
+    )
+    hh = F.col("hh")
+    ts = F.col("ts")
+    tstamp = F.timestamp_micros(ts)
+    return staged.select(
+        F.col("doc_id"),
+        (hh.bitwiseAND(F.lit(0x7FFFFFFF)) % F.lit(8)).cast("int").alias("bucket8"),
+        (hh.bitwiseAND(F.lit(0x7FFFFFFF)) % F.lit(32)).cast("int").alias("bucket32"),
+        (F.col("doc_id") - F.col("doc_id") % F.lit(16)).cast("long").alias("trunc16"),
+        F.floor(ts / F.lit(_ICE_DAY_US)).cast("long").alias("day_part"),
+        F.floor(ts / F.lit(_ICE_HOUR_US)).cast("long").alias("hour_part"),
+        (F.year(tstamp) - F.lit(1970)).cast("int").alias("year_part"),
+        ((F.year(tstamp) - F.lit(1970)) * F.lit(12) + F.month(tstamp) - F.lit(1))
+        .cast("int")
+        .alias("month_part"),
+    )
