@@ -248,3 +248,191 @@ def test_checkpoint_reader_version_gate():
     blob = _table(_ckpt_members(2, ckpt), [])
     with pytest.raises(NotImplementedError, match="minReaderVersion"):
         delta_live_files(blob)
+
+
+# ---------------------------------------------------------------------------
+# Round 14: checkpoint WRITING + deletion vectors
+# ---------------------------------------------------------------------------
+
+from yark_spark.operators.containers import tar_members  # noqa: E402
+from yark_spark.operators.deltalog import (  # noqa: E402
+    delta_checkpoint_table,
+    delta_live_files_dv,
+)
+from yark_spark.operators.png import crc32  # noqa: E402
+from yark_spark.operators.roaring import (  # noqa: E402
+    roaring64_array_serialize,
+    z85_encode,
+)
+
+
+def _three_commit_table():
+    a, b, c = _pq([1, 2]), _pq([3, 4]), _pq([5, 6, 7])
+    blob = _table(
+        [
+            _commit(0, _PROTO, _META, _add("a.parquet", a), _add("b.parquet", b)),
+            _commit(1, _add("c.parquet", c)),
+            _commit(2, _rm("b.parquet")),
+        ],
+        [("a.parquet", a), ("b.parquet", b), ("c.parquet", c)],
+    )
+    return blob
+
+
+@pytest.mark.parametrize("at", [0, 1, 2, None])
+def test_checkpoint_replay_equivalence(at):
+    blob = _three_commit_table()
+    want = [(p, v) for p, v, _ in delta_live_files(blob)]
+    ck = delta_checkpoint_table(blob, at)
+    got = [(p, v) for p, v, _ in delta_live_files(ck)]
+    assert [p for p, _ in got] == [p for p, _ in want]
+    # versions ≤ checkpoint collapse to the checkpoint version
+    v_at = 2 if at is None else at
+    for (p, wv), (_, gv) in zip(want, got):
+        assert gv == (wv if wv > v_at else v_at), (p, wv, gv, at)
+
+
+def test_checkpoint_deletes_covered_commits():
+    ck = delta_checkpoint_table(_three_commit_table(), 1)
+    names = [n for n, _ in tar_members(ck)]
+    assert "_delta_log/00000000000000000000.json" not in names
+    assert "_delta_log/00000000000000000001.json" not in names
+    assert "_delta_log/00000000000000000002.json" in names
+    assert "_delta_log/_last_checkpoint" in names
+    assert "_delta_log/00000000000000000001.checkpoint.parquet" in names
+
+
+def test_checkpoint_guards():
+    blob = _three_commit_table()
+    with pytest.raises(ValueError, match="outside log range"):
+        delta_checkpoint_table(blob, 9)
+    ck = delta_checkpoint_table(blob, 2)
+    with pytest.raises(ValueError, match="already checkpointed"):
+        delta_checkpoint_table(ck)
+
+
+def _dv_inline(kill):
+    bm = roaring64_array_serialize(kill)
+    pad = (4 - len(bm) % 4) % 4
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(bm + b"\x00" * pad),
+        "sizeInBytes": len(bm),
+        "cardinality": len(kill),
+    }
+
+
+def _dv_file(kill):
+    bm = roaring64_array_serialize(kill)
+    blob = bytes([1]) + len(bm).to_bytes(4, "big") + bm + crc32(bm).to_bytes(4, "big")
+    desc = {
+        "storageType": "p",
+        "pathOrInlineDv": "dv/d.bin",
+        "offset": 1,
+        "sizeInBytes": len(bm),
+        "cardinality": len(kill),
+    }
+    return desc, blob
+
+
+_PROTO_V3 = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+    }
+}
+
+
+def test_dv_inline_and_ondisk_apply():
+    a = _pq([10, 11, 12, 13])
+    b = _pq([20, 21, 22])
+    desc, dvfile = _dv_file({2})
+    blob = _table(
+        [
+            _commit(0, _PROTO_V3, _META, _add("a.parquet", a), _add("b.parquet", b)),
+            _commit(
+                1,
+                {"add": {"path": "a.parquet", "size": len(a),
+                         "deletionVector": _dv_inline({1, 3})}},
+                {"add": {"path": "b.parquet", "size": len(b),
+                         "deletionVector": desc}},
+            ),
+        ],
+        [("a.parquet", a), ("b.parquet", b), ("dv/d.bin", dvfile)],
+    )
+    rows = delta_snapshot_rows(blob, ["doc_id"])
+    assert sorted(r["doc_id"] for _, r in rows) == [10, 12, 20, 21]
+    # the 3-tuple API refuses DV tables instead of returning phantoms
+    with pytest.raises(ValueError, match="deletion vectors"):
+        delta_live_files(blob)
+    # the DV-aware API exposes the dead sets
+    dead = {p: d for p, _, _, d in delta_live_files_dv(blob)}
+    assert dead["a.parquet"] == {1, 3} and dead["b.parquet"] == {2}
+
+
+def test_dv_integrity_typed_errors():
+    a = _pq([1, 2, 3])
+    desc, dvfile = _dv_file({0})
+
+    def mk(desc2, dvblob):
+        return _table(
+            [
+                _commit(0, _PROTO_V3, _META, _add("a.parquet", a)),
+                _commit(1, {"add": {"path": "a.parquet", "size": len(a),
+                                    "deletionVector": desc2}}),
+            ],
+            [("a.parquet", a), ("dv/d.bin", dvblob)],
+        )
+
+    with pytest.raises(ValueError, match="checksum"):
+        delta_snapshot_rows(mk(desc, dvfile[:-4] + b"\x00" * 4), ["doc_id"])
+    with pytest.raises(ValueError, match="cardinality"):
+        delta_snapshot_rows(mk({**desc, "cardinality": 5}, dvfile), ["doc_id"])
+    with pytest.raises(ValueError, match="format version"):
+        delta_snapshot_rows(mk(desc, b"\x02" + dvfile[1:]), ["doc_id"])
+    with pytest.raises(ValueError, match="missing"):
+        delta_snapshot_rows(
+            mk({**desc, "pathOrInlineDv": "dv/absent.bin"}, dvfile), ["doc_id"]
+        )
+    with pytest.raises(NotImplementedError, match="UUID-relative"):
+        delta_snapshot_rows(
+            mk({**desc, "storageType": "u"}, dvfile), ["doc_id"]
+        )
+
+
+def test_protocol_v3_feature_gate():
+    a = _pq([1])
+    bad = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+        }
+    }
+    blob = _table(
+        [_commit(0, bad, _META, _add("a.parquet", a))], [("a.parquet", a)]
+    )
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        delta_snapshot_rows(blob, ["doc_id"])
+    # minReaderVersion 2 (column mapping) stays typed
+    blob2 = _table(
+        [_commit(0, {"protocol": {"minReaderVersion": 2}}, _META,
+                 _add("a.parquet", a))],
+        [("a.parquet", a)],
+    )
+    with pytest.raises(NotImplementedError, match="minReaderVersion 2"):
+        delta_snapshot_rows(blob2, ["doc_id"])
+
+
+def test_checkpoint_of_dv_table_is_boundary():
+    a = _pq([1, 2])
+    blob = _table(
+        [
+            _commit(0, _PROTO_V3, _META),
+            _commit(1, {"add": {"path": "a.parquet", "size": len(a),
+                                "deletionVector": _dv_inline({0})}}),
+        ],
+        [("a.parquet", a)],
+    )
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        delta_checkpoint_table(blob)

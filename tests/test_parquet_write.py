@@ -153,3 +153,94 @@ def test_explicit_type_override(tmp_path):
     t = pq.read_table(io.BytesIO(blob))
     assert str(t.schema.field("small").type) == "int64"
     assert t.column("small").to_pylist() == [1, 2, None]
+
+
+# ---------------------------------------------------------------------------
+# Round 14: one-level OPTIONAL STRUCT columns (Delta checkpoint layout)
+# ---------------------------------------------------------------------------
+
+
+def _struct_blob(codec="SNAPPY"):
+    from yark_spark.operators.parquet_write import parquet_write
+
+    return parquet_write(
+        {
+            "k": [1, 2, 3, 4],
+            "add": [
+                None,
+                {"path": "p0", "size": 10},
+                {"path": None, "size": 7},
+                {"path": "p3", "size": None},
+            ],
+            "remove": [{"path": "gone"}, None, None, None],
+        },
+        types={
+            "k": "INT64",
+            "add": {"path": "BYTE_ARRAY", "size": "INT64"},
+            "remove": {"path": "BYTE_ARRAY"},
+        },
+        codec=codec,
+    )
+
+
+def test_struct_columns_read_by_our_reader():
+    from yark_spark.operators.parquet_data import parquet_read_columns
+
+    cols = parquet_read_columns(
+        _struct_blob(), ["k", "add.path", "add.size", "remove.path"]
+    )
+    assert cols["k"] == [1, 2, 3, 4]
+    # struct-null vs field-null are distinct wire states
+    assert cols["add.path"] == [None, "p0", None, "p3"]
+    assert cols["add.size"] == [None, 10, 7, None]
+    assert cols["remove.path"] == ["gone", None, None, None]
+
+
+def test_struct_columns_read_by_pyarrow_and_duckdb(tmp_path):
+    import io
+
+    import pyarrow.parquet as pq
+
+    blob = _struct_blob()
+    t = pq.read_table(io.BytesIO(blob))
+    assert t.column("add").to_pylist() == [
+        None,
+        {"path": "p0", "size": 10},
+        {"path": None, "size": 7},
+        {"path": "p3", "size": None},
+    ]
+    assert t.column("remove").to_pylist() == [
+        {"path": "gone"}, None, None, None,
+    ]
+    p = tmp_path / "s.parquet"
+    p.write_bytes(blob)
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT k, add.path, add.size, remove.path FROM read_parquet('{p}') "
+        "ORDER BY k"
+    ).fetchall()
+    assert rows == [
+        (1, None, None, "gone"),
+        (2, "p0", 10, None),
+        (3, None, 7, None),
+        (4, "p3", None, None),
+    ]
+
+
+def test_struct_columns_all_null_and_multi_group():
+    import io
+
+    import pyarrow.parquet as pq
+
+    from yark_spark.operators.parquet_write import parquet_write
+
+    blob = parquet_write(
+        {"k": list(range(10)), "s": [None] * 10},
+        types={"k": "INT64", "s": {"a": "INT32"}},
+        row_group_size=3,
+        codec="GZIP",
+    )
+    t = pq.read_table(io.BytesIO(blob))
+    assert t.column("s").to_pylist() == [None] * 10
+    assert t.num_rows == 10

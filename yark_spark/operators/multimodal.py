@@ -2569,6 +2569,34 @@ def with_delta_table_payload(
     )
 
 
+def _register_delta_modules():
+    """Ship the Delta resolver and its full substrate by value —
+    deltalog imports parquet_data AND (since round 14) parquet_write,
+    png (CRC32) and roaring, so every one of those must itself be
+    by-value or vanilla-session workers die importing yark_spark."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import deltalog as _dl
+    from yark_spark.operators import parquet_data as _pdata
+    from yark_spark.operators import parquet_meta as _pm
+    from yark_spark.operators import parquet_write as _pw
+    from yark_spark.operators import roaring as _roar
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()  # png (DEFLATE/crc32), zstd, containers
+    _pw.bind_codecs()
+    _pdata.bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_pm)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_pdata)
+    _cp.register_pickle_by_value(_pw)
+    _cp.register_pickle_by_value(_roar)
+    _cp.register_pickle_by_value(_dl)
+    return _dl
+
+
 def delta_snapshot_features(
     df: DataFrame, table_col: str = "table_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -2577,21 +2605,7 @@ def delta_snapshot_features(
     docs must vanish, resurrected/compacted files carry the rewrite
     version, and every live parquet file decodes through the
     from-scratch reader. Map-only mapInPandas."""
-    from pyspark import cloudpickle as _cp
-
-    from yark_spark.operators import deltalog as _dl
-    from yark_spark.operators import parquet_data as _pdata
-    from yark_spark.operators import parquet_meta as _pm
-    from yark_spark.operators import snappy as _snappy
-    from yark_spark.operators import varint as _varint
-
-    _register_container_modules()
-    _pdata.bind_codecs()
-    _cp.register_pickle_by_value(_varint)
-    _cp.register_pickle_by_value(_pm)
-    _cp.register_pickle_by_value(_snappy)
-    _cp.register_pickle_by_value(_pdata)
-    _cp.register_pickle_by_value(_dl)
+    _dl = _register_delta_modules()
     _rows = _dl.delta_snapshot_rows
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2620,6 +2634,228 @@ def delta_snapshot_features(
 
     return df.select(F.col(table_col), F.col(payload_col)).mapInPandas(
         _extract, DELTA_SNAPSHOT_SCHEMA
+    )
+
+
+DELTA_CKPT_WRITE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("version_added", IntegerType()),
+        StructField("ckpt_version", IntegerType()),
+        StructField("commits_deleted", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def delta_checkpoint_write_features(
+    df: DataFrame, table_col: str = "table_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Checkpoint WRITING end-to-end (round 14, VERDICT r13 item #4):
+    each pure-JSON table (the q_delta_snapshot fixture) is rewritten
+    by delta_checkpoint_table at version 1 — the state parquet emitted
+    through the from-scratch writer's nested-struct columns, commits
+    0–1 DELETED from the archive (so replay provably never touches
+    them), commit 2 kept to replay on top — then resolved through the
+    round-13 checkpoint READER. Files live at the checkpoint carry
+    version_added = 1 (the finest attribution the log retains); the
+    v2 remove must still drop p1 and the v2 add attribute at 2. The
+    deleted-commit count rides in the output. Map-only mapInPandas."""
+    _dl = _register_delta_modules()
+    _ckpt = _dl.delta_checkpoint_table
+    _rows = _dl.delta_snapshot_rows
+    _tm = _register_container_modules().tar_members  # bound driver-side
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _h
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, tids, vers, ns, digs, dels = [], [], [], [], [], []
+            for tid, p in zip(pdf[table_col], pdf[payload_col]):
+                before = {n for n, _ in _tm(bytes(p)) if "_delta_log/" in n}
+                ck = _ckpt(bytes(p), 1)
+                after = {n for n, _ in _tm(ck) if n.endswith(".json")}
+                n_deleted = len([n for n in before if n.endswith(".json")]) - len(
+                    after
+                )
+                for version, row in _rows(ck, ["doc_id", "text"]):
+                    ids.append(int(row["doc_id"]))
+                    tids.append(int(tid))
+                    vers.append(version)
+                    dels.append(n_deleted)
+                    ns.append(len(row["text"]))
+                    digs.append(_h.md5(row["text"].encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype="int64"),
+                    "table_id": np.array(tids, dtype="int64"),
+                    "version_added": np.array(vers, dtype="int32"),
+                    "ckpt_version": np.full(len(ids), 1, dtype="int32"),
+                    "commits_deleted": np.array(dels, dtype="int32"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(table_col), F.col(payload_col)).mapInPandas(
+        _extract, DELTA_CKPT_WRITE_SCHEMA
+    )
+
+
+DELTA_DV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("dv_kind", StringType()),
+        StructField("version_added", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def delta_dv_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deletion vectors end-to-end (round 14): every 32 docs become a
+    protocol-v3 table (minReaderVersion 3, readerFeatures
+    ["deletionVectors"]) with two 16-doc files; commit 1 re-adds each
+    file with a DV — p0's INLINE (Z85-in-descriptor), p1's ON-DISK
+    (1-byte format version, 4-byte big-endian length framing, CRC32)
+    — both bitmaps Delta RoaringBitmapArrays over portable 32-bit
+    roaring (operators/roaring). p0 drops positions whose doc_id%4==1,
+    p1 those ==3; survivors carry the re-add version. A reader that
+    ignores DVs returns phantom rows and fails the digest. One
+    applyInPandas per table, map-only resolve."""
+    _dl = _register_delta_modules()
+    _rows = _dl.delta_snapshot_rows
+    # bind every helper driver-side: the modules ship by value, so the
+    # closure carries them without a worker-side yark_spark import
+    from yark_spark.operators import parquet_write as _pw_mod
+    from yark_spark.operators import png as _png_mod
+    from yark_spark.operators import roaring as _roar_mod
+
+    _tar = _register_container_modules().tar_build
+    _write = _pw_mod.parquet_write
+    _crc32 = _png_mod.crc32
+    _rser = _roar_mod.roaring64_array_serialize
+    _z85 = _roar_mod.z85_encode
+
+    def _build_and_resolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 32
+        p0 = _write(
+            {"doc_id": ids[:16], "text": texts[:16]},
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+            codec="SNAPPY",
+        )
+        p1 = _write(
+            {"doc_id": ids[16:], "text": texts[16:]},
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+            codec="SNAPPY",
+        )
+        kill0 = {i for i, d in enumerate(ids[:16]) if d % 4 == 1}
+        kill1 = {i for i, d in enumerate(ids[16:]) if d % 4 == 3}
+        bm0 = _rser(kill0)
+        pad = (4 - len(bm0) % 4) % 4
+        dv0 = {
+            "storageType": "i",
+            "pathOrInlineDv": _z85(bm0 + b"\x00" * pad),
+            "sizeInBytes": len(bm0),
+            "cardinality": len(kill0),
+        }
+        bm1 = _rser(kill1)
+        dvfile = (
+            bytes([1])
+            + len(bm1).to_bytes(4, "big")
+            + bm1
+            + _crc32(bm1).to_bytes(4, "big")
+        )
+        dv1 = {
+            "storageType": "p",
+            "pathOrInlineDv": "deletion_vectors/dv1.bin",
+            "offset": 1,
+            "sizeInBytes": len(bm1),
+            "cardinality": len(kill1),
+        }
+        v0 = "\n".join(
+            [
+                _json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": ["deletionVectors"],
+                            "writerFeatures": ["deletionVectors"],
+                        }
+                    }
+                ),
+                _json.dumps({"metaData": {"id": f"dv-table-{tid}"}}),
+                _json.dumps(
+                    {"add": {"path": "part-0.parquet", "size": len(p0),
+                             "dataChange": True}}
+                ),
+                _json.dumps(
+                    {"add": {"path": "part-1.parquet", "size": len(p1),
+                             "dataChange": True}}
+                ),
+            ]
+        )
+        v1 = "\n".join(
+            [
+                _json.dumps(
+                    {"add": {"path": "part-0.parquet", "size": len(p0),
+                             "dataChange": False, "deletionVector": dv0}}
+                ),
+                _json.dumps(
+                    {"add": {"path": "part-1.parquet", "size": len(p1),
+                             "dataChange": False, "deletionVector": dv1}}
+                ),
+            ]
+        )
+        tar = _tar(
+            [
+                (f"_delta_log/{0:020d}.json", v0.encode()),
+                (f"_delta_log/{1:020d}.json", v1.encode()),
+                ("part-0.parquet", p0),
+                ("part-1.parquet", p1),
+                ("deletion_vectors/dv1.bin", dvfile),
+            ]
+        )
+        out_ids, kinds, vers, ns, digs = [], [], [], [], []
+        for version, row in _rows(tar, ["doc_id", "text"]):
+            d = int(row["doc_id"])
+            out_ids.append(d)
+            kinds.append("inline" if d % 32 < 16 else "ondisk")
+            vers.append(version)
+            ns.append(len(row["text"]))
+            digs.append(_h.md5(row["text"].encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_ids, dtype="int64"),
+                "table_id": np.full(len(out_ids), tid, dtype="int64"),
+                "dv_kind": kinds,
+                "version_added": np.array(vers, dtype="int32"),
+                "n_chars": np.array(ns, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(_build_and_resolve, DELTA_DV_SCHEMA)
     )
 
 

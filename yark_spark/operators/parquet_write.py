@@ -345,11 +345,37 @@ def parquet_write(
     for c in names:
         if len(columns[c]) != n_rows:
             raise ValueError("parquet-write: ragged columns")
-    ctypes = {c: (types or {}).get(c) or _infer_type(c, columns[c]) for c in names}
+    # a dict in ``types`` declares a one-level OPTIONAL STRUCT column
+    # (round 14 — Delta checkpoints are nested-struct action rows):
+    # {"add": {"path": "BYTE_ARRAY", "size": "INT64"}} with row values
+    # dict-or-None; leaves write at max definition level 2
+    struct_fields: dict[str, dict[str, str]] = {
+        c: t for c, t in (types or {}).items() if isinstance(t, dict) and c in names
+    }
+    ctypes = {
+        c: (types or {}).get(c) or _infer_type(c, columns[c])
+        for c in names
+        if c not in struct_fields
+    }
     for c, t in ctypes.items():
         if t not in _TYPE_IDS:
             raise NotImplementedError(f"parquet-write: type {t} for {c!r}")
+    for c, fields in struct_fields.items():
+        for fn, t in fields.items():
+            if t not in _TYPE_IDS:
+                raise NotImplementedError(f"parquet-write: type {t} for {c}.{fn}")
     rg_size = row_group_size or max(1, n_rows)
+
+    # expand to leaves: (display name, schema path, ptype, row values,
+    # def-level fn) — flat leaves keep the 0/1 grammar, struct leaves
+    # the 0/1/2 grammar (struct null / field null / value)
+    leaves: list[tuple[str, list[str], str, str | None]] = []
+    for name in names:
+        if name in struct_fields:
+            for fn, t in struct_fields[name].items():
+                leaves.append((f"{name}.{fn}", [name, fn], t, fn))
+        else:
+            leaves.append((name, [name], ctypes[name], None))
 
     out = bytearray(b"PAR1")
     rg_infos: list[tuple[int, int, list]] = []  # (rows, total, [col info])
@@ -357,17 +383,27 @@ def parquet_write(
         rg_rows = min(rg_size, n_rows - rg_start) if n_rows else 0
         col_infos: list = []
         rg_total = 0
-        for name in names:
-            vals = columns[name][rg_start : rg_start + rg_rows]
-            ptype = ctypes[name]
+        for disp, path, ptype, field in leaves:
+            rows = columns[path[0]][rg_start : rg_start + rg_rows]
+            if field is None:
+                vals = rows
+                defs_pair = None
+            else:
+                vals = [None if r is None else r.get(field) for r in rows]
+                defs_pair = (
+                    [0 if r is None else (1 if r.get(field) is None else 2)
+                     for r in rows],
+                    2,
+                )
             meta_bytes, cstart, csize, pinfo = _write_chunk(
                 out,
-                name,
+                path,
                 ptype,
                 vals,
                 codec,
                 dictionary_max_cardinality,
-                bloom=name in (bloom_filter_columns or ()),
+                bloom=disp in (bloom_filter_columns or ()),
+                defs_pair=defs_pair,
             )
             col_infos.append((meta_bytes, cstart, pinfo))
             rg_total += csize
@@ -437,6 +473,21 @@ def parquet_write(
         _TStruct().binary(4, b"schema").i32(5, len(names)).done()
     ]
     for name in names:
+        if name in struct_fields:
+            grp = _TStruct()
+            grp.i32(3, 1)  # OPTIONAL group, no physical type
+            grp.binary(4, name.encode("utf-8"))
+            grp.i32(5, len(struct_fields[name]))
+            schema_elems.append(grp.done())
+            for fn, t in struct_fields[name].items():
+                el = _TStruct()
+                el.i32(1, _TYPE_IDS[t])
+                el.i32(3, 1)  # OPTIONAL
+                el.binary(4, fn.encode("utf-8"))
+                if t == "BYTE_ARRAY":
+                    el.i32(6, 0)  # ConvertedType UTF8
+                schema_elems.append(el.done())
+            continue
         el = _TStruct()
         el.i32(1, _TYPE_IDS[ctypes[name]])
         el.i32(3, 1)  # OPTIONAL
@@ -456,7 +507,7 @@ def parquet_write(
         .i64(3, n_rows)
         .list_of(4, _CT_STRUCT, rg_structs)
         .binary(6, created_by.encode("utf-8"))
-        .list_of(7, _CT_STRUCT, [type_order] * len(names))
+        .list_of(7, _CT_STRUCT, [type_order] * len(leaves))
         .done()
     )
     out += fmeta
@@ -466,19 +517,27 @@ def parquet_write(
 
 def _write_chunk(
     out: bytearray,
-    name: str,
+    name: "str | list[str]",
     ptype: str,
     vals: list,
     codec: str,
     dict_max: int = 1024,
     bloom: bool = False,
+    defs_pair: "tuple[list[int], int] | None" = None,
 ) -> tuple[bytes, int]:
     """Append one column chunk's pages to ``out``; return (the
-    ColumnChunk thrift struct, total compressed size)."""
+    ColumnChunk thrift struct, total compressed size). ``defs_pair``
+    supplies (definition levels, max level) for nested leaves —
+    struct-null vs field-null vs value (round 14); flat leaves keep
+    the derived 0/1 grammar."""
+    path = [name] if isinstance(name, str) else name
     present = [v for v in vals if v is not None]
-    defs = [0 if v is None else 1 for v in vals]
-    # definition levels: uint32-length-prefixed hybrid at bit width 1
-    def_section = _hybrid_encode(defs, 1)
+    if defs_pair is None:
+        defs, max_def = [0 if v is None else 1 for v in vals], 1
+    else:
+        defs, max_def = defs_pair
+    # definition levels: uint32-length-prefixed hybrid at max_def width
+    def_section = _hybrid_encode(defs, _bit_width(max_def))
     def_block = struct.pack("<I", len(def_section)) + def_section
 
     distinct = []
@@ -554,7 +613,7 @@ def _write_chunk(
     meta.list_of(
         2, _CT_I32, [_t_i32_elem(e) for e in sorted(encodings)]
     )
-    meta.list_of(3, _CT_BINARY, [_t_binary_elem(name.encode("utf-8"))])
+    meta.list_of(3, _CT_BINARY, [_t_binary_elem(p.encode("utf-8")) for p in path])
     meta.i32(4, _CODEC_IDS[codec])
     meta.i64(5, len(vals))
     meta.i64(6, total_unc)

@@ -304,3 +304,72 @@ def q_iceberg_transform_values(spark, sf_dir):
         .cast("int")
         .alias("month_part"),
     )
+
+
+_DELTA_CKPT_WRITE_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CAST(CASE WHEN doc_id % 32 < 24 THEN 1 ELSE 2 END AS INTEGER) "
+    "AS version_added, "
+    "CAST(1 AS INTEGER) AS ckpt_version, "
+    "CAST(2 AS INTEGER) AS commits_deleted, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480 AND doc_id % 32 NOT BETWEEN 8 AND 15"
+)
+
+
+@query("q_delta_checkpoint_write", oracle=_DELTA_CKPT_WRITE_ORACLE)
+def q_delta_checkpoint_write(spark, sf_dir):
+    """E146 Delta checkpoint WRITING (round 14, VERDICT r13 item #4):
+    the q_delta_snapshot pure-JSON tables are checkpointed at version
+    1 by delta_checkpoint_table — the state parquet written through
+    the from-scratch writer's new nested-struct support (protocol /
+    metaData / add / remove struct columns, the exact layout the E135'
+    READER consumes), _last_checkpoint emitted, and commits 0–1
+    DELETED from the archive so the digest only passes if replay
+    genuinely seeds from our own checkpoint bytes. Commit 2 stays and
+    replays on top: its remove must still drop docs 8–15 and its add
+    attribute docs 24–31 at version 2, while checkpoint-seeded files
+    carry version 1. Without checkpoint writing a Delta-shaped log
+    grows unboundedly — this is the write half of the lakehouse loop,
+    real writers run it every 10 commits. Map-only mapInPandas."""
+    from yark_spark.operators.multimodal import (
+        delta_checkpoint_write_features,
+        with_delta_table_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return delta_checkpoint_write_features(with_delta_table_payload(docs))
+
+
+_DELTA_DV_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CASE WHEN doc_id % 32 < 16 THEN 'inline' ELSE 'ondisk' END AS dv_kind, "
+    "CAST(1 AS INTEGER) AS version_added, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480 AND "
+    "((doc_id % 32 < 16 AND doc_id % 4 <> 1) "
+    "OR (doc_id % 32 >= 16 AND doc_id % 4 <> 3))"
+)
+
+
+@query("q_delta_deletion_vectors", oracle=_DELTA_DV_ORACLE)
+def q_delta_deletion_vectors(spark, sf_dir):
+    """E147 Delta deletion vectors (round 14, VERDICT r13 item #4b):
+    protocol-v3 tables (minReaderVersion 3, readerFeatures
+    ["deletionVectors"]) whose commit 1 re-adds each data file with a
+    DV — one INLINE (the bitmap Z85-encoded inside the descriptor),
+    one ON-DISK (1-byte format version, 4-byte big-endian length
+    framing, CRC32 cross-checked) — both Delta RoaringBitmapArrays
+    over portable 32-bit roaring containers (operators/roaring,
+    array/run/bitmap container grammar). Dead positions (doc%4==1 in
+    the inline file, ==3 in the on-disk file) must vanish during
+    materialize; a reader that ignores DVs returns phantom rows and
+    fails the digest, one that mis-hashes the bitmap trips the
+    cardinality/CRC integrity checks. Row-level deletes without
+    rewrites are how real lakehouse tables absorb GDPR/dedup deletes
+    at 100 TB — the delete is O(bitmap), not O(file rewrite). One
+    applyInPandas per table, map-only resolve."""
+    from yark_spark.operators.multimodal import delta_dv_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return delta_dv_features(docs)
