@@ -270,3 +270,83 @@ def test_page_prune_requires_index_typed():
     blob = parquet_write({"k": [1, 2, 3]}, types={"k": "INT64"})
     with pytest.raises(ValueError, match="no page index"):
         parquet_page_scan_filtered(blob, ["k"], "k", 1)
+
+
+# ---------------------------------------------------------------------------
+# Round 14: page-selective REPEATED (LIST) columns
+# ---------------------------------------------------------------------------
+
+
+def _list_indexed_blob(page_version="1.0"):
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = 64
+    emb = [
+        None
+        if i % 13 == 5
+        else ([] if i % 13 == 9 else [float(i), i + 0.5, None if i % 7 == 0 else i * 2.0])
+        for i in range(rows)
+    ]
+    t = pa.table(
+        {
+            "k": pa.array(range(rows), pa.int64()),
+            "emb": pa.array(emb, pa.list_(pa.float64())),
+            "txt": pa.array([f"s{i}" for i in range(rows)]),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t,
+        buf,
+        write_page_index=True,
+        data_page_size=1,
+        write_batch_size=8,
+        row_group_size=32,
+        use_dictionary=False,
+        data_page_version=page_version,
+    )
+    return buf.getvalue(), emb
+
+
+@pytest.mark.parametrize("pv", ["1.0", "2.0"])
+def test_page_scan_fetches_list_column(pv):
+    from yark_spark.operators.parquet_data import parquet_page_scan_filtered
+
+    blob, emb = _list_indexed_blob(pv)
+    cols, cnt = parquet_page_scan_filtered(blob, ["k", "emb", "txt"], "k", 40, 44)
+    assert cols["k"] == [40, 41, 42, 43, 44]
+    assert cols["emb"] == [emb[i] for i in range(40, 45)]
+    assert cols["txt"] == [f"s{i}" for i in range(40, 45)]
+    # null row / empty list / null element fetched page-selectively
+    cols2, _ = parquet_page_scan_filtered(blob, ["emb"], "k", 18, 22)
+    assert cols2["emb"] == [emb[i] for i in range(18, 23)]
+    assert cnt["pages_skipped"] > 0
+
+
+def test_page_scan_list_predicate_is_typed():
+    from yark_spark.operators.parquet_data import parquet_page_scan_filtered
+
+    blob, _ = _list_indexed_blob()
+    with pytest.raises(ValueError, match="cannot be a LIST"):
+        parquet_page_scan_filtered(blob, ["k"], "emb", 1)
+
+
+def test_page_scan_our_writer_struct_leaves_unaffected():
+    # flat page scans over our own indexed wire still work after the
+    # round-14 leaf-walk change
+    from yark_spark.operators.parquet_data import parquet_page_scan_filtered
+    from yark_spark.operators.parquet_write import parquet_write
+
+    blob = parquet_write(
+        {"k": list(range(32)), "t": [f"x{i}" for i in range(32)]},
+        types={"k": "INT64", "t": "BYTE_ARRAY"},
+        row_group_size=8,
+        write_page_index=True,
+        codec="SNAPPY",
+    )
+    cols, cnt = parquet_page_scan_filtered(blob, ["k", "t"], "k", 10, 12)
+    assert cols["k"] == [10, 11, 12]
+    assert cols["t"] == ["x10", "x11", "x12"]

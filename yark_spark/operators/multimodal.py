@@ -7191,6 +7191,7 @@ PARQUET_PAGE_PRUNE_SCHEMA = StructType(
         StructField("shard_id", LongType()),
         StructField("pages_skipped", IntegerType()),
         StructField("pages_scanned", IntegerType()),
+        StructField("vsum", LongType()),
         StructField("n_chars", IntegerType()),
         StructField("digest", StringType()),
     ]
@@ -7231,6 +7232,7 @@ def parquet_page_prune_features(
     def _build_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
         import hashlib as _h
         import io as _io
+        import math as _math
 
         import numpy as np
         import pyarrow as _pa
@@ -7240,9 +7242,27 @@ def parquet_page_prune_features(
         ids = [int(v) for v in pdf[id_col]]
         sid = ids[0] // 64
         base = sid * 64
+        # round 14: a LIST column rides in the same pages — null row /
+        # empty list / null element all page-selectively fetched
+        vecs = [
+            None
+            if d % 17 == 3
+            else (
+                []
+                if d % 17 == 11
+                else [d + 0.25, d * 2.0, None if d % 5 == 0 else d / 4.0]
+            )
+            for d in ids
+        ]
         buf = _io.BytesIO()
         _pq.write_table(
-            _pa.table({"doc_id": ids, "text": list(pdf[text_col])}),
+            _pa.table(
+                {
+                    "doc_id": ids,
+                    "text": list(pdf[text_col]),
+                    "vec": _pa.array(vecs, _pa.list_(_pa.float64())),
+                }
+            ),
             buf,
             row_group_size=64,
             data_page_size=1,
@@ -7250,15 +7270,26 @@ def parquet_page_prune_features(
             write_page_index=True,
         )
         cols, cnt = _scan(
-            buf.getvalue(), ["doc_id", "text"], "doc_id", base + 24, base + 39
+            buf.getvalue(),
+            ["doc_id", "text", "vec"],
+            "doc_id",
+            base + 24,
+            base + 39,
         )
         n = len(cols["doc_id"])
+        vsums = [
+            -1
+            if v is None
+            else sum(_math.floor(x * 1_000_000) for x in v if x is not None)
+            for v in cols["vec"]
+        ]
         return pd.DataFrame(
             {
                 "doc_id": np.array(cols["doc_id"], dtype="int64"),
                 "shard_id": np.full(n, sid, dtype="int64"),
                 "pages_skipped": np.full(n, cnt["pages_skipped"], dtype="int32"),
                 "pages_scanned": np.full(n, cnt["pages_scanned"], dtype="int32"),
+                "vsum": np.array(vsums, dtype="int64"),
                 "n_chars": np.array([len(t) for t in cols["text"]], dtype="int32"),
                 "digest": [
                     _h.md5(t.encode("utf-8")).hexdigest() for t in cols["text"]

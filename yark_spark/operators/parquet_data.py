@@ -838,12 +838,26 @@ def _read_dictionary(data: bytes, col: dict) -> "list | None":
 
 
 def _decode_one_page(
-    data: bytes, off: int, col: dict, max_def: int, dictionary: "list | None"
+    data: bytes,
+    off: int,
+    col: dict,
+    max_def: int,
+    dictionary: "list | None",
+    list_info: "dict | None" = None,
 ) -> list:
-    """Decode exactly one FLAT data page at ``off`` (a PageLocation
-    offset) into its woven row values — the ranged-fetch unit of a
-    page-selective scan. Repeated columns are a typed boundary here."""
+    """Decode exactly one data page at ``off`` (a PageLocation offset)
+    into its woven row values — the ranged-fetch unit of a page-
+    selective scan. ``list_info`` (round 14) marks a standard-LIST
+    leaf: repetition levels decode too and the page assembles into
+    per-row lists via the Dremel record assembly, so point probes on
+    tables carrying embeddings stay page-granular instead of falling
+    back to whole-row-group decode. Page-index pages start at row
+    boundaries (spec requirement for indexed files), so rows never
+    straddle the fetch unit."""
     ptype, codec = col["type"], col["codec"]
+    if list_info is not None:
+        max_def = list_info["max_def"]
+    max_rep = 1 if list_info is not None else 0
     header, body_at = _read_struct(data, off)
     page_type = header.get(1)
     unc_size, comp_size = header.get(2), header.get(3)
@@ -852,12 +866,20 @@ def _decode_one_page(
     raw = data[body_at : body_at + comp_size]
     if len(raw) != comp_size:
         raise ValueError("parquet: page body truncated")
+    reps = None
     if page_type == _PAGE_DATA:
         dh = header.get(5) or {}
         n_vals, enc = dh.get(1), dh.get(2)
         page = _decompress(codec, raw, unc_size)
         p = 0
         defs = None
+        # v1 layout: [rep levels][def levels][values], each level
+        # block uint32-length-prefixed
+        if max_rep > 0:
+            (sec_len,) = struct.unpack_from("<I", page, p)
+            p += 4
+            reps = _hybrid_runs(page, p, p + sec_len, _bit_width(max_rep), n_vals)
+            p += sec_len
         if max_def > 0:
             (sec_len,) = struct.unpack_from("<I", page, p)
             p += 4
@@ -871,20 +893,29 @@ def _decode_one_page(
         dh = header.get(8) or {}
         n_vals, n_nulls, enc = dh.get(1), dh.get(2, 0), dh.get(4)
         def_len, rep_len = dh.get(5, 0), dh.get(6, 0)
-        if rep_len:
-            raise NotImplementedError("parquet: page-selective repeated columns")
-        levels = raw[:def_len]
-        body = raw[def_len:]
+        if rep_len and max_rep == 0:
+            raise ValueError("parquet: repetition levels on a flat column")
+        body = raw[rep_len + def_len :]
         if dh.get(7, True):
-            body = _decompress(codec, body, unc_size - def_len)
+            body = _decompress(codec, body, unc_size - def_len - rep_len)
+        if max_rep > 0:
+            reps = _hybrid_runs(raw, 0, rep_len, _bit_width(max_rep), n_vals)
         defs = (
-            _hybrid_runs(levels, 0, def_len, _bit_width(max_def), n_vals)
+            _hybrid_runs(
+                raw, rep_len, rep_len + def_len, _bit_width(max_def), n_vals
+            )
             if max_def > 0
             else None
         )
         vals = _decode_values(ptype, enc, body, 0, len(body), n_vals - n_nulls, dictionary)
     else:
         raise ValueError(f"parquet: PageLocation points at page type {page_type}")
+    if list_info is not None:
+        if reps is None or defs is None:
+            raise ValueError("parquet: LIST page missing rep/def levels")
+        return _assemble_lists(
+            defs, reps, vals, max_def, list_info["def_outer"]
+        )
     if defs is None:
         return vals
     return _weave(defs, vals, max_def, n_vals)
@@ -910,12 +941,44 @@ def parquet_page_scan_filtered(
     Requires the page index (typed ValueError when absent — use
     parquet_scan_filtered's row-group pruning then)."""
     footer = parquet_footer(payload)
-    # flat leaves only: definition depth from the schema's repetition
+    # flat leaves: definition depth from the schema's repetition;
+    # standard-LIST columns (round 14): def_outer/max_def for Dremel
+    # assembly inside single pages
+    schema = footer["schema"]
     max_defs = {
         el["name"]: (1 if el["repetition"] == 1 else 0)
-        for el in footer["schema"][1:]
+        for el in schema[1:]
         if el["num_children"] == 0
     }
+    list_infos: dict[str, dict] = {}
+    j = 1
+    for _ in range(schema[0]["num_children"]):
+        el = schema[j]
+        if (
+            el["num_children"] == 1
+            and el["repetition"] in (0, 1)
+            and j + 2 < len(schema)
+            and schema[j + 1]["repetition"] == 2
+            and schema[j + 1]["num_children"] == 1
+            and schema[j + 2]["num_children"] == 0
+        ):
+            def_outer = 1 if el["repetition"] == 1 else 0
+            list_infos[el["name"]] = {
+                "def_outer": def_outer,
+                "max_def": def_outer
+                + 1
+                + (1 if schema[j + 2]["repetition"] == 1 else 0),
+            }
+            j += 3
+            continue
+        n = el["num_children"]
+        j += 1
+        stack = [n]
+        while stack:
+            k = stack.pop()
+            for _i2 in range(k):
+                stack.append(schema[j]["num_children"])
+                j += 1
     hi_eff = lo if hi is None else hi
     counters = {"pages_total": 0, "pages_skipped": 0, "pages_scanned": 0}
     out: dict[str, list] = {c: [] for c in columns}
@@ -925,9 +988,15 @@ def parquet_page_scan_filtered(
             c["path_in_schema"][0]: c
             for c in rg["columns"]
             if len(c["path_in_schema"]) == 1
+            or (
+                len(c["path_in_schema"]) == 3
+                and c["path_in_schema"][0] in list_infos
+            )
         }
         if pred_col not in by_name:
             raise ValueError(f"parquet: predicate column {pred_col!r} missing")
+        if pred_col in list_infos:
+            raise ValueError("parquet: predicate column cannot be a LIST")
         pcol = by_name[pred_col]
         ci = parquet_column_index(payload, pcol)
         oi = parquet_offset_index(payload, pcol)
@@ -997,10 +1066,19 @@ def parquet_page_scan_filtered(
                 if not any(cbounds[i] <= r < cbounds[i + 1] for r in hits):
                     continue
                 vals = _decode_one_page(
-                    payload, coi[i]["offset"], ccol, max_defs.get(name, 1), cdict
+                    payload,
+                    coi[i]["offset"],
+                    ccol,
+                    max_defs.get(name, 1),
+                    cdict,
+                    list_info=list_infos.get(name),
                 )
-                for j, v in enumerate(vals):
-                    r = cbounds[i] + j
+                if len(vals) != cbounds[i + 1] - cbounds[i]:
+                    raise ValueError(
+                        "parquet: page row count != offset index span"
+                    )
+                for jj, v in enumerate(vals):
+                    r = cbounds[i] + jj
                     if r in hit_set:
                         got[r] = v.decode("utf-8") if isinstance(v, bytes) else v
             col_vals[name] = got

@@ -894,6 +894,15 @@ _PARQUET_PAGE_PRUNE_ORACLE = (
     "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS shard_id, "
     "CAST(6 AS INTEGER) AS pages_skipped, "
     "CAST(2 AS INTEGER) AS pages_scanned, "
+    # round 14: the LIST column rides in the same pages — null row /
+    # empty list / null element each land in a distinct vsum value
+    "CAST(CASE WHEN doc_id % 17 = 3 THEN -1 "
+    "WHEN doc_id % 17 = 11 THEN 0 "
+    "ELSE CAST(floor((doc_id + 0.25) * 1000000) AS BIGINT) "
+    "+ CAST(floor(doc_id * 2.0 * 1000000) AS BIGINT) "
+    "+ (CASE WHEN doc_id % 5 = 0 THEN 0 "
+    "ELSE CAST(floor(doc_id / 4.0 * 1000000) AS BIGINT) END) "
+    "END AS BIGINT) AS vsum, "
     "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
     "FROM documents WHERE doc_id < 448 AND doc_id % 64 BETWEEN 24 AND 39"
 )
