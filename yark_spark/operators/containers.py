@@ -381,6 +381,20 @@ def zstd_decompress_member(payload: bytes, max_output: int | None = None) -> byt
 _BZ2 = None  # bound by bind_bzip2(); ships by value with this module
 
 
+_BROTLI = None  # bound by bind_brotli(); ships by value with this module
+
+
+def bind_brotli():
+    """Resolve the brotli codec module into a module global (the
+    bind_zstd pattern) — the HTTP ``br`` content-coding (round 14)."""
+    global _BROTLI
+    if _BROTLI is None:
+        from yark_spark.operators import brotli as _b
+
+        _BROTLI = _b
+    return _BROTLI
+
+
 def bind_bzip2():
     """Resolve the bzip2 codec module into a module global (the
     bind_zstd pattern)."""
@@ -518,7 +532,15 @@ def _content_decode(coding: str, data: bytes, max_output: int | None) -> bytes:
     if coding == "zstd":
         return zstd_decompress_member(data, max_output=max_output)
     if coding == "br":
-        raise NotImplementedError("http: brotli content-coding not supported")
+        # from-scratch RFC 7932 (round 14); streams referencing the
+        # static dictionary or the UTF8/SIGNED context tables raise
+        # typed NotImplementedError inside → quarantine, never mojibake
+        out = bind_brotli().brotli_decompress(
+            data, max_output=max_output if max_output else 1 << 28
+        )
+        if max_output is not None and len(out) > max_output:
+            raise ValueError("http: brotli body exceeds bound")
+        return out
     raise ValueError(f"http: unknown content-coding {coding!r}")
 
 
@@ -586,6 +608,8 @@ def http_message_build(
             payload = zlib_compress(payload)
         elif enc == "zstd":
             payload = zstd_compress_member(payload)
+        elif enc == "br":
+            payload = bind_brotli().brotli_compress(payload)
         else:
             raise ValueError(f"http-build: content-coding {enc!r}")
         headers.append(f"Content-Encoding: {content_encoding}")

@@ -1600,6 +1600,7 @@ def _register_container_modules():
     import ever runs (decompress_auto dispatches into zstd)."""
     from pyspark import cloudpickle as _cp
 
+    from yark_spark.operators import brotli as _brotli
     from yark_spark.operators import bzip2 as _bz2
     from yark_spark.operators import containers as _cont
     from yark_spark.operators import lz4 as _lz4
@@ -1612,12 +1613,14 @@ def _register_container_modules():
     _cont.bind_lz4()
     _cont.bind_bzip2()
     _cont.bind_xz()
+    _cont.bind_brotli()
     _cp.register_pickle_by_value(_png)
     _cp.register_pickle_by_value(_zstd)
     _cp.register_pickle_by_value(_zenc)
     _cp.register_pickle_by_value(_lz4)
     _cp.register_pickle_by_value(_bz2)
     _cp.register_pickle_by_value(_xz)
+    _cp.register_pickle_by_value(_brotli)
     _cp.register_pickle_by_value(_cont)
     return _cont
 
@@ -1919,6 +1922,8 @@ def with_warc_shards(
     # http_wire="cycle": each record's block is a FULL RFC 7230 response
     # message, framing cycling with doc key % 6 — identity / chunked /
     # gzip / chunked-over-gzip / deflate / zstd (q_warc_http_decode).
+    # "cycle_br" (round 14) widens to % 8 with br and chunked-over-br —
+    # the from-scratch RFC 7932 wire (q_warc_http_brotli).
     _WIRES = (
         (False, None),
         (True, None),
@@ -1926,12 +1931,14 @@ def with_warc_shards(
         (True, "gzip"),
         (False, "deflate"),
         (False, "zstd"),
+        (False, "br"),
+        (True, "br"),
     )
 
     def _block(did: int, text: str) -> bytes:
         if http_wire is None:
             return (_head if http_head else b"") + text.encode("utf-8")
-        chunked, enc = _WIRES[did % 6]
+        chunked, enc = _WIRES[did % (8 if http_wire == "cycle_br" else 6)]
         return _build_http(
             text.encode("utf-8"),
             transfer_chunked=chunked,

@@ -737,7 +737,8 @@ def q_warc_http_decode(spark, sf_dir):
     zstd (RFC 8878 content-coding) — all through in-repo codecs. The
     Spark side labels each row from the PARSED headers, so the hash
     match proves every framing was present and reversed, record by
-    record. brotli stays a typed boundary. Grouping shuffle = shard
+    record. brotli rides its own key since round 14
+    (q_warc_http_brotli). Grouping shuffle = shard
     assignment; map-only decode."""
     from yark_spark.operators.multimodal import (
         warc_http_decode_features,
