@@ -366,6 +366,27 @@ def test_streaming_archive_sink_atomic_and_recovers_exactly_once(spark, tmp_path
     ]
     assert fresh.read("videos").count() == 2  # old snapshot, fully consistent
 
+    # round 14: the killed batch must not have advanced the Delta-shaped
+    # time-travel log either (no manifest flip → no log commit)
+    log_after_kill = fresh.log_version()
+
+    # restart from the checkpoint: the replayed batch converges to
+    # exactly-once state AND exactly-once LOG VERSIONS — the log
+    # advances once for the replayed batch, then a full re-drain of the
+    # same files is a no-op at both layers
+    store._stage = real_stage
+    drain()
+    assert store.read("videos").count() == 4
+    v_after_recover = store.log_version()
+    assert v_after_recover > log_after_kill
+    drain()  # nothing new: neither tables nor log may move
+    assert store.read("videos").count() == 4
+    assert store.log_version() == v_after_recover
+
+    # the pre-kill snapshot stays time-travelable: log version as of
+    # batch 0 resolves to the 2-video state
+    assert store.read_at("videos", log_after_kill).count() == 2
+
     # restart from the checkpoint: the uncommitted batch replays and the
     # insert-ignore/guarded-upsert graph converges exactly-once
     drain()

@@ -11,6 +11,22 @@ inside foreachBatch, with the DB providing atomicity).
 Scale notes: facts should be written partitioned (partitionBy date/key) so
 cascades and key-scoped overwrites rewrite only affected partitions;
 local tests use unpartitioned tiny tables.
+
+Round 14 (VERDICT r13 item #7): every manifest flip ALSO appends a
+Delta-shaped commit to ``root/_delta_log`` — ``add``/``remove``
+actions naming the table version directories (``videos/v3``),
+protocol + metaData in version 0 — so the store's multi-table
+snapshots become TIME-TRAVELABLE: ``snapshot_at(V)`` replays the log
+to any commit and ``read_at(name, V)`` opens the table as of that
+commit (within the version-GC retention window). Every
+``log_checkpoint_interval`` commits the log self-compacts through the
+round-14 Delta checkpoint writer machinery: a ``<V>.checkpoint.parquet``
+(nested-struct action rows from operators/parquet_write) +
+``_last_checkpoint`` replace the JSON commits they cover — the
+unbounded-log problem real Delta writers solve every 10 commits,
+solved the same way. A crash between the manifest flip and the log
+append is reconciled on the next store construction
+(``_log_reconcile``), so the log never silently lags the manifest.
 """
 
 from __future__ import annotations
@@ -36,11 +52,19 @@ class ParquetStore:
     (archive, replay, cascade delete) rely on exactly that window. Call
     ``vacuum()`` to reclaim old versions once no readers remain."""
 
-    def __init__(self, spark: SparkSession, root: str, retain: int = 2):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        retain: int = 2,
+        log_checkpoint_interval: int = 10,
+    ):
         self.spark = spark
         self.root = root
         self.retain = max(1, retain)
+        self.log_checkpoint_interval = max(1, log_checkpoint_interval)
         os.makedirs(root, exist_ok=True)
+        self._log_reconcile()
 
     def _table_dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -66,12 +90,187 @@ class ParquetStore:
             return {k: int(v) for k, v in json.load(f).items()}
 
     def _commit_manifest(self, updates: dict[str, int]) -> None:
-        m = self._load_manifest() or {}
+        old = self._load_manifest() or {}
+        m = dict(old)
         m.update(updates)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, sort_keys=True)
         os.replace(tmp, self._manifest_path())  # the atomic commit point
+        # time-travel log (round 14): one Delta-shaped commit per flip
+        self._log_append({k: v for k, v in updates.items() if old.get(k) != v}, old)
+
+    # -- Delta-shaped commit log: the TIME-TRAVEL layer --------------------
+
+    def _log_path(self) -> str:
+        return os.path.join(self.root, "_delta_log")
+
+    def _log_versions(self) -> list[int]:
+        d = self._log_path()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[:20])
+            for f in os.listdir(d)
+            if f.endswith(".json") and f[:20].isdigit()
+        )
+
+    def _log_checkpoint_version(self) -> int | None:
+        p = os.path.join(self._log_path(), "_last_checkpoint")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(json.load(f)["version"])
+
+    def log_version(self) -> int | None:
+        """The newest commit version in the time-travel log."""
+        vs = self._log_versions()
+        ck = self._log_checkpoint_version()
+        if not vs and ck is None:
+            return None
+        return max([*vs, *([] if ck is None else [ck])])
+
+    def _log_append(self, changed: dict[str, int], old: dict[str, int]) -> None:
+        if not changed:
+            return
+        d = self._log_path()
+        os.makedirs(d, exist_ok=True)
+        head = self.log_version()
+        version = 0 if head is None else head + 1
+        actions = []
+        if version == 0:
+            actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+            actions.append(
+                {"metaData": {"id": "yark-store", "format": {"provider": "parquet"}}}
+            )
+        for name in sorted(changed):
+            if name in old:
+                actions.append(
+                    {"remove": {"path": f"{name}/v{old[name]}", "dataChange": True}}
+                )
+            actions.append(
+                {"add": {"path": f"{name}/v{changed[name]}", "dataChange": True}}
+            )
+        tmp = os.path.join(d, f"{version:020d}.json.tmp")
+        with open(tmp, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions))
+        os.replace(tmp, os.path.join(d, f"{version:020d}.json"))
+        if version > 0 and version % self.log_checkpoint_interval == 0:
+            self._log_checkpoint(version)
+
+    def _log_checkpoint(self, version: int) -> None:
+        """Self-compact: dump the state at ``version`` as a nested-struct
+        checkpoint parquet (the round-14 Delta checkpoint writer layout)
+        and delete the JSON commits it covers."""
+        from yark_spark.operators.parquet_write import parquet_write
+
+        state = self.snapshot_at(version)
+        paths = [f"{name}/v{v}" for name, v in sorted(state.items())]
+        n = 2 + len(paths)
+        prs = [{"minReaderVersion": 1}] + [None] * (n - 1)
+        mds = [None, {"id": "yark-store"}] + [None] * (n - 2)
+        adds = [None, None] + [{"path": p, "size": None} for p in paths]
+        blob = parquet_write(
+            {"protocol": prs, "metaData": mds, "add": adds,
+             "remove": [None] * n},
+            types={
+                "protocol": {"minReaderVersion": "INT32"},
+                "metaData": {"id": "BYTE_ARRAY"},
+                "add": {"path": "BYTE_ARRAY", "size": "INT64"},
+                "remove": {"path": "BYTE_ARRAY"},
+            },
+            codec="SNAPPY",
+        )
+        d = self._log_path()
+        with open(os.path.join(d, f"{version:020d}.checkpoint.parquet"), "wb") as f:
+            f.write(blob)
+        tmp = os.path.join(d, "_last_checkpoint.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "size": n}, f)
+        os.replace(tmp, os.path.join(d, "_last_checkpoint"))
+        for v in self._log_versions():
+            if v <= version:
+                os.remove(os.path.join(d, f"{v:020d}.json"))
+
+    def snapshot_at(self, version: int | None = None) -> dict[str, int]:
+        """Replay the commit log to ``version`` (default: head) →
+        ``{table: store version}`` — checkpoint-seeded when the JSON
+        history before the checkpoint has been compacted away."""
+        from yark_spark.operators.parquet_data import parquet_read_columns
+
+        d = self._log_path()
+        head = self.log_version()
+        if head is None:
+            raise ValueError("store: no time-travel log yet")
+        v = head if version is None else version
+        if not 0 <= v <= head:
+            raise ValueError(f"store: log version {v} out of range 0..{head}")
+        state: dict[str, int] = {}
+        # seed from the newest checkpoint ≤ v (older checkpoints stay on
+        # disk, so any checkpointed version remains addressable)
+        cks = sorted(
+            int(f[:20])
+            for f in os.listdir(d)
+            if f.endswith(".checkpoint.parquet") and f[:20].isdigit()
+        )
+        ck = max((c for c in cks if c <= v), default=None)
+        start = 0
+        if ck is not None:
+            ckpt = os.path.join(d, f"{ck:020d}.checkpoint.parquet")
+            with open(ckpt, "rb") as f:
+                cols = parquet_read_columns(f.read(), ["add.path"])
+            for p in cols["add.path"]:
+                if p is not None:
+                    name, _, ver = p.rpartition("/v")
+                    state[name] = int(ver)
+            start = ck + 1
+        have = set(self._log_versions())
+        need = set(range(start, v + 1))
+        if not need <= have:
+            raise ValueError(
+                f"store: commits {sorted(need - have)} compacted away — log "
+                f"version {v} is only addressable at a checkpoint"
+            )
+        for cv in sorted(need):
+            with open(os.path.join(d, f"{cv:020d}.json")) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "add" in action:
+                        name, _, ver = action["add"]["path"].rpartition("/v")
+                        state[name] = int(ver)
+                    # remove is superseded by the same commit's add
+        return state
+
+    def read_at(self, name: str, version: int) -> DataFrame:
+        """Time travel: the table as of log commit ``version``. Raises
+        when that store version has been GC'd past ``retain``."""
+        state = self.snapshot_at(version)
+        if name not in state:
+            raise ValueError(f"store: table {name!r} absent at log version {version}")
+        target = os.path.join(self._table_dir(name), f"v{state[name]}")
+        if not os.path.isdir(target):
+            raise ValueError(
+                f"store: {name} v{state[name]} vacuumed past retention — "
+                "raise `retain` to time-travel further back"
+            )
+        return self.spark.read.parquet(target)
+
+    def _log_reconcile(self) -> None:
+        """Close the crash window between the manifest flip and the log
+        append: if the manifest names versions the log head doesn't,
+        append a synthetic commit bringing the log up to date."""
+        m = self._load_manifest()
+        if not m:
+            return
+        try:
+            state = self.snapshot_at()
+        except ValueError:
+            state = {}
+        missing = {k: v for k, v in m.items() if state.get(k) != v}
+        if missing:
+            self._log_append(missing, state)
 
     def _write_pointer(self, name: str, version: int) -> None:
         tdir = self._table_dir(name)
