@@ -602,3 +602,60 @@ def test_list_under_struct_parent_presence():
     cols = orc_read_columns(buf.getvalue(), ["id", "s.xs", "s.k"])
     assert cols["s.xs"] == [[1, 2], None, None, []]
     assert cols["s.k"] == [9, None, 8, 7]
+
+
+@pytest.mark.parametrize("compression", ["NONE", "ZLIB"])
+def test_writer_list_columns_read_by_orc_cpp(compression):
+    from yark_spark.operators.orc import orc_write
+
+    """Round 14: the writer's LIST support — our reader AND real
+    ORC_CPP must read the same files value-for-value (null row, empty
+    list, null element, string elements, FLOAT elements)."""
+    rows = 40
+    emb, strs = [], []
+    for i in range(rows):
+        if i % 11 == 3:
+            emb.append(None)
+        elif i % 11 == 7:
+            emb.append([])
+        else:
+            v = [round(i * 0.5 + j, 3) for j in range(5)]
+            if i % 5 == 0:
+                v[2] = None
+            emb.append(v)
+        strs.append(None if i % 7 == 1 else [f"s{i}", "", "x"])
+    cols = {"id": list(range(rows)), "emb": emb, "strs": strs}
+    blob = orc_write(
+        cols,
+        types={"id": "LONG", "emb": "LIST<DOUBLE>", "strs": "LIST<STRING>"},
+        compression=compression,
+        stripe_rows=16,
+    )
+    back = orc_read_columns(blob)
+    assert back["id"] == cols["id"]
+    assert back["emb"] == emb
+    assert back["strs"] == strs
+    t = orc.read_table(io.BytesIO(blob))
+    assert t.column("id").to_pylist() == cols["id"]
+    assert t.column("emb").to_pylist() == emb
+    assert t.column("strs").to_pylist() == strs
+
+
+def test_writer_list_float_elements():
+    from yark_spark.operators.orc import orc_write
+
+    blob = orc_write(
+        {"v": [[0.5, 1.25], None, []]},
+        types={"v": "LIST<FLOAT>"},
+        compression="ZLIB",
+    )
+    assert orc_read_columns(blob)["v"] == [[0.5, 1.25], None, []]
+    t = orc.read_table(io.BytesIO(blob))
+    assert t.column("v").to_pylist() == [[0.5, 1.25], None, []]
+
+
+def test_writer_list_unknown_element_type_typed():
+    from yark_spark.operators.orc import orc_write
+
+    with pytest.raises(NotImplementedError, match="element type"):
+        orc_write({"v": [[1]]}, types={"v": "LIST<DECIMAL>"})

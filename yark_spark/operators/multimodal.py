@@ -2463,6 +2463,106 @@ def orc_vector_listing(df: DataFrame, payload_col: str = "payload") -> DataFrame
     return df.select(F.col(payload_col)).mapInPandas(_extract, ORC_VECTOR_SCHEMA)
 
 
+ORC_VECTOR_WRITE_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("dim", IntegerType()),
+        StructField("csum", LongType()),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def orc_vector_write_roundtrip(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """ORC repeated columns BOTH directions (round 14): each batch of
+    embeddings written by the from-scratch writer's new LIST support
+    (``LIST<FLOAT>`` — PRESENT + LENGTH on the list node, element
+    subtree flattened, pre-order column ids) with the q_orc_vector_scan
+    null grammar, then read back by _decode_node; tests pin that REAL
+    ORC_CPP reads the same files value-for-value. Map-only
+    mapInPandas."""
+    import math as _math
+
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import orc as _orc_mod
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import tfrecord as _tf
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()
+    _orc_mod._bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_tf)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_orc_mod)
+    _write = _orc_mod.orc_write
+    _read = _orc_mod.orc_read_columns
+    _floor = _math.floor
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for bi, pdf in enumerate(batches):
+            ids, embs, labels = [], [], []
+            for vid, e, lab in zip(pdf[id_col], pdf[emb_col], pdf[label_col]):
+                vid = int(vid)
+                ids.append(vid)
+                labels.append(None if vid % 25 == 13 else int(lab))
+                if vid % 25 == 13:
+                    embs.append(None)
+                elif vid % 25 == 18:
+                    embs.append([])
+                else:
+                    v = [float(x) for x in e]
+                    if vid % 25 == 21 and len(v) > 3:
+                        v[3] = None
+                    embs.append(v)
+            blob = _write(
+                {"vec_id": ids, "embedding": embs, "label": labels},
+                types={
+                    "vec_id": "LONG",
+                    "embedding": "LIST<FLOAT>",
+                    "label": "LONG",
+                },
+                compression=("ZLIB", "NONE")[bi % 2],
+                stripe_rows=64,
+            )
+            back = _read(blob, ["vec_id", "embedding", "label"])
+            dims, csums, labs = [], [], []
+            for emb, lab in zip(back["embedding"], back["label"]):
+                if emb is None:
+                    dims.append(-1)
+                    csums.append(0)
+                else:
+                    dims.append(len(emb))
+                    csums.append(
+                        sum(
+                            _floor(float(x) * 1_000_000)
+                            for x in emb
+                            if x is not None
+                        )
+                    )
+                labs.append(-1 if lab is None else int(lab))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.array(back["vec_id"], dtype="int64"),
+                    "dim": np.array(dims, dtype="int32"),
+                    "csum": np.array(csums, dtype="int64"),
+                    "label": np.array(labs, dtype="int32"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(emb_col), F.col(label_col)).mapInPandas(
+        _roundtrip, ORC_VECTOR_WRITE_SCHEMA
+    )
+
+
 DELTA_SNAPSHOT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

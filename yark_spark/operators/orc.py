@@ -951,10 +951,29 @@ def orc_write(
             )
         return "STRING"
 
+    # round 14: "LIST<ELEM>" declares a list column (PRESENT + LENGTH
+    # on the list node, the element subtree flattened beneath) — the
+    # write twin of _decode_node, read back by REAL ORC_CPP in tests
     ctypes = {c: (types or {}).get(c) or _infer(columns[c]) for c in names}
-    for c, t in ctypes.items():
-        if t not in ("LONG", "DOUBLE", "STRING", "BOOLEAN"):
+    elem_types: dict[str, str] = {}
+    for c, t in list(ctypes.items()):
+        if isinstance(t, str) and t.startswith("LIST<") and t.endswith(">"):
+            elem_types[c] = t[5:-1]
+            if elem_types[c] not in ("LONG", "DOUBLE", "FLOAT", "STRING", "BOOLEAN"):
+                raise NotImplementedError(f"orc-write: element type {elem_types[c]}")
+        elif t not in ("LONG", "DOUBLE", "FLOAT", "STRING", "BOOLEAN"):
             raise NotImplementedError(f"orc-write: type {t}")
+
+    # pre-order column ids: root 0, then each field's subtree
+    col_ids: dict[str, tuple[int, int | None]] = {}
+    next_id = 1
+    for c in names:
+        if c in elem_types:
+            col_ids[c] = (next_id, next_id + 1)
+            next_id += 2
+        else:
+            col_ids[c] = (next_id, None)
+            next_id += 1
 
     out = bytearray(b"ORC")
     stripe_infos = []
@@ -980,18 +999,20 @@ def orc_write(
                 + _pb_varint_field(3, len(comp))
             )
 
-        for ci, c in enumerate(names, start=1):
-            vals = columns[c][start : start + rows]
+        def _emit_leaf(ci, t, vals):
+            """One primitive column's streams + encoding + stats entry."""
             present = [v is not None for v in vals]
             nn = [v for v in vals if v is not None]
             if not all(present):
                 _emit(ci, _PRESENT, _bool_rle_encode(present))
-            t = ctypes[c]
             if t == "LONG":
                 _emit(ci, _DATA, _rlev2_encode(nn, signed=True))
                 enc = 2  # DIRECT_V2
             elif t == "DOUBLE":
                 _emit(ci, _DATA, b"".join(struct.pack("<d", v) for v in nn))
+                enc = 0
+            elif t == "FLOAT":
+                _emit(ci, _DATA, b"".join(struct.pack("<f", v) for v in nn))
                 enc = 0
             elif t == "BOOLEAN":
                 _emit(ci, _DATA, _bool_rle_encode([bool(v) for v in nn]))
@@ -1023,6 +1044,30 @@ def orc_write(
                     + _pb_len_field(2, max(nn).encode("utf-8")),
                 )
             cs_msgs.append(cs)
+            return nn
+
+        for c in names:
+            ci, child_id = col_ids[c]
+            vals = columns[c][start : start + rows]
+            if child_id is not None:  # LIST column (round 14)
+                present = [v is not None for v in vals]
+                nn_rows = [v for v in vals if v is not None]
+                if not all(present):
+                    _emit(ci, _PRESENT, _bool_rle_encode(present))
+                _emit(
+                    ci, _LENGTH,
+                    _rlev2_encode([len(v) for v in nn_rows], signed=False),
+                )
+                encodings_pb.append(_tag(1, 0) + _write_varint(2))  # DIRECT_V2
+                cs_msgs.append(
+                    _pb_varint_field(1, len(nn_rows))
+                    + _pb_varint_field(10, 0 if all(present) else 1)
+                )
+                flat = [e for v in nn_rows for e in v]
+                _emit_leaf(child_id, elem_types[c], flat)
+                continue
+            t = ctypes[c]
+            nn = _emit_leaf(ci, t, vals)
             if c in (bloom_filter_columns or ()) and t in ("LONG", "STRING"):
                 # one BLOOM_FILTER_UTF8 index stream per stripe
                 # (single stride — this writer's row-index granularity)
@@ -1059,15 +1104,26 @@ def orc_write(
     metadata_c = _chunks_compress(metadata, compression)
     out += metadata_c
 
-    # footer: types — root struct + children
+    # footer: types — root struct + each field's subtree in pre-order
     root = _tag(1, 0) + _write_varint(_KIND_IDS["STRUCT"])
-    for ci in range(1, len(names) + 1):
-        root += _pb_varint_field(2, ci)
+    for c in names:
+        root += _pb_varint_field(2, col_ids[c][0])
     for c in names:
         root += _pb_len_field(3, c.encode("utf-8"))
     type_msgs = [root]
     for c in names:
-        type_msgs.append(_tag(1, 0) + _write_varint(_KIND_IDS[ctypes[c]]))
+        _ci, child_id = col_ids[c]
+        if child_id is not None:
+            type_msgs.append(
+                _tag(1, 0)
+                + _write_varint(_KIND_IDS["LIST"])
+                + _pb_varint_field(2, child_id)
+            )
+            type_msgs.append(
+                _tag(1, 0) + _write_varint(_KIND_IDS[elem_types[c]])
+            )
+        else:
+            type_msgs.append(_tag(1, 0) + _write_varint(_KIND_IDS[ctypes[c]]))
     footer = (
         _pb_varint_field(1, 3)  # headerLength ("ORC")
         + _pb_varint_field(2, content_len_val)

@@ -413,3 +413,40 @@ def q_warc_http_brotli(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
     return warc_http_decode_features(with_warc_shards(docs, http_wire="cycle_br"))
+
+
+_ORC_VECTOR_WRITE_ORACLE = (
+    "SELECT vec_id, "
+    "CAST(CASE WHEN vec_id % 25 = 13 THEN -1 "
+    "WHEN vec_id % 25 = 18 THEN 0 "
+    "ELSE len(embedding) END AS INTEGER) AS dim, "
+    "CAST(CASE WHEN vec_id % 25 IN (13, 18) THEN 0 "
+    "WHEN vec_id % 25 = 21 THEN "
+    "list_aggregate(list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), 'sum') "
+    "- CAST(floor(CAST(embedding[4] AS DOUBLE) * 1000000) AS BIGINT) "
+    "ELSE list_aggregate(list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), 'sum') "
+    "END AS BIGINT) AS csum, "
+    "CAST(CASE WHEN vec_id % 25 = 13 THEN -1 ELSE label END AS INTEGER) "
+    "AS label FROM embeddings"
+)
+
+
+@query("q_orc_vector_write_roundtrip", oracle=_ORC_VECTOR_WRITE_ORACLE)
+def q_orc_vector_write_roundtrip(spark, sf_dir):
+    """E143' ORC LIST columns BOTH directions (round 14, second pass):
+    the from-scratch WRITER gains repeated columns — ``LIST<FLOAT>``
+    with PRESENT + LENGTH streams on the list node, the element
+    subtree flattened beneath pre-order column ids, per-node
+    encodings/statistics — and the embeddings corpus roundtrips
+    through write → _decode_node with the E143 null grammar (null row
+    / empty list / null element). REAL ORC_CPP reads the same files
+    value-for-value (tests/test_orc.py), so the wire is genuine ORC,
+    not a private dialect. Closing the write half matters at 100 TB
+    because pipelines don't just READ warehouses — curated embedding
+    shards have to land back in them. Map-only mapInPandas."""
+    from yark_spark.operators.multimodal import orc_vector_write_roundtrip
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return orc_vector_write_roundtrip(emb)
