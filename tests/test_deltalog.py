@@ -242,8 +242,10 @@ def test_checkpoint_without_metadata_is_typed():
 
 
 def test_checkpoint_reader_version_gate():
+    # mrv 3 reads since round 14 (deletionVectors); 2 = column mapping
+    # stays the typed gate
     ckpt = _checkpoint(
-        [{"protocol": {"minReaderVersion": 3}}, {"metaData": {"id": "t"}}]
+        [{"protocol": {"minReaderVersion": 2}}, {"metaData": {"id": "t"}}]
     )
     blob = _table(_ckpt_members(2, ckpt), [])
     with pytest.raises(NotImplementedError, match="minReaderVersion"):
@@ -424,15 +426,29 @@ def test_protocol_v3_feature_gate():
         delta_snapshot_rows(blob2, ["doc_id"])
 
 
-def test_checkpoint_of_dv_table_is_boundary():
-    a = _pq([1, 2])
+def test_checkpoint_of_dv_table_roundtrips():
+    """Round 14 second pass: DV descriptors ride the checkpoint as the
+    nested add.deletionVector struct (the recursive parquet writer) —
+    a checkpointed DV table resolves to the same surviving rows."""
+    a = _pq([1, 2, 3, 4])
+    desc, dvfile = _dv_file({1, 3})
     blob = _table(
         [
-            _commit(0, _PROTO_V3, _META),
+            _commit(0, _PROTO_V3, _META, _add("a.parquet", a)),
             _commit(1, {"add": {"path": "a.parquet", "size": len(a),
                                 "deletionVector": _dv_inline({0})}}),
+            _commit(2, {"add": {"path": "a.parquet", "size": len(a),
+                                "deletionVector": desc}}),
         ],
-        [("a.parquet", a)],
+        [("a.parquet", a), ("dv/d.bin", dvfile)],
     )
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        delta_checkpoint_table(blob)
+    want = sorted(r["doc_id"] for _, r in delta_snapshot_rows(blob, ["doc_id"]))
+    assert want == [1, 3]  # positions 1,3 dead → values 2,4 dead
+    for at in (1, 2):
+        ck = delta_checkpoint_table(blob, at)
+        got = sorted(r["doc_id"] for _, r in delta_snapshot_rows(ck, ["doc_id"]))
+        assert got == want, at
+    # the DV survives INSIDE the checkpoint (commits deleted)
+    ck = delta_checkpoint_table(blob, 2)
+    names = [n for n, _ in tar_members(ck)]
+    assert not any(n.endswith(".json") for n in names if "_delta_log" in n)

@@ -264,20 +264,45 @@ def _replay_from_checkpoint(
             "protocol.minReaderVersion",
         ],
     )
+    # DV descriptor columns (round 14 second pass): absent on pre-DV
+    # checkpoints — all-None then
+    try:
+        dvc = parquet_read_columns(
+            ckpt_blob,
+            [
+                "add.deletionVector.storageType",
+                "add.deletionVector.pathOrInlineDv",
+                "add.deletionVector.offset",
+                "add.deletionVector.sizeInBytes",
+                "add.deletionVector.cardinality",
+            ],
+        )
+    except ValueError:
+        dvc = None
     live: dict[str, tuple[int, int | None, dict | None]] = {}
     saw_metadata = False
     for i in range(len(cols["add.path"])):
         mrv = cols["protocol.minReaderVersion"][i]
-        if mrv is not None and mrv > 1:
+        if mrv is not None and mrv not in (1, 3):
+            # 3 = deletionVectors (the only v3 feature our own
+            # checkpoint writer emits); 2 = column mapping stays typed
             raise NotImplementedError(
-                "delta: checkpointed minReaderVersion > 1 (column mapping / "
-                "deletion vectors) not supported"
+                f"delta: checkpointed minReaderVersion {mrv} not supported"
             )
         if cols["metaData.id"][i] is not None:
             saw_metadata = True
         p = cols["add.path"][i]
         if p is not None:
-            live[p] = (ckpt_version, cols["add.size"][i], None)
+            dv = None
+            if dvc is not None and dvc["add.deletionVector.storageType"][i] is not None:
+                dv = {
+                    "storageType": dvc["add.deletionVector.storageType"][i],
+                    "pathOrInlineDv": dvc["add.deletionVector.pathOrInlineDv"][i],
+                    "offset": dvc["add.deletionVector.offset"][i],
+                    "sizeInBytes": dvc["add.deletionVector.sizeInBytes"][i],
+                    "cardinality": dvc["add.deletionVector.cardinality"][i],
+                }
+            live[p] = (ckpt_version, cols["add.size"][i], dv)
         # remove rows are EXPIRED tombstones retained for vacuum
         # bookkeeping — by definition not part of the live state
     if not saw_metadata:
@@ -356,14 +381,10 @@ def delta_checkpoint_table(tar_payload: bytes, version: int | None = None) -> by
         _apply_commit(blob, cv, live)
     if metadata_action is None:
         raise ValueError("delta: table has no metaData action")
-    for path, (_ver, _size, dv) in live.items():
-        if dv is not None:
-            raise NotImplementedError(
-                "delta: checkpointing live deletion vectors not supported "
-                "(two-level struct nesting)"
-            )
 
-    # one action per row: protocol, metaData, then adds in path order
+    # one action per row: protocol, metaData, then adds in path order;
+    # live deletion vectors ride as the nested add.deletionVector
+    # struct (round 14 second pass — the writer recurses now)
     paths = sorted(live)
     n = 2 + len(paths)
     prs: list = [
@@ -374,9 +395,21 @@ def delta_checkpoint_table(tar_payload: bytes, version: int | None = None) -> by
     mds: list = [None, {"id": str(metadata_action.get("id", ""))}] + [None] * (
         n - 2
     )
-    adds: list = [None, None] + [
-        {"path": p, "size": live[p][1]} for p in paths
-    ]
+    adds: list = [None, None]
+    for p in paths:
+        _ver, size, dv = live[p]
+        row = {"path": p, "size": size}
+        if dv is not None:
+            row["deletionVector"] = {
+                "storageType": dv.get("storageType"),
+                "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                "offset": dv.get("offset"),
+                "sizeInBytes": dv.get("sizeInBytes"),
+                "cardinality": dv.get("cardinality"),
+            }
+        else:
+            row["deletionVector"] = None
+        adds.append(row)
     # the remove column is part of the checkpoint schema even with no
     # unexpired tombstones (the round-13 reader selects it by name)
     rms: list = [None] * n
@@ -385,7 +418,17 @@ def delta_checkpoint_table(tar_payload: bytes, version: int | None = None) -> by
         types={
             "protocol": {"minReaderVersion": "INT32"},
             "metaData": {"id": "BYTE_ARRAY"},
-            "add": {"path": "BYTE_ARRAY", "size": "INT64"},
+            "add": {
+                "path": "BYTE_ARRAY",
+                "size": "INT64",
+                "deletionVector": {
+                    "storageType": "BYTE_ARRAY",
+                    "pathOrInlineDv": "BYTE_ARRAY",
+                    "offset": "INT64",
+                    "sizeInBytes": "INT64",
+                    "cardinality": "INT64",
+                },
+            },
             "remove": {"path": "BYTE_ARRAY"},
         },
         codec="SNAPPY",

@@ -345,11 +345,12 @@ def parquet_write(
     for c in names:
         if len(columns[c]) != n_rows:
             raise ValueError("parquet-write: ragged columns")
-    # a dict in ``types`` declares a one-level OPTIONAL STRUCT column
-    # (round 14 — Delta checkpoints are nested-struct action rows):
-    # {"add": {"path": "BYTE_ARRAY", "size": "INT64"}} with row values
-    # dict-or-None; leaves write at max definition level 2
-    struct_fields: dict[str, dict[str, str]] = {
+    # a dict in ``types`` declares an OPTIONAL STRUCT column (round 14
+    # — Delta checkpoints are nested-struct action rows), RECURSIVELY:
+    # {"add": {"path": "BYTE_ARRAY", "deletionVector": {"offset":
+    # "INT64"}}} with row values nested-dict-or-None; a leaf under k
+    # optional struct levels writes at max definition level k+1
+    struct_fields: dict[str, dict] = {
         c: t for c, t in (types or {}).items() if isinstance(t, dict) and c in names
     }
     ctypes = {
@@ -360,22 +361,51 @@ def parquet_write(
     for c, t in ctypes.items():
         if t not in _TYPE_IDS:
             raise NotImplementedError(f"parquet-write: type {t} for {c!r}")
-    for c, fields in struct_fields.items():
-        for fn, t in fields.items():
-            if t not in _TYPE_IDS:
-                raise NotImplementedError(f"parquet-write: type {t} for {c}.{fn}")
     rg_size = row_group_size or max(1, n_rows)
 
-    # expand to leaves: (display name, schema path, ptype, row values,
-    # def-level fn) — flat leaves keep the 0/1 grammar, struct leaves
-    # the 0/1/2 grammar (struct null / field null / value)
-    leaves: list[tuple[str, list[str], str, str | None]] = []
+    # expand to leaves: (display name, schema path, ptype, field path
+    # below the top column or None for flat)
+    leaves: list[tuple[str, list[str], str, "list[str] | None"]] = []
+
+    def _expand(top: str, spec: dict, prefix: list[str]) -> None:
+        for fn, t in spec.items():
+            if isinstance(t, dict):
+                _expand(top, t, prefix + [fn])
+            elif t in _TYPE_IDS:
+                fpath = prefix + [fn]
+                leaves.append(
+                    (".".join([top, *fpath]), [top, *fpath], t, fpath)
+                )
+            else:
+                raise NotImplementedError(
+                    f"parquet-write: type {t} for {top}.{'.'.join(prefix + [fn])}"
+                )
+
     for name in names:
         if name in struct_fields:
-            for fn, t in struct_fields[name].items():
-                leaves.append((f"{name}.{fn}", [name, fn], t, fn))
+            _expand(name, struct_fields[name], [])
         else:
             leaves.append((name, [name], ctypes[name], None))
+
+    def _nested(rows: list, fpath: list[str]) -> tuple[list, list[int], int]:
+        """(leaf values, def levels, max_def) for one struct leaf: the
+        def level counts the present optional levels from the top
+        struct down to the leaf value."""
+        max_def = len(fpath) + 1
+        vals, defs = [], []
+        for r in rows:
+            cur = r
+            lvl = 0
+            for f in fpath:
+                if cur is None:
+                    break
+                lvl += 1
+                cur = cur.get(f)
+            if cur is not None:
+                lvl += 1
+            vals.append(cur)
+            defs.append(lvl)
+        return vals, defs, max_def
 
     out = bytearray(b"PAR1")
     rg_infos: list[tuple[int, int, list]] = []  # (rows, total, [col info])
@@ -383,18 +413,14 @@ def parquet_write(
         rg_rows = min(rg_size, n_rows - rg_start) if n_rows else 0
         col_infos: list = []
         rg_total = 0
-        for disp, path, ptype, field in leaves:
+        for disp, path, ptype, fpath in leaves:
             rows = columns[path[0]][rg_start : rg_start + rg_rows]
-            if field is None:
+            if fpath is None:
                 vals = rows
                 defs_pair = None
             else:
-                vals = [None if r is None else r.get(field) for r in rows]
-                defs_pair = (
-                    [0 if r is None else (1 if r.get(field) is None else 2)
-                     for r in rows],
-                    2,
-                )
+                vals, defs, max_def = _nested(rows, fpath)
+                defs_pair = (defs, max_def)
             meta_bytes, cstart, csize, pinfo = _write_chunk(
                 out,
                 path,
@@ -472,29 +498,33 @@ def parquet_write(
     schema_elems = [
         _TStruct().binary(4, b"schema").i32(5, len(names)).done()
     ]
-    for name in names:
-        if name in struct_fields:
+
+    def _leaf_elem(fn: str, t: str) -> bytes:
+        el = _TStruct()
+        el.i32(1, _TYPE_IDS[t])
+        el.i32(3, 1)  # OPTIONAL
+        el.binary(4, fn.encode("utf-8"))
+        if t == "BYTE_ARRAY":
+            el.i32(6, 0)  # ConvertedType UTF8
+        return el.done()
+
+    def _emit_schema(fn: str, spec) -> None:
+        if isinstance(spec, dict):
             grp = _TStruct()
             grp.i32(3, 1)  # OPTIONAL group, no physical type
-            grp.binary(4, name.encode("utf-8"))
-            grp.i32(5, len(struct_fields[name]))
+            grp.binary(4, fn.encode("utf-8"))
+            grp.i32(5, len(spec))
             schema_elems.append(grp.done())
-            for fn, t in struct_fields[name].items():
-                el = _TStruct()
-                el.i32(1, _TYPE_IDS[t])
-                el.i32(3, 1)  # OPTIONAL
-                el.binary(4, fn.encode("utf-8"))
-                if t == "BYTE_ARRAY":
-                    el.i32(6, 0)  # ConvertedType UTF8
-                schema_elems.append(el.done())
-            continue
-        el = _TStruct()
-        el.i32(1, _TYPE_IDS[ctypes[name]])
-        el.i32(3, 1)  # OPTIONAL
-        el.binary(4, name.encode("utf-8"))
-        if ctypes[name] == "BYTE_ARRAY":
-            el.i32(6, 0)  # ConvertedType UTF8
-        schema_elems.append(el.done())
+            for sub, t in spec.items():
+                _emit_schema(sub, t)
+        else:
+            schema_elems.append(_leaf_elem(fn, spec))
+
+    for name in names:
+        if name in struct_fields:
+            _emit_schema(name, struct_fields[name])
+        else:
+            schema_elems.append(_leaf_elem(name, ctypes[name]))
 
     # column_orders (field 7): one TypeDefinedOrder union per leaf —
     # WITHOUT this, spec-compliant readers must IGNORE the chunks'
