@@ -409,3 +409,184 @@ def test_column_murmur_twin_matches(spark):
     for v in vals:
         want = murmur3_x86_32(v.to_bytes(8, "little", signed=True)) & 0xFFFFFFFF
         assert got[v] == want, v
+
+
+# ---------------------------------------------------------------------------
+# Multi-field partition specs (round 14 second pass)
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def _multi_field_table():
+    """day(ts) distinguishes MANIFESTS only (groups 0,1 → day 100;
+    2,3 → day 200); truncate[16](doc_id) distinguishes FILES inside a
+    manifest — so each prune level exercises a different field."""
+    groups = {g: list(range(g * 16, g * 16 + 16)) for g in range(4)}
+    day_of = {0: 100, 1: 100, 2: 200, 3: 200}
+    trunc_of = {g: g * 16 for g in range(4)}
+
+    m_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "file_sequence_number", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "data_file",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {"name": "ts_day", "type": "long"},
+                                    {"name": "doc_trunc", "type": "long"},
+                                ],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+
+    files, entries = [], {}
+    for g, ids in groups.items():
+        blob = parquet_write(
+            {"doc_id": ids, "text": [f"t{d}" for d in ids]},
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+        )
+        path = f"data/g{g}.parquet"
+        files.append((path, blob))
+        entries[g] = {
+            "status": 1,
+            "snapshot_id": None,
+            "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {"ts_day": day_of[g], "doc_trunc": trunc_of[g]},
+                "record_count": 16,
+                "file_size_in_bytes": len(blob),
+            },
+        }
+    mA = avro_build(m_schema, [entries[0], entries[1]], codec="deflate")
+    mB = avro_build(m_schema, [entries[2], entries[3]], codec="deflate")
+
+    def _mf(path, blob, gs):
+        return {
+            "manifest_path": path,
+            "manifest_length": len(blob),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 1,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 1,
+            "added_files_count": len(gs),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "partitions": [
+                {
+                    "contains_null": False,
+                    "lower_bound": partition_bound(min(day_of[g] for g in gs), 4),
+                    "upper_bound": partition_bound(max(day_of[g] for g in gs), 4),
+                },
+                {
+                    "contains_null": False,
+                    "lower_bound": partition_bound(min(trunc_of[g] for g in gs), 8),
+                    "upper_bound": partition_bound(max(trunc_of[g] for g in gs), 8),
+                },
+            ],
+        }
+
+    snap = avro_build(
+        PARTITIONED_MANIFEST_LIST_SCHEMA,
+        [_mf("metadata/mA.avro", mA, [0, 1]), _mf("metadata/mB.avro", mB, [2, 3])],
+        codec="deflate",
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0005-000000000000",
+        "location": "mtbl",
+        "last-sequence-number": 1,
+        "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "default-spec-id": 0,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+                    {"id": 2, "name": "text", "required": True, "type": "string"},
+                    {"id": 3, "name": "ts", "required": True, "type": "timestamp"},
+                ],
+            }
+        ],
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {"name": "ts_day", "transform": "day", "source-id": 3,
+                     "field-id": 1000},
+                    {"name": "doc_trunc", "transform": "truncate[16]",
+                     "source-id": 1, "field-id": 1001},
+                ],
+            }
+        ],
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "timestamp-ms": 0,
+                "manifest-list": "metadata/snap-1.avro",
+                "summary": {"operation": "append"},
+            }
+        ],
+    }
+    members = [
+        ("metadata/v2.metadata.json", json.dumps(meta).encode()),
+        ("metadata/snap-1.avro", snap),
+        ("metadata/mA.avro", mA),
+        ("metadata/mB.avro", mB),
+    ] + files
+    return tar_build(members)
+
+
+def test_multi_field_partition_prune():
+    tar = _multi_field_table()
+    # probe: mid-day instant inside day 200, doc source 40 → trunc 32
+    rows, cnt = iceberg_partition_scan(
+        tar,
+        ["doc_id"],
+        source_values={"ts_day": 200 * _DAY_US + 7 * 3_600_000_000,
+                       "doc_trunc": 40},
+    )
+    assert sorted(r["doc_id"] for r in rows) == list(range(32, 48))
+    # manifest A skipped by the DAY summary, file g3 by the TRUNC struct
+    assert cnt == {
+        "manifests_total": 2,
+        "manifests_skipped": 1,
+        "files_skipped": 1,
+        "files_scanned": 1,
+    }
+    # missing probe for one field is typed
+    with pytest.raises(ValueError, match="no probe"):
+        iceberg_partition_scan(tar, ["doc_id"], source_values={"ts_day": 0})
+    # single-value probe against a multi-field spec is typed
+    with pytest.raises(ValueError, match="source_values"):
+        iceberg_partition_scan(tar, ["doc_id"], source_value=40)

@@ -565,6 +565,7 @@ def iceberg_partition_scan(
     columns: list[str],
     part_value=None,
     source_value=None,
+    source_values: "dict[str, object] | None" = None,
 ) -> tuple[list[dict], dict[str, int]]:
     """Scan one partition of a partitioned table: manifests whose
     field summaries exclude the partition key are never OPENED
@@ -591,38 +592,54 @@ def iceberg_partition_scan(
         if s["snapshot-id"] == meta["current-snapshot-id"]
     )
 
-    # resolve the (single-field) partition spec: name, transform,
-    # source type — identity over "part" when no spec is declared
-    field_name, transform, src_type = "part", "identity", "long"
+    # resolve the partition spec: per-field (name, transform, source
+    # type) — identity over "part" when no spec is declared. Multi-
+    # field specs (round 14 second pass) prune as a CONJUNCTION: a
+    # manifest survives only if EVERY field's summary admits its key,
+    # a file only if every partition-struct field matches.
+    fields_meta: list[tuple[str, str, str]] = [("part", "identity", "long")]
     specs = meta.get("partition-specs")
     if specs:
         spec = next(
             (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
             specs[0],
         )
-        fields = spec.get("fields", [])
-        if len(fields) != 1:
-            raise NotImplementedError(
-                "iceberg: multi-field partition specs not supported"
-            )
-        field_name = fields[0]["name"]
-        transform = fields[0]["transform"]
-        src_id = fields[0].get("source-id")
         schema_id = meta.get("current-schema-id", 0)
         schema = next(
             s for s in meta.get("schemas", []) if s.get("schema-id") == schema_id
         )
-        for f in schema["fields"]:
-            if f["id"] == src_id:
-                src_type = f["type"]
-                break
-    if source_value is not None:
-        part_key = iceberg_transform(transform, source_value, src_type)
-        if part_key is None:
-            raise ValueError("iceberg: void/null probe cannot select a partition")
+        by_id = {f["id"]: f["type"] for f in schema["fields"]}
+        fields_meta = [
+            (f["name"], f["transform"], by_id.get(f.get("source-id"), "long"))
+            for f in spec.get("fields", [])
+        ]
+        if not fields_meta:
+            raise ValueError("iceberg: empty partition spec")
+
+    if source_values is not None:
+        probes = dict(source_values)
+    elif source_value is not None:
+        if len(fields_meta) != 1:
+            raise ValueError(
+                "iceberg: multi-field spec needs source_values by field name"
+            )
+        probes = {fields_meta[0][0]: source_value}
     else:
-        part_key = part_value
-    width = transform_result_width(transform, src_type)
+        probes = None  # part_value is an already-transformed single key
+
+    part_keys: dict[str, int | str] = {}
+    widths: dict[str, int] = {}
+    for name, transform, src_type in fields_meta:
+        if probes is not None:
+            if name not in probes:
+                raise ValueError(f"iceberg: no probe for partition field {name!r}")
+            key = iceberg_transform(transform, probes[name], src_type)
+            if key is None:
+                raise ValueError("iceberg: void/null probe cannot select a partition")
+        else:
+            key = part_value
+        part_keys[name] = key
+        widths[name] = transform_result_width(transform, src_type)
 
     counters = {
         "manifests_total": 0,
@@ -636,21 +653,30 @@ def iceberg_partition_scan(
             continue
         counters["manifests_total"] += 1
         summaries = mf.get("partitions")
+        excluded = False
         if summaries:
-            s0 = summaries[0]
-            lo = s0.get("lower_bound")
-            hi = s0.get("upper_bound")
-            if lo is not None and hi is not None and isinstance(part_key, int):
-                if len(lo) != width or len(hi) != width:
+            if len(summaries) < len(fields_meta):
+                raise ValueError("iceberg: field summaries shorter than spec")
+            for fi, (name, transform, _st) in enumerate(fields_meta):
+                s0 = summaries[fi]
+                lo = s0.get("lower_bound")
+                hi = s0.get("upper_bound")
+                key = part_keys[name]
+                if lo is None or hi is None or not isinstance(key, int):
+                    continue
+                if len(lo) != widths[name] or len(hi) != widths[name]:
                     raise ValueError(
                         "iceberg: field-summary bound width mismatch for "
-                        f"{transform} (want {width} bytes)"
+                        f"{transform} (want {widths[name]} bytes)"
                     )
                 lo_v = int.from_bytes(bytes(lo), "little", signed=True)
                 hi_v = int.from_bytes(bytes(hi), "little", signed=True)
-                if not lo_v <= part_key <= hi_v:
-                    counters["manifests_skipped"] += 1
-                    continue
+                if not lo_v <= key <= hi_v:
+                    excluded = True
+                    break
+        if excluded:
+            counters["manifests_skipped"] += 1
+            continue
         blob = _member(members, mf["manifest_path"])
         if len(blob) != mf["manifest_length"]:
             raise ValueError("iceberg: manifest length mismatch")
@@ -658,7 +684,10 @@ def iceberg_partition_scan(
             if entry["status"] == _DELETED:
                 continue
             df = entry["data_file"]
-            if df["partition"][field_name] != part_key:
+            if any(
+                df["partition"][name] != part_keys[name]
+                for name, _t, _s in fields_meta
+            ):
                 counters["files_skipped"] += 1
                 continue
             data = _member(members, df["file_path"])
