@@ -659,3 +659,81 @@ def test_writer_list_unknown_element_type_typed():
 
     with pytest.raises(NotImplementedError, match="element type"):
         orc_write({"v": [[1]]}, types={"v": "LIST<DECIMAL>"})
+
+
+# ---------------------------------------------------------------------------
+# Round 14: RLE v1 — the Hive ≤0.11 wire, REAL file_version='0.11' files
+# ---------------------------------------------------------------------------
+
+
+def _write_v11(table, compression="zlib"):
+    buf = io.BytesIO()
+    w = orc.ORCWriter(
+        buf, file_version="0.11", compression=compression, stripe_size=64 * 1024
+    )
+    w.write(table)
+    w.close()
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("compression", ["uncompressed", "zlib", "snappy"])
+def test_rlev1_differential_vs_real_011_files(compression):
+    rng = random.Random(11)
+    n = 5000
+    t = pa.table(
+        {
+            "i": pa.array(
+                [None if k % 7 == 0 else k - 500 for k in range(n)], pa.int64()
+            ),
+            "mono": pa.array(range(n), pa.int64()),  # delta-1 runs
+            "const": pa.array([42] * n, pa.int32()),  # pure runs
+            "r": pa.array(
+                [rng.randrange(-(2**40), 2**40) for _ in range(n)], pa.int64()
+            ),
+            "s": pa.array(
+                [None if k % 11 == 0 else f"val-{k % 20}" for k in range(n)]
+            ),  # DICTIONARY with RLEv1 indexes
+            "u": pa.array([f"uniq-{k}" for k in range(n)]),  # DIRECT lengths
+            "f": pa.array([k / 7.0 for k in range(n)], pa.float64()),
+            "b": pa.array([k % 3 == 0 for k in range(n)], pa.bool_()),
+            "lst": pa.array(
+                [None if k % 13 == 5 else [k, None if k % 4 == 0 else k * 2]
+                 for k in range(n)],
+                pa.list_(pa.int64()),
+            ),  # LIST lengths as RLEv1
+        }
+    )
+    got = orc_read_columns(_write_v11(t, compression))
+    for c in t.column_names:
+        assert got[c] == t.column(c).to_pylist(), (compression, c)
+
+
+def test_rlev1_hand_vectors():
+    from yark_spark.operators.orc import _rlev1
+
+    # run: control 0 → 3 values, delta +1, base 7
+    assert _rlev1(bytes([0x00, 0x01, 0x07]), 3, signed=False) == [7, 8, 9]
+    # run with negative delta
+    assert _rlev1(bytes([0x02, 0xFF, 0x0A]), 5, signed=False) == [10, 9, 8, 7, 6]
+    # literals: control 0xFD → 3 varints
+    assert _rlev1(bytes([0xFD, 0x02, 0x80, 0x01, 0x00]), 3, signed=False) == [
+        2, 128, 0,
+    ]
+    # signed run: zigzag base -5
+    assert _rlev1(bytes([0x00, 0x02, 0x09]), 3, signed=True) == [-5, -3, -1]
+    with pytest.raises(ValueError, match="truncated"):
+        _rlev1(bytes([0x00, 0x01]), 3, signed=False)
+
+
+def test_rlev1_timestamps_and_dates_011():
+    ts = pa.array(
+        [None if k % 9 == 4 else (1_500_000_000_000_000 + k * 1_000_003)
+         for k in range(400)],
+        pa.timestamp("us"),
+    )
+    d = pa.array([17000 + k for k in range(400)], pa.date32())
+    t = pa.table({"ts": ts, "d": d})
+    got = orc_read_columns(_write_v11(t))
+    want_ts = [None if v is None else v.value for v in ts]
+    assert got["ts"] == want_ts
+    assert got["d"] == [17000 + k for k in range(400)]

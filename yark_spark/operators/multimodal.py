@@ -2210,13 +2210,16 @@ def with_orc_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     docs_per_shard: int = 16,
+    file_version: str = "0.12",
 ) -> DataFrame:
     """Pack documents into ORC shards WRITTEN BY THE REAL LIBRARY
     (pyarrow's ORC_CPP — genuine third-party wire, not our own
     bytes), compression cycling uncompressed/zlib/snappy/zstd/lz4
-    per shard so every chunk-framing codec path is on the wire. One
-    applyInPandas per shard group — the grouping shuffle IS the
-    shard assignment."""
+    per shard so every chunk-framing codec path is on the wire.
+    ``file_version='0.11'`` (round 14) emits the Hive ≤0.11 layout —
+    RLE v1 integer/length streams — that long-lived Hadoop corpora
+    still carry. One applyInPandas per shard group — the grouping
+    shuffle IS the shard assignment."""
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         import io as _io
@@ -2234,7 +2237,9 @@ def with_orc_shards(
         sid = int(pdf[id_col].iloc[0]) // docs_per_shard
         comp = ["uncompressed", "zlib", "snappy", "zstd", "lz4"][sid % 5]
         buf = _io.BytesIO()
-        _orc.write_table(t, buf, compression=comp)
+        w = _orc.ORCWriter(buf, file_version=file_version, compression=comp)
+        w.write(t)
+        w.close()
         return pd.DataFrame({"shard_id": [sid], "payload": [buf.getvalue()]})
 
     return (

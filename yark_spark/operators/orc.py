@@ -20,11 +20,16 @@ driver key digests pyarrow-written shards against DuckDB's SQL over
 the same rows.
 
 Column types: BOOLEAN, BYTE, SHORT, INT, LONG, FLOAT, DOUBLE,
-STRING (DIRECT_V2 and DICTIONARY_V2 encodings). Boundaries
-(documented, typed): TIMESTAMP/DATE/DECIMAL/BINARY/CHAR/VARCHAR,
-nested LIST/MAP/UNION/STRUCT children, RLE **v1** integer streams
-(the pre-2013 writer), and LZO raise ``NotImplementedError``;
-malformed streams raise ``ValueError`` for the quarantine.
+STRING (DIRECT/DICTIONARY in both RLE generations), and since
+round 13 s3 the warehouse logical types TIMESTAMP/DATE/DECIMAL/
+BINARY plus nested STRUCT dotted paths; round 14 adds LIST/MAP
+repeated columns (PRESENT + LENGTH assembly) and **RLE v1** integer
+streams — the Hive ≤0.11 wire (delta-run/literal varints) that
+long-lived Hadoop corpora still carry, differentialed against REAL
+``file_version='0.11'`` ORC_CPP output. Remaining boundaries
+(documented, typed): CHAR/VARCHAR, UNION, struct-inside-list, and
+LZO raise ``NotImplementedError``; malformed streams raise
+``ValueError`` for the quarantine.
 
 Reference parity note: the reference archiver has no columnar layer
 (/root/reference/cmds/archive.py); driver-mandated pipeline surface
@@ -189,6 +194,46 @@ def _varint(data: bytes, pos: int) -> tuple[int, int]:
 def _svarint(data: bytes, pos: int) -> tuple[int, int]:
     u, pos = _varint(data, pos)
     return _unzigzag(u), pos
+
+
+def _rlev1(data: bytes, count: int, signed: bool) -> list[int]:
+    """ORC RLE version 1 (the Hive ≤0.11 integer wire, round 14):
+    control byte < 128 → a run of (control+3) values stepping by one
+    SIGNED delta byte from a varint base; control ≥ 128 → (256-control)
+    literal varints. Signed streams use zigzag varints."""
+    out: list[int] = []
+    pos = 0
+    rd = _svarint if signed else _varint
+    while len(out) < count:
+        if pos >= len(data):
+            raise ValueError("orc: truncated RLEv1 stream")
+        ctrl = data[pos]
+        pos += 1
+        if ctrl < 128:
+            run = ctrl + 3
+            if pos >= len(data):
+                raise ValueError("orc: truncated RLEv1 run header")
+            delta = data[pos]
+            pos += 1
+            if delta > 127:
+                delta -= 256
+            base, pos = rd(data, pos)
+            out.extend(base + i * delta for i in range(run))
+        else:
+            for _ in range(256 - ctrl):
+                v, pos = rd(data, pos)
+                out.append(v)
+    if len(out) < count:
+        raise ValueError("orc: RLEv1 stream short of expected count")
+    return out[:count]
+
+
+def _int_rle(data: bytes, count: int, signed: bool, enc_kind: int) -> list[int]:
+    """Dispatch an integer stream by its column encoding generation:
+    DIRECT/DICTIONARY (0/1) = RLEv1, the _V2 pair (2/3) = RLEv2."""
+    if enc_kind in (0, 1):
+        return _rlev1(data, count, signed)
+    return _rlev2(data, count, signed)
 
 
 def _rlev2(data: bytes, count: int, signed: bool) -> list[int]:
@@ -620,24 +665,19 @@ def _decode_column(
     data = _stream(streams, cid, _DATA, compression, max_output)
     if data is None:
         raise ValueError(f"orc: column {cid} has no DATA stream")
-    if enc_kind in (0, 1) and kind in (
-        "SHORT", "INT", "LONG", "STRING", "DATE", "TIMESTAMP", "DECIMAL", "BINARY"
-    ):
-        raise NotImplementedError(
-            "orc: RLEv1 (DIRECT/DICTIONARY) integer streams not supported"
-        )
     if kind in ("SHORT", "INT", "LONG", "DATE"):
-        # DATE is days since the Unix epoch on the same signed wire
-        vals = _rlev2(data, n_present, signed=True)
+        # DATE is days since the Unix epoch on the same signed wire;
+        # encoding generation picks RLEv1 (Hive ≤0.11) vs RLEv2
+        vals = _int_rle(data, n_present, True, enc_kind)
     elif kind == "TIMESTAMP":
         # DATA = seconds relative to 2015-01-01 (signed), SECONDARY =
         # nanos with the trailing-zero trick: low 3 bits t > 0 mean
         # multiply (v >> 3) by 10^(t+1). Decoded to epoch MICROS.
-        secs = _rlev2(data, n_present, signed=True)
+        secs = _int_rle(data, n_present, True, enc_kind)
         sec_raw = _stream(streams, cid, _SECONDARY, compression, max_output)
         if sec_raw is None:
             raise ValueError("orc: timestamp column missing SECONDARY stream")
-        nraw = _rlev2(sec_raw, n_present, signed=False)
+        nraw = _int_rle(sec_raw, n_present, False, enc_kind)
         vals = []
         for s, nv in zip(secs, nraw):
             t = nv & 0x7
@@ -658,12 +698,12 @@ def _decode_column(
         sec_raw = _stream(streams, cid, _SECONDARY, compression, max_output)
         if sec_raw is None:
             raise ValueError("orc: decimal column missing SECONDARY stream")
-        _rlev2(sec_raw, n_present, signed=True)  # scales: validated, not applied
+        _int_rle(sec_raw, n_present, True, enc_kind)  # scales: validated, not applied
     elif kind == "BINARY":
         lengths_raw = _stream(streams, cid, _LENGTH, compression, max_output)
         if lengths_raw is None:
             raise ValueError("orc: binary column missing LENGTH stream")
-        lengths = _rlev2(lengths_raw, n_present, signed=False)
+        lengths = _int_rle(lengths_raw, n_present, False, enc_kind)
         vals = []
         at = 0
         for ln in lengths:
@@ -687,28 +727,28 @@ def _decode_column(
         lengths_raw = _stream(streams, cid, _LENGTH, compression, max_output)
         if lengths_raw is None:
             raise ValueError("orc: string column missing LENGTH stream")
-        if enc_kind == 3:  # DICTIONARY_V2
+        if enc_kind in (1, 3):  # DICTIONARY (RLEv1 idx) / DICTIONARY_V2
             dict_raw = _stream(streams, cid, _DICT_DATA, compression, max_output)
-            lengths = _rlev2(lengths_raw, dict_size, signed=False)
+            lengths = _int_rle(lengths_raw, dict_size, False, enc_kind)
             entries = []
             at = 0
             for ln in lengths:
                 entries.append(bytes(dict_raw[at : at + ln]).decode("utf-8"))
                 at += ln
-            idx = _rlev2(data, n_present, signed=False)
+            idx = _int_rle(data, n_present, False, enc_kind)
             try:
                 vals = [entries[i] for i in idx]
             except IndexError:
                 raise ValueError("orc: dictionary index out of range") from None
-        elif enc_kind == 2:  # DIRECT_V2
-            lengths = _rlev2(lengths_raw, n_present, signed=False)
+        elif enc_kind in (0, 2):  # DIRECT (RLEv1 lengths) / DIRECT_V2
+            lengths = _int_rle(lengths_raw, n_present, False, enc_kind)
             vals = []
             at = 0
             for ln in lengths:
                 vals.append(bytes(data[at : at + ln]).decode("utf-8"))
                 at += ln
         else:
-            raise NotImplementedError("orc: RLEv1 string encoding not supported")
+            raise ValueError(f"orc: unknown string encoding {enc_kind}")
     else:
         raise NotImplementedError(f"orc: column type {kind} not supported")
     if len(vals) != n_present:
@@ -738,8 +778,6 @@ def _decode_node(
     if kind not in ("LIST", "MAP"):
         raise NotImplementedError(f"orc: column type {kind} not supported")
     enc_kind = encodings[tid][0] if tid < len(encodings) else 0
-    if enc_kind not in (2, 3):  # DIRECT_V2 / DICTIONARY_V2 families
-        raise NotImplementedError("orc: RLEv1 length streams not supported")
     present_raw = _stream(streams, tid, _PRESENT, compression, max_output)
     present = (
         _bool_rle(present_raw, n_rows) if present_raw is not None else [True] * n_rows
@@ -748,7 +786,7 @@ def _decode_node(
     len_raw = _stream(streams, tid, _LENGTH, compression, max_output)
     if len_raw is None:
         raise ValueError(f"orc: {kind} column {tid} has no LENGTH stream")
-    lengths = _rlev2(len_raw, n_present, signed=False)
+    lengths = _int_rle(len_raw, n_present, False, enc_kind)
     total = sum(lengths)
     sub = children.get(tid, [])
     if kind == "LIST":

@@ -450,3 +450,30 @@ def q_orc_vector_write_roundtrip(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return orc_vector_write_roundtrip(emb)
+
+
+_ORC_LEGACY_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_orc_legacy_scan", oracle=_ORC_LEGACY_ORACLE)
+def q_orc_legacy_scan(spark, sf_dir):
+    """E150 ORC RLE v1 legacy wire (round 14): the q_orc_scan shards
+    re-written by REAL ORC_CPP at ``file_version='0.11'`` — the Hive
+    ≤0.11 layout whose integer/length/dictionary-index streams are
+    RLE VERSION 1 (delta-run/literal varints, a completely different
+    grammar from RLEv2's four sub-encodings) — and decoded by the
+    from-scratch reader's new _rlev1 path, dispatched per column
+    ENCODING generation (DIRECT/DICTIONARY vs the _V2 pair).
+    Long-lived Hadoop corpora are full of files written before Hive
+    0.12 (2013); a reader without the v1 grammar quarantines exactly
+    the oldest — often most-irreplaceable — slice of a warehouse.
+    Codec still cycles all five chunk framings per shard. Grouping
+    shuffle = shard assignment; map-only listing."""
+    from yark_spark.operators.multimodal import orc_scan_listing, with_orc_shards
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return orc_scan_listing(with_orc_shards(docs, file_version="0.11"))
