@@ -244,3 +244,131 @@ def test_struct_columns_all_null_and_multi_group():
     t = pq.read_table(io.BytesIO(blob))
     assert t.column("s").to_pylist() == [None] * 10
     assert t.num_rows == 10
+
+
+# ---------------------------------------------------------------------------
+# Round 14: modern encodings + DataPageV2 — pyarrow/DuckDB read-back
+# ---------------------------------------------------------------------------
+
+_MODERN_ENC = {
+    "k": "DELTA_BINARY_PACKED",
+    "f": "BYTE_STREAM_SPLIT",
+    "s": "DELTA_LENGTH_BYTE_ARRAY",
+}
+
+
+def _modern_cols(n=1500):
+    import random
+
+    rng = random.Random(3)
+    return {
+        "k": [None if i % 9 == 4 else rng.randrange(-(10**9), 10**9)
+              for i in range(n)],
+        "f": [None if i % 5 == 0 else i / 7.0 for i in range(n)],
+        "s": [None if i % 11 == 3 else f"text-{i % 50}-{i}" for i in range(n)],
+    }
+
+
+@pytest.mark.parametrize("pv", [1, 2])
+@pytest.mark.parametrize("codec", ["SNAPPY", "GZIP", "ZSTD", "UNCOMPRESSED"])
+def test_modern_encodings_three_readers(pv, codec):
+    import io
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from yark_spark.operators.parquet_data import parquet_read_columns
+    from yark_spark.operators.parquet_write import parquet_write
+
+    cols = _modern_cols()
+    blob = parquet_write(
+        cols,
+        types={"k": "INT64", "f": "DOUBLE", "s": "BYTE_ARRAY"},
+        codec=codec,
+        column_encodings=_MODERN_ENC,
+        data_page_version=pv,
+        row_group_size=400,
+    )
+    got = parquet_read_columns(blob, list(cols))
+    for c in cols:
+        assert got[c] == cols[c], (pv, codec, c, "ours")
+    t = pq.read_table(io.BytesIO(blob))
+    for c in cols:
+        assert t.column(c).to_pylist() == cols[c], (pv, codec, c, "pyarrow")
+    con = duckdb.connect()
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(suffix=".parquet", delete=False) as fh:
+        fh.write(blob)
+        p = fh.name
+    try:
+        r = con.execute(
+            f"SELECT count(*), count(k), count(s) FROM read_parquet('{p}')"
+        ).fetchone()
+        n = len(cols["k"])
+        assert r == (
+            n,
+            sum(1 for v in cols["k"] if v is not None),
+            sum(1 for v in cols["s"] if v is not None),
+        )
+        vals = [x[0] for x in con.execute(
+            f"SELECT k FROM read_parquet('{p}')"
+        ).fetchall()]
+        assert vals == cols["k"]
+    finally:
+        os.unlink(p)
+
+
+def test_delta_binary_edges():
+    import io
+
+    import pyarrow.parquet as pq
+
+    from yark_spark.operators.parquet_data import parquet_read_columns
+    from yark_spark.operators.parquet_write import parquet_write
+
+    for vals in ([5], [9, 9, 9], list(range(127)), list(range(129)),
+                 [0, -(2**62), 2**62, 7]):
+        blob = parquet_write(
+            {"x": vals},
+            types={"x": "INT64"},
+            column_encodings={"x": "DELTA_BINARY_PACKED"},
+            codec="SNAPPY",
+        )
+        assert parquet_read_columns(blob, ["x"])["x"] == vals
+        assert pq.read_table(io.BytesIO(blob)).column("x").to_pylist() == vals
+
+
+def test_modern_encoding_type_guards():
+    from yark_spark.operators.parquet_write import parquet_write
+
+    with pytest.raises(NotImplementedError, match="DELTA_BINARY_PACKED"):
+        parquet_write({"x": ["a"]}, types={"x": "BYTE_ARRAY"},
+                      column_encodings={"x": "DELTA_BINARY_PACKED"})
+    with pytest.raises(NotImplementedError, match="BYTE_STREAM_SPLIT"):
+        parquet_write({"x": [1]}, types={"x": "INT64"},
+                      column_encodings={"x": "BYTE_STREAM_SPLIT"})
+    with pytest.raises(NotImplementedError, match="encoding"):
+        parquet_write({"x": [1]}, types={"x": "INT64"},
+                      column_encodings={"x": "BOGUS"})
+
+
+def test_v2_pages_dict_and_plain_paths():
+    import io
+
+    import pyarrow.parquet as pq
+
+    from yark_spark.operators.parquet_data import parquet_read_columns
+    from yark_spark.operators.parquet_write import parquet_write
+
+    cols = {"a": [i % 7 for i in range(500)],
+            "b": [f"u{i}" for i in range(500)]}
+    blob = parquet_write(
+        cols, types={"a": "INT32", "b": "BYTE_ARRAY"},
+        codec="GZIP", data_page_version=2,
+    )
+    got = parquet_read_columns(blob, ["a", "b"])
+    assert got["a"] == cols["a"] and got["b"] == cols["b"]
+    t = pq.read_table(io.BytesIO(blob))
+    assert t.column("a").to_pylist() == cols["a"]
+    assert t.column("b").to_pylist() == cols["b"]

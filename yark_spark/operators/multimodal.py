@@ -2133,6 +2133,94 @@ def mp3_deep_features(
     )
 
 
+def parquet_write_modern_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The MODERN writer wire (round 14): each batch serialized with
+    DataPageV2 pages (levels uncompressed outside the compressed
+    region) on odd batches, and the post-2.x value encodings the real
+    ecosystem emits — DELTA_BINARY_PACKED ids (zigzag headers, 128/4
+    miniblock geometry), DELTA_LENGTH_BYTE_ARRAY text, and a
+    BYTE_STREAM_SPLIT derived double — then read back by the
+    from-scratch reader; pyarrow AND DuckDB read the same files in
+    tests/test_parquet_write.py. Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import parquet_data as _pdata
+    from yark_spark.operators import parquet_meta as _pm
+    from yark_spark.operators import parquet_write as _pw
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()
+    _pdata.bind_codecs()
+    _pw.bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_pm)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_pdata)
+    _cp.register_pickle_by_value(_pw)
+    _write = _pw.parquet_write
+    _read = _pdata.parquet_read_columns
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _h
+        import math as _math
+
+        import numpy as np
+
+        for bi, pdf in enumerate(batches):
+            ids = [int(v) for v in pdf[id_col]]
+            texts = list(pdf[text_col])
+            cols = {
+                "doc_id": ids,
+                "text": texts,
+                "score": [d / 7.0 for d in ids],
+            }
+            blob = _write(
+                cols,
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY",
+                       "score": "DOUBLE"},
+                codec=("ZSTD", "SNAPPY")[bi % 2],
+                column_encodings={
+                    "doc_id": "DELTA_BINARY_PACKED",
+                    "text": "DELTA_LENGTH_BYTE_ARRAY",
+                    "score": "BYTE_STREAM_SPLIT",
+                },
+                data_page_version=1 + (bi % 2),
+                row_group_size=64,
+            )
+            back = _read(blob, ["doc_id", "text", "score"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(back["doc_id"], dtype="int64"),
+                    "score_floor": np.array(
+                        [_math.floor(s * 1_000_000) for s in back["score"]],
+                        dtype="int64",
+                    ),
+                    "n_chars": np.array(
+                        [len(t) for t in back["text"]], dtype="int32"
+                    ),
+                    "digest": [
+                        _h.md5(t.encode("utf-8")).hexdigest()
+                        for t in back["text"]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _roundtrip,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("score_floor", LongType()),
+                StructField("n_chars", IntegerType()),
+                StructField("digest", StringType()),
+            ]
+        ),
+    )
+
+
 def parquet_write_roundtrip_features(
     df: DataFrame,
     id_col: str = "doc_id",

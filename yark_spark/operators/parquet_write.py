@@ -60,7 +60,8 @@ _TYPE_IDS = {
 _CODEC_IDS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
 
 _ENC_PLAIN, _ENC_RLE, _ENC_RLE_DICT = 0, 3, 8
-_PAGE_DATA, _PAGE_DICT = 0, 2
+_ENC_DELTA_BINARY, _ENC_DELTA_LENGTH_BA, _ENC_BYTE_STREAM_SPLIT = 5, 6, 9
+_PAGE_DATA, _PAGE_DICT, _PAGE_DATA_V2 = 0, 2, 3
 
 
 # ---------------------------------------------------------------------------
@@ -220,6 +221,78 @@ def _plain_encode(ptype: str, values: list) -> bytes:
     raise NotImplementedError(f"parquet-write: type {ptype}")
 
 
+# ---------------------------------------------------------------------------
+# Modern value encodings — writer half (round 14): the encodings real
+# post-2.x writers emit, each read back by pyarrow AND DuckDB in tests
+# ---------------------------------------------------------------------------
+
+
+def _zz64(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _bitpack_le(values: list[int], width: int) -> bytes:
+    """Little-endian bit packing (the DELTA miniblock order)."""
+    if width == 0:
+        return b""
+    acc = 0
+    for k, v in enumerate(values):
+        acc |= (v & ((1 << width) - 1)) << (k * width)
+    return acc.to_bytes((len(values) * width + 7) // 8, "little")
+
+
+def _delta_binary_encode(values: list[int]) -> bytes:
+    """DELTA_BINARY_PACKED: 128-value blocks of 4×32-value miniblocks,
+    zigzag header (block size, miniblocks/block, count, first value),
+    per-block zigzag min-delta + per-miniblock bit widths + LE-packed
+    (delta − min_delta). Incomplete miniblocks pad with zeros."""
+    out = bytearray()
+    out += _uvarint(128)
+    out += _uvarint(4)
+    out += _uvarint(len(values))
+    out += _uvarint(_zz64(values[0] if values else 0))
+    if len(values) <= 1:
+        return bytes(out)
+    deltas = [values[i + 1] - values[i] for i in range(len(values) - 1)]
+    for at in range(0, len(deltas), 128):
+        block = deltas[at : at + 128]
+        mind = min(block)
+        out += _uvarint(_zz64(mind))
+        adj = [d - mind for d in block]
+        adj += [0] * (128 - len(adj))
+        widths = []
+        packed = []
+        for mb in range(4):
+            vals = adj[mb * 32 : mb * 32 + 32]
+            w = max(v.bit_length() for v in vals) if any(vals) else 0
+            widths.append(w)
+            packed.append(_bitpack_le(vals, w))
+        out += bytes(widths)
+        for p in packed:
+            out += p
+    return bytes(out)
+
+
+def _byte_stream_split_encode(ptype: str, values: list) -> bytes:
+    """BYTE_STREAM_SPLIT: the k-th bytes of every value concatenated —
+    float/double columns compress far better this way."""
+    fmt = {"FLOAT": "<f", "DOUBLE": "<d"}.get(ptype)
+    if fmt is None:
+        raise NotImplementedError(
+            f"parquet-write: BYTE_STREAM_SPLIT for {ptype}"
+        )
+    width = 4 if ptype == "FLOAT" else 8
+    raw = b"".join(struct.pack(fmt, v) for v in values)
+    return b"".join(raw[k::width] for k in range(width))
+
+
+def _delta_length_ba_encode(values: list) -> bytes:
+    """DELTA_LENGTH_BYTE_ARRAY: all lengths as one DELTA_BINARY_PACKED
+    run, then the concatenated bytes."""
+    blobs = [v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in values]
+    return _delta_binary_encode([len(b) for b in blobs]) + b"".join(blobs)
+
+
 _SNAPPY = None  # bound by bind_codecs(); ships by value with this module
 _CONTAINERS = None
 _ZSTD = None
@@ -329,6 +402,8 @@ def parquet_write(
     created_by: str = "yark_spark parquet writer",
     bloom_filter_columns: "list[str] | None" = None,
     write_page_index: bool = False,
+    column_encodings: "dict[str, str] | None" = None,
+    data_page_version: int = 1,
 ) -> bytes:
     """Serialize ``{name: values}`` (equal lengths, ``None`` = null)
     into parquet bytes. ``types`` overrides per-column physical types
@@ -430,6 +505,8 @@ def parquet_write(
                 dictionary_max_cardinality,
                 bloom=disp in (bloom_filter_columns or ()),
                 defs_pair=defs_pair,
+                force_encoding=(column_encodings or {}).get(disp),
+                page_version=data_page_version,
             )
             col_infos.append((meta_bytes, cstart, pinfo))
             rg_total += csize
@@ -554,12 +631,18 @@ def _write_chunk(
     dict_max: int = 1024,
     bloom: bool = False,
     defs_pair: "tuple[list[int], int] | None" = None,
+    force_encoding: "str | None" = None,
+    page_version: int = 1,
 ) -> tuple[bytes, int]:
     """Append one column chunk's pages to ``out``; return (the
     ColumnChunk thrift struct, total compressed size). ``defs_pair``
     supplies (definition levels, max level) for nested leaves —
     struct-null vs field-null vs value (round 14); flat leaves keep
-    the derived 0/1 grammar."""
+    the derived 0/1 grammar. ``force_encoding`` selects a modern
+    value encoding (DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY /
+    BYTE_STREAM_SPLIT) instead of the dict-vs-plain choice;
+    ``page_version=2`` emits DataPageV2 (levels uncompressed outside
+    the compressed region, the post-2.0 page shape)."""
     path = [name] if isinstance(name, str) else name
     present = [v for v in vals if v is not None]
     if defs_pair is None:
@@ -578,7 +661,8 @@ def _write_chunk(
             seen[key] = len(distinct)
             distinct.append(v)
     use_dict = (
-        0 < len(distinct) <= dict_max
+        force_encoding is None
+        and 0 < len(distinct) <= dict_max
         and len(distinct) < max(2, len(present))
         and ptype != "BOOLEAN"
     )
@@ -588,7 +672,30 @@ def _write_chunk(
     dict_offset = None
     chunk_start = len(out)
     total_unc = 0
-    if use_dict:
+    if force_encoding is not None:
+        if force_encoding == "DELTA_BINARY_PACKED":
+            if ptype not in ("INT32", "INT64"):
+                raise NotImplementedError(
+                    f"parquet-write: DELTA_BINARY_PACKED for {ptype}"
+                )
+            values_raw = _delta_binary_encode(present)
+            data_enc = _ENC_DELTA_BINARY
+        elif force_encoding == "BYTE_STREAM_SPLIT":
+            values_raw = _byte_stream_split_encode(ptype, present)
+            data_enc = _ENC_BYTE_STREAM_SPLIT
+        elif force_encoding == "DELTA_LENGTH_BYTE_ARRAY":
+            if ptype != "BYTE_ARRAY":
+                raise NotImplementedError(
+                    f"parquet-write: DELTA_LENGTH_BYTE_ARRAY for {ptype}"
+                )
+            values_raw = _delta_length_ba_encode(present)
+            data_enc = _ENC_DELTA_LENGTH_BA
+        else:
+            raise NotImplementedError(
+                f"parquet-write: encoding {force_encoding!r}"
+            )
+        encodings.add(data_enc)
+    elif use_dict:
         encodings.add(_ENC_RLE_DICT)
         dict_raw = _plain_encode(ptype, distinct)
         dict_comp = _compress(codec, dict_raw)
@@ -614,28 +721,56 @@ def _write_chunk(
         values_raw = _plain_encode(ptype, present)
         data_enc = _ENC_PLAIN
 
-    page_raw = def_block + values_raw
-    page_comp = _compress(codec, page_raw)
-    inner = (
-        _TStruct()
-        .i32(1, len(vals))
-        .i32(2, data_enc)
-        .i32(3, _ENC_RLE)
-        .i32(4, _ENC_RLE)
-        .done()
-    )
-    page_hdr = (
-        _TStruct()
-        .i32(1, _PAGE_DATA)
-        .i32(2, len(page_raw))
-        .i32(3, len(page_comp))
-        .struct(5, inner)
-        .done()
-    )
-    data_offset = len(out)
-    out += page_hdr + page_comp
-    data_page_size = len(page_hdr) + len(page_comp)
-    total_unc += len(page_raw)
+    if page_version == 2:
+        # DataPageV2: levels sit UNCOMPRESSED before the compressed
+        # value region; the def section carries no length prefix
+        vals_comp = _compress(codec, values_raw)
+        inner = (
+            _TStruct()
+            .i32(1, len(vals))  # num_values
+            .i32(2, len(vals) - len(present))  # num_nulls
+            .i32(3, len(vals))  # num_rows (one page per chunk here)
+            .i32(4, data_enc)
+            .i32(5, len(def_section))
+            .i32(6, 0)  # no repetition levels in this writer
+            .boolean(7, True)  # is_compressed
+            .done()
+        )
+        page_hdr = (
+            _TStruct()
+            .i32(1, _PAGE_DATA_V2)
+            .i32(2, len(def_section) + len(values_raw))
+            .i32(3, len(def_section) + len(vals_comp))
+            .struct(8, inner)
+            .done()
+        )
+        data_offset = len(out)
+        out += page_hdr + def_section + vals_comp
+        data_page_size = len(page_hdr) + len(def_section) + len(vals_comp)
+        total_unc += len(def_section) + len(values_raw)
+    else:
+        page_raw = def_block + values_raw
+        page_comp = _compress(codec, page_raw)
+        inner = (
+            _TStruct()
+            .i32(1, len(vals))
+            .i32(2, data_enc)
+            .i32(3, _ENC_RLE)
+            .i32(4, _ENC_RLE)
+            .done()
+        )
+        page_hdr = (
+            _TStruct()
+            .i32(1, _PAGE_DATA)
+            .i32(2, len(page_raw))
+            .i32(3, len(page_comp))
+            .struct(5, inner)
+            .done()
+        )
+        data_offset = len(out)
+        out += page_hdr + page_comp
+        data_page_size = len(page_hdr) + len(page_comp)
+        total_unc += len(page_raw)
     total_comp = len(out) - chunk_start
 
     meta = _TStruct()

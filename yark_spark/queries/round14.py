@@ -477,3 +477,33 @@ def q_orc_legacy_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
     return orc_scan_listing(with_orc_shards(docs, file_version="0.11"))
+
+
+_PARQUET_MODERN_ORACLE = (
+    "SELECT doc_id, "
+    "CAST(floor(doc_id / 7.0 * 1000000) AS BIGINT) AS score_floor, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_parquet_write_modern", oracle=_PARQUET_MODERN_ORACLE)
+def q_parquet_write_modern(spark, sf_dir):
+    """E151 parquet MODERN writer wire (round 14): the from-scratch
+    writer emits what post-2.x real writers emit — DataPageV2 pages
+    (rep/def levels uncompressed OUTSIDE the compressed value region,
+    num_nulls/num_rows in the header) cycling against v1 per batch,
+    DELTA_BINARY_PACKED ids (zigzag headers, 128-value blocks of four
+    32-value miniblocks, per-miniblock bit widths, LE packing),
+    DELTA_LENGTH_BYTE_ARRAY text (one delta run of lengths + raw
+    bytes), and BYTE_STREAM_SPLIT doubles — read back by the
+    from-scratch reader under the digest; pyarrow AND DuckDB read the
+    same files value-for-value in tests/test_parquet_write.py. A
+    writer stuck on PLAIN/dictionary interoperates but wastes the
+    encodings that make 100 TB columns small; this closes the
+    write-side parity with the reader's E130 family. Map-only
+    mapInPandas."""
+    from yark_spark.operators.multimodal import parquet_write_modern_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return parquet_write_modern_features(docs)
