@@ -6418,6 +6418,81 @@ def pdf_extract_features(
     )
 
 
+def _register_latex_modules():
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import latex as _latex_mod
+
+    _cp.register_pickle_by_value(_latex_mod)
+    return _latex_mod
+
+
+def with_latex_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic .tex fixture (round 14): the document's words in
+    12-word paragraphs through latex_build — preamble noise, a
+    section family every third paragraph, styling wraps / trailing
+    comments / math noise cycling, an itemize block, a verbatim block
+    — so the digest pins the whole detex pass. Map-only
+    mapInPandas."""
+    _latex_mod = _register_latex_modules()
+    _build = _latex_mod.latex_build
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                words = t.split()
+                paras = [
+                    " ".join(words[k : k + 12]) for k in range(0, len(words), 12)
+                ] or [""]
+                payloads.append(_build(paras))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _make,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def latex_extract_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """LaTeX text recovery (round 14): body isolation → comment/math
+    stripping → command unwrapping → escape resolution
+    (operators/latex), emitting (n_chars, md5 digest) of the
+    recovered text. Map-only mapInPandas."""
+    _extract_text = _register_latex_modules().latex_text
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ns, digs = [], []
+            for p in pdf[payload_col]:
+                text = _extract_text(bytes(p))
+                ns.append(len(text))
+                digs.append(_hashlib.md5(text.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _extract, GUNZIP_SCHEMA
+    )
+
+
 def _register_epub_modules():
     """Ship the epub extractor and its zip + html dependency chain by
     value."""

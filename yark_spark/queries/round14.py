@@ -507,3 +507,34 @@ def q_parquet_write_modern(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
     return parquet_write_modern_features(docs)
+
+
+_LATEX_ORACLE = (
+    "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 400"
+)
+
+
+@query("q_latex_extract", oracle=_LATEX_ORACLE)
+def q_latex_extract(spark, sf_dir):
+    """E152 LaTeX text extraction (round 14): documents written into
+    full .tex sources — preamble the extractor must skip, a
+    section/subsection/subsubsection family, styling wraps
+    (textbf/emph/textit/texttt) cycling per paragraph, trailing
+    comment noise, inline/display/environment MATH noise that must
+    vanish, itemize blocks, one raw verbatim block, and every TeX
+    special (& % $ _ # { } ~ ^ backslash) escaped on the way in —
+    then recovered byte-exactly by the detex-class extractor
+    (operators/latex: body isolation, escape-aware comment stripping,
+    math-mode dropping, command unwrapping, escape resolution).
+    Academic corpora (peS2o, RedPajama-arXiv, proof-pile) ARE .tex
+    sources; without this pass the highest-quality technical text in
+    a crawl arrives as macro soup. Map-only mapInPandas both
+    stages."""
+    from yark_spark.operators.multimodal import (
+        latex_extract_features,
+        with_latex_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return latex_extract_features(with_latex_payload(docs))
