@@ -72,6 +72,11 @@ EXTRA = [
     # corpus (iceberg/delta/prune keys are fixed-doc-range fixtures)
     "q_simhash_oracle",        # map-only 60-bit vote folds over tokens
     "q_kmv_distinct",          # 3 hash-distinct TopK merges
+    # round 14: the two new keys that run over the WHOLE embeddings
+    # table (pdf-fonts/iceberg/delta/brotli/latex keys are
+    # fixed-doc-range fixtures by design)
+    "q_orc_vector_scan",            # ORC LIST/MAP shards, map-only decode
+    "q_orc_vector_write_roundtrip", # LIST write → read, map-only
 ]
 
 

@@ -350,3 +350,23 @@ def test_page_scan_our_writer_struct_leaves_unaffected():
     cols, cnt = parquet_page_scan_filtered(blob, ["k", "t"], "k", 10, 12)
     assert cols["k"] == [10, 11, 12]
     assert cols["t"] == ["x10", "x11", "x12"]
+
+
+def test_page_scan_on_v2_and_modern_encoded_own_wire():
+    """Round-14 interactions: DataPageV2 + page index + modern
+    encodings from our writer, page-selectively scanned."""
+    from yark_spark.operators.parquet_data import parquet_page_scan_filtered
+    from yark_spark.operators.parquet_write import parquet_write
+
+    cols = {"k": list(range(64)), "t": [f"x{i}" for i in range(64)]}
+    for enc in (None, {"k": "DELTA_BINARY_PACKED",
+                       "t": "DELTA_LENGTH_BYTE_ARRAY"}):
+        blob = parquet_write(
+            cols, types={"k": "INT64", "t": "BYTE_ARRAY"},
+            row_group_size=8, write_page_index=True,
+            data_page_version=2, codec="ZSTD", column_encodings=enc,
+        )
+        got, cnt = parquet_page_scan_filtered(blob, ["k", "t"], "k", 20, 22)
+        assert got["k"] == [20, 21, 22]
+        assert got["t"] == ["x20", "x21", "x22"]
+        assert cnt == {"pages_total": 8, "pages_skipped": 7, "pages_scanned": 1}
