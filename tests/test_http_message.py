@@ -114,7 +114,9 @@ def test_bare_body_is_lenient():
 
 
 def test_typed_boundaries():
-    with pytest.raises(NotImplementedError, match="brotli"):
+    # br DECODES since round 14 (operators/brotli); a garbage body is
+    # now a malformed-stream ValueError, not a missing-codec boundary
+    with pytest.raises(ValueError, match="brotli"):
         http_message_decode(
             _msg(["HTTP/1.1 200 OK", "Content-Encoding: br"], b"x")
         )
