@@ -199,3 +199,15 @@ def test_http_br_content_coding():
         assert status == 200
         assert headers["content-encoding"] == "br"
         assert got == body
+
+
+def test_multi_metablock_large_input():
+    """Inputs past the 6-nibble MLEN cap split into ≤4 MiB meta-blocks;
+    real brotli decodes the chain byte-exactly."""
+    import random
+
+    rng = random.Random(1)
+    big = bytes(rng.choice(b" abcdefgh") for _ in range(1 << 20)) * 5 + b"tail"
+    enc = brotli_compress(big)
+    assert brotli_decompress(enc, max_output=len(big) + 10) == big
+    assert _real().decompress(enc, len(big), asbytes=True) == big

@@ -748,8 +748,10 @@ def _dist_symbol(distance: int) -> tuple[int, int, int]:
 
 
 def brotli_compress(data: bytes, wbits: int = 22) -> bytes:
-    """One compressed meta-block, single block types, no dictionary —
-    self-contained RFC 7932 wire real brotli decodes byte-exactly."""
+    """Compressed meta-blocks (≤4 MiB each — MLEN is capped at 2²⁴−1
+    by its 6-nibble field, and chunking keeps memory flat), single
+    block types, no dictionary — self-contained RFC 7932 wire real
+    brotli decodes byte-exactly."""
     data = bytes(data)
     if not 10 <= wbits <= 24 or wbits == 9:
         raise ValueError("brotli-enc: wbits out of range")
@@ -773,7 +775,17 @@ def brotli_compress(data: bytes, wbits: int = 22) -> bytes:
         w.write(1, 1)  # ISLASTEMPTY
         return w.done()
     window = (1 << wbits) - 16
+    chunk = 1 << 22
+    for at in range(0, len(data), chunk):
+        _compress_metablock(
+            w, data[at : at + chunk], window, at + chunk >= len(data)
+        )
+    return w.done()
 
+
+def _compress_metablock(
+    w: _Writer, data: bytes, window: int, is_last: bool
+) -> None:
     cmds = _lz77(data, window)
     # token stream with implicit-distance substitution (repeat = ring[0])
     tokens = []
@@ -817,13 +829,16 @@ def brotli_compress(data: bytes, wbits: int = 22) -> bytes:
     dist_lens = _huff_lengths(dist_freq) or {0: 1}
 
     # meta-block header
-    w.write(1, 1)  # ISLAST
-    w.write(0, 1)  # not ISLASTEMPTY
+    w.write(1 if is_last else 0, 1)  # ISLAST
+    if is_last:
+        w.write(0, 1)  # not ISLASTEMPTY
     mlen = len(data) - 1
     nibbles = 4 if mlen < (1 << 16) else (5 if mlen < (1 << 20) else 6)
     w.write(nibbles - 4, 2)
     for i in range(nibbles):
         w.write((mlen >> (4 * i)) & 0xF, 4)
+    if not is_last:
+        w.write(0, 1)  # not ISUNCOMPRESSED
     w.write(0, 1)  # NBLTYPESL = 1
     w.write(0, 1)  # NBLTYPESI = 1
     w.write(0, 1)  # NBLTYPESD = 1
@@ -851,4 +866,3 @@ def brotli_compress(data: bytes, wbits: int = 22) -> bytes:
             code, ln = dist_map[ds]
             _put_code(w, code, ln)
             w.write(extra, nbits)
-    return w.done()
