@@ -563,22 +563,40 @@ def test_list_map_multi_stripe():
     assert got["v"] == vals
 
 
-def test_struct_inside_list_stays_typed():
+def test_struct_inside_list_and_map_values():
+    """Round 14 second pass: structs under repeated ancestors assemble
+    recursively — null struct elements, null fields, struct map values
+    all pinned against real ORC_CPP wire."""
     import pyarrow as pa
 
+    st = pa.struct([("a", pa.int64()), ("b", pa.string())])
+    rows = 60
+    xs = []
+    for i in range(rows):
+        if i % 11 == 3:
+            xs.append(None)
+        elif i % 11 == 7:
+            xs.append([])
+        else:
+            xs.append(
+                [{"a": i, "b": f"s{i}"},
+                 None if i % 5 == 0 else {"a": None, "b": "q"}]
+            )
+    ms = [None if i % 9 == 2 else {"k": {"a": i, "b": None}}
+          for i in range(rows)]
     t = pa.table(
         {
-            "id": [1, 2],
-            "xs": pa.array(
-                [[{"a": 1}], [{"a": 2}]],
-                pa.list_(pa.struct([("a", pa.int64())])),
-            ),
+            "id": pa.array(range(rows), pa.int64()),
+            "xs": pa.array(xs, pa.list_(st)),
+            "m": pa.array(ms, pa.map_(pa.string(), st)),
         }
     )
-    buf = io.BytesIO()
-    orc.write_table(t, buf)
-    with pytest.raises(NotImplementedError, match="STRUCT"):
-        orc_read_columns(buf.getvalue(), ["xs"])
+    for comp in ("uncompressed", "zlib", "zstd"):
+        buf = io.BytesIO()
+        orc.write_table(t, buf, compression=comp)
+        got = orc_read_columns(buf.getvalue())
+        assert got["xs"] == xs, comp
+        assert got["m"] == ms, comp
 
 
 def test_list_under_struct_parent_presence():

@@ -26,8 +26,9 @@ BINARY plus nested STRUCT dotted paths; round 14 adds LIST/MAP
 repeated columns (PRESENT + LENGTH assembly) and **RLE v1** integer
 streams — the Hive ≤0.11 wire (delta-run/literal varints) that
 long-lived Hadoop corpora still carry, differentialed against REAL
-``file_version='0.11'`` ORC_CPP output. Remaining boundaries
-(documented, typed): CHAR/VARCHAR, UNION, struct-inside-list, and
+``file_version='0.11'`` ORC_CPP output — plus STRUCTS inside
+repeated columns (list<struct>, map values), assembled recursively.
+Remaining boundaries (documented, typed): CHAR/VARCHAR, UNION, and
 LZO raise ``NotImplementedError``; malformed streams raise
 ``ValueError`` for the quarantine.
 
@@ -427,6 +428,7 @@ def _orc_open(b: bytes, max_output: int) -> dict:
     col_name: dict[str, int] = {}
     parents: dict[str, list[int]] = {}
     children: dict[int, list[int]] = {}
+    field_names: dict[int, list[str]] = {}
 
     def _walk(tid: int, prefix: str | None, chain: list[int]) -> None:
         kind = _KINDS.get(_one(types[tid], 1, -1))
@@ -440,6 +442,7 @@ def _orc_open(b: bytes, max_output: int) -> dict:
             # (round 13 s3). Anonymous subtrees (under LIST/MAP) keep
             # kinds/children but register no dotted names.
             sub_names = [bytes(v).decode("utf-8") for v in types[tid].get(3, [])]
+            field_names[tid] = sub_names
             for nm, child in zip(sub_names, sub):
                 _walk(
                     child,
@@ -467,6 +470,7 @@ def _orc_open(b: bytes, max_output: int) -> dict:
         "col_name": col_name,
         "col_kind": col_kind,
         "children": children,
+        "field_names": field_names,
         "parents": parents,
         "metadata_span": (footer_end - footer_len - metadata_len, footer_end - footer_len),
     }
@@ -546,7 +550,7 @@ def _orc_read_stripes(
             if kind in ("LIST", "MAP"):
                 vals = _decode_node(
                     col_kind, children, encodings, streams, cid, n_level,
-                    compression, max_output,
+                    compression, max_output, f.get("field_names"),
                 )
             else:
                 vals = _decode_column(
@@ -758,7 +762,8 @@ def _decode_column(
 
 
 def _decode_node(
-    col_kind, children, encodings, streams, tid, n_rows, compression, max_output
+    col_kind, children, encodings, streams, tid, n_rows, compression,
+    max_output, field_names=None,
 ) -> list:
     """Recursive typed decode for repeated columns (round 14): a LIST
     node carries PRESENT + LENGTH (unsigned RLEv2, one entry per
@@ -775,6 +780,37 @@ def _decode_node(
         return _decode_column(
             kind, enc[0], enc[1], streams, tid, n_rows, compression, max_output
         )
+    if kind == "STRUCT":
+        # struct under a repeated ancestor (round 14 second pass):
+        # PRESENT on the struct node, each child holding one entry per
+        # PRESENT struct — rows assemble to dicts keyed by field name
+        present_raw = _stream(streams, tid, _PRESENT, compression, max_output)
+        pres = (
+            _bool_rle(present_raw, n_rows)
+            if present_raw is not None
+            else [True] * n_rows
+        )
+        n_present = sum(pres)
+        names = (field_names or {}).get(tid)
+        sub = children.get(tid, [])
+        if not names or len(names) != len(sub):
+            raise ValueError("orc: struct children/name mismatch")
+        fields = {
+            nm: _decode_node(
+                col_kind, children, encodings, streams, ch, n_present,
+                compression, max_output, field_names,
+            )
+            for nm, ch in zip(names, sub)
+        }
+        rows: list = []
+        at = 0
+        for p in pres:
+            if not p:
+                rows.append(None)
+                continue
+            rows.append({nm: fields[nm][at] for nm in names})
+            at += 1
+        return rows
     if kind not in ("LIST", "MAP"):
         raise NotImplementedError(f"orc: column type {kind} not supported")
     enc_kind = encodings[tid][0] if tid < len(encodings) else 0
@@ -794,18 +830,18 @@ def _decode_node(
             raise ValueError("orc: LIST type must have exactly one child")
         flat = _decode_node(
             col_kind, children, encodings, streams, sub[0], total,
-            compression, max_output,
+            compression, max_output, field_names,
         )
     else:
         if len(sub) != 2:
             raise ValueError("orc: MAP type must have exactly two children")
         keys = _decode_node(
             col_kind, children, encodings, streams, sub[0], total,
-            compression, max_output,
+            compression, max_output, field_names,
         )
         mvals = _decode_node(
             col_kind, children, encodings, streams, sub[1], total,
-            compression, max_output,
+            compression, max_output, field_names,
         )
     out: list = []
     at = 0
