@@ -200,7 +200,9 @@ def test_xz_bad_magic_typed():
 
 
 def test_xz_unsupported_filter_typed():
-    # hand-build a block header advertising the Delta filter (0x03)
+    # delta DECODES since round 14 (test_codec_differentials pins the
+    # real-liblzma delta chains); a delta-ONLY chain is malformed —
+    # the chain must terminate in LZMA2
     flags = bytes([0x00, 0x00])
     out = bytearray(b"\xfd7zXZ\x00" + flags + struct.pack("<I", crc32(flags)))
     body = bytearray(b"\x00")  # 1 filter, no sizes
@@ -212,7 +214,7 @@ def test_xz_unsupported_filter_typed():
     hdr = bytes([(1 + len(body) + 4) // 4 - 1]) + bytes(body)
     hdr += struct.pack("<I", crc32(hdr))
     out += hdr
-    with pytest.raises(NotImplementedError, match="delta"):
+    with pytest.raises(ValueError, match="must end in LZMA2"):
         xz_decompress(bytes(out))
 
 

@@ -32,7 +32,12 @@ modes and check ids CYCLE per shard in the fixture layer.
 CRC64's check-input vector (``123456789`` → ``0x995DC9BBDF1939FA``)
 and hand-built container grammars are pinned in tests/test_xz.py; no
 lzma/xz library exists in the container, so the suite pins wire
-vectors + 500-trial roundtrip fuzz instead of a differential (the
+vectors + 500-trial roundtrip fuzz; ROUND 14 FOUND stdlib liblzma
+IS in the container (Python's lzma module) and added permanent
+real-library lanes both directions — every frame we write decodes
+in liblzma, every liblzma preset (0/6/9e) decodes here, and
+[DELTA, LZMA2] filter chains written by the real library decode
+through the new non-terminal-filter support (the
 zstd/E95 precedent).
 
 Reference parity note: the reference archiver stores fetched payloads
@@ -758,7 +763,18 @@ _XZ_FOOTER_MAGIC = b"YZ"
 _CHECK_SIZES = {0x00: 0, 0x01: 4, 0x04: 8, 0x0A: 32}
 _CHECK_NAMES = {"none": 0x00, "crc32": 0x01, "crc64": 0x04, "sha256": 0x0A}
 _FILTER_LZMA2 = 0x21
-_KNOWN_UNSUPPORTED = {0x03: "delta", **{i: "bcj" for i in range(0x04, 0x0C)}}
+_FILTER_DELTA = 0x03
+_KNOWN_UNSUPPORTED = {i: "bcj" for i in range(0x04, 0x0C)}
+
+
+def _delta_decode(data: bytes, dist: int) -> bytes:
+    """xz DELTA filter decode (round 14): out[i] = in[i] + out[i-dist]
+    mod 256 — the byte-wise predictor real archives wrap around LZMA2
+    for audio/raster payloads."""
+    out = bytearray(data)
+    for i in range(dist, len(out)):
+        out[i] = (out[i] + out[i - dist]) & 0xFF
+    return bytes(out)
 
 
 def _varint_encode(x: int) -> bytes:
@@ -890,24 +906,39 @@ def _parse_block(
         filters.append((fid, props))
     if any(b != 0 for b in header[hp:-4]):
         raise ValueError("xz: nonzero block-header padding")
-    if len(filters) != 1:
-        raise NotImplementedError("xz: filter chains beyond single LZMA2")
-    fid, props = filters[0]
+    # the LAST filter must be LZMA2; earlier entries are the
+    # non-terminal filters applied before it at ENCODE time (decode
+    # reverses them afterwards) — DELTA supported since round 14,
+    # the BCJ branch rewriters stay typed
+    fid, props = filters[-1]
     if fid in _KNOWN_UNSUPPORTED:
         raise NotImplementedError(
             f"xz: {_KNOWN_UNSUPPORTED[fid]} filter not supported"
         )
     if fid != _FILTER_LZMA2:
-        raise ValueError(f"xz: unknown filter id {fid:#x}")
+        raise ValueError(f"xz: chain must end in LZMA2, got {fid:#x}")
     if len(props) != 1:
         raise ValueError("xz: LZMA2 props must be one byte")
     _dict_size_of_prop(props[0])  # validates
+    deltas: list[int] = []
+    for dfid, dprops in filters[:-1]:
+        if dfid in _KNOWN_UNSUPPORTED:
+            raise NotImplementedError(
+                f"xz: {_KNOWN_UNSUPPORTED[dfid]} filter not supported"
+            )
+        if dfid != _FILTER_DELTA:
+            raise ValueError(f"xz: unknown non-terminal filter {dfid:#x}")
+        if len(dprops) != 1:
+            raise ValueError("xz: delta props must be one byte")
+        deltas.append(dprops[0] + 1)  # stored as distance-1
     pos += header_size
 
     # LZMA2 data is self-terminating (0x00 control); decode from here.
     # Find its end by decoding, tracking consumed bytes.
     sub = data[pos:]
     consumed, raw = _lzma2_decode_consumed(sub, max_output)
+    for dist in reversed(deltas):
+        raw = _delta_decode(raw, dist)
     pos += consumed
     if comp_size is not None and comp_size != consumed:
         raise ValueError("xz: compressed-size field mismatch")
