@@ -400,3 +400,22 @@ def test_partition_scan_missing_summaries_opens_manifest():
 def test_partition_scan_empty_partition():
     rows, cnt = iceberg_partition_scan(_ptable(), ["doc_id"], 9)
     assert rows == [] and cnt["manifests_skipped"] == 2
+
+
+def test_replace_operation_resolves():
+    # compaction commits carry operation "replace" — same resolution
+    blob = _table(format_version=2)
+    import json as _json
+
+    from yark_spark.operators.containers import tar_build, tar_members
+
+    members = dict(tar_members(blob))
+    meta = _json.loads(members["metadata/v2.metadata.json"])
+    meta["snapshots"][1]["summary"]["operation"] = "replace"
+    members["metadata/v2.metadata.json"] = _json.dumps(meta).encode()
+    rows = iceberg_snapshot_rows(tar_build(list(members.items())), ["doc_id"])
+    assert _ids(rows) == [2, 3, 4, 5, 6, 7]
+    meta["snapshots"][1]["summary"]["operation"] = "expire-snapshots"
+    members["metadata/v2.metadata.json"] = _json.dumps(meta).encode()
+    with pytest.raises(NotImplementedError, match="operation"):
+        iceberg_snapshot_rows(tar_build(list(members.items())), ["doc_id"])

@@ -207,7 +207,9 @@ def iceberg_plan_snapshot(
         raise ValueError(f"iceberg: snapshot {sid} not in metadata")
     snap = snaps[sid]
     op = snap.get("summary", {}).get("operation", "append")
-    if op not in ("append", "overwrite", "delete"):
+    # replace = compaction/rewrite commits (round 14): same resolution
+    # semantics — the manifest list already reflects the rewrite
+    if op not in ("append", "overwrite", "delete", "replace"):
         raise NotImplementedError(f"iceberg: snapshot operation {op!r}")
     schema_id = meta.get("current-schema-id", 0)
     schema = next(
