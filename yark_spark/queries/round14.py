@@ -210,25 +210,23 @@ def with_murmur3_long(df, src: str, out: str):
     (whole-stage codegen CSEs them). Pinned ≡ the from-scratch
     operators/iceberg.murmur3_x86_32 in tests."""
     c = F.col(src)
+    def _round(h, k):
+        # k and h are leaf attributes here, so the bounded duplication
+        # inside mul32/rotl stays a few hundred nodes per stage
+        k = _col_mul32(_col_rotl(_col_mul32(k, 0xCC9E2D51), 15), 0x1B873593)
+        h = _col_rotl(h.bitwiseXOR(k), 13)
+        return (_col_mul32(h, 5) + F.lit(0xE6546B64)).bitwiseAND(F.lit(_M32))
+
     df = df.withColumn("__k1", c.bitwiseAND(F.lit(_M32))).withColumn(
         "__k2", F.shiftrightunsigned(c, 32)
     )
-    h = F.lit(0)
-    for kname in ("__k1", "__k2"):
-        df = df.withColumn("__ka", _col_mul32(F.col(kname), 0xCC9E2D51))
-        df = df.withColumn("__kb", _col_rotl(F.col("__ka"), 15))
-        df = df.withColumn("__kc", _col_mul32(F.col("__kb"), 0x1B873593))
-        df = df.withColumn("__hx", _col_rotl(h.bitwiseXOR(F.col("__kc")), 13))
-        df = df.withColumn(
-            "__h",
-            (_col_mul32(F.col("__hx"), 5) + F.lit(0xE6546B64)).bitwiseAND(
-                F.lit(_M32)
-            ),
-        )
-        h = F.col("__h")
-    df = df.withColumn("__f0", h.bitwiseXOR(F.lit(8)))
+    df = df.withColumn("__h1", _round(F.lit(0), F.col("__k1")))
+    df = df.withColumn("__h2", _round(F.col("__h1"), F.col("__k2")))
     df = df.withColumn(
-        "__f1", F.col("__f0").bitwiseXOR(F.shiftrightunsigned(F.col("__f0"), 16))
+        "__f1",
+        F.col("__h2")
+        .bitwiseXOR(F.lit(8))
+        .bitwiseXOR(F.shiftrightunsigned(F.col("__h2").bitwiseXOR(F.lit(8)), 16)),
     )
     df = df.withColumn("__f2", _col_mul32(F.col("__f1"), 0x85EBCA6B))
     df = df.withColumn(
@@ -239,8 +237,7 @@ def with_murmur3_long(df, src: str, out: str):
         out, F.col("__f4").bitwiseXOR(F.shiftrightunsigned(F.col("__f4"), 16))
     )
     return df.drop(
-        "__k1", "__k2", "__ka", "__kb", "__kc", "__hx", "__h",
-        "__f0", "__f1", "__f2", "__f3", "__f4",
+        "__k1", "__k2", "__h1", "__h2", "__f1", "__f2", "__f3", "__f4"
     )
 
 
