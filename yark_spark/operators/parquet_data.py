@@ -5,7 +5,8 @@ independent read path for flat parquet columns:
 
     PAR1 trailer → Thrift footer → row groups → column chunks →
     page headers (Thrift) → codec (UNCOMPRESSED / SNAPPY / GZIP /
-    ZSTD, all in-repo) → definition levels (RLE/bit-packed hybrid)
+    ZSTD / BROTLI / LZ4_RAW / legacy Hadoop-framed LZ4, all
+    in-repo) → definition levels (RLE/bit-packed hybrid)
     → PLAIN or dictionary (RLE_DICTIONARY index runs over a PLAIN
     dictionary page) values → typed Python rows.
 
@@ -30,9 +31,8 @@ BYTE_ARRAY, DELTA_BYTE_ARRAY (prefix sharing), and BYTE_STREAM_SPLIT
 — each pinned by pyarrow-written fixtures differentialed against
 DuckDB.
 
-Boundaries (documented, typed): nested columns (repeated fields /
-LIST/MAP paths), INT96, FIXED_LEN_BYTE_ARRAY, the deprecated
-BIT_PACKED level encoding, and codecs beyond the four above raise
+Boundaries (documented, typed): the deprecated BIT_PACKED level
+encoding and the LZO codec (GPL reference implementation only) raise
 ``NotImplementedError``; malformed pages raise ``ValueError`` so the
 ingest quarantine keeps corrupt files as rows.
 
@@ -203,6 +203,8 @@ def _bit_width(v: int) -> int:
 _SNAPPY = None  # bound by bind_codecs(); ships by value with this module
 _CONTAINERS = None
 _ZSTD = None
+_BROTLI = None
+_LZ4 = None
 
 
 def bind_codecs():
@@ -211,13 +213,44 @@ def bind_codecs():
     so executors that receive this module by value carry the codecs —
     a runtime ``import yark_spark...`` inside a worker has no repo on
     its path."""
-    global _SNAPPY, _CONTAINERS, _ZSTD
+    global _SNAPPY, _CONTAINERS, _ZSTD, _BROTLI, _LZ4
     if _SNAPPY is None:
+        from yark_spark.operators import brotli as _b
         from yark_spark.operators import containers as _c
+        from yark_spark.operators import lz4 as _l
         from yark_spark.operators import snappy as _s
         from yark_spark.operators import zstd as _z
 
-        _SNAPPY, _CONTAINERS, _ZSTD = _s, _c, _z
+        _SNAPPY, _CONTAINERS, _ZSTD, _BROTLI, _LZ4 = _s, _c, _z, _b, _l
+
+
+def _lz4_hadoop_decompress(data: bytes, uncompressed_size: int) -> bytes:
+    """Legacy LZ4 codec (wire id 5): Hadoop's BlockCompressorStream
+    framing — repeated [uncompressed_len BE4][compressed_len BE4]
+    [raw lz4 block] — with arrow C++'s fallback: if the frame walk
+    doesn't reproduce exactly ``uncompressed_size`` bytes, treat the
+    whole payload as one raw block (old parquet-cpp wrote that)."""
+    try:
+        pos, parts, total = 0, [], 0
+        while pos < len(data):
+            if pos + 8 > len(data):
+                raise ValueError("lz4-hadoop: truncated frame header")
+            unc, comp = struct.unpack_from(">II", data, pos)
+            pos += 8
+            if comp > len(data) - pos:
+                raise ValueError("lz4-hadoop: block overruns payload")
+            parts.append(
+                _LZ4.lz4_block_decompress(data[pos : pos + comp], max_output=unc)
+            )
+            if len(parts[-1]) != unc:
+                raise ValueError("lz4-hadoop: block size mismatch")
+            pos += comp
+            total += unc
+        if total != uncompressed_size:
+            raise ValueError("lz4-hadoop: frame total mismatch")
+        return b"".join(parts)
+    except ValueError:
+        return _LZ4.lz4_block_decompress(data, max_output=uncompressed_size)
 
 
 def _decompress(codec: str, data: bytes, uncompressed_size: int) -> bytes:
@@ -230,6 +263,12 @@ def _decompress(codec: str, data: bytes, uncompressed_size: int) -> bytes:
         out = _CONTAINERS.gzip_decompress(data, max_output=256 << 20)
     elif codec == "ZSTD":
         out = b"".join(_ZSTD.zstd_frames(data, max_output=256 << 20))
+    elif codec == "BROTLI":
+        out = _BROTLI.brotli_decompress(data, max_output=256 << 20)
+    elif codec == "LZ4_RAW":
+        out = _LZ4.lz4_block_decompress(data, max_output=uncompressed_size)
+    elif codec == "LZ4":
+        out = _lz4_hadoop_decompress(data, uncompressed_size)
     else:
         raise NotImplementedError(f"parquet: codec {codec} not supported")
     if len(out) != uncompressed_size:

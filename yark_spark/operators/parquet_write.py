@@ -57,7 +57,15 @@ _TYPE_IDS = {
     "DOUBLE": 5,
     "BYTE_ARRAY": 6,
 }
-_CODEC_IDS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
+_CODEC_IDS = {
+    "UNCOMPRESSED": 0,
+    "SNAPPY": 1,
+    "GZIP": 2,
+    "BROTLI": 4,
+    "LZ4": 5,  # legacy Hadoop framing
+    "ZSTD": 6,
+    "LZ4_RAW": 7,
+}
 
 _ENC_PLAIN, _ENC_RLE, _ENC_RLE_DICT = 0, 3, 8
 _ENC_DELTA_BINARY, _ENC_DELTA_LENGTH_BA, _ENC_BYTE_STREAM_SPLIT = 5, 6, 9
@@ -296,19 +304,23 @@ def _delta_length_ba_encode(values: list) -> bytes:
 _SNAPPY = None  # bound by bind_codecs(); ships by value with this module
 _CONTAINERS = None
 _ZSTD = None
+_BROTLI = None
+_LZ4 = None
 
 
 def bind_codecs():
     """Resolve codec modules into module globals driver-side (the
     parquet_data/containers pattern) — workers receiving this module
     by value cannot ``import yark_spark`` at runtime."""
-    global _SNAPPY, _CONTAINERS, _ZSTD
+    global _SNAPPY, _CONTAINERS, _ZSTD, _BROTLI, _LZ4
     if _SNAPPY is None:
+        from yark_spark.operators import brotli as _b
         from yark_spark.operators import containers as _c
+        from yark_spark.operators import lz4 as _l
         from yark_spark.operators import snappy as _s
         from yark_spark.operators import zstd as _z
 
-        _SNAPPY, _CONTAINERS, _ZSTD = _s, _c, _z
+        _SNAPPY, _CONTAINERS, _ZSTD, _BROTLI, _LZ4 = _s, _c, _z, _b, _l
 
 
 def _compress(codec: str, data: bytes) -> bytes:
@@ -321,6 +333,16 @@ def _compress(codec: str, data: bytes) -> bytes:
         return _CONTAINERS.gzip_compress(data)
     if codec == "ZSTD":
         return _ZSTD.zstd_compress(data, method="compressed")
+    if codec == "BROTLI":
+        return _BROTLI.brotli_compress(data)
+    if codec == "LZ4_RAW":
+        return _LZ4.lz4_block_compress(data)
+    if codec == "LZ4":
+        # Legacy Hadoop framing (wire id 5): one
+        # [uncompressed BE4][compressed BE4][raw block] frame —
+        # the shape arrow C++'s Lz4HadoopCodec and parquet-mr emit.
+        block = _LZ4.lz4_block_compress(data)
+        return struct.pack(">II", len(data), len(block)) + block
     raise NotImplementedError(f"parquet-write: codec {codec}")
 
 
