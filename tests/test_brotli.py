@@ -55,23 +55,16 @@ def test_real_brotli_decodes_our_wire():
 
 @pytest.mark.parametrize("quality", [0, 1, 2, 3, 4, 5, 9, 11])
 def test_our_decoder_on_real_streams(quality):
-    """Every real stream must decode byte-exactly OR raise one of the
-    two documented typed boundaries — silent corruption is the one
-    forbidden outcome."""
+    """Every real stream decodes byte-exactly — no boundaries left
+    since the static dictionary + context tables were extracted from
+    the real library (round 14, session 3)."""
     import pyarrow as pa
 
     cc = pa.Codec("brotli", compression_level=quality)
-    decoded = 0
     for t in _CASES[1:] + _fuzz_cases(15):
         if not t:
             continue
-        enc = cc.compress(t, asbytes=True)
-        try:
-            assert brotli_decompress(enc) == t
-            decoded += 1
-        except NotImplementedError as e:
-            assert "dictionary" in str(e) or "context" in str(e)
-    assert decoded > 0  # the boundary must not swallow everything
+        assert brotli_decompress(cc.compress(t, asbytes=True)) == t
 
 
 def test_q0_q1_decode_fully():

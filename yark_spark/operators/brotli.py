@@ -14,20 +14,22 @@ decomposition, implicit-distance cells), the distance short-code ring
 buffer (16 composite codes over the last four distances) and the
 NPOSTFIX/NDIRECT long-distance formula.
 
-Honest typed boundaries, each raising ``NotImplementedError`` →
-quarantine, never silent corruption:
+The decoder is COMPLETE (round 14, session 3) — the two boundaries
+earlier sessions carried are closed, because the premise "literal
+spec data with no in-container source" was FALSE for both:
 
-* **static dictionary references** (distance > max_distance): RFC
-  7932's 122,784-byte dictionary is literal spec DATA with no
-  in-container source to transcribe from — the same class as the MP3
-  Huffman tables (VERDICT r12/r13). Self-contained streams (all
-  back-references inside the output window) decode fully.
-* **UTF8/SIGNED literal-context modes when the context map actually
-  distinguishes trees**: the 512-entry context lookup tables are
-  likewise literal spec data. When a block type's context-map row is
-  CONSTANT (always true for single-tree streams — brotli quality
-  0–1 output, and everything our encoder emits), the context value is
-  irrelevant and decode proceeds.
+* **static dictionary references** (distance > max_distance): the
+  122,784-byte RFC 7932 dictionary and all 121 transforms were
+  EXTRACTED from the container's genuine C brotli
+  (``pyarrow.Codec('brotli')``) by one-command probe streams — see
+  scripts/extract_brotli_dict.py and operators/brotli_dict.py.
+* **UTF8/SIGNED literal-context modes**: the context tables were
+  likewise extracted via identity-context-map probe streams, with
+  the spec factorizations verified on all 65,536 (p1, p2) pairs per
+  mode — scripts/extract_brotli_context.py.
+
+Every real brotli stream at qualities 0–11 over text/UTF-8/binary
+corpora decodes byte-exactly (tests/test_brotli_static_dict.py).
 
 ENCODER (fixture-controllable self-contained streams): one compressed
 meta-block, single block types, greedy hash-chain LZ77 over the
@@ -49,7 +51,80 @@ from __future__ import annotations
 
 from yark_spark.operators.png import _limited_code_lengths
 
-__all__ = ["brotli_compress", "brotli_decompress"]
+__all__ = ["brotli_compress", "brotli_decompress", "bind_dict"]
+
+
+_DICT_DATA = None  # (DICT, NDBITS, OFFSETS, TRANSFORMS) — bound lazily
+
+
+def bind_dict():
+    """Resolve the extracted static-dictionary DATA into a module
+    global (plain bytes/dicts/lists so by-value pickling of this
+    module carries them — the containers.bind_zstd pattern). Call
+    driver-side before shipping this module to executors; decode
+    paths also call it lazily for driver-local use."""
+    global _DICT_DATA
+    if _DICT_DATA is None:
+        from yark_spark.operators import brotli_dict as _bd
+
+        _DICT_DATA = (_bd.DICT, _bd.NDBITS, _bd.OFFSETS, _bd.TRANSFORMS)
+    return _DICT_DATA
+
+
+_CTX_DATA = None  # (UTF8_LUT0, UTF8_LUT1, SIGNED_LUT) — bound lazily
+
+
+def bind_ctx():
+    """Resolve the extracted UTF8/SIGNED literal-context tables (see
+    scripts/extract_brotli_context.py) — same pattern as bind_dict."""
+    global _CTX_DATA
+    if _CTX_DATA is None:
+        from yark_spark.operators import brotli_dict as _bd
+
+        _CTX_DATA = (_bd.CTX_UTF8_LUT0, _bd.CTX_UTF8_LUT1, _bd.CTX_SIGNED_LUT)
+    return _CTX_DATA
+
+
+def _ferment(buf: bytearray, pos: int) -> int:
+    """§8 ferment step (verified against real-brotli probe outputs on
+    ASCII and multi-byte words — tests/test_brotli_static_dict.py)."""
+    c = buf[pos]
+    if c < 192:
+        if 97 <= c <= 122:
+            buf[pos] ^= 32
+        return 1
+    if c < 224:
+        if pos + 1 < len(buf):
+            buf[pos + 1] ^= 32
+        return 2
+    if pos + 2 < len(buf):
+        buf[pos + 2] ^= 5
+    return 3
+
+
+def _transform_word(word: bytes, transform: tuple) -> bytes:
+    prefix, op, suffix = transform
+    if op == "identity":
+        core = word
+    elif op == "ferment_first":
+        b = bytearray(word)
+        if b:
+            _ferment(b, 0)
+        core = bytes(b)
+    elif op == "ferment_all":
+        b = bytearray(word)
+        i = 0
+        while i < len(b):
+            i += _ferment(b, i)
+        core = bytes(b)
+    elif op.startswith("omit_first_"):
+        core = word[int(op.rsplit("_", 1)[1]) :]
+    elif op.startswith("omit_last_"):
+        n = int(op.rsplit("_", 1)[1])
+        core = word[:-n] if n < len(word) else b""
+    else:
+        raise ValueError(f"brotli: unknown transform op {op!r}")
+    return prefix + core + suffix
 
 
 # ---------------------------------------------------------------------------
@@ -475,16 +550,12 @@ def brotli_decompress(data: bytes, max_output: int = 1 << 28) -> bytes:
                         ctx = p1 & 0x3F
                     elif mode == _MSB6:
                         ctx = p1 >> 2
-                    else:
-                        row = cmap_l[lit.btype * 64 : lit.btype * 64 + 64]
-                        if len(set(row)) == 1:
-                            ctx = 0
-                        else:
-                            raise NotImplementedError(
-                                "brotli: UTF8/SIGNED context modes need the "
-                                "spec's literal context tables (no in-container "
-                                "source) — multi-tree stream quarantined"
-                            )
+                    elif mode == _UTF8:
+                        u0, u1, _sg = bind_ctx()
+                        ctx = u0[p1] | u1[p2]
+                    else:  # _SIGNED
+                        _u0, _u1, sg = bind_ctx()
+                        ctx = (sg[p1] << 3) | sg[p2]
                     tree = cmap_l[lit.btype * 64 + ctx]
                 out.append(lit_codes[tree].decode(r))
                 produced += 1
@@ -521,11 +592,30 @@ def brotli_decompress(data: bytes, max_output: int = 1 << 28) -> bytes:
                     dist_ring.insert(0, distance)
                     dist_ring.pop()
             if distance > max_dist:
-                raise NotImplementedError(
-                    "brotli: static-dictionary reference (the 122784-byte "
-                    "RFC 7932 dictionary is literal spec data with no "
-                    "in-container source) — stream quarantined"
-                )
+                # static-dictionary reference (§8): the word bytes and
+                # all 121 transforms were EXTRACTED from the
+                # container's real C brotli by scripts/
+                # extract_brotli_dict.py — see operators/brotli_dict
+                dict_bytes, ndbits, offsets, transforms = bind_dict()
+                if not 4 <= cp_len <= 24:
+                    raise ValueError(
+                        f"brotli: no dictionary words of length {cp_len}"
+                    )
+                address = distance - max_dist - 1
+                nd = ndbits[cp_len]
+                transform_id = address >> nd
+                if transform_id >= len(transforms):
+                    raise ValueError("brotli: dictionary address out of range")
+                base = offsets[cp_len] + cp_len * (address & ((1 << nd) - 1))
+                word = dict_bytes[base : base + cp_len]
+                piece = _transform_word(word, transforms[transform_id])
+                if produced + len(piece) > mlen:
+                    raise ValueError(
+                        "brotli: dictionary word overruns meta-block length"
+                    )
+                out += piece
+                produced += len(piece)
+                continue
             for _ in range(cp_len):
                 out.append(out[-distance])
                 produced += 1

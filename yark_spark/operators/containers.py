@@ -385,12 +385,16 @@ _BROTLI = None  # bound by bind_brotli(); ships by value with this module
 
 
 def bind_brotli():
-    """Resolve the brotli codec module into a module global (the
+    """Also binds the extracted static dictionary + context tables so
+    by-value shipping carries complete decode. Resolve the brotli
+    codec module into a module global (the
     bind_zstd pattern) — the HTTP ``br`` content-coding (round 14)."""
     global _BROTLI
     if _BROTLI is None:
         from yark_spark.operators import brotli as _b
 
+        _b.bind_dict()
+        _b.bind_ctx()
         _BROTLI = _b
     return _BROTLI
 
@@ -610,6 +614,18 @@ def http_message_build(
             payload = zstd_compress_member(payload)
         elif enc == "br":
             payload = bind_brotli().brotli_compress(payload)
+        elif enc == "br_real":
+            # body compressed by GENUINE C brotli at max quality —
+            # static-dictionary references and UTF8 context modeling
+            # on the wire, decoded by the from-scratch reader (whose
+            # dictionary/context tables were themselves extracted
+            # from this library; scripts/extract_brotli_*.py)
+            import pyarrow as _pa
+
+            payload = _pa.Codec("brotli", compression_level=11).compress(
+                payload, asbytes=True
+            )
+            content_encoding = "br"
         else:
             raise ValueError(f"http-build: content-coding {enc!r}")
         headers.append(f"Content-Encoding: {content_encoding}")

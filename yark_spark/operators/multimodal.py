@@ -1924,6 +1924,11 @@ def with_warc_shards(
     # gzip / chunked-over-gzip / deflate / zstd (q_warc_http_decode).
     # "cycle_br" (round 14) widens to % 8 with br and chunked-over-br —
     # the from-scratch RFC 7932 wire (q_warc_http_brotli).
+    # "cycle_br_real" (session 3) widens to % 9: the ninth wire is a
+    # body compressed by GENUINE C brotli at q11 — static-dictionary
+    # references and UTF8 context modeling on third-party wire, decoded
+    # by the from-scratch reader inside the oracle-checked path
+    # (q_warc_http_brotli_real).
     _WIRES = (
         (False, None),
         (True, None),
@@ -1933,12 +1938,14 @@ def with_warc_shards(
         (False, "zstd"),
         (False, "br"),
         (True, "br"),
+        (False, "br_real"),
     )
+    _N_WIRES = {"cycle": 6, "cycle_br": 8, "cycle_br_real": 9}
 
     def _block(did: int, text: str) -> bytes:
         if http_wire is None:
             return (_head if http_head else b"") + text.encode("utf-8")
-        chunked, enc = _WIRES[did % (8 if http_wire == "cycle_br" else 6)]
+        chunked, enc = _WIRES[did % _N_WIRES[http_wire]]
         return _build_http(
             text.encode("utf-8"),
             transfer_chunked=chunked,
@@ -6696,6 +6703,121 @@ def parquet_documents_scan(df: DataFrame, payload_col: str = "content") -> DataF
             )
 
     return df.select(F.col(payload_col)).mapInPandas(_extract, PARQUET_RAW_SCHEMA)
+
+
+def with_parquet_codec_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_shard: int = 16,
+) -> DataFrame:
+    """Pack documents into parquet shards WRITTEN BY THE REAL LIBRARY
+    (pyarrow's parquet-cpp), page compression cycling BROTLI / LZ4
+    (LZ4_RAW wire ids) / ZSTD / GZIP / SNAPPY per shard — third-party
+    wire for every codec the from-scratch reader dispatches, including
+    the two round-14 additions. BROTLI pages from real parquet-cpp
+    carry static-dictionary references and context modeling, so this
+    fixture drives the extracted RFC 7932 tables on genuine wire. One
+    applyInPandas per shard group — the grouping shuffle IS the shard
+    assignment."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io as _io
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        pdf = pdf.sort_values(id_col)
+        t = _pa.table(
+            {
+                "doc_id": _pa.array([int(v) for v in pdf[id_col]], _pa.int64()),
+                "text": _pa.array(list(pdf[text_col])),
+            }
+        )
+        sid = int(pdf[id_col].iloc[0]) // docs_per_shard
+        comp = ["BROTLI", "LZ4", "ZSTD", "GZIP", "SNAPPY"][sid % 5]
+        buf = _io.BytesIO()
+        _pq.write_table(t, buf, compression=comp, use_dictionary=(sid % 2 == 0))
+        return pd.DataFrame({"shard_id": [sid], "payload": [buf.getvalue()]})
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / docs_per_shard).cast("long").alias("__s"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("shard_id", LongType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+    )
+
+
+PARQUET_CODEC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("codec", StringType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def parquet_codec_listing(
+    df: DataFrame, shard_col: str = "shard_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode real-library parquet shards with the from-scratch reader
+    and emit each row with the codec label taken FROM THE FOOTER WE
+    PARSED (so a hash match proves the declared codec was really
+    dispatched and really reversed). Map-only mapInPandas; one task
+    decodes one shard — the (file, row group) unit of a 100 TB scan."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import parquet_data as _pdata
+    from yark_spark.operators import parquet_meta as _pm
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()  # gzip/zstd/lz4/brotli dispatch
+    _pdata.bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_pm)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_pdata)
+    _read = _pdata.parquet_read_columns
+    _footer = _pm.parquet_footer
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _h
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, codecs, ns, digs = [], [], [], []
+            for p in pdf[payload_col]:
+                blob = bytes(p)
+                ft = _footer(blob)
+                codec = ft["row_groups"][0]["columns"][0]["codec"]
+                cols = _read(blob, ["doc_id", "text"])
+                for did, t in zip(cols["doc_id"], cols["text"]):
+                    ids.append(int(did))
+                    codecs.append(codec)
+                    ns.append(len(t))
+                    digs.append(_h.md5(t.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype="int64"),
+                    "codec": codecs,
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
+        _extract, PARQUET_CODEC_SCHEMA
+    )
 
 
 FEED_SCHEMA = StructType(

@@ -221,6 +221,8 @@ def bind_codecs():
         from yark_spark.operators import snappy as _s
         from yark_spark.operators import zstd as _z
 
+        _b.bind_dict()  # static dictionary ships with the module
+        _b.bind_ctx()
         _SNAPPY, _CONTAINERS, _ZSTD, _BROTLI, _LZ4 = _s, _c, _z, _b, _l
 
 

@@ -396,11 +396,10 @@ def q_warc_http_brotli(spark, sf_dir):
     both prefix-code header forms, block switching, context maps,
     the distance short-code ring). Both directions are pinned against
     GENUINE C brotli in tests/test_brotli.py — real brotli decodes our
-    wire byte-exactly, and real streams at every quality either decode
-    byte-exactly here or land on the two documented typed boundaries
-    (static-dictionary references and the UTF8/SIGNED context tables —
-    literal spec data with no in-container source, quarantined rather
-    than mojibake'd). CDN-served crawl captures lean on br heavily;
+    wire byte-exactly, and (since session 3 extracted the static
+    dictionary + context tables from the container's real brotli —
+    q_warc_http_brotli_real) real streams at EVERY quality decode
+    byte-exactly here. CDN-served crawl captures lean on br heavily;
     a WET pass without it quarantines a growing slice of the web.
     Grouping shuffle = shard assignment; map-only decode."""
     from yark_spark.operators.multimodal import (

@@ -1,0 +1,96 @@
+"""Round-14 session-3 operator batch: the brotli COMPLETION campaign
+(the RFC 7932 static dictionary and UTF8/SIGNED context tables turned
+out to be extractable from the container's real C brotli — see
+scripts/extract_brotli_dict.py / extract_brotli_context.py — so the
+two round-14 "spec data with no in-container source" boundaries are
+CLOSED) plus the parquet page-codec matrix (BROTLI / LZ4_RAW / legacy
+Hadoop LZ4 both directions).
+
+Reference parity note: the reference archiver (SupBlizard/yark,
+768 LoC) stores fetched payloads opaquely; these keys extend the
+driver-mandated training-data-pipeline surface (SURVEY.md §2.8),
+each with a DuckDB oracle re-deriving the semantics from the same
+parquet tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yark_spark.io import load_table
+from yark_spark.registry import query
+
+_PARQUET_CODEC_ORACLE = (
+    "SELECT doc_id, "
+    "CASE CAST(doc_id // 16 AS BIGINT) % 5 WHEN 0 THEN 'BROTLI' "
+    "WHEN 1 THEN 'LZ4_RAW' WHEN 2 THEN 'ZSTD' WHEN 3 THEN 'GZIP' "
+    "ELSE 'SNAPPY' END AS codec, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_parquet_codec_scan", oracle=_PARQUET_CODEC_ORACLE)
+def q_parquet_codec_scan(spark, sf_dir):
+    """E154 parquet page-codec matrix (round 14, session 3): shards
+    written by REAL parquet-cpp with page compression cycling
+    BROTLI / LZ4 (LZ4_RAW wire ids) / ZSTD / GZIP / SNAPPY, decoded by
+    the from-scratch reader (operators/parquet_data) through the
+    in-repo codecs — including the round-14 additions: the RFC 7932
+    decoder with its EXTRACTED static dictionary + context tables
+    (real parquet-cpp BROTLI pages reference both), raw lz4 blocks,
+    and legacy Hadoop LZ4 framing with arrow's raw fallback. The codec
+    label is read from the footer we parsed, so a hash match proves
+    each declared codec was really dispatched and really reversed.
+    The reverse lanes (our writer's seven codecs read by pyarrow and
+    DuckDB) are pinned in tests/test_parquet_codec_matrix.py. At
+    100 TB, codec coverage is table-stakes: a lake's files arrive with
+    whatever codec the writing engine preferred. Map-only decode;
+    grouping shuffle = shard assignment."""
+    from yark_spark.operators.multimodal import (
+        parquet_codec_listing,
+        with_parquet_codec_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return parquet_codec_listing(with_parquet_codec_shards(docs))
+
+
+_WARC_HTTP_BR_REAL_ORACLE = (
+    "SELECT doc_id, "
+    "CASE doc_id % 9 WHEN 0 THEN 'identity' WHEN 1 THEN 'chunked' "
+    "WHEN 2 THEN 'gzip' WHEN 3 THEN 'chunked+gzip' "
+    "WHEN 4 THEN 'deflate' WHEN 5 THEN 'zstd' "
+    "WHEN 6 THEN 'br' WHEN 7 THEN 'chunked+br' ELSE 'br' END AS wire, "
+    "CAST(200 AS INTEGER) AS status, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_warc_http_brotli_real", oracle=_WARC_HTTP_BR_REAL_ORACLE)
+def q_warc_http_brotli_real(spark, sf_dir):
+    """E155 brotli decode COMPLETION on third-party wire (round 14,
+    session 3): q_warc_http_brotli's cycle widened to % 9 — the ninth
+    wire compresses the body with GENUINE C brotli at quality 11,
+    whose streams lean on the RFC 7932 static dictionary and UTF8
+    context modeling. Round 14 session 2 held those back as typed
+    boundaries ("literal spec data with no in-container source"); the
+    premise was false — pyarrow.Codec('brotli') IS real brotli, and
+    one-command probe streams make it RETURN the dictionary
+    (122,784 bytes, 121 transforms) and the context tables (both
+    factorizations verified on all 65,536 (p1,p2) pairs). With the
+    extracted tables wired in, every real brotli stream q0–q11
+    decodes byte-exactly (tests/test_brotli_static_dict.py), and this
+    key pins the full path — WARC record → HTTP head → chunked
+    de-framing → real-brotli body → text digest — against the DuckDB
+    oracle. Map-only decode; grouping shuffle = shard assignment."""
+    from yark_spark.operators.multimodal import (
+        warc_http_decode_features,
+        with_warc_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return warc_http_decode_features(
+        with_warc_shards(docs, http_wire="cycle_br_real")
+    )
