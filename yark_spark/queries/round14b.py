@@ -56,6 +56,39 @@ def q_parquet_codec_scan(spark, sf_dir):
     return parquet_codec_listing(with_parquet_codec_shards(docs))
 
 
+_ORC_ROWINDEX_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 160 AS BIGINT) AS table_id, "
+    "CAST(9 AS INTEGER) AS row_groups_skipped, "
+    "CAST(1 AS INTEGER) AS row_groups_scanned, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480 AND doc_id % 160 BETWEEN 64 AND 79"
+)
+
+
+@query("q_orc_rowindex_prune", oracle=_ORC_ROWINDEX_ORACLE)
+def q_orc_rowindex_prune(spark, sf_dir):
+    """E156 ORC row-group pruning (round 14, session 3): the
+    within-stripe skip grain — each 160-doc table becomes a REAL
+    ORC_CPP file (rowIndexStride 16 → 10 row groups, chunk codec
+    cycling), and operators/orc.orc_scan_rowgroups plans group
+    survival off the ROW_INDEX streams (one RowIndexEntry per stride:
+    per-group ColumnStatistics + seek positions), then decodes ONLY
+    the surviving group by SEEKING: compressed chunks before the
+    recorded offset never inflate, values before the recorded run
+    skip never materialize (position semantics — PRESENT/DATA/LENGTH
+    record order, byte-RLE + bit skips for booleans, run skips for
+    RLE — derived empirically from ORC_CPP wire and pinned in
+    tests/test_orc_rowindex.py). The range probe decodes exactly 1 of
+    10 groups; both counters ride in every row so the oracle pins the
+    PLAN. Completes the skip-contract family: parquet row groups /
+    pages / blooms, ORC stripes / row groups / blooms, Iceberg +
+    Delta file sets. One applyInPandas per table; map-only."""
+    from yark_spark.operators.multimodal import orc_rowindex_prune_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return orc_rowindex_prune_features(docs)
+
+
 _WARC_HTTP_BR_REAL_ORACLE = (
     "SELECT doc_id, "
     "CASE doc_id % 9 WHEN 0 THEN 'identity' WHEN 1 THEN 'chunked' "
