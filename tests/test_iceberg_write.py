@@ -1,0 +1,177 @@
+"""Iceberg commit API (round 14, session 3): create/commit over an
+object-store-shaped member dict, resolved back through the module's
+own spec-hardened reader. Pins the v2 commit arithmetic — sequence
+assignment, entry-level NULL sequence numbers (inheritance), verbatim
+manifest reuse, lineage, time travel, metadata-log — plus the typed
+guards."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from yark_spark.operators.avro_ocf import avro_records
+from yark_spark.operators.containers import tar_build
+from yark_spark.operators.iceberg import (
+    iceberg_commit,
+    iceberg_snapshot_rows,
+    iceberg_table_create,
+)
+from yark_spark.operators.parquet_write import parquet_write
+
+FIELDS = [
+    {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+    {"id": 2, "name": "text", "required": True, "type": "string"},
+]
+
+
+def _pq(lo, hi):
+    return parquet_write(
+        {
+            "doc_id": list(range(lo, hi)),
+            "text": ["t%03d" % i for i in range(lo, hi)],
+        },
+        types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+        codec="SNAPPY",
+    )
+
+
+def _three_commit_table():
+    m = iceberg_table_create(FIELDS)
+    m, s1 = iceberg_commit(
+        m,
+        data_files=[
+            ("data/p0.parquet", _pq(0, 16), 16),
+            ("data/p1.parquet", _pq(16, 32), 16),
+        ],
+    )
+    m, s2 = iceberg_commit(
+        m,
+        data_files=[
+            ("data/p2.parquet", _pq(32, 48), 16),
+            ("data/p3.parquet", _pq(48, 64), 16),
+        ],
+    )
+    pos = parquet_write(
+        {"file_path": ["data/p1.parquet"] * 8, "pos": list(range(8))},
+        types={"file_path": "BYTE_ARRAY", "pos": "INT64"},
+        codec="SNAPPY",
+    )
+    eq = parquet_write({"doc_id": [40]}, types={"doc_id": "INT64"}, codec="SNAPPY")
+    m, s3 = iceberg_commit(
+        m,
+        delete_files=[
+            {"path": "data/del-pos.parquet", "blob": pos, "content": 1,
+             "record_count": 8},
+            {"path": "data/del-eq.parquet", "blob": eq, "content": 2,
+             "record_count": 1, "equality_ids": [1]},
+        ],
+    )
+    return m, (s1, s2, s3)
+
+
+def test_roundtrip_latest_and_time_travel():
+    m, (s1, s2, s3) = _three_commit_table()
+    tar = tar_build(sorted(m.items()))
+    got = sorted(r["doc_id"] for _, r in iceberg_snapshot_rows(tar, ["doc_id"]))
+    assert got == [i for i in range(64) if not (16 <= i <= 23) and i != 40]
+    assert sorted(
+        r["doc_id"] for _, r in iceberg_snapshot_rows(tar, ["doc_id"], s1)
+    ) == list(range(32))
+    assert sorted(
+        r["doc_id"] for _, r in iceberg_snapshot_rows(tar, ["doc_id"], s2)
+    ) == list(range(64))
+
+
+def test_lineage_and_metadata_log():
+    m, (s1, s2, s3) = _three_commit_table()
+    names = [n for n in m if n.endswith(".metadata.json")]
+    assert names == ["metadata/v4.metadata.json"]  # single current pointer
+    meta = json.loads(m[names[0]])
+    assert [(s["snapshot-id"], s.get("parent-snapshot-id")) for s in
+            meta["snapshots"]] == [(1, None), (2, 1), (3, 2)]
+    assert [s["summary"]["operation"] for s in meta["snapshots"]] == [
+        "append", "append", "overwrite",
+    ]
+    assert meta["last-sequence-number"] == 3
+    assert [e["metadata-file"] for e in meta["metadata-log"]] == [
+        "metadata/v1.metadata.json",
+        "metadata/v2.metadata.json",
+        "metadata/v3.metadata.json",
+    ]
+
+
+def test_manifest_reuse_and_null_entry_sequences():
+    m, (s1, s2, s3) = _three_commit_table()
+    # snapshot 3's manifest list must reference snapshot 1/2 manifests
+    # VERBATIM with their ORIGINAL sequence numbers
+    lists = {n: avro_records(m[n]) for n in m if n.startswith("metadata/snap-")}
+    recs3 = lists["metadata/snap-3.avro"]
+    by_path = {r["manifest_path"]: r for r in recs3}
+    assert by_path["metadata/m1-data.avro"]["sequence_number"] == 1
+    assert by_path["metadata/m2-data.avro"]["sequence_number"] == 2
+    assert by_path["metadata/m3-deletes.avro"]["sequence_number"] == 3
+    # the snapshot-1 list's record equals snapshot-3's for m1 (reuse)
+    rec1 = lists["metadata/snap-1.avro"][0]
+    assert rec1 == by_path["metadata/m1-data.avro"]
+    # manifest ENTRIES carry null sequence numbers — inheritance is
+    # what the reader resolves, per entry
+    for entry in avro_records(m["metadata/m1-data.avro"]):
+        assert entry["sequence_number"] is None
+        assert entry["status"] == 1
+
+
+def test_eq_delete_same_sequence_survives():
+    """A data file added in the SAME commit as an equality delete is
+    NOT affected (strict seq > rule) — commit both and the row lives."""
+    m = iceberg_table_create(FIELDS)
+    eq = parquet_write({"doc_id": [5]}, types={"doc_id": "INT64"}, codec="SNAPPY")
+    m, _ = iceberg_commit(
+        m,
+        data_files=[("data/p0.parquet", _pq(0, 16), 16)],
+        delete_files=[
+            {"path": "data/del-eq.parquet", "blob": eq, "content": 2,
+             "record_count": 1, "equality_ids": [1]},
+        ],
+    )
+    got = sorted(
+        r["doc_id"]
+        for _, r in iceberg_snapshot_rows(tar_build(sorted(m.items())), ["doc_id"])
+    )
+    assert got == list(range(16))  # doc 5 SURVIVES
+    # a later data file is still unaffected; a later DELETE would apply
+    m, _ = iceberg_commit(m, data_files=[("data/p1.parquet", _pq(16, 32), 16)])
+    eq2 = parquet_write({"doc_id": [7]}, types={"doc_id": "INT64"}, codec="SNAPPY")
+    m, _ = iceberg_commit(
+        m,
+        delete_files=[
+            {"path": "data/del2.parquet", "blob": eq2, "content": 2,
+             "record_count": 1, "equality_ids": [1]},
+        ],
+    )
+    got = sorted(
+        r["doc_id"]
+        for _, r in iceberg_snapshot_rows(tar_build(sorted(m.items())), ["doc_id"])
+    )
+    assert got == [i for i in range(32) if i != 7]
+
+
+def test_typed_guards():
+    m = iceberg_table_create(FIELDS)
+    with pytest.raises(ValueError, match="empty commit"):
+        iceberg_commit(m)
+    # v1 tables refuse commits
+    v1 = {
+        "metadata/v1.metadata.json": json.dumps(
+            {"format-version": 1, "schemas": [], "snapshots": []}
+        ).encode()
+    }
+    with pytest.raises(NotImplementedError, match="v2"):
+        iceberg_commit(v1, data_files=[("d", b"x", 1)])
+    with pytest.raises(ValueError, match="content"):
+        iceberg_commit(
+            m,
+            delete_files=[{"path": "d", "blob": b"x", "content": 9,
+                           "record_count": 1}],
+        )

@@ -7369,6 +7369,136 @@ def with_iceberg_table_payload(
     )
 
 
+ICEBERG_WRITE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("n_snapshots", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def iceberg_write_roundtrip_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Iceberg table WRITING end-to-end (round 14, session 3 — the
+    Iceberg twin of Delta's session-2 write loop): every 64 docs
+    become a table built through operators/iceberg's COMMIT API —
+    create, two append commits (two parquet files each, via the E133
+    writer), then a delete commit carrying a positional delete (rows
+    0-7 of p1 → docs 16-23) and an equality delete (doc base+40) —
+    and the resulting metadata tree resolves back through the same
+    module's reader: manifest entries are written with NULL sequence
+    numbers so every read exercises v2 inheritance, prior manifests
+    are reused verbatim across manifest lists, and the single current
+    metadata JSON carries the full three-snapshot lineage. The oracle
+    pins the delete semantics on the ORIGINAL documents table; commit
+    arithmetic (lineage, reuse, time travel at each snapshot,
+    metadata-log) is pinned in tests/test_iceberg_write.py. One
+    applyInPandas per table; map-only."""
+    _ice = _register_iceberg_modules()
+    _cont = _register_container_modules()
+    from yark_spark.operators import parquet_write as _pw
+
+    _tar = _cont.tar_build
+    _write = _pw.parquet_write
+    _create = _ice.iceberg_table_create
+    _commit = _ice.iceberg_commit
+    _rows = _ice.iceberg_snapshot_rows
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 64
+        base = tid * 64
+
+        def _pq(lo, hi):
+            return _write(
+                {"doc_id": ids[lo:hi], "text": texts[lo:hi]},
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                codec="SNAPPY",
+            )
+
+        fields = [
+            {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+            {"id": 2, "name": "text", "required": True, "type": "string"},
+        ]
+        m = _create(fields, location=f"tbl-{tid}")
+        m, _s1 = _commit(
+            m,
+            data_files=[
+                ("data/p0.parquet", _pq(0, 16), 16),
+                ("data/p1.parquet", _pq(16, 32), 16),
+            ],
+        )
+        m, _s2 = _commit(
+            m,
+            data_files=[
+                ("data/p2.parquet", _pq(32, 48), 16),
+                ("data/p3.parquet", _pq(48, 64), 16),
+            ],
+        )
+        pos = _write(
+            {"file_path": ["data/p1.parquet"] * 8, "pos": list(range(8))},
+            types={"file_path": "BYTE_ARRAY", "pos": "INT64"},
+            codec="SNAPPY",
+        )
+        eq = _write(
+            {"doc_id": [base + 40]}, types={"doc_id": "INT64"}, codec="SNAPPY"
+        )
+        m, _s3 = _commit(
+            m,
+            delete_files=[
+                {
+                    "path": "data/del-pos.parquet",
+                    "blob": pos,
+                    "content": 1,
+                    "record_count": 8,
+                },
+                {
+                    "path": "data/del-eq.parquet",
+                    "blob": eq,
+                    "content": 2,
+                    "record_count": 1,
+                    "equality_ids": [1],
+                },
+            ],
+        )
+        import json as _json
+
+        meta_name = next(n for n in m if n.endswith(".metadata.json"))
+        n_snaps = len(_json.loads(m[meta_name])["snapshots"])
+        rows = _rows(_tar(sorted(m.items())), ["doc_id", "text"])
+        out_ids, out_n, out_d = [], [], []
+        for _seq, r in rows:
+            out_ids.append(int(r["doc_id"]))
+            out_n.append(len(r["text"]))
+            out_d.append(_h.md5(r["text"].encode("utf-8")).hexdigest())
+        k = len(out_ids)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_ids, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "n_snapshots": np.full(k, n_snaps, dtype="int32"),
+                "n_chars": np.array(out_n, dtype="int32"),
+                "digest": out_d,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
+        .applyInPandas(_build, ICEBERG_WRITE_SCHEMA)
+    )
+
+
 def iceberg_snapshot_features(
     df: DataFrame,
     table_col: str = "table_id",
