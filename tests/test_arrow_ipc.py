@@ -1,0 +1,136 @@
+"""Arrow IPC reader (round 14, session 3) vs the real library: every
+value pyarrow writes must decode identically here — types × nulls ×
+layouts × codecs × chunking — plus nesting and the typed
+boundaries."""
+
+from __future__ import annotations
+
+import io
+
+import pyarrow as pa
+import pyarrow.ipc as ipc
+import pytest
+
+from yark_spark.operators.arrow_ipc import (
+    arrow_file_read,
+    arrow_schema,
+    arrow_stream_read,
+)
+
+
+def _table():
+    return pa.table(
+        {
+            "i64": pa.array([1, 2, None, 4, 5], pa.int64()),
+            "i32": pa.array([10, None, 30, 40, 50], pa.int32()),
+            "i16": pa.array([1, -2, None, 4, 5], pa.int16()),
+            "u8": pa.array([0, 255, None, 4, 5], pa.uint8()),
+            "s": pa.array(["x", "yy", None, "zzz", "w" * 40]),
+            "ls": pa.array(["a", None, "b", "c", "d"], pa.large_string()),
+            "f": pa.array([0.5, None, 2.5, 3.5, 4.5], pa.float64()),
+            "f32": pa.array([1.5, 2.5, None, 4.5, 5.5], pa.float32()),
+            "b": pa.array([True, False, None, True, False]),
+            "vec": pa.array(
+                [[1.0, 2.0], [3.0], None, [], [5.0, None, 7.0]],
+                pa.list_(pa.float32()),
+            ),
+            "bin": pa.array([b"ab", None, b"cdef", b"", b"xyz"], pa.binary()),
+            "fsb": pa.array([b"abcd", b"efgh", None, b"ijkl", b"mnop"],
+                            pa.binary(4)),
+            "fsl": pa.array([[1, 2], [3, 4], None, [7, 8], [9, 10]],
+                            pa.list_(pa.int64(), 2)),
+            "st": pa.array(
+                [{"k": 1, "v": "a"}, None, {"k": 3, "v": None},
+                 {"k": 4, "v": "d"}, {"k": 5, "v": "e"}],
+                pa.struct([("k", pa.int64()), ("v", pa.string())]),
+            ),
+            "ts": pa.array([1, 2, 3, None, 5], pa.timestamp("us")),
+            "dt": pa.array([1, 2, None, 4, 5], pa.date32()),
+        }
+    )
+
+
+def _expect(t, c):
+    if c == "ts":
+        return t.column(c).cast(pa.int64()).to_pylist()
+    if c == "dt":
+        return t.column(c).cast(pa.int32()).to_pylist()
+    return t.column(c).to_pylist()
+
+
+@pytest.mark.parametrize("compression", [None, "lz4", "zstd"])
+@pytest.mark.parametrize("layout", ["file", "stream"])
+@pytest.mark.parametrize("chunk", [2, 100])
+def test_type_matrix(compression, layout, chunk):
+    t = _table()
+    buf = io.BytesIO()
+    opts = ipc.IpcWriteOptions(compression=compression)
+    opener = ipc.new_file if layout == "file" else ipc.new_stream
+    with opener(buf, t.schema, options=opts) as w:
+        w.write_table(t, max_chunksize=chunk)
+    read = arrow_file_read if layout == "file" else arrow_stream_read
+    got = read(buf.getvalue())
+    for c in t.column_names:
+        assert got[c] == _expect(t, c), c
+
+
+def test_column_projection_and_schema():
+    t = _table()
+    buf = io.BytesIO()
+    with ipc.new_file(buf, t.schema) as w:
+        w.write_table(t)
+    got = arrow_file_read(buf.getvalue(), ["s", "i64"])
+    assert set(got) == {"s", "i64"}
+    assert got["i64"] == _expect(t, "i64")
+    fields = arrow_schema(buf.getvalue())
+    assert [f["name"] for f in fields] == t.column_names
+    assert fields[0]["type"] == "int" and fields[0]["bits"] == 64
+    with pytest.raises(ValueError, match="not in schema"):
+        arrow_file_read(buf.getvalue(), ["nope"])
+
+
+def test_nested_list_of_list_and_struct_in_list():
+    t = pa.table(
+        {
+            "ll": pa.array(
+                [[[1, 2], [3]], None, [[4], None, []], [[5, 6]]],
+                pa.list_(pa.list_(pa.int64())),
+            ),
+            "lst": pa.array(
+                [[{"a": 1}], [], None, [{"a": None}, {"a": 4}]],
+                pa.list_(pa.struct([("a", pa.int64())])),
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    with ipc.new_file(
+        buf, t.schema, options=ipc.IpcWriteOptions(compression="zstd")
+    ) as w:
+        w.write_table(t)
+    got = arrow_file_read(buf.getvalue())
+    assert got["ll"] == t.column("ll").to_pylist()
+    assert got["lst"] == t.column("lst").to_pylist()
+
+
+def test_empty_table_and_empty_batches():
+    t = pa.table({"a": pa.array([], pa.int64())})
+    buf = io.BytesIO()
+    with ipc.new_file(buf, t.schema) as w:
+        w.write_table(t)
+    assert arrow_file_read(buf.getvalue()) == {"a": []}
+
+
+def test_dictionary_typed_boundary():
+    t = pa.table(
+        {"d": pa.array(["x", "y", "x"]).dictionary_encode()}
+    )
+    buf = io.BytesIO()
+    with ipc.new_file(buf, t.schema) as w:
+        w.write_table(t)
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        arrow_file_read(buf.getvalue())
+
+
+def test_bad_magic_typed_error():
+    with pytest.raises(ValueError, match="magic"):
+        arrow_file_read(b"ARROW9" + b"\x00" * 64 + b"ARROW9")

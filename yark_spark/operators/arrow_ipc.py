@@ -1,0 +1,539 @@
+"""Arrow IPC (Feather V2) reader from scratch — round 14, session 3.
+
+Arrow IPC is the interchange wire of the ML-data world: flight
+streams, feather files, dataframe spills, inter-engine handoff. The
+format (arrow.apache.org/docs/format/Columnar.html#serialization-and-
+interprocess-communication) is:
+
+  FILE:   "ARROW1\\0\\0" … blocks … footer-flatbuffer
+          int32 footer_len "ARROW1"
+  STREAM: encapsulated messages only — each
+          [0xFFFFFFFF][int32 metadata_len][Message flatbuffer][body]
+          terminated by a zero-length marker.
+
+Both layers are decoded here from first principles:
+
+* a minimal FLATBUFFER reader (vtables → field offsets, tables,
+  structs, vectors, strings, unions) — flatbuffers is Arrow's
+  metadata substrate and has a public spec
+  (flatbuffers.dev/md__internals.html); field slot numbers below
+  follow the public Schema.fbs / Message.fbs / File.fbs;
+* the Arrow COLUMNAR layout: per-field validity bitmaps (LSB-first),
+  primitive data buffers, int32 offset buffers for var-width types,
+  list/fixed-size-list/struct nesting by pre-order node+buffer
+  assignment, and the optional per-buffer BodyCompression framing
+  ([int64 uncompressed_len | -1][payload]) with LZ4-frame and zstd
+  codecs through the in-repo decoders.
+
+Every value read is pinned against the writer of record: pyarrow
+writes the fixtures (tests/test_arrow_ipc.py — types × nulls ×
+compressions × chunking), and the q_arrow_ipc_* keys hash-match
+DuckDB oracles over the same documents/embeddings tables.
+
+Typed boundaries: dictionary-encoded columns, unions, run-end
+encoding, and big-endian files raise ``NotImplementedError``.
+
+Reference parity note: the reference archiver (SupBlizard/yark) has
+no columnar interchange; this is driver-mandated pipeline surface
+(SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["arrow_file_read", "arrow_stream_read", "arrow_schema"]
+
+
+# ---------------------------------------------------------------------------
+# flatbuffer primitives
+# ---------------------------------------------------------------------------
+
+
+def _i8(b, o):
+    return struct.unpack_from("<b", b, o)[0]
+
+
+def _u8(b, o):
+    return b[o]
+
+
+def _i16(b, o):
+    return struct.unpack_from("<h", b, o)[0]
+
+
+def _u16(b, o):
+    return struct.unpack_from("<H", b, o)[0]
+
+
+def _i32(b, o):
+    return struct.unpack_from("<i", b, o)[0]
+
+
+def _u32(b, o):
+    return struct.unpack_from("<I", b, o)[0]
+
+
+def _i64(b, o):
+    return struct.unpack_from("<q", b, o)[0]
+
+
+def _f32(b, o):
+    return struct.unpack_from("<f", b, o)[0]
+
+
+def _f64(b, o):
+    return struct.unpack_from("<d", b, o)[0]
+
+
+def _root(b: bytes, base: int = 0) -> int:
+    """Root table position: uoffset at the buffer head."""
+    return base + _u32(b, base)
+
+
+def _field(b: bytes, table: int, slot: int) -> int | None:
+    """Absolute position of field ``slot``'s data, or None if absent.
+    vtable: int32 soffset at table start points BACK to the vtable
+    (vtable_pos = table - soffset); vtable = [u16 vt_size, u16
+    table_size, u16 field_off...] with offsets relative to the table
+    start (0 = absent)."""
+    vt = table - _i32(b, table)
+    vt_size = _u16(b, vt)
+    entry = 4 + 2 * slot
+    if entry + 2 > vt_size:
+        return None
+    off = _u16(b, vt + entry)
+    if off == 0:
+        return None
+    return table + off
+
+
+def _tab(b: bytes, pos: int) -> int:
+    """Follow a uoffset to a sub-table/vector/string."""
+    return pos + _u32(b, pos)
+
+
+def _string(b: bytes, pos: int) -> str:
+    p = _tab(b, pos)
+    n = _u32(b, p)
+    return b[p + 4 : p + 4 + n].decode("utf-8")
+
+
+def _vector(b: bytes, pos: int) -> tuple[int, int]:
+    """(element_count, first_element_pos)."""
+    p = _tab(b, pos)
+    return _u32(b, p), p + 4
+
+
+def _scalar(b, table, slot, reader, default):
+    pos = _field(b, table, slot)
+    return default if pos is None else reader(b, pos)
+
+
+# ---------------------------------------------------------------------------
+# Arrow flatbuffer tables (public Schema.fbs / Message.fbs / File.fbs)
+# ---------------------------------------------------------------------------
+
+# Type union tags (Schema.fbs enum Type)
+_T_NULL, _T_INT, _T_FLOAT, _T_BINARY, _T_UTF8, _T_BOOL = 1, 2, 3, 4, 5, 6
+_T_DECIMAL, _T_DATE, _T_TIME, _T_TIMESTAMP = 7, 8, 9, 10
+_T_LIST, _T_STRUCT = 12, 13
+_T_FIXED_SIZE_BINARY, _T_FIXED_SIZE_LIST, _T_MAP = 15, 16, 17
+_T_LARGE_BINARY, _T_LARGE_UTF8, _T_LARGE_LIST = 19, 20, 21
+
+# MessageHeader union tags (Message.fbs)
+_H_SCHEMA, _H_DICTIONARY, _H_RECORD_BATCH = 1, 2, 3
+
+
+def _parse_field(b: bytes, table: int) -> dict:
+    name_pos = _field(b, table, 0)
+    name = _string(b, name_pos) if name_pos is not None else ""
+    nullable = bool(_scalar(b, table, 1, _u8, 0))
+    ttype = _scalar(b, table, 2, _u8, 0)
+    tpos = _field(b, table, 3)
+    ttab = _tab(b, tpos) if tpos is not None else None
+    if _field(b, table, 4) is not None:
+        raise NotImplementedError("arrow-ipc: dictionary-encoded column")
+    children = []
+    cpos = _field(b, table, 5)
+    if cpos is not None:
+        n, at = _vector(b, cpos)
+        for i in range(n):
+            children.append(_parse_field(b, _tab(b, at + 4 * i)))
+    f: dict = {"name": name, "nullable": nullable, "children": children}
+    if ttype == _T_INT:
+        f["type"] = "int"
+        f["bits"] = _scalar(b, ttab, 0, _i32, 0)
+        f["signed"] = bool(_scalar(b, ttab, 1, _u8, 0))
+    elif ttype == _T_FLOAT:
+        f["type"] = "float"
+        f["precision"] = _scalar(b, ttab, 0, _i16, 0)  # 0 half 1 single 2 double
+    elif ttype == _T_UTF8:
+        f["type"] = "utf8"
+    elif ttype == _T_LARGE_UTF8:
+        f["type"] = "large_utf8"
+    elif ttype == _T_BINARY:
+        f["type"] = "binary"
+    elif ttype == _T_LARGE_BINARY:
+        f["type"] = "large_binary"
+    elif ttype == _T_BOOL:
+        f["type"] = "bool"
+    elif ttype == _T_NULL:
+        f["type"] = "null"
+    elif ttype == _T_TIMESTAMP:
+        f["type"] = "timestamp"
+        f["unit"] = _scalar(b, ttab, 0, _i16, 0)
+    elif ttype == _T_DATE:
+        f["type"] = "date"
+        f["unit"] = _scalar(b, ttab, 0, _i16, 1)
+    elif ttype == _T_LIST:
+        f["type"] = "list"
+    elif ttype == _T_LARGE_LIST:
+        f["type"] = "large_list"
+    elif ttype == _T_FIXED_SIZE_LIST:
+        f["type"] = "fixed_size_list"
+        f["list_size"] = _scalar(b, ttab, 0, _i32, 0)
+    elif ttype == _T_STRUCT:
+        f["type"] = "struct"
+    elif ttype == _T_FIXED_SIZE_BINARY:
+        f["type"] = "fixed_size_binary"
+        f["byte_width"] = _scalar(b, ttab, 0, _i32, 0)
+    else:
+        raise NotImplementedError(f"arrow-ipc: type tag {ttype}")
+    return f
+
+
+def _parse_schema(b: bytes, table: int) -> list[dict]:
+    endianness = _scalar(b, table, 0, _i16, 0)
+    if endianness != 0:
+        raise NotImplementedError("arrow-ipc: big-endian file")
+    fpos = _field(b, table, 1)
+    fields = []
+    if fpos is not None:
+        n, at = _vector(b, fpos)
+        for i in range(n):
+            fields.append(_parse_field(b, _tab(b, at + 4 * i)))
+    return fields
+
+
+# ---------------------------------------------------------------------------
+# record-batch body decode
+# ---------------------------------------------------------------------------
+
+_LZ4 = None
+_ZSTD = None
+
+
+def bind_codecs():
+    """Driver-side codec binding (the containers.bind_zstd pattern)."""
+    global _LZ4, _ZSTD
+    if _LZ4 is None:
+        from yark_spark.operators import lz4 as _l
+        from yark_spark.operators import zstd as _z
+
+        _LZ4, _ZSTD = _l, _z
+
+
+def _buffer(body: bytes, off: int, length: int, codec: int | None) -> bytes:
+    raw = body[off : off + length]
+    if codec is None or length == 0:
+        return raw
+    unc = _i64(raw, 0)
+    if unc == -1:  # below compression threshold: stored as-is
+        return raw[8:]
+    bind_codecs()
+    if codec == 0:  # LZ4_FRAME
+        out = _LZ4.lz4_frame_decompress(raw[8:], max_output=max(unc, 1))
+    elif codec == 1:  # ZSTD
+        out = b"".join(_ZSTD.zstd_frames(raw[8:], max_output=max(unc, 1)))
+    else:
+        raise NotImplementedError(f"arrow-ipc: compression codec {codec}")
+    if len(out) != unc:
+        raise ValueError("arrow-ipc: buffer decompressed to wrong length")
+    return out
+
+
+def _bit(buf: bytes, i: int) -> int:
+    return (buf[i >> 3] >> (i & 7)) & 1
+
+
+_INT_FMT = {
+    (8, True): "<b", (8, False): "<B",
+    (16, True): "<h", (16, False): "<H",
+    (32, True): "<i", (32, False): "<I",
+    (64, True): "<q", (64, False): "<Q",
+}
+
+
+class _BatchCursor:
+    """Pre-order node/buffer assignment over a record batch."""
+
+    def __init__(self, b, nodes_at, n_nodes, bufs_at, n_bufs, body, codec):
+        self.b = b
+        self.nodes_at = nodes_at
+        self.n_nodes = n_nodes
+        self.bufs_at = bufs_at
+        self.n_bufs = n_bufs
+        self.body = body
+        self.codec = codec
+        self.node_i = 0
+        self.buf_i = 0
+
+    def node(self) -> tuple[int, int]:
+        if self.node_i >= self.n_nodes:
+            raise ValueError("arrow-ipc: node underrun")
+        at = self.nodes_at + 16 * self.node_i
+        self.node_i += 1
+        return _i64(self.b, at), _i64(self.b, at + 8)  # (length, null_count)
+
+    def buffer(self) -> bytes:
+        if self.buf_i >= self.n_bufs:
+            raise ValueError("arrow-ipc: buffer underrun")
+        at = self.bufs_at + 16 * self.buf_i
+        self.buf_i += 1
+        off, ln = _i64(self.b, at), _i64(self.b, at + 8)
+        return _buffer(self.body, off, ln, self.codec)
+
+
+def _decode_field(cur: _BatchCursor, f: dict) -> list:
+    t = f["type"]
+    if t == "null":
+        n, _nc = cur.node()
+        return [None] * n
+    n, null_count = cur.node()
+    validity = cur.buffer()
+    if null_count and not validity:
+        raise ValueError("arrow-ipc: nulls declared but no validity buffer")
+    present = (
+        [True] * n
+        if null_count == 0 and not validity
+        else [bool(_bit(validity, i)) for i in range(n)]
+        if validity
+        else [True] * n
+    )
+    if t == "int" or t == "timestamp" or t == "date":
+        data = cur.buffer()
+        if t == "int":
+            fmt = _INT_FMT.get((f["bits"], f["signed"]))
+            if fmt is None:
+                raise NotImplementedError(f"arrow-ipc: int{f['bits']}")
+        elif t == "timestamp":
+            fmt = "<q"
+        else:
+            fmt = "<i" if f.get("unit", 1) == 0 else "<q"
+        width = struct.calcsize(fmt)
+        vals = [
+            struct.unpack_from(fmt, data, width * i)[0] if present[i] else None
+            for i in range(n)
+        ]
+    elif t == "float":
+        if f["precision"] == 2:
+            fmt, width = "<d", 8
+        elif f["precision"] == 1:
+            fmt, width = "<f", 4
+        else:
+            raise NotImplementedError("arrow-ipc: half floats")
+        data = cur.buffer()
+        vals = [
+            struct.unpack_from(fmt, data, width * i)[0] if present[i] else None
+            for i in range(n)
+        ]
+    elif t == "bool":
+        data = cur.buffer()
+        vals = [bool(_bit(data, i)) if present[i] else None for i in range(n)]
+    elif t in ("utf8", "binary", "large_utf8", "large_binary"):
+        offsets = cur.buffer()
+        data = cur.buffer()
+        wide = t.startswith("large_")
+        rd = _i64 if wide else _i32
+        w = 8 if wide else 4
+        vals = []
+        for i in range(n):
+            if not present[i]:
+                vals.append(None)
+                continue
+            lo, hi = rd(offsets, w * i), rd(offsets, w * (i + 1))
+            piece = data[lo:hi]
+            vals.append(
+                piece.decode("utf-8") if t.endswith("utf8") else bytes(piece)
+            )
+    elif t == "fixed_size_binary":
+        data = cur.buffer()
+        w = f["byte_width"]
+        vals = [
+            bytes(data[w * i : w * (i + 1)]) if present[i] else None
+            for i in range(n)
+        ]
+    elif t in ("list", "large_list"):
+        offsets = cur.buffer()
+        rd = _i64 if t == "large_list" else _i32
+        w = 8 if t == "large_list" else 4
+        child = _decode_field(cur, f["children"][0])
+        vals = []
+        for i in range(n):
+            if not present[i]:
+                vals.append(None)
+                continue
+            vals.append(child[rd(offsets, w * i) : rd(offsets, w * (i + 1))])
+    elif t == "fixed_size_list":
+        child = _decode_field(cur, f["children"][0])
+        k = f["list_size"]
+        vals = [
+            child[k * i : k * (i + 1)] if present[i] else None for i in range(n)
+        ]
+    elif t == "struct":
+        kids = {c["name"]: _decode_field(cur, c) for c in f["children"]}
+        vals = [
+            {nm: kids[nm][i] for nm in kids} if present[i] else None
+            for i in range(n)
+        ]
+    else:
+        raise NotImplementedError(f"arrow-ipc: decode of {t}")
+    return vals
+
+
+def _decode_batch(b: bytes, header: int, body: bytes, fields: list[dict]) -> dict:
+    n_rows = _scalar(b, header, 0, _i64, 0)
+    npos = _field(b, header, 1)
+    bpos = _field(b, header, 2)
+    n_nodes, nodes_at = _vector(b, npos) if npos is not None else (0, 0)
+    n_bufs, bufs_at = _vector(b, bpos) if bpos is not None else (0, 0)
+    codec = None
+    cpos = _field(b, header, 3)
+    if cpos is not None:
+        ctab = _tab(b, cpos)
+        codec = _scalar(b, ctab, 0, _i8, 0)
+        if _scalar(b, ctab, 1, _i8, 0) != 0:
+            raise NotImplementedError("arrow-ipc: non-buffer compression method")
+    cur = _BatchCursor(b, nodes_at, n_nodes, bufs_at, n_bufs, body, codec)
+    out = {f["name"]: _decode_field(cur, f) for f in fields}
+    if cur.node_i != n_nodes or cur.buf_i != n_bufs:
+        raise ValueError("arrow-ipc: node/buffer walk incomplete")
+    for f in fields:
+        if len(out[f["name"]]) != n_rows:
+            raise ValueError("arrow-ipc: column length != batch length")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# encapsulated messages, file + stream layers
+# ---------------------------------------------------------------------------
+
+
+def _read_message(b: bytes, pos: int) -> tuple[int | None, int, bytes, int]:
+    """(header_tag, header_table_pos, body, next_pos); tag None = EOS."""
+    if pos + 4 > len(b):
+        raise ValueError("arrow-ipc: truncated message")
+    first = _u32(b, pos)
+    if first == 0xFFFFFFFF:
+        meta_len = _i32(b, pos + 4)
+        meta_at = pos + 8
+    else:  # pre-1.0 framing without the continuation marker
+        meta_len = _i32(b, pos)
+        meta_at = pos + 4
+    if meta_len == 0:
+        return None, 0, b"", meta_at
+    meta = b[meta_at : meta_at + meta_len]
+    table = _root(meta)
+    tag = _scalar(meta, table, 1, _u8, 0)
+    hpos = _field(meta, table, 2)
+    header = _tab(meta, hpos) if hpos is not None else None
+    body_len = _scalar(meta, table, 3, _i64, 0)
+    body_at = meta_at + meta_len
+    body = b[body_at : body_at + body_len]
+    if len(body) != body_len:
+        raise ValueError("arrow-ipc: truncated message body")
+    return tag, (meta, header), body, body_at + body_len
+
+
+def arrow_schema(payload: bytes) -> list[dict]:
+    """Parse just the schema of a file or stream payload."""
+    b = bytes(payload)
+    if b[:6] == b"ARROW1":
+        _fields, _blocks = _file_footer(b)
+        return _fields
+    tag, (meta, header), _body, _nxt = _read_message(b, 0)
+    if tag != _H_SCHEMA:
+        raise ValueError("arrow-ipc: stream does not start with a schema")
+    return _parse_schema(meta, header)
+
+
+def _file_footer(b: bytes) -> tuple[list[dict], list[tuple[int, int, int]]]:
+    if b[:6] != b"ARROW1" or b[-6:] != b"ARROW1":
+        raise ValueError("arrow-ipc: bad magic")
+    footer_len = _i32(b, len(b) - 10)
+    foot = b[len(b) - 10 - footer_len : len(b) - 10]
+    table = _root(foot)
+    spos = _field(foot, table, 1)
+    if spos is None:
+        raise ValueError("arrow-ipc: footer carries no schema")
+    fields = _parse_schema(foot, _tab(foot, spos))
+    dpos = _field(foot, table, 2)
+    if dpos is not None and _vector(foot, dpos)[0]:
+        raise NotImplementedError("arrow-ipc: dictionary batches")
+    blocks: list[tuple[int, int, int]] = []
+    rpos = _field(foot, table, 3)
+    if rpos is not None:
+        n, at = _vector(foot, rpos)
+        for i in range(n):
+            # struct Block { long offset; int metaDataLength; long bodyLength }
+            # — 24 bytes with 4 bytes padding after the int
+            p = at + 24 * i
+            blocks.append((_i64(foot, p), _i32(foot, p + 8), _i64(foot, p + 16)))
+    return fields, blocks
+
+
+def arrow_file_read(
+    payload: bytes, columns: list[str] | None = None
+) -> dict[str, list]:
+    """Decode an Arrow IPC FILE (Feather V2): footer blocks → record
+    batches, concatenated in order."""
+    b = bytes(payload)
+    fields, blocks = _file_footer(b)
+    names = [f["name"] for f in fields]
+    want = columns if columns is not None else names
+    for c in want:
+        if c not in names:
+            raise ValueError(f"arrow-ipc: column {c!r} not in schema")
+    out: dict[str, list] = {c: [] for c in want}
+    for offset, _meta_len, _body_len in blocks:
+        tag, (meta, header), body, _nxt = _read_message(b, offset)
+        if tag == _H_DICTIONARY:
+            raise NotImplementedError("arrow-ipc: dictionary batches")
+        if tag != _H_RECORD_BATCH:
+            raise ValueError(f"arrow-ipc: block holds message tag {tag}")
+        batch = _decode_batch(meta, header, body, fields)
+        for c in want:
+            out[c].extend(batch[c])
+    return out
+
+
+def arrow_stream_read(
+    payload: bytes, columns: list[str] | None = None
+) -> dict[str, list]:
+    """Decode an Arrow IPC STREAM: schema message, then record
+    batches until the end-of-stream marker."""
+    b = bytes(payload)
+    tag, (meta, header), _body, pos = _read_message(b, 0)
+    if tag != _H_SCHEMA:
+        raise ValueError("arrow-ipc: stream does not start with a schema")
+    fields = _parse_schema(meta, header)
+    names = [f["name"] for f in fields]
+    want = columns if columns is not None else names
+    for c in want:
+        if c not in names:
+            raise ValueError(f"arrow-ipc: column {c!r} not in schema")
+    out: dict[str, list] = {c: [] for c in want}
+    while pos < len(b):
+        tag, payload_pair, body, pos = _read_message(b, pos)
+        if tag is None:
+            break
+        if tag == _H_DICTIONARY:
+            raise NotImplementedError("arrow-ipc: dictionary batches")
+        if tag != _H_RECORD_BATCH:
+            raise ValueError(f"arrow-ipc: unexpected message tag {tag}")
+        meta, header = payload_pair
+        batch = _decode_batch(meta, header, body, fields)
+        for c in want:
+            out[c].extend(batch[c])
+    return out

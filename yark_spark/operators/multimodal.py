@@ -6820,6 +6820,222 @@ def parquet_codec_listing(
     )
 
 
+def with_arrow_ipc_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_shard: int = 16,
+) -> DataFrame:
+    """Pack documents into Arrow IPC shards WRITTEN BY THE REAL
+    LIBRARY (pyarrow), cycling layout × codec per shard: file/none,
+    file/lz4, file/zstd, stream/none, stream/zstd — the interchange
+    wire ML pipelines hand between engines. One applyInPandas per
+    shard group."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io as _io
+
+        import pyarrow as _pa
+        import pyarrow.ipc as _ipc
+
+        pdf = pdf.sort_values(id_col)
+        t = _pa.table(
+            {
+                "doc_id": _pa.array([int(v) for v in pdf[id_col]], _pa.int64()),
+                "text": _pa.array(list(pdf[text_col])),
+            }
+        )
+        sid = int(pdf[id_col].iloc[0]) // docs_per_shard
+        layout, comp = [
+            ("file", None),
+            ("file", "lz4"),
+            ("file", "zstd"),
+            ("stream", None),
+            ("stream", "zstd"),
+        ][sid % 5]
+        buf = _io.BytesIO()
+        opts = _ipc.IpcWriteOptions(compression=comp)
+        opener = _ipc.new_file if layout == "file" else _ipc.new_stream
+        with opener(buf, t.schema, options=opts) as w:
+            w.write_table(t, max_chunksize=7)  # several batches per shard
+        return pd.DataFrame({"shard_id": [sid], "payload": [buf.getvalue()]})
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / docs_per_shard).cast("long").alias("__s"))
+        .applyInPandas(
+            _build,
+            StructType(
+                [
+                    StructField("shard_id", LongType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+    )
+
+
+ARROW_IPC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("wire", StringType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def arrow_ipc_listing(
+    df: DataFrame, shard_col: str = "shard_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode Arrow IPC shards with the from-scratch reader
+    (operators/arrow_ipc: flatbuffer vtables, encapsulated messages,
+    validity bitmaps, offset buffers, per-buffer LZ4-frame/zstd
+    decompression) and digest each row; the wire label derives from
+    the MAGIC we parsed, so a hash match proves both layouts really
+    decoded. Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import arrow_ipc as _aipc
+
+    _register_container_modules()  # lz4 + zstd ship by value
+    _aipc.bind_codecs()
+    _cp.register_pickle_by_value(_aipc)
+    _file_read = _aipc.arrow_file_read
+    _stream_read = _aipc.arrow_stream_read
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _h
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, wires, ns, digs = [], [], [], []
+            for p in pdf[payload_col]:
+                blob = bytes(p)
+                if blob[:6] == b"ARROW1":
+                    wire = "file"
+                    cols = _file_read(blob, ["doc_id", "text"])
+                else:
+                    wire = "stream"
+                    cols = _stream_read(blob, ["doc_id", "text"])
+                for did, t in zip(cols["doc_id"], cols["text"]):
+                    ids.append(int(did))
+                    wires.append(wire)
+                    ns.append(len(t))
+                    digs.append(_h.md5(t.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype="int64"),
+                    "wire": wires,
+                    "n_chars": np.array(ns, dtype="int32"),
+                    "digest": digs,
+                }
+            )
+
+    return df.select(F.col(shard_col), F.col(payload_col)).mapInPandas(
+        _extract, ARROW_IPC_SCHEMA
+    )
+
+
+ARROW_VECTOR_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("dim", IntegerType()),
+        StructField("csum", LongType()),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def arrow_ipc_vector_listing(df: DataFrame) -> DataFrame:
+    """Embeddings through Arrow IPC (round 14 s3): vectors packed by
+    pyarrow as ``list<float32>`` with a deterministic null grammar
+    (vec_id%25: 13 → null row, 18 → empty list, 21 → null element at
+    [3]), decoded by the from-scratch reader's list path — offsets
+    buffer + child validity — and reduced to the integer-exact
+    Σ floor(x·10⁶) checksum the ORC/parquet vector keys use. Zstd
+    buffer compression on every shard. Map-only both stages."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import arrow_ipc as _aipc
+
+    _register_container_modules()
+    _aipc.bind_codecs()
+    _cp.register_pickle_by_value(_aipc)
+    _read = _aipc.arrow_file_read
+
+    def _build_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io as _io
+        import math as _math
+
+        import numpy as np
+        import pyarrow as _pa
+        import pyarrow.ipc as _ipc
+
+        pdf = pdf.sort_values("vec_id")
+        vids = [int(v) for v in pdf["vec_id"]]
+        labels = [int(v) for v in pdf["label"]]
+        vecs = []
+        for vid, emb in zip(vids, pdf["embedding"]):
+            m = vid % 25
+            if m == 13:
+                vecs.append(None)
+            elif m == 18:
+                vecs.append([])
+            elif m == 21:
+                v = [float(x) for x in emb]
+                v[3] = None
+                vecs.append(v)
+            else:
+                vecs.append([float(x) for x in emb])
+        t = _pa.table(
+            {
+                "vec_id": _pa.array(vids, _pa.int64()),
+                "embedding": _pa.array(vecs, _pa.list_(_pa.float32())),
+                "label": _pa.array(labels, _pa.int32()),
+            }
+        )
+        buf = _io.BytesIO()
+        with _ipc.new_file(
+            buf, t.schema, options=_ipc.IpcWriteOptions(compression="zstd")
+        ) as w:
+            w.write_table(t, max_chunksize=9)
+        cols = _read(buf.getvalue())
+        out_i, out_d, out_c, out_l = [], [], [], []
+        for vid, emb, lab in zip(cols["vec_id"], cols["embedding"], cols["label"]):
+            if emb is None:
+                out_i.append(vid)
+                out_d.append(-1)
+                out_c.append(0)
+                out_l.append(-1)
+                continue
+            out_i.append(vid)
+            out_d.append(len(emb))
+            out_c.append(
+                sum(
+                    int(_math.floor(float(x) * 1000000))
+                    for x in emb
+                    if x is not None
+                )
+            )
+            out_l.append(lab)
+        return pd.DataFrame(
+            {
+                "vec_id": np.array(out_i, dtype="int64"),
+                "dim": np.array(out_d, dtype="int32"),
+                "csum": np.array(out_c, dtype="int64"),
+                "label": np.array(out_l, dtype="int32"),
+            }
+        )
+
+    return (
+        df.select("vec_id", "embedding", "label")
+        .groupBy(F.floor(F.col("vec_id") / 25).cast("long").alias("__s"))
+        .applyInPandas(_build_and_scan, ARROW_VECTOR_SCHEMA)
+    )
+
+
 FEED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

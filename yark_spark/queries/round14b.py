@@ -89,6 +89,74 @@ def q_orc_rowindex_prune(spark, sf_dir):
     return orc_rowindex_prune_features(docs)
 
 
+_ARROW_IPC_ORACLE = (
+    "SELECT doc_id, "
+    "CASE CAST(doc_id // 16 AS BIGINT) % 5 "
+    "WHEN 3 THEN 'stream' WHEN 4 THEN 'stream' ELSE 'file' END AS wire, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_arrow_ipc_scan", oracle=_ARROW_IPC_ORACLE)
+def q_arrow_ipc_scan(spark, sf_dir):
+    """E158 Arrow IPC (Feather V2) reader from scratch (round 14,
+    session 3): shards written by REAL pyarrow cycling layout × codec
+    (file/none, file/lz4, file/zstd, stream/none, stream/zstd, several
+    record batches each) and decoded by operators/arrow_ipc — a
+    minimal FLATBUFFER reader (vtables, tables, vectors, unions) under
+    the Arrow columnar layout (validity bitmaps, offset buffers,
+    per-buffer LZ4-frame/zstd decompression through the in-repo
+    codecs), both the footer'd FILE layout and the message STREAM.
+    The wire label derives from the magic we parsed. Arrow IPC is the
+    interchange wire of ML data pipelines — flight streams, feather
+    spills, engine handoff; a 100 TB curation stack that cannot read
+    it re-serializes everything it touches. Full type-matrix
+    differential vs pyarrow in tests/test_arrow_ipc.py. Map-only
+    decode; grouping shuffle = shard assignment."""
+    from yark_spark.operators.multimodal import (
+        arrow_ipc_listing,
+        with_arrow_ipc_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return arrow_ipc_listing(with_arrow_ipc_shards(docs))
+
+
+_ARROW_VECTOR_ORACLE = (
+    "SELECT vec_id, "
+    "CAST(CASE WHEN vec_id % 25 = 13 THEN -1 "
+    "WHEN vec_id % 25 = 18 THEN 0 "
+    "ELSE len(embedding) END AS INTEGER) AS dim, "
+    "CAST(CASE WHEN vec_id % 25 IN (13, 18) THEN 0 "
+    "WHEN vec_id % 25 = 21 THEN "
+    "list_aggregate(list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), 'sum') "
+    "- CAST(floor(CAST(embedding[4] AS DOUBLE) * 1000000) AS BIGINT) "
+    "ELSE list_aggregate(list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), 'sum') "
+    "END AS BIGINT) AS csum, "
+    "CAST(CASE WHEN vec_id % 25 = 13 THEN -1 ELSE label END AS INTEGER) "
+    "AS label FROM embeddings"
+)
+
+
+@query("q_arrow_ipc_vector_scan", oracle=_ARROW_VECTOR_ORACLE)
+def q_arrow_ipc_vector_scan(spark, sf_dir):
+    """E158' Arrow IPC list columns (round 14, session 3): the
+    embeddings corpus through pyarrow ``list<float32>`` IPC files with
+    zstd buffer compression and the deterministic null grammar the
+    ORC/parquet vector keys use (null row / EMPTY list / null element
+    at [3], vec_id%25-selected) — every wire state lands in a distinct
+    oracle value via dim + integer-exact Σ floor(x·10⁶). The list path
+    is the one embeddings ride between engines: offsets buffer +
+    child validity, assembled by the from-scratch reader. Map-only."""
+    from yark_spark.operators.multimodal import arrow_ipc_vector_listing
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return arrow_ipc_vector_listing(emb)
+
+
 _ICEBERG_WRITE_ORACLE = (
     "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
     "CAST(3 AS INTEGER) AS n_snapshots, "
