@@ -134,3 +134,54 @@ def test_dictionary_typed_boundary():
 def test_bad_magic_typed_error():
     with pytest.raises(ValueError, match="magic"):
         arrow_file_read(b"ARROW9" + b"\x00" * 64 + b"ARROW9")
+
+
+# --- writer lanes (session 3 second pass) ---------------------------------
+
+from yark_spark.operators.arrow_ipc import (  # noqa: E402
+    arrow_file_write,
+    arrow_stream_write,
+)
+
+_WRITE_COLS = {
+    "a": [1, 2, None, 4, 5],
+    "s": ["x", "yy", None, "zzz", "w" * 40],
+    "f": [0.5, None, 2.5, 3.5, 4.5],
+    "b": [True, False, None, True, False],
+    "vec": [[1.0, 2.0], [3.0], None, [], [5.0, 6.0, 7.0]],
+    "bin": [b"ab", None, b"cdef", b"", b"xyz"],
+}
+
+
+@pytest.mark.parametrize("compression", [None, "lz4", "zstd"])
+@pytest.mark.parametrize("layout", ["file", "stream"])
+def test_pyarrow_reads_our_wire(compression, layout):
+    writer = arrow_file_write if layout == "file" else arrow_stream_write
+    blob = writer(_WRITE_COLS, compression=compression, batch_rows=2)
+    opener = ipc.open_file if layout == "file" else ipc.open_stream
+    t = opener(io.BytesIO(blob)).read_all()
+    for k, v in _WRITE_COLS.items():
+        got = t.column(k).to_pylist()
+        if k == "vec":
+            got = [list(x) if x is not None else None for x in got]
+        assert got == v, k
+
+
+@pytest.mark.parametrize("compression", [None, "zstd"])
+def test_self_roundtrip_written(compression):
+    blob = arrow_file_write(_WRITE_COLS, compression=compression, batch_rows=3)
+    got = arrow_file_read(blob)
+    for k, v in _WRITE_COLS.items():
+        assert got[k] == v, k
+    blob = arrow_stream_write(_WRITE_COLS, compression=compression)
+    got = arrow_stream_read(blob)
+    for k, v in _WRITE_COLS.items():
+        assert got[k] == v, k
+
+
+def test_write_empty_and_errors():
+    blob = arrow_file_write({"a": []})
+    assert ipc.open_file(io.BytesIO(blob)).read_all().num_rows == 0
+    assert arrow_file_read(blob) == {"a": []}
+    with pytest.raises(NotImplementedError):
+        arrow_file_write({"x": [object()]})

@@ -1,4 +1,4 @@
-"""Arrow IPC (Feather V2) reader from scratch — round 14, session 3.
+"""Arrow IPC (Feather V2) from scratch, BOTH directions — round 14, s3.
 
 Arrow IPC is the interchange wire of the ML-data world: flight
 streams, feather files, dataframe spills, inter-engine handoff. The
@@ -30,6 +30,11 @@ writes the fixtures (tests/test_arrow_ipc.py — types × nulls ×
 compressions × chunking), and the q_arrow_ipc_* keys hash-match
 DuckDB oracles over the same documents/embeddings tables.
 
+The WRITER half (second pass) serializes the same wire back — a
+hand-built flatbuffer builder plus the columnar body — and REAL
+pyarrow reads our files and streams value-for-value
+(q_arrow_ipc_write_roundtrip pins it through the oracle).
+
 Typed boundaries: dictionary-encoded columns, unions, run-end
 encoding, and big-endian files raise ``NotImplementedError``.
 
@@ -42,7 +47,13 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["arrow_file_read", "arrow_stream_read", "arrow_schema"]
+__all__ = [
+    "arrow_file_read",
+    "arrow_file_write",
+    "arrow_schema",
+    "arrow_stream_read",
+    "arrow_stream_write",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -537,3 +548,370 @@ def arrow_stream_read(
         for c in want:
             out[c].extend(batch[c])
     return out
+
+# ---------------------------------------------------------------------------
+# WRITER — round 14, session 3 second pass: the loop's other half.
+# A minimal flatbuffer BUILDER (grow-downward buffer, vtables, strings,
+# vectors, structs — the public wire layout) serializing the same
+# Schema/Message/Footer tables the reader above parses, then the
+# columnar body (validity bitmaps, offset buffers, 8-byte-aligned
+# buffer layout, optional per-buffer zstd/lz4-frame compression).
+# Certificate: REAL pyarrow reads our files and streams value-for-value
+# (tests/test_arrow_ipc.py), alongside the self-roundtrip.
+# ---------------------------------------------------------------------------
+
+
+class _FBBuilder:
+    """Flatbuffers build-down builder. ``self.buf`` is a byte-level
+    MIRROR of the final buffer (final = buf[::-1]); a position is
+    ``len(buf)`` right after an item is written = the item's offset
+    from the final buffer's END to its own START. uoffsets therefore
+    serialize as (here_pos - target_pos), and alignment of final
+    addresses reduces to aligning ``len(buf)`` because finish() pads
+    the total to ``minalign``."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.minalign = 4
+
+    def prep(self, align: int, extra: int = 0) -> None:
+        if align > self.minalign:
+            self.minalign = align
+        while (len(self.buf) + extra) % align:
+            self.buf.append(0)
+
+    def push(self, fmt: str, *vals) -> int:
+        self.prep(struct.calcsize(fmt) if len(fmt) == 2 else 1)
+        self.buf.extend(struct.pack(fmt, *vals)[::-1])
+        return len(self.buf)
+
+    def push_blob(self, final_order: bytes) -> int:
+        self.buf.extend(final_order[::-1])
+        return len(self.buf)
+
+    def uoffset(self, target: int) -> int:
+        self.prep(4)
+        value = len(self.buf) + 4 - target
+        return self.push("<I", value)
+
+    def string(self, s: str) -> int:
+        raw = s.encode("utf-8")
+        # pad FIRST so the int32 length lands 4-aligned with the bytes
+        # immediately after it (the data must be adjacent)
+        self.prep(4, len(raw) + 1 + 4)
+        self.push_blob(b"\x00")
+        self.push_blob(raw)
+        return self.push("<I", len(raw))
+
+    def vector_of_offsets(self, targets: list[int]) -> int:
+        self.prep(4, 4 * len(targets) + 4)
+        for t in reversed(targets):
+            self.uoffset(t)
+        return self.push("<I", len(targets))
+
+    def vector_of_structs(
+        self, fmt: str, rows: list[tuple], align: int
+    ) -> int:
+        size = struct.calcsize(fmt)
+        self.prep(4, size * len(rows) + 4)
+        self.prep(align, size * len(rows))
+        for row in reversed(rows):
+            self.push_blob(struct.pack(fmt, *row))
+        return self.push("<I", len(rows))
+
+    def table(self, slots: list[tuple[int, str, object]]) -> int:
+        """slots = [(slot_index, kind, value)]; kind ∈ u8/bool/i16/
+        i32/i64/off; value None omits the slot (reader default)."""
+        a_start = len(self.buf)
+        positions: dict[int, int] = {}
+        for i, kind, v in slots:
+            if v is None:
+                continue
+            if kind == "off":
+                positions[i] = self.uoffset(v)
+            elif kind in ("u8", "bool"):
+                positions[i] = self.push("<B", int(v))
+            elif kind == "i16":
+                positions[i] = self.push("<h", v)
+            elif kind == "i32":
+                positions[i] = self.push("<i", v)
+            elif kind == "i64":
+                self.prep(8, 4)
+                positions[i] = self.push("<q", v)
+            else:
+                raise ValueError(f"flatbuffer slot kind {kind!r}")
+        self.prep(4)
+        table_pos = self.push("<i", 0)  # soffset placeholder
+        max_slot = max(positions, default=-1)
+        vt_size = 4 + 2 * (max_slot + 1)
+        vt = struct.pack("<HH", vt_size, table_pos - a_start)
+        for s in range(max_slot + 1):
+            p = positions.get(s)
+            vt += struct.pack("<H", table_pos - p if p else 0)
+        self.prep(2)
+        vt_pos = self.push_blob(vt)
+        # soffset = table_addr - vtable_addr = vt_pos - table_pos
+        packed = struct.pack("<i", vt_pos - table_pos)[::-1]
+        self.buf[table_pos - 4 : table_pos] = packed
+        return table_pos
+
+    def finish(self, root: int) -> bytes:
+        self.prep(self.minalign, 4)
+        self.uoffset(root)
+        return bytes(self.buf[::-1])
+
+
+def _type_fb(b: _FBBuilder, f: dict) -> tuple[int, int]:
+    """(union tag, type-table offset) for a writer field spec."""
+    t = f["type"]
+    if t == "int":
+        return _T_INT, b.table(
+            [(0, "i32", f["bits"]), (1, "bool", 1 if f["signed"] else None)]
+        )
+    if t == "float":
+        return _T_FLOAT, b.table([(0, "i16", f["precision"])])
+    if t == "utf8":
+        return _T_UTF8, b.table([])
+    if t == "binary":
+        return _T_BINARY, b.table([])
+    if t == "bool":
+        return _T_BOOL, b.table([])
+    if t == "list":
+        return _T_LIST, b.table([])
+    raise NotImplementedError(f"arrow-ipc write: type {t}")
+
+
+def _field_fb(b: _FBBuilder, f: dict) -> int:
+    children = [_field_fb(b, c) for c in f.get("children", [])]
+    kids = b.vector_of_offsets(children)
+    tag, ttab = _type_fb(b, f)
+    name = b.string(f["name"])
+    return b.table(
+        [
+            (0, "off", name),
+            (1, "bool", 1),  # nullable
+            (2, "u8", tag),
+            (3, "off", ttab),
+            (5, "off", kids),
+        ]
+    )
+
+
+def _message(header_tag: int, header_off: int, b: _FBBuilder, body_len: int) -> bytes:
+    msg = b.table(
+        [
+            (0, "i16", 4),  # MetadataVersion V5
+            (1, "u8", header_tag),
+            (2, "off", header_off),
+            (3, "i64", body_len if body_len else None),
+        ]
+    )
+    meta = b.finish(msg)
+    pad = (-(len(meta) + 8)) % 8  # body must start 8-aligned
+    meta += b"\x00" * pad
+    return b"\xff\xff\xff\xff" + struct.pack("<i", len(meta)) + meta
+
+
+def _schema_fb(b: _FBBuilder, fields: list[dict]) -> int:
+    offs = [_field_fb(b, f) for f in fields]
+    vec = b.vector_of_offsets(offs)
+    return b.table([(1, "off", vec)])
+
+
+_WRITE_INT_FMT = {64: "<q", 32: "<i", 16: "<h", 8: "<b"}
+
+
+def _infer_field(name: str, values: list) -> dict:
+    probe = next((v for v in values if v is not None), None)
+    if isinstance(probe, bool):
+        return {"name": name, "type": "bool"}
+    if isinstance(probe, int) or probe is None:
+        return {"name": name, "type": "int", "bits": 64, "signed": True}
+    if isinstance(probe, float):
+        return {"name": name, "type": "float", "precision": 2}
+    if isinstance(probe, str):
+        return {"name": name, "type": "utf8"}
+    if isinstance(probe, (bytes, bytearray)):
+        return {"name": name, "type": "binary"}
+    if isinstance(probe, (list, tuple)):
+        return {
+            "name": name,
+            "type": "list",
+            "children": [
+                {"name": "item", "type": "float", "precision": 1}
+            ],
+        }
+    raise NotImplementedError(f"arrow-ipc write: cannot infer {name!r}")
+
+
+def _validity(values: list) -> tuple[bytes, int]:
+    nulls = sum(1 for v in values if v is None)
+    if nulls == 0:
+        return b"", 0
+    bits = bytearray((len(values) + 7) // 8)
+    for i, v in enumerate(values):
+        if v is not None:
+            bits[i >> 3] |= 1 << (i & 7)
+    return bytes(bits), nulls
+
+
+def _encode_column(f: dict, values: list, nodes: list, raw_buffers: list) -> None:
+    n = len(values)
+    t = f["type"]
+    validity, nulls = _validity(values)
+    nodes.append((n, nulls))
+    raw_buffers.append(validity)
+    if t == "int":
+        fmt = _WRITE_INT_FMT[f["bits"]]
+        raw_buffers.append(
+            b"".join(struct.pack(fmt, v if v is not None else 0) for v in values)
+        )
+    elif t == "float":
+        fmt = "<d" if f["precision"] == 2 else "<f"
+        raw_buffers.append(
+            b"".join(
+                struct.pack(fmt, float(v) if v is not None else 0.0)
+                for v in values
+            )
+        )
+    elif t == "bool":
+        bits = bytearray((n + 7) // 8)
+        for i, v in enumerate(values):
+            if v:
+                bits[i >> 3] |= 1 << (i & 7)
+        raw_buffers.append(bytes(bits))
+    elif t in ("utf8", "binary"):
+        blobs = [
+            (v.encode("utf-8") if isinstance(v, str) else bytes(v))
+            if v is not None
+            else b""
+            for v in values
+        ]
+        offs = [0]
+        for blob in blobs:
+            offs.append(offs[-1] + len(blob))
+        raw_buffers.append(b"".join(struct.pack("<i", o) for o in offs))
+        raw_buffers.append(b"".join(blobs))
+    elif t == "list":
+        offs = [0]
+        flat = []
+        for v in values:
+            if v is not None:
+                flat.extend(v)
+            offs.append(len(flat))
+        raw_buffers.append(b"".join(struct.pack("<i", o) for o in offs))
+        _encode_column(f["children"][0], flat, nodes, raw_buffers)
+    else:
+        raise NotImplementedError(f"arrow-ipc write: encode {t}")
+
+
+def _batch_message(
+    fields: list[dict], columns: dict[str, list], compression: str | None
+) -> bytes:
+    n = len(columns[fields[0]["name"]]) if fields else 0
+    nodes: list[tuple[int, int]] = []
+    raw_buffers: list[bytes] = []
+    for f in fields:
+        _encode_column(f, columns[f["name"]], nodes, raw_buffers)
+    codec_id = {None: None, "lz4": 0, "zstd": 1}[compression]
+    body = bytearray()
+    bufmeta: list[tuple[int, int]] = []
+    bind_codecs()
+    for raw in raw_buffers:
+        if codec_id is None:
+            payload = raw
+        elif not raw:
+            payload = b""
+        elif codec_id == 0:
+            payload = struct.pack("<q", len(raw)) + _LZ4.lz4_frame_compress(raw)
+        else:
+            payload = struct.pack("<q", len(raw)) + _ZSTD.zstd_compress(
+                raw, method="compressed"
+            )
+        bufmeta.append((len(body), len(payload)))
+        body.extend(payload)
+        body.extend(b"\x00" * ((-len(body)) % 8))
+    b = _FBBuilder()
+    comp_off = None
+    if codec_id is not None:
+        comp_off = b.table([(0, "u8", codec_id if codec_id else None)])
+    nodes_vec = b.vector_of_structs("<qq", nodes, 8)
+    bufs_vec = b.vector_of_structs("<qq", bufmeta, 8)
+    header = b.table(
+        [
+            (0, "i64", n),
+            (1, "off", nodes_vec),
+            (2, "off", bufs_vec),
+            (3, "off", comp_off),
+        ]
+    )
+    return _message(_H_RECORD_BATCH, header, b, len(body)) + bytes(body)
+
+
+def _normalize_fields(
+    columns: dict[str, list], fields: list[dict] | None
+) -> list[dict]:
+    if fields is None:
+        return [_infer_field(nm, vals) for nm, vals in columns.items()]
+    return fields
+
+
+def arrow_stream_write(
+    columns: dict[str, list],
+    fields: list[dict] | None = None,
+    compression: str | None = None,
+    batch_rows: int | None = None,
+) -> bytes:
+    """Serialize ``{name: values}`` as an Arrow IPC STREAM."""
+    fields = _normalize_fields(columns, fields)
+    b = _FBBuilder()
+    schema = _schema_fb(b, fields)
+    out = bytearray(_message(_H_SCHEMA, schema, b, 0))
+    n = len(columns[fields[0]["name"]]) if fields else 0
+    step = batch_rows or max(n, 1)
+    for at in range(0, max(n, 1), step) if n else []:
+        chunk = {nm: vals[at : at + step] for nm, vals in columns.items()}
+        out += _batch_message(fields, chunk, compression)
+    out += b"\xff\xff\xff\xff\x00\x00\x00\x00"  # EOS
+    return bytes(out)
+
+
+def arrow_file_write(
+    columns: dict[str, list],
+    fields: list[dict] | None = None,
+    compression: str | None = None,
+    batch_rows: int | None = None,
+) -> bytes:
+    """Serialize ``{name: values}`` as an Arrow IPC FILE (Feather V2)."""
+    fields = _normalize_fields(columns, fields)
+    out = bytearray(b"ARROW1\x00\x00")
+    b = _FBBuilder()
+    schema_msg = _message(_H_SCHEMA, _schema_fb(b, fields), b, 0)
+    out += schema_msg
+    n = len(columns[fields[0]["name"]]) if fields else 0
+    step = batch_rows or max(n, 1)
+    blocks: list[tuple[int, int, int]] = []
+    for at in range(0, max(n, 1), step) if n else []:
+        chunk = {nm: vals[at : at + step] for nm, vals in columns.items()}
+        msg = _batch_message(fields, chunk, compression)
+        # metadata length includes the continuation + length prefix
+        meta_len = 8 + struct.unpack_from("<i", msg, 4)[0]
+        blocks.append((len(out), meta_len, len(msg) - meta_len))
+        out += msg
+    fb = _FBBuilder()
+    schema2 = _schema_fb(fb, fields)
+    blocks_vec = fb.vector_of_structs("<qi4xq", blocks, 8)
+    dict_vec = fb.vector_of_structs("<qi4xq", [], 8)
+    footer = fb.table(
+        [
+            (0, "i16", 4),
+            (1, "off", schema2),
+            (2, "off", dict_vec),
+            (3, "off", blocks_vec),
+        ]
+    )
+    foot = fb.finish(footer)
+    out += foot
+    out += struct.pack("<i", len(foot))
+    out += b"ARROW1"
+    return bytes(out)

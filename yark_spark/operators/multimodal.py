@@ -6938,6 +6938,71 @@ def arrow_ipc_listing(
     )
 
 
+def arrow_ipc_write_roundtrip_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Arrow IPC WRITER certificate (round 14 s3 second pass): each
+    16-doc shard is serialized by the FROM-SCRATCH writer
+    (operators/arrow_ipc: hand-built flatbuffer vtables, encapsulated
+    messages, 8-byte-aligned buffer layout, per-buffer lz4-frame/zstd
+    compression) cycling layout × codec, and decoded INSIDE this
+    fixture by REAL pyarrow — the trusted reader — so the oracle hash
+    pins our wire byte-semantics end to end. The reverse lane (our
+    reader over pyarrow wire) is q_arrow_ipc_scan. Map-only."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import arrow_ipc as _aipc
+
+    _register_container_modules()
+    _aipc.bind_codecs()
+    _cp.register_pickle_by_value(_aipc)
+    _fwrite = _aipc.arrow_file_write
+    _swrite = _aipc.arrow_stream_write
+
+    def _build_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import io as _io
+
+        import numpy as np
+        import pyarrow.ipc as _ipc
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        sid = ids[0] // 16
+        layout, comp = [
+            ("file", None),
+            ("file", "lz4"),
+            ("file", "zstd"),
+            ("stream", None),
+            ("stream", "zstd"),
+        ][sid % 5]
+        writer = _fwrite if layout == "file" else _swrite
+        blob = writer(
+            {"doc_id": ids, "text": texts}, compression=comp, batch_rows=7
+        )
+        opener = _ipc.open_file if layout == "file" else _ipc.open_stream
+        t = opener(_io.BytesIO(blob)).read_all()
+        out_ids = t.column("doc_id").to_pylist()
+        out_texts = t.column("text").to_pylist()
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_ids, dtype="int64"),
+                "wire": [layout] * len(out_ids),
+                "n_chars": np.array([len(x) for x in out_texts], dtype="int32"),
+                "digest": [
+                    _h.md5(x.encode("utf-8")).hexdigest() for x in out_texts
+                ],
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 16).cast("long").alias("__s"))
+        .applyInPandas(_build_and_scan, ARROW_IPC_SCHEMA)
+    )
+
+
 ARROW_VECTOR_SCHEMA = StructType(
     [
         StructField("vec_id", LongType()),

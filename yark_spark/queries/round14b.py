@@ -123,6 +123,27 @@ def q_arrow_ipc_scan(spark, sf_dir):
     return arrow_ipc_listing(with_arrow_ipc_shards(docs))
 
 
+@query("q_arrow_ipc_write_roundtrip", oracle=_ARROW_IPC_ORACLE)
+def q_arrow_ipc_write_roundtrip(spark, sf_dir):
+    """E158'' Arrow IPC WRITER from scratch (round 14, session 3
+    second pass): the read path's other half — hand-built flatbuffer
+    vtables (a grow-downward builder with the official position
+    conventions), Schema/RecordBatch/Footer tables, validity bitmaps,
+    offset buffers, 8-byte-aligned bodies, per-buffer lz4-frame/zstd
+    compression, BOTH the footer'd file layout and the message
+    stream. The certificate is the strongest available: REAL pyarrow
+    decodes our wire inside the fixture, and the oracle hash pins the
+    values — 'writes what others read' on the interchange format, the
+    same discipline as the parquet (E133) and ORC (E134') writers.
+    Map-only; grouping shuffle = shard assignment."""
+    from yark_spark.operators.multimodal import (
+        arrow_ipc_write_roundtrip_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return arrow_ipc_write_roundtrip_features(docs)
+
+
 _ARROW_VECTOR_ORACLE = (
     "SELECT vec_id, "
     "CAST(CASE WHEN vec_id % 25 = 13 THEN -1 "
