@@ -5525,7 +5525,8 @@ def _register_zip_modules():
 
     from yark_spark.operators import zip_archive as _zipmod
 
-    _register_container_modules()  # registers png (DEFLATE)
+    _register_container_modules()  # registers png (DEFLATE) + xz/bz2/zstd
+    _zipmod.bind_methods()  # bzip2/lzma/zstd member codecs (round 14 s3)
     _cp.register_pickle_by_value(_zipmod)
     return _zipmod
 
@@ -5535,12 +5536,16 @@ def with_zip_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     docs_per_shard: int = 16,
+    method_cycle: str = "pair",
 ) -> DataFrame:
     """Pack documents into ``.zip`` shards (round 12): each doc one
     ``{doc_id}.txt`` member, with the compression method CYCLED stored
     (even doc_ids) / deflate (odd) so one fixture pins both member
     wires AND the central-directory bookkeeping for mixed-method
-    archives — the Kaggle/benchmark-release drop shape. One
+    archives — the Kaggle/benchmark-release drop shape.
+    ``method_cycle='full'`` (round 14 s3) widens to doc_id % 5 over
+    stored/deflate/bzip2/lzma/zstd — the three extended methods
+    (APPNOTE 12/14 + PKWARE 93) through the in-repo codecs. One
     applyInPandas per shard group — the grouping shuffle IS the shard
     assignment."""
     _zipmod = _register_zip_modules()
@@ -5551,7 +5556,10 @@ def with_zip_shards(
         members, methods = [], []
         for did, t in zip(pdf[id_col], pdf[text_col]):
             members.append((f"{int(did)}.txt", t.encode("utf-8")))
-            methods.append(0 if int(did) % 2 == 0 else 8)
+            if method_cycle == "full":
+                methods.append([0, 8, 12, 14, 93][int(did) % 5])
+            else:
+                methods.append(0 if int(did) % 2 == 0 else 8)
         sid = int(pdf[id_col].iloc[0]) // docs_per_shard
         return pd.DataFrame(
             {"shard_id": [sid], "payload": [_build_zip(members, methods=methods)]}
@@ -5603,7 +5611,10 @@ def zip_listing(
                     # (README, checksums) instead of failing the shard
                     dids.append(_member_id(name))
                     sids.append(int(sid))
-                    methods.append("stored" if method == 0 else "deflate")
+                    methods.append(
+                        {0: "stored", 8: "deflate", 12: "bzip2",
+                         14: "lzma", 93: "zstd"}.get(method, str(method))
+                    )
                     ns.append(len(data.decode("utf-8")))
                     digs.append(_hashlib.md5(data).hexdigest())
             yield pd.DataFrame(

@@ -59,6 +59,8 @@ from yark_spark.operators.png import crc32
 
 __all__ = [
     "crc64",
+    "lzma1_compress",
+    "lzma1_decompress",
     "lzma2_compress",
     "lzma2_decompress",
     "xz_compress",
@@ -276,10 +278,14 @@ class _LzmaDecoder:
         self.reps = [0, 0, 0, 0]
 
     def decode_chunk(
-        self, data: bytes, pos: int, packed: int, unpacked: int, max_output: int
+        self, data: bytes, pos: int, packed: int, unpacked: int,
+        max_output: int, eos_ok: bool = False,
     ) -> None:
         """Decode exactly ``unpacked`` bytes from the ``packed``-byte
-        range-coded stream at ``data[pos:]``."""
+        range-coded stream at ``data[pos:]``. ``eos_ok`` accepts a raw
+        LZMA1 stream (the ZIP method-14 / lzma_alone shape): an end
+        marker may terminate early, and trailing flush bytes after the
+        target are tolerated."""
         p = self.probs
         if p is None:
             raise ValueError("lzma2: chunk before props")
@@ -368,6 +374,8 @@ class _LzmaDecoder:
                         dist += rc.direct_bits(ndirect - _ALIGN_BITS) << _ALIGN_BITS
                         dist += rc.bittree_reverse(p.align, 0, _ALIGN_BITS)
                 if dist == 0xFFFFFFFF:
+                    if eos_ok:
+                        return
                     raise ValueError("lzma2: end marker inside sized chunk")
                 self.reps[3] = self.reps[2]
                 self.reps[2] = self.reps[1]
@@ -382,7 +390,7 @@ class _LzmaDecoder:
             src = len(out) - self.reps[0] - 1
             for k in range(length):
                 out.append(out[src + k])
-        if rc.pos != end_pos:
+        if rc.pos != end_pos and not eos_ok:
             raise ValueError("lzma: packed size mismatch")
 
 
@@ -1091,3 +1099,36 @@ def xz_decompress(data: bytes, max_output: int = 1 << 26) -> bytes:
             raise ValueError("xz: bad footer magic")
         pos += 12
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# raw LZMA1 (round 14, session 3): the ZIP method-14 / lzma_alone body
+# shape — one continuous range-coded stream, optional end marker,
+# decoded against liblzma wire in tests/test_zip_methods.py
+# ---------------------------------------------------------------------------
+
+
+def lzma1_decompress(
+    data: bytes,
+    props_byte: int,
+    out_size: int,
+    max_output: int = 1 << 26,
+) -> bytes:
+    """Decode a raw LZMA1 stream of exactly ``out_size`` bytes (an end
+    marker before or after the target is tolerated — both real-writer
+    shapes exist on ZIP wire)."""
+    if out_size > max_output:
+        raise ValueError("lzma1: declared size exceeds bomb guard")
+    dec = _LzmaDecoder()
+    dec.reset_state(props_byte)
+    dec.decode_chunk(data, 0, len(data), out_size, max_output, eos_ok=True)
+    if len(dec.out) != out_size:
+        raise ValueError("lzma1: stream ended short of declared size")
+    return bytes(dec.out)
+
+
+def lzma1_compress(data: bytes, lc: int = 3, lp: int = 0, pb: int = 2) -> bytes:
+    """Encode ``data`` as one raw LZMA1 range-coded stream (no end
+    marker — readers know the size from the container, as ZIP does)."""
+    enc = _LzmaEncoder(lc, lp, pb)
+    return enc.encode_chunk(bytes(data))

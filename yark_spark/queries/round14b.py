@@ -178,6 +178,35 @@ def q_arrow_ipc_vector_scan(spark, sf_dir):
     return arrow_ipc_vector_listing(emb)
 
 
+_ZIP_METHODS_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
+    "CASE doc_id % 5 WHEN 0 THEN 'stored' WHEN 1 THEN 'deflate' "
+    "WHEN 2 THEN 'bzip2' WHEN 3 THEN 'lzma' ELSE 'zstd' END AS method, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480"
+)
+
+
+@query("q_zip_methods_scan", oracle=_ZIP_METHODS_ORACLE)
+def q_zip_methods_scan(spark, sf_dir):
+    """E159 extended ZIP member methods (round 14, session 3): the
+    q_zip_scan wire widened to a 5-way method cycle adding BZIP2
+    (APPNOTE 12), LZMA (APPNOTE 14 — version header + raw LZMA1
+    stream through the from-scratch range coder) and zstd (PKWARE 93)
+    through the in-repo codecs. stdlib zipfile (real libbz2/liblzma)
+    reads our bzip2/lzma members and we read its, both pinned in
+    tests/test_zip_methods.py; the raw-LZMA1 entry points are
+    liblzma-differentialed both directions. The method label derives
+    from the parsed central directory, so the oracle hash proves each
+    method was really present and really reversed. Kaggle/benchmark
+    ZIP drops use these methods in the wild. Map-only decode;
+    grouping shuffle = shard assignment."""
+    from yark_spark.operators.multimodal import with_zip_shards, zip_listing
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return zip_listing(with_zip_shards(docs, method_cycle="full"))
+
+
 _ICEBERG_WRITE_ORACLE = (
     "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
     "CAST(3 AS INTEGER) AS n_snapshots, "
