@@ -122,15 +122,17 @@ def test_deep_typed_boundaries():
     tampered[4 + 3] ^= 0x02  # a bit inside big_values
     with pytest.raises(NotImplementedError, match="Huffman"):
         mp3_parse_deep(bytes(tampered))
-    # stereo header
+    # a mono stream relabelled stereo misparses loudly (the 32-byte
+    # side-info layout doesn't fit mono bytes), never silently
     tampered = bytearray(blob)
     tampered[3] = 0x00  # mode 00 = stereo
-    with pytest.raises(NotImplementedError, match="stereo"):
+    with pytest.raises((ValueError, NotImplementedError)):
         mp3_parse_deep(bytes(tampered))
-    # scfsi reuse
+    # scfsi bit flipped on a stream whose granule 1 did NOT shorten its
+    # scalefactor run: the reduced-read expectation breaks part2
     tampered = bytearray(blob)
     tampered[4 + 1] ^= 0x01  # lowest bit of scfsi nibble
-    with pytest.raises(NotImplementedError, match="scfsi"):
+    with pytest.raises(ValueError, match="part2|scfsi|short"):
         mp3_parse_deep(bytes(tampered))
     # main_data_begin reaching before the stream start: force frame 0
     tampered = bytearray(blob)
@@ -152,3 +154,45 @@ def test_deep_part23_mismatch_is_typed():
     tampered[si0 + bit // 8] ^= 1 << (7 - bit % 8)
     with pytest.raises(ValueError, match="part2_3_length"):
         mp3_parse_deep(bytes(tampered))
+
+
+def test_stereo_scfsi_reuse_roundtrip():
+    """Stereo layout + scfsi: reused granule-1 bands carry granule 0's
+    VALUES (at granule-0 slen widths) and part2_3_length shrinks by
+    exactly the skipped bits — verified against the fixture arithmetic
+    across code combinations."""
+    import itertools
+
+    from yark_spark.operators.mp3 import (
+        _SCFSI_BANDS,
+        _stereo_granule_fields,
+        mp3_build_deep,
+        mp3_parse_deep,
+    )
+
+    total_reused = 0
+    for a, b, c, d in itertools.product([97, 102], [98, 48], [99], [100, 52]):
+        rows = mp3_parse_deep(mp3_build_deep(a, b, c, d, stereo=True))
+        n_frames = 6 + a % 6
+        assert len(rows) == n_frames * 2 * 2
+        for r in rows:
+            i, g, ch = r["frame"], r["granule"], r["channel"]
+            f = _stereo_granule_fields(a, b, c, d, i, g, ch)
+            assert r["global_gain"] == f["global_gain"]
+            assert (r["block_type"] == 2) == f["short"]
+            total_reused += r["n_reused"]
+            if f["short"]:
+                continue
+            f0 = _stereo_granule_fields(a, b, c, d, i, 0, ch)
+            sv = r["scfsi"]
+            for j, got in enumerate(r["scalefacs"]):
+                band = next(
+                    k for k, (lo, hi) in enumerate(_SCFSI_BANDS) if lo <= j < hi
+                )
+                if g == 1 and sv and (sv >> (3 - band)) & 1:
+                    slen = f0["slen1"] if j < 11 else f0["slen2"]
+                    assert got == f0["sf_value"](j, slen), (i, g, ch, j)
+                else:
+                    slen = f["slen1"] if j < 11 else f["slen2"]
+                    assert got == f["sf_value"](j, slen), (i, g, ch, j)
+    assert total_reused > 0  # the fixture really exercises reuse

@@ -41,14 +41,16 @@ def _frame_size(bitrate_kbps: int, rate_hz: int, padding: int) -> int:
     return (144 * bitrate_kbps * 1000) // rate_hz + padding
 
 
-def _header(bitrate_index: int, rate_index: int, padding: int = 0) -> bytes:
+def _header(
+    bitrate_index: int, rate_index: int, padding: int = 0, mode: int = 3
+) -> bytes:
     # sync(11)=all ones | version(2)=11 (MPEG1) | layer(2)=01 (III) |
     # protection(1)=1 (none) ; then bitrate(4) rate(2) padding(1)
-    # private(1) ; then mode(2)=11 mono + zeros
+    # private(1) ; then mode(2) (11 mono / 00 stereo) + zeros
     b0 = 0xFF
     b1 = 0xFB  # 1111 1 011: sync tail, MPEG1, Layer III, no CRC
     b2 = (bitrate_index << 4) | (rate_index << 2) | (padding << 1)
-    b3 = 0xC0  # mono
+    b3 = mode << 6
     return bytes((b0, b1, b2, b3))
 
 
@@ -258,17 +260,44 @@ def _granule_fields(a: int, b: int, c: int, d: int, i: int, g: int) -> dict:
     }
 
 
-def mp3_build_deep(a: int, b: int, c: int, d: int) -> bytes:
+# scfsi bands (ISO 11172-3 2.4.2.7): scalefactor index ranges whose
+# granule-1 values may REUSE granule 0's when the scfsi bit is set
+_SCFSI_BANDS = ((0, 6), (6, 11), (11, 16), (16, 21))
+
+
+def _stereo_granule_fields(a, b, c, d, i, g, ch) -> dict:
+    """Per-(granule, channel) fields for the stereo fixture — the mono
+    arithmetic with the channel mixed in (SQL re-derivable)."""
+    f = _granule_fields(a + 5 * ch, b + 11 * ch, c + 2 * ch, d + 5 * ch, i, g)
+    return f
+
+
+def _scfsi_value(a, b, i, ch, short0, short1) -> int:
+    """Per-channel scfsi nibble: nonzero only when BOTH granules are
+    long (the spec forbids reuse into/out of short blocks)."""
+    if short0 or short1:
+        return 0
+    return (a + b + i + 3 * ch) % 16
+
+
+def mp3_build_deep(
+    a: int, b: int, c: int, d: int, stereo: bool = False
+) -> bytes:
     """Layer III stream whose SIDE INFO, SCALEFACTORS and BIT
-    RESERVOIR are all real: mono MPEG-1 at 32 kHz / 96 kbps, frame
-    and granule fields pure arithmetic over the four md5 codes, and
+    RESERVOIR are all real: MPEG-1 at 32 kHz / 96 kbps, frame and
+    granule fields pure arithmetic over the four md5 codes, and
     main_data_begin = (a + 7·i) % 120 for i ≥ 1 so nearly every frame
     reads its data back out of earlier frames' areas (ancillary
-    stuffing fills the gaps, exactly how real encoders pad)."""
+    stuffing fills the gaps, exactly how real encoders pad).
+    ``stereo=True`` (round 14 s3) emits the 2-channel layout — 32-byte
+    side info, 3 private bits, per-channel scfsi nibbles with REAL
+    granule-1 scalefactor reuse wherever both granules are long."""
     n_frames = 6 + a % 6
     rate_index, bitrate_index = 2, 6  # 32 kHz, 96 kbps -> 432-byte frames
     size = _frame_size(V1L3_BITRATES[bitrate_index], _RATES[rate_index], 0)
-    cap = size - 4 - 17  # main-data area per frame (mono side info = 17)
+    nch = 2 if stereo else 1
+    si_len = 32 if stereo else 17
+    cap = size - 4 - si_len  # main-data area per frame
 
     sideinfos = []
     main_bits = []
@@ -278,43 +307,71 @@ def mp3_build_deep(a: int, b: int, c: int, d: int) -> bytes:
         mdbs.append(mdb)
         w = _BitWriter()
         w.write(mdb, 9)
-        w.write(0, 5)  # private_bits (mono)
-        w.write(0, 4)  # scfsi: fixture granules differ, no reuse
+        w.write(0, 3 if stereo else 5)  # private_bits
+        scfsis = []
+        for ch in range(nch):
+            if stereo:
+                f0 = _stereo_granule_fields(a, b, c, d, i, 0, ch)
+                f1 = _stereo_granule_fields(a, b, c, d, i, 1, ch)
+                sv = _scfsi_value(a, b, i, ch, f0["short"], f1["short"])
+            else:
+                sv = 0  # mono fixture granules differ, no reuse
+            scfsis.append(sv)
+            w.write(sv, 4)
         md = _BitWriter()
         for g in range(2):
-            f = _granule_fields(a, b, c, d, i, g)
-            w.write(f["part2"], 12)  # part2_3_length == scalefac bits
-            w.write(0, 9)  # big_values = 0: silent spectrum
-            w.write(f["global_gain"], 8)
-            w.write(f["scalefac_compress"], 4)
-            if f["short"]:
-                w.write(1, 1)  # window_switching_flag
-                w.write(2, 2)  # block_type: short
-                w.write(0, 1)  # mixed_block_flag
-                for t in f["table_select"][:2]:
-                    w.write(t, 5)
-                for sg in f["subblock_gain"]:
-                    w.write(sg, 3)
-            else:
-                w.write(0, 1)
-                for t in f["table_select"]:
-                    w.write(t, 5)
-                w.write((a + i) % 16, 4)  # region0_count
-                w.write((b + i) % 8, 3)  # region1_count
-            w.write(f["preflag"], 1)
-            w.write(f["scalefac_scale"], 1)
-            w.write((c + i + g) % 2, 1)  # count1table_select
-            # the granule's main data: its scalefactors, nothing else
-            if f["short"]:
-                for j in range(18):
-                    md.write(f["sf_value"](j, f["slen1"]), f["slen1"])
-                for j in range(18, 36):
-                    md.write(f["sf_value"](j, f["slen2"]), f["slen2"])
-            else:
-                for j in range(11):
-                    md.write(f["sf_value"](j, f["slen1"]), f["slen1"])
-                for j in range(11, 21):
-                    md.write(f["sf_value"](j, f["slen2"]), f["slen2"])
+            for ch in range(nch):
+                if stereo:
+                    f = _stereo_granule_fields(a, b, c, d, i, g, ch)
+                else:
+                    f = _granule_fields(a, b, c, d, i, g)
+                # which scalefactor indices does this granule transmit?
+                if g == 1 and scfsis[ch] and not f["short"]:
+                    skip = set()
+                    for band, (lo, hi) in enumerate(_SCFSI_BANDS):
+                        if (scfsis[ch] >> (3 - band)) & 1:
+                            skip.update(range(lo, hi))
+                else:
+                    skip = set()
+                if f["short"]:
+                    idxs = list(range(36))
+                    part2 = 18 * f["slen1"] + 18 * f["slen2"]
+                else:
+                    idxs = [j for j in range(21) if j not in skip]
+                    part2 = sum(
+                        f["slen1"] if j < 11 else f["slen2"] for j in idxs
+                    )
+                w.write(part2, 12)  # part2_3_length == transmitted bits
+                w.write(0, 9)  # big_values = 0: silent spectrum
+                w.write(f["global_gain"], 8)
+                w.write(f["scalefac_compress"], 4)
+                if f["short"]:
+                    w.write(1, 1)  # window_switching_flag
+                    w.write(2, 2)  # block_type: short
+                    w.write(0, 1)  # mixed_block_flag
+                    for t in f["table_select"][:2]:
+                        w.write(t, 5)
+                    for sg in f["subblock_gain"]:
+                        w.write(sg, 3)
+                else:
+                    w.write(0, 1)
+                    for t in f["table_select"]:
+                        w.write(t, 5)
+                    w.write((a + i) % 16, 4)  # region0_count
+                    w.write((b + i) % 8, 3)  # region1_count
+                w.write(f["preflag"], 1)
+                w.write(f["scalefac_scale"], 1)
+                w.write((c + i + g) % 2, 1)  # count1table_select
+                # the granule's main data: its transmitted scalefactors
+                if f["short"]:
+                    for j in range(18):
+                        md.write(f["sf_value"](j, f["slen1"]), f["slen1"])
+                    for j in range(18, 36):
+                        md.write(f["sf_value"](j, f["slen2"]), f["slen2"])
+                else:
+                    for j in idxs:
+                        slen = f["slen1"] if j < 11 else f["slen2"]
+                        md.write(f["sf_value"](j, slen), slen)
         md.pad_to_byte()
         sideinfos.append(w.bytes())
         main_bits.append(md.bytes())
@@ -336,7 +393,7 @@ def mp3_build_deep(a: int, b: int, c: int, d: int) -> bytes:
 
     out = bytearray()
     for i in range(n_frames):
-        out += _header(bitrate_index, rate_index, 0)
+        out += _header(bitrate_index, rate_index, 0, mode=0 if stereo else 3)
         out += sideinfos[i]
         out += areas[i * cap : (i + 1) * cap]
     return bytes(out)
@@ -363,8 +420,7 @@ def mp3_parse_deep(payload: bytes, max_frames: int = 100_000) -> list[dict]:
             raise ValueError(f"mp3: lost frame sync at byte {pos}")
         if (h1 & 0x18) != 0x18 or (h1 & 0x06) != 0x02:
             raise ValueError("mp3: only MPEG-1 Layer III parses here")
-        if (h3 >> 6) != 3:
-            raise NotImplementedError("mp3: stereo side info not implemented")
+        nch = 1 if (h3 >> 6) == 3 else 2
         bitrate_index, rate_index = h2 >> 4, (h2 >> 2) & 3
         if bitrate_index in (0, 15) or rate_index == 3:
             raise ValueError("mp3: invalid bitrate/rate index")
@@ -373,73 +429,105 @@ def mp3_parse_deep(payload: bytes, max_frames: int = 100_000) -> list[dict]:
         )
         if pos + size > len(b):
             raise ValueError("mp3: truncated frame")
-        si = _BitReader(b[pos + 4 : pos + 21])
+        si_len = 17 if nch == 1 else 32
+        si = _BitReader(b[pos + 4 : pos + 4 + si_len])
         mdb = si.read(9)
-        si.read(5)  # private
-        scfsi = si.read(4)
-        if scfsi:
-            raise NotImplementedError("mp3: scfsi scalefactor reuse")
-        area = b[pos + 21 : pos + size]
+        si.read(5 if nch == 1 else 3)  # private_bits
+        scfsis = [si.read(4) for _ in range(nch)]
+        area = b[pos + 4 + si_len : pos + size]
         data_start = len(reservoir) - mdb
         if data_start < 0:
             raise ValueError("mp3: main_data_begin reaches before stream start")
         reservoir += area
         rd = _BitReader(bytes(reservoir))
         rd.pos = data_start * 8
+        g0_sfs: list[list[int] | None] = [None] * nch
+        g0_short: list[bool] = [False] * nch
         for g in range(2):
-            part23 = si.read(12)
-            big_values = si.read(9)
-            if big_values:
-                raise NotImplementedError(
-                    "mp3: spectral Huffman decode (Table B.7) not implemented"
-                )
-            gg = si.read(8)
-            sc = si.read(4)
-            slen1, slen2 = SLEN[sc]
-            wsf = si.read(1)
-            block_type, sub_gains, tables = 0, (0, 0, 0), ()
-            if wsf:
-                block_type = si.read(2)
-                mixed = si.read(1)
-                if block_type != 2 or mixed:
+            for ch in range(nch):
+                part23 = si.read(12)
+                big_values = si.read(9)
+                if big_values:
                     raise NotImplementedError(
-                        "mp3: only normal/short block shapes parse here"
+                        "mp3: spectral Huffman decode (Table B.7) not implemented"
                     )
-                tables = (si.read(5), si.read(5))
-                sub_gains = (si.read(3), si.read(3), si.read(3))
-            else:
-                tables = (si.read(5), si.read(5), si.read(5))
-                si.read(4)  # region0_count
-                si.read(3)  # region1_count
-            preflag = si.read(1)
-            sf_scale = si.read(1)
-            si.read(1)  # count1table_select
-            at = rd.pos
-            if wsf:
-                sfs = [rd.read(slen1) for _ in range(18)]
-                sfs += [rd.read(slen2) for _ in range(18)]
-            else:
-                sfs = [rd.read(slen1) for _ in range(11)]
-                sfs += [rd.read(slen2) for _ in range(10)]
-            if rd.pos - at != part23:
-                raise ValueError(
-                    "mp3: part2_3_length does not match scalefactor bits"
+                gg = si.read(8)
+                sc = si.read(4)
+                slen1, slen2 = SLEN[sc]
+                wsf = si.read(1)
+                block_type, sub_gains, tables = 0, (0, 0, 0), ()
+                if wsf:
+                    block_type = si.read(2)
+                    mixed = si.read(1)
+                    if block_type != 2 or mixed:
+                        raise NotImplementedError(
+                            "mp3: only normal/short block shapes parse here"
+                        )
+                    tables = (si.read(5), si.read(5))
+                    sub_gains = (si.read(3), si.read(3), si.read(3))
+                else:
+                    tables = (si.read(5), si.read(5), si.read(5))
+                    si.read(4)  # region0_count
+                    si.read(3)  # region1_count
+                preflag = si.read(1)
+                sf_scale = si.read(1)
+                si.read(1)  # count1table_select
+                at = rd.pos
+                reused = 0
+                if wsf:
+                    sfs = [rd.read(slen1) for _ in range(18)]
+                    sfs += [rd.read(slen2) for _ in range(18)]
+                else:
+                    # scfsi (2.4.2.7): a set band makes granule 1 COPY
+                    # granule 0's scalefactors instead of reading bits;
+                    # the spec forbids reuse when either granule of the
+                    # channel is short (scfsi must then be 0)
+                    if scfsis[ch] and g == 1:
+                        if g0_short[ch] or g0_sfs[ch] is None:
+                            raise ValueError(
+                                "mp3: scfsi set against a short granule"
+                            )
+                    sfs = []
+                    for j in range(21):
+                        band = next(
+                            k
+                            for k, (lo, hi) in enumerate(_SCFSI_BANDS)
+                            if lo <= j < hi
+                        )
+                        if (
+                            g == 1
+                            and scfsis[ch]
+                            and (scfsis[ch] >> (3 - band)) & 1
+                        ):
+                            sfs.append(g0_sfs[ch][j])
+                            reused += 1
+                        else:
+                            sfs.append(rd.read(slen1 if j < 11 else slen2))
+                if rd.pos - at != part23:
+                    raise ValueError(
+                        "mp3: part2_3_length does not match scalefactor bits"
+                    )
+                if g == 0:
+                    g0_sfs[ch] = sfs if not wsf else None
+                    g0_short[ch] = bool(wsf)
+                out.append(
+                    {
+                        "frame": frame_no,
+                        "granule": g,
+                        "channel": ch,
+                        "main_data_begin": mdb,
+                        "block_type": block_type if wsf else 0,
+                        "global_gain": gg,
+                        "scalefac_compress": sc,
+                        "preflag": preflag,
+                        "scalefac_scale": sf_scale,
+                        "table_select": tables,
+                        "subblock_gain": sub_gains,
+                        "scalefacs": sfs,
+                        "scfsi": scfsis[ch],
+                        "n_reused": reused,
+                    }
                 )
-            out.append(
-                {
-                    "frame": frame_no,
-                    "granule": g,
-                    "main_data_begin": mdb,
-                    "block_type": block_type if wsf else 0,
-                    "global_gain": gg,
-                    "scalefac_compress": sc,
-                    "preflag": preflag,
-                    "scalefac_scale": sf_scale,
-                    "table_select": tables,
-                    "subblock_gain": sub_gains,
-                    "scalefacs": sfs,
-                }
-            )
         # granule reads advance rd; main data beyond is the next
         # frame's (or ancillary) — the back-pointer finds it again
         pos += size

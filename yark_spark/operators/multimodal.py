@@ -2056,6 +2056,83 @@ MP3_DEEP_SCHEMA = StructType(
 )
 
 
+MP3_STEREO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_granules", IntegerType()),
+        StructField("n_short", IntegerType()),
+        StructField("sum_gg", LongType()),
+        StructField("sum_sf", LongType()),
+        StructField("sum_reused", LongType()),
+        StructField("sum_mdb", LongType()),
+    ]
+)
+
+
+def mp3_stereo_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """STEREO Layer III structural decode (round 14 s3): the 2-channel
+    side-info layout (32 bytes, 3 private bits, per-channel scfsi
+    nibbles) with REAL granule-1 scalefactor reuse — reused bands are
+    copied from granule 0 instead of read from the bitstream, and
+    part2_3_length is verified against the REDUCED transmitted bits.
+    Fixture and decode both in operators/mp3; the oracle re-derives
+    every field (including which bands reused and their granule-0
+    values) arithmetically. Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import mp3 as _mp3_mod
+
+    _cp.register_pickle_by_value(_mp3_mod)
+    _build = _mp3_mod.mp3_build_deep
+    _parse = _mp3_mod.mp3_parse_deep
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _h
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, ngs, nss, ggs, sfs, rus, mdbs = [], [], [], [], [], [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                hx = _h.md5(t.encode("utf-8")).hexdigest()
+                rows = _parse(
+                    _build(
+                        ord(hx[0]), ord(hx[1]), ord(hx[2]), ord(hx[3]),
+                        stereo=True,
+                    )
+                )
+                ids.append(int(did))
+                ngs.append(len(rows))
+                nss.append(sum(1 for r in rows if r["block_type"] == 2))
+                ggs.append(sum(r["global_gain"] for r in rows))
+                sfs.append(sum(sum(r["scalefacs"]) for r in rows))
+                rus.append(sum(r["n_reused"] for r in rows))
+                mdbs.append(
+                    sum(
+                        r["main_data_begin"]
+                        for r in rows
+                        if r["granule"] == 0 and r["channel"] == 0
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype="int64"),
+                    "n_granules": np.array(ngs, dtype="int32"),
+                    "n_short": np.array(nss, dtype="int32"),
+                    "sum_gg": np.array(ggs, dtype="int64"),
+                    "sum_sf": np.array(sfs, dtype="int64"),
+                    "sum_reused": np.array(rus, dtype="int64"),
+                    "sum_mdb": np.array(mdbs, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _extract, MP3_STEREO_SCHEMA
+    )
+
+
 def with_mp3_deep_payload(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

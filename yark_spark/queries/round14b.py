@@ -207,6 +207,85 @@ def q_zip_methods_scan(spark, sf_dir):
     return zip_listing(with_zip_shards(docs, method_cycle="full"))
 
 
+def _mp3_stereo_oracle() -> str:
+    """SQL re-derivation of the STEREO fixture: the mono arithmetic
+    with the channel mixed into the codes (a+5ch, b+11ch, c+2ch,
+    d+5ch) plus the scfsi layer — a per-channel nibble, nonzero only
+    when both granules are long, whose set bands make granule 1 COPY
+    granule 0's scalefactor values (granule-0 slen widths)."""
+    from yark_spark.operators.mp3 import SLEN
+
+    s1 = " ".join(f"WHEN {k} THEN {v[0]}" for k, v in enumerate(SLEN))
+    s2 = " ".join(f"WHEN {k} THEN {v[1]}" for k, v in enumerate(SLEN))
+    return (
+        "WITH codes AS (SELECT doc_id, "
+        "ascii(substr(md5(text), 1, 1)) AS a, ascii(substr(md5(text), 2, 1)) AS b, "
+        "ascii(substr(md5(text), 3, 1)) AS c, ascii(substr(md5(text), 4, 1)) AS d, "
+        "6 + ascii(substr(md5(text), 1, 1)) % 6 AS nf "
+        "FROM documents WHERE doc_id < 300), "
+        "ig AS (SELECT doc_id, a, b, c, d, nf, gi.i AS i, gg.g AS g, cc.ch AS ch "
+        "FROM codes, unnest(generate_series(0, nf - 1)) AS gi(i), "
+        "(VALUES (0), (1)) gg(g), (VALUES (0), (1)) cc(ch)), "
+        "gr AS (SELECT *, "
+        "CASE WHEN (i + g) % 5 = 0 THEN 1 ELSE 0 END AS short, "
+        "(c + 2 * ch + i + g) % 16 AS sc, "
+        "(c + 2 * ch + i) % 16 AS sc0, "
+        "CASE WHEN i % 5 = 0 OR (i + 1) % 5 = 0 THEN 0 "
+        "ELSE (a + b + i + 3 * ch) % 16 END AS scfsi FROM ig), "
+        f"sl AS (SELECT *, CASE sc {s1} END AS slen1, "
+        f"CASE sc {s2} END AS slen2, "
+        f"CASE sc0 {s1} END AS slen1_0, CASE sc0 {s2} END AS slen2_0 "
+        "FROM gr), "
+        "sfj AS (SELECT doc_id, short, g, scfsi, i, ch, d, j.j AS j, "
+        "CASE WHEN short = 0 AND g = 1 AND scfsi > 0 AND "
+        "((scfsi >> (3 - (CASE WHEN j.j < 6 THEN 0 WHEN j.j < 11 THEN 1 "
+        "WHEN j.j < 16 THEN 2 ELSE 3 END))) & 1) = 1 THEN 1 ELSE 0 END "
+        "AS reuse, "
+        "CASE WHEN short = 1 THEN (CASE WHEN j.j < 18 THEN slen1 ELSE slen2 END) "
+        "ELSE (CASE WHEN j.j < 11 THEN slen1 ELSE slen2 END) END AS slen_own, "
+        "CASE WHEN j.j < 11 THEN slen1_0 ELSE slen2_0 END AS slen_g0 "
+        "FROM sl, unnest(generate_series(0, 35)) AS j(j) "
+        "WHERE j.j < CASE WHEN short = 1 THEN 36 ELSE 21 END), "
+        "sf AS (SELECT doc_id, "
+        "sum(CASE WHEN reuse = 1 THEN "
+        "CASE WHEN slen_g0 = 0 THEN 0 ELSE (d + 5 * ch + i + j) % (1 << slen_g0) END "
+        "ELSE CASE WHEN slen_own = 0 THEN 0 "
+        "ELSE (d + 5 * ch + i + g + j) % (1 << slen_own) END END) AS sum_sf, "
+        "sum(reuse) AS sum_reused FROM sfj GROUP BY doc_id), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_granules, "
+        "CAST(sum(short) AS INTEGER) AS n_short, "
+        "sum((b + 11 * ch + 7 * i + 3 * g) % 256) AS sum_gg, "
+        "sum(CASE WHEN i >= 1 AND g = 0 AND ch = 0 THEN (a + 7 * i) % 120 "
+        "ELSE 0 END) AS sum_mdb FROM sl GROUP BY doc_id) "
+        "SELECT agg.doc_id, n_granules, n_short, "
+        "CAST(sum_gg AS BIGINT) AS sum_gg, CAST(sf.sum_sf AS BIGINT) AS sum_sf, "
+        "CAST(sf.sum_reused AS BIGINT) AS sum_reused, "
+        "CAST(sum_mdb AS BIGINT) AS sum_mdb "
+        "FROM agg JOIN sf ON agg.doc_id = sf.doc_id"
+    )
+
+
+@query("q_mp3_stereo", oracle=_mp3_stereo_oracle())
+def q_mp3_stereo(spark, sf_dir):
+    """E160 MP3 STEREO side info + scfsi (round 14, session 3): the
+    two remaining Layer III structural boundaries closed — the
+    2-channel layout (32-byte side info, 3 private bits, per-channel
+    scfsi nibbles, granule x channel field order) and REAL scfsi
+    scalefactor reuse: set bands make granule 1 copy granule 0's
+    values instead of reading bits, part2_3_length verified against
+    the REDUCED transmitted count, and the spec's short-block
+    exclusion (scfsi forced 0 when either granule is short) honored
+    by builder and parser. The oracle re-derives every field — which
+    bands reuse, the granule-0 values they copy (at granule-0 slen
+    widths), the reduced sums — from four md5 codes per doc. The
+    spectral Huffman stage (Table B.7) remains the one documented
+    boundary. Map-only mapInPandas."""
+    from yark_spark.operators.multimodal import mp3_stereo_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return mp3_stereo_features(docs)
+
+
 _ICEBERG_WRITE_ORACLE = (
     "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
     "CAST(3 AS INTEGER) AS n_snapshots, "
