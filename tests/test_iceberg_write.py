@@ -175,3 +175,66 @@ def test_typed_guards():
             delete_files=[{"path": "d", "blob": b"x", "content": 9,
                            "record_count": 1}],
         )
+
+
+def test_partitioned_commit_prunes():
+    """A table created with a truncate[16] spec commits partitioned
+    manifests + field summaries; the partition scan skips the other
+    commit's manifest unopened and the sibling file unread."""
+    from yark_spark.operators.iceberg import iceberg_partition_scan
+
+    spec = [{"name": "doc_trunc", "transform": "truncate[16]",
+             "source-id": 1, "field-id": 1000}]
+    m = iceberg_table_create(FIELDS, partition_spec=spec)
+    m, _ = iceberg_commit(
+        m,
+        data_files=[
+            ("data/p0.parquet", _pq(0, 16), 16, {"doc_trunc": 0}),
+            ("data/p1.parquet", _pq(16, 32), 16, {"doc_trunc": 16}),
+        ],
+    )
+    m, _ = iceberg_commit(
+        m,
+        data_files=[
+            ("data/p2.parquet", _pq(32, 48), 16, {"doc_trunc": 32}),
+            ("data/p3.parquet", _pq(48, 64), 16, {"doc_trunc": 48}),
+        ],
+    )
+    tar = tar_build(sorted(m.items()))
+    rows, cnt = iceberg_partition_scan(tar, ["doc_id"], source_value=38)
+    assert sorted(r["doc_id"] for r in rows) == list(range(32, 48))
+    assert cnt == {"manifests_total": 2, "manifests_skipped": 1,
+                   "files_skipped": 1, "files_scanned": 1}
+    # the general resolver still reads partition-carrying entries
+    got = sorted(r["doc_id"] for _, r in iceberg_snapshot_rows(tar, ["doc_id"]))
+    assert got == list(range(64))
+    # bucket transform through the same write path
+    from yark_spark.operators.iceberg import iceberg_bucket
+
+    spec_b = [{"name": "doc_bucket", "transform": "bucket[4]",
+               "source-id": 1, "field-id": 1000}]
+    m = iceberg_table_create(FIELDS, partition_spec=spec_b)
+    files = []
+    for k in range(4):
+        files.append(
+            (f"data/b{k}.parquet", _pq(16 * k, 16 * k + 16), 16,
+             {"doc_bucket": k})
+        )
+    m, _ = iceberg_commit(m, data_files=files[:2])
+    m, _ = iceberg_commit(m, data_files=files[2:])
+    probe = 7
+    want_bucket = iceberg_bucket(probe, 4)
+    tar = tar_build(sorted(m.items()))
+    rows, cnt = iceberg_partition_scan(tar, ["doc_id"], source_value=probe)
+    assert all(
+        r["doc_id"] // 16 == want_bucket for r in rows
+    ) and len(rows) == 16
+    assert cnt["files_scanned"] == 1
+
+
+def test_partitioned_commit_requires_partition_values():
+    spec = [{"name": "p", "transform": "identity", "source-id": 1,
+             "field-id": 1000}]
+    m = iceberg_table_create(FIELDS, partition_spec=spec)
+    with pytest.raises(ValueError, match="partition"):
+        iceberg_commit(m, data_files=[("d.parquet", _pq(0, 4), 4)])

@@ -721,12 +721,48 @@ def iceberg_partition_scan(
 # the full lineage for time travel. Spec: iceberg.apache.org/spec/.
 
 
+def _partitioned_manifest_schema(part_record: dict) -> dict:
+    """MANIFEST_SCHEMA with a per-spec partition record spliced into
+    data_file (commit-side twin of PARTITIONED_MANIFEST_SCHEMA)."""
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "file_sequence_number", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "data_file",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition", "type": part_record},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+
+
 def iceberg_table_create(
-    fields: list[dict], location: str = "tbl", table_uuid: str | None = None
+    fields: list[dict],
+    location: str = "tbl",
+    table_uuid: str | None = None,
+    partition_spec: list[dict] | None = None,
 ) -> dict[str, bytes]:
     """New empty v2 table: ``fields`` = [{"id", "name", "type",
-    "required"}] in spec schema-JSON shape. Returns the member dict
-    holding ``metadata/v1.metadata.json``."""
+    "required"}] in spec schema-JSON shape; ``partition_spec`` =
+    [{"name", "transform", "source-id", "field-id"}] declares the
+    default spec (commits then REQUIRE per-file partition values and
+    emit partitioned manifests with field summaries). Returns the
+    member dict holding ``metadata/v1.metadata.json``."""
     meta = {
         "format-version": 2,
         "table-uuid": table_uuid
@@ -739,6 +775,11 @@ def iceberg_table_create(
         "snapshots": [],
         "metadata-log": [],
     }
+    if partition_spec:
+        meta["partition-specs"] = [
+            {"spec-id": 0, "fields": partition_spec}
+        ]
+        meta["default-spec-id"] = 0
     return {"metadata/v1.metadata.json": json.dumps(meta).encode("utf-8")}
 
 
@@ -784,22 +825,53 @@ def iceberg_commit(
     snapshot_id = seq
     parent = meta.get("current-snapshot-id")
 
+    # partitioned table? (round 14 s3 second pass): data files then
+    # arrive as 4-tuples (path, blob, record_count, {field: value})
+    # and the commit emits partitioned manifests + field summaries
+    spec_fields: list[dict] = []
+    specs = meta.get("partition-specs")
+    if specs:
+        spec = next(
+            (
+                sp
+                for sp in specs
+                if sp.get("spec-id") == meta.get("default-spec-id", 0)
+            ),
+            specs[0],
+        )
+        spec_fields = spec.get("fields", [])
+    if spec_fields and data_files and len(data_files[0]) != 4:
+        raise ValueError(
+            "iceberg: partitioned table commits need (path, blob, "
+            "record_count, partition) data files"
+        )
+
     out = dict(members)
 
-    def _entry(path, blob, content, nrec, eq_ids=None):
+    def _entry(path, blob, content, nrec, eq_ids=None, partition=None):
+        df = {
+            "content": content,
+            "file_path": path,
+            "file_format": "PARQUET",
+            "record_count": nrec,
+            "file_size_in_bytes": len(blob),
+            "equality_ids": eq_ids,
+        }
+        if partition is not None:
+            df = {
+                "content": content,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": partition,
+                "record_count": nrec,
+                "file_size_in_bytes": len(blob),
+            }
         return {
             "status": 1,  # ADDED
             "snapshot_id": None,
             "sequence_number": None,  # inherit (v2)
             "file_sequence_number": None,
-            "data_file": {
-                "content": content,
-                "file_path": path,
-                "file_format": "PARQUET",
-                "record_count": nrec,
-                "file_size_in_bytes": len(blob),
-                "equality_ids": eq_ids,
-            },
+            "data_file": df,
         }
 
     def _list_record(path, blob, content, added):
@@ -825,15 +897,56 @@ def iceberg_commit(
             avro_records(_member(out, prev["manifest-list"]))
         )
     if data_files:
-        entries = [_entry(p, b, 0, n) for p, b, n in data_files]
-        for p, b, _n in data_files:
-            out[p] = b
-        m_path = f"metadata/m{seq}-data.avro"
-        m_blob = avro_build(MANIFEST_SCHEMA, entries, codec="deflate")
-        out[m_path] = m_blob
-        new_list_records.append(
-            _list_record(m_path, m_blob, 0, len(data_files))
-        )
+        if spec_fields:
+            schema_fields = {
+                f["id"]: f for f in meta["schemas"][0]["fields"]
+            }
+            part_schema = {
+                "type": "record",
+                "name": "r102",
+                "fields": [
+                    {"name": sf["name"], "type": "long"}
+                    for sf in spec_fields
+                ],
+            }
+            m_schema = _partitioned_manifest_schema(part_schema)
+            entries = [
+                _entry(p, b, 0, n, partition=part)
+                for p, b, n, part in data_files
+            ]
+            for p, b, _n, _part in data_files:
+                out[p] = b
+            # per-field summaries over THIS manifest's files
+            summaries = []
+            for sf in spec_fields:
+                src = schema_fields.get(sf.get("source-id"), {})
+                width = transform_result_width(
+                    sf["transform"], src.get("type", "long")
+                )
+                vals = [part[sf["name"]] for _p, _b, _n, part in data_files]
+                summaries.append(
+                    {
+                        "contains_null": False,
+                        "lower_bound": partition_bound(min(vals), width),
+                        "upper_bound": partition_bound(max(vals), width),
+                    }
+                )
+            m_path = f"metadata/m{seq}-data.avro"
+            m_blob = avro_build(m_schema, entries, codec="deflate")
+            out[m_path] = m_blob
+            rec = _list_record(m_path, m_blob, 0, len(data_files))
+            rec["partitions"] = summaries
+            new_list_records.append(rec)
+        else:
+            entries = [_entry(p, b, 0, n) for p, b, n in data_files]
+            for p, b, _n in data_files:
+                out[p] = b
+            m_path = f"metadata/m{seq}-data.avro"
+            m_blob = avro_build(MANIFEST_SCHEMA, entries, codec="deflate")
+            out[m_path] = m_blob
+            new_list_records.append(
+                _list_record(m_path, m_blob, 0, len(data_files))
+            )
     if delete_files:
         entries = []
         for d in delete_files:
@@ -856,9 +969,16 @@ def iceberg_commit(
             _list_record(m_path, m_blob, 1, len(delete_files))
         )
     list_path = f"metadata/snap-{snapshot_id}.avro"
-    out[list_path] = avro_build(
-        MANIFEST_LIST_SCHEMA, new_list_records, codec="deflate"
-    )
+    if spec_fields:
+        for rec in new_list_records:
+            rec.setdefault("partitions", None)
+        out[list_path] = avro_build(
+            PARTITIONED_MANIFEST_LIST_SCHEMA, new_list_records, codec="deflate"
+        )
+    else:
+        out[list_path] = avro_build(
+            MANIFEST_LIST_SCHEMA, new_list_records, codec="deflate"
+        )
 
     op = operation or ("overwrite" if delete_files else "append")
     snap = {

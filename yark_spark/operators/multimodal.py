@@ -7868,6 +7868,118 @@ def iceberg_write_roundtrip_features(
     )
 
 
+ICEBERG_WRITE_PRUNE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("manifests_skipped", IntegerType()),
+        StructField("files_skipped", IntegerType()),
+        StructField("files_scanned", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def iceberg_write_prune_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PARTITIONED Iceberg writes (round 14 s3 second pass): each
+    64-doc table is created with a truncate[16](doc_id) spec and
+    committed in TWO appends of two files each through
+    iceberg_commit — which now emits partitioned manifests (dynamic
+    partition record per spec) and manifest-list field summaries
+    (lower/upper bounds at the transform's result width). The probe
+    then plans through iceberg_partition_scan in SOURCE terms: one
+    manifest never opened, one file never read, exactly one decoded —
+    written tables must PRUNE exactly like read-side fixtures, or the
+    write path isn't really Iceberg. Counters + rows pinned in the
+    oracle. One applyInPandas per table; map-only."""
+    _ice = _register_iceberg_modules()
+    _cont = _register_container_modules()
+    from yark_spark.operators import parquet_write as _pw
+
+    _tar = _cont.tar_build
+    _write = _pw.parquet_write
+    _create = _ice.iceberg_table_create
+    _commit = _ice.iceberg_commit
+    _scan = _ice.iceberg_partition_scan
+
+    def _build_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 64
+        base = tid * 64
+
+        def _pq(lo, hi):
+            return _write(
+                {"doc_id": ids[lo:hi], "text": texts[lo:hi]},
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                codec="SNAPPY",
+            )
+
+        fields = [
+            {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+            {"id": 2, "name": "text", "required": True, "type": "string"},
+        ]
+        spec = [
+            {
+                "name": "doc_trunc",
+                "transform": "truncate[16]",
+                "source-id": 1,
+                "field-id": 1000,
+            }
+        ]
+        m = _create(fields, location=f"tbl-{tid}", partition_spec=spec)
+        m, _s1 = _commit(
+            m,
+            data_files=[
+                ("data/p0.parquet", _pq(0, 16), 16, {"doc_trunc": base}),
+                ("data/p1.parquet", _pq(16, 32), 16, {"doc_trunc": base + 16}),
+            ],
+        )
+        m, _s2 = _commit(
+            m,
+            data_files=[
+                ("data/p2.parquet", _pq(32, 48), 16, {"doc_trunc": base + 32}),
+                ("data/p3.parquet", _pq(48, 64), 16, {"doc_trunc": base + 48}),
+            ],
+        )
+        rows, cnt = _scan(
+            _tar(sorted(m.items())), ["doc_id", "text"],
+            source_value=base + 38,
+        )
+        k = len(rows)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array([r["doc_id"] for r in rows], dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "manifests_skipped": np.full(
+                    k, cnt["manifests_skipped"], dtype="int32"
+                ),
+                "files_skipped": np.full(k, cnt["files_skipped"], dtype="int32"),
+                "files_scanned": np.full(k, cnt["files_scanned"], dtype="int32"),
+                "n_chars": np.array(
+                    [len(r["text"]) for r in rows], dtype="int32"
+                ),
+                "digest": [
+                    _h.md5(r["text"].encode("utf-8")).hexdigest() for r in rows
+                ],
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
+        .applyInPandas(_build_and_scan, ICEBERG_WRITE_PRUNE_SCHEMA)
+    )
+
+
 def iceberg_snapshot_features(
     df: DataFrame,
     table_col: str = "table_id",

@@ -178,6 +178,38 @@ def q_arrow_ipc_vector_scan(spark, sf_dir):
     return arrow_ipc_vector_listing(emb)
 
 
+_ICEBERG_WRITE_PRUNE_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
+    "CAST(1 AS INTEGER) AS manifests_skipped, "
+    "CAST(1 AS INTEGER) AS files_skipped, "
+    "CAST(1 AS INTEGER) AS files_scanned, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 448 AND doc_id % 64 BETWEEN 32 AND 47"
+)
+
+
+@query("q_iceberg_write_prune", oracle=_ICEBERG_WRITE_PRUNE_ORACLE)
+def q_iceberg_write_prune(spark, sf_dir):
+    """E157' PARTITIONED Iceberg writes (round 14, session 3 second
+    pass): iceberg_commit now honors the table's declared
+    partition-spec — data files arrive with partition values, commits
+    emit partitioned manifests (dynamic per-spec partition record,
+    entries still at NULL sequence for inheritance) and manifest-list
+    FIELD SUMMARIES with bounds serialized at the transform result's
+    width. Each 64-doc table: truncate[16](doc_id) spec, two append
+    commits of two files each, then a SOURCE-term probe through
+    iceberg_partition_scan must skip one manifest unopened and one
+    file unread, decoding exactly one — all three counters and the
+    surviving rows pinned in the oracle. Writing tables that PRUNE is
+    the difference between an Iceberg writer and a file dumper: at
+    100 TB the summaries are why a one-partition query costs O(one
+    manifest). One applyInPandas per table; map-only."""
+    from yark_spark.operators.multimodal import iceberg_write_prune_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
+    return iceberg_write_prune_features(docs)
+
+
 _ZIP_METHODS_ORACLE = (
     "SELECT doc_id, CAST(doc_id // 16 AS BIGINT) AS shard_id, "
     "CASE doc_id % 5 WHEN 0 THEN 'stored' WHEN 1 THEN 'deflate' "
