@@ -77,6 +77,9 @@ EXTRA = [
     # fixed-doc-range fixtures by design)
     "q_orc_vector_scan",            # ORC LIST/MAP shards, map-only decode
     "q_orc_vector_write_roundtrip", # LIST write → read, map-only
+    # round-14 session 3: the one new key over the WHOLE embeddings
+    # table (codec/zip/mp3/iceberg/brotli keys are fixed-doc-range)
+    "q_arrow_ipc_vector_scan",      # IPC list<float32> shards, map-only
 ]
 
 
