@@ -191,3 +191,57 @@ def test_no_stride_typed_error():
     blob = orc_write({"a": [1, 2, 3]}, types={"a": "LONG"})
     with pytest.raises((ValueError, NotImplementedError)):
         orc_scan_rowgroups(blob, ["a"], "a", 1, 2)
+
+
+# --- write side (session 3 second pass) -----------------------------------
+
+from yark_spark.operators.orc import orc_write  # noqa: E402
+
+
+@pytest.mark.parametrize("comp", ["ZLIB", "NONE"])
+def test_our_writer_emits_prunable_indexes(comp):
+    """orc_write(row_index_stride=...) emits ROW_INDEX streams whose
+    positions our rowgroup scanner seeks, while ORC_CPP and the full
+    reader still read the file whole."""
+    cols = {
+        "doc_id": list(range(N)),
+        "text": [
+            None if i % 31 == 7 else "doc-%04d-%s" % (i, "y" * (i % 11))
+            for i in range(N)
+        ],
+        "score": [None if i % 13 == 5 else i * 0.25 for i in range(N)],
+        "flag": [i % 3 == 0 for i in range(N)],
+    }
+    blob = orc_write(cols, compression=comp, row_index_stride=64)
+    full = orc_read_columns(blob, list(cols))
+    assert all(full[c] == cols[c] for c in cols)
+    t = orc.ORCFile(io.BytesIO(blob)).read()
+    assert t.column("text").to_pylist() == cols["text"]
+    got, cnt = orc_scan_rowgroups(
+        blob, ["doc_id", "text", "score", "flag"], "doc_id", 128, 191
+    )
+    idx = list(range(128, 192))
+    for c in cols:
+        assert got[c] == [cols[c][i] for i in idx], c
+    assert cnt == {
+        "row_groups_total": 8,
+        "skipped_stats": 7,
+        "row_groups_scanned": 1,
+    }
+    got, _ = orc_scan_rowgroups(blob, ["doc_id"], "text", "doc-0100", "doc-0120")
+    want = [
+        i
+        for i in range(N)
+        if cols["text"][i] is not None
+        and "doc-0100" <= cols["text"][i] <= "doc-0120"
+    ]
+    assert got["doc_id"] == want
+
+
+def test_writer_stride_guards():
+    with pytest.raises(ValueError, match="multiple of 8"):
+        orc_write({"a": [1]}, row_index_stride=10)
+    with pytest.raises(NotImplementedError, match="LIST"):
+        orc_write(
+            {"v": [[1.0]]}, types={"v": "LIST<DOUBLE>"}, row_index_stride=8
+        )

@@ -8526,7 +8526,10 @@ ORC_ROWINDEX_SCHEMA = StructType(
 
 
 def orc_rowindex_prune_features(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    writer: str = "orc_cpp",
 ) -> DataFrame:
     """ORC ROW-GROUP pruning end-to-end (round 14, session 3): each
     160-doc group becomes an ORC file WRITTEN BY THE REAL LIBRARY
@@ -8556,37 +8559,48 @@ def orc_rowindex_prune_features(
     _cp.register_pickle_by_value(_snappy)
     _cp.register_pickle_by_value(_orc_mod)
     _scan = _orc_mod.orc_scan_rowgroups
+    _write = _orc_mod.orc_write
 
     def _build_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
         import hashlib as _h
         import io as _io
 
         import numpy as np
-        import pyarrow as _pa
-        import pyarrow.orc as _pa_orc
 
         pdf = pdf.sort_values(id_col)
         ids = [int(v) for v in pdf[id_col]]
         sid = ids[0] // 160
         base = sid * 160
-        t = _pa.table(
-            {
-                "doc_id": _pa.array(ids, _pa.int64()),
-                "text": _pa.array(list(pdf[text_col])),
-            }
-        )
-        comp = ["zlib", "snappy", "zstd", "lz4", "uncompressed"][sid % 5]
-        buf = _io.BytesIO()
-        w = _pa_orc.ORCWriter(
-            buf,
-            row_index_stride=16,
-            compression=comp,
-            dictionary_key_size_threshold=0.0,
-        )
-        w.write(t)
-        w.close()
+        if writer == "ours":
+            blob = _write(
+                {"doc_id": ids, "text": list(pdf[text_col])},
+                types={"doc_id": "LONG", "text": "STRING"},
+                compression=["ZLIB", "NONE"][sid % 2],
+                row_index_stride=16,
+            )
+        else:
+            import pyarrow as _pa
+            import pyarrow.orc as _pa_orc
+
+            t = _pa.table(
+                {
+                    "doc_id": _pa.array(ids, _pa.int64()),
+                    "text": _pa.array(list(pdf[text_col])),
+                }
+            )
+            comp = ["zlib", "snappy", "zstd", "lz4", "uncompressed"][sid % 5]
+            buf = _io.BytesIO()
+            w = _pa_orc.ORCWriter(
+                buf,
+                row_index_stride=16,
+                compression=comp,
+                dictionary_key_size_threshold=0.0,
+            )
+            w.write(t)
+            w.close()
+            blob = buf.getvalue()
         cols, cnt = _scan(
-            buf.getvalue(), ["doc_id", "text"], "doc_id", base + 64, base + 79
+            blob, ["doc_id", "text"], "doc_id", base + 64, base + 79
         )
         n = len(cols["doc_id"])
         return pd.DataFrame(

@@ -1310,11 +1310,19 @@ def orc_write(
     compression: str = "ZLIB",
     stripe_rows: int | None = None,
     bloom_filter_columns: "list[str] | None" = None,
+    row_index_stride: int | None = None,
 ) -> bytes:
     """Serialize ``{name: values}`` (``None`` = null) into an ORC
     file. Types: LONG, DOUBLE, STRING, BOOLEAN (inferred when not
     given). Readable by the real ORC_CPP (pyarrow) and by
-    ``orc_read_columns`` — both pinned in tests/test_orc.py."""
+    ``orc_read_columns`` — both pinned in tests/test_orc.py.
+    ``row_index_stride`` (round 14 s3) emits ROW_INDEX streams: every
+    stream is encoded in per-stride SEGMENTS (runs never cross a
+    stride, each segment its own compression chunk), so the recorded
+    seek positions are exact with zero run/bit skips — spec-valid
+    wire that orc_scan_rowgroups prunes and ORC_CPP still reads.
+    Flat primitive columns only; the stride must be a multiple of 8
+    (the PRESENT bitstream's byte grain)."""
     names = list(columns)
     if not names:
         raise ValueError("orc-write: no columns")
@@ -1343,6 +1351,10 @@ def orc_write(
     # round 14: "LIST<ELEM>" declares a list column (PRESENT + LENGTH
     # on the list node, the element subtree flattened beneath) — the
     # write twin of _decode_node, read back by REAL ORC_CPP in tests
+    if row_index_stride is not None and (
+        row_index_stride <= 0 or row_index_stride % 8
+    ):
+        raise ValueError("orc-write: row_index_stride must be a multiple of 8")
     ctypes = {c: (types or {}).get(c) or _infer(columns[c]) for c in names}
     elem_types: dict[str, str] = {}
     for c, t in list(ctypes.items()):
@@ -1387,6 +1399,139 @@ def orc_write(
                 + _pb_varint_field(2, col_id)
                 + _pb_varint_field(3, len(comp))
             )
+
+        def _emit_segmented(col_id, kind, encode_fn, segments):
+            """Encode per-stride segments (each its own chunk) and
+            return the per-segment byte offsets into the stream."""
+            offs, parts, at = [], [], 0
+            for seg in segments:
+                offs.append(at)
+                blob = _chunks_compress(encode_fn(seg), compression)
+                parts.append(blob)
+                at += len(blob)
+            data_blob.extend(b"".join(parts))
+            streams_pb.append(
+                _pb_varint_field(1, kind)
+                + _pb_varint_field(2, col_id)
+                + _pb_varint_field(3, at)
+            )
+            return offs
+
+        def _pos_record(off, shape):
+            """One stream's positions: [chunk_off]? + decomp_off +
+            zero skips — segments start at chunk boundaries."""
+            has_chunk = compression != "NONE"
+            rec = ([off, 0] if has_chunk else [off])
+            if shape == "bool":
+                rec += [0, 0]
+            elif shape == "rle":
+                rec += [0]
+            return rec
+
+        def _stride_stat(t, seg_nn, seg_has_null):
+            cs = _pb_varint_field(1, len(seg_nn)) + _pb_varint_field(
+                10, 1 if seg_has_null else 0
+            )
+            if seg_nn and t == "LONG":
+                cs += _pb_len_field(
+                    2,
+                    _tag(1, 0)
+                    + _write_varint(_zigzag_enc(min(seg_nn)))
+                    + _tag(2, 0)
+                    + _write_varint(_zigzag_enc(max(seg_nn))),
+                )
+            elif seg_nn and t == "STRING":
+                cs += _pb_len_field(
+                    4,
+                    _pb_len_field(1, min(seg_nn).encode("utf-8"))
+                    + _pb_len_field(2, max(seg_nn).encode("utf-8")),
+                )
+            return cs
+
+        def _emit_leaf_indexed(ci, t, vals, stride):
+            """Stride-segmented streams + a ROW_INDEX stream for one
+            flat primitive column."""
+            segs = [
+                vals[k : k + stride] for k in range(0, len(vals), stride)
+            ] or [[]]
+            seg_present = [[v is not None for v in sv] for sv in segs]
+            seg_nn = [[v for v in sv if v is not None] for sv in segs]
+            has_nulls = any(not all(p) for p in seg_present)
+            entry_pos = [[] for _ in segs]
+            if has_nulls:
+                offs = _emit_segmented(
+                    ci, _PRESENT, _bool_rle_encode, seg_present
+                )
+                for k, off in enumerate(offs):
+                    entry_pos[k] += _pos_record(off, "bool")
+            if t == "LONG":
+                offs = _emit_segmented(
+                    ci, _DATA, lambda v: _rlev2_encode(v, signed=True), seg_nn
+                )
+                shape, enc = "rle", 2
+            elif t == "DOUBLE":
+                offs = _emit_segmented(
+                    ci, _DATA,
+                    lambda v: b"".join(struct.pack("<d", x) for x in v),
+                    seg_nn,
+                )
+                shape, enc = "raw", 0
+            elif t == "FLOAT":
+                offs = _emit_segmented(
+                    ci, _DATA,
+                    lambda v: b"".join(struct.pack("<f", x) for x in v),
+                    seg_nn,
+                )
+                shape, enc = "raw", 0
+            elif t == "BOOLEAN":
+                offs = _emit_segmented(
+                    ci, _DATA,
+                    lambda v: _bool_rle_encode([bool(x) for x in v]),
+                    seg_nn,
+                )
+                shape, enc = "bool", 0
+            else:  # STRING DIRECT_V2
+                seg_blobs = [
+                    [x.encode("utf-8") for x in v] for v in seg_nn
+                ]
+                offs = _emit_segmented(
+                    ci, _DATA, lambda bl: b"".join(bl), seg_blobs
+                )
+                for k, off in enumerate(offs):
+                    entry_pos[k] += _pos_record(off, "raw")
+                offs = _emit_segmented(
+                    ci, _LENGTH,
+                    lambda bl: _rlev2_encode([len(x) for x in bl], False),
+                    seg_blobs,
+                )
+                shape, enc = "rle", 2
+            for k, off in enumerate(offs):
+                entry_pos[k] += _pos_record(off, shape)
+            encodings_pb.append(_tag(1, 0) + _write_varint(enc))
+            entries = []
+            for k in range(len(segs)):
+                entries.append(
+                    b"".join(_pb_varint_field(1, v) for v in entry_pos[k])
+                    + _pb_len_field(
+                        2,
+                        _stride_stat(
+                            t, seg_nn[k], not all(seg_present[k])
+                        ),
+                    )
+                )
+            ri = b"".join(_pb_len_field(1, e) for e in entries)
+            ri_comp = _chunks_compress(ri, compression)
+            index_blob.extend(ri_comp)
+            index_streams_pb.append(
+                _pb_varint_field(1, _ROW_INDEX)
+                + _pb_varint_field(2, ci)
+                + _pb_varint_field(3, len(ri_comp))
+            )
+            all_nn = [v for sv in seg_nn for v in sv]
+            cs_msgs.append(
+                _stride_stat(t, all_nn, has_nulls)
+            )
+            return all_nn
 
         def _emit_leaf(ci, t, vals):
             """One primitive column's streams + encoding + stats entry."""
@@ -1438,6 +1583,27 @@ def orc_write(
         for c in names:
             ci, child_id = col_ids[c]
             vals = columns[c][start : start + rows]
+            if row_index_stride is not None:
+                if child_id is not None:
+                    raise NotImplementedError(
+                        "orc-write: row index over LIST columns"
+                    )
+                nn = _emit_leaf_indexed(
+                    ci, ctypes[c], vals, row_index_stride
+                )
+                if c in (bloom_filter_columns or ()) and ctypes[c] in (
+                    "LONG", "STRING",
+                ):
+                    bcomp = _chunks_compress(
+                        orc_bloom_build(nn, ctypes[c]), compression
+                    )
+                    index_blob.extend(bcomp)
+                    index_streams_pb.append(
+                        _pb_varint_field(1, _BLOOM_FILTER_UTF8)
+                        + _pb_varint_field(2, ci)
+                        + _pb_varint_field(3, len(bcomp))
+                    )
+                continue
             if child_id is not None:  # LIST column (round 14)
                 present = [v is not None for v in vals]
                 nn_rows = [v for v in vals if v is not None]
@@ -1519,7 +1685,7 @@ def orc_write(
         + b"".join(_pb_len_field(3, s) for s in stripe_infos)
         + b"".join(_pb_len_field(4, t) for t in type_msgs)
         + _pb_varint_field(6, n_rows)
-        + _pb_varint_field(8, 0)  # rowIndexStride 0: no row indexes
+        + _pb_varint_field(8, row_index_stride or 0)
     )
     footer_c = _chunks_compress(footer, compression)
     out += footer_c

@@ -352,6 +352,34 @@ def q_iceberg_write_roundtrip(spark, sf_dir):
     return iceberg_write_roundtrip_features(docs)
 
 
+_ORC_ROWINDEX_WRITE_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 160 AS BIGINT) AS table_id, "
+    "CAST(9 AS INTEGER) AS row_groups_skipped, "
+    "CAST(1 AS INTEGER) AS row_groups_scanned, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480 AND doc_id % 160 BETWEEN 64 AND 79"
+)
+
+
+@query("q_orc_rowindex_write", oracle=_ORC_ROWINDEX_WRITE_ORACLE)
+def q_orc_rowindex_write(spark, sf_dir):
+    """E156' ORC row-index WRITING (round 14, session 3 second pass):
+    orc_write(row_index_stride=16) encodes every stream in per-stride
+    SEGMENTS — runs never cross a stride, each segment its own
+    compression chunk — so the emitted ROW_INDEX positions are exact
+    with zero run/bit skips: spec-valid wire. The same range probe as
+    q_orc_rowindex_prune then seeks OUR files (1 of 10 groups
+    decoded, counters pinned), while ORC_CPP and the full reader
+    still read them whole (tests/test_orc_rowindex.py). Both
+    directions of the finest ORC skip grain now live in-repo — the
+    write side is what makes OUR shards cheap to probe at 100 TB.
+    One applyInPandas per table; map-only."""
+    from yark_spark.operators.multimodal import orc_rowindex_prune_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return orc_rowindex_prune_features(docs, writer="ours")
+
+
 _WARC_HTTP_BR_REAL_ORACLE = (
     "SELECT doc_id, "
     "CASE doc_id % 9 WHEN 0 THEN 'identity' WHEN 1 THEN 'chunked' "
