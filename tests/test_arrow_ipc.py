@@ -120,15 +120,50 @@ def test_empty_table_and_empty_batches():
     assert arrow_file_read(buf.getvalue()) == {"a": []}
 
 
-def test_dictionary_typed_boundary():
+@pytest.mark.parametrize("layout", ["file", "stream"])
+@pytest.mark.parametrize("compression", [None, "zstd"])
+def test_dictionary_batches(layout, compression):
+    """Dictionary-encoded columns (session-3 second pass): the
+    DictionaryBatch messages register value vectors by encoding id;
+    record-batch columns then hold indices of the declared Int type."""
     t = pa.table(
-        {"d": pa.array(["x", "y", "x"]).dictionary_encode()}
+        {
+            "d": pa.array(["x", "y", "x", "z", None, "y"]).dictionary_encode(),
+            "n": pa.array([1, 2, 3, None, 5, 6], pa.int64()),
+            "di": pa.array([10, 20, 10, 30, 20, None], pa.int64())
+            .dictionary_encode(),
+        }
     )
     buf = io.BytesIO()
-    with ipc.new_file(buf, t.schema) as w:
-        w.write_table(t)
-    with pytest.raises(NotImplementedError, match="dictionary"):
-        arrow_file_read(buf.getvalue())
+    opener = ipc.new_file if layout == "file" else ipc.new_stream
+    with opener(
+        buf, t.schema, options=ipc.IpcWriteOptions(compression=compression)
+    ) as w:
+        w.write_table(t, max_chunksize=3)
+    read = arrow_file_read if layout == "file" else arrow_stream_read
+    got = read(buf.getvalue())
+    for c in t.column_names:
+        assert got[c] == t.column(c).to_pylist(), c
+
+
+def test_dictionary_delta_batches():
+    schema = pa.schema([("d", pa.dictionary(pa.int32(), pa.string()))])
+    buf = io.BytesIO()
+    opts = ipc.IpcWriteOptions(emit_dictionary_deltas=True)
+    with ipc.new_stream(buf, schema, options=opts) as w:
+        w.write_batch(
+            pa.record_batch(
+                [pa.array(["a", "b", "a"]).dictionary_encode()], schema=schema
+            )
+        )
+        w.write_batch(
+            pa.record_batch(
+                [pa.array(["a", "b", "c", "d"]).dictionary_encode()],
+                schema=schema,
+            )
+        )
+    got = arrow_stream_read(buf.getvalue())
+    assert got["d"] == ["a", "b", "a", "a", "b", "c", "d"]
 
 
 def test_bad_magic_typed_error():

@@ -35,8 +35,11 @@ hand-built flatbuffer builder plus the columnar body — and REAL
 pyarrow reads our files and streams value-for-value
 (q_arrow_ipc_write_roundtrip pins it through the oracle).
 
-Typed boundaries: dictionary-encoded columns, unions, run-end
-encoding, and big-endian files raise ``NotImplementedError``.
+Dictionary-encoded columns decode too (second pass): DictionaryBatch
+messages register value vectors by encoding id (delta batches
+append), and record-batch columns hold indices of the declared Int
+type. Typed boundaries: unions, run-end encoding, and big-endian
+files raise ``NotImplementedError``.
 
 Reference parity note: the reference archiver (SupBlizard/yark) has
 no columnar interchange; this is driver-mandated pipeline surface
@@ -163,8 +166,22 @@ def _parse_field(b: bytes, table: int) -> dict:
     ttype = _scalar(b, table, 2, _u8, 0)
     tpos = _field(b, table, 3)
     ttab = _tab(b, tpos) if tpos is not None else None
-    if _field(b, table, 4) is not None:
-        raise NotImplementedError("arrow-ipc: dictionary-encoded column")
+    dic = None
+    dpos = _field(b, table, 4)
+    if dpos is not None:
+        # DictionaryEncoding: id + index Int type (default int32 signed)
+        dtab = _tab(b, dpos)
+        bits, signed = 32, True
+        itpos = _field(b, dtab, 1)
+        if itpos is not None:
+            itab = _tab(b, itpos)
+            bits = _scalar(b, itab, 0, _i32, 0)
+            signed = bool(_scalar(b, itab, 1, _u8, 0))
+        dic = {
+            "id": _scalar(b, dtab, 0, _i64, 0),
+            "bits": bits,
+            "signed": signed,
+        }
     children = []
     cpos = _field(b, table, 5)
     if cpos is not None:
@@ -172,6 +189,8 @@ def _parse_field(b: bytes, table: int) -> dict:
         for i in range(n):
             children.append(_parse_field(b, _tab(b, at + 4 * i)))
     f: dict = {"name": name, "nullable": nullable, "children": children}
+    if dic is not None:
+        f["dict"] = dic
     if ttype == _T_INT:
         f["type"] = "int"
         f["bits"] = _scalar(b, ttab, 0, _i32, 0)
@@ -306,8 +325,40 @@ class _BatchCursor:
         return _buffer(self.body, off, ln, self.codec)
 
 
-def _decode_field(cur: _BatchCursor, f: dict) -> list:
+def _decode_field(cur: _BatchCursor, f: dict, dicts: dict | None = None) -> list:
     t = f["type"]
+    if f.get("dict") is not None and dicts is not None:
+        # dictionary-encoded column: the data buffer holds INDICES of
+        # the field's index Int type; values come from the dictionary
+        # batch registered under the encoding id
+        n, null_count = cur.node()
+        validity = cur.buffer()
+        present = (
+            [bool(_bit(validity, i)) for i in range(n)]
+            if validity
+            else [True] * n
+        )
+        dic = f["dict"]
+        fmt = _INT_FMT.get((dic["bits"], dic["signed"]))
+        if fmt is None:
+            raise NotImplementedError("arrow-ipc: dictionary index width")
+        data = cur.buffer()
+        width = struct.calcsize(fmt)
+        values = dicts.get(dic["id"])
+        if values is None:
+            raise ValueError(
+                f"arrow-ipc: no dictionary batch for id {dic['id']}"
+            )
+        out = []
+        for i in range(n):
+            if not present[i]:
+                out.append(None)
+                continue
+            idx = struct.unpack_from(fmt, data, width * i)[0]
+            if not 0 <= idx < len(values):
+                raise ValueError("arrow-ipc: dictionary index out of range")
+            out.append(values[idx])
+        return out
     if t == "null":
         n, _nc = cur.node()
         return [None] * n
@@ -379,7 +430,7 @@ def _decode_field(cur: _BatchCursor, f: dict) -> list:
         offsets = cur.buffer()
         rd = _i64 if t == "large_list" else _i32
         w = 8 if t == "large_list" else 4
-        child = _decode_field(cur, f["children"][0])
+        child = _decode_field(cur, f["children"][0], dicts)
         vals = []
         for i in range(n):
             if not present[i]:
@@ -387,13 +438,13 @@ def _decode_field(cur: _BatchCursor, f: dict) -> list:
                 continue
             vals.append(child[rd(offsets, w * i) : rd(offsets, w * (i + 1))])
     elif t == "fixed_size_list":
-        child = _decode_field(cur, f["children"][0])
+        child = _decode_field(cur, f["children"][0], dicts)
         k = f["list_size"]
         vals = [
             child[k * i : k * (i + 1)] if present[i] else None for i in range(n)
         ]
     elif t == "struct":
-        kids = {c["name"]: _decode_field(cur, c) for c in f["children"]}
+        kids = {c["name"]: _decode_field(cur, c, dicts) for c in f["children"]}
         vals = [
             {nm: kids[nm][i] for nm in kids} if present[i] else None
             for i in range(n)
@@ -403,7 +454,10 @@ def _decode_field(cur: _BatchCursor, f: dict) -> list:
     return vals
 
 
-def _decode_batch(b: bytes, header: int, body: bytes, fields: list[dict]) -> dict:
+def _decode_batch(
+    b: bytes, header: int, body: bytes, fields: list[dict],
+    dicts: dict | None = None,
+) -> dict:
     n_rows = _scalar(b, header, 0, _i64, 0)
     npos = _field(b, header, 1)
     bpos = _field(b, header, 2)
@@ -417,7 +471,7 @@ def _decode_batch(b: bytes, header: int, body: bytes, fields: list[dict]) -> dic
         if _scalar(b, ctab, 1, _i8, 0) != 0:
             raise NotImplementedError("arrow-ipc: non-buffer compression method")
     cur = _BatchCursor(b, nodes_at, n_nodes, bufs_at, n_bufs, body, codec)
-    out = {f["name"]: _decode_field(cur, f) for f in fields}
+    out = {f["name"]: _decode_field(cur, f, dicts) for f in fields}
     if cur.node_i != n_nodes or cur.buf_i != n_bufs:
         raise ValueError("arrow-ipc: node/buffer walk incomplete")
     for f in fields:
@@ -429,6 +483,42 @@ def _decode_batch(b: bytes, header: int, body: bytes, fields: list[dict]) -> dic
 # ---------------------------------------------------------------------------
 # encapsulated messages, file + stream layers
 # ---------------------------------------------------------------------------
+
+
+def _value_field(f: dict) -> dict:
+    """The dictionary's VALUE field: the encoded field minus its
+    dictionary marker (per spec, the field's type describes values)."""
+    g = {k: v for k, v in f.items() if k != "dict"}
+    g["name"] = "values"
+    return g
+
+
+def _apply_dictionary_batch(
+    meta: bytes, header: int, body: bytes, fields: list[dict], dicts: dict
+) -> None:
+    dict_id = _scalar(meta, header, 0, _i64, 0)
+    is_delta = bool(_scalar(meta, header, 2, _u8, 0))
+    dpos = _field(meta, header, 1)
+    if dpos is None:
+        raise ValueError("arrow-ipc: dictionary batch without data")
+    rb = _tab(meta, dpos)
+    src = next(
+        (f for f in _walk_fields(fields) if f.get("dict", {}).get("id") == dict_id),
+        None,
+    )
+    if src is None:
+        raise ValueError(f"arrow-ipc: dictionary id {dict_id} not in schema")
+    vals = _decode_batch(meta, rb, body, [_value_field(src)], dicts)["values"]
+    if is_delta and dict_id in dicts:
+        dicts[dict_id] = dicts[dict_id] + vals
+    else:
+        dicts[dict_id] = vals
+
+
+def _walk_fields(fields: list[dict]):
+    for f in fields:
+        yield f
+        yield from _walk_fields(f.get("children", []))
 
 
 def _read_message(b: bytes, pos: int) -> tuple[int | None, int, bytes, int]:
@@ -461,8 +551,7 @@ def arrow_schema(payload: bytes) -> list[dict]:
     """Parse just the schema of a file or stream payload."""
     b = bytes(payload)
     if b[:6] == b"ARROW1":
-        _fields, _blocks = _file_footer(b)
-        return _fields
+        return _file_footer(b)[0]
     tag, (meta, header), _body, _nxt = _read_message(b, 0)
     if tag != _H_SCHEMA:
         raise ValueError("arrow-ipc: stream does not start with a schema")
@@ -479,19 +568,21 @@ def _file_footer(b: bytes) -> tuple[list[dict], list[tuple[int, int, int]]]:
     if spos is None:
         raise ValueError("arrow-ipc: footer carries no schema")
     fields = _parse_schema(foot, _tab(foot, spos))
-    dpos = _field(foot, table, 2)
-    if dpos is not None and _vector(foot, dpos)[0]:
-        raise NotImplementedError("arrow-ipc: dictionary batches")
-    blocks: list[tuple[int, int, int]] = []
-    rpos = _field(foot, table, 3)
-    if rpos is not None:
-        n, at = _vector(foot, rpos)
-        for i in range(n):
-            # struct Block { long offset; int metaDataLength; long bodyLength }
-            # — 24 bytes with 4 bytes padding after the int
-            p = at + 24 * i
-            blocks.append((_i64(foot, p), _i32(foot, p + 8), _i64(foot, p + 16)))
-    return fields, blocks
+    def _blocks_at(slot: int) -> list[tuple[int, int, int]]:
+        pos = _field(foot, table, slot)
+        got: list[tuple[int, int, int]] = []
+        if pos is not None:
+            n, at = _vector(foot, pos)
+            for i in range(n):
+                # struct Block { long offset; int metaDataLength;
+                # long bodyLength } — 24 bytes, 4 padding after the int
+                p = at + 24 * i
+                got.append(
+                    (_i64(foot, p), _i32(foot, p + 8), _i64(foot, p + 16))
+                )
+        return got
+
+    return fields, _blocks_at(3), _blocks_at(2)
 
 
 def arrow_file_read(
@@ -500,20 +591,24 @@ def arrow_file_read(
     """Decode an Arrow IPC FILE (Feather V2): footer blocks → record
     batches, concatenated in order."""
     b = bytes(payload)
-    fields, blocks = _file_footer(b)
+    fields, blocks, dict_blocks = _file_footer(b)
     names = [f["name"] for f in fields]
     want = columns if columns is not None else names
     for c in want:
         if c not in names:
             raise ValueError(f"arrow-ipc: column {c!r} not in schema")
+    dicts: dict = {}
+    for offset, _ml, _bl in dict_blocks:
+        tag, (meta, header), body, _nxt = _read_message(b, offset)
+        if tag != _H_DICTIONARY:
+            raise ValueError("arrow-ipc: dictionary block holds wrong tag")
+        _apply_dictionary_batch(meta, header, body, fields, dicts)
     out: dict[str, list] = {c: [] for c in want}
     for offset, _meta_len, _body_len in blocks:
         tag, (meta, header), body, _nxt = _read_message(b, offset)
-        if tag == _H_DICTIONARY:
-            raise NotImplementedError("arrow-ipc: dictionary batches")
         if tag != _H_RECORD_BATCH:
             raise ValueError(f"arrow-ipc: block holds message tag {tag}")
-        batch = _decode_batch(meta, header, body, fields)
+        batch = _decode_batch(meta, header, body, fields, dicts)
         for c in want:
             out[c].extend(batch[c])
     return out
@@ -535,16 +630,19 @@ def arrow_stream_read(
         if c not in names:
             raise ValueError(f"arrow-ipc: column {c!r} not in schema")
     out: dict[str, list] = {c: [] for c in want}
+    dicts: dict = {}
     while pos < len(b):
         tag, payload_pair, body, pos = _read_message(b, pos)
         if tag is None:
             break
         if tag == _H_DICTIONARY:
-            raise NotImplementedError("arrow-ipc: dictionary batches")
+            meta, header = payload_pair
+            _apply_dictionary_batch(meta, header, body, fields, dicts)
+            continue
         if tag != _H_RECORD_BATCH:
             raise ValueError(f"arrow-ipc: unexpected message tag {tag}")
         meta, header = payload_pair
-        batch = _decode_batch(meta, header, body, fields)
+        batch = _decode_batch(meta, header, body, fields, dicts)
         for c in want:
             out[c].extend(batch[c])
     return out
