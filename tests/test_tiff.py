@@ -284,3 +284,52 @@ def test_lzw_flush_code_at_early_change_boundary():
         for n in range(248, 262):
             d = bytes(rng.randrange(256) for _ in range(n))
             assert lzw_decode(lzw_encode(d), max_output=max(n, 1)) == d, (seed, n)
+
+
+# --- round-14 s3: tiled layout, palette color, planar configuration 2 ------
+
+
+def test_tiled_palette_planar_roundtrips():
+    import numpy as np
+
+    from yark_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(14)
+    gray = rng.randint(0, 256, (37, 53), dtype=np.uint8)
+    rgb = rng.randint(0, 256, (37, 53, 3), dtype=np.uint8)
+    idx = rng.randint(0, 256, (21, 30), dtype=np.uint8)
+    pal = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    for comp in ("none", "lzw", "packbits"):
+        for bo in ("<", ">"):
+            blob = encode_tiff(
+                gray, compression=comp, layout="tiled",
+                tile_size=(16, 32), byte_order=bo,
+            )
+            assert (decode_tiff(blob) == gray).all()
+            # predictor restarts per tile (independent units)
+            blob = encode_tiff(
+                rgb, compression=comp, layout="tiled", predictor=2,
+                byte_order=bo,
+            )
+            assert (decode_tiff(blob) == rgb).all()
+            blob = encode_tiff(
+                rgb, compression=comp, planar=2, predictor=2, byte_order=bo
+            )
+            assert (decode_tiff(blob) == rgb).all()
+            blob = encode_tiff(idx, compression=comp, palette=pal, byte_order=bo)
+            assert (decode_tiff(blob) == pal[idx]).all()
+
+
+def test_tiff_variant_guards():
+    import numpy as np
+    import pytest as _pytest
+
+    from yark_spark.operators.tiff import encode_tiff
+
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(rgb, layout="tiled", tile_size=(10, 16))
+    with _pytest.raises(ValueError, match="chunky"):
+        encode_tiff(rgb, planar=2, layout="tiled")
+    with _pytest.raises(ValueError, match="palette"):
+        encode_tiff(rgb, palette=np.zeros((256, 3), dtype=np.uint8))

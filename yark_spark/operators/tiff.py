@@ -26,10 +26,15 @@ Reference parity note: the reference archiver stores media bytes
 opaquely (/root/reference/cmds/archive.py:88-91); decoding them is
 mandate-side training-pipeline surface, same as operators/png et al.
 
-Boundaries (documented, typed): tiled TIFFs, planar configuration 2,
-palette color, bit depths other than 8, and the fax/JPEG-in-TIFF
-compressions raise ``NotImplementedError``; malformed structures raise
-``ValueError`` so the decode quarantine keeps corrupt rows as rows.
+Round 14 s3 closes three of the original boundaries both directions:
+TILED layout (the tile grid with edge padding; the predictor restarts
+per tile — each tile is an independent compression unit), PALETTE
+color (photometric 3, 16-bit ColorMap), and PLANAR configuration 2
+(plane-major strip order). Remaining boundaries (documented, typed):
+bit depths other than 8, tiled planar-2, multi-page IFD chains, and
+the fax/JPEG-in-TIFF compressions raise ``NotImplementedError``;
+malformed structures raise ``ValueError`` so the decode quarantine
+keeps corrupt rows as rows.
 """
 
 from __future__ import annotations
@@ -323,11 +328,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     photometric = one(262)
     predictor = one(317, 1)
     planar = one(284, 1)
-    if planar != 1:
-        raise NotImplementedError("tiff: planar configuration 2")
-    if photometric == 3:
-        raise NotImplementedError("tiff: palette color")
-    if photometric not in (0, 1, 2):
+    if planar not in (1, 2):
+        raise NotImplementedError(f"tiff: planar configuration {planar}")
+    if photometric not in (0, 1, 2, 3):
         raise NotImplementedError(f"tiff: photometric {photometric}")
     if any(v != 8 for v in bits) or len(bits) != spp:
         raise NotImplementedError(f"tiff: bits per sample {bits}")
@@ -335,48 +338,106 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"tiff: {spp} samples per pixel")
     if (photometric == 2) != (spp == 3):
         raise ValueError("tiff: photometric/sample-count mismatch")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiff: tiled layout")
+    if photometric == 3 and spp != 1:
+        raise ValueError("tiff: palette images carry one sample")
     if predictor not in (1, 2):
         raise NotImplementedError(f"tiff: predictor {predictor}")
     if compression not in (1, 5, 32773):
         raise NotImplementedError(f"tiff: compression {compression}")
+    tiled = 322 in tags or 323 in tags
 
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("tiff: missing/mismatched strip tags")
-    rows_per_strip = one(278, height)
-    row_bytes = width * spp
-
-    rows = bytearray()
-    remaining = height
-    for s, (off, cnt) in enumerate(zip(offsets, counts)):
-        strip = b[off : off + cnt]
-        if len(strip) != cnt:
-            raise ValueError("tiff: strip past end of file")
-        nrows = min(rows_per_strip, remaining)
-        expected = nrows * row_bytes
+    def _expand(strip: bytes, expected: int) -> bytes:
         if compression == 1:
             if len(strip) < expected:
-                raise ValueError("tiff: uncompressed strip short")
-            raw = strip[:expected]
-        elif compression == 5:
+                raise ValueError("tiff: uncompressed segment short")
+            return strip[:expected]
+        if compression == 5:
             raw = lzw_decode(strip, max_output=expected)
             if len(raw) != expected:
-                raise ValueError("tiff: LZW strip size mismatch")
-        else:
-            raw = packbits_decode(strip, expected)
-        rows += raw
-        remaining -= nrows
-    if remaining != 0:
-        raise ValueError("tiff: strips do not cover the image")
+                raise ValueError("tiff: LZW segment size mismatch")
+            return raw
+        return packbits_decode(strip, expected)
 
-    arr = np.frombuffer(bytes(rows), dtype=np.uint8).reshape(
-        height, width, spp
-    )
-    if predictor == 2:
-        arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
+    if tiled:
+        # tiled layout (TIFF 6.0 §15): a grid of fixed-size tiles,
+        # each compressed independently and PADDED to full tile size;
+        # edge tiles crop. Tiles are plane-interleaved (chunky) only.
+        if planar != 1:
+            raise NotImplementedError("tiff: tiled planar-2 layout")
+        tw = one(322)
+        th = one(323)
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError("tiff: tile dims must be positive multiples of 16")
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("tiff: missing/mismatched tile tags")
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        if len(offsets) != across * down:
+            raise ValueError("tiff: tile count mismatch")
+        arr = np.zeros((height, width, spp), dtype=np.uint8)
+        expected = th * tw * spp
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            tile = b[off : off + cnt]
+            if len(tile) != cnt:
+                raise ValueError("tiff: tile past end of file")
+            raw = _expand(tile, expected)
+            t_arr = np.frombuffer(raw, dtype=np.uint8).reshape(th, tw, spp)
+            if predictor == 2:
+                t_arr = np.cumsum(t_arr.astype(np.uint32), axis=1).astype(
+                    np.uint8
+                )
+            r0 = (ti // across) * th
+            c0 = (ti % across) * tw
+            arr[r0 : r0 + th, c0 : c0 + tw] = t_arr[
+                : min(th, height - r0), : min(tw, width - c0)
+            ]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("tiff: missing/mismatched strip tags")
+        rows_per_strip = one(278, height)
+        n_planes = spp if planar == 2 else 1
+        per_plane = (height + rows_per_strip - 1) // rows_per_strip
+        if planar == 2 and len(offsets) != per_plane * n_planes:
+            raise ValueError("tiff: planar strip count mismatch")
+        plane_w = width if planar == 2 else width * spp
+        planes = []
+        for p in range(n_planes):
+            rows = bytearray()
+            remaining = height
+            for k in range(per_plane if planar == 2 else len(offsets)):
+                off = offsets[p * per_plane + k] if planar == 2 else offsets[k]
+                cnt = counts[p * per_plane + k] if planar == 2 else counts[k]
+                strip = b[off : off + cnt]
+                if len(strip) != cnt:
+                    raise ValueError("tiff: strip past end of file")
+                nrows = min(rows_per_strip, remaining)
+                rows += _expand(strip, nrows * plane_w)
+                remaining -= nrows
+            if remaining != 0:
+                raise ValueError("tiff: strips do not cover the image")
+            planes.append(
+                np.frombuffer(bytes(rows), dtype=np.uint8).reshape(
+                    height, width, 1 if planar == 2 else spp
+                )
+            )
+        arr = np.concatenate(planes, axis=2) if planar == 2 else planes[0]
+        if predictor == 2:
+            # horizontal differencing runs per sample along each row
+            arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
+    if photometric == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) != 3 * 256:
+            raise NotImplementedError(
+                "tiff: palette images need a 3x256 16-bit ColorMap"
+            )
+        lut = (
+            np.array(cmap, dtype=np.uint32).reshape(3, 256).T >> 8
+        ).astype(np.uint8)
+        return lut[arr[:, :, 0]].copy()
     if photometric == 0:  # WhiteIsZero → invert to standard intensity
         arr = 255 - arr
     return arr[:, :, 0].copy() if spp == 1 else arr.copy()
@@ -396,11 +457,19 @@ def encode_tiff(
     rows_per_strip: int = 8,
     byte_order: str = "<",
     white_is_zero: bool = False,
+    layout: str = "strips",
+    tile_size: tuple[int, int] = (16, 16),
+    palette: "np.ndarray | None" = None,
+    planar: int = 1,
 ) -> bytes:
     """uint8 (H, W) grayscale or (H, W, 3) RGB → baseline TIFF. Strip
     layout (``rows_per_strip``) so small images still cross strip
     boundaries; predictor 2 applies horizontal differencing before
-    compression; ``byte_order`` exercises both II and MM readers."""
+    compression; ``byte_order`` exercises both II and MM readers.
+    Round 14 s3: ``layout='tiled'`` writes the tile grid (edge tiles
+    padded to full size), ``palette`` (a (256, 3) uint8 LUT, image =
+    indices) writes photometric-3 with a 16-bit ColorMap, and
+    ``planar=2`` separates RGB strips plane-major."""
     a = np.asarray(img)
     if a.dtype != np.uint8 or a.ndim not in (2, 3):
         raise ValueError("tiff: encoder wants uint8 (H,W) or (H,W,3)")
@@ -412,9 +481,21 @@ def encode_tiff(
         raise ValueError(f"tiff: unsupported predictor {predictor}")
     if byte_order not in ("<", ">"):
         raise ValueError("tiff: byte_order must be '<' or '>'")
+    if layout not in ("strips", "tiled"):
+        raise ValueError(f"tiff: unknown layout {layout!r}")
+    if planar not in (1, 2):
+        raise ValueError("tiff: planar must be 1 or 2")
     gray = a.ndim == 2
     if white_is_zero and not gray:
         raise ValueError("tiff: WhiteIsZero is a grayscale photometric")
+    if palette is not None:
+        pal = np.asarray(palette)
+        if not gray or pal.shape != (256, 3) or pal.dtype != np.uint8:
+            raise ValueError(
+                "tiff: palette wants index image (H,W) + (256,3) uint8 LUT"
+            )
+    if planar == 2 and (gray or layout == "tiled"):
+        raise ValueError("tiff: planar-2 writes chunky-RGB strips only")
     h, w = a.shape[:2]
     spp = 1 if gray else 3
     px = a[:, :, None] if gray else a
@@ -425,29 +506,79 @@ def encode_tiff(
         diff[:, 1:, :] = diff[:, 1:, :] - diff[:, :-1, :]
         px = (diff & 0xFF).astype(np.uint8)
 
-    strips = []
-    for r0 in range(0, h, rows_per_strip):
-        raw = px[r0 : r0 + rows_per_strip].tobytes()
+    def _pack(raw: bytes) -> bytes:
         if compression == "none":
-            strips.append(raw)
-        elif compression == "lzw":
-            strips.append(lzw_encode(raw))
-        else:
-            strips.append(packbits_encode(raw))
+            return raw
+        if compression == "lzw":
+            return lzw_encode(raw)
+        return packbits_encode(raw)
+
+    tiled = layout == "tiled"
+    if tiled:
+        # the predictor restarts per TILE (each tile is an independent
+        # compression unit), so differencing applies after tiling —
+        # undo the global pass above and re-apply per tile
+        if predictor == 2:
+            px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
+        tw, th = tile_size
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError("tiff: tile dims must be positive multiples of 16")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        full = np.zeros((down * th, across * tw, spp), dtype=np.uint8)
+        full[:h, :w] = px
+        strips = []
+        for r0 in range(0, down * th, th):
+            for c0 in range(0, across * tw, tw):
+                tile = full[r0 : r0 + th, c0 : c0 + tw]
+                if predictor == 2:
+                    diff = tile.astype(np.int16)
+                    diff[:, 1:, :] = diff[:, 1:, :] - diff[:, :-1, :]
+                    tile = (diff & 0xFF).astype(np.uint8)
+                strips.append(_pack(tile.tobytes()))
+    elif planar == 2:
+        strips = [
+            _pack(px[r0 : r0 + rows_per_strip, :, p].tobytes())
+            for p in range(spp)
+            for r0 in range(0, h, rows_per_strip)
+        ]
+    else:
+        strips = [
+            _pack(px[r0 : r0 + rows_per_strip].tobytes())
+            for r0 in range(0, h, rows_per_strip)
+        ]
 
     bo = byte_order
-    photometric = 2 if spp == 3 else (0 if white_is_zero else 1)
+    if palette is not None:
+        photometric = 3
+    else:
+        photometric = 2 if spp == 3 else (0 if white_is_zero else 1)
     entries: list[tuple[int, int, int, list[int]]] = [
         (256, 4, 1, [w]),
         (257, 4, 1, [h]),
         (258, 3, spp, [8] * spp),
         (259, 3, 1, [_COMP_CODES[compression]]),
         (262, 3, 1, [photometric]),
-        (273, 4, len(strips), [0] * len(strips)),  # patched below
         (277, 3, 1, [spp]),
-        (278, 4, 1, [rows_per_strip]),
-        (279, 4, len(strips), [len(s) for s in strips]),
     ]
+    if tiled:
+        entries += [
+            (322, 4, 1, [tw]),
+            (323, 4, 1, [th]),
+            (324, 4, len(strips), [0] * len(strips)),  # patched below
+            (325, 4, len(strips), [len(s) for s in strips]),
+        ]
+    else:
+        entries += [
+            (273, 4, len(strips), [0] * len(strips)),  # patched below
+            (278, 4, 1, [rows_per_strip]),
+            (279, 4, len(strips), [len(s) for s in strips]),
+        ]
+    if planar == 2:
+        entries.append((284, 3, 1, [2]))
+    if palette is not None:
+        cmap = [int(v) * 257 for v in pal.T.reshape(-1)]
+        entries.append((320, 3, len(cmap), cmap))
     if predictor == 2:
         entries.append((317, 3, 1, [2]))
     entries.sort(key=lambda e: e[0])
@@ -475,7 +606,7 @@ def encode_tiff(
         strip_offsets.append(pos)
         pos += len(s)
     entries = [
-        (tag, typ, count, strip_offsets if tag == 273 else vals)
+        (tag, typ, count, strip_offsets if tag in (273, 324) else vals)
         for tag, typ, count, vals in entries
     ]
 
