@@ -93,10 +93,17 @@ def test_missing_file_and_metadata_typed():
 
 
 def test_reader_version_gate():
+    # mrv 2 (column mapping) READS since round 14 s3; a mapping-free
+    # mrv-2 table resolves with plain logical names. mrv 4 stays typed.
     a = _pq([1])
     proto2 = {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
     blob = _table(
         [_commit(0, proto2, _META, _add("a.parquet", a))], [("a.parquet", a)]
+    )
+    assert len(delta_live_files(blob)) == 1
+    proto4 = {"protocol": {"minReaderVersion": 4}}
+    blob = _table(
+        [_commit(0, proto4, _META, _add("a.parquet", a))], [("a.parquet", a)]
     )
     with pytest.raises(NotImplementedError, match="minReaderVersion"):
         delta_live_files(blob)
@@ -416,14 +423,25 @@ def test_protocol_v3_feature_gate():
     )
     with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         delta_snapshot_rows(blob, ["doc_id"])
-    # minReaderVersion 2 (column mapping) stays typed
+    # minReaderVersion 2 (column mapping) reads since round 14 s3; an
+    # unmapped mrv-2 table resolves by logical names directly
     blob2 = _table(
         [_commit(0, {"protocol": {"minReaderVersion": 2}}, _META,
                  _add("a.parquet", a))],
         [("a.parquet", a)],
     )
-    with pytest.raises(NotImplementedError, match="minReaderVersion 2"):
-        delta_snapshot_rows(blob2, ["doc_id"])
+    assert [r["doc_id"] for _, r in delta_snapshot_rows(blob2, ["doc_id"])] == [1]
+    # the columnMapping v3 readerFeature is accepted too
+    ok3 = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "readerFeatures": ["columnMapping"],
+        }
+    }
+    blob3 = _table(
+        [_commit(0, ok3, _META, _add("a.parquet", a))], [("a.parquet", a)]
+    )
+    assert [r["doc_id"] for _, r in delta_snapshot_rows(blob3, ["doc_id"])] == [1]
 
 
 def test_checkpoint_of_dv_table_roundtrips():
@@ -452,3 +470,63 @@ def test_checkpoint_of_dv_table_roundtrips():
     ck = delta_checkpoint_table(blob, 2)
     names = [n for n, _ in tar_members(ck)]
     assert not any(n.endswith(".json") for n in names if "_delta_log" in n)
+
+
+def test_column_mapping_name_mode():
+    """mode=name (round 14 s3): logical requests resolve through the
+    metaData schema's physicalName annotations; mode=id stays typed;
+    unmapped tables return None."""
+    import json as _json
+
+    from yark_spark.operators.containers import tar_build
+    from yark_spark.operators.deltalog import (
+        delta_column_mapping,
+        delta_snapshot_rows,
+    )
+    from yark_spark.operators.parquet_write import parquet_write
+
+    p0 = parquet_write(
+        {"col-aaa": list(range(8)), "col-bbb": ["t%d" % i for i in range(8)]},
+        types={"col-aaa": "INT64", "col-bbb": "BYTE_ARRAY"},
+        codec="SNAPPY",
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "text", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+        ],
+    }
+
+    def _table(mode):
+        cfg = {"delta.columnMapping.mode": mode} if mode else {}
+        v0 = "\n".join(
+            [
+                _json.dumps({"protocol": {"minReaderVersion": 2,
+                                          "minWriterVersion": 5}}),
+                _json.dumps({"metaData": {
+                    "id": "t", "format": {"provider": "parquet"},
+                    "partitionColumns": [],
+                    "schemaString": _json.dumps(schema),
+                    "configuration": cfg}}),
+                _json.dumps({"add": {"path": "part-0.parquet",
+                                     "size": len(p0), "dataChange": True}}),
+            ]
+        )
+        return tar_build(
+            [("_delta_log/" + "0" * 20 + ".json", v0.encode()),
+             ("part-0.parquet", p0)]
+        )
+
+    tar = _table("name")
+    assert delta_column_mapping(tar) == {"doc_id": "col-aaa", "text": "col-bbb"}
+    rows = delta_snapshot_rows(tar, ["doc_id", "text"])
+    assert [r["doc_id"] for _, r in rows] == list(range(8))
+    assert rows[0][1]["text"] == "t0"
+    with pytest.raises(NotImplementedError, match="field-id"):
+        delta_column_mapping(_table("id"))
+    assert delta_column_mapping(_table(None)) is None

@@ -147,17 +147,22 @@ def delta_live_files_dv(
 
 def _check_protocol(p: dict) -> None:
     mrv = p.get("minReaderVersion", 1)
-    if mrv <= 1:
+    if mrv <= 2:
+        # 2 = column mapping (round 14 s3: mode=name resolves through
+        # the metaData schema's physicalName annotations)
         return
     if mrv == 3:
-        unsupported = set(p.get("readerFeatures") or []) - {"deletionVectors"}
+        unsupported = set(p.get("readerFeatures") or []) - {
+            "deletionVectors",
+            "columnMapping",
+        }
         if unsupported:
             raise NotImplementedError(
                 f"delta: readerFeatures {sorted(unsupported)} not supported"
             )
         return
     raise NotImplementedError(
-        f"delta: minReaderVersion {mrv} (column mapping) not supported"
+        f"delta: minReaderVersion {mrv} not supported"
     )
 
 
@@ -317,20 +322,73 @@ def _replay_from_checkpoint(
     return _finalize(members, live)
 
 
+def delta_column_mapping(tar_payload: bytes) -> "dict[str, str] | None":
+    """Logical → PHYSICAL column names when the table declares
+    ``delta.columnMapping.mode = name`` (round 14 s3): the LAST
+    metaData action's schemaString carries per-field
+    ``delta.columnMapping.physicalName`` annotations, and the parquet
+    files store the physical names — a reader that matches logical
+    names directly reads nothing on real mapped tables (the mode that
+    makes column RENAME a metadata-only operation). Mode ``id`` stays
+    a typed boundary (parquet field-id matching); no/"none" mode
+    returns None."""
+    members = dict(tar_members(tar_payload))
+    meta = None
+    for name in sorted(members):
+        if not _COMMIT_RE.match(name):
+            continue
+        for line in members[name].splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "metaData" in action:
+                meta = action["metaData"]
+    if meta is None:
+        return None
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in ("none", ""):
+        return None
+    if mode == "id":
+        raise NotImplementedError(
+            "delta: columnMapping.mode=id (parquet field-id matching)"
+        )
+    if mode != "name":
+        raise ValueError(f"delta: unknown columnMapping.mode {mode!r}")
+    schema = json.loads(meta["schemaString"])
+    mapping: dict[str, str] = {}
+    for f in schema.get("fields", []):
+        phys = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+        if not phys:
+            raise ValueError(
+                f"delta: mapped table field {f.get('name')!r} has no "
+                "physicalName"
+            )
+        mapping[f["name"]] = phys
+    return mapping
+
+
 def delta_snapshot_rows(
     tar_payload: bytes, columns: list[str]
 ) -> list[tuple[int, dict]]:
     """Live snapshot → rows: ``[(version_added, {col: value})]`` by
     decoding every live file through the from-scratch parquet reader;
-    rows named by a file's deletion vector drop out (round 14)."""
+    rows named by a file's deletion vector drop out (round 14), and
+    column-mapped tables resolve logical names through the metaData
+    schema's physicalName annotations (round 14 s3)."""
+    mapping = delta_column_mapping(tar_payload)
+    phys = [mapping.get(c, c) for c in columns] if mapping else list(columns)
     out: list[tuple[int, dict]] = []
     for _path, version, data, dead in delta_live_files_dv(tar_payload):
-        cols = parquet_read_columns(data, columns)
-        n = len(cols[columns[0]])
+        cols = parquet_read_columns(data, phys)
+        n = len(cols[phys[0]])
         for i in range(n):
             if i in dead:
                 continue
-            out.append((version, {c: cols[c][i] for c in columns}))
+            out.append(
+                (version, {c: cols[p][i] for c, p in zip(columns, phys)})
+            )
     return out
 
 

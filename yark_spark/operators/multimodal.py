@@ -2752,7 +2752,10 @@ DELTA_SNAPSHOT_SCHEMA = StructType(
 
 
 def with_delta_table_payload(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    column_mapping: bool = False,
 ) -> DataFrame:
     """Delta-style table fixture (round 13): every 32 docs become one
     lakehouse table archive — four 8-doc parquet files written by the
@@ -2760,7 +2763,11 @@ def with_delta_table_payload(
     three-commit JSON log: v0 protocol+metaData+add(p0,p1), v1
     add(p2), v2 remove(p1)+add(p3). The snapshot reader must therefore
     drop docs 8–15 of every table and attribute the rest to the right
-    commit. One applyInPandas per table group."""
+    commit. ``column_mapping=True`` (round 14 s3) stores PHYSICAL
+    names (col-<n>f) in the parquet files and declares
+    delta.columnMapping.mode=name with per-field physicalName
+    annotations in the metaData schema — the shape every renamed
+    modern Delta table has. One applyInPandas per table group."""
     from pyspark import cloudpickle as _cp
 
     from yark_spark.operators import parquet_data as _pdata
@@ -2788,11 +2795,13 @@ def with_delta_table_payload(
         ids = [int(v) for v in pdf[id_col]]
         texts = list(pdf[text_col])
         tid = ids[0] // 32
+        phys_id = "col-1f" if column_mapping else "doc_id"
+        phys_text = "col-2f" if column_mapping else "text"
         parts = []
         for k in range(0, len(ids), 8):
             blob = _write(
-                {"doc_id": ids[k : k + 8], "text": texts[k : k + 8]},
-                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                {phys_id: ids[k : k + 8], phys_text: texts[k : k + 8]},
+                types={phys_id: "INT64", phys_text: "BYTE_ARRAY"},
                 codec="SNAPPY",
             )
             parts.append((f"part-{k // 8:05d}.parquet", blob))
@@ -2802,20 +2811,52 @@ def with_delta_table_payload(
                 {"add": {"path": path, "size": len(blob), "dataChange": True}}
             )
 
+        meta_action = {
+            "id": f"table-{tid}",
+            "format": {"provider": "parquet"},
+            "partitionColumns": [],
+        }
+        if column_mapping:
+            meta_action["schemaString"] = _json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": "doc_id",
+                            "type": "long",
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.id": 1,
+                                "delta.columnMapping.physicalName": phys_id,
+                            },
+                        },
+                        {
+                            "name": "text",
+                            "type": "string",
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.id": 2,
+                                "delta.columnMapping.physicalName": phys_text,
+                            },
+                        },
+                    ],
+                }
+            )
+            meta_action["configuration"] = {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "2",
+            }
         v0 = "\n".join(
             [
                 _json.dumps(
-                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-                ),
-                _json.dumps(
                     {
-                        "metaData": {
-                            "id": f"table-{tid}",
-                            "format": {"provider": "parquet"},
-                            "partitionColumns": [],
+                        "protocol": {
+                            "minReaderVersion": 2 if column_mapping else 1,
+                            "minWriterVersion": 5 if column_mapping else 2,
                         }
                     }
                 ),
+                _json.dumps({"metaData": meta_action}),
                 _add(*parts[0]),
                 _add(*parts[1]) if len(parts) > 1 else "",
             ]

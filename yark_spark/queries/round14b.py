@@ -239,6 +239,43 @@ def q_zip_methods_scan(spark, sf_dir):
     return zip_listing(with_zip_shards(docs, method_cycle="full"))
 
 
+_DELTA_MAPPING_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CAST(CASE WHEN doc_id % 32 < 8 THEN 0 "
+    "WHEN doc_id % 32 < 16 THEN -1 "  # removed: filtered below
+    "WHEN doc_id % 32 < 24 THEN 1 ELSE 2 END AS INTEGER) AS version_added, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480 AND doc_id % 32 NOT BETWEEN 8 AND 15"
+)
+
+
+@query("q_delta_column_mapping", oracle=_DELTA_MAPPING_ORACLE)
+def q_delta_column_mapping(spark, sf_dir):
+    """E161 Delta column mapping, mode=name (round 14, session 3):
+    the q_delta_snapshot tables re-built the way every RENAMED modern
+    Delta table looks — parquet files store PHYSICAL names (col-1f /
+    col-2f), the metaData schemaString carries per-field
+    delta.columnMapping.physicalName annotations, protocol
+    minReaderVersion 2 — and delta_snapshot_rows resolves LOGICAL
+    column requests through the mapping (operators/deltalog.
+    delta_column_mapping; mode=id stays a typed boundary). A reader
+    that matches logical names directly reads NOTHING on mapped
+    tables, so the oracle (same remove/resurrect semantics as
+    q_delta_snapshot) passes only if the mapping really resolved.
+    Column rename as a metadata-only operation is why the mode
+    exists; at 100 TB nobody rewrites files to rename a column.
+    Grouping shuffle = table assignment; map-only replay."""
+    from yark_spark.operators.multimodal import (
+        delta_snapshot_features,
+        with_delta_table_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return delta_snapshot_features(
+        with_delta_table_payload(docs, column_mapping=True)
+    )
+
+
 def _mp3_stereo_oracle() -> str:
     """SQL re-derivation of the STEREO fixture: the mono arithmetic
     with the channel mixed into the codes (a+5ch, b+11ch, c+2ch,
