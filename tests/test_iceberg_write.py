@@ -238,3 +238,43 @@ def test_partitioned_commit_requires_partition_values():
     m = iceberg_table_create(FIELDS, partition_spec=spec)
     with pytest.raises(ValueError, match="partition"):
         iceberg_commit(m, data_files=[("d.parquet", _pq(0, 4), 4)])
+
+
+def test_field_id_rename_resolution():
+    """Files carry original names + field ids; a metadata-only rename
+    must still resolve (the spec's name-independent rule). Equality
+    deletes route through the same id resolver."""
+    import json as _json
+
+    fields_old = [
+        {"id": 1, "name": "doc_key", "required": True, "type": "long"},
+        {"id": 2, "name": "body", "required": True, "type": "string"},
+    ]
+    m = iceberg_table_create(fields_old)
+    blob = parquet_write(
+        {"doc_key": list(range(16)), "body": ["t%02d" % i for i in range(16)]},
+        types={"doc_key": "INT64", "body": "BYTE_ARRAY"},
+        codec="SNAPPY",
+        field_ids={"doc_key": 1, "body": 2},
+    )
+    m, _ = iceberg_commit(m, data_files=[("data/p0.parquet", blob, 16)])
+    eq = parquet_write(
+        {"doc_key": [5]}, types={"doc_key": "INT64"}, codec="SNAPPY",
+        field_ids={"doc_key": 1},
+    )
+    m, _ = iceberg_commit(
+        m,
+        delete_files=[
+            {"path": "data/del.parquet", "blob": eq, "content": 2,
+             "record_count": 1, "equality_ids": [1]},
+        ],
+    )
+    name = next(n for n in m if n.endswith(".metadata.json"))
+    meta = _json.loads(m[name])
+    meta["schemas"][0]["fields"][0]["name"] = "doc_id"
+    meta["schemas"][0]["fields"][1]["name"] = "text"
+    m[name] = _json.dumps(meta).encode()
+    rows = iceberg_snapshot_rows(tar_build(sorted(m.items())), ["doc_id", "text"])
+    got = sorted(r["doc_id"] for _, r in rows)
+    assert got == [i for i in range(16) if i != 5]  # eq delete resolved by id
+    assert all(r["text"] == "t%02d" % r["doc_id"] for _, r in rows)

@@ -72,6 +72,7 @@ import json
 from yark_spark.operators.avro_ocf import avro_build, avro_records
 from yark_spark.operators.containers import tar_members
 from yark_spark.operators.parquet_data import parquet_read_columns
+from yark_spark.operators.parquet_meta import parquet_footer
 
 __all__ = [
     "MANIFEST_LIST_SCHEMA",
@@ -273,6 +274,29 @@ def iceberg_plan_snapshot(
     return fields_by_id, data_files, delete_files
 
 
+def _read_by_field_ids(
+    blob: bytes, logical: list[str], name_to_id: dict[str, int]
+) -> dict[str, list]:
+    """Read parquet columns by ICEBERG FIELD ID when the file's schema
+    carries ids (spec: name-independent resolution — the key that
+    makes column rename metadata-only); files without ids fall back
+    to name matching. Returns columns keyed by the LOGICAL names."""
+    phys_by_id: dict[int, str] = {}
+    for el in parquet_footer(blob)["schema"]:
+        fid = el.get("field_id")
+        if fid is not None and not el.get("num_children"):
+            phys_by_id[fid] = el["name"]
+    phys = []
+    for c in logical:
+        fid = name_to_id.get(c)
+        if fid is not None and fid in phys_by_id:
+            phys.append(phys_by_id[fid])
+        else:
+            phys.append(c)
+    cols = parquet_read_columns(blob, phys)
+    return {c: cols[p] for c, p in zip(logical, phys)}
+
+
 def iceberg_snapshot_rows(
     tar_payload: bytes,
     columns: list[str],
@@ -288,6 +312,7 @@ def iceberg_snapshot_rows(
     fields_by_id, data_files, delete_files = iceberg_plan_snapshot(
         tar_payload, snapshot_id
     )
+    name_to_id = {v: k for k, v in fields_by_id.items()}
 
     # Decode delete files once; they are small relative to data (the
     # broadcast side of the anti-join at cluster scale).
@@ -314,7 +339,7 @@ def iceberg_snapshot_rows(
                 raise ValueError(
                     f"iceberg: equality_id {ids[0]} not in current schema"
                 )
-            vals = parquet_read_columns(blob, [col])[col]
+            vals = _read_by_field_ids(blob, [col], name_to_id)[col]
             eq_deletes.append((d["seq"], col, set(vals)))
 
     out: list[tuple[int, dict]] = []
@@ -326,7 +351,7 @@ def iceberg_snapshot_rows(
         for _, col, _vals in eq_deletes:
             if col not in need:
                 need.append(col)
-        cols = parquet_read_columns(blob, need)
+        cols = _read_by_field_ids(blob, need, name_to_id)
         n = len(cols[need[0]]) if need else 0
         if n != f["record_count"]:
             raise ValueError(

@@ -8021,6 +8021,92 @@ def iceberg_write_prune_features(
     )
 
 
+ICEBERG_RENAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def iceberg_rename_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Iceberg FIELD-ID column resolution (round 14 s3): each 64-doc
+    table is committed with parquet files whose columns carry the
+    ORIGINAL names (doc_key / body) plus Iceberg field ids, then the
+    schema is RENAMED in metadata only (doc_id / text, same ids) —
+    resolution must read the logical names through the ids
+    (operators/iceberg._read_by_field_ids). Name matching reads
+    nothing on renamed tables; id resolution is what the spec
+    mandates and what makes rename O(metadata). One applyInPandas
+    per table; map-only."""
+    _ice = _register_iceberg_modules()
+    _cont = _register_container_modules()
+    from yark_spark.operators import parquet_write as _pw
+
+    _tar = _cont.tar_build
+    _write = _pw.parquet_write
+    _create = _ice.iceberg_table_create
+    _commit = _ice.iceberg_commit
+    _rows = _ice.iceberg_snapshot_rows
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 64
+        fields_old = [
+            {"id": 1, "name": "doc_key", "required": True, "type": "long"},
+            {"id": 2, "name": "body", "required": True, "type": "string"},
+        ]
+        m = _create(fields_old, location=f"tbl-{tid}")
+        for k in range(0, len(ids), 16):
+            blob = _write(
+                {"doc_key": ids[k : k + 16], "body": texts[k : k + 16]},
+                types={"doc_key": "INT64", "body": "BYTE_ARRAY"},
+                codec="SNAPPY",
+                field_ids={"doc_key": 1, "body": 2},
+            )
+            m, _s = _commit(
+                m, data_files=[(f"data/p{k // 16}.parquet", blob, 16)]
+            )
+        # rename doc_key→doc_id, body→text in METADATA ONLY (same ids)
+        name = next(n for n in m if n.endswith(".metadata.json"))
+        meta = _json.loads(m[name])
+        meta["schemas"][0]["fields"][0]["name"] = "doc_id"
+        meta["schemas"][0]["fields"][1]["name"] = "text"
+        m[name] = _json.dumps(meta).encode("utf-8")
+        rows = _rows(_tar(sorted(m.items())), ["doc_id", "text"])
+        out_i, out_n, out_d = [], [], []
+        for _seq, r in rows:
+            out_i.append(int(r["doc_id"]))
+            out_n.append(len(r["text"]))
+            out_d.append(_h.md5(r["text"].encode("utf-8")).hexdigest())
+        k = len(out_i)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_i, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "n_chars": np.array(out_n, dtype="int32"),
+                "digest": out_d,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
+        .applyInPandas(_build, ICEBERG_RENAME_SCHEMA)
+    )
+
+
 def iceberg_snapshot_features(
     df: DataFrame,
     table_col: str = "table_id",

@@ -210,6 +210,9 @@ def parquet_footer(payload: bytes) -> dict:
             "converted_type": d.get(6),
             "scale": d.get(7),
             "precision": d.get(8),
+            # Iceberg/engine field ids (round 14 s3): the key that
+            # makes column RENAME metadata-only
+            "field_id": d.get(9),
         }
 
     def _column(d: dict) -> dict:

@@ -426,6 +426,7 @@ def parquet_write(
     write_page_index: bool = False,
     column_encodings: "dict[str, str] | None" = None,
     data_page_version: int = 1,
+    field_ids: "dict[str, int] | None" = None,
 ) -> bytes:
     """Serialize ``{name: values}`` (equal lengths, ``None`` = null)
     into parquet bytes. ``types`` overrides per-column physical types
@@ -605,6 +606,8 @@ def parquet_write(
         el.binary(4, fn.encode("utf-8"))
         if t == "BYTE_ARRAY":
             el.i32(6, 0)  # ConvertedType UTF8
+        if field_ids and fn in field_ids:
+            el.i32(9, field_ids[fn])  # Iceberg/engine field id
         return el.done()
 
     def _emit_schema(fn: str, spec) -> None:

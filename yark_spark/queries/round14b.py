@@ -239,6 +239,33 @@ def q_zip_methods_scan(spark, sf_dir):
     return zip_listing(with_zip_shards(docs, method_cycle="full"))
 
 
+_ICEBERG_RENAME_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 448"
+)
+
+
+@query("q_iceberg_rename", oracle=_ICEBERG_RENAME_ORACLE)
+def q_iceberg_rename(spark, sf_dir):
+    """E162 Iceberg FIELD-ID column resolution (round 14, session 3):
+    the Delta-column-mapping twin on the other lakehouse protocol —
+    parquet_write gains Iceberg field ids (SchemaElement slot 9,
+    visible to pyarrow as PARQUET:field_id), iceberg_commit writes
+    tables whose files carry the ORIGINAL column names + ids, and the
+    schema is then RENAMED in metadata only (same ids). Resolution
+    reads logical names by mapping schema ids to each file's physical
+    names (operators/iceberg._read_by_field_ids) — exactly the spec's
+    name-independent rule that makes rename O(metadata); equality
+    deletes route through the same resolver. Name matching would read
+    nothing, so the oracle hash passes only if id resolution worked.
+    One applyInPandas per table; map-only."""
+    from yark_spark.operators.multimodal import iceberg_rename_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
+    return iceberg_rename_features(docs)
+
+
 _DELTA_MAPPING_ORACLE = (
     "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
     "CAST(CASE WHEN doc_id % 32 < 8 THEN 0 "
