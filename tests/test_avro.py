@@ -389,3 +389,39 @@ def test_ocf_scan_with_reader_schema():
     assert avro_records(blob, reader_schema=reader) == [
         {"id": 3.0, "tag": "none"}
     ]
+
+
+def test_extended_block_codecs():
+    """Round 14 s3: the spec's optional block codecs — zstd, bzip2, xz
+    — through the in-repo implementations (snappy's big-endian CRC32
+    of the uncompressed block was already in); stdlib lanes pin the
+    bzip2/xz wire as genuinely those formats."""
+    import bz2 as _bz2
+    import lzma as _lzma
+    import struct as _struct
+
+    from yark_spark.operators.avro_ocf import avro_build, avro_records
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    recs = [{"a": i, "s": "val-%03d" % i} for i in range(500)]
+    for codec in ("zstd", "bzip2", "xz"):
+        blob = avro_build(schema, recs, codec=codec)
+        assert avro_records(blob) == recs, codec
+    # the bzip2/xz block payloads decode in the real libraries: walk
+    # to the first block's payload (header meta + sync, then counts)
+    for codec, real in (("bzip2", _bz2.decompress), ("xz", _lzma.decompress)):
+        blob = avro_build(schema, recs[:50], codec=codec, sync=b"S" * 16)
+        at = blob.index(b"S" * 16) + 16  # end of header
+        # varints: record count, byte length
+        from yark_spark.operators.avro_ocf import zigzag_decode
+
+        _n, at = zigzag_decode(blob, at)
+        ln, at = zigzag_decode(blob, at)
+        assert real(blob[at : at + ln])  # real library accepts our wire
