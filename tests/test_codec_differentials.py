@@ -194,6 +194,8 @@ def test_xz_delta_filter_chains_from_real_liblzma(dist):
 
 
 def test_xz_bcj_filter_stays_typed():
+    # x86 (0x04) DECODES since round 14 s3; the other branch
+    # rewriters (ARM/ARM64/PowerPC/SPARC/IA64/...) stay typed
     import lzma
 
     from yark_spark.operators.xz import xz_decompress
@@ -203,5 +205,58 @@ def test_xz_bcj_filter_stays_typed():
         format=lzma.FORMAT_XZ,
         filters=[{"id": lzma.FILTER_X86}, {"id": lzma.FILTER_LZMA2}],
     )
+    assert xz_decompress(enc) == b"\x00" * 100
+    enc = lzma.compress(
+        b"\x00" * 100,
+        format=lzma.FORMAT_XZ,
+        filters=[{"id": lzma.FILTER_ARM}, {"id": lzma.FILTER_LZMA2}],
+    )
     with pytest.raises(NotImplementedError, match="bcj"):
         xz_decompress(enc)
+
+
+def test_x86_bcj_filter_byte_exact_vs_liblzma():
+    """Round 14 s3: the x86 BCJ rewriter pinned BYTE-EXACT against
+    real liblzma both directions — the encoded stream is recovered by
+    stripping liblzma's own LZMA2 layer with the in-repo decoder, so
+    our filter must reproduce the real filter's output bit-for-bit
+    (prev_mask partial-match state machine included), and full
+    [X86, LZMA2] .xz files decode end to end."""
+    import lzma
+    import random
+
+    from yark_spark.operators.xz import (
+        _bcj_x86,
+        _lzma2_decode_consumed,
+        xz_decompress,
+    )
+
+    def real_encoded(data):
+        comp = lzma.compress(
+            data, format=lzma.FORMAT_XZ,
+            filters=[{"id": lzma.FILTER_X86},
+                     {"id": lzma.FILTER_LZMA2, "preset": 0}],
+        )
+        hdr_size = (comp[12] + 1) * 4
+        _, enc = _lzma2_decode_consumed(comp[12 + hdr_size :], 1 << 26)
+        return enc
+
+    rng = random.Random(7)
+    for _ in range(40):
+        n = rng.randrange(10, 3000)
+        data = bytearray(rng.getrandbits(8) for _ in range(n))
+        for _k in range(n // 10):
+            p = rng.randrange(0, max(1, n - 5))
+            data[p] = rng.choice([0xE8, 0xE9])
+            if rng.random() < 0.7 and p + 4 < n:
+                data[p + 4] = rng.choice([0, 0xFF])
+        data = bytes(data)
+        enc_real = real_encoded(data)
+        assert _bcj_x86(data, encoding=True) == enc_real
+        assert _bcj_x86(enc_real, encoding=False) == data
+        comp = lzma.compress(
+            data, format=lzma.FORMAT_XZ,
+            filters=[{"id": lzma.FILTER_X86},
+                     {"id": lzma.FILTER_LZMA2, "preset": 6}],
+        )
+        assert xz_decompress(comp) == data

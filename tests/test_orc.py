@@ -755,3 +755,31 @@ def test_rlev1_timestamps_and_dates_011():
     want_ts = [None if v is None else v.value for v in ts]
     assert got["ts"] == want_ts
     assert got["d"] == [17000 + k for k in range(400)]
+
+
+def test_varchar_char_decode_as_string():
+    """VARCHAR/CHAR (round 14 s3): the spec's length-typed strings use
+    the exact STRING stream layout — a file whose footer declares kind
+    16/17 decodes through the string path, and REAL ORC_CPP reads the
+    same re-typed wire (proving the layouts really coincide)."""
+    import io as _io
+
+    import pyarrow.orc as _paorc
+
+    from yark_spark.operators import orc as _orc
+
+    cols = {"s": ["alpha", "beta-%d" % 7, "", "gamma"], "n": [1, 2, 3, 4]}
+    for kind_id, kind in ((16, "VARCHAR"), (17, "CHAR")):
+        orig = dict(_orc._KIND_IDS)
+        try:
+            _orc._KIND_IDS["STRING"] = kind_id
+            blob = _orc.orc_write(
+                cols, types={"s": "STRING", "n": "LONG"}, compression="ZLIB"
+            )
+        finally:
+            _orc._KIND_IDS.clear()
+            _orc._KIND_IDS.update(orig)
+        got = _orc.orc_read_columns(blob, ["s", "n"])
+        assert got["s"] == cols["s"] and got["n"] == cols["n"], kind
+        t = _paorc.ORCFile(_io.BytesIO(blob)).read()
+        assert t.column("s").to_pylist() == cols["s"], kind

@@ -432,6 +432,12 @@ def _orc_open(b: bytes, max_output: int) -> dict:
 
     def _walk(tid: int, prefix: str | None, chain: list[int]) -> None:
         kind = _KINDS.get(_one(types[tid], 1, -1))
+        if kind in ("VARCHAR", "CHAR"):
+            # Hive length-typed strings (round 14 s3): the spec gives
+            # them the exact STRING stream layout (DATA + LENGTH +
+            # optional dictionary) — maxLength is a metadata-only
+            # constraint, so they decode through the string path
+            kind = "STRING"
         col_kind[tid] = kind
         sub = _packed_or_repeated_uints(types[tid], 2)
         children[tid] = list(sub)

@@ -44,10 +44,11 @@ Reference parity note: the reference archiver stores fetched payloads
 opaquely (/root/reference/cmds/archive.py:88-91); shard codecs are
 driver-mandated training-pipeline surface (SURVEY.md §2.8).
 
-Boundaries (documented, typed): the BCJ branch filters (0x04–0x0B)
-and Delta (0x03) raise ``NotImplementedError``; malformed streams
-raise ``ValueError`` so the ingest quarantine keeps corrupt shards as
-rows.
+Boundaries (documented, typed): the non-x86 BCJ branch filters
+(0x05–0x0B) raise ``NotImplementedError``; Delta (0x03, round 14 s2)
+and the x86 BCJ rewriter (0x04, round 14 s3 — liblzma-byte-exact both
+directions) decode; malformed streams raise ``ValueError`` so the
+ingest quarantine keeps corrupt shards as rows.
 """
 
 from __future__ import annotations
@@ -772,7 +773,72 @@ _CHECK_SIZES = {0x00: 0, 0x01: 4, 0x04: 8, 0x0A: 32}
 _CHECK_NAMES = {"none": 0x00, "crc32": 0x01, "crc64": 0x04, "sha256": 0x0A}
 _FILTER_LZMA2 = 0x21
 _FILTER_DELTA = 0x03
-_KNOWN_UNSUPPORTED = {i: "bcj" for i in range(0x04, 0x0C)}
+_FILTER_X86 = 0x04
+_KNOWN_UNSUPPORTED = {i: "bcj" for i in range(0x05, 0x0C)}
+
+
+# x86 BCJ filter (round 14 s3): converts relative E8/E9 CALL/JMP
+# 32-bit operands to absolute addresses at encode time (making them
+# repeat, which LZMA then crushes) and back at decode. The prev_mask
+# state machine tracks partial 00/FF operand bytes across nearby
+# candidates so both sides agree on which occurrences transform —
+# pinned BYTE-EXACT against real liblzma's filter output both
+# directions in tests/test_codec_differentials.py (the encoded stream
+# is recovered by stripping liblzma's own LZMA2 layer with the
+# in-repo decoder).
+_X86_ALLOWED = [True, True, True, False, True, False, False, False]
+_X86_BITNUM = [0, 1, 2, 2, 3, 3, 3, 3]
+
+
+def _bcj_x86(data: bytes, encoding: bool, start: int = 0) -> bytes:
+    buf = bytearray(data)
+    size = len(buf)
+    if size < 5:
+        return bytes(buf)
+    prev_mask = 0
+    prev_pos = -1
+    i = 0
+    limit = size - 4
+    while i < limit:
+        if buf[i] & 0xFE != 0xE8:
+            i += 1
+            continue
+        d = i - prev_pos
+        prev_pos = i
+        if d > 3:
+            prev_mask = 0
+        else:
+            prev_mask = (prev_mask << (d - 1)) & 7
+            if prev_mask != 0:
+                b = buf[i + 4 - _X86_BITNUM[prev_mask]]
+                if not _X86_ALLOWED[prev_mask] or b == 0 or b == 0xFF:
+                    prev_mask = ((prev_mask << 1) & 7) | 1
+                    i += 1
+                    continue
+        if buf[i + 4] in (0, 0xFF):
+            src = int.from_bytes(buf[i + 1 : i + 5], "little")
+            while True:
+                if encoding:
+                    dest = (src + (start + i + 5)) & 0xFFFFFFFF
+                else:
+                    dest = (src - (start + i + 5)) & 0xFFFFFFFF
+                if prev_mask == 0:
+                    break
+                idx = _X86_BITNUM[prev_mask] * 8
+                b = (dest >> (24 - idx)) & 0xFF
+                if b != 0 and b != 0xFF:
+                    break
+                src = dest ^ ((1 << (32 - idx)) - 1)
+            dest &= 0x01FFFFFF
+            if dest & 0x01000000:
+                dest |= 0xFFFFFFFF ^ 0x01FFFFFF
+            buf[i + 1 : i + 5] = dest.to_bytes(4, "little")
+            i += 5
+            prev_mask = 0
+        else:
+            prev_mask = ((prev_mask << 1) & 7) | 1
+            i += 1
+    return bytes(buf)
 
 
 def _delta_decode(data: bytes, dist: int) -> bytes:
@@ -928,25 +994,36 @@ def _parse_block(
     if len(props) != 1:
         raise ValueError("xz: LZMA2 props must be one byte")
     _dict_size_of_prop(props[0])  # validates
-    deltas: list[int] = []
+    pre: list[tuple[str, int]] = []  # non-terminal filters, chain order
     for dfid, dprops in filters[:-1]:
         if dfid in _KNOWN_UNSUPPORTED:
             raise NotImplementedError(
                 f"xz: {_KNOWN_UNSUPPORTED[dfid]} filter not supported"
             )
-        if dfid != _FILTER_DELTA:
+        if dfid == _FILTER_DELTA:
+            if len(dprops) != 1:
+                raise ValueError("xz: delta props must be one byte")
+            pre.append(("delta", dprops[0] + 1))  # stored as distance-1
+        elif dfid == _FILTER_X86:
+            if len(dprops) == 0:
+                pre.append(("x86", 0))
+            elif len(dprops) == 4:
+                pre.append(("x86", struct.unpack("<I", dprops)[0]))
+            else:
+                raise ValueError("xz: x86 props must be absent or 4 bytes")
+        else:
             raise ValueError(f"xz: unknown non-terminal filter {dfid:#x}")
-        if len(dprops) != 1:
-            raise ValueError("xz: delta props must be one byte")
-        deltas.append(dprops[0] + 1)  # stored as distance-1
     pos += header_size
 
     # LZMA2 data is self-terminating (0x00 control); decode from here.
     # Find its end by decoding, tracking consumed bytes.
     sub = data[pos:]
     consumed, raw = _lzma2_decode_consumed(sub, max_output)
-    for dist in reversed(deltas):
-        raw = _delta_decode(raw, dist)
+    for fname, arg in reversed(pre):
+        if fname == "delta":
+            raw = _delta_decode(raw, arg)
+        else:  # x86 BCJ: decode direction
+            raw = _bcj_x86(raw, encoding=False, start=arg)
     pos += consumed
     if comp_size is not None and comp_size != consumed:
         raise ValueError("xz: compressed-size field mismatch")
