@@ -194,8 +194,9 @@ def test_xz_delta_filter_chains_from_real_liblzma(dist):
 
 
 def test_xz_bcj_filter_stays_typed():
-    # x86 (0x04) DECODES since round 14 s3; the other branch
-    # rewriters (ARM/ARM64/PowerPC/SPARC/IA64/...) stay typed
+    # x86/PowerPC/ARM/ARM-Thumb/SPARC DECODE since round 14 s3; IA64
+    # (bundle templates) and ARM64/RISC-V (no liblzma oracle in this
+    # container build) stay typed
     import lzma
 
     from yark_spark.operators.xz import xz_decompress
@@ -209,7 +210,7 @@ def test_xz_bcj_filter_stays_typed():
     enc = lzma.compress(
         b"\x00" * 100,
         format=lzma.FORMAT_XZ,
-        filters=[{"id": lzma.FILTER_ARM}, {"id": lzma.FILTER_LZMA2}],
+        filters=[{"id": lzma.FILTER_IA64}, {"id": lzma.FILTER_LZMA2}],
     )
     with pytest.raises(NotImplementedError, match="bcj"):
         xz_decompress(enc)
@@ -260,3 +261,49 @@ def test_x86_bcj_filter_byte_exact_vs_liblzma():
                      {"id": lzma.FILTER_LZMA2, "preset": 6}],
         )
         assert xz_decompress(comp) == data
+
+
+@pytest.mark.parametrize(
+    "name, fid, fn_name, salts",
+    [
+        ("ppc", "FILTER_POWERPC", "_bcj_ppc", [0x48, 0x49, 0x4B]),
+        ("arm", "FILTER_ARM", "_bcj_arm", [0xEB]),
+        ("armthumb", "FILTER_ARMTHUMB", "_bcj_armthumb", [0xF0, 0xF8]),
+        ("sparc", "FILTER_SPARC", "_bcj_sparc", [0x40, 0x7F]),
+    ],
+)
+def test_simple_bcj_filters_byte_exact_vs_liblzma(name, fid, fn_name, salts):
+    """Round 14 s3: the per-word BCJ rewriters pinned byte-exact
+    against real liblzma both directions + full .xz decode."""
+    import lzma
+    import random
+
+    from yark_spark.operators import xz as _xz
+
+    fn = getattr(_xz, fn_name)
+    filt = getattr(lzma, fid)
+
+    def real_encoded(data):
+        comp = lzma.compress(
+            data, format=lzma.FORMAT_XZ,
+            filters=[{"id": filt}, {"id": lzma.FILTER_LZMA2, "preset": 0}],
+        )
+        hdr = (comp[12] + 1) * 4
+        _, enc = _xz._lzma2_decode_consumed(comp[12 + hdr :], 1 << 26)
+        return enc
+
+    rng = random.Random(11)
+    for _ in range(20):
+        n = rng.randrange(16, 4000) & ~3
+        data = bytearray(rng.getrandbits(8) for _ in range(n))
+        for _k in range(n // 8):
+            data[rng.randrange(0, n)] = rng.choice(salts)
+        data = bytes(data)
+        er = real_encoded(data)
+        assert fn(data, True) == er
+        assert fn(er, False) == data
+        comp = lzma.compress(
+            data, format=lzma.FORMAT_XZ,
+            filters=[{"id": filt}, {"id": lzma.FILTER_LZMA2, "preset": 6}],
+        )
+        assert _xz.xz_decompress(comp) == data

@@ -44,11 +44,13 @@ Reference parity note: the reference archiver stores fetched payloads
 opaquely (/root/reference/cmds/archive.py:88-91); shard codecs are
 driver-mandated training-pipeline surface (SURVEY.md §2.8).
 
-Boundaries (documented, typed): the non-x86 BCJ branch filters
-(0x05–0x0B) raise ``NotImplementedError``; Delta (0x03, round 14 s2)
-and the x86 BCJ rewriter (0x04, round 14 s3 — liblzma-byte-exact both
-directions) decode; malformed streams raise ``ValueError`` so the
-ingest quarantine keeps corrupt shards as rows.
+Boundaries (documented, typed): IA64 (bundle templates) and
+ARM64/RISC-V (no liblzma oracle in this container build) raise
+``NotImplementedError``; Delta (0x03, round 14 s2) and the
+x86/PowerPC/ARM/ARM-Thumb/SPARC branch rewriters (round 14 s3 — each
+pinned liblzma-byte-exact both directions) decode; malformed streams
+raise ``ValueError`` so the ingest quarantine keeps corrupt shards as
+rows.
 """
 
 from __future__ import annotations
@@ -774,7 +776,107 @@ _CHECK_NAMES = {"none": 0x00, "crc32": 0x01, "crc64": 0x04, "sha256": 0x0A}
 _FILTER_LZMA2 = 0x21
 _FILTER_DELTA = 0x03
 _FILTER_X86 = 0x04
-_KNOWN_UNSUPPORTED = {i: "bcj" for i in range(0x05, 0x0C)}
+_FILTER_PPC, _FILTER_IA64, _FILTER_ARM = 0x05, 0x06, 0x07
+_FILTER_ARMTHUMB, _FILTER_SPARC = 0x08, 0x09
+# IA64 (bundle/slot templates) and ARM64/RISC-V (no liblzma oracle in
+# this container build) stay typed
+_KNOWN_UNSUPPORTED = {0x06: "bcj", 0x0A: "bcj", 0x0B: "bcj"}
+
+
+def _bcj_ppc(data: bytes, enc: bool, start: int = 0) -> bytes:
+    """PowerPC branch rewriter: big-endian ``b``/``bl`` (0x48 family,
+    AA|LK bits 01) 24-bit word displacement ± position."""
+    buf = bytearray(data)
+    for i in range(0, len(buf) - 3, 4):
+        if (buf[i] & 0xFC) == 0x48 and (buf[i + 3] & 3) == 1:
+            addr = (
+                ((buf[i] & 3) << 24)
+                | (buf[i + 1] << 16)
+                | (buf[i + 2] << 8)
+                | (buf[i + 3] & 0xFC)
+            )
+            addr = (addr + (start + i) if enc else addr - (start + i)) & 0x03FFFFFF
+            buf[i] = 0x48 | ((addr >> 24) & 3)
+            buf[i + 1] = (addr >> 16) & 0xFF
+            buf[i + 2] = (addr >> 8) & 0xFF
+            buf[i + 3] = (buf[i + 3] & 3) | (addr & 0xFC)
+    return bytes(buf)
+
+
+def _bcj_arm(data: bytes, enc: bool, start: int = 0) -> bytes:
+    """ARM ``BL`` (0xEB in the high byte, little-endian words): 24-bit
+    word displacement ± (position + 8, the ARM pipeline bias)."""
+    buf = bytearray(data)
+    for i in range(0, len(buf) - 3, 4):
+        if buf[i + 3] == 0xEB:
+            addr = ((buf[i + 2] << 16) | (buf[i + 1] << 8) | buf[i]) << 2
+            addr = (
+                addr + (start + i + 8) if enc else addr - (start + i + 8)
+            ) & 0xFFFFFFFF
+            addr >>= 2
+            buf[i] = addr & 0xFF
+            buf[i + 1] = (addr >> 8) & 0xFF
+            buf[i + 2] = (addr >> 16) & 0xFF
+    return bytes(buf)
+
+
+def _bcj_armthumb(data: bytes, enc: bool, start: int = 0) -> bytes:
+    """ARM Thumb ``BL`` pairs (0xF0/0xF8 half-words): 22-bit half-word
+    displacement ± (position + 4); a rewritten pair consumes both
+    half-words."""
+    buf = bytearray(data)
+    i = 0
+    while i + 4 <= len(buf):
+        if (buf[i + 1] & 0xF8) == 0xF0 and (buf[i + 3] & 0xF8) == 0xF8:
+            addr = (
+                ((buf[i + 1] & 7) << 19)
+                | (buf[i] << 11)
+                | ((buf[i + 3] & 7) << 8)
+                | buf[i + 2]
+            ) << 1
+            addr = (
+                addr + (start + i + 4) if enc else addr - (start + i + 4)
+            ) & 0xFFFFFFFF
+            addr >>= 1
+            buf[i + 1] = 0xF0 | ((addr >> 19) & 7)
+            buf[i] = (addr >> 11) & 0xFF
+            buf[i + 3] = 0xF8 | ((addr >> 8) & 7)
+            buf[i + 2] = addr & 0xFF
+            i += 2
+        i += 2
+    return bytes(buf)
+
+
+def _bcj_sparc(data: bytes, enc: bool, start: int = 0) -> bytes:
+    """SPARC ``CALL`` (0x40xxxxxx / far-negative 0x7FFFC000 family):
+    30-bit word displacement ± position, re-signed into the
+    0x40000000-folded form liblzma emits."""
+    buf = bytearray(data)
+    for i in range(0, len(buf) - 3, 4):
+        if (buf[i] == 0x40 and (buf[i + 1] & 0xC0) == 0) or (
+            buf[i] == 0x7F and (buf[i + 1] & 0xC0) == 0xC0
+        ):
+            addr = (
+                (buf[i] << 24) | (buf[i + 1] << 16) | (buf[i + 2] << 8) | buf[i + 3]
+            ) << 2
+            addr = (addr + (start + i) if enc else addr - (start + i)) & 0xFFFFFFFF
+            addr >>= 2
+            addr = (
+                (0x40000000 - (addr & 0x400000)) | 0x40000000 | (addr & 0x3FFFFF)
+            ) & 0xFFFFFFFF
+            buf[i] = (addr >> 24) & 0xFF
+            buf[i + 1] = (addr >> 16) & 0xFF
+            buf[i + 2] = (addr >> 8) & 0xFF
+            buf[i + 3] = addr & 0xFF
+    return bytes(buf)
+
+
+_BCJ_SIMPLE = {
+    _FILTER_PPC: _bcj_ppc,
+    _FILTER_ARM: _bcj_arm,
+    _FILTER_ARMTHUMB: _bcj_armthumb,
+    _FILTER_SPARC: _bcj_sparc,
+}
 
 
 # x86 BCJ filter (round 14 s3): converts relative E8/E9 CALL/JMP
@@ -1004,13 +1106,14 @@ def _parse_block(
             if len(dprops) != 1:
                 raise ValueError("xz: delta props must be one byte")
             pre.append(("delta", dprops[0] + 1))  # stored as distance-1
-        elif dfid == _FILTER_X86:
+        elif dfid == _FILTER_X86 or dfid in _BCJ_SIMPLE:
             if len(dprops) == 0:
-                pre.append(("x86", 0))
+                off = 0
             elif len(dprops) == 4:
-                pre.append(("x86", struct.unpack("<I", dprops)[0]))
+                off = struct.unpack("<I", dprops)[0]
             else:
-                raise ValueError("xz: x86 props must be absent or 4 bytes")
+                raise ValueError("xz: BCJ props must be absent or 4 bytes")
+            pre.append(("x86" if dfid == _FILTER_X86 else dfid, off))
         else:
             raise ValueError(f"xz: unknown non-terminal filter {dfid:#x}")
     pos += header_size
@@ -1022,8 +1125,10 @@ def _parse_block(
     for fname, arg in reversed(pre):
         if fname == "delta":
             raw = _delta_decode(raw, arg)
-        else:  # x86 BCJ: decode direction
+        elif fname == "x86":
             raw = _bcj_x86(raw, encoding=False, start=arg)
+        else:  # simple per-word BCJ rewriters: decode direction
+            raw = _BCJ_SIMPLE[fname](raw, False, arg)
     pos += consumed
     if comp_size is not None and comp_size != consumed:
         raise ValueError("xz: compressed-size field mismatch")
