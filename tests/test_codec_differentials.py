@@ -194,26 +194,21 @@ def test_xz_delta_filter_chains_from_real_liblzma(dist):
 
 
 def test_xz_bcj_filter_stays_typed():
-    # x86/PowerPC/ARM/ARM-Thumb/SPARC DECODE since round 14 s3; IA64
-    # (bundle templates) and ARM64/RISC-V (no liblzma oracle in this
-    # container build) stay typed
+    # x86/PowerPC/IA64/ARM/ARM-Thumb/SPARC DECODE since round 14 s3;
+    # ARM64/RISC-V (no liblzma oracle in this container build) stay
+    # typed — exercised via a hand-built header since this liblzma
+    # cannot write them either
     import lzma
 
     from yark_spark.operators.xz import xz_decompress
 
-    enc = lzma.compress(
-        b"\x00" * 100,
-        format=lzma.FORMAT_XZ,
-        filters=[{"id": lzma.FILTER_X86}, {"id": lzma.FILTER_LZMA2}],
-    )
-    assert xz_decompress(enc) == b"\x00" * 100
-    enc = lzma.compress(
-        b"\x00" * 100,
-        format=lzma.FORMAT_XZ,
-        filters=[{"id": lzma.FILTER_IA64}, {"id": lzma.FILTER_LZMA2}],
-    )
-    with pytest.raises(NotImplementedError, match="bcj"):
-        xz_decompress(enc)
+    for fid in (lzma.FILTER_X86, lzma.FILTER_IA64):
+        enc = lzma.compress(
+            b"\x00" * 100,
+            format=lzma.FORMAT_XZ,
+            filters=[{"id": fid}, {"id": lzma.FILTER_LZMA2}],
+        )
+        assert xz_decompress(enc) == b"\x00" * 100
 
 
 def test_x86_bcj_filter_byte_exact_vs_liblzma():
@@ -270,6 +265,7 @@ def test_x86_bcj_filter_byte_exact_vs_liblzma():
         ("arm", "FILTER_ARM", "_bcj_arm", [0xEB]),
         ("armthumb", "FILTER_ARMTHUMB", "_bcj_armthumb", [0xF0, 0xF8]),
         ("sparc", "FILTER_SPARC", "_bcj_sparc", [0x40, 0x7F]),
+        ("ia64", "FILTER_IA64", "_bcj_ia64", [0x16, 0x17, 0x12]),
     ],
 )
 def test_simple_bcj_filters_byte_exact_vs_liblzma(name, fid, fn_name, salts):

@@ -44,13 +44,13 @@ Reference parity note: the reference archiver stores fetched payloads
 opaquely (/root/reference/cmds/archive.py:88-91); shard codecs are
 driver-mandated training-pipeline surface (SURVEY.md §2.8).
 
-Boundaries (documented, typed): IA64 (bundle templates) and
-ARM64/RISC-V (no liblzma oracle in this container build) raise
-``NotImplementedError``; Delta (0x03, round 14 s2) and the
-x86/PowerPC/ARM/ARM-Thumb/SPARC branch rewriters (round 14 s3 — each
-pinned liblzma-byte-exact both directions) decode; malformed streams
-raise ``ValueError`` so the ingest quarantine keeps corrupt shards as
-rows.
+Boundaries (documented, typed): ARM64/RISC-V (no liblzma oracle in
+this container build) raise ``NotImplementedError``; Delta (0x03,
+round 14 s2) and the x86/PowerPC/IA64/ARM/ARM-Thumb/SPARC branch
+rewriters (round 14 s3 — each pinned liblzma-byte-exact both
+directions, IA64 including the bundle/template/slot walk) decode;
+malformed streams raise ``ValueError`` so the ingest quarantine keeps
+corrupt shards as rows.
 """
 
 from __future__ import annotations
@@ -778,9 +778,51 @@ _FILTER_DELTA = 0x03
 _FILTER_X86 = 0x04
 _FILTER_PPC, _FILTER_IA64, _FILTER_ARM = 0x05, 0x06, 0x07
 _FILTER_ARMTHUMB, _FILTER_SPARC = 0x08, 0x09
-# IA64 (bundle/slot templates) and ARM64/RISC-V (no liblzma oracle in
-# this container build) stay typed
-_KNOWN_UNSUPPORTED = {0x06: "bcj", 0x0A: "bcj", 0x0B: "bcj"}
+# ARM64/RISC-V stay typed (no liblzma oracle in this container build)
+_KNOWN_UNSUPPORTED = {0x0A: "bcj", 0x0B: "bcj"}
+
+
+# IA64 branch table: per-template slot mask (templates 0x16/0x17 are
+# the all-branch bundles; 0x10-0x13/0x18-0x19 carry one or two)
+_IA64_BRANCH_TABLE = [
+    0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0,
+    4, 4, 6, 6, 0, 0, 7, 7,
+    4, 4, 0, 0, 4, 4, 0, 0,
+]
+
+
+def _bcj_ia64(data: bytes, enc: bool, start: int = 0) -> bytes:
+    """IA64 branch rewriter: 16-byte bundles, template in the low 5
+    bits, three 41-bit slots; a slot converts when its opcode nibble
+    (bits 37-40) is 5 AND bits 9-11 are zero — imm20 at bits 13-32
+    plus the sign bit at 36 hold the 16-byte-unit displacement."""
+    buf = bytearray(data)
+    for i in range(0, len(buf) - 15, 16):
+        mask = _IA64_BRANCH_TABLE[buf[i] & 0x1F]
+        for slot in range(3):
+            if not (mask >> slot) & 1:
+                continue
+            bit_pos = 5 + slot * 41
+            byte_pos = bit_pos >> 3
+            bit_res = bit_pos & 7
+            instr = int.from_bytes(buf[i + byte_pos : i + byte_pos + 6], "little")
+            inst_norm = instr >> bit_res
+            if ((inst_norm >> 37) & 0xF) != 5 or ((inst_norm >> 9) & 0x7) != 0:
+                continue
+            src = ((inst_norm >> 13) & 0xFFFFF) | (((inst_norm >> 36) & 1) << 20)
+            src <<= 4
+            dest = (src + (start + i) if enc else src - (start + i)) & 0xFFFFFFFF
+            dest >>= 4
+            inst_norm &= ~((0xFFFFF << 13) | (1 << 36))
+            inst_norm |= (dest & 0xFFFFF) << 13
+            inst_norm |= ((dest >> 20) & 1) << 36
+            instr &= (1 << bit_res) - 1
+            instr |= inst_norm << bit_res
+            buf[i + byte_pos : i + byte_pos + 6] = (
+                instr & ((1 << 48) - 1)
+            ).to_bytes(6, "little")
+    return bytes(buf)
 
 
 def _bcj_ppc(data: bytes, enc: bool, start: int = 0) -> bytes:
@@ -873,6 +915,7 @@ def _bcj_sparc(data: bytes, enc: bool, start: int = 0) -> bytes:
 
 _BCJ_SIMPLE = {
     _FILTER_PPC: _bcj_ppc,
+    _FILTER_IA64: _bcj_ia64,
     _FILTER_ARM: _bcj_arm,
     _FILTER_ARMTHUMB: _bcj_armthumb,
     _FILTER_SPARC: _bcj_sparc,
