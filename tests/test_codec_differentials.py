@@ -303,3 +303,44 @@ def test_simple_bcj_filters_byte_exact_vs_liblzma(name, fid, fn_name, salts):
             filters=[{"id": filt}, {"id": lzma.FILTER_LZMA2, "preset": 6}],
         )
         assert _xz.xz_decompress(comp) == data
+
+
+def test_bcj_start_offset_alignment_enforced():
+    """Round 15 (ADVICE): a BCJ start offset that is not a multiple of
+    the filter's instruction alignment is an options error in liblzma
+    (simple_coder_init) — no conforming encoder can have produced such
+    a stream, so our decoder must refuse it rather than silently
+    rewrite garbage. Aligned offsets written by real liblzma still
+    decode; the unaligned case is hand-patched (liblzma itself cannot
+    write one) with the header CRC recomputed so ONLY the alignment
+    check can be the rejection."""
+    import lzma
+    import struct
+    from binascii import crc32
+
+    from yark_spark.operators.xz import xz_decompress
+
+    data = b"\x00" * 64
+    for filt, align in (
+        (lzma.FILTER_POWERPC, 4),
+        (lzma.FILTER_ARM, 4),
+        (lzma.FILTER_ARMTHUMB, 2),
+        (lzma.FILTER_SPARC, 4),
+        (lzma.FILTER_IA64, 16),
+    ):
+        enc = lzma.compress(
+            data, format=lzma.FORMAT_XZ,
+            filters=[{"id": filt, "start_offset": align * 4},
+                     {"id": lzma.FILTER_LZMA2, "preset": 0}],
+        )
+        assert xz_decompress(enc) == data  # aligned: decodes
+        hdr_size = (enc[12] + 1) * 4
+        hdr = bytearray(enc[12 : 12 + hdr_size])
+        # header: size byte, flags, fid varint(1), plen varint(1)=4,
+        # then the 4-byte LE start-offset props
+        assert hdr[2] == filt and hdr[3] == 4
+        hdr[4:8] = struct.pack("<I", align * 4 + 1)
+        hdr[-4:] = struct.pack("<I", crc32(bytes(hdr[:-4])))
+        bad = enc[:12] + bytes(hdr) + enc[12 + hdr_size :]
+        with pytest.raises(ValueError, match="not aligned"):
+            xz_decompress(bad)

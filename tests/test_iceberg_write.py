@@ -278,3 +278,58 @@ def test_field_id_rename_resolution():
     got = sorted(r["doc_id"] for _, r in rows)
     assert got == [i for i in range(16) if i != 5]  # eq delete resolved by id
     assert all(r["text"] == "t%02d" % r["doc_id"] for _, r in rows)
+
+
+def test_partitioned_commit_null_partition_value():
+    """Round 15 (ADVICE): a data file with a NULL partition value
+    (identity over a null source column) commits cleanly — summaries
+    set contains_null and bound over the non-null values only; the
+    partition scan still prunes on the surviving bounds and the
+    general resolver reads every row back."""
+    from yark_spark.operators.iceberg import iceberg_partition_scan
+
+    spec = [{"name": "p", "transform": "identity", "source-id": 1,
+             "field-id": 1000}]
+    m = iceberg_table_create(FIELDS, partition_spec=spec)
+    m, _ = iceberg_commit(
+        m,
+        data_files=[
+            ("data/p0.parquet", _pq(0, 16), 16, {"p": 0}),
+            ("data/pn.parquet", _pq(16, 32), 16, {"p": None}),
+        ],
+    )
+    tar = tar_build(sorted(m.items()))
+    # manifest-list summary: null recorded, bounds over non-null only
+    members = dict(m)
+    snap = [p for p in members if p.startswith("metadata/snap-")]
+    assert len(snap) == 1
+    (mf_rec,) = avro_records(members[snap[0]])
+    (s0,) = mf_rec["partitions"]
+    assert s0["contains_null"] is True
+    assert bytes(s0["lower_bound"]) == (0).to_bytes(8, "little", signed=True)
+    assert bytes(s0["upper_bound"]) == (0).to_bytes(8, "little", signed=True)
+    # probing p=0 scans the null-partition file too? No: its entry
+    # mismatches, so only p0 is read; the null file is skipped.
+    rows, cnt = iceberg_partition_scan(tar, ["doc_id"], source_value=0)
+    assert sorted(r["doc_id"] for r in rows) == list(range(16))
+    assert cnt["files_scanned"] == 1 and cnt["files_skipped"] == 1
+    got = sorted(r["doc_id"] for _, r in iceberg_snapshot_rows(tar, ["doc_id"]))
+    assert got == list(range(32))
+
+
+def test_partitioned_commit_all_null_partition_values():
+    spec = [{"name": "p", "transform": "identity", "source-id": 1,
+             "field-id": 1000}]
+    m = iceberg_table_create(FIELDS, partition_spec=spec)
+    m, _ = iceberg_commit(
+        m, data_files=[("data/pn.parquet", _pq(0, 8), 8, {"p": None})]
+    )
+    members = dict(m)
+    snap = [p for p in members if p.startswith("metadata/snap-")]
+    (mf_rec,) = avro_records(members[snap[0]])
+    (s0,) = mf_rec["partitions"]
+    assert s0["contains_null"] is True
+    assert s0["lower_bound"] is None and s0["upper_bound"] is None
+    tar = tar_build(sorted(m.items()))
+    got = sorted(r["doc_id"] for _, r in iceberg_snapshot_rows(tar, ["doc_id"]))
+    assert got == list(range(8))

@@ -596,17 +596,23 @@ def http_message_build(
     transfer_chunked: bool = False,
     content_encoding: str | None = None,
     chunk_size: int = 100,
+    extra_codings: "dict | None" = None,
 ) -> bytes:
     """Serialize an HTTP/1.1 response message the way an origin would
     have: optional content-coding (gzip/deflate/zstd via the in-repo
     encoders), then optional chunked framing (with a chunk extension
     on the first chunk and a trailer field, both of which parsers must
-    tolerate)."""
+    tolerate). ``extra_codings`` maps a coding name to a callable
+    ``body -> (wire_name, payload)`` so fixture builders can inject
+    third-party encoders (e.g. genuine C brotli) without this module
+    growing their dependency."""
     headers = [f"HTTP/1.1 {status} OK", f"Content-Type: {content_type}"]
     payload = body
     if content_encoding:
         enc = content_encoding.lower()
-        if enc == "gzip":
+        if extra_codings and enc in extra_codings:
+            content_encoding, payload = extra_codings[enc](payload)
+        elif enc == "gzip":
             payload = gzip_compress(payload)
         elif enc == "deflate":
             payload = zlib_compress(payload)
@@ -614,18 +620,6 @@ def http_message_build(
             payload = zstd_compress_member(payload)
         elif enc == "br":
             payload = bind_brotli().brotli_compress(payload)
-        elif enc == "br_real":
-            # body compressed by GENUINE C brotli at max quality —
-            # static-dictionary references and UTF8 context modeling
-            # on the wire, decoded by the from-scratch reader (whose
-            # dictionary/context tables were themselves extracted
-            # from this library; scripts/extract_brotli_*.py)
-            import pyarrow as _pa
-
-            payload = _pa.Codec("brotli", compression_level=11).compress(
-                payload, asbytes=True
-            )
-            content_encoding = "br"
         else:
             raise ValueError(f"http-build: content-coding {enc!r}")
         headers.append(f"Content-Encoding: {content_encoding}")

@@ -926,11 +926,13 @@ def iceberg_commit(
             schema_fields = {
                 f["id"]: f for f in meta["schemas"][0]["fields"]
             }
+            # partition values are nullable on the wire (spec: identity
+            # over a null source column yields a null partition value)
             part_schema = {
                 "type": "record",
                 "name": "r102",
                 "fields": [
-                    {"name": sf["name"], "type": "long"}
+                    {"name": sf["name"], "type": ["null", "long"]}
                     for sf in spec_fields
                 ],
             }
@@ -949,11 +951,20 @@ def iceberg_commit(
                     sf["transform"], src.get("type", "long")
                 )
                 vals = [part[sf["name"]] for _p, _b, _n, part in data_files]
+                # a data file may carry a null partition value (spec:
+                # identity over a null source column); bounds are over
+                # the non-null values only, contains_null records the
+                # rest — min()/max() over None would TypeError.
+                non_null = [v for v in vals if v is not None]
                 summaries.append(
                     {
-                        "contains_null": False,
-                        "lower_bound": partition_bound(min(vals), width),
-                        "upper_bound": partition_bound(max(vals), width),
+                        "contains_null": len(non_null) < len(vals),
+                        "lower_bound": partition_bound(min(non_null), width)
+                        if non_null
+                        else None,
+                        "upper_bound": partition_bound(max(non_null), width)
+                        if non_null
+                        else None,
                     }
                 )
             m_path = f"metadata/m{seq}-data.avro"

@@ -1942,6 +1942,19 @@ def with_warc_shards(
     )
     _N_WIRES = {"cycle": 6, "cycle_br": 8, "cycle_br_real": 9}
 
+    def _br_real(body: bytes) -> tuple[str, bytes]:
+        # body compressed by GENUINE C brotli at max quality — static-
+        # dictionary references and UTF8 context modeling on the wire,
+        # decoded by the from-scratch reader (whose dictionary/context
+        # tables were themselves extracted from this library;
+        # scripts/extract_brotli_*.py). Lives HERE, in the fixture
+        # builder, so operators/containers.py stays dependency-free.
+        import pyarrow as _pa
+
+        return "br", _pa.Codec("brotli", compression_level=11).compress(
+            body, asbytes=True
+        )
+
     def _block(did: int, text: str) -> bytes:
         if http_wire is None:
             return (_head if http_head else b"") + text.encode("utf-8")
@@ -1950,6 +1963,7 @@ def with_warc_shards(
             text.encode("utf-8"),
             transfer_chunked=chunked,
             content_encoding=enc,
+            extra_codings={"br_real": _br_real},
         )
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:

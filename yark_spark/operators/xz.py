@@ -921,6 +921,17 @@ _BCJ_SIMPLE = {
     _FILTER_SPARC: _bcj_sparc,
 }
 
+# Per-filter start-offset alignment (liblzma simple/*.c coder init):
+# a non-multiple start offset is an options error, not a valid stream.
+_BCJ_ALIGNMENT = {
+    _FILTER_X86: 1,
+    _FILTER_PPC: 4,
+    _FILTER_IA64: 16,
+    _FILTER_ARM: 4,
+    _FILTER_ARMTHUMB: 2,
+    _FILTER_SPARC: 4,
+}
+
 
 # x86 BCJ filter (round 14 s3): converts relative E8/E9 CALL/JMP
 # 32-bit operands to absolute addresses at encode time (making them
@@ -1156,6 +1167,16 @@ def _parse_block(
                 off = struct.unpack("<I", dprops)[0]
             else:
                 raise ValueError("xz: BCJ props must be absent or 4 bytes")
+            # liblzma rejects a start offset that is not a multiple of
+            # the filter's instruction alignment (LZMA_OPTIONS_ERROR in
+            # simple_coder_init); an unaligned offset would silently
+            # decode bytes no conforming encoder could have produced.
+            align = _BCJ_ALIGNMENT[dfid]
+            if off % align:
+                raise ValueError(
+                    f"xz: BCJ start offset {off:#x} not aligned to "
+                    f"{align} for filter {dfid:#x}"
+                )
             pre.append(("x86" if dfid == _FILTER_X86 else dfid, off))
         else:
             raise ValueError(f"xz: unknown non-terminal filter {dfid:#x}")

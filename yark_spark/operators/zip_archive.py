@@ -109,6 +109,17 @@ def zip_build(
             comp = _BZ2.bz2_compress(payload)
         elif method == _LZMA:
             bind_methods()
+            # APPNOTE 5.8 member layout: version (we stamp 9.4, the
+            # APPNOTE revision this layout is specified in), 2-byte
+            # props length, then the 5 LZMA props bytes that MUST
+            # match the actual encoder parameters below (lc=3 lp=0
+            # pb=2, 4 MiB dict — lzma1_compress's settings). The raw
+            # stream carries NO end-of-stream marker and gp-flag bit 1
+            # stays clear: readers take sizes from the directory
+            # (stdlib zipfile does, pinned in tests); a strict reader
+            # keying EOS off gp-bit 1 must use sizes-from-directory
+            # here — the APPNOTE leaves that signal optional and we
+            # choose the smaller no-EOS form.
             props = bytes([_XZ._props_byte(3, 0, 2)]) + struct.pack(
                 "<I", 1 << 22
             )
