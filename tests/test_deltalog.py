@@ -249,14 +249,19 @@ def test_checkpoint_without_metadata_is_typed():
 
 
 def test_checkpoint_reader_version_gate():
-    # mrv 3 reads since round 14 (deletionVectors); 2 = column mapping
-    # stays the typed gate
+    # mrv 1/2/3 all read since round 15 (2 = column mapping: mapped-
+    # table checkpoints resolve); anything higher stays typed
     ckpt = _checkpoint(
         [{"protocol": {"minReaderVersion": 2}}, {"metaData": {"id": "t"}}]
     )
     blob = _table(_ckpt_members(2, ckpt), [])
+    assert delta_live_files(blob) == []
+    ckpt4 = _checkpoint(
+        [{"protocol": {"minReaderVersion": 4}}, {"metaData": {"id": "t"}}]
+    )
+    blob4 = _table(_ckpt_members(2, ckpt4), [])
     with pytest.raises(NotImplementedError, match="minReaderVersion"):
-        delta_live_files(blob)
+        delta_live_files(blob4)
 
 
 # ---------------------------------------------------------------------------
@@ -316,8 +321,14 @@ def test_checkpoint_guards():
     with pytest.raises(ValueError, match="outside log range"):
         delta_checkpoint_table(blob, 9)
     ck = delta_checkpoint_table(blob, 2)
-    with pytest.raises(ValueError, match="already checkpointed"):
-        delta_checkpoint_table(ck)
+    # round 15: re-checkpointing rolls the existing checkpoint forward
+    # instead of refusing — the state is unchanged
+    ck2 = delta_checkpoint_table(ck)
+    assert delta_snapshot_rows(ck2, ["doc_id"]) == delta_snapshot_rows(
+        ck, ["doc_id"]
+    )
+    with pytest.raises(ValueError, match="outside log range"):
+        delta_checkpoint_table(ck, 9)
 
 
 def _dv_inline(kill):
@@ -404,9 +415,14 @@ def test_dv_integrity_typed_errors():
         delta_snapshot_rows(
             mk({**desc, "pathOrInlineDv": "dv/absent.bin"}, dvfile), ["doc_id"]
         )
-    with pytest.raises(NotImplementedError, match="UUID-relative"):
+    # u-style addressing decodes since round 15 — but only through the
+    # derived deletion_vector_<uuid>.bin path, so a u descriptor whose
+    # file is absent is a typed missing-file error
+    with pytest.raises(ValueError, match="missing"):
         delta_snapshot_rows(
-            mk({**desc, "storageType": "u"}, dvfile), ["doc_id"]
+            mk({**desc, "storageType": "u",
+                "pathOrInlineDv": z85_encode(b"\x00" * 16)}, dvfile),
+            ["doc_id"],
         )
 
 
@@ -527,6 +543,155 @@ def test_column_mapping_name_mode():
     rows = delta_snapshot_rows(tar, ["doc_id", "text"])
     assert [r["doc_id"] for _, r in rows] == list(range(8))
     assert rows[0][1]["text"] == "t0"
-    with pytest.raises(NotImplementedError, match="field-id"):
-        delta_column_mapping(_table("id"))
+    # mode=id resolves since round 15 (field ids when the file carries
+    # them, physicalName fallback otherwise — this file is id-less)
+    from yark_spark.operators.deltalog import delta_column_resolution
+
+    assert delta_column_resolution(_table("id")) == (
+        "id", {"doc_id": 1, "text": 2}
+    )
+    assert delta_column_mapping(_table("id")) is None  # name-mode API
+    rows_id = delta_snapshot_rows(_table("id"), ["doc_id", "text"])
+    assert [r["doc_id"] for _, r in rows_id] == list(range(8))
     assert delta_column_mapping(_table(None)) is None
+
+
+# ---------------------------------------------------------------------------
+# Round 15: DV WRITE loop, u-style paths, mode=id field ids,
+# checkpointed column-mapped tables
+# ---------------------------------------------------------------------------
+
+from yark_spark.operators.deltalog import (  # noqa: E402
+    delta_add_deletion_vectors,
+    delta_column_mapping,
+    delta_column_resolution,
+)
+
+
+def _two_file_table():
+    a, b = _pq(range(0, 8)), _pq(range(8, 16))
+    return _table(
+        [_commit(0, _PROTO, _META, _add("a.parquet", a), _add("b.parquet", b))],
+        [("a.parquet", a), ("b.parquet", b)],
+    ), a, b
+
+
+@pytest.mark.parametrize("storage", ["p", "u", "i"])
+def test_dv_write_roundtrip(storage):
+    """The write loop emits real descriptors the round-14 reader
+    decodes: rows drop, the protocol upgrades to v3, and the commit is
+    an ordinary JSON action file."""
+    tar, _a, _b = _two_file_table()
+    out = delta_add_deletion_vectors(
+        tar, {"a.parquet": [1, 3], "b.parquet": [0]}, storage=storage
+    )
+    rows = delta_snapshot_rows(out, ["doc_id"])
+    assert sorted(r["doc_id"] for _, r in rows) == [0, 2] + list(range(4, 8)) + list(
+        range(9, 16)
+    )
+    # live files re-added at the DV commit's version
+    assert all(v == 1 for v, _ in rows)
+
+
+def test_dv_write_unions_existing_rows():
+    tar, _a, _b = _two_file_table()
+    once = delta_add_deletion_vectors(tar, {"a.parquet": [1]}, storage="i")
+    twice = delta_add_deletion_vectors(once, {"a.parquet": [5]}, storage="p")
+    rows = delta_snapshot_rows(twice, ["doc_id"])
+    got = sorted(r["doc_id"] for _, r in rows)
+    assert got == [0, 2, 3, 4, 6, 7] + list(range(8, 16))  # 1 AND 5 gone
+
+
+def test_dv_write_on_checkpointed_table():
+    tar, _a, _b = _two_file_table()
+    ck = delta_checkpoint_table(tar)
+    out = delta_add_deletion_vectors(ck, {"b.parquet": [7]}, storage="u")
+    rows = delta_snapshot_rows(out, ["doc_id"])
+    assert sorted(r["doc_id"] for _, r in rows) == list(range(0, 15))
+    # and the DV table checkpoints again, DV riding in the nested struct
+    ck2 = delta_checkpoint_table(out)
+    rows2 = delta_snapshot_rows(ck2, ["doc_id"])
+    assert sorted(r["doc_id"] for _, r in rows2) == list(range(0, 15))
+
+
+def test_dv_write_guards():
+    tar, _a, _b = _two_file_table()
+    with pytest.raises(ValueError, match="not in live"):
+        delta_add_deletion_vectors(tar, {"ghost.parquet": [0]})
+    with pytest.raises(ValueError, match="storage"):
+        delta_add_deletion_vectors(tar, {"a.parquet": [0]}, storage="x")
+
+
+def _mapped_table(mode, physical_names, field_ids=None):
+    """A column-mapped table whose files store PHYSICAL names (and
+    optionally parquet field ids)."""
+    p0 = parquet_write(
+        {physical_names[0]: list(range(8)),
+         physical_names[1]: [f"t{i}" for i in range(8)]},
+        types={physical_names[0]: "INT64", physical_names[1]: "BYTE_ARRAY"},
+        codec="SNAPPY",
+        field_ids=(
+            {physical_names[0]: field_ids[0], physical_names[1]: field_ids[1]}
+            if field_ids
+            else None
+        ),
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": physical_names[0]}},
+            {"name": "text", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": physical_names[1]}},
+        ],
+    }
+    v0 = "\n".join(
+        [
+            json.dumps({"protocol": {"minReaderVersion": 2,
+                                     "minWriterVersion": 5}}),
+            json.dumps({"metaData": {
+                "id": "t", "format": {"provider": "parquet"},
+                "partitionColumns": [],
+                "schemaString": json.dumps(schema),
+                "configuration": {"delta.columnMapping.mode": mode}}}),
+            json.dumps({"add": {"path": "part-0.parquet", "size": len(p0),
+                                "dataChange": True}}),
+        ]
+    )
+    return tar_build(
+        [("_delta_log/" + "0" * 20 + ".json", v0.encode()),
+         ("part-0.parquet", p0)]
+    )
+
+
+def test_column_mapping_id_mode_by_field_ids():
+    """mode=id must match by parquet field id, NOT name: the file's
+    physical names deliberately disagree with the schemaString's
+    physicalName annotations, so only id matching reads the data."""
+    tar = _mapped_table("id", ("drifted-x", "drifted-y"), field_ids=(1, 2))
+    assert delta_column_resolution(tar) == ("id", {"doc_id": 1, "text": 2})
+    rows = delta_snapshot_rows(tar, ["doc_id", "text"])
+    assert [r["doc_id"] for _, r in rows] == list(range(8))
+    assert rows[3][1]["text"] == "t3"
+
+
+def test_column_mapping_survives_checkpoint():
+    """ADVICE r14: checkpointing a mapped table must not lose the
+    mapping — the metaData row (schemaString + configuration MAP
+    column) rides in the checkpoint parquet and _last_metadata
+    recovers it after the carrying commit is vacuumed."""
+    for mode, fids in (("name", None), ("id", (1, 2))):
+        tar = _mapped_table(mode, ("col-aaa", "col-bbb"), field_ids=fids)
+        ck = delta_checkpoint_table(tar)
+        # version-0 commit is GONE now; mapping still resolves
+        res = delta_column_resolution(ck)
+        assert res is not None and res[0] == mode
+        if mode == "name":
+            assert delta_column_mapping(ck) == {
+                "doc_id": "col-aaa", "text": "col-bbb"
+            }
+        rows = delta_snapshot_rows(ck, ["doc_id", "text"])
+        assert [r["doc_id"] for _, r in rows] == list(range(8))
+        assert rows[0][1]["text"] == "t0"

@@ -358,14 +358,16 @@ def test_embeddings_table_vectors():
             assert len(a) == len(b) and all(x == y for x, y in zip(a, b))
 
 
-def test_deeper_nesting_still_typed(tmp_path):
+def test_deeper_nesting_now_reads(tmp_path):
+    """Round 15: what used to be the typed nested boundary assembles
+    via the generic Dremel path."""
     t = pa.table(
         {"m": pa.array([[[1.0]], [[2.0], [3.0]]], pa.list_(pa.list_(pa.float64())))}
     )
     path = str(tmp_path / "deep.parquet")
     pq.write_table(t, path)
-    with pytest.raises(NotImplementedError, match="nested"):
-        parquet_read_columns(open(path, "rb").read(), ["m"])
+    got = parquet_read_columns(open(path, "rb").read(), ["m"])
+    assert got["m"] == [[[1.0]], [[2.0], [3.0]]]
 
 
 def test_nested_struct_dotted_paths_on_pyarrow_wire():
@@ -396,11 +398,13 @@ def test_nested_struct_dotted_paths_on_pyarrow_wire():
     assert cols["add.path"] == ["p0", None, "p1"]
     assert cols["add.size"] == [10, None, None]
     assert cols["x.a.b"] == [1, None, None]
-    # the GROUP name itself stays a typed boundary
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError, match="nested"):
-        parquet_read_columns(buf.getvalue(), ["add"])
+    # round 15: the GROUP name itself now assembles as a dict column
+    whole = parquet_read_columns(buf.getvalue(), ["add"])
+    assert whole["add"] == [
+        {"path": "p0", "size": 10},
+        None,
+        {"path": "p1", "size": None},
+    ]
 
 
 def test_int96_and_flba_decimal_on_pyarrow_wire():
@@ -446,3 +450,177 @@ def test_int96_and_flba_decimal_on_pyarrow_wire():
     assert cols["d"] == [-1, 1234567, None, 9999999999999999]
     # FLBA without DECIMAL annotation stays raw bytes
     assert cols["raw"] == [b"abcd", b"efgh", b"ijkl", None]
+
+
+# ---------------------------------------------------------------------------
+# Round 15: generic Dremel assembly — MAP, list<struct>, struct<list>,
+# list<list<…>> on pyarrow-written wire, differentialed against
+# pyarrow's OWN reader over randomized null/empty grammars.
+# ---------------------------------------------------------------------------
+
+_NEST_ROWS = {
+    "attrs": [None, {}, {"a": "1"}, {"a": None, "b": "2"}, {"x": "y", "a": "z"}],
+    "events": [
+        None,
+        [],
+        [{"k": "a", "n": 1}],
+        [None, {"k": None, "n": 2}],
+        [{"k": "c", "n": None}, {"k": "d", "n": 4}],
+    ],
+    "mat": [None, [], [[]], [[1, 2], None, [3]], [[None, 5]]],
+    "rec": [
+        None,
+        {"name": "p", "vals": None},
+        {"name": None, "vals": []},
+        {"name": "q", "vals": [7, 8]},
+        {"name": "r", "vals": [None]},
+    ],
+}
+
+
+def _nest_table():
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "id": pa.array(range(5), pa.int64()),
+            "attrs": pa.array(_NEST_ROWS["attrs"], pa.map_(pa.string(), pa.string())),
+            "events": pa.array(
+                _NEST_ROWS["events"],
+                pa.list_(pa.struct([("k", pa.string()), ("n", pa.int64())])),
+            ),
+            "mat": pa.array(_NEST_ROWS["mat"], pa.list_(pa.list_(pa.int64()))),
+            "rec": pa.array(
+                _NEST_ROWS["rec"],
+                pa.struct([("name", pa.string()), ("vals", pa.list_(pa.int64()))]),
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize("codec", ["snappy", "zstd", "NONE"])
+@pytest.mark.parametrize("version", ["1.0", "2.6"])
+def test_nested_shapes_on_pyarrow_wire(codec, version):
+    import io
+
+    buf = io.BytesIO()
+    pq.write_table(_nest_table(), buf, compression=codec, version=version)
+    got = parquet_read_columns(
+        buf.getvalue(), ["id", "attrs", "events", "mat", "rec"]
+    )
+    assert got["id"] == list(range(5))
+    # MAP comes back as (key, value) tuple lists, null map as None,
+    # empty map as []
+    assert got["attrs"] == [
+        None, [], [("a", "1")], [("a", None), ("b", "2")],
+        [("x", "y"), ("a", "z")],
+    ]
+    assert got["events"] == _NEST_ROWS["events"]
+    assert got["mat"] == _NEST_ROWS["mat"]
+    assert got["rec"] == _NEST_ROWS["rec"]
+
+
+def test_nested_fuzz_vs_pyarrow_reader():
+    """400 random rows of map<string,int64>, list<struct<s,l:list>>,
+    list^3<int64>, map<string,list<string>> across codec / page-version
+    / row-group-size / dictionary configs: our Dremel assembly must
+    agree with pyarrow's C++ reader row-for-row."""
+    import io
+    import random
+
+    import pyarrow as pa
+
+    rng = random.Random(42)
+
+    def r_str():
+        return rng.choice([None, "", "a", "bc", "xyz" * rng.randrange(1, 4)])
+
+    def r_int():
+        return rng.choice([None, 0, -5, 7, 1 << 40])
+
+    def r_map():
+        if rng.random() < 0.15:
+            return None
+        return {f"k{j}": r_int() for j in range(rng.randrange(0, 4))}
+
+    def r_lls():
+        if rng.random() < 0.15:
+            return None
+        out = []
+        for _ in range(rng.randrange(0, 4)):
+            if rng.random() < 0.15:
+                out.append(None)
+            else:
+                lv = (
+                    None
+                    if rng.random() < 0.2
+                    else [r_int() for _ in range(rng.randrange(0, 3))]
+                )
+                out.append({"s": r_str(), "l": lv})
+        return out
+
+    def r_l3():
+        if rng.random() < 0.15:
+            return None
+        return [
+            None
+            if rng.random() < 0.1
+            else [
+                None
+                if rng.random() < 0.1
+                else [r_int() for _ in range(rng.randrange(0, 3))]
+                for _ in range(rng.randrange(0, 3))
+            ]
+            for _ in range(rng.randrange(0, 3))
+        ]
+
+    def r_mls():
+        if rng.random() < 0.15:
+            return None
+        return {
+            f"m{j}": (
+                None
+                if rng.random() < 0.2
+                else [r_str() for _ in range(rng.randrange(0, 3))]
+            )
+            for j in range(rng.randrange(0, 3))
+        }
+
+    N = 400
+    t = pa.table(
+        {
+            "id": pa.array(range(N), pa.int64()),
+            "m": pa.array([r_map() for _ in range(N)], pa.map_(pa.string(), pa.int64())),
+            "lls": pa.array(
+                [r_lls() for _ in range(N)],
+                pa.list_(pa.struct([("s", pa.string()), ("l", pa.list_(pa.int64()))])),
+            ),
+            "l3": pa.array(
+                [r_l3() for _ in range(N)], pa.list_(pa.list_(pa.list_(pa.int64())))
+            ),
+            "mls": pa.array(
+                [r_mls() for _ in range(N)], pa.map_(pa.string(), pa.list_(pa.string()))
+            ),
+        }
+    )
+    for codec, dpv, rgs, dict_on in [
+        ("snappy", "1.0", 64, True),
+        ("zstd", "2.6", 50, True),
+        ("gzip", "1.0", 400, False),
+        ("NONE", "2.6", 17, True),
+    ]:
+        buf = io.BytesIO()
+        pq.write_table(
+            t, buf, compression=codec, version=dpv,
+            row_group_size=rgs, use_dictionary=dict_on,
+        )
+        got = parquet_read_columns(buf.getvalue(), ["id", "m", "lls", "l3", "mls"])
+        oracle = pq.read_table(io.BytesIO(buf.getvalue())).to_pylist()
+        for i, orow in enumerate(oracle):
+            for mcol in ("m", "mls"):
+                om = orow[mcol]
+                if om is not None:
+                    om = [tuple(p) for p in om]
+                assert got[mcol][i] == om, (codec, mcol, i)
+            assert got["lls"][i] == orow["lls"], (codec, i)
+            assert got["l3"][i] == orow["l3"], (codec, i)

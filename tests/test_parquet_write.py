@@ -374,3 +374,156 @@ def test_v2_pages_dict_and_plain_paths():
     t = pq.read_table(io.BytesIO(blob))
     assert t.column("a").to_pylist() == cols["a"]
     assert t.column("b").to_pylist() == cols["b"]
+
+
+# ---------------------------------------------------------------------------
+# Round 15: MAP + deep-nested write — plist()/pmap() specs shred
+# through the generic rep/def emitter; pyarrow, DuckDB AND our reader
+# consume the wire.
+# ---------------------------------------------------------------------------
+
+from yark_spark.operators.parquet_write import plist, pmap  # noqa: E402
+
+_NESTED_COLS = {
+    "id": list(range(5)),
+    "attrs": [None, {}, {"a": "1"}, {"a": None, "b": "2"}, {"x": "y", "a": "z"}],
+    "events": [
+        None,
+        [],
+        [{"k": "a", "n": 1}],
+        [None, {"k": None, "n": 2}],
+        [{"k": "c", "n": None}, {"k": "d", "n": 4}],
+    ],
+    "mat": [None, [], [[]], [[1, 2], None, [3]], [[None, 5]]],
+    "mls": [None, {"p": ["a", None]}, {"q": None}, {"r": [], "s": ["zz"]}, {}],
+}
+_NESTED_TYPES = {
+    "id": "INT64",
+    "attrs": pmap("BYTE_ARRAY", "BYTE_ARRAY"),
+    "events": plist({"k": "BYTE_ARRAY", "n": "INT64"}),
+    "mat": plist(plist("INT64")),
+    "mls": pmap("BYTE_ARRAY", plist("BYTE_ARRAY")),
+}
+
+
+def _dmap(v):
+    """DuckDB's Python MAP surface ({'key': [...], 'value': [...]} on
+    some versions, a dict on others) → (k, v) tuple list."""
+    if v is None:
+        return None
+    if isinstance(v, dict) and set(v) == {"key", "value"} and isinstance(
+        v.get("key"), list
+    ):
+        return list(zip(v["key"], v["value"]))
+    return list(v.items())
+
+
+@pytest.mark.parametrize("codec", ["SNAPPY", "ZSTD", "UNCOMPRESSED", "GZIP"])
+@pytest.mark.parametrize("pv", [1, 2])
+def test_nested_write_three_readers(tmp_path, codec, pv):
+    blob = parquet_write(
+        _NESTED_COLS, types=_NESTED_TYPES, codec=codec, data_page_version=pv
+    )
+    # our own reader
+    got = parquet_read_columns(blob, list(_NESTED_COLS))
+    assert got["attrs"] == [
+        None, [], [("a", "1")], [("a", None), ("b", "2")],
+        [("x", "y"), ("a", "z")],
+    ]
+    assert got["events"] == _NESTED_COLS["events"]
+    assert got["mat"] == _NESTED_COLS["mat"]
+    assert got["mls"] == [
+        None, [("p", ["a", None])], [("q", None)], [("r", []), ("s", ["zz"])], [],
+    ]
+    # pyarrow
+    pl = pq.read_table(io.BytesIO(blob)).to_pylist()
+    assert [r["events"] for r in pl] == _NESTED_COLS["events"]
+    assert [r["mat"] for r in pl] == _NESTED_COLS["mat"]
+    assert [
+        None if r["attrs"] is None else [tuple(x) for x in r["attrs"]] for r in pl
+    ] == got["attrs"]
+    # DuckDB (incl. its MAP functions over our wire)
+    path = str(tmp_path / "n.parquet")
+    open(path, "wb").write(blob)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT id, attrs, events, mat, mls FROM read_parquet('{path}') ORDER BY id"
+    ).fetchall()
+    assert _dmap(rows[3][1]) == [("a", None), ("b", "2")]
+    assert rows[4][2] == [{"k": "c", "n": None}, {"k": "d", "n": 4}]
+    assert rows[3][3] == [[1, 2], None, [3]]
+    assert _dmap(rows[1][4]) == [("p", ["a", None])]
+    assert con.execute(
+        f"SELECT sum(cardinality(attrs)) FROM read_parquet('{path}')"
+    ).fetchone()[0] == 5
+
+
+def test_nested_write_roundtrip_fuzz():
+    """300 random rows of the four nested shapes, multi row groups,
+    written by us → read by pyarrow (C++ Dremel) value-for-value."""
+    import random
+
+    rng = random.Random(9)
+
+    def r_str():
+        return rng.choice([None, "", "s", "tuv" * rng.randrange(1, 3)])
+
+    def r_int():
+        return rng.choice([None, 0, -3, 1 << 33])
+
+    def r_map():
+        if rng.random() < 0.2:
+            return None
+        return {f"k{j}": r_str() for j in range(rng.randrange(0, 4))}
+
+    def r_events():
+        if rng.random() < 0.2:
+            return None
+        return [
+            None
+            if rng.random() < 0.15
+            else {"k": r_str(), "n": r_int()}
+            for _ in range(rng.randrange(0, 4))
+        ]
+
+    def r_mat():
+        if rng.random() < 0.2:
+            return None
+        return [
+            None
+            if rng.random() < 0.15
+            else [r_int() for _ in range(rng.randrange(0, 3))]
+            for _ in range(rng.randrange(0, 3))
+        ]
+
+    n = 300
+    cols = {
+        "id": list(range(n)),
+        "attrs": [r_map() for _ in range(n)],
+        "events": [r_events() for _ in range(n)],
+        "mat": [r_mat() for _ in range(n)],
+    }
+    types = {k: _NESTED_TYPES[k] for k in cols}
+    blob = parquet_write(
+        cols, types=types, codec="ZSTD", row_group_size=37, data_page_version=2
+    )
+    pl = pq.read_table(io.BytesIO(blob)).to_pylist()
+    for i, r in enumerate(pl):
+        am = None if cols["attrs"][i] is None else list(cols["attrs"][i].items())
+        gm = None if r["attrs"] is None else [tuple(x) for x in r["attrs"]]
+        assert gm == am, i
+        assert r["events"] == cols["events"][i], i
+        assert r["mat"] == cols["mat"][i], i
+    # our reader agrees too
+    ours = parquet_read_columns(blob, ["attrs", "events", "mat"])
+    for i in range(n):
+        assert ours["events"][i] == cols["events"][i]
+        assert ours["mat"][i] == cols["mat"][i]
+
+
+def test_map_null_key_is_value_error():
+    with pytest.raises(ValueError, match="key"):
+        parquet_write(
+            {"m": [{None: "x"}]},
+            types={"m": pmap("BYTE_ARRAY", "BYTE_ARRAY")},
+        )

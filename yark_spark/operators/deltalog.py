@@ -60,12 +60,21 @@ import re
 
 from yark_spark.operators.containers import tar_build, tar_members
 from yark_spark.operators.parquet_data import parquet_read_columns
-from yark_spark.operators.parquet_write import parquet_write
+from yark_spark.operators.parquet_meta import parquet_footer
+from yark_spark.operators.parquet_write import parquet_write, pmap
 from yark_spark.operators.png import crc32
-from yark_spark.operators.roaring import roaring64_array_deserialize, z85_decode
+from yark_spark.operators.roaring import (
+    roaring64_array_deserialize,
+    roaring64_array_serialize,
+    z85_decode,
+    z85_encode,
+)
 
 __all__ = [
+    "delta_add_deletion_vectors",
     "delta_checkpoint_table",
+    "delta_column_mapping",
+    "delta_column_resolution",
     "delta_live_files",
     "delta_live_files_dv",
     "delta_snapshot_rows",
@@ -201,12 +210,17 @@ def _dv_dead_rows(members: dict, dv: dict) -> frozenset:
         if not size <= len(decoded) < size + 4:
             raise ValueError("delta: inline DV sizeInBytes mismatch")
         data = decoded[:size]
-    elif st == "p":
-        blob = members.get(dv["pathOrInlineDv"])
+    elif st in ("p", "u"):
+        if st == "p":
+            path = dv["pathOrInlineDv"]
+        else:
+            # u-style (round 15): <random prefix><20-char Z85 uuid> →
+            # <tableRoot>/[prefix/]deletion_vector_<canonical-uuid>.bin
+            # (PROTOCOL.md Deletion Vector Descriptor)
+            path = _dv_u_path(dv["pathOrInlineDv"])
+        blob = members.get(path)
         if blob is None:
-            raise ValueError(
-                f"delta: DV file {dv['pathOrInlineDv']!r} missing"
-            )
+            raise ValueError(f"delta: DV file {path!r} missing")
         if not blob or blob[0] != 1:
             raise ValueError("delta: DV file format version must be 1")
         off = dv["offset"]
@@ -220,11 +234,6 @@ def _dv_dead_rows(members: dict, dv: dict) -> frozenset:
         stored = int.from_bytes(blob[off + 4 + size : off + 8 + size], "big")
         if crc32(data) != stored:
             raise ValueError("delta: DV checksum mismatch")
-    elif st == "u":
-        raise NotImplementedError(
-            "delta: UUID-relative DV paths not supported (needs table-root "
-            "path derivation)"
-        )
     else:
         raise ValueError(f"delta: unknown DV storageType {st!r}")
     rows = roaring64_array_deserialize(data)
@@ -233,6 +242,138 @@ def _dv_dead_rows(members: dict, dv: dict) -> frozenset:
             f"delta: DV cardinality {dv['cardinality']} != decoded {len(rows)}"
         )
     return frozenset(rows)
+
+
+def _dv_u_path(encoded: str) -> str:
+    """u-style pathOrInlineDv → relative DV file path: the LAST 20
+    characters Z85-decode to the 16-byte UUID, anything before them is
+    the optional random prefix directory."""
+    import uuid as _uuid
+
+    if len(encoded) < 20:
+        raise ValueError("delta: u-style DV path shorter than a Z85 uuid")
+    prefix, tail = encoded[:-20], encoded[-20:]
+    u = str(_uuid.UUID(bytes=z85_decode(tail)))
+    name = f"deletion_vector_{u}.bin"
+    return f"{prefix}/{name}" if prefix else name
+
+
+def delta_add_deletion_vectors(
+    tar_payload: bytes,
+    dead: "dict[str, list[int] | set[int]]",
+    storage: str = "p",
+) -> bytes:
+    """The DV WRITE loop (round 15): append one commit that attaches
+    deletion vectors to live files — per the protocol, a ``remove`` of
+    the prior add plus a re-``add`` of the same path carrying the new
+    descriptor. Rows union with any EXISTING DV on the file (a writer
+    that drops previously-deleted rows resurrects them). The commit
+    upgrades the protocol to readerVersion 3 / writerVersion 7 with
+    the deletionVectors feature when the table is not there yet.
+
+    ``storage``: ``"p"`` packs every new DV into one relative-path
+    file (1-byte format version, then per-DV 4-byte BE length + Delta
+    RoaringBitmapArray bytes + 4-byte BE CRC32 — the on-disk layout
+    the reader seeks); ``"u"`` writes the same file under a
+    ``deletion_vector_<uuid>.bin`` name addressed by the descriptor's
+    Z85 uuid (derived here from the bitmap digest, so rewrites are
+    deterministic); ``"i"`` inlines each bitmap Z85-encoded in the
+    descriptor itself."""
+    import hashlib as _hashlib
+    import uuid as _uuid
+
+    if storage not in ("p", "u", "i"):
+        raise ValueError(f"delta: DV storage {storage!r}")
+    members = dict(tar_members(tar_payload))
+    live = {
+        path: (version, len(data), old_dead)
+        for path, version, data, old_dead in delta_live_files_dv(tar_payload)
+    }
+    missing = [p for p in dead if p not in live]
+    if missing:
+        raise ValueError(f"delta: DV targets not in live snapshot: {missing}")
+    versions = sorted(
+        int(m.group(1)) for m in map(_COMMIT_RE.match, members) if m
+    )
+    next_v = (versions[-1] + 1) if versions else 0
+    lc = members.get("_delta_log/_last_checkpoint")
+    if lc is not None:
+        next_v = max(next_v, json.loads(lc.decode("utf-8"))["version"] + 1)
+
+    payloads: list[tuple[str, bytes, int]] = []  # (path, bitmap, |rows|)
+    for path in sorted(dead):
+        _ver, _size, old_rows = live[path]
+        rows = set(old_rows) | {int(r) for r in dead[path]}
+        if not rows:
+            raise ValueError(f"delta: empty DV for {path!r}")
+        payloads.append((path, roaring64_array_serialize(sorted(rows)), len(rows)))
+
+    actions = []
+    descriptors: dict[str, dict] = {}
+    if storage == "i":
+        for path, bitmap, card in payloads:
+            padded = bitmap + b"\x00" * (-len(bitmap) % 4)
+            descriptors[path] = {
+                "storageType": "i",
+                "pathOrInlineDv": z85_encode(padded),
+                "offset": 0,
+                "sizeInBytes": len(bitmap),
+                "cardinality": card,
+            }
+        new_members: list[tuple[str, bytes]] = []
+    else:
+        blob = bytearray(b"\x01")
+        for path, bitmap, card in payloads:
+            off = len(blob)
+            blob += len(bitmap).to_bytes(4, "big")
+            blob += bitmap
+            blob += crc32(bitmap).to_bytes(4, "big")
+            descriptors[path] = {
+                "storageType": storage,
+                "offset": off,
+                "sizeInBytes": len(bitmap),
+                "cardinality": card,
+            }
+        digest = _hashlib.md5(bytes(blob)).digest()
+        if storage == "u":
+            u = _uuid.UUID(bytes=digest)
+            dv_path = f"deletion_vector_{u}.bin"
+            addr = z85_encode(digest)
+        else:
+            dv_path = f"deletion_vectors/dv-{digest.hex()}.bin"
+            addr = dv_path
+        for d in descriptors.values():
+            d["pathOrInlineDv"] = addr
+        new_members = [(dv_path, bytes(blob))]
+
+    actions.append(
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+    )
+    for path in sorted(dead):
+        _ver, size, _old = live[path]
+        actions.append({"remove": {"path": path, "dataChange": True}})
+        actions.append(
+            {
+                "add": {
+                    "path": path,
+                    "size": size,
+                    "dataChange": True,
+                    "deletionVector": descriptors[path],
+                }
+            }
+        )
+    commit = b"\n".join(json.dumps(a).encode("utf-8") for a in actions) + b"\n"
+    out = [(n, b) for n, b in members.items()]
+    out.extend(new_members)
+    out.append((f"_delta_log/{next_v:020d}.json", commit))
+    return tar_build(sorted(out))
 
 
 def _finalize(members: dict, live: dict) -> list[tuple[str, int, bytes, frozenset]]:
@@ -288,9 +429,10 @@ def _replay_from_checkpoint(
     saw_metadata = False
     for i in range(len(cols["add.path"])):
         mrv = cols["protocol.minReaderVersion"][i]
-        if mrv is not None and mrv not in (1, 3):
-            # 3 = deletionVectors (the only v3 feature our own
-            # checkpoint writer emits); 2 = column mapping stays typed
+        if mrv is not None and mrv not in (1, 2, 3):
+            # 2 = column mapping (round 15: mapped-table checkpoints
+            # carry their metaData row — _last_metadata recovers it),
+            # 3 = deletionVectors
             raise NotImplementedError(
                 f"delta: checkpointed minReaderVersion {mrv} not supported"
             )
@@ -322,17 +464,13 @@ def _replay_from_checkpoint(
     return _finalize(members, live)
 
 
-def delta_column_mapping(tar_payload: bytes) -> "dict[str, str] | None":
-    """Logical → PHYSICAL column names when the table declares
-    ``delta.columnMapping.mode = name`` (round 14 s3): the LAST
-    metaData action's schemaString carries per-field
-    ``delta.columnMapping.physicalName`` annotations, and the parquet
-    files store the physical names — a reader that matches logical
-    names directly reads nothing on real mapped tables (the mode that
-    makes column RENAME a metadata-only operation). Mode ``id`` stays
-    a typed boundary (parquet field-id matching); no/"none" mode
-    returns None."""
-    members = dict(tar_members(tar_payload))
+def _last_metadata(members: dict) -> "dict | None":
+    """The LAST metaData action across the JSON log — falling back to
+    the checkpoint parquet when the commit carrying it was vacuumed
+    (round 15, ADVICE r14: a checkpointed column-mapped table must
+    not lose its mapping). Checkpoint metaData rows store
+    schemaString as a string column and configuration as a real
+    parquet MAP column (read through the generic Dremel path)."""
     meta = None
     for name in sorted(members):
         if not _COMMIT_RE.match(name):
@@ -343,6 +481,34 @@ def delta_column_mapping(tar_payload: bytes) -> "dict[str, str] | None":
             action = json.loads(line)
             if "metaData" in action:
                 meta = action["metaData"]
+    if meta is not None:
+        return meta
+    lc = members.get("_delta_log/_last_checkpoint")
+    if lc is None:
+        return None
+    v = json.loads(lc.decode("utf-8"))["version"]
+    blob = members.get(f"_delta_log/{v:020d}.checkpoint.parquet")
+    if blob is None:
+        return None
+    for row in parquet_read_columns(blob, ["metaData"])["metaData"]:
+        if row is not None and row.get("id") is not None:
+            meta = dict(row)
+            cfg = meta.get("configuration")
+            if isinstance(cfg, list):  # MAP column → (k, v) tuples
+                meta["configuration"] = dict(cfg)
+            return meta
+    return None
+
+
+def delta_column_resolution(tar_payload: bytes) -> "tuple[str, dict] | None":
+    """The table's column-mapping declaration: ``None`` for mode
+    none, ``("name", {logical: physicalName})`` for mode=name,
+    ``("id", {logical: fieldId})`` for mode=id (round 15 — files are
+    matched by the parquet SchemaElement field_id the annotation
+    pins, the resolution that survives BOTH renames and physical-name
+    drift)."""
+    members = dict(tar_members(tar_payload))
+    meta = _last_metadata(members)
     if meta is None:
         return None
     mode = (meta.get("configuration") or {}).get(
@@ -350,23 +516,40 @@ def delta_column_mapping(tar_payload: bytes) -> "dict[str, str] | None":
     )
     if mode in ("none", ""):
         return None
-    if mode == "id":
-        raise NotImplementedError(
-            "delta: columnMapping.mode=id (parquet field-id matching)"
-        )
-    if mode != "name":
+    if mode not in ("name", "id"):
         raise ValueError(f"delta: unknown columnMapping.mode {mode!r}")
     schema = json.loads(meta["schemaString"])
-    mapping: dict[str, str] = {}
+    mapping: dict = {}
+    key = (
+        "delta.columnMapping.physicalName"
+        if mode == "name"
+        else "delta.columnMapping.id"
+    )
     for f in schema.get("fields", []):
-        phys = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
-        if not phys:
+        val = (f.get("metadata") or {}).get(key)
+        if val is None:
             raise ValueError(
                 f"delta: mapped table field {f.get('name')!r} has no "
-                "physicalName"
+                f"{key.rsplit('.', 1)[1]}"
             )
-        mapping[f["name"]] = phys
-    return mapping
+        mapping[f["name"]] = val
+    return (mode, mapping)
+
+
+def delta_column_mapping(tar_payload: bytes) -> "dict[str, str] | None":
+    """Logical → PHYSICAL column names when the table declares
+    ``delta.columnMapping.mode = name`` (round 14 s3): the LAST
+    metaData action's schemaString carries per-field
+    ``delta.columnMapping.physicalName`` annotations, and the parquet
+    files store the physical names — a reader that matches logical
+    names directly reads nothing on real mapped tables (the mode that
+    makes column RENAME a metadata-only operation). Checkpoint-aware
+    since round 15; mode=id resolves through
+    :func:`delta_column_resolution` / field ids instead."""
+    res = delta_column_resolution(tar_payload)
+    if res is None or res[0] != "name":
+        return None
+    return res[1]
 
 
 def delta_snapshot_rows(
@@ -374,12 +557,44 @@ def delta_snapshot_rows(
 ) -> list[tuple[int, dict]]:
     """Live snapshot → rows: ``[(version_added, {col: value})]`` by
     decoding every live file through the from-scratch parquet reader;
-    rows named by a file's deletion vector drop out (round 14), and
-    column-mapped tables resolve logical names through the metaData
-    schema's physicalName annotations (round 14 s3)."""
-    mapping = delta_column_mapping(tar_payload)
-    phys = [mapping.get(c, c) for c in columns] if mapping else list(columns)
+    rows named by a file's deletion vector drop out (round 14).
+    Column-mapped tables resolve logical names through the metaData
+    schema — physicalName annotations for mode=name (round 14 s3),
+    parquet field ids for mode=id (round 15; files without ids fall
+    back to the schema's physicalName annotation when present)."""
+    res = delta_column_resolution(tar_payload)
     out: list[tuple[int, dict]] = []
+    if res is not None and res[0] == "id":
+        ids = res[1]
+        # physicalName fallback for id-less files (real id-mode tables
+        # annotate both)
+        meta = _last_metadata(dict(tar_members(tar_payload)))
+        schema = json.loads(meta["schemaString"])
+        pn = {
+            f["name"]: (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            for f in schema.get("fields", [])
+        }
+        for _path, version, data, dead in delta_live_files_dv(tar_payload):
+            phys_by_id = {}
+            for el in parquet_footer(data)["schema"]:
+                fid = el.get("field_id")
+                if fid is not None and not el.get("num_children"):
+                    phys_by_id[fid] = el["name"]
+            phys = [
+                phys_by_id.get(ids.get(c), pn.get(c, c)) for c in columns
+            ]
+            cols = parquet_read_columns(data, phys)
+            for i in range(len(cols[phys[0]])):
+                if i in dead:
+                    continue
+                out.append(
+                    (version, {c: cols[p][i] for c, p in zip(columns, phys)})
+                )
+        return out
+    mapping = res[1] if res is not None else None
+    phys = [mapping.get(c, c) for c in columns] if mapping else list(columns)
     for _path, version, data, dead in delta_live_files_dv(tar_payload):
         cols = parquet_read_columns(data, phys)
         n = len(cols[phys[0]])
@@ -392,6 +607,56 @@ def delta_snapshot_rows(
     return out
 
 
+def _seed_checkpoint_state(
+    blob: bytes, base_v: int
+) -> "tuple[dict, dict | None, int | None]":
+    """Seed (live, metaData action, minReaderVersion) from an existing
+    checkpoint parquet — the roll-forward half of re-checkpointing."""
+    cols = parquet_read_columns(
+        blob,
+        ["add.path", "add.size", "protocol.minReaderVersion"],
+    )
+    try:
+        dvc = parquet_read_columns(
+            blob,
+            [
+                "add.deletionVector.storageType",
+                "add.deletionVector.pathOrInlineDv",
+                "add.deletionVector.offset",
+                "add.deletionVector.sizeInBytes",
+                "add.deletionVector.cardinality",
+            ],
+        )
+    except ValueError:
+        dvc = None
+    live: dict[str, tuple[int, int | None, dict | None]] = {}
+    mrv = None
+    for i in range(len(cols["add.path"])):
+        if cols["protocol.minReaderVersion"][i] is not None:
+            mrv = cols["protocol.minReaderVersion"][i]
+        p = cols["add.path"][i]
+        if p is not None:
+            dv = None
+            if dvc is not None and dvc["add.deletionVector.storageType"][i] is not None:
+                dv = {
+                    "storageType": dvc["add.deletionVector.storageType"][i],
+                    "pathOrInlineDv": dvc["add.deletionVector.pathOrInlineDv"][i],
+                    "offset": dvc["add.deletionVector.offset"][i],
+                    "sizeInBytes": dvc["add.deletionVector.sizeInBytes"][i],
+                    "cardinality": dvc["add.deletionVector.cardinality"][i],
+                }
+            live[p] = (base_v, cols["add.size"][i], dv)
+    meta = None
+    for row in parquet_read_columns(blob, ["metaData"])["metaData"]:
+        if row is not None and row.get("id") is not None:
+            meta = dict(row)
+            cfg = meta.get("configuration")
+            if isinstance(cfg, list):
+                meta["configuration"] = dict(cfg)
+            break
+    return live, meta, mrv
+
+
 def delta_checkpoint_table(tar_payload: bytes, version: int | None = None) -> bytes:
     """Rewrite a pure-JSON-log table archive into CHECKPOINTED form:
     resolve the state at ``version`` (default: the latest commit),
@@ -402,28 +667,45 @@ def delta_checkpoint_table(tar_payload: bytes, version: int | None = None) -> by
     never needs them — real log retention does exactly this), and
     keep later commits verbatim. Live files carrying deletion vectors
     are a typed boundary (their checkpoint rows need two-level struct
-    nesting)."""
+    nesting). Re-checkpointing a checkpointed table seeds from the
+    existing checkpoint and rolls it forward (round 15 — real log
+    retention re-checkpoints every N commits)."""
     members = dict(tar_members(tar_payload))
-    if "_delta_log/_last_checkpoint" in members:
-        raise ValueError("delta: table is already checkpointed")
+    live: dict[str, tuple[int, int | None, dict | None]] = {}
+    metadata_action: dict | None = None
+    protocol_action: dict | None = None
+    base_v = -1
+    old_ckpt_name = None
+    lc = members.get("_delta_log/_last_checkpoint")
+    if lc is not None:
+        base_v = json.loads(lc.decode("utf-8"))["version"]
+        old_ckpt_name = f"_delta_log/{base_v:020d}.checkpoint.parquet"
+        blob0 = members.get(old_ckpt_name)
+        if blob0 is None:
+            raise ValueError(f"delta: _last_checkpoint names missing {old_ckpt_name}")
+        live, metadata_action, mrv0 = _seed_checkpoint_state(blob0, base_v)
+        if mrv0 is not None:
+            protocol_action = {"minReaderVersion": mrv0}
     commits: list[tuple[int, bytes]] = []
     for name in members:
         m = _COMMIT_RE.match(name)
         if m:
             commits.append((int(m.group(1)), members[name]))
-    if not commits:
+    if not commits and base_v < 0:
         raise ValueError("delta: no commit files under _delta_log/")
     commits.sort()
-    if [v for v, _ in commits] != list(range(len(commits))):
-        raise ValueError("delta: commit versions must be gapless from 0")
-    last = commits[-1][0]
+    if [v for v, _ in commits] != list(
+        range(base_v + 1, base_v + 1 + len(commits))
+    ):
+        raise ValueError(
+            "delta: commit versions must be gapless from "
+            + ("0" if base_v < 0 else f"the checkpoint ({base_v + 1})")
+        )
+    last = commits[-1][0] if commits else base_v
     v = last if version is None else version
-    if not 0 <= v <= last:
+    if not max(base_v, 0) <= v <= last:
         raise ValueError(f"delta: checkpoint version {v} outside log range")
 
-    live: dict[str, tuple[int, int | None, dict | None]] = {}
-    metadata_action: dict | None = None
-    protocol_action: dict | None = None
     for cv, blob in commits:
         if cv > v:
             break
@@ -450,9 +732,16 @@ def delta_checkpoint_table(tar_payload: bytes, version: int | None = None) -> by
             "minReaderVersion": (protocol_action or {}).get("minReaderVersion", 1)
         }
     ] + [None] * (n - 1)
-    mds: list = [None, {"id": str(metadata_action.get("id", ""))}] + [None] * (
-        n - 2
-    )
+    # metaData rows carry the FULL self-describing payload since round
+    # 15 (schemaString + configuration as a real parquet MAP column):
+    # a checkpointed column-mapped table keeps its mapping after the
+    # carrying commit is vacuumed (_last_metadata recovers it)
+    md_row: dict = {"id": str(metadata_action.get("id", ""))}
+    if metadata_action.get("schemaString") is not None:
+        md_row["schemaString"] = metadata_action["schemaString"]
+    cfg = metadata_action.get("configuration") or {}
+    md_row["configuration"] = {str(k): str(v) for k, v in cfg.items()} or None
+    mds: list = [None, md_row] + [None] * (n - 2)
     adds: list = [None, None]
     for p in paths:
         _ver, size, dv = live[p]
@@ -475,7 +764,11 @@ def delta_checkpoint_table(tar_payload: bytes, version: int | None = None) -> by
         {"protocol": prs, "metaData": mds, "add": adds, "remove": rms},
         types={
             "protocol": {"minReaderVersion": "INT32"},
-            "metaData": {"id": "BYTE_ARRAY"},
+            "metaData": {
+                "id": "BYTE_ARRAY",
+                "schemaString": "BYTE_ARRAY",
+                "configuration": pmap("BYTE_ARRAY", "BYTE_ARRAY"),
+            },
             "add": {
                 "path": "BYTE_ARRAY",
                 "size": "INT64",
@@ -496,6 +789,8 @@ def delta_checkpoint_table(tar_payload: bytes, version: int | None = None) -> by
         m = _COMMIT_RE.match(name)
         if m and int(m.group(1)) <= v:
             continue  # retention: replay must not need these
+        if name == "_delta_log/_last_checkpoint" or name == old_ckpt_name:
+            continue  # superseded by the new checkpoint
         out.append((name, data))
     out.append(
         (

@@ -9490,3 +9490,343 @@ def orc_struct_scan_features(
         .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__s"))
         .applyInPandas(_build_and_scan, ORC_STRUCT_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 15: parquet MAP + deep-nested columns, both directions
+# ---------------------------------------------------------------------------
+
+NESTED_PARQUET_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_attrs", LongType()),
+        StructField("attrs_str", StringType()),
+        StructField("events_str", StringType()),
+        StructField("mat_str", StringType()),
+    ]
+)
+
+
+def _register_parquet_nested_modules():
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import parquet_data as _pdata
+    from yark_spark.operators import parquet_meta as _pm
+    from yark_spark.operators import parquet_nested as _pn
+    from yark_spark.operators import parquet_write as _pw
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()
+    _pdata.bind_codecs()
+    _pw.bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_pm)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_pdata)
+    _cp.register_pickle_by_value(_pw)
+    _cp.register_pickle_by_value(_pn)
+    return _pdata, _pw, _pn
+
+
+def parquet_nested_foreign_scan(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """E166 parquet MAP + deep-nested READ (round 15): REAL pyarrow
+    (the ecosystem's C++ Dremel shredder) writes map<string,string>,
+    list<struct<k,n>> and list<list<int64>> columns — every null/
+    empty level position exercised on doc_id moduli — and the
+    from-scratch reader reassembles them through the generic
+    repetition/definition-level algorithm (operators/parquet_data
+    _assemble_skeleton/_merge_value): rep-level continuation, def
+    chains stopping at each optional node, MAP key_value pairing.
+    The flattened forms are recomputed by DuckDB in pure SQL from the
+    source documents, so a wrong weave at ANY level breaks the hash.
+    Real lakes carry map metadata and list<struct> everywhere — this
+    was the #1 foreign-file gap. Map-only mapInPandas; page version
+    and row-group size cycle per batch."""
+    _pdata, _, _pn = _register_parquet_nested_modules()
+    _read = _pdata.parquet_read_columns
+    _fixture = _pn.nested_fixture_cols
+    _decode = _pn.nested_decode_frame
+
+    def _build_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        for bi, pdf in enumerate(batches):
+            ids = [int(v) for v in pdf[id_col]]
+            langs = list(pdf["lang"])
+            nchs = [int(v) for v in pdf["n_chars"]]
+            attrs, events, mat = _fixture(ids, langs, nchs)
+            t = _pa.table(
+                {
+                    "doc_id": _pa.array(ids, _pa.int64()),
+                    "attrs": _pa.array(attrs, _pa.map_(_pa.string(), _pa.string())),
+                    "events": _pa.array(
+                        events,
+                        _pa.list_(
+                            _pa.struct([("k", _pa.string()), ("n", _pa.int64())])
+                        ),
+                    ),
+                    "mat": _pa.array(mat, _pa.list_(_pa.list_(_pa.int64()))),
+                }
+            )
+            buf = _io.BytesIO()
+            _pq.write_table(
+                t,
+                buf,
+                compression=("snappy", "zstd")[bi % 2],
+                version=("1.0", "2.6")[(bi // 2) % 2],
+                row_group_size=(64, 37)[bi % 2],
+            )
+            yield _decode(_read, buf.getvalue())
+
+    return df.select(F.col(id_col), F.col("lang"), F.col("n_chars")).mapInPandas(
+        _build_scan, NESTED_PARQUET_SCHEMA
+    )
+
+
+def parquet_nested_write_features(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """E167 parquet MAP + deep-nested WRITE (round 15): the same
+    nested values serialized by the from-scratch writer's generic
+    shredder (operators/parquet_write plist/pmap specs → per-leaf
+    (def, rep, value) emission, MAP/LIST ConvertedType schema groups)
+    and read back by the from-scratch reader under the SQL-recomputed
+    digest; pyarrow AND DuckDB read the same wire value-for-value
+    (incl. DuckDB map functions) in tests/test_parquet_write.py.
+    Codec and page version cycle per batch. With E166 this closes
+    write-side nested parity — the lake substrate reads what others
+    write and writes what others read, maps included."""
+    _pdata, _pw, _pn = _register_parquet_nested_modules()
+    _read = _pdata.parquet_read_columns
+    _write = _pw.parquet_write
+    _plist, _pmap = _pw.plist, _pw.pmap
+    _fixture = _pn.nested_fixture_cols
+    _decode = _pn.nested_decode_frame
+
+    def _write_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bi, pdf in enumerate(batches):
+            ids = [int(v) for v in pdf[id_col]]
+            langs = list(pdf["lang"])
+            nchs = [int(v) for v in pdf["n_chars"]]
+            attrs, events, mat = _fixture(ids, langs, nchs)
+            blob = _write(
+                {"doc_id": ids, "attrs": attrs, "events": events, "mat": mat},
+                types={
+                    "doc_id": "INT64",
+                    "attrs": _pmap("BYTE_ARRAY", "BYTE_ARRAY"),
+                    "events": _plist({"k": "BYTE_ARRAY", "n": "INT64"}),
+                    "mat": _plist(_plist("INT64")),
+                },
+                codec=("ZSTD", "SNAPPY", "GZIP", "UNCOMPRESSED")[bi % 4],
+                data_page_version=1 + (bi % 2),
+                row_group_size=64,
+            )
+            yield _decode(_read, blob)
+
+    return df.select(F.col(id_col), F.col("lang"), F.col("n_chars")).mapInPandas(
+        _write_scan, NESTED_PARQUET_SCHEMA
+    )
+
+
+DELTA_DV_WRITE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("storage", StringType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def delta_dv_write_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E168 Delta DV WRITE loop (round 15): every 32 docs become a
+    plain two-file JSON-log table, then operators/deltalog.
+    delta_add_deletion_vectors emits a REAL deletion commit — protocol
+    upgraded to v3/deletionVectors, remove + re-add per file, the
+    bitmap a Delta RoaringBitmapArray — with the descriptor storage
+    CYCLING by table: on-disk ``p`` framing, ``u``-style
+    deletion_vector_<uuid>.bin addressing (Z85 uuid in the
+    descriptor), and inline ``i``. The table then resolves through the
+    round-14 reader: rows named by the written DVs must vanish, and a
+    writer that mangles any framing byte breaks its own reader's
+    CRC/cardinality cross-checks. Docs with doc_id%4==1 die. One
+    applyInPandas per table, map-only resolve."""
+    _dl = _register_delta_modules()
+    _rows = _dl.delta_snapshot_rows
+    _dv_write = _dl.delta_add_deletion_vectors
+    from yark_spark.operators import parquet_write as _pw_mod
+
+    _tar = _register_container_modules().tar_build
+    _write = _pw_mod.parquet_write
+
+    def _build_and_resolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 32
+        p0 = _write(
+            {"doc_id": ids[:16], "text": texts[:16]},
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+            codec="SNAPPY",
+        )
+        p1 = _write(
+            {"doc_id": ids[16:], "text": texts[16:]},
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+            codec="SNAPPY",
+        )
+        v0 = "\n".join(
+            [
+                _json.dumps({"protocol": {"minReaderVersion": 1,
+                                          "minWriterVersion": 2}}),
+                _json.dumps({"metaData": {"id": f"tbl-{tid}",
+                                          "format": {"provider": "parquet"}}}),
+                _json.dumps({"add": {"path": "p0.parquet", "size": len(p0),
+                                     "dataChange": True}}),
+                _json.dumps({"add": {"path": "p1.parquet", "size": len(p1),
+                                     "dataChange": True}}),
+            ]
+        )
+        tar = _tar(
+            [("_delta_log/" + "0" * 20 + ".json", v0.encode("utf-8")),
+             ("p0.parquet", p0), ("p1.parquet", p1)]
+        )
+        storage = ("p", "u", "i")[tid % 3]
+        dead = {
+            "p0.parquet": [i for i, d in enumerate(ids[:16]) if d % 4 == 1],
+            "p1.parquet": [i for i, d in enumerate(ids[16:]) if d % 4 == 1],
+        }
+        dead = {k: v for k, v in dead.items() if v}
+        out_tar = _dv_write(tar, dead, storage=storage) if dead else tar
+        out_ids, ns, digs = [], [], []
+        for _version, row in _rows(out_tar, ["doc_id", "text"]):
+            out_ids.append(int(row["doc_id"]))
+            ns.append(len(row["text"]))
+            digs.append(_h.md5(row["text"].encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_ids, dtype="int64"),
+                "table_id": np.array([tid] * len(out_ids), dtype="int64"),
+                "storage": [storage] * len(out_ids),
+                "n_chars": np.array(ns, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(_build_and_resolve, DELTA_DV_WRITE_SCHEMA)
+    )
+
+
+DELTA_MAPPING_ID_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def delta_mapping_id_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E169 Delta column mapping mode=id + checkpointed mapped tables
+    (round 15): every 32 docs become a mapped table whose parquet file
+    stores DRIFTED physical names plus parquet field ids, with the
+    schemaString's columnMapping.id annotations the only correct way
+    back to logical names — name matching reads nothing, physicalName
+    matching reads the WRONG columns. The table is then CHECKPOINTED
+    (metaData row with schemaString + configuration as a real parquet
+    MAP column) and its version-0 commit deleted, so resolution must
+    recover the mapping from the checkpoint (the r14 ADVICE gap).
+    One applyInPandas per table, map-only resolve."""
+    _dl = _register_delta_modules()
+    _rows = _dl.delta_snapshot_rows
+    _ckpt = _dl.delta_checkpoint_table
+    from yark_spark.operators import parquet_write as _pw_mod
+
+    _tar = _register_container_modules().tar_build
+    _write = _pw_mod.parquet_write
+
+    def _build_and_resolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 32
+        # drifted physical names; swapped lexical order so a reader
+        # matching by position or name fails loudly
+        p0 = _write(
+            {f"zz-{tid}-a": ids, f"aa-{tid}-b": texts},
+            types={f"zz-{tid}-a": "INT64", f"aa-{tid}-b": "BYTE_ARRAY"},
+            codec="SNAPPY",
+            field_ids={f"zz-{tid}-a": 1, f"aa-{tid}-b": 2},
+        )
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "doc_id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "stale-x"}},
+                {"name": "text", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "stale-y"}},
+            ],
+        }
+        v0 = "\n".join(
+            [
+                _json.dumps({"protocol": {"minReaderVersion": 2,
+                                          "minWriterVersion": 5}}),
+                _json.dumps({"metaData": {
+                    "id": f"tbl-{tid}", "format": {"provider": "parquet"},
+                    "partitionColumns": [],
+                    "schemaString": _json.dumps(schema),
+                    "configuration": {"delta.columnMapping.mode": "id"}}}),
+                _json.dumps({"add": {"path": "part-0.parquet", "size": len(p0),
+                                     "dataChange": True}}),
+            ]
+        )
+        tar = _tar(
+            [("_delta_log/" + "0" * 20 + ".json", v0.encode("utf-8")),
+             ("part-0.parquet", p0)]
+        )
+        ck = _ckpt(tar)  # version-0 commit (with the metaData) is GONE
+        out_ids, ns, digs = [], [], []
+        for _version, row in _rows(ck, ["doc_id", "text"]):
+            out_ids.append(int(row["doc_id"]))
+            ns.append(len(row["text"]))
+            digs.append(_h.md5(row["text"].encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_ids, dtype="int64"),
+                "table_id": np.array([tid] * len(out_ids), dtype="int64"),
+                "n_chars": np.array(ns, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(_build_and_resolve, DELTA_MAPPING_ID_SCHEMA)
+    )

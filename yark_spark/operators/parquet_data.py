@@ -396,11 +396,15 @@ def _read_chunk(
     max_def: int,
     max_rep: int = 0,
     type_length: "int | None" = None,
+    return_levels: bool = False,
 ):
     """Decode one column chunk. Flat columns (``max_rep == 0``)
     return the woven value list (None for nulls); repeated columns
     return ``(defs, reps, present_values)`` for the caller's record
-    assembly."""
+    assembly. ``return_levels`` forces the level form even at
+    ``max_rep == 0`` (generic Dremel assembly needs the exact def
+    level of non-repeated leaves to tell a null struct from a null
+    field; reps come back all-zero)."""
     ptype = col["type"]
     codec = col["codec"]
     n_total = col["num_values"]  # level entries, not rows
@@ -492,7 +496,7 @@ def _read_chunk(
         else:
             raise NotImplementedError(f"parquet: page type {page_type}")
         seen += n_vals
-        if max_rep > 0:
+        if max_rep > 0 or return_levels:
             all_defs.extend(defs if defs is not None else [max_def] * n_vals)
             all_reps.extend(reps if reps is not None else [0] * n_vals)
             values.extend(vals)
@@ -500,7 +504,7 @@ def _read_chunk(
             values.extend(_weave(defs, vals, max_def, n_vals))
     if seen != n_total:
         raise ValueError("parquet: chunk value count mismatch")
-    if max_rep > 0:
+    if max_rep > 0 or return_levels:
         return all_defs, all_reps, values
     return values
 
@@ -604,6 +608,269 @@ def _assemble_lists(defs, reps, vals, max_def: int, def_outer: int) -> list:
     return rows
 
 
+# ---------------------------------------------------------------------------
+# Generic Dremel record assembly (round 15): MAP columns, list<struct>,
+# struct<list>, list<list<…>> — any depth of repeated/optional nesting.
+# The 3-level-LIST fast path above stays for the common embedding shape;
+# everything deeper routes here.
+# ---------------------------------------------------------------------------
+
+_CONV_MAP, _CONV_MAP_KV, _CONV_LIST = 1, 2, 3
+
+
+def _schema_subtrees(schema: list[dict]) -> dict[str, dict]:
+    """Parse the flat depth-first SchemaElement list into one tree per
+    top-level column: ``{name: node}`` with node = {el, name, rep,
+    conv, children}."""
+
+    def build(i: int) -> tuple[dict, int]:
+        el = schema[i]
+        node = {
+            "el": el,
+            "name": el["name"],
+            "rep": el["repetition"],
+            "conv": el.get("converted_type"),
+            "children": [],
+        }
+        j = i + 1
+        for _ in range(el["num_children"]):
+            child, j = build(j)
+            node["children"].append(child)
+        return node, j
+
+    roots: dict[str, dict] = {}
+    i = 1
+    for _ in range(schema[0]["num_children"]):
+        node, i = build(i)
+        roots[node["name"]] = node
+    return roots
+
+
+def _nested_leaves(node: dict, path: tuple, d: int, r: int, out: list) -> None:
+    """Collect leaf descriptors: (path, max_def, max_rep, element)."""
+    d2 = d + (1 if node["rep"] in (1, 2) else 0)
+    r2 = r + (1 if node["rep"] == 2 else 0)
+    if not node["children"]:
+        out.append(
+            {
+                "path": path + (node["name"],),
+                "max_def": d2,
+                "max_rep": r2,
+                "el": node["el"],
+            }
+        )
+        return
+    for c in node["children"]:
+        _nested_leaves(c, path + (node["name"],), d2, r2, out)
+
+
+def _rep_def_levels(node: dict, leaf_path: tuple, d: int = 0) -> list[int]:
+    """Cumulative def level AT each repeated node along ``leaf_path``
+    (the assembly's list-nesting schedule for that leaf)."""
+    out: list[int] = []
+    cur = node
+    d += 1 if cur["rep"] in (1, 2) else 0
+    if cur["rep"] == 2:
+        out.append(d)
+    for name in leaf_path[1:]:
+        nxt = next(c for c in cur["children"] if c["name"] == name)
+        d += 1 if nxt["rep"] in (1, 2) else 0
+        if nxt["rep"] == 2:
+            out.append(d)
+        cur = nxt
+    return out
+
+
+def _assemble_skeleton(
+    defs: list, reps: list, vals: list, rep_defs: list[int], max_def: int
+) -> list:
+    """One leaf's (def, rep, value) stream → one skeleton per record:
+    nested Python lists, one nesting level per repeated node on the
+    leaf's path; wherever the definition chain stops short of the next
+    repeated level, a ``("v", d, value)`` marker records HOW FAR it
+    got (null struct vs null field vs empty list are distinguished by
+    the merge step against the schema's per-node def levels)."""
+    records: list = []
+    it = iter(vals)
+    m = len(rep_defs)
+    stack: list = []
+    started = False
+    cur_root = None
+    for d, r in zip(defs, reps):
+        v = next(it) if d == max_def else None
+        q = 0
+        while q < m and rep_defs[q] <= d:
+            q += 1
+        if r == 0:
+            if started:
+                records.append(cur_root)
+            started = True
+            if q == 0:
+                cur_root = ("v", d, v)
+                stack = []
+                continue
+            lst: list = []
+            cur_root = lst
+            stack = [lst]
+            base = 1
+        else:
+            if r > len(stack):
+                raise ValueError(
+                    "parquet: repetition level continues a list that "
+                    "does not exist"
+                )
+            del stack[r:]
+            base = r
+        for _ in range(base, q):
+            nl: list = []
+            stack[-1].append(nl)
+            stack.append(nl)
+        stack[-1].append(("v", d, v))
+    if started:
+        records.append(cur_root)
+    return records
+
+
+def _is_marker(slot) -> bool:
+    return isinstance(slot, tuple) and len(slot) == 3 and slot[0] == "v"
+
+
+def _merge_value(node: dict, slots: dict, d0: int):
+    """Build the Python value for ``node`` at one structural position
+    from each descendant leaf's skeleton slot. Lists for repeated
+    nodes, dicts for structs, (key, value) tuple lists for MAP groups,
+    None for null optionals."""
+    if node["rep"] == 2:
+        # a repeated node: value is the list of its occurrences; a
+        # marker here means the chain never reached it → empty list
+        slot0 = next(iter(slots.values()))
+        if _is_marker(slot0):
+            return []
+        n = len(slot0)
+        out = []
+        for i in range(n):
+            sub = {k: s[i] for k, s in slots.items()}
+            out.append(_element_value(node, sub, d0 + 1))
+        return out
+    d1 = d0 + (1 if node["rep"] == 1 else 0)
+    if not node["children"]:
+        _tag, dd, v = next(iter(slots.values()))
+        return v if dd >= d1 else None
+    # group: null iff every leaf's chain stopped above this node
+    if all(_is_marker(s) and s[1] < d1 for s in slots.values()):
+        return None
+    if (
+        node["conv"] in (_CONV_LIST, _CONV_MAP, _CONV_MAP_KV)
+        and len(node["children"]) == 1
+    ):
+        child = node["children"][0]
+        if child["rep"] == 2:
+            val = _merge_value(child, _child_slots(slots, child["name"]), d1)
+            if node["conv"] in (_CONV_MAP, _CONV_MAP_KV) and len(
+                child["children"]
+            ) == 2:
+                kname = child["children"][0]["name"]
+                vname = child["children"][1]["name"]
+                return [
+                    (e[kname], e[vname]) if isinstance(e, dict) else e
+                    for e in val
+                ]
+            return val
+    return {
+        c["name"]: _merge_value(
+            c, _child_slots(slots, c["name"]), d1
+        )
+        for c in node["children"]
+    }
+
+
+def _element_value(node: dict, slots: dict, d: int):
+    """One occurrence of repeated ``node``: the element itself."""
+    if not node["children"]:
+        _tag, _dd, v = next(iter(slots.values()))
+        return v
+    # modern 3-level shape: repeated group wrapping ONE element field
+    # (names "list"/"item"/"element" by convention); legacy 2-level
+    # keeps the repeated group itself as a struct element, as does the
+    # MAP key_value pair
+    if len(node["children"]) == 1 and node["name"] not in ("array",) and not node[
+        "name"
+    ].endswith("_tuple"):
+        child = node["children"][0]
+        return _merge_value(child, _child_slots(slots, child["name"]), d)
+    return {
+        c["name"]: _merge_value(c, _child_slots(slots, c["name"]), d)
+        for c in node["children"]
+    }
+
+
+def _child_slots(slots: dict, name: str) -> dict:
+    sub = {k: v for k, v in slots.items() if k[0] == name}
+    return {k[1:]: v for k, v in sub.items()}
+
+
+def _leaf_convert(el: dict, vals: list) -> list:
+    """Mirror the flat path's value conventions: UTF8 BYTE_ARRAY →
+    str, FLBA DECIMAL → unscaled int; everything else verbatim."""
+    if el["type"] == "BYTE_ARRAY":
+        if el.get("converted_type") == 0:  # UTF8
+            return [
+                v.decode("utf-8") if isinstance(v, bytes) else v for v in vals
+            ]
+        return vals
+    if el["type"] == "FIXED_LEN_BYTE_ARRAY" and el.get("converted_type") == 5:
+        return [
+            int.from_bytes(v, "big", signed=True) if isinstance(v, bytes) else v
+            for v in vals
+        ]
+    return vals
+
+
+def _read_nested_column(
+    payload: bytes, footer: dict, node: dict, row_groups: "list[dict] | None"
+) -> list:
+    """Full Dremel read of one top-level nested column: every leaf
+    chunk under it decodes to (defs, reps, values), assembles into a
+    per-record skeleton, and the skeletons merge into Python values
+    guided by the schema subtree. The per-row-group loop is the same
+    unit of work the 100 TB plan distributes."""
+    leaf_infos: list[dict] = []
+    _nested_leaves(node, (), 0, 0, leaf_infos)
+    for li in leaf_infos:
+        li["rep_defs"] = _rep_def_levels(node, li["path"])
+    out: list = []
+    for rg in footer["row_groups"] if row_groups is None else row_groups:
+        by_path = {tuple(c["path_in_schema"]): c for c in rg["columns"]}
+        per_leaf: dict[tuple, list] = {}
+        for li in leaf_infos:
+            col = by_path.get(li["path"])
+            if col is None:
+                raise ValueError(
+                    f"parquet: column chunk missing for {li['path']!r}"
+                )
+            defs, reps, vals = _read_chunk(
+                payload,
+                col,
+                li["max_def"],
+                max_rep=li["max_rep"],
+                type_length=li["el"].get("type_length"),
+                return_levels=True,
+            )
+            vals = _leaf_convert(li["el"], vals)
+            skel = _assemble_skeleton(
+                defs, reps, vals, li["rep_defs"], li["max_def"]
+            )
+            per_leaf[li["path"][1:]] = skel
+        counts = {len(s) for s in per_leaf.values()}
+        if len(counts) != 1:
+            raise ValueError("parquet: leaf record counts disagree")
+        (n_rows,) = counts
+        for ri in range(n_rows):
+            slots = {p: s[ri] for p, s in per_leaf.items()}
+            out.append(_merge_value(node, slots, 0))
+    return out
+
+
 def parquet_read_columns(
     payload: bytes,
     columns: list[str],
@@ -690,21 +957,28 @@ def parquet_read_columns(
 
         _register(i, [], 0)
         i = _skip_subtree(i)
+    # requesting a nested GROUP column by its top-level name runs the
+    # full Dremel assembler (round 15): MAP, list<struct>, struct<list>,
+    # arbitrary depth — dotted struct-leaf access stays available
     wanted_nested = [
         c for c in columns if c in nested and c not in struct_leaves
     ]
-    if wanted_nested:
-        raise NotImplementedError(
-            f"parquet: nested/repeated columns not supported: {wanted_nested}"
-        )
     missing = [
         c
         for c in columns
-        if c not in leaves and c not in lists and c not in struct_leaves
+        if c not in leaves
+        and c not in lists
+        and c not in struct_leaves
+        and c not in wanted_nested
     ]
     if missing:
         raise ValueError(f"parquet: columns not in schema: {missing}")
     out: dict[str, list] = {c: [] for c in columns}
+    if wanted_nested:
+        roots = _schema_subtrees(schema)
+        for c in wanted_nested:
+            out[c] = _read_nested_column(payload, footer, roots[c], row_groups)
+    columns = [c for c in columns if c not in wanted_nested]
     for rg in footer["row_groups"] if row_groups is None else row_groups:
         by_path = {tuple(c["path_in_schema"]): c for c in rg["columns"]}
         for name in columns:

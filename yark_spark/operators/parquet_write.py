@@ -40,7 +40,7 @@ from yark_spark.operators.parquet_meta import (
     sbbf_size_bytes,
 )
 
-__all__ = ["parquet_write"]
+__all__ = ["parquet_write", "plist", "pmap"]
 
 # thrift compact wire types
 _CT_TRUE, _CT_FALSE = 1, 2
@@ -415,6 +415,214 @@ def _infer_type(name: str, values: list) -> str:
     return kind or "BYTE_ARRAY"  # all-null column
 
 
+def plist(element_spec) -> dict:
+    """Type-spec marker for a standard 3-level LIST column: optional
+    group (ConvertedType LIST) → repeated group ``list`` → optional
+    ``element`` of ``element_spec`` (a physical type string, a struct
+    dict, or another plist/pmap). Row values are Python lists (None =
+    null list, [] = empty)."""
+    return {"__list__": element_spec}
+
+
+def pmap(key_type: str, value_spec) -> dict:
+    """Type-spec marker for a MAP column: optional group (ConvertedType
+    MAP) → repeated group ``key_value`` (MAP_KEY_VALUE) → required
+    ``key`` of physical ``key_type`` + optional ``value`` of
+    ``value_spec``. Row values are dicts or (key, value) tuple lists;
+    keys must be non-null."""
+    if key_type not in _TYPE_IDS:
+        raise NotImplementedError(f"parquet-write: map key type {key_type}")
+    return {"__map__": (key_type, value_spec)}
+
+
+def _has_markers(spec) -> bool:
+    if not isinstance(spec, dict):
+        return False
+    if "__list__" in spec or "__map__" in spec:
+        return True
+    return any(_has_markers(v) for v in spec.values())
+
+
+def _ident(v):
+    return v
+
+
+def _map_pairs(v):
+    if isinstance(v, dict):
+        return list(v.items())
+    return list(v)
+
+
+def _field_getter(name):
+    def get(v):
+        return v.get(name)
+
+    return get
+
+
+def _pair_key(p):
+    return p[0]
+
+
+def _pair_value(p):
+    return p[1]
+
+
+def _gexpand(
+    disp: str,
+    spec,
+    path: list[str],
+    steps: list,
+    d: int,
+    r: int,
+    out: list,
+) -> None:
+    """Expand a marker-bearing type spec into generic leaves:
+    {"disp", "path", "ptype", "steps", "max_def", "max_rep"}. ``steps``
+    is the shredding program — ("opt", extract) optional node (null →
+    stop-emit, else def+1 then move to the child value), ("req"/
+    "reqkey", extract) required node, ("rep", ordinal) repeated node
+    (empty → stop-emit, else iterate, first element inheriting the
+    incoming rep level), ("leaf",) terminal emit."""
+    if isinstance(spec, str):
+        if spec not in _TYPE_IDS:
+            raise NotImplementedError(f"parquet-write: type {spec} for {disp}")
+        out.append(
+            {
+                "disp": disp,
+                "path": path,
+                "ptype": spec,
+                "steps": steps + [("opt", _ident), ("leaf",)],
+                "max_def": d + 1,
+                "max_rep": r,
+            }
+        )
+    elif "__list__" in spec:
+        _gexpand(
+            disp,
+            spec["__list__"],
+            path + ["list", "element"],
+            steps + [("opt", _ident), ("rep", r + 1)],
+            d + 2,
+            r + 1,
+            out,
+        )
+    elif "__map__" in spec:
+        ktype, vspec = spec["__map__"]
+        kv_steps = steps + [("opt", _map_pairs), ("rep", r + 1)]
+        out.append(
+            {
+                "disp": disp + ".key",
+                "path": path + ["key_value", "key"],
+                "ptype": ktype,
+                "steps": kv_steps + [("reqkey", _pair_key), ("leaf",)],
+                "max_def": d + 2,
+                "max_rep": r + 1,
+            }
+        )
+        _gexpand(
+            disp + ".value",
+            vspec,
+            path + ["key_value", "value"],
+            kv_steps + [("req", _pair_value)],
+            d + 2,
+            r + 1,
+            out,
+        )
+    else:  # struct
+        for fn, sub in spec.items():
+            _gexpand(
+                f"{disp}.{fn}",
+                sub,
+                path + [fn],
+                steps + [("opt", _field_getter(fn))],
+                d + 1,
+                r,
+                out,
+            )
+
+
+def _shred(val, steps: list, si: int, d: int, r: int, entries: list) -> None:
+    """Run one row value through a leaf's shredding program, emitting
+    (def, rep, value) entries — the write-side Dremel."""
+    while True:
+        kind = steps[si][0]
+        if kind == "opt":
+            if val is None:
+                entries.append((d, r, None))
+                return
+            d += 1
+            val = steps[si][1](val)
+        elif kind == "req":
+            val = steps[si][1](val)
+        elif kind == "reqkey":
+            val = steps[si][1](val)
+            if val is None:
+                raise ValueError("parquet-write: map keys must be non-null")
+        elif kind == "rep":
+            if not isinstance(val, (list, tuple)):
+                raise ValueError(
+                    f"parquet-write: expected a list value, got {type(val).__name__}"
+                )
+            if not val:
+                entries.append((d, r, None))
+                return
+            d += 1
+            rl = steps[si][1]
+            for j, el in enumerate(val):
+                _shred(el, steps, si + 1, d, r if j == 0 else rl, entries)
+            return
+        else:  # leaf
+            entries.append((d, r, val))
+            return
+        si += 1
+
+
+def _gschema_elems(
+    fn: str, spec, elems: list, field_ids: "dict | None", disp: str
+) -> None:
+    """SchemaElement emission for a marker-bearing spec (mirrors
+    _gexpand's tree shape: groups carry repetition + ConvertedType +
+    num_children; leaves reuse the flat emitter's conventions)."""
+
+    def group(name: str, repetition: int, n: int, conv: "int | None" = None):
+        g = _TStruct()
+        g.i32(3, repetition)
+        g.binary(4, name.encode("utf-8"))
+        g.i32(5, n)
+        if conv is not None:
+            g.i32(6, conv)
+        elems.append(g.done())
+
+    def leaf(name: str, t: str, repetition: int, leaf_disp: str):
+        el = _TStruct()
+        el.i32(1, _TYPE_IDS[t])
+        el.i32(3, repetition)
+        el.binary(4, name.encode("utf-8"))
+        if t == "BYTE_ARRAY":
+            el.i32(6, 0)  # ConvertedType UTF8
+        if field_ids and leaf_disp in field_ids:
+            el.i32(9, field_ids[leaf_disp])
+        elems.append(el.done())
+
+    if isinstance(spec, str):
+        leaf(fn, spec, 1, disp)
+    elif "__list__" in spec:
+        group(fn, 1, 1, conv=3)  # ConvertedType LIST
+        group("list", 2, 1)
+        _gschema_elems("element", spec["__list__"], elems, field_ids, disp)
+    elif "__map__" in spec:
+        ktype, vspec = spec["__map__"]
+        group(fn, 1, 1, conv=1)  # ConvertedType MAP
+        group("key_value", 2, 2, conv=2)  # MAP_KEY_VALUE
+        leaf("key", ktype, 0, disp + ".key")
+        _gschema_elems("value", vspec, elems, field_ids, disp + ".value")
+    else:
+        group(fn, 1, len(spec))
+        for sub, t in spec.items():
+            _gschema_elems(sub, t, elems, field_ids, f"{disp}.{sub}")
+
+
 def parquet_write(
     columns: dict[str, list],
     types: dict[str, str] | None = None,
@@ -447,14 +655,24 @@ def parquet_write(
     # — Delta checkpoints are nested-struct action rows), RECURSIVELY:
     # {"add": {"path": "BYTE_ARRAY", "deletionVector": {"offset":
     # "INT64"}}} with row values nested-dict-or-None; a leaf under k
-    # optional struct levels writes at max definition level k+1
+    # optional struct levels writes at max definition level k+1.
+    # plist()/pmap() markers anywhere in a dict spec route the column
+    # through the generic rep/def shredder instead (round 15): LIST,
+    # MAP, list<struct>, struct<list>, any depth.
+    marker_fields: dict[str, dict] = {
+        c: t
+        for c, t in (types or {}).items()
+        if isinstance(t, dict) and c in names and _has_markers(t)
+    }
     struct_fields: dict[str, dict] = {
-        c: t for c, t in (types or {}).items() if isinstance(t, dict) and c in names
+        c: t
+        for c, t in (types or {}).items()
+        if isinstance(t, dict) and c in names and c not in marker_fields
     }
     ctypes = {
         c: (types or {}).get(c) or _infer_type(c, columns[c])
         for c in names
-        if c not in struct_fields
+        if c not in struct_fields and c not in marker_fields
     }
     for c, t in ctypes.items():
         if t not in _TYPE_IDS:
@@ -479,8 +697,15 @@ def parquet_write(
                     f"parquet-write: type {t} for {top}.{'.'.join(prefix + [fn])}"
                 )
 
+    gleaves: dict[str, dict] = {}  # disp -> generic leaf descriptor
     for name in names:
-        if name in struct_fields:
+        if name in marker_fields:
+            gl: list = []
+            _gexpand(name, marker_fields[name], [name], [], 0, 0, gl)
+            for li in gl:
+                leaves.append((li["disp"], li["path"], li["ptype"], None))
+                gleaves[li["disp"]] = li
+        elif name in struct_fields:
             _expand(name, struct_fields[name], [])
         else:
             leaves.append((name, [name], ctypes[name], None))
@@ -513,7 +738,19 @@ def parquet_write(
         rg_total = 0
         for disp, path, ptype, fpath in leaves:
             rows = columns[path[0]][rg_start : rg_start + rg_rows]
-            if fpath is None:
+            reps_pair = None
+            if disp in gleaves:
+                gl = gleaves[disp]
+                entries: list = []
+                for rv in rows:
+                    _shred(rv, gl["steps"], 0, 0, 0, entries)
+                vals = [e[2] for e in entries]
+                defs_pair = ([e[0] for e in entries], gl["max_def"])
+                # non-repeated leaves (struct-only paths inside a
+                # marker spec) carry NO repetition section on the wire
+                if gl["max_rep"] > 0:
+                    reps_pair = ([e[1] for e in entries], gl["max_rep"])
+            elif fpath is None:
                 vals = rows
                 defs_pair = None
             else:
@@ -528,6 +765,7 @@ def parquet_write(
                 dictionary_max_cardinality,
                 bloom=disp in (bloom_filter_columns or ()),
                 defs_pair=defs_pair,
+                reps_pair=reps_pair,
                 force_encoding=(column_encodings or {}).get(disp),
                 page_version=data_page_version,
             )
@@ -623,7 +861,9 @@ def parquet_write(
             schema_elems.append(_leaf_elem(fn, spec))
 
     for name in names:
-        if name in struct_fields:
+        if name in marker_fields:
+            _gschema_elems(name, marker_fields[name], schema_elems, field_ids, name)
+        elif name in struct_fields:
             _emit_schema(name, struct_fields[name])
         else:
             schema_elems.append(_leaf_elem(name, ctypes[name]))
@@ -656,6 +896,7 @@ def _write_chunk(
     dict_max: int = 1024,
     bloom: bool = False,
     defs_pair: "tuple[list[int], int] | None" = None,
+    reps_pair: "tuple[list[int], int] | None" = None,
     force_encoding: "str | None" = None,
     page_version: int = 1,
 ) -> tuple[bytes, int]:
@@ -677,6 +918,16 @@ def _write_chunk(
     # definition levels: uint32-length-prefixed hybrid at max_def width
     def_section = _hybrid_encode(defs, _bit_width(max_def))
     def_block = struct.pack("<I", len(def_section)) + def_section
+    # repetition levels (repeated leaves only): same hybrid grammar,
+    # BEFORE the def section in v1 pages / the v2 level region
+    rep_section = b""
+    rep_block = b""
+    n_top_rows = len(vals)
+    if reps_pair is not None:
+        reps, max_rep = reps_pair
+        rep_section = _hybrid_encode(reps, _bit_width(max_rep))
+        rep_block = struct.pack("<I", len(rep_section)) + rep_section
+        n_top_rows = sum(1 for r in reps if r == 0)
 
     distinct = []
     seen = {}
@@ -748,33 +999,35 @@ def _write_chunk(
 
     if page_version == 2:
         # DataPageV2: levels sit UNCOMPRESSED before the compressed
-        # value region; the def section carries no length prefix
+        # value region; the level sections carry no length prefix
+        # (reps first, then defs)
         vals_comp = _compress(codec, values_raw)
+        lvl = rep_section + def_section
         inner = (
             _TStruct()
             .i32(1, len(vals))  # num_values
             .i32(2, len(vals) - len(present))  # num_nulls
-            .i32(3, len(vals))  # num_rows (one page per chunk here)
+            .i32(3, n_top_rows)  # num_rows (one page per chunk here)
             .i32(4, data_enc)
             .i32(5, len(def_section))
-            .i32(6, 0)  # no repetition levels in this writer
+            .i32(6, len(rep_section))
             .boolean(7, True)  # is_compressed
             .done()
         )
         page_hdr = (
             _TStruct()
             .i32(1, _PAGE_DATA_V2)
-            .i32(2, len(def_section) + len(values_raw))
-            .i32(3, len(def_section) + len(vals_comp))
+            .i32(2, len(lvl) + len(values_raw))
+            .i32(3, len(lvl) + len(vals_comp))
             .struct(8, inner)
             .done()
         )
         data_offset = len(out)
-        out += page_hdr + def_section + vals_comp
-        data_page_size = len(page_hdr) + len(def_section) + len(vals_comp)
-        total_unc += len(def_section) + len(values_raw)
+        out += page_hdr + lvl + vals_comp
+        data_page_size = len(page_hdr) + len(lvl) + len(vals_comp)
+        total_unc += len(lvl) + len(values_raw)
     else:
-        page_raw = def_block + values_raw
+        page_raw = rep_block + def_block + values_raw
         page_comp = _compress(codec, page_raw)
         inner = (
             _TStruct()

@@ -1,0 +1,137 @@
+"""Round-15 operator batch: the foreign-wire TYPE-surface campaign —
+the places a real lake user's first file still raised. Parquet MAP +
+deep nesting lands first (read AND write, E166/E167); the ORC writer
+type parity, Delta DV write loop + id-mode column mapping, and
+Avro/Arrow logical types follow in this module as they land.
+
+Reference parity note: the reference archiver (SupBlizard/yark,
+768 LoC) stores fetched payloads opaquely in SQLite; these keys extend
+the driver-mandated training-data-pipeline surface (SURVEY.md §2.8),
+each with a DuckDB oracle re-deriving the semantics from the same
+parquet tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yark_spark.io import load_table
+from yark_spark.registry import query
+
+# Every null/empty grammar position in the nested fixtures lives on a
+# doc_id modulus (operators/multimodal._nested_fixture_cols), so the
+# oracle recomputes the FLATTENED nested values in pure SQL: attrs is
+# a map (sorted k=v join), events a list<struct> (';' outer, '#' null
+# element, 'k:n' pairs), mat a list<list<int64>> ('|' inner).
+_NESTED_ORACLE = (
+    "SELECT doc_id, "
+    "CAST(CASE doc_id % 5 WHEN 0 THEN NULL WHEN 1 THEN 0 WHEN 2 THEN 1 "
+    "WHEN 3 THEN 2 ELSE 2 END AS BIGINT) AS n_attrs, "
+    "CASE doc_id % 5 WHEN 0 THEN NULL WHEN 1 THEN '' "
+    "WHEN 2 THEN 'lang=' || lang "
+    "WHEN 3 THEN 'lang=' || lang || ',note=' "
+    "ELSE 'lang=' || lang || ',n=' || CAST(n_chars AS VARCHAR) "
+    "END AS attrs_str, "
+    "CASE doc_id % 4 WHEN 0 THEN NULL WHEN 1 THEN '' "
+    "WHEN 2 THEN lang || ':' || CAST(n_chars AS VARCHAR) "
+    "ELSE lang || ':' || CAST(n_chars AS VARCHAR) || ';#;:' || "
+    "CAST(doc_id AS VARCHAR) END AS events_str, "
+    "CASE doc_id % 6 WHEN 0 THEN NULL WHEN 1 THEN '' WHEN 2 THEN '' "
+    "WHEN 3 THEN CAST(doc_id AS VARCHAR) "
+    "WHEN 4 THEN CAST(doc_id AS VARCHAR) || '|' || "
+    "CAST(n_chars AS VARCHAR) || ';#' "
+    "ELSE '|' || CAST(doc_id AS VARCHAR) END AS mat_str "
+    "FROM documents WHERE doc_id < 512"
+)
+
+
+@query("q_parquet_map_scan", oracle=_NESTED_ORACLE)
+def q_parquet_map_scan(spark, sf_dir):
+    """E166 parquet MAP + deep-nested READ (round 15): REAL pyarrow
+    (the ecosystem's C++ Dremel shredder) writes map<string,string>,
+    list<struct> and list<list<int64>> wire — null map / empty map /
+    null value / null list / empty list / null element / null inner
+    list / null scalar each pinned to a doc_id modulus — and the
+    from-scratch reader reassembles every level through the generic
+    repetition/definition algorithm (operators/parquet_data). DuckDB
+    recomputes the flattened forms in pure SQL from the source
+    documents, so a wrong weave at ANY nesting level breaks the hash.
+    This was the verdict's #1 foreign-file gap: real lake tables
+    carry map metadata columns and list<struct> everywhere. Map-only
+    mapInPandas; page version / codec / row-group size cycle per
+    batch."""
+    from yark_spark.operators.multimodal import parquet_nested_foreign_scan
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return parquet_nested_foreign_scan(docs)
+
+
+@query("q_parquet_nested_write", oracle=_NESTED_ORACLE)
+def q_parquet_nested_write(spark, sf_dir):
+    """E167 parquet MAP + deep-nested WRITE (round 15): the same
+    nested values serialized by the from-scratch writer's generic
+    shredder (operators/parquet_write plist/pmap specs — per-leaf
+    (def, rep, value) emission, MAP/LIST ConvertedType groups, rep
+    sections in v1 AND v2 pages) and read back by the from-scratch
+    reader under the SQL-recomputed digest. pyarrow and DuckDB read
+    the same wire value-for-value — including DuckDB's map functions
+    over our MAP columns — in tests/test_parquet_write.py. Write-side
+    nested parity: the lake substrate now writes what others read,
+    maps included. Map-only mapInPandas."""
+    from yark_spark.operators.multimodal import parquet_nested_write_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return parquet_nested_write_features(docs)
+
+
+_DELTA_DV_WRITE_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CASE CAST(doc_id // 32 AS BIGINT) % 3 WHEN 0 THEN 'p' "
+    "WHEN 1 THEN 'u' ELSE 'i' END AS storage, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 4 <> 1"
+)
+
+
+@query("q_delta_dv_write_roundtrip", oracle=_DELTA_DV_WRITE_ORACLE)
+def q_delta_dv_write_roundtrip(spark, sf_dir):
+    """E168 Delta DV WRITE loop (round 15): plain two-file tables get
+    a REAL deletion commit from delta_add_deletion_vectors — protocol
+    upgraded to v3/deletionVectors, remove + re-add actions, Delta
+    RoaringBitmapArray bitmaps — with descriptor storage CYCLING per
+    table across on-disk ``p`` framing, ``u``-style
+    deletion_vector_<uuid>.bin addressing (Z85 uuid), and inline
+    ``i``. Resolution through the round-14 DV reader must drop exactly
+    doc_id%4==1: a writer that mangles any framing byte trips its own
+    reader's CRC/cardinality cross-checks and the digest. Delta now
+    has the same write/read symmetry Iceberg got in E157. One
+    applyInPandas per table; map-only resolve."""
+    from yark_spark.operators.multimodal import delta_dv_write_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return delta_dv_write_features(docs)
+
+
+_DELTA_MAPPING_ID_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 512"
+)
+
+
+@query("q_delta_column_mapping_id", oracle=_DELTA_MAPPING_ID_ORACLE)
+def q_delta_column_mapping_id(spark, sf_dir):
+    """E169 Delta column mapping mode=id + checkpointed mapped tables
+    (round 15): the parquet files store DRIFTED physical names (and
+    stale physicalName annotations) — parquet FIELD IDS pinned by the
+    schemaString's columnMapping.id are the only correct resolution,
+    exactly the drift id-mode exists to survive. Each table is then
+    CHECKPOINTED with its version-0 commit deleted, so the mapping
+    must be recovered from the checkpoint's metaData row
+    (schemaString + configuration as a real parquet MAP column — the
+    r14 ADVICE gap). Name- or position-matching readers return wrong
+    columns and fail the digest. One applyInPandas per table."""
+    from yark_spark.operators.multimodal import delta_mapping_id_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return delta_mapping_id_features(docs)
