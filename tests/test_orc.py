@@ -88,12 +88,12 @@ def test_nested_column_list_decodes_since_r14():
 
 
 def test_nested_typed_boundary():
-    # TIMESTAMP/DATE/DECIMAL/BINARY decode since round 13 s3 (see
-    # test_logical_types_on_orc_cpp_wire); nested children remain the
-    # typed boundary.
+    # round 15: top-level STRUCT columns assemble to dicts; only
+    # genuinely unknown kinds (UNION) stay typed
     t = pa.table({"s": pa.array([{"a": 1}], pa.struct([("a", pa.int64())]))})
-    with pytest.raises(NotImplementedError, match="STRUCT"):
-        orc_read_columns(_write(t), ["s"])
+    assert orc_read_columns(_write(t), ["s"])["s"] == [{"a": 1}]
+    with pytest.raises(ValueError, match="not in schema"):
+        orc_read_columns(_write(t), ["nope"])
 
 
 def test_bad_magic_and_truncation_typed():
@@ -464,8 +464,8 @@ def test_nested_struct_dotted_paths_on_orc_cpp_wire():
     assert cols["s.a"] == [10, None, None, 30]
     assert cols["s.b"] == ["p", None, "q", None]
     assert cols["d.x.y"] == [7, None, None, 9]
-    # the GROUP itself stays typed; default selection = flat leaves
-    assert sorted(orc_read_columns(buf.getvalue()).keys()) == ["k"]
+    # round 15: default selection includes STRUCT columns too
+    assert sorted(orc_read_columns(buf.getvalue()).keys()) == ["d", "k", "s"]
 
 
 # ---------------------------------------------------------------------------
@@ -675,8 +675,10 @@ def test_writer_list_float_elements():
 def test_writer_list_unknown_element_type_typed():
     from yark_spark.operators.orc import orc_write
 
-    with pytest.raises(NotImplementedError, match="element type"):
-        orc_write({"v": [[1]]}, types={"v": "LIST<DECIMAL>"})
+    # round 15: LIST<DECIMAL(p,s)> writes now; a genuinely unknown
+    # element type stays typed
+    with pytest.raises(NotImplementedError, match="type"):
+        orc_write({"v": [[1]]}, types={"v": "LIST<GEOMETRY>"})
 
 
 # ---------------------------------------------------------------------------
@@ -783,3 +785,161 @@ def test_varchar_char_decode_as_string():
         assert got["s"] == cols["s"] and got["n"] == cols["n"], kind
         t = _paorc.ORCFile(_io.BytesIO(blob)).read()
         assert t.column("s").to_pylist() == cols["s"], kind
+
+
+# ---------------------------------------------------------------------------
+# Round 15: writer type parity — DATE / TIMESTAMP / DECIMAL / BINARY /
+# BYTE / DICTIONARY_V2 strings / STRUCT / MAP / nested containers /
+# PATCHED_BASE RLEv2, all read back by REAL ORC_CPP and by our reader.
+# ---------------------------------------------------------------------------
+
+
+def _orc_cpp_rows(blob):
+    import io
+
+    import pyarrow.orc as po
+
+    return po.ORCFile(io.BytesIO(blob)).read().to_pylist()
+
+
+_LOGICAL_COLS = {
+    "id": list(range(6)),
+    "d": [0, -1, 19000, None, 738000, 3],
+    "ts": [0, 1_420_070_400_000_000, -62_000_000, None,
+           1_700_000_000_123_456, 86_400_000_000],
+    "dec": [0, -12345, 99999999999, None, 42, -1],
+    "bin": [b"\x00\xff", b"", b"abc", None, b"\x01" * 10, b"z"],
+    "sd": ["red", "blue", "red", None, "green", "blue"],
+    "by": [0, 127, -128, None, -1, 5],
+}
+_LOGICAL_TYPES = {
+    "id": "LONG", "d": "DATE", "ts": "TIMESTAMP", "dec": "DECIMAL(12,2)",
+    "bin": "BINARY", "sd": "STRING_DICT", "by": "BYTE",
+}
+
+
+@pytest.mark.parametrize("comp", ["ZLIB", "NONE"])
+def test_writer_logical_types_three_ways(comp):
+    import datetime
+    import decimal
+
+    from yark_spark.operators.orc import orc_read_columns, orc_write
+
+    blob = orc_write(_LOGICAL_COLS, types=_LOGICAL_TYPES,
+                     compression=comp, stripe_rows=4)
+    got = orc_read_columns(blob, list(_LOGICAL_COLS))
+    for c in _LOGICAL_COLS:
+        assert got[c] == _LOGICAL_COLS[c], c
+    pl = _orc_cpp_rows(blob)
+    for i in range(6):
+        r = pl[i]
+        if _LOGICAL_COLS["d"][i] is None:
+            assert r["d"] is None
+        else:
+            assert (r["d"] - datetime.date(1970, 1, 1)).days == _LOGICAL_COLS["d"][i]
+        if _LOGICAL_COLS["ts"][i] is None:
+            assert r["ts"] is None
+        else:
+            ts = r["ts"]
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=datetime.timezone.utc)
+            assert int(ts.timestamp() * 1e6) == _LOGICAL_COLS["ts"][i], i
+        if _LOGICAL_COLS["dec"][i] is None:
+            assert r["dec"] is None
+        else:
+            assert r["dec"] == decimal.Decimal(_LOGICAL_COLS["dec"][i]).scaleb(-2)
+        assert r["bin"] == _LOGICAL_COLS["bin"][i]
+        assert r["sd"] == _LOGICAL_COLS["sd"][i]
+        assert r["by"] == _LOGICAL_COLS["by"][i]
+
+
+@pytest.mark.parametrize("comp", ["ZLIB", "NONE"])
+def test_writer_struct_map_nested_three_ways(comp):
+    from yark_spark.operators.orc import orc_read_columns, orc_write
+
+    structs = [None, {"a": 1, "b": "x"}, {"a": None, "b": "y"}, {"a": 3, "b": None}]
+    maps = [None, {}, {"k1": 10, "k2": None}, {"z": 5}]
+    nested = [None, {"inner": [1, 2], "tag": "t0"},
+              {"inner": None, "tag": None}, {"inner": [], "tag": "t2"}]
+    lol = [None, [], [[1], None, [2, 3]], [[None, 4]]]
+    mlist = [None, {"a": [1, None]}, {}, {"b": []}]
+    cols = {"id": [0, 1, 2, 3], "st": structs, "mp": maps,
+            "nst": nested, "lol": lol, "ml": mlist}
+    types = {
+        "id": "LONG",
+        "st": {"struct": {"a": "LONG", "b": "STRING"}},
+        "mp": {"map": ("STRING", "LONG")},
+        "nst": {"struct": {"inner": {"list": "LONG"}, "tag": "STRING"}},
+        "lol": {"list": {"list": "LONG"}},
+        "ml": {"map": ("STRING", {"list": "LONG"})},
+    }
+    blob = orc_write(cols, types=types, compression=comp)
+    got = orc_read_columns(blob, list(cols))
+    assert got["st"] == structs
+    assert got["mp"] == maps
+    assert got["nst"] == nested
+    assert got["lol"] == lol
+    assert got["ml"] == mlist
+    pl = _orc_cpp_rows(blob)
+    assert [r["st"] for r in pl] == structs
+    assert [None if r["mp"] is None else dict(r["mp"]) for r in pl] == maps
+    assert [r["nst"] for r in pl] == nested
+    assert [r["lol"] for r in pl] == lol
+    assert [None if r["ml"] is None else dict(r["ml"]) for r in pl] == mlist
+
+
+def test_writer_patched_base_real_reader():
+    """High-outlier groups must emit RLEv2 mode 2 (PATCHED_BASE) and
+    real ORC_CPP must decode it value-for-value — incl. a negative
+    base (sign bit in the base word's MSB)."""
+    from yark_spark.operators.orc import (
+        _rlev2,
+        _rlev2_encode,
+        orc_read_columns,
+        orc_write,
+    )
+
+    vals = [100 + (i % 50) for i in range(400)]
+    vals[17] = 1 << 45
+    vals[200] = 1 << 44
+    vals[399] = 1 << 30
+    enc = _rlev2_encode(vals, True)
+    assert enc[0] >> 6 == 2  # PATCHED_BASE actually fired
+    assert _rlev2(enc, len(vals), True) == vals
+    blob = orc_write({"x": vals}, types={"x": "LONG"}, compression="ZLIB")
+    assert orc_read_columns(blob, ["x"])["x"] == vals
+    assert [r["x"] for r in _orc_cpp_rows(blob)] == vals
+    neg = [-(i % 30) for i in range(300)]
+    neg[5] = 1 << 40
+    enc2 = _rlev2_encode(neg, True)
+    assert enc2[0] >> 6 == 2
+    blob2 = orc_write({"x": neg}, types={"x": "LONG"}, compression="NONE")
+    assert orc_read_columns(blob2, ["x"])["x"] == neg
+    assert [r["x"] for r in _orc_cpp_rows(blob2)] == neg
+
+
+def test_rlev2_encode_fuzz_roundtrip():
+    import random
+
+    from yark_spark.operators.orc import _rlev2, _rlev2_encode
+
+    rng = random.Random(3)
+    for trial in range(120):
+        n = rng.randrange(1, 600)
+        kind = rng.randrange(4)
+        if kind == 0:
+            vals = [rng.randrange(0, 100) if rng.random() > 0.05
+                    else rng.randrange(1 << 40) for _ in range(n)]
+        elif kind == 1:
+            vals = [rng.randrange(-(1 << 50), 1 << 50) for _ in range(n)]
+        elif kind == 2:
+            vals = [rng.choice([-7, 3]) for _ in range(n)]
+        else:
+            vals = [rng.randrange(-100, 100) if rng.random() > 0.03
+                    else -(1 << 45) for _ in range(n)]
+        for signed in (True, False):
+            if not signed and any(v < 0 for v in vals):
+                continue
+            assert _rlev2(_rlev2_encode(vals, signed), n, signed) == vals, (
+                trial, signed,
+            )

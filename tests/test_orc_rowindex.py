@@ -241,7 +241,7 @@ def test_our_writer_emits_prunable_indexes(comp):
 def test_writer_stride_guards():
     with pytest.raises(ValueError, match="multiple of 8"):
         orc_write({"a": [1]}, row_index_stride=10)
-    with pytest.raises(NotImplementedError, match="LIST"):
+    with pytest.raises(NotImplementedError, match="nested"):
         orc_write(
             {"v": [[1.0]]}, types={"v": "LIST<DOUBLE>"}, row_index_stride=8
         )

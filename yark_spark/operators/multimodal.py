@@ -9830,3 +9830,120 @@ def delta_mapping_id_features(
         .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
         .applyInPandas(_build_and_resolve, DELTA_MAPPING_ID_SCHEMA)
     )
+
+
+ORC_LOGICAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("d_days", LongType()),
+        StructField("ts_micros", LongType()),
+        StructField("dec_unscaled", LongType()),
+        StructField("sd", StringType()),
+        StructField("st_str", StringType()),
+        StructField("mp_str", StringType()),
+    ]
+)
+
+
+def orc_logical_roundtrip_features(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """E170 ORC writer TYPE PARITY (round 15): each batch serialized
+    by the from-scratch ORC writer across the surface its reader
+    already decoded but it could not emit — DATE (epoch days),
+    TIMESTAMP (2015-epoch seconds + trailing-zero nanos, GMT stripe
+    timezone), DECIMAL(18,3) (zigzag-varint unscaled + scale
+    SECONDARY), DICTIONARY_V2 strings (sorted dictionary + index
+    runs), STRUCT and MAP nodes (PRESENT/LENGTH trees) — plus
+    PATCHED_BASE RLEv2 groups on an outlier column, then read back by
+    the from-scratch reader under the SQL-recomputed digest. REAL
+    ORC_CPP reads the identical wire value-for-value in
+    tests/test_orc.py (incl. negative patched bases and the
+    dictionary). Map-only mapInPandas; compression cycles per
+    batch."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import orc as _orc
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import tfrecord as _tf
+    from yark_spark.operators import varint as _varint
+
+    _register_container_modules()
+    _orc._bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_tf)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_orc)
+    _write = _orc.orc_write
+    _read = _orc.orc_read_columns
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for bi, pdf in enumerate(batches):
+            ids = [int(v) for v in pdf[id_col]]
+            langs = list(pdf["lang"])
+            nchs = [int(v) for v in pdf["n_chars"]]
+            n = len(ids)
+            cols = {
+                "doc_id": ids,
+                # outliers keep the id column on the PATCHED_BASE path
+                "d": [did - 100 for did in ids],
+                "ts": [
+                    None if did % 5 == 0
+                    else 1_500_000_000_000_000 + did * 1_234_567
+                    for did in ids
+                ],
+                "dec": [nch * 7 for nch in nchs],
+                "sd": langs,
+                "st": [
+                    None if did % 7 == 0 else {"a": nch, "b": lg}
+                    for did, nch, lg in zip(ids, nchs, langs)
+                ],
+                "mp": [
+                    None if did % 6 == 0
+                    else {"k1": nch,
+                          "k2": None if did % 3 == 0 else did}
+                    for did, nch in zip(ids, nchs)
+                ],
+            }
+            blob = _write(
+                cols,
+                types={
+                    "doc_id": "LONG", "d": "DATE", "ts": "TIMESTAMP",
+                    "dec": "DECIMAL(18,3)", "sd": "STRING_DICT",
+                    "st": {"struct": {"a": "LONG", "b": "STRING"}},
+                    "mp": {"map": ("STRING", "LONG")},
+                },
+                compression=("ZLIB", "NONE")[bi % 2],
+                stripe_rows=48,
+            )
+            back = _read(blob, ["doc_id", "d", "ts", "dec", "sd", "st", "mp"])
+            st_strs = [
+                None if v is None else f"{v['a']}:{v['b']}"
+                for v in back["st"]
+            ]
+            mp_strs = [
+                None
+                if v is None
+                else ",".join(
+                    f"{k}={'' if x is None else x}"
+                    for k, x in sorted(v.items())
+                )
+                for v in back["mp"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(back["doc_id"], dtype="int64"),
+                    "d_days": np.array(back["d"], dtype="int64"),
+                    "ts_micros": pd.array(back["ts"], dtype="Int64"),
+                    "dec_unscaled": np.array(back["dec"], dtype="int64"),
+                    "sd": back["sd"],
+                    "st_str": st_strs,
+                    "mp_str": mp_strs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col("lang"), F.col("n_chars")).mapInPandas(
+        _roundtrip, ORC_LOGICAL_SCHEMA
+    )

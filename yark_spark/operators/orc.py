@@ -496,14 +496,14 @@ def _orc_read_stripes(
         n
         for n in names
         if col_kind[col_name[n]] in _PRIMITIVE
-        or col_kind[col_name[n]] in ("LIST", "MAP")
+        or col_kind[col_name[n]] in ("LIST", "MAP", "STRUCT")
     ]
     children = f.get("children", {})
     for c in wanted:
         if c not in col_name:
             raise ValueError(f"orc: column {c!r} not in schema")
         kind = col_kind[col_name[c]]
-        if kind not in _PRIMITIVE and kind not in ("LIST", "MAP"):
+        if kind not in _PRIMITIVE and kind not in ("LIST", "MAP", "STRUCT"):
             raise NotImplementedError(f"orc: column type {kind} not supported")
 
     out: dict[str, list] = {c: [] for c in wanted}
@@ -553,7 +553,7 @@ def _orc_read_stripes(
                 )
                 levels.append(pres)
                 n_level = sum(pres)
-            if kind in ("LIST", "MAP"):
+            if kind in ("LIST", "MAP", "STRUCT"):
                 vals = _decode_node(
                     col_kind, children, encodings, streams, cid, n_level,
                     compression, max_output, f.get("field_names"),
@@ -1204,10 +1204,94 @@ def _zigzag_enc(v: int) -> int:
     return (v << 1) ^ (v >> 63) if v < 0 else v << 1
 
 
+def _bitpack_be(vals: list[int], width: int) -> bytes:
+    acc = 0
+    for v in vals:
+        acc = (acc << width) | v
+    pad = (-(len(vals) * width)) % 8
+    acc <<= pad
+    return acc.to_bytes((len(vals) * width + pad) // 8, "big")
+
+
+def _direct_encode(group: list[int]) -> bytes:
+    bits = max(1, max(v.bit_length() for v in group))
+    width = next(w for w in _FBS if w >= bits)
+    wcode = _FBS.index(width)
+    length = len(group) - 1
+    return (
+        bytes([0x40 | (wcode << 1) | (length >> 8), length & 0xFF])
+        + _bitpack_be(group, width)
+    )
+
+
+def _patched_base_encode(raw: list[int]) -> "bytes | None":
+    """PATCHED_BASE for an outlier-heavy group (round 15, the write
+    twin of the decoder's mode-2 branch): values re-based at min, bit
+    width sized to the 90th percentile, outliers' high bits carried in
+    a ≤31-entry (gap, patch) list with (255, 0) continuations. Returns
+    None when the group doesn't fit the mode (no outliers, too many
+    patches, gap width overflow)."""
+    if len(raw) < 8 or len(raw) > 512:
+        return None
+    base = min(raw)
+    deltas = [v - base for v in raw]
+    widths = sorted(max(1, d.bit_length()) for d in deltas)
+    max_bits = widths[-1]
+    p90 = widths[(len(widths) * 9) // 10 - 1] if len(widths) >= 10 else widths[
+        max(0, len(widths) - 2)
+    ]
+    width = next(w for w in _FBS if w >= p90)
+    if max_bits <= width:
+        return None  # no outliers → DIRECT is strictly better
+    pw = next(w for w in _FBS if w >= max_bits - width)
+    patches = [
+        (i, d >> width) for i, d in enumerate(deltas) if d >> width
+    ]
+    # entries incl. (255, 0) continuations must fit the 5-bit PLL
+    entries: list[int] = []
+    prev = 0
+    max_gap = 0
+    for idx, patch in patches:
+        gap = idx - prev
+        while gap > 255:
+            entries.append((255 << pw) | 0)
+            gap -= 255
+        max_gap = max(max_gap, gap)
+        entries.append((gap << pw) | patch)
+        prev = idx
+    if not 1 <= len(entries) <= 31:
+        return None
+    pgw = max(1, max_gap.bit_length())
+    if pgw > 8 or pgw + pw > 64 or width + pw > 64:
+        return None  # real readers bound patch<<width at 64 bits
+    # base: magnitude with a sign bit in the MSB of the byte span
+    mag = abs(base)
+    bw = max(1, (mag.bit_length() + 1 + 7) // 8)
+    if bw > 8:
+        return None
+    base_word = mag | ((1 << (bw * 8 - 1)) if base < 0 else 0)
+    entry_w = next(w for w in _FBS if w >= pgw + pw)
+    length = len(raw) - 1
+    wcode = _FBS.index(width)
+    out = bytearray(
+        [
+            0x80 | (wcode << 1) | (length >> 8),
+            length & 0xFF,
+            ((bw - 1) << 5) | _FBS.index(pw),
+            ((pgw - 1) << 5) | len(entries),
+        ]
+    )
+    out += base_word.to_bytes(bw, "big")
+    out += _bitpack_be([d & ((1 << width) - 1) for d in deltas], width)
+    out += _bitpack_be(entries, entry_w)
+    return bytes(out)
+
+
 def _rlev2_encode(values: list[int], signed: bool) -> bytes:
     """Short-repeat runs (3..10) + DIRECT groups (<=512 values at the
-    closest FixedBitSizes width) — a valid, reader-complete subset of
-    the RLEv2 writer surface."""
+    closest FixedBitSizes width) + PATCHED_BASE for outlier-heavy
+    groups (round 15, picked when it beats DIRECT byte-for-byte) — a
+    valid, reader-complete subset of the RLEv2 writer surface."""
     out = bytearray()
     enc = [( _zigzag_enc(v) if signed else v) for v in values]
     for v in enc:
@@ -1233,19 +1317,14 @@ def _rlev2_encode(values: list[int], signed: bool) -> bytes:
             if r >= 3:
                 break
             j += 1
-        group = enc[i:j]
-        bits = max(1, max(v.bit_length() for v in group))
-        width = next(w for w in _FBS if w >= bits)
-        wcode = _FBS.index(width)
-        length = len(group) - 1
-        out.append(0x40 | (wcode << 1) | (length >> 8))
-        out.append(length & 0xFF)
-        acc = 0
-        for v in group:
-            acc = (acc << width) | v
-        pad = (-(len(group) * width)) % 8
-        acc <<= pad
-        out += acc.to_bytes((len(group) * width + pad) // 8, "big")
+        direct = _direct_encode(enc[i:j])
+        # PATCHED_BASE works on the RAW (pre-zigzag) values — the base
+        # carries the sign, outliers patch in their high bits
+        patched = _patched_base_encode(values[i:j])
+        if patched is not None and len(patched) < len(direct):
+            out += patched
+        else:
+            out += direct
         i = j
     return bytes(out)
 
@@ -1362,25 +1441,71 @@ def orc_write(
     ):
         raise ValueError("orc-write: row_index_stride must be a multiple of 8")
     ctypes = {c: (types or {}).get(c) or _infer(columns[c]) for c in names}
-    elem_types: dict[str, str] = {}
-    for c, t in list(ctypes.items()):
-        if isinstance(t, str) and t.startswith("LIST<") and t.endswith(">"):
-            elem_types[c] = t[5:-1]
-            if elem_types[c] not in ("LONG", "DOUBLE", "FLOAT", "STRING", "BOOLEAN"):
-                raise NotImplementedError(f"orc-write: element type {elem_types[c]}")
-        elif t not in ("LONG", "DOUBLE", "FLOAT", "STRING", "BOOLEAN"):
-            raise NotImplementedError(f"orc-write: type {t}")
 
-    # pre-order column ids: root 0, then each field's subtree
-    col_ids: dict[str, tuple[int, int | None]] = {}
+    # round 15: the type spec is a TREE — primitives gain DATE /
+    # TIMESTAMP / DECIMAL(p,s) / BINARY / STRING_DICT (forced
+    # DICTIONARY_V2), containers gain {"struct": {...}},
+    # {"map": (k, v)}, {"list": spec} at any depth; the legacy
+    # "LIST<ELEM>" string stays as sugar for {"list": "ELEM"}.
+    _PRIM_KINDS = (
+        "BOOLEAN", "BYTE", "SHORT", "INT", "LONG", "FLOAT", "DOUBLE",
+        "STRING", "BINARY", "DATE", "TIMESTAMP",
+    )
+
+    def _parse_type(t) -> dict:
+        if isinstance(t, dict):
+            if "struct" in t:
+                return {
+                    "kind": "STRUCT",
+                    "children": [
+                        (fn, _parse_type(ft)) for fn, ft in t["struct"].items()
+                    ],
+                }
+            if "map" in t:
+                kt, vt = t["map"]
+                return {
+                    "kind": "MAP",
+                    "children": [("_key", _parse_type(kt)),
+                                 ("_value", _parse_type(vt))],
+                }
+            if "list" in t:
+                return {"kind": "LIST",
+                        "children": [("_elem", _parse_type(t["list"]))]}
+            raise NotImplementedError(f"orc-write: type spec {t!r}")
+        if t.startswith("LIST<") and t.endswith(">"):
+            return {"kind": "LIST",
+                    "children": [("_elem", _parse_type(t[5:-1]))]}
+        if t.startswith("DECIMAL(") and t.endswith(")"):
+            p, s = (int(x) for x in t[8:-1].split(","))
+            return {"kind": "DECIMAL", "precision": p, "scale": s,
+                    "children": []}
+        if t == "STRING_DICT":
+            return {"kind": "STRING", "dict": True, "children": []}
+        if t in _PRIM_KINDS:
+            return {"kind": t, "children": []}
+        raise NotImplementedError(f"orc-write: type {t}")
+
+    nodes: dict[str, dict] = {}
     next_id = 1
+
+    def _assign_ids(node: dict) -> None:
+        nonlocal next_id
+        node["id"] = next_id
+        next_id += 1
+        for _fn, ch in node["children"]:
+            _assign_ids(ch)
+
     for c in names:
-        if c in elem_types:
-            col_ids[c] = (next_id, next_id + 1)
-            next_id += 2
-        else:
-            col_ids[c] = (next_id, None)
-            next_id += 1
+        nodes[c] = _parse_type(ctypes[c])
+        _assign_ids(nodes[c])
+    has_timestamp = False
+
+    def _any_ts(node: dict) -> bool:
+        return node["kind"] == "TIMESTAMP" or any(
+            _any_ts(ch) for _fn, ch in node["children"]
+        )
+
+    has_timestamp = any(_any_ts(n) for n in nodes.values())
 
     out = bytearray(b"ORC")
     stripe_infos = []
@@ -1539,15 +1664,53 @@ def orc_write(
             )
             return all_nn
 
-        def _emit_leaf(ci, t, vals):
+        def _emit_leaf(ci, t, vals, node=None):
             """One primitive column's streams + encoding + stats entry."""
             present = [v is not None for v in vals]
             nn = [v for v in vals if v is not None]
             if not all(present):
                 _emit(ci, _PRESENT, _bool_rle_encode(present))
-            if t == "LONG":
+            enc_extra = b""
+            if t in ("LONG", "SHORT", "INT"):
                 _emit(ci, _DATA, _rlev2_encode(nn, signed=True))
                 enc = 2  # DIRECT_V2
+            elif t == "DATE":
+                # days since the Unix epoch on the signed wire
+                _emit(ci, _DATA, _rlev2_encode([int(v) for v in nn], True))
+                enc = 2
+            elif t == "TIMESTAMP":
+                # input = epoch MICROS (the reader's decode surface);
+                # DATA = seconds relative to 2015-01-01, SECONDARY =
+                # nanos with the trailing-decimal-zero trick
+                secs, nanos_enc = [], []
+                for v in nn:
+                    s, frac = divmod(int(v), 1_000_000)
+                    secs.append(s - _ORC_TS_BASE)
+                    nanos = frac * 1000
+                    z = 0
+                    if nanos:
+                        while z < 8 and nanos % 10 == 0:
+                            nanos //= 10
+                            z += 1
+                        if z < 2:  # fewer than 2 zeros: store verbatim
+                            nanos *= 10 ** z
+                            z = 0
+                    else:
+                        z = 0
+                    nanos_enc.append((nanos << 3) | (z - 1 if z >= 2 else 0))
+                _emit(ci, _DATA, _rlev2_encode(secs, True))
+                _emit(ci, _SECONDARY, _rlev2_encode(nanos_enc, False))
+                enc = 2
+            elif t == "DECIMAL":
+                # DATA = unbounded zigzag varints of the UNSCALED ints,
+                # SECONDARY = per-value scale (the column's fixed scale)
+                scale = (node or {}).get("scale", 0)
+                _emit(
+                    ci, _DATA,
+                    b"".join(_write_varint(_zigzag_enc(int(v))) for v in nn),
+                )
+                _emit(ci, _SECONDARY, _rlev2_encode([scale] * len(nn), True))
+                enc = 2
             elif t == "DOUBLE":
                 _emit(ci, _DATA, b"".join(struct.pack("<d", v) for v in nn))
                 enc = 0
@@ -1557,12 +1720,34 @@ def orc_write(
             elif t == "BOOLEAN":
                 _emit(ci, _DATA, _bool_rle_encode([bool(v) for v in nn]))
                 enc = 0
+            elif t == "BYTE":
+                _emit(
+                    ci, _DATA,
+                    _byte_rle_encode(bytes((int(v)) & 0xFF for v in nn)),
+                )
+                enc = 0
+            elif t == "BINARY":
+                blobs = [bytes(v) for v in nn]
+                _emit(ci, _DATA, b"".join(blobs))
+                _emit(ci, _LENGTH, _rlev2_encode([len(b) for b in blobs], False))
+                enc = 2
+            elif t == "STRING" and node is not None and node.get("dict"):
+                # DICTIONARY_V2 (round 15): sorted distinct entries,
+                # DATA = per-row indexes, dictionarySize in the encoding
+                entries = sorted({v for v in nn})
+                index = {v: i for i, v in enumerate(entries)}
+                blobs = [e.encode("utf-8") for e in entries]
+                _emit(ci, _DATA, _rlev2_encode([index[v] for v in nn], False))
+                _emit(ci, _DICT_DATA, b"".join(blobs))
+                _emit(ci, _LENGTH, _rlev2_encode([len(b) for b in blobs], False))
+                enc = 3  # DICTIONARY_V2
+                enc_extra = _pb_varint_field(2, len(entries))
             else:  # STRING DIRECT_V2
                 blobs = [v.encode("utf-8") for v in nn]
                 _emit(ci, _DATA, b"".join(blobs))
                 _emit(ci, _LENGTH, _rlev2_encode([len(b) for b in blobs], False))
                 enc = 2
-            encodings_pb.append(_tag(1, 0) + _write_varint(enc))
+            encodings_pb.append(_tag(1, 0) + _write_varint(enc) + enc_extra)
             # per-column StripeStatistics entry (LONG → sint64 zigzag
             # IntegerStatistics, STRING → StringStatistics); DOUBLE/
             # BOOLEAN carry counts only — absent bounds mean "scan"
@@ -1586,22 +1771,79 @@ def orc_write(
             cs_msgs.append(cs)
             return nn
 
+        def _write_node(node, vals):
+            """Recursive stream emission in PRE-ORDER column-id order
+            (round 15): STRUCT carries PRESENT only, LIST/MAP carry
+            PRESENT + LENGTH with children flattened beneath,
+            primitives keep their own PRESENT for null elements — the
+            write twin of _decode_node."""
+            kind = node["kind"]
+            ci = node["id"]
+            if not node["children"]:
+                return _emit_leaf(ci, kind, vals, node=node)
+            present = [v is not None for v in vals]
+            nn_rows = [v for v in vals if v is not None]
+            if not all(present):
+                _emit(ci, _PRESENT, _bool_rle_encode(present))
+            if kind == "STRUCT":
+                encodings_pb.append(_tag(1, 0) + _write_varint(0))  # DIRECT
+                cs_msgs.append(
+                    _pb_varint_field(1, len(nn_rows))
+                    + _pb_varint_field(10, 0 if all(present) else 1)
+                )
+                for fn, ch in node["children"]:
+                    _write_node(ch, [v.get(fn) for v in nn_rows])
+                return None
+            if kind == "MAP":
+                pairs = [
+                    list(v.items()) if isinstance(v, dict) else list(v)
+                    for v in nn_rows
+                ]
+                _emit(
+                    ci, _LENGTH,
+                    _rlev2_encode([len(p) for p in pairs], signed=False),
+                )
+                encodings_pb.append(_tag(1, 0) + _write_varint(2))
+                cs_msgs.append(
+                    _pb_varint_field(1, len(nn_rows))
+                    + _pb_varint_field(10, 0 if all(present) else 1)
+                )
+                flat = [e for p in pairs for e in p]
+                _write_node(node["children"][0][1], [k for k, _v in flat])
+                _write_node(node["children"][1][1], [v for _k, v in flat])
+                return None
+            # LIST
+            _emit(
+                ci, _LENGTH,
+                _rlev2_encode([len(v) for v in nn_rows], signed=False),
+            )
+            encodings_pb.append(_tag(1, 0) + _write_varint(2))  # DIRECT_V2
+            cs_msgs.append(
+                _pb_varint_field(1, len(nn_rows))
+                + _pb_varint_field(10, 0 if all(present) else 1)
+            )
+            _write_node(node["children"][0][1], [e for v in nn_rows for e in v])
+            return None
+
         for c in names:
-            ci, child_id = col_ids[c]
+            node = nodes[c]
+            ci = node["id"]
             vals = columns[c][start : start + rows]
             if row_index_stride is not None:
-                if child_id is not None:
+                if node["children"] or node["kind"] not in (
+                    "LONG", "DOUBLE", "FLOAT", "STRING", "BOOLEAN",
+                ):
                     raise NotImplementedError(
-                        "orc-write: row index over LIST columns"
+                        "orc-write: row index over nested/extended columns"
                     )
                 nn = _emit_leaf_indexed(
-                    ci, ctypes[c], vals, row_index_stride
+                    ci, node["kind"], vals, row_index_stride
                 )
-                if c in (bloom_filter_columns or ()) and ctypes[c] in (
+                if c in (bloom_filter_columns or ()) and node["kind"] in (
                     "LONG", "STRING",
                 ):
                     bcomp = _chunks_compress(
-                        orc_bloom_build(nn, ctypes[c]), compression
+                        orc_bloom_build(nn, node["kind"]), compression
                     )
                     index_blob.extend(bcomp)
                     index_streams_pb.append(
@@ -1610,29 +1852,17 @@ def orc_write(
                         + _pb_varint_field(3, len(bcomp))
                     )
                 continue
-            if child_id is not None:  # LIST column (round 14)
-                present = [v is not None for v in vals]
-                nn_rows = [v for v in vals if v is not None]
-                if not all(present):
-                    _emit(ci, _PRESENT, _bool_rle_encode(present))
-                _emit(
-                    ci, _LENGTH,
-                    _rlev2_encode([len(v) for v in nn_rows], signed=False),
-                )
-                encodings_pb.append(_tag(1, 0) + _write_varint(2))  # DIRECT_V2
-                cs_msgs.append(
-                    _pb_varint_field(1, len(nn_rows))
-                    + _pb_varint_field(10, 0 if all(present) else 1)
-                )
-                flat = [e for v in nn_rows for e in v]
-                _emit_leaf(child_id, elem_types[c], flat)
-                continue
-            t = ctypes[c]
-            nn = _emit_leaf(ci, t, vals)
-            if c in (bloom_filter_columns or ()) and t in ("LONG", "STRING"):
+            nn = _write_node(node, vals)
+            if (
+                nn is not None
+                and c in (bloom_filter_columns or ())
+                and node["kind"] in ("LONG", "STRING")
+            ):
                 # one BLOOM_FILTER_UTF8 index stream per stripe
                 # (single stride — this writer's row-index granularity)
-                bcomp = _chunks_compress(orc_bloom_build(nn, t), compression)
+                bcomp = _chunks_compress(
+                    orc_bloom_build(nn, node["kind"]), compression
+                )
                 index_blob.extend(bcomp)
                 index_streams_pb.append(
                     _pb_varint_field(1, _BLOOM_FILTER_UTF8)
@@ -1642,9 +1872,16 @@ def orc_write(
 
         out += index_blob
         out += data_blob
-        sfoot = b"".join(
-            _pb_len_field(1, s) for s in index_streams_pb + streams_pb
-        ) + b"".join(_pb_len_field(2, e) for e in encodings_pb)
+        sfoot = (
+            b"".join(
+                _pb_len_field(1, s) for s in index_streams_pb + streams_pb
+            )
+            + b"".join(_pb_len_field(2, e) for e in encodings_pb)
+            # TIMESTAMP is writer-zone-relative on the wire; stamping
+            # GMT makes the stored seconds plain epoch seconds for
+            # every conforming reader
+            + (_pb_len_field(3, b"GMT") if has_timestamp else b"")
+        )
         sfoot_c = _chunks_compress(sfoot, compression)
         out += sfoot_c
         stripe_infos.append(
@@ -1668,23 +1905,27 @@ def orc_write(
     # footer: types — root struct + each field's subtree in pre-order
     root = _tag(1, 0) + _write_varint(_KIND_IDS["STRUCT"])
     for c in names:
-        root += _pb_varint_field(2, col_ids[c][0])
+        root += _pb_varint_field(2, nodes[c]["id"])
     for c in names:
         root += _pb_len_field(3, c.encode("utf-8"))
     type_msgs = [root]
+
+    def _emit_type(node: dict) -> None:
+        msg = _tag(1, 0) + _write_varint(_KIND_IDS[node["kind"]])
+        for _fn, ch in node["children"]:
+            msg += _pb_varint_field(2, ch["id"])
+        if node["kind"] == "STRUCT":
+            for fn, _ch in node["children"]:
+                msg += _pb_len_field(3, fn.encode("utf-8"))
+        if node["kind"] == "DECIMAL":
+            msg += _pb_varint_field(5, node["precision"])
+            msg += _pb_varint_field(6, node["scale"])
+        type_msgs.append(msg)
+        for _fn, ch in node["children"]:
+            _emit_type(ch)
+
     for c in names:
-        _ci, child_id = col_ids[c]
-        if child_id is not None:
-            type_msgs.append(
-                _tag(1, 0)
-                + _write_varint(_KIND_IDS["LIST"])
-                + _pb_varint_field(2, child_id)
-            )
-            type_msgs.append(
-                _tag(1, 0) + _write_varint(_KIND_IDS[elem_types[c]])
-            )
-        else:
-            type_msgs.append(_tag(1, 0) + _write_varint(_KIND_IDS[ctypes[c]]))
+        _emit_type(nodes[c])
     footer = (
         _pb_varint_field(1, 3)  # headerLength ("ORC")
         + _pb_varint_field(2, content_len_val)

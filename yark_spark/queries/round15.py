@@ -135,3 +135,35 @@ def q_delta_column_mapping_id(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
     return delta_mapping_id_features(docs)
+
+
+_ORC_LOGICAL_ORACLE = (
+    "SELECT doc_id, doc_id - 100 AS d_days, "
+    "CASE WHEN doc_id % 5 = 0 THEN NULL "
+    "ELSE 1500000000000000 + doc_id * 1234567 END AS ts_micros, "
+    "n_chars * 7 AS dec_unscaled, lang AS sd, "
+    "CASE WHEN doc_id % 7 = 0 THEN NULL "
+    "ELSE CAST(n_chars AS VARCHAR) || ':' || lang END AS st_str, "
+    "CASE WHEN doc_id % 6 = 0 THEN NULL "
+    "ELSE 'k1=' || CAST(n_chars AS VARCHAR) || ',k2=' || "
+    "CASE WHEN doc_id % 3 = 0 THEN '' ELSE CAST(doc_id AS VARCHAR) END "
+    "END AS mp_str "
+    "FROM documents WHERE doc_id < 512"
+)
+
+
+@query("q_orc_write_logical_roundtrip", oracle=_ORC_LOGICAL_ORACLE)
+def q_orc_write_logical_roundtrip(spark, sf_dir):
+    """E170 ORC writer TYPE PARITY (round 15): the from-scratch
+    writer emits DATE / TIMESTAMP (2015-epoch + trailing-zero nanos,
+    GMT stripe timezone) / DECIMAL (zigzag-varint unscaled + scale
+    stream) / DICTIONARY_V2 strings / STRUCT and MAP subtree columns /
+    PATCHED_BASE RLEv2 — the whole surface its reader already decoded
+    but could not produce — and reads it back under the
+    SQL-recomputed digest. Real ORC_CPP consumes the identical wire
+    value-for-value in tests/test_orc.py (the roundtrip keys now
+    cover what the reader reads). Map-only mapInPandas."""
+    from yark_spark.operators.multimodal import orc_logical_roundtrip_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return orc_logical_roundtrip_features(docs)
