@@ -220,3 +220,110 @@ def test_write_empty_and_errors():
     assert arrow_file_read(blob) == {"a": []}
     with pytest.raises(NotImplementedError):
         arrow_file_write({"x": [object()]})
+
+
+# ---------------------------------------------------------------------------
+# Round 15: temporal / decimal / duration / map decode + write
+# ---------------------------------------------------------------------------
+
+
+def test_temporal_decimal_map_on_pyarrow_wire():
+    import decimal
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as pi
+
+    from yark_spark.operators.arrow_ipc import arrow_file_read
+
+    t = pa.table(
+        {
+            "d32": pa.array([0, None, 19000], pa.date32()),
+            "d64": pa.array([0, 86400000, None], pa.date64()),
+            "ts_us": pa.array([1_700_000_000_123_456, None, 0], pa.timestamp("us")),
+            "ts_ns": pa.array([123456789, None, -5], pa.timestamp("ns")),
+            "t32": pa.array([1000, None, 86_399_999], pa.time32("ms")),
+            "t64": pa.array([123_456_789_000, None, 0], pa.time64("us")),
+            "dec": pa.array(
+                [decimal.Decimal("12345.678"), None, decimal.Decimal("-0.001")],
+                pa.decimal128(18, 3),
+            ),
+            "dur": pa.array([5_000_000, None, -17], pa.duration("us")),
+            "mp": pa.array(
+                [{"a": 1}, None, {"b": None, "c": 3}],
+                pa.map_(pa.string(), pa.int64()),
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    with pi.new_file(buf, t.schema) as w:
+        w.write_table(t)
+    cols = arrow_file_read(buf.getvalue())
+    assert cols["d32"] == [0, None, 19000]
+    assert cols["d64"] == [0, 86400000, None]
+    assert cols["ts_us"] == [1_700_000_000_123_456, None, 0]
+    assert cols["ts_ns"] == [123456789, None, -5]
+    assert cols["t32"] == [1000, None, 86_399_999]
+    assert cols["t64"] == [123_456_789_000, None, 0]
+    assert cols["dec"] == [12345678, None, -1]  # unscaled ints
+    assert cols["dur"] == [5_000_000, None, -17]
+    assert cols["mp"] == [[("a", 1)], None, [("b", None), ("c", 3)]]
+
+
+def test_write_temporal_decimal_struct_map_pyarrow_validates():
+    """Our writer's date32 (unit slot written EXPLICITLY — the IDL
+    default is MILLISECOND), timestamp[us], time64, decimal128,
+    struct and map wire passes pyarrow's full validation and reads
+    value-for-value; our reader round-trips the same bytes."""
+    import datetime
+    import decimal
+    import io
+
+    import pyarrow as pa
+
+    from yark_spark.operators.arrow_ipc import arrow_file_read, arrow_file_write
+
+    fields = [
+        {"name": "d32", "type": "date", "unit": 0},
+        {"name": "ts", "type": "timestamp", "unit": 2},
+        {"name": "t64", "type": "time", "unit": 2, "bits": 64},
+        {"name": "dec", "type": "decimal", "precision": 18, "scale": 3},
+        {"name": "st", "type": "struct", "children": [
+            {"name": "a", "type": "int", "bits": 64, "signed": True},
+            {"name": "b", "type": "utf8"}]},
+        {"name": "mp", "type": "map", "children": [
+            {"name": "entries", "type": "struct", "nullable": False,
+             "children": [
+                 {"name": "key", "type": "utf8", "nullable": False},
+                 {"name": "value", "type": "int", "bits": 64,
+                  "signed": True}]}]},
+    ]
+    cols = {
+        "d32": [0, None, 19000],
+        "ts": [1_700_000_000_000_001, None, -3],
+        "t64": [1, None, 86_399_999_999],
+        "dec": [12345678, None, -1],
+        "st": [{"a": 1, "b": "x"}, None, {"a": None, "b": "y"}],
+        "mp": [{"a": 1}, None, {"b": None, "c": 3}],
+    }
+    blob = arrow_file_write(cols, fields=fields)
+    rt = pa.ipc.open_file(io.BytesIO(blob)).read_all()
+    rt.validate(full=True)
+    pl = rt.to_pylist()
+    assert [r["dec"] for r in pl] == [
+        decimal.Decimal("12345.678"), None, decimal.Decimal("-0.001"),
+    ]
+    assert [r["st"] for r in pl] == cols["st"]
+    assert [None if r["mp"] is None else dict(r["mp"]) for r in pl] == cols["mp"]
+    assert pl[0]["ts"] == datetime.datetime(2023, 11, 14, 22, 13, 20, 1)
+    assert pl[0]["t64"] == datetime.time(0, 0, 0, 1)
+    assert pl[2]["d32"] == datetime.date(1970, 1, 1) + datetime.timedelta(
+        days=19000
+    )
+    back = arrow_file_read(blob)
+    assert back["dec"] == cols["dec"]
+    assert back["st"] == cols["st"]
+    assert back["mp"] == [[("a", 1)], None, [("b", None), ("c", 3)]]
+    assert back["d32"] == cols["d32"]
+    assert back["ts"] == cols["ts"]
+    assert back["t64"] == cols["t64"]

@@ -425,3 +425,68 @@ def test_extended_block_codecs():
         _n, at = zigzag_decode(blob, at)
         ln, at = zigzag_decode(blob, at)
         assert real(blob[at : at + ln])  # real library accepts our wire
+
+
+# ---------------------------------------------------------------------------
+# Round 15: logical types — decimal on bytes AND fixed, temporal
+# annotations riding their primitive wires
+# ---------------------------------------------------------------------------
+
+
+def test_logical_types_roundtrip():
+    from yark_spark.operators.avro_ocf import avro_build, avro_records
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+            {"name": "dec", "type": {"type": "bytes", "logicalType": "decimal",
+                                     "precision": 18, "scale": 3}},
+            {"name": "decf", "type": {"type": "fixed", "name": "d8",
+                                      "size": 8, "logicalType": "decimal",
+                                      "precision": 18, "scale": 3}},
+            {"name": "u", "type": ["null",
+                                   {"type": "bytes", "logicalType": "decimal",
+                                    "precision": 9, "scale": 2}]},
+            {"name": "uu", "type": {"type": "string", "logicalType": "uuid"}},
+        ],
+    }
+    rows = [
+        {"id": 1, "d": 19000, "ts": 1_700_000_000_123_456, "dec": -12345,
+         "decf": 99999, "u": None,
+         "uu": "00000000-0000-0000-0000-000000000001"},
+        {"id": 2, "d": -3, "ts": -7, "dec": 0, "decf": -1, "u": 42,
+         "uu": "00000000-0000-0000-0000-000000000002"},
+    ]
+    for codec in ("null", "deflate", "snappy"):
+        blob = avro_build(schema, rows, codec=codec)
+        assert avro_records(blob) == rows
+
+
+def test_decimal_wire_bytes_are_spec_exact():
+    """The decimal bytes carrier is the MINIMAL big-endian two's
+    complement of the unscaled int (Avro spec 'Decimal') — pinned
+    against hand-derived vectors so the wire, not just the roundtrip,
+    is right."""
+    from yark_spark.operators.avro_ocf import avro_decode, avro_encode
+
+    sch = {"type": "bytes", "logicalType": "decimal",
+           "precision": 9, "scale": 2}
+    for v, want in [
+        (0, b"\x00"), (1, b"\x01"), (-1, b"\xff"), (127, b"\x7f"),
+        (128, b"\x00\x80"), (-128, b"\x80"), (-12345, b"\xcf\xc7"),
+        (65535, b"\x00\xff\xff"),
+    ]:
+        enc = avro_encode(sch, v)
+        # length varint + payload
+        assert enc[1:] == want, (v, enc.hex())
+        got, _ = avro_decode(sch, enc)
+        assert got == v
+    # fixed carrier sign-extends to size
+    schf = {"type": "fixed", "name": "f4", "size": 4,
+            "logicalType": "decimal", "precision": 9, "scale": 2}
+    assert avro_encode(schf, -2) == b"\xff\xff\xff\xfe"
+    got, _ = avro_decode(schf, b"\xff\xff\xff\xfe")
+    assert got == -2

@@ -153,6 +153,7 @@ _T_NULL, _T_INT, _T_FLOAT, _T_BINARY, _T_UTF8, _T_BOOL = 1, 2, 3, 4, 5, 6
 _T_DECIMAL, _T_DATE, _T_TIME, _T_TIMESTAMP = 7, 8, 9, 10
 _T_LIST, _T_STRUCT = 12, 13
 _T_FIXED_SIZE_BINARY, _T_FIXED_SIZE_LIST, _T_MAP = 15, 16, 17
+_T_DURATION = 18
 _T_LARGE_BINARY, _T_LARGE_UTF8, _T_LARGE_LIST = 19, 20, 21
 
 # MessageHeader union tags (Message.fbs)
@@ -216,6 +217,20 @@ def _parse_field(b: bytes, table: int) -> dict:
     elif ttype == _T_DATE:
         f["type"] = "date"
         f["unit"] = _scalar(b, ttab, 0, _i16, 1)
+    elif ttype == _T_TIME:
+        f["type"] = "time"
+        f["unit"] = _scalar(b, ttab, 0, _i16, 1)
+        f["bits"] = _scalar(b, ttab, 1, _i32, 32)
+    elif ttype == _T_DURATION:
+        f["type"] = "duration"
+        f["unit"] = _scalar(b, ttab, 0, _i16, 1)
+    elif ttype == _T_DECIMAL:
+        f["type"] = "decimal"
+        f["precision"] = _scalar(b, ttab, 0, _i32, 0)
+        f["scale"] = _scalar(b, ttab, 1, _i32, 0)
+        f["bits"] = _scalar(b, ttab, 2, _i32, 128)
+    elif ttype == _T_MAP:
+        f["type"] = "map"
     elif ttype == _T_LIST:
         f["type"] = "list"
     elif ttype == _T_LARGE_LIST:
@@ -373,14 +388,16 @@ def _decode_field(cur: _BatchCursor, f: dict, dicts: dict | None = None) -> list
         if validity
         else [True] * n
     )
-    if t == "int" or t == "timestamp" or t == "date":
+    if t in ("int", "timestamp", "date", "time", "duration"):
         data = cur.buffer()
         if t == "int":
             fmt = _INT_FMT.get((f["bits"], f["signed"]))
             if fmt is None:
                 raise NotImplementedError(f"arrow-ipc: int{f['bits']}")
-        elif t == "timestamp":
+        elif t in ("timestamp", "duration"):
             fmt = "<q"
+        elif t == "time":
+            fmt = "<i" if f.get("bits", 32) == 32 else "<q"
         else:
             fmt = "<i" if f.get("unit", 1) == 0 else "<q"
         width = struct.calcsize(fmt)
@@ -426,6 +443,32 @@ def _decode_field(cur: _BatchCursor, f: dict, dicts: dict | None = None) -> list
             bytes(data[w * i : w * (i + 1)]) if present[i] else None
             for i in range(n)
         ]
+    elif t == "decimal":
+        # fixed-width little-endian two's complement → UNSCALED int
+        # (the schema's scale applies downstream, the parquet/ORC
+        # decimal contract)
+        data = cur.buffer()
+        w = f.get("bits", 128) // 8
+        vals = [
+            int.from_bytes(data[w * i : w * (i + 1)], "little", signed=True)
+            if present[i]
+            else None
+            for i in range(n)
+        ]
+    elif t == "map":
+        # offsets + one "entries" struct child (key, value) → list of
+        # (k, v) tuples per row, the repo's MAP surface
+        offsets = cur.buffer()
+        entries = _decode_field(cur, f["children"][0], dicts)
+        vals = []
+        for i in range(n):
+            if not present[i]:
+                vals.append(None)
+                continue
+            lo, hi = _i32(offsets, 4 * i), _i32(offsets, 4 * (i + 1))
+            vals.append(
+                [tuple(e.values()) for e in entries[lo:hi]]
+            )
     elif t in ("list", "large_list"):
         offsets = cur.buffer()
         rd = _i64 if t == "large_list" else _i32
@@ -776,6 +819,25 @@ def _type_fb(b: _FBBuilder, f: dict) -> tuple[int, int]:
         return _T_BOOL, b.table([])
     if t == "list":
         return _T_LIST, b.table([])
+    if t == "timestamp":
+        return _T_TIMESTAMP, b.table([(0, "i16", f.get("unit", 2))])
+    if t == "date":
+        # unit DAY = 0 must be written explicitly (the IDL default is
+        # MILLISECOND, so an omitted slot would flip the width)
+        return _T_DATE, b.table([(0, "i16", f.get("unit", 0))])
+    if t == "time":
+        return _T_TIME, b.table(
+            [(0, "i16", f.get("unit", 1)), (1, "i32", f.get("bits", 32))]
+        )
+    if t == "decimal":
+        return _T_DECIMAL, b.table(
+            [(0, "i32", f["precision"]), (1, "i32", f["scale"]),
+             (2, "i32", f.get("bits", 128))]
+        )
+    if t == "struct":
+        return _T_STRUCT, b.table([])
+    if t == "map":
+        return _T_MAP, b.table([])
     raise NotImplementedError(f"arrow-ipc write: type {t}")
 
 
@@ -787,7 +849,9 @@ def _field_fb(b: _FBBuilder, f: dict) -> int:
     return b.table(
         [
             (0, "off", name),
-            (1, "bool", 1),  # nullable
+            # nullable unless the spec says otherwise (map entries and
+            # keys MUST be non-nullable per the Arrow format)
+            (1, "bool", 1 if f.get("nullable", True) else None),
             (2, "u8", tag),
             (3, "off", ttab),
             (5, "off", kids),
@@ -899,6 +963,64 @@ def _encode_column(f: dict, values: list, nodes: list, raw_buffers: list) -> Non
             offs.append(len(flat))
         raw_buffers.append(b"".join(struct.pack("<i", o) for o in offs))
         _encode_column(f["children"][0], flat, nodes, raw_buffers)
+    elif t in ("timestamp", "duration"):
+        raw_buffers.append(
+            b"".join(
+                struct.pack("<q", int(v) if v is not None else 0)
+                for v in values
+            )
+        )
+    elif t == "date":
+        fmt = "<i" if f.get("unit", 0) == 0 else "<q"
+        raw_buffers.append(
+            b"".join(
+                struct.pack(fmt, int(v) if v is not None else 0)
+                for v in values
+            )
+        )
+    elif t == "time":
+        fmt = "<i" if f.get("bits", 32) == 32 else "<q"
+        raw_buffers.append(
+            b"".join(
+                struct.pack(fmt, int(v) if v is not None else 0)
+                for v in values
+            )
+        )
+    elif t == "decimal":
+        w = f.get("bits", 128) // 8
+        raw_buffers.append(
+            b"".join(
+                (int(v) if v is not None else 0).to_bytes(
+                    w, "little", signed=True
+                )
+                for v in values
+            )
+        )
+    elif t == "struct":
+        for c in f["children"]:
+            _encode_column(
+                c,
+                [None if v is None else v.get(c["name"]) for v in values],
+                nodes,
+                raw_buffers,
+            )
+    elif t == "map":
+        # offsets + entries struct (required key, optional value)
+        offs = [0]
+        flat = []
+        for v in values:
+            if v is not None:
+                flat.extend(
+                    list(v.items()) if isinstance(v, dict) else list(v)
+                )
+            offs.append(len(flat))
+        raw_buffers.append(b"".join(struct.pack("<i", o) for o in offs))
+        entries = f["children"][0]
+        kf, vf = entries["children"]
+        nodes.append((len(flat), 0))
+        raw_buffers.append(b"")  # entries struct: no nulls
+        _encode_column(kf, [k for k, _v in flat], nodes, raw_buffers)
+        _encode_column(vf, [v for _k, v in flat], nodes, raw_buffers)
     else:
         raise NotImplementedError(f"arrow-ipc write: encode {t}")
 

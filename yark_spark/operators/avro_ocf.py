@@ -92,6 +92,17 @@ def _read_bytes(buf, pos: int) -> tuple[bytes, int]:
 # ---------------------------------------------------------------------------
 
 
+def _is_decimal(schema) -> bool:
+    return isinstance(schema, dict) and schema.get("logicalType") == "decimal"
+
+
+def _decimal_bytes(v: int) -> bytes:
+    # minimal big-endian two's complement: -128 is ONE byte (0x80),
+    # +128 needs two (0x00 0x80)
+    n = (8 + (v + (v < 0)).bit_length()) // 8
+    return v.to_bytes(n, "big", signed=True)
+
+
 def _type_of(schema):
     if isinstance(schema, str):
         return schema
@@ -116,6 +127,11 @@ def avro_encode(schema, datum) -> bytes:
     if t == "double":
         return struct.pack("<d", float(datum))
     if t == "bytes":
+        if _is_decimal(schema) and isinstance(datum, int):
+            # logicalType decimal (round 15): the UNSCALED int rides
+            # as minimal big-endian two's complement bytes (spec
+            # "Decimal" — the parquet/ORC unscaled-int contract)
+            datum = _decimal_bytes(datum)
         return zigzag_encode(len(datum)) + bytes(datum)
     if t == "string":
         b = datum.encode("utf-8")
@@ -146,6 +162,9 @@ def avro_encode(schema, datum) -> bytes:
     if t == "enum":
         return zigzag_encode(schema["symbols"].index(datum))
     if t == "fixed":
+        if _is_decimal(schema) and isinstance(datum, int):
+            # fixed decimal: sign-extended to the declared size
+            datum = datum.to_bytes(schema["size"], "big", signed=True)
         if len(datum) != schema["size"]:
             raise ValueError("avro: fixed size mismatch")
         return bytes(datum)
@@ -165,6 +184,8 @@ def _fits(branch, datum) -> bool:
     if t == "string":
         return isinstance(datum, str)
     if t in ("bytes", "fixed"):
+        if _is_decimal(branch) and isinstance(datum, int):
+            return True
         return isinstance(datum, (bytes, bytearray))
     if t == "record":
         return isinstance(datum, dict)
@@ -197,7 +218,10 @@ def avro_decode(schema, buf, pos: int = 0):
             raise ValueError("avro: truncated double")
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
     if t == "bytes":
-        return _read_bytes(buf, pos)
+        b, pos = _read_bytes(buf, pos)
+        if _is_decimal(schema):
+            return int.from_bytes(b, "big", signed=True), pos
+        return b, pos
     if t == "string":
         b, pos = _read_bytes(buf, pos)
         return b.decode("utf-8"), pos
@@ -245,7 +269,10 @@ def avro_decode(schema, buf, pos: int = 0):
         size = schema["size"]
         if pos + size > len(buf):
             raise ValueError("avro: truncated fixed")
-        return bytes(buf[pos : pos + size]), pos + size
+        raw = bytes(buf[pos : pos + size])
+        if _is_decimal(schema):
+            return int.from_bytes(raw, "big", signed=True), pos + size
+        return raw, pos + size
     raise ValueError(f"avro: unknown schema type {t!r}")
 
 

@@ -9947,3 +9947,232 @@ def orc_logical_roundtrip_features(
     return df.select(F.col(id_col), F.col("lang"), F.col("n_chars")).mapInPandas(
         _roundtrip, ORC_LOGICAL_SCHEMA
     )
+
+
+AVRO_LOGICAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("d_days", LongType()),
+        StructField("ts_micros", LongType()),
+        StructField("tm_micros", LongType()),
+        StructField("dec_unscaled", LongType()),
+        StructField("decf_unscaled", LongType()),
+        StructField("dec_opt", LongType()),
+    ]
+)
+
+
+def avro_logical_roundtrip_features(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """E171 Avro logical types (round 15): OCF shards whose schema
+    declares date / timestamp-micros / time-micros / uuid annotations
+    and DECIMAL on both carriers — ``bytes`` (minimal big-endian
+    two's-complement unscaled int) and ``fixed`` (sign-extended to
+    size), plus a nullable union decimal branch — written and read by
+    the from-scratch codec (operators/avro_ocf). Iceberg manifests
+    and warehouse exports carry exactly these annotations; a reader
+    that surfaces decimal bytes raw instead of the unscaled int
+    breaks every downstream comparison. Block codec cycles per batch.
+    Map-only mapInPandas."""
+    _avro = _register_avro_modules()
+    _build_file = _avro.avro_build
+    _records = _avro.avro_records
+
+    _SCHEMA = {
+        "type": "record",
+        "name": "evt",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts",
+             "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "tm",
+             "type": {"type": "long", "logicalType": "time-micros"}},
+            {"name": "dec",
+             "type": {"type": "bytes", "logicalType": "decimal",
+                      "precision": 18, "scale": 3}},
+            {"name": "decf",
+             "type": {"type": "fixed", "name": "d8", "size": 8,
+                      "logicalType": "decimal", "precision": 18,
+                      "scale": 3}},
+            {"name": "dec_opt",
+             "type": ["null", {"type": "bytes", "logicalType": "decimal",
+                               "precision": 9, "scale": 2}]},
+        ],
+    }
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for bi, pdf in enumerate(batches):
+            ids = [int(v) for v in pdf[id_col]]
+            nchs = [int(v) for v in pdf["n_chars"]]
+            recs = [
+                {
+                    "doc_id": did,
+                    "d": did - 100,
+                    "ts": 1_500_000_000_000_000 + did * 1_234_567,
+                    "tm": (did * 37) % 86_400_000_000,
+                    "dec": nch * 7 - 5000,
+                    "decf": did - 250,
+                    "dec_opt": None if did % 4 == 0 else did * 11,
+                }
+                for did, nch in zip(ids, nchs)
+            ]
+            blob = _build_file(
+                _SCHEMA, recs,
+                codec=("null", "deflate", "snappy")[bi % 3],
+                records_per_block=32,
+            )
+            back = _records(blob)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array([r["doc_id"] for r in back], dtype="int64"),
+                    "d_days": np.array([r["d"] for r in back], dtype="int64"),
+                    "ts_micros": np.array([r["ts"] for r in back], dtype="int64"),
+                    "tm_micros": np.array([r["tm"] for r in back], dtype="int64"),
+                    "dec_unscaled": np.array([r["dec"] for r in back], dtype="int64"),
+                    "decf_unscaled": np.array([r["decf"] for r in back], dtype="int64"),
+                    "dec_opt": pd.array([r["dec_opt"] for r in back], dtype="Int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col("n_chars")).mapInPandas(
+        _roundtrip, AVRO_LOGICAL_SCHEMA
+    )
+
+
+ARROW_TEMPORAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("d_days", LongType()),
+        StructField("ts_micros", LongType()),
+        StructField("dec_unscaled", LongType()),
+        StructField("st_str", StringType()),
+        StructField("mp_str", StringType()),
+    ]
+)
+
+
+def arrow_ipc_temporal_features(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """E172 Arrow IPC temporal/decimal/map surface (round 15): each
+    batch cycles the WRITER — even batches REAL pyarrow (foreign
+    wire), odd batches the from-scratch flatbuffer writer (whose
+    date32 unit slot must be written explicitly: the IDL default is
+    MILLISECOND) — and the from-scratch reader decodes date32,
+    timestamp[us], decimal128 (little-endian two's-complement
+    unscaled), struct and map columns either way. pyarrow validates
+    and reads our wire value-for-value in tests/test_arrow_ipc.py.
+    Map-only mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from yark_spark.operators import arrow_ipc as _aipc
+
+    _register_container_modules()
+    _aipc.bind_codecs()
+    _cp.register_pickle_by_value(_aipc)
+    _read = _aipc.arrow_file_read
+    _write = _aipc.arrow_file_write
+
+    _FIELDS = [
+        {"name": "doc_id", "type": "int", "bits": 64, "signed": True},
+        {"name": "d", "type": "date", "unit": 0},
+        {"name": "ts", "type": "timestamp", "unit": 2},
+        {"name": "dec", "type": "decimal", "precision": 18, "scale": 3},
+        {"name": "st", "type": "struct", "children": [
+            {"name": "a", "type": "int", "bits": 64, "signed": True},
+            {"name": "b", "type": "utf8"}]},
+        {"name": "mp", "type": "map", "children": [
+            {"name": "entries", "type": "struct", "nullable": False,
+             "children": [
+                 {"name": "key", "type": "utf8", "nullable": False},
+                 {"name": "value", "type": "int", "bits": 64,
+                  "signed": True}]}]},
+    ]
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+
+        import numpy as np
+
+        for bi, pdf in enumerate(batches):
+            ids = [int(v) for v in pdf[id_col]]
+            langs = list(pdf["lang"])
+            nchs = [int(v) for v in pdf["n_chars"]]
+            cols = {
+                "doc_id": ids,
+                "d": [did - 100 for did in ids],
+                "ts": [
+                    None if did % 5 == 0
+                    else 1_500_000_000_000_000 + did * 1_234_567
+                    for did in ids
+                ],
+                "dec": [nch * 7 - 5000 for nch in nchs],
+                "st": [
+                    None if did % 7 == 0 else {"a": nch, "b": lg}
+                    for did, nch, lg in zip(ids, nchs, langs)
+                ],
+                "mp": [
+                    None if did % 6 == 0
+                    else {"k1": nch, "k2": None if did % 3 == 0 else did}
+                    for did, nch in zip(ids, nchs)
+                ],
+            }
+            if bi % 2 == 0:
+                import pyarrow as _pa
+                import pyarrow.ipc as _pi
+
+                t = _pa.table(
+                    {
+                        "doc_id": _pa.array(cols["doc_id"], _pa.int64()),
+                        "d": _pa.array(cols["d"], _pa.date32()),
+                        "ts": _pa.array(cols["ts"], _pa.timestamp("us")),
+                        "dec": _pa.array(
+                            [None if v is None else __import__("decimal").Decimal(v).scaleb(-3)
+                             for v in cols["dec"]],
+                            _pa.decimal128(18, 3),
+                        ),
+                        "st": _pa.array(
+                            cols["st"],
+                            _pa.struct([("a", _pa.int64()), ("b", _pa.string())]),
+                        ),
+                        "mp": _pa.array(
+                            cols["mp"], _pa.map_(_pa.string(), _pa.int64())
+                        ),
+                    }
+                )
+                buf = _io.BytesIO()
+                with _pi.new_file(buf, t.schema) as w:
+                    w.write_table(t)
+                blob = buf.getvalue()
+            else:
+                blob = _write(cols, fields=_FIELDS)
+            back = _read(blob, ["doc_id", "d", "ts", "dec", "st", "mp"])
+            st_strs = [
+                None if v is None else f"{v['a']}:{v['b']}" for v in back["st"]
+            ]
+            mp_strs = [
+                None
+                if v is None
+                else ",".join(
+                    f"{k}={'' if x is None else x}" for k, x in sorted(v)
+                )
+                for v in back["mp"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(back["doc_id"], dtype="int64"),
+                    "d_days": np.array(back["d"], dtype="int64"),
+                    "ts_micros": pd.array(back["ts"], dtype="Int64"),
+                    "dec_unscaled": np.array(back["dec"], dtype="int64"),
+                    "st_str": st_strs,
+                    "mp_str": mp_strs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col("lang"), F.col("n_chars")).mapInPandas(
+        _roundtrip, ARROW_TEMPORAL_SCHEMA
+    )

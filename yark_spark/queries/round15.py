@@ -167,3 +167,62 @@ def q_orc_write_logical_roundtrip(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
     return orc_logical_roundtrip_features(docs)
+
+
+_AVRO_LOGICAL_ORACLE = (
+    "SELECT doc_id, doc_id - 100 AS d_days, "
+    "1500000000000000 + doc_id * 1234567 AS ts_micros, "
+    "(doc_id * 37) % 86400000000 AS tm_micros, "
+    "n_chars * 7 - 5000 AS dec_unscaled, "
+    "doc_id - 250 AS decf_unscaled, "
+    "CASE WHEN doc_id % 4 = 0 THEN NULL ELSE doc_id * 11 END AS dec_opt "
+    "FROM documents WHERE doc_id < 512"
+)
+
+
+@query("q_avro_logical_scan", oracle=_AVRO_LOGICAL_ORACLE)
+def q_avro_logical_scan(spark, sf_dir):
+    """E171 Avro logical types (round 15): OCF shards declaring date /
+    timestamp-micros / time-micros / uuid annotations and DECIMAL on
+    both carriers — bytes (minimal big-endian two's-complement
+    unscaled) and fixed (sign-extended), plus a nullable union decimal
+    — through the from-scratch codec both directions under the
+    SQL-recomputed values. Iceberg manifests and warehouse exports
+    carry exactly these annotations. Block codec cycles null/deflate/
+    snappy per batch; map-only mapInPandas."""
+    from yark_spark.operators.multimodal import avro_logical_roundtrip_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return avro_logical_roundtrip_features(docs)
+
+
+_ARROW_TEMPORAL_ORACLE = (
+    "SELECT doc_id, doc_id - 100 AS d_days, "
+    "CASE WHEN doc_id % 5 = 0 THEN NULL "
+    "ELSE 1500000000000000 + doc_id * 1234567 END AS ts_micros, "
+    "n_chars * 7 - 5000 AS dec_unscaled, "
+    "CASE WHEN doc_id % 7 = 0 THEN NULL "
+    "ELSE CAST(n_chars AS VARCHAR) || ':' || lang END AS st_str, "
+    "CASE WHEN doc_id % 6 = 0 THEN NULL "
+    "ELSE 'k1=' || CAST(n_chars AS VARCHAR) || ',k2=' || "
+    "CASE WHEN doc_id % 3 = 0 THEN '' ELSE CAST(doc_id AS VARCHAR) END "
+    "END AS mp_str "
+    "FROM documents WHERE doc_id < 512"
+)
+
+
+@query("q_arrow_ipc_temporal_scan", oracle=_ARROW_TEMPORAL_ORACLE)
+def q_arrow_ipc_temporal_scan(spark, sf_dir):
+    """E172 Arrow IPC temporal/decimal/map surface (round 15): the
+    writer CYCLES per batch — real pyarrow (foreign wire) on even
+    batches, the from-scratch flatbuffer writer on odd — and the
+    from-scratch reader decodes date32, timestamp[us], decimal128
+    (little-endian two's-complement unscaled), struct and map columns
+    from either wire under the same SQL-recomputed values (a reader
+    keyed to one writer's slot layout fails the other's). pyarrow
+    validates and reads our wire value-for-value in
+    tests/test_arrow_ipc.py. Map-only mapInPandas."""
+    from yark_spark.operators.multimodal import arrow_ipc_temporal_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return arrow_ipc_temporal_features(docs)
