@@ -44,13 +44,15 @@ Reference parity note: the reference archiver stores fetched payloads
 opaquely (/root/reference/cmds/archive.py:88-91); shard codecs are
 driver-mandated training-pipeline surface (SURVEY.md §2.8).
 
-Boundaries (documented, typed): ARM64/RISC-V (no liblzma oracle in
-this container build) raise ``NotImplementedError``; Delta (0x03,
-round 14 s2) and the x86/PowerPC/IA64/ARM/ARM-Thumb/SPARC branch
-rewriters (round 14 s3 — each pinned liblzma-byte-exact both
-directions, IA64 including the bundle/template/slot walk) decode;
-malformed streams raise ``ValueError`` so the ingest quarantine keeps
-corrupt shards as rows.
+Boundaries (documented, typed): RISC-V BCJ (0x0B — xz 5.6 data, this
+container's liblzma 5.4 has no encoder to extract an oracle from)
+raises ``NotImplementedError``; Delta (0x03, round 14 s2), the
+x86/PowerPC/IA64/ARM/ARM-Thumb/SPARC branch rewriters (round 14 s3)
+and ARM64 (round 15 — liblzma carries it behind CPython's filter-id
+gate; the oracle drives the C library via ctypes) decode, each pinned
+liblzma-byte-exact both directions; malformed streams raise
+``ValueError`` so the ingest quarantine keeps corrupt shards as
+rows.
 """
 
 from __future__ import annotations
@@ -778,8 +780,14 @@ _FILTER_DELTA = 0x03
 _FILTER_X86 = 0x04
 _FILTER_PPC, _FILTER_IA64, _FILTER_ARM = 0x05, 0x06, 0x07
 _FILTER_ARMTHUMB, _FILTER_SPARC = 0x08, 0x09
-# ARM64/RISC-V stay typed (no liblzma oracle in this container build)
-_KNOWN_UNSUPPORTED = {0x0A: "bcj", 0x0B: "bcj"}
+_FILTER_ARM64 = 0x0A
+
+# RISC-V (0x0B) arrived in xz 5.6; this container's liblzma 5.4 has no
+# encoder to extract an oracle from, so it stays the typed boundary.
+# ARM64 decodes since round 15 — liblzma 5.4.1 DOES carry it, just
+# behind CPython 3.11's filter-id gate; the oracle drives the C
+# library directly via ctypes (tests/test_codec_differentials.py).
+_KNOWN_UNSUPPORTED = {0x0B: "RISC-V bcj"}
 
 
 # IA64 branch table: per-template slot mask (templates 0x16/0x17 are
@@ -913,12 +921,52 @@ def _bcj_sparc(data: bytes, enc: bool, start: int = 0) -> bytes:
     return bytes(buf)
 
 
+def _bcj_arm64(data: bytes, encoding: bool, start: int = 0) -> bytes:
+    """ARM64 BCJ (xz ≥5.4, filter id 0x0A): BL instructions (top six
+    bits 0x25) rewrite their 26-bit word-offset immediates between
+    relative and absolute; ADRP (mask 0x9F000000 == 0x90000000)
+    rewrites its split 21-bit page immediate ONLY within the ±512 MiB
+    window (outside it the odds of a false positive beat the gain —
+    the range gate below is the (src + 0x20000) & 0x1C0000 trick), the
+    sign bits reconstructed into bits 21-23 on the way back. Pinned
+    BYTE-EXACT against real liblzma 5.4 driven through ctypes (CPython
+    3.11 predates FILTER_ARM64, so the oracle bypasses the _lzma
+    module; tests/test_codec_differentials.py)."""
+    buf = bytearray(data)
+    mask32 = 0xFFFFFFFF
+    for i in range(0, len(buf) - 3, 4):
+        instr = int.from_bytes(buf[i : i + 4], "little")
+        pc = (start + i) & mask32
+        if (instr >> 26) == 0x25:  # BL
+            src = instr & 0x03FFFFFF
+            pc2 = pc >> 2
+            if not encoding:
+                pc2 = (-pc2) & mask32
+            instr = 0x94000000 | ((src + pc2) & 0x03FFFFFF)
+            buf[i : i + 4] = instr.to_bytes(4, "little")
+        elif (instr & 0x9F000000) == 0x90000000:  # ADRP
+            src = ((instr >> 29) & 3) | ((instr >> 3) & 0x001FFFFC)
+            if ((src + 0x00020000) & 0x001C0000) != 0:
+                continue  # outside ±512 MiB: left alone
+            pc2 = pc >> 12
+            if not encoding:
+                pc2 = (-pc2) & mask32
+            dest = (src + pc2) & mask32
+            instr &= 0x9000001F
+            instr |= (dest & 3) << 29
+            instr |= (dest & 0x0003FFFC) << 3
+            instr |= (-(dest & 0x00020000)) & 0x00E00000 & mask32
+            buf[i : i + 4] = instr.to_bytes(4, "little")
+    return bytes(buf)
+
+
 _BCJ_SIMPLE = {
     _FILTER_PPC: _bcj_ppc,
     _FILTER_IA64: _bcj_ia64,
     _FILTER_ARM: _bcj_arm,
     _FILTER_ARMTHUMB: _bcj_armthumb,
     _FILTER_SPARC: _bcj_sparc,
+    _FILTER_ARM64: _bcj_arm64,
 }
 
 # Per-filter start-offset alignment (liblzma simple/*.c coder init):
@@ -930,6 +978,7 @@ _BCJ_ALIGNMENT = {
     _FILTER_ARM: 4,
     _FILTER_ARMTHUMB: 2,
     _FILTER_SPARC: 4,
+    _FILTER_ARM64: 4,
 }
 
 
