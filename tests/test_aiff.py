@@ -121,8 +121,12 @@ def test_errors():
         decode_aiff(b"RIFF" + blob[4:])
     with pytest.raises(ValueError, match="not an AIFF"):
         decode_aiff(blob[:8] + b"WAVE" + blob[12:])
-    with pytest.raises(NotImplementedError, match="AIFC"):
-        decode_aiff(blob[:8] + b"AIFC" + blob[12:])
+    # round 15: re-typing a plain-PCM form as AIFC decodes fine (the
+    # short COMM has no compression fields → NONE); the typed AIFC
+    # boundary moved to genuinely unsupported codecs (see the
+    # differential tests below)
+    _rt, _ch, vals = decode_aiff(blob[:8] + b"AIFC" + blob[12:])
+    assert list(vals) == [1, 2, 3]
     with pytest.raises(ValueError):
         decode_aiff(blob[: len(blob) - 2])  # truncated chunk
     with pytest.raises(ValueError, match="bomb"):
@@ -165,3 +169,85 @@ def test_roundtrip_fuzz():
         r, c, out = decode_aiff(encode_aiff(samples, rate=rate, channels=ch))
         assert (r, c) == (rate, ch)
         assert np.array_equal(out, samples.astype(np.int16))
+
+
+# ---------------------------------------------------------------------------
+# Round 15: AIFF-C — the compressed-variant boundary closes for the
+# types a real oracle exists for (Python's aifc module wraps the same
+# audioop G.711 the in-repo tables were pinned against): ulaw / alaw /
+# sowt (byte-swapped PCM) / NONE. G722 and ima4 stay typed.
+# ---------------------------------------------------------------------------
+
+
+def _aifc_write(samples, comptype):
+    import aifc
+    import array
+    import io
+    import warnings
+
+    class _KeepOpen(io.BytesIO):
+        def close(self):
+            self.flush()
+
+    warnings.filterwarnings("ignore", category=DeprecationWarning)
+    buf = _KeepOpen()
+    w = aifc.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    w.setcomptype(comptype, b"x")
+    if comptype in (b"NONE", b"sowt"):
+        a = array.array("h", samples)
+        a.byteswap()  # aifc's PCM convention is big-endian input
+        w.writeframes(a.tobytes())
+    else:
+        w.writeframes(array.array("h", samples).tobytes())  # audioop: native
+    w.close()
+    return buf.getvalue()
+
+
+def _aifc_read(blob, comptype):
+    import aifc
+    import array
+    import io
+
+    r = aifc.open(io.BytesIO(blob), "rb")
+    assert r.getcomptype() == comptype
+    frames = r.readframes(r.getnframes())
+    a = array.array("h", frames)
+    if comptype in (b"NONE", b"sowt"):
+        a.byteswap()
+    return list(a)
+
+
+@pytest.mark.parametrize("comptype", [b"ulaw", b"alaw", b"sowt", b"NONE"])
+def test_aifc_differential_both_directions(comptype):
+    import random
+
+    from yark_spark.operators.aiff import decode_aiff, encode_aiff
+
+    rng = random.Random(7)
+    samples = [rng.randrange(-32768, 32768) for _ in range(501)]
+    # real aifc writes → we decode sample-exact
+    blob = _aifc_write(samples, comptype)
+    rate, ch, dec = decode_aiff(blob)
+    assert (rate, ch) == (8000, 1)
+    assert list(dec) == _aifc_read(blob, comptype)
+    # we write AIFC → real aifc decodes sample-exact (and agrees with
+    # our own decode of the same bytes)
+    ours = encode_aiff(samples, rate=8000, channels=1, comptype=comptype)
+    ref = _aifc_read(ours, comptype)
+    _rt, _ch, dec2 = decode_aiff(ours)
+    assert list(dec2) == ref
+    if comptype in (b"NONE", b"sowt"):
+        assert ref == samples  # lossless paths are exact
+
+
+def test_aifc_unknown_codec_stays_typed():
+    from yark_spark.operators.aiff import decode_aiff, encode_aiff
+
+    blob = _aifc_write([0, 1, 2, 3], b"G722")
+    with pytest.raises(NotImplementedError, match="G722"):
+        decode_aiff(blob)
+    with pytest.raises(NotImplementedError, match="ima4"):
+        encode_aiff([0], comptype=b"ima4")

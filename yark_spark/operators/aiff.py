@@ -74,19 +74,65 @@ def _chunk(fourcc: bytes, payload: bytes) -> bytes:
     return fourcc + struct.pack(">I", len(payload)) + payload + pad
 
 
+def _pstring(s: bytes) -> bytes:
+    """IFF pascal string: length byte + bytes, padded to EVEN total."""
+    out = bytes([len(s)]) + s
+    return out + (b"\x00" if len(out) & 1 else b"")
+
+
 def encode_aiff(
-    samples, rate: int = 8000, channels: int = 1, sample_size: int = 16
+    samples,
+    rate: int = 8000,
+    channels: int = 1,
+    sample_size: int = 16,
+    comptype: "bytes | None" = None,
 ) -> bytes:
     """Encode int16-range samples (interleaved if multi-channel) as
     AIFF. ``sample_size`` ∈ {8, 16}: 8-bit stores the top byte (SIGNED,
     per spec — no WAV-style 128 bias); 16-bit stores big-endian
-    verbatim."""
+    verbatim. ``comptype`` (round 15) writes an AIFF-C form instead:
+    ``b"NONE"`` / ``b"sowt"`` (byte-swapped PCM) / ``b"ulaw"`` /
+    ``b"alaw"`` (G.711 through the in-repo codecs) — with the FVER
+    chunk and the COMM compression fields Python's aifc reads back
+    sample-exactly."""
     arr = np.asarray(samples, dtype=np.int64)
     if arr.size % channels:
         raise ValueError("aiff: sample count not a multiple of channels")
     if arr.size and (arr.max() > 32767 or arr.min() < -32768):
         raise ValueError("aiff: samples exceed int16 range")
     n_frames = arr.size // channels
+    if comptype is not None:
+        names = {b"NONE": b"not compressed", b"sowt": b"",
+                 b"ulaw": b"", b"alaw": b""}
+        if comptype not in names:
+            raise NotImplementedError(f"aiff: AIFC comptype {comptype!r}")
+        if comptype == b"NONE":
+            body = arr.astype(">i2").tobytes()
+        elif comptype == b"sowt":
+            body = arr.astype("<i2").tobytes()
+        else:
+            from yark_spark.operators.audio_codecs import (
+                alaw_encode,
+                mulaw_encode,
+            )
+
+            enc = mulaw_encode if comptype == b"ulaw" else alaw_encode
+            body = enc(arr.astype(np.int16)).astype(np.uint8).tobytes()
+        comm = (
+            struct.pack(">HIH", channels, n_frames, 16)
+            + pack_extended(rate)
+            + comptype
+            + _pstring(names[comptype])
+        )
+        fver = struct.pack(">I", 0xA2805140)  # AIFCVersion1
+        ssnd = struct.pack(">II", 0, 0) + body
+        payload = (
+            b"AIFC"
+            + _chunk(b"FVER", fver)
+            + _chunk(b"COMM", comm)
+            + _chunk(b"SSND", ssnd)
+        )
+        return b"FORM" + struct.pack(">I", len(payload)) + payload
     if sample_size == 16:
         body = arr.astype(">i2").tobytes()
     elif sample_size == 8:
@@ -110,12 +156,9 @@ def decode_aiff(
         raise ValueError("aiff: bad FORM magic")
     (form_size,) = struct.unpack(">I", b[4:8])
     form_type = b[8:12]
-    if form_type == b"AIFC":
-        raise NotImplementedError(
-            "aiff: AIFC compressed variants need their codec; PCM AIFF only"
-        )
-    if form_type != b"AIFF":
+    if form_type not in (b"AIFF", b"AIFC"):
         raise ValueError("aiff: not an AIFF form")
+    is_aifc = form_type == b"AIFC"
     end = min(len(b), 8 + form_size)
     pos = 12
     comm = ssnd = None
@@ -146,6 +189,36 @@ def decode_aiff(
     offset, _block = struct.unpack(">II", ssnd[:8])
     data = ssnd[8 + offset :]
     n = n_frames * channels
+    if is_aifc:
+        # AIFF-C (round 15): COMM carries compressionType (4CC) + a
+        # pstring name after the 18 PCM bytes. NONE = big-endian PCM
+        # (falls through), sowt = byte-swapped 16-bit PCM (the Mac
+        # convention), ulaw/ALAW etc = G.711 through the in-repo
+        # codecs — decoded sample-exact against Python's aifc module
+        # in tests/test_aiff.py. Other codecs (G722, ima4) stay typed.
+        comp = comm[18:22] if len(comm) >= 22 else b"NONE"
+        if comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+            from yark_spark.operators.audio_codecs import (
+                alaw_decode,
+                mulaw_decode,
+            )
+
+            if len(data) < n:
+                raise ValueError("aiff: SSND data shorter than COMM frame count")
+            codes = np.frombuffer(data[:n], dtype=np.uint8)
+            dec = mulaw_decode if comp in (b"ulaw", b"ULAW") else alaw_decode
+            return rate, channels, dec(codes).astype(np.int16)
+        if comp == b"sowt":
+            if sample_size != 16:
+                raise NotImplementedError("aiff: sowt is 16-bit only")
+            if len(data) < 2 * n:
+                raise ValueError("aiff: SSND data shorter than COMM frame count")
+            samples = np.frombuffer(data[: 2 * n], dtype="<i2").astype(np.int16)
+            return rate, channels, samples
+        if comp not in (b"NONE",):
+            raise NotImplementedError(
+                f"aiff: AIFC compression {comp!r} not supported"
+            )
     if sample_size == 16:
         if len(data) < 2 * n:
             raise ValueError("aiff: SSND data shorter than COMM frame count")
