@@ -9832,7 +9832,7 @@ def delta_mapping_id_features(
     )
 
 
-ORC_LOGICAL_SCHEMA = StructType(
+ORC_WRITE_LOGICAL_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("d_days", LongType()),
@@ -9945,7 +9945,7 @@ def orc_logical_roundtrip_features(
             )
 
     return df.select(F.col(id_col), F.col("lang"), F.col("n_chars")).mapInPandas(
-        _roundtrip, ORC_LOGICAL_SCHEMA
+        _roundtrip, ORC_WRITE_LOGICAL_SCHEMA
     )
 
 
