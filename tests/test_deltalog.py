@@ -695,3 +695,80 @@ def test_column_mapping_survives_checkpoint():
         rows = delta_snapshot_rows(ck, ["doc_id", "text"])
         assert [r["doc_id"] for _, r in rows] == list(range(8))
         assert rows[0][1]["text"] == "t0"
+
+
+def _partitioned_table():
+    """The real Delta shape: data files do NOT contain the partition
+    column; each add carries string-serialized partitionValues."""
+    def pq(ids):
+        return parquet_write(
+            {"doc_id": list(ids), "text": [f"t{i}" for i in ids]},
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+            codec="SNAPPY",
+        )
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "text", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+    files = {f"p={k}/part-0.parquet": pq(range(k * 10, k * 10 + 4)) for k in range(3)}
+    actions = [
+        json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}),
+        json.dumps({"metaData": {
+            "id": "t", "format": {"provider": "parquet"},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["p"], "configuration": {}}}),
+    ] + [
+        json.dumps({"add": {"path": path, "size": len(blob), "dataChange": True,
+                            "partitionValues": {"p": str(k)}}})
+        for k, (path, blob) in enumerate(sorted(files.items()))
+    ]
+    return _table(
+        [("_delta_log/" + "0" * 20 + ".json", "\n".join(actions).encode())],
+        sorted(files.items()),
+    )
+
+
+def test_partition_scan_prunes_and_injects():
+    """Round 15: partitionValues prune files unopened, and the
+    partition column — absent from every data file — is injected into
+    the rows cast by the schemaString type."""
+    from yark_spark.operators.deltalog import delta_partition_scan
+
+    tar = _partitioned_table()
+    rows, cnt = delta_partition_scan(tar, ["doc_id", "p", "text"], {"p": 1})
+    assert cnt == {"files_skipped": 2, "files_scanned": 1}
+    assert [r["doc_id"] for _, r in rows] == [10, 11, 12, 13]
+    assert all(r["p"] == 1 and isinstance(r["p"], int) for _, r in rows)
+    assert rows[0][1]["text"] == "t10"
+    # partition-only projection never opens parquet values either
+    rows2, cnt2 = delta_partition_scan(tar, ["p"], {"p": 2})
+    assert cnt2 == {"files_skipped": 2, "files_scanned": 1}
+    assert [r["p"] for _, r in rows2] == [2, 2, 2, 2]
+    # no-match probe scans nothing
+    rows3, cnt3 = delta_partition_scan(tar, ["doc_id"], {"p": 9})
+    assert rows3 == [] and cnt3["files_scanned"] == 0
+
+
+def test_partition_values_survive_checkpoint_and_dv_write():
+    """partitionValues ride the checkpoint's add struct (a real
+    parquet MAP column) and the DV write loop's re-add."""
+    from yark_spark.operators.deltalog import (
+        delta_add_deletion_vectors,
+        delta_partition_scan,
+    )
+
+    tar = _partitioned_table()
+    ck = delta_checkpoint_table(tar)
+    rows, cnt = delta_partition_scan(ck, ["doc_id", "p"], {"p": 1})
+    assert cnt == {"files_skipped": 2, "files_scanned": 1}
+    assert [r["doc_id"] for _, r in rows] == [10, 11, 12, 13]
+    # a DV on the partition's file must keep its partitionValues
+    dv = delta_add_deletion_vectors(ck, {"p=1/part-0.parquet": [1]}, storage="i")
+    rows2, cnt2 = delta_partition_scan(dv, ["doc_id", "p"], {"p": 1})
+    assert [r["doc_id"] for _, r in rows2] == [10, 12, 13]
+    assert cnt2["files_scanned"] == 1

@@ -77,8 +77,81 @@ __all__ = [
     "delta_column_resolution",
     "delta_live_files",
     "delta_live_files_dv",
+    "delta_partition_scan",
     "delta_snapshot_rows",
 ]
+
+
+def _cast_partition_value(delta_type, raw: "str | None"):
+    """Delta serializes partition values as STRINGS in the add action
+    (PROTOCOL.md Partition Value Serialization); cast back by the
+    schemaString type for the columns real data files never contain."""
+    if raw is None:
+        return None
+    if delta_type in ("long", "integer", "short", "byte"):
+        return int(raw)
+    if delta_type in ("double", "float"):
+        return float(raw)
+    if delta_type == "boolean":
+        return raw == "true"
+    return raw  # string / date / timestamp stay their serialized form
+
+
+def delta_partition_scan(
+    tar_payload: bytes,
+    columns: list[str],
+    partition: "dict[str, object]",
+) -> tuple[list[tuple[int, dict]], dict[str, int]]:
+    """Partition-PRUNED snapshot scan (round 15): real Delta tables
+    are Hive-partitioned — each ``add`` carries ``partitionValues``
+    (string-serialized) and the data files do NOT contain the
+    partition columns. Files whose values mismatch the probe are
+    never opened (the counter proves it); requested partition columns
+    are INJECTED into the rows from the descriptor, cast by the
+    metaData schemaString type. Deletion vectors still apply to the
+    surviving files. This is why a one-partition query on a 100 TB
+    Delta table reads O(partition), not O(table)."""
+    members = dict(tar_members(tar_payload))
+    live = _resolve_live(members)
+    meta = _last_metadata(members)
+    types: dict[str, str] = {}
+    if meta is not None and meta.get("schemaString"):
+        for f in json.loads(meta["schemaString"]).get("fields", []):
+            if isinstance(f.get("type"), str):
+                types[f["name"]] = f["type"]
+    probe = {k: (None if v is None else str(v)) for k, v in partition.items()}
+    counters = {"files_skipped": 0, "files_scanned": 0}
+    out: list[tuple[int, dict]] = []
+    for path, (version, size, dv, pv) in sorted(live.items()):
+        pv = pv or {}
+        if any(pv.get(k) != v for k, v in probe.items()):
+            counters["files_skipped"] += 1
+            continue
+        data = members.get(path)
+        if data is None:
+            raise ValueError(f"delta: added file {path!r} missing")
+        if size is not None and size != len(data):
+            raise ValueError(f"delta: size mismatch for {path!r}")
+        counters["files_scanned"] += 1
+        dead = _dv_dead_rows(members, dv) if dv is not None else frozenset()
+        file_cols = [c for c in columns if c not in pv]
+        if file_cols:
+            cols = parquet_read_columns(data, file_cols)
+            n = len(cols[file_cols[0]])
+        else:
+            cols = {}
+            n = parquet_footer(data)["num_rows"]
+        injected = {
+            c: _cast_partition_value(types.get(c, "string"), pv.get(c))
+            for c in columns
+            if c in pv
+        }
+        for i in range(n):
+            if i in dead:
+                continue
+            row = {c: cols[c][i] if c in cols else injected[c] for c in columns}
+            out.append((version, row))
+    return out, counters
 
 _COMMIT_RE = re.compile(r"^_delta_log/(\d{20})\.json$")
 
@@ -117,6 +190,13 @@ def delta_live_files_dv(
     the checkpoint carry version_added = V, the finest attribution
     the log retains."""
     members = dict(tar_members(tar_payload))
+    return _finalize(members, _resolve_live(members))
+
+
+def _resolve_live(members: dict) -> dict:
+    """Checkpoint-or-JSON replay → the live dict
+    ``{path: (version, size, dv descriptor, partitionValues)}`` —
+    the shared core of snapshot and partition-pruned scans."""
     ckpt_version = None
     lc = members.get("_delta_log/_last_checkpoint")
     if lc is not None:
@@ -144,14 +224,14 @@ def delta_live_files_dv(
     if [v for v, _ in commits] != list(range(len(commits))):
         raise ValueError("delta: commit versions must be gapless from 0")
 
-    # path -> (version, logged size, deletionVector descriptor | None)
-    live: dict[str, tuple[int, int | None, dict | None]] = {}
+    # path -> (version, size, deletionVector | None, partitionValues)
+    live: dict = {}
     saw_metadata = False
     for version, blob in commits:
         saw_metadata = _apply_commit(blob, version, live) or saw_metadata
     if not saw_metadata:
         raise ValueError("delta: table has no metaData action")
-    return _finalize(members, live)
+    return live
 
 
 def _check_protocol(p: dict) -> None:
@@ -189,7 +269,12 @@ def _apply_commit(blob: bytes, version: int, live: dict) -> bool:
             saw_metadata = True
         elif "add" in action:
             a = action["add"]
-            live[a["path"]] = (version, a.get("size"), a.get("deletionVector"))
+            live[a["path"]] = (
+                version,
+                a.get("size"),
+                a.get("deletionVector"),
+                a.get("partitionValues"),
+            )
         elif "remove" in action:
             live.pop(action["remove"]["path"], None)
         # commitInfo / txn: informational, skipped
@@ -285,8 +370,9 @@ def delta_add_deletion_vectors(
     if storage not in ("p", "u", "i"):
         raise ValueError(f"delta: DV storage {storage!r}")
     members = dict(tar_members(tar_payload))
+    resolved = _resolve_live(members)
     live = {
-        path: (version, len(data), old_dead)
+        path: (version, len(data), old_dead, resolved[path][3])
         for path, version, data, old_dead in delta_live_files_dv(tar_payload)
     }
     missing = [p for p in dead if p not in live]
@@ -302,7 +388,7 @@ def delta_add_deletion_vectors(
 
     payloads: list[tuple[str, bytes, int]] = []  # (path, bitmap, |rows|)
     for path in sorted(dead):
-        _ver, _size, old_rows = live[path]
+        _ver, _size, old_rows, _pv = live[path]
         rows = set(old_rows) | {int(r) for r in dead[path]}
         if not rows:
             raise ValueError(f"delta: empty DV for {path!r}")
@@ -357,18 +443,17 @@ def delta_add_deletion_vectors(
         }
     )
     for path in sorted(dead):
-        _ver, size, _old = live[path]
+        _ver, size, _old, pv = live[path]
         actions.append({"remove": {"path": path, "dataChange": True}})
-        actions.append(
-            {
-                "add": {
-                    "path": path,
-                    "size": size,
-                    "dataChange": True,
-                    "deletionVector": descriptors[path],
-                }
-            }
-        )
+        add_action = {
+            "path": path,
+            "size": size,
+            "dataChange": True,
+            "deletionVector": descriptors[path],
+        }
+        if pv is not None:
+            add_action["partitionValues"] = pv  # the re-add keeps them
+        actions.append({"add": add_action})
     commit = b"\n".join(json.dumps(a).encode("utf-8") for a in actions) + b"\n"
     out = [(n, b) for n, b in members.items()]
     out.extend(new_members)
@@ -381,7 +466,7 @@ def _finalize(members: dict, live: dict) -> list[tuple[str, int, bytes, frozense
     # every add was later removed may be physically gone (vacuumed) —
     # replay must not require their bytes
     out = []
-    for path, (version, size, dv) in sorted(live.items()):
+    for path, (version, size, dv, _pv) in sorted(live.items()):
         data = members.get(path)
         if data is None:
             raise ValueError(f"delta: added file {path!r} missing")
@@ -425,7 +510,11 @@ def _replay_from_checkpoint(
         )
     except ValueError:
         dvc = None
-    live: dict[str, tuple[int, int | None, dict | None]] = {}
+    try:
+        adds_full = parquet_read_columns(ckpt_blob, ["add"])["add"]
+    except (ValueError, NotImplementedError):
+        adds_full = None
+    live: dict = {}
     saw_metadata = False
     for i in range(len(cols["add.path"])):
         mrv = cols["protocol.minReaderVersion"][i]
@@ -449,7 +538,13 @@ def _replay_from_checkpoint(
                     "sizeInBytes": dvc["add.deletionVector.sizeInBytes"][i],
                     "cardinality": dvc["add.deletionVector.cardinality"][i],
                 }
-            live[p] = (ckpt_version, cols["add.size"][i], dv)
+            pv = None
+            if adds_full is not None and adds_full[i] is not None:
+                raw_pv = adds_full[i].get("partitionValues")
+                if isinstance(raw_pv, list):
+                    raw_pv = dict(raw_pv)  # MAP column → (k, v) tuples
+                pv = raw_pv
+            live[p] = (ckpt_version, cols["add.size"][i], dv, pv)
         # remove rows are EXPIRED tombstones retained for vacuum
         # bookkeeping — by definition not part of the live state
     if not saw_metadata:
@@ -461,7 +556,7 @@ def _replay_from_checkpoint(
         raise ValueError("delta: commit versions after checkpoint must be gapless")
     for version, blob in later:
         _apply_commit(blob, version, live)
-    return _finalize(members, live)
+    return live
 
 
 def _last_metadata(members: dict) -> "dict | None":
@@ -629,7 +724,11 @@ def _seed_checkpoint_state(
         )
     except ValueError:
         dvc = None
-    live: dict[str, tuple[int, int | None, dict | None]] = {}
+    try:
+        adds_full = parquet_read_columns(blob, ["add"])["add"]
+    except (ValueError, NotImplementedError):
+        adds_full = None
+    live: dict = {}
     mrv = None
     for i in range(len(cols["add.path"])):
         if cols["protocol.minReaderVersion"][i] is not None:
@@ -645,7 +744,13 @@ def _seed_checkpoint_state(
                     "sizeInBytes": dvc["add.deletionVector.sizeInBytes"][i],
                     "cardinality": dvc["add.deletionVector.cardinality"][i],
                 }
-            live[p] = (base_v, cols["add.size"][i], dv)
+            pv = None
+            if adds_full is not None and adds_full[i] is not None:
+                raw_pv = adds_full[i].get("partitionValues")
+                if isinstance(raw_pv, list):
+                    raw_pv = dict(raw_pv)
+                pv = raw_pv
+            live[p] = (base_v, cols["add.size"][i], dv, pv)
     meta = None
     for row in parquet_read_columns(blob, ["metaData"])["metaData"]:
         if row is not None and row.get("id") is not None:
@@ -744,8 +849,8 @@ def delta_checkpoint_table(tar_payload: bytes, version: int | None = None) -> by
     mds: list = [None, md_row] + [None] * (n - 2)
     adds: list = [None, None]
     for p in paths:
-        _ver, size, dv = live[p]
-        row = {"path": p, "size": size}
+        _ver, size, dv, pv = live[p]
+        row = {"path": p, "size": size, "partitionValues": pv}
         if dv is not None:
             row["deletionVector"] = {
                 "storageType": dv.get("storageType"),
@@ -772,6 +877,7 @@ def delta_checkpoint_table(tar_payload: bytes, version: int | None = None) -> by
             "add": {
                 "path": "BYTE_ARRAY",
                 "size": "INT64",
+                "partitionValues": pmap("BYTE_ARRAY", "BYTE_ARRAY"),
                 "deletionVector": {
                     "storageType": "BYTE_ARRAY",
                     "pathOrInlineDv": "BYTE_ARRAY",

@@ -53,8 +53,9 @@ probe's SOURCE value, and prunes manifests/files on the TRANSFORMED
 key — with field-summary bounds decoded at the transform's RESULT
 type width (temporal/bucket results are 4-byte ints on the wire,
 long identity/truncate stay 8). Remaining typed boundaries: snapshot
-``operation`` values beyond append/overwrite/delete, multi-field
-partition specs, and ``void``-transformed probes; a metadata tree
+``operation`` values beyond append/overwrite/delete and
+``void``-transformed probes (multi-field specs prune as a conjunction
+since round 14 s2); a metadata tree
 referencing a missing member or a manifest whose length disagrees
 with the member is a corrupt table (typed ``ValueError``), mirroring
 the size cross-check real readers run before issuing ranged reads.

@@ -10176,3 +10176,119 @@ def arrow_ipc_temporal_features(
     return df.select(F.col(id_col), F.col("lang"), F.col("n_chars")).mapInPandas(
         _roundtrip, ARROW_TEMPORAL_SCHEMA
     )
+
+
+DELTA_PARTITION_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("p", LongType()),
+        StructField("files_skipped", IntegerType()),
+        StructField("files_scanned", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def delta_partition_prune_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E176 Delta partition pruning (round 15): every 48 docs become a
+    HIVE-PARTITIONED table — three files under p=<k>/ dirs whose add
+    actions carry string-serialized partitionValues and whose data
+    files do NOT contain the partition column (the real Delta shape).
+    The p=1 scan must open exactly one file (2 skipped / 1 scanned,
+    pinned by the oracle) and INJECT p into the rows from the
+    descriptor, cast long by the schemaString type. The Delta side now
+    holds the same partition-skip contract as Iceberg's E136'': a
+    one-partition query on a 100 TB table reads O(partition). One
+    applyInPandas per table; map-only resolve."""
+    _dl = _register_delta_modules()
+    _scan = _dl.delta_partition_scan
+    from yark_spark.operators import parquet_write as _pw_mod
+
+    _tar = _register_container_modules().tar_build
+    _write = _pw_mod.parquet_write
+
+    def _build_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 48
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "doc_id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "text", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "p", "type": "long", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+        parts: dict[int, tuple[list, list]] = {0: ([], []), 1: ([], []), 2: ([], [])}
+        for did, t in zip(ids, texts):
+            k = did % 3
+            parts[k][0].append(did)
+            parts[k][1].append(t)
+        files = {}
+        for k, (kids, ktexts) in parts.items():
+            files[f"p={k}/part-0.parquet"] = (
+                _write(
+                    {"doc_id": kids, "text": ktexts},
+                    types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                    codec="SNAPPY",
+                ),
+                k,
+            )
+        actions = [
+            _json.dumps({"protocol": {"minReaderVersion": 1,
+                                      "minWriterVersion": 2}}),
+            _json.dumps({"metaData": {
+                "id": f"tbl-{tid}", "format": {"provider": "parquet"},
+                "schemaString": _json.dumps(schema),
+                "partitionColumns": ["p"], "configuration": {}}}),
+        ] + [
+            _json.dumps({"add": {"path": path, "size": len(blob),
+                                 "dataChange": True,
+                                 "partitionValues": {"p": str(k)}}})
+            for path, (blob, k) in sorted(files.items())
+        ]
+        tar = _tar(
+            [("_delta_log/" + "0" * 20 + ".json", "\n".join(actions).encode())]
+            + sorted((p, b) for p, (b, _k) in files.items())
+        )
+        rows, cnt = _scan(tar, ["doc_id", "p", "text"], {"p": 1})
+        out_ids = [int(r["doc_id"]) for _v, r in rows]
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_ids, dtype="int64"),
+                "table_id": np.array([tid] * len(out_ids), dtype="int64"),
+                "p": np.array([int(r["p"]) for _v, r in rows], dtype="int64"),
+                "files_skipped": np.array(
+                    [cnt["files_skipped"]] * len(out_ids), dtype="int32"
+                ),
+                "files_scanned": np.array(
+                    [cnt["files_scanned"]] * len(out_ids), dtype="int32"
+                ),
+                "n_chars": np.array(
+                    [len(r["text"]) for _v, r in rows], dtype="int32"
+                ),
+                "digest": [
+                    _h.md5(r["text"].encode("utf-8")).hexdigest()
+                    for _v, r in rows
+                ],
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 48).cast("long").alias("__t"))
+        .applyInPandas(_build_and_scan, DELTA_PARTITION_SCHEMA)
+    )

@@ -226,3 +226,31 @@ def q_arrow_ipc_temporal_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
     return arrow_ipc_temporal_features(docs)
+
+
+_DELTA_PART_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 48 AS BIGINT) AS table_id, "
+    "CAST(1 AS BIGINT) AS p, "
+    "CAST(2 AS INTEGER) AS files_skipped, "
+    "CAST(1 AS INTEGER) AS files_scanned, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480 AND doc_id % 3 = 1"
+)
+
+
+@query("q_delta_partition_prune", oracle=_DELTA_PART_ORACLE)
+def q_delta_partition_prune(spark, sf_dir):
+    """E176 Delta partition pruning (round 15): Hive-partitioned
+    tables whose add actions carry string-serialized partitionValues
+    and whose data files do NOT contain the partition column — the
+    real Delta shape. The p=1 scan opens exactly one of three files
+    (2 skipped / 1 scanned, counters pinned by the oracle) and
+    INJECTS p into the rows cast by the schemaString type. With
+    E136'' (Iceberg) the engine now holds the partition-skip contract
+    on both lakehouse formats; partitionValues also survive
+    checkpoints (a real parquet MAP column in the add struct) and the
+    DV write loop's re-adds (pytest). One applyInPandas per table."""
+    from yark_spark.operators.multimodal import delta_partition_prune_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return delta_partition_prune_features(docs)
