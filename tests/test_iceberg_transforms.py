@@ -590,3 +590,62 @@ def test_multi_field_partition_prune():
     # single-value probe against a multi-field spec is typed
     with pytest.raises(ValueError, match="source_values"):
         iceberg_partition_scan(tar, ["doc_id"], source_value=40)
+
+
+def test_void_spec_field_matches_everything():
+    """Round 15: spec evolution replaces dropped partition fields with
+    ``void`` transforms — such a field constrains nothing and the
+    conjunction prunes on the remaining fields only."""
+    from yark_spark.operators.containers import tar_build
+    from yark_spark.operators.iceberg import (
+        iceberg_commit,
+        iceberg_partition_scan,
+        iceberg_table_create,
+    )
+    from yark_spark.operators.parquet_write import parquet_write
+
+    fields = [
+        {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+        {"id": 2, "name": "old_col", "required": False, "type": "long"},
+    ]
+    spec = [
+        {"name": "p", "transform": "identity", "source-id": 1, "field-id": 1000},
+        {"name": "dropped", "transform": "void", "source-id": 2,
+         "field-id": 1001},
+    ]
+    m = iceberg_table_create(fields, partition_spec=spec)
+
+    def pq(lo, hi):
+        return parquet_write(
+            {"doc_id": list(range(lo, hi))},
+            types={"doc_id": "INT64"}, codec="SNAPPY",
+        )
+
+    m, _ = iceberg_commit(
+        m,
+        data_files=[
+            ("data/a.parquet", pq(0, 8), 8, {"p": 0, "dropped": None}),
+            ("data/b.parquet", pq(8, 16), 8, {"p": 8, "dropped": None}),
+        ],
+    )
+    tar = tar_build(sorted(m.items()))
+    rows, cnt = iceberg_partition_scan(
+        tar, ["doc_id"], source_values={"p": 8}
+    )
+    assert sorted(r["doc_id"] for r in rows) == list(range(8, 16))
+    assert cnt["files_scanned"] == 1 and cnt["files_skipped"] == 1
+    # an all-void spec cannot select anything — typed
+    import pytest as _pytest
+
+    spec_all_void = [
+        {"name": "dropped", "transform": "void", "source-id": 2,
+         "field-id": 1001},
+    ]
+    m2 = iceberg_table_create(fields, partition_spec=spec_all_void)
+    m2, _ = iceberg_commit(
+        m2, data_files=[("data/a.parquet", pq(0, 4), 4, {"dropped": None})]
+    )
+    with _pytest.raises(ValueError, match="void"):
+        iceberg_partition_scan(
+            tar_build(sorted(m2.items())), ["doc_id"], source_values={}
+        )

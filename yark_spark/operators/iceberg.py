@@ -53,9 +53,10 @@ probe's SOURCE value, and prunes manifests/files on the TRANSFORMED
 key — with field-summary bounds decoded at the transform's RESULT
 type width (temporal/bucket results are 4-byte ints on the wire,
 long identity/truncate stay 8). Remaining typed boundaries: snapshot
-``operation`` values beyond append/overwrite/delete and
-``void``-transformed probes (multi-field specs prune as a conjunction
-since round 14 s2); a metadata tree
+``operation`` values beyond append/overwrite/delete (multi-field
+specs prune as a conjunction since round 14 s2; ``void`` spec fields
+drop out of it since round 15 — spec evolution's dropped-field
+shape); a metadata tree
 referencing a missing member or a manifest whose length disagrees
 with the member is a corrupt table (typed ``ValueError``), mirroring
 the size cross-check real readers run before issuing ranged reads.
@@ -658,16 +659,23 @@ def iceberg_partition_scan(
     part_keys: dict[str, int | str] = {}
     widths: dict[str, int] = {}
     for name, transform, src_type in fields_meta:
+        if transform == "void":
+            # spec EVOLUTION leaves dropped fields behind as void —
+            # they partition nothing and match every file, so they
+            # drop out of the conjunction (round 15; previously typed)
+            continue
         if probes is not None:
             if name not in probes:
                 raise ValueError(f"iceberg: no probe for partition field {name!r}")
             key = iceberg_transform(transform, probes[name], src_type)
             if key is None:
-                raise ValueError("iceberg: void/null probe cannot select a partition")
+                raise ValueError("iceberg: null probe cannot select a partition")
         else:
             key = part_value
         part_keys[name] = key
         widths[name] = transform_result_width(transform, src_type)
+    if not part_keys:
+        raise ValueError("iceberg: every spec field is void — nothing to prune on")
 
     counters = {
         "manifests_total": 0,
@@ -686,6 +694,8 @@ def iceberg_partition_scan(
             if len(summaries) < len(fields_meta):
                 raise ValueError("iceberg: field summaries shorter than spec")
             for fi, (name, transform, _st) in enumerate(fields_meta):
+                if name not in part_keys:
+                    continue  # void field: no constraint
                 s0 = summaries[fi]
                 lo = s0.get("lower_bound")
                 hi = s0.get("upper_bound")
@@ -715,6 +725,7 @@ def iceberg_partition_scan(
             if any(
                 df["partition"][name] != part_keys[name]
                 for name, _t, _s in fields_meta
+                if name in part_keys
             ):
                 counters["files_skipped"] += 1
                 continue
