@@ -624,3 +624,67 @@ def test_nested_fuzz_vs_pyarrow_reader():
                 assert got[mcol][i] == om, (codec, mcol, i)
             assert got["lls"][i] == orow["lls"], (codec, i)
             assert got["l3"][i] == orow["l3"], (codec, i)
+
+
+def test_page_crc_verified_on_pyarrow_wire():
+    """Round 15: PageHeader.crc (CRC32 of the page bytes as written,
+    header excluded) is VERIFIED when present — a flipped body byte in
+    a pyarrow-checksummed file becomes a typed quarantine error, even
+    when the corrupted bytes would otherwise still decompress."""
+    import io
+    import zlib
+
+    from yark_spark.operators.parquet_meta import _read_struct
+
+    t = pa.table(
+        {
+            "x": pa.array(range(1000), pa.int64()),
+            "s": pa.array([f"v{i % 7}" for i in range(1000)]),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf, write_page_checksum=True, compression="zstd")
+    data = buf.getvalue()
+    assert parquet_read_columns(data, ["x", "s"])["x"][:3] == [0, 1, 2]
+    # locate the x column's DATA page body and flip one byte in it
+    col = parquet_footer(data)["row_groups"][0]["columns"][0]
+    hdr, body_at = _read_struct(data, col["data_page_offset"])
+    assert hdr.get(4) is not None  # the crc field is really on the wire
+    assert zlib.crc32(data[body_at : body_at + hdr[3]]) & 0xFFFFFFFF == hdr[4] & 0xFFFFFFFF
+    bad = bytearray(data)
+    bad[body_at + 10] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        parquet_read_columns(bytes(bad), ["x"])
+
+
+def test_page_crc_emitted_and_pyarrow_verifies():
+    """Our writer's page checksums (v1 AND v2 pages, dict pages too)
+    pass pyarrow's page_checksum_verification; a flipped body byte
+    fails BOTH readers."""
+    import io
+
+    from yark_spark.operators.parquet_write import parquet_write, pmap
+
+    for pv in (1, 2):
+        blob = parquet_write(
+            {
+                "x": list(range(500)),
+                "s": [f"v{i % 5}" for i in range(500)],  # dictionary page
+                "m": [{"a": str(i)} for i in range(500)],  # nested + reps
+            },
+            types={"x": "INT64", "s": "BYTE_ARRAY",
+                   "m": pmap("BYTE_ARRAY", "BYTE_ARRAY")},
+            codec="SNAPPY",
+            data_page_version=pv,
+            write_page_checksum=True,
+        )
+        got = pq.read_table(io.BytesIO(blob), page_checksum_verification=True)
+        assert got.column("x").to_pylist()[:3] == [0, 1, 2]
+        assert parquet_read_columns(blob, ["m"])["m"][3] == [("a", "3")]
+        col = parquet_footer(blob)["row_groups"][0]["columns"][0]
+        bad = bytearray(blob)
+        bad[col["data_page_offset"] + 30] ^= 0xFF
+        with pytest.raises(Exception):
+            pq.read_table(io.BytesIO(bytes(bad)), page_checksum_verification=True)
+        with pytest.raises(ValueError):
+            parquet_read_columns(bytes(bad), ["x"])

@@ -427,6 +427,16 @@ def _read_chunk(
         raw = data[body_at : body_at + comp_size]
         if len(raw) != comp_size:
             raise ValueError("parquet: page body truncated")
+        stored_crc = header.get(4)
+        if stored_crc is not None:
+            # PageHeader.crc covers the page bytes AS WRITTEN (the
+            # compressed body, header excluded) — verified when the
+            # writer emitted it, so silent page corruption becomes a
+            # typed quarantine row instead of garbled values
+            import zlib as _zlib
+
+            if _zlib.crc32(raw) & 0xFFFFFFFF != stored_crc & 0xFFFFFFFF:
+                raise ValueError("parquet: page checksum mismatch")
         pos = body_at + comp_size
         if page_type == _PAGE_DICT:
             dh = header.get(7) or {}

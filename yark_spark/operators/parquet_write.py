@@ -635,6 +635,7 @@ def parquet_write(
     column_encodings: "dict[str, str] | None" = None,
     data_page_version: int = 1,
     field_ids: "dict[str, int] | None" = None,
+    write_page_checksum: bool = False,
 ) -> bytes:
     """Serialize ``{name: values}`` (equal lengths, ``None`` = null)
     into parquet bytes. ``types`` overrides per-column physical types
@@ -768,6 +769,7 @@ def parquet_write(
                 reps_pair=reps_pair,
                 force_encoding=(column_encodings or {}).get(disp),
                 page_version=data_page_version,
+                page_checksum=write_page_checksum,
             )
             col_infos.append((meta_bytes, cstart, pinfo))
             rg_total += csize
@@ -887,6 +889,15 @@ def parquet_write(
     return bytes(out)
 
 
+def _page_crc(body: bytes) -> int:
+    """PageHeader.crc (field 4): CRC32 of the page bytes as written
+    (header excluded), stored as a SIGNED thrift i32."""
+    import zlib as _zlib
+
+    c = _zlib.crc32(body) & 0xFFFFFFFF
+    return c - (1 << 32) if c >= (1 << 31) else c
+
+
 def _write_chunk(
     out: bytearray,
     name: "str | list[str]",
@@ -899,6 +910,7 @@ def _write_chunk(
     reps_pair: "tuple[list[int], int] | None" = None,
     force_encoding: "str | None" = None,
     page_version: int = 1,
+    page_checksum: bool = False,
 ) -> tuple[bytes, int]:
     """Append one column chunk's pages to ``out``; return (the
     ColumnChunk thrift struct, total compressed size). ``defs_pair``
@@ -976,14 +988,15 @@ def _write_chunk(
         dict_raw = _plain_encode(ptype, distinct)
         dict_comp = _compress(codec, dict_raw)
         inner = _TStruct().i32(1, len(distinct)).i32(2, _ENC_PLAIN).done()
-        dict_hdr = (
+        dh = (
             _TStruct()
             .i32(1, _PAGE_DICT)
             .i32(2, len(dict_raw))
             .i32(3, len(dict_comp))
-            .struct(7, inner)
-            .done()
         )
+        if page_checksum:
+            dh.i32(4, _page_crc(dict_comp))
+        dict_hdr = dh.struct(7, inner).done()
         dict_offset = len(out)
         out += dict_hdr + dict_comp
         total_unc += len(dict_raw)
@@ -1014,14 +1027,15 @@ def _write_chunk(
             .boolean(7, True)  # is_compressed
             .done()
         )
-        page_hdr = (
+        ph = (
             _TStruct()
             .i32(1, _PAGE_DATA_V2)
             .i32(2, len(lvl) + len(values_raw))
             .i32(3, len(lvl) + len(vals_comp))
-            .struct(8, inner)
-            .done()
         )
+        if page_checksum:
+            ph.i32(4, _page_crc(lvl + vals_comp))
+        page_hdr = ph.struct(8, inner).done()
         data_offset = len(out)
         out += page_hdr + lvl + vals_comp
         data_page_size = len(page_hdr) + len(lvl) + len(vals_comp)
@@ -1037,14 +1051,15 @@ def _write_chunk(
             .i32(4, _ENC_RLE)
             .done()
         )
-        page_hdr = (
+        ph = (
             _TStruct()
             .i32(1, _PAGE_DATA)
             .i32(2, len(page_raw))
             .i32(3, len(page_comp))
-            .struct(5, inner)
-            .done()
         )
+        if page_checksum:
+            ph.i32(4, _page_crc(page_comp))
+        page_hdr = ph.struct(5, inner).done()
         data_offset = len(out)
         out += page_hdr + page_comp
         data_page_size = len(page_hdr) + len(page_comp)
