@@ -333,3 +333,46 @@ def test_partitioned_commit_all_null_partition_values():
     tar = tar_build(sorted(m.items()))
     got = sorted(r["doc_id"] for _, r in iceberg_snapshot_rows(tar, ["doc_id"]))
     assert got == list(range(8))
+
+
+def test_partition_scan_applies_row_level_deletes():
+    """Round 15: the partition scan previously SKIPPED delete
+    manifests — a partitioned v2 table with position or equality
+    deletes would return phantom rows. Both kinds now apply inside
+    the surviving partition with the spec's sequence rules."""
+    from yark_spark.operators.iceberg import iceberg_partition_scan
+
+    spec = [{"name": "p", "transform": "identity", "source-id": 1,
+             "field-id": 1000}]
+    m = iceberg_table_create(FIELDS, partition_spec=spec)
+    m, _ = iceberg_commit(
+        m,
+        data_files=[
+            ("data/p0.parquet", _pq(0, 16), 16, {"p": 0}),
+            ("data/p1.parquet", _pq(16, 32), 16, {"p": 16}),
+        ],
+    )
+    pos = parquet_write(
+        {"file_path": ["data/p0.parquet"] * 3, "pos": [1, 5, 9]},
+        types={"file_path": "BYTE_ARRAY", "pos": "INT64"}, codec="SNAPPY",
+    )
+    eq = parquet_write({"doc_id": [12]}, types={"doc_id": "INT64"},
+                       codec="SNAPPY")
+    m, _ = iceberg_commit(
+        m,
+        delete_files=[
+            {"path": "data/del-pos.parquet", "blob": pos, "content": 1,
+             "record_count": 3},
+            {"path": "data/del-eq.parquet", "blob": eq, "content": 2,
+             "record_count": 1, "equality_ids": [1]},
+        ],
+    )
+    tar = tar_build(sorted(m.items()))
+    rows, cnt = iceberg_partition_scan(tar, ["doc_id"], source_value=0)
+    got = sorted(r["doc_id"] for r in rows)
+    # positions 1/5/9 and the equality key 12 are gone
+    assert got == [i for i in range(16) if i not in (1, 5, 9, 12)]
+    assert cnt["files_scanned"] == 1 and cnt["files_skipped"] == 1
+    # the other partition is untouched by p0's position deletes
+    rows2, _ = iceberg_partition_scan(tar, ["doc_id"], source_value=16)
+    assert sorted(r["doc_id"] for r in rows2) == list(range(16, 32))

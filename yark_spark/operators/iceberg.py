@@ -683,8 +683,63 @@ def iceberg_partition_scan(
         "files_skipped": 0,
         "files_scanned": 0,
     }
+    manifest_list = avro_records(_member(members, snap["manifest-list"]))
+
+    # row-level deletes apply INSIDE the surviving partition too (round
+    # 15 — previously the scan skipped delete manifests entirely and
+    # would have returned deleted rows on any v2 table carrying them):
+    # decode the (small) delete files once, same sequence rules as
+    # iceberg_snapshot_rows.
+    schema_fields = {}
+    if meta.get("schemas"):
+        sch = next(
+            s for s in meta["schemas"]
+            if s.get("schema-id") == meta.get("current-schema-id", 0)
+        )
+        schema_fields = {f["id"]: f["name"] for f in sch["fields"]}
+    name_to_id = {v: k for k, v in schema_fields.items()}
+    pos_deletes: list[tuple[int, dict]] = []
+    eq_deletes: list[tuple[int, str, set]] = []
+    for mf in manifest_list:
+        if mf.get("content", 0) != 1:
+            continue
+        dblob = _member(members, mf["manifest_path"])
+        if len(dblob) != mf["manifest_length"]:
+            raise ValueError("iceberg: manifest length mismatch")
+        for entry in avro_records(dblob):
+            if entry["status"] == _DELETED:
+                continue
+            seq = entry.get("sequence_number")
+            if seq is None:
+                seq = mf["sequence_number"]
+            df = entry["data_file"]
+            fblob = _member(members, df["file_path"])
+            if len(fblob) != df["file_size_in_bytes"]:
+                raise ValueError("iceberg: delete file size mismatch")
+            if df.get("content") == 1:
+                cols = parquet_read_columns(fblob, ["file_path", "pos"])
+                by_path: dict[str, set] = {}
+                for p, pos_ in zip(cols["file_path"], cols["pos"]):
+                    by_path.setdefault(p, set()).add(int(pos_))
+                pos_deletes.append((seq, by_path))
+            elif df.get("content") == 2:
+                ids = df.get("equality_ids") or []
+                if len(ids) != 1:
+                    raise NotImplementedError(
+                        "iceberg: multi-column equality deletes not supported"
+                    )
+                col = schema_fields.get(ids[0])
+                if col is None:
+                    raise ValueError(
+                        f"iceberg: equality_id {ids[0]} not in current schema"
+                    )
+                vals = _read_by_field_ids(fblob, [col], name_to_id)[col]
+                eq_deletes.append((seq, col, set(vals)))
+            else:
+                raise ValueError("iceberg: data file in a delete manifest")
+
     rows: list[dict] = []
-    for mf in avro_records(_member(members, snap["manifest-list"])):
+    for mf in manifest_list:
         if mf.get("content", 0) != 0:
             continue
         counters["manifests_total"] += 1
@@ -732,12 +787,30 @@ def iceberg_partition_scan(
             data = _member(members, df["file_path"])
             if len(data) != df["file_size_in_bytes"]:
                 raise ValueError("iceberg: data file size mismatch")
-            cols = parquet_read_columns(data, columns)
-            n = len(cols[columns[0]]) if columns else 0
+            data_seq = entry.get("sequence_number")
+            if data_seq is None:
+                data_seq = mf.get("sequence_number", 0)
+            need = list(columns)
+            for _sq, col, _vals in eq_deletes:
+                if col not in need:
+                    need.append(col)
+            cols = _read_by_field_ids(data, need, name_to_id)
+            n = len(cols[need[0]]) if need else 0
             if n != df["record_count"]:
                 raise ValueError("iceberg: data file record count mismatch")
             counters["files_scanned"] += 1
+            dead: set = set()
+            for sq, by_path in pos_deletes:
+                if sq >= data_seq:
+                    dead |= by_path.get(df["file_path"], set())
             for i in range(n):
+                if i in dead:
+                    continue
+                if any(
+                    sq > data_seq and cols[col][i] in vals
+                    for sq, col, vals in eq_deletes
+                ):
+                    continue
                 rows.append({c: cols[c][i] for c in columns})
     return rows, counters
 
