@@ -772,3 +772,41 @@ def test_partition_values_survive_checkpoint_and_dv_write():
     rows2, cnt2 = delta_partition_scan(dv, ["doc_id", "p"], {"p": 1})
     assert [r["doc_id"] for _, r in rows2] == [10, 12, 13]
     assert cnt2["files_scanned"] == 1
+
+
+def test_time_travel_version_as_of():
+    """Round 15: VERSION AS OF — replay stops after the requested
+    commit, matching Iceberg's time travel; history older than the
+    checkpoint is typed (log retention vacuumed it)."""
+    a, b, b2 = _pq([1, 2]), _pq([3, 4]), _pq([30, 40])
+    blob = _table(
+        [
+            _commit(0, _PROTO, _META, _add("a.parquet", a), _add("b.parquet", b)),
+            _commit(1, _rm("b.parquet")),
+            _commit(2, _add("b.parquet", b2)),
+        ],
+        [("a.parquet", a), ("b.parquet", b2), ("b.parquet.v0", b)],
+    )
+    # version 2 (latest) — same as the default
+    assert sorted(
+        r["doc_id"] for _, r in delta_snapshot_rows(blob, ["doc_id"], version=2)
+    ) == [1, 2, 30, 40]
+    # version 1: b removed, only a's rows
+    assert sorted(
+        r["doc_id"] for _, r in delta_snapshot_rows(blob, ["doc_id"], version=1)
+    ) == [1, 2]
+    with pytest.raises(ValueError, match="not in the log"):
+        delta_snapshot_rows(blob, ["doc_id"], version=9)
+    # checkpointed table: versions at/after the checkpoint resolve,
+    # older history is typed
+    from yark_spark.operators.deltalog import delta_checkpoint_table
+
+    ck = delta_checkpoint_table(blob, 1)
+    assert sorted(
+        r["doc_id"] for _, r in delta_snapshot_rows(ck, ["doc_id"], version=1)
+    ) == [1, 2]
+    assert sorted(
+        r["doc_id"] for _, r in delta_snapshot_rows(ck, ["doc_id"], version=2)
+    ) == [1, 2, 30, 40]
+    with pytest.raises(ValueError, match="vacuumed"):
+        delta_snapshot_rows(ck, ["doc_id"], version=0)

@@ -193,10 +193,13 @@ def delta_live_files_dv(
     return _finalize(members, _resolve_live(members))
 
 
-def _resolve_live(members: dict) -> dict:
+def _resolve_live(members: dict, version: "int | None" = None) -> dict:
     """Checkpoint-or-JSON replay → the live dict
     ``{path: (version, size, dv descriptor, partitionValues)}`` —
-    the shared core of snapshot and partition-pruned scans."""
+    the shared core of snapshot and partition-pruned scans.
+    ``version`` selects a historical snapshot (VERSION AS OF, round
+    15): replay stops after that commit; asking for history older
+    than the checkpoint is typed (log retention vacuumed it)."""
     ckpt_version = None
     lc = members.get("_delta_log/_last_checkpoint")
     if lc is not None:
@@ -212,23 +215,32 @@ def _resolve_live(members: dict) -> dict:
                     "delta: checkpoint parquet without _last_checkpoint"
                 )
     if ckpt_version is not None:
+        if version is not None and version < ckpt_version:
+            raise ValueError(
+                f"delta: version {version} predates the checkpoint "
+                f"({ckpt_version}) — its history was vacuumed"
+            )
         ckpt_name = f"_delta_log/{ckpt_version:020d}.checkpoint.parquet"
         if ckpt_name not in members:
             raise ValueError(f"delta: _last_checkpoint names missing {ckpt_name}")
         return _replay_from_checkpoint(
-            members, ckpt_version, members[ckpt_name], commits
+            members, ckpt_version, members[ckpt_name], commits, version
         )
     if not commits:
         raise ValueError("delta: no commit files under _delta_log/")
     commits.sort()
     if [v for v, _ in commits] != list(range(len(commits))):
         raise ValueError("delta: commit versions must be gapless from 0")
+    if version is not None:
+        if version > commits[-1][0] or version < 0:
+            raise ValueError(f"delta: version {version} not in the log")
+        commits = [(v, b) for v, b in commits if v <= version]
 
     # path -> (version, size, deletionVector | None, partitionValues)
     live: dict = {}
     saw_metadata = False
-    for version, blob in commits:
-        saw_metadata = _apply_commit(blob, version, live) or saw_metadata
+    for v, blob in commits:
+        saw_metadata = _apply_commit(blob, v, live) or saw_metadata
     if not saw_metadata:
         raise ValueError("delta: table has no metaData action")
     return live
@@ -481,8 +493,12 @@ def _finalize(members: dict, live: dict) -> list[tuple[str, int, bytes, frozense
 
 
 def _replay_from_checkpoint(
-    members: dict, ckpt_version: int, ckpt_blob: bytes, commits: list
-) -> list[tuple[str, int, bytes]]:
+    members: dict,
+    ckpt_version: int,
+    ckpt_blob: bytes,
+    commits: list,
+    version: "int | None" = None,
+) -> dict:
     """Seed state from the checkpoint's struct-column rows, then
     replay only the commits AFTER it (earlier JSON may be gone)."""
     cols = parquet_read_columns(
@@ -554,6 +570,10 @@ def _replay_from_checkpoint(
         range(ckpt_version + 1, ckpt_version + 1 + len(later))
     ):
         raise ValueError("delta: commit versions after checkpoint must be gapless")
+    if version is not None:
+        if version > (later[-1][0] if later else ckpt_version):
+            raise ValueError(f"delta: version {version} not in the log")
+        later = [(v, b) for v, b in later if v <= version]
     for version, blob in later:
         _apply_commit(blob, version, live)
     return live
@@ -648,7 +668,7 @@ def delta_column_mapping(tar_payload: bytes) -> "dict[str, str] | None":
 
 
 def delta_snapshot_rows(
-    tar_payload: bytes, columns: list[str]
+    tar_payload: bytes, columns: list[str], version: "int | None" = None
 ) -> list[tuple[int, dict]]:
     """Live snapshot → rows: ``[(version_added, {col: value})]`` by
     decoding every live file through the from-scratch parquet reader;
@@ -656,7 +676,9 @@ def delta_snapshot_rows(
     Column-mapped tables resolve logical names through the metaData
     schema — physicalName annotations for mode=name (round 14 s3),
     parquet field ids for mode=id (round 15; files without ids fall
-    back to the schema's physicalName annotation when present)."""
+    back to the schema's physicalName annotation when present).
+    ``version`` time-travels (VERSION AS OF, round 15): replay stops
+    after that commit; history older than the checkpoint is typed."""
     res = delta_column_resolution(tar_payload)
     out: list[tuple[int, dict]] = []
     if res is not None and res[0] == "id":
@@ -671,7 +693,10 @@ def delta_snapshot_rows(
             )
             for f in schema.get("fields", [])
         }
-        for _path, version, data, dead in delta_live_files_dv(tar_payload):
+        members = dict(tar_members(tar_payload))
+        for _path, ver, data, dead in _finalize(
+            members, _resolve_live(members, version)
+        ):
             phys_by_id = {}
             for el in parquet_footer(data)["schema"]:
                 fid = el.get("field_id")
@@ -685,19 +710,22 @@ def delta_snapshot_rows(
                 if i in dead:
                     continue
                 out.append(
-                    (version, {c: cols[p][i] for c, p in zip(columns, phys)})
+                    (ver, {c: cols[p][i] for c, p in zip(columns, phys)})
                 )
         return out
     mapping = res[1] if res is not None else None
     phys = [mapping.get(c, c) for c in columns] if mapping else list(columns)
-    for _path, version, data, dead in delta_live_files_dv(tar_payload):
+    members = dict(tar_members(tar_payload))
+    for _path, ver, data, dead in _finalize(
+        members, _resolve_live(members, version)
+    ):
         cols = parquet_read_columns(data, phys)
         n = len(cols[phys[0]])
         for i in range(n):
             if i in dead:
                 continue
             out.append(
-                (version, {c: cols[p][i] for c, p in zip(columns, phys)})
+                (ver, {c: cols[p][i] for c, p in zip(columns, phys)})
             )
     return out
 
