@@ -112,6 +112,14 @@ def delta_partition_scan(
     surviving files. This is why a one-partition query on a 100 TB
     Delta table reads O(partition), not O(table)."""
     members = dict(tar_members(tar_payload))
+    if delta_column_resolution(tar_payload) is not None:
+        # mapped tables key partitionValues by PHYSICAL names; matching
+        # logical probes against them silently scans nothing (or the
+        # wrong files) — typed until the mapped+partitioned composition
+        # is implemented end to end
+        raise NotImplementedError(
+            "delta: partition scan over a column-mapped table"
+        )
     live = _resolve_live(members)
     meta = _last_metadata(members)
     types: dict[str, str] = {}
