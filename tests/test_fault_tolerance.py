@@ -510,3 +510,90 @@ def test_iceberg_sink_dir_recovery_prefers_newest_metadata(tmp_path):
     members = _iceberg_dir_members(str(d))
     assert list(members) == ["metadata/v2.metadata.json"]
     assert not os.path.exists(d / "metadata" / "v1.metadata.json")
+
+
+def test_streaming_delta_sink_txn_exactly_once(spark, tmp_path):
+    """Round 15 (the Iceberg sink's twin): each micro-batch is one
+    Delta JSON commit carrying the protocol's txn action {appId,
+    version: batch_id} — real Spark-Delta streaming's idempotency
+    marker. Kill/replay (commit marker deleted) must leave both the
+    row set and the commit count unchanged, resolved through the
+    spec-hardened delta reader over the table directory."""
+    import json as _json
+    import os
+
+    from yark_spark.operators.containers import tar_build
+    from yark_spark.operators.deltalog import delta_snapshot_rows
+    from yark_spark.streaming.pipelines import (
+        delta_sink,
+        read_event_stream,
+        run_available_now,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    tdir = str(tmp_path / "delta_table")
+    fields = [
+        {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "text", "type": "string", "nullable": True, "metadata": {}},
+    ]
+
+    def write_file(name, ids):
+        with open(src / name, "w") as f:
+            for i in ids:
+                f.write(_json.dumps({"doc_id": i, "text": f"t{i}"}) + "\n")
+
+    def drain():
+        raw = read_event_stream(
+            spark, str(src), schema, fmt="json", max_files_per_trigger=1
+        )
+        run_available_now(
+            delta_sink(
+                tdir, raw, ckpt,
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                schema_fields=fields,
+            )
+        )
+
+    def resolve():
+        members = []
+        for root, _d, files in os.walk(tdir):
+            for fn in files:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, tdir).replace(os.sep, "/")
+                members.append((rel, open(full, "rb").read()))
+        tar = tar_build(sorted(members))
+        rows = delta_snapshot_rows(tar, ["doc_id", "text"])
+        n_commits = len(
+            [f for f in os.listdir(os.path.join(tdir, "_delta_log"))
+             if f.endswith(".json")]
+        )
+        return rows, n_commits
+
+    write_file("b0.json", [0, 1, 2])
+    drain()
+    rows, n = resolve()
+    assert sorted(r["doc_id"] for _, r in rows) == [0, 1, 2]
+    assert n == 1
+
+    write_file("b1.json", [3, 4])
+    drain()
+    rows, n = resolve()
+    assert sorted(r["doc_id"] for _, r in rows) == [0, 1, 2, 3, 4]
+    n_before = n
+
+    replayed = _drop_last_commits(ckpt, 1)
+    assert replayed is not None
+    drain()  # the batch replays; the txn marker makes it a no-op
+    rows, n = resolve()
+    assert sorted(r["doc_id"] for _, r in rows) == [0, 1, 2, 3, 4]
+    assert n == n_before
+    write_file("b2.json", [5])
+    drain()
+    rows, n = resolve()
+    assert sorted(r["doc_id"] for _, r in rows) == [0, 1, 2, 3, 4, 5]
+    assert n == n_before + 1

@@ -540,3 +540,120 @@ def iceberg_sink(
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+
+
+def delta_sink(
+    table_dir: str,
+    stream: DataFrame,
+    checkpoint: str,
+    types: dict[str, str],
+    schema_fields: list[dict],
+    app_id: str = "yark-stream",
+):
+    """Streaming → DELTA sink (round 15, the Iceberg sink's twin):
+    each micro-batch becomes one JSON commit — parquet part files
+    serialized by the from-scratch writer inside executors, ``add``
+    actions, and the protocol's ``txn`` action ``{appId, version:
+    batch_id}``, which is EXACTLY how real Spark-Delta streaming gets
+    idempotent replay: a restarted query re-delivers the last
+    uncommitted batch, and the sink skips any batch id at or below
+    the appId's recorded txn version. Commit files are written via
+    tmp+rename, data files first — a kill mid-commit leaves the next
+    version's JSON absent and the table on the previous snapshot."""
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType as _ST,
+    )
+
+    from yark_spark.operators import parquet_meta as _pm
+    from yark_spark.operators import parquet_write as _pw
+    from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import varint as _varint
+
+    _pw.bind_codecs()
+    _cp.register_pickle_by_value(_varint)
+    _cp.register_pickle_by_value(_pm)
+    _cp.register_pickle_by_value(_snappy)
+    _cp.register_pickle_by_value(_pw)
+    cols = list(types)
+    _write = _pw.parquet_write
+    _types = dict(types)
+
+    def _to_blobs(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blob = _write(
+                {c: list(pdf[c]) for c in cols}, types=_types, codec="ZSTD"
+            )
+            yield pd.DataFrame({"blob": [blob], "rows": [len(pdf)]})
+
+    def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import json as _json
+        import os
+
+        log_dir = os.path.join(table_dir, "_delta_log")
+        os.makedirs(log_dir, exist_ok=True)
+        commits = sorted(
+            f for f in os.listdir(log_dir) if f.endswith(".json")
+        )
+        # replay idempotency: the appId's newest txn version
+        last_txn = -1
+        for f in commits:
+            with open(os.path.join(log_dir, f)) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = _json.loads(line)
+                    if action.get("txn", {}).get("appId") == app_id:
+                        last_txn = max(last_txn, action["txn"]["version"])
+        if batch_id <= last_txn:
+            return  # replayed batch: already committed
+        next_v = len(commits)
+        actions = [{"txn": {"appId": app_id, "version": batch_id}}]
+        if next_v == 0:
+            actions = [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"metaData": {
+                    "id": f"stream-{app_id}",
+                    "format": {"provider": "parquet"},
+                    "schemaString": _json.dumps({
+                        "type": "struct",
+                        "fields": schema_fields,
+                    }),
+                    "partitionColumns": [],
+                    "configuration": {},
+                }},
+            ] + actions
+        parts = batch_df.select(*cols).mapInPandas(
+            _to_blobs,
+            _ST([StructField("blob", BinaryType()),
+                 StructField("rows", LongType())]),
+        ).collect()
+        if not parts and next_v > 0:
+            return
+        for i, r in enumerate(parts):
+            name = f"part-b{batch_id:05d}-{i:04d}.parquet"
+            blob = bytes(r["blob"])
+            tmp = os.path.join(table_dir, name + ".tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, os.path.join(table_dir, name))
+            actions.append({"add": {"path": name, "size": len(blob),
+                                    "dataChange": True}})
+        commit = "\n".join(_json.dumps(a) for a in actions) + "\n"
+        tmp = os.path.join(log_dir, f"{next_v:020d}.json.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(commit)
+        os.replace(tmp, os.path.join(log_dir, f"{next_v:020d}.json"))
+
+    return (
+        stream.writeStream.foreachBatch(_commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
