@@ -10292,3 +10292,99 @@ def delta_partition_prune_features(
         .groupBy(F.floor(F.col(id_col) / 48).cast("long").alias("__t"))
         .applyInPandas(_build_and_scan, DELTA_PARTITION_SCHEMA)
     )
+
+
+DELTA_TIME_TRAVEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("asof", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def delta_time_travel_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E179 Delta time travel (round 15): every 32 docs become a
+    two-commit table — v0 adds the first half, v1 REMOVES it and adds
+    the second — and both snapshots resolve side by side: VERSION AS
+    OF 0 returns exactly the rows v1 deleted, the latest read exactly
+    the rows that replaced them. A replay that ignores the version
+    bound returns the union and fails the digest on both halves. One
+    applyInPandas per table; map-only resolve."""
+    _dl = _register_delta_modules()
+    _rows = _dl.delta_snapshot_rows
+    from yark_spark.operators import parquet_write as _pw_mod
+
+    _tar = _register_container_modules().tar_build
+    _write = _pw_mod.parquet_write
+
+    def _build_and_resolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 32
+        p0 = _write(
+            {"doc_id": ids[:16], "text": texts[:16]},
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"}, codec="SNAPPY",
+        )
+        p1 = _write(
+            {"doc_id": ids[16:], "text": texts[16:]},
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"}, codec="SNAPPY",
+        )
+        v0 = "\n".join(
+            [
+                _json.dumps({"protocol": {"minReaderVersion": 1,
+                                          "minWriterVersion": 2}}),
+                _json.dumps({"metaData": {"id": f"tbl-{tid}",
+                                          "format": {"provider": "parquet"}}}),
+                _json.dumps({"add": {"path": "p0.parquet", "size": len(p0),
+                                     "dataChange": True}}),
+            ]
+        )
+        v1 = "\n".join(
+            [
+                _json.dumps({"remove": {"path": "p0.parquet",
+                                        "dataChange": True}}),
+                _json.dumps({"add": {"path": "p1.parquet", "size": len(p1),
+                                     "dataChange": True}}),
+            ]
+        )
+        tar = _tar(
+            [
+                ("_delta_log/" + "0" * 20 + ".json", v0.encode("utf-8")),
+                ("_delta_log/" + "0" * 19 + "1.json", v1.encode("utf-8")),
+                ("p0.parquet", p0),
+                ("p1.parquet", p1),
+            ]
+        )
+        out_ids, asofs, ns, digs = [], [], [], []
+        for asof, version in ((0, 0), (1, None)):
+            for _v, row in _rows(tar, ["doc_id", "text"], version=version):
+                out_ids.append(int(row["doc_id"]))
+                asofs.append(asof)
+                ns.append(len(row["text"]))
+                digs.append(_h.md5(row["text"].encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_ids, dtype="int64"),
+                "table_id": np.array([tid] * len(out_ids), dtype="int64"),
+                "asof": np.array(asofs, dtype="int32"),
+                "n_chars": np.array(ns, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(_build_and_resolve, DELTA_TIME_TRAVEL_SCHEMA)
+    )

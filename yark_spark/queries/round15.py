@@ -254,3 +254,26 @@ def q_delta_partition_prune(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
     return delta_partition_prune_features(docs)
+
+
+_DELTA_TT_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CAST(CASE WHEN doc_id % 32 < 16 THEN 0 ELSE 1 END AS INTEGER) AS asof, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 512"
+)
+
+
+@query("q_delta_time_travel", oracle=_DELTA_TT_ORACLE)
+def q_delta_time_travel(spark, sf_dir):
+    """E179 Delta time travel (round 15): two-commit tables whose v1
+    REMOVES the v0 file and adds a replacement — VERSION AS OF 0 must
+    return exactly the deleted half (asof=0 rows), the latest read
+    exactly the replacement half (asof=1). The Iceberg twin is
+    q_iceberg_time_travel; a reader that ignores the version bound
+    returns the union and breaks the hash on both halves. One
+    applyInPandas per table; map-only resolve."""
+    from yark_spark.operators.multimodal import delta_time_travel_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return delta_time_travel_features(docs)
