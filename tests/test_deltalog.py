@@ -810,3 +810,97 @@ def test_time_travel_version_as_of():
     ) == [1, 2, 30, 40]
     with pytest.raises(ValueError, match="vacuumed"):
         delta_snapshot_rows(ck, ["doc_id"], version=0)
+
+
+# ---------------------------------------------------------------------------
+# Round 16 (ADVICE r15): protocol-faithful partition probe serialization,
+# absolute-URI 'p' DV descriptors, partitionValues required on re-adds
+# ---------------------------------------------------------------------------
+
+
+def _bool_partitioned_table():
+    """A table partitioned on a BOOLEAN column: the protocol serializes
+    partitionValues as "true"/"false", never Python str(True)."""
+    def pq(ids):
+        return parquet_write(
+            {"doc_id": list(ids)}, types={"doc_id": "INT64"}, codec="SNAPPY"
+        )
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "flag", "type": "boolean", "nullable": True, "metadata": {}},
+        ],
+    }
+    files = {
+        "flag=true/part-0.parquet": (pq(range(0, 4)), "true"),
+        "flag=false/part-0.parquet": (pq(range(4, 8)), "false"),
+    }
+    actions = [
+        json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}),
+        json.dumps({"metaData": {
+            "id": "t", "format": {"provider": "parquet"},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["flag"], "configuration": {}}}),
+    ] + [
+        json.dumps({"add": {"path": path, "size": len(blob), "dataChange": True,
+                            "partitionValues": {"flag": sval}}})
+        for path, (blob, sval) in sorted(files.items())
+    ]
+    return _table(
+        [("_delta_log/" + "0" * 20 + ".json", "\n".join(actions).encode())],
+        [(p, b) for p, (b, _s) in sorted(files.items())],
+    )
+
+
+def test_partition_scan_bool_probe_uses_protocol_serialization():
+    """A Python bool probe must serialize to the protocol's
+    "true"/"false" — str(True) would silently match no file."""
+    from yark_spark.operators.deltalog import delta_partition_scan
+
+    tar = _bool_partitioned_table()
+    rows, cnt = delta_partition_scan(tar, ["doc_id", "flag"], {"flag": True})
+    assert cnt == {"files_skipped": 1, "files_scanned": 1}
+    assert [r["doc_id"] for _, r in rows] == [0, 1, 2, 3]
+    assert all(r["flag"] is True for _, r in rows)
+    rows2, _ = delta_partition_scan(tar, ["doc_id"], {"flag": False})
+    assert [r["doc_id"] for _, r in rows2] == [4, 5, 6, 7]
+
+
+def test_dv_p_storage_descriptor_is_absolute_uri():
+    """PROTOCOL.md: storageType 'p' carries an ABSOLUTE path ('u' is
+    the relative form); re-add actions always carry partitionValues
+    ({} when unpartitioned) — foreign readers reject their absence."""
+    tar, _a, _b = _two_file_table()
+    out = delta_add_deletion_vectors(tar, {"a.parquet": [1]}, storage="p")
+    from yark_spark.operators.containers import tar_members
+
+    members = dict(tar_members(out))
+    commit = members["_delta_log/" + f"{1:020d}" + ".json"].decode()
+    adds = [json.loads(l)["add"] for l in commit.splitlines()
+            if l.strip() and "add" in json.loads(l)]
+    assert adds, "DV commit must re-add the file"
+    for add in adds:
+        dv = add["deletionVector"]
+        assert dv["storageType"] == "p"
+        assert dv["pathOrInlineDv"].startswith("file:///"), dv
+        assert add["partitionValues"] == {}
+    # and the reader resolves the absolute URI back into the archive
+    rows = delta_snapshot_rows(out, ["doc_id"])
+    assert sorted(r["doc_id"] for _, r in rows) == [0] + list(range(2, 16))
+
+
+def test_dv_default_storage_is_u():
+    """The default DV storage is the protocol's relative 'u' form."""
+    tar, _a, _b = _two_file_table()
+    out = delta_add_deletion_vectors(tar, {"a.parquet": [2]})
+    from yark_spark.operators.containers import tar_members
+
+    members = dict(tar_members(out))
+    commit = members["_delta_log/" + f"{1:020d}" + ".json"].decode()
+    dvs = [json.loads(l)["add"]["deletionVector"] for l in commit.splitlines()
+           if l.strip() and "add" in json.loads(l)]
+    assert all(d["storageType"] == "u" for d in dvs)
+    rows = delta_snapshot_rows(out, ["doc_id"])
+    assert sorted(r["doc_id"] for _, r in rows) == [0, 1] + list(range(3, 16))

@@ -943,3 +943,32 @@ def test_rlev2_encode_fuzz_roundtrip():
             assert _rlev2(_rlev2_encode(vals, signed), n, signed) == vals, (
                 trial, signed,
             )
+
+
+def test_patched_base_gap_over_255_continuation_widths():
+    """Round 16 (ADVICE r15): when an inter-patch gap exceeds 255 the
+    (255, 0) continuation entry itself carries gap=255 — pgw/entry_w
+    must be sized for it or the bitpacked patch list silently bleeds
+    bits across entries (a corrupt-but-parseable RLEv2 stream)."""
+    from yark_spark.operators.orc import _patched_base_encode
+
+    vals = [i % 97 for i in range(512)]
+    vals[0] = 10**8          # outlier at index 0
+    vals[300] = 10**8 + 1    # gap 300 > 255 → continuation entry
+    enc = _patched_base_encode(vals)
+    assert enc is not None
+    assert _rlev2(enc, len(vals), signed=False) == vals
+
+
+def test_writer_gap_over_255_read_by_orc_cpp():
+    """The same outlier layout through the whole writer, read back by
+    the real ORC C++ reader and ours."""
+    from yark_spark.operators.orc import orc_write
+
+    vals = [i % 89 for i in range(512)]
+    vals[3] = 10**9
+    vals[350] = 10**9 + 7
+    blob = orc_write({"x": vals}, compression="NONE")
+    t = orc.ORCFile(io.BytesIO(blob)).read()
+    assert t.column("x").to_pylist() == vals
+    assert orc_read_columns(blob)["x"] == vals

@@ -97,6 +97,23 @@ def _cast_partition_value(delta_type, raw: "str | None"):
     return raw  # string / date / timestamp stay their serialized form
 
 
+def _serialize_partition_value(value) -> "str | None":
+    """Write-side twin of :func:`_cast_partition_value`: probes and add
+    actions must use the protocol's Partition Value Serialization
+    (PROTOCOL.md) — bool as ``true``/``false``, floats in their shortest
+    repr, dates in ISO form — not Python ``str()``, whose ``True`` would
+    silently match no file."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, float):
+        return repr(value)
+    if hasattr(value, "isoformat"):
+        return value.isoformat(sep=" ") if hasattr(value, "hour") else value.isoformat()
+    return str(value)
+
+
 def delta_partition_scan(
     tar_payload: bytes,
     columns: list[str],
@@ -127,7 +144,7 @@ def delta_partition_scan(
         for f in json.loads(meta["schemaString"]).get("fields", []):
             if isinstance(f.get("type"), str):
                 types[f["name"]] = f["type"]
-    probe = {k: (None if v is None else str(v)) for k, v in partition.items()}
+    probe = {k: _serialize_partition_value(v) for k, v in partition.items()}
     counters = {"files_skipped": 0, "files_scanned": 0}
     out: list[tuple[int, dict]] = []
     for path, (version, size, dv, pv) in sorted(live.items()):
@@ -317,7 +334,19 @@ def _dv_dead_rows(members: dict, dv: dict) -> frozenset:
         data = decoded[:size]
     elif st in ("p", "u"):
         if st == "p":
+            # 'p' is an ABSOLUTE path/URI (PROTOCOL.md; 'u' is the
+            # relative form). A relocated table's members are keyed
+            # relative to its root, so resolve by the longest
+            # member-matching suffix; bare relative paths (legacy
+            # in-repo commits) still resolve directly.
             path = dv["pathOrInlineDv"]
+            if path not in members and ("://" in path or path.startswith("/")):
+                parts = path.split("://", 1)[-1].lstrip("/").split("/")
+                for i in range(len(parts)):
+                    cand = "/".join(parts[i:])
+                    if cand in members:
+                        path = cand
+                        break
         else:
             # u-style (round 15): <random prefix><20-char Z85 uuid> →
             # <tableRoot>/[prefix/]deletion_vector_<canonical-uuid>.bin
@@ -366,7 +395,7 @@ def _dv_u_path(encoded: str) -> str:
 def delta_add_deletion_vectors(
     tar_payload: bytes,
     dead: "dict[str, list[int] | set[int]]",
-    storage: str = "p",
+    storage: str = "u",
 ) -> bytes:
     """The DV WRITE loop (round 15): append one commit that attaches
     deletion vectors to live files — per the protocol, a ``remove`` of
@@ -376,8 +405,9 @@ def delta_add_deletion_vectors(
     upgrades the protocol to readerVersion 3 / writerVersion 7 with
     the deletionVectors feature when the table is not there yet.
 
-    ``storage``: ``"p"`` packs every new DV into one relative-path
-    file (1-byte format version, then per-DV 4-byte BE length + Delta
+    ``storage``: ``"p"`` packs every new DV into one file addressed by
+    an ABSOLUTE URI in the descriptor, per the protocol
+    (1-byte format version, then per-DV 4-byte BE length + Delta
     RoaringBitmapArray bytes + 4-byte BE CRC32 — the on-disk layout
     the reader seeks); ``"u"`` writes the same file under a
     ``deletion_vector_<uuid>.bin`` name addressed by the descriptor's
@@ -446,8 +476,11 @@ def delta_add_deletion_vectors(
             dv_path = f"deletion_vector_{u}.bin"
             addr = z85_encode(digest)
         else:
+            # 'p' storage is defined as an ABSOLUTE path (PROTOCOL.md);
+            # the file itself lives relative inside the archive and the
+            # reader resolves the URI by member-matching suffix
             dv_path = f"deletion_vectors/dv-{digest.hex()}.bin"
-            addr = dv_path
+            addr = f"file:///delta-table/{dv_path}"
         for d in descriptors.values():
             d["pathOrInlineDv"] = addr
         new_members = [(dv_path, bytes(blob))]
@@ -470,9 +503,10 @@ def delta_add_deletion_vectors(
             "size": size,
             "dataChange": True,
             "deletionVector": descriptors[path],
+            # partitionValues is REQUIRED on add actions ({} when
+            # unpartitioned) — foreign readers reject its absence
+            "partitionValues": pv if pv is not None else {},
         }
-        if pv is not None:
-            add_action["partitionValues"] = pv  # the re-add keeps them
         actions.append({"add": add_action})
     commit = b"\n".join(json.dumps(a).encode("utf-8") for a in actions) + b"\n"
     out = [(n, b) for n, b in members.items()]

@@ -908,7 +908,11 @@ def iceberg_commit(
     extra_summary: "dict[str, str] | None" = None,
 ) -> tuple[dict[str, bytes], int]:
     """One snapshot commit. ``data_files`` = [(path, parquet_bytes,
-    record_count)]; ``delete_files`` = [{"path", "blob", "content"
+    record_count)] — or [(path, size_in_bytes, record_count)] with an
+    int second element for files ALREADY written to the table location
+    by executors (manifest-only commit: the driver never holds the
+    data bytes, the 100 TB streaming-sink shape);
+    ``delete_files`` = [{"path", "blob", "content"
     (1 positional | 2 equality), "record_count", "equality_ids"}].
     Returns ``(new_members, snapshot_id)``; the input dict is not
     mutated. Commit mechanics per the v2 spec:
@@ -960,12 +964,13 @@ def iceberg_commit(
     out = dict(members)
 
     def _entry(path, blob, content, nrec, eq_ids=None, partition=None):
+        size = len(blob) if isinstance(blob, (bytes, bytearray)) else int(blob)
         df = {
             "content": content,
             "file_path": path,
             "file_format": "PARQUET",
             "record_count": nrec,
-            "file_size_in_bytes": len(blob),
+            "file_size_in_bytes": size,
             "equality_ids": eq_ids,
         }
         if partition is not None:
@@ -975,7 +980,7 @@ def iceberg_commit(
                 "file_format": "PARQUET",
                 "partition": partition,
                 "record_count": nrec,
-                "file_size_in_bytes": len(blob),
+                "file_size_in_bytes": size,
             }
         return {
             "status": 1,  # ADDED
@@ -1028,7 +1033,8 @@ def iceberg_commit(
                 for p, b, n, part in data_files
             ]
             for p, b, _n, _part in data_files:
-                out[p] = b
+                if isinstance(b, (bytes, bytearray)):
+                    out[p] = b  # int size → file already at the location
             # per-field summaries over THIS manifest's files
             summaries = []
             for sf in spec_fields:
@@ -1062,7 +1068,8 @@ def iceberg_commit(
         else:
             entries = [_entry(p, b, 0, n) for p, b, n in data_files]
             for p, b, _n in data_files:
-                out[p] = b
+                if isinstance(b, (bytes, bytearray)):
+                    out[p] = b  # int size → file already at the location
             m_path = f"metadata/m{seq}-data.avro"
             m_blob = avro_build(MANIFEST_SCHEMA, entries, codec="deflate")
             out[m_path] = m_blob

@@ -1256,6 +1256,10 @@ def _patched_base_encode(raw: list[int]) -> "bytes | None":
         while gap > 255:
             entries.append((255 << pw) | 0)
             gap -= 255
+            # the (255, 0) continuation entry itself carries gap=255, so
+            # pgw/entry_w must be sized for it (ORC Java writer forces
+            # the 8-bit gap width once any continuation is emitted)
+            max_gap = max(max_gap, 255)
         max_gap = max(max_gap, gap)
         entries.append((gap << pw) | patch)
         prev = idx
