@@ -139,10 +139,13 @@ def main() -> int:
         # Same box-speed normalization row BENCH carries (VERDICT r12
         # next-round #8): lets a future judge compare parity timings
         # across rounds without re-running on a matched box.
-        from bench import calibration_sec
+        from bench import calibration_multi_sec, calibration_sec
 
         payload = {
             "calibration_sec": calibration_sec(),
+            # round 16: the 32-process kernel too — single-thread alone
+            # cannot certify host comparability (VERDICT r15 #1)
+            "calibration_multi_sec": calibration_multi_sec(),
             "sf_dir": sf_dir,
             "n_checked": len(window),
             "n_matched": len(window) - len(bad) - len(rows_only),

@@ -431,14 +431,25 @@ def test_protocol_v3_feature_gate():
     bad = {
         "protocol": {
             "minReaderVersion": 3,
-            "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+            "readerFeatures": ["deletionVectors", "timestampNtz"],
         }
     }
     blob = _table(
         [_commit(0, bad, _META, _add("a.parquet", a))], [("a.parquet", a)]
     )
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="timestampNtz"):
         delta_snapshot_rows(blob, ["doc_id"])
+    # v2Checkpoint reads since round 16 (manifest + sidecars)
+    ok_v2 = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+        }
+    }
+    blob_v2 = _table(
+        [_commit(0, ok_v2, _META, _add("a.parquet", a))], [("a.parquet", a)]
+    )
+    assert [r["doc_id"] for _, r in delta_snapshot_rows(blob_v2, ["doc_id"])] == [1]
     # minReaderVersion 2 (column mapping) reads since round 14 s3; an
     # unmapped mrv-2 table resolves by logical names directly
     blob2 = _table(
@@ -904,3 +915,121 @@ def test_dv_default_storage_is_u():
     assert all(d["storageType"] == "u" for d in dvs)
     rows = delta_snapshot_rows(out, ["doc_id"])
     assert sorted(r["doc_id"] for _, r in rows) == [0, 1] + list(range(3, 16))
+
+
+# ---------------------------------------------------------------------------
+# Round 16: v2 checkpoints (manifest + sidecars — VERDICT r15 #3)
+# ---------------------------------------------------------------------------
+
+from yark_spark.operators.deltalog import (  # noqa: E402
+    _COMMIT_RE,
+    delta_checkpoint_table_v2,
+)
+
+
+@pytest.mark.parametrize("fmt", ["json", "parquet"])
+@pytest.mark.parametrize("n_sidecars", [1, 2])
+def test_v2_checkpoint_roundtrip(fmt, n_sidecars):
+    """UUID-named manifest + parquet sidecars resolve to the same
+    snapshot as the JSON log they replaced; commits <= V are gone
+    (replay must not need them)."""
+    from yark_spark.operators.containers import tar_members
+
+    tar, _a, _b = _two_file_table()
+    v2 = delta_checkpoint_table_v2(
+        tar, manifest_format=fmt, n_sidecars=n_sidecars
+    )
+    names = [n for n, _ in tar_members(v2)]
+    assert not any(_COMMIT_RE.match(n) for n in names)
+    assert sum(n.startswith("_delta_log/_sidecars/") for n in names) == n_sidecars
+    assert any(f".checkpoint." in n and n.endswith(f".{fmt}") for n in names)
+    rows = delta_snapshot_rows(v2, ["doc_id"])
+    assert sorted(r["doc_id"] for _, r in rows) == list(range(16))
+
+
+def test_v2_checkpoint_commits_after_replay():
+    """Commits AFTER the v2 checkpoint replay on top of the seeded
+    state, exactly like classic checkpoints."""
+    a, b = _pq(range(0, 8)), _pq(range(8, 16))
+    c = _pq(range(16, 20))
+    tar = _table(
+        [_commit(0, _PROTO, _META, _add("a.parquet", a), _add("b.parquet", b))],
+        [("a.parquet", a), ("b.parquet", b)],
+    )
+    v2 = delta_checkpoint_table_v2(tar)
+    from yark_spark.operators.containers import tar_build, tar_members
+
+    members = dict(tar_members(v2))
+    members["_delta_log/" + f"{1:020d}" + ".json"] = (
+        json.dumps({"remove": {"path": "a.parquet", "dataChange": True}})
+        + "\n"
+        + json.dumps({"add": {"path": "c.parquet", "size": len(c),
+                              "dataChange": True, "partitionValues": {}}})
+    ).encode()
+    members["c.parquet"] = c
+    out = tar_build(sorted(members.items()))
+    rows = delta_snapshot_rows(out, ["doc_id"])
+    assert sorted(r["doc_id"] for _, r in rows) == list(range(8, 20))
+
+
+def test_v2_checkpoint_dv_and_partition_state_survive():
+    tar, _a, _b = _two_file_table()
+    dv = delta_add_deletion_vectors(tar, {"a.parquet": [1, 3]}, storage="u")
+    v2 = delta_checkpoint_table_v2(dv, manifest_format="json")
+    rows = delta_snapshot_rows(v2, ["doc_id"])
+    assert sorted(r["doc_id"] for _, r in rows) == [0, 2] + list(range(4, 16))
+    from yark_spark.operators.deltalog import delta_partition_scan
+
+    part = _partitioned_table()
+    v2p = delta_checkpoint_table_v2(part, manifest_format="parquet",
+                                    n_sidecars=2)
+    rows2, cnt = delta_partition_scan(v2p, ["doc_id", "p"], {"p": 1})
+    assert [r["doc_id"] for _, r in rows2] == [10, 11, 12, 13]
+    assert cnt == {"files_skipped": 2, "files_scanned": 1}
+
+
+def test_v2_checkpoint_typed_guards():
+    """checkpointMetadata is REQUIRED and must match the file-name
+    version; missing sidecars are typed; the v2Checkpoint
+    readerFeature passes the protocol gate while unknown features
+    still reject."""
+    from yark_spark.operators.containers import tar_build, tar_members
+
+    tar, _a, _b = _two_file_table()
+    v2 = delta_checkpoint_table_v2(tar)
+    members = dict(tar_members(v2))
+    (m_name,) = [n for n in members if ".checkpoint." in n]
+
+    # version mismatch
+    bad = dict(members)
+    lines = bad[m_name].decode().splitlines()
+    lines[0] = json.dumps({"checkpointMetadata": {"version": 99}})
+    bad[m_name] = "\n".join(lines).encode()
+    with pytest.raises(ValueError, match="checkpointMetadata.version"):
+        delta_snapshot_rows(tar_build(sorted(bad.items())), ["doc_id"])
+
+    # checkpointMetadata absent
+    bad2 = dict(members)
+    bad2[m_name] = "\n".join(
+        l for l in members[m_name].decode().splitlines()
+        if "checkpointMetadata" not in l
+    ).encode()
+    with pytest.raises(ValueError, match="checkpointMetadata"):
+        delta_snapshot_rows(tar_build(sorted(bad2.items())), ["doc_id"])
+
+    # sidecar file missing
+    bad3 = {n: b for n, b in members.items()
+            if not n.startswith("_delta_log/_sidecars/")}
+    with pytest.raises(ValueError, match="sidecar"):
+        delta_snapshot_rows(tar_build(sorted(bad3.items())), ["doc_id"])
+
+    # unknown reader feature still rejects
+    bad4 = dict(members)
+    lines4 = bad4[m_name].decode().splitlines()
+    proto = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint", "timestampNtz"]}}
+    bad4[m_name] = "\n".join(
+        [lines4[0], json.dumps(proto)] + lines4[2:]
+    ).encode()
+    with pytest.raises(NotImplementedError, match="timestampNtz"):
+        delta_snapshot_rows(tar_build(sorted(bad4.items())), ["doc_id"])

@@ -243,12 +243,23 @@ def test_v1_with_delete_manifests_is_corrupt():
         iceberg_snapshot_rows(_table(format_version=1), ["doc_id"])
 
 
-def test_multi_column_equality_delete_is_boundary():
-    p0 = _pq([0], ["a"])
-    eq = parquet_write({"doc_id": [0]}, types={"doc_id": "INT64"})
-    m1 = avro_build(MANIFEST_SCHEMA, [_entry("data/p0.parquet", p0, 0, 1)])
+def test_multi_column_equality_delete_is_conjunctive():
+    """Round 16 (VERDICT r15 #4 — the Flink CDC write shape): a
+    2-column equality delete matches on the CONJUNCTION of both id
+    columns. Row (2, 'zz') names doc 2's key but the WRONG text, so
+    doc 2 must SURVIVE — a per-column (disjunctive) reading would
+    wrongly kill it."""
+    p0 = _pq([0, 1, 2], ["a", "b", "c"])
+    eq = parquet_write(
+        {"doc_id": [1, 2], "text": ["b", "zz"]},
+        types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+    )
+    m1 = avro_build(
+        MANIFEST_SCHEMA, [_entry("data/p0.parquet", p0, 0, 3, seq=1)]
+    )
     m3 = avro_build(
-        MANIFEST_SCHEMA, [_entry("data/eq.parquet", eq, 2, 1, eq_ids=[1, 2])]
+        MANIFEST_SCHEMA,
+        [_entry("data/eq.parquet", eq, 2, 2, eq_ids=[1, 2], seq=2)],
     )
     snap = avro_build(
         MANIFEST_LIST_SCHEMA,
@@ -279,8 +290,32 @@ def test_multi_column_equality_delete_is_boundary():
             ("data/p0.parquet", p0),
         ]
     )
-    with pytest.raises(NotImplementedError, match="multi-column"):
-        iceberg_snapshot_rows(payload, ["doc_id"])
+    rows = iceberg_snapshot_rows(payload, ["doc_id", "text"])
+    assert [(r["doc_id"], r["text"]) for _, r in rows] == [(0, "a"), (2, "c")]
+    # an empty equality_ids list is malformed, not a fallback
+    bad_m3 = avro_build(
+        MANIFEST_SCHEMA,
+        [_entry("data/eq.parquet", eq, 2, 2, eq_ids=[], seq=2)],
+    )
+    bad_snap = avro_build(
+        MANIFEST_LIST_SCHEMA,
+        [
+            _mf("metadata/m1.avro", m1, 0, 1),
+            _mf("metadata/m3.avro", bad_m3, 1, 2),
+        ],
+    )
+    bad = tar_build(
+        [
+            ("metadata/v2.metadata.json", json.dumps(meta).encode()),
+            ("metadata/snap.avro", bad_snap),
+            ("metadata/m1.avro", m1),
+            ("metadata/m3.avro", bad_m3),
+            ("data/eq.parquet", eq),
+            ("data/p0.parquet", p0),
+        ]
+    )
+    with pytest.raises(ValueError, match="equality_ids"):
+        iceberg_snapshot_rows(bad, ["doc_id"])
 
 
 # ---------------------------------------------------------------------------

@@ -256,3 +256,86 @@ def test_shard_json_array_compact_separators_fast_write_path(tmp_path):
     assert len(got) == len(ref) > 1
     for rp, gp in zip(ref, got):
         assert open(gp, "rb").read() == open(rp, "rb").read()
+
+
+# ---------------------------------------------------------------------------
+# Round 16 (VERDICT r15 #5): contention-aware staging pool selection
+# ---------------------------------------------------------------------------
+
+
+def test_available_parallelism_bounds():
+    import os
+
+    from yark_spark.sources.takeout import _available_parallelism
+
+    avail = _available_parallelism()
+    assert 1 <= avail <= (os.cpu_count() or 1)
+
+
+def test_saturated_box_selects_sequential(tmp_path, monkeypatch):
+    """With every core busy, the 16-worker pool thrashes the run queue
+    and LOSES to one sequential pass (BENCH_r15 recorded stage_speedup
+    0.23) — the auto-selector must fall back, making the auto-vs-
+    sequential speedup exactly 1.0 (>= the 1.0 gate) by construction."""
+    import json as _json
+
+    import yark_spark.sources.takeout as tk
+
+    src = tmp_path / "big.json"
+    rows = [{"titleUrl": f"u{i}", "time": f"t{i}", "pad": "x" * 200} for i in range(40_000)]
+    src.write_text(_json.dumps(rows))
+    assert src.stat().st_size >= tk.PARALLEL_SCAN_MIN_BYTES
+
+    calls = []
+    real_seq = tk.shard_json_array_sequential
+
+    def _spy(*a, **k):
+        calls.append(1)
+        return real_seq(*a, **k)
+
+    monkeypatch.setattr(tk, "shard_json_array_sequential", _spy)
+    monkeypatch.setattr(tk, "_available_parallelism", lambda: 1)
+    out = tk.shard_json_array(str(src), str(tmp_path / "auto"))
+    assert calls, "saturated box must take the sequential pass"
+    ref = real_seq(str(src), str(tmp_path / "seq"))
+    assert [open(p, "rb").read() for p in out] == [
+        open(p, "rb").read() for p in ref
+    ]
+
+
+def test_induced_32_thread_load_drops_available_parallelism(tmp_path):
+    """The REAL probe under a genuinely induced load: ~40 spinning
+    processes push /proc/loadavg's instantaneous run-queue count past
+    the core count, so _available_parallelism reads saturation
+    immediately (the 1-minute load average cannot — it lags ~60 s,
+    which is exactly how BENCH_r15's pool mis-selection happened)."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from yark_spark.sources.takeout import _available_parallelism
+
+    ncpu = os.cpu_count() or 1
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", "while True: pass"],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        for _ in range(ncpu + 8)
+    ]
+    try:
+        deadline = time.time() + 5.0
+        avail = ncpu
+        while time.time() < deadline:
+            time.sleep(0.25)
+            avail = min(avail, _available_parallelism())
+            if avail <= 2:
+                break
+        assert avail <= max(2, ncpu // 4), avail
+    finally:
+        for p in procs:
+            p.kill()
+        for p in procs:
+            p.wait()

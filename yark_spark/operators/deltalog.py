@@ -179,6 +179,10 @@ def delta_partition_scan(
     return out, counters
 
 _COMMIT_RE = re.compile(r"^_delta_log/(\d{20})\.json$")
+_V2_CKPT_RE = re.compile(
+    r"^_delta_log/(\d{20})\.checkpoint\.([0-9a-fA-F][0-9a-fA-F-]{7,})"
+    r"\.(json|parquet)$"
+)
 
 
 def delta_live_files(tar_payload: bytes) -> list[tuple[str, int, bytes]]:
@@ -229,16 +233,37 @@ def _resolve_live(members: dict, version: "int | None" = None) -> dict:
     lc = members.get("_delta_log/_last_checkpoint")
     if lc is not None:
         ckpt_version = json.loads(lc.decode("utf-8"))["version"]
+    # v2 checkpoints (round 16, VERDICT r15 next-round #3): UUID-named
+    # `<V>.checkpoint.<uuid>.{json|parquet}` manifests discoverable by
+    # LISTING (the spec's discovery rule — _last_checkpoint is an
+    # optional accelerator for them)
+    v2_ckpts: dict[int, str] = {}
     commits: list[tuple[int, bytes]] = []
     for name in members:
         m = _COMMIT_RE.match(name)
         if m:
             commits.append((int(m.group(1)), members[name]))
+            continue
+        m2 = _V2_CKPT_RE.match(name)
+        if m2:
+            v2_ckpts[int(m2.group(1))] = name
         elif name.startswith("_delta_log/") and ".checkpoint." in name:
             if ckpt_version is None:
                 raise ValueError(
                     "delta: checkpoint parquet without _last_checkpoint"
                 )
+    if v2_ckpts:
+        v2_version = (
+            ckpt_version if ckpt_version in v2_ckpts else max(v2_ckpts)
+        )
+        if version is not None and version < v2_version:
+            raise ValueError(
+                f"delta: version {version} predates the checkpoint "
+                f"({v2_version}) — its history was vacuumed"
+            )
+        return _replay_from_v2_checkpoint(
+            members, v2_version, v2_ckpts[v2_version], commits, version
+        )
     if ckpt_version is not None:
         if version is not None and version < ckpt_version:
             raise ValueError(
@@ -281,6 +306,7 @@ def _check_protocol(p: dict) -> None:
         unsupported = set(p.get("readerFeatures") or []) - {
             "deletionVectors",
             "columnMapping",
+            "v2Checkpoint",  # round 16: manifest + sidecar checkpoints
         }
         if unsupported:
             raise NotImplementedError(
@@ -621,6 +647,193 @@ def _replay_from_checkpoint(
     return live
 
 
+def _sidecar_path(raw: str) -> str:
+    """Sidecar ``path`` fields are file names resolved inside
+    ``_delta_log/_sidecars/`` (the spec's sidecar directory); a path
+    already carrying directories is honored as log-relative."""
+    if "/" in raw:
+        return raw if raw.startswith("_delta_log/") else f"_delta_log/{raw}"
+    return f"_delta_log/_sidecars/{raw}"
+
+
+def _parquet_adds_into_live(
+    blob: bytes, ckpt_version: int, live: dict, required: bool = True
+) -> bool:
+    """Extract add-file rows from a checkpoint-shaped parquet action
+    file (v2 manifest or sidecar) into ``live``; returns whether a
+    metaData row was present. Shared row shape with the classic
+    checkpoint reader: nested deletionVector struct, partitionValues
+    as a real parquet MAP. ``required=False`` tolerates a file with no
+    add column at all (a sidecar-only v2 manifest)."""
+    try:
+        cols = parquet_read_columns(blob, ["add.path", "add.size"])
+    except ValueError:
+        if required:
+            raise
+        try:
+            meta_ids = parquet_read_columns(blob, ["metaData.id"])["metaData.id"]
+        except ValueError:
+            return False
+        return any(mid is not None for mid in meta_ids)
+    try:
+        dvc = parquet_read_columns(
+            blob,
+            [
+                "add.deletionVector.storageType",
+                "add.deletionVector.pathOrInlineDv",
+                "add.deletionVector.offset",
+                "add.deletionVector.sizeInBytes",
+                "add.deletionVector.cardinality",
+            ],
+        )
+    except ValueError:
+        dvc = None
+    try:
+        adds_full = parquet_read_columns(blob, ["add"])["add"]
+    except (ValueError, NotImplementedError):
+        adds_full = None
+    try:
+        meta_ids = parquet_read_columns(blob, ["metaData.id"])["metaData.id"]
+    except ValueError:
+        meta_ids = [None] * len(cols["add.path"])
+    saw_metadata = any(mid is not None for mid in meta_ids)
+    for i, p in enumerate(cols["add.path"]):
+        if p is None:
+            continue
+        dv = None
+        if dvc is not None and dvc["add.deletionVector.storageType"][i] is not None:
+            dv = {
+                "storageType": dvc["add.deletionVector.storageType"][i],
+                "pathOrInlineDv": dvc["add.deletionVector.pathOrInlineDv"][i],
+                "offset": dvc["add.deletionVector.offset"][i],
+                "sizeInBytes": dvc["add.deletionVector.sizeInBytes"][i],
+                "cardinality": dvc["add.deletionVector.cardinality"][i],
+            }
+        pv = None
+        if adds_full is not None and adds_full[i] is not None:
+            raw_pv = adds_full[i].get("partitionValues")
+            if isinstance(raw_pv, list):
+                raw_pv = dict(raw_pv)  # MAP column → (k, v) tuples
+            pv = raw_pv
+        live[p] = (ckpt_version, cols["add.size"][i], dv, pv)
+    return saw_metadata
+
+
+def _replay_from_v2_checkpoint(
+    members: dict,
+    ckpt_version: int,
+    manifest_name: str,
+    commits: list,
+    version: "int | None" = None,
+) -> dict:
+    """V2 checkpoints (round 16, VERDICT r15 next-round #3 — the form
+    modern Databricks-written tables arrive in): the UUID-named
+    manifest (`<V>.checkpoint.<uuid>.json|parquet`) carries the
+    non-file actions, exactly one ``checkpointMetadata`` action whose
+    ``version`` must equal the file-name version, and ``sidecar``
+    actions naming parquet files under ``_delta_log/_sidecars/`` that
+    hold the add-file state. File actions may also live in the
+    manifest directly (the sidecar-less small-table form). State is
+    seeded from manifest + sidecars, then commits AFTER the
+    checkpoint replay as usual."""
+    blob = members[manifest_name]
+    live: dict = {}
+    saw_metadata = False
+    sidecars: list[str] = []
+    ckpt_meta_version: "int | None" = None
+    if manifest_name.endswith(".json"):
+        for line in blob.splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "checkpointMetadata" in action:
+                if ckpt_meta_version is not None:
+                    raise ValueError(
+                        "delta: v2 manifest carries multiple "
+                        "checkpointMetadata actions"
+                    )
+                ckpt_meta_version = action["checkpointMetadata"]["version"]
+            elif "sidecar" in action:
+                sidecars.append(action["sidecar"]["path"])
+            elif "protocol" in action:
+                _check_protocol(action["protocol"])
+            elif "metaData" in action:
+                saw_metadata = True
+            elif "add" in action:
+                a = action["add"]
+                live[a["path"]] = (
+                    ckpt_version,
+                    a.get("size"),
+                    a.get("deletionVector"),
+                    a.get("partitionValues"),
+                )
+            # remove rows in a checkpoint are expired tombstones
+    else:
+        try:
+            mrvs = parquet_read_columns(
+                blob, ["protocol.minReaderVersion"]
+            )["protocol.minReaderVersion"]
+        except ValueError:
+            mrvs = []
+        for mrv in mrvs:
+            if mrv is not None and mrv not in (1, 2, 3):
+                raise NotImplementedError(
+                    f"delta: checkpointed minReaderVersion {mrv} not supported"
+                )
+        saw_metadata = _parquet_adds_into_live(
+            blob, ckpt_version, live, required=False
+        )
+        try:
+            sc = parquet_read_columns(
+                blob, ["sidecar.path", "checkpointMetadata.version"]
+            )
+        except ValueError:
+            raise ValueError(
+                "delta: v2 parquet manifest lacks sidecar/"
+                "checkpointMetadata columns"
+            )
+        vers = [v for v in sc["checkpointMetadata.version"] if v is not None]
+        if len(vers) != 1:
+            raise ValueError(
+                "delta: v2 manifest must carry exactly one "
+                "checkpointMetadata action"
+            )
+        ckpt_meta_version = vers[0]
+        sidecars = [p for p in sc["sidecar.path"] if p is not None]
+    if ckpt_meta_version is None:
+        raise ValueError(
+            "delta: v2 manifest must carry exactly one checkpointMetadata "
+            "action"
+        )
+    if ckpt_meta_version != ckpt_version:
+        raise ValueError(
+            f"delta: checkpointMetadata.version {ckpt_meta_version} != "
+            f"manifest file version {ckpt_version}"
+        )
+    for raw in sidecars:
+        s_name = _sidecar_path(raw)
+        s_blob = members.get(s_name)
+        if s_blob is None:
+            raise ValueError(f"delta: sidecar file {s_name!r} missing")
+        saw_metadata = (
+            _parquet_adds_into_live(s_blob, ckpt_version, live) or saw_metadata
+        )
+    if not saw_metadata:
+        raise ValueError("delta: checkpoint has no metaData row")
+    later = sorted((v, b) for v, b in commits if v > ckpt_version)
+    if [v for v, _ in later] != list(
+        range(ckpt_version + 1, ckpt_version + 1 + len(later))
+    ):
+        raise ValueError("delta: commit versions after checkpoint must be gapless")
+    if version is not None:
+        if version > (later[-1][0] if later else ckpt_version):
+            raise ValueError(f"delta: version {version} not in the log")
+        later = [(v, b) for v, b in later if v <= version]
+    for v, blob in later:
+        _apply_commit(blob, v, live)
+    return live
+
+
 def _last_metadata(members: dict) -> "dict | None":
     """The LAST metaData action across the JSON log — falling back to
     the checkpoint parquet when the commit carrying it was vacuumed
@@ -640,11 +853,31 @@ def _last_metadata(members: dict) -> "dict | None":
                 meta = action["metaData"]
     if meta is not None:
         return meta
-    lc = members.get("_delta_log/_last_checkpoint")
-    if lc is None:
-        return None
-    v = json.loads(lc.decode("utf-8"))["version"]
-    blob = members.get(f"_delta_log/{v:020d}.checkpoint.parquet")
+    # v2 checkpoint manifests carry the metaData action (round 16) —
+    # JSON manifests inline, parquet manifests as the metaData column
+    v2 = sorted(
+        (int(m.group(1)), m.group(0))
+        for m in map(_V2_CKPT_RE.match, members)
+        if m
+    )
+    if v2:
+        _v, m_name = v2[-1]
+        blob = members[m_name]
+        if m_name.endswith(".json"):
+            for line in blob.splitlines():
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    return action["metaData"]
+            return None
+        # parquet manifest: fall through to the shared column read below
+    else:
+        lc = members.get("_delta_log/_last_checkpoint")
+        if lc is None:
+            return None
+        v = json.loads(lc.decode("utf-8"))["version"]
+        blob = members.get(f"_delta_log/{v:020d}.checkpoint.parquet")
     if blob is None:
         return None
     for row in parquet_read_columns(blob, ["metaData"])["metaData"]:
@@ -976,3 +1209,196 @@ def delta_checkpoint_table(tar_payload: bytes, version: int | None = None) -> by
     )
     out.append((f"_delta_log/{v:020d}.checkpoint.parquet", ckpt))
     return tar_build(sorted(out))
+
+
+def delta_checkpoint_table_v2(
+    tar_payload: bytes,
+    version: "int | None" = None,
+    manifest_format: str = "json",
+    n_sidecars: int = 1,
+) -> bytes:
+    """Rewrite a table archive into V2-CHECKPOINT form (round 16,
+    VERDICT r15 next-round #3 — how modern Databricks tables arrive):
+    the add-file state lands in ``n_sidecars`` parquet SIDECAR files
+    under ``_delta_log/_sidecars/`` (names derived from a content
+    digest — deterministic, no clock), the UUID-named manifest
+    ``<V>.checkpoint.<uuid>.{json|parquet}`` carries protocol (+
+    ``v2Checkpoint`` readerFeature), metaData, exactly one
+    ``checkpointMetadata {version}`` action, and one ``sidecar``
+    action per file; commits ≤ V are deleted (retention) and
+    ``_last_checkpoint`` records V. The read side resolves via
+    :func:`_replay_from_v2_checkpoint`."""
+    import hashlib as _hashlib
+
+    if manifest_format not in ("json", "parquet"):
+        raise ValueError(f"delta: v2 manifest format {manifest_format!r}")
+    if n_sidecars < 1:
+        raise ValueError("delta: v2 checkpoint needs >= 1 sidecar")
+    members = dict(tar_members(tar_payload))
+    commits = sorted(
+        int(m.group(1)) for m in map(_COMMIT_RE.match, members) if m
+    )
+    if not commits:
+        raise ValueError("delta: no commit files under _delta_log/")
+    v = commits[-1] if version is None else version
+    live = _resolve_live(members, version=v)
+    metadata_action = _last_metadata(members)
+    if metadata_action is None:
+        raise ValueError("delta: table has no metaData action")
+    # protocol: upgrade to the v2Checkpoint feature set, keeping any
+    # features the log already declared
+    reader_feats, writer_feats = {"v2Checkpoint"}, {"v2Checkpoint"}
+    for name in sorted(members):
+        if not _COMMIT_RE.match(name):
+            continue
+        for line in members[name].splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "protocol" in action:
+                reader_feats |= set(action["protocol"].get("readerFeatures") or [])
+                writer_feats |= set(action["protocol"].get("writerFeatures") or [])
+    protocol_action = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(reader_feats),
+        "writerFeatures": sorted(writer_feats),
+    }
+
+    # shard the live add rows round-robin into sidecar parquet files
+    paths = sorted(live)
+    shards: list[list[str]] = [paths[i::n_sidecars] for i in range(n_sidecars)]
+    add_types = {
+        "path": "BYTE_ARRAY",
+        "size": "INT64",
+        "partitionValues": pmap("BYTE_ARRAY", "BYTE_ARRAY"),
+        "deletionVector": {
+            "storageType": "BYTE_ARRAY",
+            "pathOrInlineDv": "BYTE_ARRAY",
+            "offset": "INT64",
+            "sizeInBytes": "INT64",
+            "cardinality": "INT64",
+        },
+    }
+
+    def _add_row(p):
+        _ver, size, dv, pv = live[p]
+        return {
+            "path": p,
+            "size": size,
+            "partitionValues": pv,
+            "deletionVector": (
+                {
+                    "storageType": dv.get("storageType"),
+                    "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                    "offset": dv.get("offset"),
+                    "sizeInBytes": dv.get("sizeInBytes"),
+                    "cardinality": dv.get("cardinality"),
+                }
+                if dv is not None
+                else None
+            ),
+        }
+
+    sidecar_members: list[tuple[str, bytes]] = []
+    sidecar_actions: list[dict] = []
+    for shard in shards:
+        blob = parquet_write(
+            {
+                "add": [_add_row(p) for p in shard],
+                "remove": [None] * len(shard),
+            },
+            types={"add": add_types, "remove": {"path": "BYTE_ARRAY"}},
+            codec="SNAPPY",
+        )
+        digest = _hashlib.md5(blob).hexdigest()
+        s_name = f"{_uuid_from_hex(digest)}.parquet"
+        sidecar_members.append((f"_delta_log/_sidecars/{s_name}", blob))
+        sidecar_actions.append({"path": s_name, "sizeInBytes": len(blob)})
+
+    manifest_uuid = _uuid_from_hex(
+        _hashlib.md5(b"".join(b for _, b in sidecar_members)).hexdigest()
+    )
+    md_action = {
+        k: metadata_action[k]
+        for k in ("id", "format", "schemaString", "partitionColumns",
+                  "configuration")
+        if k in metadata_action
+    }
+    if manifest_format == "json":
+        lines = [
+            {"checkpointMetadata": {"version": v}},
+            {"protocol": protocol_action},
+            {"metaData": md_action},
+        ] + [{"sidecar": s} for s in sidecar_actions]
+        manifest = (
+            "\n".join(json.dumps(a) for a in lines) + "\n"
+        ).encode("utf-8")
+        m_name = f"_delta_log/{v:020d}.checkpoint.{manifest_uuid}.json"
+    else:
+        n = 3 + len(sidecar_actions)
+        manifest = parquet_write(
+            {
+                "checkpointMetadata": [{"version": v}] + [None] * (n - 1),
+                "protocol": [
+                    None,
+                    {"minReaderVersion": 3},
+                ] + [None] * (n - 2),
+                "metaData": [
+                    None,
+                    None,
+                    {
+                        "id": str(md_action.get("id", "")),
+                        "schemaString": md_action.get("schemaString"),
+                        "configuration": {
+                            str(k): str(val)
+                            for k, val in (md_action.get("configuration") or {}).items()
+                        } or None,
+                    },
+                ] + [None] * (n - 3),
+                "sidecar": [None, None, None] + [
+                    {"path": s["path"], "sizeInBytes": s["sizeInBytes"]}
+                    for s in sidecar_actions
+                ],
+                "remove": [None] * n,
+            },
+            types={
+                "checkpointMetadata": {"version": "INT64"},
+                "protocol": {"minReaderVersion": "INT32"},
+                "metaData": {
+                    "id": "BYTE_ARRAY",
+                    "schemaString": "BYTE_ARRAY",
+                    "configuration": pmap("BYTE_ARRAY", "BYTE_ARRAY"),
+                },
+                "sidecar": {"path": "BYTE_ARRAY", "sizeInBytes": "INT64"},
+                "remove": {"path": "BYTE_ARRAY"},
+            },
+            codec="SNAPPY",
+        )
+        m_name = f"_delta_log/{v:020d}.checkpoint.{manifest_uuid}.parquet"
+
+    out = []
+    for name, data in members.items():
+        m = _COMMIT_RE.match(name)
+        if m and int(m.group(1)) <= v:
+            continue  # retention: replay must not need these
+        if name == "_delta_log/_last_checkpoint" or ".checkpoint." in name:
+            continue  # superseded by the v2 checkpoint
+        out.append((name, data))
+    out.extend(sidecar_members)
+    out.append((m_name, manifest))
+    out.append(
+        (
+            "_delta_log/_last_checkpoint",
+            json.dumps({"version": v}).encode("utf-8"),
+        )
+    )
+    return tar_build(sorted(out))
+
+
+def _uuid_from_hex(hex32: str) -> str:
+    """Canonical uuid string from a 32-char hex digest (deterministic
+    checkpoint/sidecar naming — no clock, no RNG)."""
+    import uuid as _uuid
+
+    return str(_uuid.UUID(hex=hex32))

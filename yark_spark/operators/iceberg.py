@@ -319,7 +319,7 @@ def iceberg_snapshot_rows(
     # Decode delete files once; they are small relative to data (the
     # broadcast side of the anti-join at cluster scale).
     pos_deletes: list[tuple[int, dict[str, set[int]]]] = []
-    eq_deletes: list[tuple[int, str, set]] = []
+    eq_deletes: list[tuple[int, tuple, set]] = []
     for d in delete_files:
         blob = _member(members, d["path"])
         if len(blob) != d["size"]:
@@ -332,17 +332,27 @@ def iceberg_snapshot_rows(
             pos_deletes.append((d["seq"], by_path))
         else:
             ids = d.get("equality_ids") or []
-            if len(ids) != 1:
-                raise NotImplementedError(
-                    "iceberg: multi-column equality deletes not supported"
-                )
-            col = fields_by_id.get(ids[0])
-            if col is None:
+            if not ids:
                 raise ValueError(
-                    f"iceberg: equality_id {ids[0]} not in current schema"
+                    "iceberg: equality delete file without equality_ids"
                 )
-            vals = _read_by_field_ids(blob, [col], name_to_id)[col]
-            eq_deletes.append((d["seq"], col, set(vals)))
+            # multi-column equality deletes (round 16, VERDICT r15 #4 —
+            # the Flink CDC write shape): the delete row matches on the
+            # CONJUNCTION of all id columns, null meaning "equals null"
+            del_cols = []
+            for fid in ids:
+                col = fields_by_id.get(fid)
+                if col is None:
+                    raise ValueError(
+                        f"iceberg: equality_id {fid} not in current schema"
+                    )
+                del_cols.append(col)
+            vals = _read_by_field_ids(blob, del_cols, name_to_id)
+            n_del = len(vals[del_cols[0]])
+            tuples = {
+                tuple(vals[c][i] for c in del_cols) for i in range(n_del)
+            }
+            eq_deletes.append((d["seq"], tuple(del_cols), tuples))
 
     out: list[tuple[int, dict]] = []
     for f in sorted(data_files, key=lambda r: r["path"]):
@@ -350,9 +360,10 @@ def iceberg_snapshot_rows(
         if len(blob) != f["size"]:
             raise ValueError(f"iceberg: data file {f['path']!r} size mismatch")
         need = list(columns)
-        for _, col, _vals in eq_deletes:
-            if col not in need:
-                need.append(col)
+        for _, del_cols, _vals in eq_deletes:
+            for col in del_cols:
+                if col not in need:
+                    need.append(col)
         cols = _read_by_field_ids(blob, need, name_to_id)
         n = len(cols[need[0]]) if need else 0
         if n != f["record_count"]:
@@ -369,8 +380,8 @@ def iceberg_snapshot_rows(
                 continue
             row = {c: cols[c][i] for c in need}
             killed = False
-            for seq, col, vals in eq_deletes:
-                if seq > f["seq"] and row[col] in vals:
+            for seq, del_cols, vals in eq_deletes:
+                if seq > f["seq"] and tuple(row[c] for c in del_cols) in vals:
                     killed = True
                     break
             if not killed:
@@ -699,7 +710,7 @@ def iceberg_partition_scan(
         schema_fields = {f["id"]: f["name"] for f in sch["fields"]}
     name_to_id = {v: k for k, v in schema_fields.items()}
     pos_deletes: list[tuple[int, dict]] = []
-    eq_deletes: list[tuple[int, str, set]] = []
+    eq_deletes: list[tuple[int, tuple, set]] = []
     for mf in manifest_list:
         if mf.get("content", 0) != 1:
             continue
@@ -724,17 +735,25 @@ def iceberg_partition_scan(
                 pos_deletes.append((seq, by_path))
             elif df.get("content") == 2:
                 ids = df.get("equality_ids") or []
-                if len(ids) != 1:
-                    raise NotImplementedError(
-                        "iceberg: multi-column equality deletes not supported"
-                    )
-                col = schema_fields.get(ids[0])
-                if col is None:
+                if not ids:
                     raise ValueError(
-                        f"iceberg: equality_id {ids[0]} not in current schema"
+                        "iceberg: equality delete file without equality_ids"
                     )
-                vals = _read_by_field_ids(fblob, [col], name_to_id)[col]
-                eq_deletes.append((seq, col, set(vals)))
+                # multi-column (round 16): conjunctive tuple match
+                del_cols = []
+                for fid in ids:
+                    col = schema_fields.get(fid)
+                    if col is None:
+                        raise ValueError(
+                            f"iceberg: equality_id {fid} not in current schema"
+                        )
+                    del_cols.append(col)
+                vals = _read_by_field_ids(fblob, del_cols, name_to_id)
+                n_del = len(vals[del_cols[0]])
+                tuples = {
+                    tuple(vals[c][i] for c in del_cols) for i in range(n_del)
+                }
+                eq_deletes.append((seq, tuple(del_cols), tuples))
             else:
                 raise ValueError("iceberg: data file in a delete manifest")
 
@@ -791,9 +810,10 @@ def iceberg_partition_scan(
             if data_seq is None:
                 data_seq = mf.get("sequence_number", 0)
             need = list(columns)
-            for _sq, col, _vals in eq_deletes:
-                if col not in need:
-                    need.append(col)
+            for _sq, del_cols, _vals in eq_deletes:
+                for col in del_cols:
+                    if col not in need:
+                        need.append(col)
             cols = _read_by_field_ids(data, need, name_to_id)
             n = len(cols[need[0]]) if need else 0
             if n != df["record_count"]:
@@ -807,8 +827,9 @@ def iceberg_partition_scan(
                 if i in dead:
                     continue
                 if any(
-                    sq > data_seq and cols[col][i] in vals
-                    for sq, col, vals in eq_deletes
+                    sq > data_seq
+                    and tuple(cols[c][i] for c in del_cols) in vals
+                    for sq, del_cols, vals in eq_deletes
                 ):
                     continue
                 rows.append({c: cols[c][i] for c in columns})

@@ -10388,3 +10388,246 @@ def delta_time_travel_features(
         .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
         .applyInPandas(_build_and_resolve, DELTA_TIME_TRAVEL_SCHEMA)
     )
+
+
+DELTA_V2_CKPT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("manifest_fmt", StringType()),
+        StructField("n_sidecars", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def delta_v2_checkpoint_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E185 Delta V2 CHECKPOINTS (round 16, VERDICT r15 #3 — the form
+    modern Databricks tables arrive in): every 32 docs become a
+    two-commit JSON-log table (v0 adds two files, v1 removes the
+    second and re-adds its first 8 docs), which is then rewritten by
+    delta_checkpoint_table_v2 — UUID-named manifest carrying
+    protocol/metaData/checkpointMetadata/sidecar actions, add-file
+    state in parquet SIDECARS under _delta_log/_sidecars/, ALL
+    commits deleted — with the manifest format (json/parquet) and
+    sidecar count (1/2) CYCLING by table. Tables with table_id%4==3
+    additionally carry a real deletion vector killing doc_id%32==5,
+    so the DV descriptor must survive the sidecar roundtrip. Resolve
+    goes through _replay_from_v2_checkpoint: with the JSON log gone,
+    a reader without v2 support has NOTHING to replay. One
+    applyInPandas per table; map-only resolve."""
+    _dl = _register_delta_modules()
+    _rows = _dl.delta_snapshot_rows
+    _v2 = _dl.delta_checkpoint_table_v2
+    _dv_write = _dl.delta_add_deletion_vectors
+    from yark_spark.operators import parquet_write as _pw_mod
+
+    _tar = _register_container_modules().tar_build
+    _tm = _register_container_modules().tar_members
+    _write = _pw_mod.parquet_write
+
+    def _build_and_resolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 32
+        p0 = _write(
+            {"doc_id": ids[:16], "text": texts[:16]},
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"}, codec="SNAPPY",
+        )
+        p1 = _write(
+            {"doc_id": ids[16:], "text": texts[16:]},
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"}, codec="SNAPPY",
+        )
+        p2 = _write(
+            {"doc_id": ids[16:24], "text": texts[16:24]},
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"}, codec="SNAPPY",
+        )
+        v0 = "\n".join(
+            [
+                _json.dumps({"protocol": {"minReaderVersion": 1,
+                                          "minWriterVersion": 2}}),
+                _json.dumps({"metaData": {"id": f"tbl-{tid}",
+                                          "format": {"provider": "parquet"}}}),
+                _json.dumps({"add": {"path": "p0.parquet", "size": len(p0),
+                                     "dataChange": True,
+                                     "partitionValues": {}}}),
+                _json.dumps({"add": {"path": "p1.parquet", "size": len(p1),
+                                     "dataChange": True,
+                                     "partitionValues": {}}}),
+            ]
+        )
+        v1 = "\n".join(
+            [
+                _json.dumps({"remove": {"path": "p1.parquet",
+                                        "dataChange": True}}),
+                _json.dumps({"add": {"path": "p2.parquet", "size": len(p2),
+                                     "dataChange": True,
+                                     "partitionValues": {}}}),
+            ]
+        )
+        tar = _tar(
+            [
+                ("_delta_log/" + "0" * 20 + ".json", v0.encode("utf-8")),
+                ("_delta_log/" + "0" * 19 + "1.json", v1.encode("utf-8")),
+                ("p0.parquet", p0),
+                ("p1.parquet", p1),
+                ("p2.parquet", p2),
+            ]
+        )
+        if tid % 4 == 3:
+            # doc_id%32==5 lives at row index 5 of p0 (ids are sorted)
+            tar = _dv_write(tar, {"p0.parquet": [5]}, storage="u")
+        fmt = "json" if tid % 2 == 0 else "parquet"
+        ns = 1 + (tid // 2) % 2
+        v2 = _v2(tar, manifest_format=fmt, n_sidecars=ns)
+        names = [n for n, _ in _tm(v2)]
+        # the JSON log is GONE: resolve has no fallback path
+        assert not any(
+            n.startswith("_delta_log/") and n.endswith(".json")
+            and "checkpoint" not in n and "_last_checkpoint" not in n
+            for n in names
+        ), names
+        assert sum(n.startswith("_delta_log/_sidecars/") for n in names) == ns
+        out_ids, out_ns, digs = [], [], []
+        for _v, row in _rows(v2, ["doc_id", "text"]):
+            out_ids.append(int(row["doc_id"]))
+            out_ns.append(len(row["text"]))
+            digs.append(_h.md5(row["text"].encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_ids, dtype="int64"),
+                "table_id": np.array([tid] * len(out_ids), dtype="int64"),
+                "manifest_fmt": [fmt] * len(out_ids),
+                "n_sidecars": np.array([ns] * len(out_ids), dtype="int32"),
+                "n_chars": np.array(out_ns, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(_build_and_resolve, DELTA_V2_CKPT_SCHEMA)
+    )
+
+
+ICEBERG_EQ_MULTI_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def iceberg_eq_multi_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E186 Iceberg MULTI-COLUMN equality deletes (round 16, VERDICT
+    r15 #4 — the Flink CDC write shape): every 64 docs become a v2
+    table (commit 1 = four 16-row data files), then commit 2 adds a
+    2-column equality delete file (equality_ids [1, 2] = doc_id +
+    text). Its rows: (doc_id, true text) for doc_id%8==1 — a real
+    kill — and (doc_id, "WRONG-TEXT") for doc_id%8==2, which names a
+    live key with the wrong second column and must NOT kill (the
+    match is the CONJUNCTION of all id columns; a per-column reading
+    deletes doc_id%8==2 too and fails the oracle). Resolution through
+    iceberg_snapshot_rows with the strict delete.seq > data.seq rule.
+    One applyInPandas per table; map-only resolve."""
+    _ice = _register_iceberg_modules()
+    _cont = _register_container_modules()
+    from yark_spark.operators import parquet_write as _pw
+
+    _tar = _cont.tar_build
+    _write = _pw.parquet_write
+    _create = _ice.iceberg_table_create
+    _commit = _ice.iceberg_commit
+    _rows = _ice.iceberg_snapshot_rows
+
+    def _build_and_resolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 64
+        fields = [
+            {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+            {"id": 2, "name": "text", "required": True, "type": "string"},
+        ]
+        m = _create(fields, location=f"tbl-{tid}")
+        m, _s1 = _commit(
+            m,
+            data_files=[
+                (
+                    f"data/p{k // 16}.parquet",
+                    _write(
+                        {"doc_id": ids[k : k + 16],
+                         "text": texts[k : k + 16]},
+                        types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                        codec="SNAPPY",
+                    ),
+                    # id buckets can be PARTIAL (doc_ids are not
+                    # contiguous at every sf) — declare actual counts
+                    len(ids[k : k + 16]),
+                )
+                for k in range(0, len(ids), 16)
+            ],
+        )
+        del_ids = [i for i in ids if i % 8 == 1]
+        near_ids = [i for i in ids if i % 8 == 2]
+        by_id = dict(zip(ids, texts))
+        eq_blob = _write(
+            {
+                "doc_id": del_ids + near_ids,
+                "text": [by_id[i] for i in del_ids]
+                + ["WRONG-TEXT"] * len(near_ids),
+            },
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+            codec="SNAPPY",
+        )
+        m, _s2 = _commit(
+            m,
+            delete_files=[
+                {
+                    "path": "data/eq.parquet",
+                    "blob": eq_blob,
+                    "content": 2,
+                    "record_count": len(del_ids) + len(near_ids),
+                    "equality_ids": [1, 2],
+                }
+            ],
+        )
+        rows = _rows(_tar(sorted(m.items())), ["doc_id", "text"])
+        out_i, out_n, out_d = [], [], []
+        for _seq, r in rows:
+            out_i.append(int(r["doc_id"]))
+            out_n.append(len(r["text"]))
+            out_d.append(_h.md5(r["text"].encode("utf-8")).hexdigest())
+        k = len(out_i)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_i, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "n_chars": np.array(out_n, dtype="int32"),
+                "digest": out_d,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
+        .applyInPandas(_build_and_resolve, ICEBERG_EQ_MULTI_SCHEMA)
+    )

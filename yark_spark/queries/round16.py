@@ -1,0 +1,75 @@
+"""Round-16 operator batch: lakehouse protocol completion — Delta v2
+checkpoints (manifest + sidecars, the form modern Databricks tables
+arrive in) and Iceberg multi-column equality deletes (the Flink CDC
+write shape), per VERDICT r15 next-round #3/#4.
+
+Reference parity note: the reference archiver (SupBlizard/yark,
+768 LoC) stores fetched payloads opaquely in SQLite; these keys extend
+the driver-mandated training-data-pipeline surface (SURVEY.md §2.8),
+each with a DuckDB oracle re-deriving the semantics from the same
+parquet tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yark_spark.io import load_table
+from yark_spark.registry import query
+
+# survivors: doc_id%32 in [0,24) minus the DV'd row 5 on table_id%4==3
+_DELTA_V2_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CASE WHEN (doc_id // 32) % 2 = 0 THEN 'json' ELSE 'parquet' END "
+    "AS manifest_fmt, "
+    "CAST(1 + ((doc_id // 32) // 2) % 2 AS INTEGER) AS n_sidecars, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 32 < 24 "
+    "AND NOT ((doc_id // 32) % 4 = 3 AND doc_id % 32 = 5)"
+)
+
+
+@query("q_delta_v2_checkpoint", oracle=_DELTA_V2_ORACLE)
+def q_delta_v2_checkpoint(spark, sf_dir):
+    """E185 Delta V2 checkpoints (round 16, VERDICT r15 #3): every 32
+    docs become a two-commit table rewritten into v2-checkpoint form —
+    UUID-named manifest (`<V>.checkpoint.<uuid>.{json|parquet}`,
+    format cycling by table) carrying protocol/metaData/exactly-one
+    checkpointMetadata/sidecar actions, add-file state in 1–2 parquet
+    SIDECARS under `_delta_log/_sidecars/`, the JSON log DELETED — so
+    resolution must go through `_replay_from_v2_checkpoint`
+    (`operators/deltalog.py`): listing-based discovery, version
+    cross-check against checkpointMetadata, sidecar add extraction
+    through the same nested-struct parquet reader as classic
+    checkpoints. Tables with table_id%4==3 carry a real deletion
+    vector whose descriptor must survive the sidecar roundtrip.
+    Unsupported sub-features (timestampNtz) stay typed rejects. One
+    applyInPandas per table; map-only resolve."""
+    from yark_spark.operators.multimodal import delta_v2_checkpoint_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return delta_v2_checkpoint_features(docs)
+
+
+_ICEBERG_EQ_MULTI_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 8 <> 1"
+)
+
+
+@query("q_iceberg_eq_multi", oracle=_ICEBERG_EQ_MULTI_ORACLE)
+def q_iceberg_eq_multi(spark, sf_dir):
+    """E186 Iceberg multi-column equality deletes (round 16, VERDICT
+    r15 #4): 2-column equality delete files (equality_ids = doc_id +
+    text) applied as a CONJUNCTIVE tuple match under the strict
+    delete.seq > data.seq rule. The delete file also names every
+    doc_id%8==2 key with a WRONG text value — those rows must
+    survive, so a per-column (disjunctive) reading fails the oracle,
+    and a reader that ignores multi-id deletes entirely returns the
+    doc_id%8==1 rows and fails too. This is the Flink CDC upsert
+    write shape. One applyInPandas per 64-doc table; map-only."""
+    from yark_spark.operators.multimodal import iceberg_eq_multi_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return iceberg_eq_multi_features(docs)
