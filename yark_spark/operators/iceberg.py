@@ -138,6 +138,66 @@ MANIFEST_SCHEMA = {
     ],
 }
 
+# Reader-side manifest schemas (round 16, VERDICT r15 #8): identical
+# shapes but with DEFAULTS on every field an older writer may lack, so
+# Avro schema resolution (operators/avro_ocf.avro_resolve_decode, E125)
+# reads v1-era-subset manifests against the CURRENT reader model:
+# missing sequence numbers default null (v2 inheritance applies),
+# content defaults 0 (data), equality_ids defaults null, writer-only
+# fields are decoded and discarded per the spec. The plan walk passes
+# these as ``reader_schema`` — a table whose manifests were written
+# before a field existed plans exactly like a current one.
+MANIFEST_LIST_READER_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int", "default": 0},
+        {"name": "content", "type": "int", "default": 0},
+        {"name": "sequence_number", "type": "long", "default": 0},
+        {"name": "min_sequence_number", "type": "long", "default": 0},
+        {"name": "added_snapshot_id", "type": "long", "default": 0},
+        {"name": "added_files_count", "type": "int", "default": 0},
+        {"name": "existing_files_count", "type": "int", "default": 0},
+        {"name": "deleted_files_count", "type": "int", "default": 0},
+    ],
+}
+
+MANIFEST_READER_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {"name": "sequence_number", "type": ["null", "long"], "default": None},
+        {
+            "name": "file_sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+        },
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int", "default": 0},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "default": None,
+                    },
+                ],
+            },
+        },
+    ],
+}
+
 # v1 shapes (round 14): no sequence numbers, no content field — the
 # pre-row-level-delete wire real warehouses still carry everywhere.
 V1_MANIFEST_LIST_SCHEMA = {
@@ -220,7 +280,13 @@ def iceberg_plan_snapshot(
     )
     fields_by_id = {f["id"]: f["name"] for f in schema["fields"]}
 
-    manifest_list = avro_records(_member(members, snap["manifest-list"]))
+    # resolve manifests against the READER model (round 16): manifests
+    # written under an older (v1-era subset) schema gain defaults for
+    # the fields they predate instead of KeyErroring the walk
+    manifest_list = avro_records(
+        _member(members, snap["manifest-list"]),
+        reader_schema=MANIFEST_LIST_READER_SCHEMA,
+    )
     data_files: list[dict] = []
     delete_files: list[dict] = []
     for mf in manifest_list:
@@ -234,7 +300,7 @@ def iceberg_plan_snapshot(
             raise NotImplementedError(
                 "iceberg: partitioned manifests (spec transforms) not supported"
             )
-        for entry in avro_records(blob):
+        for entry in avro_records(blob, reader_schema=MANIFEST_READER_SCHEMA):
             if entry["status"] == _DELETED:
                 continue
             if fmt == 1:
