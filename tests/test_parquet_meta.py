@@ -121,3 +121,39 @@ def test_thrift_bool_element_invalid_byte():
     blob = bytes([0x19, 0x11, 0x07, 0x00])
     with _pytest.raises(ValueError, match="bool element"):
         _read_struct(blob, 0)
+
+
+def test_timestamp_ntz_flag_reads_logical_type_union():
+    """Round 16 (Delta timestampNtz): the LogicalType Thrift union's
+    TIMESTAMP member carries isAdjustedToUTC — naive columns read
+    True, UTC-adjusted instants False, non-timestamp columns None."""
+    import datetime
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yark_spark.operators.parquet_meta import (
+        parquet_footer,
+        timestamp_ntz_flag,
+    )
+
+    t = pa.table(
+        {
+            "ntz": pa.array([datetime.datetime(2024, 1, 1)], pa.timestamp("us")),
+            "utc": pa.array(
+                [datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "plain": pa.array([1], pa.int64()),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    flags = {
+        el["name"]: timestamp_ntz_flag(el)
+        for el in parquet_footer(buf.getvalue())["schema"]
+    }
+    assert flags["ntz"] is True
+    assert flags["utc"] is False
+    assert flags["plain"] is None

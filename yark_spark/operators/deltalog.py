@@ -94,7 +94,10 @@ def _cast_partition_value(delta_type, raw: "str | None"):
         return float(raw)
     if delta_type == "boolean":
         return raw == "true"
-    return raw  # string / date / timestamp stay their serialized form
+    # string / date / timestamp / timestampNtz stay their serialized form
+    # (timestampNtz partition values serialize WITHOUT a zone, and the
+    # naive literal is its own canonical form)
+    return raw
 
 
 def _serialize_partition_value(value) -> "str | None":
@@ -307,6 +310,10 @@ def _check_protocol(p: dict) -> None:
             "deletionVectors",
             "columnMapping",
             "v2Checkpoint",  # round 16: manifest + sidecar checkpoints
+            # round 16: naive wall-clock timestamps — parquet TIMESTAMP
+            # with isAdjustedToUTC=false (parquet_meta.timestamp_ntz_flag
+            # reads the LogicalType bit; values are raw micros)
+            "timestampNtz",
         }
         if unsupported:
             raise NotImplementedError(

@@ -10631,3 +10631,133 @@ def iceberg_eq_multi_features(
         .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
         .applyInPandas(_build_and_resolve, ICEBERG_EQ_MULTI_SCHEMA)
     )
+
+
+DELTA_TS_NTZ_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("ts_ntz_micros", LongType()),
+        StructField("ts_utc_micros", LongType()),
+        StructField("ntz_is_naive", BooleanType()),
+        StructField("utc_is_naive", BooleanType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def delta_timestamp_ntz_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E187 Delta timestampNtz (round 16): every 32 docs become a
+    table whose protocol declares the ``timestampNtz`` readerFeature
+    and whose data file is PYARROW-written foreign wire carrying BOTH
+    timestamp flavors — a tz-naive ``timestamp(us)`` column (parquet
+    LogicalType TIMESTAMP isAdjustedToUTC=false, the NTZ
+    representation) and a UTC-adjusted twin. Resolution reads the raw
+    micros through the from-scratch reader, and
+    parquet_meta.timestamp_ntz_flag reads the LogicalType bit from
+    the footer's Thrift union: the NTZ column must report naive=True,
+    the instant column naive=False — a reader that cannot see
+    isAdjustedToUTC cannot produce the flags. One applyInPandas per
+    table; map-only resolve."""
+    _dl = _register_delta_modules()
+    _rows = _dl.delta_snapshot_rows
+    from yark_spark.operators import parquet_meta as _pm_mod
+
+    _tar = _register_container_modules().tar_build
+    _footer = _pm_mod.parquet_footer
+    _ntz_flag = _pm_mod.timestamp_ntz_flag
+
+    def _build_and_resolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import io as _io
+        import json as _json
+
+        import numpy as np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 32
+        ntz_micros = [1_500_000_000_000_000 + i * 1_234_567 for i in ids]
+        utc_micros = [1_600_000_000_000_000 + i * 7_654_321 for i in ids]
+        buf = _io.BytesIO()
+        _pq.write_table(
+            _pa.table(
+                {
+                    "doc_id": _pa.array(ids, _pa.int64()),
+                    "ts_ntz": _pa.array(ntz_micros, _pa.timestamp("us")),
+                    "ts_utc": _pa.array(
+                        utc_micros, _pa.timestamp("us", tz="UTC")
+                    ),
+                    "text": _pa.array(texts, _pa.string()),
+                }
+            ),
+            buf,
+        )
+        blob = buf.getvalue()
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "doc_id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "ts_ntz", "type": "timestampNtz", "nullable": True,
+                 "metadata": {}},
+                {"name": "ts_utc", "type": "timestamp", "nullable": True,
+                 "metadata": {}},
+                {"name": "text", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+        commit = "\n".join(
+            [
+                _json.dumps({"protocol": {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["timestampNtz"],
+                    "writerFeatures": ["timestampNtz"]}}),
+                _json.dumps({"metaData": {
+                    "id": f"tbl-{tid}", "format": {"provider": "parquet"},
+                    "schemaString": _json.dumps(schema),
+                    "partitionColumns": [], "configuration": {}}}),
+                _json.dumps({"add": {"path": "f0.parquet", "size": len(blob),
+                                     "dataChange": True,
+                                     "partitionValues": {}}}),
+            ]
+        )
+        tar = _tar(
+            [
+                ("_delta_log/" + "0" * 20 + ".json", commit.encode("utf-8")),
+                ("f0.parquet", blob),
+            ]
+        )
+        flags = {
+            el["name"]: _ntz_flag(el) for el in _footer(blob)["schema"]
+        }
+        assert flags["ts_ntz"] is True and flags["ts_utc"] is False, flags
+        out_ids, out_ntz, out_utc, digs = [], [], [], []
+        for _v, row in _rows(tar, ["doc_id", "ts_ntz", "ts_utc", "text"]):
+            out_ids.append(int(row["doc_id"]))
+            out_ntz.append(int(row["ts_ntz"]))
+            out_utc.append(int(row["ts_utc"]))
+            digs.append(_h.md5(row["text"].encode("utf-8")).hexdigest())
+        k = len(out_ids)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_ids, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "ts_ntz_micros": np.array(out_ntz, dtype="int64"),
+                "ts_utc_micros": np.array(out_utc, dtype="int64"),
+                "ntz_is_naive": np.full(k, flags["ts_ntz"], dtype="bool"),
+                "utc_is_naive": np.full(k, flags["ts_utc"], dtype="bool"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(_build_and_resolve, DELTA_TS_NTZ_SCHEMA)
+    )

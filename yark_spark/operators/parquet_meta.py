@@ -213,6 +213,10 @@ def parquet_footer(payload: bytes) -> dict:
             # Iceberg/engine field ids (round 14 s3): the key that
             # makes column RENAME metadata-only
             "field_id": d.get(9),
+            # LogicalType union (round 16): raw {union-field-id: struct}
+            # — TIMESTAMP (8) carries isAdjustedToUTC, the bit that
+            # distinguishes an instant from timestampNtz
+            "logical_type": d.get(10),
         }
 
     def _column(d: dict) -> dict:
@@ -432,3 +436,21 @@ def parquet_offset_index(payload: bytes, col: dict) -> "list[dict] | None":
             }
         )
     return out
+
+
+def timestamp_ntz_flag(schema_element: dict) -> "bool | None":
+    """Whether a schema element's TIMESTAMP LogicalType declares a
+    NAIVE (wall-clock) timestamp — ``isAdjustedToUTC == False``, the
+    parquet representation behind Delta's ``timestampNtz`` reader
+    feature (round 16). Returns ``True`` for NTZ, ``False`` for a
+    UTC-adjusted instant, ``None`` when the element carries no
+    TIMESTAMP logical type. Thrift shape: SchemaElement field 10 is
+    the LogicalType union; union field 8 = TIMESTAMP
+    {1: isAdjustedToUTC(bool), 2: unit union}."""
+    lt = schema_element.get("logical_type")
+    if not isinstance(lt, dict):
+        return None
+    ts = lt.get(8)
+    if not isinstance(ts, dict):
+        return None
+    return not bool(ts.get(1, True))

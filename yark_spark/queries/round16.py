@@ -73,3 +73,30 @@ def q_iceberg_eq_multi(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
     return iceberg_eq_multi_features(docs)
+
+
+_DELTA_TS_NTZ_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "1500000000000000 + doc_id * 1234567 AS ts_ntz_micros, "
+    "1600000000000000 + doc_id * 7654321 AS ts_utc_micros, "
+    "TRUE AS ntz_is_naive, FALSE AS utc_is_naive, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 512"
+)
+
+
+@query("q_delta_timestamp_ntz", oracle=_DELTA_TS_NTZ_ORACLE)
+def q_delta_timestamp_ntz(spark, sf_dir):
+    """E187 Delta timestampNtz (round 16): tables whose protocol
+    declares the timestampNtz readerFeature over PYARROW-written
+    foreign wire carrying both timestamp flavors. The from-scratch
+    footer parser reads the parquet LogicalType's isAdjustedToUTC bit
+    (parquet_meta.timestamp_ntz_flag — Thrift union field 8) and the
+    oracle pins it per column: the naive column True, the UTC-adjusted
+    twin False, values as raw micros. With v2Checkpoint (E185) this
+    retires both common modern readerFeatures from the typed-reject
+    list; genuinely unsupported features (variantType) still reject.
+    One applyInPandas per table; map-only resolve."""
+    from yark_spark.operators.multimodal import delta_timestamp_ntz_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return delta_timestamp_ntz_features(docs)
