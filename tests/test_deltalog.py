@@ -1033,3 +1033,46 @@ def test_v2_checkpoint_typed_guards():
     ).encode()
     with pytest.raises(NotImplementedError, match="variantType"):
         delta_snapshot_rows(tar_build(sorted(bad4.items())), ["doc_id"])
+
+
+def test_multi_part_checkpoint_unions_parts():
+    """Round 16: _last_checkpoint with "parts": N splits the state
+    across <V>.checkpoint.<part>.<of>.parquet files — big tables'
+    checkpoints arrive this way. The state is the union; a missing
+    part is typed."""
+    a, b, c = _pq([1, 2]), _pq([5, 6]), _pq([7, 8])
+    part1 = _checkpoint(_CK_BASE + [{"add": {"path": "a.parquet", "size": len(a)}}])
+    part2 = _checkpoint([
+        {"add": {"path": "b.parquet", "size": len(b)}},
+        {"add": {"path": "x.parquet", "size": 999}},
+        {"remove": {"path": "expired.parquet"}},
+    ])
+    members = [
+        (
+            "_delta_log/_last_checkpoint",
+            json.dumps({"version": 2, "parts": 2}).encode(),
+        ),
+        (
+            "_delta_log/" + f"{2:020d}" + ".checkpoint."
+            + f"{1:010d}" + "." + f"{2:010d}" + ".parquet",
+            part1,
+        ),
+        (
+            "_delta_log/" + f"{2:020d}" + ".checkpoint."
+            + f"{2:010d}" + "." + f"{2:010d}" + ".parquet",
+            part2,
+        ),
+        _commit(3, _rm("x.parquet"), _add("c.parquet", c)),
+        ("a.parquet", a), ("b.parquet", b), ("c.parquet", c),
+    ]
+    blob = tar_build(members)
+    live = delta_live_files(blob)
+    assert [(p, v) for p, v, _ in live] == [
+        ("a.parquet", 2), ("b.parquet", 2), ("c.parquet", 3),
+    ]
+    rows = delta_snapshot_rows(blob, ["doc_id"])
+    assert sorted(r["doc_id"] for _, r in rows) == [1, 2, 5, 6, 7, 8]
+    # a missing part is typed, never a silent partial state
+    missing = [m for m in members if "0000000002.parquet" not in m[0]]
+    with pytest.raises(ValueError, match="names missing"):
+        delta_live_files(tar_build(missing))

@@ -273,6 +273,28 @@ def _resolve_live(members: dict, version: "int | None" = None) -> dict:
                 f"delta: version {version} predates the checkpoint "
                 f"({ckpt_version}) — its history was vacuumed"
             )
+        # MULTI-PART classic checkpoints (round 16): _last_checkpoint
+        # declares "parts": N and the state is split across
+        # <V>.checkpoint.<part>.<of>.parquet files (1-based), unioned
+        parts = json.loads(lc.decode("utf-8")).get("parts")
+        if parts:
+            names = [
+                f"_delta_log/{ckpt_version:020d}.checkpoint."
+                f"{p:010d}.{parts:010d}.parquet"
+                for p in range(1, parts + 1)
+            ]
+            missing = [n for n in names if n not in members]
+            if missing:
+                raise ValueError(
+                    f"delta: _last_checkpoint names missing {missing[0]}"
+                )
+            return _replay_from_checkpoint(
+                members,
+                ckpt_version,
+                [members[n] for n in names],
+                commits,
+                version,
+            )
         ckpt_name = f"_delta_log/{ckpt_version:020d}.checkpoint.parquet"
         if ckpt_name not in members:
             raise ValueError(f"delta: _last_checkpoint names missing {ckpt_name}")
@@ -570,12 +592,41 @@ def _finalize(members: dict, live: dict) -> list[tuple[str, int, bytes, frozense
 def _replay_from_checkpoint(
     members: dict,
     ckpt_version: int,
-    ckpt_blob: bytes,
+    ckpt_blob: "bytes | list[bytes]",
     commits: list,
     version: "int | None" = None,
 ) -> dict:
     """Seed state from the checkpoint's struct-column rows, then
-    replay only the commits AFTER it (earlier JSON may be gone)."""
+    replay only the commits AFTER it (earlier JSON may be gone).
+    ``ckpt_blob`` may be a LIST of part files (round 16: multi-part
+    checkpoints, ``_last_checkpoint`` "parts": N) — the state is the
+    union of every part's action rows."""
+    blobs = ckpt_blob if isinstance(ckpt_blob, list) else [ckpt_blob]
+    live: dict = {}
+    saw_metadata = False
+    for blob in blobs:
+        saw_metadata = (
+            _seed_ckpt_part(blob, ckpt_version, live) or saw_metadata
+        )
+    if not saw_metadata:
+        raise ValueError("delta: checkpoint has no metaData row")
+    later = sorted((v, b) for v, b in commits if v > ckpt_version)
+    if [v for v, _ in later] != list(
+        range(ckpt_version + 1, ckpt_version + 1 + len(later))
+    ):
+        raise ValueError("delta: commit versions after checkpoint must be gapless")
+    if version is not None:
+        if version > (later[-1][0] if later else ckpt_version):
+            raise ValueError(f"delta: version {version} not in the log")
+        later = [(v, b) for v, b in later if v <= version]
+    for version, blob in later:
+        _apply_commit(blob, version, live)
+    return live
+
+
+def _seed_ckpt_part(ckpt_blob: bytes, ckpt_version: int, live: dict) -> bool:
+    """Seed ``live`` from ONE classic-checkpoint parquet (or part
+    file); returns whether a metaData row was present."""
     cols = parquet_read_columns(
         ckpt_blob,
         [
@@ -605,7 +656,6 @@ def _replay_from_checkpoint(
         adds_full = parquet_read_columns(ckpt_blob, ["add"])["add"]
     except (ValueError, NotImplementedError):
         adds_full = None
-    live: dict = {}
     saw_metadata = False
     for i in range(len(cols["add.path"])):
         mrv = cols["protocol.minReaderVersion"][i]
@@ -638,20 +688,7 @@ def _replay_from_checkpoint(
             live[p] = (ckpt_version, cols["add.size"][i], dv, pv)
         # remove rows are EXPIRED tombstones retained for vacuum
         # bookkeeping — by definition not part of the live state
-    if not saw_metadata:
-        raise ValueError("delta: checkpoint has no metaData row")
-    later = sorted((v, b) for v, b in commits if v > ckpt_version)
-    if [v for v, _ in later] != list(
-        range(ckpt_version + 1, ckpt_version + 1 + len(later))
-    ):
-        raise ValueError("delta: commit versions after checkpoint must be gapless")
-    if version is not None:
-        if version > (later[-1][0] if later else ckpt_version):
-            raise ValueError(f"delta: version {version} not in the log")
-        later = [(v, b) for v, b in later if v <= version]
-    for version, blob in later:
-        _apply_commit(blob, version, live)
-    return live
+    return saw_metadata
 
 
 def _sidecar_path(raw: str) -> str:
@@ -883,7 +920,26 @@ def _last_metadata(members: dict) -> "dict | None":
         lc = members.get("_delta_log/_last_checkpoint")
         if lc is None:
             return None
-        v = json.loads(lc.decode("utf-8"))["version"]
+        lc_meta = json.loads(lc.decode("utf-8"))
+        v = lc_meta["version"]
+        parts = lc_meta.get("parts")
+        if parts:
+            # multi-part (round 16): the metaData row lives in ONE part
+            for p in range(1, parts + 1):
+                part = members.get(
+                    f"_delta_log/{v:020d}.checkpoint."
+                    f"{p:010d}.{parts:010d}.parquet"
+                )
+                if part is None:
+                    continue
+                for row in parquet_read_columns(part, ["metaData"])["metaData"]:
+                    if row is not None and row.get("id") is not None:
+                        meta = dict(row)
+                        cfg = meta.get("configuration")
+                        if isinstance(cfg, list):
+                            meta["configuration"] = dict(cfg)
+                        return meta
+            return None
         blob = members.get(f"_delta_log/{v:020d}.checkpoint.parquet")
     if blob is None:
         return None
