@@ -21,13 +21,15 @@ import time
 #: kernel; round 15 proved a clean single-thread calibration cannot
 #: certify host comparability on this microVM (judge run B: idle box,
 #: cal 0.589, slowest total of the round). The anchor is therefore
-#: RE-DERIVED with both kernels in-band; cross-round comparisons read
-#: ``x_anchor_r16`` (multi-cal-normalized against this tuple) and treat
-#: raw ratios against r03 as historical context only.
+#: RE-DERIVED with both kernels in-band (run 3, the round's best
+#: controlled sample — BENCH_r16_builder.json); cross-round comparisons
+#: read ``x_anchor_r16`` (multi-cal-normalized against this tuple) and
+#: ``x_anchor_r03_contention_normalized``, treating raw ratios against
+#: r03 as historical context only.
 ANCHOR_R16 = {
-    "cold_total": 15.82,
-    "calibration_sec": 0.6949,
-    "calibration_multi_sec": 1.2271,
+    "cold_total": 13.0246,
+    "calibration_sec": 0.6284,
+    "calibration_multi_sec": 1.3115,
 }
 
 #: The historical r03 anchor (BENCH_r03.json: cold 7.41 s, single-cal
