@@ -75,10 +75,12 @@ from yark_spark.operators.avro_ocf import avro_build, avro_records
 from yark_spark.operators.containers import tar_members
 from yark_spark.operators.parquet_data import parquet_read_columns
 from yark_spark.operators.parquet_meta import parquet_footer
+from yark_spark.operators.puffin import dv_blob_parse
 
 __all__ = [
     "MANIFEST_LIST_SCHEMA",
     "MANIFEST_SCHEMA",
+    "MANIFEST_SCHEMA_V3",
     "V1_MANIFEST_LIST_SCHEMA",
     "V1_MANIFEST_SCHEMA",
     "iceberg_bucket",
@@ -191,6 +193,66 @@ MANIFEST_READER_SCHEMA = {
                         "name": "equality_ids",
                         "type": ["null", {"type": "array", "items": "int"}],
                         "default": None,
+                    },
+                    # Iceberg v3 deletion vectors (round 16): a DV
+                    # entry is a content=1 delete whose bytes live in
+                    # a PUFFIN file at [content_offset, +size)
+                    {
+                        "name": "referenced_data_file",
+                        "type": ["null", "string"],
+                        "default": None,
+                    },
+                    {
+                        "name": "content_offset",
+                        "type": ["null", "long"],
+                        "default": None,
+                    },
+                    {
+                        "name": "content_size_in_bytes",
+                        "type": ["null", "long"],
+                        "default": None,
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+#: v3 writer-side manifest entry schema (round 16): the v2 shape plus
+#: the deletion-vector reference fields — fixtures write THIS, and the
+#: round-16 reader-schema resolution proves v2 manifests (which lack
+#: the fields) still plan identically.
+MANIFEST_SCHEMA_V3 = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "file_sequence_number", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                    },
+                    {
+                        "name": "referenced_data_file",
+                        "type": ["null", "string"],
+                    },
+                    {"name": "content_offset", "type": ["null", "long"]},
+                    {
+                        "name": "content_size_in_bytes",
+                        "type": ["null", "long"],
                     },
                 ],
             },
@@ -317,7 +379,12 @@ def iceberg_plan_snapshot(
                     # manifest was added at, preserved across reuse).
                     seq = mf["sequence_number"]
             df = entry["data_file"]
-            if df["file_format"].upper() != "PARQUET":
+            fmt_name = df["file_format"].upper()
+            is_dv = df.get("referenced_data_file") is not None
+            # v3 deletion vectors (round 16): PUFFIN-format delete
+            # entries referencing one data file; everything else stays
+            # parquet-only
+            if fmt_name != "PARQUET" and not (fmt_name == "PUFFIN" and is_dv):
                 raise NotImplementedError(
                     f"iceberg: file format {df['file_format']!r}"
                 )
@@ -328,6 +395,9 @@ def iceberg_plan_snapshot(
                 "record_count": df["record_count"],
                 "size": df["file_size_in_bytes"],
                 "equality_ids": df.get("equality_ids"),
+                "referenced_data_file": df.get("referenced_data_file"),
+                "content_offset": df.get("content_offset"),
+                "content_size_in_bytes": df.get("content_size_in_bytes"),
             }
             if mf.get("content", 0) == 0:
                 if rec["content"] != 0:
@@ -391,11 +461,32 @@ def iceberg_snapshot_rows(
         if len(blob) != d["size"]:
             raise ValueError(f"iceberg: delete file {d['path']!r} size mismatch")
         if d["content"] == 1:
-            cols = parquet_read_columns(blob, ["file_path", "pos"])
-            by_path: dict[str, set[int]] = {}
-            for p, pos in zip(cols["file_path"], cols["pos"]):
-                by_path.setdefault(p, set()).add(int(pos))
-            pos_deletes.append((d["seq"], by_path))
+            if d.get("referenced_data_file") is not None:
+                # v3 deletion vector (round 16): the rows live in a
+                # PUFFIN blob at [content_offset, +content_size) —
+                # ranged read, CRC-32C-checked, RoaringBitmapArray
+                # payload; applies to exactly ONE data file with the
+                # same >= sequence rule as position deletes
+                off = d.get("content_offset")
+                size = d.get("content_size_in_bytes")
+                if off is None or size is None:
+                    raise ValueError(
+                        "iceberg: DV entry missing content_offset/"
+                        "content_size_in_bytes"
+                    )
+                rows_set = dv_blob_parse(blob[off : off + size])
+                pos_deletes.append(
+                    (
+                        d["seq"],
+                        {d["referenced_data_file"]: {int(r) for r in rows_set}},
+                    )
+                )
+            else:
+                cols = parquet_read_columns(blob, ["file_path", "pos"])
+                by_path: dict[str, set[int]] = {}
+                for p, pos in zip(cols["file_path"], cols["pos"]):
+                    by_path.setdefault(p, set()).add(int(pos))
+                pos_deletes.append((d["seq"], by_path))
         else:
             ids = d.get("equality_ids") or []
             if not ids:
@@ -1165,21 +1256,35 @@ def iceberg_commit(
             )
     if delete_files:
         entries = []
+        # v3 deletion vectors (round 16): entries carrying
+        # referenced_data_file write the extended manifest schema and
+        # a PUFFIN file format marker
+        has_dv = any(d.get("referenced_data_file") for d in delete_files)
         for d in delete_files:
             if d["content"] not in (1, 2):
                 raise ValueError("iceberg: delete content must be 1 or 2")
-            entries.append(
-                _entry(
-                    d["path"],
-                    d["blob"],
-                    d["content"],
-                    d["record_count"],
-                    d.get("equality_ids"),
-                )
+            e = _entry(
+                d["path"],
+                d["blob"],
+                d["content"],
+                d["record_count"],
+                d.get("equality_ids"),
             )
+            if has_dv:
+                dfd = e["data_file"]
+                dfd["referenced_data_file"] = d.get("referenced_data_file")
+                dfd["content_offset"] = d.get("content_offset")
+                dfd["content_size_in_bytes"] = d.get("content_size_in_bytes")
+                if d.get("referenced_data_file") is not None:
+                    dfd["file_format"] = "PUFFIN"
+            entries.append(e)
             out[d["path"]] = d["blob"]
         m_path = f"metadata/m{seq}-deletes.avro"
-        m_blob = avro_build(MANIFEST_SCHEMA, entries, codec="deflate")
+        m_blob = avro_build(
+            MANIFEST_SCHEMA_V3 if has_dv else MANIFEST_SCHEMA,
+            entries,
+            codec="deflate",
+        )
         out[m_path] = m_blob
         new_list_records.append(
             _list_record(m_path, m_blob, 1, len(delete_files))

@@ -7589,6 +7589,13 @@ def _register_iceberg_modules():
     _cp.register_pickle_by_value(_pdata)
     _cp.register_pickle_by_value(_pw)
     _cp.register_pickle_by_value(_avro)
+    # v3 deletion vectors (round 16): iceberg resolves puffin blobs,
+    # which resolve roaring bitmaps — both must ship by value too
+    from yark_spark.operators import puffin as _puffin
+    from yark_spark.operators import roaring as _roar
+
+    _cp.register_pickle_by_value(_roar)
+    _cp.register_pickle_by_value(_puffin)
     _cp.register_pickle_by_value(_ice)
     return _ice
 
@@ -10760,4 +10767,130 @@ def delta_timestamp_ntz_features(
         df.select(F.col(id_col), F.col(text_col))
         .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
         .applyInPandas(_build_and_resolve, DELTA_TS_NTZ_SCHEMA)
+    )
+
+
+ICEBERG_V3_DV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def iceberg_v3_dv_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E190 Iceberg v3 DELETION VECTORS in PUFFIN (round 16): every 64
+    docs become a v2-layout table (commit 1 = four ≤16-row data
+    files), then commit 2 adds ONE puffin file carrying one
+    deletion-vector-v1 blob PER data file (4-byte BE length framing,
+    D1D33964 magic, Delta-compatible RoaringBitmapArray payload,
+    CRC-32C) killing the rows whose doc_id%8==5; each blob is
+    referenced by a content=1 manifest entry with referenced_data_file
+    + content_offset/content_size_in_bytes (MANIFEST_SCHEMA_V3 —
+    resolved beside plain-v2 manifests through the round-16
+    reader-schema machinery). Resolution issues the ranged read into
+    the puffin blob region and applies the vector to exactly its
+    referenced file under the >= sequence rule. One applyInPandas per
+    table; map-only resolve."""
+    _ice = _register_iceberg_modules()
+    _cont = _register_container_modules()
+    from yark_spark.operators import parquet_write as _pw
+    from yark_spark.operators import puffin as _puffin_mod
+
+    _tar = _cont.tar_build
+    _write = _pw.parquet_write
+    _create = _ice.iceberg_table_create
+    _commit = _ice.iceberg_commit
+    _rows = _ice.iceberg_snapshot_rows
+    _dv_build = _puffin_mod.dv_blob_build
+    _pf_build = _puffin_mod.puffin_build
+    _pf_footer = _puffin_mod.puffin_footer
+
+    def _build_and_resolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 64
+        fields = [
+            {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+            {"id": 2, "name": "text", "required": True, "type": "string"},
+        ]
+        m = _create(fields, location=f"tbl-{tid}")
+        file_ids = [ids[k : k + 16] for k in range(0, len(ids), 16)]
+        file_texts = [texts[k : k + 16] for k in range(0, len(ids), 16)]
+        m, _s1 = _commit(
+            m,
+            data_files=[
+                (
+                    f"data/p{j}.parquet",
+                    _write(
+                        {"doc_id": fids, "text": ftexts},
+                        types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                        codec="SNAPPY",
+                    ),
+                    len(fids),
+                )
+                for j, (fids, ftexts) in enumerate(zip(file_ids, file_texts))
+            ],
+        )
+        blobs, cards = [], []
+        for j, fids in enumerate(file_ids):
+            dead = [pos for pos, did in enumerate(fids) if did % 8 == 5]
+            blob, card = _dv_build(dead)
+            blobs.append(
+                {
+                    "type": "deletion-vector-v1",
+                    "data": blob,
+                    "properties": {
+                        "referenced-data-file": f"data/p{j}.parquet",
+                        "cardinality": str(card),
+                    },
+                }
+            )
+            cards.append(card)
+        pf = _pf_build(blobs)
+        metas = _pf_footer(pf)["blobs"]
+        m, _s2 = _commit(
+            m,
+            delete_files=[
+                {
+                    "path": "metadata/dv-1.puffin",
+                    "blob": pf,
+                    "content": 1,
+                    "record_count": cards[j],
+                    "referenced_data_file": f"data/p{j}.parquet",
+                    "content_offset": metas[j]["offset"],
+                    "content_size_in_bytes": metas[j]["length"],
+                }
+                for j in range(len(file_ids))
+            ],
+        )
+        rows = _rows(_tar(sorted(m.items())), ["doc_id", "text"])
+        out_i, out_n, out_d = [], [], []
+        for _seq, r in rows:
+            out_i.append(int(r["doc_id"]))
+            out_n.append(len(r["text"]))
+            out_d.append(_h.md5(r["text"].encode("utf-8")).hexdigest())
+        k = len(out_i)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_i, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "n_chars": np.array(out_n, dtype="int32"),
+                "digest": out_d,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
+        .applyInPandas(_build_and_resolve, ICEBERG_V3_DV_SCHEMA)
     )

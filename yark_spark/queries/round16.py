@@ -100,3 +100,29 @@ def q_delta_timestamp_ntz(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
     return delta_timestamp_ntz_features(docs)
+
+
+_ICEBERG_V3_DV_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 8 <> 5"
+)
+
+
+@query("q_iceberg_v3_dv", oracle=_ICEBERG_V3_DV_ORACLE)
+def q_iceberg_v3_dv(spark, sf_dir):
+    """E190 Iceberg v3 deletion vectors (round 16): per-table PUFFIN
+    files (PFA1 container, JSON footer with offset/length blob index)
+    carrying one deletion-vector-v1 blob per data file — 4-byte BE
+    framing, D1D33964 magic, Delta-compatible RoaringBitmapArray
+    payload, CRC-32C (Castagnoli) — referenced by content=1 manifest
+    entries with referenced_data_file + content_offset/size
+    (MANIFEST_SCHEMA_V3). The third row-level-delete wire beside
+    Delta DVs and Iceberg v2 delete files; a reader that cannot issue
+    the ranged read into the blob region, or applies a vector to the
+    wrong file, fails the hash. One applyInPandas per 64-doc table;
+    map-only resolve."""
+    from yark_spark.operators.multimodal import iceberg_v3_dv_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return iceberg_v3_dv_features(docs)
