@@ -673,3 +673,78 @@ def test_delta_sink_commit_is_put_if_absent(spark, tmp_path):
     assert f"{2:020d}.json" not in names
     with open(os.path.join(log_dir, f"{5:020d}.json")) as fh:
         assert fh.read() == sentinel
+
+
+def test_delta_sink_periodic_log_checkpoint(spark, tmp_path):
+    """Round 16: after log_checkpoint_every commits the sink writes a
+    classic checkpoint (txn rows preserved!) and trims the JSON log —
+    replay stays O(every), the table still resolves, and a replayed
+    batch whose txn marker now lives ONLY in the checkpoint is still
+    skipped (exactly-once across trimming)."""
+    import json as _json
+    import os
+
+    from yark_spark.operators.containers import tar_build
+    from yark_spark.operators.deltalog import delta_snapshot_rows
+    from yark_spark.streaming.pipelines import (
+        delta_sink,
+        read_event_stream,
+        run_available_now,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    tdir = str(tmp_path / "t")
+    fields = [
+        {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "text", "type": "string", "nullable": True, "metadata": {}},
+    ]
+
+    def drain():
+        raw = read_event_stream(
+            spark, str(src), schema, fmt="json", max_files_per_trigger=1
+        )
+        run_available_now(
+            delta_sink(tdir, raw, ckpt,
+                       types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                       schema_fields=fields, log_checkpoint_every=4)
+        )
+
+    def resolve():
+        members = []
+        for root, _d, files in os.walk(tdir):
+            for fn in files:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, tdir).replace(os.sep, "/")
+                members.append((rel, open(full, "rb").read()))
+        return delta_snapshot_rows(tar_build(sorted(members)), ["doc_id"])
+
+    for b in range(6):
+        with open(src / f"b{b}.json", "w") as f:
+            f.write(_json.dumps({"doc_id": b, "text": f"t{b}"}) + "\n")
+    drain()
+    log_dir = os.path.join(tdir, "_delta_log")
+    names = sorted(os.listdir(log_dir))
+    # a checkpoint happened: _last_checkpoint + trimmed JSON log
+    assert "_last_checkpoint" in names
+    assert any(n.endswith(".checkpoint.parquet") for n in names)
+    n_json = [n for n in names if n.endswith(".json") and n[:-5].isdigit()]
+    assert len(n_json) < 6
+    assert sorted(r["doc_id"] for _, r in resolve()) == list(range(6))
+
+    # kill/replay across the trim: the txn marker for the replayed
+    # batch may now live only in the checkpoint
+    replayed = _drop_last_commits(ckpt, 1)
+    assert replayed is not None
+    drain()
+    assert sorted(r["doc_id"] for _, r in resolve()) == list(range(6))
+
+    # and the stream continues, versions stay monotonic past the trim
+    with open(src / "b6.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 6, "text": "t6"}) + "\n")
+    drain()
+    assert sorted(r["doc_id"] for _, r in resolve()) == list(range(7))

@@ -593,6 +593,145 @@ def iceberg_sink(
     )
 
 
+def delta_log_checkpoint(table_dir: str) -> int:
+    """Classic-checkpoint the streaming sink's ON-DISK Delta log at
+    its newest version (round 16): without this, snapshot resolution
+    replays O(total commits) forever — a year-old streaming table has
+    millions. Metadata-only (reads ONLY ``_delta_log/``, never data
+    files): live state via the shared replay core, the LAST metaData /
+    protocol actions, and the newest ``txn`` version PER appId (real
+    Delta checkpoints preserve txn rows — trimming a commit must not
+    lose the idempotent-replay marker). Writes
+    ``<V>.checkpoint.parquet`` + ``_last_checkpoint`` via tmp+rename,
+    then deletes commits ≤ V and the superseded checkpoint. Returns V.
+    Crash-safe ordering: the new checkpoint parquet lands before
+    ``_last_checkpoint`` flips, and trimming runs last — a kill at any
+    point leaves a readable table."""
+    import json as _json
+    import os
+
+    from yark_spark.operators import deltalog as _dl
+    from yark_spark.operators.parquet_data import parquet_read_columns
+    from yark_spark.operators.parquet_write import parquet_write, pmap
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    members: dict[str, bytes] = {}
+    for fn in os.listdir(log_dir):
+        if fn.endswith(".tmp"):
+            continue
+        with open(os.path.join(log_dir, fn), "rb") as f:
+            members[f"_delta_log/{fn}"] = f.read()
+    live = _dl._resolve_live(members)
+    metadata_action = _dl._last_metadata(members)
+    if metadata_action is None:
+        raise ValueError("delta: table has no metaData action")
+    protocol_action = None
+    txns: dict[str, int] = {}
+    # prior checkpoint: carry its txn rows + protocol forward
+    lc = members.get("_delta_log/_last_checkpoint")
+    versions = []
+    if lc is not None:
+        v_ck = _json.loads(lc.decode("utf-8"))["version"]
+        versions.append(v_ck)
+        old_ck = members.get(f"_delta_log/{v_ck:020d}.checkpoint.parquet")
+        if old_ck is not None:
+            try:
+                tc = parquet_read_columns(old_ck, ["txn.appId", "txn.version"])
+                for aid, ver in zip(tc["txn.appId"], tc["txn.version"]):
+                    if aid is not None:
+                        txns[aid] = max(txns.get(aid, -1), int(ver))
+            except ValueError:
+                pass
+            mrvs = parquet_read_columns(
+                old_ck, ["protocol.minReaderVersion"]
+            )["protocol.minReaderVersion"]
+            for mrv in mrvs:
+                if mrv is not None:
+                    protocol_action = {"minReaderVersion": int(mrv)}
+    for name in sorted(members):
+        m = _dl._COMMIT_RE.match(name)
+        if not m:
+            continue
+        versions.append(int(m.group(1)))
+        for line in members[name].splitlines():
+            if not line.strip():
+                continue
+            action = _json.loads(line)
+            if "protocol" in action:
+                protocol_action = action["protocol"]
+            elif "txn" in action:
+                t = action["txn"]
+                txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t["version"]))
+    v = max(versions)
+
+    # one action per row: protocol, metaData, txn per appId, adds
+    paths = sorted(live)
+    apps = sorted(txns)
+    n = 2 + len(apps) + len(paths)
+    prs = [
+        {"minReaderVersion": (protocol_action or {}).get("minReaderVersion", 1)}
+    ] + [None] * (n - 1)
+    md_row = {"id": str(metadata_action.get("id", ""))}
+    if metadata_action.get("schemaString") is not None:
+        md_row["schemaString"] = metadata_action["schemaString"]
+    cfg = metadata_action.get("configuration") or {}
+    md_row["configuration"] = {str(k): str(val) for k, val in cfg.items()} or None
+    mds = [None, md_row] + [None] * (n - 2)
+    txn_rows = [None, None] + [
+        {"appId": a, "version": txns[a]} for a in apps
+    ] + [None] * len(paths)
+    adds = [None] * (2 + len(apps))
+    for p in paths:
+        _ver, size, _dv, pv = live[p]
+        adds.append({"path": p, "size": size, "partitionValues": pv})
+    ckpt = parquet_write(
+        {
+            "protocol": prs,
+            "metaData": mds,
+            "txn": txn_rows,
+            "add": adds,
+            "remove": [None] * n,
+        },
+        types={
+            "protocol": {"minReaderVersion": "INT32"},
+            "metaData": {
+                "id": "BYTE_ARRAY",
+                "schemaString": "BYTE_ARRAY",
+                "configuration": pmap("BYTE_ARRAY", "BYTE_ARRAY"),
+            },
+            "txn": {"appId": "BYTE_ARRAY", "version": "INT64"},
+            "add": {
+                "path": "BYTE_ARRAY",
+                "size": "INT64",
+                "partitionValues": pmap("BYTE_ARRAY", "BYTE_ARRAY"),
+            },
+            "remove": {"path": "BYTE_ARRAY"},
+        },
+        codec="SNAPPY",
+    )
+    ck_path = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+    tmp = ck_path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(ckpt)
+    os.replace(tmp, ck_path)
+    lc_path = os.path.join(log_dir, "_last_checkpoint")
+    tmp = lc_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(_json.dumps({"version": v, "size": n}))
+    os.replace(tmp, lc_path)
+    # trim: replay provably never needs commits <= V or old checkpoints
+    for fn in os.listdir(log_dir):
+        full = os.path.join(log_dir, fn)
+        if fn.endswith(".json") and fn[:-5].isdigit() and int(fn[:-5]) <= v:
+            os.remove(full)
+        elif (
+            fn.endswith(".checkpoint.parquet")
+            and fn != os.path.basename(ck_path)
+        ):
+            os.remove(full)
+    return v
+
+
 def delta_sink(
     table_dir: str,
     stream: DataFrame,
@@ -600,6 +739,7 @@ def delta_sink(
     types: dict[str, str],
     schema_fields: list[dict],
     app_id: str = "yark-stream",
+    log_checkpoint_every: "int | None" = 10,
 ):
     """Streaming → DELTA sink (round 15, the Iceberg sink's twin):
     each micro-batch becomes one JSON commit — parquet part files
@@ -642,8 +782,33 @@ def delta_sink(
         commits = sorted(
             f for f in os.listdir(log_dir) if f.endswith(".json")
         )
-        # replay idempotency: the appId's newest txn version
+        # replay idempotency: the appId's newest txn version — from the
+        # JSON log AND any checkpoint (round 16: trimming a commit must
+        # not lose the marker; checkpoints preserve txn rows)
         last_txn = -1
+        versions = [int(f[:-5]) for f in commits if f[:-5].isdigit()]
+        lc_path = os.path.join(log_dir, "_last_checkpoint")
+        if os.path.exists(lc_path):
+            with open(lc_path) as fh:
+                v_ck = _json.load(fh)["version"]
+            versions.append(v_ck)
+            ck = os.path.join(log_dir, f"{v_ck:020d}.checkpoint.parquet")
+            if os.path.exists(ck):
+                from yark_spark.operators.parquet_data import (
+                    parquet_read_columns,
+                )
+
+                with open(ck, "rb") as fh:
+                    ck_bytes = fh.read()  # checkpoint METADATA, not data
+                try:
+                    tc = parquet_read_columns(
+                        ck_bytes, ["txn.appId", "txn.version"]
+                    )
+                    for aid, ver in zip(tc["txn.appId"], tc["txn.version"]):
+                        if aid == app_id:
+                            last_txn = max(last_txn, int(ver))
+                except ValueError:
+                    pass  # pre-txn-column checkpoint
         for f in commits:
             with open(os.path.join(log_dir, f)) as fh:
                 for line in fh:
@@ -657,7 +822,6 @@ def delta_sink(
         # next version = max(parsed)+1, NOT len(commits): a log with
         # gaps or checkpoint-trimmed history must never re-mint (and
         # silently overwrite) an existing version
-        versions = [int(f[:-5]) for f in commits if f[:-5].isdigit()]
         next_v = max(versions) + 1 if versions else 0
         actions = [{"txn": {"appId": app_id, "version": batch_id}}]
         if next_v == 0:
@@ -697,6 +861,17 @@ def delta_sink(
             os.link(tmp, final)
         finally:
             os.remove(tmp)
+        # periodic log checkpointing (round 16): keep replay O(every),
+        # not O(lifetime commits) — real Spark-Delta streaming
+        # checkpoints every 10 commits for exactly this reason
+        if log_checkpoint_every:
+            n_json = sum(
+                1
+                for f in os.listdir(log_dir)
+                if f.endswith(".json") and f[:-5].isdigit()
+            )
+            if n_json >= log_checkpoint_every:
+                delta_log_checkpoint(table_dir)
 
     return (
         stream.writeStream.foreachBatch(_commit_batch)
