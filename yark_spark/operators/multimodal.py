@@ -10894,3 +10894,125 @@ def iceberg_v3_dv_features(
         .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
         .applyInPandas(_build_and_resolve, ICEBERG_V3_DV_SCHEMA)
     )
+
+
+DELTA_MULTIPART_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("n_parts", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def delta_multipart_checkpoint_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E191 Delta MULTI-PART checkpoints (round 16): every 32 docs
+    become a two-commit table (v0 adds two files, v1 removes the
+    second and re-adds its first 8 docs), then the checkpoint state is
+    split across N part files (`<V>.checkpoint.<part>.<of>.parquet`,
+    N cycling 2/3 by table, one action row per part in round-robin)
+    with `_last_checkpoint` declaring "parts": N and the JSON log
+    DELETED — resolution must union EVERY part (a reader that opens
+    only `<V>.checkpoint.parquet`, or only part 1, has nothing or half
+    a table). Big tables' checkpoints actually arrive this way. One
+    applyInPandas per table; map-only resolve."""
+    _dl = _register_delta_modules()
+    _rows = _dl.delta_snapshot_rows
+    from yark_spark.operators import parquet_write as _pw_mod
+
+    _tar = _register_container_modules().tar_build
+    _write = _pw_mod.parquet_write
+    _pmap = _pw_mod.pmap
+
+    def _build_and_resolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 32
+        n_parts = 2 + tid % 2
+        p0 = _write(
+            {"doc_id": ids[:16], "text": texts[:16]},
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"}, codec="SNAPPY",
+        )
+        p2 = _write(
+            {"doc_id": ids[16:24], "text": texts[16:24]},
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"}, codec="SNAPPY",
+        )
+        # checkpoint state at v1: p0 (added v0) + p2 (added v1)
+        action_rows = [
+            ("protocol", {"minReaderVersion": 1}),
+            ("metaData", {"id": f"tbl-{tid}", "schemaString": None,
+                          "configuration": None}),
+            ("add", {"path": "p0.parquet", "size": len(p0),
+                     "partitionValues": None}),
+            ("add", {"path": "p2.parquet", "size": len(p2),
+                     "partitionValues": None}),
+        ]
+        types_spec = {
+            "protocol": {"minReaderVersion": "INT32"},
+            "metaData": {
+                "id": "BYTE_ARRAY",
+                "schemaString": "BYTE_ARRAY",
+                "configuration": _pmap("BYTE_ARRAY", "BYTE_ARRAY"),
+            },
+            "add": {
+                "path": "BYTE_ARRAY",
+                "size": "INT64",
+                "partitionValues": _pmap("BYTE_ARRAY", "BYTE_ARRAY"),
+            },
+            "remove": {"path": "BYTE_ARRAY"},
+        }
+        part_blobs = []
+        for p in range(n_parts):
+            mine = action_rows[p::n_parts]
+            cols = {"protocol": [], "metaData": [], "add": [], "remove": []}
+            for kind, row in mine:
+                for c in cols:
+                    cols[c].append(row if c == kind else None)
+            part_blobs.append(_write(cols, types=types_spec, codec="SNAPPY"))
+        members = [
+            ("p0.parquet", p0),
+            ("p2.parquet", p2),
+            (
+                "_delta_log/_last_checkpoint",
+                _json.dumps({"version": 1, "parts": n_parts}).encode(),
+            ),
+        ]
+        for p, blob in enumerate(part_blobs, start=1):
+            members.append(
+                (
+                    "_delta_log/" + f"{1:020d}" + ".checkpoint."
+                    + f"{p:010d}" + "." + f"{n_parts:010d}" + ".parquet",
+                    blob,
+                )
+            )
+        out_ids, out_ns, digs = [], [], []
+        for _v, row in _rows(_tar(sorted(members)), ["doc_id", "text"]):
+            out_ids.append(int(row["doc_id"]))
+            out_ns.append(len(row["text"]))
+            digs.append(_h.md5(row["text"].encode("utf-8")).hexdigest())
+        k = len(out_ids)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_ids, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "n_parts": np.full(k, n_parts, dtype="int32"),
+                "n_chars": np.array(out_ns, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(_build_and_resolve, DELTA_MULTIPART_SCHEMA)
+    )

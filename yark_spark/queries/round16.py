@@ -126,3 +126,29 @@ def q_iceberg_v3_dv(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
     return iceberg_v3_dv_features(docs)
+
+
+_DELTA_MULTIPART_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CAST(2 + (doc_id // 32) % 2 AS INTEGER) AS n_parts, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 32 < 24"
+)
+
+
+@query("q_delta_multipart_checkpoint", oracle=_DELTA_MULTIPART_ORACLE)
+def q_delta_multipart_checkpoint(spark, sf_dir):
+    """E191 Delta multi-part checkpoints (round 16): checkpoint state
+    split across `<V>.checkpoint.<part>.<of>.parquet` files declared
+    by `_last_checkpoint` "parts": N (N cycling 2/3 per table, action
+    rows round-robin across parts), JSON log deleted — the snapshot is
+    correct ONLY if every part is unioned; a reader that misses a part
+    loses whole files and fails the hash. This is the shape big
+    tables' checkpoints arrive in. One applyInPandas per table;
+    map-only resolve."""
+    from yark_spark.operators.multimodal import (
+        delta_multipart_checkpoint_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return delta_multipart_checkpoint_features(docs)
