@@ -462,29 +462,44 @@ def _scan_chunk(fd: int, start: int, length: int, lut):
 PARALLEL_SCAN_MIN_BYTES = 8 << 20
 
 
-def _available_parallelism() -> int:
+def _available_parallelism(samples: int = 3, gap_sec: float = 0.01) -> int:
     """Cores actually AVAILABLE right now (round 16, VERDICT r15 #5):
     process cpu budget minus the other currently-RUNNABLE tasks from
     /proc/loadavg's instantaneous run-queue field (``R/T`` — R reacts
     immediately, unlike the 1-minute load average). BENCH_r15 recorded
     stage_speedup 0.23 because the 16-worker pool was auto-selected on
     a box whose run queue already exceeded its cores — the pool then
-    thrashes and loses 4x to one sequential pass."""
+    thrashes and loses 4x to one sequential pass.
+
+    The run-queue is sampled ``samples`` times and the MINIMUM count
+    wins: the field is instantaneous, so a single read can catch a
+    momentary spike (a JVM GC pass, a timer tick) and throttle the
+    pool on a box that is actually free — a genuinely saturated box
+    reads high on every sample."""
+    import time as _time
+
     ncpu = (
         os.process_cpu_count()
         if hasattr(os, "process_cpu_count")
         else os.cpu_count()
     ) or 1
-    try:
-        with open("/proc/loadavg") as f:
-            running = int(f.read().split()[3].split("/")[0])
-        other = max(0, running - 1)  # exclude this process itself
-    except (OSError, ValueError, IndexError):
+    other = None
+    for k in range(max(1, samples)):
         try:
-            other = int(round(os.getloadavg()[0]))
-        except OSError:
-            return ncpu
-    return max(1, ncpu - other)
+            with open("/proc/loadavg") as f:
+                running = int(f.read().split()[3].split("/")[0])
+            cur = max(0, running - 1)  # exclude this process itself
+        except (OSError, ValueError, IndexError):
+            try:
+                cur = int(round(os.getloadavg()[0]))
+            except OSError:
+                return ncpu
+        other = cur if other is None else min(other, cur)
+        if other == 0:
+            break
+        if k + 1 < samples:
+            _time.sleep(gap_sec)
+    return max(1, ncpu - (other or 0))
 
 
 def shard_json_array(
@@ -560,9 +575,12 @@ def shard_json_array(
     # at >=1 GB the chunk count dominates and the full width wins
     # (4.6 s at 16 vs 6.0 s at 4)
     n_chunks_est = max(1, (size + chunk_bytes - 1) // chunk_bytes)
+    # pool floor of 4 once the parallel path is chosen: a noisy
+    # availability read must degrade gracefully, not hand the scan to
+    # a 2-thread pool that loses to both sequential AND full-width
     workers = max_workers or min(
         16,
-        avail if avail is not None else (os.cpu_count() or 1),
+        max(4, avail) if avail is not None else (os.cpu_count() or 1),
         os.cpu_count() or 1,
         max(2, int((n_chunks_est + 2) // 3)),
     )
