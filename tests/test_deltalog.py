@@ -1076,3 +1076,60 @@ def test_multi_part_checkpoint_unions_parts():
     missing = [m for m in members if "0000000002.parquet" not in m[0]]
     with pytest.raises(ValueError, match="names missing"):
         delta_live_files(tar_build(missing))
+
+
+# ---------------------------------------------------------------------------
+# Round 16: change data feed (file-granularity incremental reads)
+# ---------------------------------------------------------------------------
+
+from yark_spark.operators.deltalog import delta_change_feed  # noqa: E402
+
+
+def _cdf_table():
+    a, b, b2 = _pq(range(0, 4)), _pq(range(4, 8)), _pq(range(4, 8))
+    compact_rm = {"remove": {"path": "b.parquet", "dataChange": False}}
+    compact_add = {"add": {"path": "b2.parquet", "size": len(b2),
+                           "dataChange": False, "partitionValues": {}}}
+    return _table(
+        [
+            _commit(0, _PROTO, _META, _add("a.parquet", a)),
+            _commit(1, _add("b.parquet", b)),
+            _commit(2, _rm("a.parquet")),
+            _commit(3, compact_rm, compact_add),  # OPTIMIZE rewrite
+        ],
+        [("a.parquet", a), ("b.parquet", b), ("b2.parquet", b2)],
+    )
+
+
+def test_change_feed_inserts_deletes_and_skips_compaction():
+    feed = delta_change_feed(_cdf_table(), 0, 3)
+    # v1: b's rows inserted; v2: a's rows deleted; v3: NOTHING (the
+    # compaction rewrite has dataChange: false on both actions)
+    assert [(v, c, r["doc_id"]) for v, c, r in feed] == [
+        (1, "insert", 4), (1, "insert", 5), (1, "insert", 6), (1, "insert", 7),
+        (2, "delete", 0), (2, "delete", 1), (2, "delete", 2), (2, "delete", 3),
+    ]
+    # narrower range
+    assert [(v, c, r["doc_id"]) for v, c, r in
+            delta_change_feed(_cdf_table(), 1, 2)] == [
+        (2, "delete", 0), (2, "delete", 1), (2, "delete", 2), (2, "delete", 3),
+    ]
+    # to_version defaults to the log head
+    assert len(delta_change_feed(_cdf_table(), 2)) == 0
+
+
+def test_change_feed_guards():
+    with pytest.raises(ValueError, match="outside the log"):
+        delta_change_feed(_cdf_table(), 0, 9)
+    # a vacuumed removed file is typed, not silently skipped
+    from yark_spark.operators.containers import tar_build, tar_members
+
+    members = [(n, b) for n, b in tar_members(_cdf_table())
+               if n != "a.parquet"]
+    with pytest.raises(ValueError, match="vacuumed"):
+        delta_change_feed(tar_build(members), 0, 3)
+    # DV commits in range are a typed boundary
+    tar, _a, _b = _two_file_table()
+    dv = delta_add_deletion_vectors(tar, {"a.parquet": [1]}, storage="i")
+    with pytest.raises(NotImplementedError, match="deletion-vector"):
+        delta_change_feed(dv, 0, 1)

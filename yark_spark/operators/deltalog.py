@@ -72,7 +72,9 @@ from yark_spark.operators.roaring import (
 
 __all__ = [
     "delta_add_deletion_vectors",
+    "delta_change_feed",
     "delta_checkpoint_table",
+    "delta_checkpoint_table_v2",
     "delta_column_mapping",
     "delta_column_resolution",
     "delta_live_files",
@@ -1465,3 +1467,82 @@ def _uuid_from_hex(hex32: str) -> str:
     import uuid as _uuid
 
     return str(_uuid.UUID(hex=hex32))
+
+
+def delta_change_feed(
+    tar_payload: bytes,
+    from_version: int,
+    to_version: "int | None" = None,
+    columns: "list[str] | None" = None,
+) -> list[tuple[int, str, dict]]:
+    """CHANGE DATA FEED at file granularity (round 16): the rows that
+    changed in versions ``(from_version, to_version]`` as
+    ``[(commit_version, change_type, row)]`` with change_type
+    ``insert`` / ``delete`` — how an incremental consumer reads a
+    Delta table without rescanning the snapshot (Spark's
+    ``readChangeFeed`` default path when no per-row ``cdc`` files were
+    written). Semantics per the protocol:
+
+    * an ``add`` with ``dataChange: true`` emits its file's rows as
+      inserts at that commit; a ``remove`` with ``dataChange: true``
+      emits the removed file's rows as deletes;
+    * ``dataChange: false`` actions (compaction / OPTIMIZE rewrites)
+      emit NOTHING — the data did not change, only its layout, and a
+      consumer that re-emits compacted rows double-counts every
+      rewrite;
+    * a removed file's bytes must still be present (not vacuumed) —
+      typed error otherwise, matching Spark's CDF retention error;
+    * deletion-vector commits in the range are a typed boundary (their
+      per-row deltas need DV diffing, not file emission).
+    """
+    members = dict(tar_members(tar_payload))
+    commits = sorted(
+        (int(m.group(1)), name)
+        for name, m in ((n, _COMMIT_RE.match(n)) for n in members)
+        if m
+    )
+    if not commits:
+        raise ValueError("delta: no commit files under _delta_log/")
+    last = commits[-1][0]
+    hi = last if to_version is None else to_version
+    if not from_version <= hi <= last:
+        raise ValueError(
+            f"delta: change range ({from_version}, {hi}] outside the log"
+        )
+    out: list[tuple[int, str, dict]] = []
+    for v, name in commits:
+        if not from_version < v <= hi:
+            continue
+        for line in members[name].splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "add" in action:
+                a = action["add"]
+                if not a.get("dataChange", True):
+                    continue  # layout-only rewrite
+                if a.get("deletionVector") is not None:
+                    raise NotImplementedError(
+                        "delta: change feed over deletion-vector commits"
+                    )
+                change = "insert"
+                path = a["path"]
+            elif "remove" in action:
+                r = action["remove"]
+                if not r.get("dataChange", True):
+                    continue
+                change = "delete"
+                path = r["path"]
+            else:
+                continue
+            data = members.get(path)
+            if data is None:
+                raise ValueError(
+                    f"delta: change feed needs {path!r} but it was vacuumed"
+                )
+            cols = columns or ["doc_id"]
+            vals = parquet_read_columns(data, cols)
+            n = len(vals[cols[0]])
+            for i in range(n):
+                out.append((v, change, {c: vals[c][i] for c in cols}))
+    return out

@@ -11016,3 +11016,109 @@ def delta_multipart_checkpoint_features(
         .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
         .applyInPandas(_build_and_resolve, DELTA_MULTIPART_SCHEMA)
     )
+
+
+DELTA_CDF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("commit_version", IntegerType()),
+        StructField("change_type", StringType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def delta_change_feed_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E192 Delta CHANGE DATA FEED (round 16): every 32 docs become a
+    four-commit table — v0 adds the first half, v1 adds the second,
+    v2 REMOVES the first, v3 is an OPTIMIZE rewrite of the second
+    (remove + re-add with dataChange: false). The feed over (0, 3]
+    must emit exactly: the second half as inserts@1 and the first
+    half as deletes@2 — and NOTHING for v3 (a consumer that re-emits
+    compacted rows double-counts every rewrite; a consumer that reads
+    the v0 adds ignores the range bound). File-granularity CDF is how
+    incremental consumers tail a Delta table without rescanning the
+    snapshot. One applyInPandas per table; map-only."""
+    _dl = _register_delta_modules()
+    _feed = _dl.delta_change_feed
+    from yark_spark.operators import parquet_write as _pw_mod
+
+    _tar = _register_container_modules().tar_build
+    _write = _pw_mod.parquet_write
+
+    def _build_and_read(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 32
+        by_id = dict(zip(ids, texts))
+        p0 = _write(
+            {"doc_id": ids[:16], "text": texts[:16]},
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"}, codec="SNAPPY",
+        )
+        p1 = _write(
+            {"doc_id": ids[16:], "text": texts[16:]},
+            types={"doc_id": "INT64", "text": "BYTE_ARRAY"}, codec="SNAPPY",
+        )
+        commits = [
+            [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"metaData": {"id": f"tbl-{tid}",
+                              "format": {"provider": "parquet"}}},
+                {"add": {"path": "p0.parquet", "size": len(p0),
+                         "dataChange": True, "partitionValues": {}}},
+            ],
+            [{"add": {"path": "p1.parquet", "size": len(p1),
+                      "dataChange": True, "partitionValues": {}}}],
+            [{"remove": {"path": "p0.parquet", "dataChange": True}}],
+            [
+                {"remove": {"path": "p1.parquet", "dataChange": False}},
+                {"add": {"path": "p1c.parquet", "size": len(p1),
+                         "dataChange": False, "partitionValues": {}}},
+            ],
+        ]
+        members = [("p0.parquet", p0), ("p1.parquet", p1),
+                   ("p1c.parquet", p1)]
+        for v, actions in enumerate(commits):
+            members.append(
+                (
+                    f"_delta_log/{v:020d}.json",
+                    ("\n".join(_json.dumps(a) for a in actions) + "\n").encode(),
+                )
+            )
+        feed = _feed(_tar(sorted(members)), 0, 3, columns=["doc_id", "text"])
+        out_i, out_v, out_c, out_n, digs = [], [], [], [], []
+        for v, change, row in feed:
+            out_i.append(int(row["doc_id"]))
+            out_v.append(v)
+            out_c.append(change)
+            out_n.append(len(row["text"]))
+            digs.append(
+                _h.md5(by_id[int(row["doc_id"])].encode("utf-8")).hexdigest()
+            )
+        k = len(out_i)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_i, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "commit_version": np.array(out_v, dtype="int32"),
+                "change_type": out_c,
+                "n_chars": np.array(out_n, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(_build_and_read, DELTA_CDF_SCHEMA)
+    )

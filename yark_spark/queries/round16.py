@@ -152,3 +152,30 @@ def q_delta_multipart_checkpoint(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
     return delta_multipart_checkpoint_features(docs)
+
+
+_DELTA_CDF_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CAST(CASE WHEN doc_id % 32 < 16 THEN 2 ELSE 1 END AS INTEGER) "
+    "AS commit_version, "
+    "CASE WHEN doc_id % 32 < 16 THEN 'delete' ELSE 'insert' END "
+    "AS change_type, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 512"
+)
+
+
+@query("q_delta_change_feed", oracle=_DELTA_CDF_ORACLE)
+def q_delta_change_feed(spark, sf_dir):
+    """E192 Delta change data feed (round 16): four-commit tables read
+    incrementally over (0, 3] — second half inserts@1, first half
+    deletes@2, and the v3 OPTIMIZE rewrite (dataChange: false on both
+    actions) emits NOTHING. A consumer that re-emits compacted rows,
+    ignores the range's exclusive lower bound, or drops the delete
+    events fails the hash. This is how downstream pipelines tail a
+    100 TB Delta table in O(changes) instead of rescanning the
+    snapshot. One applyInPandas per table; map-only."""
+    from yark_spark.operators.multimodal import delta_change_feed_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return delta_change_feed_features(docs)
