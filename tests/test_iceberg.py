@@ -552,3 +552,53 @@ def test_manifest_schema_evolution_v1_era_subset():
     assert [d["seq"] for d in data_files] == [0]
     assert [d["content"] for d in data_files] == [0]
     assert delete_files == []
+
+
+def test_incremental_append_scan():
+    """Round 16 (Delta CDF's Iceberg twin): files added by snapshots
+    in (from, to], oldest first, via the parent chain; reused
+    manifests contribute nothing; overwrite snapshots in range and
+    non-ancestor bounds are typed."""
+    from yark_spark.operators.iceberg import (
+        iceberg_commit,
+        iceberg_incremental_files,
+        iceberg_table_create,
+    )
+
+    fields = [{"id": 1, "name": "doc_id", "required": True, "type": "long"}]
+
+    def pq(ids):
+        return parquet_write({"doc_id": list(ids)}, types={"doc_id": "INT64"})
+
+    m = iceberg_table_create(fields)
+    m, s1 = iceberg_commit(m, data_files=[("data/p0.parquet", pq([0, 1]), 2)])
+    m, s2 = iceberg_commit(m, data_files=[("data/p1.parquet", pq([2]), 1)])
+    m, s3 = iceberg_commit(m, data_files=[("data/p2.parquet", pq([3]), 1)])
+    tar = tar_build(sorted(m.items()))
+    inc = iceberg_incremental_files(tar, s1)
+    assert [(sid, f["path"]) for sid, f in inc] == [
+        (s2, "data/p1.parquet"), (s3, "data/p2.parquet"),
+    ]
+    assert [f["path"] for _s, f in iceberg_incremental_files(tar, s1, s2)] == [
+        "data/p1.parquet"
+    ]
+    assert iceberg_incremental_files(tar, s3) == []
+    with pytest.raises(ValueError, match="not an ancestor"):
+        iceberg_incremental_files(tar, s3, s1)
+    with pytest.raises(ValueError, match="not in metadata"):
+        iceberg_incremental_files(tar, 99)
+    # an overwrite/delete snapshot in range cannot be appended-scanned
+    m2, s4 = iceberg_commit(
+        m,
+        delete_files=[{
+            "path": "data/eq.parquet",
+            "blob": pq([2]),
+            "content": 2,
+            "record_count": 1,
+            "equality_ids": [1],
+        }],
+        operation="overwrite",
+    )
+    tar2 = tar_build(sorted(m2.items()))
+    with pytest.raises(NotImplementedError, match="overwrite"):
+        iceberg_incremental_files(tar2, s1)

@@ -11122,3 +11122,98 @@ def delta_change_feed_features(
         .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
         .applyInPandas(_build_and_read, DELTA_CDF_SCHEMA)
     )
+
+
+ICEBERG_INCR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("snap_ordinal", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def iceberg_incremental_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E193 Iceberg INCREMENTAL APPEND SCAN (round 16, the Delta CDF
+    twin): every 64 docs become a three-append table (p0 = first 32
+    docs at snapshot 1, p1 = next 16 at snapshot 2, p2 = rest at
+    snapshot 3); the incremental scan over (s1, s3] must return
+    EXACTLY p1 and p2's rows tagged with their adding snapshot —
+    a reader that rescans the snapshot re-emits p0, one that misses
+    a parent-chain hop drops a file, and reused manifests (every
+    later manifest-list carries the earlier manifests verbatim)
+    contribute nothing. One applyInPandas per table; map-only."""
+    _ice = _register_iceberg_modules()
+    _cont = _register_container_modules()
+    from yark_spark.operators import parquet_data as _pd_mod
+    from yark_spark.operators import parquet_write as _pw
+
+    _tar = _cont.tar_build
+    _write = _pw.parquet_write
+    _read = _pd_mod.parquet_read_columns
+    _create = _ice.iceberg_table_create
+    _commit = _ice.iceberg_commit
+    _incr = _ice.iceberg_incremental_files
+
+    def _build_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 64
+        fields = [
+            {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+            {"id": 2, "name": "text", "required": True, "type": "string"},
+        ]
+
+        def pq(lo, hi):
+            return _write(
+                {"doc_id": ids[lo:hi], "text": texts[lo:hi]},
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                codec="SNAPPY",
+            )
+
+        m = _create(fields, location=f"tbl-{tid}")
+        m, s1 = _commit(
+            m, data_files=[("data/p0.parquet", pq(0, 32), len(ids[:32]))]
+        )
+        m, s2 = _commit(
+            m, data_files=[("data/p1.parquet", pq(32, 48), len(ids[32:48]))]
+        )
+        m, s3 = _commit(
+            m, data_files=[("data/p2.parquet", pq(48, 64), len(ids[48:64]))]
+        )
+        members = dict(m)
+        feed = _incr(_tar(sorted(m.items())), s1, s3)
+        ordinal = {s2: 2, s3: 3}
+        out_i, out_o, out_n, digs = [], [], [], []
+        for sid, rec in feed:
+            cols = _read(members[rec["path"]], ["doc_id", "text"])
+            for did, text in zip(cols["doc_id"], cols["text"]):
+                out_i.append(int(did))
+                out_o.append(ordinal[sid])
+                out_n.append(len(text))
+                digs.append(_h.md5(text.encode("utf-8")).hexdigest())
+        k = len(out_i)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_i, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "snap_ordinal": np.array(out_o, dtype="int32"),
+                "n_chars": np.array(out_n, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
+        .applyInPandas(_build_and_scan, ICEBERG_INCR_SCHEMA)
+    )

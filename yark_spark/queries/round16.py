@@ -179,3 +179,28 @@ def q_delta_change_feed(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
     return delta_change_feed_features(docs)
+
+
+_ICEBERG_INCR_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
+    "CAST(CASE WHEN doc_id % 64 < 48 THEN 2 ELSE 3 END AS INTEGER) "
+    "AS snap_ordinal, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 64 >= 32"
+)
+
+
+@query("q_iceberg_incremental", oracle=_ICEBERG_INCR_ORACLE)
+def q_iceberg_incremental(spark, sf_dir):
+    """E193 Iceberg incremental append scan (round 16, Delta CDF's
+    twin): three-append tables read over (s1, s3] down the
+    parent-snapshot chain — exactly the files snapshots 2 and 3
+    added, tagged by adder, with reused manifests contributing
+    nothing. A snapshot rescan re-emits the first 32 docs and fails
+    the hash; a missed parent hop drops a file. This is how a
+    downstream pipeline tails an Iceberg table in O(new files). One
+    applyInPandas per 64-doc table; map-only."""
+    from yark_spark.operators.multimodal import iceberg_incremental_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return iceberg_incremental_features(docs)
