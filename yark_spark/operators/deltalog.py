@@ -61,7 +61,7 @@ import re
 from yark_spark.operators.containers import tar_build, tar_members
 from yark_spark.operators.parquet_data import parquet_read_columns
 from yark_spark.operators.parquet_meta import parquet_footer
-from yark_spark.operators.parquet_write import parquet_write, pmap
+from yark_spark.operators.parquet_write import parquet_write, plist, pmap
 from yark_spark.operators.png import crc32
 from yark_spark.operators.roaring import (
     roaring64_array_deserialize,
@@ -261,14 +261,26 @@ def _resolve_live(members: dict, version: "int | None" = None) -> dict:
         v2_version = (
             ckpt_version if ckpt_version in v2_ckpts else max(v2_ckpts)
         )
-        if version is not None and version < v2_version:
-            raise ValueError(
-                f"delta: version {version} predates the checkpoint "
-                f"({v2_version}) — its history was vacuumed"
-            )
-        return _replay_from_v2_checkpoint(
-            members, v2_version, v2_ckpts[v2_version], commits, version
+        # highest-version checkpoint wins across ALL forms (ADVICE r16):
+        # a stale UUID-named v2 manifest beside a NEWER classic/multi-part
+        # checkpoint named by _last_checkpoint must not drag replay back
+        # to the older v2 state — the intervening commits may be vacuumed
+        # (which the newer checkpoint permits) and the gapless check
+        # would reject a perfectly readable table
+        classic_newer = (
+            ckpt_version is not None
+            and ckpt_version not in v2_ckpts
+            and ckpt_version > v2_version
         )
+        if not classic_newer:
+            if version is not None and version < v2_version:
+                raise ValueError(
+                    f"delta: version {version} predates the checkpoint "
+                    f"({v2_version}) — its history was vacuumed"
+                )
+            return _replay_from_v2_checkpoint(
+                members, v2_version, v2_ckpts[v2_version], commits, version
+            )
     if ckpt_version is not None:
         if version is not None and version < ckpt_version:
             raise ValueError(
@@ -1402,19 +1414,35 @@ def delta_checkpoint_table_v2(
         m_name = f"_delta_log/{v:020d}.checkpoint.{manifest_uuid}.json"
     else:
         n = 3 + len(sidecar_actions)
+        # full protocol + metaData fidelity (ADVICE r16): mrv 3 without
+        # readerFeatures is an INVALID protocol action per the spec, and
+        # a partitioned table whose parquet manifest drops
+        # partitionColumns loses its partition scan — mirror the
+        # JSON-manifest branch field for field
         manifest = parquet_write(
             {
                 "checkpointMetadata": [{"version": v}] + [None] * (n - 1),
                 "protocol": [
                     None,
-                    {"minReaderVersion": 3},
+                    {
+                        "minReaderVersion": protocol_action["minReaderVersion"],
+                        "minWriterVersion": protocol_action["minWriterVersion"],
+                        "readerFeatures": protocol_action["readerFeatures"],
+                        "writerFeatures": protocol_action["writerFeatures"],
+                    },
                 ] + [None] * (n - 2),
                 "metaData": [
                     None,
                     None,
                     {
                         "id": str(md_action.get("id", "")),
+                        "format": {
+                            "provider": (md_action.get("format") or {}).get(
+                                "provider", "parquet"
+                            )
+                        },
                         "schemaString": md_action.get("schemaString"),
+                        "partitionColumns": md_action.get("partitionColumns"),
                         "configuration": {
                             str(k): str(val)
                             for k, val in (md_action.get("configuration") or {}).items()
@@ -1429,10 +1457,17 @@ def delta_checkpoint_table_v2(
             },
             types={
                 "checkpointMetadata": {"version": "INT64"},
-                "protocol": {"minReaderVersion": "INT32"},
+                "protocol": {
+                    "minReaderVersion": "INT32",
+                    "minWriterVersion": "INT32",
+                    "readerFeatures": plist("BYTE_ARRAY"),
+                    "writerFeatures": plist("BYTE_ARRAY"),
+                },
                 "metaData": {
                     "id": "BYTE_ARRAY",
+                    "format": {"provider": "BYTE_ARRAY"},
                     "schemaString": "BYTE_ARRAY",
+                    "partitionColumns": plist("BYTE_ARRAY"),
                     "configuration": pmap("BYTE_ARRAY", "BYTE_ARRAY"),
                 },
                 "sidecar": {"path": "BYTE_ARRAY", "sizeInBytes": "INT64"},

@@ -1377,7 +1377,16 @@ def iceberg_incremental_files(
         cur = snaps[cur].get("parent-snapshot-id")
     out: list[tuple[int, dict]] = []
     for snap in reversed(chain):  # oldest first
-        op = snap.get("summary", {}).get("operation", "append")
+        # summary/operation is OPTIONAL in v1-era metadata (ADVICE r16):
+        # a snapshot without it cannot be PROVEN an append, and silently
+        # scanning an unproven overwrite/delete as one emits wrong
+        # incremental results — typed, like the non-append case
+        op = snap.get("summary", {}).get("operation")
+        if op is None:
+            raise NotImplementedError(
+                "iceberg: incremental scan over a snapshot with no "
+                "summary.operation (cannot prove it was an append)"
+            )
         if op != "append":
             raise NotImplementedError(
                 f"iceberg: incremental scan over a {op!r} snapshot"

@@ -612,7 +612,7 @@ def delta_log_checkpoint(table_dir: str) -> int:
 
     from yark_spark.operators import deltalog as _dl
     from yark_spark.operators.parquet_data import parquet_read_columns
-    from yark_spark.operators.parquet_write import parquet_write, pmap
+    from yark_spark.operators.parquet_write import parquet_write, plist, pmap
 
     log_dir = os.path.join(table_dir, "_delta_log")
     members: dict[str, bytes] = {}
@@ -642,12 +642,15 @@ def delta_log_checkpoint(table_dir: str) -> int:
                         txns[aid] = max(txns.get(aid, -1), int(ver))
             except ValueError:
                 pass
-            mrvs = parquet_read_columns(
-                old_ck, ["protocol.minReaderVersion"]
-            )["protocol.minReaderVersion"]
-            for mrv in mrvs:
-                if mrv is not None:
-                    protocol_action = {"minReaderVersion": int(mrv)}
+            # full protocol fidelity (ADVICE r16): carry
+            # minWriterVersion + reader/writerFeatures forward, not just
+            # minReaderVersion — mrv 3 without readerFeatures is an
+            # INVALID protocol action per the spec
+            for row in parquet_read_columns(old_ck, ["protocol"])["protocol"]:
+                if row is not None and row.get("minReaderVersion") is not None:
+                    protocol_action = {
+                        k: val for k, val in row.items() if val is not None
+                    }
     for name in sorted(members):
         m = _dl._COMMIT_RE.match(name)
         if not m:
@@ -668,8 +671,14 @@ def delta_log_checkpoint(table_dir: str) -> int:
     paths = sorted(live)
     apps = sorted(txns)
     n = 2 + len(apps) + len(paths)
+    proto = dict(protocol_action or {})
     prs = [
-        {"minReaderVersion": (protocol_action or {}).get("minReaderVersion", 1)}
+        {
+            "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+            "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+            "readerFeatures": proto.get("readerFeatures"),
+            "writerFeatures": proto.get("writerFeatures"),
+        }
     ] + [None] * (n - 1)
     md_row = {"id": str(metadata_action.get("id", ""))}
     if metadata_action.get("schemaString") is not None:
@@ -682,8 +691,29 @@ def delta_log_checkpoint(table_dir: str) -> int:
     ] + [None] * len(paths)
     adds = [None] * (2 + len(apps))
     for p in paths:
-        _ver, size, _dv, pv = live[p]
-        adds.append({"path": p, "size": size, "partitionValues": pv})
+        _ver, size, dv, pv = live[p]
+        # deletionVector descriptors ride the checkpoint (ADVICE r16):
+        # dropping them would RESURRECT DV-deleted rows once the
+        # carrying commits are trimmed — the classic reader already
+        # parses this nested struct back
+        adds.append(
+            {
+                "path": p,
+                "size": size,
+                "partitionValues": pv,
+                "deletionVector": (
+                    {
+                        "storageType": dv.get("storageType"),
+                        "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                        "offset": dv.get("offset"),
+                        "sizeInBytes": dv.get("sizeInBytes"),
+                        "cardinality": dv.get("cardinality"),
+                    }
+                    if dv is not None
+                    else None
+                ),
+            }
+        )
     ckpt = parquet_write(
         {
             "protocol": prs,
@@ -693,7 +723,12 @@ def delta_log_checkpoint(table_dir: str) -> int:
             "remove": [None] * n,
         },
         types={
-            "protocol": {"minReaderVersion": "INT32"},
+            "protocol": {
+                "minReaderVersion": "INT32",
+                "minWriterVersion": "INT32",
+                "readerFeatures": plist("BYTE_ARRAY"),
+                "writerFeatures": plist("BYTE_ARRAY"),
+            },
             "metaData": {
                 "id": "BYTE_ARRAY",
                 "schemaString": "BYTE_ARRAY",
@@ -704,6 +739,13 @@ def delta_log_checkpoint(table_dir: str) -> int:
                 "path": "BYTE_ARRAY",
                 "size": "INT64",
                 "partitionValues": pmap("BYTE_ARRAY", "BYTE_ARRAY"),
+                "deletionVector": {
+                    "storageType": "BYTE_ARRAY",
+                    "pathOrInlineDv": "BYTE_ARRAY",
+                    "offset": "INT64",
+                    "sizeInBytes": "INT64",
+                    "cardinality": "INT64",
+                },
             },
             "remove": {"path": "BYTE_ARRAY"},
         },
