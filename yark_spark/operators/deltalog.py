@@ -81,6 +81,8 @@ __all__ = [
     "delta_live_files_dv",
     "delta_partition_scan",
     "delta_snapshot_rows",
+    "delta_stats",
+    "delta_stats_scan",
 ]
 
 
@@ -152,7 +154,7 @@ def delta_partition_scan(
     probe = {k: _serialize_partition_value(v) for k, v in partition.items()}
     counters = {"files_skipped": 0, "files_scanned": 0}
     out: list[tuple[int, dict]] = []
-    for path, (version, size, dv, pv) in sorted(live.items()):
+    for path, (version, size, dv, pv, _stats) in sorted(live.items()):
         pv = pv or {}
         if any(pv.get(k) != v for k, v in probe.items()):
             counters["files_skipped"] += 1
@@ -380,6 +382,7 @@ def _apply_commit(blob: bytes, version: int, live: dict) -> bool:
                 a.get("size"),
                 a.get("deletionVector"),
                 a.get("partitionValues"),
+                a.get("stats"),
             )
         elif "remove" in action:
             live.pop(action["remove"]["path"], None)
@@ -491,7 +494,7 @@ def delta_add_deletion_vectors(
     members = dict(tar_members(tar_payload))
     resolved = _resolve_live(members)
     live = {
-        path: (version, len(data), old_dead, resolved[path][3])
+        path: (version, len(data), old_dead, resolved[path][3], resolved[path][4])
         for path, version, data, old_dead in delta_live_files_dv(tar_payload)
     }
     missing = [p for p in dead if p not in live]
@@ -507,7 +510,7 @@ def delta_add_deletion_vectors(
 
     payloads: list[tuple[str, bytes, int]] = []  # (path, bitmap, |rows|)
     for path in sorted(dead):
-        _ver, _size, old_rows, _pv = live[path]
+        _ver, _size, old_rows, _pv, _stats = live[path]
         rows = set(old_rows) | {int(r) for r in dead[path]}
         if not rows:
             raise ValueError(f"delta: empty DV for {path!r}")
@@ -565,7 +568,7 @@ def delta_add_deletion_vectors(
         }
     )
     for path in sorted(dead):
-        _ver, size, _old, pv = live[path]
+        _ver, size, _old, pv, stats = live[path]
         actions.append({"remove": {"path": path, "dataChange": True}})
         add_action = {
             "path": path,
@@ -576,6 +579,10 @@ def delta_add_deletion_vectors(
             # unpartitioned) — foreign readers reject its absence
             "partitionValues": pv if pv is not None else {},
         }
+        if stats is not None:
+            # the file's bytes are unchanged by a DV attach — its
+            # column stats stay valid and ride the re-add (round 17)
+            add_action["stats"] = stats
         actions.append({"add": add_action})
     commit = b"\n".join(json.dumps(a).encode("utf-8") for a in actions) + b"\n"
     out = [(n, b) for n, b in members.items()]
@@ -589,7 +596,7 @@ def _finalize(members: dict, live: dict) -> list[tuple[str, int, bytes, frozense
     # every add was later removed may be physically gone (vacuumed) —
     # replay must not require their bytes
     out = []
-    for path, (version, size, dv, _pv) in sorted(live.items()):
+    for path, (version, size, dv, _pv, _stats) in sorted(live.items()):
         data = members.get(path)
         if data is None:
             raise ValueError(f"delta: added file {path!r} missing")
@@ -670,6 +677,12 @@ def _seed_ckpt_part(ckpt_blob: bytes, ckpt_version: int, live: dict) -> bool:
         adds_full = parquet_read_columns(ckpt_blob, ["add"])["add"]
     except (ValueError, NotImplementedError):
         adds_full = None
+    # file-level column stats survive checkpoints as a STRING column
+    # (round 17) — absent on pre-stats checkpoints
+    try:
+        stats_col = parquet_read_columns(ckpt_blob, ["add.stats"])["add.stats"]
+    except ValueError:
+        stats_col = None
     saw_metadata = False
     for i in range(len(cols["add.path"])):
         mrv = cols["protocol.minReaderVersion"][i]
@@ -699,7 +712,8 @@ def _seed_ckpt_part(ckpt_blob: bytes, ckpt_version: int, live: dict) -> bool:
                 if isinstance(raw_pv, list):
                     raw_pv = dict(raw_pv)  # MAP column → (k, v) tuples
                 pv = raw_pv
-            live[p] = (ckpt_version, cols["add.size"][i], dv, pv)
+            stats = stats_col[i] if stats_col is not None else None
+            live[p] = (ckpt_version, cols["add.size"][i], dv, pv, stats)
         # remove rows are EXPIRED tombstones retained for vacuum
         # bookkeeping — by definition not part of the live state
     return saw_metadata
@@ -751,6 +765,10 @@ def _parquet_adds_into_live(
     except (ValueError, NotImplementedError):
         adds_full = None
     try:
+        stats_col = parquet_read_columns(blob, ["add.stats"])["add.stats"]
+    except ValueError:
+        stats_col = None
+    try:
         meta_ids = parquet_read_columns(blob, ["metaData.id"])["metaData.id"]
     except ValueError:
         meta_ids = [None] * len(cols["add.path"])
@@ -773,7 +791,8 @@ def _parquet_adds_into_live(
             if isinstance(raw_pv, list):
                 raw_pv = dict(raw_pv)  # MAP column → (k, v) tuples
             pv = raw_pv
-        live[p] = (ckpt_version, cols["add.size"][i], dv, pv)
+        stats = stats_col[i] if stats_col is not None else None
+        live[p] = (ckpt_version, cols["add.size"][i], dv, pv, stats)
     return saw_metadata
 
 
@@ -824,6 +843,7 @@ def _replay_from_v2_checkpoint(
                     a.get("size"),
                     a.get("deletionVector"),
                     a.get("partitionValues"),
+                    a.get("stats"),
                 )
             # remove rows in a checkpoint are expired tombstones
     else:
@@ -1108,6 +1128,10 @@ def _seed_checkpoint_state(
         adds_full = parquet_read_columns(blob, ["add"])["add"]
     except (ValueError, NotImplementedError):
         adds_full = None
+    try:
+        stats_col = parquet_read_columns(blob, ["add.stats"])["add.stats"]
+    except ValueError:
+        stats_col = None
     live: dict = {}
     mrv = None
     for i in range(len(cols["add.path"])):
@@ -1130,7 +1154,8 @@ def _seed_checkpoint_state(
                 if isinstance(raw_pv, list):
                     raw_pv = dict(raw_pv)
                 pv = raw_pv
-            live[p] = (base_v, cols["add.size"][i], dv, pv)
+            stats = stats_col[i] if stats_col is not None else None
+            live[p] = (base_v, cols["add.size"][i], dv, pv, stats)
     meta = None
     for row in parquet_read_columns(blob, ["metaData"])["metaData"]:
         if row is not None and row.get("id") is not None:
@@ -1229,8 +1254,9 @@ def delta_checkpoint_table(tar_payload: bytes, version: int | None = None) -> by
     mds: list = [None, md_row] + [None] * (n - 2)
     adds: list = [None, None]
     for p in paths:
-        _ver, size, dv, pv = live[p]
-        row = {"path": p, "size": size, "partitionValues": pv}
+        _ver, size, dv, pv, stats = live[p]
+        row = {"path": p, "size": size, "partitionValues": pv,
+               "stats": stats}
         if dv is not None:
             row["deletionVector"] = {
                 "storageType": dv.get("storageType"),
@@ -1258,6 +1284,7 @@ def delta_checkpoint_table(tar_payload: bytes, version: int | None = None) -> by
                 "path": "BYTE_ARRAY",
                 "size": "INT64",
                 "partitionValues": pmap("BYTE_ARRAY", "BYTE_ARRAY"),
+                "stats": "BYTE_ARRAY",
                 "deletionVector": {
                     "storageType": "BYTE_ARRAY",
                     "pathOrInlineDv": "BYTE_ARRAY",
@@ -1349,6 +1376,7 @@ def delta_checkpoint_table_v2(
         "path": "BYTE_ARRAY",
         "size": "INT64",
         "partitionValues": pmap("BYTE_ARRAY", "BYTE_ARRAY"),
+        "stats": "BYTE_ARRAY",
         "deletionVector": {
             "storageType": "BYTE_ARRAY",
             "pathOrInlineDv": "BYTE_ARRAY",
@@ -1359,11 +1387,12 @@ def delta_checkpoint_table_v2(
     }
 
     def _add_row(p):
-        _ver, size, dv, pv = live[p]
+        _ver, size, dv, pv, stats = live[p]
         return {
             "path": p,
             "size": size,
             "partitionValues": pv,
+            "stats": stats,
             "deletionVector": (
                 {
                     "storageType": dv.get("storageType"),
@@ -1581,3 +1610,175 @@ def delta_change_feed(
             for i in range(n):
                 out.append((v, change, {c: vals[c][i] for c in cols}))
     return out
+
+
+# ---------------------------------------------------------------------------
+# File-level column-stats data skipping — round 17 (VERDICT r16 #1)
+# ---------------------------------------------------------------------------
+# The planner layer every real Delta table has: each ``add`` carries a
+# ``stats`` JSON string ({numRecords, minValues, maxValues, nullCount})
+# and engines prune whole FILES on it before touching any parquet
+# footer. At 100 TB this is the difference between O(matching files)
+# and O(table) for any selective predicate — the row-group/page layers
+# below only help once a file is already open.
+
+#: predicate ops understood by the stats pruner (conjunctive list of
+#: ``(column, op, value)``; value is ignored for the null ops)
+_STATS_OPS = ("==", "<", "<=", ">", ">=", "is_null", "not_null")
+
+
+def delta_stats(cols: "dict[str, list]") -> str:
+    """Writer-side stats for one data file's columns → the ``stats``
+    JSON string of the add action (protocol: Per-file Statistics).
+    min/max are over non-null values only; a column of all nulls gets
+    no min/max entry (matching real writers), nullCount records the
+    rest. Deterministic key order for byte-stable commits."""
+    n = len(next(iter(cols.values()))) if cols else 0
+    min_v: dict = {}
+    max_v: dict = {}
+    null_c: dict = {}
+    for name in sorted(cols):
+        vals = cols[name]
+        if len(vals) != n:
+            raise ValueError("delta: ragged columns in stats input")
+        non_null = [v for v in vals if v is not None]
+        null_c[name] = n - len(non_null)
+        if non_null:
+            if isinstance(non_null[0], (bytes, bytearray)):
+                non_null = [
+                    v.decode("utf-8", "replace") for v in non_null
+                ]
+            min_v[name] = min(non_null)
+            max_v[name] = max(non_null)
+    return json.dumps(
+        {
+            "numRecords": n,
+            "minValues": min_v,
+            "maxValues": max_v,
+            "nullCount": null_c,
+        },
+        sort_keys=True,
+    )
+
+
+def _stats_admit(stats: "dict | None", col: str, op: str, value) -> bool:
+    """Can a file whose parsed stats are ``stats`` contain a row
+    matching ``col op value``? Missing stats / missing column entries
+    always admit (pruning is an OPTIMIZATION — absence of evidence
+    must never skip a file). None (SQL NULL) values never match a
+    comparison op, so all-null columns admit only the null ops."""
+    if op not in _STATS_OPS:
+        raise ValueError(f"delta: unknown stats predicate op {op!r}")
+    if stats is None:
+        return True
+    n = stats.get("numRecords")
+    nulls = (stats.get("nullCount") or {}).get(col)
+    if op == "is_null":
+        return not (nulls == 0)
+    if op == "not_null":
+        return not (n is not None and nulls == n)
+    if n is not None and nulls == n:
+        return False  # every value NULL: no comparison can match
+    lo = (stats.get("minValues") or {}).get(col)
+    hi = (stats.get("maxValues") or {}).get(col)
+    if lo is None or hi is None:
+        return True
+    try:
+        if op == "==":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+    except TypeError:
+        return True  # cross-type probe: stats can't prove exclusion
+    return True
+
+
+def _row_matches(row: dict, predicate: list) -> bool:
+    for col, op, value in predicate:
+        v = row.get(col)
+        if op == "is_null":
+            if v is not None:
+                return False
+            continue
+        if op == "not_null":
+            if v is None:
+                return False
+            continue
+        if v is None:
+            return False
+        if isinstance(v, (bytes, bytearray)):
+            v = v.decode("utf-8", "replace")
+        if op == "==" and not v == value:
+            return False
+        if op == "<" and not v < value:
+            return False
+        if op == "<=" and not v <= value:
+            return False
+        if op == ">" and not v > value:
+            return False
+        if op == ">=" and not v >= value:
+            return False
+    return True
+
+
+def delta_stats_scan(
+    tar_payload: bytes,
+    columns: list[str],
+    predicate: "list[tuple[str, str, object]]",
+) -> tuple[list[dict], dict[str, int]]:
+    """Stats-PRUNED snapshot scan (round 17): files whose ``add.stats``
+    prove the conjunctive ``predicate`` (``[(col, op, value)]``, ops
+    ==/</<=/>/>=/is_null/not_null) cannot match are never OPENED — the
+    counters are the plan contract, exactly like the partition scan's.
+    Files without stats always scan (pruning never invents evidence).
+    Surviving files decode through the from-scratch reader, deletion
+    vectors apply, and the predicate re-applies exactly per row.
+    Stats survive checkpoints as a string column (the classic/v2
+    readers above carry them back into the live tuple)."""
+    members = dict(tar_members(tar_payload))
+    if delta_column_resolution(tar_payload) is not None:
+        raise NotImplementedError(
+            "delta: stats scan over a column-mapped table"
+        )
+    live = _resolve_live(members)
+    counters = {"files_skipped": 0, "files_scanned": 0}
+    out: list[dict] = []
+    for path, (_version, size, dv, _pv, stats_raw) in sorted(live.items()):
+        stats = json.loads(stats_raw) if stats_raw else None
+        if not all(
+            _stats_admit(stats, col, op, value)
+            for col, op, value in predicate
+        ):
+            counters["files_skipped"] += 1
+            continue
+        data = members.get(path)
+        if data is None:
+            raise ValueError(f"delta: added file {path!r} missing")
+        if size is not None and size != len(data):
+            raise ValueError(f"delta: size mismatch for {path!r}")
+        counters["files_scanned"] += 1
+        dead = _dv_dead_rows(members, dv) if dv is not None else frozenset()
+        need = list(columns)
+        for col, _op, _v in predicate:
+            if col not in need:
+                need.append(col)
+        cols = parquet_read_columns(data, need)
+        n = len(cols[need[0]]) if need else 0
+        if stats is not None and stats.get("numRecords") not in (None, n):
+            raise ValueError(
+                f"delta: stats numRecords {stats['numRecords']} != "
+                f"actual {n} for {path!r}"
+            )
+        for i in range(n):
+            if i in dead:
+                continue
+            row = {c: cols[c][i] for c in need}
+            if _row_matches(row, predicate):
+                out.append({c: row[c] for c in columns})
+    return out, counters

@@ -83,9 +83,12 @@ __all__ = [
     "MANIFEST_SCHEMA_V3",
     "V1_MANIFEST_LIST_SCHEMA",
     "V1_MANIFEST_SCHEMA",
+    "iceberg_bounds_scan",
     "iceberg_bucket",
     "iceberg_incremental_files",
     "iceberg_plan_snapshot",
+    "iceberg_single_value",
+    "iceberg_single_value_decode",
     "iceberg_snapshot_rows",
     "iceberg_transform",
     "murmur3_x86_32",
@@ -167,6 +170,34 @@ MANIFEST_LIST_READER_SCHEMA = {
     ],
 }
 
+# bounds/counts maps (round 17): Iceberg serializes per-column stats
+# as arrays of key/value records (Avro maps need string keys; the spec
+# uses int field-id keys, hence the k/v-record encoding real manifests
+# carry — e.g. k126_v127 in Java-written files)
+_KV_LONG = {
+    "type": "array",
+    "items": {
+        "type": "record",
+        "name": "k_v_long",
+        "fields": [
+            {"name": "key", "type": "int"},
+            {"name": "value", "type": "long"},
+        ],
+    },
+}
+
+_KV_BYTES = {
+    "type": "array",
+    "items": {
+        "type": "record",
+        "name": "k_v_bytes",
+        "fields": [
+            {"name": "key", "type": "int"},
+            {"name": "value", "type": "bytes"},
+        ],
+    },
+}
+
 MANIFEST_READER_SCHEMA = {
     "type": "record",
     "name": "manifest_entry",
@@ -213,6 +244,29 @@ MANIFEST_READER_SCHEMA = {
                         "type": ["null", "long"],
                         "default": None,
                     },
+                    # file-level column stats (round 17, VERDICT r16
+                    # #1): single-value-serialized per-field bounds +
+                    # counts — the data-skipping layer
+                    {
+                        "name": "value_counts",
+                        "type": ["null", _KV_LONG],
+                        "default": None,
+                    },
+                    {
+                        "name": "null_value_counts",
+                        "type": ["null", _KV_LONG],
+                        "default": None,
+                    },
+                    {
+                        "name": "lower_bounds",
+                        "type": ["null", _KV_BYTES],
+                        "default": None,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": ["null", _KV_BYTES],
+                        "default": None,
+                    },
                 ],
             },
         },
@@ -255,6 +309,46 @@ MANIFEST_SCHEMA_V3 = {
                         "name": "content_size_in_bytes",
                         "type": ["null", "long"],
                     },
+                ],
+            },
+        },
+    ],
+}
+
+#: stats-carrying writer schema (round 17): the v2 shape plus the four
+#: per-column stats fields — commits with ``stats_by_path`` write THIS,
+#: and the reader-schema defaults keep stats-less manifests planning
+#: identically.
+MANIFEST_SCHEMA_STATS = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "file_sequence_number", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                    },
+                    {"name": "value_counts", "type": ["null", _KV_LONG]},
+                    {
+                        "name": "null_value_counts",
+                        "type": ["null", _KV_LONG],
+                    },
+                    {"name": "lower_bounds", "type": ["null", _KV_BYTES]},
+                    {"name": "upper_bounds", "type": ["null", _KV_BYTES]},
                 ],
             },
         },
@@ -306,6 +400,14 @@ def _member(members: dict[str, bytes], path: str) -> bytes:
     if path not in members:
         raise ValueError(f"iceberg: metadata references missing member {path!r}")
     return members[path]
+
+
+def _kv_map(records: "list[dict] | None") -> "dict[int, object] | None":
+    """Decoded ``[{key, value}]`` k/v-record array → ``{field_id:
+    value}`` (the manifest wire for per-column counts/bounds)."""
+    if records is None:
+        return None
+    return {int(r["key"]): r["value"] for r in records}
 
 
 def iceberg_plan_snapshot(
@@ -399,6 +501,11 @@ def iceberg_plan_snapshot(
                 "referenced_data_file": df.get("referenced_data_file"),
                 "content_offset": df.get("content_offset"),
                 "content_size_in_bytes": df.get("content_size_in_bytes"),
+                # k/v-record arrays → {field_id: value} (round 17)
+                "value_counts": _kv_map(df.get("value_counts")),
+                "null_value_counts": _kv_map(df.get("null_value_counts")),
+                "lower_bounds": _kv_map(df.get("lower_bounds")),
+                "upper_bounds": _kv_map(df.get("upper_bounds")),
             }
             if mf.get("content", 0) == 0:
                 if rec["content"] != 0:
@@ -1085,6 +1192,7 @@ def iceberg_commit(
     delete_files: list[dict] | None = None,
     operation: str | None = None,
     extra_summary: "dict[str, str] | None" = None,
+    stats_by_path: "dict[str, dict] | None" = None,
 ) -> tuple[dict[str, bytes], int]:
     """One snapshot commit. ``data_files`` = [(path, parquet_bytes,
     record_count)] — or [(path, size_in_bytes, record_count)] with an
@@ -1107,6 +1215,14 @@ def iceberg_commit(
     * a new vN metadata replaces the old one (single-current-pointer
       discipline; the replaced name is recorded in metadata-log, and
       the whole snapshot lineage stays embedded for time travel).
+
+    ``stats_by_path`` (round 17, VERDICT r16 #1) attaches per-column
+    file stats to data files: ``{path: {"value_counts": {fid: n},
+    "null_value_counts": {fid: n}, "lower_bounds": {fid: value},
+    "upper_bounds": {fid: value}}}`` with PYTHON values — bounds are
+    single-value-serialized here by the schema field's type, and the
+    manifest is written with the stats-carrying schema so readers can
+    data-skip (``iceberg_bounds_scan``).
     """
     data_files = data_files or []
     delete_files = delete_files or []
@@ -1138,6 +1254,13 @@ def iceberg_commit(
         raise ValueError(
             "iceberg: partitioned table commits need (path, blob, "
             "record_count, partition) data files"
+        )
+    if stats_by_path and spec_fields:
+        # silently dropping stats would be worse than refusing: the
+        # partition+stats manifest schema composition is a typed
+        # boundary until built end to end
+        raise NotImplementedError(
+            "iceberg: column stats on partitioned-table commits"
         )
 
     out = dict(members)
@@ -1249,8 +1372,30 @@ def iceberg_commit(
             for p, b, _n in data_files:
                 if isinstance(b, (bytes, bytearray)):
                     out[p] = b  # int size → file already at the location
+            m_schema = MANIFEST_SCHEMA
+            if stats_by_path:
+                # stats-carrying manifest (round 17): bounds serialize
+                # by the schema field's type; every entry carries the
+                # four fields (null when the file has no stats)
+                m_schema = MANIFEST_SCHEMA_STATS
+                types_by_id = {
+                    f["id"]: f["type"] for f in meta["schemas"][0]["fields"]
+                }
+                for e, (p, _b, _n) in zip(entries, data_files):
+                    st = stats_by_path.get(p) or {}
+                    dfd = e["data_file"]
+                    dfd["value_counts"] = _kv_records(st.get("value_counts"))
+                    dfd["null_value_counts"] = _kv_records(
+                        st.get("null_value_counts")
+                    )
+                    dfd["lower_bounds"] = _kv_records(
+                        st.get("lower_bounds"), types_by_id
+                    )
+                    dfd["upper_bounds"] = _kv_records(
+                        st.get("upper_bounds"), types_by_id
+                    )
             m_path = f"metadata/m{seq}-data.avro"
-            m_blob = avro_build(MANIFEST_SCHEMA, entries, codec="deflate")
+            m_blob = avro_build(m_schema, entries, codec="deflate")
             out[m_path] = m_blob
             new_list_records.append(
                 _list_record(m_path, m_blob, 0, len(data_files))
@@ -1418,3 +1563,265 @@ def iceberg_incremental_files(
                     )
                 )
     return out
+
+
+# ---------------------------------------------------------------------------
+# File-level column-stats data skipping — round 17 (VERDICT r16 #1)
+# ---------------------------------------------------------------------------
+# The Iceberg twin of Delta's add.stats pruning: each data_file entry
+# may carry lower_bounds / upper_bounds / value_counts /
+# null_value_counts keyed by schema FIELD ID, values in the spec's
+# single-value serialization (Appendix D). The planner consults them
+# beside the partition conjunction, BEFORE any parquet footer read.
+
+import struct as _struct
+
+
+def iceberg_single_value(value, typ: str) -> bytes:
+    """Single-value serialization (spec Appendix D): the bounds wire.
+    int/date 4-byte LE, long/timestamp(tz) 8-byte LE, float/double
+    IEEE LE, boolean 1 byte, string raw UTF-8, binary raw."""
+    if typ in ("int", "date"):
+        return int(value).to_bytes(4, "little", signed=True)
+    if typ in ("long", "time", "timestamp", "timestamptz"):
+        return int(value).to_bytes(8, "little", signed=True)
+    if typ == "float":
+        return _struct.pack("<f", float(value))
+    if typ == "double":
+        return _struct.pack("<d", float(value))
+    if typ == "boolean":
+        return b"\x01" if value else b"\x00"
+    if typ == "string":
+        return str(value).encode("utf-8")
+    if typ in ("binary", "fixed"):
+        return bytes(value)
+    raise NotImplementedError(f"iceberg: single-value type {typ!r}")
+
+
+def iceberg_single_value_decode(raw: bytes, typ: str):
+    """Inverse of :func:`iceberg_single_value` (width-checked for the
+    fixed-width types — a wrong-width bound is a corrupt manifest)."""
+    raw = bytes(raw)
+    if typ in ("int", "date"):
+        if len(raw) != 4:
+            raise ValueError(f"iceberg: {typ} bound must be 4 bytes")
+        return int.from_bytes(raw, "little", signed=True)
+    if typ in ("long", "time", "timestamp", "timestamptz"):
+        if len(raw) != 8:
+            raise ValueError(f"iceberg: {typ} bound must be 8 bytes")
+        return int.from_bytes(raw, "little", signed=True)
+    if typ == "float":
+        return _struct.unpack("<f", raw)[0]
+    if typ == "double":
+        return _struct.unpack("<d", raw)[0]
+    if typ == "boolean":
+        return raw != b"\x00"
+    if typ == "string":
+        return raw.decode("utf-8")
+    if typ in ("binary", "fixed"):
+        return raw
+    raise NotImplementedError(f"iceberg: single-value type {typ!r}")
+
+
+def _kv_records(
+    mapping: "dict[int, object] | None",
+    types_by_id: "dict[int, str] | None" = None,
+) -> "list[dict] | None":
+    """{field_id: value} → the manifest's k/v-record array; with
+    ``types_by_id`` the values single-value-serialize (bounds),
+    without they stay longs (counts)."""
+    if mapping is None:
+        return None
+    out = []
+    for fid in sorted(mapping):
+        v = mapping[fid]
+        if types_by_id is not None:
+            v = iceberg_single_value(v, types_by_id.get(fid, "long"))
+        out.append({"key": int(fid), "value": v})
+    return out
+
+
+def _bounds_admit(
+    rec: dict, fid: int, typ: str, op: str, value
+) -> bool:
+    """Can data file ``rec`` (a plan record carrying decoded stats
+    maps) contain a row matching ``field op value``? Missing stats
+    admit — pruning never invents evidence. Mirrors the Delta pruner's
+    semantics (NULL never matches a comparison)."""
+    if op not in ("==", "<", "<=", ">", ">=", "is_null", "not_null"):
+        raise ValueError(f"iceberg: unknown predicate op {op!r}")
+    nulls = (rec.get("null_value_counts") or {}).get(fid)
+    n_vals = (rec.get("value_counts") or {}).get(fid)
+    if op == "is_null":
+        return not (nulls == 0)
+    if op == "not_null":
+        return not (
+            nulls is not None and n_vals is not None and nulls == n_vals
+        )
+    if nulls is not None and n_vals is not None and nulls == n_vals:
+        return False  # every value NULL
+    lo_raw = (rec.get("lower_bounds") or {}).get(fid)
+    hi_raw = (rec.get("upper_bounds") or {}).get(fid)
+    if lo_raw is None or hi_raw is None:
+        return True
+    lo = iceberg_single_value_decode(lo_raw, typ)
+    hi = iceberg_single_value_decode(hi_raw, typ)
+    try:
+        if op == "==":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+    except TypeError:
+        return True
+    return True
+
+
+def iceberg_bounds_scan(
+    tar_payload: bytes,
+    columns: list[str],
+    predicate: "list[tuple[str, str, object]]",
+    snapshot_id: "int | None" = None,
+) -> tuple[list[dict], dict[str, int]]:
+    """Bounds-PRUNED snapshot scan (round 17): data files whose
+    lower/upper bounds + null/value counts prove the conjunctive
+    ``predicate`` (``[(col, op, value)]``) cannot match are never
+    OPENED — the ``files_skipped``/``files_scanned`` counters are the
+    plan contract. Delete files are NEVER pruned by data bounds
+    (a position/equality delete applies regardless of the probe);
+    survivors decode, deletes apply with the usual sequence rules,
+    and the predicate re-applies exactly per row."""
+    members = dict(tar_members(tar_payload))
+    fields_by_id, data_files, delete_files = iceberg_plan_snapshot(
+        tar_payload, snapshot_id
+    )
+    name_to_id = {v: k for k, v in fields_by_id.items()}
+    meta_names = [n for n in members if n.endswith(".metadata.json")]
+    meta = json.loads(members[meta_names[0]].decode("utf-8"))
+    schema = next(
+        s
+        for s in meta.get("schemas", [])
+        if s.get("schema-id") == meta.get("current-schema-id", 0)
+    )
+    types_by_id = {f["id"]: f["type"] for f in schema["fields"]}
+    probes: list[tuple[int, str, str, object]] = []
+    for col, op, value in predicate:
+        fid = name_to_id.get(col)
+        if fid is None:
+            raise ValueError(f"iceberg: predicate column {col!r} not in schema")
+        probes.append((fid, types_by_id.get(fid, "long"), op, value))
+
+    # delete files decode unconditionally (never bounds-pruned)
+    pos_deletes: list[tuple[int, dict[str, set[int]]]] = []
+    eq_deletes: list[tuple[int, tuple, set]] = []
+    for d in delete_files:
+        blob = _member(members, d["path"])
+        if len(blob) != d["size"]:
+            raise ValueError(f"iceberg: delete file {d['path']!r} size mismatch")
+        if d["content"] == 1:
+            if d.get("referenced_data_file") is not None:
+                off = d.get("content_offset")
+                size = d.get("content_size_in_bytes")
+                if off is None or size is None:
+                    raise ValueError(
+                        "iceberg: DV entry missing content_offset/"
+                        "content_size_in_bytes"
+                    )
+                rows_set = dv_blob_parse(blob[off : off + size])
+                pos_deletes.append(
+                    (
+                        d["seq"],
+                        {d["referenced_data_file"]: {int(r) for r in rows_set}},
+                    )
+                )
+            else:
+                cols = parquet_read_columns(blob, ["file_path", "pos"])
+                by_path: dict[str, set[int]] = {}
+                for p, pos in zip(cols["file_path"], cols["pos"]):
+                    by_path.setdefault(p, set()).add(int(pos))
+                pos_deletes.append((d["seq"], by_path))
+        else:
+            ids = d.get("equality_ids") or []
+            if not ids:
+                raise ValueError(
+                    "iceberg: equality delete file without equality_ids"
+                )
+            del_cols = [fields_by_id[fid] for fid in ids]
+            vals = _read_by_field_ids(blob, del_cols, name_to_id)
+            n_del = len(vals[del_cols[0]])
+            tuples = {
+                tuple(vals[c][i] for c in del_cols) for i in range(n_del)
+            }
+            eq_deletes.append((d["seq"], tuple(del_cols), tuples))
+
+    counters = {"files_skipped": 0, "files_scanned": 0}
+    out: list[dict] = []
+    for f in sorted(data_files, key=lambda r: r["path"]):
+        if not all(
+            _bounds_admit(f, fid, typ, op, value)
+            for fid, typ, op, value in probes
+        ):
+            counters["files_skipped"] += 1
+            continue
+        blob = _member(members, f["path"])
+        if len(blob) != f["size"]:
+            raise ValueError(f"iceberg: data file {f['path']!r} size mismatch")
+        counters["files_scanned"] += 1
+        need = list(columns)
+        for col, _op, _v in predicate:
+            if col not in need:
+                need.append(col)
+        for _sq, del_cols, _vals in eq_deletes:
+            for col in del_cols:
+                if col not in need:
+                    need.append(col)
+        cols = _read_by_field_ids(blob, need, name_to_id)
+        n = len(cols[need[0]]) if need else 0
+        if n != f["record_count"]:
+            raise ValueError(
+                f"iceberg: data file {f['path']!r} rows {n} != "
+                f"declared {f['record_count']}"
+            )
+        dead: set = set()
+        for sq, by_path in pos_deletes:
+            if sq >= f["seq"]:
+                dead |= by_path.get(f["path"], set())
+        for i in range(n):
+            if i in dead:
+                continue
+            row = {c: cols[c][i] for c in need}
+            if any(
+                sq > f["seq"]
+                and tuple(row[c] for c in del_cols) in vals
+                for sq, del_cols, vals in eq_deletes
+            ):
+                continue
+            ok = True
+            for col, op, value in predicate:
+                v = row.get(col)
+                if op == "is_null":
+                    ok = v is None
+                elif op == "not_null":
+                    ok = v is not None
+                elif v is None:
+                    ok = False
+                elif op == "==":
+                    ok = v == value
+                elif op == "<":
+                    ok = v < value
+                elif op == "<=":
+                    ok = v <= value
+                elif op == ">":
+                    ok = v > value
+                elif op == ">=":
+                    ok = v >= value
+                if not ok:
+                    break
+            if ok:
+                out.append({c: row[c] for c in columns})
+    return out, counters

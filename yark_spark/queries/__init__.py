@@ -42,6 +42,7 @@ from yark_spark.queries import round14  # noqa: F401,E402
 from yark_spark.queries import round14b  # noqa: F401,E402
 from yark_spark.queries import round15  # noqa: F401,E402
 from yark_spark.queries import round16  # noqa: F401,E402
+from yark_spark.queries import round17  # noqa: F401,E402
 from yark_spark.queries import round3  # noqa: F401,E402  (keep LAST)
 
 # Keys with a green driver CORRECTNESS row from round 1 (the first 50

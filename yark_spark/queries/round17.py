@@ -1,0 +1,80 @@
+"""Round-17 operator batch: file-level column-stats data skipping on
+both lakehouse read paths (VERDICT r16 next-round #1) — the planner
+layer every real table has: Delta ``add.stats`` JSON and Iceberg
+``lower_bounds``/``upper_bounds``, pruning files BEFORE any parquet
+footer read.
+
+Reference parity note: the reference archiver (SupBlizard/yark,
+768 LoC) stores fetched payloads opaquely in SQLite; these keys extend
+the driver-mandated training-data-pipeline surface (SURVEY.md §2.8),
+each with a DuckDB oracle re-deriving the semantics from the same
+parquet tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yark_spark.io import load_table
+from yark_spark.registry import query
+
+# survivors: doc_id%32 in [16,24) minus the DV'd row 20 on odd tables;
+# counters constant by construction (2 skipped / 2 scanned per table)
+_DELTA_STATS_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CAST(2 AS INTEGER) AS files_skipped, "
+    "CAST(2 AS INTEGER) AS files_scanned, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 512 "
+    "AND doc_id % 32 >= 16 AND doc_id % 32 < 24 "
+    "AND NOT ((doc_id // 32) % 2 = 1 AND doc_id % 32 = 20)"
+)
+
+
+@query("q_delta_stats_skip", oracle=_DELTA_STATS_ORACLE)
+def q_delta_stats_skip(spark, sf_dir):
+    """E194 Delta file-level stats skipping (round 17, VERDICT r16
+    #1): 4-file tables whose add actions carry stats JSON (file 1
+    deliberately stats-less, files 0/3 pyarrow-written); the doc_id
+    range predicate must skip exactly the two provably-excluded files
+    and scan the stats-less one (`operators/deltalog.py
+    delta_stats_scan`). Odd tables attach a DV to the surviving file
+    (stats ride the re-add), tables %4==2/3 rewrite into classic/v2
+    checkpoints first (stats survive as the string column). A reader
+    that opens everything, skips the stats-less file, or loses stats
+    across a checkpoint fails the counters. One applyInPandas per
+    table; map-only."""
+    from yark_spark.operators.multimodal import delta_stats_skip_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return delta_stats_skip_features(docs)
+
+
+# survivors: doc_id%64 in [32,56) minus the equality-deleted 35/51
+_ICEBERG_BOUNDS_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
+    "CAST(2 AS INTEGER) AS files_skipped, "
+    "CAST(2 AS INTEGER) AS files_scanned, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 512 "
+    "AND doc_id % 64 >= 32 AND doc_id % 64 < 56 "
+    "AND doc_id % 64 NOT IN (35, 51)"
+)
+
+
+@query("q_iceberg_bounds_prune", oracle=_ICEBERG_BOUNDS_ORACLE)
+def q_iceberg_bounds_prune(spark, sf_dir):
+    """E195 Iceberg file-level bounds pruning (round 17, VERDICT r16
+    #1, the Delta stats twin): manifest entries carry lower/upper
+    bounds + value/null counts (single-value serialization, field-id
+    keyed k/v records; file 1 pyarrow-written); the range predicate
+    must skip exactly files 0/1 and scan 2/3
+    (`operators/iceberg.py iceberg_bounds_scan`), while the equality
+    DELETE file is never bounds-pruned — its keys vanish from the
+    survivors. A reader that ignores bounds, prunes the delete file,
+    or mis-decodes the single-value wire fails counters or hash. One
+    applyInPandas per 64-doc table; map-only."""
+    from yark_spark.operators.multimodal import iceberg_bounds_prune_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return iceberg_bounds_prune_features(docs)

@@ -691,7 +691,7 @@ def delta_log_checkpoint(table_dir: str) -> int:
     ] + [None] * len(paths)
     adds = [None] * (2 + len(apps))
     for p in paths:
-        _ver, size, dv, pv = live[p]
+        _ver, size, dv, pv, stats = live[p]
         # deletionVector descriptors ride the checkpoint (ADVICE r16):
         # dropping them would RESURRECT DV-deleted rows once the
         # carrying commits are trimmed — the classic reader already
@@ -701,6 +701,7 @@ def delta_log_checkpoint(table_dir: str) -> int:
                 "path": p,
                 "size": size,
                 "partitionValues": pv,
+                "stats": stats,
                 "deletionVector": (
                     {
                         "storageType": dv.get("storageType"),
@@ -739,6 +740,7 @@ def delta_log_checkpoint(table_dir: str) -> int:
                 "path": "BYTE_ARRAY",
                 "size": "INT64",
                 "partitionValues": pmap("BYTE_ARRAY", "BYTE_ARRAY"),
+                "stats": "BYTE_ARRAY",
                 "deletionVector": {
                     "storageType": "BYTE_ARRAY",
                     "pathOrInlineDv": "BYTE_ARRAY",
