@@ -1128,8 +1128,122 @@ def test_change_feed_guards():
                if n != "a.parquet"]
     with pytest.raises(ValueError, match="vacuumed"):
         delta_change_feed(tar_build(members), 0, 3)
-    # DV commits in range are a typed boundary
+    # DV commits emit the DV DIFF as per-row deletes (round 17 — was a
+    # typed reject): attaching a DV to a.parquet row 1 is one delete
     tar, _a, _b = _two_file_table()
     dv = delta_add_deletion_vectors(tar, {"a.parquet": [1]}, storage="i")
-    with pytest.raises(NotImplementedError, match="deletion-vector"):
-        delta_change_feed(dv, 0, 1)
+    events = delta_change_feed(dv, 0, 1)
+    assert events == [(1, "delete", {"doc_id": 1})]
+    # a second attach emits only the NEWLY killed row, not row 1 again
+    dv2 = delta_add_deletion_vectors(dv, {"a.parquet": [1, 5]}, storage="i")
+    assert delta_change_feed(dv2, 1, 2) == [(2, "delete", {"doc_id": 5})]
+
+
+def _cdc(path, blob):
+    return {"cdc": {"path": path, "size": len(blob), "dataChange": False,
+                    "partitionValues": {}}}
+
+
+def _cdc_pq(ids, changes):
+    return parquet_write(
+        {"doc_id": list(ids), "text": [f"t{i}" for i in ids],
+         "_change_type": list(changes)},
+        types={"doc_id": "INT64", "text": "BYTE_ARRAY",
+               "_change_type": "BYTE_ARRAY"},
+        codec="SNAPPY",
+    )
+
+
+def test_change_feed_cdc_suppresses_synthesis():
+    """A commit carrying cdc actions IS the change record: its
+    _change_data rows (with _change_type) come out verbatim and the
+    rewrite add/remove beside them emit NOTHING (round 17)."""
+    a, a2 = _pq([0, 1, 2, 3]), _pq([0, 1, 20, 30])
+    cdc = _cdc_pq(
+        [2, 2, 3, 3],
+        ["update_preimage", "update_postimage",
+         "update_preimage", "update_postimage"],
+    )
+    blob = _table(
+        [
+            _commit(0, _PROTO, _META, _add("a.parquet", a)),
+            _commit(
+                1,
+                _rm("a.parquet"),
+                _add("a2.parquet", a2),
+                _cdc("_change_data/c0.parquet", cdc),
+            ),
+        ],
+        [("a.parquet", a), ("a2.parquet", a2),
+         ("_change_data/c0.parquet", cdc)],
+    )
+    events = delta_change_feed(blob, 0, 1)
+    assert events == [
+        (1, "update_preimage", {"doc_id": 2}),
+        (1, "update_postimage", {"doc_id": 2}),
+        (1, "update_preimage", {"doc_id": 3}),
+        (1, "update_postimage", {"doc_id": 3}),
+    ]
+
+
+def test_change_feed_remove_subtracts_dv_dead_rows():
+    """Removing a file that carried a DV emits only the rows STILL
+    LIVE at removal — re-emitting DV-killed rows double-counts them
+    (ADVICE r16)."""
+    tar, _a, _b = _two_file_table()
+    dv = delta_add_deletion_vectors(tar, {"a.parquet": [0, 2]}, storage="i")
+    # version 2: genuinely remove a.parquet
+    from yark_spark.operators.containers import tar_members
+
+    members = list(tar_members(dv))
+    members.append(_commit(2, _rm("a.parquet")))
+    blob = tar_build(sorted(members))
+    events = delta_change_feed(blob, 1, 2)
+    assert [(v, c, r["doc_id"]) for v, c, r in events] == [
+        (2, "delete", 1), (2, "delete", 3), (2, "delete", 4),
+        (2, "delete", 5), (2, "delete", 6), (2, "delete", 7),
+    ]
+
+
+def test_change_feed_new_file_with_dv_inserts_live_rows_only():
+    """An add-only action whose descriptor already carries a DV
+    inserts only the undeleted rows."""
+    a = _pq([0, 1, 2])
+    from yark_spark.operators.roaring import (
+        roaring64_array_serialize,
+        z85_encode,
+    )
+
+    bitmap = roaring64_array_serialize([1])
+    padded = bitmap + b"\x00" * (-len(bitmap) % 4)
+    dv = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(padded),
+        "offset": 0,
+        "sizeInBytes": len(bitmap),
+        "cardinality": 1,
+    }
+    proto_v3 = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+    }
+    blob = _table(
+        [
+            _commit(0, proto_v3, _META),
+            _commit(
+                1,
+                {"add": {"path": "a.parquet", "size": len(a),
+                         "dataChange": True, "partitionValues": {},
+                         "deletionVector": dv}},
+            ),
+        ],
+        [("a.parquet", a)],
+    )
+    events = delta_change_feed(blob, 0, 1)
+    assert [(v, c, r["doc_id"]) for v, c, r in events] == [
+        (1, "insert", 0), (1, "insert", 2),
+    ]

@@ -1533,31 +1533,56 @@ def _uuid_from_hex(hex32: str) -> str:
     return str(_uuid.UUID(hex=hex32))
 
 
+def _file_rows(
+    members: dict, path: str, cols: list[str]
+) -> list[dict]:
+    data = members.get(path)
+    if data is None:
+        raise ValueError(
+            f"delta: change feed needs {path!r} but it was vacuumed"
+        )
+    vals = parquet_read_columns(data, cols)
+    n = len(vals[cols[0]]) if cols else 0
+    return [{c: vals[c][i] for c in cols} for i in range(n)]
+
+
 def delta_change_feed(
     tar_payload: bytes,
     from_version: int,
     to_version: "int | None" = None,
     columns: "list[str] | None" = None,
 ) -> list[tuple[int, str, dict]]:
-    """CHANGE DATA FEED at file granularity (round 16): the rows that
-    changed in versions ``(from_version, to_version]`` as
-    ``[(commit_version, change_type, row)]`` with change_type
-    ``insert`` / ``delete`` — how an incremental consumer reads a
-    Delta table without rescanning the snapshot (Spark's
-    ``readChangeFeed`` default path when no per-row ``cdc`` files were
-    written). Semantics per the protocol:
+    """CHANGE DATA FEED (round 16; per-row path round 17, VERDICT r16
+    #2): the rows that changed in versions ``(from_version,
+    to_version]`` as ``[(commit_version, change_type, row)]`` — how an
+    incremental consumer reads a Delta table without rescanning the
+    snapshot (Spark's ``readChangeFeed``). Semantics per the protocol:
 
-    * an ``add`` with ``dataChange: true`` emits its file's rows as
-      inserts at that commit; a ``remove`` with ``dataChange: true``
-      emits the removed file's rows as deletes;
+    * a commit carrying ``cdc`` actions IS the change record: its
+      ``_change_data`` parquet files carry the rows with a
+      ``_change_type`` column (``insert`` / ``delete`` /
+      ``update_preimage`` / ``update_postimage``), and add/remove
+      synthesis is SUPPRESSED for that commit — real Spark reads cdc
+      files and ignores the rewrite actions beside them (a reader
+      that emits both double-counts every MERGE/UPDATE);
+    * otherwise an ``add`` with ``dataChange: true`` emits its file's
+      LIVE rows (minus any deletion vector it carries) as inserts; a
+      ``remove`` with ``dataChange: true`` emits the removed file's
+      rows MINUS the rows its prior DV had already deleted (emitting
+      those again would double-count them — ADVICE r16);
+    * a remove + re-``add`` of the SAME path where the add carries a
+      deletion vector is a DV UPDATE: the per-row deletes are the DV
+      DIFF (new dead minus old dead), exactly the rows this commit
+      killed — previously a typed reject;
     * ``dataChange: false`` actions (compaction / OPTIMIZE rewrites)
-      emit NOTHING — the data did not change, only its layout, and a
-      consumer that re-emits compacted rows double-counts every
-      rewrite;
-    * a removed file's bytes must still be present (not vacuumed) —
-      typed error otherwise, matching Spark's CDF retention error;
-    * deletion-vector commits in the range are a typed boundary (their
-      per-row deltas need DV diffing, not file emission).
+      emit NOTHING — the data did not change, only its layout;
+    * a needed file's bytes must still be present (not vacuumed) —
+      typed error otherwise, matching Spark's CDF retention error.
+
+    State (which DV each live file carried) is seeded at
+    ``from_version`` through the shared replay core, so
+    checkpoint-trimmed logs work as long as ``from_version`` is not
+    older than the checkpoint (same rule as time travel).
     """
     members = dict(tar_members(tar_payload))
     commits = sorted(
@@ -1573,42 +1598,96 @@ def delta_change_feed(
         raise ValueError(
             f"delta: change range ({from_version}, {hi}] outside the log"
         )
+    cols = columns or ["doc_id"]
+    # dead-row state per live path at from_version (DV diffing needs
+    # the OLD dead set when a commit swaps descriptors)
+    dead_state: dict[str, frozenset] = {}
+    for path, (_v, _s, dv, _pv, _st) in _resolve_live(
+        members, version=from_version
+    ).items():
+        dead_state[path] = (
+            _dv_dead_rows(members, dv) if dv is not None else frozenset()
+        )
     out: list[tuple[int, str, dict]] = []
     for v, name in commits:
-        if not from_version < v <= hi:
+        if v <= from_version or v > hi:
             continue
+        adds: dict[str, dict] = {}
+        removes: dict[str, dict] = {}
+        cdc_paths: list[str] = []
         for line in members[name].splitlines():
             if not line.strip():
                 continue
             action = json.loads(line)
             if "add" in action:
-                a = action["add"]
-                if not a.get("dataChange", True):
-                    continue  # layout-only rewrite
-                if a.get("deletionVector") is not None:
-                    raise NotImplementedError(
-                        "delta: change feed over deletion-vector commits"
-                    )
-                change = "insert"
-                path = a["path"]
+                adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
-                r = action["remove"]
-                if not r.get("dataChange", True):
-                    continue
-                change = "delete"
-                path = r["path"]
-            else:
-                continue
-            data = members.get(path)
-            if data is None:
-                raise ValueError(
-                    f"delta: change feed needs {path!r} but it was vacuumed"
-                )
-            cols = columns or ["doc_id"]
-            vals = parquet_read_columns(data, cols)
-            n = len(vals[cols[0]])
-            for i in range(n):
-                out.append((v, change, {c: vals[c][i] for c in cols}))
+                removes[action["remove"]["path"]] = action["remove"]
+            elif "cdc" in action:
+                cdc_paths.append(action["cdc"]["path"])
+        if cdc_paths:
+            # per-row path: the cdc files ARE the feed for this commit
+            for path in cdc_paths:
+                for row in _file_rows(
+                    members, path, [*cols, "_change_type"]
+                ):
+                    change = row.pop("_change_type")
+                    out.append((v, change, row))
+        else:
+            for path in sorted(set(adds) | set(removes)):
+                a = adds.get(path)
+                r = removes.get(path)
+                if a is not None and r is not None:
+                    # same-path remove + re-add in one commit
+                    if not a.get("dataChange", True):
+                        continue  # OPTIMIZE-shaped rewrite
+                    old_dead = dead_state.get(path, frozenset())
+                    new_dead = (
+                        _dv_dead_rows(members, a["deletionVector"])
+                        if a.get("deletionVector") is not None
+                        else frozenset()
+                    )
+                    rows = _file_rows(members, path, cols)
+                    if a.get("deletionVector") is not None:
+                        # DV update: deletes = the rows THIS commit
+                        # killed (new dead minus old dead)
+                        for i in sorted(new_dead - old_dead):
+                            out.append((v, "delete", rows[i]))
+                    else:
+                        # content rewrite: old live rows out, new in
+                        for i, row in enumerate(rows):
+                            if i not in old_dead:
+                                out.append((v, "delete", row))
+                        for row in rows:
+                            out.append((v, "insert", row))
+                elif r is not None:
+                    if not r.get("dataChange", True):
+                        continue
+                    old_dead = dead_state.get(path, frozenset())
+                    for i, row in enumerate(_file_rows(members, path, cols)):
+                        if i not in old_dead:
+                            out.append((v, "delete", row))
+                else:
+                    if not a.get("dataChange", True):
+                        continue
+                    dead = (
+                        _dv_dead_rows(members, a["deletionVector"])
+                        if a.get("deletionVector") is not None
+                        else frozenset()
+                    )
+                    for i, row in enumerate(_file_rows(members, path, cols)):
+                        if i not in dead:
+                            out.append((v, "insert", row))
+        # roll state forward (also for cdc commits: their add/remove
+        # actions still change the live file set)
+        for path in removes:
+            dead_state.pop(path, None)
+        for path, a in adds.items():
+            dead_state[path] = (
+                _dv_dead_rows(members, a["deletionVector"])
+                if a.get("deletionVector") is not None
+                else frozenset()
+            )
     return out
 
 

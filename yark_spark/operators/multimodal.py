@@ -11551,3 +11551,136 @@ def iceberg_bounds_prune_features(
         .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
         .applyInPandas(_build_and_scan, ICEBERG_BOUNDS_PRUNE_SCHEMA)
     )
+
+
+DELTA_CDF_ROWS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("commit_version", IntegerType()),
+        StructField("change_type", StringType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def delta_cdf_rows_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E196 Delta PER-ROW CHANGE DATA FEED (round 17, VERDICT r16 #2):
+    every 32 docs become a four-commit table — v0 adds the first half,
+    v1 adds the second, v2 is a MERGE-shaped UPDATE of the first four
+    docs (remove + rewritten re-add PLUS a ``cdc`` action whose
+    ``_change_data`` parquet carries update_preimage/update_postimage
+    rows with a ``_change_type`` column), v3 attaches a deletion
+    vector killing the second file's first four rows. The feed over
+    (0, 3] must emit: the second half as inserts@1, EXACTLY the 8 cdc
+    rows @2 (a reader that also synthesizes from the rewrite actions
+    double-counts the update), and the DV DIFF as 4 deletes@3 (was a
+    typed reject). Postimage digests prove the cdc file's values flow
+    through (text + '-v2'). One applyInPandas per table; map-only."""
+    _dl = _register_delta_modules()
+    _feed = _dl.delta_change_feed
+    _add_dv = _dl.delta_add_deletion_vectors
+    from yark_spark.operators import parquet_write as _pw_mod
+
+    _cont = _register_container_modules()
+    _tar = _cont.tar_build
+    _write = _pw_mod.parquet_write
+
+    def _build_and_read(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 32
+        texts_v2 = [
+            t + "-v2" if i < 4 else t for i, t in enumerate(texts[:16])
+        ]
+
+        def pq(id_chunk, text_chunk):
+            return _write(
+                {"doc_id": id_chunk, "text": text_chunk},
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                codec="SNAPPY",
+            )
+
+        p0 = pq(ids[:16], texts[:16])
+        p0v2 = pq(ids[:16], texts_v2)
+        p1 = pq(ids[16:], texts[16:])
+        cdc = _write(
+            {
+                "doc_id": ids[:4] + ids[:4],
+                "text": texts[:4] + texts_v2[:4],
+                "_change_type": ["update_preimage"] * 4
+                + ["update_postimage"] * 4,
+            },
+            types={
+                "doc_id": "INT64",
+                "text": "BYTE_ARRAY",
+                "_change_type": "BYTE_ARRAY",
+            },
+            codec="SNAPPY",
+        )
+        commits = [
+            [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"metaData": {"id": f"tbl-{tid}",
+                              "format": {"provider": "parquet"}}},
+                {"add": {"path": "p0.parquet", "size": len(p0),
+                         "dataChange": True, "partitionValues": {}}},
+            ],
+            [{"add": {"path": "p1.parquet", "size": len(p1),
+                      "dataChange": True, "partitionValues": {}}}],
+            [
+                {"remove": {"path": "p0.parquet", "dataChange": True}},
+                {"add": {"path": "p0v2.parquet", "size": len(p0v2),
+                         "dataChange": True, "partitionValues": {}}},
+                {"cdc": {"path": "_change_data/c0.parquet",
+                         "size": len(cdc), "dataChange": False,
+                         "partitionValues": {}}},
+            ],
+        ]
+        members = [("p0.parquet", p0), ("p0v2.parquet", p0v2),
+                   ("p1.parquet", p1), ("_change_data/c0.parquet", cdc)]
+        for v, actions in enumerate(commits):
+            members.append(
+                (
+                    f"_delta_log/{v:020d}.json",
+                    ("\n".join(_json.dumps(a) for a in actions) + "\n").encode(),
+                )
+            )
+        tar = _tar(sorted(members))
+        # v3: DV attach killing p1's first four rows (the per-row
+        # delete path — the diff, not the file, must come out)
+        tar = _add_dv(tar, {"p1.parquet": [0, 1, 2, 3]})
+        feed = _feed(tar, 0, 3, columns=["doc_id", "text"])
+        out_i, out_v, out_c, out_n, digs = [], [], [], [], []
+        for v, change, row in feed:
+            out_i.append(int(row["doc_id"]))
+            out_v.append(v)
+            out_c.append(change)
+            out_n.append(len(row["text"]))
+            digs.append(_h.md5(row["text"].encode("utf-8")).hexdigest())
+        k = len(out_i)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_i, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "commit_version": np.array(out_v, dtype="int32"),
+                "change_type": out_c,
+                "n_chars": np.array(out_n, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(_build_and_read, DELTA_CDF_ROWS_SCHEMA)
+    )

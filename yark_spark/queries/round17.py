@@ -78,3 +78,46 @@ def q_iceberg_bounds_prune(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
     return iceberg_bounds_prune_features(docs)
+
+
+_DELTA_CDF_ROWS_ORACLE = (
+    "SELECT doc_id, table_id, commit_version, change_type, n_chars, digest "
+    "FROM ("
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CAST(1 AS INTEGER) AS commit_version, 'insert' AS change_type, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 32 >= 16 "
+    "UNION ALL "
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT), CAST(2 AS INTEGER), "
+    "'update_preimage', CAST(length(text) AS INTEGER), md5(text) "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 32 < 4 "
+    "UNION ALL "
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT), CAST(2 AS INTEGER), "
+    "'update_postimage', CAST(length(text) + 3 AS INTEGER), "
+    "md5(text || '-v2') "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 32 < 4 "
+    "UNION ALL "
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT), CAST(3 AS INTEGER), "
+    "'delete', CAST(length(text) AS INTEGER), md5(text) "
+    "FROM documents WHERE doc_id < 512 "
+    "AND doc_id % 32 >= 16 AND doc_id % 32 < 20"
+    ")"
+)
+
+
+@query("q_delta_cdf_rows", oracle=_DELTA_CDF_ROWS_ORACLE)
+def q_delta_cdf_rows(spark, sf_dir):
+    """E196 Delta per-row change data feed (round 17, VERDICT r16 #2):
+    four-commit tables where v2 is a MERGE-shaped UPDATE carrying a
+    ``cdc`` action (`_change_data` parquet with ``_change_type``
+    update_preimage/update_postimage rows) beside its rewrite actions,
+    and v3 attaches a deletion vector. The feed over (0, 3] must emit
+    inserts@1, EXACTLY the 8 cdc rows @2 (synthesis suppressed — a
+    reader emitting both double-counts the update), and the DV diff
+    as per-row deletes@3 (`operators/deltalog.py delta_change_feed`).
+    Postimage digests pin that cdc file VALUES flow through. One
+    applyInPandas per table; map-only."""
+    from yark_spark.operators.multimodal import delta_cdf_rows_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return delta_cdf_rows_features(docs)
