@@ -11684,3 +11684,117 @@ def delta_cdf_rows_features(
         .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
         .applyInPandas(_build_and_read, DELTA_CDF_ROWS_SCHEMA)
     )
+
+
+ICEBERG_CHANGELOG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("snap_ordinal", IntegerType()),
+        StructField("change_type", StringType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def iceberg_changelog_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E197 Iceberg CHANGELOG SCAN (round 17, VERDICT r16 #3): every
+    64 docs become a four-snapshot table — s1 appends the first half,
+    s2 appends two more files, s3 REMOVES one of them (manifest
+    rewrite with DELETED-status entries, explicit sequence numbers),
+    s4 adds an equality delete killing doc_id%16==5 keys. The
+    changelog over (s1, s4] must emit s2's rows as inserts, the
+    removed file's rows as deletes@s3, and exactly the equality-hit
+    LIVE rows as deletes@s4 (keys inside the already-removed file
+    must NOT re-emit). Where the incremental append scan raises on
+    overwrite/delete snapshots, this is the CDC consumer's view
+    (`operators/iceberg.py iceberg_changelog`). One applyInPandas per
+    table; map-only."""
+    _ice = _register_iceberg_modules()
+    _cont = _register_container_modules()
+    from yark_spark.operators import parquet_write as _pw
+
+    _tar = _cont.tar_build
+    _write = _pw.parquet_write
+    _create = _ice.iceberg_table_create
+    _commit = _ice.iceberg_commit
+    _changelog = _ice.iceberg_changelog
+
+    def _build_and_read(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 64
+        fields = [
+            {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+            {"id": 2, "name": "text", "required": True, "type": "string"},
+        ]
+
+        def pq_slice(lo, hi):
+            return _write(
+                {"doc_id": ids[lo:hi], "text": texts[lo:hi]},
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                codec="SNAPPY",
+            )
+
+        m = _create(fields, location=f"tbl-{tid}")
+        m, s1 = _commit(
+            m, data_files=[("data/p0.parquet", pq_slice(0, 32), len(ids[:32]))]
+        )
+        files2 = [("data/p1.parquet", pq_slice(32, 48), len(ids[32:48]))]
+        if len(ids) > 48:
+            files2.append(
+                ("data/p2.parquet", pq_slice(48, 64), len(ids[48:64]))
+            )
+        m, _s2 = _commit(m, data_files=files2)
+        m, _s3 = _commit(m, remove_files=["data/p1.parquet"])
+        eq_keys = [i for i in ids if i % 16 == 5]
+        del_blob = _write(
+            {"doc_id": eq_keys}, types={"doc_id": "INT64"}, codec="SNAPPY"
+        )
+        m, s4 = _commit(
+            m,
+            delete_files=[
+                {
+                    "path": "data/d0.parquet",
+                    "blob": del_blob,
+                    "content": 2,
+                    "record_count": len(eq_keys),
+                    "equality_ids": [1],
+                }
+            ],
+        )
+        feed = _changelog(
+            _tar(sorted(m.items())), s1, s4, columns=["doc_id", "text"]
+        )
+        out_i, out_o, out_c, out_n, digs = [], [], [], [], []
+        for sid, change, row in feed:
+            out_i.append(int(row["doc_id"]))
+            out_o.append(sid)
+            out_c.append(change)
+            out_n.append(len(row["text"]))
+            digs.append(_h.md5(row["text"].encode("utf-8")).hexdigest())
+        k = len(out_i)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_i, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "snap_ordinal": np.array(out_o, dtype="int32"),
+                "change_type": out_c,
+                "n_chars": np.array(out_n, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
+        .applyInPandas(_build_and_read, ICEBERG_CHANGELOG_SCHEMA)
+    )

@@ -121,3 +121,41 @@ def q_delta_cdf_rows(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
     return delta_cdf_rows_features(docs)
+
+
+_ICEBERG_CHANGELOG_ORACLE = (
+    "SELECT doc_id, table_id, snap_ordinal, change_type, n_chars, digest "
+    "FROM ("
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
+    "CAST(2 AS INTEGER) AS snap_ordinal, 'insert' AS change_type, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 64 >= 32 "
+    "UNION ALL "
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT), CAST(3 AS INTEGER), "
+    "'delete', CAST(length(text) AS INTEGER), md5(text) "
+    "FROM documents WHERE doc_id < 512 "
+    "AND doc_id % 64 >= 32 AND doc_id % 64 < 48 "
+    "UNION ALL "
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT), CAST(4 AS INTEGER), "
+    "'delete', CAST(length(text) AS INTEGER), md5(text) "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 16 = 5 "
+    "AND (doc_id % 64 < 32 OR doc_id % 64 >= 48)"
+    ")"
+)
+
+
+@query("q_iceberg_changelog", oracle=_ICEBERG_CHANGELOG_ORACLE)
+def q_iceberg_changelog(spark, sf_dir):
+    """E197 Iceberg changelog scan (round 17, VERDICT r16 #3): four-
+    snapshot tables mixing appends, a file REMOVAL (manifest rewrite
+    with DELETED entries + explicit sequence numbers), and an equality
+    delete. The changelog over (s1, s4] emits inserts@2, the removed
+    file's rows as deletes@3, and equality-hit LIVE rows as deletes@4
+    — keys inside the already-removed file must not re-emit, and a
+    reader that rescans snapshots or misses the parent hop fails the
+    hash (`operators/iceberg.py iceberg_changelog`). One applyInPandas
+    per 64-doc table; map-only."""
+    from yark_spark.operators.multimodal import iceberg_changelog_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return iceberg_changelog_features(docs)
