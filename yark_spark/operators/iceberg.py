@@ -72,8 +72,9 @@ from __future__ import annotations
 import json
 
 from yark_spark.operators.avro_ocf import avro_build, avro_records
-from yark_spark.operators.containers import tar_members
+from yark_spark.operators.containers import tar_build, tar_members
 from yark_spark.operators.parquet_data import parquet_read_columns
+from yark_spark.operators.parquet_write import parquet_write
 from yark_spark.operators.parquet_meta import parquet_footer
 from yark_spark.operators.puffin import dv_blob_parse
 
@@ -86,6 +87,7 @@ __all__ = [
     "iceberg_bounds_scan",
     "iceberg_bucket",
     "iceberg_changelog",
+    "iceberg_optimize",
     "iceberg_incremental_files",
     "iceberg_plan_snapshot",
     "iceberg_single_value",
@@ -2084,3 +2086,154 @@ def iceberg_changelog(
                     out.append((sid, "delete", {c: vals[c][i] for c in cols}))
         prev_id = sid
     return out
+
+
+def iceberg_optimize(
+    members: dict[str, bytes], target_file_bytes: int = 1 << 22
+) -> tuple[dict[str, bytes], "int | None", dict[str, int]]:
+    """OPTIMIZE / compaction commit (round 17, VERDICT r16 #4, the
+    Delta twin): merge live data files smaller than
+    ``target_file_bytes`` into fewer files and commit a ``replace``
+    snapshot — removed inputs via the manifest-rewrite path (DELETED
+    entries), merged outputs as ordinary adds, prior manifests reused
+    by the carry-forward. The changelog emits NOTHING for a replace
+    snapshot, and snapshot rows are identical before/after:
+
+    * outstanding position/equality/DV deletes covering an input are
+      MATERIALIZED — only live rows land in the merged file, and the
+      new file's higher data sequence puts it beyond every existing
+      delete's reach (pos deletes name old paths; equality deletes
+      apply strictly-newer only), so nothing double-applies;
+    * merged files carry fresh column stats (bounds keep pruning
+      after compaction) for primitive-typed fields;
+    * partitioned tables stay typed (remove_files is unpartitioned).
+
+    Returns ``(new_members, snapshot_id | None, {"files_in",
+    "files_out"})`` — snapshot_id None when nothing needed rewriting."""
+    fields_by_id, data_files, delete_files = iceberg_plan_snapshot(
+        tar_build(sorted(members.items()))
+    )
+    name_to_id = {v: k for k, v in fields_by_id.items()}
+    meta_names = [n for n in members if n.endswith(".metadata.json")]
+    meta = json.loads(members[meta_names[0]].decode("utf-8"))
+    schema = next(
+        s
+        for s in meta.get("schemas", [])
+        if s.get("schema-id") == meta.get("current-schema-id", 0)
+    )
+    types_by_id = {f["id"]: f["type"] for f in schema["fields"]}
+    pos_dels, eq_dels = _decode_delete_files(
+        members, delete_files, fields_by_id, name_to_id
+    )
+
+    counters = {"files_in": 0, "files_out": 0}
+    candidates = sorted(
+        (f for f in data_files if f["size"] < target_file_bytes),
+        key=lambda f: f["path"],
+    )
+    groups: list[list[dict]] = []
+    bin_files: list[dict] = []
+    bin_bytes = 0
+    for f in candidates:
+        if bin_files and bin_bytes + f["size"] > target_file_bytes:
+            groups.append(bin_files)
+            bin_files, bin_bytes = [], 0
+        bin_files.append(f)
+        bin_bytes += f["size"]
+    if bin_files:
+        groups.append(bin_files)
+
+    def _has_deletes(f):
+        for sq, by_path in pos_dels:
+            if sq >= f["seq"] and by_path.get(f["path"]):
+                return True
+        return bool(eq_dels)
+
+    groups = [g for g in groups if len(g) >= 2 or _has_deletes(g[0])]
+    if not groups:
+        return dict(members), None, counters
+
+    _pw = parquet_write
+    eq_cols = sorted({c for _s, dcs, _v in eq_dels for c in dcs})
+    out = dict(members)
+    merged_files: list[tuple[str, bytes, int]] = []
+    stats_by_path: dict[str, dict] = {}
+    remove: list[str] = []
+    import hashlib as _hashlib
+
+    names = [fields_by_id[fid] for fid in sorted(fields_by_id)]
+    for g in groups:
+        counters["files_in"] += len(g)
+        merged: dict[str, list] = {n: [] for n in names}
+        p_types: "dict[str, str] | None" = None
+        for f in g:
+            blob = _member(members, f["path"])
+            if len(blob) != f["size"]:
+                raise ValueError(
+                    f"iceberg: data file {f['path']!r} size mismatch"
+                )
+            need = list(names)
+            for c in eq_cols:
+                if c not in need:
+                    need.append(c)
+            vals = _read_by_field_ids(blob, need, name_to_id)
+            n = len(vals[need[0]]) if need else 0
+            if n != f["record_count"]:
+                raise ValueError(
+                    f"iceberg: data file {f['path']!r} record count mismatch"
+                )
+            if p_types is None:
+                fo = parquet_footer(blob)["schema"]
+                leaf = {
+                    el["name"]: el["type"]
+                    for el in fo
+                    if not el.get("num_children")
+                }
+                phys_by_id = {
+                    el.get("field_id"): el["name"]
+                    for el in fo
+                    if el.get("field_id") is not None
+                    and not el.get("num_children")
+                }
+                p_types = {
+                    c: leaf.get(
+                        phys_by_id.get(name_to_id.get(c), c), "BYTE_ARRAY"
+                    )
+                    for c in names
+                }
+            dead = _dead_indexes(f, vals, n, pos_dels, eq_dels)
+            for i in range(n):
+                if i in dead:
+                    continue  # materialize outstanding deletes
+                for c in names:
+                    merged[c].append(vals[c][i])
+        blob = _pw(merged, types=p_types, codec="SNAPPY")
+        path = f"data/opt-{_hashlib.md5(blob).hexdigest()}.parquet"
+        n_rows = len(merged[names[0]]) if names else 0
+        merged_files.append((path, blob, n_rows))
+        counters["files_out"] += 1
+        remove.extend(f["path"] for f in g)
+        st: dict = {"value_counts": {}, "null_value_counts": {},
+                    "lower_bounds": {}, "upper_bounds": {}}
+        for c in names:
+            fid = name_to_id[c]
+            typ = types_by_id.get(fid, "long")
+            vals_c = merged[c]
+            non_null = [v for v in vals_c if v is not None]
+            st["value_counts"][fid] = len(vals_c)
+            st["null_value_counts"][fid] = len(vals_c) - len(non_null)
+            if non_null and typ in (
+                "int", "long", "date", "time", "timestamp", "timestamptz",
+                "float", "double", "boolean", "string",
+            ):
+                st["lower_bounds"][fid] = min(non_null)
+                st["upper_bounds"][fid] = max(non_null)
+        stats_by_path[path] = st
+    new_members, sid = iceberg_commit(
+        out,
+        data_files=merged_files,
+        remove_files=remove,
+        operation="replace",
+        stats_by_path=stats_by_path,
+    )
+    return new_members, sid, counters

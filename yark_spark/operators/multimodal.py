@@ -11798,3 +11798,214 @@ def iceberg_changelog_features(
         .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
         .applyInPandas(_build_and_read, ICEBERG_CHANGELOG_SCHEMA)
     )
+
+
+DELTA_OPTIMIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("files_in", IntegerType()),
+        StructField("files_out", IntegerType()),
+        StructField("cdf_events", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def delta_optimize_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E198 Delta OPTIMIZE commit (round 17, VERDICT r16 #4): every 32
+    docs become a 4-small-file table (odd tables carry a DV on file
+    0's row 1); `delta_optimize` merges them into ONE file via a
+    remove+add commit with dataChange:false, purging the DV
+    physically and writing fresh stats. The output is the
+    POST-OPTIMIZE snapshot (rows must equal the pre-optimize table
+    minus DV'd docs), files_in=4/files_out=1 pin the compaction, and
+    cdf_events=0 pins that the change feed over the optimize commit
+    emits NOTHING (a consumer re-emitting compacted rows
+    double-counts every rewrite). One applyInPandas per table;
+    map-only."""
+    _dl = _register_delta_modules()
+    _stats_fn = _dl.delta_stats
+    _optimize = _dl.delta_optimize
+    _rows = _dl.delta_snapshot_rows
+    _feed = _dl.delta_change_feed
+    _add_dv = _dl.delta_add_deletion_vectors
+    from yark_spark.operators import parquet_write as _pw_mod
+
+    _tar = _register_container_modules().tar_build
+    _write = _pw_mod.parquet_write
+
+    def _build_and_optimize(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 32
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": f"tbl-{tid}",
+                          "format": {"provider": "parquet"}}},
+        ]
+        members = []
+        for fi in range(4):
+            lo, hi = fi * 8, fi * 8 + 8
+            blob = _write(
+                {"doc_id": ids[lo:hi], "text": texts[lo:hi]},
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                codec="SNAPPY",
+            )
+            members.append((f"p{fi}.parquet", blob))
+            actions.append(
+                {"add": {"path": f"p{fi}.parquet", "size": len(blob),
+                         "dataChange": True, "partitionValues": {},
+                         "stats": _stats_fn({"doc_id": ids[lo:hi],
+                                             "text": texts[lo:hi]})}}
+            )
+        members.append(
+            (
+                "_delta_log/" + "0" * 20 + ".json",
+                ("\n".join(_json.dumps(a) for a in actions) + "\n").encode(),
+            )
+        )
+        tar = _tar(sorted(members))
+        v_pre = 0
+        if tid % 2 == 1:
+            tar = _add_dv(tar, {"p0.parquet": [1]})
+            v_pre = 1
+        opt, counters = _optimize(tar)
+        cdf = _feed(opt, v_pre, v_pre + 1, columns=["doc_id"])
+        out_i, out_n, digs = [], [], []
+        for _v, row in _rows(opt, ["doc_id", "text"]):
+            out_i.append(int(row["doc_id"]))
+            out_n.append(len(row["text"]))
+            digs.append(_h.md5(row["text"].encode("utf-8")).hexdigest())
+        k = len(out_i)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_i, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "files_in": np.full(k, counters["files_in"], dtype="int32"),
+                "files_out": np.full(k, counters["files_out"], dtype="int32"),
+                "cdf_events": np.full(k, len(cdf), dtype="int32"),
+                "n_chars": np.array(out_n, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(_build_and_optimize, DELTA_OPTIMIZE_SCHEMA)
+    )
+
+
+ICEBERG_OPTIMIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("files_in", IntegerType()),
+        StructField("files_out", IntegerType()),
+        StructField("changelog_events", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def iceberg_optimize_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E199 Iceberg OPTIMIZE commit (round 17, VERDICT r16 #4, the
+    Delta twin): every 64 docs become a 4-file two-append table plus
+    an equality delete killing doc_id%16==9; `iceberg_optimize`
+    merges everything into ONE file under a ``replace`` snapshot —
+    outstanding deletes MATERIALIZE (only live rows land, beyond the
+    old deletes' sequence reach), inputs tombstone via the
+    manifest-rewrite path, and fresh bounds ride the merged entry.
+    Output = post-optimize snapshot rows; files_in=4/files_out=1 pin
+    the compaction; changelog_events=0 pins that a replace snapshot
+    emits nothing to CDC consumers. One applyInPandas per table;
+    map-only."""
+    _ice = _register_iceberg_modules()
+    _cont = _register_container_modules()
+    from yark_spark.operators import parquet_write as _pw
+
+    _tar = _cont.tar_build
+    _write = _pw.parquet_write
+    _create = _ice.iceberg_table_create
+    _commit = _ice.iceberg_commit
+    _optimize = _ice.iceberg_optimize
+    _rows = _ice.iceberg_snapshot_rows
+    _changelog = _ice.iceberg_changelog
+
+    def _build_and_optimize(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 64
+        fields = [
+            {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+            {"id": 2, "name": "text", "required": True, "type": "string"},
+        ]
+
+        def pq_slice(lo, hi):
+            return _write(
+                {"doc_id": ids[lo:hi], "text": texts[lo:hi]},
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                codec="SNAPPY",
+            )
+
+        m = _create(fields, location=f"tbl-{tid}")
+        m, _s1 = _commit(m, data_files=[
+            ("data/p0.parquet", pq_slice(0, 16), 16),
+            ("data/p1.parquet", pq_slice(16, 32), 16),
+        ])
+        m, _s2 = _commit(m, data_files=[
+            ("data/p2.parquet", pq_slice(32, 48), 16),
+            ("data/p3.parquet", pq_slice(48, 64), 16),
+        ])
+        eq_keys = [i for i in ids if i % 16 == 9]
+        m, s3 = _commit(m, delete_files=[{
+            "path": "data/d0.parquet",
+            "blob": _write({"doc_id": eq_keys}, types={"doc_id": "INT64"},
+                           codec="SNAPPY"),
+            "content": 2, "record_count": len(eq_keys),
+            "equality_ids": [1],
+        }])
+        m2, sid, counters = _optimize(m)
+        tar = _tar(sorted(m2.items()))
+        events = _changelog(tar, s3, sid, columns=["doc_id"])
+        out_i, out_n, digs = [], [], []
+        for _v, row in _rows(tar, ["doc_id", "text"]):
+            out_i.append(int(row["doc_id"]))
+            out_n.append(len(row["text"]))
+            digs.append(_h.md5(row["text"].encode("utf-8")).hexdigest())
+        k = len(out_i)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_i, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "files_in": np.full(k, counters["files_in"], dtype="int32"),
+                "files_out": np.full(k, counters["files_out"], dtype="int32"),
+                "changelog_events": np.full(k, len(events), dtype="int32"),
+                "n_chars": np.array(out_n, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
+        .applyInPandas(_build_and_optimize, ICEBERG_OPTIMIZE_SCHEMA)
+    )

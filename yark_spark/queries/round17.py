@@ -159,3 +159,54 @@ def q_iceberg_changelog(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
     return iceberg_changelog_features(docs)
+
+
+# full tables only (doc_id < 480): the partial tail table at small SFs
+# would change the per-table file count the counters pin
+_DELTA_OPT_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CAST(4 AS INTEGER) AS files_in, CAST(1 AS INTEGER) AS files_out, "
+    "CAST(0 AS INTEGER) AS cdf_events, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480 "
+    "AND NOT ((doc_id // 32) % 2 = 1 AND doc_id % 32 = 1)"
+)
+
+
+@query("q_delta_optimize", oracle=_DELTA_OPT_ORACLE)
+def q_delta_optimize(spark, sf_dir):
+    """E198 Delta OPTIMIZE (round 17, VERDICT r16 #4): 4-small-file
+    tables (odd ones carrying a DV) compact into ONE file via a
+    dataChange:false remove+add commit (`operators/deltalog.py
+    delta_optimize`) — snapshot rows unchanged minus DV'd docs, DV
+    purged physically, fresh stats written, and cdf_events=0 pins
+    that the change feed skips the layout-only commit. One
+    applyInPandas per table; map-only."""
+    from yark_spark.operators.multimodal import delta_optimize_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return delta_optimize_features(docs)
+
+
+_ICEBERG_OPT_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
+    "CAST(4 AS INTEGER) AS files_in, CAST(1 AS INTEGER) AS files_out, "
+    "CAST(0 AS INTEGER) AS changelog_events, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 448 AND doc_id % 16 <> 9"
+)
+
+
+@query("q_iceberg_optimize", oracle=_ICEBERG_OPT_ORACLE)
+def q_iceberg_optimize(spark, sf_dir):
+    """E199 Iceberg OPTIMIZE (round 17, VERDICT r16 #4): 4-file
+    tables with an outstanding equality delete compact into ONE file
+    under a replace snapshot (`operators/iceberg.py
+    iceberg_optimize`) — deletes materialize into the merged file,
+    inputs tombstone via manifest rewrite, fresh bounds ride the new
+    entry, and changelog_events=0 pins that CDC consumers skip the
+    compaction. One applyInPandas per 64-doc table; map-only."""
+    from yark_spark.operators.multimodal import iceberg_optimize_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
+    return iceberg_optimize_features(docs)
