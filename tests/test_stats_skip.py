@@ -378,3 +378,81 @@ class TestIcebergBoundsScan:
                 data_files=[("data/p.parquet", _pq([1], ["a"]), 1, {"k": 1})],
                 stats_by_path={"data/p.parquet": _stats([1], ["a"])},
             )
+
+
+class TestTimestampTimeTravel:
+    """TIMESTAMP AS OF / as-of-timestamp (round 17, VERDICT r16 #5)."""
+
+    def _delta(self):
+        a, b = _pq([1, 2], ["a", "b"]), _pq([3, 4], ["c", "d"])
+        actions0 = [
+            {"commitInfo": {"timestamp": 1000}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "t", "format": {"provider": "parquet"},
+                          "schemaString": _SCHEMA_STRING,
+                          "partitionColumns": [], "configuration": {}}},
+            {"add": {"path": "a.parquet", "size": len(a),
+                     "dataChange": True, "partitionValues": {}}},
+        ]
+        actions1 = [
+            {"commitInfo": {"timestamp": 2000}},
+            {"add": {"path": "b.parquet", "size": len(b),
+                     "dataChange": True, "partitionValues": {}}},
+        ]
+        actions2 = [
+            {"commitInfo": {"timestamp": 3000}},
+            {"remove": {"path": "a.parquet", "dataChange": True}},
+        ]
+        members = [("a.parquet", a), ("b.parquet", b)]
+        for v, acts in enumerate([actions0, actions1, actions2]):
+            members.append((
+                f"_delta_log/{v:020d}.json",
+                ("\n".join(json.dumps(x) for x in acts) + "\n").encode(),
+            ))
+        return tar_build(sorted(members))
+
+    def test_delta_resolution(self):
+        from yark_spark.operators.deltalog import (
+            delta_snapshot_rows,
+            delta_version_at_timestamp,
+        )
+
+        tar = self._delta()
+        assert delta_version_at_timestamp(tar, 1500) == 0
+        assert delta_version_at_timestamp(tar, 2000) == 1
+        assert delta_version_at_timestamp(tar, 99999) == 2
+        rows = delta_snapshot_rows(tar, ["k"], timestamp=2500)
+        assert sorted(r["k"] for _, r in rows) == [1, 2, 3, 4]
+        rows = delta_snapshot_rows(tar, ["k"], timestamp=3000)
+        assert sorted(r["k"] for _, r in rows) == [3, 4]
+        with pytest.raises(ValueError, match="predates"):
+            delta_version_at_timestamp(tar, 999)
+        with pytest.raises(ValueError, match="not both"):
+            delta_snapshot_rows(tar, ["k"], version=1, timestamp=2000)
+
+    def test_delta_missing_commitinfo_is_typed(self):
+        from yark_spark.operators.deltalog import delta_version_at_timestamp
+
+        tar = _delta_table(FILES[:1])  # fixture commits carry no commitInfo
+        with pytest.raises(NotImplementedError, match="commitInfo"):
+            delta_version_at_timestamp(tar, 1000)
+
+    def test_iceberg_resolution(self):
+        from yark_spark.operators.iceberg import (
+            iceberg_snapshot_at_timestamp,
+            iceberg_snapshot_rows,
+        )
+
+        m = iceberg_table_create(_FIELDS)
+        m, s1 = iceberg_commit(m, data_files=[("data/p0.parquet", _pq([1], ["a"]), 1)])
+        m, s2 = iceberg_commit(m, data_files=[("data/p1.parquet", _pq([2], ["b"]), 1)])
+        tar = tar_build(sorted(m.items()))
+        # commit stamps timestamp-ms = sequence (deterministic clock)
+        assert iceberg_snapshot_at_timestamp(tar, 1) == s1
+        assert iceberg_snapshot_at_timestamp(tar, 99) == s2
+        rows = iceberg_snapshot_rows(tar, ["k"], timestamp_ms=1)
+        assert sorted(r["k"] for _, r in rows) == [1]
+        with pytest.raises(ValueError, match="predates"):
+            iceberg_snapshot_at_timestamp(tar, 0)
+        with pytest.raises(ValueError, match="not both"):
+            iceberg_snapshot_rows(tar, ["k"], snapshot_id=s1, timestamp_ms=1)

@@ -12009,3 +12009,210 @@ def iceberg_optimize_features(
         .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
         .applyInPandas(_build_and_optimize, ICEBERG_OPTIMIZE_SCHEMA)
     )
+
+
+DELTA_TT_TS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("probe_ordinal", IntegerType()),
+        StructField("version_resolved", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def delta_time_travel_ts_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E200 Delta TIMESTAMP AS OF (round 17, VERDICT r16 #5): every 32
+    docs become a three-commit table whose commits carry
+    ``commitInfo.timestamp`` 1000/2000/3000 — v0 adds the first half,
+    v1 the second, v2 removes the first. Probe 1500 must resolve v0
+    (latest commit at-or-before, NOT nearest: 2000 is closer), probe
+    2500 resolves v1 — Spark's timestampAsOf rule via
+    `operators/deltalog.py delta_version_at_timestamp`. Rows come
+    from the timestamp-resolved snapshot replay. One applyInPandas
+    per table; map-only."""
+    _dl = _register_delta_modules()
+    _rows = _dl.delta_snapshot_rows
+    _at_ts = _dl.delta_version_at_timestamp
+    from yark_spark.operators import parquet_write as _pw_mod
+
+    _tar = _register_container_modules().tar_build
+    _write = _pw_mod.parquet_write
+
+    def _build_and_probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 32
+
+        def pq_slice(lo, hi):
+            return _write(
+                {"doc_id": ids[lo:hi], "text": texts[lo:hi]},
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                codec="SNAPPY",
+            )
+
+        p0, p1 = pq_slice(0, 16), pq_slice(16, 32)
+        commits = [
+            [
+                {"commitInfo": {"timestamp": 1000}},
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"metaData": {"id": f"tbl-{tid}",
+                              "format": {"provider": "parquet"}}},
+                {"add": {"path": "p0.parquet", "size": len(p0),
+                         "dataChange": True, "partitionValues": {}}},
+            ],
+            [
+                {"commitInfo": {"timestamp": 2000}},
+                {"add": {"path": "p1.parquet", "size": len(p1),
+                         "dataChange": True, "partitionValues": {}}},
+            ],
+            [
+                {"commitInfo": {"timestamp": 3000}},
+                {"remove": {"path": "p0.parquet", "dataChange": True}},
+            ],
+        ]
+        members = [("p0.parquet", p0), ("p1.parquet", p1)]
+        for v, actions in enumerate(commits):
+            members.append(
+                (
+                    f"_delta_log/{v:020d}.json",
+                    ("\n".join(_json.dumps(a) for a in actions) + "\n").encode(),
+                )
+            )
+        tar = _tar(sorted(members))
+        out_i, out_p, out_v, out_n, digs = [], [], [], [], []
+        for ordinal, probe_ts in ((1, 1500), (2, 2500)):
+            resolved = _at_ts(tar, probe_ts)
+            for _ver, row in _rows(tar, ["doc_id", "text"], version=resolved):
+                out_i.append(int(row["doc_id"]))
+                out_p.append(ordinal)
+                out_v.append(resolved)
+                out_n.append(len(row["text"]))
+                digs.append(
+                    _h.md5(row["text"].encode("utf-8")).hexdigest()
+                )
+        k = len(out_i)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_i, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "probe_ordinal": np.array(out_p, dtype="int32"),
+                "version_resolved": np.array(out_v, dtype="int32"),
+                "n_chars": np.array(out_n, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(_build_and_probe, DELTA_TT_TS_SCHEMA)
+    )
+
+
+ICEBERG_TT_TS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("probe_ordinal", IntegerType()),
+        StructField("snap_resolved", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def iceberg_time_travel_ts_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E201 Iceberg AS-OF-TIMESTAMP (round 17, VERDICT r16 #5, the
+    Delta twin): every 64 docs become a three-append table whose
+    snapshots carry timestamp-ms = sequence (the commit API's
+    deterministic lineage clock). Probe ts=2 must resolve snapshot 2
+    (latest at-or-before on the CURRENT ancestry chain), probe ts=999
+    the head — `operators/iceberg.py iceberg_snapshot_at_timestamp`.
+    One applyInPandas per table; map-only."""
+    _ice = _register_iceberg_modules()
+    _cont = _register_container_modules()
+    from yark_spark.operators import parquet_write as _pw
+
+    _tar = _cont.tar_build
+    _write = _pw.parquet_write
+    _create = _ice.iceberg_table_create
+    _commit = _ice.iceberg_commit
+    _rows = _ice.iceberg_snapshot_rows
+    _at_ts = _ice.iceberg_snapshot_at_timestamp
+
+    def _build_and_probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 64
+        fields = [
+            {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+            {"id": 2, "name": "text", "required": True, "type": "string"},
+        ]
+
+        def pq_slice(lo, hi):
+            return _write(
+                {"doc_id": ids[lo:hi], "text": texts[lo:hi]},
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                codec="SNAPPY",
+            )
+
+        m = _create(fields, location=f"tbl-{tid}")
+        m, _s1 = _commit(
+            m, data_files=[("data/p0.parquet", pq_slice(0, 32), len(ids[:32]))]
+        )
+        m, s2 = _commit(
+            m, data_files=[("data/p1.parquet", pq_slice(32, 48), len(ids[32:48]))]
+        )
+        m, s3 = _commit(
+            m, data_files=[("data/p2.parquet", pq_slice(48, 64), len(ids[48:64]))]
+        )
+        tar = _tar(sorted(m.items()))
+        out_i, out_p, out_s, out_n, digs = [], [], [], [], []
+        del s2, s3  # resolution must come from the timestamp probe
+        for ordinal, probe_ts in ((1, 2), (2, 999)):
+            resolved = _at_ts(tar, probe_ts)
+            for _ver, row in _rows(
+                tar, ["doc_id", "text"], snapshot_id=resolved
+            ):
+                out_i.append(int(row["doc_id"]))
+                out_p.append(ordinal)
+                out_s.append(resolved)
+                out_n.append(len(row["text"]))
+                digs.append(
+                    _h.md5(row["text"].encode("utf-8")).hexdigest()
+                )
+        k = len(out_i)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_i, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "probe_ordinal": np.array(out_p, dtype="int32"),
+                "snap_resolved": np.array(out_s, dtype="int32"),
+                "n_chars": np.array(out_n, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
+        .applyInPandas(_build_and_probe, ICEBERG_TT_TS_SCHEMA)
+    )

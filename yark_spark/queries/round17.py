@@ -210,3 +210,65 @@ def q_iceberg_optimize(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
     return iceberg_optimize_features(docs)
+
+
+_DELTA_TT_TS_ORACLE = (
+    "SELECT doc_id, table_id, probe_ordinal, version_resolved, n_chars, "
+    "digest FROM ("
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CAST(1 AS INTEGER) AS probe_ordinal, "
+    "CAST(0 AS INTEGER) AS version_resolved, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 32 < 16 "
+    "UNION ALL "
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT), CAST(2 AS INTEGER), "
+    "CAST(1 AS INTEGER), CAST(length(text) AS INTEGER), md5(text) "
+    "FROM documents WHERE doc_id < 512"
+    ")"
+)
+
+
+@query("q_delta_time_travel_ts", oracle=_DELTA_TT_TS_ORACLE)
+def q_delta_time_travel_ts(spark, sf_dir):
+    """E200 Delta TIMESTAMP AS OF (round 17, VERDICT r16 #5):
+    commitInfo timestamps 1000/2000/3000; probe 1500 resolves v0
+    (latest at-or-before — NOT nearest, 2000 is closer), probe 2500
+    resolves v1, and the rows come from the resolved replay
+    (`operators/deltalog.py delta_version_at_timestamp`). One
+    applyInPandas per table; map-only."""
+    from yark_spark.operators.multimodal import delta_time_travel_ts_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return delta_time_travel_ts_features(docs)
+
+
+_ICEBERG_TT_TS_ORACLE = (
+    "SELECT doc_id, table_id, probe_ordinal, snap_resolved, n_chars, "
+    "digest FROM ("
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
+    "CAST(1 AS INTEGER) AS probe_ordinal, "
+    "CAST(2 AS INTEGER) AS snap_resolved, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 64 < 48 "
+    "UNION ALL "
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT), CAST(2 AS INTEGER), "
+    "CAST(3 AS INTEGER), CAST(length(text) AS INTEGER), md5(text) "
+    "FROM documents WHERE doc_id < 512"
+    ")"
+)
+
+
+@query("q_iceberg_time_travel_ts", oracle=_ICEBERG_TT_TS_ORACLE)
+def q_iceberg_time_travel_ts(spark, sf_dir):
+    """E201 Iceberg as-of-timestamp (round 17, VERDICT r16 #5):
+    three-append tables with timestamp-ms = sequence; probe ts=2
+    resolves snapshot 2 (latest at-or-before on the current ancestry
+    chain), probe ts=999 the head (`operators/iceberg.py
+    iceberg_snapshot_at_timestamp`). One applyInPandas per 64-doc
+    table; map-only."""
+    from yark_spark.operators.multimodal import (
+        iceberg_time_travel_ts_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return iceberg_time_travel_ts_features(docs)
