@@ -121,3 +121,65 @@ def test_non_ancestor_is_typed():
     m, s1 = iceberg_commit(m, data_files=[("data/p0.parquet", _pq([1]), 1)])
     with pytest.raises(ValueError, match="not in metadata"):
         iceberg_changelog(_tar(m), 99, s1, ["k"])
+
+
+class TestSnapshotRefs:
+    """Snapshot refs (round 17, VERDICT r16 #9): tags are immutable
+    pointers, branches diverge without moving main."""
+
+    def _table(self):
+        m = iceberg_table_create(_FIELDS)
+        m, s1 = iceberg_commit(m, data_files=[("data/p0.parquet", _pq([1, 2]), 2)])
+        return m, s1
+
+    def test_tag_and_branch_divergence(self):
+        from yark_spark.operators.iceberg import (
+            iceberg_create_ref,
+            iceberg_resolve_ref,
+            iceberg_snapshot_rows,
+        )
+
+        m, s1 = self._table()
+        m = iceberg_create_ref(m, "v1", "tag")
+        m, s2 = iceberg_commit(m, data_files=[("data/p1.parquet", _pq([3]), 1)])
+        m = iceberg_create_ref(m, "audit", "branch", snapshot_id=s1)
+        m, s3 = iceberg_commit(
+            m, data_files=[("data/p2.parquet", _pq([9]), 1)], branch="audit"
+        )
+        tar = _tar(m)
+        got = {
+            ref: sorted(
+                r["k"]
+                for _, r in iceberg_snapshot_rows(
+                    tar, ["k"], snapshot_id=iceberg_resolve_ref(tar, ref)
+                )
+            )
+            for ref in ("main", "v1", "audit")
+        }
+        assert got == {"main": [1, 2, 3], "v1": [1, 2], "audit": [1, 2, 9]}
+        # the audit commit did not move main's head
+        assert iceberg_resolve_ref(tar, "main") == s2
+
+    def test_commit_to_tag_is_typed(self):
+        from yark_spark.operators.iceberg import iceberg_create_ref
+
+        m, _s1 = self._table()
+        m = iceberg_create_ref(m, "v1", "tag")
+        with pytest.raises(ValueError, match="tag"):
+            iceberg_commit(
+                m, data_files=[("data/x.parquet", _pq([7]), 1)], branch="v1"
+            )
+
+    def test_unknown_branch_and_duplicate_ref_are_typed(self):
+        from yark_spark.operators.iceberg import iceberg_create_ref
+
+        m, s1 = self._table()
+        with pytest.raises(ValueError, match="unknown branch"):
+            iceberg_commit(
+                m, data_files=[("data/x.parquet", _pq([7]), 1)], branch="dev"
+            )
+        m = iceberg_create_ref(m, "dev", "branch")
+        with pytest.raises(ValueError, match="already exists"):
+            iceberg_create_ref(m, "dev", "tag")
+        with pytest.raises(ValueError, match="not in metadata"):
+            iceberg_create_ref(m, "other", "tag", snapshot_id=999)

@@ -1221,6 +1221,7 @@ def iceberg_commit(
     extra_summary: "dict[str, str] | None" = None,
     stats_by_path: "dict[str, dict] | None" = None,
     remove_files: "list[str] | None" = None,
+    branch: str = "main",
 ) -> tuple[dict[str, bytes], int]:
     """One snapshot commit. ``data_files`` = [(path, parquet_bytes,
     record_count)] — or [(path, size_in_bytes, record_count)] with an
@@ -1262,7 +1263,20 @@ def iceberg_commit(
         raise NotImplementedError("iceberg: commits write v2 tables only")
     seq = meta.get("last-sequence-number", 0) + 1
     snapshot_id = seq
-    parent = meta.get("current-snapshot-id")
+    # snapshot refs (round 17, VERDICT r16 #9): the commit extends the
+    # named BRANCH — "main" is implicitly the current-snapshot-id when
+    # no refs map exists yet; a tag is immutable (typed); an unknown
+    # non-main branch is typed (create it first)
+    refs = dict(meta.get("refs") or {})
+    if branch in refs:
+        if refs[branch].get("type") == "tag":
+            # per the spec, tags name immutable history
+            raise ValueError(f"iceberg: cannot commit to tag {branch!r}")
+        parent = refs[branch]["snapshot-id"]
+    elif branch == "main":
+        parent = meta.get("current-snapshot-id")
+    else:
+        raise ValueError(f"iceberg: unknown branch {branch!r}")
 
     # partitioned table? (round 14 s3 second pass): data files then
     # arrive as 4-tuples (path, blob, record_count, {field: value})
@@ -1610,7 +1624,12 @@ def iceberg_commit(
         snap["parent-snapshot-id"] = parent
     meta = dict(meta)
     meta["snapshots"] = [*meta.get("snapshots", []), snap]
-    meta["current-snapshot-id"] = snapshot_id
+    refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["refs"] = refs
+    if branch == "main":
+        # the main branch IS the table head (spec: main mirrors
+        # current-snapshot-id); other branches leave it untouched
+        meta["current-snapshot-id"] = snapshot_id
     meta["last-sequence-number"] = seq
     meta["metadata-log"] = [
         *meta.get("metadata-log", []),
@@ -2287,3 +2306,52 @@ def iceberg_snapshot_at_timestamp(tar_payload: bytes, ts_ms: int) -> int:
             f"iceberg: timestamp {ts_ms} predates the earliest snapshot"
         )
     return best[1]
+
+
+def iceberg_create_ref(
+    members: dict[str, bytes],
+    name: str,
+    ref_type: str = "tag",
+    snapshot_id: "int | None" = None,
+) -> dict[str, bytes]:
+    """Create a snapshot REF (round 17, VERDICT r16 #9): a ``tag``
+    names immutable history, a ``branch`` can be committed to via
+    ``iceberg_commit(branch=...)``. Defaults to the current head;
+    naming an unknown snapshot or redefining an existing ref is
+    typed. Returns a new member dict (input not mutated)."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"iceberg: ref type {ref_type!r}")
+    meta_name, meta = _current_metadata(members)
+    sid = snapshot_id if snapshot_id is not None else meta.get(
+        "current-snapshot-id"
+    )
+    snaps = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    if sid not in snaps:
+        raise ValueError(f"iceberg: snapshot {sid} not in metadata")
+    refs = dict(meta.get("refs") or {})
+    if name in refs or name == "main":
+        raise ValueError(f"iceberg: ref {name!r} already exists")
+    refs[name] = {"snapshot-id": sid, "type": ref_type}
+    meta = dict(meta)
+    meta["refs"] = refs
+    out = dict(members)
+    out[meta_name] = json.dumps(meta).encode("utf-8")
+    return out
+
+
+def iceberg_resolve_ref(tar_payload: bytes, name: str) -> int:
+    """Resolve a ref name to its snapshot id — ``main`` falls back to
+    the current head when no refs map exists (pre-refs metadata)."""
+    members = dict(tar_members(tar_payload))
+    meta_names = [n for n in members if n.endswith(".metadata.json")]
+    if len(meta_names) != 1:
+        raise ValueError("iceberg: expected exactly one *.metadata.json member")
+    meta = json.loads(members[meta_names[0]].decode("utf-8"))
+    refs = meta.get("refs") or {}
+    if name in refs:
+        return refs[name]["snapshot-id"]
+    if name == "main":
+        sid = meta.get("current-snapshot-id")
+        if sid is not None:
+            return sid
+    raise ValueError(f"iceberg: unknown ref {name!r}")

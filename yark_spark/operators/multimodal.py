@@ -12216,3 +12216,102 @@ def iceberg_time_travel_ts_features(
         .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
         .applyInPandas(_build_and_probe, ICEBERG_TT_TS_SCHEMA)
     )
+
+
+ICEBERG_REFS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("ref", StringType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def iceberg_refs_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E202 Iceberg SNAPSHOT REFS (round 17, VERDICT r16 #9 stretch):
+    every 64 docs become a table with a TAG pinned at snapshot 1, a
+    second main commit, and a BRANCH forked from snapshot 1 that
+    receives its own commit — main, tag, and branch then read three
+    DIVERGENT row sets from one metadata file (`operators/iceberg.py
+    iceberg_create_ref` / `iceberg_resolve_ref` /
+    `iceberg_commit(branch=...)`). A reader that conflates refs with
+    the head, or lets a branch commit move main, fails the hash. One
+    applyInPandas per table; map-only."""
+    _ice = _register_iceberg_modules()
+    _cont = _register_container_modules()
+    from yark_spark.operators import parquet_write as _pw
+
+    _tar = _cont.tar_build
+    _write = _pw.parquet_write
+    _create = _ice.iceberg_table_create
+    _commit = _ice.iceberg_commit
+    _mk_ref = _ice.iceberg_create_ref
+    _resolve = _ice.iceberg_resolve_ref
+    _rows = _ice.iceberg_snapshot_rows
+
+    def _build_and_read(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 64
+        fields = [
+            {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+            {"id": 2, "name": "text", "required": True, "type": "string"},
+        ]
+
+        def pq_slice(lo, hi):
+            return _write(
+                {"doc_id": ids[lo:hi], "text": texts[lo:hi]},
+                types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                codec="SNAPPY",
+            )
+
+        m = _create(fields, location=f"tbl-{tid}")
+        m, s1 = _commit(
+            m, data_files=[("data/p0.parquet", pq_slice(0, 32), len(ids[:32]))]
+        )
+        m = _mk_ref(m, "v1", "tag")
+        m, _s2 = _commit(
+            m, data_files=[("data/p1.parquet", pq_slice(32, 48), len(ids[32:48]))]
+        )
+        m = _mk_ref(m, "audit", "branch", snapshot_id=s1)
+        m, _s3 = _commit(
+            m,
+            data_files=[("data/p2.parquet", pq_slice(48, 64), len(ids[48:64]))],
+            branch="audit",
+        )
+        tar = _tar(sorted(m.items()))
+        out_i, out_r, out_n, digs = [], [], [], []
+        for ref in ("main", "v1", "audit"):
+            sid = _resolve(tar, ref)
+            for _ver, row in _rows(tar, ["doc_id", "text"], snapshot_id=sid):
+                out_i.append(int(row["doc_id"]))
+                out_r.append(ref)
+                out_n.append(len(row["text"]))
+                digs.append(
+                    _h.md5(row["text"].encode("utf-8")).hexdigest()
+                )
+        k = len(out_i)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_i, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "ref": out_r,
+                "n_chars": np.array(out_n, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
+        .applyInPandas(_build_and_read, ICEBERG_REFS_SCHEMA)
+    )

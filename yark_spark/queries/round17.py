@@ -272,3 +272,38 @@ def q_iceberg_time_travel_ts(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
     return iceberg_time_travel_ts_features(docs)
+
+
+_ICEBERG_REFS_ORACLE = (
+    "SELECT doc_id, table_id, ref, n_chars, digest FROM ("
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
+    "'main' AS ref, CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 64 < 48 "
+    "UNION ALL "
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT), 'v1', "
+    "CAST(length(text) AS INTEGER), md5(text) "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 64 < 32 "
+    "UNION ALL "
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT), 'audit', "
+    "CAST(length(text) AS INTEGER), md5(text) "
+    "FROM documents WHERE doc_id < 512 "
+    "AND (doc_id % 64 < 32 OR doc_id % 64 >= 48)"
+    ")"
+)
+
+
+@query("q_iceberg_refs", oracle=_ICEBERG_REFS_ORACLE)
+def q_iceberg_refs(spark, sf_dir):
+    """E202 Iceberg snapshot refs (round 17, VERDICT r16 #9 stretch):
+    a tag pinned at snapshot 1, a later main commit, and a branch
+    forked from snapshot 1 with its own commit — the three refs read
+    DIVERGENT row sets from one metadata file, and the branch commit
+    must not move main's head (`operators/iceberg.py
+    iceberg_create_ref` / `iceberg_resolve_ref` /
+    `iceberg_commit(branch=...)`). One applyInPandas per 64-doc
+    table; map-only."""
+    from yark_spark.operators.multimodal import iceberg_refs_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return iceberg_refs_features(docs)
