@@ -252,6 +252,24 @@ def main() -> None:
     stress = bench_stress(spark, sf_dir)
     bpe = bench_bpe_encode(spark, sf_dir)
     sinks = bench_stream_sinks(spark)
+    # batch-size amortization lane (round 17, VERDICT r16 #6): the same
+    # 3 micro-batches at 10x the rows — end-to-end rows/s scaling with
+    # batch size proves the small-batch number is startup-dominated,
+    # not data-path-bound; the large run also records the compaction
+    # row on the sink table (VERDICT r16 #4)
+    sinks_600k = bench_stream_sinks(spark, n_rows=600_000, compact=True)
+    sink_amortization = {
+        "delta_speedup": round(
+            sinks_600k["delta"]["rows_per_sec"]
+            / max(1, sinks["delta"]["rows_per_sec"]),
+            2,
+        ),
+        "iceberg_speedup": round(
+            sinks_600k["iceberg"]["rows_per_sec"]
+            / max(1, sinks["iceberg"]["rows_per_sec"]),
+            2,
+        ),
+    }
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
@@ -268,6 +286,8 @@ def main() -> None:
                 "stress": stress,
                 "bpe_encode": bpe,
                 "stream_sinks": sinks,
+                "stream_sinks_600k": sinks_600k,
+                "sink_batch_amortization": sink_amortization,
                 "sf": sf_val,
                 "calibration_sec": calib,
                 "calibration_multi_sec": cal["calibration_multi_sec"],
@@ -325,7 +345,14 @@ def main() -> None:
                 "sink_rows_per_sec": {
                     "delta": sinks["delta"]["rows_per_sec"],
                     "iceberg": sinks["iceberg"]["rows_per_sec"],
+                    "delta_600k": sinks_600k["delta"]["rows_per_sec"],
+                    "iceberg_600k": sinks_600k["iceberg"]["rows_per_sec"],
                 },
+                "sink_batch_amortization": sink_amortization,
+                "sink_compaction_files": [
+                    sinks_600k["delta_compaction"]["files_in"],
+                    sinks_600k["delta_compaction"]["files_out"],
+                ],
                 "load_avg_before": list(load_before),
                 "load_avg_after": [round(x, 2) for x in os.getloadavg()],
             }
@@ -696,7 +723,7 @@ def bench_bpe_encode(spark, sf_dir) -> dict:
     return out
 
 
-def bench_stream_sinks(spark, n_rows: int = 60_000) -> dict:
+def bench_stream_sinks(spark, n_rows: int = 60_000, compact: bool = False) -> dict:
     """Streaming lakehouse sink throughput (round 16, VERDICT r15 #2's
     bench row): ``n_rows`` JSON events through the Delta and Iceberg
     streaming sinks (3 micro-batches each) with EXECUTOR-SIDE part-file
@@ -779,6 +806,35 @@ def bench_stream_sinks(spark, n_rows: int = 60_000) -> dict:
         "rows_per_sec": round(total / el),
         "part_files": n_parts,
     }
+    if compact:
+        # compaction bench row on the sink table (round 17, VERDICT
+        # r16 #4): OPTIMIZE the delta sink's output — merged via the
+        # dataChange:false commit, rows re-verified equal
+        from yark_spark.operators.containers import tar_build
+        from yark_spark.operators.deltalog import (
+            delta_live_files,
+            delta_optimize,
+        )
+
+        table_dir = os.path.join(d, "delta")
+        members = []
+        for root, _dirs, fs in os.walk(table_dir):
+            for fn in fs:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, table_dir).replace(os.sep, "/")
+                with open(full, "rb") as fh:
+                    members.append((rel, fh.read()))
+        tar = tar_build(sorted(members))
+        t0 = time.perf_counter()
+        opt, counters = delta_optimize(tar, target_file_bytes=64 * 1024 * 1024)
+        el = time.perf_counter() - t0
+        out["delta_compaction"] = {
+            "sec": round(el, 4),
+            "rows_per_sec": round(total / el) if el else None,
+            "files_in": counters["files_in"],
+            "files_out": counters["files_out"],
+            "live_files_after": len(delta_live_files(opt)),
+        }
     shutil.rmtree(d, ignore_errors=True)
     return out
 
