@@ -456,3 +456,49 @@ class TestTimestampTimeTravel:
             iceberg_snapshot_at_timestamp(tar, 0)
         with pytest.raises(ValueError, match="not both"):
             iceberg_snapshot_rows(tar, ["k"], snapshot_id=s1, timestamp_ms=1)
+
+
+def test_type_widening_upcasts_narrow_files():
+    """typeWidening (round 17): narrow-typed files upcast to the
+    current schema — date-days become midnight micros, wide files
+    never re-convert, and without the feature no conversion runs."""
+    from yark_spark.operators.deltalog import delta_snapshot_rows
+
+    p0 = parquet_write(
+        {"doc_id": [1], "ts": [10000]},
+        types={"doc_id": "INT32", "ts": "INT32"}, codec="SNAPPY",
+    )
+    p1 = parquet_write(
+        {"doc_id": [2], "ts": [10001 * 86_400_000_000]},
+        types={"doc_id": "INT64", "ts": "INT64"}, codec="SNAPPY",
+    )
+    wide = json.dumps({"type": "struct", "fields": [
+        {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "ts", "type": "timestampNtz", "nullable": True,
+         "metadata": {}}]})
+    commits = [
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "t", "format": {"provider": "parquet"},
+                          "schemaString": wide, "partitionColumns": [],
+                          "configuration": {}}},
+            {"add": {"path": "p0.parquet", "size": len(p0),
+                     "dataChange": True, "partitionValues": {}}},
+        ],
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["timestampNtz", "typeWidening"],
+                          "writerFeatures": ["timestampNtz", "typeWidening"]}},
+            {"add": {"path": "p1.parquet", "size": len(p1),
+                     "dataChange": True, "partitionValues": {}}},
+        ],
+    ]
+    members = [("p0.parquet", p0), ("p1.parquet", p1)]
+    for v, acts in enumerate(commits):
+        members.append((
+            f"_delta_log/{v:020d}.json",
+            ("\n".join(json.dumps(a) for a in acts) + "\n").encode(),
+        ))
+    tar = tar_build(sorted(members))
+    got = {r["doc_id"]: r["ts"] for _, r in delta_snapshot_rows(tar, ["doc_id", "ts"])}
+    assert got == {1: 10000 * 86_400_000_000, 2: 10001 * 86_400_000_000}

@@ -354,6 +354,12 @@ def _check_protocol(p: dict) -> None:
             # with isAdjustedToUTC=false (parquet_meta.timestamp_ntz_flag
             # reads the LogicalType bit; values are raw micros)
             "timestampNtz",
+            # round 17: widened column types — files written under the
+            # NARROWER type upcast to the current schema type at read
+            # (int→long/float→double are value-identity in our Python
+            # materialization; date→timestampNtz converts days→micros)
+            "typeWidening",
+            "typeWidening-preview",
         }
         if unsupported:
             raise NotImplementedError(
@@ -1100,18 +1106,74 @@ def delta_snapshot_rows(
     mapping = res[1] if res is not None else None
     phys = [mapping.get(c, c) for c in columns] if mapping else list(columns)
     members = dict(tar_members(tar_payload))
+    # typeWidening (round 17): when the protocol declares the feature,
+    # files written under a NARROWER type upcast to the CURRENT schema
+    # type. int→long and float→double are value-identity in this
+    # Python materialization; date→timestampNtz (the protocol's
+    # date-widening case) converts epoch days → midnight micros, keyed
+    # off each file's own physical type (an INT64 column already holds
+    # micros and must NOT re-convert).
+    widen_types: "dict[str, str] | None" = None
+    if _type_widening_enabled(members):
+        meta = _last_metadata(members)
+        if meta is not None and meta.get("schemaString"):
+            widen_types = {
+                f["name"]: f["type"]
+                for f in json.loads(meta["schemaString"]).get("fields", [])
+                if isinstance(f.get("type"), str)
+            }
     for _path, ver, data, dead in _finalize(
         members, _resolve_live(members, version)
     ):
         cols = parquet_read_columns(data, phys)
+        day_cols: set = set()
+        if widen_types:
+            leaf = {
+                el["name"]: el["type"]
+                for el in parquet_footer(data)["schema"]
+                if not el.get("num_children")
+            }
+            day_cols = {
+                p
+                for c, p in zip(columns, phys)
+                if widen_types.get(c) == "timestampNtz"
+                and leaf.get(p) == "INT32"
+            }
         n = len(cols[phys[0]])
         for i in range(n):
             if i in dead:
                 continue
             out.append(
-                (ver, {c: cols[p][i] for c, p in zip(columns, phys)})
+                (
+                    ver,
+                    {
+                        c: (
+                            cols[p][i] * 86_400_000_000
+                            if p in day_cols and cols[p][i] is not None
+                            else cols[p][i]
+                        )
+                        for c, p in zip(columns, phys)
+                    },
+                )
             )
     return out
+
+
+def _type_widening_enabled(members: dict) -> bool:
+    """Whether any protocol action in the JSON log declares the
+    typeWidening readerFeature (the checkpoint-only-protocol case
+    re-declares on the next commit in practice)."""
+    for name in sorted(members):
+        if not _COMMIT_RE.match(name):
+            continue
+        for line in members[name].splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            feats = action.get("protocol", {}).get("readerFeatures") or []
+            if "typeWidening" in feats or "typeWidening-preview" in feats:
+                return True
+    return False
 
 
 def _seed_checkpoint_state(

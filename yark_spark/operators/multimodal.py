@@ -12315,3 +12315,134 @@ def iceberg_refs_features(
         .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
         .applyInPandas(_build_and_read, ICEBERG_REFS_SCHEMA)
     )
+
+
+DELTA_WIDEN_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("file_kind", StringType()),
+        StructField("score", DoubleType()),
+        StructField("ts_micros", LongType()),
+    ]
+)
+
+
+def delta_type_widening_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E203 Delta TYPE WIDENING (round 17): every 32 docs become a
+    two-commit table whose v0 file is written under the NARROW types
+    (INT32 ids, FLOAT scores, INT32 date-days) and whose v1 widens
+    the schema to long/double/timestampNtz under the ``typeWidening``
+    readerFeature with a wide-typed file beside it. The snapshot read
+    must upcast the narrow file's values to the CURRENT schema —
+    date-days convert to midnight micros keyed off the file's own
+    physical type (the wide file's INT64 micros must NOT re-convert)
+    — so both halves agree with one doc_id-arithmetic oracle
+    (`operators/deltalog.py` `_check_protocol` /
+    `delta_snapshot_rows`). One applyInPandas per table; map-only."""
+    _dl = _register_delta_modules()
+    _rows = _dl.delta_snapshot_rows
+    from yark_spark.operators import parquet_write as _pw_mod
+
+    _tar = _register_container_modules().tar_build
+    _write = _pw_mod.parquet_write
+
+    def _build_and_read(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        tid = ids[0] // 32
+        lo_ids, hi_ids = ids[:16], ids[16:]
+        p0 = _write(
+            {
+                "doc_id": lo_ids,
+                "score": [(i % 32) / 2.0 for i in lo_ids],
+                "ts": [10000 + i % 32 for i in lo_ids],
+            },
+            types={"doc_id": "INT32", "score": "FLOAT", "ts": "INT32"},
+            codec="SNAPPY",
+        )
+        p1 = _write(
+            {
+                "doc_id": hi_ids,
+                "score": [(i % 32) / 2.0 for i in hi_ids],
+                "ts": [(10000 + i % 32) * 86_400_000_000 for i in hi_ids],
+            },
+            types={"doc_id": "INT64", "score": "DOUBLE", "ts": "INT64"},
+            codec="SNAPPY",
+        )
+        narrow = _json.dumps({"type": "struct", "fields": [
+            {"name": "doc_id", "type": "integer", "nullable": True,
+             "metadata": {}},
+            {"name": "score", "type": "float", "nullable": True,
+             "metadata": {}},
+            {"name": "ts", "type": "date", "nullable": True,
+             "metadata": {}}]})
+        wide = _json.dumps({"type": "struct", "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "score", "type": "double", "nullable": True,
+             "metadata": {}},
+            {"name": "ts", "type": "timestampNtz", "nullable": True,
+             "metadata": {}}]})
+        commits = [
+            [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"metaData": {"id": f"tbl-{tid}",
+                              "format": {"provider": "parquet"},
+                              "schemaString": narrow,
+                              "partitionColumns": [], "configuration": {}}},
+                {"add": {"path": "p0.parquet", "size": len(p0),
+                         "dataChange": True, "partitionValues": {}}},
+            ],
+            [
+                {"protocol": {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["timestampNtz", "typeWidening"],
+                    "writerFeatures": ["timestampNtz", "typeWidening"]}},
+                {"metaData": {"id": f"tbl-{tid}",
+                              "format": {"provider": "parquet"},
+                              "schemaString": wide,
+                              "partitionColumns": [], "configuration": {}}},
+                {"add": {"path": "p1.parquet", "size": len(p1),
+                         "dataChange": True, "partitionValues": {}}},
+            ],
+        ]
+        members = [("p0.parquet", p0), ("p1.parquet", p1)]
+        for v, actions in enumerate(commits):
+            members.append(
+                (
+                    f"_delta_log/{v:020d}.json",
+                    ("\n".join(_json.dumps(a) for a in actions) + "\n").encode(),
+                )
+            )
+        tar = _tar(sorted(members))
+        lo_set = set(lo_ids)
+        out_i, out_k, out_s, out_t = [], [], [], []
+        for _v, row in _rows(tar, ["doc_id", "score", "ts"]):
+            did = int(row["doc_id"])
+            out_i.append(did)
+            out_k.append("narrow" if did in lo_set else "wide")
+            out_s.append(float(row["score"]))
+            out_t.append(int(row["ts"]))
+        k = len(out_i)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_i, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "file_kind": out_k,
+                "score": np.array(out_s, dtype="float64"),
+                "ts_micros": np.array(out_t, dtype="int64"),
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(_build_and_read, DELTA_WIDEN_SCHEMA)
+    )

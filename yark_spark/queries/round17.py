@@ -307,3 +307,29 @@ def q_iceberg_refs(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
     return iceberg_refs_features(docs)
+
+
+_DELTA_WIDEN_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CASE WHEN doc_id % 32 < 16 THEN 'narrow' ELSE 'wide' END AS file_kind, "
+    "CAST((doc_id % 32) / 2.0 AS DOUBLE) AS score, "
+    "CAST((10000 + doc_id % 32) * 86400000000 AS BIGINT) AS ts_micros "
+    "FROM documents WHERE doc_id < 512"
+)
+
+
+@query("q_delta_type_widening", oracle=_DELTA_WIDEN_ORACLE)
+def q_delta_type_widening(spark, sf_dir):
+    """E203 Delta type widening (round 17): tables whose early files
+    were written under narrow types (INT32/FLOAT/date-days) and whose
+    schema later widened to long/double/timestampNtz under the
+    typeWidening readerFeature — the snapshot read upcasts narrow
+    values to the current schema (date-days to midnight micros, keyed
+    off the file's own physical type so wide files never re-convert),
+    and both halves agree with one doc_id-arithmetic oracle. A reader
+    that rejects the feature, skips the conversion, or double-converts
+    fails rows or hash. One applyInPandas per table; map-only."""
+    from yark_spark.operators.multimodal import delta_type_widening_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return delta_type_widening_features(docs)
