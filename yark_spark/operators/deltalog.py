@@ -127,6 +127,7 @@ def delta_partition_scan(
     tar_payload: bytes,
     columns: list[str],
     partition: "dict[str, object]",
+    predicate: "list[tuple[str, str, object]] | None" = None,
 ) -> tuple[list[tuple[int, dict]], dict[str, int]]:
     """Partition-PRUNED snapshot scan (round 15): real Delta tables
     are Hive-partitioned — each ``add`` carries ``partitionValues``
@@ -136,7 +137,14 @@ def delta_partition_scan(
     are INJECTED into the rows from the descriptor, cast by the
     metaData schemaString type. Deletion vectors still apply to the
     surviving files. This is why a one-partition query on a 100 TB
-    Delta table reads O(partition), not O(table)."""
+    Delta table reads O(partition), not O(table).
+
+    ``predicate`` (round 17) composes the E194 STATS layer on top:
+    partition-surviving files whose ``add.stats`` prove the
+    conjunction cannot match are also skipped (counted separately as
+    ``files_skipped_stats``), and the predicate re-applies exactly per
+    row — the partition-prune-then-data-skip pipeline every real
+    planner runs."""
     members = dict(tar_members(tar_payload))
     if delta_column_resolution(tar_payload) is not None:
         # mapped tables key partitionValues by PHYSICAL names; matching
@@ -155,12 +163,22 @@ def delta_partition_scan(
                 types[f["name"]] = f["type"]
     probe = {k: _serialize_partition_value(v) for k, v in partition.items()}
     counters = {"files_skipped": 0, "files_scanned": 0}
+    if predicate is not None:
+        counters["files_skipped_stats"] = 0
     out: list[tuple[int, dict]] = []
-    for path, (version, size, dv, pv, _stats) in sorted(live.items()):
+    for path, (version, size, dv, pv, stats_raw) in sorted(live.items()):
         pv = pv or {}
         if any(pv.get(k) != v for k, v in probe.items()):
             counters["files_skipped"] += 1
             continue
+        if predicate:
+            stats = json.loads(stats_raw) if stats_raw else None
+            if not all(
+                _stats_admit(stats, col, op, value)
+                for col, op, value in predicate
+            ):
+                counters["files_skipped_stats"] += 1
+                continue
         data = members.get(path)
         if data is None:
             raise ValueError(f"delta: added file {path!r} missing")
@@ -169,6 +187,9 @@ def delta_partition_scan(
         counters["files_scanned"] += 1
         dead = _dv_dead_rows(members, dv) if dv is not None else frozenset()
         file_cols = [c for c in columns if c not in pv]
+        for col, _op, _v in predicate or ():
+            if col not in file_cols and col not in pv:
+                file_cols.append(col)
         if file_cols:
             cols = parquet_read_columns(data, file_cols)
             n = len(cols[file_cols[0]])
@@ -177,14 +198,20 @@ def delta_partition_scan(
             n = parquet_footer(data)["num_rows"]
         injected = {
             c: _cast_partition_value(types.get(c, "string"), pv.get(c))
-            for c in columns
+            for c in set(columns) | {c for c, _o, _v in predicate or ()}
             if c in pv
         }
         for i in range(n):
             if i in dead:
                 continue
-            row = {c: cols[c][i] if c in cols else injected[c] for c in columns}
-            out.append((version, row))
+            full = {
+                c: cols[c][i] if c in cols else injected[c]
+                for c in set(columns)
+                | {c for c, _o, _v in predicate or ()}
+            }
+            if predicate and not _row_matches(full, predicate):
+                continue
+            out.append((version, {c: full[c] for c in columns}))
     return out, counters
 
 _COMMIT_RE = re.compile(r"^_delta_log/(\d{20})\.json$")

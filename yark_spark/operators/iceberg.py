@@ -898,6 +898,7 @@ def iceberg_partition_scan(
     part_value=None,
     source_value=None,
     source_values: "dict[str, object] | None" = None,
+    predicate: "list[tuple[str, str, object]] | None" = None,
 ) -> tuple[list[dict], dict[str, int]]:
     """Scan one partition of a partitioned table: manifests whose
     field summaries exclude the partition key are never OPENED
@@ -986,6 +987,8 @@ def iceberg_partition_scan(
         "files_skipped": 0,
         "files_scanned": 0,
     }
+    if predicate is not None:
+        counters["files_skipped_stats"] = 0
     manifest_list = avro_records(_member(members, snap["manifest-list"]))
 
     # row-level deletes apply INSIDE the surviving partition too (round
@@ -1095,6 +1098,40 @@ def iceberg_partition_scan(
             ):
                 counters["files_skipped"] += 1
                 continue
+            if predicate:
+                # E195 bounds beside the partition record (round 17):
+                # partition-surviving files still skip on stats
+                types_by_id = {
+                    fid: meta_type
+                    for fid, meta_type in (
+                        (f["id"], f["type"])
+                        for s0 in meta.get("schemas", [])
+                        if s0.get("schema-id")
+                        == meta.get("current-schema-id", 0)
+                        for f in s0["fields"]
+                    )
+                }
+                rec = {
+                    "value_counts": _kv_map(df.get("value_counts")),
+                    "null_value_counts": _kv_map(df.get("null_value_counts")),
+                    "lower_bounds": _kv_map(df.get("lower_bounds")),
+                    "upper_bounds": _kv_map(df.get("upper_bounds")),
+                }
+                admitted = True
+                for col, op, value in predicate:
+                    fid = name_to_id.get(col)
+                    if fid is None:
+                        raise ValueError(
+                            f"iceberg: predicate column {col!r} not in schema"
+                        )
+                    if not _bounds_admit(
+                        rec, fid, types_by_id.get(fid, "long"), op, value
+                    ):
+                        admitted = False
+                        break
+                if not admitted:
+                    counters["files_skipped_stats"] += 1
+                    continue
             data = _member(members, df["file_path"])
             if len(data) != df["file_size_in_bytes"]:
                 raise ValueError("iceberg: data file size mismatch")
@@ -1106,6 +1143,9 @@ def iceberg_partition_scan(
                 for col in del_cols:
                     if col not in need:
                         need.append(col)
+            for col, _op, _v in predicate or ():
+                if col not in need:
+                    need.append(col)
             cols = _read_by_field_ids(data, need, name_to_id)
             n = len(cols[need[0]]) if need else 0
             if n != df["record_count"]:
@@ -1124,8 +1164,38 @@ def iceberg_partition_scan(
                     for sq, del_cols, vals in eq_deletes
                 ):
                     continue
+                if predicate and not _predicate_row_ok(
+                    {c: cols[c][i] for c in need}, predicate
+                ):
+                    continue
                 rows.append({c: cols[c][i] for c in columns})
     return rows, counters
+
+
+def _predicate_row_ok(row: dict, predicate: list) -> bool:
+    for col, op, value in predicate:
+        v = row.get(col)
+        if op == "is_null":
+            if v is not None:
+                return False
+            continue
+        if op == "not_null":
+            if v is None:
+                return False
+            continue
+        if v is None:
+            return False
+        if op == "==" and not v == value:
+            return False
+        if op == "<" and not v < value:
+            return False
+        if op == "<=" and not v <= value:
+            return False
+        if op == ">" and not v > value:
+            return False
+        if op == ">=" and not v >= value:
+            return False
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -1144,9 +1214,28 @@ def iceberg_partition_scan(
 # the full lineage for time travel. Spec: iceberg.apache.org/spec/.
 
 
-def _partitioned_manifest_schema(part_record: dict) -> dict:
+def _partitioned_manifest_schema(
+    part_record: dict, with_stats: bool = False
+) -> dict:
     """MANIFEST_SCHEMA with a per-spec partition record spliced into
-    data_file (commit-side twin of PARTITIONED_MANIFEST_SCHEMA)."""
+    data_file (commit-side twin of PARTITIONED_MANIFEST_SCHEMA);
+    ``with_stats`` appends the four E195 stats fields (round 17 —
+    the partition+stats composition)."""
+    df_fields = [
+        {"name": "content", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {"name": "partition", "type": part_record},
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+    ]
+    if with_stats:
+        df_fields += [
+            {"name": "value_counts", "type": ["null", _KV_LONG]},
+            {"name": "null_value_counts", "type": ["null", _KV_LONG]},
+            {"name": "lower_bounds", "type": ["null", _KV_BYTES]},
+            {"name": "upper_bounds", "type": ["null", _KV_BYTES]},
+        ]
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -1160,14 +1249,7 @@ def _partitioned_manifest_schema(part_record: dict) -> dict:
                 "type": {
                     "type": "record",
                     "name": "data_file",
-                    "fields": [
-                        {"name": "content", "type": "int"},
-                        {"name": "file_path", "type": "string"},
-                        {"name": "file_format", "type": "string"},
-                        {"name": "partition", "type": part_record},
-                        {"name": "record_count", "type": "long"},
-                        {"name": "file_size_in_bytes", "type": "long"},
-                    ],
+                    "fields": df_fields,
                 },
             },
         ],
@@ -1297,13 +1379,6 @@ def iceberg_commit(
         raise ValueError(
             "iceberg: partitioned table commits need (path, blob, "
             "record_count, partition) data files"
-        )
-    if stats_by_path and spec_fields:
-        # silently dropping stats would be worse than refusing: the
-        # partition+stats manifest schema composition is a typed
-        # boundary until built end to end
-        raise NotImplementedError(
-            "iceberg: column stats on partitioned-table commits"
         )
 
     out = dict(members)
@@ -1484,11 +1559,32 @@ def iceberg_commit(
                     for sf in spec_fields
                 ],
             }
-            m_schema = _partitioned_manifest_schema(part_schema)
+            m_schema = _partitioned_manifest_schema(
+                part_schema, with_stats=bool(stats_by_path)
+            )
             entries = [
                 _entry(p, b, 0, n, partition=part)
                 for p, b, n, part in data_files
             ]
+            if stats_by_path:
+                # partition+stats composition (round 17): bounds ride
+                # beside the partition record, serialized by schema type
+                types_by_id = {
+                    f["id"]: f["type"] for f in meta["schemas"][0]["fields"]
+                }
+                for e, (p, _b, _n, _part) in zip(entries, data_files):
+                    st = stats_by_path.get(p) or {}
+                    dfd = e["data_file"]
+                    dfd["value_counts"] = _kv_records(st.get("value_counts"))
+                    dfd["null_value_counts"] = _kv_records(
+                        st.get("null_value_counts")
+                    )
+                    dfd["lower_bounds"] = _kv_records(
+                        st.get("lower_bounds"), types_by_id
+                    )
+                    dfd["upper_bounds"] = _kv_records(
+                        st.get("upper_bounds"), types_by_id
+                    )
             for p, b, _n, _part in data_files:
                 if isinstance(b, (bytes, bytearray)):
                     out[p] = b  # int size → file already at the location

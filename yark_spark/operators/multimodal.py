@@ -12446,3 +12446,240 @@ def delta_type_widening_features(
         .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
         .applyInPandas(_build_and_read, DELTA_WIDEN_SCHEMA)
     )
+
+
+DELTA_PART_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("files_skipped", IntegerType()),
+        StructField("files_skipped_stats", IntegerType()),
+        StructField("files_scanned", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def delta_part_stats_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E204 Delta PARTITION+STATS composed pruning (round 17): every
+    32 docs become a Hive-partitioned table (4 buckets x 2 files of 4
+    docs, every add carrying partitionValues AND stats). One scan with
+    a partition probe and a doc_id predicate must prune at BOTH
+    layers: 6 files fall to the partition conjunction, 1 more to
+    stats, exactly 1 opens — the
+    partition-prune-then-data-skip pipeline every real planner runs
+    (`operators/deltalog.py delta_partition_scan(predicate=...)`).
+    One applyInPandas per table; map-only."""
+    _dl = _register_delta_modules()
+    _stats_fn = _dl.delta_stats
+    _scan = _dl.delta_partition_scan
+    from yark_spark.operators import parquet_write as _pw_mod
+
+    _tar = _register_container_modules().tar_build
+    _write = _pw_mod.parquet_write
+
+    def _build_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 32
+        base = tid * 32
+        by_id = dict(zip(ids, texts))
+        schema = _json.dumps({"type": "struct", "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "text", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "bucket", "type": "long", "nullable": True,
+             "metadata": {}}]})
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": f"tbl-{tid}",
+                          "format": {"provider": "parquet"},
+                          "schemaString": schema,
+                          "partitionColumns": ["bucket"],
+                          "configuration": {}}},
+        ]
+        members = []
+        for bucket in range(4):
+            for fi in range(2):
+                lo = bucket * 8 + fi * 4
+                hi = lo + 4
+                blob = _write(
+                    {"doc_id": ids[lo:hi], "text": texts[lo:hi]},
+                    types={"doc_id": "INT64", "text": "BYTE_ARRAY"},
+                    codec="SNAPPY",
+                )
+                path = f"bucket={bucket}/f{fi}.parquet"
+                members.append((path, blob))
+                actions.append(
+                    {"add": {"path": path, "size": len(blob),
+                             "dataChange": True,
+                             "partitionValues": {"bucket": str(bucket)},
+                             "stats": _stats_fn({"doc_id": ids[lo:hi],
+                                                 "text": texts[lo:hi]})}}
+                )
+        members.append(
+            (
+                "_delta_log/" + "0" * 20 + ".json",
+                ("\n".join(_json.dumps(a) for a in actions) + "\n").encode(),
+            )
+        )
+        rows, counters = _scan(
+            _tar(sorted(members)),
+            ["doc_id", "text"],
+            {"bucket": 2},
+            predicate=[("doc_id", ">=", base + 20)],
+        )
+        out_i, out_n, digs = [], [], []
+        for _v, row in rows:
+            out_i.append(int(row["doc_id"]))
+            out_n.append(len(row["text"]))
+            digs.append(
+                _h.md5(by_id[int(row["doc_id"])].encode("utf-8")).hexdigest()
+            )
+        k = len(out_i)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_i, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "files_skipped": np.full(
+                    k, counters["files_skipped"], dtype="int32"
+                ),
+                "files_skipped_stats": np.full(
+                    k, counters["files_skipped_stats"], dtype="int32"
+                ),
+                "files_scanned": np.full(
+                    k, counters["files_scanned"], dtype="int32"
+                ),
+                "n_chars": np.array(out_n, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(_build_and_scan, DELTA_PART_STATS_SCHEMA)
+    )
+
+
+ICEBERG_PART_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("files_skipped", IntegerType()),
+        StructField("files_skipped_stats", IntegerType()),
+        StructField("files_scanned", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def iceberg_part_stats_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E205 Iceberg PARTITION+STATS composed pruning (round 17, the
+    Delta twin): every 64 docs become an identity-partitioned table
+    (4 partitions x 2 files of 8, manifest entries carrying the
+    partition record AND the E195 bounds beside it). One scan with a
+    partition probe and a doc_id predicate prunes at both layers —
+    6 files to the partition struct, 1 to bounds, 1 opens
+    (`operators/iceberg.py iceberg_partition_scan(predicate=...)`).
+    One applyInPandas per table; map-only."""
+    _ice = _register_iceberg_modules()
+    _cont = _register_container_modules()
+    from yark_spark.operators import parquet_write as _pw
+
+    _tar = _cont.tar_build
+    _write = _pw.parquet_write
+    _create = _ice.iceberg_table_create
+    _commit = _ice.iceberg_commit
+    _scan = _ice.iceberg_partition_scan
+
+    def _build_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 64
+        base = tid * 64
+        by_id = dict(zip(ids, texts))
+        fields = [
+            {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+            {"id": 2, "name": "text", "required": True, "type": "string"},
+            {"id": 3, "name": "part", "required": True, "type": "long"},
+        ]
+        spec = [{"name": "part", "transform": "identity",
+                 "source-id": 3, "field-id": 1000}]
+        m = _create(fields, location=f"tbl-{tid}", partition_spec=spec)
+        files, stats = [], {}
+        for part in range(4):
+            for fi in range(2):
+                lo = part * 16 + fi * 8
+                hi = lo + 8
+                blob = _write(
+                    {"doc_id": ids[lo:hi], "text": texts[lo:hi],
+                     "part": [part] * (hi - lo)},
+                    types={"doc_id": "INT64", "text": "BYTE_ARRAY",
+                           "part": "INT64"},
+                    codec="SNAPPY",
+                )
+                p = f"data/part{part}-f{fi}.parquet"
+                files.append((p, blob, hi - lo, {"part": part}))
+                stats[p] = {
+                    "value_counts": {1: hi - lo},
+                    "null_value_counts": {1: 0},
+                    "lower_bounds": {1: min(ids[lo:hi])},
+                    "upper_bounds": {1: max(ids[lo:hi])},
+                }
+        m, _s1 = _commit(m, data_files=files, stats_by_path=stats)
+        rows, counters = _scan(
+            _tar(sorted(m.items())),
+            ["doc_id", "text"],
+            source_values={"part": 1},
+            predicate=[("doc_id", ">=", base + 24)],
+        )
+        out_i, out_n, digs = [], [], []
+        for row in rows:
+            out_i.append(int(row["doc_id"]))
+            out_n.append(len(row["text"]))
+            digs.append(
+                _h.md5(by_id[int(row["doc_id"])].encode("utf-8")).hexdigest()
+            )
+        k = len(out_i)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_i, dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "files_skipped": np.full(
+                    k, counters["files_skipped"], dtype="int32"
+                ),
+                "files_skipped_stats": np.full(
+                    k, counters["files_skipped_stats"], dtype="int32"
+                ),
+                "files_scanned": np.full(
+                    k, counters["files_scanned"], dtype="int32"
+                ),
+                "n_chars": np.array(out_n, dtype="int32"),
+                "digest": digs,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
+        .applyInPandas(_build_and_scan, ICEBERG_PART_STATS_SCHEMA)
+    )

@@ -333,3 +333,53 @@ def q_delta_type_widening(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
     return delta_type_widening_features(docs)
+
+
+_DELTA_PART_STATS_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "CAST(6 AS INTEGER) AS files_skipped, "
+    "CAST(1 AS INTEGER) AS files_skipped_stats, "
+    "CAST(1 AS INTEGER) AS files_scanned, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 480 "
+    "AND doc_id % 32 >= 20 AND doc_id % 32 < 24"
+)
+
+
+@query("q_delta_part_stats", oracle=_DELTA_PART_STATS_ORACLE)
+def q_delta_part_stats(spark, sf_dir):
+    """E204 Delta partition+stats composed pruning (round 17): one
+    scan prunes 6 of 8 files at the partition layer, 1 more at the
+    stats layer, and opens exactly 1 — the two-level skip pipeline
+    every real planner runs (`operators/deltalog.py
+    delta_partition_scan(predicate=...)`). One applyInPandas per
+    table; map-only."""
+    from yark_spark.operators.multimodal import delta_part_stats_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    return delta_part_stats_features(docs)
+
+
+_ICEBERG_PART_STATS_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
+    "CAST(6 AS INTEGER) AS files_skipped, "
+    "CAST(1 AS INTEGER) AS files_skipped_stats, "
+    "CAST(1 AS INTEGER) AS files_scanned, "
+    "CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS digest "
+    "FROM documents WHERE doc_id < 448 "
+    "AND doc_id % 64 >= 24 AND doc_id % 64 < 32"
+)
+
+
+@query("q_iceberg_part_stats", oracle=_ICEBERG_PART_STATS_ORACLE)
+def q_iceberg_part_stats(spark, sf_dir):
+    """E205 Iceberg partition+stats composed pruning (round 17, the
+    Delta twin): manifest entries carry the partition record AND
+    bounds; one scan prunes 6 files at the partition struct, 1 at
+    bounds, opens 1 (`operators/iceberg.py
+    iceberg_partition_scan(predicate=...)`). One applyInPandas per
+    64-doc table; map-only."""
+    from yark_spark.operators.multimodal import iceberg_part_stats_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
+    return iceberg_part_stats_features(docs)
