@@ -376,3 +376,45 @@ def test_partition_scan_applies_row_level_deletes():
     # the other partition is untouched by p0's position deletes
     rows2, _ = iceberg_partition_scan(tar, ["doc_id"], source_value=16)
     assert sorted(r["doc_id"] for r in rows2) == list(range(16, 32))
+
+
+def test_v1_write_roundtrip_and_guards():
+    """v1 table write (round 17): sequence-number-free manifests the
+    v1 reader resolves; delete files and v2-only features typed."""
+    import pytest
+
+    from yark_spark.operators.containers import tar_build
+    from yark_spark.operators.iceberg import (
+        iceberg_commit,
+        iceberg_incremental_files,
+        iceberg_snapshot_rows,
+        iceberg_table_create,
+    )
+    from yark_spark.operators.parquet_write import parquet_write
+
+    def pq(ks):
+        return parquet_write(
+            {"k": list(ks)}, types={"k": "INT64"}, codec="SNAPPY"
+        )
+
+    fields = [{"id": 1, "name": "k", "required": True, "type": "long"}]
+    m = iceberg_table_create(fields, format_version=1)
+    m, s1 = iceberg_commit(m, data_files=[("data/p0.parquet", pq([1, 2]), 2)])
+    m, s2 = iceberg_commit(m, data_files=[("data/p1.parquet", pq([3]), 1)])
+    tar = tar_build(sorted(m.items()))
+    assert sorted(r["k"] for _, r in iceberg_snapshot_rows(tar, ["k"])) == [1, 2, 3]
+    assert sorted(
+        r["k"] for _, r in iceberg_snapshot_rows(tar, ["k"], snapshot_id=s1)
+    ) == [1, 2]
+    assert [rec["path"] for _s, rec in iceberg_incremental_files(tar, s1, s2)] == [
+        "data/p1.parquet"
+    ]
+    with pytest.raises(ValueError, match="v1 tables cannot carry delete"):
+        iceberg_commit(m, delete_files=[{
+            "path": "d", "blob": pq([1]), "content": 2,
+            "record_count": 1, "equality_ids": [1]}])
+    with pytest.raises(NotImplementedError, match="stats_by_path"):
+        iceberg_commit(
+            m, data_files=[("data/p2.parquet", pq([4]), 1)],
+            stats_by_path={"data/p2.parquet": {"value_counts": {1: 1}}},
+        )

@@ -1261,15 +1261,23 @@ def iceberg_table_create(
     location: str = "tbl",
     table_uuid: str | None = None,
     partition_spec: list[dict] | None = None,
+    format_version: int = 2,
 ) -> dict[str, bytes]:
-    """New empty v2 table: ``fields`` = [{"id", "name", "type",
+    """New empty table: ``fields`` = [{"id", "name", "type",
     "required"}] in spec schema-JSON shape; ``partition_spec`` =
     [{"name", "transform", "source-id", "field-id"}] declares the
     default spec (commits then REQUIRE per-file partition values and
     emit partitioned manifests with field summaries). Returns the
-    member dict holding ``metadata/v1.metadata.json``."""
+    member dict holding ``metadata/v1.metadata.json``.
+    ``format_version=1`` (round 17) creates a v1 table — commits then
+    write the PRE-row-level-delete wire (no sequence numbers, no
+    delete manifests) the round-14 reader already resolves."""
+    if format_version not in (1, 2):
+        raise NotImplementedError(
+            f"iceberg: format-version {format_version}"
+        )
     meta = {
-        "format-version": 2,
+        "format-version": format_version,
         "table-uuid": table_uuid
         or "00000000-0000-0000-0000-000000000000",
         "location": location,
@@ -1341,8 +1349,31 @@ def iceberg_commit(
     if not data_files and not delete_files and not remove_files:
         raise ValueError("iceberg: empty commit")
     meta_name, meta = _current_metadata(members)
-    if meta.get("format-version") != 2:
-        raise NotImplementedError("iceberg: commits write v2 tables only")
+    fmt = meta.get("format-version")
+    if fmt not in (1, 2):
+        raise NotImplementedError("iceberg: commits write v1/v2 tables only")
+    if fmt == 1:
+        # v1 commits (round 17): the pre-row-level-delete wire — no
+        # sequence numbers anywhere, delete files cannot exist, and
+        # the features layered on the v2 wire stay v2-only (typed)
+        if delete_files:
+            raise ValueError("iceberg: v1 tables cannot carry delete files")
+        for unsupported_name, unsupported_val in (
+            ("stats_by_path", stats_by_path),
+            ("remove_files", remove_files),
+        ):
+            if unsupported_val:
+                raise NotImplementedError(
+                    f"iceberg: {unsupported_name} on a v1 table"
+                )
+        if meta.get("partition-specs"):
+            raise NotImplementedError(
+                "iceberg: partitioned v1 commits"
+            )
+        return _iceberg_commit_v1(
+            members, meta_name, meta, data_files, operation, extra_summary,
+            branch,
+        )
     seq = meta.get("last-sequence-number", 0) + 1
     snapshot_id = seq
     # snapshot refs (round 17, VERDICT r16 #9): the commit extends the
@@ -2451,3 +2482,99 @@ def iceberg_resolve_ref(tar_payload: bytes, name: str) -> int:
         if sid is not None:
             return sid
     raise ValueError(f"iceberg: unknown ref {name!r}")
+
+
+def _iceberg_commit_v1(
+    members: dict[str, bytes],
+    meta_name: str,
+    meta: dict,
+    data_files: list,
+    operation: "str | None",
+    extra_summary: "dict[str, str] | None",
+    branch: str,
+) -> tuple[dict[str, bytes], int]:
+    """v1 snapshot commit (round 17): V1_MANIFEST_SCHEMA entries (no
+    sequence numbers — the reader plans every entry at sequence 0),
+    V1_MANIFEST_LIST_SCHEMA records, prior manifests reused verbatim.
+    Snapshot ids keep the deterministic counter discipline."""
+    if not data_files:
+        raise ValueError("iceberg: empty commit")
+    snapshot_id = len(meta.get("snapshots", [])) + 1
+    refs = dict(meta.get("refs") or {})
+    if branch in refs:
+        if refs[branch].get("type") == "tag":
+            raise ValueError(f"iceberg: cannot commit to tag {branch!r}")
+        parent = refs[branch]["snapshot-id"]
+    elif branch == "main":
+        parent = meta.get("current-snapshot-id")
+    else:
+        raise ValueError(f"iceberg: unknown branch {branch!r}")
+    out = dict(members)
+    entries = []
+    for p, b, nrec in data_files:
+        size = len(b) if isinstance(b, (bytes, bytearray)) else int(b)
+        if isinstance(b, (bytes, bytearray)):
+            out[p] = b
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "record_count": nrec,
+                    "file_size_in_bytes": size,
+                },
+            }
+        )
+    m_path = f"metadata/m{snapshot_id}-v1-data.avro"
+    m_blob = avro_build(V1_MANIFEST_SCHEMA, entries, codec="deflate")
+    out[m_path] = m_blob
+    new_records = []
+    if parent is not None:
+        prev = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == parent
+        )
+        new_records.extend(avro_records(_member(out, prev["manifest-list"])))
+    new_records.append(
+        {
+            "manifest_path": m_path,
+            "manifest_length": len(m_blob),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+        }
+    )
+    list_path = f"metadata/snap-{snapshot_id}.avro"
+    out[list_path] = avro_build(
+        V1_MANIFEST_LIST_SCHEMA, new_records, codec="deflate"
+    )
+    summary = {"operation": operation or "append"}
+    if extra_summary:
+        summary.update({str(k): str(v) for k, v in extra_summary.items()})
+    snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": snapshot_id,
+        "manifest-list": list_path,
+        "summary": summary,
+    }
+    if parent is not None:
+        snap["parent-snapshot-id"] = parent
+    meta = dict(meta)
+    meta["snapshots"] = [*meta.get("snapshots", []), snap]
+    refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["refs"] = refs
+    if branch == "main":
+        meta["current-snapshot-id"] = snapshot_id
+    meta["metadata-log"] = [
+        *meta.get("metadata-log", []),
+        {"metadata-file": meta_name, "timestamp-ms": snapshot_id - 1},
+    ]
+    version = int(meta_name.rsplit("/v", 1)[1].split(".")[0]) + 1
+    del out[meta_name]
+    out[f"metadata/v{version}.metadata.json"] = json.dumps(meta).encode(
+        "utf-8"
+    )
+    return out, snapshot_id

@@ -383,3 +383,34 @@ def q_iceberg_part_stats(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 448)
     return iceberg_part_stats_features(docs)
+
+
+_ICEBERG_V1_WRITE_ORACLE = (
+    "SELECT doc_id, table_id, view, n_chars, digest FROM ("
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT) AS table_id, "
+    "'head' AS view, CAST(length(text) AS INTEGER) AS n_chars, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 512 "
+    "UNION ALL "
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT), 'tt1', "
+    "CAST(length(text) AS INTEGER), md5(text) "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 64 < 32 "
+    "UNION ALL "
+    "SELECT doc_id, CAST(doc_id // 64 AS BIGINT), 'incr', "
+    "CAST(length(text) AS INTEGER), md5(text) "
+    "FROM documents WHERE doc_id < 512 AND doc_id % 64 >= 32"
+    ")"
+)
+
+
+@query("q_iceberg_v1_write", oracle=_ICEBERG_V1_WRITE_ORACLE)
+def q_iceberg_v1_write(spark, sf_dir):
+    """E206 Iceberg v1 table write (round 17): the commit API's
+    format-version-1 path — sequence-number-free manifests and v1
+    manifest lists with verbatim reuse — read back as head snapshot,
+    time travel, and incremental scan against one oracle
+    (`operators/iceberg.py _iceberg_commit_v1`). One applyInPandas
+    per 64-doc table; map-only."""
+    from yark_spark.operators.multimodal import iceberg_v1_write_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return iceberg_v1_write_features(docs)
