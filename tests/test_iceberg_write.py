@@ -161,14 +161,16 @@ def test_typed_guards():
     m = iceberg_table_create(FIELDS)
     with pytest.raises(ValueError, match="empty commit"):
         iceberg_commit(m)
-    # v1 tables refuse commits
+    # v1 tables COMMIT since round 17 — v2-only features stay typed
     v1 = {
         "metadata/v1.metadata.json": json.dumps(
             {"format-version": 1, "schemas": [], "snapshots": []}
         ).encode()
     }
-    with pytest.raises(NotImplementedError, match="v2"):
-        iceberg_commit(v1, data_files=[("d", b"x", 1)])
+    with pytest.raises(NotImplementedError, match="remove_files"):
+        iceberg_commit(
+            v1, data_files=[("d", b"x", 1)], remove_files=["zz"]
+        )
     with pytest.raises(ValueError, match="content"):
         iceberg_commit(
             m,
