@@ -364,7 +364,11 @@ class TestIcebergBoundsScan:
         assert [r["k"] for r in rows] == [30, 31]
         assert c == {"files_skipped": 1, "files_scanned": 1}
 
-    def test_stats_commit_on_partitioned_table_is_typed(self):
+    def test_partitioned_commit_carries_stats(self):
+        """Partition+stats composition (round 17): bounds ride beside
+        the partition record and the partition scan prunes on BOTH."""
+        from yark_spark.operators.iceberg import iceberg_partition_scan
+
         m = iceberg_table_create(
             _FIELDS,
             partition_spec=[{
@@ -372,12 +376,23 @@ class TestIcebergBoundsScan:
                 "source-id": 1, "field-id": 1000,
             }],
         )
-        with pytest.raises(NotImplementedError, match="partitioned"):
-            iceberg_commit(
-                m,
-                data_files=[("data/p.parquet", _pq([1], ["a"]), 1, {"k": 1})],
-                stats_by_path={"data/p.parquet": _stats([1], ["a"])},
-            )
+        m, _sid = iceberg_commit(
+            m,
+            data_files=[
+                ("data/p0.parquet", _pq([1, 2], ["a", "b"]), 2, {"k": 1}),
+                ("data/p1.parquet", _pq([1, 3], ["c", "d"]), 2, {"k": 1}),
+            ],
+            stats_by_path={
+                "data/p0.parquet": _stats([1, 2], ["a", "b"]),
+                "data/p1.parquet": _stats([1, 3], ["c", "d"]),
+            },
+        )
+        tar = tar_build(sorted(m.items()))
+        rows, c = iceberg_partition_scan(
+            tar, ["s"], source_values={"k": 1}, predicate=[("s", ">=", "c")]
+        )
+        assert sorted(r["s"] for r in rows) == ["c", "d"]
+        assert c["files_skipped_stats"] == 1 and c["files_scanned"] == 1
 
 
 class TestTimestampTimeTravel:
@@ -502,3 +517,49 @@ def test_type_widening_upcasts_narrow_files():
     tar = tar_build(sorted(members))
     got = {r["doc_id"]: r["ts"] for _, r in delta_snapshot_rows(tar, ["doc_id", "ts"])}
     assert got == {1: 10000 * 86_400_000_000, 2: 10001 * 86_400_000_000}
+
+
+def test_mapped_table_partition_and_stats_scans():
+    """mode=name mapped tables (round 17): partitionValues and stats
+    key by PHYSICAL names — logical probes/predicates translate, rows
+    emit logical (was a typed reject)."""
+    from yark_spark.operators.deltalog import delta_partition_scan
+
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-1",
+                      "delta.columnMapping.id": 1}},
+        {"name": "bucket", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-2",
+                      "delta.columnMapping.id": 2}}]})
+    members, actions = [], [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet"},
+                      "schemaString": schema,
+                      "partitionColumns": ["bucket"],
+                      "configuration": {"delta.columnMapping.mode": "name"}}}]
+    for bucket in (0, 1):
+        for fi, ks in enumerate([[1, 2], [10, 11]]):
+            ks = [k + bucket * 100 for k in ks]
+            b = parquet_write({"col-1": ks}, types={"col-1": "INT64"},
+                              codec="SNAPPY")
+            p = f"b{bucket}-f{fi}.parquet"
+            members.append((p, b))
+            actions.append({"add": {"path": p, "size": len(b),
+                                    "dataChange": True,
+                                    "partitionValues": {"col-2": str(bucket)},
+                                    "stats": delta_stats({"col-1": ks})}})
+    members.append((
+        "_delta_log/" + "0" * 20 + ".json",
+        ("\n".join(json.dumps(a) for a in actions) + "\n").encode(),
+    ))
+    tar = tar_build(sorted(members))
+    rows, c = delta_partition_scan(
+        tar, ["k", "bucket"], {"bucket": 1}, predicate=[("k", ">=", 110)]
+    )
+    assert rows == [(0, {"k": 110, "bucket": 1}), (0, {"k": 111, "bucket": 1})]
+    assert c == {"files_skipped": 2, "files_scanned": 1,
+                 "files_skipped_stats": 1}
+    rows, c = delta_stats_scan(tar, ["k"], [("k", ">=", 110)])
+    assert [r["k"] for r in rows] == [110, 111]
+    assert c == {"files_skipped": 3, "files_scanned": 1}

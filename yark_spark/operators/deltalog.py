@@ -146,14 +146,17 @@ def delta_partition_scan(
     row — the partition-prune-then-data-skip pipeline every real
     planner runs."""
     members = dict(tar_members(tar_payload))
-    if delta_column_resolution(tar_payload) is not None:
-        # mapped tables key partitionValues by PHYSICAL names; matching
-        # logical probes against them silently scans nothing (or the
-        # wrong files) — typed until the mapped+partitioned composition
-        # is implemented end to end
+    res = delta_column_resolution(tar_payload)
+    if res is not None and res[0] != "name":
+        # id-mode partition scans would need field-id resolution for
+        # the pv keys too — typed until composed end to end
         raise NotImplementedError(
-            "delta: partition scan over a column-mapped table"
+            "delta: partition scan over an id-mapped table"
         )
+    # mode=name (round 17): partitionValues AND stats in mapped tables
+    # key by PHYSICAL names — probes/predicates arrive in LOGICAL
+    # names and translate here; rows emit back under logical names
+    to_phys: dict[str, str] = res[1] if res is not None else {}
     live = _resolve_live(members)
     meta = _last_metadata(members)
     types: dict[str, str] = {}
@@ -161,7 +164,16 @@ def delta_partition_scan(
         for f in json.loads(meta["schemaString"]).get("fields", []):
             if isinstance(f.get("type"), str):
                 types[f["name"]] = f["type"]
-    probe = {k: _serialize_partition_value(v) for k, v in partition.items()}
+    probe = {
+        to_phys.get(k, k): _serialize_partition_value(v)
+        for k, v in partition.items()
+    }
+    phys_pred = (
+        [(to_phys.get(c, c), op, v) for c, op, v in predicate]
+        if predicate
+        else None
+    )
+    want = set(columns) | {c for c, _o, _v in predicate or ()}
     counters = {"files_skipped": 0, "files_scanned": 0}
     if predicate is not None:
         counters["files_skipped_stats"] = 0
@@ -175,7 +187,7 @@ def delta_partition_scan(
             stats = json.loads(stats_raw) if stats_raw else None
             if not all(
                 _stats_admit(stats, col, op, value)
-                for col, op, value in predicate
+                for col, op, value in phys_pred
             ):
                 counters["files_skipped_stats"] += 1
                 continue
@@ -186,29 +198,29 @@ def delta_partition_scan(
             raise ValueError(f"delta: size mismatch for {path!r}")
         counters["files_scanned"] += 1
         dead = _dv_dead_rows(members, dv) if dv is not None else frozenset()
-        file_cols = [c for c in columns if c not in pv]
-        for col, _op, _v in predicate or ():
-            if col not in file_cols and col not in pv:
-                file_cols.append(col)
+        file_cols = []
+        for c in want:
+            pc = to_phys.get(c, c)
+            if pc not in pv and pc not in file_cols:
+                file_cols.append(pc)
         if file_cols:
             cols = parquet_read_columns(data, file_cols)
             n = len(cols[file_cols[0]])
         else:
             cols = {}
             n = parquet_footer(data)["num_rows"]
-        injected = {
-            c: _cast_partition_value(types.get(c, "string"), pv.get(c))
-            for c in set(columns) | {c for c, _o, _v in predicate or ()}
-            if c in pv
-        }
         for i in range(n):
             if i in dead:
                 continue
-            full = {
-                c: cols[c][i] if c in cols else injected[c]
-                for c in set(columns)
-                | {c for c, _o, _v in predicate or ()}
-            }
+            full = {}
+            for c in want:
+                pc = to_phys.get(c, c)
+                if pc in pv:
+                    full[c] = _cast_partition_value(
+                        types.get(c, "string"), pv.get(pc)
+                    )
+                else:
+                    full[c] = cols[pc][i]
             if predicate and not _row_matches(full, predicate):
                 continue
             out.append((version, {c: full[c] for c in columns}))
@@ -1922,17 +1934,21 @@ def delta_stats_scan(
     Stats survive checkpoints as a string column (the classic/v2
     readers above carry them back into the live tuple)."""
     members = dict(tar_members(tar_payload))
-    if delta_column_resolution(tar_payload) is not None:
+    res = delta_column_resolution(tar_payload)
+    if res is not None and res[0] != "name":
         raise NotImplementedError(
-            "delta: stats scan over a column-mapped table"
+            "delta: stats scan over an id-mapped table"
         )
+    # mode=name (round 17): mapped tables key stats by PHYSICAL names;
+    # logical predicates/columns translate here and rows emit logical
+    to_phys: dict[str, str] = res[1] if res is not None else {}
     live = _resolve_live(members)
     counters = {"files_skipped": 0, "files_scanned": 0}
     out: list[dict] = []
     for path, (_version, size, dv, _pv, stats_raw) in sorted(live.items()):
         stats = json.loads(stats_raw) if stats_raw else None
         if not all(
-            _stats_admit(stats, col, op, value)
+            _stats_admit(stats, to_phys.get(col, col), op, value)
             for col, op, value in predicate
         ):
             counters["files_skipped"] += 1
@@ -1948,7 +1964,9 @@ def delta_stats_scan(
         for col, _op, _v in predicate:
             if col not in need:
                 need.append(col)
-        cols = parquet_read_columns(data, need)
+        phys_need = [to_phys.get(c, c) for c in need]
+        cols_raw = parquet_read_columns(data, phys_need)
+        cols = {c: cols_raw[p] for c, p in zip(need, phys_need)}
         n = len(cols[need[0]]) if need else 0
         if stats is not None and stats.get("numRecords") not in (None, n):
             raise ValueError(
