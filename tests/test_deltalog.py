@@ -431,13 +431,13 @@ def test_protocol_v3_feature_gate():
     bad = {
         "protocol": {
             "minReaderVersion": 3,
-            "readerFeatures": ["deletionVectors", "variantType"],
+            "readerFeatures": ["deletionVectors", "collations-preview"],
         }
     }
     blob = _table(
         [_commit(0, bad, _META, _add("a.parquet", a))], [("a.parquet", a)]
     )
-    with pytest.raises(NotImplementedError, match="variantType"):
+    with pytest.raises(NotImplementedError, match="collations-preview"):
         delta_snapshot_rows(blob, ["doc_id"])
     # v2Checkpoint reads since round 16 (manifest + sidecars)
     ok_v2 = {
@@ -1027,11 +1027,11 @@ def test_v2_checkpoint_typed_guards():
     bad4 = dict(members)
     lines4 = bad4[m_name].decode().splitlines()
     proto = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["v2Checkpoint", "variantType"]}}
+                          "readerFeatures": ["v2Checkpoint", "collations-preview"]}}
     bad4[m_name] = "\n".join(
         [lines4[0], json.dumps(proto)] + lines4[2:]
     ).encode()
-    with pytest.raises(NotImplementedError, match="variantType"):
+    with pytest.raises(NotImplementedError, match="collations-preview"):
         delta_snapshot_rows(tar_build(sorted(bad4.items())), ["doc_id"])
 
 

@@ -63,6 +63,7 @@ from yark_spark.operators.parquet_data import parquet_read_columns
 from yark_spark.operators.parquet_meta import parquet_footer
 from yark_spark.operators.parquet_write import parquet_write, plist, pmap
 from yark_spark.operators.png import crc32
+from yark_spark.operators.variant import variant_to_python
 from yark_spark.operators.roaring import (
     roaring64_array_deserialize,
     roaring64_array_serialize,
@@ -399,6 +400,11 @@ def _check_protocol(p: dict) -> None:
             # materialization; date→timestampNtz converts days→micros)
             "typeWidening",
             "typeWidening-preview",
+            # round 17: semi-structured VARIANT columns — parquet
+            # group {metadata BINARY, value BINARY} decoded through
+            # operators/variant (VariantEncoding.md)
+            "variantType",
+            "variantType-preview",
         }
         if unsupported:
             raise NotImplementedError(
@@ -1145,6 +1151,18 @@ def delta_snapshot_rows(
     mapping = res[1] if res is not None else None
     phys = [mapping.get(c, c) for c in columns] if mapping else list(columns)
     members = dict(tar_members(tar_payload))
+    # VARIANT columns (round 17): the schema's "variant" type maps to
+    # a parquet group {metadata BINARY, value BINARY}; both halves
+    # read through the dotted-path reader and decode per
+    # VariantEncoding.md into Python dict/list/scalar values
+    variant_cols: set = set()
+    meta0 = _last_metadata(members)
+    if meta0 is not None and meta0.get("schemaString"):
+        variant_cols = {
+            f["name"]
+            for f in json.loads(meta0["schemaString"]).get("fields", [])
+            if f.get("type") == "variant"
+        }
     # typeWidening (round 17): when the protocol declares the feature,
     # files written under a NARROWER type upcast to the CURRENT schema
     # type. int→long and float→double are value-identity in this
@@ -1164,7 +1182,21 @@ def delta_snapshot_rows(
     for _path, ver, data, dead in _finalize(
         members, _resolve_live(members, version)
     ):
-        cols = parquet_read_columns(data, phys)
+        read_list = []
+        for c, p in zip(columns, phys):
+            if c in variant_cols:
+                read_list += [p + ".metadata", p + ".value"]
+            else:
+                read_list.append(p)
+        cols = parquet_read_columns(data, read_list)
+        for c, p in zip(columns, phys):
+            if c in variant_cols:
+                cols[p] = [
+                    None if md is None else variant_to_python(md, val)
+                    for md, val in zip(
+                        cols[p + ".metadata"], cols[p + ".value"]
+                    )
+                ]
         day_cols: set = set()
         if widen_types:
             leaf = {

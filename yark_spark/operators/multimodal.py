@@ -2921,6 +2921,7 @@ def _register_delta_modules():
     from yark_spark.operators import parquet_write as _pw
     from yark_spark.operators import roaring as _roar
     from yark_spark.operators import snappy as _snappy
+    from yark_spark.operators import variant as _variant
     from yark_spark.operators import varint as _varint
 
     _register_container_modules()  # png (DEFLATE/crc32), zstd, containers
@@ -2932,6 +2933,7 @@ def _register_delta_modules():
     _cp.register_pickle_by_value(_pdata)
     _cp.register_pickle_by_value(_pw)
     _cp.register_pickle_by_value(_roar)
+    _cp.register_pickle_by_value(_variant)  # round 17: variantType
     _cp.register_pickle_by_value(_dl)
     return _dl
 
@@ -12782,4 +12784,137 @@ def iceberg_v1_write_features(
         df.select(F.col(id_col), F.col(text_col))
         .groupBy(F.floor(F.col(id_col) / 64).cast("long").alias("__t"))
         .applyInPandas(_build_and_read, ICEBERG_V1_WRITE_SCHEMA)
+    )
+
+
+DELTA_VARIANT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("table_id", LongType()),
+        StructField("v_id", LongType()),
+        StructField("v_ntags", IntegerType()),
+        StructField("v_tag_last", StringType()),
+        StructField("v_even", BooleanType()),
+        StructField("v_neg", LongType()),
+        StructField("v_half", DoubleType()),
+        StructField("v_text_digest", StringType()),
+    ]
+)
+
+
+def delta_variant_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """E207 Delta VARIANT columns (round 17): every 32 docs become a
+    table whose ``v`` column is schema type ``variant`` under the
+    variantType readerFeature — each cell a from-scratch
+    VariantEncoding.md buffer pair (sorted metadata dictionary;
+    object/array/short+long string/int-width/bool/null/double tags)
+    stored as a parquet {metadata BINARY, value BINARY} group with NO
+    UTF8 annotation. The snapshot read decodes every cell back to
+    Python and the emitted scalars (nested field projections) must
+    match one doc_id-arithmetic oracle — a reader that mangles the
+    dictionary order, an offset width, or the long-string path fails
+    the hash (`operators/variant.py`, `operators/deltalog.py`). One
+    applyInPandas per table; map-only."""
+    _dl = _register_delta_modules()
+    _rows = _dl.delta_snapshot_rows
+    from yark_spark.operators import parquet_write as _pw_mod
+    from yark_spark.operators import variant as _var_mod
+
+    _tar = _register_container_modules().tar_build
+    _write = _pw_mod.parquet_write
+    _encode = _var_mod.variant_from_python
+
+    def _build_and_read(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        import json as _json
+
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        ids = [int(v) for v in pdf[id_col]]
+        texts = list(pdf[text_col])
+        tid = ids[0] // 32
+        cells = []
+        for i, text in zip(ids, texts):
+            obj = {
+                "id": i,
+                "half": (i % 32) / 2.0,
+                "text": text,
+                "tags": [f"t{k}" for k in range(i % 3 + 1)],
+                "meta": {"even": i % 2 == 0, "neg": -i},
+                "nothing": None,
+            }
+            cells.append(_encode(obj))
+        blob = _write(
+            {
+                "doc_id": ids,
+                "v": [{"metadata": m, "value": val} for m, val in cells],
+            },
+            types={
+                "doc_id": "INT64",
+                "v": {"metadata": "BINARY", "value": "BINARY"},
+            },
+            codec="SNAPPY",
+        )
+        schema = _json.dumps({"type": "struct", "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "variant", "nullable": True,
+             "metadata": {}}]})
+        actions = [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["variantType"],
+                          "writerFeatures": ["variantType"]}},
+            {"metaData": {"id": f"tbl-{tid}",
+                          "format": {"provider": "parquet"},
+                          "schemaString": schema,
+                          "partitionColumns": [], "configuration": {}}},
+            {"add": {"path": "p.parquet", "size": len(blob),
+                     "dataChange": True, "partitionValues": {}}},
+        ]
+        members = [
+            ("p.parquet", blob),
+            (
+                "_delta_log/" + "0" * 20 + ".json",
+                ("\n".join(_json.dumps(a) for a in actions) + "\n").encode(),
+            ),
+        ]
+        out = {
+            "doc_id": [], "v_id": [], "v_ntags": [], "v_tag_last": [],
+            "v_even": [], "v_neg": [], "v_half": [], "v_text_digest": [],
+        }
+        for _ver, row in _rows(_tar(sorted(members)), ["doc_id", "v"]):
+            v = row["v"]
+            assert v["nothing"] is None  # null tag survives the wire
+            out["doc_id"].append(int(row["doc_id"]))
+            out["v_id"].append(int(v["id"]))
+            out["v_ntags"].append(len(v["tags"]))
+            out["v_tag_last"].append(v["tags"][-1])
+            out["v_even"].append(bool(v["meta"]["even"]))
+            out["v_neg"].append(int(v["meta"]["neg"]))
+            out["v_half"].append(float(v["half"]))
+            out["v_text_digest"].append(
+                _h.md5(v["text"].encode("utf-8")).hexdigest()
+            )
+        k = len(out["doc_id"])
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out["doc_id"], dtype="int64"),
+                "table_id": np.full(k, tid, dtype="int64"),
+                "v_id": np.array(out["v_id"], dtype="int64"),
+                "v_ntags": np.array(out["v_ntags"], dtype="int32"),
+                "v_tag_last": out["v_tag_last"],
+                "v_even": np.array(out["v_even"], dtype="bool"),
+                "v_neg": np.array(out["v_neg"], dtype="int64"),
+                "v_half": np.array(out["v_half"], dtype="float64"),
+                "v_text_digest": out["v_text_digest"],
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.floor(F.col(id_col) / 32).cast("long").alias("__t"))
+        .applyInPandas(_build_and_read, DELTA_VARIANT_SCHEMA)
     )

@@ -1013,7 +1013,15 @@ def parquet_read_columns(
                 vals = _read_chunk(
                     payload, col, max_def, type_length=el.get("type_length")
                 )
-                if col["type"] == "BYTE_ARRAY":
+                # UTF8-annotated BYTE_ARRAY → str; an element that
+                # EXPLICITLY lacks the annotation (round 17: raw
+                # BINARY leaves — variant buffers, blobs) stays bytes
+                raw_binary = (
+                    bool(el)
+                    and "converted_type" in el
+                    and el["converted_type"] is None
+                )
+                if col["type"] == "BYTE_ARRAY" and not raw_binary:
                     vals = [
                         v.decode("utf-8") if isinstance(v, bytes) else v
                         for v in vals

@@ -56,6 +56,9 @@ _TYPE_IDS = {
     "FLOAT": 4,
     "DOUBLE": 5,
     "BYTE_ARRAY": 6,
+    # raw binary (round 17): same physical type, NO UTF8 ConvertedType
+    # — the reader returns bytes (variant buffers, blobs)
+    "BINARY": 6,
 }
 _CODEC_IDS = {
     "UNCOMPRESSED": 0,
@@ -738,6 +741,8 @@ def parquet_write(
         col_infos: list = []
         rg_total = 0
         for disp, path, ptype, fpath in leaves:
+            if ptype == "BINARY":
+                ptype = "BYTE_ARRAY"  # schema keeps the raw annotation
             rows = columns[path[0]][rg_start : rg_start + rg_rows]
             reps_pair = None
             if disp in gleaves:

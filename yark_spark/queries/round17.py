@@ -414,3 +414,32 @@ def q_iceberg_v1_write(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
     return iceberg_v1_write_features(docs)
+
+
+_DELTA_VARIANT_ORACLE = (
+    "SELECT doc_id, CAST(doc_id // 32 AS BIGINT) AS table_id, "
+    "doc_id AS v_id, "
+    "CAST(doc_id % 3 + 1 AS INTEGER) AS v_ntags, "
+    "'t' || CAST(doc_id % 3 AS VARCHAR) AS v_tag_last, "
+    "doc_id % 2 = 0 AS v_even, "
+    "-doc_id AS v_neg, "
+    "CAST((doc_id % 32) / 2.0 AS DOUBLE) AS v_half, "
+    "md5(text) AS v_text_digest "
+    "FROM documents WHERE doc_id < 512"
+)
+
+
+@query("q_delta_variant", oracle=_DELTA_VARIANT_ORACLE)
+def q_delta_variant(spark, sf_dir):
+    """E207 Delta VARIANT columns (round 17): variant cells
+    (VariantEncoding.md — sorted metadata dictionary, tagged value
+    tree with objects/arrays/short+long strings/smallest-width ints/
+    bool/null/double) written as a parquet {metadata, value} BINARY
+    group under the variantType readerFeature, decoded through the
+    snapshot read, nested projections pinned by one arithmetic oracle
+    (`operators/variant.py`). One applyInPandas per table;
+    map-only."""
+    from yark_spark.operators.multimodal import delta_variant_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    return delta_variant_features(docs)
