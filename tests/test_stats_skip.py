@@ -563,3 +563,37 @@ def test_mapped_table_partition_and_stats_scans():
     rows, c = delta_stats_scan(tar, ["k"], [("k", ">=", 110)])
     assert [r["k"] for r in rows] == [110, 111]
     assert c == {"files_skipped": 3, "files_scanned": 1}
+
+
+def test_in_commit_timestamp_supersedes_wall_clock():
+    """ICT (round 17): commitInfo.inCommitTimestamp is the monotonic
+    in-protocol clock — when present it wins over the best-effort
+    `timestamp` field for TIMESTAMP AS OF resolution."""
+    from yark_spark.operators.deltalog import delta_version_at_timestamp
+
+    a = _pq([1], ["a"])
+    actions0 = [
+        {"commitInfo": {"timestamp": 5000, "inCommitTimestamp": 1000}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet"},
+                      "schemaString": _SCHEMA_STRING,
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": "a.parquet", "size": len(a),
+                 "dataChange": True, "partitionValues": {}}},
+    ]
+    actions1 = [
+        {"commitInfo": {"timestamp": 1, "inCommitTimestamp": 2000}},
+        {"add": {"path": "a2.parquet", "size": len(a),
+                 "dataChange": True, "partitionValues": {}}},
+    ]
+    members = [("a.parquet", a), ("a2.parquet", a)]
+    for v, acts in enumerate([actions0, actions1]):
+        members.append((
+            f"_delta_log/{v:020d}.json",
+            ("\n".join(json.dumps(x) for x in acts) + "\n").encode(),
+        ))
+    tar = tar_build(sorted(members))
+    # wall clocks (5000, 1) REGRESS; ICT (1000, 2000) is monotonic and
+    # must be the resolution basis
+    assert delta_version_at_timestamp(tar, 1500) == 0
+    assert delta_version_at_timestamp(tar, 2000) == 1

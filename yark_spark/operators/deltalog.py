@@ -2170,7 +2170,11 @@ def delta_version_at_timestamp(tar_payload: bytes, ts_millis: int) -> int:
                 continue
             action = json.loads(line)
             if "commitInfo" in action:
-                ts = action["commitInfo"].get("timestamp")
+                ci = action["commitInfo"]
+                # inCommitTimestamps (Delta's ICT writer feature):
+                # the monotonic in-protocol clock supersedes the
+                # best-effort wall-clock `timestamp` when present
+                ts = ci.get("inCommitTimestamp", ci.get("timestamp"))
                 break
         if ts is None:
             raise NotImplementedError(
