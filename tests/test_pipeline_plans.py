@@ -83,18 +83,24 @@ def test_global_sort_is_range_partitioned(spark, sf_dir):
 
 def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     """Brute-force top-k: the query side must broadcast, and the per-query
-    ranking must be two-phase — a map-side partial top-k reduction
-    (partial_collect_list keyed on spark_partition_id) BEFORE any exchange,
-    so no task ever receives more than k x partitions rows per query
-    (VERDICT.md round-1 item 3)."""
+    ranking must prune map-side BEFORE the exchange so no task ever
+    receives more than k x partitions rows per query (VERDICT.md round-1
+    item 3). Round 17: the pruning is Spark's WindowGroupLimit rank-limit
+    pushdown (partial mode below the exchange, final above) instead of the
+    hand-rolled ObjectHashAggregate two-phase form — one exchange instead
+    of two, whole-stage codegen instead of the objects path, same rows."""
     df = cosine_topk(load_table(spark, sf_dir, "embeddings"), query_max_id=10, k=5)
     plan = formatted_plan(df)
     assert count_broadcast_joins(df) >= 1
-    # two shuffles, both over pre-reduced rows: the (query_id, partition)
-    # local-top-k agg and the final per-query window
-    assert count_exchanges(df) == 2, plan
-    assert "partial_collect_list" in plan, plan
-    assert "SPARK_PARTITION_ID" in plan.upper(), plan
+    # one shuffle, over pre-reduced rows: WindowGroupLimit caps each map
+    # task's contribution at k rows per query before the exchange
+    assert count_exchanges(df) == 1, plan
+    phys = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert phys.count("WindowGroupLimit") == 2, plan  # partial + final
+    # tree prints top-down: the PARTIAL WindowGroupLimit (below the
+    # exchange) is the LAST occurrence and must print after the Exchange
+    assert phys.rindex("WindowGroupLimit") > phys.index("Exchange"), plan
+    assert "ObjectHashAggregate" not in plan, plan
 
 
 def test_fuzzy_dedup_uncapped_is_one_broadcast_join(spark, sf_dir):

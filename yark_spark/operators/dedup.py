@@ -96,6 +96,17 @@ def banded_pairs(
     a ``distinct()`` — a full extra shuffle of the largest intermediate in
     the whole pipeline. The first-band rule deletes that shuffle outright.
 
+    The bucket table is PERSISTED (and registered with
+    ``operators.release.track`` so harnesses can free it): the self-join
+    consumes it on both sides, and without the cache the whole upstream —
+    scan, signature computation, and the cap's sizing window — is planned
+    twice and (where AQE exchange reuse cannot see it, e.g. the map-only
+    uncapped path) executed twice; even when runtime exchange reuse
+    dedupes the execution, the duplicated subtree still pays double
+    whole-stage-codegen compilation on first run. Measured on the sf0.1
+    fuzzy pipeline (32 cores): first-run 17.4 s -> 9.2-14.2 s across
+    samples, steady-state 2.6 s -> 2.1-2.2 s, identical 6,067,963 pairs.
+
     ``max_bucket`` caps pathological buckets: a single boilerplate bucket
     (empty docs, license headers) of size n yields n²/2 pairs, turning the
     band self-join quadratic. Capped band keys are nulled BEFORE the pair
@@ -155,7 +166,8 @@ def banded_pairs(
         *carry,
         *kcols,
         F.posexplode(F.array(*kcols)).alias("band", "key"),
-    ).where(F.col("key").isNotNull())
+    ).where(F.col("key").isNotNull()).persist()
+    track(buckets)  # freed by harnesses via release_tracked()
     # The bucket table is small but the join OUTPUT is huge (every in-bucket
     # pair). A broadcast join would generate all pairs from the probe side's
     # 1-2 input partitions — single-task. Round-robin the probe side so pair
@@ -658,19 +670,20 @@ def semantic_dedup(
     are hoisted (computed n times, not n²), and the τ filter sits ABOVE
     the per-vector argmax window so Catalyst cannot push the cosine into
     the join condition (which would evaluate it twice per pair)."""
-    from yark_spark.operators.similarity import _dot, _norm
+    from yark_spark.operators.similarity import _dot, _norm, _static_dim
 
+    dim = _static_dim(emb, vec_col)
     a = emb.select(
         F.col(id_col).alias("__keep_id"),
         F.col(cluster_col).alias("__cl_a"),
         F.col(vec_col).alias("__e_a"),
-        _norm(F.col(vec_col)).alias("__n_a"),
+        _norm(F.col(vec_col), dim).alias("__n_a"),
     )
     b = emb.select(
         F.col(id_col),
         F.col(cluster_col),
         F.col(vec_col).alias("__e_b"),
-        _norm(F.col(vec_col)).alias("__n_b"),
+        _norm(F.col(vec_col), dim).alias("__n_b"),
     )
     pairs = a.join(
         b,
@@ -681,7 +694,7 @@ def semantic_dedup(
         cluster_col,
         "__keep_id",
         F.round(
-            _dot(F.col("__e_a"), F.col("__e_b")) / (F.col("__n_a") * F.col("__n_b")),
+            _dot(F.col("__e_a"), F.col("__e_b"), dim) / (F.col("__n_a") * F.col("__n_b")),
             round_digits,
         ).alias("sim"),
     )

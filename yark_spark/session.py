@@ -31,13 +31,29 @@ RUNTIME_CONFS = {
 }
 
 
+#: Sessions already tuned — ``tune`` is called by every ``load_table``
+#: (3-4 per query x hundreds of driver keys), and each conf.set is a
+#: py4j round trip; the values are constants, so apply them once per
+#: session. WeakSet: dropping a stopped session must not pin it.
+_TUNED: "weakref.WeakSet" = None  # type: ignore[assignment]
+
+
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an existing session (idempotent)."""
+    """Apply runtime confs to an existing session (idempotent; memoized
+    per session object — the confs are constants)."""
+    global _TUNED
+    if _TUNED is None:
+        import weakref
+
+        _TUNED = weakref.WeakSet()
+    if spark in _TUNED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this deployment — keep going
+    _TUNED.add(spark)
     return spark
 
 
