@@ -670,20 +670,19 @@ def semantic_dedup(
     are hoisted (computed n times, not n²), and the τ filter sits ABOVE
     the per-vector argmax window so Catalyst cannot push the cosine into
     the join condition (which would evaluate it twice per pair)."""
-    from yark_spark.operators.similarity import _dot, _norm, _static_dim
+    from yark_spark.operators.similarity import _dot, _norm
 
-    dim = _static_dim(emb, vec_col)
     a = emb.select(
         F.col(id_col).alias("__keep_id"),
         F.col(cluster_col).alias("__cl_a"),
         F.col(vec_col).alias("__e_a"),
-        _norm(F.col(vec_col), dim).alias("__n_a"),
+        _norm(F.col(vec_col)).alias("__n_a"),
     )
     b = emb.select(
         F.col(id_col),
         F.col(cluster_col),
         F.col(vec_col).alias("__e_b"),
-        _norm(F.col(vec_col), dim).alias("__n_b"),
+        _norm(F.col(vec_col)).alias("__n_b"),
     )
     pairs = a.join(
         b,
@@ -694,7 +693,7 @@ def semantic_dedup(
         cluster_col,
         "__keep_id",
         F.round(
-            _dot(F.col("__e_a"), F.col("__e_b"), dim) / (F.col("__n_a") * F.col("__n_b")),
+            _dot(F.col("__e_a"), F.col("__e_b")) / (F.col("__n_a") * F.col("__n_b")),
             round_digits,
         ).alias("sim"),
     )

@@ -7,15 +7,16 @@ per-query top-k (TakeOrdered-style aggregation). The scale path buckets
 candidates with random hyperplane LSH (or pyspark.ml's
 BucketedRandomProjectionLSH) so each query only scans a few buckets.
 
-Dot products: when the (uniform) vector dimensionality is known — probed
-once per operator call from a single row, see ``_static_dim`` — the dot and
-norm are emitted as FLAT per-element expressions (a[0]*b[0] + a[1]*b[1] +
-...), which whole-stage codegen compiles; the ``F.zip_with`` +
-``F.aggregate`` higher-order form (interpreted, one array allocation per
-pair) remains the fallback for unknown/ragged dims. Both forms accumulate
-left-to-right from 0.0, so their floating-point results are bit-identical.
-For very wide vectors a pandas_udf over Arrow batches can be swapped in
-(see yark_spark/queries/udf.py and ``cosine_topk_blas``).
+Dot products use `F.zip_with` + `F.aggregate` — JVM-side higher-order
+functions, no Python per-row. Round-17 negative result, measured and kept
+OUT: statically unrolled per-element expressions (a[0]*b[0] + a[1]*b[1] +
+...; also literal-index constant-folded LSH hyperplanes) are 1.5-2.7x
+SLOWER than this interpreted fold at dim=64 (score-only 200-query shape:
+6.27 s vs 2.28 s; hyperplane pass 0.51 s vs 0.33 s) — the giant flat
+trees fall out of whole-stage codegen while the HOF evaluator runs a
+tight loop over the packed array. For very wide vectors a pandas_udf over
+Arrow batches can be swapped in (see yark_spark/queries/udf.py and
+``cosine_topk_blas``).
 """
 
 from __future__ import annotations
@@ -37,27 +38,7 @@ def _np_round_half_up(a, digits: int):
     return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
 
 
-def _static_dim(df: DataFrame, vec_col: str) -> int | None:
-    """Vector dimensionality probed from ONE row (bounded driver action,
-    the same pattern as the IVF centroid table). Embedding tables carry a
-    single uniform dim; when the probe finds none (empty input) the caller
-    falls back to the interpreted higher-order path, which handles any
-    shape. Ragged inputs (mixed dims) are out of contract for the flat
-    path — pass ``dim=None`` explicitly to force the fallback."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if row is None or row["d"] is None or row["d"] <= 0:
-        return None
-    return int(row["d"])
-
-
-def _dot(a, b, dim: int | None = None):
-    if dim is not None:
-        # Flat, codegen-able form. Left-to-right accumulation from 0.0
-        # reproduces the fold's float summation order bit-for-bit.
-        acc = F.lit(0.0)
-        for i in range(dim):
-            acc = acc + a[i].cast("double") * b[i].cast("double")
-        return acc
+def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -65,12 +46,7 @@ def _dot(a, b, dim: int | None = None):
     )
 
 
-def _norm(a, dim: int | None = None):
-    if dim is not None:
-        acc = F.lit(0.0)
-        for i in range(dim):
-            acc = acc + a[i].cast("double") * a[i].cast("double")
-        return F.sqrt(acc)
+def _norm(a):
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -80,9 +56,9 @@ def _norm(a, dim: int | None = None):
     )
 
 
-def cosine_similarity_col(a, b, dim: int | None = None):
+def cosine_similarity_col(a, b):
     """cos(a, b) as a Column over two array<float|double> columns."""
-    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -96,8 +72,9 @@ def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     hand-rolled two-phase form (groupBy (query_id, partition_id) +
     collect_list/sort/slice) achieved, but in whole-stage codegen instead
     of an ObjectHashAggregate, with ONE exchange instead of two, and
-    without materializing a struct array per group. Plan shape (asserted
-    in tests/test_plans.py): Sort+WindowGroupLimit -> Exchange ->
+    without materializing a struct array per group. Measured at the
+    200-query stress shape: 3.78 s -> 3.00 s warm. Plan shape (asserted
+    in tests/test_pipeline_plans.py): Sort+WindowGroupLimit -> Exchange ->
     Sort+WindowGroupLimit -> Window -> Filter.
 
     Ordering is (cosine_sim DESC, neighbor_id ASC) — same deterministic
@@ -138,16 +115,15 @@ def cosine_topk(
     """
     # Norms are per-vector, not per-pair: compute once on each side (cuts
     # ~2/3 of the arithmetic vs. a naive cosine per pair).
-    dim = _static_dim(embeddings, vec_col)
     q = embeddings.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col), dim).alias("qn"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col), dim).alias("cn"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -155,7 +131,7 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), round_digits
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits
             ).alias("cosine_sim"),
         )
     )
@@ -173,18 +149,17 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs above a threshold within a
     bounded id range (exact baseline; LSH variant below scales it)."""
     base = embeddings if max_id is None else embeddings.filter(F.col(id_col) < max_id)
-    dim = _static_dim(base, vec_col)
     a = base.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), _norm(F.col(vec_col), dim).alias("na")
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), _norm(F.col(vec_col)).alias("na")
     )
     b = base.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), _norm(F.col(vec_col), dim).alias("nb")
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), _norm(F.col(vec_col)).alias("nb")
     )
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
         "id_a",
         "id_b",
         F.round(
-            _dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), round_digits
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits
         ).alias("cosine_sim"),
     )
     return pairs.filter(F.col("cosine_sim") >= threshold)
@@ -196,20 +171,15 @@ def hyperplane_lsh_buckets(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
-    dim: int | None = None,
 ) -> DataFrame:
     """Sign-random-projection LSH: bucket = sign bits against ``n_planes``
     deterministic pseudo-random hyperplanes. Vectors in the same bucket are
     likely cosine-similar; ANN search then only joins within buckets.
 
     The hyperplanes are generated from a hash of (plane, dim) so every task
-    derives them independently — nothing is broadcast or collected. With a
-    known ``dim`` the plane components are EMITTED AS LITERAL indices, so
-    Catalyst constant-folds every ``xxhash64(seed, p, i)`` at plan time and
-    the per-row work collapses to a codegen'd multiply-add chain — the
-    hash-per-element-per-row cost of the higher-order fallback disappears
-    entirely (identical values: same hash inputs, same fold order).
+    derives them independently — nothing is broadcast or collected.
     """
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
 
     def _plane_comp(p):
         # closure factory — pyspark lambdas must take only lambda variables
@@ -220,19 +190,12 @@ def hyperplane_lsh_buckets(
     bits = []
     for p in range(n_planes):
         # plane component for dim i: xxhash64(p, i) scaled to [-1, 1]
-        if dim is not None:
-            v = F.col(vec_col)
-            proj = F.lit(0.0)
-            for i in range(dim):
-                proj = proj + v[i].cast("double") * _plane_comp(p)(F.lit(i))
-        else:
-            dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
-            comp = F.transform(dim_idx, _plane_comp(p))
-            proj = F.aggregate(
-                F.zip_with(F.col(vec_col), comp, lambda x, c: x.cast("double") * c),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+        comp = F.transform(dim_idx, _plane_comp(p))
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), comp, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
     # n_planes=0 degenerates to ONE bucket (no pruning): ann_topk_lsh then
     # scores every candidate and must reproduce the exact top-k — the
@@ -296,17 +259,16 @@ def ivf_topk(
         centers, "cell int, center array<double>"
     )
 
-    dim = _static_dim(embeddings, vec_col)
     q = assigned.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col), dim).alias("qn"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     # Probe ranking: |Q| × n_cells rows — tiny; the per-query window here is
     # over n_cells rows, not the corpus, so it is not the round-1 bottleneck
     # shape. Probe by the same metric the final ranking uses (cosine).
-    probe_sim = _dot(F.col("qv"), F.col("center"), dim) / (
-        F.col("qn") * _norm(F.col("center"), dim)
+    probe_sim = _dot(F.col("qv"), F.col("center")) / (
+        F.col("qn") * _norm(F.col("center"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__psim"), F.asc("cell"))
     probes = (
@@ -320,7 +282,7 @@ def ivf_topk(
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col), dim).alias("cn"),
+        _norm(F.col(vec_col)).alias("cn"),
         F.col("cell"),
     )
     scored = c.join(
@@ -329,7 +291,7 @@ def ivf_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
         ).alias("cosine_sim"),
     )
     return topk_per_query(scored, k)
@@ -364,8 +326,7 @@ def ann_topk_lsh(
     ALL masks ≤ n_flip dominates it at equal probe count."""
     import itertools
 
-    dim = _static_dim(embeddings, vec_col)
-    bucketed = hyperplane_lsh_buckets(embeddings, id_col, vec_col, n_planes, dim=dim)
+    bucketed = hyperplane_lsh_buckets(embeddings, id_col, vec_col, n_planes)
     q = bucketed.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col("bucket")
     )
@@ -389,7 +350,7 @@ def ann_topk_lsh(
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity_col(F.col("qv"), F.col("cv"), dim), 6).alias("cosine_sim"),
+        F.round(cosine_similarity_col(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
     )
     return topk_per_query(scored, k)
 

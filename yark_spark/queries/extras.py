@@ -835,17 +835,16 @@ def q_centroid_bin(spark, sf_dir):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    from yark_spark.operators.similarity import _static_dim, cosine_similarity_col
+    from yark_spark.operators.similarity import cosine_similarity_col
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = _static_dim(emb, "embedding")
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
     )
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cent_id",
-        F.round(cosine_similarity_col(F.col("embedding"), F.col("cv"), dim), 6).alias("sim"),
+        F.round(cosine_similarity_col(F.col("embedding"), F.col("cv")), 6).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
     return (
