@@ -77,3 +77,30 @@ def test_path_graph_levels_logarithmic(spark):
     # it the contraction needs n-1 LEVELS (the round-2 behavior)
     assert stats["levels"] <= 3, stats
     assert stats["pointer_rounds"] <= math.ceil(math.log2(n)) + 3, stats
+
+
+def test_eager_local_checkpoint_fires_observation(spark):
+    """Round-17 optimization mechanism pin: each pointer-doubling round
+    (and the contraction-emptiness probe) now reads its convergence metric
+    from an ``Observation`` fired by the eager ``localCheckpoint``'s OWN
+    action — one action per round instead of checkpoint +
+    ``limit(1).count()``. That only works because Dataset.localCheckpoint
+    runs under a SQL execution that collects observed metrics; if a Spark
+    upgrade ever stops doing so, ``obs.get`` would block forever and every
+    dedup_clusters call would hang. Probe the metric from a worker thread
+    with a timeout so a regression fails fast instead of hanging."""
+    import threading
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    spark.range(100).observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    got: dict = {}
+    th = threading.Thread(target=lambda: got.update(obs.get))
+    th.daemon = True
+    th.start()
+    th.join(timeout=30)
+    assert got.get("n") == 100, (
+        "eager localCheckpoint no longer fires observe() metrics — "
+        "revert _pointer_double/_components to a separate probe action"
+    )

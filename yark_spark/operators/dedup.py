@@ -442,9 +442,16 @@ def _pointer_double(
 ) -> DataFrame:
     """Flatten a decreasing parent forest: label ← label(label) until
     fixpoint. Chains of depth d need ⌈log₂ d⌉ rounds; clique-dominated LSH
-    graphs converge in one. Each round is one equi-join of the label table
-    with itself (shuffle on label) + an eager localCheckpoint; the
-    convergence probe reuses the same join output."""
+    graphs converge in one. Each round is ONE JOB: one equi-join of the
+    label table with itself (shuffle on label) whose eager localCheckpoint
+    both materializes the round and fires an ``Observation`` carrying the
+    changed-row count — the former separate ``limit(1).count()`` probe job
+    (and the ``__old`` column it needed in the checkpointed data) are gone.
+    Eager ``Dataset.localCheckpoint`` runs under a SQL execution, so
+    observed metrics are collected by its action (pinned in
+    tests/test_dedup_clusters.py)."""
+    from pyspark.sql import Observation
+
     for _ in range(max_rounds):
         if stats is not None:
             stats["pointer_rounds"] = stats.get("pointer_rounds", 0) + 1
@@ -453,15 +460,22 @@ def _pointer_double(
         # (e.g. an edge endpoint outside `nodes`); an inner join would DROP
         # such rows, violating the "every node labeled" contract — treat a
         # foreign label as its own root instead
-        j = labels.join(parent, "label", "left").select(
-            "id",
-            F.col("label").alias("__old"),
-            F.coalesce("l2", "label").alias("label"),
-        ).localCheckpoint()
+        obs = Observation()
+        j = (
+            labels.join(parent, "label", "left")
+            .select("id", F.col("label").alias("__old"), F.coalesce("l2", "label").alias("label"))
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("label") != F.col("__old")).cast("long")), F.lit(0)
+                ).alias("changed"),
+            )
+            .select("id", "label")
+            .localCheckpoint()
+        )
         track(j)  # checkpoint storage freed by harnesses via release_tracked()
-        changed = j.where(F.col("label") != F.col("__old")).limit(1).count()
-        labels = j.drop("__old")
-        if changed == 0:
+        labels = j
+        if obs.get["changed"] == 0:
             return labels
     return labels
 
@@ -485,18 +499,26 @@ def _components(
     labels = _pointer_double(labels, stats=stats)
     if levels <= 1:
         return labels
+    from pyspark.sql import Observation
+
     la = labels.select(F.col("id").alias("src"), F.col("label").alias("la"))
     lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+    # The eager localCheckpoint's own action fires the Observation, so the
+    # emptiness probe shares the materialization job instead of running a
+    # second ``isEmpty()`` job against the checkpoint (same single-job
+    # pattern as _pointer_double).
+    obs = Observation()
     contracted = (
         edges.join(la, "src")
         .join(lb, "dst")
         .where(F.col("la") != F.col("lb"))
         .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
         .distinct()  # symmetric in, symmetric out — both directions survive
+        .observe(obs, F.count(F.lit(1)).alias("n_edges"))
         .localCheckpoint()
     )
     track(contracted)
-    if contracted.isEmpty():
+    if obs.get["n_edges"] == 0:
         return labels
     sub = _components(
         labels.select(F.col("label").alias("id")).distinct(), contracted, levels - 1, stats
