@@ -137,3 +137,54 @@ def test_large_offset_copy_roundtrip():
     filler = bytes(random.Random(5).randrange(256) for _ in range(70000))
     data = b"NEEDLE--" + filler + b"NEEDLE--"
     assert snappy_decompress(snappy_compress(data)) == data
+
+
+def _reference_compress(raw: bytes) -> bytes:
+    """The straightforward per-byte greedy matcher — the spec the
+    vectorized ``snappy_compress`` must reproduce byte-for-byte (its
+    segment-wise key precompute and 32-byte-stride match extension are
+    implementation speedups only, round 17)."""
+    from yark_spark.operators.snappy import _emit_copy, _emit_literal, _write_varint
+
+    n = len(raw)
+    out = bytearray(_write_varint(n))
+    if n == 0:
+        return bytes(out)
+    table = {}
+    lit_start = 0
+    i = 0
+    while i + 4 <= n:
+        key = int.from_bytes(raw[i : i + 4], "little")
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and raw[cand : cand + 4] == raw[i : i + 4]:
+            length = 4
+            while i + length < n and raw[cand + length] == raw[i + length]:
+                length += 1
+            _emit_literal(out, raw, lit_start, i)
+            _emit_copy(out, i - cand, length)
+            i += length
+            lit_start = i
+        else:
+            i += 1
+    _emit_literal(out, raw, lit_start, n)
+    return bytes(out)
+
+
+def test_vectorized_encoder_matches_reference_bytes():
+    rng = random.Random(1712)
+    seg = 1 << 18
+    payloads = [
+        b"", b"a", b"abc", b"abcd", b"abcd" * 3,
+        b"ababababab" * 10,                      # overlapping copies
+        bytes(range(256)) * 64,                   # long exact repeats
+        b"\x00" * 70_000,                         # RLE + extended lengths
+        rng.randbytes(300_000),                   # incompressible
+        rng.randbytes(seg + 17),                  # crosses a key segment boundary
+        b"\x00" * (2 * seg + 5),                  # match jumps whole segments
+        (b"k,text\n" + b"".join(b"%d,text-%d\n" % (i, i) for i in range(20000))),
+    ]
+    for p in payloads:
+        got = snappy_compress(p)
+        assert got == _reference_compress(p), len(p)
+        assert snappy_decompress(got) == p
