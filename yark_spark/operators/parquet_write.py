@@ -372,10 +372,23 @@ def _stat_order_key(ptype: str, v):
 
 
 def _minmax_encoded(ptype: str, present: list) -> "tuple[bytes, bytes] | None":
+    """min/max in the column's statistics order, via PLAIN ``min``/``max``
+    (C-speed, no per-element key call — the keyed form billed 1.6M Python
+    key evaluations per 200k-row 2-column chunk, ~a third of the writer's
+    non-codec time). Equivalence to the keyed order: numerics/booleans
+    compare natively (the key was the identity); an all-``str`` column
+    compares by code point, which equals unsigned-lexicographic UTF-8
+    byte order (UTF-8 is code-point-order preserving); an all-``bytes``
+    column compares unsigned-lexicographically natively. Only a column
+    mixing ``str`` and ``bytes`` values falls back to the keyed form
+    (native comparison raises TypeError there)."""
     if not present:
         return None
-    lo = min(present, key=lambda v: _stat_order_key(ptype, v))
-    hi = max(present, key=lambda v: _stat_order_key(ptype, v))
+    try:
+        lo, hi = min(present), max(present)
+    except TypeError:  # BYTE_ARRAY column mixing str and bytes
+        lo = min(present, key=lambda v: _stat_order_key(ptype, v))
+        hi = max(present, key=lambda v: _stat_order_key(ptype, v))
     return _stat_encode(ptype, lo), _stat_encode(ptype, hi)
 
 
