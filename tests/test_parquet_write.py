@@ -527,3 +527,69 @@ def test_map_null_key_is_value_error():
             {"m": [{None: "x"}]},
             types={"m": pmap("BYTE_ARRAY", "BYTE_ARRAY")},
         )
+
+
+def test_hybrid_encode_matches_whole_buffer_reference():
+    """Round-17: the bit-packed branch packs per GROUP of eight (each
+    group is byte-aligned at 8 x bit_width bits = bit_width bytes) —
+    the previous whole-run accumulator copied its ever-growing integer
+    on every |=, O(n^2) bytes (200k random dictionary indices at 18
+    bits: 8.0 s -> 0.09 s). The wire must be identical to packing the
+    entire run into one little-endian integer, which this reference
+    reproduces."""
+    import random
+
+    from yark_spark.operators.parquet_write import _hybrid_encode, _uvarint
+
+    def reference(values, bit_width):
+        out = bytearray()
+        byte_w = max(1, (bit_width + 7) // 8)
+        pend = []
+
+        def flush(final):
+            if not pend:
+                return
+            groups = (len(pend) + 7) // 8
+            out.extend(_uvarint((groups << 1) | 1))
+            acc = 0
+            for k in range(groups * 8):
+                v = pend[k] if k < len(pend) else 0
+                acc |= v << (k * bit_width)
+            out.extend(acc.to_bytes(groups * bit_width, "little"))
+            pend.clear()
+
+        i, n = 0, len(values)
+        while i < n:
+            run = 1
+            while i + run < n and values[i + run] == values[i]:
+                run += 1
+            if run >= 8:
+                if len(pend) % 8:
+                    take = min(run, (-len(pend)) % 8)
+                    pend.extend(values[i : i + take])
+                    i += take
+                    continue
+                flush(False)
+                out.extend(_uvarint(run << 1))
+                out.extend(values[i].to_bytes(byte_w, "little"))
+                i += run
+            else:
+                pend.extend(values[i : i + run])
+                i += run
+        flush(True)
+        return bytes(out)
+
+    rng = random.Random(9)
+    # (values, widths to try) — widths must cover the values, as the
+    # callers guarantee (bit_width = max value bit length)
+    shapes = [
+        ([], (1, 3, 18)),
+        ([3] * 13, (2, 3, 18)),                          # padded RLE-less tail
+        ([1] * 4096, (1, 3, 18)),                        # pure RLE (def levels)
+        ([rng.randrange(1 << 17) for _ in range(5000)], (18,)),  # pure bit-pack, wide
+        (([5] * 20 + [1, 2, 3, 4, 5, 6, 7]) * 500, (3, 18)),     # interleaved
+        ([i // 100 % 7 for i in range(10_000)], (3, 18)),        # runs of 100
+    ]
+    for vals, widths in shapes:
+        for w in widths:
+            assert _hybrid_encode(vals, w) == reference(vals, w), (len(vals), w)
