@@ -688,3 +688,31 @@ def test_page_crc_emitted_and_pyarrow_verifies():
             pq.read_table(io.BytesIO(bytes(bad)), page_checksum_verification=True)
         with pytest.raises(ValueError):
             parquet_read_columns(bytes(bad), ["x"])
+
+
+def test_hybrid_runs_group_decode_roundtrip():
+    """Round-17: the bit-packed decode walks one GROUP of eight per
+    ``int.from_bytes`` (byte-aligned at bit_width bytes) instead of
+    shifting a single whole-run integer per value (O(n^2) bytes on long
+    dictionary-index runs — 200k values at 10 bits: 7.3 s -> 0.04 s).
+    Pin value-exact roundtrips across group tails, RLE/bit-pack
+    interleavings and widths, including a count that stops mid-group."""
+    import random
+
+    from yark_spark.operators.parquet_data import _hybrid_runs
+    from yark_spark.operators.parquet_write import _hybrid_encode
+
+    rng = random.Random(11)
+    shapes = [
+        ([rng.randrange(1 << 10) for _ in range(4096)], 10),
+        (([3] * 20 + [0, 1, 2, 3, 4, 5, 6]) * 300, 3),  # interleaved
+        ([5] * 3, 3),                                    # padded tail only
+        ([rng.randrange(4) for _ in range(37)], 2),      # tail mid-group
+        ([1] * 999, 1),                                  # pure RLE
+    ]
+    for vals, w in shapes:
+        wire = _hybrid_encode(vals, w)
+        assert _hybrid_runs(wire, 0, len(wire), w, len(vals)) == vals
+        # a short count must stop exactly, even mid-group
+        k = max(1, len(vals) - 3)
+        assert _hybrid_runs(wire, 0, len(wire), w, k) == vals[:k]

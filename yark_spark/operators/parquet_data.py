@@ -309,11 +309,29 @@ def _hybrid_runs(buf: bytes, pos: int, end: int, bit_width: int, count: int) -> 
             n_bytes = n_groups * bit_width
             if pos + n_bytes > end:
                 raise ValueError("parquet: bit-packed run past section end")
-            acc = int.from_bytes(buf[pos : pos + n_bytes], "little")
-            pos += n_bytes
             take = min(n_vals, count - len(out))
-            for i in range(take):
-                out.append((acc >> (i * bit_width)) & mask)
+            # Decode per GROUP of eight (byte-aligned at 8 x bit_width
+            # bits = bit_width bytes): shifting one whole-run integer per
+            # value copied the ever-shrinking bigint each time — O(n^2)
+            # bytes over a long dictionary-index run. Same values.
+            full, tail = divmod(take, 8)
+            gpos = pos
+            for _ in range(full):
+                acc = int.from_bytes(buf[gpos : gpos + bit_width], "little")
+                gpos += bit_width
+                out.append(acc & mask)
+                out.append((acc >> bit_width) & mask)
+                out.append((acc >> (2 * bit_width)) & mask)
+                out.append((acc >> (3 * bit_width)) & mask)
+                out.append((acc >> (4 * bit_width)) & mask)
+                out.append((acc >> (5 * bit_width)) & mask)
+                out.append((acc >> (6 * bit_width)) & mask)
+                out.append((acc >> (7 * bit_width)) & mask)
+            if tail:
+                acc = int.from_bytes(buf[gpos : gpos + bit_width], "little")
+                for i in range(tail):
+                    out.append((acc >> (i * bit_width)) & mask)
+            pos += n_bytes
         else:  # RLE run
             n = header >> 1
             if pos + byte_w > end:
@@ -345,9 +363,11 @@ def _plain_values(
         }[ptype]
         if pos + width * count > end:
             raise ValueError(f"parquet: PLAIN {ptype} section truncated")
-        return [
-            struct.unpack_from(fmt, buf, pos + i * width)[0] for i in range(count)
-        ]
+        # one struct.unpack for the whole section — same per-value
+        # decoding, without a Python call + tuple per value
+        return list(
+            struct.unpack_from(f"<{count}{fmt[1]}", buf, pos)
+        )
     if ptype == "BYTE_ARRAY":
         out = []
         for _ in range(count):
