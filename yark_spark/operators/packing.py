@@ -100,11 +100,21 @@ def _local_cumsum_multi(
     """Multi-column variant (round 10): k running sums share ONE range
     shuffle and one Arrow pass — q_ks_test's two chained cumsums over
     the same order collapse to a single stage+checkpoint."""
-    spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    part = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).sortWithinPartitions(
-        *order_cols
-    )
+    # No explicit partition count unless the caller chose one: the no-n
+    # repartitionByRange overload leaves the count to AQE, which coalesces
+    # a small input's range shuffle to the advisory size instead of
+    # fanning it into `spark.sql.shuffle.partitions` near-empty Python
+    # tasks (a 1,500-row q_ntile under a vanilla 200-partition session ran
+    # 200 Arrow worker tasks — ~7 s of pure task overhead). AQE merges
+    # only ADJACENT range partitions, so coalesced partitions stay
+    # contiguous ranges and sortWithinPartitions still yields disjoint
+    # sorted slices; the eager checkpoint in partitioned_cumsum_multi
+    # keeps both consumers on one materialized partitioning either way.
+    if num_partitions:
+        part = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+    else:
+        part = df.repartitionByRange(*[F.col(c) for c in order_cols])
+    part = part.sortWithinPartitions(*order_cols)
     # fresh StructType: .add() mutates in place, which would corrupt the
     # DataFrame's cached schema
     schema = StructType(
