@@ -385,6 +385,75 @@ def test_rle_lengths_reconstructs():
         assert out == lens
 
 
+def _reference_lz77_tokens(raw: bytes, max_chain: int = 128, start: int = 0):
+    """The straightforward per-byte greedy hash-chain matcher — the
+    spec the vectorized ``_lz77_tokens`` must reproduce token-for-token
+    (its segment-wise key precompute, best-len candidate filter and
+    32-byte-stride match extension are implementation speedups only,
+    round 18)."""
+    n = len(raw)
+    head = {}
+    for k in range(max(0, min(start, n - 2))):
+        kk = raw[k] | (raw[k + 1] << 8) | (raw[k + 2] << 16)
+        head.setdefault(kk, []).append(k)
+    i = start
+    while i < n:
+        best_len = 0
+        best_dist = 0
+        if i + 3 <= n:
+            key = raw[i] | (raw[i + 1] << 8) | (raw[i + 2] << 16)
+            chain = head.get(key)
+            if chain:
+                limit = min(258, n - i)
+                for j in reversed(chain[-max_chain:]):
+                    if i - j > 32768:
+                        break
+                    length = 0
+                    while length < limit and raw[j + length] == raw[i + length]:
+                        length += 1
+                    if length > best_len:
+                        best_len = length
+                        best_dist = i - j
+                        if length == limit:
+                            break
+        if best_len >= 3:
+            yield (best_len, best_dist)
+            end = min(i + best_len, n - 2)
+            for k in range(i, end):
+                kk = raw[k] | (raw[k + 1] << 8) | (raw[k + 2] << 16)
+                head.setdefault(kk, []).append(k)
+            i += best_len
+        else:
+            if i + 3 <= n:
+                head.setdefault(key, []).append(i)
+            yield raw[i]
+            i += 1
+
+
+def test_vectorized_matcher_matches_reference_tokens():
+    rng = random.Random(1811)
+    seg = 1 << 18
+    payloads = [
+        (b"", 0), (b"a", 0), (b"ab", 0), (b"abc", 0), (b"abcabc", 0),
+        (b"ababababab" * 10, 0),                  # overlapping copies
+        (bytes(range(256)) * 8, 0),               # long exact repeats
+        (b"\x00" * 70_000, 0),                    # one giant run
+        (rng.randbytes(120_000), 0),              # incompressible
+        (rng.randbytes(seg + 17), 0),             # crosses a key segment
+        (b"\x00" * (seg + 300), 0),               # match covers segments
+        (b"k,text\n" + b"".join(b"%d,text-%d\n" % (i, i) for i in range(8000)), 0),
+        # pre-seeded window (the zstd dictionary path): tokens start
+        # mid-buffer, matches may reach back into the window
+        (b"the quick brown fox " * 30 + b"the quick brown fox jumps", 600),
+        (rng.randbytes(512) + b"needle" * 40, 512),
+    ]
+    for p, start in payloads:
+        for mc in (8, 64, 128):
+            got = list(P._lz77_tokens(p, max_chain=mc, start=start))
+            want = list(_reference_lz77_tokens(p, max_chain=mc, start=start))
+            assert got == want, (len(p), start, mc)
+
+
 def test_lz77_tokens_reconstruct():
     rnd = random.Random(12)
     for _ in range(20):

@@ -431,32 +431,93 @@ def _deflate_fixed_literals(raw: bytes) -> bytes:
 
 
 def _lz77_tokens(raw: bytes, max_chain: int = 128, start: int = 0):
-    """Greedy LZ77 over the 32 KB window via 3-byte hash chains: yields
-    int literals and ``(length, distance)`` matches (3 <= length <= 258,
-    1 <= distance <= 32768). ``max_chain`` bounds the candidates probed
-    per position — the standard compression/speed dial. ``start > 0``
-    treats ``raw[:start]`` as a pre-seeded WINDOW (a zstd dictionary's
-    content): its positions enter the hash chains but emit no tokens,
-    so matches from ``start`` on may reach back into it."""
+    """Greedy LZ77 over the 32 KB window via 3-byte hash chains: a list
+    of int literals and ``(length, distance)`` matches (3 <= length <=
+    258, 1 <= distance <= 32768). ``max_chain`` bounds the candidates
+    probed per position — the standard compression/speed dial.
+    ``start > 0`` treats ``raw[:start]`` as a pre-seeded WINDOW (a zstd
+    dictionary's content): its positions enter the hash chains but emit
+    no tokens, so matches from ``start`` on may reach back into it.
+
+    Output is BYTE-IDENTICAL to the straightforward per-byte loop (the
+    reference copy lives in tests/test_png.py and is compared across
+    payload classes); only the per-position work is vectorized — this
+    matcher is the per-task bill under every DEFLATE (PNG idat, gzip
+    fixtures) and zstd entropy-block encode:
+
+    - the 3-byte chain keys are precomputed per 256K-position SEGMENT
+      with one numpy pass + ``tolist`` (a plain-int list lookup beats
+      three byte indexes + two shifts per position, and the covered
+      positions of a long match reuse the same materialized segment);
+    - match extension compares 32-byte windows (one C memcmp each)
+      before the per-byte tail, so a 258-byte match costs 8 compares.
+    """
     n = len(raw)
+    tokens: list = []
     head: dict[int, list[int]] = {}
+    last = n - 3  # final position with a full 3-byte key
+    seg_base = 0
+    seg_end = 0
+    keys: list = []
+    if last >= 0:
+        import numpy as np
+
+        a = np.frombuffer(raw, dtype=np.uint8)
+        u32 = np.uint32
+
+        def _seg(pos: int) -> None:
+            nonlocal seg_base, seg_end, keys
+            seg_base = pos
+            seg_end = min(pos + (1 << 18), last + 1)
+            keys = (
+                a[seg_base:seg_end].astype(u32)
+                | (a[seg_base + 1 : seg_end + 1].astype(u32) << u32(8))
+                | (a[seg_base + 2 : seg_end + 2].astype(u32) << u32(16))
+            ).tolist()
+
+        _seg(0)
     for k in range(max(0, min(start, n - 2))):
-        kk = raw[k] | (raw[k + 1] << 8) | (raw[k + 2] << 16)
-        head.setdefault(kk, []).append(k)
+        if k >= seg_end:
+            _seg(k)
+        kk = keys[k - seg_base]
+        h = head.get(kk)
+        if h is None:
+            head[kk] = [k]
+        else:
+            h.append(k)
     i = start
     while i < n:
         best_len = 0
         best_dist = 0
-        if i + 3 <= n:
-            key = raw[i] | (raw[i + 1] << 8) | (raw[i + 2] << 16)
+        if i <= last:
+            if i >= seg_end or i < seg_base:
+                _seg(i)
+            key = keys[i - seg_base]
             chain = head.get(key)
             if chain:
                 limit = min(258, n - i)
                 for j in reversed(chain[-max_chain:]):
                     if i - j > 32768:
                         break
-                    # extend the match
-                    length = 0
+                    if best_len:
+                        # a candidate can only beat the current best if
+                        # it matches through position best_len — one
+                        # 2-byte memcmp rejects it (exact filter: chain
+                        # keys are the literal 3 bytes, not a hash)
+                        if (
+                            raw[j + best_len - 1 : j + best_len + 1]
+                            != raw[i + best_len - 1 : i + best_len + 1]
+                        ):
+                            continue
+                    # extend (the 3-byte prefix is equal by key):
+                    # 32-byte memcmp strides, per-byte tail
+                    length = 3
+                    while (
+                        length + 32 <= limit
+                        and raw[j + length : j + length + 32]
+                        == raw[i + length : i + length + 32]
+                    ):
+                        length += 32
                     while length < limit and raw[j + length] == raw[i + length]:
                         length += 1
                     if length > best_len:
@@ -465,18 +526,31 @@ def _lz77_tokens(raw: bytes, max_chain: int = 128, start: int = 0):
                         if length == limit:
                             break
         if best_len >= 3:
-            yield (best_len, best_dist)
+            tokens.append((best_len, best_dist))
             # index every covered position so later matches can start here
             end = min(i + best_len, n - 2)
-            for k in range(i, end):
-                kk = raw[k] | (raw[k + 1] << 8) | (raw[k + 2] << 16)
-                head.setdefault(kk, []).append(k)
+            k = i
+            while k < end:
+                if k >= seg_end:
+                    _seg(k)
+                kk = keys[k - seg_base]
+                h = head.get(kk)
+                if h is None:
+                    head[kk] = [k]
+                else:
+                    h.append(k)
+                k += 1
             i += best_len
         else:
-            if i + 3 <= n:
-                head.setdefault(key, []).append(i)
-            yield raw[i]
+            if i <= last:
+                h = head.get(key)
+                if h is None:
+                    head[key] = [i]
+                else:
+                    h.append(i)
+            tokens.append(raw[i])
             i += 1
+    return tokens
 
 
 def _sym_for(base_table: list[tuple[int, int]], value: int, first_sym: int):

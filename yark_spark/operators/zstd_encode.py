@@ -21,6 +21,7 @@ two-way differential, the same strategy the DEFLATE pair used.
 from __future__ import annotations
 
 import struct
+from bisect import bisect_right
 
 from yark_spark.operators.png import _limited_code_lengths, _lz77_tokens
 from yark_spark.operators.zstd import (
@@ -78,6 +79,12 @@ class _FseEncoder:
         for lst in by_symbol.values():
             lst.sort()
         self.by_symbol = by_symbol
+        # one symbol's [base, base + 2^nbits) ranges tile [0, size)
+        # exactly and the per-symbol lists are sorted by base, so the
+        # entry owning next_state is a bisect over the bases — step()
+        # is the hot call of sequence encoding (once per symbol per
+        # channel per table candidate)
+        self._bases = {s: [e[0] for e in lst] for s, lst in by_symbol.items()}
 
     def start_state(self, sym: int) -> int:
         try:
@@ -88,7 +95,9 @@ class _FseEncoder:
     def step(self, sym: int, next_state: int) -> tuple[int, int, int]:
         """(state, bits_value, bits_n) so that decoding ``sym`` at
         ``state`` then reading ``bits`` lands on ``next_state``."""
-        for base, nb, st in self.by_symbol.get(sym, ()):
+        bases = self._bases.get(sym)
+        if bases:
+            base, nb, st = self.by_symbol[sym][bisect_right(bases, next_state) - 1]
             if base <= next_state < base + (1 << nb):
                 return st, next_state - base, nb
         raise ValueError(f"zstd encode: no transition for symbol {sym}")
