@@ -593,3 +593,54 @@ def test_hybrid_encode_matches_whole_buffer_reference():
     for vals, widths in shapes:
         for w in widths:
             assert _hybrid_encode(vals, w) == reference(vals, w), (len(vals), w)
+
+
+def test_ndarray_columns_write_identical_bytes():
+    """The null-free numeric ndarray fast path (round 18: constant def
+    levels, factorize dictionary scan, buffer-copy PLAIN encode, C
+    min/max stats) must be byte-identical to the list path — the sink
+    writer now hands numeric columns over as numpy arrays."""
+    import numpy as np
+
+    from yark_spark.operators.parquet_write import bind_codecs, parquet_write
+
+    bind_codecs()
+    n = 20_000
+    cases = [
+        # high-cardinality int64 (dictionary rejected)
+        ({"v": list(range(n))}, {"v": "INT64"},
+         {"v": np.arange(n, dtype=np.int64)}),
+        # low-cardinality int64 (dictionary chosen; factorize order)
+        ({"v": [i % 7 + 3 for i in range(n)]}, {"v": "INT64"},
+         {"v": np.array([i % 7 + 3 for i in range(n)], dtype=np.int64)}),
+        # int32 physical type from an int32 array
+        ({"v": [i % 100 for i in range(n)]}, {"v": "INT32"},
+         {"v": np.array([i % 100 for i in range(n)], dtype=np.int32)}),
+        # widening int32 array into an INT64 column (safe cast)
+        ({"v": [i % 100 for i in range(n)]}, {"v": "INT64"},
+         {"v": np.array([i % 100 for i in range(n)], dtype=np.int32)}),
+        # doubles, and doubles carrying NaN (fast path must defer)
+        ({"v": [i / 3.0 for i in range(n)]}, {"v": "DOUBLE"},
+         {"v": np.array([i / 3.0 for i in range(n)])}),
+        ({"v": [float("nan") if i % 9 == 0 else i / 3.0 for i in range(n)]},
+         {"v": "DOUBLE"},
+         {"v": np.array(
+             [float("nan") if i % 9 == 0 else i / 3.0 for i in range(n)]
+         )}),
+    ]
+    for list_cols, types, np_cols in cases:
+        for codec in ("UNCOMPRESSED", "SNAPPY"):
+            got = parquet_write(np_cols, types=dict(types), codec=codec)
+            want = parquet_write(list_cols, types=dict(types), codec=codec)
+            assert got == want, (types, codec)
+    # mixed frame: ndarray numeric next to a list string column
+    txt = [f"t-{i % 50}" for i in range(n)]
+    got = parquet_write(
+        {"a": np.arange(n, dtype=np.int64), "s": txt},
+        types={"a": "INT64", "s": "BYTE_ARRAY"},
+    )
+    want = parquet_write(
+        {"a": list(range(n)), "s": txt},
+        types={"a": "INT64", "s": "BYTE_ARRAY"},
+    )
+    assert got == want

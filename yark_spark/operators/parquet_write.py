@@ -165,6 +165,34 @@ def _t_binary_elem(v: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _numpy():
+    """numpy, or None — resolved lazily so by-value shipping of this
+    module never forces the import at unpickle time."""
+    try:
+        import numpy
+
+        return numpy
+    except ImportError:  # pragma: no cover - numpy ships with pyspark
+        return None
+
+
+def _hybrid_encode_const(value: int, count: int, bit_width: int) -> bytes:
+    """``_hybrid_encode([value] * count, bit_width)`` without building
+    the list — byte-identical: a run of 8+ is one RLE run, a shorter
+    one is a single padded bit-packed group (the encoder's final-group
+    grammar). The null-free numeric fast path uses this for its
+    all-ones definition levels."""
+    if count == 0:
+        return b""
+    byte_w = max(1, (bit_width + 7) // 8)
+    if count >= 8:
+        return _uvarint(count << 1) + value.to_bytes(byte_w, "little")
+    acc = 0
+    for k in range(count):
+        acc |= (value & ((1 << bit_width) - 1)) << (k * bit_width)
+    return _uvarint(3) + acc.to_bytes(bit_width, "little")
+
+
 def _hybrid_encode(values: list[int], bit_width: int) -> bytes:
     """Encode small ints at ``bit_width``: RLE runs for repeats of 8+,
     bit-packed groups otherwise. Spec discipline: RLE runs carry an
@@ -230,6 +258,17 @@ def _plain_encode(ptype: str, values: list) -> bytes:
         return bytes(out)
     if ptype in ("INT32", "INT64", "FLOAT", "DOUBLE"):
         code = {"INT32": "i", "INT64": "q", "FLOAT": "f", "DOUBLE": "d"}[ptype]
+        np = _numpy()
+        if np is not None and isinstance(values, np.ndarray):
+            # one C buffer copy when the cast is lossless; anything
+            # that could overflow/narrow falls through to struct.pack,
+            # which keeps the per-value error semantics
+            target = {"INT32": "<i4", "INT64": "<i8",
+                      "FLOAT": "<f4", "DOUBLE": "<f8"}[ptype]
+            if values.dtype == target or np.can_cast(
+                values.dtype, target, casting="safe"
+            ):
+                return values.astype(target, copy=False).tobytes()
         # one struct.pack call for the whole column — same per-value
         # conversion semantics as packing one at a time, without a Python
         # call + 8-byte bytes object per value
@@ -394,8 +433,20 @@ def _minmax_encoded(ptype: str, present: list) -> "tuple[bytes, bytes] | None":
     column compares unsigned-lexicographically natively. Only a column
     mixing ``str`` and ``bytes`` values falls back to the keyed form
     (native comparison raises TypeError there)."""
-    if not present:
+    if len(present) == 0:
         return None
+    np = _numpy()
+    if np is not None and isinstance(present, np.ndarray):
+        # C-speed reduction; floats only when NaN-free (builtin min/max
+        # skip NaN position-dependently, np.min propagates it)
+        if present.dtype.kind in "iu" or (
+            present.dtype.kind == "f" and not np.isnan(present).any()
+        ):
+            return (
+                _stat_encode(ptype, present.min()),
+                _stat_encode(ptype, present.max()),
+            )
+        present = present.tolist()
     try:
         lo, hi = min(present), max(present)
     except TypeError:  # BYTE_ARRAY column mixing str and bytes
@@ -415,6 +466,19 @@ def _statistics_struct(ptype: str, vals: list, present: list) -> bytes:
 
 
 def _infer_type(name: str, values: list) -> str:
+    np = _numpy()
+    if np is not None and isinstance(values, np.ndarray) and len(values):
+        # dtype decides directly (np scalars are not Python int/float)
+        if values.dtype.kind == "b":
+            return "BOOLEAN"
+        if values.dtype.kind in "iu":
+            lo, hi = int(values.min()), int(values.max())
+            return (
+                "INT32" if -(2**31) <= lo and hi < 2**31 else "INT64"
+            )
+        if values.dtype.kind == "f":
+            return "DOUBLE"
+        values = values.tolist()
     kind = None
     wide = False
     for v in values:
@@ -952,13 +1016,30 @@ def _write_chunk(
     ``page_version=2`` emits DataPageV2 (levels uncompressed outside
     the compressed region, the post-2.0 page shape)."""
     path = [name] if isinstance(name, str) else name
-    present = [v for v in vals if v is not None]
-    if defs_pair is None:
-        defs, max_def = [0 if v is None else 1 for v in vals], 1
+    np = _numpy()
+    np_vals = None
+    if np is not None and isinstance(vals, np.ndarray):
+        if vals.dtype.kind in "iuf" and force_encoding is None:
+            # a numeric ndarray cannot hold None: the null filter and
+            # def levels collapse to constants (guide §4 — the sink
+            # writer hands numeric columns over as numpy, and walking
+            # 200k np scalars through the generic per-value loops was
+            # measurable per task)
+            np_vals = vals
+        else:
+            vals = vals.tolist()  # generic loops assume Python scalars
+    if np_vals is not None:
+        present = vals
+        max_def = 1
+        def_section = _hybrid_encode_const(1, len(vals), 1)
     else:
-        defs, max_def = defs_pair
-    # definition levels: uint32-length-prefixed hybrid at max_def width
-    def_section = _hybrid_encode(defs, _bit_width(max_def))
+        present = [v for v in vals if v is not None]
+        if defs_pair is None:
+            defs, max_def = [0 if v is None else 1 for v in vals], 1
+        else:
+            defs, max_def = defs_pair
+        # definition levels: uint32-length-prefixed hybrid at max_def width
+        def_section = _hybrid_encode(defs, _bit_width(max_def))
     def_block = struct.pack("<I", len(def_section)) + def_section
     # repetition levels (repeated leaves only): same hybrid grammar,
     # BEFORE the def section in v1 pages / the v2 level region
@@ -973,11 +1054,29 @@ def _write_chunk(
 
     distinct = []
     seen = {}
-    for v in present:
-        key = v.encode("utf-8") if isinstance(v, str) else v
-        if key not in seen:
-            seen[key] = len(distinct)
-            distinct.append(v)
+    codes = None
+    if np_vals is not None and (
+        np_vals.dtype.kind != "f" or not np.isnan(np_vals).any()
+    ):
+        import pandas as _pd
+
+        # factorize = the seen-scan in C: uniques in first-appearance
+        # order (identical dictionary page), codes = the index column
+        codes, uniques = _pd.factorize(np_vals)
+        distinct = list(uniques)
+    else:
+        if np_vals is not None:  # float column carrying NaN
+            present = present.tolist()
+            np_vals = None
+        for v in present:
+            key = v.encode("utf-8") if isinstance(v, str) else v
+            if key not in seen:
+                if len(distinct) > dict_max and not bloom:
+                    # dictionary is already off; only the bloom filter
+                    # ever reads the full distinct set
+                    break
+                seen[key] = len(distinct)
+                distinct.append(v)
     use_dict = (
         force_encoding is None
         and 0 < len(distinct) <= dict_max
@@ -1030,9 +1129,13 @@ def _write_chunk(
         dict_offset = len(out)
         out += dict_hdr + dict_comp
         total_unc += len(dict_raw)
-        idx = [
-            seen[v.encode("utf-8") if isinstance(v, str) else v] for v in present
-        ]
+        if codes is not None:
+            idx = codes.tolist()  # factorize codes ARE the seen-indexes
+        else:
+            idx = [
+                seen[v.encode("utf-8") if isinstance(v, str) else v]
+                for v in present
+            ]
         bw = max(1, _bit_width(max(1, len(distinct) - 1)))
         values_raw = bytes([bw]) + _hybrid_encode(idx, bw)
         data_enc = _ENC_RLE_DICT
@@ -1110,7 +1213,7 @@ def _write_chunk(
     if dict_offset is not None:
         meta.i64(11, dict_offset)
     meta.struct(12, _statistics_struct(ptype, vals, present))
-    if bloom and present:
+    if bloom and len(present):
         bind_codecs()
         bitset = bytearray(sbbf_size_bytes(len(distinct)))
         for v in distinct:

@@ -186,7 +186,9 @@ def snappy_compress(raw: bytes) -> bytes:
         key = keys[i - seg_base]
         cand = table.get(key)
         table[key] = i
-        if cand is not None and raw[cand : cand + 4] == raw[i : i + 4]:
+        if cand is not None:
+            # a hit IS a 4-byte match: table keys are the literal 4
+            # bytes (not a hash), so no verify compare is needed.
             # extend the match: 32-byte memcmp strides, per-byte tail
             length = 4
             while (
@@ -197,8 +199,28 @@ def snappy_compress(raw: bytes) -> bytes:
                 length += 32
             while i + length < n and raw[cand + length] == raw[i + length]:
                 length += 1
-            _emit_literal(out, raw, lit_start, i)
-            _emit_copy(out, i - cand, length)
+            # emit, with the two wire forms that dominate real data
+            # inlined (the helper calls were ~30% of match-dense encode)
+            ln = i - lit_start
+            if ln:
+                if ln <= 60:
+                    out.append((ln - 1) << 2)
+                    out += raw[lit_start:i]
+                else:
+                    _emit_literal(out, raw, lit_start, i)
+            offset = i - cand
+            if length <= 64:
+                if length <= 11 and offset < 2048:
+                    out.append(((offset >> 8) << 5) | ((length - 4) << 2) | 1)
+                    out.append(offset & 0xFF)
+                elif offset < 65536:
+                    out.append(((length - 1) << 2) | 2)
+                    out += offset.to_bytes(2, "little")
+                else:
+                    out.append(((length - 1) << 2) | 3)
+                    out += offset.to_bytes(4, "little")
+            else:
+                _emit_copy(out, offset, length)
             i += length
             lit_start = i
         else:

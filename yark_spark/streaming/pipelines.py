@@ -466,7 +466,14 @@ def _part_manifest_schema():
 
 
 def _make_part_writer(
-    table_dir, rel_prefix, batch_id, cols, types, write_fn, codec="SNAPPY"
+    table_dir,
+    rel_prefix,
+    batch_id,
+    cols,
+    types,
+    write_fn,
+    codec="SNAPPY",
+    target_file_bytes=None,
 ):
     """Executor-side data-file writer (round 16, VERDICT r15 item #2):
     each task serializes its Arrow batches with the from-scratch
@@ -485,8 +492,35 @@ def _make_part_writer(
     SNAPPY's 102k rows/s on the 200k-row bench batch (ZSTD file 0.58 MB
     vs SNAPPY 1.7 MB). A hot streaming sink buys latency with the
     cheap codec; the OPTIMIZE/compaction pass (operators/layout,
-    delta_optimize) is where the colder, better-ratio rewrite belongs."""
+    delta_optimize) is where the colder, better-ratio rewrite belongs.
+
+    Round 18 (VERDICT r17 #2; guide §6 file sizing + §4 boundary):
+
+    * incoming Arrow batches ACCUMULATE until an estimated
+      ``target_file_bytes`` of in-memory payload (default 64 MB,
+      ``YARK_SINK_TARGET_FILE_BYTES`` overrides — resolved driver-side
+      at sink construction) before one part file is written.
+      Previously every ~10k-row Arrow batch became its own file, so a
+      200k-row micro-batch partition produced 20 tiny files (the
+      guide's small-files trap) and paid 20 footers + 20 dictionary
+      decisions;
+    * numeric columns are handed to the parquet writer as the numpy
+      arrays pandas already holds — the writer's null-free ndarray
+      fast path (parquet_write._write_chunk) then skips the per-value
+      null filter / def-level build / distinct scan instead of walking
+      Python objects per value.
+
+    Part-file names stay deterministic in (batch, partition, sequence):
+    a replayed task re-accumulates the same batch stream and rewrites
+    the same file names, so retries remain idempotent."""
+    import os as _os
+
     import pandas as pd
+
+    if target_file_bytes is None:
+        target_file_bytes = int(
+            _os.environ.get("YARK_SINK_TARGET_FILE_BYTES", 64 << 20)
+        )
 
     def _to_parts(batches):
         import os
@@ -497,12 +531,47 @@ def _make_part_writer(
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         seq = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            blob = write_fn(
-                {c: list(pdf[c]) for c in cols}, types=dict(types), codec=codec
+        pend: list = []
+        pend_est = 0
+
+        def _est(pdf) -> int:
+            # cheap payload estimate: fixed width for numeric/temporal
+            # dtypes, sampled mean length for object columns
+            total = 0
+            n = len(pdf)
+            for c in cols:
+                s = pdf[c]
+                if s.dtype.kind in "iufbM":
+                    total += 8 * n
+                else:
+                    sample = s.iloc[:64]
+                    mean = 16.0
+                    if len(sample):
+                        try:
+                            mean = (
+                                sum(len(str(v)) for v in sample) / len(sample)
+                                + 4.0
+                            )
+                        except TypeError:
+                            pass
+                    total += int(mean * n)
+            return total
+
+        def _flush():
+            nonlocal seq, pend, pend_est
+            if not pend:
+                return None
+            pdf = (
+                pend[0]
+                if len(pend) == 1
+                else pd.concat(pend, ignore_index=True)
             )
+            cols_dict = {}
+            for c in cols:
+                s = pdf[c]
+                a = s.to_numpy()
+                cols_dict[c] = a if a.dtype.kind in "iuf" else list(s)
+            blob = write_fn(cols_dict, types=dict(types), codec=codec)
             rel = f"{rel_prefix}b{batch_id:05d}-p{pid:04d}-{seq:03d}.parquet"
             full = os.path.join(table_dir, *rel.split("/"))
             os.makedirs(os.path.dirname(full) or table_dir, exist_ok=True)
@@ -511,9 +580,24 @@ def _make_part_writer(
                 fh.write(blob)
             os.replace(tmp, full)
             seq += 1
-            yield pd.DataFrame(
-                {"path": [rel], "size": [len(blob)], "rows": [len(pdf)]}
+            rows = len(pdf)
+            pend, pend_est = [], 0
+            return pd.DataFrame(
+                {"path": [rel], "size": [len(blob)], "rows": [rows]}
             )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pend.append(pdf)
+            pend_est += _est(pdf)
+            if pend_est >= target_file_bytes:
+                out = _flush()
+                if out is not None:
+                    yield out
+        out = _flush()
+        if out is not None:
+            yield out
 
     return _to_parts
 
