@@ -26,6 +26,21 @@ def test_trainer_matches_reference_implementation_exactly(spark, sf_dir):
     assert got == reference_bpe_merges(wf, 8)
 
 
+def test_trainer_local_route_equals_distributed_loop(spark, sf_dir):
+    """Round 18: the vocab-size router must be output-invisible — the
+    driver-side trainer (small vocab, default route) and the
+    distributed iteration (forced with local_max_vocab=0, and taken
+    when the cap is below the vocabulary) return identical rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    routed = train_bpe_merges(docs, k_merges=6).collect()
+    distributed = train_bpe_merges(docs, k_merges=6, local_max_vocab=0).collect()
+    assert [tuple(r) for r in routed] == [tuple(r) for r in distributed]
+    # a cap smaller than the vocabulary must fall through to the
+    # distributed loop and still produce the same table
+    over_cap = train_bpe_merges(docs, k_merges=6, local_max_vocab=3).collect()
+    assert [tuple(r) for r in over_cap] == [tuple(r) for r in routed]
+
+
 def test_merge_application_left_to_right_non_overlapping(spark):
     """The pure-Column fold applies merges like the reference: left to
     right, non-overlapping, merged tokens never re-merge in the pass."""
