@@ -59,3 +59,43 @@ def scoped_shuffle_partitions(spark, n: int) -> Iterator[None]:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(prev))
+
+
+def observation_get(obs, fallback=None, timeout_s: float = 30.0):
+    """``obs.get`` with a bounded wait (ADVICE r17 low #1).
+
+    The single-job probe pattern (dedup_clusters pointer doubling,
+    pagerank convergence) relies on eager ``localCheckpoint`` running
+    under a SQL execution so observed metrics are collected by its
+    internal action — undocumented Spark behavior, pinned by a
+    fail-fast test. If a Spark upgrade stops collecting metrics there,
+    ``obs.get`` blocks forever and every caller hangs silently. Waiting
+    in a daemon thread turns that failure mode into a timeout that
+    degrades to ``fallback()`` — the caller's explicit (slower) probe
+    job — instead of a hang. The checkpoint has already materialized
+    when this is called, so a collected metric returns immediately and
+    the timeout is never on the hot path."""
+    import threading
+
+    box: dict = {}
+
+    def _run() -> None:
+        try:
+            box["v"] = obs.get
+        except Exception as exc:  # surfaced to the caller below
+            box["e"] = exc
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        if fallback is not None:
+            return fallback()
+        raise TimeoutError(
+            "observed metrics were not collected by the eager "
+            "localCheckpoint action (Spark behavior change?) and no "
+            "fallback probe was provided"
+        )
+    if "e" in box:
+        raise box["e"]
+    return box["v"]

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from yark_spark.operators.conf import observation_get
 from yark_spark.operators.release import track
 
 
@@ -474,8 +475,24 @@ def _pointer_double(
             .localCheckpoint()
         )
         track(j)  # checkpoint storage freed by harnesses via release_tracked()
+        prev = labels
         labels = j
-        if obs.get["changed"] == 0:
+        # bounded wait (ADVICE r17): if a Spark upgrade stops collecting
+        # observed metrics under eager localCheckpoint, degrade to an
+        # explicit changed-row probe against the previous round instead
+        # of hanging on obs.get
+        changed = observation_get(
+            obs,
+            fallback=lambda: {
+                "changed": j.join(
+                    prev.select("id", F.col("label").alias("__prev")), "id"
+                )
+                .where(F.col("label") != F.col("__prev"))
+                .limit(1)
+                .count()
+            },
+        )["changed"]
+        if changed == 0:
             return labels
     return labels
 
@@ -518,7 +535,11 @@ def _components(
         .localCheckpoint()
     )
     track(contracted)
-    if obs.get["n_edges"] == 0:
+    n_edges_left = observation_get(
+        obs,
+        fallback=lambda: {"n_edges": 0 if contracted.isEmpty() else 1},
+    )["n_edges"]
+    if n_edges_left == 0:
         return labels
     sub = _components(
         labels.select(F.col("label").alias("id")).distinct(), contracted, levels - 1, stats

@@ -75,28 +75,31 @@ def pagerank(
     # manager afterwards; re-runs recompute from the sources.
     spark = edges.sparkSession
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    n_edges = e.count()  # materializes the cache AND sizes the iterations
+    # Round 18: materialize the edge build as an eager localCheckpoint
+    # instead of persist+count — a persisted plan pins its shuffle
+    # output partitioning
+    # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false),
+    # so under a vanilla 200-partition session the upstream edge build
+    # (often a join+distinct) ran as 200 tiny tasks per shuffle; the
+    # checkpoint path lets AQE coalesce those exchanges to data size.
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    n_edges = e.count()  # cheap on the checkpointed blocks; sizes the loop
     # Partition-count hygiene (VERDICT r9 #2, second half): at small
     # graph sizes the session's full shuffle width is pure task-launch
     # overhead for the per-iteration joins/aggs — AQE cannot re-coalesce
-    # under a cached/checkpointed relation
-    # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false),
-    # so a 3.5k-row rank vector was shuffling through 200–800 tasks per
-    # iteration. Clamp DOWN (never up) to ~1M edges per task, floored at
-    # the executor parallelism; restore the session conf on exit. At
-    # cluster scale n_edges/1M exceeds the session width and this is a
-    # no-op.
+    # under a cached/checkpointed relation, so clamp DOWN (never up) to
+    # ~1M edges per task, floored at the executor parallelism; restore
+    # the session conf on exit. At cluster scale n_edges/1M exceeds the
+    # session width and this is a no-op.
     p = min(
         conf_parts,
         max(spark.sparkContext.defaultParallelism, int(n_edges // 1_000_000) + 1),
     )
-    e_is_ckpt = False
+    e_is_ckpt = True
     if p * 4 <= e.rdd.getNumPartitions():
-        packed = e.coalesce(p).localCheckpoint(eager=True)  # cache read, no shuffle
-        e.unpersist()
+        packed = e.coalesce(p).localCheckpoint(eager=True)  # block read, no shuffle
+        _unpersist_checkpoint_rdds(e)
         e = packed
-        e_is_ckpt = True
     # scoped clamp (single-threaded-session assumption documented in
     # operators/conf.py — ADVICE r10 low #1)
     with scoped_shuffle_partitions(spark, p):
@@ -171,18 +174,54 @@ def _pagerank_iterate(
         if tol > 0:
             # convergence mode: bound lineage (checkpoint every K rounds,
             # persist between) and probe the L1 delta — the probe also
-            # materializes `new` before the predecessor's blocks release
+            # materializes `new` before the predecessor's blocks release.
+            # On CHECKPOINT rounds the delta rides the materialization
+            # job as an Observation (round 18, VERDICT r17 #4 — the
+            # dedup_clusters single-job pattern): the previous iterate
+            # is joined in only to be observed and immediately projected
+            # away, so the checkpointed rows stay (node, pr) and the
+            # release discipline below is unchanged. Both sides carry
+            # exactly the node universe, so the inner join is row- and
+            # value-preserving.
             new_is_ckpt = (i + 1) % checkpoint_every == 0
             if new_is_ckpt:
-                new = new.localCheckpoint(eager=True)
+                from pyspark.sql import Observation
+
+                from yark_spark.operators.conf import observation_get
+
+                obs = Observation()
+                new = (
+                    new.join(
+                        pr.select("node", F.col("pr").alias("__prev")), "node"
+                    )
+                    .observe(
+                        obs,
+                        F.sum(F.abs(F.col("pr") - F.col("__prev"))).alias("l1"),
+                    )
+                    .select("node", "pr")
+                    .localCheckpoint(eager=True)
+                )
+                new_ck = new
+                old = pr
+                delta = observation_get(
+                    obs,
+                    fallback=lambda: {
+                        "l1": new_ck.alias("a")
+                        .join(old.alias("b"), F.col("a.node") == F.col("b.node"))
+                        .agg(
+                            F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))).alias("l1")
+                        )
+                        .first()["l1"]
+                    },
+                )["l1"]
             else:
                 new = new.persist(StorageLevel.MEMORY_AND_DISK)
-            delta = (
-                new.alias("a")
-                .join(pr.alias("b"), F.col("a.node") == F.col("b.node"))
-                .agg(F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))).alias("l1"))
-                .first()["l1"]
-            )
+                delta = (
+                    new.alias("a")
+                    .join(pr.alias("b"), F.col("a.node") == F.col("b.node"))
+                    .agg(F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))).alias("l1"))
+                    .first()["l1"]
+                )
             # Release the superseded iterate. The checkpoint-RDD leaf
             # walk is ONLY safe when pr is itself a localCheckpoint
             # (its plan is then a single LogicalRDD of its own blocks).
@@ -277,7 +316,9 @@ def personalized_pagerank(
     rcols = reset.columns
     spark = edges.sparkSession
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    # eager-checkpoint the edge build so AQE sizes its exchanges (see
+    # pagerank(): a persisted plan pins 200-wide vanilla shuffles)
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
     n_edges = e.count()
     # same partition-count hygiene as pagerank(): clamp the iteration
     # shuffle width to the graph size, restore on exit
@@ -285,12 +326,11 @@ def personalized_pagerank(
         conf_parts,
         max(spark.sparkContext.defaultParallelism, int(n_edges // 1_000_000) + 1),
     )
-    e_is_ckpt = False
+    e_is_ckpt = True
     if p * 4 <= e.rdd.getNumPartitions():
         packed = e.coalesce(p).localCheckpoint(eager=True)
-        e.unpersist()
+        _unpersist_checkpoint_rdds(e)
         e = packed
-        e_is_ckpt = True
     # scoped clamp (single-threaded-session assumption documented in
     # operators/conf.py — ADVICE r10 low #1)
     with scoped_shuffle_partitions(spark, p):
@@ -376,17 +416,48 @@ def _ppr_iterate(
                 ).alias("pr"),
             )
         if tol > 0:
+            # checkpoint rounds fold the L1 probe into the
+            # materialization job via an Observation — see
+            # _pagerank_iterate for the invariants
             new_is_ckpt = (i + 1) % checkpoint_every == 0
             if new_is_ckpt:
-                new = new.localCheckpoint(eager=True)
+                from pyspark.sql import Observation
+
+                from yark_spark.operators.conf import observation_get
+
+                obs = Observation()
+                new = (
+                    new.join(
+                        pr.select("node", F.col("pr").alias("__prev")), "node"
+                    )
+                    .observe(
+                        obs,
+                        F.sum(F.abs(F.col("pr") - F.col("__prev"))).alias("l1"),
+                    )
+                    .select("node", "pr")
+                    .localCheckpoint(eager=True)
+                )
+                new_ck = new
+                old = pr
+                delta = observation_get(
+                    obs,
+                    fallback=lambda: {
+                        "l1": new_ck.alias("a")
+                        .join(old.alias("b"), F.col("a.node") == F.col("b.node"))
+                        .agg(
+                            F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))).alias("l1")
+                        )
+                        .first()["l1"]
+                    },
+                )["l1"]
             else:
                 new = new.persist(StorageLevel.MEMORY_AND_DISK)
-            delta = (
-                new.alias("a")
-                .join(pr.alias("b"), F.col("a.node") == F.col("b.node"))
-                .agg(F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))).alias("l1"))
-                .first()["l1"]
-            )
+                delta = (
+                    new.alias("a")
+                    .join(pr.alias("b"), F.col("a.node") == F.col("b.node"))
+                    .agg(F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))).alias("l1"))
+                    .first()["l1"]
+                )
             # checkpoint-leaf walk only for iterates that ARE
             # checkpoints; a persisted iterate's plan still reaches e's
             # checkpoint blocks (ADVICE r10 high — see _pagerank_iterate)
