@@ -221,6 +221,8 @@ def main() -> None:
     #   warm = min of both executions — the stable plan cost.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    from yark_spark.operators.release import release_tracked
+
     for key in HEADLINE:
         runs = []
         for _ in range(2):
@@ -230,6 +232,14 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         cold[key] = round(runs[0], 4)
         warm[key] = round(min(runs), 4)
+        # Hygiene between keys (round 18, VERDICT r17 #7a): operators may
+        # persist intra-query intermediates (q_dedup_fuzzy's bucket
+        # table); releasing them here keeps later keys' executor memory
+        # clean and stops the SQL cache manager serving a previous key's
+        # relation. Within-key runs are untouched, so both series keep
+        # their r01-r17 definitions.
+        spark.catalog.clearCache()
+        release_tracked()
 
     total_cold = round(sum(cold.values()), 4)
     total_warm = round(sum(warm.values()), 4)
@@ -247,6 +257,70 @@ def main() -> None:
     x_anchor_r03_contention_normalized = round(
         (total_cold / cal["cal_ratio"]) / ANCHOR_R03_COLD, 3
     )
+
+    # Data-bound core-scaling lane (round 18, VERDICT r17 #7b): at sf0.1
+    # every headline query is overhead-bound — the r17 driver scaling
+    # block measured every 8v32 ratio ≈ 1 and the 8-core TOTAL faster —
+    # so the ratio had no query that SHOULD read >> 1. This lane is a
+    # map-only computation big enough to be CPU-bound: the MinHash
+    # signature pass over a 50x perturbed-copy corpus (the
+    # scripts/make_scale_data.py construction: key-shifted copies, ~50%
+    # token substitution), ~100k documents through 16 hash folds,
+    # discarded into the noop sink (guide §1.4). Fuzzy PAIR generation
+    # was prototyped for this slot and rejected: its work explodes in
+    # the post-join projection whose input bytes are tiny, so AQE sizes
+    # the stage to a handful of partitions and the ratio reads ≈1 —
+    # honest, but not a scaling probe. The corpus lands in a temp
+    # parquet UNTIMED (the sink lanes' temp-input precedent); the timed
+    # region computes the signatures from those parquet inputs fresh on
+    # every run — nothing cached or reused across runs. ADDED as a new
+    # `queries`/`queries_warm` entry only — the headline list, totals
+    # and anchors above are byte-unchanged from r01-r17. Measured on
+    # this box: cold 2.6 s @8 -> 1.7 s @32, warm 1.95 s @8 -> 1.0 s @32.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from yark_spark.io import load_table
+    from yark_spark.operators.dedup import minhash_signature
+
+    docs_sc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sc_parts = [docs_sc]
+    toks50 = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")
+
+    def _subst(copy_idx):
+        suffix = F.lit(f"_{copy_idx}")
+        return lambda tk: F.when(
+            F.pmod(F.xxhash64(tk), F.lit(10)) < 5, F.concat(tk, suffix)
+        ).otherwise(tk)
+
+    for c in range(1, 50):
+        sc_parts.append(
+            docs_sc.select(
+                (F.col("doc_id") + F.lit(c * 10_000_000)).alias("doc_id"),
+                F.array_join(F.transform(toks50, _subst(c)), " ").alias("text"),
+            )
+        )
+    corpus50 = sc_parts[0]
+    for part in sc_parts[1:]:
+        corpus50 = corpus50.unionByName(part)
+    scale_dir = _tempfile.mkdtemp(prefix="bench_scale50_")
+    try:
+        corpus50.repartition(64).write.mode("overwrite").parquet(scale_dir)
+        corpus50_scan = spark.read.parquet(scale_dir)
+        scale_runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            minhash_signature(corpus50_scan, "doc_id", "text", 16).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            scale_runs.append(time.perf_counter() - t0)
+        cold["q_scale50_minhash_sig"] = round(scale_runs[0], 4)
+        warm["q_scale50_minhash_sig"] = round(min(scale_runs), 4)
+    finally:
+        _shutil.rmtree(scale_dir, ignore_errors=True)
+
     ingest = bench_history_ingest(spark)
     ingest_sharded = bench_history_ingest_sharded(spark)
     stress = bench_stress(spark, sf_dir)
