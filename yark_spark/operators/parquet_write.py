@@ -432,7 +432,14 @@ def _minmax_encoded(ptype: str, present: list) -> "tuple[bytes, bytes] | None":
     byte order (UTF-8 is code-point-order preserving); an all-``bytes``
     column compares unsigned-lexicographically natively. Only a column
     mixing ``str`` and ``bytes`` values falls back to the keyed form
-    (native comparison raises TypeError there)."""
+    (native comparison raises TypeError there).
+
+    Leniency note (ADVICE r17): a str column containing lone
+    surrogates (surrogateescape decoding) no longer fails here — it
+    fails later in ``_stat_encode`` only if the surrogate value is the
+    min/max. The keyed fallback would hit the same encode error, so no
+    fallback is attempted; written stats are unchanged whenever the
+    encode succeeds."""
     if len(present) == 0:
         return None
     np = _numpy()
