@@ -1026,7 +1026,12 @@ def _write_chunk(
     np = _numpy()
     np_vals = None
     if np is not None and isinstance(vals, np.ndarray):
-        if vals.dtype.kind in "iuf" and force_encoding is None:
+        if (
+            vals.dtype.kind in "iuf"
+            and force_encoding is None
+            and defs_pair is None
+            and reps_pair is None
+        ):
             # a numeric ndarray cannot hold None: the null filter and
             # def levels collapse to constants (guide §4 — the sink
             # writer hands numeric columns over as numpy, and walking
