@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from yark_spark.operators.conf import observation_get
-from yark_spark.operators.release import track
+from yark_spark.operators.release import _unpersist_checkpoint_rdds, track
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -410,12 +410,18 @@ def dedup_clusters(
     lives in tests/test_dedup_clusters.py).
     """
     ids = nodes.select(F.col(id_col).alias("id")).distinct()
-    # persist: the top-level edge set is consumed twice (min-neighbor agg
-    # and the contraction join) — without caching, an expensive upstream
-    # (the LSH pair join) would run once per consumer
+    # Materialize once: the top-level edge set is consumed twice
+    # (min-neighbor agg and the contraction join) — without it, an
+    # expensive upstream (the LSH pair join) would run once per
+    # consumer. Round 18: eager localCheckpoint instead of persist —
+    # a persisted plan pins its shuffle output partitioning
+    # (canChangeCachedPlanOutputPartitioning=false), so under a vanilla
+    # 200-partition session the upstream pair build materialized as 200
+    # tiny tasks per exchange; the checkpoint path lets AQE size them
+    # (the same fix as operators/graph.pagerank this round).
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     if stats is not None:
         stats["levels"] = 0
     # Partition-count hygiene (round 11, the q_pagerank pattern): every
@@ -434,7 +440,10 @@ def dedup_clusters(
     n_edges = edges.count()
     with scoped_shuffle_partitions(spark, sized_partitions(spark, n_edges)):
         out = _components(ids, edges, max_iter, stats)
-    edges.unpersist()  # out's frontiers are checkpointed; lineage is cut
+    # out's frontiers are checkpointed (lineage cut), so the edge
+    # checkpoint's RDD blocks can be freed immediately — unpersist()
+    # cannot see them (ADVICE r10 medium)
+    _unpersist_checkpoint_rdds(edges)
     return out.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
