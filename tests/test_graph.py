@@ -296,3 +296,60 @@ def test_convergence_checkpoint_round_is_single_job(spark):
         jobs_all_ckpt,
         jobs_probe_split,
     )
+
+
+def test_edge_materialization_is_aqe_sized_columnar(spark, monkeypatch):
+    """Round 18: the bulk edge sets (pagerank edge build, dedup_clusters'
+    symmetric expansion) must materialize as a PERSIST registered while
+    spark.sql.optimizer.canChangeCachedPlanOutputPartitioning is true —
+    AQE sizes the cached plan's exchanges under a vanilla 200-partition
+    session — and the conf must be restored afterwards. The alternative
+    (row-block localCheckpoint) OOMed the 50x deep-scale lane: the JVM's
+    deserialized unroll holds every edge row as a live UnsafeRow object.
+    Any localCheckpoint that does still fire in these operators (the
+    rare repack branch) must pass an explicitly SERIALIZED level."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from yark_spark.operators.dedup import dedup_clusters
+    from yark_spark.operators.graph import pagerank
+    from yark_spark.operators.release import release_tracked
+
+    KEY = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    persist_confs, ckpt_levels = [], []
+    real_persist = DataFrame.persist
+    real_ckpt = DataFrame.localCheckpoint
+
+    def spy_persist(self, *args, **kwargs):
+        persist_confs.append(spark.conf.get(KEY, "false"))
+        return real_persist(self, *args, **kwargs)
+
+    def spy_ckpt(self, eager=True, storageLevel=None):
+        ckpt_levels.append(storageLevel)
+        return real_ckpt(self, eager=eager, storageLevel=storageLevel)
+
+    monkeypatch.setattr(DataFrame, "persist", spy_persist)
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy_ckpt)
+
+    edges = spark.createDataFrame(CHAIN_EDGES, "src string, dst string")
+    ranks, _ = pagerank(edges, tol=0.0, max_iters=2, dangling=False)
+    ranks.count()
+    ranks.unpersist()
+    assert persist_confs and persist_confs[0] == "true", persist_confs
+
+    persist_confs.clear()
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("x",), ("y",), ("z",)], "id string"
+    )
+    dedup_clusters(nodes, pairs, id_col="id").count()
+    release_tracked()
+    assert persist_confs and persist_confs[0] == "true", persist_confs
+
+    # the scope restored the session default
+    assert spark.conf.get(KEY, "false") == "false"
+    # any surviving localCheckpoint with an explicit level is serialized
+    for lvl in ckpt_levels:
+        if lvl is not None:
+            assert not lvl.deserialized, lvl

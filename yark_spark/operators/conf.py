@@ -61,6 +61,40 @@ def scoped_shuffle_partitions(spark, n: int) -> Iterator[None]:
         spark.conf.set("spark.sql.shuffle.partitions", str(prev))
 
 
+@contextmanager
+def scoped_cached_plan_aqe(spark) -> Iterator[None]:
+    """Scope ``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning``
+    to ``true`` around a ``persist()`` + materializing action (round 18).
+
+    The conf defaults to false, which PINS a cached plan's output
+    partitioning: AQE cannot coalesce the exchanges inside the cached
+    subtree, so under a vanilla 200-partition session a bulk edge build
+    (join+distinct) materializes as 200 tiny tasks per shuffle. Setting
+    it true at cacheQuery time keeps AQE active inside the cached plan —
+    the materialization is data-sized — while the storage stays the
+    compressed, EVICTABLE columnar cache. That storage class matters at
+    scale: materializing the same edge sets as row-block
+    ``localCheckpoint``s (deserialized UnsafeRow objects, non-evictable)
+    OOMed an 8g heap on the 50x deep-scale lane (~50M edges, 32
+    concurrent unrolls), and even serialized row blocks are several
+    times the columnar cache's footprint (guide §5).
+
+    Downstream consumers simply read the cached relation, so the only
+    plans affected are those planned INSIDE the scope; same
+    single-threaded-session assumption as ``scoped_shuffle_partitions``
+    (module docstring)."""
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    prev = spark.conf.get(key, "false")
+    if str(prev).lower() == "true":
+        yield
+        return
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def observation_get(obs, fallback=None, timeout_s: float = 30.0):
     """``obs.get`` with a bounded wait (ADVICE r17 low #1).
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from yark_spark.operators.conf import observation_get
-from yark_spark.operators.release import _unpersist_checkpoint_rdds, track
+from yark_spark.operators.release import track
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -413,15 +413,22 @@ def dedup_clusters(
     # Materialize once: the top-level edge set is consumed twice
     # (min-neighbor agg and the contraction join) — without it, an
     # expensive upstream (the LSH pair join) would run once per
-    # consumer. Round 18: eager localCheckpoint instead of persist —
-    # a persisted plan pins its shuffle output partitioning
-    # (canChangeCachedPlanOutputPartitioning=false), so under a vanilla
-    # 200-partition session the upstream pair build materialized as 200
-    # tiny tasks per exchange; the checkpoint path lets AQE size them
-    # (the same fix as operators/graph.pagerank this round).
+    # consumer. Round 18 (revised): persist under scoped_cached_plan_aqe
+    # — the conf scope keeps AQE active inside the cached plan, so under
+    # a vanilla 200-partition session the upstream pair build no longer
+    # materializes as 200 tiny tasks per exchange, while storage stays
+    # the compressed, EVICTABLE columnar cache. The first r18 form
+    # (eager localCheckpoint) stored edges as row blocks, the pattern
+    # that OOMed the 50x deep-scale lane on the pagerank twin (guide §5;
+    # rationale in operators/conf.scoped_cached_plan_aqe).
+    from yark_spark.operators.conf import scoped_cached_plan_aqe
+
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
+    with scoped_cached_plan_aqe(nodes.sparkSession):
+        edges = edges.persist()
+        n_edges = edges.count()
     if stats is not None:
         stats["levels"] = 0
     # Partition-count hygiene (round 11, the q_pagerank pattern): every
@@ -430,20 +437,17 @@ def dedup_clusters(
     # exceeds the edge count — under a vanilla 200-partition session
     # each was fanning ~500 rows into 200 near-empty tasks, the
     # dominant cost of q_curate_pipeline's 17.8 s sf0.01 parity row.
-    # The count also materializes the cache. No-op at cluster scale
-    # (clamp never raises the conf); single-threaded-session assumption
-    # documented in operators/conf.
+    # No-op at cluster scale (clamp never raises the conf);
+    # single-threaded-session assumption documented in operators/conf.
     from yark_spark.operators.conf import scoped_shuffle_partitions
     from yark_spark.operators.packing import sized_partitions
 
     spark = nodes.sparkSession
-    n_edges = edges.count()
     with scoped_shuffle_partitions(spark, sized_partitions(spark, n_edges)):
         out = _components(ids, edges, max_iter, stats)
-    # out's frontiers are checkpointed (lineage cut), so the edge
-    # checkpoint's RDD blocks can be freed immediately — unpersist()
-    # cannot see them (ADVICE r10 medium)
-    _unpersist_checkpoint_rdds(edges)
+    # out's frontiers are checkpointed (lineage cut), so the cached edge
+    # set can be dropped immediately
+    edges.unpersist()
     return out.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -24,7 +24,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from yark_spark.operators.conf import scoped_shuffle_partitions
+from yark_spark.operators.conf import scoped_cached_plan_aqe, scoped_shuffle_partitions
 from yark_spark.operators.release import (
     _unpersist_checkpoint_rdds,
     release_now,
@@ -75,15 +75,21 @@ def pagerank(
     # manager afterwards; re-runs recompute from the sources.
     spark = edges.sparkSession
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    # Round 18: materialize the edge build as an eager localCheckpoint
-    # instead of persist+count — a persisted plan pins its shuffle
-    # output partitioning
-    # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false),
-    # so under a vanilla 200-partition session the upstream edge build
-    # (often a join+distinct) ran as 200 tiny tasks per shuffle; the
-    # checkpoint path lets AQE coalesce those exchanges to data size.
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
-    n_edges = e.count()  # cheap on the checkpointed blocks; sizes the loop
+    # Round 18 (revised): materialize the edge build as persist+count
+    # UNDER scoped_cached_plan_aqe. The conf scope keeps AQE active
+    # inside the cached plan, so under a vanilla 200-partition session
+    # the upstream edge build (often a join+distinct) no longer runs as
+    # 200 tiny tasks per shuffle — while the storage stays the
+    # compressed, evictable COLUMNAR cache. The first r18 form of this
+    # fix (eager localCheckpoint) stored edges as row blocks instead:
+    # deserialized-unroll UnsafeRow objects OOMed an 8g heap on the 50x
+    # deep-scale lane (~50M edges, 32 concurrent unrolls), and even
+    # serialized row blocks are several times the columnar footprint
+    # (guide §5). Pinned by
+    # tests/test_graph.py::test_edge_materialization_is_aqe_sized_columnar.
+    with scoped_cached_plan_aqe(spark):
+        e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+        n_edges = e.count()  # materializes the cache AND sizes the iterations
     # Partition-count hygiene (VERDICT r9 #2, second half): at small
     # graph sizes the session's full shuffle width is pure task-launch
     # overhead for the per-iteration joins/aggs — AQE cannot re-coalesce
@@ -95,11 +101,18 @@ def pagerank(
         conf_parts,
         max(spark.sparkContext.defaultParallelism, int(n_edges // 1_000_000) + 1),
     )
-    e_is_ckpt = True
+    e_is_ckpt = False
     if p * 4 <= e.rdd.getNumPartitions():
-        packed = e.coalesce(p).localCheckpoint(eager=True)  # block read, no shuffle
-        _unpersist_checkpoint_rdds(e)
+        # repack only when the cached layout is badly over-fanned (rare
+        # now that AQE sizes the materialization). Cache read, no
+        # shuffle; the SERIALIZED level keeps the row blocks compact —
+        # the deserialized default is the 50x OOM hazard above.
+        packed = e.coalesce(p).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+        e.unpersist()
         e = packed
+        e_is_ckpt = True
     # scoped clamp (single-threaded-session assumption documented in
     # operators/conf.py — ADVICE r10 low #1)
     with scoped_shuffle_partitions(spark, p):
@@ -316,21 +329,27 @@ def personalized_pagerank(
     rcols = reset.columns
     spark = edges.sparkSession
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    # eager-checkpoint the edge build so AQE sizes its exchanges (see
-    # pagerank(): a persisted plan pins 200-wide vanilla shuffles)
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
-    n_edges = e.count()
+    # persist+count under scoped_cached_plan_aqe so AQE sizes the edge
+    # build's exchanges while storage stays the compressed, evictable
+    # columnar cache (see pagerank() — the row-block localCheckpoint
+    # form OOMed the 50x deep-scale lane)
+    with scoped_cached_plan_aqe(spark):
+        e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+        n_edges = e.count()
     # same partition-count hygiene as pagerank(): clamp the iteration
     # shuffle width to the graph size, restore on exit
     p = min(
         conf_parts,
         max(spark.sparkContext.defaultParallelism, int(n_edges // 1_000_000) + 1),
     )
-    e_is_ckpt = True
+    e_is_ckpt = False
     if p * 4 <= e.rdd.getNumPartitions():
-        packed = e.coalesce(p).localCheckpoint(eager=True)
-        _unpersist_checkpoint_rdds(e)
+        packed = e.coalesce(p).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+        e.unpersist()
         e = packed
+        e_is_ckpt = True
     # scoped clamp (single-threaded-session assumption documented in
     # operators/conf.py — ADVICE r10 low #1)
     with scoped_shuffle_partitions(spark, p):
